@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``   — flagship query (TPC-H Q1 shape) at sf0.001.
+- ``queries()``      — full declared-query corpus (SURVEY.md §2 rows +
+  LLM-pipeline extension operators), each ``(spark, sf_dir) -> DataFrame``.
+- ``oracle_sql()``   — DuckDB-equivalent SQL per oracle-checkable query
+  (identical aliases/rounding; see csvb_spark/queries/common.py for the
+  cross-engine determinism rules).
 """
 
 from __future__ import annotations
@@ -14,25 +15,33 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _corpus():
+    from csvb_spark.functions import register_all
+    from csvb_spark.queries import corpus
+
+    return corpus, register_all
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    corpus, register_all = _corpus()
+    register_all(spark)
+    return corpus()["q01_pricing_summary"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    corpus, register_all = _corpus()
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(q):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_all(spark)
+            return q.spark(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(q) for name, q in corpus().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    corpus, _ = _corpus()
+    return {name: q.oracle for name, q in corpus().items() if q.oracle is not None}

@@ -1,0 +1,271 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, all pure DataFrame (no Python in the row path):
+
+- **exact**: hash-groupBy on a content digest. One shuffle on the
+  digest; partial aggregation makes the map side cheap.
+- **MinHash + LSH**: per-row signature computed with nested
+  higher-order lambdas (NO explode over permutations — the signature
+  is one projection), then banding, then a self-join per band bucket.
+  The only shuffle is on (band_id, band_key), whose cardinality is
+  ~n_docs × n_bands; hot buckets (boilerplate docs) are the skew risk
+  and AQE skew-join handles them.
+- **SimHash**: 64-bit signature per row (map-only), near-dup pairs by
+  Hamming distance via 16-bit chunk banding (pigeonhole: distance ≤ 3
+  ⇒ some chunk of 4 matches exactly).
+- **n-gram Jaccard**: exact verification pass over candidate pairs —
+  used standalone within small blocking buckets, or as the verifier
+  behind MinHash candidates.
+
+At 100 TB you run exact first (cheapest), then MinHash-LSH with the
+verifier; SimHash is the cheap alternative when you want one int64
+per doc (e.g. for incremental dedup against a bloom/static set).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from csvb_spark.operators.text import char_shingles, tokens
+
+
+def content_digest(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.encode(c, "UTF-8"))
+
+
+def exact_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per distinct content: keeper (min doc_id) + copy count."""
+    return (
+        docs.groupBy(content_digest(text_col).alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Documents surviving exact dedup (min doc_id per content)."""
+    keep = exact_groups(docs, text_col).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi")
+
+
+def word_shingles(col: str | Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles."""
+    t = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+        )
+    )
+
+
+def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
+    """num_perm MinHash values in ONE projection.
+
+    Permutation i is simulated by seeding xxhash64 with the
+    permutation index; the signature is array<bigint> of length
+    num_perm. Nested transform keeps this map-only — contrast with
+    the naive explode(shingles) × explode(perms) plan, which would
+    multiply the shuffle by num_perm.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_perm - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard over the shingle sets.
+
+    Plan shape: project(signature) → explode(bands) → shuffle on
+    (band, key) → pair join → exact-Jaccard verify. Output:
+    (doc_id_a, doc_id_b, est_jaccard, jaccard).
+    """
+    rows_per_band = num_perm // bands
+    sh = docs.select(
+        "doc_id",
+        word_shingles(text_col, shingle_words).alias("shingles"),
+    ).withColumn("sig", minhash_signature(F.col("shingles"), num_perm))
+
+    banded = sh.select(
+        "doc_id",
+        "shingles",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ":",
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_key"),
+                ),
+            )
+        ).alias("band"),
+    ).select("doc_id", "shingles", "sig", "band.band_id", "band.band_key")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_perm))
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(est, 6).alias("est_jaccard"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def simhash64(col: str = "text") -> Column:
+    """64-bit SimHash over whitespace tokens, computed in one
+    projection: each token hashed once, then a per-bit signed vote.
+
+    Written as a SQL expression because the bit-shift amount is a
+    lambda variable (the Python ``shiftleft`` wrapper only accepts a
+    literal int).
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          sequence(0, 63),
+          0L,
+          (acc, b) -> acc + IF(
+            aggregate(
+              transform(split(trim({col}), '\\\\s+'), t -> xxhash64(t)),
+              0,
+              (vote, h) -> vote + IF((h & shiftleft(1L, b)) != 0, 1, -1)
+            ) > 0,
+            shiftleft(1L, b), 0L)
+        )
+        """
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Banding by 16-bit chunks: distance ≤ 3 guarantees at least one of
+    the 4 chunks is identical (pigeonhole), so candidate generation is
+    an equi-join on (chunk_id, chunk_value) — shuffle-friendly, no
+    cross join.
+    """
+    sigs = docs.select("doc_id", simhash64(text_col).alias("sig"))
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), c -> struct("
+                "  c AS chunk_id,"
+                "  shiftrightunsigned(sig, c * 16) & 65535L AS chunk_val))"
+            )
+        ).alias("ch"),
+    ).select("doc_id", "sig", "ch.chunk_id", "ch.chunk_val")
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang", "source"),
+    k: int = 4,
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """Exact character-k-gram Jaccard over pairs within blocking
+    buckets. The blocking join keys bound the pair explosion; at
+    scale, block on cheap invariants (lang, length band, source).
+    """
+    sh = docs.select(
+        *block_cols, "doc_id", char_shingles(text_col, k).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.doc_id") < F.col("b.doc_id"))
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    jac = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh"))) / F.size(
+        F.array_union(F.col("a.sh"), F.col("b.sh"))
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            *[F.col(f"a.{c}").alias(c) for c in block_cols],
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side (built-in functions + higher-order array lambdas): no
+Python boundary, so every operator here runs inside whole-stage
+codegen and scales linearly with executors — the map-only shape you
+want at 100 TB (zero shuffles except where noted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny embedded stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du"],
+    "de": ["der", "die", "und", "das", "ein", "nicht", "mit", "ist"],
+    "es": ["el", "la", "de", "que", "y", "los", "una", "por"],
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization (the BPE-ish regex variant is
+    ``bpe_ish_tokens``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_tokens(col: str | Column = "text") -> Column:
+    """Sub-word-ish tokenizer: splits on whitespace AND at
+    letter/digit/punct boundaries, the usual pre-tokenization regex
+    shape used before BPE merges."""
+    c = F.col(col) if isinstance(col, str) else col
+    marked = F.regexp_replace(
+        F.regexp_replace(c, r"([0-9]+|[^\sA-Za-z0-9]+)", r" $1 "), r"\s+", " "
+    )
+    return F.split(F.trim(marked), " ")
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics. Map-only: no shuffle."""
+    t = tokens(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.size(bpe_ish_tokens(text_col)).alias("n_bpe_tokens"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+            / F.size(t),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length, punctuation/digit/upper
+    ratios, stopword ratio, and a coarse bucket. Map-only."""
+    text = F.col(text_col)
+    n = F.length(text)
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    t = tokens(text_col)
+    stop_hits = F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    score = (
+        F.when(n < 64, 0.2).otherwise(0.5)
+        + F.when(stop_hits > 0, 0.3).otherwise(0.0)
+        + F.when(punct / n < 0.1, 0.2).otherwise(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.size(t).alias("n_tokens"),
+        F.round(digits / n, 6).alias("digit_ratio"),
+        F.round(punct / n, 6).alias("punct_ratio"),
+        F.round(upper / n, 6).alias("upper_ratio"),
+        stop_hits.alias("en_stopword_hits"),
+        F.round(score, 2).alias("quality_score"),
+    )
+
+
+def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/stopword heuristic language ID: count distinct stopword
+    hits per language, take the argmax (ties broken by language code).
+    Map-only; the stopword arrays are literals, not a join."""
+    t = F.array_distinct(tokens(text_col))
+    scores = [
+        F.size(
+            F.array_intersect(t, F.array(*[F.lit(w) for w in words]))
+        ).alias(f"hits_{lang}")
+        for lang, words in STOPWORDS.items()
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    langs = list(STOPWORDS)
+    # argmax via greatest + chained when (deterministic tie-break:
+    # first language in sorted order wins)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    guess = F.lit("unknown")
+    for lang in sorted(langs, reverse=True):
+        guess = F.when(
+            (F.col(f"hits_{lang}") == best) & (best > 0), lang
+        ).otherwise(guess)
+    return scored.select(
+        "doc_id", "lang", *[f"hits_{lang}" for lang in langs], guess.alias("guess_lang")
+    )
+
+
+def char_shingles(col: str | Column, k: int = 4) -> Column:
+    """Distinct character k-grams (shingles) of lower(col)."""
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(low) - (k - 1), F.lit(1))),
+            lambda i: low.substr(i, F.lit(k)),
+        )
+    )
+
+
+def rolling_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: min/max xxhash64 over the
+    rolling k-gram window set plus a combined 64-bit fingerprint.
+    Map-only (the hash work happens inside one projection)."""
+    sh = char_shingles(text_col, k)
+    hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min"),
+        F.array_max(hashes).alias("fp_max"),
+        F.xxhash64(F.array_min(hashes), F.array_max(hashes), F.size(sh)).alias(
+            "fingerprint"
+        ),
+        F.size(sh).alias("n_shingles"),
+    )

@@ -1,0 +1,230 @@
+"""Beyond-reference LLM-pipeline corpus entries (SURVEY.md §7 P6).
+
+Thin wrappers over ``csvb_spark.operators.*``. Oracle SQL is provided
+wherever the operator is SQL-expressible in DuckDB (exact dedup, text
+stats, n-gram Jaccard, cosine similarity — all deterministic by
+construction); hash-based ops (MinHash, SimHash, fingerprints) have
+no cross-engine hash equivalent, so they are rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csvb_spark.operators import dedup, multimodal, similarity, text
+from csvb_spark.queries.common import Query
+
+QUERIES: dict[str, Query] = {}
+
+
+def _q(name: str, **kw) -> None:
+    QUERIES[name] = Query(**kw)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- exact dedup ------------------------------------------------------
+_q(
+    "x01_dedup_exact_groups",
+    spark=lambda spark, sf: dedup.exact_groups(_docs(spark, sf)),
+    headline=True,
+    oracle="""
+SELECT md5(text) AS fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+""",
+)
+
+_q(
+    "x02_dedup_exact_by_source",
+    spark=lambda spark, sf: _docs(spark, sf)
+    .groupBy("source")
+    .agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5(F.encode(F.col("text"), "UTF-8"))).alias("n_unique"),
+    ),
+    oracle="""
+SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_unique
+FROM documents
+GROUP BY source
+""",
+)
+
+# --- text analysis -----------------------------------------------------
+_q(
+    "x03_text_token_stats",
+    spark=lambda spark, sf: text.token_stats(_docs(spark, sf)),
+    headline=True,
+    oracle=r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq_tokens,
+       len(string_split_regex(trim(
+         regexp_replace(regexp_replace(text, '([0-9]+|[^ A-Za-z0-9]+)', ' \1 ', 'g'),
+                        '\s+', ' ', 'g')), ' ')) AS n_bpe_tokens,
+       ROUND(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+             / len(string_split_regex(trim(text), '\s+')), 6) AS avg_token_len
+FROM documents
+""",
+)
+
+_q(
+    "x04_text_quality",
+    spark=lambda spark, sf: text.quality_score(_docs(spark, sf)),
+    oracle=r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+       ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS digit_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio,
+       ROUND(CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+             / length(text), 6) AS upper_ratio,
+       len(list_intersect(string_split_regex(trim(text), '\s+'),
+                          ['the','and','of','to','a','in','is','it']))
+         AS en_stopword_hits,
+       ROUND(CAST(
+         (CASE WHEN length(text) < 64 THEN 0.2 ELSE 0.5 END)
+         + (CASE WHEN len(list_intersect(string_split_regex(trim(text), '\s+'),
+                        ['the','and','of','to','a','in','is','it'])) > 0
+                 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                      / length(text) < 0.1
+                 THEN 0.2 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
+FROM documents
+""",
+)
+
+_q(
+    "x05_lang_guess",
+    spark=lambda spark, sf: text.lang_guess(_docs(spark, sf))
+    .groupBy("lang", "guess_lang")
+    .agg(F.count("*").alias("n_docs")),
+    oracle=r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+             ['the','and','of','to','a','in','is','it'])) AS hits_en,
+         len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+             ['le','la','et','les','des','un','une','du'])) AS hits_fr,
+         len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+             ['der','die','und','das','ein','nicht','mit','ist'])) AS hits_de,
+         len(list_intersect(list_distinct(string_split_regex(trim(text), '\s+')),
+             ['el','la','de','que','y','los','una','por'])) AS hits_es
+  FROM documents
+), guessed AS (
+  SELECT lang,
+         CASE
+           WHEN greatest(hits_en, hits_fr, hits_de, hits_es) = 0 THEN 'unknown'
+           WHEN hits_de = greatest(hits_en, hits_fr, hits_de, hits_es) THEN 'de'
+           WHEN hits_en = greatest(hits_en, hits_fr, hits_de, hits_es) THEN 'en'
+           WHEN hits_es = greatest(hits_en, hits_fr, hits_de, hits_es) THEN 'es'
+           ELSE 'fr'
+         END AS guess_lang
+  FROM scored
+)
+SELECT lang, guess_lang, COUNT(*) AS n_docs
+FROM guessed GROUP BY lang, guess_lang
+""",
+)
+
+# --- n-gram Jaccard near-dup (exact, oracle-checkable) --------------------
+_q(
+    "x06_ngram_jaccard_pairs",
+    spark=lambda spark, sf: dedup.ngram_jaccard_pairs(
+        _docs(spark, sf), k=4, min_jaccard=0.3
+    ),
+    oracle=r"""
+WITH sh AS (
+  SELECT lang, source, doc_id,
+         list_distinct([substr(lower(text), g, 4)
+                        FOR g IN generate_series(1, greatest(length(text) - 3, 1))]) AS s
+  FROM documents
+)
+SELECT a.lang, a.source,
+       a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.3
+""",
+)
+
+# --- similarity search ------------------------------------------------------
+_q(
+    "x07_sim_bruteforce_topk",
+    spark=lambda spark, sf: similarity.brute_force_topk(
+        _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") == 0), k=10
+    ),
+    headline=True,
+    oracle="""
+WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(p.pv AS DOUBLE[]), CAST(p.pv AS DOUBLE[])))), 6)
+         AS cos_sim
+FROM embeddings e, probe p
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
+
+_q(
+    "x08_emb_neardup_pairs",
+    spark=lambda spark, sf: similarity.neardup_pairs_by_label(
+        _embs(spark, sf), min_cos=0.8, max_id=2000
+    ),
+    oracle="""
+SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(
+         list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6)
+         AS cos_sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE a.vec_id < 2000 AND b.vec_id < 2000
+  AND list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+      >= 0.8
+""",
+)
+
+# --- hash-based ops: rows-only (no cross-engine hash oracle) ------------------
+_q(
+    "x09_dedup_minhash_lsh",
+    spark=lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf), min_jaccard=0.4),
+    headline=True,
+)
+_q(
+    "x10_dedup_simhash",
+    spark=lambda spark, sf: dedup.simhash_pairs(_docs(spark, sf), max_hamming=8),
+)
+_q(
+    "x11_fingerprints",
+    spark=lambda spark, sf: text.rolling_fingerprint(_docs(spark, sf)),
+)
+_q(
+    "x12_sim_lsh_topk",
+    spark=lambda spark, sf: similarity.hyperplane_lsh_topk(
+        _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") == 0), k=10
+    ),
+)
+_q(
+    "x13_multimodal_features",
+    spark=lambda spark, sf: multimodal.multimodal_pipeline(_docs(spark, sf)),
+)

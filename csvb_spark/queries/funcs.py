@@ -1,0 +1,399 @@
+"""Scalar/aggregate function gauntlets — SURVEY.md §2.B.4/§2.B.8/§2.B.9.
+
+Each query exercises a function family the reference inherits from
+datafusion-functions 44. Where the Spark and DuckDB dialects agree,
+one SQL text serves both; where they diverge (split/regexp/date
+helpers), the two sides are written separately with IDENTICAL output
+aliases and rounding so the driver's hash compare is stable.
+"""
+
+from __future__ import annotations
+
+from csvb_spark.queries.common import Query, davg, dsum, sql_query
+
+QUERIES: dict[str, Query] = {}
+
+
+def _q(name: str, **kw) -> None:
+    QUERIES[name] = Query(**kw)
+
+
+# --- string functions -------------------------------------------------
+_SQL_STRINGS = """
+SELECT p_partkey,
+       length(p_name) AS name_len,
+       upper(p_brand) AS brand_up,
+       lower(p_type) AS type_lo,
+       substr(p_name, 1, 8) AS name_pre,
+       replace(p_type, ' ', '_') AS type_us,
+       reverse(p_brand) AS brand_rev,
+       lpad(CAST(p_size AS STRING), 4, '0') AS size_pad,
+       rpad(p_brand, 12, '.') AS brand_rpad,
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       levenshtein(p_brand, 'Brand#11') AS lev,
+       split_part(p_name, ' ', 1) AS first_word,
+       ascii(p_brand) AS first_ascii,
+       repeat(left(p_brand, 2), 2) AS rep2,
+       right(p_name, 3) AS name_suf,
+       trim('  x  ') AS trimmed,
+       ltrim('  x') AS ltrimmed,
+       rtrim('x  ') AS rtrimmed,
+       position('#' IN p_brand) AS hash_pos,
+       translate(p_brand, '#', '-') AS brand_dash,
+       md5(p_name) AS name_md5
+FROM part
+WHERE p_partkey < 120
+"""
+_q("q30_string_functions", spark=sql_query(_SQL_STRINGS), oracle=_SQL_STRINGS)
+
+# --- math functions ----------------------------------------------------
+_SQL_MATH = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(ABS(0.0 - l_extendedprice), 2) AS abs_price,
+       CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
+       CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct,
+       ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+       ROUND(CBRT(l_extendedprice), 6) AS cbrt_price,
+       ROUND(POWER(l_quantity, 2), 1) AS qty_sq,
+       ROUND(EXP(l_discount), 8) AS exp_disc,
+       ROUND(LN(l_extendedprice + 1), 8) AS ln_price,
+       ROUND(LOG10(l_extendedprice + 1), 8) AS log10_price,
+       ROUND(LOG2(l_quantity + 1), 8) AS log2_qty,
+       ROUND(SIN(l_quantity), 8) AS sin_qty,
+       ROUND(COS(l_quantity), 8) AS cos_qty,
+       ROUND(ATAN2(l_quantity, 3.0), 8) AS atan2_qty,
+       ROUND(DEGREES(l_discount), 8) AS deg_disc,
+       ROUND(RADIANS(l_quantity), 8) AS rad_qty,
+       CAST(SIGN(l_extendedprice - 30000) AS INT) AS price_sign,
+       MOD(CAST(l_quantity AS BIGINT), 7) AS qty_mod,
+       ROUND(GREATEST(l_quantity, l_discount * 100), 6) AS g_val,
+       ROUND(LEAST(l_quantity, l_discount * 100), 6) AS l_val,
+       ROUND(PI(), 10) AS pi_val,
+       ISNAN(l_discount) AS disc_nan
+FROM lineitem
+WHERE l_orderkey < 120
+"""
+_q("q31_math_functions", spark=sql_query(_SQL_MATH), oracle=_SQL_MATH)
+
+# --- date/time functions (dialects diverge → two texts) -----------------
+_SPARK_DATETIME = """
+SELECT event_id,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       date_trunc('hour', ts) AS hour_ts,
+       CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS y,
+       CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS m,
+       CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS d,
+       CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS h,
+       CAST(EXTRACT(MINUTE FROM ts) AS BIGINT) AS mi,
+       CAST(QUARTER(ts) AS BIGINT) AS q,
+       CAST(weekday(ts) + 1 AS BIGINT) AS isodow,
+       CAST(ts + INTERVAL '1 day' AS DATE) AS next_day,
+       CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       make_date(2024, 1, 15) AS fixed_date,
+       last_day(CAST(ts AS DATE)) AS month_end,
+       datediff(CAST(ts AS DATE), DATE '2024-01-01') AS days_since,
+       unix_millis(ts) AS epoch_ms_val,
+       date_format(ts, 'yyyy-MM-dd HH') AS fmt
+FROM events
+WHERE event_id < 300
+"""
+_DUCK_DATETIME = """
+SELECT event_id,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       date_trunc('hour', ts) AS hour_ts,
+       CAST(EXTRACT(YEAR FROM ts) AS BIGINT) AS y,
+       CAST(EXTRACT(MONTH FROM ts) AS BIGINT) AS m,
+       CAST(EXTRACT(DAY FROM ts) AS BIGINT) AS d,
+       CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS h,
+       CAST(EXTRACT(MINUTE FROM ts) AS BIGINT) AS mi,
+       CAST(EXTRACT(QUARTER FROM ts) AS BIGINT) AS q,
+       CAST(EXTRACT(ISODOW FROM ts) AS BIGINT) AS isodow,
+       CAST(ts + INTERVAL '1 day' AS DATE) AS next_day,
+       CAST(date_trunc('week', ts) AS DATE) AS week_start,
+       make_date(2024, 1, 15) AS fixed_date,
+       last_day(CAST(ts AS DATE)) AS month_end,
+       date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_since,
+       epoch_ms(ts) AS epoch_ms_val,
+       strftime(ts, '%Y-%m-%d %H') AS fmt
+FROM events
+WHERE event_id < 300
+"""
+_q("q32_datetime_functions", spark=sql_query(_SPARK_DATETIME), oracle=_DUCK_DATETIME)
+
+# --- time-bucket aggregation over events (batch windowing) --------------
+_SPARK_TIMEBUCKET = f"""
+SELECT date_bin(900, ts, TIMESTAMP '2024-01-01 00:00:00') AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+_DUCK_TIMEBUCKET = f"""
+SELECT time_bucket(INTERVAL '15 minutes', ts, TIMESTAMP '2024-01-01 00:00:00')
+         AS bucket_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {dsum('value')} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+_q(
+    "q33_time_bucket",
+    spark=sql_query(_SPARK_TIMEBUCKET),
+    oracle=_DUCK_TIMEBUCKET,
+    headline=True,
+)
+
+# --- array functions (dialects diverge) ----------------------------------
+_SPARK_ARRAYS = """
+SELECT doc_id,
+       size(split(trim(text), '\\\\s+')) AS n_tokens,
+       size(array_distinct(split(trim(text), '\\\\s+'))) AS n_uniq,
+       element_at(split(trim(text), '\\\\s+'), 1) AS first_tok,
+       element_at(split(trim(text), '\\\\s+'), -1) AS last_tok,
+       array_min(split(trim(text), '\\\\s+')) AS min_tok,
+       array_max(split(trim(text), '\\\\s+')) AS max_tok,
+       array_contains(split(trim(text), '\\\\s+'), 'data') AS has_data,
+       array_join(slice(array_sort(array_distinct(split(trim(text), '\\\\s+'))), 1, 5), '-')
+         AS first5_sorted,
+       CAST(array_position(split(trim(text), '\\\\s+'), 'the') AS BIGINT) AS the_pos,
+       size(array_intersect(array_distinct(split(trim(text), '\\\\s+')),
+                            array('data', 'spark', 'query'))) AS kw_hits,
+       aggregate(sequence(1, CAST(n_chars % 10 AS INT) + 1), 0L, (acc, x) -> acc + x)
+         AS tri_sum,
+       size(sequence(1, CAST(n_chars % 10 AS INT) + 1)) AS seq_len,
+       array_repeat(lang, 2) AS lang2,
+       flatten(array(array(lang), array(source))) AS lang_src
+FROM documents
+WHERE doc_id < 200
+"""
+_DUCK_ARRAYS = """
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_uniq,
+       string_split_regex(trim(text), '\\s+')[1] AS first_tok,
+       string_split_regex(trim(text), '\\s+')[-1] AS last_tok,
+       list_min(string_split_regex(trim(text), '\\s+')) AS min_tok,
+       list_max(string_split_regex(trim(text), '\\s+')) AS max_tok,
+       list_contains(string_split_regex(trim(text), '\\s+'), 'data') AS has_data,
+       array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))[1:5], '-')
+         AS first5_sorted,
+       CAST(COALESCE(list_position(string_split_regex(trim(text), '\\s+'), 'the'), 0) AS BIGINT)
+         AS the_pos,
+       len(list_intersect(list_distinct(string_split_regex(trim(text), '\\s+')),
+                          ['data', 'spark', 'query'])) AS kw_hits,
+       CAST(list_sum(generate_series(1, CAST(n_chars % 10 AS INT) + 1)) AS BIGINT) AS tri_sum,
+       len(generate_series(1, CAST(n_chars % 10 AS INT) + 1)) AS seq_len,
+       [lang, lang] AS lang2,
+       flatten([[lang], [source]]) AS lang_src
+FROM documents
+WHERE doc_id < 200
+"""
+_q("q34_array_functions", spark=sql_query(_SPARK_ARRAYS), oracle=_DUCK_ARRAYS)
+
+# --- regex functions ------------------------------------------------------
+_SPARK_REGEX = """
+SELECT doc_id,
+       regexp_count(text, 'a') AS n_a,
+       regexp_replace(text, '[aeiou]', '_') AS devoweled_pre,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word_re,
+       text RLIKE '.*data.*' AS mentions_data
+FROM documents
+WHERE doc_id < 100
+"""
+_DUCK_REGEX = """
+SELECT doc_id,
+       len(regexp_extract_all(text, 'a')) AS n_a,
+       regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_pre,
+       regexp_extract(text, '([a-z]+)', 1) AS first_word_re,
+       regexp_matches(text, '.*data.*') AS mentions_data
+FROM documents
+WHERE doc_id < 100
+"""
+_q("q35_regex_functions", spark=sql_query(_SPARK_REGEX), oracle=_DUCK_REGEX)
+
+# --- conditional / null handling -------------------------------------------
+_SPARK_CONDITIONAL = """
+SELECT s_suppkey,
+       COALESCE(NULLIF(s_name, ''), 'unnamed') AS name_or_default,
+       NULLIF(s_nationkey, 0) AS nk_nullable,
+       IFNULL(NULLIF(s_nationkey, 0), -1) AS nk_filled,
+       NVL2(NULLIF(s_nationkey, 0), 'has_nation', 'no_nation') AS nk_flag,
+       GREATEST(s_acctbal, 0.0) AS bal_floor,
+       CASE WHEN s_acctbal > 5000 THEN 'rich'
+            WHEN s_acctbal > 1000 THEN 'ok'
+            ELSE 'thin' END AS bal_band,
+       s_acctbal IS NOT NULL AS has_bal,
+       TRY_CAST(s_name AS DOUBLE) AS name_as_num
+FROM supplier
+"""
+_DUCK_CONDITIONAL = """
+SELECT s_suppkey,
+       COALESCE(NULLIF(s_name, ''), 'unnamed') AS name_or_default,
+       NULLIF(s_nationkey, 0) AS nk_nullable,
+       IFNULL(NULLIF(s_nationkey, 0), -1) AS nk_filled,
+       CASE WHEN NULLIF(s_nationkey, 0) IS NOT NULL
+            THEN 'has_nation' ELSE 'no_nation' END AS nk_flag,
+       GREATEST(s_acctbal, 0.0) AS bal_floor,
+       CASE WHEN s_acctbal > 5000 THEN 'rich'
+            WHEN s_acctbal > 1000 THEN 'ok'
+            ELSE 'thin' END AS bal_band,
+       s_acctbal IS NOT NULL AS has_bal,
+       TRY_CAST(s_name AS DOUBLE) AS name_as_num
+FROM supplier
+"""
+_q("q36_conditional_null", spark=sql_query(_SPARK_CONDITIONAL), oracle=_DUCK_CONDITIONAL)
+
+# --- aggregate variety -------------------------------------------------------
+_SQL_AGG_VARIETY = """
+SELECT event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users,
+       MIN(value) AS vmin,
+       MAX(value) AS vmax,
+       MEDIAN(value) AS vmed,
+       MIN_BY(value, event_id) AS first_value_by_id,
+       MAX_BY(value, event_id) AS last_value_by_id,
+       BOOL_AND(value >= 0) AS all_nonneg,
+       BOOL_OR(value > 400) AS any_big,
+       BIT_AND(user_id) AS uid_bit_and,
+       BIT_OR(user_id) AS uid_bit_or,
+       BIT_XOR(user_id) AS uid_bit_xor
+FROM events
+GROUP BY event_type
+"""
+_q("q37_agg_variety", spark=sql_query(_SQL_AGG_VARIETY), oracle=_SQL_AGG_VARIETY)
+
+# --- ordered string_agg / listagg ----------------------------------------------
+_SPARK_STRING_AGG = """
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+       listagg(DISTINCT event_type, ',') WITHIN GROUP (ORDER BY event_type) AS types_csv,
+       COUNT(*) AS n
+FROM events
+GROUP BY user_id % 10
+"""
+_DUCK_STRING_AGG = """
+SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+       COUNT(*) AS n
+FROM events
+GROUP BY user_id % 10
+"""
+_q("q38_string_agg", spark=sql_query(_SPARK_STRING_AGG), oracle=_DUCK_STRING_AGG)
+
+# --- array_agg ordered ------------------------------------------------------------
+_SPARK_ARRAY_AGG = """
+SELECT o_custkey,
+       sort_array(array_agg(o_orderkey)) AS order_keys,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey < 30
+GROUP BY o_custkey
+"""
+_DUCK_ARRAY_AGG = """
+SELECT o_custkey,
+       list_sort(array_agg(o_orderkey)) AS order_keys,
+       COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey < 30
+GROUP BY o_custkey
+"""
+_q("q39_array_agg", spark=sql_query(_SPARK_ARRAY_AGG), oracle=_DUCK_ARRAY_AGG)
+
+# --- statistical aggregates ---------------------------------------------------------
+# Exact decimal sums → identical IEEE arithmetic on both sides (see
+# common.py). Native stddev/corr etc. are order-dependent in their
+# internal double sums, so the oracle-checked columns are built from
+# exact sums; native forms are covered by q41 (rows-only).
+_SQL_STATS = f"""
+SELECT c_nationkey,
+       COUNT(*) AS n,
+       {dsum('c_acctbal')} AS sum_bal,
+       {davg('c_acctbal')} AS avg_bal,
+       ROUND(
+         SQRT(
+           (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+            - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+              * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+           / (COUNT(*) - 1)
+         ), 4) AS stddev_bal,
+       ROUND(
+         (CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2)) * CAST(c_custkey AS DECIMAL(12,0))) AS DOUBLE)
+          - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+            * CAST(SUM(CAST(c_custkey AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+         / (COUNT(*) - 1), 2) AS covar_bal_key
+FROM customer
+GROUP BY c_nationkey
+HAVING COUNT(*) > 1
+"""
+_q("q40_stats_exact", spark=sql_query(_SQL_STATS), oracle=_SQL_STATS)
+
+# --- native stats + approx sketches (rows-only: engine-specific internals) -----------
+_SQL_STATS_NATIVE = """
+SELECT l_returnflag,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_qty,
+       ROUND(VAR_POP(l_discount), 8) AS var_disc,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+       APPROX_COUNT_DISTINCT(l_partkey) AS approx_parts,
+       ROUND(PERCENTILE_APPROX(l_extendedprice, 0.5), 0) AS approx_med_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+_q("q41_stats_native", spark=sql_query(_SQL_STATS_NATIVE), oracle=None)
+
+# --- struct / map construction & access -----------------------------------------------
+_SPARK_STRUCT = """
+SELECT named_struct('key', s_suppkey, 'bal', s_acctbal).key AS skey,
+       named_struct('key', s_suppkey, 'bal', s_acctbal).bal AS sbal,
+       map('suppkey', CAST(s_suppkey AS STRING), 'name', s_name)['name'] AS mname,
+       map_keys(map('a', 1, 'b', 2)) AS mkeys
+FROM supplier
+WHERE s_suppkey < 8
+"""
+_DUCK_STRUCT = """
+SELECT struct_pack(key := s_suppkey, bal := s_acctbal).key AS skey,
+       struct_pack(key := s_suppkey, bal := s_acctbal).bal AS sbal,
+       (MAP {'suppkey': CAST(s_suppkey AS STRING), 'name': s_name}['name'])[1] AS mname,
+       map_keys(MAP {'a': 1, 'b': 2}) AS mkeys
+FROM supplier
+WHERE s_suppkey < 8
+"""
+_q("q42_struct_map", spark=sql_query(_SPARK_STRUCT), oracle=_DUCK_STRUCT)
+
+# --- generate_series / range as table factor --------------------------------------------
+_SPARK_SERIES = """
+SELECT t.n, t.n * t.n AS n_sq
+FROM (SELECT explode(sequence(1, 50)) AS n) t
+WHERE t.n % 3 = 0
+"""
+_DUCK_SERIES = """
+SELECT CAST(t.n AS INT) AS n, CAST(t.n * t.n AS INT) AS n_sq
+FROM (SELECT unnest(generate_series(1, 50)) AS n) t
+WHERE t.n % 3 = 0
+"""
+_q("q43_generate_series", spark=sql_query(_SPARK_SERIES), oracle=_DUCK_SERIES)
+
+# --- crypto / encode ----------------------------------------------------------------------
+_SPARK_CRYPTO = """
+SELECT doc_id,
+       md5(text) AS h_md5,
+       sha2(text, 256) AS h_sha256,
+       base64(encode(substr(text, 1, 12), 'UTF-8')) AS b64,
+       lower(hex(encode(substr(text, 1, 6), 'UTF-8'))) AS hex6
+FROM documents
+WHERE doc_id < 50
+"""
+_DUCK_CRYPTO = """
+SELECT doc_id,
+       md5(text) AS h_md5,
+       sha256(text) AS h_sha256,
+       to_base64(ENCODE(substr(text, 1, 12))) AS b64,
+       lower(hex(ENCODE(substr(text, 1, 6)))) AS hex6
+FROM documents
+WHERE doc_id < 50
+"""
+_q("q44_crypto_encode", spark=sql_query(_SPARK_CRYPTO), oracle=_DUCK_CRYPTO)

@@ -1,0 +1,523 @@
+"""Relational core corpus — SURVEY.md §2.B.2-§2.B.7 coverage.
+
+Projection/filter/predicates, every join semantic, two-phase
+aggregation, windows (ranking / frames / lag-lead / distribution),
+sort/limit/offset/top-k, set operations, rollup/cube/grouping sets,
+scalar + IN + correlated subqueries, VALUES, DISTINCT ON.
+
+The reference reaches all of this by delegating SQL to DataFusion 44
+(reference csvb_engine/src/lib.rs:88); here each query is either
+DataFrame-API (join-heavy ones, where we pin broadcast strategy for
+the small dimension side) or Spark SQL (Catalyst plans both
+identically). Scale notes per query in docstrings where non-obvious.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from csvb_spark.queries.common import Query, davg, dsum, sql_query, views
+
+QUERIES: dict[str, Query] = {}
+
+
+def _q(name: str, **kw) -> None:
+    QUERIES[name] = Query(**kw)
+
+
+# --- q01: pricing summary (TPC-H Q1 shape): groupBy + 8 aggregates ----
+# Scale: single scan, partial→final hash agg on 6 groups; no shuffle
+# pressure at any SF. Decimal sums keep the result order-independent.
+def _q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(dsum("l_quantity")).alias("sum_qty"),
+            F.expr(dsum("l_extendedprice")).alias("sum_base_price"),
+            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("sum_disc_price"),
+            F.expr(dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias(
+                "sum_charge"
+            ),
+            F.expr(davg("l_quantity")).alias("avg_qty"),
+            F.expr(davg("l_extendedprice")).alias("avg_price"),
+            F.expr(davg("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_q(
+    "q01_pricing_summary",
+    spark=_q01,
+    headline=True,
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity')} AS sum_qty,
+       {dsum('l_extendedprice')} AS sum_base_price,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       {davg('l_quantity')} AS avg_qty,
+       {davg('l_extendedprice')} AS avg_price,
+       {davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+
+# --- q02: projection + predicates + per-row arithmetic --------------
+_SQL_Q02 = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price,
+       CASE WHEN l_quantity >= 40 THEN 'bulk'
+            WHEN l_quantity >= 10 THEN 'mid'
+            ELSE 'small' END AS qty_band,
+       l_returnflag = 'R' AS returned
+FROM lineitem
+WHERE l_discount BETWEEN 0.02 AND 0.08
+  AND l_quantity < 30
+  AND l_returnflag IN ('A', 'R')
+  AND l_shipdate IS NOT NULL
+"""
+_q("q02_filter_project", spark=sql_query(_SQL_Q02), oracle=_SQL_Q02)
+
+
+# --- q03: shipping-priority top-k (TPC-H Q3 shape) -------------------
+# Scale: customer filter → broadcast to orders (dim ≪ fact); the
+# orders⨝lineitem equi-join shuffles on orderkey (co-partitioned);
+# top-k is TakeOrderedAndProject — no global sort.
+def _q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .filter(F.col("l_shipdate") > F.lit("1996-06-30").cast("timestamp"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"),
+            F.min(F.col("o_orderdate").cast("date")).alias("order_date"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_q(
+    "q03_shipping_priority",
+    spark=_q03,
+    headline=True,
+    oracle=f"""
+SELECT o_orderkey,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+       MIN(CAST(o_orderdate AS DATE)) AS order_date
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-06-30 00:00:00'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+""",
+)
+
+# --- q04: EXISTS → left-semi join (TPC-H Q4 shape) -------------------
+_SQL_Q04 = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+_q("q04_semi_exists", spark=sql_query(_SQL_Q04), oracle=_SQL_Q04)
+
+
+# --- q05: 6-way star join (TPC-H Q5 shape) ---------------------------
+# Scale: region/nation/supplier/customer are broadcast dims; only the
+# orders⨝lineitem edge shuffles. The c_nationkey = s_nationkey
+# equality closes the star.
+def _q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {
+        n: spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        for n in ("region", "nation", "customer", "supplier", "orders", "lineitem")
+    }
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue"))
+    )
+
+
+_q(
+    "q05_local_supplier_volume",
+    spark=_q05,
+    headline=True,
+    oracle=f"""
+SELECT n_name, {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+
+
+# --- q06: single-table filter + global agg (TPC-H Q6 shape) ----------
+def _q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.expr(dsum("l_extendedprice * l_discount")).alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )
+
+
+_q(
+    "q06_forecast_revenue",
+    spark=_q06,
+    headline=True,
+    oracle=f"""
+SELECT {dsum('l_extendedprice * l_discount')} AS revenue, COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+
+
+# --- q07: NOT EXISTS → left-anti join --------------------------------
+def _q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_without_orders"))
+    )
+
+
+_q(
+    "q07_anti_no_orders",
+    spark=_q07,
+    oracle="""
+SELECT c_mktsegment, COUNT(*) AS n_customers_without_orders
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+""",
+)
+
+# --- q08: left outer join + two-level aggregation (TPC-H Q13 shape) --
+_SQL_Q08 = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) AS per_cust
+GROUP BY c_count
+"""
+_q("q08_cust_order_distribution", spark=sql_query(_SQL_Q08), oracle=_SQL_Q08)
+
+# --- q09: FULL OUTER join ---------------------------------------------
+_SQL_Q09 = """
+WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+     sn AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+"""
+_q("q09_full_outer_counts", spark=sql_query(_SQL_Q09), oracle=_SQL_Q09)
+
+# --- q10: CROSS JOIN ---------------------------------------------------
+_SQL_Q10 = """
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+WHERE r_regionkey <> n_regionkey
+"""
+_q("q10_cross_join", spark=sql_query(_SQL_Q10), oracle=_SQL_Q10)
+
+
+# --- q11: ranking windows (row_number / rank / dense_rank) ------------
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_q(
+    "q11_window_topk_per_customer",
+    spark=_q11,
+    headline=True,
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn, rnk, drnk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER w AS rn,
+         RANK()       OVER w AS rnk,
+         DENSE_RANK() OVER w AS drnk
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+) t WHERE rn <= 3
+""",
+)
+
+# --- q12: aggregate windows with ROWS frames ---------------------------
+_SQL_Q12 = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS moving_avg3
+FROM orders
+WHERE o_custkey < 50
+"""
+_q("q12_window_frames", spark=sql_query(_SQL_Q12), oracle=_SQL_Q12)
+
+# --- q13: lag / lead ----------------------------------------------------
+_SQL_Q13 = """
+SELECT event_id, user_id,
+       ROUND(value - LAG(value, 1, 0.0) OVER w, 6) AS delta_prev,
+       LEAD(event_type, 1, 'none') OVER w AS next_type,
+       FIRST_VALUE(event_id) OVER w AS first_event,
+       NTH_VALUE(event_id, 2) OVER w AS second_event
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+_q("q13_window_lag_lead", spark=sql_query(_SQL_Q13), oracle=_SQL_Q13)
+
+# --- q14: distribution windows -----------------------------------------
+_SQL_Q14 = """
+SELECT s_suppkey,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal ASC, s_suppkey ASC)
+"""
+_q("q14_window_distribution", spark=sql_query(_SQL_Q14), oracle=_SQL_Q14)
+
+# --- q15: set operations -------------------------------------------------
+_SQL_Q15 = """
+SELECT 'union' AS op, nk FROM (
+  SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier) u
+UNION ALL
+SELECT 'intersect' AS op, nk FROM (
+  SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier) i
+UNION ALL
+SELECT 'except' AS op, nk FROM (
+  SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier) e
+"""
+_q("q15_set_operations", spark=sql_query(_SQL_Q15), oracle=_SQL_Q15)
+
+# --- q16: ROLLUP + GROUPING --------------------------------------------
+_SQL_Q16 = f"""
+SELECT r_name, n_name,
+       {dsum('c_acctbal')} AS total_acctbal,
+       CAST(GROUPING(r_name) AS INT) AS g_region,
+       CAST(GROUPING(n_name) AS INT) AS g_nation
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+GROUP BY ROLLUP(r_name, n_name)
+"""
+_q("q16_rollup", spark=sql_query(_SQL_Q16), oracle=_SQL_Q16)
+
+# --- q17: CUBE -----------------------------------------------------------
+_SQL_Q17 = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+_q("q17_cube", spark=sql_query(_SQL_Q17), oracle=_SQL_Q17)
+
+# --- q18: GROUPING SETS ---------------------------------------------------
+_SQL_Q18 = f"""
+SELECT l_returnflag, l_linestatus,
+       {dsum('l_quantity')} AS sum_qty, COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
+"""
+_q("q18_grouping_sets", spark=sql_query(_SQL_Q18), oracle=_SQL_Q18)
+
+# --- q19: HAVING -----------------------------------------------------------
+_SQL_Q19 = f"""
+SELECT p_brand, COUNT(*) AS n_parts, {davg('p_retailprice')} AS avg_price
+FROM part
+GROUP BY p_brand
+HAVING COUNT(*) > 5 AND MIN(p_size) <= 25
+"""
+_q("q19_having", spark=sql_query(_SQL_Q19), oracle=_SQL_Q19)
+
+# --- q20: conditional aggregation (TPC-H Q12 shape) -------------------------
+_SQL_Q20 = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_linestatus
+"""
+_q("q20_conditional_agg", spark=sql_query(_SQL_Q20), oracle=_SQL_Q20)
+
+# --- q21: uncorrelated scalar subquery --------------------------------------
+_SQL_Q21 = f"""
+SELECT p_brand, COUNT(*) AS n_above_avg
+FROM part
+WHERE p_retailprice > (SELECT {davg('p_retailprice')} FROM part)
+GROUP BY p_brand
+"""
+_q("q21_scalar_subquery", spark=sql_query(_SQL_Q21), oracle=_SQL_Q21)
+
+# --- q22: IN (subquery) -------------------------------------------------------
+_SQL_Q22 = """
+SELECT o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+GROUP BY o_orderstatus
+"""
+_q("q22_in_subquery", spark=sql_query(_SQL_Q22), oracle=_SQL_Q22)
+
+# --- q23: correlated scalar subquery (TPC-H Q17 shape) -------------------------
+_SQL_Q23 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size <= 3
+  AND l_quantity < (
+    SELECT 0.5 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                  / COUNT(*))
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+_q("q23_correlated_subquery", spark=sql_query(_SQL_Q23), oracle=_SQL_Q23)
+
+# --- q24: DISTINCT ON emulation (latest order per customer) --------------------
+_SQL_Q24 = """
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS last_order_date
+FROM (
+  SELECT c_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY c_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM customer JOIN orders ON c_custkey = o_custkey
+) t
+WHERE rn = 1
+"""
+_q("q24_distinct_on_latest", spark=sql_query(_SQL_Q24), oracle=_SQL_Q24)
+
+# --- q25: ORDER BY + LIMIT + OFFSET ---------------------------------------------
+_SQL_Q25 = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC
+LIMIT 20 OFFSET 10
+"""
+_q("q25_topk_offset", spark=sql_query(_SQL_Q25), oracle=_SQL_Q25)
+
+# --- q26: VALUES inline table + join ----------------------------------------------
+_SQL_Q26 = """
+SELECT t.seg, COUNT(c_custkey) AS n_customers
+FROM (VALUES ('BUILDING'), ('AUTOMOBILE'), ('MACHINERY'), ('NO_SUCH_SEGMENT'))
+     AS t(seg)
+LEFT JOIN customer ON c_mktsegment = t.seg
+GROUP BY t.seg
+"""
+_q("q26_values_inline", spark=sql_query(_SQL_Q26), oracle=_SQL_Q26)
+
+# --- q27: DISTINCT + count distinct multi ------------------------------------------
+_SQL_Q27 = """
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT l_returnflag) AS n_flags,
+       COUNT(*) AS n_rows
+FROM lineitem
+"""
+_q("q27_count_distinct", spark=sql_query(_SQL_Q27), oracle=_SQL_Q27)
+
+# --- q28: NATURAL-ish USING join + BETWEEN + theta condition ------------------------
+_SQL_Q28 = """
+SELECT n_name, COUNT(*) AS n_suppliers_above
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > 0 AND s_acctbal BETWEEN 100 AND 9000
+GROUP BY n_name
+"""
+_q("q28_using_join_between", spark=sql_query(_SQL_Q28), oracle=_SQL_Q28)
+
+# --- q29: theta (non-equi) join -------------------------------------------------------
+# Scale: deliberately a small-side BNL — part_bands is 4 rows,
+# broadcast nested-loop. Never do this with two fact tables.
+_SQL_Q29 = """
+SELECT b.band, COUNT(*) AS n_parts
+FROM (VALUES ('tiny', 0, 12), ('small', 12, 25), ('mid', 25, 40), ('big', 40, 51))
+     AS b(band, lo, hi)
+JOIN part ON p_size >= b.lo AND p_size < b.hi
+GROUP BY b.band
+"""
+_q("q29_theta_join_bands", spark=sql_query(_SQL_Q29), oracle=_SQL_Q29)

@@ -1,0 +1,84 @@
+"""Local replica of the driver's Spark-vs-DuckDB comparison:
+row count + column names + order-insensitive value compare.
+
+Used by test_oracle.py so every corpus query is pre-flighted at
+sf0.001 before the driver runs it at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import duckdb
+
+from csvb_spark.sources.catalog import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v: Any) -> Any:
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # exact: queries are designed for bit-identical floats
+        return v
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def rowset(columns: list[str], rows: list[tuple]) -> tuple:
+    """Order-insensitive canonical form: columns sorted by name, rows
+    sorted by their canonical repr."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    cols = [columns[i] for i in order]
+    canon_rows = sorted(
+        (tuple(_canon(r[i]) for i in order) for r in rows), key=repr
+    )
+    return tuple(cols), tuple(canon_rows)
+
+
+def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> list[str]:
+    """Returns a list of mismatch descriptions (empty = pass)."""
+    problems: list[str] = []
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = [c.lower() for c in spark_df.columns]
+    d = con.execute(oracle)
+    d_cols = [c[0].lower() for c in d.description]
+    d_rows = [tuple(r) for r in d.fetchall()]
+
+    if len(s_rows) != len(d_rows):
+        problems.append(f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"columns: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        return problems
+
+    sc, sr = rowset(s_cols, s_rows)
+    dc, dr = rowset(d_cols, d_rows)
+    if sr != dr:
+        diffs = 0
+        for i, (a, b) in enumerate(zip(sr, dr)):
+            if a != b and diffs < 5:
+                problems.append(f"row {i}: spark={a} duckdb={b}")
+                diffs += 1
+        extra = abs(len(sr) - len(dr))
+        if diffs == 0 and extra == 0:
+            problems.append("rows differ (ordering of canonical sort?)")
+        if extra:
+            problems.append(f"{extra} extra rows on one side")
+    return problems

@@ -1,0 +1,39 @@
+"""Differential oracle tests: every oracle-checkable corpus query runs
+on Spark AND DuckDB at sf0.001 and must match (rows, columns, values).
+This pre-flights the driver's t2 gate (which runs the same comparison
+at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from csvb_spark.queries import corpus
+from tests.oracle_compare import compare, duck_connection
+
+CORPUS = corpus()
+ORACLE_NAMES = sorted(n for n, q in CORPUS.items() if q.oracle is not None)
+ROWS_ONLY_NAMES = sorted(n for n, q in CORPUS.items() if q.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_oracle_match(spark, sf_dir, duck, name):
+    q = CORPUS[name]
+    df = q.spark(spark, sf_dir)
+    problems = compare(df, duck, q.oracle)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
+def test_rows_only_runs(spark, sf_dir, name):
+    q = CORPUS[name]
+    df = q.spark(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert df.columns  # stable, non-empty schema
