@@ -1,0 +1,140 @@
+"""csvb CLI — subcommand/flag/default parity with the reference
+(reference csvb/src/bin/csvb.rs:6-19,25-121,168-215):
+
+  csvb haiku [--all]
+  csvb exec     --csv PATH... [--table-name tbl] [--memory-pool-bytes N] QUERY
+  csvb serve    --csv PATH... [--table-name tbl] [ADDRESS=127.0.0.1:5432]
+  csvb federate --table-name NAME --shard-addresses pg://... [ADDRESS]
+
+plus ``--log-levels MODULE:LEVEL,...`` (reference csvb.rs:123-166).
+
+``exec`` output is the collect-and-pretty-print sink (reference
+csvb/src/lib.rs:101-113). ``serve`` starts the Postgres wire-protocol
+front-end over ``spark.sql`` (csvb_spark.server.pgwire).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+DEFAULT_MEMORY_POOL_BYTES = 10 * 1024**3  # reference csvb.rs:16-18
+DEFAULT_TABLE_NAME = "tbl"  # reference csvb.rs:44-46
+DEFAULT_SERVE_ADDRESS = "127.0.0.1:5432"  # reference csvb.rs:77-79
+
+
+def _parse_log_levels(spec: str | None) -> list[tuple[str, str]]:
+    """``mod:level[,mod:level...]`` — reference as_level_pairs
+    (csvb.rs:123-166). Default: csvb at DEBUG."""
+    if not spec:
+        return [("csvb", "DEBUG")]
+    pairs: list[tuple[str, str]] = []
+    for part in spec.split(","):
+        mod, _, level = part.partition(":")
+        if not mod or not level:
+            raise ValueError(f"bad --log-levels entry {part!r} (want MODULE:LEVEL)")
+        pairs.append((mod, level.upper()))
+    return pairs
+
+
+def initialize_logging(spec: str | None) -> None:
+    logging.basicConfig(
+        stream=sys.stderr, format="%(asctime)s %(levelname)s %(name)s %(message)s"
+    )
+    for mod, level in _parse_log_levels(spec):
+        logging.getLogger(mod).setLevel(level)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="csvb", description="csvb_spark CLI")
+    p.add_argument("--log-levels", default=None, help="MODULE:LEVEL[,MODULE:LEVEL]")
+    p.add_argument(
+        "--memory-pool-bytes",
+        type=int,
+        default=DEFAULT_MEMORY_POOL_BYTES,
+        help="session memory budget (default 10 GiB)",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ph = sub.add_parser("haiku", help="print a csv haiku")
+    ph.add_argument("--all", action="store_true", dest="print_all")
+
+    pe = sub.add_parser("exec", help="run one SQL query over CSV table(s)")
+    pe.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pe.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pe.add_argument("query")
+
+    ps = sub.add_parser("serve", help="serve the Postgres wire protocol")
+    ps.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    ps.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    ps.add_argument("address", nargs="?", default=DEFAULT_SERVE_ADDRESS)
+
+    pf = sub.add_parser("federate", help="serve a federated virtual table")
+    pf.add_argument("--table-name", required=True)
+    pf.add_argument(
+        "--shard-addresses",
+        action="append",
+        default=[],
+        metavar="postgres://...",
+        required=True,
+    )
+    pf.add_argument("address", nargs="?", default=DEFAULT_SERVE_ADDRESS)
+    return p
+
+
+def _session(args):
+    from csvb_spark.session import get_session
+
+    return get_session(
+        app_name="csvb", memory_pool_bytes=args.memory_pool_bytes
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    initialize_logging(args.log_levels)
+
+    if args.command == "haiku":
+        from csvb_spark.functions.haiku import print_haiku
+
+        print_haiku(print_all=args.print_all)
+        return 0
+
+    if args.command == "exec":
+        from csvb_spark.functions.translate import translate_sql
+        from csvb_spark.plans.pretty import render_df
+        from csvb_spark.sources.csv_source import add_direct_table
+
+        spark = _session(args)
+        if args.csv:
+            add_direct_table(spark, args.table_name, args.csv)
+        print(render_df(spark.sql(translate_sql(args.query))))
+        return 0
+
+    if args.command == "serve":
+        from csvb_spark.server.pgwire import serve_forever
+        from csvb_spark.sources.csv_source import add_direct_table
+
+        spark = _session(args)
+        if args.csv:
+            add_direct_table(spark, args.table_name, args.csv)
+        serve_forever(spark, args.address)
+        return 0
+
+    if args.command == "federate":
+        from csvb_spark.server.pgwire import serve_forever
+        from csvb_spark.sources.federation import VirtualTable, add_federated_tables
+
+        spark = _session(args)
+        add_federated_tables(
+            spark, [VirtualTable(args.table_name, args.shard_addresses)]
+        )
+        serve_forever(spark, args.address)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

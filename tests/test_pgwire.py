@@ -1,0 +1,143 @@
+"""Socket-level test of the Postgres wire-protocol server: a minimal
+pgwire client (startup, simple query, extended protocol, terminate)
+talking to PgWireServer over TCP."""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+
+def _startup(sock: socket.socket) -> None:
+    params = b"user\x00test\x00database\x00tbl\x00\x00"
+    body = struct.pack("!I", 196608) + params
+    sock.sendall(struct.pack("!I", len(body) + 4) + body)
+
+
+def _read_msg(sock: socket.socket, buf: bytearray) -> tuple[bytes, bytes]:
+    while len(buf) < 5:
+        buf += sock.recv(65536)
+    tag = bytes(buf[:1])
+    (length,) = struct.unpack("!I", buf[1:5])
+    while len(buf) < 1 + length:
+        buf += sock.recv(65536)
+    payload = bytes(buf[5 : 1 + length])
+    del buf[: 1 + length]
+    return tag, payload
+
+
+def _read_until_ready(sock, buf) -> list[tuple[bytes, bytes]]:
+    msgs = []
+    while True:
+        tag, payload = _read_msg(sock, buf)
+        msgs.append((tag, payload))
+        if tag == b"Z":
+            return msgs
+
+
+def _simple_query(sock, buf, sql: str) -> list[tuple[bytes, bytes]]:
+    body = sql.encode() + b"\x00"
+    sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+    return _read_until_ready(sock, buf)
+
+
+def _data_rows(msgs) -> list[list[bytes | None]]:
+    rows = []
+    for tag, payload in msgs:
+        if tag != b"D":
+            continue
+        (ncols,) = struct.unpack("!h", payload[:2])
+        off, vals = 2, []
+        for _ in range(ncols):
+            (ln,) = struct.unpack("!i", payload[off : off + 4])
+            off += 4
+            if ln == -1:
+                vals.append(None)
+            else:
+                vals.append(payload[off : off + ln])
+                off += ln
+        rows.append(vals)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def pg_server(spark, sf_dir):
+    from csvb_spark.server.pgwire import PgWireServer
+    from csvb_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    server = PgWireServer(spark, "127.0.0.1:0")  # ephemeral port
+    server.start_background()
+    yield server
+    server.shutdown()
+
+
+@pytest.fixture()
+def conn(pg_server):
+    sock = socket.create_connection(("127.0.0.1", pg_server.port), timeout=60)
+    buf = bytearray()
+    _startup(sock)
+    msgs = _read_until_ready(sock, buf)
+    tags = [t for t, _ in msgs]
+    assert tags[0] == b"R" and tags[-1] == b"Z"  # AuthenticationOk ... ReadyForQuery
+    yield sock, buf
+    sock.close()
+
+
+def test_simple_select(conn):
+    sock, buf = conn
+    msgs = _simple_query(sock, buf, "SELECT 1 AS one, 'hi' AS greeting")
+    tags = [t for t, _ in msgs]
+    assert b"T" in tags and b"D" in tags and b"C" in tags
+    assert _data_rows(msgs) == [[b"1", b"hi"]]
+
+
+def test_query_over_view(conn):
+    sock, buf = conn
+    msgs = _simple_query(
+        sock, buf, "SELECT count(*) AS n FROM region"
+    )
+    assert _data_rows(msgs) == [[b"5"]]
+
+
+def test_error_then_recover(conn):
+    sock, buf = conn
+    msgs = _simple_query(sock, buf, "SELECT FROM nonsense syntax !!")
+    tags = [t for t, _ in msgs]
+    assert b"E" in tags and tags[-1] == b"Z"  # error, but connection alive
+    msgs = _simple_query(sock, buf, "SELECT 2 AS two")
+    assert _data_rows(msgs) == [[b"2"]]
+
+
+def test_dialect_translation_over_wire(conn):
+    sock, buf = conn
+    msgs = _simple_query(sock, buf, "SELECT 7::STRING AS s")
+    assert _data_rows(msgs) == [[b"7"]]
+
+
+def test_null_encoding(conn):
+    sock, buf = conn
+    msgs = _simple_query(sock, buf, "SELECT CAST(NULL AS INT) AS x, 3 AS y")
+    assert _data_rows(msgs) == [[None, b"3"]]
+
+
+def test_extended_protocol(conn):
+    sock, buf = conn
+    sql = b"SELECT 42 AS answer"
+    # Parse (unnamed stmt), Bind, Execute, Sync
+    parse = b"\x00" + sql + b"\x00" + struct.pack("!h", 0)
+    sock.sendall(b"P" + struct.pack("!I", len(parse) + 4) + parse)
+    bind = b"\x00\x00" + struct.pack("!hhh", 0, 0, 0)
+    sock.sendall(b"B" + struct.pack("!I", len(bind) + 4) + bind)
+    execute = b"\x00" + struct.pack("!I", 0)
+    sock.sendall(b"E" + struct.pack("!I", len(execute) + 4) + execute)
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs = _read_until_ready(sock, buf)
+    # collect until the Execute's ready (Parse/Bind completes arrive first)
+    all_tags = [t for t, _ in msgs]
+    while b"D" not in all_tags:
+        msgs = _read_until_ready(sock, buf)
+        all_tags += [t for t, _ in msgs]
+    assert _data_rows(msgs) == [[b"42"]]
