@@ -95,14 +95,18 @@ def minhash_lsh_pairs(
     (doc_id_a, doc_id_b, est_jaccard, jaccard).
     """
     rows_per_band = num_perm // bands
-    sh = docs.select(
+    # Shuffle economics: only (doc_id, sig, band_id, band_key) moves
+    # through the candidate join — 16 bigints + keys per row, never
+    # the shingle arrays. Shingles are re-derived from text for the
+    # (small) candidate set during verification.
+    sigs = docs.select(
         "doc_id",
-        word_shingles(text_col, shingle_words).alias("shingles"),
-    ).withColumn("sig", minhash_signature(F.col("shingles"), num_perm))
-
-    banded = sh.select(
+        minhash_signature(word_shingles(text_col, shingle_words), num_perm).alias(
+            "sig"
+        ),
+    )
+    banded = sigs.select(
         "doc_id",
-        "shingles",
         "sig",
         F.explode(
             F.transform(
@@ -121,10 +125,19 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("doc_id", "shingles", "sig", "band.band_id", "band.band_key")
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
 
     a = banded.alias("a")
     b = banded.alias("b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_perm))
+    )
     pairs = (
         a.join(
             b,
@@ -135,34 +148,33 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.round(est, 6).alias("est_jaccard"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(num_perm))
-    )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        pairs.select(
+    # exact-Jaccard verification over candidates only
+    sh = docs.select("doc_id", word_shingles(text_col, shingle_words).alias("sh"))
+    verified = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")),
             "doc_id_a",
-            "doc_id_b",
-            F.round(est, 6).alias("est_jaccard"),
-            F.round(jac, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
+        .join(
+            sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")),
+            "doc_id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= min_jaccard).select(
+        "doc_id_a", "doc_id_b", "est_jaccard", "jaccard"
     )
 
 
