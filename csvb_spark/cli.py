@@ -102,14 +102,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "exec":
-        from csvb_spark.functions.translate import translate_sql
         from csvb_spark.plans.pretty import render_df
         from csvb_spark.sources.csv_source import add_direct_table
+        from csvb_spark.sql import execute_sql
 
         spark = _session(args)
         if args.csv:
             add_direct_table(spark, args.table_name, args.csv)
-        print(render_df(spark.sql(translate_sql(args.query))))
+        print(render_df(execute_sql(spark, args.query)))
         return 0
 
     if args.command == "serve":

@@ -30,6 +30,24 @@ from pyspark.sql import functions as F
 from csvb_spark.operators.text import char_shingles, tokens
 
 
+def spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
+    """Ensure a CPU-heavy narrow projection runs with ≥ core-count
+    parallelism.
+
+    Higher-order array lambdas (``transform``/``aggregate``/...) are
+    interpreted, not whole-stage-codegen'd, so per-row cost is high and
+    the scan's partitioning decides the wall clock. A small single-file
+    scan arrives as ONE partition and serializes the whole signature
+    computation onto one core; at real scale the scan already has more
+    partitions than cores and this is a no-op (the partition check is
+    planning-only, no job runs).
+    """
+    n = n or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def content_digest(col: str | Column = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.encode(c, "UTF-8"))
@@ -99,11 +117,20 @@ def minhash_lsh_pairs(
     # through the candidate join — 16 bigints + keys per row, never
     # the shingle arrays. Shingles are re-derived from text for the
     # (small) candidate set during verification.
-    sigs = docs.select(
+    base = spread(docs.select("doc_id", text_col))
+    sigs = base.select(
         "doc_id",
         minhash_signature(word_shingles(text_col, shingle_words), num_perm).alias(
             "sig"
         ),
+    )
+    # Exchange barrier: materialize the signature exactly once.
+    # Without it CollapseProject inlines the minhash expression into
+    # every band lambda and both join sides (~5× recompute). The
+    # shuffled row is (doc_id, 16×int64) — fixed width, independent of
+    # document length, so this stays cheap at any scale.
+    sigs = sigs.repartition(
+        sigs.sparkSession.sparkContext.defaultParallelism, "doc_id"
     )
     banded = sigs.select(
         "doc_id",
@@ -139,8 +166,12 @@ def minhash_lsh_pairs(
         / F.lit(float(num_perm))
     )
     pairs = (
+        # merge hint: a broadcast plan would rebuild the banding twice
+        # (once for the broadcast, once streamed) with no exchange
+        # reuse; the shuffle join also keeps AQE skew-splitting
+        # available for hot band buckets (boilerplate documents).
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -153,22 +184,38 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
 
-    # exact-Jaccard verification over candidates only
-    sh = docs.select("doc_id", word_shingles(text_col, shingle_words).alias("sh"))
+    # exact-Jaccard verification: join the (small) candidate set back
+    # to the raw text and shingle only the surviving rows — AQE
+    # broadcasts the candidate side, so no shingle set is ever computed
+    # for a document that isn't in some candidate pair.
     verified = (
         pairs.join(
-            sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a")),
+            base.select(
+                F.col("doc_id").alias("doc_id_a"), F.col(text_col).alias("text_a")
+            ),
             "doc_id_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b")),
+            base.select(
+                F.col("doc_id").alias("doc_id_b"), F.col(text_col).alias("text_b")
+            ),
             "doc_id_b",
         )
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.size(
+                    F.array_intersect(
+                        word_shingles("text_a", shingle_words),
+                        word_shingles("text_b", shingle_words),
+                    )
+                )
+                / F.size(
+                    F.array_union(
+                        word_shingles("text_a", shingle_words),
+                        word_shingles("text_b", shingle_words),
+                    )
+                ),
                 6,
             ),
         )
@@ -178,13 +225,11 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(col: str = "text") -> Column:
-    """64-bit SimHash over whitespace tokens, computed in one
-    projection: each token hashed once, then a per-bit signed vote.
-
-    Written as a SQL expression because the bit-shift amount is a
-    lambda variable (the Python ``shiftleft`` wrapper only accepts a
-    literal int).
+def simhash64_from_hashes(hashes_col: str = "th") -> Column:
+    """64-bit SimHash from a pre-hashed token array: per-bit signed
+    vote over the hashes. Written as a SQL expression because the
+    bit-shift amount is a lambda variable (the Python ``shiftleft``
+    wrapper only accepts a literal int).
     """
     return F.expr(
         f"""
@@ -193,7 +238,7 @@ def simhash64(col: str = "text") -> Column:
           0L,
           (acc, b) -> acc + IF(
             aggregate(
-              transform(split(trim({col}), '\\\\s+'), t -> xxhash64(t)),
+              {hashes_col},
               0,
               (vote, h) -> vote + IF((h & shiftleft(1L, b)) != 0, 1, -1)
             ) > 0,
@@ -212,8 +257,24 @@ def simhash_pairs(
     the 4 chunks is identical (pigeonhole), so candidate generation is
     an equi-join on (chunk_id, chunk_value) — shuffle-friendly, no
     cross join.
+
+    Token hashes are materialized behind an exchange barrier so each
+    token is hashed exactly once; the 64-bit vote then folds over the
+    hash array. Without the barrier the projection collapse would
+    re-tokenize and re-hash the document once per bit (64×).
     """
-    sigs = docs.select("doc_id", simhash64(text_col).alias("sig"))
+    hashed = spread(docs.select("doc_id", text_col)).select(
+        "doc_id", F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th")
+    )
+    hashed = hashed.repartition(
+        hashed.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
+    sigs = hashed.select("doc_id", simhash64_from_hashes("th").alias("sig"))
+    # barrier again: (doc_id, int64) rows; stops the vote-aggregate
+    # from being inlined into each of the 4 chunk lambdas below
+    sigs = sigs.repartition(
+        sigs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    )
     chunks = sigs.select(
         "doc_id",
         "sig",
@@ -229,7 +290,7 @@ def simhash_pairs(
     a, b = chunks.alias("a"), chunks.alias("b")
     cands = (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a.chunk_id") == F.col("b.chunk_id"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -261,7 +322,7 @@ def ngram_jaccard_pairs(
     buckets. The blocking join keys bound the pair explosion; at
     scale, block on cheap invariants (lang, length band, source).
     """
-    sh = docs.select(
+    sh = spread(docs.select(*block_cols, "doc_id", text_col)).select(
         *block_cols, "doc_id", char_shingles(text_col, k).alias("sh")
     )
     a, b = sh.alias("a"), sh.alias("b")
@@ -272,7 +333,7 @@ def ngram_jaccard_pairs(
         F.array_union(F.col("a.sh"), F.col("b.sh"))
     )
     return (
-        a.join(b, cond)
+        a.join(b.hint("merge"), cond)
         .select(
             *[F.col(f"a.{c}").alias(c) for c in block_cols],
             F.col("a.doc_id").alias("doc_id_a"),

@@ -397,3 +397,26 @@ FROM documents
 WHERE doc_id < 50
 """
 _q("q44_crypto_encode", spark=sql_query(_SPARK_CRYPTO), oracle=_DUCK_CRYPTO)
+
+# --- q46: UNNEST / lateral explode → vocabulary top-k ------------------------------
+# DataFusion exposes UNNEST(array) (SURVEY §2.B.2 ⚠ → explode). The
+# classic map-reduce shape: tokenize (map), explode (generator),
+# count by token (partial agg → shuffle on token), top-k
+# (TakeOrderedAndProject — no global sort).
+_SPARK_VOCAB = r"""
+SELECT tok, COUNT(*) AS n
+FROM (SELECT explode(split(trim(text), '\\s+')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 50
+"""
+_DUCK_VOCAB = r"""
+SELECT tok, COUNT(*) AS n
+FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents)
+WHERE tok <> ''
+GROUP BY tok
+ORDER BY n DESC, tok ASC
+LIMIT 50
+"""
+_q("q46_unnest_vocab_topk", spark=sql_query(_SPARK_VOCAB), oracle=_DUCK_VOCAB)

@@ -521,3 +521,22 @@ JOIN part ON p_size >= b.lo AND p_size < b.hi
 GROUP BY b.band
 """
 _q("q29_theta_join_bands", spark=sql_query(_SQL_Q29), oracle=_SQL_Q29)
+
+# --- q45: bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) -----------
+# DataFusion 44 supports the ALL variants (SURVEY §2.B.7); Spark SQL
+# has them natively too. Multiplicity matters: customer nation keys
+# appear many times each, so ALL keeps the bag counts.
+_SQL_Q45 = """
+SELECT 'intersect_all' AS op, nk, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 0
+  INTERSECT ALL
+  SELECT s_nationkey AS nk FROM supplier) t
+GROUP BY nk
+UNION ALL
+SELECT 'except_all' AS op, nk, COUNT(*) AS n FROM (
+  SELECT o_custkey % 25 AS nk FROM orders WHERE o_totalprice > 1000.0
+  EXCEPT ALL
+  SELECT c_nationkey AS nk FROM customer) t
+GROUP BY nk
+"""
+_q("q45_set_ops_all", spark=sql_query(_SQL_Q45), oracle=_SQL_Q45)

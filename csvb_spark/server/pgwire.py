@@ -158,7 +158,7 @@ class _Conn:
         return _msg(b"T", struct.pack("!h", len(df.dtypes)) + fields)
 
     def _run_sql(self, sql: str, max_rows: int | None = None) -> None:
-        from csvb_spark.functions.translate import translate_sql
+        from csvb_spark.sql import execute_sql
 
         sql = sql.strip().rstrip(";").strip()
         if not sql:
@@ -166,7 +166,7 @@ class _Conn:
             self._send(self._ready())
             return
         try:
-            df = self.spark.sql(translate_sql(sql))
+            df = execute_sql(self.spark, sql)
             cols = df.columns
             out = self._row_description(df)
             n = 0

@@ -1,0 +1,78 @@
+"""Engine SQL entry point: dialect translation + catalog introspection.
+
+The reference enables DataFusion's ``information_schema`` so
+``SELECT * FROM information_schema.tables / .columns`` works over the
+session catalog (reference csvb_engine/src/lib.rs:22). Spark exposes
+``SHOW TABLES`` / ``DESCRIBE`` natively but has no information_schema
+views, so we emulate the two the reference surface reaches:
+
+- ``information_schema.tables``  (table_catalog, table_schema,
+  table_name, table_type)
+- ``information_schema.columns`` (table_catalog, table_schema,
+  table_name, column_name, ordinal_position, data_type, is_nullable)
+
+Dotted names can't be temp-view names, so the translator rewrites
+``information_schema.tables`` → ``information_schema_tables`` and this
+module refreshes those views from the live catalog just before a query
+that mentions them runs — introspection data is tiny (one row per
+table/column), so rebuilding per query is free and never stale.
+
+Every front-end (CLI exec, pgwire server) funnels through
+``execute_sql``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_INFO_SCHEMA_RE = re.compile(r"\binformation_schema\s*\.\s*(tables|columns)\b", re.I)
+
+
+def refresh_information_schema(spark: SparkSession) -> None:
+    """(Re)build information_schema_{tables,columns} temp views from
+    the live session catalog."""
+    tables = []
+    columns = []
+    for t in spark.catalog.listTables():
+        schema = t.namespace[0] if t.namespace else "default"
+        kind = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "BASE TABLE"
+        # NOTE: the reference's federated table provider panics
+        # (todo!()) when asked for its table type
+        # (reference csvb_engine/src/union_table_provider.rs:79-82);
+        # here every registered table answers.
+        tables.append((t.catalog or "spark_catalog", schema, t.name, kind))
+        for i, c in enumerate(spark.catalog.listColumns(t.name), start=1):
+            columns.append(
+                (
+                    t.catalog or "spark_catalog",
+                    schema,
+                    t.name,
+                    c.name,
+                    i,
+                    c.dataType,
+                    "YES" if c.nullable else "NO",
+                )
+            )
+    spark.createDataFrame(
+        tables or [("spark_catalog", "default", "", "VIEW")],
+        "table_catalog string, table_schema string, table_name string, table_type string",
+    ).filter("table_name <> ''").createOrReplaceTempView("information_schema_tables")
+    spark.createDataFrame(
+        columns or [("spark_catalog", "default", "", "", 0, "", "YES")],
+        "table_catalog string, table_schema string, table_name string, "
+        "column_name string, ordinal_position int, data_type string, "
+        "is_nullable string",
+    ).filter("table_name <> ''").createOrReplaceTempView("information_schema_columns")
+
+
+def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Translate reference-dialect SQL and run it, emulating
+    information_schema on demand."""
+    from csvb_spark.functions.translate import translate_sql
+
+    if _INFO_SCHEMA_RE.search(sql):
+        refresh_information_schema(spark)
+        sql = _INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
+    return spark.sql(translate_sql(sql))

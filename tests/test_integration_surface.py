@@ -263,3 +263,33 @@ def test_streaming_windowed_agg(spark, sf_dir):
         "  GROUP BY 1, 2)"
     ).collect()[0].n
     assert len(rows) == batch
+
+
+# --- information_schema emulation (reference csvb_engine/src/lib.rs:22) ------------
+def test_information_schema(spark, sf_dir):
+    from csvb_spark.sources.catalog import register_views
+    from csvb_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    tabs = {
+        r.table_name
+        for r in execute_sql(
+            spark, "SELECT table_name FROM information_schema.tables"
+        ).collect()
+    }
+    assert {"region", "nation", "lineitem", "documents"} <= tabs
+    cols = execute_sql(
+        spark,
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = 'region' ORDER BY ordinal_position",
+    ).collect()
+    assert [c.column_name for c in cols] == ["r_regionkey", "r_name"]
+    # registering a new table is visible on the next query (no staleness)
+    spark.range(3).createOrReplaceTempView("t_info_new")
+    tabs2 = {
+        r.table_name
+        for r in execute_sql(
+            spark, "SELECT table_name FROM information_schema.tables"
+        ).collect()
+    }
+    assert "t_info_new" in tabs2
