@@ -140,6 +140,81 @@ def hyperplane_lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize every
+    vector to its nearest centroid, then scan only the probe's
+    ``nprobe`` closest centroid lists.
+
+    The coarse quantizer is deterministic — centroid c is the vector
+    with ``vec_id == c`` (c < n_centroids) — so the whole operator is
+    SQL-expressible and oracle-checkable, unlike trained k-means.
+    Collecting the centroid table to the driver is the standard IVF
+    shape: the quantizer is a bounded K×dim constant replicated to
+    every executor (like hyperplanes in ``hyperplane_lsh_topk``), NOT
+    a data-path collect. At 100 TB you'd persist the assignment,
+    partitioned by ``cid``, so a probe prunes to nprobe/K of the
+    corpus at the file level before any distance math.
+
+    Ranking (both for assignment and probing) orders by cosine DESC
+    with centroid-id ASC tie-break.
+    """
+    cents = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    cent_lits = [
+        (int(r.cid), F.array(*[F.lit(float(x)) for x in r.cvec])) for r in cents
+    ]
+
+    def ranked_cids(vec: Column) -> Column:
+        """array<struct<neg_sim,cid>> sorted asc = best centroid first."""
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        (-cosine(vec, cl)).alias("neg_sim"),
+                        F.lit(cid).alias("cid"),
+                    )
+                    for cid, cl in cent_lits
+                ]
+            )
+        )
+
+    assigned = embeddings.select(
+        id_col,
+        vec_col,
+        F.element_at(ranked_cids(F.col(vec_col)), 1)["cid"].alias("cid"),
+    )
+    p = F.broadcast(
+        probe.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            F.transform(
+                F.slice(ranked_cids(F.col(vec_col)), 1, nprobe), lambda s: s["cid"]
+            ).alias("probe_cids"),
+        )
+    )
+    return (
+        assigned.join(p, F.array_contains(F.col("probe_cids"), F.col("cid")))
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("probe_vec")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def neardup_pairs_by_label(
     embeddings: DataFrame,
     min_cos: float = 0.8,

@@ -228,3 +228,49 @@ _q(
     "x13_multimodal_features",
     spark=lambda spark, sf: multimodal.multimodal_pipeline(_docs(spark, sf)),
 )
+
+# --- IVF similarity search (deterministic coarse quantizer → oracle) ---------
+_q(
+    "x14_sim_ivf_topk",
+    spark=lambda spark, sf: similarity.ivf_topk(
+        _embs(spark, sf),
+        _embs(spark, sf).filter(F.col("vec_id") == 0),
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+    ),
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cvec FROM vecs WHERE vec_id < 16
+), sims AS (
+  SELECT vecs.vec_id, cents.cid,
+         list_dot_product(vecs.v, cents.cvec)
+         / (sqrt(list_dot_product(vecs.v, vecs.v))
+            * sqrt(list_dot_product(cents.cvec, cents.cvec))) AS sim
+  FROM vecs CROSS JOIN cents
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims) t
+  WHERE rn = 1
+), probe_cids AS (
+  SELECT cid FROM sims WHERE vec_id = 0 ORDER BY sim DESC, cid ASC LIMIT 4
+), probe AS (
+  SELECT v AS pv FROM vecs WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.v, p.pv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos_sim
+FROM vecs e
+JOIN assign a ON a.vec_id = e.vec_id
+JOIN probe_cids pc ON pc.cid = a.cid
+CROSS JOIN probe p
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id ASC
+LIMIT 10
+""",
+)
