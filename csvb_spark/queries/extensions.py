@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csvb_spark.operators import dedup, multimodal, similarity, text
+from csvb_spark.operators import dedup, multimodal, sessions, similarity, text
 from csvb_spark.queries.common import Query
 
 QUERIES: dict[str, Query] = {}
@@ -273,4 +273,17 @@ WHERE e.vec_id <> 0
 ORDER BY cos_sim DESC, e.vec_id ASC
 LIMIT 10
 """,
+)
+
+# --- sessionization (batch; the streaming twin is csvb_spark.streaming.sessions) --
+def _events(spark: SparkSession, sf: str) -> DataFrame:
+    from csvb_spark.sources.catalog import load_tables
+
+    return load_tables(spark, sf, ("events",))["events"]
+
+
+_q(
+    "x15_sessionization",
+    spark=lambda spark, sf: sessions.sessionize(_events(spark, sf), "30 minutes"),
+    oracle=sessions.sessionize_oracle_sql(30),
 )

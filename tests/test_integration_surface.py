@@ -293,3 +293,20 @@ def test_information_schema(spark, sf_dir):
         ).collect()
     }
     assert "t_info_new" in tabs2
+
+
+# --- stateful streaming sessionization == batch sessionize -------------------------
+def test_stateful_sessionization_matches_batch(spark, sf_dir):
+    from csvb_spark.operators.sessions import sessionize
+    from csvb_spark.sources.catalog import load_tables
+    from csvb_spark.streaming.sessions import run_stateful_sessionization
+
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    batch = {tuple(r) for r in sessionize(events, "30 minutes").collect()}
+    stream = {
+        tuple(r)
+        for r in run_stateful_sessionization(
+            spark, sf_dir, query_name="t_sess_state"
+        ).collect()
+    }
+    assert stream == batch
