@@ -127,19 +127,123 @@ def union_shards(name: str, dfs: list[DataFrame]) -> DataFrame:
     return reduce(DataFrame.unionByName, dfs)
 
 
+def jdbc_driver_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.postgresql.Driver")  # noqa: SLF001
+        return True
+    except Exception:  # noqa: BLE001 — ClassNotFound via py4j
+        return False
+
+
+def read_shard_pg(
+    spark: SparkSession,
+    shard_addr: str,
+    table: str,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+    limit: int | None = None,
+) -> DataFrame:
+    """One shard scan over the raw Postgres wire protocol (no JDBC jar
+    needed — e.g. federating other csvb_spark ``serve`` instances, the
+    reference's primary federation topology).
+
+    Pushdown mirrors the reference's scan-to-SQL compilation
+    (reference third_party/postgres_provider/src/lib.rs:45-52): the
+    projection/filter/limit are compiled into the SQL shipped to the
+    shard, so only the needed columns/rows cross the network. The
+    schema is probed with ``SELECT * FROM t LIMIT 1`` (reference
+    postgres_connection.rs:120); the fetch itself runs INSIDE an
+    executor task via ``mapInPandas`` — one task per shard, so N
+    shards are pulled in parallel exactly like the JDBC path.
+    """
+    from csvb_spark.sources.pgclient import OID_SPARK, pg_simple_query
+
+    params = parse_postgres_conn_str(shard_addr)
+    host = params["host"]
+    port = int(params.get("port", "5432"))
+    user = params.get("user", "csvb")
+    db = params.get("db", "csvb")
+
+    probe_cols, _ = pg_simple_query(
+        host, port, f"SELECT * FROM {table} LIMIT 1", user=user, database=db
+    )
+    if columns is not None:
+        keep = set(columns)
+        probe_cols = [c for c in probe_cols if c[0] in keep]
+    if not probe_cols:
+        raise ValueError(f"shard {shard_addr!r} table {table!r} has no columns")
+
+    sel = ", ".join(c for c, _ in probe_cols) if columns is not None else "*"
+    sql = f"SELECT {sel} FROM {table}"
+    if predicate:
+        sql += f" WHERE {predicate}"
+    if limit is not None:
+        sql += f" LIMIT {limit}"
+
+    schema = ", ".join(f"{c} {OID_SPARK.get(oid, 'string')}" for c, oid in probe_cols)
+    oids = [oid for _, oid in probe_cols]
+    names = [c for c, _ in probe_cols]
+
+    # The closure must not require csvb_spark on executor PYTHONPATH
+    # (driver-side sys.path edits don't propagate to python workers),
+    # so the pgclient module is pickled BY VALUE into the task.
+    import csvb_spark.sources.pgclient as _pgclient_mod
+
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        register_pickle_by_value(_pgclient_mod)
+    except Exception:  # noqa: BLE001 — older vendored cloudpickle
+        pass
+    _cast = _pgclient_mod.cast_text
+    _q = _pgclient_mod.pg_simple_query
+
+    def fetch(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                _, rows = _q(
+                    r["host"], int(r["port"]), r["sql"], user=r["user"], database=r["db"]
+                )
+                data = {
+                    name: [_cast(row[i], oids[i]) for row in rows]
+                    for i, name in enumerate(names)
+                }
+                yield _pd.DataFrame(data, columns=names)
+
+    work = spark.createDataFrame(
+        [(host, port, user, db, sql)], "host string, port int, user string, db string, sql string"
+    ).repartition(1)
+    return work.mapInPandas(fetch, schema=schema)
+
+
 def add_federated_tables(
     spark: SparkSession,
     tables: list[VirtualTable],
     reader_options: dict[str, str] | None = None,
+    transport: str = "auto",
 ) -> dict[str, DataFrame]:
     """Register each virtual table as a temp view = UNION ALL of its
-    shards (reference add_federated_tables, csvb_engine/src/lib.rs:134-188)."""
+    shards (reference add_federated_tables, csvb_engine/src/lib.rs:134-188).
+
+    ``transport``: 'jdbc' (Spark JDBC source — the scale path),
+    'pgwire' (raw-protocol reader, no driver jar needed), or 'auto'
+    (jdbc when the Postgres driver class is loadable, else pgwire).
+    """
+    if transport == "auto":
+        transport = "jdbc" if jdbc_driver_available(spark) else "pgwire"
     out: dict[str, DataFrame] = {}
     for vt in tables:
-        shards = [
-            read_shard(spark, addr, vt.name, reader_options)
-            for addr in vt.shard_addrs
-        ]
+        if transport == "jdbc":
+            shards = [
+                read_shard(spark, addr, vt.name, reader_options)
+                for addr in vt.shard_addrs
+            ]
+        else:
+            shards = [
+                read_shard_pg(spark, addr, vt.name) for addr in vt.shard_addrs
+            ]
         df = union_shards(vt.name, shards)
         df.createOrReplaceTempView(vt.name)
         out[vt.name] = df

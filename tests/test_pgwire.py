@@ -141,3 +141,82 @@ def test_extended_protocol(conn):
         msgs = _read_until_ready(sock, buf)
         all_tags += [t for t, _ in msgs]
     assert _data_rows(msgs) == [[b"42"]]
+
+
+# --- federation over the pgwire transport (no JDBC jar in this env) ----------------
+@pytest.fixture()
+def two_shards(spark):
+    from csvb_spark.server.pgwire import PgWireServer
+
+    s1, s2 = spark.newSession(), spark.newSession()
+    s1.range(0, 100).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS s"
+    ).createOrReplaceTempView("tbl")
+    s2.range(100, 250).selectExpr(
+        "id", "id * 2 AS v", "CAST(id AS STRING) AS s"
+    ).createOrReplaceTempView("tbl")
+    srv1, srv2 = PgWireServer(s1, "127.0.0.1:0"), PgWireServer(s2, "127.0.0.1:0")
+    srv1.start_background()
+    srv2.start_background()
+    yield [
+        f"postgresql://u@127.0.0.1:{srv1.port}/db",
+        f"postgresql://u@127.0.0.1:{srv2.port}/db",
+    ]
+    srv1.shutdown()
+    srv2.shutdown()
+
+
+def test_federate_pgwire_union(spark, two_shards):
+    from csvb_spark.sources.federation import VirtualTable, add_federated_tables
+
+    dfs = add_federated_tables(
+        spark,
+        [VirtualTable("tbl", two_shards)],
+        transport="pgwire",
+    )
+    assert spark.sql("SELECT COUNT(*) AS n FROM tbl").collect()[0].n == 250
+    agg = spark.sql("SELECT SUM(v) AS sv, MIN(id) AS mn, MAX(id) AS mx FROM tbl").collect()[0]
+    assert (agg.sv, agg.mn, agg.mx) == (62250, 0, 249)
+    assert dfs["tbl"].columns == ["id", "v", "s"]
+
+
+def test_federate_pgwire_pushdown(spark, two_shards):
+    from csvb_spark.sources.federation import read_shard_pg
+
+    df = read_shard_pg(
+        spark, two_shards[1], "tbl", columns=["id", "v"], predicate="id >= 200", limit=10
+    )
+    rows = df.collect()
+    assert df.columns == ["id", "v"]
+    assert len(rows) == 10
+    assert all(r.id >= 200 and r.v == r.id * 2 for r in rows)
+
+
+def test_federate_pgwire_schema_mismatch(spark, two_shards):
+    from csvb_spark.server.pgwire import PgWireServer
+    from csvb_spark.sources.federation import (
+        ShardSchemaMismatch,
+        VirtualTable,
+        add_federated_tables,
+    )
+
+    s3 = spark.newSession()
+    s3.range(5).selectExpr(
+        "id", "CAST(id AS DOUBLE) AS v", "CAST(id AS STRING) AS s"
+    ).createOrReplaceTempView("tbl")
+    srv3 = PgWireServer(s3, "127.0.0.1:0")
+    srv3.start_background()
+    try:
+        with pytest.raises(ShardSchemaMismatch):
+            add_federated_tables(
+                spark,
+                [
+                    VirtualTable(
+                        "tbl",
+                        [two_shards[0], f"postgresql://u@127.0.0.1:{srv3.port}/db"],
+                    )
+                ],
+                transport="pgwire",
+            )
+    finally:
+        srv3.shutdown()
