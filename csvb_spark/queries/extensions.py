@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csvb_spark.operators import dedup, multimodal, sessions, similarity, text
+from csvb_spark.operators import dedup, multimodal, sessions, similarity, skew, text
 from csvb_spark.queries.common import Query
 
 QUERIES: dict[str, Query] = {}
@@ -286,4 +286,48 @@ _q(
     "x15_sessionization",
     spark=lambda spark, sf: sessions.sessionize(_events(spark, sf), "30 minutes"),
     oracle=sessions.sessionize_oracle_sql(30),
+)
+
+
+# --- skew-resilience operators (salted join / salted distinct) --------------------
+def _li(spark: SparkSession, sf: str) -> DataFrame:
+    return spark.read.parquet(f"{sf}/lineitem.parquet")
+
+
+_q(
+    "x16_salted_join",
+    spark=lambda spark, sf: skew.salted_join(
+        _li(spark, sf).select("l_orderkey", "l_extendedprice"),
+        spark.read.parquet(f"{sf}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority"
+        ).withColumnRenamed("o_orderkey", "l_orderkey"),
+        on=["l_orderkey"],
+        n_salts=8,
+    )
+    .groupBy("o_orderpriority")
+    .agg(
+        F.count("*").alias("n_lines"),
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("sum_price"),
+    ),
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+
+_q(
+    "x17_salted_count_distinct",
+    spark=lambda spark, sf: skew.salted_count_distinct(
+        _li(spark, sf), ["l_returnflag"], "l_suppkey", n_salts=8
+    ),
+    oracle="""
+SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct_l_suppkey
+FROM lineitem
+GROUP BY l_returnflag
+""",
 )

@@ -420,3 +420,48 @@ ORDER BY n DESC, tok ASC
 LIMIT 50
 """
 _q("q46_unnest_vocab_topk", spark=sql_query(_SPARK_VOCAB), oracle=_DUCK_VOCAB)
+
+# --- q47: string functions, part 2 (rest of the §2.B.8 string family) ---------------
+# Spark and DuckDB diverge on several names (instr/strpos, chr, find_in_set,
+# substring_index), so the two sides are written separately with identical
+# aliases. find_in_set has no DuckDB builtin → list_position emulation.
+_SPARK_STRINGS2 = """
+SELECT p_partkey,
+       initcap(p_type) AS type_title,
+       overlay(p_brand PLACING 'XX' FROM 2 FOR 2) AS brand_ov,
+       instr(p_name, 'a') AS a_pos,
+       substring_index(p_type, ' ', 2) AS type_first2,
+       chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+       octet_length(p_name) AS name_octets,
+       bit_length(p_brand) AS brand_bits,
+       contains(p_name, 'an') AS has_an,
+       startswith(p_type, 'STANDARD') AS is_std,
+       endswith(p_brand, '5') AS ends_5,
+       find_in_set(p_brand, 'Brand#11,Brand#23,Brand#35') AS brand_slot,
+       char_length(p_name) AS name_chars,
+       concat(p_brand, ':', CAST(p_size AS STRING)) AS brand_size
+FROM part
+WHERE p_partkey < 120
+"""
+_DUCK_STRINGS2 = """
+SELECT p_partkey,
+       -- no initcap in DuckDB: capitalize each lower-cased word
+       array_to_string(list_transform(string_split(lower(p_type), ' '),
+                       x -> concat(upper(x[1:1]), x[2:])), ' ') AS type_title,
+       concat(substr(p_brand, 1, 1), 'XX', substr(p_brand, 4)) AS brand_ov,
+       CAST(strpos(p_name, 'a') AS INT) AS a_pos,
+       CASE WHEN len(string_split(p_type, ' ')) <= 2 THEN p_type
+            ELSE array_to_string(string_split(p_type, ' ')[1:2], ' ') END AS type_first2,
+       chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+       CAST(octet_length(ENCODE(p_name)) AS INT) AS name_octets,
+       CAST(octet_length(ENCODE(p_brand)) * 8 AS INT) AS brand_bits,
+       contains(p_name, 'an') AS has_an,
+       starts_with(p_type, 'STANDARD') AS is_std,
+       ends_with(p_brand, '5') AS ends_5,
+       CAST(coalesce(list_position(string_split('Brand#11,Brand#23,Brand#35', ','), p_brand), 0) AS INT) AS brand_slot,
+       CAST(length(p_name) AS INT) AS name_chars,
+       concat(p_brand, ':', CAST(p_size AS STRING)) AS brand_size
+FROM part
+WHERE p_partkey < 120
+"""
+_q("q47_string_functions_2", spark=sql_query(_SPARK_STRINGS2), oracle=_DUCK_STRINGS2)

@@ -310,3 +310,37 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir):
         ).collect()
     }
     assert stream == batch
+
+
+# --- DDL / session-config surface (SURVEY §2.B.1) ---------------------------------
+def test_ddl_surface(spark, tmp_path):
+    from csvb_spark.sql import execute_sql
+
+    execute_sql(spark, "CREATE OR REPLACE TEMPORARY VIEW t_ddl_v AS SELECT 1 AS a, 'x' AS b")
+    assert execute_sql(spark, "SELECT a, b FROM t_ddl_v").collect() == [(1, "x")]
+
+    # CTAS + INSERT INTO against a warehouse-backed table
+    execute_sql(spark, "DROP TABLE IF EXISTS t_ddl_ctas")
+    execute_sql(
+        spark,
+        "CREATE TABLE t_ddl_ctas USING parquet AS SELECT id FROM range(5)",
+    )
+    execute_sql(spark, "INSERT INTO t_ddl_ctas VALUES (100), (101)")
+    n = execute_sql(spark, "SELECT COUNT(*) AS n FROM t_ddl_ctas").collect()[0].n
+    assert n == 7
+    execute_sql(spark, "DROP TABLE t_ddl_ctas")
+
+    # SET session config round-trip
+    execute_sql(spark, "SET spark.sql.cbo.enabled=false")
+    val = execute_sql(spark, "SET spark.sql.cbo.enabled").collect()[0]
+    assert val.value == "false"
+
+    # EXPLAIN produces a plan
+    plan = execute_sql(spark, "EXPLAIN SELECT 1 AS one").collect()[0][0]
+    assert "Project" in plan or "Scan" in plan
+
+    # SHOW TABLES / DESCRIBE work through the same entry point
+    tabs = {r.tableName for r in execute_sql(spark, "SHOW TABLES").collect()}
+    assert "t_ddl_v" in tabs
+    desc = execute_sql(spark, "DESCRIBE t_ddl_v").collect()
+    assert [d.col_name for d in desc] == ["a", "b"]
