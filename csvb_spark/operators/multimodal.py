@@ -87,6 +87,77 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int, resized boolean"
+)
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_id int, frame_bytes binary, frame_len int, frame_crc bigint"
+)
+
+
+def resize(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Arrow-batched resize stage. STUB: a real implementation decodes
+    and rescales pixels; the deterministic fake truncates/pads the
+    payload to width*height bytes so downstream stages see the
+    contracted byte budget. Map-only, 1 row in → 1 row out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        target = width * height
+
+        for pdf in batches:
+            out_payload = [
+                bytes(p[:target]).ljust(target, b"\x00") for p in pdf["payload"]
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload": out_payload,
+                    "width": width,
+                    "height": height,
+                    "resized": True,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: 1 media row → n_frames frame rows (the
+    generator shape of a video pipeline). STUB decode: frame i is the
+    i-th equal slice of the payload; a real implementation seeks
+    keyframes. Still map-only — the explosion happens inside the
+    Arrow batch, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                step = max(len(p) // n_frames, 1)
+                for i in range(n_frames):
+                    fb = p[i * step : (i + 1) * step]
+                    rows.append((doc_id, i, fb, len(fb), _zlib.crc32(fb)))
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_id", "frame_bytes", "frame_len", "frame_crc"],
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def multimodal_pipeline(docs: DataFrame) -> DataFrame:
     """documents → fake payload → Arrow-batched feature extraction."""
     return extract_features(attach_fake_payload(docs))
+
+
+def frame_pipeline(docs: DataFrame, n_frames: int = 4) -> DataFrame:
+    """documents → payload → resize → frame sampling: the full
+    multimodal plumbing chain (all mapInPandas, zero shuffles)."""
+    return sample_frames(resize(attach_fake_payload(docs)), n_frames)

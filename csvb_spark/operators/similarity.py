@@ -166,30 +166,50 @@ def ivf_topk(
     Ranking (both for assignment and probing) orders by cosine DESC
     with centroid-id ASC tie-break.
     """
+    import math
+
     cents = (
         embeddings.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
         .collect()
     )
-    cent_lits = [
-        (int(r.cid), F.array(*[F.lit(float(x)) for x in r.cvec])) for r in cents
-    ]
+    cent_lits = []
+    for r in cents:
+        vals = [float(x) for x in r.cvec]
+        acc = 0.0  # sequential fold — same IEEE order as the SQL dot product
+        for v in vals:
+            acc += v * v
+        cent_lits.append(
+            (int(r.cid), F.array(*[F.lit(v) for v in vals]), math.sqrt(acc))
+        )
 
     def ranked_cids(vec: Column) -> Column:
-        """array<struct<neg_sim,cid>> sorted asc = best centroid first."""
+        """array<struct<neg_score,cid>> sorted asc = best centroid first.
+
+        Ranking score is dot(v,c)/||c|| — the row's own norm is a
+        positive constant across centroids, so dropping it preserves
+        the cosine ordering while cutting the per-row expression cost
+        ~3× (HOFs are interpreted; every aggregate eval counts). The
+        centroid norms are Python literals, computed with the same
+        sequential fold as the SQL dot product so ranking stays
+        bit-identical to the oracle's formulation.
+        """
+        vd = as_double(vec)
         return F.array_sort(
             F.array(
                 *[
                     F.struct(
-                        (-cosine(vec, cl)).alias("neg_sim"),
+                        (-(dot(vd, cl) / F.lit(nc))).alias("neg_score"),
                         F.lit(cid).alias("cid"),
                     )
-                    for cid, cl in cent_lits
+                    for cid, cl, nc in cent_lits
                 ]
             )
         )
 
-    assigned = embeddings.select(
+    from csvb_spark.operators.dedup import spread
+
+    assigned = spread(embeddings).select(
         id_col,
         vec_col,
         F.element_at(ranked_cids(F.col(vec_col)), 1)["cid"].alias("cid"),

@@ -232,6 +232,7 @@ _q(
 # --- IVF similarity search (deterministic coarse quantizer → oracle) ---------
 _q(
     "x14_sim_ivf_topk",
+    headline=True,
     spark=lambda spark, sf: similarity.ivf_topk(
         _embs(spark, sf),
         _embs(spark, sf).filter(F.col("vec_id") == 0),
@@ -245,10 +246,12 @@ WITH vecs AS (
 ), cents AS (
   SELECT vec_id AS cid, v AS cvec FROM vecs WHERE vec_id < 16
 ), sims AS (
+  -- ranking score = dot(v,c)/||c||: the row norm is constant across
+  -- centroids, so the ORDER is the cosine order (and it matches the
+  -- Spark side's cheaper assignment expression bit-for-bit)
   SELECT vecs.vec_id, cents.cid,
          list_dot_product(vecs.v, cents.cvec)
-         / (sqrt(list_dot_product(vecs.v, vecs.v))
-            * sqrt(list_dot_product(cents.cvec, cents.cvec))) AS sim
+         / sqrt(list_dot_product(cents.cvec, cents.cvec)) AS sim
   FROM vecs CROSS JOIN cents
 ), assign AS (
   SELECT vec_id, cid FROM (
@@ -284,6 +287,7 @@ def _events(spark: SparkSession, sf: str) -> DataFrame:
 
 _q(
     "x15_sessionization",
+    headline=True,
     spark=lambda spark, sf: sessions.sessionize(_events(spark, sf), "30 minutes"),
     oracle=sessions.sessionize_oracle_sql(30),
 )
@@ -330,4 +334,17 @@ SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_distinct_l_suppkey
 FROM lineitem
 GROUP BY l_returnflag
 """,
+)
+
+
+# --- multimodal frame pipeline (resize → frame-sample, 1→N generator shape) --------
+_q(
+    "x18_multimodal_frames",
+    spark=lambda spark, sf: multimodal.frame_pipeline(_docs(spark, sf), n_frames=4)
+    .groupBy("doc_id")
+    .agg(
+        F.count("*").alias("n_frames"),
+        F.sum("frame_len").alias("total_bytes"),
+        F.countDistinct("frame_crc").alias("n_distinct_frames"),
+    ),
 )

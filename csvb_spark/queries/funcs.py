@@ -419,7 +419,12 @@ GROUP BY tok
 ORDER BY n DESC, tok ASC
 LIMIT 50
 """
-_q("q46_unnest_vocab_topk", spark=sql_query(_SPARK_VOCAB), oracle=_DUCK_VOCAB)
+_q(
+    "q46_unnest_vocab_topk",
+    spark=sql_query(_SPARK_VOCAB),
+    oracle=_DUCK_VOCAB,
+    headline=True,
+)
 
 # --- q47: string functions, part 2 (rest of the §2.B.8 string family) ---------------
 # Spark and DuckDB diverge on several names (instr/strpos, chr, find_in_set,
