@@ -25,10 +25,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 _CSV_OPTIONS = {
     # DataFusion 44 CsvFormat::default(): header expected, comma
-    # delimiter, RFC-4180 quoting (reference csvb_engine/src/lib.rs:42).
+    # delimiter, RFC-4180 quoting incl. newlines inside quoted fields
+    # (reference csvb_engine/src/lib.rs:42). multiLine makes a file
+    # non-splittable, which is the price of RFC-4180 anywhere — a CSV
+    # with quoted newlines can't be split at arbitrary byte offsets.
     "header": "true",
     "quote": '"',
     "escape": '"',
+    "multiLine": "true",
     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]",
 }
 

@@ -344,3 +344,25 @@ def test_ddl_surface(spark, tmp_path):
     assert "t_ddl_v" in tabs
     desc = execute_sql(spark, "DESCRIBE t_ddl_v").collect()
     assert [d.col_name for d in desc] == ["a", "b"]
+
+
+# --- CSV parsing edge cases (RFC-4180, reference CsvFormat::default) ---------------
+def test_csv_rfc4180_quoting(spark, tmp_path):
+    from csvb_spark.sources.csv_source import add_direct_table
+
+    f = tmp_path / "edge.csv"
+    f.write_text(
+        'id,name,notes\n'
+        '1,"plain",simple\n'
+        '2,"comma, inside","a,b,c"\n'
+        '3,"embedded ""quotes""",ok\n'
+        '4,"multi\nline value",ok\n'
+        '5,,empty-name\n'
+    )
+    df = add_direct_table(spark, "csv_edge", [str(f)])
+    rows = {r.id: r for r in df.collect()}
+    assert len(rows) == 5
+    assert rows[2].name == "comma, inside" and rows[2].notes == "a,b,c"
+    assert rows[3].name == 'embedded "quotes"'
+    assert rows[4].name == "multi\nline value"
+    assert rows[5].name is None
