@@ -1,1 +1,21 @@
-from csvb_spark.operators import dedup, multimodal, similarity, text  # noqa: F401
+"""Beyond-reference operators for large-scale training-data pipelines.
+
+- ``dedup``       exact / MinHash-LSH / SimHash / n-gram Jaccard
+- ``similarity``  brute-force, hyperplane-LSH and IVF cosine top-k
+- ``text``        token stats, quality, language ID, fingerprints
+- ``sessions``    gap-based sessionization (batch; streaming twin in
+                  ``csvb_spark.streaming.sessions``)
+- ``skew``        salted join / salted exact count-distinct
+- ``multimodal``  binary payload + metadata plumbing (mapInPandas)
+
+Design notes per operator family: SCALE.md at the repo root.
+"""
+
+from csvb_spark.operators import (  # noqa: F401
+    dedup,
+    multimodal,
+    sessions,
+    similarity,
+    skew,
+    text,
+)
