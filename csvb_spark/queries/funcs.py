@@ -470,3 +470,34 @@ FROM part
 WHERE p_partkey < 120
 """
 _q("q47_string_functions_2", spark=sql_query(_SPARK_STRINGS2), oracle=_DUCK_STRINGS2)
+
+# --- q48: CAST / TRY_CAST gauntlet (SURVEY §2.B.2) ---------------------------------
+# Same text both engines: TRY_CAST returns NULL on failure in both.
+_SQL_CASTS = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+       CAST(o_orderkey AS STRING) AS key_str,
+       CAST(o_orderdate AS DATE) AS od_date,
+       CAST(CAST(o_orderkey AS SMALLINT) AS INT) AS key_i16,
+       TRY_CAST(o_orderpriority AS INT) AS prio_int_null,
+       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+       CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS is_even,
+       CAST(NULL AS BIGINT) AS always_null
+FROM orders
+WHERE o_orderkey < 400
+"""
+_q("q48_casts", spark=sql_query(_SQL_CASTS), oracle=_SQL_CASTS)
+
+# --- q49: NATURAL JOIN and USING (SURVEY §2.B.3) -----------------------------------
+_SQL_NATURAL = """
+SELECT r_name, COUNT(*) AS n_nations
+FROM (SELECT n_regionkey AS regionkey, n_name FROM nation) n
+NATURAL JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) r
+GROUP BY r_name
+UNION ALL
+SELECT CONCAT('using:', r_name) AS r_name, COUNT(*) AS n_nations
+FROM (SELECT n_regionkey AS rk, n_name FROM nation) a
+JOIN (SELECT r_regionkey AS rk, r_name FROM region) b USING (rk)
+GROUP BY r_name
+"""
+_q("q49_natural_using_join", spark=sql_query(_SQL_NATURAL), oracle=_SQL_NATURAL)
