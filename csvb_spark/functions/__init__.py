@@ -24,5 +24,11 @@ from csvb_spark.functions.translate import translate_sql  # noqa: F401
 
 
 def register_all(spark: SparkSession) -> None:
+    # Belt-and-braces: vanilla sessions (no csvb_spark.session builder)
+    # must still be able to read TIMESTAMP(NANOS) parquet; see
+    # sources/catalog.py::_ensure_nanos_conf for the main choke point.
+    from csvb_spark.sources.catalog import _ensure_nanos_conf
+
+    _ensure_nanos_conf(spark)
     register_shims(spark)
     register_haiku_udf(spark)
