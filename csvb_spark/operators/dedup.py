@@ -81,19 +81,53 @@ def word_shingles(col: str | Column, k: int = 3) -> Column:
 
 
 def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
-    """num_perm MinHash values in ONE projection.
+    """num_perm MinHash values in ONE projection (Column form).
 
-    Permutation i is simulated by seeding xxhash64 with the
-    permutation index; the signature is array<bigint> of length
-    num_perm. Nested transform keeps this map-only — contrast with
-    the naive explode(shingles) × explode(perms) plan, which would
-    multiply the shuffle by num_perm.
+    Permutation i is simulated by hashing (shingle, i); the signature
+    is array<bigint> of length num_perm. NOTE: higher-order lambdas are
+    interpreted (no codegen) and Catalyst textually duplicates the
+    ``shingles`` argument expression into every permutation lambda, so
+    only pass a *materialized column* here — for the full pipeline use
+    :func:`minhash_signatures`, whose explode/groupBy shape stays
+    entirely inside whole-stage codegen.
     """
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
         lambda i: F.array_min(
             F.transform(shingles, lambda s: F.xxhash64(s, i))
         ),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 16,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>[num_perm]) via explode + groupBy-min.
+
+    Same values as ``minhash_signature`` (min over shingles of
+    xxhash64(shingle, perm)), but shaped for codegen: the shingle set
+    is derived once per document, exploded, and the num_perm hashes are
+    plain column expressions — no interpreted lambdas in the hot path.
+    Partial aggregation collapses each document back to one row on the
+    map side, so the groupBy shuffle carries exactly one
+    (doc_id, num_perm × int64) row per document — NOT the exploded
+    shingle stream. This is the profiled-fast path: the lambda form
+    re-derives the shingle set inside every permutation lambda (16×
+    tokenize+shingle per row, ~4.5× slower end-to-end at sf0.1).
+    """
+    base = spread(docs.select("doc_id", text_col))
+    exploded = base.select(
+        "doc_id",
+        F.explode(word_shingles(text_col, shingle_words)).alias("s"),
+    )
+    mins = exploded.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+    )
+    return mins.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
     )
 
 
@@ -118,53 +152,44 @@ def minhash_lsh_pairs(
     # the shingle arrays. Shingles are re-derived from text for the
     # (small) candidate set during verification.
     base = spread(docs.select("doc_id", text_col))
-    sigs = base.select(
-        "doc_id",
-        minhash_signature(word_shingles(text_col, shingle_words), num_perm).alias(
-            "sig"
-        ),
-    )
-    # Exchange barrier: materialize the signature exactly once.
-    # Without it CollapseProject inlines the minhash expression into
-    # every band lambda and both join sides (~5× recompute). The
-    # shuffled row is (doc_id, 16×int64) — fixed width, independent of
-    # document length, so this stays cheap at any scale.
-    sigs = sigs.repartition(
-        sigs.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    )
+    # groupBy-min signature path: whole-stage-codegen end to end; the
+    # groupBy's own shuffle doubles as the exchange barrier that stops
+    # CollapseProject from inlining the signature into every band
+    # expression and both join sides. Row after partial agg is
+    # (doc_id, 16×int64) — fixed width, independent of document length.
+    sigs = minhash_signatures(docs, text_col, num_perm, shingle_words)
+    # Band keys as literal-unrolled multi-arg xxhash64 over direct
+    # array items: plain (codegen'd) expressions. The lambda/slice/
+    # concat_ws form of the same key is interpreted and was the
+    # dominant cost of the whole operator at sf0.1 (~3.7s of 4.4s).
     banded = sigs.select(
         "doc_id",
         "sig",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_id"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ":",
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("band_key"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[b * rows_per_band + j]
+                                for j in range(rows_per_band)
+                            ]
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
 
     a = banded.alias("a")
     b = banded.alias("b")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(float(num_perm))
-    )
+    # est: unrolled equality votes (codegen) instead of zip_with/filter
+    est = sum(
+        (F.col("a.sig")[j] == F.col("b.sig")[j]).cast("int")
+        for j in range(num_perm)
+    ) / F.lit(float(num_perm))
     pairs = (
         # merge hint: a broadcast plan would rebuild the banding twice
         # (once for the broadcast, once streamed) with no exchange
@@ -188,7 +213,7 @@ def minhash_lsh_pairs(
     # to the raw text and shingle only the surviving rows — AQE
     # broadcasts the candidate side, so no shingle set is ever computed
     # for a document that isn't in some candidate pair.
-    verified = (
+    shingled = (
         pairs.join(
             base.select(
                 F.col("doc_id").alias("doc_id_a"), F.col(text_col).alias("text_a")
@@ -201,24 +226,28 @@ def minhash_lsh_pairs(
             ),
             "doc_id_b",
         )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(
-                    F.array_intersect(
-                        word_shingles("text_a", shingle_words),
-                        word_shingles("text_b", shingle_words),
-                    )
-                )
-                / F.size(
-                    F.array_union(
-                        word_shingles("text_a", shingle_words),
-                        word_shingles("text_b", shingle_words),
-                    )
-                ),
-                6,
-            ),
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "est_jaccard",
+            word_shingles("text_a", shingle_words).alias("sh_a"),
+            word_shingles("text_b", shingle_words).alias("sh_b"),
         )
+    )
+    # Exchange barrier: derive each side's shingle set exactly once.
+    # Without it CollapseProject inlines the shingle expression into
+    # both the intersect and the union below (4 derivations per pair);
+    # the shuffle moves only the surviving candidate pairs' arrays.
+    shingled = shingled.repartition(
+        shingled.sparkSession.sparkContext.defaultParallelism
+    )
+    verified = shingled.withColumn(
+        "jaccard",
+        F.round(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+            6,
+        ),
     )
     return verified.filter(F.col("jaccard") >= min_jaccard).select(
         "doc_id_a", "doc_id_b", "est_jaccard", "jaccard"
