@@ -47,24 +47,39 @@ _SQL_SHIMS: dict[str, tuple[str, str, str]] = {
     "to_timestamp_seconds": ("n BIGINT", "TIMESTAMP", "timestamp_seconds(n)"),
     "to_timestamp_millis": ("n BIGINT", "TIMESTAMP", "timestamp_millis(n)"),
     "to_timestamp_micros": ("n BIGINT", "TIMESTAMP", "timestamp_micros(n)"),
+    # n DIV 1000, not n / 1000: '/' is double division, and epoch
+    # nanoseconds (~1.7e18) exceed 2^53 so the round-trip loses up to
+    # ~1 us. FLOOR semantics for pre-epoch values via pmod.
     "to_timestamp_nanos": (
         "n BIGINT",
         "TIMESTAMP",
-        "timestamp_micros(CAST(n / 1000 AS BIGINT))",
+        "timestamp_micros((n - pmod(n, 1000)) DIV 1000)",
     ),
     # date_bin(stride, ts, origin) — DataFusion bins ts into
     # stride-sized buckets anchored at origin. Stride in seconds here
     # (interval-typed SQL-UDF params are not supported by Spark's
-    # parser); `date_bin_interval` in translate.py rewrites the
-    # interval literal form onto this.
+    # parser); translate.py rewrites the DataFusion interval-literal
+    # form date_bin(INTERVAL '15 minutes', ts, origin) onto
+    # date_bin_micros below.
     "date_bin": (
         "stride_sec BIGINT, ts TIMESTAMP, origin TIMESTAMP",
         "TIMESTAMP",
         """timestamp_micros(
              unix_micros(origin)
-             + CAST(floor((unix_micros(ts) - unix_micros(origin))
-                          / (stride_sec * 1000000.0d))
-                    AS BIGINT) * stride_sec * 1000000
+             + ((unix_micros(ts) - unix_micros(origin))
+                - pmod(unix_micros(ts) - unix_micros(origin),
+                       stride_sec * 1000000))
+           )""",
+    ),
+    # micros-stride twin of date_bin — the translate.py target for
+    # interval literals, so sub-second strides (ms/us) bin exactly.
+    "date_bin_micros": (
+        "stride_us BIGINT, ts TIMESTAMP, origin TIMESTAMP",
+        "TIMESTAMP",
+        """timestamp_micros(
+             unix_micros(origin)
+             + ((unix_micros(ts) - unix_micros(origin))
+                - pmod(unix_micros(ts) - unix_micros(origin), stride_us))
            )""",
     ),
     # --- array (one-based like DataFusion) ---
@@ -89,9 +104,15 @@ _SQL_SHIMS: dict[str, tuple[str, str, str]] = {
 }
 
 
-def _register_gcd_lcm(spark: SparkSession) -> None:
-    """gcd/lcm exist in DataFusion 44 but not Spark SQL; iterative, so
-    plain Python UDFs (never a hot-path function)."""
+def _register_python_shims(spark: SparkSession) -> None:
+    """Python UDFs — only for logic SQL can't express generically:
+    gcd/lcm (iterative) and array_ndims (nesting depth needs type
+    recursion; Python UDF inputs are untyped so one registration covers
+    any array type). Cold-path compat surface, never scan/agg hot
+    paths. The other DataFusion array editors (array_resize /
+    array_replace / array_positions) are translate.py rewrites onto
+    polymorphic higher-order SQL — type-preserving and Catalyst-inlined.
+    """
 
     spark.udf.register("gcd", lambda a, b: math.gcd(int(a), int(b)) if a is not None and b is not None else None, T.LongType())
     spark.udf.register(
@@ -101,6 +122,17 @@ def _register_gcd_lcm(spark: SparkSession) -> None:
         else 0,
         T.LongType(),
     )
+
+    def ndims(a):
+        if a is None:
+            return None
+        d = 0
+        while isinstance(a, list):
+            d += 1
+            a = a[0] if a else None
+        return d
+
+    spark.udf.register("array_ndims", ndims, T.IntegerType())
 
 
 def register_shims(spark: SparkSession) -> None:
@@ -114,4 +146,4 @@ def register_shims(spark: SparkSession) -> None:
             # name already taken by a Spark builtin with the same
             # semantics (Spark keeps absorbing these — good)
             pass
-    _register_gcd_lcm(spark)
+    _register_python_shims(spark)

@@ -41,8 +41,53 @@ _FN_RENAMES: dict[str, str] = {
     "regexp_match": "regexp_extract_all",
     "to_char": "date_format",
     "instr_ci": "instr",
+    # generate_series in scalar position → sequence; the FROM-position
+    # (table factor) form is handled structurally in translate_sql.
     "generate_series": "sequence",
-    "array_ndims": "csvb_array_ndims",  # not shimmed yet; reserved
+}
+
+# Argument-aware rewrites: DataFusion call → polymorphic Spark SQL
+# expression (type-preserving, Catalyst-inlined — no UDF). Args arrive
+# split at top-level commas. DataFusion semantics: 1-based positions,
+# array_replace replaces the FIRST occurrence
+# (datafusion-functions-nested 44; SURVEY.md §2.B.8 array row).
+def _rw_array_resize(args: list[str]) -> str:
+    a, n = args[0], args[1]
+    # 2-arg form pads with a typed NULL of the element type
+    fill = args[2] if len(args) > 2 else f"IF(false, ({a})[0], NULL)"
+    return (
+        f"concat(slice({a}, 1, least({n}, size({a}))), "
+        f"array_repeat({fill}, greatest(CAST({n} AS INT) - size({a}), 0)))"
+    )
+
+
+def _rw_array_replace(args: list[str]) -> str:
+    a, f, t = args
+    return (
+        f"transform({a}, (x_, i_) -> "
+        f"IF(i_ = array_position({a}, {f}) - 1, {t}, x_))"
+    )
+
+
+def _rw_array_replace_all(args: list[str]) -> str:
+    a, f, t = args
+    return f"transform({a}, x_ -> IF(x_ <=> {f}, {t}, x_))"
+
+
+def _rw_array_positions(args: list[str]) -> str:
+    a, v = args
+    return (
+        f"filter(transform({a}, (x_, i_) -> "
+        f"IF(x_ <=> {v}, CAST(i_ + 1 AS BIGINT), CAST(NULL AS BIGINT))), "
+        f"p_ -> p_ IS NOT NULL)"
+    )
+
+
+_FN_REWRITES: dict[str, "callable"] = {
+    "array_resize": _rw_array_resize,
+    "array_replace": _rw_array_replace,
+    "array_replace_all": _rw_array_replace_all,
+    "array_positions": _rw_array_positions,
 }
 
 _STRING_LITERAL = re.compile(r"'(?:[^']|'')*'")
@@ -85,6 +130,127 @@ _SIMILAR_TO_RE = re.compile(
     r"(?P<not>NOT\s+)?SIMILAR\s+TO\s+(?P<pat>\x00LIT\d+\x00)", re.IGNORECASE
 )
 
+# --- call-level rewriting helpers (balanced parens) ---
+
+def _find_calls(sql: str, name: str):
+    """Yield (start, open_paren, close_paren) for each ``name(...)``
+    call at any nesting depth, left to right."""
+    for m in re.finditer(rf'(?<![\w."]){name}\s*\(', sql, re.IGNORECASE):
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth == 0:
+            yield m.start(), m.end() - 1, i - 1
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split at top-level commas (literals are already protected)."""
+    args, depth, start = [], 0, 0
+    for i, ch in enumerate(argstr):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(argstr[start:i].strip())
+            start = i + 1
+    tail = argstr[start:].strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def _apply_fn_rewrites(sql: str) -> str:
+    changed = True
+    while changed:
+        changed = False
+        for name, fn in _FN_REWRITES.items():
+            for start, op, cl in _find_calls(sql, name):
+                repl = fn(_split_args(sql[op + 1 : cl]))
+                sql = sql[:start] + repl + sql[cl + 1 :]
+                changed = True
+                break  # offsets shifted — rescan
+            if changed:
+                break
+    return sql
+
+
+_INTERVAL_UNITS_US = {
+    "microsecond": 1,
+    "millisecond": 1000,
+    "second": 1000000,
+    "minute": 60 * 1000000,
+    "hour": 3600 * 1000000,
+    "day": 86400 * 1000000,
+    "week": 7 * 86400 * 1000000,
+}
+
+_DATE_BIN_INTERVAL_RE = re.compile(
+    r"date_bin\s*\(\s*INTERVAL\s+\x00LIT(?P<idx>\d+)\x00\s*,", re.IGNORECASE
+)
+
+
+def _rewrite_date_bin_interval(sql: str, literals: list[str]) -> str:
+    """date_bin(INTERVAL '15 minutes', ts, origin) →
+    date_bin_micros(900000000, ts, origin). Fixed-width units only
+    (month/year strides are calendar-dependent and left untouched —
+    Spark then reports the unsupported call instead of mis-binning).
+    Compound literals ('1 hour 30 minutes') sum."""
+
+    def repl(m: re.Match[str]) -> str:
+        lit = literals[int(m.group("idx"))].strip("'")
+        total_us = 0
+        for qty, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", lit):
+            u = unit.lower().rstrip("s")
+            if u not in _INTERVAL_UNITS_US:
+                return m.group(0)  # calendar unit — leave as-is
+            total_us += int(qty) * _INTERVAL_UNITS_US[u]
+        if total_us == 0:
+            return m.group(0)
+        return f"date_bin_micros({total_us},"
+
+    return _DATE_BIN_INTERVAL_RE.sub(repl, sql)
+
+
+# generate_series as a table factor (FROM/JOIN position). DataFusion
+# exposes it as a TVF whose output column is `value`; Spark's TVF set
+# has explode(), so rewrite to a derived table. The scalar-position
+# form is a plain rename to sequence() (see _FN_RENAMES). Only FROM/
+# JOIN anchors — a bare comma could equally be a SELECT-list separator
+# and a textual rewriter can't tell the difference; comma-style cross
+# joins should use CROSS JOIN.
+_GS_TABLE_RE = re.compile(
+    r"(?P<kw>\bFROM\b|\bJOIN\b)(?P<ws>\s*)generate_series\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_generate_series_table(sql: str) -> str:
+    while True:
+        m = _GS_TABLE_RE.search(sql)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "(":
+                depth += 1
+            elif sql[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            return sql  # unbalanced — leave untouched
+        args = sql[m.end() : i - 1]
+        sql = (
+            sql[: m.start()]
+            + f"{m.group('kw')}{m.group('ws')}"
+            + f"(SELECT col AS value FROM explode(sequence({args})))"
+            + sql[i:]
+        )
+
 
 def translate_sql(sql: str) -> str:
     """Rewrite DataFusion-dialect SQL into Spark SQL."""
@@ -113,9 +279,23 @@ def translate_sql(sql: str) -> str:
 
     out = _SIMILAR_TO_RE.sub(similar, out)
 
-    # function renames
+    # interval-literal date_bin → micros-stride shim
+    out = _rewrite_date_bin_interval(out, lits)
+
+    # generate_series as a table factor
+    out = _rewrite_generate_series_table(out)
+
+    # argument-aware call rewrites (array editors)
+    out = _apply_fn_rewrites(out)
+
+    # function renames — the lookbehind keeps qualified/quoted
+    # identifiers intact (a column literally named `cardinality`, or
+    # `t."array_length"`, must not be renamed; only call sites
+    # `name(` in plain position are)
     for src, dst in _FN_RENAMES.items():
         if src != dst:
-            out = re.sub(rf"\b{src}\s*\(", f"{dst}(", out, flags=re.IGNORECASE)
+            out = re.sub(
+                rf'(?<![\w."]){src}\s*\(', f"{dst}(", out, flags=re.IGNORECASE
+            )
 
     return _restore_literals(out, lits)

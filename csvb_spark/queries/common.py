@@ -62,3 +62,19 @@ def sql_query(sql: str) -> SparkQuery:
         return spark.sql(sql)
 
     return run
+
+
+def dialect_query(sql: str) -> SparkQuery:
+    """A corpus entry written in the REFERENCE's dialect (DataFusion /
+    postgres-ish), routed through ``execute_sql`` so the
+    translate-layer rewrites are part of what the oracle verifies."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from csvb_spark.functions import register_all
+        from csvb_spark.sql import execute_sql
+
+        register_all(spark)
+        views(spark, sf_dir)
+        return execute_sql(spark, sql)
+
+    return run

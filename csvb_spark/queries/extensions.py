@@ -32,7 +32,7 @@ def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact dedup ------------------------------------------------------
 _q(
-    "x01_dedup_exact_groups",
+    "p01_dedup_exact_groups",
     spark=lambda spark, sf: dedup.exact_groups(_docs(spark, sf)),
     headline=True,
     oracle="""
@@ -43,7 +43,7 @@ GROUP BY md5(text)
 )
 
 _q(
-    "x02_dedup_exact_by_source",
+    "p02_dedup_exact_by_source",
     spark=lambda spark, sf: _docs(spark, sf)
     .groupBy("source")
     .agg(
@@ -59,7 +59,7 @@ GROUP BY source
 
 # --- text analysis -----------------------------------------------------
 _q(
-    "x03_text_token_stats",
+    "p03_text_token_stats",
     spark=lambda spark, sf: text.token_stats(_docs(spark, sf)),
     headline=True,
     oracle=r"""
@@ -76,7 +76,7 @@ FROM documents
 )
 
 _q(
-    "x04_text_quality",
+    "p04_text_quality",
     spark=lambda spark, sf: text.quality_score(_docs(spark, sf)),
     oracle=r"""
 SELECT doc_id,
@@ -104,7 +104,7 @@ FROM documents
 )
 
 _q(
-    "x05_lang_guess",
+    "p05_lang_guess",
     spark=lambda spark, sf: text.lang_guess(_docs(spark, sf))
     .groupBy("lang", "guess_lang")
     .agg(F.count("*").alias("n_docs")),
@@ -138,7 +138,7 @@ FROM guessed GROUP BY lang, guess_lang
 
 # --- n-gram Jaccard near-dup (exact, oracle-checkable) --------------------
 _q(
-    "x06_ngram_jaccard_pairs",
+    "p06_ngram_jaccard_pairs",
     spark=lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs(spark, sf), k=4, min_jaccard=0.3
     ),
@@ -162,7 +162,7 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 
 # --- similarity search ------------------------------------------------------
 _q(
-    "x07_sim_bruteforce_topk",
+    "p07_sim_bruteforce_topk",
     spark=lambda spark, sf: similarity.brute_force_topk(
         _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") == 0), k=10
     ),
@@ -183,7 +183,7 @@ LIMIT 10
 )
 
 _q(
-    "x08_emb_neardup_pairs",
+    "p08_emb_neardup_pairs",
     spark=lambda spark, sf: similarity.neardup_pairs_by_label(
         _embs(spark, sf), min_cos=0.8, max_id=2000
     ),
@@ -206,7 +206,7 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
 
 # --- hash-based ops: rows-only (no cross-engine hash oracle) ------------------
 _q(
-    "x09_dedup_minhash_lsh",
+    "p09_dedup_minhash_lsh",
     spark=lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf), min_jaccard=0.4),
     headline=True,
 )
@@ -231,7 +231,7 @@ _q(
 
 # --- IVF similarity search (deterministic coarse quantizer → oracle) ---------
 _q(
-    "x14_sim_ivf_topk",
+    "p14_sim_ivf_topk",
     headline=True,
     spark=lambda spark, sf: similarity.ivf_topk(
         _embs(spark, sf),
@@ -286,7 +286,7 @@ def _events(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _q(
-    "x15_sessionization",
+    "p15_sessionization",
     headline=True,
     spark=lambda spark, sf: sessions.sessionize(_events(spark, sf), "30 minutes"),
     oracle=sessions.sessionize_oracle_sql(30),
@@ -299,7 +299,7 @@ def _li(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _q(
-    "x16_salted_join",
+    "p16_salted_join",
     spark=lambda spark, sf: skew.salted_join(
         _li(spark, sf).select("l_orderkey", "l_extendedprice"),
         spark.read.parquet(f"{sf}/orders.parquet").select(
@@ -325,7 +325,7 @@ GROUP BY o_orderpriority
 )
 
 _q(
-    "x17_salted_count_distinct",
+    "p17_salted_count_distinct",
     spark=lambda spark, sf: skew.salted_count_distinct(
         _li(spark, sf), ["l_returnflag"], "l_suppkey", n_salts=8
     ),

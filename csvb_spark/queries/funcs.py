@@ -9,7 +9,7 @@ aliases and rounding so the driver's hash compare is stable.
 
 from __future__ import annotations
 
-from csvb_spark.queries.common import Query, davg, dsum, sql_query
+from csvb_spark.queries.common import Query, davg, dialect_query, dsum, sql_query
 
 QUERIES: dict[str, Query] = {}
 
@@ -487,6 +487,46 @@ FROM orders
 WHERE o_orderkey < 400
 """
 _q("q48_casts", spark=sql_query(_SQL_CASTS), oracle=_SQL_CASTS)
+
+# --- q50: DataFusion-dialect gauntlet through the translate layer ------------------
+# Written in the REFERENCE's dialect (generate_series as a table
+# factor, interval-literal date_bin, DataFusion array editors) and run
+# via execute_sql, so the rewrites in functions/translate.py are what
+# the oracle actually verifies. DuckDB lacks some of the editors, so
+# the oracle emulates them (list_transform / hard-coded literals on
+# the fixed inputs).
+_DF_GAUNTLET = """
+SELECT g.value AS n,
+       array_resize(make_array(1, 2, 3), CAST(g.value AS INT), 0) AS resized,
+       array_replace(make_array(1, 2, 1, 2), 2, 9) AS rep_first,
+       array_replace_all(make_array(1, 2, 1, 2), 2, 9) AS rep_all,
+       array_positions(make_array(1, 2, 1, 2), CAST(g.value % 3 AS INT)) AS pos,
+       array_ndims(make_array(make_array(1, 2), make_array(3, 4))) AS ndims,
+       date_bin(INTERVAL '15 minutes',
+                TIMESTAMP '2024-03-05 10:37:21',
+                TIMESTAMP '1970-01-01 00:00:00') AS binned,
+       cardinality(make_array(1, 2, 3)) AS card
+FROM generate_series(1, 6) AS g
+"""
+_DUCK_GAUNTLET = """
+SELECT CAST(g.value AS INT) AS n,
+       list_transform(generate_series(1, CAST(g.value AS INT)),
+                      i -> CASE WHEN i <= 3 THEN ([1, 2, 3])[i] ELSE 0 END) AS resized,
+       [1, 9, 1, 2] AS rep_first,
+       [1, 9, 1, 9] AS rep_all,
+       list_transform(list_filter(generate_series(1, 4),
+                                  i -> ([1, 2, 1, 2])[i] = g.value % 3),
+                      i -> CAST(i AS BIGINT)) AS pos,
+       CAST(2 AS INT) AS ndims,
+       TIMESTAMP '2024-03-05 10:30:00' AS binned,
+       CAST(3 AS INT) AS card
+FROM (SELECT unnest(generate_series(1, 6)) AS value) g
+"""
+_q(
+    "q50_dialect_gauntlet",
+    spark=dialect_query(_DF_GAUNTLET),
+    oracle=_DUCK_GAUNTLET,
+)
 
 # --- q49: NATURAL JOIN and USING (SURVEY §2.B.3) -----------------------------------
 _SQL_NATURAL = """

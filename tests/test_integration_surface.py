@@ -180,10 +180,59 @@ def test_log_levels():
         ),
         ("SELECT string_agg(x, ',')", "SELECT listagg(x, ',')"),
         ("SELECT '::keep' FROM t", "SELECT '::keep' FROM t"),
+        # renames must not capture identifiers, only call sites
+        ('SELECT "cardinality" FROM t', 'SELECT "cardinality" FROM t'),
+        ("SELECT t.cardinality FROM t", "SELECT t.cardinality FROM t"),
+        ("SELECT cardinality(a) FROM t", "SELECT size(a) FROM t"),
+        # generate_series: scalar → sequence, table factor → explode
+        ("SELECT generate_series(1, 3)", "SELECT sequence(1, 3)"),
+        (
+            "SELECT * FROM generate_series(1, 10)",
+            "SELECT * FROM (SELECT col AS value FROM explode(sequence(1, 10)))",
+        ),
+        # interval-literal date_bin → micros-stride shim
+        (
+            "SELECT date_bin(INTERVAL '15 minutes', ts, o) FROM e",
+            "SELECT date_bin_micros(900000000, ts, o) FROM e",
+        ),
+        (
+            "SELECT date_bin(INTERVAL '1 hour 30 minutes', ts, o) FROM e",
+            "SELECT date_bin_micros(5400000000, ts, o) FROM e",
+        ),
+        # calendar strides can't be fixed-width micros — left untouched
+        (
+            "SELECT date_bin(INTERVAL '1 month', ts, o) FROM e",
+            "SELECT date_bin(INTERVAL '1 month', ts, o) FROM e",
+        ),
+        # seconds form passes through to the date_bin shim unchanged
+        (
+            "SELECT date_bin(900, ts, o) FROM e",
+            "SELECT date_bin(900, ts, o) FROM e",
+        ),
     ],
 )
 def test_translate_sql(src, expected):
     assert translate_sql(src) == expected
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("array_resize(make_array(1,2,3), 5, 0)", [1, 2, 3, 0, 0]),
+        ("array_resize(make_array(1,2,3), 2)", [1, 2]),
+        ("array_replace(make_array(1,2,1), 1, 9)", [9, 2, 1]),
+        ("array_replace_all(make_array(1,2,1), 1, 9)", [9, 2, 9]),
+        ("array_positions(make_array('a','b','a'), 'a')", [1, 3]),
+        ("array_positions(make_array(1,2), 3)", []),
+        ("array_ndims(make_array(make_array(1), make_array(2)))", 2),
+    ],
+)
+def test_array_editor_rewrites(spark, expr, expected):
+    """DataFusion array editors land as polymorphic HOF rewrites
+    (array_ndims as a generic Python UDF)."""
+    from csvb_spark.sql import execute_sql
+
+    assert execute_sql(spark, f"SELECT {expr} AS x").collect()[0].x == expected
 
 
 # --- shims at the SQL surface ---------------------------------------------------

@@ -28,7 +28,7 @@ SF_DIR = os.environ.get("CSVB_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 # Runs in a fresh interpreter: vanilla local[2] session, zero repo confs
 # at build time — exactly the driver's harness shape. q33 (events SQL
-# path) and x15 (events DataFrame path) both read the NANOS column.
+# path) and p15 (events DataFrame path) both read the NANOS column.
 _SCRIPT = r"""
 import sys
 sys.path.insert(0, {repo!r})
@@ -46,7 +46,7 @@ assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true"
 import __spark_entry__ as e
 
 qs = e.queries()
-for name in ("q33_time_bucket", "x15_sessionization"):
+for name in ("q33_time_bucket", "p15_sessionization"):
     rows = qs[name](spark, {sf_dir!r}).collect()
     assert rows, f"{{name}} returned no rows on a vanilla session"
     print(f"OK {{name}} rows={{len(rows)}}")
@@ -65,4 +65,4 @@ def test_vanilla_driver_session_reads_events_parquet():
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "OK q33_time_bucket" in proc.stdout
-    assert "OK x15_sessionization" in proc.stdout
+    assert "OK p15_sessionization" in proc.stdout
