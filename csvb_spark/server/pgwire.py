@@ -9,9 +9,18 @@ the subset that real clients use):
 - startup: SSLRequest → 'N'; StartupMessage → AuthenticationOk,
   ParameterStatus, BackendKeyData, ReadyForQuery
 - simple query ('Q'): RowDescription / DataRow* / CommandComplete
-- extended protocol: Parse/Bind/Describe/Execute/Sync handled
-  parameter-less (enough for many drivers' simple statements)
-- errors → ErrorResponse + ReadyForQuery (connection survives)
+- extended protocol (parameter-less statements): Parse/Bind plan the
+  statement once; Describe('S') answers ParameterDescription +
+  RowDescription (or NoData for row-less commands), Describe('P')
+  RowDescription; Execute streams DataRows and answers
+  PortalSuspended when a max_rows limit pauses the portal (the
+  iterator is kept, a later Execute on the portal resumes);
+  ReadyForQuery is sent ONLY on Sync; statements carrying bind
+  parameters are rejected with a clean error. After an error,
+  messages are discarded until Sync (spec behavior), and Sync closes
+  open portals (end of implicit transaction).
+- errors → ErrorResponse (+ ReadyForQuery in the simple path;
+  extended path waits for Sync — connection survives)
 
 Each connection runs on its own thread; ``spark.sql`` is thread-safe
 and queries from concurrent connections share the session the same
@@ -193,44 +202,156 @@ class _Conn:
             self._send_error("42601", str(e).split("\n")[0][:500])
         self._send(self._ready())
 
+    # --- extended-protocol helpers ---------------------------------------------
+    def _plan(self, sql: str):
+        """Build the DataFrame for a statement exactly once. Lazy for
+        queries (schema only); Spark runs DDL commands eagerly at plan
+        time, so plan-once also guarantees a command never runs twice
+        across Describe/Bind/Execute."""
+        from csvb_spark.sql import execute_sql
+
+        sql = sql.strip().rstrip(";").strip()
+        if not sql:
+            return None
+        return execute_sql(self.spark, sql)
+
+    def _ext_error(self, code: str, message: str) -> None:
+        """Error inside the extended flow: report, then discard
+        messages until Sync (no ReadyForQuery here — 'Z' only ever
+        follows Sync)."""
+        self._send_error(code, message)
+        self._skip_to_sync = True
+
+    def _describe_df(self, df) -> bytes:
+        return self._row_description(df) if df is not None and df.columns else _msg(b"n")
+
     # --- main loop ------------------------------------------------------------
     def serve(self) -> None:
         if not self.handshake():
             return
-        stmt_sql: dict[str, str] = {}
-        portal_sql: dict[str, str] = {}
+        stmts: dict[str, tuple[str, object]] = {}  # name -> (sql, planned df | None)
+        portals: dict[str, dict] = {}  # name -> {df, it, sent}
+        self._skip_to_sync = False
         while True:
             tag = self._recv_exact(1)
             (length,) = struct.unpack("!I", self._recv_exact(4))
             body = self._recv_exact(length - 4)
             if tag == b"X":
                 return
+            if self._skip_to_sync and tag in (b"P", b"B", b"D", b"E", b"C", b"H"):
+                continue
             if tag == b"Q":
                 self._run_sql(body.rstrip(b"\x00").decode())
             elif tag == b"P":  # Parse: name, query, n param types
                 name, rest = body.split(b"\x00", 1)
                 query, _ = rest.split(b"\x00", 1)
-                stmt_sql[name.decode()] = query.decode()
+                stmts[name.decode()] = (query.decode(), None)
                 self._send(_msg(b"1"))  # ParseComplete
-            elif tag == b"B":  # Bind: portal, stmt, (params ignored)
+            elif tag == b"B":  # Bind: portal, stmt, fmts, params
                 portal, rest = body.split(b"\x00", 1)
-                stmt, _ = rest.split(b"\x00", 1)
-                portal_sql[portal.decode()] = stmt_sql.get(stmt.decode(), "")
+                stmt, rest = rest.split(b"\x00", 1)
+                (nfmt,) = struct.unpack("!h", rest[:2])
+                rest = rest[2 + 2 * nfmt :]
+                (nparams,) = struct.unpack("!h", rest[:2])
+                if nparams:
+                    self._ext_error(
+                        "0A000", "bind parameters are not supported; inline literals"
+                    )
+                    continue
+                if stmt.decode() not in stmts:
+                    self._ext_error("26000", f"unknown statement {stmt.decode()!r}")
+                    continue
+                sql, df = stmts[stmt.decode()]
+                try:
+                    if df is None:
+                        df = self._plan(sql)
+                        stmts[stmt.decode()] = (sql, df)
+                except Exception as e:  # noqa: BLE001
+                    self._ext_error("42601", str(e).split("\n")[0][:500])
+                    continue
+                portals[portal.decode()] = {"df": df, "it": None, "sent": 0}
                 self._send(_msg(b"2"))  # BindComplete
-            elif tag == b"D":  # Describe — defer row description to Execute
-                self._send(_msg(b"n"))  # NoData (clients re-read desc on Execute)
+            elif tag == b"D":  # Describe: 'S'+name or 'P'+name
+                kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
+                if kind == b"S":
+                    if name not in stmts:
+                        self._ext_error("26000", f"unknown statement {name!r}")
+                        continue
+                    sql, df = stmts[name]
+                    try:
+                        if df is None:
+                            df = self._plan(sql)
+                            stmts[name] = (sql, df)
+                    except Exception as e:  # noqa: BLE001
+                        self._ext_error("42601", str(e).split("\n")[0][:500])
+                        continue
+                    # no-parameter statements only (enforced at Bind)
+                    self._send(_msg(b"t", struct.pack("!h", 0)))
+                    self._send(self._describe_df(df))
+                elif kind == b"P":
+                    if name not in portals:
+                        self._ext_error("34000", f"unknown portal {name!r}")
+                        continue
+                    self._send(self._describe_df(portals[name]["df"]))
+                else:
+                    self._ext_error("08P01", f"bad describe kind {kind!r}")
             elif tag == b"E":  # Execute: portal, max rows
                 portal, rest = body.split(b"\x00", 1)
                 (max_rows,) = struct.unpack("!I", rest[:4])
-                sql = portal_sql.get(portal.decode(), "")
-                self._run_sql(sql, max_rows or None)
-            elif tag == b"S":  # Sync
+                st = portals.get(portal.decode())
+                if st is None:
+                    self._ext_error("34000", f"unknown portal {portal.decode()!r}")
+                    continue
+                self._execute_portal(st, max_rows or None)
+            elif tag == b"C":  # Close: 'S'+name or 'P'+name
+                kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
+                (stmts if kind == b"S" else portals).pop(name, None)
+                self._send(_msg(b"3"))  # CloseComplete
+            elif tag == b"S":  # Sync — end of implicit transaction
+                portals.clear()
+                self._skip_to_sync = False
                 self._send(self._ready())
-            elif tag == b"H":  # Flush
+            elif tag == b"H":  # Flush — output is sent eagerly already
                 pass
             else:
-                self._send_error("0A000", f"unsupported message {tag!r}")
-                self._send(self._ready())
+                self._ext_error("0A000", f"unsupported message {tag!r}")
+
+    def _execute_portal(self, st: dict, max_rows: int | None) -> None:
+        """Stream a bound portal: DataRow* then CommandComplete, or
+        PortalSuspended when max_rows pauses it (iterator kept so a
+        later Execute resumes where this one stopped)."""
+        df = st["df"]
+        if df is None:  # empty statement
+            self._send(_msg(b"I"))
+            return
+        try:
+            if st["it"] is None:
+                st["it"] = iter(df.toLocalIterator()) if df.columns else iter(())
+            ncols = len(df.columns)
+            out = b""
+            sent_this_call = 0
+            for row in st["it"]:
+                vals = b""
+                for v in tuple(row):
+                    t = _pg_text(v)
+                    if t is None:
+                        vals += struct.pack("!i", -1)
+                    else:
+                        vals += struct.pack("!i", len(t)) + t
+                out += _msg(b"D", struct.pack("!h", ncols) + vals)
+                st["sent"] += 1
+                sent_this_call += 1
+                if len(out) > 1 << 20:
+                    self._send(out)
+                    out = b""
+                if max_rows and sent_this_call >= max_rows:
+                    self._send(out + _msg(b"s"))  # PortalSuspended
+                    return
+            self._send(out + _msg(b"C", _cstr(f"SELECT {st['sent']}")))
+            st["it"] = iter(())  # exhausted: a re-Execute completes with 0 rows
+        except Exception as e:  # noqa: BLE001
+            log.warning("execute failed: %s", e)
+            self._ext_error("42601", str(e).split("\n")[0][:500])
 
 
 class PgWireServer:

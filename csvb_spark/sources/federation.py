@@ -218,6 +218,34 @@ def read_shard_pg(
     return work.mapInPandas(fetch, schema=schema)
 
 
+def _precheck_all_shards(tables: list[VirtualTable]) -> None:
+    """DNS/TCP/SELECT-1 precheck of EVERY shard before any scan is
+    planned (reference postgres_pool.rs:103-169 runs the same checks
+    when a connection enters the bb8 pool). A dead shard fails here in
+    ~2s with every unreachable address listed, instead of failing one
+    at a time mid-registration; the validated connections are pooled,
+    so none of this work is thrown away."""
+    from csvb_spark.sources.pgclient import ShardUnreachable, precheck_shard
+
+    dead: list[str] = []
+    for vt in tables:
+        for addr in vt.shard_addrs:
+            p = parse_postgres_conn_str(addr)
+            try:
+                precheck_shard(
+                    p["host"],
+                    int(p.get("port", "5432")),
+                    user=p.get("user", "csvb"),
+                    database=p.get("db", "csvb"),
+                )
+            except ShardUnreachable as e:
+                dead.append(f"{vt.name}: {addr} ({e})")
+    if dead:
+        raise ShardUnreachable(
+            "unreachable shard(s):\n  " + "\n  ".join(dead)
+        )
+
+
 def add_federated_tables(
     spark: SparkSession,
     tables: list[VirtualTable],
@@ -233,6 +261,8 @@ def add_federated_tables(
     """
     if transport == "auto":
         transport = "jdbc" if jdbc_driver_available(spark) else "pgwire"
+    if transport != "jdbc":
+        _precheck_all_shards(tables)
     out: dict[str, DataFrame] = {}
     for vt in tables:
         if transport == "jdbc":

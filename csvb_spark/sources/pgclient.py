@@ -1,4 +1,5 @@
-"""Minimal PostgreSQL simple-protocol client (stdlib sockets only).
+"""Minimal PostgreSQL simple-protocol client (stdlib sockets only),
+with per-process connection pooling and liveness prechecks.
 
 Client counterpart of ``csvb_spark.server.pgwire`` — used by the
 federation layer when no JDBC driver jar is available: the schema
@@ -8,6 +9,16 @@ query at :120), and each shard scan ships a pushed-down SQL string to
 the shard (reference scan-to-SQL compilation,
 third_party/postgres_provider/src/lib.rs:45-52).
 
+Pooling parity (reference third_party/postgres_provider/src/
+postgres_pool.rs:103-169): connections are reused per
+(host, port, user, database) with a bounded pool (10, the reference's
+bb8 default), every NEW connection passes a DNS/TCP precheck with a
+short timeout plus a ``SELECT 1`` probe before entering service, and a
+dead shard therefore fails in ~2s with a clean error instead of
+timing out mid-scan. The pool is per process — the driver process and
+each Spark Python worker hold their own (workers are reused across
+tasks, so executor-side scans amortize the handshake too).
+
 Protocol reference: PostgreSQL docs "Frontend/Backend Protocol" v3
 (public documentation). Text result format only.
 """
@@ -16,6 +27,10 @@ from __future__ import annotations
 
 import socket
 import struct
+import threading
+
+POOL_SIZE = 10  # reference bb8 pool size, postgres_pool.rs:103-169
+PRECHECK_TIMEOUT = 2.0  # DNS + TCP connect budget for a dead shard
 
 # pg type OID → (spark type name, python caster); mirrors the subset
 # the pgwire server emits (csvb_spark/server/pgwire.py:_PG_OIDS).
@@ -34,58 +49,58 @@ OID_SPARK = {
 }
 
 
-def pg_simple_query(
-    host: str,
-    port: int,
-    sql: str,
-    user: str = "csvb",
-    database: str = "csvb",
-    timeout: float = 120.0,
-) -> tuple[list[tuple[str, int]], list[list[str | None]]]:
-    """Run one simple-protocol query; return (columns, text rows).
+class ShardUnreachable(RuntimeError):
+    """DNS/TCP/probe precheck failed — raised before any scan work."""
 
-    columns = [(name, type_oid)]; row values are pg text format
-    (None for SQL NULL). Raises RuntimeError on ErrorResponse.
-    """
-    sock = socket.create_connection((host, port), timeout=timeout)
-    buf = b""
 
-    def recv_exact(n: int) -> bytes:
-        nonlocal buf
-        while len(buf) < n:
-            chunk = sock.recv(65536)
-            if not chunk:
-                raise ConnectionError("server closed")
-            buf += chunk
-        out, rest = buf[:n], buf[n:]
-        buf = rest
-        return out
+class _PgConn:
+    """One live simple-protocol connection (startup already done)."""
 
-    def read_msg() -> tuple[bytes, bytes]:
-        tag = recv_exact(1)
-        (length,) = struct.unpack("!I", recv_exact(4))
-        return tag, recv_exact(length - 4)
-
-    try:
+    def __init__(self, host: str, port: int, user: str, database: str, timeout: float):
+        self.key = (host, port, user, database)
+        # precheck 1+2: DNS resolve + TCP connect on a short budget
+        try:
+            self.sock = socket.create_connection((host, port), timeout=PRECHECK_TIMEOUT)
+        except OSError as e:
+            raise ShardUnreachable(
+                f"shard {host}:{port} unreachable ({e.__class__.__name__}: {e})"
+            ) from e
+        self.sock.settimeout(timeout)
+        self.buf = b""
         params = (
             b"user\x00" + user.encode() + b"\x00"
             b"database\x00" + database.encode() + b"\x00\x00"
         )
-        sock.sendall(struct.pack("!II", 8 + len(params), 196608) + params)
+        self.sock.sendall(struct.pack("!II", 8 + len(params), 196608) + params)
         while True:  # drain startup: R/S/K then Z
-            tag, body = read_msg()
+            tag, body = self._read_msg()
             if tag == b"E":
                 raise RuntimeError(_error_text(body))
             if tag == b"Z":
                 break
 
+    def _recv_exact(self, n: int) -> bytes:
+        while len(self.buf) < n:
+            chunk = self.sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("server closed")
+            self.buf += chunk
+        out, self.buf = self.buf[:n], self.buf[n:]
+        return out
+
+    def _read_msg(self) -> tuple[bytes, bytes]:
+        tag = self._recv_exact(1)
+        (length,) = struct.unpack("!I", self._recv_exact(4))
+        return tag, self._recv_exact(length - 4)
+
+    def query(self, sql: str) -> tuple[list[tuple[str, int]], list[list[str | None]]]:
         q = sql.encode() + b"\x00"
-        sock.sendall(b"Q" + struct.pack("!I", 4 + len(q)) + q)
+        self.sock.sendall(b"Q" + struct.pack("!I", 4 + len(q)) + q)
         cols: list[tuple[str, int]] = []
         rows: list[list[str | None]] = []
         err: str | None = None
         while True:
-            tag, body = read_msg()
+            tag, body = self._read_msg()
             if tag == b"T":
                 (n,) = struct.unpack("!h", body[:2])
                 off = 2
@@ -114,14 +129,114 @@ def pg_simple_query(
             elif tag == b"Z":
                 break
         if err is not None:
+            # protocol is re-synced at Z; the connection stays usable
             raise RuntimeError(err)
         return cols, rows
-    finally:
+
+    def probe(self) -> None:
+        """Liveness probe before entering the pool (SELECT 1, reference
+        postgres_pool.rs is_valid)."""
+        _, rows = self.query("SELECT 1")
+        if not rows:
+            raise ShardUnreachable(f"shard {self.key[0]}:{self.key[1]} failed probe")
+
+    def close(self) -> None:
         try:
-            sock.sendall(b"X" + struct.pack("!I", 4))
+            self.sock.sendall(b"X" + struct.pack("!I", 4))
         except OSError:
             pass
-        sock.close()
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+
+class _Pool:
+    """Per-process pool state. This module is pickled BY VALUE into
+    executor closures (see federation.read_shard_pg); sockets and
+    locks can't cross the process boundary, so unpickling yields a
+    fresh empty pool in the worker — exactly the semantics we want."""
+
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.conns: dict[tuple, list[_PgConn]] = {}
+
+    def __reduce__(self):
+        return (_Pool, ())
+
+
+_POOL = _Pool()
+
+
+def _checkout(host: str, port: int, user: str, database: str, timeout: float) -> _PgConn:
+    key = (host, port, user, database)
+    with _POOL.lock:
+        stack = _POOL.conns.get(key)
+        if stack:
+            return stack.pop()
+    conn = _PgConn(host, port, user, database, timeout)
+    conn.probe()
+    return conn
+
+
+def _checkin(conn: _PgConn) -> None:
+    with _POOL.lock:
+        stack = _POOL.conns.setdefault(conn.key, [])
+        if len(stack) < POOL_SIZE:
+            stack.append(conn)
+            return
+    conn.close()
+
+
+def pool_stats() -> dict[tuple, int]:
+    """Idle connections per (host, port, user, database) — test hook."""
+    with _POOL.lock:
+        return {k: len(v) for k, v in _POOL.conns.items() if v}
+
+
+def precheck_shard(
+    host: str, port: int, user: str = "csvb", database: str = "csvb"
+) -> None:
+    """Fail-fast DNS/TCP/SELECT-1 check; the validated connection is
+    pooled so the check is not wasted work."""
+    _checkin(_checkout(host, port, user, database, timeout=PRECHECK_TIMEOUT * 2))
+
+
+def pg_simple_query(
+    host: str,
+    port: int,
+    sql: str,
+    user: str = "csvb",
+    database: str = "csvb",
+    timeout: float = 120.0,
+) -> tuple[list[tuple[str, int]], list[list[str | None]]]:
+    """Run one simple-protocol query on a pooled connection; return
+    (columns, text rows).
+
+    columns = [(name, type_oid)]; row values are pg text format
+    (None for SQL NULL). Raises RuntimeError on ErrorResponse,
+    ShardUnreachable if no connection can be established. A pooled
+    connection that went stale is discarded and retried once on a
+    fresh one.
+    """
+    for attempt in (0, 1):
+        conn = _checkout(host, port, user, database, timeout)
+        try:
+            result = conn.query(sql)
+        except ShardUnreachable:
+            conn.close()
+            raise
+        except (ConnectionError, OSError):
+            conn.close()
+            if attempt:
+                raise
+            continue  # stale pooled socket — retry on a fresh one
+        except RuntimeError:
+            _checkin(conn)  # server error; protocol re-synced at Z
+            raise
+        _checkin(conn)
+        return result
+    raise AssertionError("unreachable")
 
 
 def _error_text(body: bytes) -> str:

@@ -143,6 +143,74 @@ def test_extended_protocol(conn):
     assert _data_rows(msgs) == [[b"42"]]
 
 
+def _send(sock, tag: bytes, body: bytes) -> None:
+    sock.sendall(tag + struct.pack("!I", len(body) + 4) + body)
+
+
+def test_extended_describe_and_suspend(conn):
+    """Spec-shaped extended flow: Describe('S') answers
+    ParameterDescription + RowDescription, Execute with a row limit
+    suspends the portal ('s') and a later Execute resumes it, and
+    ReadyForQuery arrives only after Sync."""
+    sock, buf = conn
+    sql = b"SELECT id FROM range(5) ORDER BY id"
+    _send(sock, b"P", b"st1\x00" + sql + b"\x00" + struct.pack("!h", 0))
+    _send(sock, b"D", b"Sst1\x00")
+    _send(sock, b"B", b"po1\x00st1\x00" + struct.pack("!hhh", 0, 0, 0))
+    _send(sock, b"E", b"po1\x00" + struct.pack("!I", 2))  # max_rows=2
+    _send(sock, b"E", b"po1\x00" + struct.pack("!I", 0))  # resume, no limit
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    tags = [t for t, _ in msgs]
+    # 1=ParseComplete, t=ParameterDescription, T=RowDescription,
+    # 2=BindComplete, D×2, s=PortalSuspended, D×3, C, Z
+    assert tags == [b"1", b"t", b"T", b"2", b"D", b"D", b"s", b"D", b"D", b"D", b"C", b"Z"]
+    assert _data_rows(msgs) == [[b"0"], [b"1"], [b"2"], [b"3"], [b"4"]]
+    # Z only once, at the very end (after Sync)
+    assert tags.count(b"Z") == 1
+
+
+def test_extended_describe_portal(conn):
+    sock, buf = conn
+    _send(sock, b"P", b"\x00SELECT 1 AS one\x00" + struct.pack("!h", 0))
+    _send(sock, b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    _send(sock, b"D", b"P\x00")
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    tags = [t for t, _ in msgs]
+    assert tags == [b"1", b"2", b"T", b"D", b"C", b"Z"]
+
+
+def test_extended_error_skips_to_sync(conn):
+    """An error inside the extended flow discards messages until Sync;
+    the connection then recovers cleanly."""
+    sock, buf = conn
+    _send(sock, b"P", b"\x00SELECT !! bad syntax\x00" + struct.pack("!h", 0))
+    _send(sock, b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    tags = [t for t, _ in msgs]
+    assert b"E" in tags and tags[-1] == b"Z"
+    assert b"D" not in tags  # Bind/Execute after the error were skipped
+    msgs = _simple_query(sock, buf, "SELECT 3 AS three")
+    assert _data_rows(msgs) == [[b"3"]]
+
+
+def test_extended_rejects_bind_params(conn):
+    sock, buf = conn
+    _send(sock, b"P", b"\x00SELECT $1\x00" + struct.pack("!h", 0))
+    # Bind with one parameter value
+    body = b"\x00\x00" + struct.pack("!hh", 0, 1) + struct.pack("!i", 1) + b"7"
+    body += struct.pack("!h", 0)
+    _send(sock, b"B", body)
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    tags = [t for t, _ in msgs]
+    assert b"E" in tags and tags[-1] == b"Z"
+
+
 # --- federation over the pgwire transport (no JDBC jar in this env) ----------------
 @pytest.fixture()
 def two_shards(spark):
@@ -190,6 +258,66 @@ def test_federate_pgwire_pushdown(spark, two_shards):
     assert df.columns == ["id", "v"]
     assert len(rows) == 10
     assert all(r.id >= 200 and r.v == r.id * 2 for r in rows)
+
+
+def test_pgclient_pools_connections(pg_server):
+    """Sequential queries to one shard reuse a single pooled
+    connection (reference postgres_pool.rs:103-169 behavior)."""
+    from csvb_spark.sources import pgclient
+
+    key = ("127.0.0.1", pg_server.port, "u", "db")
+    with pgclient._POOL.lock:
+        pgclient._POOL.conns.pop(key, None)
+    for _ in range(3):
+        cols, rows = pgclient.pg_simple_query(
+            "127.0.0.1", pg_server.port, "SELECT 11 AS x", user="u", database="db"
+        )
+        assert rows == [["11"]]
+    # 3 queries, 1 connection: each checkout drains the pool, each
+    # checkin returns the same conn — never more than one idle
+    assert pgclient.pool_stats().get(key) == 1
+
+
+def test_pgclient_recovers_from_stale_pooled_conn(pg_server):
+    from csvb_spark.sources import pgclient
+
+    key = ("127.0.0.1", pg_server.port, "u2", "db")
+    _, rows = pgclient.pg_simple_query(
+        "127.0.0.1", pg_server.port, "SELECT 1 AS x", user="u2", database="db"
+    )
+    assert rows == [["1"]]
+    with pgclient._POOL.lock:
+        (conn,) = pgclient._POOL.conns[key]
+    conn.sock.close()  # simulate server-side drop while idle
+    _, rows = pgclient.pg_simple_query(
+        "127.0.0.1", pg_server.port, "SELECT 2 AS x", user="u2", database="db"
+    )
+    assert rows == [["2"]]
+
+
+def test_dead_shard_fails_fast(spark):
+    """A shard nobody listens on fails the precheck in ~2s with every
+    dead address named, before any scan is attempted."""
+    import time
+
+    from csvb_spark.sources.federation import VirtualTable, add_federated_tables
+    from csvb_spark.sources.pgclient import ShardUnreachable
+
+    # grab a port that is closed (bind+close → nothing listens)
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    dead_port = s.getsockname()[1]
+    s.close()
+
+    t0 = time.time()
+    with pytest.raises(ShardUnreachable) as ei:
+        add_federated_tables(
+            spark,
+            [VirtualTable("tbl", [f"postgresql://u@127.0.0.1:{dead_port}/db"])],
+            transport="pgwire",
+        )
+    assert time.time() - t0 < 10
+    assert str(dead_port) in str(ei.value)
 
 
 def test_federate_pgwire_schema_mismatch(spark, two_shards):
