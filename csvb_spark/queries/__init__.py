@@ -22,6 +22,13 @@ returned name-sorted):
 
 Round-1 → round-2 rename map for continuity: x01→p01 … x09→p09,
 x14→p14, x15→p15, x16→p16, x17→p17; x10-x13, x18 unchanged.
+
+Round-3 consolidation (so EVERY oracle-bearing entry sorts inside the
+driver's 50-entry grading window — q38-q50 had never been
+driver-graded): q45→q15, q17+q18→q16, q22+q23→q21, q49→q28,
+q47→q30, q48→q36, q38+q39→q37, q43+q44→q42, q41→x41 (rows-only).
+Result: 49 oracle entries + p09 (rows-only flagship) = exactly the
+50-entry window; the 6 x* rows-only entries sort after it.
 """
 
 from __future__ import annotations

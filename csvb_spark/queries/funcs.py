@@ -18,9 +18,13 @@ def _q(name: str, **kw) -> None:
     QUERIES[name] = Query(**kw)
 
 
-# --- string functions -------------------------------------------------
-_SQL_STRINGS = """
-SELECT p_partkey,
+# --- string functions (part 1 + part 2 merged into one graded entry) ---
+# The first 21 columns are dialect-shared; the rest (instr/strpos,
+# chr, find_in_set, substring_index, overlay, octet/bit_length,
+# initcap) diverge between Spark and DuckDB, so the two sides are
+# written separately with IDENTICAL aliases (merged former
+# q47_string_functions_2).
+_SHARED_STRINGS = """
        length(p_name) AS name_len,
        upper(p_brand) AS brand_up,
        lower(p_type) AS type_lo,
@@ -40,11 +44,50 @@ SELECT p_partkey,
        rtrim('x  ') AS rtrimmed,
        position('#' IN p_brand) AS hash_pos,
        translate(p_brand, '#', '-') AS brand_dash,
-       md5(p_name) AS name_md5
+       md5(p_name) AS name_md5,
+"""
+_SPARK_STRINGS = f"""
+SELECT p_partkey,
+{_SHARED_STRINGS}
+       initcap(p_type) AS type_title,
+       overlay(p_brand PLACING 'XX' FROM 2 FOR 2) AS brand_ov,
+       instr(p_name, 'a') AS a_pos,
+       substring_index(p_type, ' ', 2) AS type_first2,
+       chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+       octet_length(p_name) AS name_octets,
+       bit_length(p_brand) AS brand_bits,
+       contains(p_name, 'an') AS has_an,
+       startswith(p_type, 'STANDARD') AS is_std,
+       endswith(p_brand, '5') AS ends_5,
+       find_in_set(p_brand, 'Brand#11,Brand#23,Brand#35') AS brand_slot,
+       char_length(p_name) AS name_chars,
+       concat(p_brand, ':', CAST(p_size AS STRING)) AS brand_size
 FROM part
 WHERE p_partkey < 120
 """
-_q("q30_string_functions", spark=sql_query(_SQL_STRINGS), oracle=_SQL_STRINGS)
+_DUCK_STRINGS = f"""
+SELECT p_partkey,
+{_SHARED_STRINGS}
+       -- no initcap in DuckDB: capitalize each lower-cased word
+       array_to_string(list_transform(string_split(lower(p_type), ' '),
+                       x -> concat(upper(x[1:1]), x[2:])), ' ') AS type_title,
+       concat(substr(p_brand, 1, 1), 'XX', substr(p_brand, 4)) AS brand_ov,
+       CAST(strpos(p_name, 'a') AS INT) AS a_pos,
+       CASE WHEN len(string_split(p_type, ' ')) <= 2 THEN p_type
+            ELSE array_to_string(string_split(p_type, ' ')[1:2], ' ') END AS type_first2,
+       chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
+       CAST(octet_length(ENCODE(p_name)) AS INT) AS name_octets,
+       CAST(octet_length(ENCODE(p_brand)) * 8 AS INT) AS brand_bits,
+       contains(p_name, 'an') AS has_an,
+       starts_with(p_type, 'STANDARD') AS is_std,
+       ends_with(p_brand, '5') AS ends_5,
+       CAST(coalesce(list_position(string_split('Brand#11,Brand#23,Brand#35', ','), p_brand), 0) AS INT) AS brand_slot,
+       CAST(length(p_name) AS INT) AS name_chars,
+       concat(p_brand, ':', CAST(p_size AS STRING)) AS brand_size
+FROM part
+WHERE p_partkey < 120
+"""
+_q("q30_string_functions", spark=sql_query(_SPARK_STRINGS), oracle=_DUCK_STRINGS)
 
 # --- math functions ----------------------------------------------------
 _SQL_MATH = """
@@ -163,8 +206,8 @@ SELECT doc_id,
        aggregate(sequence(1, CAST(n_chars % 10 AS INT) + 1), 0L, (acc, x) -> acc + x)
          AS tri_sum,
        size(sequence(1, CAST(n_chars % 10 AS INT) + 1)) AS seq_len,
-       array_repeat(lang, 2) AS lang2,
-       flatten(array(array(lang), array(source))) AS lang_src
+       array_join(array_repeat(lang, 2), ',') AS lang2,
+       array_join(flatten(array(array(lang), array(source))), ',') AS lang_src
 FROM documents
 WHERE doc_id < 200
 """
@@ -185,8 +228,8 @@ SELECT doc_id,
                           ['data', 'spark', 'query'])) AS kw_hits,
        CAST(list_sum(generate_series(1, CAST(n_chars % 10 AS INT) + 1)) AS BIGINT) AS tri_sum,
        len(generate_series(1, CAST(n_chars % 10 AS INT) + 1)) AS seq_len,
-       [lang, lang] AS lang2,
-       flatten([[lang], [source]]) AS lang_src
+       array_to_string([lang, lang], ',') AS lang2,
+       array_to_string(flatten([[lang], [source]]), ',') AS lang_src
 FROM documents
 WHERE doc_id < 200
 """
@@ -213,41 +256,52 @@ WHERE doc_id < 100
 """
 _q("q35_regex_functions", spark=sql_query(_SPARK_REGEX), oracle=_DUCK_REGEX)
 
-# --- conditional / null handling -------------------------------------------
-_SPARK_CONDITIONAL = """
-SELECT s_suppkey,
+# --- conditional / null handling + CAST/TRY_CAST gauntlet --------------------
+# Merged former q48_casts into this entry (SURVEY §2.B.2): the cast
+# family (DECIMAL / STRING / SMALLINT→INT / BOOLEAN / typed NULL /
+# TRY_CAST failure→NULL) re-targeted at supplier columns. Only NVL2
+# diverges (DuckDB lacks it → CASE emulation).
+_SHARED_CONDITIONAL = """
        COALESCE(NULLIF(s_name, ''), 'unnamed') AS name_or_default,
        NULLIF(s_nationkey, 0) AS nk_nullable,
        IFNULL(NULLIF(s_nationkey, 0), -1) AS nk_filled,
-       NVL2(NULLIF(s_nationkey, 0), 'has_nation', 'no_nation') AS nk_flag,
        GREATEST(s_acctbal, 0.0) AS bal_floor,
        CASE WHEN s_acctbal > 5000 THEN 'rich'
             WHEN s_acctbal > 1000 THEN 'ok'
             ELSE 'thin' END AS bal_band,
        s_acctbal IS NOT NULL AS has_bal,
-       TRY_CAST(s_name AS DOUBLE) AS name_as_num
+       TRY_CAST(s_name AS DOUBLE) AS name_as_num,
+       CAST(s_acctbal AS DECIMAL(18,2)) AS bal_dec,
+       CAST(s_suppkey AS STRING) AS key_str,
+       CAST(CAST(s_suppkey AS SMALLINT) AS INT) AS key_i16,
+       CAST(s_suppkey % 2 = 0 AS BOOLEAN) AS is_even,
+       TRY_CAST(right(s_name, 1) AS INT) AS last_digit,
+       TRY_CAST(substr(s_name, 1, 3) AS INT) AS name_int_null,
+       CAST(NULL AS BIGINT) AS always_null,
+"""
+_SPARK_CONDITIONAL = f"""
+SELECT s_suppkey,
+{_SHARED_CONDITIONAL}
+       NVL2(NULLIF(s_nationkey, 0), 'has_nation', 'no_nation') AS nk_flag
 FROM supplier
 """
-_DUCK_CONDITIONAL = """
+_DUCK_CONDITIONAL = f"""
 SELECT s_suppkey,
-       COALESCE(NULLIF(s_name, ''), 'unnamed') AS name_or_default,
-       NULLIF(s_nationkey, 0) AS nk_nullable,
-       IFNULL(NULLIF(s_nationkey, 0), -1) AS nk_filled,
+{_SHARED_CONDITIONAL}
        CASE WHEN NULLIF(s_nationkey, 0) IS NOT NULL
-            THEN 'has_nation' ELSE 'no_nation' END AS nk_flag,
-       GREATEST(s_acctbal, 0.0) AS bal_floor,
-       CASE WHEN s_acctbal > 5000 THEN 'rich'
-            WHEN s_acctbal > 1000 THEN 'ok'
-            ELSE 'thin' END AS bal_band,
-       s_acctbal IS NOT NULL AS has_bal,
-       TRY_CAST(s_name AS DOUBLE) AS name_as_num
+            THEN 'has_nation' ELSE 'no_nation' END AS nk_flag
 FROM supplier
 """
 _q("q36_conditional_null", spark=sql_query(_SPARK_CONDITIONAL), oracle=_DUCK_CONDITIONAL)
 
-# --- aggregate variety -------------------------------------------------------
-_SQL_AGG_VARIETY = """
-SELECT event_type,
+# --- aggregate variety + ordered string_agg/listagg + array_agg --------------
+# Merged former q38_string_agg / q39_array_agg into this entry: the
+# core variety aggs are dialect-shared; ordered listagg (Spark) vs
+# string_agg (DuckDB) and sort_array(array_agg) vs list_sort diverge,
+# so the sides are written separately with identical aliases. The
+# array_agg column is truncated to 5 sorted ids and string-joined —
+# the driver harness cannot canonicalize list-typed outputs.
+_SHARED_AGG_VARIETY = """
        COUNT(*) AS n,
        COUNT(DISTINCT user_id) AS n_users,
        MIN(value) AS vmin,
@@ -259,47 +313,38 @@ SELECT event_type,
        BOOL_OR(value > 400) AS any_big,
        BIT_AND(user_id) AS uid_bit_and,
        BIT_OR(user_id) AS uid_bit_or,
-       BIT_XOR(user_id) AS uid_bit_xor
+       BIT_XOR(user_id) AS uid_bit_xor,
+"""
+# listagg(DISTINCT) + another DISTINCT agg in one Aggregate trips a
+# Spark 4.1 RewriteDistinctAggregates ClassCastException (SortOrder
+# rewrite), so the ordered listagg runs in its own aggregation over
+# pre-deduped rows and joins back on the (tiny) group key.
+_SPARK_AGG_VARIETY = f"""
+WITH la AS (
+  SELECT event_type,
+         listagg(ub, ',') WITHIN GROUP (ORDER BY ub) AS uid_buckets_csv
+  FROM (SELECT DISTINCT event_type, CAST(user_id % 10 AS STRING) AS ub FROM events) d
+  GROUP BY event_type
+), core AS (
+  SELECT event_type,
+{_SHARED_AGG_VARIETY}
+         array_join(slice(sort_array(array_agg(event_id)), 1, 5), ',') AS first5_ids
+  FROM events
+  GROUP BY event_type
+)
+SELECT core.*, la.uid_buckets_csv
+FROM core JOIN la USING (event_type)
+"""
+_DUCK_AGG_VARIETY = f"""
+SELECT event_type,
+{_SHARED_AGG_VARIETY}
+       string_agg(DISTINCT CAST(user_id % 10 AS VARCHAR), ','
+                  ORDER BY CAST(user_id % 10 AS VARCHAR)) AS uid_buckets_csv,
+       array_to_string(list_sort(array_agg(event_id))[1:5], ',') AS first5_ids
 FROM events
 GROUP BY event_type
 """
-_q("q37_agg_variety", spark=sql_query(_SQL_AGG_VARIETY), oracle=_SQL_AGG_VARIETY)
-
-# --- ordered string_agg / listagg ----------------------------------------------
-_SPARK_STRING_AGG = """
-SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
-       listagg(DISTINCT event_type, ',') WITHIN GROUP (ORDER BY event_type) AS types_csv,
-       COUNT(*) AS n
-FROM events
-GROUP BY user_id % 10
-"""
-_DUCK_STRING_AGG = """
-SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
-       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
-       COUNT(*) AS n
-FROM events
-GROUP BY user_id % 10
-"""
-_q("q38_string_agg", spark=sql_query(_SPARK_STRING_AGG), oracle=_DUCK_STRING_AGG)
-
-# --- array_agg ordered ------------------------------------------------------------
-_SPARK_ARRAY_AGG = """
-SELECT o_custkey,
-       sort_array(array_agg(o_orderkey)) AS order_keys,
-       COUNT(*) AS n_orders
-FROM orders
-WHERE o_custkey < 30
-GROUP BY o_custkey
-"""
-_DUCK_ARRAY_AGG = """
-SELECT o_custkey,
-       list_sort(array_agg(o_orderkey)) AS order_keys,
-       COUNT(*) AS n_orders
-FROM orders
-WHERE o_custkey < 30
-GROUP BY o_custkey
-"""
-_q("q39_array_agg", spark=sql_query(_SPARK_ARRAY_AGG), oracle=_DUCK_ARRAY_AGG)
+_q("q37_agg_variety", spark=sql_query(_SPARK_AGG_VARIETY), oracle=_DUCK_AGG_VARIETY)
 
 # --- statistical aggregates ---------------------------------------------------------
 # Exact decimal sums → identical IEEE arithmetic on both sides (see
@@ -343,60 +388,64 @@ SELECT l_returnflag,
 FROM lineitem
 GROUP BY l_returnflag
 """
-_q("q41_stats_native", spark=sql_query(_SQL_STATS_NATIVE), oracle=None)
+# Rows-only (engine-specific sketch/accumulation internals → no
+# cross-engine hash), so it carries the x prefix and sorts after the
+# driver's oracle-graded window.
+_q("x41_stats_native", spark=sql_query(_SQL_STATS_NATIVE), oracle=None)
 
-# --- struct / map construction & access -----------------------------------------------
-_SPARK_STRUCT = """
-SELECT named_struct('key', s_suppkey, 'bal', s_acctbal).key AS skey,
-       named_struct('key', s_suppkey, 'bal', s_acctbal).bal AS sbal,
-       map('suppkey', CAST(s_suppkey AS STRING), 'name', s_name)['name'] AS mname,
-       map_keys(map('a', 1, 'b', 2)) AS mkeys
+# --- construction gauntlet: struct/map + generate_series + crypto/encode --------
+# Merged former q42_struct_map / q43_generate_series / q44_crypto_encode
+# into one driver-graded entry. Branch outputs harmonized to
+# (src, id, d1, s1..s4); doubles stay numeric (double→string rendering
+# differs between engines), arrays are string-joined (driver harness
+# cannot canonicalize lists).
+_SPARK_CONSTRUCT = """
+SELECT 'struct' AS src,
+       CAST(named_struct('key', s_suppkey, 'bal', s_acctbal).key AS BIGINT) AS id,
+       named_struct('key', s_suppkey, 'bal', s_acctbal).bal AS d1,
+       map('suppkey', CAST(s_suppkey AS STRING), 'name', s_name)['name'] AS s1,
+       array_join(map_keys(map('a', 1, 'b', 2)), ',') AS s2,
+       '' AS s3, '' AS s4
 FROM supplier
 WHERE s_suppkey < 8
-"""
-_DUCK_STRUCT = """
-SELECT struct_pack(key := s_suppkey, bal := s_acctbal).key AS skey,
-       struct_pack(key := s_suppkey, bal := s_acctbal).bal AS sbal,
-       (MAP {'suppkey': CAST(s_suppkey AS STRING), 'name': s_name}['name'])[1] AS mname,
-       map_keys(MAP {'a': 1, 'b': 2}) AS mkeys
-FROM supplier
-WHERE s_suppkey < 8
-"""
-_q("q42_struct_map", spark=sql_query(_SPARK_STRUCT), oracle=_DUCK_STRUCT)
-
-# --- generate_series / range as table factor --------------------------------------------
-_SPARK_SERIES = """
-SELECT t.n, t.n * t.n AS n_sq
+UNION ALL
+SELECT 'series' AS src, CAST(t.n AS BIGINT) AS id, CAST(t.n * t.n AS DOUBLE) AS d1,
+       '' AS s1, '' AS s2, '' AS s3, '' AS s4
 FROM (SELECT explode(sequence(1, 50)) AS n) t
 WHERE t.n % 3 = 0
+UNION ALL
+SELECT 'crypto' AS src, CAST(doc_id AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS d1,
+       md5(text) AS s1,
+       sha2(text, 256) AS s2,
+       base64(encode(substr(text, 1, 12), 'UTF-8')) AS s3,
+       lower(hex(encode(substr(text, 1, 6), 'UTF-8'))) AS s4
+FROM documents
+WHERE doc_id < 50
 """
-_DUCK_SERIES = """
-SELECT CAST(t.n AS INT) AS n, CAST(t.n * t.n AS INT) AS n_sq
+_DUCK_CONSTRUCT = """
+SELECT 'struct' AS src,
+       CAST(struct_pack(key := s_suppkey, bal := s_acctbal).key AS BIGINT) AS id,
+       struct_pack(key := s_suppkey, bal := s_acctbal).bal AS d1,
+       (MAP {'suppkey': CAST(s_suppkey AS STRING), 'name': s_name}['name'])[1] AS s1,
+       array_to_string(map_keys(MAP {'a': 1, 'b': 2}), ',') AS s2,
+       '' AS s3, '' AS s4
+FROM supplier
+WHERE s_suppkey < 8
+UNION ALL
+SELECT 'series' AS src, CAST(t.n AS BIGINT) AS id, CAST(t.n * t.n AS DOUBLE) AS d1,
+       '' AS s1, '' AS s2, '' AS s3, '' AS s4
 FROM (SELECT unnest(generate_series(1, 50)) AS n) t
 WHERE t.n % 3 = 0
-"""
-_q("q43_generate_series", spark=sql_query(_SPARK_SERIES), oracle=_DUCK_SERIES)
-
-# --- crypto / encode ----------------------------------------------------------------------
-_SPARK_CRYPTO = """
-SELECT doc_id,
-       md5(text) AS h_md5,
-       sha2(text, 256) AS h_sha256,
-       base64(encode(substr(text, 1, 12), 'UTF-8')) AS b64,
-       lower(hex(encode(substr(text, 1, 6), 'UTF-8'))) AS hex6
+UNION ALL
+SELECT 'crypto' AS src, CAST(doc_id AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS d1,
+       md5(text) AS s1,
+       sha256(text) AS s2,
+       to_base64(ENCODE(substr(text, 1, 12))) AS s3,
+       lower(hex(ENCODE(substr(text, 1, 6)))) AS s4
 FROM documents
 WHERE doc_id < 50
 """
-_DUCK_CRYPTO = """
-SELECT doc_id,
-       md5(text) AS h_md5,
-       sha256(text) AS h_sha256,
-       to_base64(ENCODE(substr(text, 1, 12))) AS b64,
-       lower(hex(ENCODE(substr(text, 1, 6)))) AS hex6
-FROM documents
-WHERE doc_id < 50
-"""
-_q("q44_crypto_encode", spark=sql_query(_SPARK_CRYPTO), oracle=_DUCK_CRYPTO)
+_q("q42_construction_gauntlet", spark=sql_query(_SPARK_CONSTRUCT), oracle=_DUCK_CONSTRUCT)
 
 # --- q46: UNNEST / lateral explode → vocabulary top-k ------------------------------
 # DataFusion exposes UNNEST(array) (SURVEY §2.B.2 ⚠ → explode). The
@@ -426,68 +475,6 @@ _q(
     headline=True,
 )
 
-# --- q47: string functions, part 2 (rest of the §2.B.8 string family) ---------------
-# Spark and DuckDB diverge on several names (instr/strpos, chr, find_in_set,
-# substring_index), so the two sides are written separately with identical
-# aliases. find_in_set has no DuckDB builtin → list_position emulation.
-_SPARK_STRINGS2 = """
-SELECT p_partkey,
-       initcap(p_type) AS type_title,
-       overlay(p_brand PLACING 'XX' FROM 2 FOR 2) AS brand_ov,
-       instr(p_name, 'a') AS a_pos,
-       substring_index(p_type, ' ', 2) AS type_first2,
-       chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
-       octet_length(p_name) AS name_octets,
-       bit_length(p_brand) AS brand_bits,
-       contains(p_name, 'an') AS has_an,
-       startswith(p_type, 'STANDARD') AS is_std,
-       endswith(p_brand, '5') AS ends_5,
-       find_in_set(p_brand, 'Brand#11,Brand#23,Brand#35') AS brand_slot,
-       char_length(p_name) AS name_chars,
-       concat(p_brand, ':', CAST(p_size AS STRING)) AS brand_size
-FROM part
-WHERE p_partkey < 120
-"""
-_DUCK_STRINGS2 = """
-SELECT p_partkey,
-       -- no initcap in DuckDB: capitalize each lower-cased word
-       array_to_string(list_transform(string_split(lower(p_type), ' '),
-                       x -> concat(upper(x[1:1]), x[2:])), ' ') AS type_title,
-       concat(substr(p_brand, 1, 1), 'XX', substr(p_brand, 4)) AS brand_ov,
-       CAST(strpos(p_name, 'a') AS INT) AS a_pos,
-       CASE WHEN len(string_split(p_type, ' ')) <= 2 THEN p_type
-            ELSE array_to_string(string_split(p_type, ' ')[1:2], ' ') END AS type_first2,
-       chr(65 + CAST(p_partkey % 26 AS INT)) AS letter,
-       CAST(octet_length(ENCODE(p_name)) AS INT) AS name_octets,
-       CAST(octet_length(ENCODE(p_brand)) * 8 AS INT) AS brand_bits,
-       contains(p_name, 'an') AS has_an,
-       starts_with(p_type, 'STANDARD') AS is_std,
-       ends_with(p_brand, '5') AS ends_5,
-       CAST(coalesce(list_position(string_split('Brand#11,Brand#23,Brand#35', ','), p_brand), 0) AS INT) AS brand_slot,
-       CAST(length(p_name) AS INT) AS name_chars,
-       concat(p_brand, ':', CAST(p_size AS STRING)) AS brand_size
-FROM part
-WHERE p_partkey < 120
-"""
-_q("q47_string_functions_2", spark=sql_query(_SPARK_STRINGS2), oracle=_DUCK_STRINGS2)
-
-# --- q48: CAST / TRY_CAST gauntlet (SURVEY §2.B.2) ---------------------------------
-# Same text both engines: TRY_CAST returns NULL on failure in both.
-_SQL_CASTS = """
-SELECT o_orderkey,
-       CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
-       CAST(o_orderkey AS STRING) AS key_str,
-       CAST(o_orderdate AS DATE) AS od_date,
-       CAST(CAST(o_orderkey AS SMALLINT) AS INT) AS key_i16,
-       TRY_CAST(o_orderpriority AS INT) AS prio_int_null,
-       TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit,
-       CAST(o_orderkey % 2 = 0 AS BOOLEAN) AS is_even,
-       CAST(NULL AS BIGINT) AS always_null
-FROM orders
-WHERE o_orderkey < 400
-"""
-_q("q48_casts", spark=sql_query(_SQL_CASTS), oracle=_SQL_CASTS)
-
 # --- q50: DataFusion-dialect gauntlet through the translate layer ------------------
 # Written in the REFERENCE's dialect (generate_series as a table
 # factor, interval-literal date_bin, DataFusion array editors) and run
@@ -497,10 +484,10 @@ _q("q48_casts", spark=sql_query(_SQL_CASTS), oracle=_SQL_CASTS)
 # the fixed inputs).
 _DF_GAUNTLET = """
 SELECT g.value AS n,
-       array_resize(make_array(1, 2, 3), CAST(g.value AS INT), 0) AS resized,
-       array_replace(make_array(1, 2, 1, 2), 2, 9) AS rep_first,
-       array_replace_all(make_array(1, 2, 1, 2), 2, 9) AS rep_all,
-       array_positions(make_array(1, 2, 1, 2), CAST(g.value % 3 AS INT)) AS pos,
+       array_to_string(array_resize(make_array(1, 2, 3), CAST(g.value AS INT), 0), ',') AS resized,
+       array_to_string(array_replace(make_array(1, 2, 1, 2), 2, 9), ',') AS rep_first,
+       array_to_string(array_replace_all(make_array(1, 2, 1, 2), 2, 9), ',') AS rep_all,
+       array_to_string(array_positions(make_array(1, 2, 1, 2), CAST(g.value % 3 AS INT)), ',') AS pos,
        array_ndims(make_array(make_array(1, 2), make_array(3, 4))) AS ndims,
        date_bin(INTERVAL '15 minutes',
                 TIMESTAMP '2024-03-05 10:37:21',
@@ -510,13 +497,15 @@ FROM generate_series(1, 6) AS g
 """
 _DUCK_GAUNTLET = """
 SELECT CAST(g.value AS INT) AS n,
-       list_transform(generate_series(1, CAST(g.value AS INT)),
-                      i -> CASE WHEN i <= 3 THEN ([1, 2, 3])[i] ELSE 0 END) AS resized,
-       [1, 9, 1, 2] AS rep_first,
-       [1, 9, 1, 9] AS rep_all,
-       list_transform(list_filter(generate_series(1, 4),
+       array_to_string(list_transform(generate_series(1, CAST(g.value AS INT)),
+                      i -> CASE WHEN i <= 3 THEN ([1, 2, 3])[i] ELSE 0 END), ',') AS resized,
+       '1,9,1,2' AS rep_first,
+       '1,9,1,9' AS rep_all,
+       -- DuckDB array_to_string of an EMPTY list yields NULL (Spark
+       -- array_join yields '') — coalesce aligns the engines
+       COALESCE(array_to_string(list_transform(list_filter(generate_series(1, 4),
                                   i -> ([1, 2, 1, 2])[i] = g.value % 3),
-                      i -> CAST(i AS BIGINT)) AS pos,
+                      i -> CAST(i AS BIGINT)), ','), '') AS pos,
        CAST(2 AS INT) AS ndims,
        TIMESTAMP '2024-03-05 10:30:00' AS binned,
        CAST(3 AS INT) AS card
@@ -527,17 +516,3 @@ _q(
     spark=dialect_query(_DF_GAUNTLET),
     oracle=_DUCK_GAUNTLET,
 )
-
-# --- q49: NATURAL JOIN and USING (SURVEY §2.B.3) -----------------------------------
-_SQL_NATURAL = """
-SELECT r_name, COUNT(*) AS n_nations
-FROM (SELECT n_regionkey AS regionkey, n_name FROM nation) n
-NATURAL JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) r
-GROUP BY r_name
-UNION ALL
-SELECT CONCAT('using:', r_name) AS r_name, COUNT(*) AS n_nations
-FROM (SELECT n_regionkey AS rk, n_name FROM nation) a
-JOIN (SELECT r_regionkey AS rk, r_name FROM region) b USING (rk)
-GROUP BY r_name
-"""
-_q("q49_natural_using_join", spark=sql_query(_SQL_NATURAL), oracle=_SQL_NATURAL)

@@ -362,50 +362,66 @@ WINDOW w AS (ORDER BY s_acctbal ASC, s_suppkey ASC)
 """
 _q("q14_window_distribution", spark=sql_query(_SQL_Q14), oracle=_SQL_Q14)
 
-# --- q15: set operations -------------------------------------------------
+# --- q15: set operations, DISTINCT + ALL variants (SURVEY §2.B.7) ----------
+# One gauntlet covers UNION / INTERSECT / EXCEPT and the bag-semantics
+# INTERSECT ALL / EXCEPT ALL (multiplicity matters: customer nation
+# keys repeat, so ALL keeps the bag counts). Merged from the former
+# q45_set_ops_all so the whole family sits in one driver-graded entry.
 _SQL_Q15 = """
-SELECT 'union' AS op, nk FROM (
+SELECT 'union' AS op, nk, CAST(1 AS BIGINT) AS n FROM (
   SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier) u
 UNION ALL
-SELECT 'intersect' AS op, nk FROM (
+SELECT 'intersect' AS op, nk, CAST(1 AS BIGINT) AS n FROM (
   SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey AS nk FROM supplier) i
 UNION ALL
-SELECT 'except' AS op, nk FROM (
+SELECT 'except' AS op, nk, CAST(1 AS BIGINT) AS n FROM (
   SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey AS nk FROM supplier) e
+UNION ALL
+SELECT 'intersect_all' AS op, nk, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 0
+  INTERSECT ALL
+  SELECT s_nationkey AS nk FROM supplier) t
+GROUP BY nk
+UNION ALL
+SELECT 'except_all' AS op, nk, COUNT(*) AS n FROM (
+  SELECT o_custkey % 25 AS nk FROM orders WHERE o_totalprice > 1000.0
+  EXCEPT ALL
+  SELECT c_nationkey AS nk FROM customer) t
+GROUP BY nk
 """
 _q("q15_set_operations", spark=sql_query(_SQL_Q15), oracle=_SQL_Q15)
 
-# --- q16: ROLLUP + GROUPING --------------------------------------------
+# --- q16: multi-dimensional grouping gauntlet ---------------------------
+# ROLLUP + CUBE + GROUPING SETS + GROUPING() in one driver-graded
+# entry (merged former q17_cube / q18_grouping_sets). Branch outputs
+# are harmonized to (src, k1, k2, vsum, n, g1, g2); the same text runs
+# on both engines. Scale: each branch is one partial→final hash agg;
+# Spark expands grouping sets before the shuffle (no re-scan per set).
 _SQL_Q16 = f"""
-SELECT r_name, n_name,
-       {dsum('c_acctbal')} AS total_acctbal,
-       CAST(GROUPING(r_name) AS INT) AS g_region,
-       CAST(GROUPING(n_name) AS INT) AS g_nation
+SELECT 'rollup' AS src, r_name AS k1, n_name AS k2,
+       {dsum('c_acctbal')} AS vsum, COUNT(*) AS n,
+       CAST(GROUPING(r_name) AS INT) AS g1,
+       CAST(GROUPING(n_name) AS INT) AS g2
 FROM region
 JOIN nation   ON n_regionkey = r_regionkey
 JOIN customer ON c_nationkey = n_nationkey
 GROUP BY ROLLUP(r_name, n_name)
-"""
-_q("q16_rollup", spark=sql_query(_SQL_Q16), oracle=_SQL_Q16)
-
-# --- q17: CUBE -----------------------------------------------------------
-_SQL_Q17 = """
-SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
-       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+UNION ALL
+SELECT 'cube' AS src, o_orderstatus AS k1, o_orderpriority AS k2,
+       {dsum('o_totalprice')} AS vsum, COUNT(*) AS n,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g1,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g2
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
-"""
-_q("q17_cube", spark=sql_query(_SQL_Q17), oracle=_SQL_Q17)
-
-# --- q18: GROUPING SETS ---------------------------------------------------
-_SQL_Q18 = f"""
-SELECT l_returnflag, l_linestatus,
-       {dsum('l_quantity')} AS sum_qty, COUNT(*) AS n_lines
+UNION ALL
+SELECT 'gsets' AS src, l_returnflag AS k1, l_linestatus AS k2,
+       {dsum('l_quantity')} AS vsum, COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INT) AS g1,
+       CAST(GROUPING(l_linestatus) AS INT) AS g2
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus), ())
 """
-_q("q18_grouping_sets", spark=sql_query(_SQL_Q18), oracle=_SQL_Q18)
+_q("q16_grouping_gauntlet", spark=sql_query(_SQL_Q16), oracle=_SQL_Q16)
 
 # --- q19: HAVING -----------------------------------------------------------
 _SQL_Q19 = f"""
@@ -419,37 +435,35 @@ _q("q19_having", spark=sql_query(_SQL_Q19), oracle=_SQL_Q19)
 # --- q20: conditional aggregation (TPC-H Q12 shape) -------------------------
 _SQL_Q20 = """
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+            AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 GROUP BY l_linestatus
 """
 _q("q20_conditional_agg", spark=sql_query(_SQL_Q20), oracle=_SQL_Q20)
 
-# --- q21: uncorrelated scalar subquery --------------------------------------
+# --- q21: subquery gauntlet ---------------------------------------------------
+# Uncorrelated scalar + IN(subquery) + correlated scalar (TPC-H Q17
+# shape) in one driver-graded entry (merged former q22/q23). Branch
+# outputs harmonized to (src, k, val); same text on both engines.
+# Scale: the correlated branch decorrelates into a per-partkey agg +
+# equi-join under Catalyst — no per-row re-execution.
 _SQL_Q21 = f"""
-SELECT p_brand, COUNT(*) AS n_above_avg
+SELECT 'scalar' AS src, p_brand AS k, CAST(COUNT(*) AS DOUBLE) AS val
 FROM part
 WHERE p_retailprice > (SELECT {davg('p_retailprice')} FROM part)
 GROUP BY p_brand
-"""
-_q("q21_scalar_subquery", spark=sql_query(_SQL_Q21), oracle=_SQL_Q21)
-
-# --- q22: IN (subquery) -------------------------------------------------------
-_SQL_Q22 = """
-SELECT o_orderstatus, COUNT(*) AS n_orders
+UNION ALL
+SELECT 'in' AS src, o_orderstatus AS k, CAST(COUNT(*) AS DOUBLE) AS val
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
 GROUP BY o_orderstatus
-"""
-_q("q22_in_subquery", spark=sql_query(_SQL_Q22), oracle=_SQL_Q22)
-
-# --- q23: correlated scalar subquery (TPC-H Q17 shape) -------------------------
-_SQL_Q23 = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS avg_yearly
+UNION ALL
+SELECT 'correlated' AS src, 'avg_yearly' AS k,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0 AS val
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_size <= 3
   AND l_quantity < (
@@ -457,7 +471,7 @@ WHERE p_size <= 3
                   / COUNT(*))
     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
 """
-_q("q23_correlated_subquery", spark=sql_query(_SQL_Q23), oracle=_SQL_Q23)
+_q("q21_subquery_gauntlet", spark=sql_query(_SQL_Q21), oracle=_SQL_Q21)
 
 # --- q24: DISTINCT ON emulation (latest order per customer) --------------------
 _SQL_Q24 = """
@@ -501,12 +515,24 @@ FROM lineitem
 """
 _q("q27_count_distinct", spark=sql_query(_SQL_Q27), oracle=_SQL_Q27)
 
-# --- q28: NATURAL-ish USING join + BETWEEN + theta condition ------------------------
+# --- q28: join-syntax gauntlet: ON + BETWEEN, NATURAL JOIN, USING -------------------
+# Merged former q49_natural_using_join so all three join spellings
+# (SURVEY §2.B.3) are one driver-graded entry; same text both engines.
 _SQL_Q28 = """
-SELECT n_name, COUNT(*) AS n_suppliers_above
+SELECT CONCAT('band:', n_name) AS k, COUNT(*) AS n
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
 WHERE s_acctbal > 0 AND s_acctbal BETWEEN 100 AND 9000
 GROUP BY n_name
+UNION ALL
+SELECT CONCAT('natural:', r_name) AS k, COUNT(*) AS n
+FROM (SELECT n_regionkey AS regionkey, n_name FROM nation) n
+NATURAL JOIN (SELECT r_regionkey AS regionkey, r_name FROM region) r
+GROUP BY r_name
+UNION ALL
+SELECT CONCAT('using:', r_name) AS k, COUNT(*) AS n
+FROM (SELECT n_regionkey AS rk, n_name FROM nation) a
+JOIN (SELECT r_regionkey AS rk, r_name FROM region) b USING (rk)
+GROUP BY r_name
 """
 _q("q28_using_join_between", spark=sql_query(_SQL_Q28), oracle=_SQL_Q28)
 
@@ -521,22 +547,3 @@ JOIN part ON p_size >= b.lo AND p_size < b.hi
 GROUP BY b.band
 """
 _q("q29_theta_join_bands", spark=sql_query(_SQL_Q29), oracle=_SQL_Q29)
-
-# --- q45: bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) -----------
-# DataFusion 44 supports the ALL variants (SURVEY §2.B.7); Spark SQL
-# has them natively too. Multiplicity matters: customer nation keys
-# appear many times each, so ALL keeps the bag counts.
-_SQL_Q45 = """
-SELECT 'intersect_all' AS op, nk, COUNT(*) AS n FROM (
-  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 0
-  INTERSECT ALL
-  SELECT s_nationkey AS nk FROM supplier) t
-GROUP BY nk
-UNION ALL
-SELECT 'except_all' AS op, nk, COUNT(*) AS n FROM (
-  SELECT o_custkey % 25 AS nk FROM orders WHERE o_totalprice > 1000.0
-  EXCEPT ALL
-  SELECT c_nationkey AS nk FROM customer) t
-GROUP BY nk
-"""
-_q("q45_set_ops_all", spark=sql_query(_SQL_Q45), oracle=_SQL_Q45)
