@@ -22,6 +22,7 @@ doubles), no broadcast machinery needed.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -45,6 +46,17 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(ad, bd) / (norm2(ad) * norm2(bd))
 
 
+def cosine_pnorm(a: Column, b: Column, b_norm: Column) -> Column:
+    """Cosine where ``b``'s norm is already materialized (broadcast
+    probe column). HOF aggregates are interpreted, so evaluating
+    norm2(probe) per candidate row is a wasted dim-length fold — the
+    probe projection computes it once with the SAME norm2 expression,
+    keeping the value (and thus the product) bit-identical to
+    ``cosine``'s and to the DuckDB oracle's formulation."""
+    ad, bd = as_double(a), as_double(b)
+    return dot(ad, bd) / (norm2(ad) * b_norm)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     probe: DataFrame,
@@ -59,7 +71,9 @@ def brute_force_topk(
     """
     p = F.broadcast(
         probe.select(
-            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            norm2(as_double(F.col(vec_col))).alias("probe_norm"),
         )
     )
     return (
@@ -67,7 +81,12 @@ def brute_force_topk(
         .filter(F.col(id_col) != F.col("probe_id"))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("probe_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pnorm(
+                    F.col(vec_col), F.col("probe_vec"), F.col("probe_norm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -126,6 +145,7 @@ def hyperplane_lsh_topk(
             F.col(id_col).alias("probe_id"),
             F.col(vec_col).alias("probe_vec"),
             bucket_id(F.col(vec_col), planes).alias("probe_bucket"),
+            norm2(as_double(F.col(vec_col))).alias("probe_norm"),
         )
     )
     return (
@@ -133,7 +153,12 @@ def hyperplane_lsh_topk(
         .filter(F.col(id_col) != F.col("probe_id"))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("probe_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pnorm(
+                    F.col(vec_col), F.col("probe_vec"), F.col("probe_norm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
@@ -168,10 +193,11 @@ def ivf_topk(
     """
     import math
 
-    cents = (
+    cents = sorted(
         embeddings.filter(F.col(id_col) < n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect()
+        .collect(),
+        key=lambda r: r.cid,
     )
     cent_lits = []
     for r in cents:
@@ -209,11 +235,89 @@ def ivf_topk(
 
     from csvb_spark.operators.dedup import spread
 
-    assigned = spread(embeddings).select(
-        id_col,
-        vec_col,
-        F.element_at(ranked_cids(F.col(vec_col)), 1)["cid"].alias("cid"),
-    )
+    p_rows = probe.select(
+        F.col(id_col).alias("pid"), F.col(vec_col).alias("pvec")
+    ).collect()
+
+    if len(p_rows) == 1:
+        # --- fully-vectorized single-probe path (the common shape) ---
+        # Corpus-side assignment + scoring is the hot path; expression
+        # HOFs are interpreted (never whole-stage-codegen'd), so one
+        # Arrow-batched pandas UDF computes, per batch:
+        #   cid   — argmax over a batch×K float64 matmul (ties → first
+        #           index = lowest cid, matching ORDER BY sim DESC,
+        #           cid ASC; matmul differs from the sequential fold
+        #           only in the last ulp, which continuous embedding
+        #           data never turns into a flipped argmax),
+        #   vnorm — sqrt of np.add.accumulate(v*v)[-1]: accumulate is
+        #           a strict LEFT-FOLD (unlike pairwise sum/matmul),
+        #           so this is bit-identical to the SQL/DuckDB
+        #           sequential fold (verified against
+        #           list_dot_product on the fixture data),
+        #   pdot  — add.accumulate(v*probe)[-1], same left-fold.
+        # Downstream the plan is scalar codegen only: filter on
+        # cid ∈ probe_cids, cos = pdot/(vnorm*pnorm), top-k via
+        # TakeOrderedAndProject. No HOF evaluation anywhere.
+        # The closure captures only numpy arrays (pickled by value —
+        # no csvb_spark import needed on executors).
+        from pyspark.sql.functions import pandas_udf
+
+        pid = int(p_rows[0].pid)
+        pv = [float(x) for x in p_rows[0].pvec]
+
+        def _fold_dot(a: list[float], b: list[float]) -> float:
+            acc = 0.0  # sequential fold — same IEEE order as SQL
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        cent_vecs = [[float(x) for x in r.cvec] for r in cents]
+        # probe ranking: ORDER BY dot(p,c)/||c|| DESC, cid ASC — all
+        # Python left-folds, bit-identical to the oracle's ranking
+        scored = sorted(
+            (-(_fold_dot(pv, cv) / nc), cid)
+            for cv, (cid, _, nc) in zip(cent_vecs, cent_lits)
+        )
+        probe_cids = [cid for _, cid in scored[:nprobe]]
+        pnorm = math.sqrt(_fold_dot(pv, pv))
+
+        cid_arr = np.array([cid for cid, _, _ in cent_lits], dtype=np.int64)
+        cmat = np.array(cent_vecs, dtype=np.float64)
+        cnorms = np.array([nc for _, _, nc in cent_lits], dtype=np.float64)
+        proj = (cmat / cnorms[:, None]).T  # dim × K
+        pvec_np = np.array(pv, dtype=np.float64)
+
+        @pandas_udf("struct<cid:bigint,vnorm:double,pdot:double>")
+        def _feat(vs: pd.Series) -> pd.DataFrame:
+            import numpy as _np
+
+            if len(vs) == 0:
+                return pd.DataFrame({"cid": [], "vnorm": [], "pdot": []})
+            v = _np.stack([_np.asarray(x, dtype=_np.float64) for x in vs])
+            return pd.DataFrame(
+                {
+                    "cid": cid_arr[_np.argmax(v @ proj, axis=1)],
+                    "vnorm": _np.sqrt(_np.add.accumulate(v * v, axis=1)[:, -1]),
+                    "pdot": _np.add.accumulate(v * pvec_np, axis=1)[:, -1],
+                }
+            )
+
+        return (
+            spread(embeddings)
+            .filter(F.col(id_col) != pid)
+            .select(id_col, _feat(F.col(vec_col)).alias("f"))
+            .filter(F.col("f.cid").isin(probe_cids))
+            .select(
+                id_col,
+                F.round(
+                    F.col("f.pdot") / (F.col("f.vnorm") * F.lit(pnorm)), 6
+                ).alias("cos_sim"),
+            )
+            .orderBy(F.desc("cos_sim"), F.asc(id_col))
+            .limit(k)
+        )
+
+    # --- multi-probe fallback: broadcast-join expression path ---------
     p = F.broadcast(
         probe.select(
             F.col(id_col).alias("probe_id"),
@@ -221,14 +325,25 @@ def ivf_topk(
             F.transform(
                 F.slice(ranked_cids(F.col(vec_col)), 1, nprobe), lambda s: s["cid"]
             ).alias("probe_cids"),
+            norm2(as_double(F.col(vec_col))).alias("probe_norm"),
         )
+    )
+    assigned = spread(embeddings).select(
+        id_col,
+        vec_col,
+        F.element_at(ranked_cids(F.col(vec_col)), 1)["cid"].alias("cid"),
     )
     return (
         assigned.join(p, F.array_contains(F.col("probe_cids"), F.col("cid")))
         .filter(F.col(id_col) != F.col("probe_id"))
         .select(
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("probe_vec")), 6).alias("cos_sim"),
+            F.round(
+                cosine_pnorm(
+                    F.col(vec_col), F.col("probe_vec"), F.col("probe_norm")
+                ),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
