@@ -9,16 +9,23 @@ the subset that real clients use):
 - startup: SSLRequest → 'N'; StartupMessage → AuthenticationOk,
   ParameterStatus, BackendKeyData, ReadyForQuery
 - simple query ('Q'): RowDescription / DataRow* / CommandComplete
-- extended protocol (parameter-less statements): Parse/Bind plan the
-  statement once; Describe('S') answers ParameterDescription +
-  RowDescription (or NoData for row-less commands), Describe('P')
-  RowDescription; Execute streams DataRows and answers
+- extended protocol: Parse/Bind plan the statement; TEXT-format bind
+  parameters are inlined as typed SQL literals ($n substitution with
+  the Parse-declared oids — the common psycopg3/JDBC path; binary
+  format is rejected 0A000). Parameter-less statements plan once and
+  cache; parameterized ones re-plan per Bind. Describe('S') answers
+  ParameterDescription (declared oids) + RowDescription (NULL-probe
+  plan for parameterized statements; NoData if unknowable),
+  Describe('P') RowDescription; Execute streams DataRows and answers
   PortalSuspended when a max_rows limit pauses the portal (the
   iterator is kept, a later Execute on the portal resumes);
-  ReadyForQuery is sent ONLY on Sync; statements carrying bind
-  parameters are rejected with a clean error. After an error,
-  messages are discarded until Sync (spec behavior), and Sync closes
-  open portals (end of implicit transaction).
+  ReadyForQuery is sent ONLY on Sync. After an error, messages are
+  discarded until Sync (spec behavior), and Sync closes open portals
+  (end of implicit transaction).
+- CancelRequest (own short-lived connection, per spec): flags the
+  live connection via its BackendKeyData; row loops poll the flag and
+  answer SQLSTATE 57014 — psql Ctrl-C interrupts a running result
+  stream without killing the session.
 - errors → ErrorResponse (+ ReadyForQuery in the simple path;
   extended path waits for Sync — connection survives)
 
@@ -35,6 +42,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import logging
+import re as _re
 import socket
 import socketserver
 import struct
@@ -98,11 +106,110 @@ def _cstr(s: str) -> bytes:
     return s.encode() + b"\x00"
 
 
+# Live connections by backend pid (BackendKeyData), so a CancelRequest
+# arriving on its own short-lived connection can flag the target.
+_CONNS: dict[int, "_Conn"] = {}
+
+_NUMERIC_OIDS = {20, 21, 23, 26, 700, 701, 1700}  # int/oid/float/numeric
+_BOOL_OID = 16
+
+_PARAM_RE = _re.compile(r"\$(\d+)")
+_SQL_LITERAL_RE = _re.compile(r"'(?:[^']|'')*'")
+_NUM_RE = _re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _quote_param(text: str | None, oid: int) -> str:
+    """Render one text-format bind parameter as a SQL literal.
+
+    Typed params (Parse declared an OID) render per type; untyped
+    params fall back to numeric-looking → bare, else quoted string.
+    Strings escape both quote styles (Spark treats backslash as an
+    escape character in string literals by default)."""
+    if text is None:
+        return "NULL"
+    if oid in _NUMERIC_OIDS or (oid == 0 and _NUM_RE.match(text)):
+        if not _NUM_RE.match(text):
+            raise ValueError(f"invalid numeric parameter {text!r}")
+        return text
+    if oid == _BOOL_OID:
+        return "TRUE" if text in ("t", "true", "1", "on") else "FALSE"
+    return "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+class _Cancelled(Exception):
+    """Raised inside a row loop when a CancelRequest flagged this
+    connection; reported to the client as SQLSTATE 57014."""
+
+
+def _count_params(sql: str) -> int:
+    """Highest $n outside string literals (0 = not parameterized)."""
+    protected = _SQL_LITERAL_RE.sub("''", sql)
+    return max((int(m.group(1)) for m in _PARAM_RE.finditer(protected)), default=0)
+
+
+def _parse_bind(body: bytes) -> tuple[str, str, list[str | None], bool]:
+    """Decode a Bind message → (portal, statement, text params,
+    any_binary). Format codes follow the spec: 0 codes = all text,
+    1 code applies to every param, else one per param."""
+    portal, rest = body.split(b"\x00", 1)
+    stmt, rest = rest.split(b"\x00", 1)
+    (nfmt,) = struct.unpack("!h", rest[:2])
+    fmts = struct.unpack(f"!{nfmt}h", rest[2 : 2 + 2 * nfmt]) if nfmt else ()
+    rest = rest[2 + 2 * nfmt :]
+    (nparams,) = struct.unpack("!h", rest[:2])
+    rest = rest[2:]
+    params: list[str | None] = []
+    binary = False
+    for i in range(nparams):
+        (plen,) = struct.unpack("!i", rest[:4])
+        rest = rest[4:]
+        if plen == -1:
+            params.append(None)
+            continue
+        raw, rest = rest[:plen], rest[plen:]
+        fmt = fmts[i] if len(fmts) == nparams else (fmts[0] if fmts else 0)
+        if fmt == 1:
+            binary = True
+            params.append(None)  # placeholder keeps $n positions aligned
+        else:
+            params.append(raw.decode())
+    return portal.decode(), stmt.decode(), params, binary
+
+
+def _substitute_params(sql: str, params: list[str | None], oids: list[int]) -> str:
+    """Inline $n placeholders as quoted literals ($n inside string
+    literals is left untouched). This is the text-protocol subset the
+    reference serves via pgwire+datafusion-postgres (reference
+    csvb_engine/src/lib.rs:102-106) — enough for psycopg3 / JDBC
+    default (unprepared text) parameter flows."""
+    stash: list[str] = []
+
+    def _protect(m: _re.Match[str]) -> str:
+        stash.append(m.group(0))
+        return f"\x00L{len(stash) - 1}\x00"
+
+    protected = _SQL_LITERAL_RE.sub(_protect, sql)
+
+    def _inline(m: _re.Match[str]) -> str:
+        i = int(m.group(1))
+        if not 1 <= i <= len(params):
+            raise ValueError(f"parameter ${i} out of range (have {len(params)})")
+        oid = oids[i - 1] if i <= len(oids) else 0
+        return _quote_param(params[i - 1], oid)
+
+    out = _PARAM_RE.sub(_inline, protected)
+    for j, lit in enumerate(stash):
+        out = out.replace(f"\x00L{j}\x00", lit)
+    return out
+
+
 class _Conn:
     def __init__(self, sock: socket.socket, spark: SparkSession):
         self.sock = sock
         self.spark = spark
         self.buf = b""
+        self.backend_pid = threading.get_ident() & 0x7FFFFFFF
+        self.cancelled = False
 
     # --- low-level framing -------------------------------------------------
     def _recv_exact(self, n: int) -> bytes:
@@ -127,6 +234,15 @@ class _Conn:
                 self._send(b"N")  # no TLS; client retries plaintext
                 continue
             if code == _CANCEL_REQUEST:
+                # Sent on its own connection: body carries the target's
+                # BackendKeyData. Flag the live connection (its row
+                # loops poll the flag) and close this one silently —
+                # cancel sends no response by protocol.
+                if len(body) >= 12:
+                    (pid, _secret) = struct.unpack("!II", body[4:12])
+                    target = _CONNS.get(pid)
+                    if target is not None:
+                        target.cancelled = True
                 return False
             if code != 196608:  # protocol 3.0
                 self._send_error("08P01", f"unsupported protocol code {code}")
@@ -141,7 +257,7 @@ class _Conn:
             ("integer_datetimes", "on"),
         ):
             out += _msg(b"S", _cstr(k) + _cstr(v))
-        out += _msg(b"K", struct.pack("!II", threading.get_ident() & 0x7FFFFFFF, 0))
+        out += _msg(b"K", struct.pack("!II", self.backend_pid, 0))
         out += self._ready()
         self._send(out)
         return True
@@ -166,6 +282,10 @@ class _Conn:
             )
         return _msg(b"T", struct.pack("!h", len(df.dtypes)) + fields)
 
+    def _check_cancel(self) -> None:
+        if self.cancelled:
+            raise _Cancelled()
+
     def _run_sql(self, sql: str, max_rows: int | None = None) -> None:
         from csvb_spark.sql import execute_sql
 
@@ -181,6 +301,7 @@ class _Conn:
             n = 0
             it = df.toLocalIterator()
             for row in it:
+                self._check_cancel()
                 vals = b""
                 for v in tuple(row):
                     t = _pg_text(v)
@@ -197,9 +318,12 @@ class _Conn:
                     break
             out += _msg(b"C", _cstr(f"SELECT {n}"))
             self._send(out)
+        except _Cancelled:
+            self._send_error("57014", "canceling statement due to user request")
         except Exception as e:  # noqa: BLE001 — every engine error → client
             log.warning("query failed: %s", e)
             self._send_error("42601", str(e).split("\n")[0][:500])
+        self.cancelled = False
         self._send(self._ready())
 
     # --- extended-protocol helpers ---------------------------------------------
@@ -229,7 +353,14 @@ class _Conn:
     def serve(self) -> None:
         if not self.handshake():
             return
-        stmts: dict[str, tuple[str, object]] = {}  # name -> (sql, planned df | None)
+        _CONNS[self.backend_pid] = self
+        try:
+            self._serve_loop()
+        finally:
+            _CONNS.pop(self.backend_pid, None)
+
+    def _serve_loop(self) -> None:
+        stmts: dict[str, tuple] = {}  # name -> (sql, planned df | None, param oids)
         portals: dict[str, dict] = {}  # name -> {df, it, sent}
         self._skip_to_sync = False
         while True:
@@ -242,34 +373,48 @@ class _Conn:
                 continue
             if tag == b"Q":
                 self._run_sql(body.rstrip(b"\x00").decode())
-            elif tag == b"P":  # Parse: name, query, n param types
+            elif tag == b"P":  # Parse: name, query, n declared param type oids
                 name, rest = body.split(b"\x00", 1)
-                query, _ = rest.split(b"\x00", 1)
-                stmts[name.decode()] = (query.decode(), None)
+                query, rest = rest.split(b"\x00", 1)
+                (ntypes,) = struct.unpack("!h", rest[:2])
+                oids = (
+                    list(struct.unpack(f"!{ntypes}I", rest[2 : 2 + 4 * ntypes]))
+                    if ntypes
+                    else []
+                )
+                stmts[name.decode()] = (query.decode(), None, oids)
                 self._send(_msg(b"1"))  # ParseComplete
-            elif tag == b"B":  # Bind: portal, stmt, fmts, params
-                portal, rest = body.split(b"\x00", 1)
-                stmt, rest = rest.split(b"\x00", 1)
-                (nfmt,) = struct.unpack("!h", rest[:2])
-                rest = rest[2 + 2 * nfmt :]
-                (nparams,) = struct.unpack("!h", rest[:2])
-                if nparams:
+            elif tag == b"B":  # Bind: portal, stmt, param fmts, params
+                try:
+                    portal, stmt, params, binary = _parse_bind(body)
+                except Exception as e:  # noqa: BLE001
+                    self._ext_error("08P01", f"malformed Bind: {e}")
+                    continue
+                if binary:
                     self._ext_error(
-                        "0A000", "bind parameters are not supported; inline literals"
+                        "0A000", "binary-format parameters are not supported"
                     )
                     continue
-                if stmt.decode() not in stmts:
-                    self._ext_error("26000", f"unknown statement {stmt.decode()!r}")
+                if stmt not in stmts:
+                    self._ext_error("26000", f"unknown statement {stmt!r}")
                     continue
-                sql, df = stmts[stmt.decode()]
+                sql, df, oids = stmts[stmt]
                 try:
-                    if df is None:
+                    if params:
+                        # parameterized: substitute text params as typed
+                        # literals and plan per-bind (never cached — each
+                        # bind can carry different values)
+                        df = self._plan(_substitute_params(sql, params, oids))
+                    elif df is None:
                         df = self._plan(sql)
-                        stmts[stmt.decode()] = (sql, df)
+                        stmts[stmt] = (sql, df, oids)
+                except ValueError as e:
+                    self._ext_error("22P02", str(e))
+                    continue
                 except Exception as e:  # noqa: BLE001
                     self._ext_error("42601", str(e).split("\n")[0][:500])
                     continue
-                portals[portal.decode()] = {"df": df, "it": None, "sent": 0}
+                portals[portal] = {"df": df, "it": None, "sent": 0}
                 self._send(_msg(b"2"))  # BindComplete
             elif tag == b"D":  # Describe: 'S'+name or 'P'+name
                 kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
@@ -277,17 +422,32 @@ class _Conn:
                     if name not in stmts:
                         self._ext_error("26000", f"unknown statement {name!r}")
                         continue
-                    sql, df = stmts[name]
+                    sql, df, oids = stmts[name]
+                    n_params = len(oids) or _count_params(sql)
+                    # declared oids, 0 (unknown) for undeclared positions
+                    described = (oids + [0] * n_params)[:n_params]
+                    self._send(
+                        _msg(
+                            b"t",
+                            struct.pack(f"!h{n_params}I", n_params, *described),
+                        )
+                    )
                     try:
                         if df is None:
-                            df = self._plan(sql)
-                            stmts[name] = (sql, df)
-                    except Exception as e:  # noqa: BLE001
-                        self._ext_error("42601", str(e).split("\n")[0][:500])
-                        continue
-                    # no-parameter statements only (enforced at Bind)
-                    self._send(_msg(b"t", struct.pack("!h", 0)))
-                    self._send(self._describe_df(df))
+                            if n_params:
+                                # schema probe: plan with NULL in every
+                                # parameter position (not cached)
+                                df = self._plan(
+                                    _substitute_params(
+                                        sql, [None] * n_params, [0] * n_params
+                                    )
+                                )
+                            else:
+                                df = self._plan(sql)
+                                stmts[name] = (sql, df, oids)
+                        self._send(self._describe_df(df))
+                    except Exception:  # noqa: BLE001 — schema unknowable
+                        self._send(_msg(b"n"))  # NoData
                 elif kind == b"P":
                     if name not in portals:
                         self._ext_error("34000", f"unknown portal {name!r}")
@@ -310,6 +470,7 @@ class _Conn:
             elif tag == b"S":  # Sync — end of implicit transaction
                 portals.clear()
                 self._skip_to_sync = False
+                self.cancelled = False
                 self._send(self._ready())
             elif tag == b"H":  # Flush — output is sent eagerly already
                 pass
@@ -331,6 +492,7 @@ class _Conn:
             out = b""
             sent_this_call = 0
             for row in st["it"]:
+                self._check_cancel()
                 vals = b""
                 for v in tuple(row):
                     t = _pg_text(v)
@@ -349,6 +511,8 @@ class _Conn:
                     return
             self._send(out + _msg(b"C", _cstr(f"SELECT {st['sent']}")))
             st["it"] = iter(())  # exhausted: a re-Execute completes with 0 rows
+        except _Cancelled:
+            self._ext_error("57014", "canceling statement due to user request")
         except Exception as e:  # noqa: BLE001
             log.warning("execute failed: %s", e)
             self._ext_error("42601", str(e).split("\n")[0][:500])
