@@ -124,12 +124,17 @@ def _register_python_shims(spark: SparkSession) -> None:
     )
 
     def ndims(a):
+        # DataFusion's array_ndims is TYPE-based, so [NULL, [1,2]] is
+        # 2-dimensional. Python UDF inputs are untyped lists — mirror
+        # the type answer by descending through the first NON-NULL
+        # element at each level (a leading NULL says nothing about the
+        # element type).
         if a is None:
             return None
         d = 0
         while isinstance(a, list):
             d += 1
-            a = a[0] if a else None
+            a = next((x for x in a if x is not None), None)
         return d
 
     spark.udf.register("array_ndims", ndims, T.IntegerType())

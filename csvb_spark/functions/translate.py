@@ -148,12 +148,14 @@ def _find_calls(sql: str, name: str):
 
 
 def _split_args(argstr: str) -> list[str]:
-    """Split at top-level commas (literals are already protected)."""
+    """Split at top-level commas (literals are already protected).
+    Tracks both parens and brackets so a DataFusion bracket-syntax
+    array literal (``array_replace([1,2,1], 1, 9)``) keeps its commas."""
     args, depth, start = [], 0, 0
     for i, ch in enumerate(argstr):
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         elif ch == "," and depth == 0:
             args.append(argstr[start:i].strip())
@@ -203,6 +205,11 @@ def _rewrite_date_bin_interval(sql: str, literals: list[str]) -> str:
 
     def repl(m: re.Match[str]) -> str:
         lit = literals[int(m.group("idx"))].strip("'")
+        if "." in lit:
+            # fractional strides ('1.5 hours') would mis-parse as
+            # '5 hours' — leave the call untouched so Spark reports the
+            # unsupported form loudly instead of silently mis-binning
+            return m.group(0)
         total_us = 0
         for qty, unit in re.findall(r"(\d+)\s*([a-zA-Z]+)", lit):
             u = unit.lower().rstrip("s")

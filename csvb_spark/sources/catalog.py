@@ -65,13 +65,37 @@ def load_tables(spark: SparkSession, sf_dir: str, tables=TABLES) -> dict[str, Da
 _REGISTERED: dict[tuple, dict[str, DataFrame]] = {}
 
 
+_MEMO_CAP = 8  # sessions × sf_dirs a process realistically touches
+
+
+def invalidate_views(spark: SparkSession | None = None) -> None:
+    """Drop memo entries (all, or one session's) — for harnesses that
+    rewrite fixtures under the same sf_dir."""
+    if spark is None:
+        _REGISTERED.clear()
+    else:
+        for k in [k for k in _REGISTERED if k[0] == id(spark)]:
+            del _REGISTERED[k]
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> dict[str, DataFrame]:
     key = (id(spark), sf_dir, tuple(tables))
     hit = _REGISTERED.get(key)
     if hit is not None:
-        return hit
+        # cheap existence check: a harness may have dropped/overwritten
+        # a temp view behind our back — silently skipping
+        # createOrReplaceTempView would then serve stale/missing views
+        try:
+            ok = all(spark.catalog.tableExists(t) for t in hit)
+        except Exception:  # noqa: BLE001 — dead session object
+            ok = False
+        if ok:
+            return hit
+        del _REGISTERED[key]
     dfs = load_tables(spark, sf_dir, tables)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+    if len(_REGISTERED) >= _MEMO_CAP:  # bound the DataFrame refs we hold
+        _REGISTERED.pop(next(iter(_REGISTERED)))
     _REGISTERED[key] = dfs
     return dfs

@@ -142,6 +142,8 @@ def read_shard_pg(
     columns: list[str] | None = None,
     predicate: str | None = None,
     limit: int | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 1,
 ) -> DataFrame:
     """One shard scan over the raw Postgres wire protocol (no JDBC jar
     needed — e.g. federating other csvb_spark ``serve`` instances, the
@@ -153,8 +155,18 @@ def read_shard_pg(
     shard, so only the needed columns/rows cross the network. The
     schema is probed with ``SELECT * FROM t LIMIT 1`` (reference
     postgres_connection.rs:120); the fetch itself runs INSIDE an
-    executor task via ``mapInPandas`` — one task per shard, so N
-    shards are pulled in parallel exactly like the JDBC path.
+    executor task via ``mapInPandas``, so N shards pull in parallel
+    exactly like the JDBC path.
+
+    ``partition_column`` + ``num_partitions`` split ONE shard into N
+    parallel pulls, each shipping a disjoint
+    ``MOD(ABS(col), N) = i`` slice (NULL keys ride with slice 0, like
+    Spark's JDBC partitioner). Without it a 1 TB shard would
+    serialize through a single executor task; plain ``col % N`` is
+    portable across Spark-SQL-speaking shards and real Postgres,
+    unlike engine hash functions. When a LIMIT is pushed down with
+    N > 1, each slice carries the limit as a safe upper bound and the
+    exact global limit is re-applied Spark-side.
     """
     from csvb_spark.sources.pgclient import OID_SPARK, pg_simple_query
 
@@ -174,11 +186,22 @@ def read_shard_pg(
         raise ValueError(f"shard {shard_addr!r} table {table!r} has no columns")
 
     sel = ", ".join(c for c, _ in probe_cols) if columns is not None else "*"
-    sql = f"SELECT {sel} FROM {table}"
-    if predicate:
-        sql += f" WHERE {predicate}"
-    if limit is not None:
-        sql += f" LIMIT {limit}"
+    base = f"SELECT {sel} FROM {table}"
+    n_parts = max(1, int(num_partitions)) if partition_column else 1
+    part_sqls: list[str] = []
+    for i in range(n_parts):
+        preds = []
+        if predicate:
+            preds.append(f"({predicate})")
+        if n_parts > 1:
+            slice_pred = f"MOD(ABS({partition_column}), {n_parts}) = {i}"
+            if i == 0:
+                slice_pred = f"({slice_pred} OR {partition_column} IS NULL)"
+            preds.append(slice_pred)
+        sql = base + (" WHERE " + " AND ".join(preds) if preds else "")
+        if limit is not None:
+            sql += f" LIMIT {limit}"
+        part_sqls.append(sql)
 
     schema = ", ".join(f"{c} {OID_SPARK.get(oid, 'string')}" for c, oid in probe_cols)
     oids = [oid for _, oid in probe_cols]
@@ -213,9 +236,13 @@ def read_shard_pg(
                 yield _pd.DataFrame(data, columns=names)
 
     work = spark.createDataFrame(
-        [(host, port, user, db, sql)], "host string, port int, user string, db string, sql string"
-    ).repartition(1)
-    return work.mapInPandas(fetch, schema=schema)
+        [(host, port, user, db, s) for s in part_sqls],
+        "host string, port int, user string, db string, sql string",
+    ).repartition(n_parts)
+    out = work.mapInPandas(fetch, schema=schema)
+    if limit is not None and n_parts > 1:
+        out = out.limit(limit)  # per-slice LIMIT is only an upper bound
+    return out
 
 
 def _precheck_all_shards(tables: list[VirtualTable]) -> None:
@@ -251,6 +278,8 @@ def add_federated_tables(
     tables: list[VirtualTable],
     reader_options: dict[str, str] | None = None,
     transport: str = "auto",
+    partition_column: str | None = None,
+    num_partitions: int = 1,
 ) -> dict[str, DataFrame]:
     """Register each virtual table as a temp view = UNION ALL of its
     shards (reference add_federated_tables, csvb_engine/src/lib.rs:134-188).
@@ -258,6 +287,10 @@ def add_federated_tables(
     ``transport``: 'jdbc' (Spark JDBC source — the scale path),
     'pgwire' (raw-protocol reader, no driver jar needed), or 'auto'
     (jdbc when the Postgres driver class is loadable, else pgwire).
+
+    ``partition_column``/``num_partitions`` parallelize WITHIN each
+    pgwire shard (the JDBC path takes the equivalent through
+    ``reader_options`` natively).
     """
     if transport == "auto":
         transport = "jdbc" if jdbc_driver_available(spark) else "pgwire"
@@ -272,7 +305,14 @@ def add_federated_tables(
             ]
         else:
             shards = [
-                read_shard_pg(spark, addr, vt.name) for addr in vt.shard_addrs
+                read_shard_pg(
+                    spark,
+                    addr,
+                    vt.name,
+                    partition_column=partition_column,
+                    num_partitions=num_partitions,
+                )
+                for addr in vt.shard_addrs
             ]
         df = union_shards(vt.name, shards)
         df.createOrReplaceTempView(vt.name)

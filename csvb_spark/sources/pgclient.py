@@ -173,9 +173,18 @@ def _checkout(host: str, port: int, user: str, database: str, timeout: float) ->
     with _POOL.lock:
         stack = _POOL.conns.get(key)
         if stack:
-            return stack.pop()
+            conn = stack.pop()
+            try:
+                # the conn may have been checked in with a different
+                # (e.g. short precheck) timeout — this scan owns it now
+                conn.sock.settimeout(timeout)
+                conn.from_pool = True
+                return conn
+            except OSError:
+                conn.close()  # socket already dead — fall through to fresh
     conn = _PgConn(host, port, user, database, timeout)
     conn.probe()
+    conn.from_pool = False
     return conn
 
 
@@ -215,11 +224,12 @@ def pg_simple_query(
 
     columns = [(name, type_oid)]; row values are pg text format
     (None for SQL NULL). Raises RuntimeError on ErrorResponse,
-    ShardUnreachable if no connection can be established. A pooled
-    connection that went stale is discarded and retried once on a
-    fresh one.
+    ShardUnreachable if no connection can be established. Stale
+    POOLED connections are discarded and retried for as long as the
+    pool yields them (the pool can hold several dead sockets after a
+    server restart); a failure on a FRESH connection raises.
     """
-    for attempt in (0, 1):
+    while True:
         conn = _checkout(host, port, user, database, timeout)
         try:
             result = conn.query(sql)
@@ -228,15 +238,14 @@ def pg_simple_query(
             raise
         except (ConnectionError, OSError):
             conn.close()
-            if attempt:
+            if not conn.from_pool:
                 raise
-            continue  # stale pooled socket — retry on a fresh one
+            continue  # stale pooled socket — next pooled, else fresh
         except RuntimeError:
             _checkin(conn)  # server error; protocol re-synced at Z
             raise
         _checkin(conn)
         return result
-    raise AssertionError("unreachable")
 
 
 def _error_text(body: bytes) -> str:

@@ -209,10 +209,28 @@ def test_log_levels():
             "SELECT date_bin(900, ts, o) FROM e",
             "SELECT date_bin(900, ts, o) FROM e",
         ),
+        # fractional strides would mis-parse ('1.5 hours' → '5 hours');
+        # left untouched so the engine errors loudly instead
+        (
+            "SELECT date_bin(INTERVAL '1.5 hours', ts, o) FROM e",
+            "SELECT date_bin(INTERVAL '1.5 hours', ts, o) FROM e",
+        ),
     ],
 )
 def test_translate_sql(src, expected):
     assert translate_sql(src) == expected
+
+
+def test_split_args_brackets():
+    """Commas inside bracket-syntax array literals must not split
+    (they'd otherwise surface as an unpack ValueError mid-rewrite)."""
+    from csvb_spark.functions.translate import _split_args
+
+    assert _split_args("[1,2,1], 1, 9") == ["[1,2,1]", "1", "9"]
+    assert _split_args("f(a, [1, 2]), g([3], (4, 5))") == [
+        "f(a, [1, 2])",
+        "g([3], (4, 5))",
+    ]
 
 
 @pytest.mark.parametrize(
@@ -225,6 +243,8 @@ def test_translate_sql(src, expected):
         ("array_positions(make_array('a','b','a'), 'a')", [1, 3]),
         ("array_positions(make_array(1,2), 3)", []),
         ("array_ndims(make_array(make_array(1), make_array(2)))", 2),
+        # type-based semantics: a leading NULL doesn't flatten the answer
+        ("array_ndims(array(NULL, array(1, 2)))", 2),
     ],
 )
 def test_array_editor_rewrites(spark, expr, expected):
@@ -295,6 +315,65 @@ def test_csv_empty_dir_raises(spark, tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no .csv files"):
         add_direct_table(spark, "csv_t3", [str(empty)])
+
+
+@pytest.fixture()
+def http_csv_server(tmp_path):
+    """stdlib HTTP server hosting CSVs — exercises the reference's
+    HTTP object-store source (csvb_engine/src/lib.rs:53-71)."""
+    import http.server
+    import threading
+
+    (tmp_path / "remote.csv").write_text("id,val\n10,100\n11,110\n")
+    (tmp_path / "remote2.csv").write_text("id,val\n12,120\n")
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    srv.server_close()
+
+
+def test_csv_http_source(spark, http_csv_server):
+    """A2: HTTP-hosted CSV registers as a table; mixed URL + URL
+    multi-source unions under the first file's inferred schema."""
+    from csvb_spark.sources.csv_source import add_direct_table
+
+    df = add_direct_table(
+        spark,
+        "csv_http",
+        [f"{http_csv_server}/remote.csv", f"{http_csv_server}/remote2.csv"],
+    )
+    assert dict(df.dtypes) == {"id": "int", "val": "int"}
+    assert spark.sql("SELECT sum(val) AS s, count(*) AS n FROM csv_http").collect()[
+        0
+    ] == (330, 3)
+
+
+def test_cli_exec_http_csv(spark, http_csv_server, capsys):
+    """`csvb exec --csv http://…` end-to-end through the CLI (reference
+    csvb exec surface over its HTTP store, csvb_engine/src/lib.rs:53-71)."""
+    from csvb_spark.cli import main
+
+    rc = main(
+        [
+            "exec",
+            "--csv",
+            f"{http_csv_server}/remote.csv",
+            "SELECT sum(val) AS total FROM tbl",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "total" in out and "210" in out
 
 
 # --- streaming demo -----------------------------------------------------------------

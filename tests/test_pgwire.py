@@ -348,6 +348,34 @@ def test_federate_pgwire_union(spark, two_shards):
     assert dfs["tbl"].columns == ["id", "v", "s"]
 
 
+def test_federate_pgwire_partitioned_read(spark, two_shards):
+    """num_partitions splits one shard into disjoint MOD(ABS(col),N)
+    slices pulled by separate tasks; the union of slices is row-for-row
+    the single-task pull."""
+    from csvb_spark.sources.federation import read_shard_pg
+
+    single = read_shard_pg(spark, two_shards[0], "tbl")
+    split = read_shard_pg(
+        spark, two_shards[0], "tbl", partition_column="id", num_partitions=3
+    )
+    assert split.rdd.getNumPartitions() == 3
+    a = sorted(tuple(r) for r in single.collect())
+    b = sorted(tuple(r) for r in split.collect())
+    assert a == b and len(a) == 100
+    # predicate composes with the slice predicate; limit stays exact
+    lim = read_shard_pg(
+        spark,
+        two_shards[0],
+        "tbl",
+        predicate="id >= 10",
+        limit=7,
+        partition_column="id",
+        num_partitions=2,
+    )
+    rows = lim.collect()
+    assert len(rows) == 7 and all(r.id >= 10 for r in rows)
+
+
 def test_federate_pgwire_pushdown(spark, two_shards):
     from csvb_spark.sources.federation import read_shard_pg
 
