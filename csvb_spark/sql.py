@@ -10,6 +10,11 @@ views, so we emulate the two the reference surface reaches:
   table_name, table_type)
 - ``information_schema.columns`` (table_catalog, table_schema,
   table_name, column_name, ordinal_position, data_type, is_nullable)
+- ``information_schema.views``   (table_catalog, table_schema,
+  table_name, definition — NULL, like DataFusion's non-SQL views)
+- ``information_schema.schemata`` (catalog_name, schema_name)
+- ``information_schema.df_settings`` (name, value — the session's
+  explicitly-set config, mirroring DataFusion's settings table)
 
 Dotted names can't be temp-view names, so the translator rewrites
 ``information_schema.tables`` → ``information_schema_tables`` and this
@@ -27,7 +32,10 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession
 
-_INFO_SCHEMA_RE = re.compile(r"\binformation_schema\s*\.\s*(tables|columns)\b", re.I)
+_INFO_SCHEMA_RE = re.compile(
+    r"\binformation_schema\s*\.\s*(tables|columns|views|schemata|df_settings)\b",
+    re.I,
+)
 
 
 def refresh_information_schema(spark: SparkSession) -> None:
@@ -65,6 +73,22 @@ def refresh_information_schema(spark: SparkSession) -> None:
         "column_name string, ordinal_position int, data_type string, "
         "is_nullable string",
     ).filter("table_name <> ''").createOrReplaceTempView("information_schema_columns")
+    views = [t for t in tables if t[3] == "VIEW"]
+    spark.createDataFrame(
+        [(c, s, n, None) for c, s, n, _ in views] or [("", "", "", None)],
+        "table_catalog string, table_schema string, table_name string, "
+        "definition string",
+    ).filter("table_name <> ''").createOrReplaceTempView("information_schema_views")
+    spark.createDataFrame(
+        [(d.catalog or "spark_catalog", d.name) for d in spark.catalog.listDatabases()]
+        or [("spark_catalog", "default")],
+        "catalog_name string, schema_name string",
+    ).createOrReplaceTempView("information_schema_schemata")
+    # DataFusion's df_settings analogue: the session's explicit config
+    # (Spark's `SET` command output, renamed to DataFusion's columns)
+    spark.sql("SET").selectExpr("key AS name", "value").createOrReplaceTempView(
+        "information_schema_df_settings"
+    )
 
 
 def execute_sql(spark: SparkSession, sql: str) -> DataFrame:

@@ -423,6 +423,34 @@ def test_information_schema(spark, sf_dir):
     assert "t_info_new" in tabs2
 
 
+def test_information_schema_views_schemata_settings(spark, sf_dir):
+    """The rest of the DataFusion information_schema surface
+    (reference lib.rs:22 enables all of it): views, schemata,
+    df_settings."""
+    from csvb_spark.sources.catalog import register_views
+    from csvb_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    views = {
+        r.table_name
+        for r in execute_sql(
+            spark, "SELECT table_name FROM information_schema.views"
+        ).collect()
+    }
+    assert "region" in views  # temp views ARE views
+    schemata = execute_sql(
+        spark, "SELECT catalog_name, schema_name FROM information_schema.schemata"
+    ).collect()
+    assert ("spark_catalog", "default") in [tuple(r) for r in schemata]
+    settings = {
+        r.name: r.value
+        for r in execute_sql(
+            spark, "SELECT name, value FROM information_schema.df_settings"
+        ).collect()
+    }
+    assert settings.get("spark.sql.session.timeZone") == "UTC"
+
+
 # --- stateful streaming sessionization == batch sessionize -------------------------
 def test_stateful_sessionization_matches_batch(spark, sf_dir):
     from csvb_spark.operators.sessions import sessionize
