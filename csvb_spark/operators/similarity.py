@@ -132,24 +132,39 @@ def hyperplane_lsh_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    hamming_probe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors in the probe's bucket.
+    """Approximate top-k: score only vectors in the probe's bucket(s).
 
-    Recall can be raised by multi-probing adjacent buckets; this
-    baseline probes the exact bucket only.
+    ``hamming_probe=1`` multi-probes the n_planes Hamming-adjacent
+    buckets too (a vector near a hyperplane lands on either side, so
+    the nearest neighbors of a probe concentrate in buckets one bit
+    away). At scale this turns one bucket scan into 1+n_planes scans
+    of a bucket-partitioned table — still nprobe/2^bits of the corpus,
+    with recall comparable to doubling the table count. 0 = exact
+    bucket only.
     """
     planes = _hyperplanes(n_planes, dim, seed)
     bucketed = bucketize(embeddings, n_planes, dim, seed, vec_col)
+    pb = bucket_id(F.col(vec_col), planes)
+    probe_buckets = F.array(
+        pb,
+        *(
+            [pb.bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
+            if hamming_probe >= 1
+            else []
+        ),
+    )
     p = F.broadcast(
         probe.select(
             F.col(id_col).alias("probe_id"),
             F.col(vec_col).alias("probe_vec"),
-            bucket_id(F.col(vec_col), planes).alias("probe_bucket"),
+            probe_buckets.alias("probe_buckets"),
             norm2(as_double(F.col(vec_col))).alias("probe_norm"),
         )
     )
     return (
-        bucketed.join(p, F.col("bucket") == F.col("probe_bucket"))
+        bucketed.join(p, F.array_contains(F.col("probe_buckets"), F.col("bucket")))
         .filter(F.col(id_col) != F.col("probe_id"))
         .select(
             id_col,

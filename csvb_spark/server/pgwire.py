@@ -147,19 +147,36 @@ def _count_params(sql: str) -> int:
     return max((int(m.group(1)) for m in _PARAM_RE.finditer(protected)), default=0)
 
 
-def _parse_bind(body: bytes) -> tuple[str, str, list[str | None], bool]:
-    """Decode a Bind message → (portal, statement, text params,
-    any_binary). Format codes follow the spec: 0 codes = all text,
-    1 code applies to every param, else one per param."""
-    portal, rest = body.split(b"\x00", 1)
-    stmt, rest = rest.split(b"\x00", 1)
+# Binary-format decoders by type oid (the subset JDBC/psycopg send
+# binary for once a statement is reused). Decoded to the TEXT form so
+# downstream substitution is format-agnostic.
+_BINARY_DECODERS = {
+    16: lambda b: "t" if b != b"\x00" else "f",  # bool
+    21: lambda b: str(struct.unpack("!h", b)[0]),  # int2
+    23: lambda b: str(struct.unpack("!i", b)[0]),  # int4
+    20: lambda b: str(struct.unpack("!q", b)[0]),  # int8
+    700: lambda b: repr(struct.unpack("!f", b)[0]),  # float4
+    701: lambda b: repr(struct.unpack("!d", b)[0]),  # float8
+    25: lambda b: b.decode(),  # text
+    1043: lambda b: b.decode(),  # varchar
+}
+
+
+def _decode_bind_params(
+    rest: bytes, oids: list[int]
+) -> tuple[list[str | None], list[int]]:
+    """Decode a Bind message's parameter section → (text-form params,
+    undecodable-binary positions). Format codes follow the spec:
+    0 codes = all text, 1 code applies to every param, else one per
+    param. Binary values for well-known oids are decoded to their
+    text form; others are reported for a clean 0A000."""
     (nfmt,) = struct.unpack("!h", rest[:2])
     fmts = struct.unpack(f"!{nfmt}h", rest[2 : 2 + 2 * nfmt]) if nfmt else ()
     rest = rest[2 + 2 * nfmt :]
     (nparams,) = struct.unpack("!h", rest[:2])
     rest = rest[2:]
     params: list[str | None] = []
-    binary = False
+    undecodable: list[int] = []
     for i in range(nparams):
         (plen,) = struct.unpack("!i", rest[:4])
         rest = rest[4:]
@@ -169,11 +186,16 @@ def _parse_bind(body: bytes) -> tuple[str, str, list[str | None], bool]:
         raw, rest = rest[:plen], rest[plen:]
         fmt = fmts[i] if len(fmts) == nparams else (fmts[0] if fmts else 0)
         if fmt == 1:
-            binary = True
-            params.append(None)  # placeholder keeps $n positions aligned
+            oid = oids[i] if i < len(oids) else 0
+            dec = _BINARY_DECODERS.get(oid)
+            if dec is None:
+                undecodable.append(i + 1)
+                params.append(None)  # placeholder keeps $n aligned
+            else:
+                params.append(dec(raw))
         else:
             params.append(raw.decode())
-    return portal.decode(), stmt.decode(), params, binary
+    return params, undecodable
 
 
 def _substitute_params(sql: str, params: list[str | None], oids: list[int]) -> str:
@@ -386,19 +408,29 @@ class _Conn:
                 self._send(_msg(b"1"))  # ParseComplete
             elif tag == b"B":  # Bind: portal, stmt, param fmts, params
                 try:
-                    portal, stmt, params, binary = _parse_bind(body)
-                except Exception as e:  # noqa: BLE001
-                    self._ext_error("08P01", f"malformed Bind: {e}")
-                    continue
-                if binary:
-                    self._ext_error(
-                        "0A000", "binary-format parameters are not supported"
-                    )
+                    portal, rest = body.split(b"\x00", 1)
+                    stmt, rest = rest.split(b"\x00", 1)
+                    portal, stmt = portal.decode(), stmt.decode()
+                except ValueError:
+                    self._ext_error("08P01", "malformed Bind")
                     continue
                 if stmt not in stmts:
                     self._ext_error("26000", f"unknown statement {stmt!r}")
                     continue
                 sql, df, oids = stmts[stmt]
+                try:
+                    params, undecodable = _decode_bind_params(rest, oids)
+                except Exception as e:  # noqa: BLE001
+                    self._ext_error("08P01", f"malformed Bind: {e}")
+                    continue
+                if undecodable:
+                    self._ext_error(
+                        "0A000",
+                        "binary-format parameter(s) "
+                        f"${', $'.join(map(str, undecodable))} have undeclared "
+                        "or unsupported types",
+                    )
+                    continue
                 try:
                     if params:
                         # parameterized: substitute text params as typed

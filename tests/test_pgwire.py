@@ -254,10 +254,43 @@ def test_extended_null_param_and_describe(conn):
     assert _data_rows(msgs) == [[b"dflt"]]
 
 
-def test_extended_rejects_binary_params(conn):
+def test_extended_binary_params_decoded_by_declared_oid(conn):
+    """Binary-format int4/int8/float8/bool params decode via their
+    Parse-declared oids (the JDBC prepared-statement path)."""
+    sock, buf = conn
+    sql = b"SELECT $1 + $2 AS n, ROUND($3 * 2, 2) AS d, $4 AS b"
+    _send(
+        sock,
+        b"P",
+        b"pb\x00" + sql + b"\x00" + struct.pack("!hIIII", 4, 23, 20, 701, 16),
+    )
+    params = (
+        struct.pack("!i", 4) + struct.pack("!i", 40)  # int4 40
+        + struct.pack("!i", 8) + struct.pack("!q", 2)  # int8 2
+        + struct.pack("!i", 8) + struct.pack("!d", 1.25)  # float8 1.25
+        + struct.pack("!i", 1) + b"\x01"  # bool true
+    )
+    body = (
+        b"\x00pb\x00"
+        + struct.pack("!hh", 1, 1)  # one fmt code (binary) for all
+        + struct.pack("!h", 4)
+        + params
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    # decimal literal arithmetic keeps scale (2.50); bools wire as t/f
+    assert _data_rows(msgs) == [[b"42", b"2.50", b"t"]]
+
+
+def test_extended_rejects_undeclared_binary_params(conn):
+    """Binary params whose type was never declared cannot be decoded —
+    clean 0A000, connection survives."""
     sock, buf = conn
     _send(sock, b"P", b"\x00SELECT $1 AS x\x00" + struct.pack("!h", 0))
-    # one binary-format (1) parameter
+    # one binary-format (1) parameter, no declared oid
     body = (
         b"\x00\x00"
         + struct.pack("!hh", 1, 1)
