@@ -59,6 +59,18 @@ def get_session(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if master.startswith("local"):
+        # LOCAL-MODE-ONLY (like operators/dedup.spread): fixture tables
+        # are single parquet files of a few MB, which the default 128 MB
+        # split size reads as ONE task — serializing every scan onto one
+        # core. 1 MB splits give the local core count something to do
+        # (q33 2× faster at sf0.1). On a cluster the default stands:
+        # real inputs have more files/row-groups than cores, and a small
+        # split size there would explode the task count (100 TB / 1 MB
+        # = 10^8 tasks).
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", str(1024 * 1024)
+        )
     if memory_pool_bytes is not None:
         # Greedy-pool parity: reference aborts the query when the pool is
         # exhausted; Spark spills instead. We budget the JVM heap.
