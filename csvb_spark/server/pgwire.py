@@ -116,6 +116,12 @@ _BOOL_OID = 16
 _PARAM_RE = _re.compile(r"\$(\d+)")
 _SQL_LITERAL_RE = _re.compile(r"'(?:[^']|'')*'")
 _NUM_RE = _re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
+# Statements safe to plan speculatively: Spark executes COMMANDS
+# (INSERT/CTAS/DROP/...) eagerly at plan time, so a Describe-time
+# schema probe must never plan one with placeholder values.
+_QUERY_SHAPED_RE = _re.compile(
+    r"^\s*(SELECT|WITH|VALUES|TABLE|SHOW|EXPLAIN|DESCRIBE)\b", _re.IGNORECASE
+)
 
 
 def _quote_param(text: str | None, oid: int) -> str:
@@ -468,7 +474,12 @@ class _Conn:
                         if df is None:
                             if n_params:
                                 # schema probe: plan with NULL in every
-                                # parameter position (not cached)
+                                # parameter position (not cached). ONLY
+                                # for query-shaped statements — planning
+                                # a parameterized INSERT/CTAS would
+                                # EXECUTE it with NULLs
+                                if not _QUERY_SHAPED_RE.match(sql):
+                                    raise ValueError("not speculatively plannable")
                                 df = self._plan(
                                     _substitute_params(
                                         sql, [None] * n_params, [0] * n_params

@@ -423,6 +423,22 @@ def test_information_schema(spark, sf_dir):
     assert "t_info_new" in tabs2
 
 
+def test_explain_and_set_passthrough(spark, sf_dir):
+    """EXPLAIN and SET run natively through execute_sql (DataFusion
+    surfaces both via the same sql() entry, reference lib.rs:88)."""
+    from csvb_spark.sources.catalog import register_views
+    from csvb_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    plan_txt = execute_sql(
+        spark, "EXPLAIN SELECT r_name, count(*) FROM region GROUP BY r_name"
+    ).collect()[0][0]
+    assert "Aggregate" in plan_txt or "HashAggregate" in plan_txt
+    execute_sql(spark, "SET spark.sql.cbo.enabled=false")
+    row = execute_sql(spark, "SET spark.sql.cbo.enabled").collect()[0]
+    assert (row.key, row.value) == ("spark.sql.cbo.enabled", "false")
+
+
 def test_information_schema_views_schemata_settings(spark, sf_dir):
     """The rest of the DataFusion information_schema surface
     (reference lib.rs:22 enables all of it): views, schemata,

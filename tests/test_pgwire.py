@@ -306,6 +306,34 @@ def test_extended_rejects_undeclared_binary_params(conn):
     assert b"E" in tags and tags[-1] == b"Z"
 
 
+def test_describe_does_not_execute_parameterized_dml(conn, spark):
+    """Spark plans commands eagerly, so the Describe('S') schema probe
+    must never plan a parameterized INSERT (it would execute with
+    NULLs). Describe answers NoData; the insert happens only at
+    Bind/Execute with the real value."""
+    spark.sql("DROP TABLE IF EXISTS pg_ins_t")
+    spark.sql("CREATE TABLE pg_ins_t(x INT) USING parquet")
+    try:
+        sock, buf = conn
+        sql = b"INSERT INTO pg_ins_t VALUES (CAST($1 AS INT))"
+        _send(sock, b"P", b"pi\x00" + sql + b"\x00" + struct.pack("!hI", 1, 23))
+        _send(sock, b"D", b"Spi\x00")
+        _send(sock, b"S", b"")
+        msgs = _read_until_ready(sock, buf)
+        tags = [t for t, _ in msgs]
+        assert b"t" in tags and b"n" in tags  # ParameterDescription + NoData
+        assert spark.table("pg_ins_t").count() == 0  # NOT executed
+        params = struct.pack("!i", 1) + b"7"
+        body = b"\x00pi\x00" + struct.pack("!hh", 0, 1) + params + struct.pack("!h", 0)
+        _send(sock, b"B", body)
+        _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+        _send(sock, b"S", b"")
+        _read_until_ready(sock, buf)
+        assert [r.x for r in spark.table("pg_ins_t").collect()] == [7]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pg_ins_t")
+
+
 def test_cancel_request_interrupts_portal(pg_server):
     """CancelRequest (own connection, carrying BackendKeyData) flags
     the live session; the suspended portal's next Execute answers
