@@ -12,7 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from csvb_spark.operators import dedup, multimodal, sessions, similarity, skew, text
+from csvb_spark.operators import (
+    dedup,
+    multimodal,
+    sessions,
+    similarity,
+    skew,
+    splits,
+    text,
+)
 from csvb_spark.queries.common import Query
 
 QUERIES: dict[str, Query] = {}
@@ -336,6 +344,26 @@ GROUP BY l_returnflag
 """,
 )
 
+
+# --- dataset assembly: contamination check + deterministic splits ------------------
+# Rows-only x-entries (the 50-entry oracle window is exactly full; the
+# contamination math gets its hard DuckDB signal from
+# tests/test_splits.py instead, like the MinHash verify stage).
+_q(
+    "x19_contamination",
+    spark=lambda spark, sf: splits.contamination_check(
+        _docs(spark, sf).filter(F.col("doc_id") % 10 != 0),
+        _docs(spark, sf).filter(F.col("doc_id") % 10 == 0),
+        k=8,
+        min_shared=2,
+    ),
+)
+_q(
+    "x20_split_assignment",
+    spark=lambda spark, sf: splits.assign_splits(_docs(spark, sf))
+    .groupBy("split")
+    .agg(F.count("*").alias("n_docs")),
+)
 
 # --- multimodal frame pipeline (resize → frame-sample, 1→N generator shape) --------
 _q(

@@ -1,0 +1,88 @@
+"""Dataset-assembly operators: DuckDB oracle for the contamination
+check, determinism/stability properties for split assignment."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_contamination_matches_duckdb(spark, sf_dir):
+    """Exact char-8-gram overlap counts between a train and an eval
+    partition match DuckDB's all-pairs formulation on a fixed subset
+    (the doc-frequency guard is inactive on a subset this small, so
+    the banded plan must equal the exact answer)."""
+    from csvb_spark.operators.splits import contamination_check
+    from tests.oracle_compare import compare, duck_connection
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 60)
+    spark_df = contamination_check(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        k=8,
+        min_shared=2,
+    )
+    oracle = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substr(lower(text), g, 8)
+                        FOR g IN generate_series(1, greatest(length(text) - 7, 1))]) AS s
+  FROM documents WHERE doc_id < 60
+)
+SELECT t.doc_id AS train_doc_id, e.doc_id AS eval_doc_id,
+       CAST(len(list_intersect(t.s, e.s)) AS BIGINT) AS n_shared_grams
+FROM sh t JOIN sh e
+  ON t.doc_id % 10 <> 0 AND e.doc_id % 10 = 0
+WHERE len(list_intersect(t.s, e.s)) >= 2
+"""
+    problems = compare(spark_df, duck_connection(sf_dir), oracle)
+    assert not problems, "; ".join(problems)
+
+
+def test_assign_splits_properties(spark, sf_dir):
+    from csvb_spark.operators.splits import assign_splits
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    full = {r.doc_id: r.split for r in assign_splits(d).collect()}
+    again = {r.doc_id: r.split for r in assign_splits(d).collect()}
+    assert full == again  # deterministic across runs
+    assert set(full.values()) <= {"train", "valid", "test"}
+    n = len(full)
+    train_frac = sum(1 for v in full.values() if v == "train") / n
+    assert 0.85 <= train_frac <= 0.95  # ~0.9 by construction
+    # append-stable: a subset's assignments agree with the full run
+    sub = {
+        r.doc_id: r.split
+        for r in assign_splits(d.filter(F.col("doc_id") % 3 == 0)).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    # every row gets exactly one split (no gaps at bucket edges)
+    assert None not in full.values()
+
+
+def test_assign_splits_custom_weights(spark, sf_dir):
+    from csvb_spark.operators.splits import assign_splits
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    out = assign_splits(d, weights={"a": 1.0, "b": 1.0}, seed=7)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"a", "b"}
+    total = sum(counts.values())
+    assert abs(counts["a"] / total - 0.5) < 0.05
+
+
+def test_contamination_plan_has_no_cross_join(spark, sf_dir):
+    from csvb_spark.operators.splits import contamination_check
+    from tests.test_plans import _plan
+
+    d = _docs(spark, sf_dir)
+    plan = _plan(
+        contamination_check(
+            d.filter(F.col("doc_id") % 10 != 0), d.filter(F.col("doc_id") % 10 == 0)
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
