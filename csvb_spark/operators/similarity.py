@@ -136,25 +136,26 @@ def hyperplane_lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the probe's bucket(s).
 
-    ``hamming_probe=1`` multi-probes the n_planes Hamming-adjacent
-    buckets too (a vector near a hyperplane lands on either side, so
-    the nearest neighbors of a probe concentrate in buckets one bit
-    away). At scale this turns one bucket scan into 1+n_planes scans
-    of a bucket-partitioned table — still nprobe/2^bits of the corpus,
-    with recall comparable to doubling the table count. 0 = exact
-    bucket only.
+    ``hamming_probe`` is the multi-probe RADIUS: all buckets within
+    that Hamming distance of the probe's bucket are scanned (a vector
+    near a hyperplane lands on either side, so the nearest neighbors
+    of a probe concentrate in buckets a few bits away). 0 = exact
+    bucket only; 1 adds the n_planes adjacent buckets; r adds
+    C(n_planes, r) more per extra bit — at scale each bucket is one
+    partition of a bucket-partitioned table, so the scan cost is
+    (buckets probed)/2^n_planes of the corpus.
     """
+    import itertools
+
     planes = _hyperplanes(n_planes, dim, seed)
     bucketed = bucketize(embeddings, n_planes, dim, seed, vec_col)
     pb = bucket_id(F.col(vec_col), planes)
-    probe_buckets = F.array(
-        pb,
-        *(
-            [pb.bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)]
-            if hamming_probe >= 1
-            else []
-        ),
-    )
+    masks = [
+        sum(1 << b for b in bits)
+        for r in range(1, min(hamming_probe, n_planes) + 1)
+        for bits in itertools.combinations(range(n_planes), r)
+    ]
+    probe_buckets = F.array(pb, *[pb.bitwiseXOR(F.lit(m)) for m in masks])
     p = F.broadcast(
         probe.select(
             F.col(id_col).alias("probe_id"),

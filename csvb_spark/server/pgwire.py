@@ -12,8 +12,10 @@ the subset that real clients use):
 - extended protocol: Parse/Bind plan the statement; TEXT-format bind
   parameters are inlined as typed SQL literals ($n substitution with
   the Parse-declared oids — the common psycopg3/JDBC path; binary
-  format is rejected 0A000). Parameter-less statements plan once and
-  cache; parameterized ones re-plan per Bind. Describe('S') answers
+  format is rejected 0A000). Parameter-less QUERY-shaped statements
+  plan once and cache; parameterized statements and commands (Spark
+  runs commands eagerly at plan time) re-plan per Bind so repeated
+  Execute of a prepared DML re-runs it. Describe('S') answers
   ParameterDescription (declared oids) + RowDescription (NULL-probe
   plan for parameterized statements; NoData if unknowable),
   Describe('P') RowDescription; Execute streams DataRows and answers
@@ -138,7 +140,12 @@ def _quote_param(text: str | None, oid: int) -> str:
             raise ValueError(f"invalid numeric parameter {text!r}")
         return text
     if oid == _BOOL_OID:
-        return "TRUE" if text in ("t", "true", "1", "on") else "FALSE"
+        t = text.strip().lower()
+        if t in ("t", "true", "1", "on", "yes", "y"):
+            return "TRUE"
+        if t in ("f", "false", "0", "off", "no", "n"):
+            return "FALSE"
+        raise ValueError(f"invalid boolean parameter {text!r}")
     return "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
 
 
@@ -204,19 +211,20 @@ def _decode_bind_params(
     return params, undecodable
 
 
+_SQL_LITERAL_SPLIT_RE = _re.compile(r"('(?:[^']|'')*')")
+
+
 def _substitute_params(sql: str, params: list[str | None], oids: list[int]) -> str:
     """Inline $n placeholders as quoted literals ($n inside string
     literals is left untouched). This is the text-protocol subset the
     reference serves via pgwire+datafusion-postgres (reference
     csvb_engine/src/lib.rs:102-106) — enough for psycopg3 / JDBC
-    default (unprepared text) parameter flows."""
-    stash: list[str] = []
+    default (unprepared text) parameter flows.
 
-    def _protect(m: _re.Match[str]) -> str:
-        stash.append(m.group(0))
-        return f"\x00L{len(stash) - 1}\x00"
-
-    protected = _SQL_LITERAL_RE.sub(_protect, sql)
+    Splits the text into literal / non-literal segments and rewrites
+    only the latter — no placeholder round-trip, so parameter VALUES
+    that happen to contain any sentinel byte sequence can never be
+    spliced back into the surrounding SQL."""
 
     def _inline(m: _re.Match[str]) -> str:
         i = int(m.group(1))
@@ -225,19 +233,23 @@ def _substitute_params(sql: str, params: list[str | None], oids: list[int]) -> s
         oid = oids[i - 1] if i <= len(oids) else 0
         return _quote_param(params[i - 1], oid)
 
-    out = _PARAM_RE.sub(_inline, protected)
-    for j, lit in enumerate(stash):
-        out = out.replace(f"\x00L{j}\x00", lit)
-    return out
+    parts = _SQL_LITERAL_SPLIT_RE.split(sql)  # even idx: code, odd: literals
+    return "".join(
+        seg if j % 2 else _PARAM_RE.sub(_inline, seg) for j, seg in enumerate(parts)
+    )
 
 
 class _Conn:
     def __init__(self, sock: socket.socket, spark: SparkSession):
+        import secrets as _secrets
+
         self.sock = sock
         self.spark = spark
         self.buf = b""
         self.backend_pid = threading.get_ident() & 0x7FFFFFFF
+        self.secret = _secrets.randbits(32)
         self.cancelled = False
+        self.running = False  # a row loop is live (cancel target)
 
     # --- low-level framing -------------------------------------------------
     def _recv_exact(self, n: int) -> bytes:
@@ -265,11 +277,14 @@ class _Conn:
                 # Sent on its own connection: body carries the target's
                 # BackendKeyData. Flag the live connection (its row
                 # loops poll the flag) and close this one silently —
-                # cancel sends no response by protocol.
+                # cancel sends no response by protocol. The secret key
+                # must match (spec), and only a RUNNING query is
+                # cancellable — a cancel landing while the session is
+                # idle must not kill its next query.
                 if len(body) >= 12:
-                    (pid, _secret) = struct.unpack("!II", body[4:12])
+                    (pid, secret) = struct.unpack("!II", body[4:12])
                     target = _CONNS.get(pid)
-                    if target is not None:
+                    if target is not None and secret == target.secret and target.running:
                         target.cancelled = True
                 return False
             if code != 196608:  # protocol 3.0
@@ -285,7 +300,7 @@ class _Conn:
             ("integer_datetimes", "on"),
         ):
             out += _msg(b"S", _cstr(k) + _cstr(v))
-        out += _msg(b"K", struct.pack("!II", self.backend_pid, 0))
+        out += _msg(b"K", struct.pack("!II", self.backend_pid, self.secret))
         out += self._ready()
         self._send(out)
         return True
@@ -322,6 +337,8 @@ class _Conn:
             self._send(_msg(b"I"))  # EmptyQueryResponse
             self._send(self._ready())
             return
+        self.cancelled = False
+        self.running = True
         try:
             df = execute_sql(self.spark, sql)
             cols = df.columns
@@ -351,6 +368,7 @@ class _Conn:
         except Exception as e:  # noqa: BLE001 — every engine error → client
             log.warning("query failed: %s", e)
             self._send_error("42601", str(e).split("\n")[0][:500])
+        self.running = False
         self.cancelled = False
         self._send(self._ready())
 
@@ -445,7 +463,13 @@ class _Conn:
                         df = self._plan(_substitute_params(sql, params, oids))
                     elif df is None:
                         df = self._plan(sql)
-                        stmts[stmt] = (sql, df, oids)
+                        # cache the plan only for query-shaped statements:
+                        # Spark executes COMMANDS eagerly at plan time, so a
+                        # cached command plan would make every later
+                        # Bind/Execute cycle a silent no-op (pgjdbc reuses
+                        # named statements after prepareThreshold)
+                        if _QUERY_SHAPED_RE.match(sql):
+                            stmts[stmt] = (sql, df, oids)
                 except ValueError as e:
                     self._ext_error("22P02", str(e))
                     continue
@@ -461,7 +485,9 @@ class _Conn:
                         self._ext_error("26000", f"unknown statement {name!r}")
                         continue
                     sql, df, oids = stmts[name]
-                    n_params = len(oids) or _count_params(sql)
+                    # a Parse may declare FEWER oids than placeholders used
+                    # (legal — Postgres infers the rest): count both ways
+                    n_params = max(len(oids), _count_params(sql))
                     # declared oids, 0 (unknown) for undeclared positions
                     described = (oids + [0] * n_params)[:n_params]
                     self._send(
@@ -470,27 +496,33 @@ class _Conn:
                             struct.pack(f"!h{n_params}I", n_params, *described),
                         )
                     )
-                    try:
-                        if df is None:
-                            if n_params:
-                                # schema probe: plan with NULL in every
-                                # parameter position (not cached). ONLY
-                                # for query-shaped statements — planning
-                                # a parameterized INSERT/CTAS would
-                                # EXECUTE it with NULLs
-                                if not _QUERY_SHAPED_RE.match(sql):
-                                    raise ValueError("not speculatively plannable")
+                    # Command-shaped statements are NEVER planned here —
+                    # Spark executes commands eagerly at plan time and
+                    # Describe must not run the statement — they answer
+                    # NoData with planning deferred to Bind.
+                    if df is None and _QUERY_SHAPED_RE.match(sql):
+                        if n_params:
+                            # schema probe: plan with NULL in every param
+                            # position (not cached); unknowable → NoData
+                            try:
                                 df = self._plan(
                                     _substitute_params(
                                         sql, [None] * n_params, [0] * n_params
                                     )
                                 )
-                            else:
+                            except Exception:  # noqa: BLE001
+                                df = None
+                        else:
+                            # a genuine planning error (missing table,
+                            # syntax) must surface as an ErrorResponse,
+                            # not be masked as NoData
+                            try:
                                 df = self._plan(sql)
-                                stmts[name] = (sql, df, oids)
-                        self._send(self._describe_df(df))
-                    except Exception:  # noqa: BLE001 — schema unknowable
-                        self._send(_msg(b"n"))  # NoData
+                            except Exception as e:  # noqa: BLE001
+                                self._ext_error("42601", str(e).split("\n")[0][:500])
+                                continue
+                            stmts[name] = (sql, df, oids)
+                    self._send(self._describe_df(df))
                 elif kind == b"P":
                     if name not in portals:
                         self._ext_error("34000", f"unknown portal {name!r}")
@@ -528,6 +560,8 @@ class _Conn:
         if df is None:  # empty statement
             self._send(_msg(b"I"))
             return
+        self.cancelled = False
+        self.running = True
         try:
             if st["it"] is None:
                 st["it"] = iter(df.toLocalIterator()) if df.columns else iter(())
@@ -559,6 +593,8 @@ class _Conn:
         except Exception as e:  # noqa: BLE001
             log.warning("execute failed: %s", e)
             self._ext_error("42601", str(e).split("\n")[0][:500])
+        finally:
+            self.running = False
 
 
 class PgWireServer:

@@ -334,10 +334,12 @@ def test_describe_does_not_execute_parameterized_dml(conn, spark):
         spark.sql("DROP TABLE IF EXISTS pg_ins_t")
 
 
-def test_cancel_request_interrupts_portal(pg_server):
+def test_cancel_request_interrupts_running_query(pg_server):
     """CancelRequest (own connection, carrying BackendKeyData) flags
-    the live session; the suspended portal's next Execute answers
-    SQLSTATE 57014 and the connection survives."""
+    the live session while its row loop is streaming; the query stops
+    with SQLSTATE 57014 and the connection survives. (Cancel targets
+    only a RUNNING query — Postgres semantics; an idle session is
+    covered by test_cancel_requires_secret_and_running_query.)"""
     sock = socket.create_connection(("127.0.0.1", pg_server.port), timeout=60)
     buf = bytearray()
     _startup(sock)
@@ -345,29 +347,125 @@ def test_cancel_request_interrupts_portal(pg_server):
     (key_payload,) = [p for t, p in msgs if t == b"K"]
     pid, secret = struct.unpack("!II", key_payload)
     try:
-        _send(sock, b"P", b"\x00SELECT id FROM range(1000) ORDER BY id\x00" + struct.pack("!h", 0))
-        _send(sock, b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
-        _send(sock, b"E", b"\x00" + struct.pack("!I", 1))  # 1 row then suspend
-        _send(sock, b"H", b"")
-        # wait for PortalSuspended before cancelling
+        # a result stream big enough that cancel lands mid-loop
+        body = b"SELECT id FROM range(50000000)\x00"
+        sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
         got = []
-        while b"s" not in [t for t, _ in got]:
+        while len(_data_rows(got)) < 1:  # stream has started
             got.append(_read_msg(sock, buf))
         # CancelRequest on its own connection (no tag byte, no reply)
         csock = socket.create_connection(("127.0.0.1", pg_server.port), timeout=10)
         csock.sendall(struct.pack("!IIII", 16, 80877102, pid, secret))
         csock.close()
-        import time
-
-        time.sleep(0.2)  # flag is set synchronously on receipt; be generous
-        _send(sock, b"E", b"\x00" + struct.pack("!I", 0))  # resume → cancelled
-        _send(sock, b"S", b"")
-        msgs = _read_until_ready(sock, buf)
-        errs = [p for t, p in msgs if t == b"E"]
+        # drain until the error + ReadyForQuery
+        while not got or got[-1][0] != b"Z":
+            got.append(_read_msg(sock, buf))
+        errs = [p for t, p in got if t == b"E"]
         assert errs and b"57014" in errs[0]
         # connection recovers
         msgs = _simple_query(sock, buf, "SELECT 9 AS nine")
         assert _data_rows(msgs) == [[b"9"]]
+    finally:
+        sock.close()
+
+
+def test_param_substitution_unit():
+    """_substitute_params never splices SQL literals into parameter
+    values: a param whose BYTES spell a protection placeholder must
+    round-trip verbatim (length-prefixed Bind values may contain NUL
+    even though SQL text cannot)."""
+    from csvb_spark.server.pgwire import _quote_param, _substitute_params
+
+    evil = "\x00L0\x00pwn"
+    out = _substitute_params("SELECT 'x' AS a WHERE c = $1", [evil], [25])
+    assert out == "SELECT 'x' AS a WHERE c = '\x00L0\x00pwn'"
+    # $n inside string literals untouched; outside substituted
+    out = _substitute_params("SELECT '$1' AS lit, $1 AS v", ["9"], [23])
+    assert out == "SELECT '$1' AS lit, 9 AS v"
+    # Postgres-legal bool spellings, case-insensitive
+    for t in ("t", "TRUE", "True", "yes", "Y", "ON", "1"):
+        assert _quote_param(t, 16) == "TRUE"
+    for f in ("f", "FALSE", "no", "N", "off", "0"):
+        assert _quote_param(f, 16) == "FALSE"
+    with pytest.raises(ValueError):
+        _quote_param("maybe", 16)
+
+
+def test_describe_infers_undeclared_param_count(conn):
+    """Parse may declare fewer oids than placeholders used (Postgres
+    infers the rest): ParameterDescription must count via max(declared,
+    used), 0-filling the undeclared positions."""
+    sock, buf = conn
+    sql = b"SELECT $1 + $2 AS v"
+    _send(sock, b"P", b"pc\x00" + sql + b"\x00" + struct.pack("!hI", 1, 23))
+    _send(sock, b"D", b"Spc\x00")
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    (pd,) = [p for t, p in msgs if t == b"t"]
+    assert struct.unpack("!hII", pd) == (2, 23, 0)
+
+
+def test_describe_surfaces_plan_errors(conn):
+    """Describe('S') of a parameterless statement that fails to plan
+    (missing table) answers ErrorResponse — not a masking NoData."""
+    sock, buf = conn
+    sql = b"SELECT * FROM no_such_table_xyz"
+    _send(sock, b"P", b"pe\x00" + sql + b"\x00" + struct.pack("!h", 0))
+    _send(sock, b"D", b"Spe\x00")
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    tags = [t for t, _ in msgs]
+    assert b"E" in tags and b"n" not in tags and tags[-1] == b"Z"
+
+
+def test_describe_does_not_execute_parameterless_dml(conn, spark):
+    """Describe('S') of a PARAMETERLESS INSERT must not plan it either
+    (Spark executes commands at plan time) — it answers NoData and the
+    insert runs only at Bind/Execute; repeated Bind/Execute of the
+    same prepared statement re-runs it every cycle (pgjdbc reuses
+    named statements after prepareThreshold)."""
+    spark.sql("DROP TABLE IF EXISTS pg_ins_t0")
+    spark.sql("CREATE TABLE pg_ins_t0(x INT) USING parquet")
+    try:
+        sock, buf = conn
+        sql = b"INSERT INTO pg_ins_t0 VALUES (7)"
+        _send(sock, b"P", b"pd\x00" + sql + b"\x00" + struct.pack("!h", 0))
+        _send(sock, b"D", b"Spd\x00")
+        _send(sock, b"S", b"")
+        msgs = _read_until_ready(sock, buf)
+        tags = [t for t, _ in msgs]
+        assert b"n" in tags and b"E" not in tags  # NoData, no error
+        assert spark.table("pg_ins_t0").count() == 0  # NOT executed
+        for _ in range(3):  # three Bind/Execute cycles → three rows
+            _send(sock, b"B", b"\x00pd\x00" + struct.pack("!hhh", 0, 0, 0))
+            _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+            _send(sock, b"S", b"")
+            _read_until_ready(sock, buf)
+        assert spark.table("pg_ins_t0").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pg_ins_t0")
+
+
+def test_cancel_requires_secret_and_running_query(pg_server):
+    """A CancelRequest with the wrong secret is ignored, and one
+    arriving while the session is idle must not kill the NEXT query
+    (real Postgres cancels only a currently-running query)."""
+    sock = socket.create_connection(("127.0.0.1", pg_server.port), timeout=60)
+    buf = bytearray()
+    _startup(sock)
+    msgs = _read_until_ready(sock, buf)
+    (key_payload,) = [p for t, p in msgs if t == b"K"]
+    pid, secret = struct.unpack("!II", key_payload)
+    try:
+        import time
+
+        for bad_secret in (secret ^ 1, secret):  # wrong key; right key but idle
+            csock = socket.create_connection(("127.0.0.1", pg_server.port), timeout=10)
+            csock.sendall(struct.pack("!IIII", 16, 80877102, pid, bad_secret))
+            csock.close()
+            time.sleep(0.2)
+            msgs = _simple_query(sock, buf, "SELECT 5 AS five")
+            assert _data_rows(msgs) == [[b"5"]]  # unaffected
     finally:
         sock.close()
 
