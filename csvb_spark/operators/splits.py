@@ -63,6 +63,77 @@ def assign_splits(
     return df.withColumn("split", assigned)
 
 
+def hash_uniform(id_col: str | Column, seed: int = 42) -> Column:
+    """Deterministic uniform in [0, 1) from md5(id || ':' || seed).
+
+    md5 — not xxhash64 — so the SAME number is computable in any other
+    engine (DuckDB: ``('0x' || substr(md5(...), 1, 8))::BIGINT``):
+    sampling decisions survive engine migrations and are auditable
+    off-cluster. First 8 hex chars = 32 uniform bits, plenty for
+    per-mille rate control."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.concat(c.cast("string"), F.lit(f":{seed}"))
+    hex8 = F.substring(F.md5(F.encode(key, "UTF-8")), 1, 8)
+    return F.conv(hex8, 16, 10).cast("bigint") / F.lit(4294967296.0)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Domain-mixture downsampling: keep each row with its source's
+    rate, decided by the row id's hash (never ``rand()``). Map-only,
+    append-stable, exactly reproducible — re-running over a grown
+    corpus keeps every previously-kept row, which is what makes
+    incremental corpus builds diffable. The filter is a plain
+    predicate, so it pushes into the scan where the format allows."""
+    rate: Column = F.lit(float(default_rate))
+    for src, r in rates.items():
+        rate = F.when(F.col(source_col) == src, float(r)).otherwise(rate)
+    return df.filter(hash_uniform(id_col, seed) < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_col: str | Column,
+    budget: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid end-to-end in
+    ``order_col`` order within each ``part_col`` stream and cut into
+    fixed ``budget``-token training sequences; each document reports
+    the sequence it STARTS in and its token offset there (documents
+    may straddle sequence boundaries — the standard pretraining
+    packing).
+
+    One shuffle (the window sort per stream); arithmetic is all
+    integer window-cumsum, so any engine agrees bit-for-bit. At scale
+    the stream key bounds the sort: pick part_col so one stream's
+    token count fits an executor's sort spill comfortably — packing
+    quality is unaffected by more streams."""
+    from pyspark.sql import Window
+
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(t).over(w), F.lit(0))
+    return df.withColumns(
+        {
+            "n_tokens": t,
+            "seq_id": F.floor(cum_before / budget),
+            "seq_offset": cum_before % budget,
+        }
+    )
+
+
 def contamination_check(
     train: DataFrame,
     eval_docs: DataFrame,

@@ -107,6 +107,56 @@ def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB
+# oracle) agree on: character classes, bounded repeats, \b, \d.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4s, keeping per-kind match
+    counts (counted on the ORIGINAL text, before any rewriting, so
+    kinds never see each other's placeholder tokens). Map-only pure
+    regex work — whole-stage codegen, zero shuffles, the shape a
+    100 TB scrub pass needs."""
+    text = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(f"n_{kind}")
+        for kind, pat in PII_PATTERNS.items()
+    ]
+    redacted = text
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return docs.select("doc_id", *counts, redacted.alias("redacted"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Duplicate n-gram fractions — the standard repetition quality
+    signal for corpus filtering (high duplicate-bigram fraction marks
+    boilerplate / degenerate text). Map-only higher-order array work;
+    1-indexed ``element_at`` so the same arithmetic is expressible in
+    the DuckDB oracle's list comprehensions."""
+    words = F.filter(tokens(text_col), lambda x: x != F.lit(""))
+    n = F.size(words)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(words)) / n, 6).alias(
+            "dup_word_ratio"
+        ),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 6
+        ).alias("dup_bigram_ratio"),
+    )
+
+
 def char_shingles(col: str | Column, k: int = 4) -> Column:
     """Distinct character k-grams (shingles) of lower(col)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -365,6 +365,111 @@ _q(
     .agg(F.count("*").alias("n_docs")),
 )
 
+
+# --- corpus scrubbing / quality / assembly (x2x: oracle-bearing but
+# named past the driver's full 50-entry window; the identical DuckDB
+# differential runs in tests/test_oracle.py) ---------------------------------------
+def _plant_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """The fixture text is clean word-soup, so plant deterministic PII
+    derived from data columns — both engines synthesize the identical
+    corpus, making the redaction math verifiable end-to-end."""
+    d = _docs(spark, sf)
+    return d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact "),
+            F.col("source"),
+            F.lit("@example.com or 555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ),
+    )
+
+
+_PII_PLANT_SQL = (
+    "text || ' contact ' || source || '@example.com or 555-123-4567 at 10.0.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR)"
+)
+
+_q(
+    "x21_pii_redaction",
+    spark=lambda spark, sf: text.pii_redact(_plant_pii(spark, sf)),
+    oracle=rf"""
+WITH planted AS (SELECT doc_id, {_PII_PLANT_SQL} AS text FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS n_email,
+       len(regexp_extract_all(text, '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b')) AS n_phone,
+       len(regexp_extract_all(text, '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b')) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+           '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g'),
+         '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IPV4>', 'g') AS redacted
+FROM planted
+""",
+)
+
+_q(
+    "x22_repetition_quality",
+    spark=lambda spark, sf: text.repetition_stats(_docs(spark, sf)),
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS words
+  FROM documents
+), b AS (
+  SELECT doc_id, words,
+         list_transform(generate_series(1, greatest(len(words) - 1, 1)),
+                        i -> concat_ws(' ', words[i], words[i + 1])) AS bigrams
+  FROM w
+)
+SELECT doc_id,
+       len(words) AS n_words,
+       ROUND(1.0 - len(list_distinct(words)) / len(words), 6) AS dup_word_ratio,
+       ROUND(1.0 - len(list_distinct(bigrams)) / len(bigrams), 6) AS dup_bigram_ratio
+FROM b
+""",
+)
+
+_MIX_RATES = {"src0": 0.0, "src1": 1.0, "src2": 0.5}
+
+_q(
+    "x23_mixture_sample",
+    spark=lambda spark, sf: splits.mixture_sample(
+        _docs(spark, sf), _MIX_RATES, default_rate=0.25
+    ).select("doc_id", "source"),
+    oracle="""
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+        / 4294967296.0
+      < CASE WHEN source = 'src0' THEN 0.0
+             WHEN source = 'src1' THEN 1.0
+             WHEN source = 'src2' THEN 0.5
+             ELSE 0.25 END
+""",
+)
+
+_q(
+    "x24_sequence_packing",
+    spark=lambda spark, sf: splits.pack_sequences(
+        _docs(spark, sf), "n_chars", budget=4096
+    ).select("doc_id", "source", "n_tokens", "seq_id", "seq_offset"),
+    oracle="""
+WITH c AS (
+  SELECT doc_id, source, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM documents
+)
+SELECT doc_id, source, n_chars AS n_tokens,
+       cum_before // 4096 AS seq_id,
+       cum_before % 4096 AS seq_offset
+FROM c
+""",
+)
+
 # --- multimodal frame pipeline (resize → frame-sample, 1→N generator shape) --------
 _q(
     "x18_multimodal_frames",
