@@ -9,10 +9,15 @@ the subset that real clients use):
 - startup: SSLRequest → 'N'; StartupMessage → AuthenticationOk,
   ParameterStatus, BackendKeyData, ReadyForQuery
 - simple query ('Q'): RowDescription / DataRow* / CommandComplete
-- extended protocol: Parse/Bind plan the statement; TEXT-format bind
-  parameters are inlined as typed SQL literals ($n substitution with
-  the Parse-declared oids — the common psycopg3/JDBC path; binary
-  format is rejected 0A000). Parameter-less QUERY-shaped statements
+- extended protocol: Parse/Bind plan the statement; bind parameters
+  are inlined as typed SQL literals ($n substitution with the
+  Parse-declared oids — the common psycopg3/JDBC path; binary-format
+  params for well-known oids are decoded first, others 0A000).
+  Result columns honor Bind's trailing format codes: binary wire
+  encoding for bool/int/float/text/bytea/date/timestamp, clean 0A000
+  at Bind time for any other type a client requests in binary —
+  never text bytes mislabeled binary. Parameter-less QUERY-shaped
+  statements
   plan once and cache; parameterized statements and commands (Spark
   runs commands eagerly at plan time) re-plan per Bind so repeated
   Execute of a prepared DML re-runs it. Describe('S') answers
@@ -100,6 +105,50 @@ def _pg_text(v) -> bytes | None:
     return str(v).encode()
 
 
+# Binary-format result encoders by type oid (the wire formats are in
+# the public protocol docs; timestamps use integer_datetimes=on, which
+# the startup parameters announce). Types without an entry (numeric,
+# arrays, ...) reject a binary result request with a clean 0A000 at
+# Bind time instead of mislabeling text bytes.
+_PG_EPOCH_DATE = _dt.date(2000, 1, 1)
+_PG_EPOCH_TS = _dt.datetime(2000, 1, 1)
+
+
+def _enc_ts(v) -> bytes:
+    if isinstance(v, _dt.datetime):
+        delta = v.replace(tzinfo=None) - _PG_EPOCH_TS
+        micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return struct.pack("!q", micros)
+    raise ValueError(f"not a timestamp: {v!r}")
+
+
+_BINARY_ENCODERS = {
+    16: lambda v: b"\x01" if v else b"\x00",  # bool
+    21: lambda v: struct.pack("!h", v),  # int2
+    23: lambda v: struct.pack("!i", v),  # int4
+    20: lambda v: struct.pack("!q", v),  # int8
+    700: lambda v: struct.pack("!f", v),  # float4
+    701: lambda v: struct.pack("!d", v),  # float8
+    25: lambda v: str(v).encode(),  # text
+    1043: lambda v: str(v).encode(),  # varchar
+    17: lambda v: bytes(v),  # bytea
+    1082: lambda v: struct.pack("!i", (v - _PG_EPOCH_DATE).days),  # date
+    1114: _enc_ts,  # timestamp (integer_datetimes)
+}
+
+
+def _expand_result_fmts(codes: tuple[int, ...], ncols: int) -> list[int]:
+    """Per-column result formats per the spec: 0 codes = all text, one
+    code applies to every column, else exactly one per column."""
+    if not codes:
+        return [0] * ncols
+    if len(codes) == 1:
+        return [codes[0]] * ncols
+    if len(codes) != ncols:
+        raise ValueError(f"{len(codes)} result format codes for {ncols} columns")
+    return list(codes)
+
+
 def _msg(tag: bytes, payload: bytes = b"") -> bytes:
     return tag + struct.pack("!I", len(payload) + 4) + payload
 
@@ -179,7 +228,8 @@ def _decode_bind_params(
     rest: bytes, oids: list[int]
 ) -> tuple[list[str | None], list[int]]:
     """Decode a Bind message's parameter section → (text-form params,
-    undecodable-binary positions). Format codes follow the spec:
+    undecodable-binary positions, result-column format codes).
+    Format codes follow the spec:
     0 codes = all text, 1 code applies to every param, else one per
     param. Binary values for well-known oids are decoded to their
     text form; others are reported for a clean 0A000."""
@@ -208,7 +258,12 @@ def _decode_bind_params(
                 params.append(dec(raw))
         else:
             params.append(raw.decode())
-    return params, undecodable
+    # trailing section: result-column format codes (int16 count + codes)
+    (nres,) = struct.unpack("!h", rest[:2]) if len(rest) >= 2 else (0,)
+    res_fmts = (
+        struct.unpack(f"!{nres}h", rest[2 : 2 + 2 * nres]) if nres else ()
+    )
+    return params, undecodable, res_fmts
 
 
 _SQL_LITERAL_SPLIT_RE = _re.compile(r"('(?:[^']|'')*')")
@@ -315,13 +370,14 @@ class _Conn:
         self._send(_msg(b"E", payload))
 
     # --- query execution ----------------------------------------------------
-    def _row_description(self, df) -> bytes:
+    def _row_description(self, df, fmts: list[int] | None = None) -> bytes:
         fields = b""
-        for name, dtype in df.dtypes:
+        for i, (name, dtype) in enumerate(df.dtypes):
             oid, size = _oid_for(dtype)
+            fmt = fmts[i] if fmts else 0
             fields += (
                 _cstr(name)
-                + struct.pack("!IhIhih", 0, 0, oid, size, -1, 0)
+                + struct.pack("!IhIhih", 0, 0, oid, size, -1, fmt)
             )
         return _msg(b"T", struct.pack("!h", len(df.dtypes)) + fields)
 
@@ -443,7 +499,7 @@ class _Conn:
                     continue
                 sql, df, oids = stmts[stmt]
                 try:
-                    params, undecodable = _decode_bind_params(rest, oids)
+                    params, undecodable, res_codes = _decode_bind_params(rest, oids)
                 except Exception as e:  # noqa: BLE001
                     self._ext_error("08P01", f"malformed Bind: {e}")
                     continue
@@ -476,7 +532,28 @@ class _Conn:
                 except Exception as e:  # noqa: BLE001
                     self._ext_error("42601", str(e).split("\n")[0][:500])
                     continue
-                portals[portal] = {"df": df, "it": None, "sent": 0}
+                # result formats: expand to per-column and refuse (clean
+                # 0A000, at Bind time) binary for any column type we
+                # have no wire encoder for — never mislabel text bytes
+                cols = df.dtypes if df is not None else []
+                try:
+                    fmts = _expand_result_fmts(res_codes, len(cols))
+                except ValueError as e:
+                    self._ext_error("08P01", f"malformed Bind: {e}")
+                    continue
+                bad = [
+                    name
+                    for (name, dtype), f in zip(cols, fmts)
+                    if f == 1 and _oid_for(dtype)[0] not in _BINARY_ENCODERS
+                ]
+                if bad:
+                    self._ext_error(
+                        "0A000",
+                        f"binary result format unsupported for column(s) "
+                        f"{', '.join(bad)}",
+                    )
+                    continue
+                portals[portal] = {"df": df, "it": None, "sent": 0, "fmts": fmts}
                 self._send(_msg(b"2"))  # BindComplete
             elif tag == b"D":  # Describe: 'S'+name or 'P'+name
                 kind, name = body[:1], body[1:].split(b"\x00", 1)[0].decode()
@@ -527,7 +604,12 @@ class _Conn:
                     if name not in portals:
                         self._ext_error("34000", f"unknown portal {name!r}")
                         continue
-                    self._send(self._describe_df(portals[name]["df"]))
+                    p = portals[name]
+                    self._send(
+                        self._row_description(p["df"], p.get("fmts"))
+                        if p["df"] is not None and p["df"].columns
+                        else _msg(b"n")
+                    )
                 else:
                     self._ext_error("08P01", f"bad describe kind {kind!r}")
             elif tag == b"E":  # Execute: portal, max rows
@@ -566,13 +648,18 @@ class _Conn:
             if st["it"] is None:
                 st["it"] = iter(df.toLocalIterator()) if df.columns else iter(())
             ncols = len(df.columns)
+            fmts = st.get("fmts") or [0] * ncols
+            encs = [
+                _BINARY_ENCODERS[_oid_for(dtype)[0]] if f == 1 else _pg_text
+                for (_, dtype), f in zip(df.dtypes, fmts)
+            ]
             out = b""
             sent_this_call = 0
             for row in st["it"]:
                 self._check_cancel()
                 vals = b""
-                for v in tuple(row):
-                    t = _pg_text(v)
+                for v, enc in zip(tuple(row), encs):
+                    t = None if v is None else enc(v)
                     if t is None:
                         vals += struct.pack("!i", -1)
                     else:

@@ -446,6 +446,55 @@ def test_describe_does_not_execute_parameterless_dml(conn, spark):
         spark.sql("DROP TABLE IF EXISTS pg_ins_t0")
 
 
+def test_binary_result_format(conn):
+    """Bind's trailing result-format codes are honored: binary-coded
+    columns arrive in the documented wire formats (int8 big-endian,
+    float8 IEEE, bool byte, text utf-8), and RowDescription's
+    per-field format flags say so."""
+    sock, buf = conn
+    sql = (
+        b"SELECT CAST(7 AS BIGINT) AS i, CAST(1.5 AS DOUBLE) AS d, "
+        b"true AS b, 'hi' AS s"
+    )
+    _send(sock, b"P", b"bf\x00" + sql + b"\x00" + struct.pack("!h", 0))
+    # all-binary: one format code applying to every column
+    _send(sock, b"B", b"\x00bf\x00" + struct.pack("!hhhh", 0, 0, 1, 1))
+    _send(sock, b"D", b"P\x00")
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    (rd,) = [p for t, p in msgs if t == b"T"]
+    # last int16 of each field block is the format code = 1
+    assert rd.count(struct.pack("!h", 1)) >= 4
+    (row,) = _data_rows(msgs)
+    assert struct.unpack("!q", row[0]) == (7,)
+    assert struct.unpack("!d", row[1]) == (1.5,)
+    assert row[2] == b"\x01"
+    assert row[3] == b"hi"
+
+
+def test_binary_result_format_per_column_and_unsupported(conn):
+    """Per-column format codes mix text and binary; a binary request
+    for a type with no wire encoder (decimal) fails 0A000 at Bind."""
+    sock, buf = conn
+    sql = b"SELECT CAST(3 AS INT) AS i, 'x' AS s"
+    _send(sock, b"P", b"bm\x00" + sql + b"\x00" + struct.pack("!h", 0))
+    _send(sock, b"B", b"\x00bm\x00" + struct.pack("!hhhhh", 0, 0, 2, 1, 0))
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    (row,) = _data_rows(msgs)
+    assert struct.unpack("!i", row[0]) == (3,) and row[1] == b"x"
+    # decimal in binary → clean feature-not-supported error
+    sql2 = b"SELECT CAST(1 AS DECIMAL(10,2)) AS n"
+    _send(sock, b"P", b"bu\x00" + sql2 + b"\x00" + struct.pack("!h", 0))
+    _send(sock, b"B", b"\x00bu\x00" + struct.pack("!hhhh", 0, 0, 1, 1))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"0A000" in errs[0]
+
+
 def test_cancel_requires_secret_and_running_query(pg_server):
     """A CancelRequest with the wrong secret is ignored, and one
     arriving while the session is idle must not kill the NEXT query
