@@ -484,6 +484,27 @@ def test_stateful_sessionization_matches_batch(spark, sf_dir):
     assert stream == batch
 
 
+# --- streaming dedup drops cross-micro-batch duplicates ----------------------------
+def test_streaming_dedup_drops_late_duplicates(spark, sf_dir, tmp_path):
+    """Two copies of the events file arrive as two micro-batches; the
+    second is dropped row-for-row against the first batch's keyed
+    state — output equals the batch-distinct table exactly."""
+    import shutil
+
+    from csvb_spark.sources.catalog import load_tables
+    from csvb_spark.streaming.dedup import run_streaming_dedup
+
+    src = f"{sf_dir}/events.parquet"
+    shutil.copy(src, tmp_path / "batch1.parquet")
+    shutil.copy(src, tmp_path / "batch2.parquet")
+
+    out = run_streaming_dedup(spark, str(tmp_path), query_name="t_dedup_stream")
+    events = load_tables(spark, sf_dir, ("events",))["events"]
+    batch = {tuple(r) for r in events.collect()}
+    stream = {tuple(r) for r in out.collect()}
+    assert stream == batch  # same rows, each exactly once
+
+
 # --- DDL / session-config surface (SURVEY §2.B.1) ---------------------------------
 def test_ddl_surface(spark, tmp_path):
     from csvb_spark.sql import execute_sql
