@@ -393,6 +393,33 @@ GROUP BY l_returnflag
 # driver's oracle-graded window.
 _q("x41_stats_native", spark=sql_query(_SQL_STATS_NATIVE), oracle=None)
 
+# --- JSON functions (bonus surface: absent from the reference's
+# DataFusion 44 core — SURVEY.md §2.B "JSON ✗"; Spark ships them
+# natively and the events.props fixture column IS JSON, so the
+# gauntlet runs on real data). x-named: the driver's 50-entry oracle
+# window is full; the DuckDB differential runs in tests/test_oracle.py.
+_SPARK_JSON = """
+SELECT event_id,
+       CAST(get_json_object(props, '$.k') AS INT) AS k,
+       from_json(props, 'k INT').k AS k2,
+       to_json(named_struct('id', event_id, 'et', event_type)) AS j,
+       CAST(get_json_object(to_json(named_struct('id', event_id, 'et', event_type)),
+                            '$.id') AS BIGINT) AS id_rt,
+       json_array_length(to_json(array(event_id, user_id))) AS jal
+FROM events
+"""
+_DUCK_JSON = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k2,
+       to_json(struct_pack(id := event_id, et := event_type)) AS j,
+       CAST(json_extract_string(to_json(struct_pack(id := event_id, et := event_type)),
+                                '$.id') AS BIGINT) AS id_rt,
+       json_array_length(to_json([event_id, user_id])) AS jal
+FROM events
+"""
+_q("x25_json_functions", spark=sql_query(_SPARK_JSON), oracle=_DUCK_JSON)
+
 # --- construction gauntlet: struct/map + generate_series + crypto/encode --------
 # Merged former q42_struct_map / q43_generate_series / q44_crypto_encode
 # into one driver-graded entry. Branch outputs harmonized to
