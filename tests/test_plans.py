@@ -172,3 +172,53 @@ def test_q01_pushes_filter_and_prunes_columns(spark, sf_dir):
     plan = _plan(corpus()["q01_pricing_summary"].spark(spark, sf_dir))
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
     assert "l_comment" not in plan  # column pruning held
+
+
+# --- scrubbing / assembly operators (round 3) ---------------------------------
+
+
+def test_scrub_operators_map_only(spark, sf_dir):
+    """PII redaction, repetition stats, and mixture sampling are
+    map-only JVM-side work: zero exchanges, zero Python evaluation."""
+    from csvb_spark.operators.splits import mixture_sample
+    from csvb_spark.operators.text import pii_redact, repetition_stats
+
+    d = _docs(spark, sf_dir)
+    for df in (
+        pii_redact(d),
+        repetition_stats(d),
+        mixture_sample(d, {"src0": 0.5}),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_single_exchange(spark, sf_dir):
+    """Concat-and-chunk packing is exactly one shuffle (the per-stream
+    window sort): more exchanges would mean the cumsum re-partitioned."""
+    from csvb_spark.operators.splits import pack_sequences
+
+    plan = _plan(
+        pack_sequences(_docs(spark, sf_dir), "n_chars", budget=4096), "simple"
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_contamination_no_cartesian(spark, sf_dir):
+    """The contamination candidate join is an equi-join on the gram
+    hash — never a nested-loop/cartesian pair explosion."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.splits import contamination_check
+
+    d = _docs(spark, sf_dir)
+    plan = _plan(
+        contamination_check(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(F.col("doc_id") % 10 == 0),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
