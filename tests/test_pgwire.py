@@ -519,6 +519,57 @@ def test_cancel_requires_secret_and_running_query(pg_server):
         sock.close()
 
 
+def test_concurrent_clients_are_isolated(pg_server):
+    """Several clients hammer the server simultaneously, each with its
+    own parameterized statements — results never bleed across
+    connections (per-connection statement/portal state, shared
+    SparkSession)."""
+    import threading
+
+    errors: list[str] = []
+
+    def client(worker: int) -> None:
+        try:
+            sock = socket.create_connection(
+                ("127.0.0.1", pg_server.port), timeout=120
+            )
+            buf = bytearray()
+            _startup(sock)
+            _read_until_ready(sock, buf)
+            for i in range(5):
+                want = worker * 100 + i
+                sql = f"SELECT {worker} * 100 + $1 AS v".encode()
+                _send(
+                    sock, b"P", b"s\x00" + sql + b"\x00" + struct.pack("!hI", 1, 23)
+                )
+                val = str(i).encode()
+                _send(
+                    sock,
+                    b"B",
+                    b"\x00s\x00"
+                    + struct.pack("!hh", 0, 1)
+                    + struct.pack("!I", len(val))
+                    + val
+                    + struct.pack("!h", 0),
+                )
+                _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+                _send(sock, b"S", b"")
+                msgs = _read_until_ready(sock, buf)
+                rows = _data_rows(msgs)
+                if rows != [[str(want).encode()]]:
+                    errors.append(f"worker {worker} iter {i}: {rows!r}")
+            sock.close()
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"worker {worker}: {e!r}")
+
+    threads = [threading.Thread(target=client, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+
 # --- federation over the pgwire transport (no JDBC jar in this env) ----------------
 @pytest.fixture()
 def two_shards(spark):
