@@ -97,6 +97,28 @@ def mixture_sample(
     return df.filter(hash_uniform(id_col, seed) < rate)
 
 
+def corpus_shuffle(
+    df: DataFrame, id_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Deterministic global shuffle for training export: a total order
+    by md5(id || ':' || seed) that any engine reproduces bit-for-bit
+    (same portability argument as ``hash_uniform``). Changing the seed
+    reshuffles; re-running never does.
+
+    At scale: ``repartitionByRange`` on the key + sort-within-
+    partitions yields globally ordered OUTPUT FILES (file i's keys all
+    precede file i+1's) without ever funnelling the corpus through a
+    single reducer — the range boundaries come from a sampled sketch,
+    the sort is partition-local."""
+    c = F.col(id_col)
+    key = F.md5(F.encode(F.concat(c.cast("string"), F.lit(f":{seed}")), "UTF-8"))
+    return (
+        df.withColumn("shuffle_key", key)
+        .repartitionByRange(F.col("shuffle_key"), c)
+        .sortWithinPartitions("shuffle_key", id_col)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     tokens_col: str | Column,

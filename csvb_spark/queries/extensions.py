@@ -450,6 +450,31 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
 """,
 )
 
+def _x26(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    shuffled = splits.corpus_shuffle(_docs(spark, sf))
+    # global rank is TEST SCAFFOLD (verifies the export order end to
+    # end; one-reducer window is fine at oracle scale) — the operator
+    # itself achieves the order via rangepartition + local sort.
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return shuffled.select(
+        "doc_id", "shuffle_key", F.row_number().over(w).alias("pos")
+    )
+
+
+_q(
+    "x26_corpus_shuffle",
+    spark=_x26,
+    oracle="""
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,
+       ROW_NUMBER() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS pos
+FROM documents
+""",
+)
+
 _q(
     "x24_sequence_packing",
     spark=lambda spark, sf: splits.pack_sequences(
