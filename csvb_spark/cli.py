@@ -6,6 +6,10 @@
   csvb serve    --csv PATH... [--table-name tbl] [ADDRESS=127.0.0.1:5432]
   csvb federate --table-name NAME --shard-addresses pg://... [ADDRESS]
 
+``exec``/``serve`` also accept ``--parquet PATH...`` / ``--json
+PATH...`` in place of ``--csv`` (bonus formats; the reference wires
+only CsvFormat, lib.rs:42).
+
 plus ``--log-levels MODULE:LEVEL,...`` (reference csvb.rs:123-166).
 
 ``exec`` output is the collect-and-pretty-print sink (reference
@@ -60,13 +64,17 @@ def build_parser() -> argparse.ArgumentParser:
     ph = sub.add_parser("haiku", help="print a csv haiku")
     ph.add_argument("--all", action="store_true", dest="print_all")
 
-    pe = sub.add_parser("exec", help="run one SQL query over CSV table(s)")
+    pe = sub.add_parser("exec", help="run one SQL query over direct table(s)")
     pe.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pe.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pe.add_argument("--json", action="append", default=[], metavar="PATH")
     pe.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
     pe.add_argument("query")
 
     ps = sub.add_parser("serve", help="serve the Postgres wire protocol")
     ps.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    ps.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    ps.add_argument("--json", action="append", default=[], metavar="PATH")
     ps.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
     ps.add_argument("address", nargs="?", default=DEFAULT_SERVE_ADDRESS)
 
@@ -81,6 +89,29 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pf.add_argument("address", nargs="?", default=DEFAULT_SERVE_ADDRESS)
     return p
+
+
+def _register_direct(spark, args) -> None:
+    """Register the --csv/--parquet/--json sources as ONE table (the
+    reference's single-table semantic, csvb.rs:44-46); exactly one
+    format may be given per invocation."""
+    from csvb_spark.sources.csv_source import add_direct_table
+
+    given = [
+        (fmt, paths)
+        for fmt, paths in (
+            ("csv", args.csv),
+            ("parquet", args.parquet),
+            ("json", args.json),
+        )
+        if paths
+    ]
+    if len(given) > 1:
+        raise SystemExit(
+            "give at most one of --csv/--parquet/--json (one table, one format)"
+        )
+    for fmt, paths in given:
+        add_direct_table(spark, args.table_name, paths, fmt=fmt)
 
 
 def _session(args):
@@ -103,22 +134,18 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.command == "exec":
         from csvb_spark.plans.pretty import render_df
-        from csvb_spark.sources.csv_source import add_direct_table
         from csvb_spark.sql import execute_sql
 
         spark = _session(args)
-        if args.csv:
-            add_direct_table(spark, args.table_name, args.csv)
+        _register_direct(spark, args)
         print(render_df(execute_sql(spark, args.query)))
         return 0
 
     if args.command == "serve":
         from csvb_spark.server.pgwire import serve_forever
-        from csvb_spark.sources.csv_source import add_direct_table
 
         spark = _session(args)
-        if args.csv:
-            add_direct_table(spark, args.table_name, args.csv)
+        _register_direct(spark, args)
         serve_forever(spark, args.address)
         return 0
 

@@ -52,28 +52,30 @@ def _fetch_url(url: str, cache_dir: str | None = None) -> str:
     return local
 
 
-def _expand_dir(path: str) -> list[str]:
-    """Directory → its *.csv children (reference's extension filter,
-    lib.rs:45)."""
+def _expand_dir(path: str, ext: str = ".csv") -> list[str]:
+    """Directory → its ``*.{ext}`` children (reference's extension
+    filter, lib.rs:45)."""
     if os.path.isdir(path):
         out = sorted(
-            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".csv")
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(ext)
         )
         if not out:
-            raise ValueError(f"no .csv files under directory {path!r}")
+            raise ValueError(f"no {ext} files under directory {path!r}")
         return out
     return [path]
 
 
-def resolve_sources(sources: list[str], cache_dir: str | None = None) -> list[str]:
+def resolve_sources(
+    sources: list[str], cache_dir: str | None = None, ext: str = ".csv"
+) -> list[str]:
     paths: list[str] = []
     for s in sources:
         if _is_url(s):
             paths.append(_fetch_url(s, cache_dir))
         else:
-            paths.extend(_expand_dir(s))
+            paths.extend(_expand_dir(s, ext))
     if not paths:
-        raise ValueError("no CSV sources given")
+        raise ValueError("no sources given")
     return paths
 
 
@@ -82,18 +84,31 @@ def add_direct_table(
     name: str,
     sources: list[str],
     cache_dir: str | None = None,
+    fmt: str = "csv",
 ) -> DataFrame:
-    """Register ``sources`` as one CSV-backed temp view ``name``.
+    """Register ``sources`` as one ``fmt``-backed temp view ``name``.
 
-    Returns the DataFrame (lazy scan). Schema inference reads only
-    ``sources[0]`` — the reference semantic (lib.rs:73-75) — and the
-    inferred schema is applied explicitly to the multi-path read, so
-    the bulk scan is single-pass.
+    Returns the DataFrame (lazy scan). ``fmt`` is ``csv`` (reference
+    parity), ``parquet``, or ``json`` (JSON Lines) — the latter two
+    are bonus formats the reference never wired (SURVEY.md §2.B.1:
+    only CsvFormat, lib.rs:42). For the schema-on-read formats (csv,
+    json) inference reads only ``sources[0]`` — the reference
+    semantic (lib.rs:73-75) — and the inferred schema is applied
+    explicitly to the multi-path read, so the bulk scan is
+    single-pass; parquet carries its own schema.
     """
-    paths = resolve_sources(sources, cache_dir)
-    schema = (
-        spark.read.options(**_CSV_OPTIONS, inferSchema="true").csv(paths[0]).schema
-    )
-    df = spark.read.options(**_CSV_OPTIONS).schema(schema).csv(paths)
+    paths = resolve_sources(sources, cache_dir, ext=f".{fmt}")
+    if fmt == "csv":
+        schema = (
+            spark.read.options(**_CSV_OPTIONS, inferSchema="true").csv(paths[0]).schema
+        )
+        df = spark.read.options(**_CSV_OPTIONS).schema(schema).csv(paths)
+    elif fmt == "parquet":
+        df = spark.read.parquet(*paths)
+    elif fmt == "json":
+        schema = spark.read.json(paths[0]).schema
+        df = spark.read.schema(schema).json(paths)
+    else:
+        raise ValueError(f"unsupported table format {fmt!r}")
     df.createOrReplaceTempView(name)
     return df

@@ -358,6 +358,46 @@ def test_csv_http_source(spark, http_csv_server):
     ] == (330, 3)
 
 
+def test_cli_exec_parquet_and_json(spark, sf_dir, tmp_path, capsys):
+    """`csvb exec --parquet …` / `--json …` register the direct table
+    like --csv does (bonus formats; reference wires only CsvFormat,
+    lib.rs:42). Mixing formats in one invocation is refused."""
+    import json as _json
+
+    from csvb_spark.cli import main
+
+    rc = main(
+        [
+            "exec",
+            "--parquet",
+            f"{sf_dir}/region.parquet",
+            "SELECT count(*) AS n FROM tbl",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "5" in out
+
+    jl = tmp_path / "rows.json"
+    jl.write_text(
+        "\n".join(_json.dumps({"id": i, "v": i * 10}) for i in range(4)) + "\n"
+    )
+    rc = main(["exec", "--json", str(jl), "SELECT sum(v) AS s FROM tbl"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "60" in out
+
+    with pytest.raises(SystemExit, match="one of"):
+        main(
+            [
+                "exec",
+                "--json",
+                str(jl),
+                "--parquet",
+                f"{sf_dir}/region.parquet",
+                "SELECT 1",
+            ]
+        )
+
+
 def test_cli_exec_http_csv(spark, http_csv_server, capsys):
     """`csvb exec --csv http://…` end-to-end through the CLI (reference
     csvb exec surface over its HTTP store, csvb_engine/src/lib.rs:53-71)."""
