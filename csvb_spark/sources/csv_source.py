@@ -12,6 +12,12 @@
   every path (reference lib.rs:73-79). At 100 TB this is the right
   semantic anyway: inference scans one file, the full read is
   schema-pinned and single-pass.
+
+Known divergence from arrow's CSV reader: CRLF sequences INSIDE a
+quoted field are normalized to LF by Spark's parser (line-ending
+normalization is tied to its multiline handling and not separately
+switchable); all other bytes round-trip exactly
+(tests/test_fuzz.py::test_csv_nasty_cells_round_trip).
 """
 
 from __future__ import annotations
