@@ -83,19 +83,20 @@ def word_shingles(col: str | Column, k: int = 3) -> Column:
 def minhash_signature(shingles: Column, num_perm: int = 16) -> Column:
     """num_perm MinHash values in ONE projection (Column form).
 
-    Permutation i is simulated by hashing (shingle, i); the signature
-    is array<bigint> of length num_perm. NOTE: higher-order lambdas are
+    Each shingle STRING is hashed exactly once; permutation i then
+    re-hashes the resulting 8-byte value with seed i — O(bytes) work
+    per shingle plus O(num_perm) fixed-width hashes, instead of
+    num_perm full string hashes. NOTE: higher-order lambdas are
     interpreted (no codegen) and Catalyst textually duplicates the
     ``shingles`` argument expression into every permutation lambda, so
     only pass a *materialized column* here — for the full pipeline use
     :func:`minhash_signatures`, whose explode/groupBy shape stays
-    entirely inside whole-stage codegen.
+    entirely inside whole-stage codegen (and produces the same values).
     """
+    hs = F.transform(shingles, lambda s: F.xxhash64(s))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, i))
-        ),
+        lambda i: F.array_min(F.transform(hs, lambda h: F.xxhash64(h, i))),
     )
 
 
@@ -108,23 +109,25 @@ def minhash_signatures(
     """(doc_id, sig: array<bigint>[num_perm]) via explode + groupBy-min.
 
     Same values as ``minhash_signature`` (min over shingles of
-    xxhash64(shingle, perm)), but shaped for codegen: the shingle set
-    is derived once per document, exploded, and the num_perm hashes are
-    plain column expressions — no interpreted lambdas in the hot path.
-    Partial aggregation collapses each document back to one row on the
-    map side, so the groupBy shuffle carries exactly one
+    xxhash64(xxhash64(shingle), perm)), but shaped for codegen: the
+    shingle set is derived once per document, exploded, each shingle
+    STRING hashed exactly once to a bigint, and the num_perm
+    permutation hashes are then fixed-width (8-byte input) hashes —
+    plain column expressions, no interpreted lambdas, and the
+    string-hashing cost is paid once instead of num_perm times
+    (profiled: the 16× string re-hash was ~60% of the whole operator
+    at sf0.1). Partial aggregation collapses each document back to one
+    row on the map side, so the groupBy shuffle carries exactly one
     (doc_id, num_perm × int64) row per document — NOT the exploded
-    shingle stream. This is the profiled-fast path: the lambda form
-    re-derives the shingle set inside every permutation lambda (16×
-    tokenize+shingle per row, ~4.5× slower end-to-end at sf0.1).
+    shingle stream.
     """
     base = spread(docs.select("doc_id", text_col))
     exploded = base.select(
         "doc_id",
         F.explode(word_shingles(text_col, shingle_words)).alias("s"),
-    )
+    ).select("doc_id", F.xxhash64("s").alias("hs"))
     mins = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
+        *[F.min(F.xxhash64("hs", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
     )
     return mins.select(
         "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
