@@ -7,6 +7,9 @@
                   ``csvb_spark.streaming.sessions``)
 - ``skew``        salted join / salted exact count-distinct
 - ``multimodal``  binary payload + metadata plumbing (mapInPandas)
+- ``splits``      dataset assembly: splits, contamination, mixture
+                  sampling, corpus shuffle, sequence packing
+- ``temporal``    as-of join, binned range join, hierarchical rollup
 
 Design notes per operator family: SCALE.md at the repo root.
 """
@@ -17,5 +20,7 @@ from csvb_spark.operators import (  # noqa: F401
     sessions,
     similarity,
     skew,
+    splits,
+    temporal,
     text,
 )

@@ -19,6 +19,7 @@ from csvb_spark.operators import (
     similarity,
     skew,
     splits,
+    temporal,
     text,
 )
 from csvb_spark.queries.common import Query
@@ -492,6 +493,109 @@ SELECT doc_id, source, n_chars AS n_tokens,
        cum_before // 4096 AS seq_id,
        cum_before % 4096 AS seq_offset
 FROM c
+""",
+)
+
+# --- temporal operators: as-of join / binned range join / rollup -------------------
+# (x2x naming: driver window full; DuckDB differentials run locally.
+# The as-of oracle is DuckDB's NATIVE ASOF LEFT JOIN — our
+# union-then-window composition must reproduce it exactly.)
+_q(
+    "x27_asof_join",
+    spark=lambda spark, sf: temporal.asof_join(
+        _events(spark, sf)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value"),
+        _events(spark, sf)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("click_event_id"),
+            F.col("value").alias("click_value"),
+        ),
+        on=["user_id"],
+        ts_col="ts",
+        value_cols=["click_event_id", "click_value"],
+        right_tiebreak="click_event_id",
+    ).select("event_id", "user_id", "ts", "value", "click_event_id", "click_value"),
+    oracle="""
+WITH c0 AS (
+  SELECT user_id, ts, event_id AS click_event_id, value AS click_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+), c AS (
+  SELECT user_id, ts, click_event_id, click_value FROM c0 WHERE rn = 1
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_event_id, c.click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+
+
+def _x28(spark: SparkSession, sf: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    intervals = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1990-01-01")).alias("d0"),
+        (F.datediff("o_orderdate", F.lit("1990-01-01")) + 6).alias("d1"),
+    )
+    points = li.select(
+        F.datediff("l_shipdate", F.lit("1990-01-01")).alias("ship_d"), "l_quantity"
+    )
+    joined = temporal.range_join_binned(
+        points, intervals, "ship_d", "d0", "d1", bin_width=7
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("*").alias("n_shipped"),
+        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)").alias(
+            "sum_qty"
+        ),
+    )
+
+
+_q(
+    "x28_range_join_binned",
+    spark=_x28,
+    oracle="""
+WITH iv AS (
+  SELECT o_orderkey,
+         datediff('day', DATE '1990-01-01', o_orderdate) AS d0,
+         datediff('day', DATE '1990-01-01', o_orderdate) + 6 AS d1
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), pt AS (
+  SELECT datediff('day', DATE '1990-01-01', l_shipdate) AS ship_d, l_quantity
+  FROM lineitem
+)
+SELECT o_orderkey, COUNT(*) AS n_shipped,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+FROM pt JOIN iv ON pt.ship_d BETWEEN iv.d0 AND iv.d1
+GROUP BY o_orderkey
+""",
+)
+
+_q(
+    "x29_time_rollup",
+    spark=lambda spark, sf: temporal.time_rollup(_events(spark, sf)),
+    oracle="""
+SELECT '15 minutes' AS granularity,
+       time_bucket(INTERVAL '15 minutes', ts) AS bucket_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT '1 hour', time_bucket(INTERVAL '1 hour', ts), event_type,
+       COUNT(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT '1 day', time_bucket(INTERVAL '1 day', ts), event_type,
+       COUNT(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+FROM events GROUP BY 2, 3
 """,
 )
 

@@ -206,6 +206,39 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_asof_join_has_no_join_node(spark, sf_dir):
+    """The as-of join is union + window — there must be NO join
+    operator at all (the naive theta-join formulation plans a
+    BroadcastNestedLoopJoin, O(|L|·|R|) per key)."""
+    from csvb_spark.queries import corpus
+
+    plan = _plan(corpus()["x27_asof_join"].spark(spark, sf_dir), "simple")
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_binned_is_equi_join(spark, sf_dir):
+    """The binned range join must plan as a shuffle equi-join on the
+    bin key, never a nested-loop over the range predicate."""
+    from csvb_spark.queries import corpus
+
+    plan = _plan(corpus()["x28_range_join_binned"].spark(spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_rollup_reuses_finest_partials(spark, sf_dir):
+    """Every granularity level reads the persisted finest partials
+    (InMemoryTableScan) — one raw scan serves all levels."""
+    from csvb_spark.queries import corpus
+
+    df = corpus()["x29_time_rollup"].spark(spark, sf_dir)
+    try:
+        assert _plan(df, "simple").count("InMemoryTableScan") == 3
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_contamination_no_cartesian(spark, sf_dir):
     """The contamination candidate join is an equi-join on the gram
     hash — never a nested-loop/cartesian pair explosion."""
