@@ -374,3 +374,64 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    left_col: str = "doc_id_a",
+    right_col: str = "doc_id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-duplicate PAIRS → one
+    ``(doc_id, cluster_id)`` row per paired document, where
+    ``cluster_id`` is the smallest doc_id in the component — the
+    final step of a dedup pipeline (pick one keeper per cluster, drop
+    the rest). Documents with no pair are not emitted (they are their
+    own keeper).
+
+    Iterative hash-min label propagation: every node starts labeled
+    with itself; each round every node takes the min of its own and
+    its neighbors' labels; converged when no label changed. Rounds
+    needed = component diameter — tiny for near-dup clusters (dense
+    clique-ish blobs), so the loop runs 2-4 times in practice. Each
+    round is two shuffles over (node, label) pairs — fixed-width rows
+    independent of document size — and the label frontier is
+    ``localCheckpoint``-ed so the plan does not grow with iterations
+    (at deployment scale, use a checkpoint dir instead of executor
+    blocks). The driver-side loop holds only a changed-row COUNT,
+    never data. Raises RuntimeError if not converged in ``max_iter``
+    (never returns silently wrong clusters).
+    """
+    edges = pairs.select(
+        F.col(left_col).alias("a"), F.col(right_col).alias("b")
+    )
+    bidir = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        bidir.select(F.col("a").alias("n"))
+        .distinct()
+        .withColumn("label", F.col("n"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = bidir.join(
+            labels.select(F.col("n").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("n"), "label")
+        new_labels = (
+            labels.union(prop).groupBy("n").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "n")
+            .filter(F.col("x.label") != F.col("y.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("n").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")

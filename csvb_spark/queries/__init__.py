@@ -32,10 +32,11 @@ Result: 49 oracle entries + p09 (rows-only flagship) = exactly the
 round-3 additions x19 contamination, x20 split-assignment, x21 PII
 redaction, x22 repetition quality, x23 mixture sampling, x24
 sequence packing, x25 JSON functions, x26 corpus shuffle, x27 as-of
-join, x28 binned range join, x29 time rollup) sort after it. x21-x29
-carry DuckDB oracles that run in tests/test_oracle.py even though
-the driver window is full (x27's oracle is DuckDB's NATIVE ASOF
-JOIN).
+join, x28 binned range join, x29 time rollup, x30 dedup clusters)
+sort after it. x21-x30 carry DuckDB oracles that run in
+tests/test_oracle.py even though the driver window is full (x27's
+oracle is DuckDB's NATIVE ASOF JOIN; x30's is recursive-CTE
+reachability against the iterative hash-min components).
 """
 
 from __future__ import annotations

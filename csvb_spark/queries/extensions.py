@@ -151,7 +151,8 @@ _q(
     spark=lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs(spark, sf), k=4, min_jaccard=0.3
     ),
-    oracle=r"""
+    oracle=(
+        _P06_PAIRS_SQL := r"""
 WITH sh AS (
   SELECT lang, source, doc_id,
          list_distinct([substr(lower(text), g, 4)
@@ -166,6 +167,33 @@ FROM sh a JOIN sh b
   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
       / len(list_distinct(list_concat(a.s, b.s))) >= 0.3
+"""
+    ),
+)
+
+# Connected components over p06's exact near-dup pairs: the dedup
+# pipeline's final step. Oracle = recursive-CTE reachability over the
+# SAME pair SQL (min reachable id per node ≡ hash-min fixpoint).
+_q(
+    "x30_dedup_clusters",
+    spark=lambda spark, sf: dedup.dedup_clusters(
+        dedup.ngram_jaccard_pairs(_docs(spark, sf), k=4, min_jaccard=0.3)
+    ),
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_P06_PAIRS_SQL}),
+bidir AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM bidir),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN bidir e ON reach.n = e.a
+)
+SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n
 """,
 )
 
