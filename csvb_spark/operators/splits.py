@@ -97,6 +97,35 @@ def mixture_sample(
     return df.filter(hash_uniform(id_col, seed) < rate)
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``min(k, group size)`` rows per group, chosen by the
+    id's md5 order (``sample_rank`` column added) — deterministic
+    stratified sampling for balanced eval/calibration sets: no
+    ``rand()``, identical picks on re-runs and in other engines, and
+    adding MORE rows to a group only ever swaps members in/out by
+    hash order, never reshuffles arbitrarily.
+
+    One shuffle (the per-group window sort). Groups are the strata —
+    at scale a hot stratum sorts in parallel via the range
+    partitioner only if you pre-split it; for bounded k the simpler
+    guard is blocking on a finer stratum key."""
+    c = F.col(id_col)
+    key = F.md5(F.encode(F.concat(c.cast("string"), F.lit(f":{seed}")), "UTF-8"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(key, c)
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
 def corpus_shuffle(
     df: DataFrame, id_col: str = "doc_id", seed: int = 42
 ) -> DataFrame:

@@ -524,6 +524,24 @@ FROM c
 """,
 )
 
+_q(
+    "x31_sample_per_group",
+    spark=lambda spark, sf: splits.sample_per_group(
+        _docs(spark, sf), ("source", "lang"), k=3
+    ).select("doc_id", "source", "lang", "sample_rank"),
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, lang, sample_rank FROM ranked WHERE sample_rank <= 3
+""",
+)
+
+
 # --- temporal operators: as-of join / binned range join / rollup -------------------
 # (x2x naming: driver window full; DuckDB differentials run locally.
 # The as-of oracle is DuckDB's NATIVE ASOF LEFT JOIN — our

@@ -137,6 +137,31 @@ _BINARY_ENCODERS = {
 }
 
 
+# Spark error-class marker (appears as "[CLASS]" in the message) →
+# SQLSTATE, so psql/psycopg/pgjdbc clients branch on the right code
+# (the reference inherits real codes from DataFusion's pgwire stack).
+_SQLSTATE_BY_MARKER = (
+    ("TABLE_OR_VIEW_NOT_FOUND", "42P01"),
+    ("TABLE_OR_VIEW_ALREADY_EXISTS", "42P07"),
+    ("UNRESOLVED_COLUMN", "42703"),
+    ("UNRESOLVED_ROUTINE", "42883"),
+    ("PARSE_SYNTAX_ERROR", "42601"),
+    ("AMBIGUOUS_REFERENCE", "42702"),
+    ("DIVIDE_BY_ZERO", "22012"),
+    ("CAST_INVALID_INPUT", "22P02"),
+    ("NUMERIC_VALUE_OUT_OF_RANGE", "22003"),
+    ("DATATYPE_MISMATCH", "42804"),
+)
+
+
+def _sqlstate_for(e: Exception) -> str:
+    msg = str(e)
+    for marker, code in _SQLSTATE_BY_MARKER:
+        if marker in msg:
+            return code
+    return "42601"  # generic syntax-or-analysis error (prior behavior)
+
+
 def _expand_result_fmts(codes: tuple[int, ...], ncols: int) -> list[int]:
     """Per-column result formats per the spec: 0 codes = all text, one
     code applies to every column, else exactly one per column."""
@@ -423,7 +448,7 @@ class _Conn:
             self._send_error("57014", "canceling statement due to user request")
         except Exception as e:  # noqa: BLE001 — every engine error → client
             log.warning("query failed: %s", e)
-            self._send_error("42601", str(e).split("\n")[0][:500])
+            self._send_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
         self.running = False
         self.cancelled = False
         self._send(self._ready())
@@ -530,7 +555,7 @@ class _Conn:
                     self._ext_error("22P02", str(e))
                     continue
                 except Exception as e:  # noqa: BLE001
-                    self._ext_error("42601", str(e).split("\n")[0][:500])
+                    self._ext_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
                     continue
                 # result formats: expand to per-column and refuse (clean
                 # 0A000, at Bind time) binary for any column type we
@@ -596,7 +621,7 @@ class _Conn:
                             try:
                                 df = self._plan(sql)
                             except Exception as e:  # noqa: BLE001
-                                self._ext_error("42601", str(e).split("\n")[0][:500])
+                                self._ext_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
                                 continue
                             stmts[name] = (sql, df, oids)
                     self._send(self._describe_df(df))
@@ -679,7 +704,7 @@ class _Conn:
             self._ext_error("57014", "canceling statement due to user request")
         except Exception as e:  # noqa: BLE001
             log.warning("execute failed: %s", e)
-            self._ext_error("42601", str(e).split("\n")[0][:500])
+            self._ext_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
         finally:
             self.running = False
 

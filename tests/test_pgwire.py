@@ -519,6 +519,21 @@ def test_cancel_requires_secret_and_running_query(pg_server):
         sock.close()
 
 
+def test_sqlstate_classification(conn):
+    """Engine errors map to the specific SQLSTATE a pg client branches
+    on: unknown table → 42P01, unknown column → 42703, generic
+    syntax → 42601."""
+    sock, buf = conn
+    for sql, code in (
+        ("SELECT * FROM no_such_tbl_q", b"42P01"),
+        ("SELECT no_such_col FROM range(3)", b"42703"),
+        ("SELEC 1", b"42601"),
+    ):
+        msgs = _simple_query(sock, buf, sql)
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and code in errs[0], (sql, errs)
+
+
 def test_concurrent_clients_are_isolated(pg_server):
     """Several clients hammer the server simultaneously, each with its
     own parameterized statements — results never bleed across
