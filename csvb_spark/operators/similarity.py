@@ -99,7 +99,12 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
 
 
 def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket: integer whose bit p is sign(vec · plane_p)."""
+    """LSH bucket: integer whose bit p is sign(vec · plane_p).
+
+    NULL when the vector's length differs from the plane dim —
+    ``zip_with`` pads the shorter side with NULLs, which would
+    otherwise turn every dot product NULL and silently funnel the
+    whole corpus into bucket 0."""
     vd = as_double(vec)
     acc = F.lit(0).cast("bigint")
     for p, plane in enumerate(planes):
@@ -107,7 +112,7 @@ def bucket_id(vec: Column, planes: list[list[float]]) -> Column:
         acc = acc + F.when(dot(vd, lit_plane) > 0, F.lit(1 << p).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
-    return acc
+    return F.when(F.size(vec) == len(planes[0]), acc)
 
 
 def bucketize(

@@ -206,6 +206,31 @@ def test_pack_sequences_single_exchange(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_bucketed_layout_prunes_partitions(spark, sf_dir, tmp_path):
+    """The documented ANN scale path (SCALE.md §4): persist the
+    bucketized corpus partitioned by bucket id, and a probe's bucket
+    filter prunes at the FILE level — the scan's PartitionFilters
+    carries the predicate and only the probed bucket's files are
+    listed. This is what turns a bucket probe from 'scan everything,
+    filter' into 'read 1/2^n_planes of the corpus'."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.similarity import bucketize
+
+    out = str(tmp_path / "emb_by_bucket")
+    bucketize(_embs(spark, sf_dir), n_planes=4).write.partitionBy(
+        "bucket"
+    ).parquet(out)
+    # probe a bucket that exists (bucket population is data-dependent)
+    some_bucket = spark.read.parquet(out).groupBy("bucket").count().first()[0]
+    probed = spark.read.parquet(out).filter(F.col("bucket") == some_bucket)
+    plan = _plan(probed)
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+    # pruning is real: only the probed bucket's rows are read
+    total = spark.read.parquet(out).count()
+    assert 0 < probed.count() < total
+
+
 def test_asof_join_has_no_join_node(spark, sf_dir):
     """The as-of join is union + window — there must be NO join
     operator at all (the naive theta-join formulation plans a
