@@ -28,12 +28,13 @@ driver's 50-entry grading window — q38-q50 had never been
 driver-graded): q45→q15, q17+q18→q16, q22+q23→q21, q49→q28,
 q47→q30, q48→q36, q38+q39→q37, q43+q44→q42, q41→x41 (rows-only).
 Result: 49 oracle entries + p09 (rows-only flagship) = exactly the
-50-entry window; the 17 x* entries (x10-x13, x18, x41, and the
+50-entry window; the 19 x* entries (x10-x13, x18, x41, and the
 round-3 additions x19 contamination, x20 split-assignment, x21 PII
 redaction, x22 repetition quality, x23 mixture sampling, x24
 sequence packing, x25 JSON functions, x26 corpus shuffle, x27 as-of
-join, x28 binned range join, x29 time rollup, x30 dedup clusters)
-sort after it. x21-x30 carry DuckDB oracles that run in
+join, x28 binned range join, x29 time rollup, x30 dedup clusters,
+x31 stratified sampling, x32 int8 embedding quantization) sort
+after it. x21-x32 carry DuckDB oracles that run in
 tests/test_oracle.py even though the driver window is full (x27's
 oracle is DuckDB's NATIVE ASOF JOIN; x30's is recursive-CTE
 reachability against the iterative hash-min components).

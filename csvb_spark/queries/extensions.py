@@ -525,6 +525,36 @@ FROM c
 )
 
 _q(
+    "x32_quantize_embeddings",
+    spark=lambda spark, sf: similarity.quantize_embeddings(_embs(spark, sf)),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), qd AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+                                     ELSE CAST(floor(x / scale + 0.5) AS BIGINT)
+                                END) AS q
+  FROM s
+), d AS (
+  SELECT vec_id, scale, q,
+         list_transform(generate_series(1, len(v)),
+                        i -> v[i] - q[i] * scale) AS diff
+  FROM qd
+)
+SELECT vec_id,
+       ROUND(scale, 9) AS scale,
+       array_to_string(q, ',') AS q_str,
+       ROUND(sqrt(list_dot_product(diff, diff)), 6) AS recon_err
+FROM d
+""",
+)
+
+_q(
     "x31_sample_per_group",
     spark=lambda spark, sf: splits.sample_per_group(
         _docs(spark, sf), ("source", "lang"), k=3
