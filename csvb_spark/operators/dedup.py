@@ -134,38 +134,29 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     docs: DataFrame,
     text_col: str = "text",
     num_perm: int = 16,
     bands: int = 4,
     shingle_words: int = 3,
-    min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash banding, verified with exact
-    Jaccard over the shingle sets.
+    """(doc_id, sig, band_id, band_key) — the LSH banding table, the
+    unit both the self-join dedup and the incremental path index.
 
-    Plan shape: project(signature) → explode(bands) → shuffle on
-    (band, key) → pair join → exact-Jaccard verify. Output:
-    (doc_id_a, doc_id_b, est_jaccard, jaccard).
+    The groupBy-min signature path is whole-stage-codegen end to end;
+    the groupBy's own shuffle doubles as the exchange barrier that
+    stops CollapseProject from inlining the signature into every band
+    expression and both join sides. Row after partial agg is
+    (doc_id, num_perm × int64) — fixed width, independent of document
+    length. Band keys are literal-unrolled multi-arg xxhash64 over
+    direct array items: plain (codegen'd) expressions — the
+    lambda/slice/concat_ws form of the same key is interpreted and
+    was the dominant cost of the whole operator at sf0.1.
     """
     rows_per_band = num_perm // bands
-    # Shuffle economics: only (doc_id, sig, band_id, band_key) moves
-    # through the candidate join — 16 bigints + keys per row, never
-    # the shingle arrays. Shingles are re-derived from text for the
-    # (small) candidate set during verification.
-    base = spread(docs.select("doc_id", text_col))
-    # groupBy-min signature path: whole-stage-codegen end to end; the
-    # groupBy's own shuffle doubles as the exchange barrier that stops
-    # CollapseProject from inlining the signature into every band
-    # expression and both join sides. Row after partial agg is
-    # (doc_id, 16×int64) — fixed width, independent of document length.
     sigs = minhash_signatures(docs, text_col, num_perm, shingle_words)
-    # Band keys as literal-unrolled multi-arg xxhash64 over direct
-    # array items: plain (codegen'd) expressions. The lambda/slice/
-    # concat_ws form of the same key is interpreted and was the
-    # dominant cost of the whole operator at sf0.1 (~3.7s of 4.4s).
-    banded = sigs.select(
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -185,6 +176,29 @@ def minhash_lsh_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard over the shingle sets.
+
+    Plan shape: project(signature) → explode(bands) → shuffle on
+    (band, key) → pair join → exact-Jaccard verify. Output:
+    (doc_id_a, doc_id_b, est_jaccard, jaccard).
+    """
+    # Shuffle economics: only (doc_id, sig, band_id, band_key) moves
+    # through the candidate join — 16 bigints + keys per row, never
+    # the shingle arrays. Shingles are re-derived from text for the
+    # (small) candidate set during verification.
+    base = spread(docs.select("doc_id", text_col))
+    banded = minhash_bands(docs, text_col, num_perm, bands, shingle_words)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -254,6 +268,89 @@ def minhash_lsh_pairs(
     )
     return verified.filter(F.col("jaccard") >= min_jaccard).select(
         "doc_id_a", "doc_id_b", "est_jaccard", "jaccard"
+    )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    min_jaccard: float = 0.5,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup lookup of a NEW batch against an EXISTING corpus:
+    (new_doc_id, corpus_doc_id, est_jaccard, jaccard) for every new
+    document whose exact word-shingle Jaccard against some corpus
+    document reaches ``min_jaccard`` — the incremental flow of a
+    continuously-growing corpus, where re-running the full self-join
+    dedup per batch would re-sign the whole corpus every time.
+
+    Pass ``corpus_bands`` (a persisted :func:`minhash_bands` output)
+    to skip re-signing the corpus: at scale that table lives
+    partitioned by a band-key bucket, the (tiny) new batch bands
+    map-only, and the candidate equi-join prunes to colliding
+    buckets. An EXACT duplicate always collides (identical signature
+    → identical band keys in every band), so exact dups are never
+    missed; near-dups follow the standard LSH recall curve.
+    """
+    nb = minhash_bands(new_docs, text_col, num_perm, bands, shingle_words).select(
+        F.col("doc_id").alias("new_doc_id"),
+        F.col("sig").alias("sig_n"),
+        "band_id",
+        "band_key",
+    )
+    cb = corpus_bands
+    if cb is None:
+        cb = minhash_bands(corpus_docs, text_col, num_perm, bands, shingle_words)
+    cb = cb.select(
+        F.col("doc_id").alias("corpus_doc_id"),
+        F.col("sig").alias("sig_c"),
+        "band_id",
+        "band_key",
+    )
+    est = sum(
+        (F.col("sig_n")[j] == F.col("sig_c")[j]).cast("int") for j in range(num_perm)
+    ) / F.lit(float(num_perm))
+    cands = (
+        nb.join(cb, ["band_id", "band_key"])
+        .select("new_doc_id", "corpus_doc_id", F.round(est, 6).alias("est_jaccard"))
+        .dropDuplicates(["new_doc_id", "corpus_doc_id"])
+    )
+    shingled = (
+        cands.join(
+            new_docs.select(
+                F.col("doc_id").alias("new_doc_id"),
+                word_shingles(text_col, shingle_words).alias("sh_n"),
+            ),
+            "new_doc_id",
+        )
+        .join(
+            corpus_docs.select(
+                F.col("doc_id").alias("corpus_doc_id"),
+                word_shingles(text_col, shingle_words).alias("sh_c"),
+            ),
+            "corpus_doc_id",
+        )
+    )
+    # exchange barrier: derive each side's shingles once (same
+    # CollapseProject economics as minhash_lsh_pairs' verify stage)
+    shingled = shingled.repartition(
+        shingled.sparkSession.sparkContext.defaultParallelism
+    )
+    return (
+        shingled.withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_n", "sh_c"))
+                / F.size(F.array_union("sh_n", "sh_c")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("new_doc_id", "corpus_doc_id", "est_jaccard", "jaccard")
     )
 
 

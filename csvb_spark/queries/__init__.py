@@ -33,11 +33,12 @@ round-3 additions x19 contamination, x20 split-assignment, x21 PII
 redaction, x22 repetition quality, x23 mixture sampling, x24
 sequence packing, x25 JSON functions, x26 corpus shuffle, x27 as-of
 join, x28 binned range join, x29 time rollup, x30 dedup clusters,
-x31 stratified sampling, x32 int8 embedding quantization) sort
-after it. x21-x32 carry DuckDB oracles that run in
-tests/test_oracle.py even though the driver window is full (x27's
-oracle is DuckDB's NATIVE ASOF JOIN; x30's is recursive-CTE
-reachability against the iterative hash-min components).
+x31 stratified sampling, x32 int8 embedding quantization, x33
+incremental dedup vs corpus index [rows-only, like p09]) sort after
+it. x21-x32 carry DuckDB oracles that run in tests/test_oracle.py
+even though the driver window is full (x27's oracle is DuckDB's
+NATIVE ASOF JOIN; x30's is recursive-CTE reachability against the
+iterative hash-min components).
 """
 
 from __future__ import annotations

@@ -171,6 +171,20 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
     ),
 )
 
+# Incremental near-dup lookup: the x33 "new batch vs corpus" flow.
+# Rows-only like p09 — banding is xxhash64-based (no DuckDB twin) and
+# by design may MISS sub-threshold band collisions, so no exact-SQL
+# equality exists; tests/test_plans.py plants exact duplicates and
+# asserts they are always found (exact dups collide in every band).
+_q(
+    "x33_dedup_incremental",
+    spark=lambda spark, sf: dedup.dedup_incremental(
+        _docs(spark, sf).filter(F.col("doc_id") % 10 == 0),
+        _docs(spark, sf).filter(F.col("doc_id") % 10 != 0),
+        min_jaccard=0.4,
+    ),
+)
+
 # Connected components over p06's exact near-dup pairs: the dedup
 # pipeline's final step. Oracle = recursive-CTE reachability over the
 # SAME pair SQL (min reachable id per node ≡ hash-min fixpoint).

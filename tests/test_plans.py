@@ -264,6 +264,32 @@ def test_time_rollup_reuses_finest_partials(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_dedup_incremental_finds_planted_exact_dups(spark, sf_dir):
+    """An exact duplicate has an identical signature, hence identical
+    band keys in EVERY band — incremental lookup can never miss it.
+    Plant copies of corpus texts as a 'new batch' (fresh ids) and
+    assert each is found with jaccard 1.0 against its source, using a
+    PRECOMPUTED corpus band index (the at-scale flow)."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.dedup import dedup_incremental, minhash_bands
+
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (
+        corpus.filter(F.col("doc_id") % 7 == 0)
+        .limit(20)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    index = minhash_bands(corpus)
+    found = dedup_incremental(
+        planted, corpus, corpus_bands=index, min_jaccard=0.99
+    ).collect()
+    hits = {(r["new_doc_id"], r["corpus_doc_id"]) for r in found}
+    for r in planted.collect():
+        assert (r["doc_id"], r["doc_id"] - 1_000_000) in hits
+    assert all(r["jaccard"] == 1.0 for r in found if r["new_doc_id"] - 1_000_000 == r["corpus_doc_id"])
+
+
 def test_contamination_no_cartesian(spark, sf_dir):
     """The contamination candidate join is an equi-join on the gram
     hash — never a nested-loop/cartesian pair explosion."""
