@@ -63,17 +63,21 @@ def assign_splits(
     return df.withColumn("split", assigned)
 
 
-def hash_uniform(id_col: str | Column, seed: int = 42) -> Column:
-    """Deterministic uniform in [0, 1) from md5(id || ':' || seed).
-
-    md5 — not xxhash64 — so the SAME number is computable in any other
-    engine (DuckDB: ``('0x' || substr(md5(...), 1, 8))::BIGINT``):
-    sampling decisions survive engine migrations and are auditable
-    off-cluster. First 8 hex chars = 32 uniform bits, plenty for
-    per-mille rate control."""
+def md5_key(id_col: str | Column, seed: int = 42) -> Column:
+    """Engine-portable deterministic order/sampling key:
+    md5(id || ':' || seed) as a hex string. md5 — not xxhash64 — so
+    the SAME key is computable in any other engine (DuckDB:
+    ``md5(CAST(id AS VARCHAR) || ':seed')``): decisions survive
+    engine migrations and are auditable off-cluster."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    key = F.concat(c.cast("string"), F.lit(f":{seed}"))
-    hex8 = F.substring(F.md5(F.encode(key, "UTF-8")), 1, 8)
+    return F.md5(F.encode(F.concat(c.cast("string"), F.lit(f":{seed}")), "UTF-8"))
+
+
+def hash_uniform(id_col: str | Column, seed: int = 42) -> Column:
+    """Deterministic uniform in [0, 1) from ``md5_key``'s first 8 hex
+    chars (32 uniform bits — plenty for per-mille rate control;
+    DuckDB twin: ``('0x' || substr(md5(...), 1, 8))::BIGINT``)."""
+    hex8 = F.substring(md5_key(id_col, seed), 1, 8)
     return F.conv(hex8, 16, 10).cast("bigint") / F.lit(4294967296.0)
 
 
@@ -116,7 +120,7 @@ def sample_per_group(
     partitioner only if you pre-split it; for bounded k the simpler
     guard is blocking on a finer stratum key."""
     c = F.col(id_col)
-    key = F.md5(F.encode(F.concat(c.cast("string"), F.lit(f":{seed}")), "UTF-8"))
+    key = md5_key(c, seed)
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(key, c)
@@ -140,7 +144,7 @@ def corpus_shuffle(
     single reducer — the range boundaries come from a sampled sketch,
     the sort is partition-local."""
     c = F.col(id_col)
-    key = F.md5(F.encode(F.concat(c.cast("string"), F.lit(f":{seed}")), "UTF-8"))
+    key = md5_key(c, seed)
     return (
         df.withColumn("shuffle_key", key)
         .repartitionByRange(F.col("shuffle_key"), c)

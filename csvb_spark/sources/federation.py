@@ -318,3 +318,154 @@ def add_federated_tables(
         df.createOrReplaceTempView(vt.name)
         out[vt.name] = df
     return out
+
+
+def read_shards_sql(
+    spark: SparkSession, shard_addrs: list[str], sql: str
+) -> DataFrame:
+    """Run ONE SQL text on every shard (raw pgwire transport) and
+    union the results — one executor task per shard, schema probed
+    once with a ``LIMIT 0`` wrapper (both Postgres and csvb_spark
+    shards answer the column set without executing the query)."""
+    from csvb_spark.sources.pgclient import OID_SPARK, pg_simple_query
+
+    first = parse_postgres_conn_str(shard_addrs[0])
+    probe_cols, _ = pg_simple_query(
+        first["host"],
+        int(first.get("port", "5432")),
+        f"SELECT * FROM ({sql}) _probe LIMIT 0",
+        user=first.get("user", "csvb"),
+        database=first.get("db", "csvb"),
+    )
+    if not probe_cols:
+        raise ValueError(f"shard SQL produced no columns: {sql!r}")
+    schema = ", ".join(f"{c} {OID_SPARK.get(oid, 'string')}" for c, oid in probe_cols)
+    oids = [oid for _, oid in probe_cols]
+    names = [c for c, _ in probe_cols]
+
+    import csvb_spark.sources.pgclient as _pgclient_mod
+
+    try:
+        from pyspark.cloudpickle import register_pickle_by_value
+
+        register_pickle_by_value(_pgclient_mod)
+    except Exception:  # noqa: BLE001 — older vendored cloudpickle
+        pass
+    _cast = _pgclient_mod.cast_text
+    _q = _pgclient_mod.pg_simple_query
+
+    def fetch(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                _, rows = _q(
+                    r["host"], int(r["port"]), r["sql"], user=r["user"], database=r["db"]
+                )
+                data = {
+                    name: [_cast(row[i], oids[i]) for row in rows]
+                    for i, name in enumerate(names)
+                }
+                yield _pd.DataFrame(data, columns=names)
+
+    work = spark.createDataFrame(
+        [
+            (
+                (p := parse_postgres_conn_str(a))["host"],
+                int(p.get("port", "5432")),
+                p.get("user", "csvb"),
+                p.get("db", "csvb"),
+                sql,
+            )
+            for a in shard_addrs
+        ],
+        "host string, port int, user string, db string, sql string",
+    ).repartition(len(shard_addrs))
+    return work.mapInPandas(fetch, schema=schema)
+
+
+_FED_AGG_MERGE = {
+    "sum": "SUM",
+    "count": "SUM",  # counts merge by summing
+    "min": "MIN",
+    "max": "MAX",
+}
+
+
+def federated_agg(
+    spark: SparkSession,
+    vt: VirtualTable,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+) -> DataFrame:
+    """Aggregate pushdown across shards: each shard computes its own
+    PARTIAL aggregate (``SELECT group, agg(col) ... GROUP BY group``
+    shipped as SQL), and only those partial rows — one per (shard ×
+    group) — cross the network; Spark merges them. At 1 TB/shard this
+    moves kilobytes instead of the table (the plain path unions raw
+    rows and aggregates centrally).
+
+    ``aggs`` maps output name → (fn, col); fn ∈ sum, count, min, max,
+    avg ('*' as col for count). All are decomposable: counts merge by
+    summing, avg decomposes into sum+count partials and divides after
+    the merge — exactly two-phase hash aggregation, with the shard
+    boundary as the map side. (Beyond-reference: the reference unions
+    raw shard scans, csvb_engine/src/lib.rs:134-188.)
+
+    ``group_cols`` entries are column names or ``"expr AS alias"``
+    (the expression ships to the shard; the merge groups on the
+    alias).
+    """
+    from pyspark.sql import functions as F
+
+    def split_alias(gc: str) -> tuple[str, str]:
+        lo = gc.lower()
+        if " as " in lo:
+            i = lo.rindex(" as ")
+            return gc[:i].strip(), gc[i + 4 :].strip()
+        return gc, gc
+
+    group_pairs = [split_alias(gc) for gc in group_cols]
+    group_cols = [alias for _, alias in group_pairs]
+
+    partial_exprs: list[str] = []
+    for name, (fn, col) in aggs.items():
+        fn = fn.lower()
+        if fn == "count":
+            arg = "*" if col == "*" else col
+            partial_exprs.append(f"COUNT({arg}) AS {name}")
+        elif fn == "avg":
+            partial_exprs.append(f"SUM({col}) AS {name}__sum")
+            partial_exprs.append(f"COUNT({col}) AS {name}__n")
+        elif fn in ("sum", "min", "max"):
+            partial_exprs.append(f"{fn.upper()}({col}) AS {name}")
+        else:
+            raise ValueError(f"federated_agg: non-decomposable fn {fn!r}")
+    g_sel = ", ".join(
+        expr if expr == alias else f"{expr} AS {alias}"
+        for expr, alias in group_pairs
+    )
+    g_by = ", ".join(alias for _, alias in group_pairs)
+    shard_sql = (
+        f"SELECT {g_sel}{', ' if g_sel else ''}{', '.join(partial_exprs)} "
+        f"FROM {vt.name}" + (f" GROUP BY {g_by}" if g_by else "")
+    )
+    partials = read_shards_sql(spark, vt.shard_addrs, shard_sql)
+
+    merged = []
+    finals = list(group_cols)
+    for name, (fn, _col) in aggs.items():
+        fn = fn.lower()
+        if fn == "avg":
+            merged.append(F.expr(f"SUM({name}__sum)").alias(f"{name}__sum"))
+            merged.append(F.expr(f"SUM({name}__n)").alias(f"{name}__n"))
+            finals.append(f"{name}__sum / {name}__n AS {name}")
+        else:
+            merged.append(F.expr(f"{_FED_AGG_MERGE[fn]}({name})").alias(name))
+            finals.append(name)
+    out = (
+        partials.groupBy(*group_cols).agg(*merged)
+        if group_cols
+        else partials.agg(*merged)
+    )
+    return out.selectExpr(*finals)

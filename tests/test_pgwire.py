@@ -585,6 +585,46 @@ def test_concurrent_clients_are_isolated(pg_server):
     assert not errors, errors
 
 
+def test_federated_agg_pushdown(spark, two_shards):
+    """Aggregate pushdown ships per-shard partial aggregates and
+    merges Spark-side; results equal the plain union-then-aggregate
+    path for every decomposable fn (sum/count/min/max/avg), grouped
+    and global."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.sources.federation import (
+        VirtualTable,
+        add_federated_tables,
+        federated_agg,
+    )
+
+    vt = VirtualTable("tbl", two_shards)
+    aggs = {
+        "n": ("count", "*"),
+        "sum_v": ("sum", "v"),
+        "min_id": ("min", "id"),
+        "max_id": ("max", "id"),
+        "avg_v": ("avg", "v"),
+    }
+    pushed = federated_agg(spark, vt, ["id % 10 AS g"], aggs)
+
+    plain = add_federated_tables(spark, [vt], transport="pgwire")["tbl"]
+    direct = plain.selectExpr("id % 10 AS g", "id", "v").groupBy("g").agg(
+        F.count("*").alias("n"),
+        F.sum("v").alias("sum_v"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.avg("v").alias("avg_v"),
+    )
+    a = {tuple(r) for r in pushed.collect()}
+    b = {tuple(r) for r in direct.collect()}
+    assert a == b
+
+    # global (no GROUP BY) shape
+    g = federated_agg(spark, vt, [], {"n": ("count", "*"), "sum_v": ("sum", "v")})
+    assert g.collect() == [(250, plain.agg(F.sum("v")).collect()[0][0])]
+
+
 # --- federation over the pgwire transport (no JDBC jar in this env) ----------------
 @pytest.fixture()
 def two_shards(spark):
