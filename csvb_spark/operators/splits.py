@@ -189,6 +189,107 @@ def pack_sequences(
     )
 
 
+def global_index(df: DataFrame, id_col: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Add ``global_idx``: the row's 1-based position in the corpus-wide
+    ``md5_key`` total order — stable sample indices for training
+    export — WITHOUT the single-reducer global sort that
+    ``row_number() OVER (ORDER BY …)`` plans.
+
+    Two-pass shape: bucket each row by the key's first hex byte (256
+    buckets; fixed-width hex order IS lexicographic order, so bucket
+    ranges partition the total order), rank within buckets in parallel
+    (shuffle 1), and add per-bucket offsets computed from the 256-row
+    bucket-count table (a driver-bounded constant — its cumulative-sum
+    window runs on one task over 256 rows by design, then broadcasts).
+    Any engine reproduces the same order: md5 hex is lowercase ASCII
+    in Spark and DuckDB alike, ties broken by the id.
+    """
+    from pyspark.sql import Window
+
+    keyed = df.withColumn("_gi_key", md5_key(id_col, seed)).withColumn(
+        "_gi_bucket", F.conv(F.substring("_gi_key", 1, 2), 16, 10).cast("int")
+    )
+    w = Window.partitionBy("_gi_bucket").orderBy("_gi_key", id_col)
+    counts = keyed.groupBy("_gi_bucket").agg(F.count("*").alias("_gi_n"))
+    off_w = Window.orderBy("_gi_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_gi_off", F.coalesce(F.sum("_gi_n").over(off_w), F.lit(0))
+    ).select("_gi_bucket", "_gi_off")
+    return (
+        keyed.withColumn("_gi_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_gi_bucket")
+        .withColumn("global_idx", F.col("_gi_off") + F.col("_gi_rn"))
+        .drop("_gi_key", "_gi_bucket", "_gi_rn", "_gi_off")
+    )
+
+
+def export_shard(id_col: str | Column, n_shards: int, seed: int = 42) -> Column:
+    """Deterministic shard id in [0, n_shards) from ``hash_uniform`` —
+    engine-portable (the DuckDB twin is the same md5 arithmetic), so a
+    manifest written today is auditable by any engine tomorrow."""
+    return F.floor(hash_uniform(id_col, seed) * n_shards).cast("int")
+
+
+def export_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-shard manifest for a deterministic corpus export: row
+    count, payload size, and the md5-key range each shard covers. One
+    partial-aggregated shuffle over ``n_shards`` groups."""
+    key = md5_key(id_col, seed)
+    return (
+        df.select(
+            export_shard(id_col, n_shards, seed).alias("shard"),
+            key.alias("_key"),
+            F.col(size_col),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(size_col).alias(f"sum_{size_col}"),
+            F.min("_key").alias("min_key"),
+            F.max("_key").alias("max_key"),
+        )
+    )
+
+
+def export_corpus(
+    df: DataFrame,
+    out_dir: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_records_per_file: int | None = None,
+) -> DataFrame:
+    """Write the corpus as a deterministic sharded parquet layout
+    (``shard=N/`` hive partitions, rows sorted by md5 key within each
+    shard) and return the manifest DataFrame.
+
+    One shuffle (repartition on shard) + partition-local sorts; shard
+    membership and in-file order depend only on (id, seed), so a
+    re-run — or another engine — produces byte-identical row
+    sequences. ``max_records_per_file`` bounds file size at scale
+    without changing order (Spark splits a sorted partition into
+    consecutive files)."""
+    tagged = df.withColumn("shard", export_shard(id_col, n_shards, seed)).withColumn(
+        "_key", md5_key(id_col, seed)
+    )
+    writer = (
+        tagged.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_key")
+        .drop("_key")
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("shard").parquet(out_dir)
+    return export_manifest(df, n_shards, id_col=id_col, seed=seed)
+
+
 def contamination_check(
     train: DataFrame,
     eval_docs: DataFrame,

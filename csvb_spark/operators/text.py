@@ -157,6 +157,54 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame, text_col: str = "text", top_k: int = 3
+) -> DataFrame:
+    """Top-``top_k`` keywords per document by a TF-IDF-style score.
+
+    The score is ``tf * n_docs / df`` (rounded to 6 places) — a
+    log-free IDF so the arithmetic is integer-multiply + one IEEE
+    double division, bit-identical in any engine (``ln`` is NOT
+    reproducible across libm implementations; ratios are). Ranking
+    ties break on the term text ascending.
+
+    Plan shape (the one you want at 100 TB): explode tokens map-side →
+    partial-aggregated ``groupBy(doc_id, term)`` count (shuffle 1,
+    fixed-width rows) → document frequency from a second partial agg
+    over the term dimension (shuffle 2, vocabulary-sized) → equi-join
+    scores back on ``term`` (vocabulary join — AQE broadcasts it when
+    the vocab is small; at web scale it stays a shuffle join, which is
+    correct: a vocab can be billions of terms) → per-document top-k
+    window (re-uses shuffle 1's doc_id clustering). No step touches
+    Python; everything is whole-stage codegen.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != F.lit("")
+    )
+    term_counts = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    doc_freq = term_counts.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        term_counts.join(doc_freq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(F.col("tf") * F.col("n_docs") / F.col("df"), 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "term", "tf", "df", "score", "rank")
+    )
+
+
 def char_shingles(col: str | Column, k: int = 4) -> Column:
     """Distinct character k-grams (shingles) of lower(col)."""
     c = F.col(col) if isinstance(col, str) else col

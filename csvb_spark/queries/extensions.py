@@ -700,3 +700,65 @@ _q(
         F.countDistinct("frame_crc").alias("n_distinct_frames"),
     ),
 )
+
+
+# --- TF-IDF keywords, global indexing, export manifest (round 3 additions) ---------
+_q(
+    "x34_tfidf_keywords",
+    spark=lambda spark, sf: text.tfidf_keywords(_docs(spark, sf), top_k=3),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x != '')) AS term
+  FROM documents
+), tc AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df_t AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tc GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tc.doc_id, tc.term, tc.tf, df_t.df,
+         ROUND(tc.tf * n.n_docs / df_t.df, 6) AS score
+  FROM tc JOIN df_t USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, score,
+       rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored) s
+WHERE rank <= 3
+""",
+)
+
+_q(
+    "x35_global_index",
+    spark=lambda spark, sf: splits.global_index(_docs(spark, sf)).select(
+        "doc_id", "global_idx"
+    ),
+    oracle="""
+SELECT doc_id,
+       ROW_NUMBER() OVER (
+         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id) AS global_idx
+FROM documents
+""",
+)
+
+_q(
+    "x36_export_manifest",
+    spark=lambda spark, sf: splits.export_manifest(_docs(spark, sf), n_shards=16),
+    oracle="""
+WITH k AS (
+  SELECT doc_id, n_chars,
+         md5(CAST(doc_id AS VARCHAR) || ':42') AS key,
+         CAST(FLOOR(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+             / 4294967296.0) * 16) AS INT) AS shard
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS sum_n_chars,
+       MIN(key) AS min_key, MAX(key) AS max_key
+FROM k GROUP BY shard
+""",
+)

@@ -86,3 +86,53 @@ def test_contamination_plan_has_no_cross_join(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_index_is_contiguous_and_ordered(spark, sf_dir):
+    """global_idx is exactly 1..N, and ascending idx follows ascending
+    (md5_key, doc_id) — i.e. the two-pass bucket plan reproduces the
+    single-window total order without a global sort."""
+    from csvb_spark.operators.splits import global_index, md5_key
+
+    out = global_index(_docs(spark, sf_dir))
+    rows = (
+        out.withColumn("k", md5_key("doc_id"))
+        .select("global_idx", "k", "doc_id")
+        .collect()
+    )
+    n = len(rows)
+    assert sorted(r.global_idx for r in rows) == list(range(1, n + 1))
+    by_idx = sorted(rows, key=lambda r: r.global_idx)
+    assert by_idx == sorted(rows, key=lambda r: (r.k, r.doc_id))
+
+
+def test_export_corpus_roundtrip(spark, sf_dir, tmp_path):
+    """export_corpus writes hive-partitioned shards whose per-shard
+    counts equal the manifest, rows sort by md5 key within each file,
+    and no row is lost or duplicated."""
+    from csvb_spark.operators.splits import export_corpus, md5_key
+
+    d = _docs(spark, sf_dir)
+    out = str(tmp_path / "corpus")
+    manifest = export_corpus(d, out, n_shards=8, max_records_per_file=100)
+    m = {r.shard: r.n_docs for r in manifest.collect()}
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    got = {
+        r.shard: r.n
+        for r in back.groupBy("shard").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == m
+    # in-file order: per input file, md5 keys must be non-decreasing
+    files = back.withColumn("f", F.input_file_name()).withColumn(
+        "k", md5_key("doc_id")
+    )
+    import itertools
+
+    for _, grp in itertools.groupby(
+        sorted(files.select("f", "k").collect(), key=lambda r: r.f),
+        key=lambda r: r.f,
+    ):
+        ks = [r.k for r in grp]
+        assert ks == sorted(ks)
