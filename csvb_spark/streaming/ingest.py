@@ -1,0 +1,145 @@
+"""Continuous corpus ingest: stream document batches through the
+quality gate, exact dedup, and a near-dup reject against the
+PERSISTED MinHash band index, appending survivors to the corpus and
+their band rows to the index.
+
+The reference has no streaming surface (SURVEY.md §2.B.10); this is
+the end-to-end composition of the batch operators a continuously
+growing training corpus needs:
+
+- quality gate + PII redaction: map-only (``operators.text``), no
+  state;
+- within-batch exact dedup: one digest groupBy over the micro-batch;
+- cross-batch near-dup: ``operators.dedup.dedup_incremental`` against
+  the band index built by every PREVIOUS batch — the new batch is
+  signed map-only, the candidate equi-join prunes to colliding band
+  buckets, and the corpus is never re-signed (state lives in the
+  index table, not executor memory);
+- the accepted docs and their band rows append atomically per
+  micro-batch (``foreachBatch`` runs the writes in batch scope, and
+  the checkpoint makes re-delivery idempotent-enough for parquet
+  sinks at test scale; at production scale both sinks would be a
+  transactional table format).
+
+At 100 TB the source is Kafka / object-store notifications and the
+index lives bucketed by ``pmod(xxhash64(band_key), N)`` so the
+candidate join prunes file groups (same layout as
+``dedup.bucketed_band_index``); the per-batch work is bounded by
+batch size × collision rate, never corpus size.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from csvb_spark.operators import dedup as D
+from csvb_spark.operators import text as T
+
+
+def _accept_batch(
+    batch: DataFrame,
+    corpus_dir: str,
+    index_dir: str,
+    text_col: str,
+    min_quality: float,
+    min_jaccard: float,
+    num_perm: int,
+    bands: int,
+) -> None:
+    """Process one micro-batch (runs driver-side under foreachBatch —
+    everything in here is ordinary batch DataFrame code)."""
+    spark = batch.sparkSession
+
+    # 1. quality gate + scrub (map-only)
+    scored = T.quality_score(batch, text_col).select("doc_id", "quality_score")
+    gated = batch.join(scored, "doc_id").filter(
+        F.col("quality_score") >= min_quality
+    )
+    redacted = gated.join(
+        T.pii_redact(gated, text_col).select("doc_id", "redacted"), "doc_id"
+    ).drop("quality_score")
+
+    # 2. within-batch exact dedup (keep lowest doc_id per digest)
+    deduped = D.exact_dedup(redacted, text_col)
+
+    # 3. cross-batch near-dup reject against the persisted index
+    have_index = os.path.isdir(index_dir) and any(
+        f.endswith(".parquet") for f in os.listdir(index_dir)
+    )
+    if have_index:
+        idx = spark.read.parquet(index_dir)
+        corpus = spark.read.parquet(corpus_dir)
+        hits = D.dedup_incremental(
+            deduped,
+            corpus,
+            text_col=text_col,
+            num_perm=num_perm,
+            bands=bands,
+            min_jaccard=min_jaccard,
+            corpus_bands=idx,
+        ).select("new_doc_id")
+        accepted = deduped.join(
+            hits, deduped["doc_id"] == hits["new_doc_id"], "left_anti"
+        )
+    else:
+        accepted = deduped
+
+    # Cache: accepted feeds two sinks; never recompute the near-dup
+    # join for the second write.
+    accepted = accepted.persist()
+    try:
+        if accepted.count() == 0:
+            return
+        accepted.write.mode("append").parquet(corpus_dir)
+        D.minhash_bands(accepted, text_col, num_perm, bands).write.mode(
+            "append"
+        ).parquet(index_dir)
+    finally:
+        accepted.unpersist()
+
+
+def run_streaming_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    corpus_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    min_jaccard: float = 0.5,
+    num_perm: int = 16,
+    bands: int = 4,
+    query_name: str = "corpus_ingest",
+) -> None:
+    """Drive the ingest stream over ``source_dir`` to completion (one
+    micro-batch per file, so files model arrival order). Appends to
+    ``corpus_dir`` + ``index_dir``; re-runs resume from the
+    checkpoint without re-processing consumed files."""
+    schema = spark.read.parquet(source_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+        .writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(
+            lambda b, _id: _accept_batch(
+                b,
+                corpus_dir,
+                index_dir,
+                text_col,
+                min_quality,
+                min_jaccard,
+                num_perm,
+                bands,
+            )
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

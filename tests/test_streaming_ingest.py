@@ -1,0 +1,76 @@
+"""End-to-end streaming corpus ingest: quality gate + exact dedup +
+cross-batch near-dup reject against the persisted band index."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_batch(path: str, rows: list[dict]) -> None:
+    cols = {
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+        "text": pa.array([r["text"] for r in rows], pa.string()),
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r["text"]) for r in rows], pa.int64()),
+    }
+    pq.write_table(pa.table(cols), path)
+    # file-source ordering is by modification time — space them out
+    time.sleep(0.05)
+    os.utime(path)
+
+
+def test_streaming_ingest_end_to_end(spark, sf_dir, tmp_path):
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    docs = {
+        r.doc_id: r.asDict()
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 30")
+        .collect()
+    }
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = [docs[i] for i in range(20) if i in docs]
+    _write_batch(str(src / "b1.parquet"), b1)
+    dup = dict(docs[1], doc_id=9001)  # exact text copy, new id
+    junk = {
+        "doc_id": 9002,
+        "text": "zzz zzz",  # short, no stopwords → quality 0.4 < 0.5
+        "lang": "en",
+        "source": "src0",
+    }
+    b2 = [docs[i] for i in range(20, 30) if i in docs] + [dup, junk]
+    _write_batch(str(src / "b2.parquet"), b2)
+
+    corpus_dir = str(tmp_path / "corpus")
+    index_dir = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    run_streaming_ingest(spark, str(src), corpus_dir, index_dir, ckpt)
+
+    got = {r.doc_id for r in spark.read.parquet(corpus_dir).select("doc_id").collect()}
+    assert 9001 not in got, "cross-batch exact dup must be rejected via the index"
+    assert 9002 not in got, "below-threshold quality doc must be gated out"
+    assert set(b["doc_id"] for b in b1) <= got | {9001, 9002} and got <= set(
+        docs
+    ), "every accepted id comes from the fixture batches"
+
+    # index carries one row per (accepted doc × band)
+    from csvb_spark.operators.dedup import minhash_bands
+
+    n_bands = (
+        minhash_bands(spark.read.parquet(corpus_dir), "text", 16, 4)
+        .count()
+    )
+    assert spark.read.parquet(index_dir).count() == n_bands == len(got) * 4
+
+    # corpus rows carry the scrubbed text alongside the original
+    assert "redacted" in spark.read.parquet(corpus_dir).columns
+
+    # resume from checkpoint: nothing new to consume → no growth
+    run_streaming_ingest(spark, str(src), corpus_dir, index_dir, ckpt)
+    assert spark.read.parquet(corpus_dir).count() == len(got)
