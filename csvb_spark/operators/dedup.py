@@ -178,6 +178,44 @@ def minhash_bands(
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
 
 
+def band_bucket(band_key: str | Column = "band_key", n_buckets: int = 64) -> Column:
+    """Partition bucket for a persisted band index: a stable hash of
+    the band key. Both the writer and the probe compute it from the
+    key alone, so any engine/run agrees on the layout."""
+    c = F.col(band_key) if isinstance(band_key, str) else band_key
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets))
+
+
+def write_band_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_words: int = 3,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus MinHash band index hive-partitioned by
+    ``bucket = pmod(xxhash64(band_key), n_buckets)``.
+
+    The layout is the scale path for :func:`dedup_incremental`: a
+    probe batch computes the SAME bucket on its own band keys, the
+    candidate equi-join includes ``bucket``, and Spark's dynamic
+    partition pruning reads only the index partitions the batch can
+    collide with — per-batch I/O is bounded by batch size × collision
+    rate, never index size. One shuffle (repartition by bucket keeps
+    one file per partition per write instead of one per task)."""
+    b = minhash_bands(docs, text_col, num_perm, bands, shingle_words)
+    (
+        b.withColumn("bucket", band_bucket("band_key", n_buckets))
+        .repartition("bucket")
+        .write.mode(mode)
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -280,6 +318,7 @@ def dedup_incremental(
     shingle_words: int = 3,
     min_jaccard: float = 0.5,
     corpus_bands: DataFrame | None = None,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Near-dup lookup of a NEW batch against an EXISTING corpus:
     (new_doc_id, corpus_doc_id, est_jaccard, jaccard) for every new
@@ -289,12 +328,14 @@ def dedup_incremental(
     dedup per batch would re-sign the whole corpus every time.
 
     Pass ``corpus_bands`` (a persisted :func:`minhash_bands` output)
-    to skip re-signing the corpus: at scale that table lives
-    partitioned by a band-key bucket, the (tiny) new batch bands
-    map-only, and the candidate equi-join prunes to colliding
-    buckets. An EXACT duplicate always collides (identical signature
-    → identical band keys in every band), so exact dups are never
-    missed; near-dups follow the standard LSH recall curve.
+    to skip re-signing the corpus. If it carries the ``bucket``
+    partition column of :func:`write_band_index` (built with
+    ``n_buckets``), the probe recomputes the bucket on its own band
+    keys and joins on it too — dynamic partition pruning then reads
+    only the index partitions the batch can collide with. An EXACT
+    duplicate always collides (identical signature → identical band
+    keys in every band), so exact dups are never missed; near-dups
+    follow the standard LSH recall curve.
     """
     nb = minhash_bands(new_docs, text_col, num_perm, bands, shingle_words).select(
         F.col("doc_id").alias("new_doc_id"),
@@ -305,17 +346,23 @@ def dedup_incremental(
     cb = corpus_bands
     if cb is None:
         cb = minhash_bands(corpus_docs, text_col, num_perm, bands, shingle_words)
-    cb = cb.select(
+    join_keys = ["band_id", "band_key"]
+    keep = [
         F.col("doc_id").alias("corpus_doc_id"),
         F.col("sig").alias("sig_c"),
         "band_id",
         "band_key",
-    )
+    ]
+    if "bucket" in cb.columns:
+        nb = nb.withColumn("bucket", band_bucket("band_key", n_buckets))
+        join_keys = ["bucket", *join_keys]
+        keep.append("bucket")
+    cb = cb.select(*keep)
     est = sum(
         (F.col("sig_n")[j] == F.col("sig_c")[j]).cast("int") for j in range(num_perm)
     ) / F.lit(float(num_perm))
     cands = (
-        nb.join(cb, ["band_id", "band_key"])
+        nb.join(cb, join_keys)
         .select("new_doc_id", "corpus_doc_id", F.round(est, 6).alias("est_jaccard"))
         .dropDuplicates(["new_doc_id", "corpus_doc_id"])
     )

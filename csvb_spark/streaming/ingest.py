@@ -21,11 +21,12 @@ growing training corpus needs:
   sinks at test scale; at production scale both sinks would be a
   transactional table format).
 
-At 100 TB the source is Kafka / object-store notifications and the
-index lives bucketed by ``pmod(xxhash64(band_key), N)`` so the
-candidate join prunes file groups (same layout as
-``dedup.bucketed_band_index``); the per-batch work is bounded by
-batch size × collision rate, never corpus size.
+At 100 TB the source is Kafka / object-store notifications. The
+index is written in ``dedup.write_band_index``'s layout —
+hive-partitioned by ``bucket = pmod(xxhash64(band_key), N)`` — so the
+probe join dynamic-partition-prunes to the index partitions the batch
+can collide with; per-batch work is bounded by batch size ×
+collision rate, never corpus size.
 """
 
 from __future__ import annotations
@@ -67,7 +68,9 @@ def _accept_batch(
 
     # 3. cross-batch near-dup reject against the persisted index
     have_index = os.path.isdir(index_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(index_dir)
+        f.endswith(".parquet")
+        for _, _, files in os.walk(index_dir)
+        for f in files
     )
     if have_index:
         idx = spark.read.parquet(index_dir)
@@ -94,9 +97,9 @@ def _accept_batch(
         if accepted.count() == 0:
             return
         accepted.write.mode("append").parquet(corpus_dir)
-        D.minhash_bands(accepted, text_col, num_perm, bands).write.mode(
-            "append"
-        ).parquet(index_dir)
+        D.write_band_index(
+            accepted, index_dir, text_col, num_perm, bands, mode="append"
+        )
     finally:
         accepted.unpersist()
 

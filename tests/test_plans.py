@@ -306,3 +306,39 @@ def test_contamination_no_cartesian(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_band_index_bucket_pruning(spark, sf_dir, tmp_path):
+    """A persisted bucket-partitioned band index gives the SAME
+    answers as the in-memory index, and the probe plan carries a
+    dynamic-partition-pruning subquery on the bucket column (so a
+    probe batch only reads the index partitions it can collide
+    with)."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.dedup import (
+        dedup_incremental,
+        write_band_index,
+    )
+
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = (
+        corpus.filter(F.col("doc_id") % 11 == 0)
+        .limit(10)
+        .select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    )
+    path = str(tmp_path / "band_index")
+    write_band_index(corpus, path, n_buckets=16)
+    idx = spark.read.parquet(path)
+    assert "bucket" in idx.columns
+
+    bucketed = dedup_incremental(
+        planted, corpus, corpus_bands=idx, min_jaccard=0.99, n_buckets=16
+    )
+    plain = dedup_incremental(planted, corpus, min_jaccard=0.99)
+    got = {tuple(r) for r in bucketed.collect()}
+    assert got == {tuple(r) for r in plain.collect()}
+    assert len(got) >= 10
+
+    plan = _plan(bucketed)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
