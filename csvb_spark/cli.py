@@ -6,6 +6,13 @@
   csvb serve    --csv PATH... [--table-name tbl] [ADDRESS=127.0.0.1:5432]
   csvb federate --table-name NAME --shard-addresses pg://... [ADDRESS]
 
+beyond-reference subcommands (no csvb equivalent):
+
+  csvb export --parquet PATH [--shards N] [--id-col c] OUT_DIR
+      deterministic sharded corpus export (operators.splits)
+  csvb ingest --source DIR --corpus DIR --index DIR --checkpoint DIR
+      streaming corpus ingest (streaming.ingest)
+
 ``exec``/``serve`` also accept ``--parquet PATH...`` / ``--json
 PATH...`` in place of ``--csv`` (bonus formats; the reference wires
 only CsvFormat, lib.rs:42).
@@ -78,6 +85,31 @@ def build_parser() -> argparse.ArgumentParser:
     ps.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
     ps.add_argument("address", nargs="?", default=DEFAULT_SERVE_ADDRESS)
 
+    px = sub.add_parser(
+        "export",
+        help="deterministic sharded corpus export (+ manifest to stdout)",
+    )
+    px.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    px.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    px.add_argument("--json", action="append", default=[], metavar="PATH")
+    px.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    px.add_argument("--id-col", default="doc_id")
+    px.add_argument("--shards", type=int, default=16)
+    px.add_argument("--seed", type=int, default=42)
+    px.add_argument("--max-records-per-file", type=int, default=None)
+    px.add_argument("out_dir")
+
+    pi = sub.add_parser(
+        "ingest",
+        help="stream document batches into a deduplicated corpus + band index",
+    )
+    pi.add_argument("--source", required=True, help="dir of arriving parquet batches")
+    pi.add_argument("--corpus", required=True, help="output corpus dir (append)")
+    pi.add_argument("--index", required=True, help="band-index dir (append)")
+    pi.add_argument("--checkpoint", required=True)
+    pi.add_argument("--min-quality", type=float, default=0.5)
+    pi.add_argument("--min-jaccard", type=float, default=0.5)
+
     pf = sub.add_parser("federate", help="serve a federated virtual table")
     pf.add_argument("--table-name", required=True)
     pf.add_argument(
@@ -147,6 +179,38 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         _register_direct(spark, args)
         serve_forever(spark, args.address)
+        return 0
+
+    if args.command == "export":
+        from csvb_spark.operators.splits import export_corpus
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        manifest = export_corpus(
+            spark.table(args.table_name),
+            args.out_dir,
+            n_shards=args.shards,
+            id_col=args.id_col,
+            seed=args.seed,
+            max_records_per_file=args.max_records_per_file,
+        )
+        print(render_df(manifest.orderBy("shard")))
+        return 0
+
+    if args.command == "ingest":
+        from csvb_spark.streaming.ingest import run_streaming_ingest
+
+        spark = _session(args)
+        run_streaming_ingest(
+            spark,
+            args.source,
+            args.corpus,
+            args.index,
+            args.checkpoint,
+            min_quality=args.min_quality,
+            min_jaccard=args.min_jaccard,
+        )
         return 0
 
     if args.command == "federate":

@@ -234,27 +234,26 @@ def export_manifest(
     df: DataFrame,
     n_shards: int = 16,
     id_col: str = "doc_id",
-    size_col: str = "n_chars",
+    size_col: str | None = "n_chars",
     seed: int = 42,
 ) -> DataFrame:
     """Per-shard manifest for a deterministic corpus export: row
-    count, payload size, and the md5-key range each shard covers. One
-    partial-aggregated shuffle over ``n_shards`` groups."""
+    count, payload size (when ``size_col`` is present), and the
+    md5-key range each shard covers. One partial-aggregated shuffle
+    over ``n_shards`` groups."""
     key = md5_key(id_col, seed)
-    return (
-        df.select(
-            export_shard(id_col, n_shards, seed).alias("shard"),
-            key.alias("_key"),
-            F.col(size_col),
-        )
-        .groupBy("shard")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(size_col).alias(f"sum_{size_col}"),
-            F.min("_key").alias("min_key"),
-            F.max("_key").alias("max_key"),
-        )
-    )
+    if size_col is not None and size_col not in df.columns:
+        size_col = None
+    cols = [
+        export_shard(id_col, n_shards, seed).alias("shard"),
+        key.alias("_key"),
+    ]
+    aggs = [F.count("*").alias("n_docs")]
+    if size_col is not None:
+        cols.append(F.col(size_col))
+        aggs.append(F.sum(size_col).alias(f"sum_{size_col}"))
+    aggs += [F.min("_key").alias("min_key"), F.max("_key").alias("max_key")]
+    return df.select(*cols).groupBy("shard").agg(*aggs)
 
 
 def export_corpus(

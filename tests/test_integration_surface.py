@@ -599,3 +599,52 @@ def test_csv_rfc4180_quoting(spark, tmp_path):
     assert rows[3].name == 'embedded "quotes"'
     assert rows[4].name == "multi\nline value"
     assert rows[5].name is None
+
+
+def test_cli_export_writes_shards_and_manifest(spark, sf_dir, tmp_path, capsys):
+    """`csvb export` shards the direct table deterministically and
+    prints the per-shard manifest; the written corpus round-trips with
+    exactly the input rows."""
+    from csvb_spark.cli import main
+
+    out_dir = str(tmp_path / "exported")
+    rc = main(
+        [
+            "export",
+            "--parquet",
+            f"{sf_dir}/documents.parquet",
+            "--shards",
+            "4",
+            out_dir,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "shard" in out and "n_docs" in out and "min_key" in out
+
+    back = spark.read.parquet(out_dir)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert back.count() == src.count()
+    assert {r.shard for r in back.select("shard").distinct().collect()} <= set(range(4))
+
+
+def test_cli_export_without_size_col(spark, sf_dir, tmp_path, capsys):
+    """Tables without the default size column still export — the
+    manifest just omits the payload-size aggregate."""
+    from csvb_spark.cli import main
+
+    out_dir = str(tmp_path / "exported_r")
+    rc = main(
+        [
+            "export",
+            "--parquet",
+            f"{sf_dir}/region.parquet",
+            "--id-col",
+            "r_regionkey",
+            "--shards",
+            "2",
+            out_dir,
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "n_docs" in out and "sum_" not in out

@@ -74,3 +74,37 @@ def test_streaming_ingest_end_to_end(spark, sf_dir, tmp_path):
     # resume from checkpoint: nothing new to consume → no growth
     run_streaming_ingest(spark, str(src), corpus_dir, index_dir, ckpt)
     assert spark.read.parquet(corpus_dir).count() == len(got)
+
+
+def test_cli_ingest_single_batch(spark, sf_dir, tmp_path):
+    """`csvb ingest` wires the streaming pipeline: one source file in,
+    corpus + bucket-partitioned index out."""
+    from csvb_spark.cli import main
+
+    docs = [
+        r.asDict()
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 10")
+        .collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), docs)
+    rc = main(
+        [
+            "ingest",
+            "--source",
+            str(src),
+            "--corpus",
+            str(tmp_path / "corpus"),
+            "--index",
+            str(tmp_path / "index"),
+            "--checkpoint",
+            str(tmp_path / "ckpt"),
+        ]
+    )
+    assert rc == 0
+    corpus = spark.read.parquet(str(tmp_path / "corpus"))
+    index = spark.read.parquet(str(tmp_path / "index"))
+    assert corpus.count() == len(docs)
+    assert "bucket" in index.columns and index.count() == len(docs) * 4
