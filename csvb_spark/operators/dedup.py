@@ -216,6 +216,34 @@ def write_band_index(
     )
 
 
+def compact_band_index(spark, path: str) -> int:
+    """Rewrite a :func:`write_band_index` layout so each bucket holds
+    one file — streaming ingest appends a file per (micro-batch ×
+    bucket), and probe-side partition pruning only pays off if pruned
+    partitions are also FEW files. Reads the index fully, rewrites
+    into a sibling directory, then swaps atomically-enough for a
+    single-writer maintenance job (at production scale this is the
+    compaction pass a transactional table format runs for you).
+    Returns the number of rows compacted."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    n = df.count()
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__old"
+    (
+        df.repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",

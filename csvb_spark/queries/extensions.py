@@ -762,3 +762,44 @@ SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS sum_n_chars,
 FROM k GROUP BY shard
 """,
 )
+
+
+# --- RANGE window frames (value-based: peers by ORDER-BY distance, not row
+# position — the §2.B frame-window row q12 covers only ROWS frames) -----------------
+def _x37(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf}/orders.parquet")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        days.alias("order_day"),
+        F.count("*").over(w).alias("n_orders_30d"),
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER ("
+            "PARTITION BY o_custkey ORDER BY datediff(o_orderdate, DATE '1990-01-01') "
+            "RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)"
+        ).alias("spend_30d"),
+    )
+
+
+_q(
+    "x37_window_range_frames",
+    spark=_x37,
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       datediff('day', DATE '1990-01-01', o_orderdate) AS order_day,
+       COUNT(*) OVER w AS n_orders_30d,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE) AS spend_30d
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+""",
+)

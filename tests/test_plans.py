@@ -342,3 +342,34 @@ def test_band_index_bucket_pruning(spark, sf_dir, tmp_path):
 
     plan = _plan(bucketed)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_compact_band_index(spark, sf_dir, tmp_path):
+    """Two appends fragment each bucket into two files; compaction
+    rewrites to one file per bucket with an identical row multiset."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.dedup import compact_band_index, write_band_index
+
+    corpus = _docs(spark, sf_dir).select("doc_id", "text")
+    path = str(tmp_path / "idx")
+    write_band_index(corpus.filter(F.col("doc_id") % 2 == 0), path, n_buckets=8)
+    write_band_index(
+        corpus.filter(F.col("doc_id") % 2 == 1), path, n_buckets=8, mode="append"
+    )
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(path).collect()
+    )
+    frag = max(
+        len(glob.glob(f"{b}/*.parquet")) for b in glob.glob(f"{path}/bucket=*")
+    )
+    assert frag >= 2
+
+    n = compact_band_index(spark, path)
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert n == len(before) and before == after
+    assert all(
+        len(glob.glob(f"{b}/*.parquet")) == 1 for b in glob.glob(f"{path}/bucket=*")
+    )
