@@ -135,7 +135,7 @@ SELECT event_id,
        make_date(2024, 1, 15) AS fixed_date,
        last_day(CAST(ts AS DATE)) AS month_end,
        datediff(CAST(ts AS DATE), DATE '2024-01-01') AS days_since,
-       unix_millis(ts) AS epoch_ms_val,
+       unix_millis(CAST(ts AS TIMESTAMP)) AS epoch_ms_val,
        date_format(ts, 'yyyy-MM-dd HH') AS fmt
 FROM events
 WHERE event_id < 300

@@ -40,15 +40,36 @@ def _ensure_nanos_conf(spark: SparkSession) -> None:
         pass  # conf locked down — the session.py default may still cover it
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    _ensure_nanos_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # TIMESTAMP(NANOS) columns arrive as nano-longs (see session.py);
-    # truncate to micros exactly like DuckDB/Arrow do when narrowing.
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts has shipped in two fixture generations: parquet
+    TIMESTAMP(NANOS) (arrives as a nano-long under ``nanosAsLong``) and
+    TIMESTAMP(MICROS) (arrives as a native timestamp). Truncate
+    nano-longs to micro timestamps exactly like DuckDB/Arrow do when
+    narrowing; pass native timestamps through untouched. Every reader
+    of the events table — batch and streaming — goes through this."""
+    if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
         )
+    return df
+
+
+def normalize_event_ts_for_stream(df: DataFrame) -> DataFrame:
+    """Streaming variant: watermarks demand TIMESTAMP (session-tz), so
+    additionally cast a TIMESTAMP_NTZ ts. Sessions here run UTC
+    (session.py:54), making the cast value-stable. Batch views keep NTZ
+    untouched so they line up with DuckDB's (tz-less) TIMESTAMP."""
+    df = normalize_event_ts(df)
+    if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_nanos_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = normalize_event_ts(df)
     return df
 
 

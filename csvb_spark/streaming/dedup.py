@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from csvb_spark.sources.catalog import normalize_event_ts_for_stream
+
 
 def run_streaming_dedup(
     spark: SparkSession,
@@ -44,8 +46,7 @@ def run_streaming_dedup(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(source_dir)
-        # ts is a nano-long on disk (see sources.catalog); to micros
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        .transform(normalize_event_ts_for_stream)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(list(key_cols))
     )

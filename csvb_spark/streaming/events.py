@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from csvb_spark.sources.catalog import normalize_event_ts_for_stream
+
 
 def run_windowed_aggregation(
     spark: SparkSession,
@@ -33,11 +35,11 @@ def run_windowed_aggregation(
     # file stream source lists a directory; pathGlobFilter narrows it
     # to the events table
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        # ts is a nano-long (see sources.catalog); truncate to micros
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        normalize_event_ts_for_stream(
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))

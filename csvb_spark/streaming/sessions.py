@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupStateTimeout
 from pyspark.sql.window import Window
 
+from csvb_spark.sources.catalog import normalize_event_ts_for_stream
+
 OUTPUT_SCHEMA = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events bigint, total_value double"
@@ -92,7 +94,7 @@ def run_stateful_sessionization(
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+        .transform(normalize_event_ts_for_stream)
         .groupBy("user_id")
         .applyInPandasWithState(
             fold,

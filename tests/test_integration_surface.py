@@ -423,13 +423,15 @@ def test_streaming_windowed_agg(spark, sf_dir):
     out = run_windowed_aggregation(spark, sf_dir, query_name="t_stream_agg")
     rows = out.collect()
     assert len(rows) > 0
-    batch = spark.sql(
-        "SELECT COUNT(*) AS n FROM ("
-        "  SELECT window(ts, '15 minutes'), event_type FROM ("
-        f"   SELECT timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS ts, event_type"
-        f"   FROM parquet.`{sf_dir}/events.parquet`)"
-        "  GROUP BY 1, 2)"
-    ).collect()[0].n
+    from csvb_spark.sources.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    batch = (
+        ev.select(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .distinct()
+        .count()
+    )
     assert len(rows) == batch
 
 
