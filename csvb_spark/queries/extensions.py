@@ -255,12 +255,40 @@ WHERE a.vec_id < 2000 AND b.vec_id < 2000
 """,
 )
 
-# --- hash-based ops: rows-only (no cross-engine hash oracle) ------------------
+# --- MinHash-LSH near-dup: FULL oracle ---------------------------------------
+# The graded output projects away est_jaccard (xxhash64-derived, no
+# DuckDB twin); what remains — candidate pairs verified by exact
+# word-shingle Jaccard >= 0.4 — is oracle-expressible as an all-pairs
+# scan (500 docs -> 125k pairs, trivial for DuckDB). The fixture is
+# bimodal (every true pair is j>=0.9, everything else <0.2), so the
+# deterministic xxhash64 banding has verified recall 1.0 at both
+# sf0.001 and sf0.01; the oracle is therefore an exact equality, not a
+# probabilistic bound. est_jaccard stays in the operator's public API.
 _q(
     "p09_dedup_minhash_lsh",
-    spark=lambda spark, sf: dedup.minhash_lsh_pairs(_docs(spark, sf), min_jaccard=0.4),
+    spark=lambda spark, sf: dedup.minhash_lsh_pairs(
+        _docs(spark, sf), min_jaccard=0.4
+    ).select("doc_id_a", "doc_id_b", "jaccard"),
     headline=True,
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s
+  FROM toks
 )
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.s, b.s))) >= 0.4
+""",
+)
+
+# --- hash-based ops: rows-only (no cross-engine hash oracle) ------------------
 _q(
     "x10_dedup_simhash",
     spark=lambda spark, sf: dedup.simhash_pairs(_docs(spark, sf), max_hamming=8),
