@@ -607,3 +607,81 @@ def dedup_clusters(
                 F.col("n").alias("doc_id"), F.col("label").alias("cluster_id")
             )
     raise RuntimeError(f"dedup_clusters did not converge in {max_iter} rounds")
+
+
+def substring_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication spans, the seed+merge approximation
+    of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal token
+    span whose word ``k``-grams each appear verbatim in at least
+    ``min_docs`` distinct documents.
+
+    Output: one row per maximal span —
+    ``(doc_id, span_start, span_end, span_tokens)``, 1-based token
+    positions, end inclusive. Downstream removal is a substring cut on
+    these spans; emitting spans (not rewritten text) keeps the operator
+    composable with span-level policies (keep-first-copy, strip-all).
+
+    Plan shape / scale notes:
+
+    - k-gram seeding explodes ~one row per token; the gram is shuffled
+      as a single ``xxhash64`` int64, never the string (k=10 grams are
+      ~60 bytes; the hash is 8). At 64 bits a collision needs ~2^32
+      distinct grams (birthday bound) — fine per-partition-of-corpus;
+      at full 100 TB scope use two seeded xxhash64 columns as the key.
+    - frequency filter is a partial-aggregated groupBy on the hash,
+      then a semi-join back (AQE broadcasts it when the duplicated-gram
+      dictionary is small, which is the common case).
+    - island merge is one window + one groupBy, both partitioned by
+      ``doc_id`` — the groupBy reuses the window's exchange, so the
+      whole merge costs a single shuffle.
+    """
+    t = docs.select("doc_id", tokens(text_col).alias("t"))
+    starts = F.when(
+        F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - (k - 1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    seeds = t.select(
+        "doc_id",
+        F.explode(starts).alias("start"),
+        F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(k)))).alias(
+            "gh"
+        ),
+    )
+    dup = (
+        seeds.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gh")
+    )
+    hits = seeds.join(dup, "gh", "left_semi").select("doc_id", "start")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_start = F.max("start").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # a seed extends the running island while start <= prev_end + 1
+    # (prev_end = prev_max_start + k - 1); otherwise it breaks a new one
+    brk = F.when(
+        F.col("start") > F.coalesce(prev_max_start, F.lit(-k)) + k, 1
+    ).otherwise(0)
+    islands = hits.withColumn("island", F.sum(brk).over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + (k - 1)).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )

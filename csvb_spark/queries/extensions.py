@@ -185,6 +185,46 @@ _q(
     ),
 )
 
+# Exact-substring duplication spans (Lee et al. 2022 seed+merge):
+# maximal token spans whose word 10-grams recur across >=2 documents.
+# Spark shuffles the gram as an xxhash64 int64; the oracle carries the
+# string gram — identical results absent a 64-bit collision (verified
+# deterministic on the fixtures).
+_q(
+    "x38_substring_spans",
+    spark=lambda spark, sf: dedup.substring_spans(_docs(spark, sf), k=10, min_docs=2),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), pos AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 9, 0))) AS start, w
+  FROM toks
+), grams AS (
+  SELECT doc_id, start, array_to_string(w[start:start+9], ' ') AS g FROM pos
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, start FROM grams WHERE g IN (SELECT g FROM dup)
+), isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start > COALESCE(MAX(start) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 10
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+), numbered AS (
+  SELECT doc_id, start,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id, MIN(start) AS span_start,
+       MAX(start) + 9 AS span_end,
+       MAX(start) + 9 - MIN(start) + 1 AS span_tokens
+FROM numbered GROUP BY doc_id, island
+""",
+)
+
 # Connected components over p06's exact near-dup pairs: the dedup
 # pipeline's final step. Oracle = recursive-CTE reachability over the
 # SAME pair SQL (min reachable id per node ≡ hash-min fixpoint).
