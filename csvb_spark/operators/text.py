@@ -54,9 +54,13 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame, text_col: str = "text", *extra_cols: str
+) -> DataFrame:
     """Heuristic quality signals: length, punctuation/digit/upper
-    ratios, stopword ratio, and a coarse bucket. Map-only."""
+    ratios, stopword ratio, and a coarse bucket. Map-only.
+    ``extra_cols`` are passed through untouched (e.g. a grouping key
+    for :func:`adaptive_quality_filter`)."""
     text = F.col(text_col)
     n = F.length(text)
     digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
@@ -78,6 +82,51 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(upper / n, 6).alias("upper_ratio"),
         stop_hits.alias("en_stopword_hits"),
         F.round(score, 2).alias("quality_score"),
+        *extra_cols,
+    )
+
+
+def adaptive_quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    keep_num: int = 9,
+    keep_den: int = 10,
+) -> DataFrame:
+    """Per-group adaptive quality filtering: keep the best
+    ``keep_num/keep_den`` fraction of each group ranked by the
+    heuristic quality score.
+
+    Fixed-threshold filters mis-calibrate across heterogeneous sources
+    (a threshold strict for a curated source deletes most of a noisy
+    one); ranking *within* the group adapts the cutoff per source. The
+    keep fraction is an integer comparison (``rank*den <= num*count``)
+    — no float threshold exists, so engines can't disagree on the
+    boundary row. Ties break by token count then doc_id: the survivor
+    set is deterministic at any parallelism.
+
+    One shuffle on ``group_col``; both window functions and the filter
+    run inside the same exchange. Skewed sources are real at corpus
+    scale (one crawl dominates) — for those, pre-aggregate the group
+    counts and broadcast-join the cutoffs instead of windowing.
+
+    Output: ``(doc_id, <group_col>, quality_score, rk, n_group)``.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(docs, text_col, group_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("quality_score").desc(), F.col("n_tokens").desc(), F.col("doc_id")
+    )
+    ranked = q.select(
+        "doc_id",
+        group_col,
+        "quality_score",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("n_group"),
+    )
+    return ranked.filter(
+        F.col("rk") * keep_den <= keep_num * F.col("n_group")
     )
 
 

@@ -84,6 +84,39 @@ FROM documents
 """,
 )
 
+# Per-source adaptive quality filter: keep the best 9/10 of each
+# source ranked by the heuristic score. The keep fraction is an
+# integer comparison (rk*10 <= 9*n) — a float threshold would let the
+# engines disagree on the boundary row (DuckDB parses 0.9 as DECIMAL,
+# Spark as DOUBLE).
+_q(
+    "x39_adaptive_quality",
+    spark=lambda spark, sf: text.adaptive_quality_filter(_docs(spark, sf)),
+    oracle=r"""
+WITH q AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         ROUND(CAST(
+           (CASE WHEN length(text) < 64 THEN 0.2 ELSE 0.5 END)
+           + (CASE WHEN len(list_intersect(string_split_regex(trim(text), '\s+'),
+                          ['the','and','of','to','a','in','is','it'])) > 0
+                   THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                        / length(text) < 0.1
+                   THEN 0.2 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
+  FROM documents
+), ranked AS (
+  SELECT doc_id, source, quality_score,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY quality_score DESC, n_tokens DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY source) AS n_group
+  FROM q
+)
+SELECT doc_id, source, quality_score, rk, n_group
+FROM ranked WHERE rk * 10 <= 9 * n_group
+""",
+)
+
 _q(
     "p04_text_quality",
     spark=lambda spark, sf: text.quality_score(_docs(spark, sf)),
