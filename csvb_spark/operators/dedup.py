@@ -685,3 +685,30 @@ def substring_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
         )
     )
+
+
+def near_dedup(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    k: int = 4,
+    min_jaccard: float = 0.3,
+) -> DataFrame:
+    """The corpus after near-duplicate REMOVAL: one canonical document
+    (min doc_id) survives per connected near-dup cluster; documents in
+    no cluster pass through untouched.
+
+    This is the last step of the dedup pipeline — pairs
+    (:func:`ngram_jaccard_pairs` or :func:`minhash_lsh_pairs`) →
+    clusters (:func:`dedup_clusters`) → keep-canonical. Pass ``pairs``
+    to reuse an already-computed candidate set.
+
+    The drop set (cluster members that are not their cluster's min) is
+    tiny relative to the corpus, so the final anti-join broadcasts it:
+    the full corpus is never shuffled.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, text_col=text_col, k=k, min_jaccard=min_jaccard)
+    labels = dedup_clusters(pairs)
+    drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti")

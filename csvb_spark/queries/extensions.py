@@ -284,6 +284,33 @@ SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n
 """,
 )
 
+# End-to-end near-dup removal: pairs -> clusters -> keep the cluster
+# minimum, pass unclustered docs through. The oracle reuses x30's
+# recursive-CTE labels to compute the same drop set.
+_q(
+    "x40_near_dedup_keep",
+    spark=lambda spark, sf: dedup.near_dedup(_docs(spark, sf)),
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_P06_PAIRS_SQL}),
+bidir AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM bidir),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN bidir e ON reach.n = e.a
+),
+labels AS (SELECT n, MIN(r) AS l FROM reach GROUP BY n)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT n FROM labels WHERE n <> l)
+""",
+)
+
 # --- similarity search ------------------------------------------------------
 _q(
     "p07_sim_bruteforce_topk",
