@@ -712,3 +712,49 @@ def near_dedup(
     labels = dedup_clusters(pairs)
     drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+def strip_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    text_col: str = "text",
+    k: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply :func:`substring_spans` to the corpus: rewrite each
+    document with its duplicated spans cut out (strip-all policy).
+
+    Output: ``(doc_id, clean_text, n_tokens, n_removed)`` —
+    ``clean_text`` is the surviving tokens joined by single spaces
+    (whitespace-normalized, like any retokenized corpus), covering
+    every document, including untouched ones and ones removed in full
+    (``clean_text = ''``).
+
+    Pass ``spans`` to reuse a materialized span set; otherwise they
+    are derived in-plan. The span side aggregates to one array row
+    per affected document before the join, so the join input is
+    |affected docs|, not |spans|, and AQE broadcasts it in the common
+    case where duplication is sparse. The rewrite itself is a
+    higher-order filter over token positions — map-only, no Python.
+    """
+    if spans is None:
+        spans = substring_spans(docs, text_col, k=k, min_docs=min_docs)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("sp")
+    )
+    t = tokens(text_col)
+    joined = docs.select("doc_id", t.alias("t")).join(per_doc, "doc_id", "left")
+    sp = F.coalesce(F.col("sp"), F.expr("array()").cast(per_doc.schema["sp"].dataType))
+    kept = F.filter(
+        F.col("t"),
+        lambda x, i: ~F.exists(
+            sp,
+            lambda s: (i + 1 >= s["span_start"]) & (i + 1 <= s["span_end"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("t").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).alias("n_removed"),
+    )

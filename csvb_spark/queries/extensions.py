@@ -258,6 +258,67 @@ FROM numbered GROUP BY doc_id, island
 """,
 )
 
+# Span application: rewrite every document with its duplicated spans
+# cut out (strip-all policy). The oracle reuses x38's span derivation,
+# anti-joins covered token positions, and reassembles the survivors in
+# position order.
+_q(
+    "x42_strip_spans",
+    spark=lambda spark, sf: dedup.strip_spans(_docs(spark, sf)),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), pos AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 9, 0))) AS start, w
+  FROM toks
+), grams AS (
+  SELECT doc_id, start, array_to_string(w[start:start+9], ' ') AS g FROM pos
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT doc_id, start FROM grams WHERE g IN (SELECT g FROM dup)
+), isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start > COALESCE(MAX(start) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 10
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+), numbered AS (
+  SELECT doc_id, start,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, MIN(start) AS span_start, MAX(start) + 9 AS span_end
+  FROM numbered GROUP BY doc_id, island
+), tokpos AS (
+  SELECT doc_id, unnest(generate_series(1, len(w))) AS i, w FROM toks
+), tp AS (
+  SELECT doc_id, i, w[i] AS tok FROM tokpos
+), covered AS (
+  SELECT DISTINCT t.doc_id, t.i
+  FROM tp t JOIN spans s
+    ON t.doc_id = s.doc_id AND t.i BETWEEN s.span_start AND s.span_end
+), kept AS (
+  SELECT t.doc_id, t.i, t.tok
+  FROM tp t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.i = c.i
+  WHERE c.i IS NULL
+), rebuilt AS (
+  SELECT doc_id, array_to_string(list(tok ORDER BY i), ' ') AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       len(t.w) AS n_tokens,
+       len(t.w) - COALESCE(r.n_kept, 0) AS n_removed
+FROM documents d
+JOIN toks t ON d.doc_id = t.doc_id
+LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+""",
+)
+
 # Connected components over p06's exact near-dup pairs: the dedup
 # pipeline's final step. Oracle = recursive-CTE reachability over the
 # SAME pair SQL (min reachable id per node ≡ hash-min fixpoint).
