@@ -652,12 +652,24 @@ def substring_spans(
             "gh"
         ),
     )
-    dup = (
-        seeds.groupBy("gh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("gh")
-    )
+    if min_docs == 2:
+        # count_distinct plans as TWO exchanges (a (gh, doc_id) dedup
+        # pass, then the gh agg); "seen in >=2 distinct docs" is just
+        # min != max — one fully partial-aggregated exchange carrying
+        # (gh, min, max) instead of the whole (gh, doc_id) pair stream.
+        dup = (
+            seeds.groupBy("gh")
+            .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .select("gh")
+        )
+    else:
+        dup = (
+            seeds.groupBy("gh")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("gh")
+        )
     hits = seeds.join(dup, "gh", "left_semi").select("doc_id", "start")
 
     from pyspark.sql import Window

@@ -373,3 +373,56 @@ def test_compact_band_index(spark, sf_dir, tmp_path):
     assert all(
         len(glob.glob(f"{b}/*.parquet")) == 1 for b in glob.glob(f"{path}/bucket=*")
     )
+
+
+def test_substring_spans_planted_duplicate(spark, sf_dir):
+    """A 15-token sentence planted in two otherwise-different docs must
+    come back as one maximal span in each, exactly covering it."""
+    from csvb_spark.operators import dedup
+
+    shared = " ".join(f"dup{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, shared + " delta epsilon zeta"),
+            (3, "totally unrelated words " + " ".join(f"u{i}" for i in range(20))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end, r.span_tokens)
+        for r in dedup.substring_spans(docs, k=10, min_docs=2).collect()
+    }
+    # doc 1: tokens 3..17 hold the sentence; doc 2: tokens 1..15
+    assert got == {1: (3, 17, 15), 2: (1, 15, 15)}
+
+
+def test_strip_spans_rewrites_only_planted(spark, sf_dir):
+    from csvb_spark.operators import dedup
+
+    shared = " ".join(f"dup{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared),
+            (2, shared + " delta"),
+            (3, "short clean doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.strip_spans(docs, k=10, min_docs=2).collect()}
+    assert got[1].clean_text == "alpha beta" and got[1].n_removed == 12
+    assert got[2].clean_text == "delta" and got[2].n_removed == 12
+    assert got[3].clean_text == "short clean doc" and got[3].n_removed == 0
+
+
+def test_substring_spans_plan_shape(spark, sf_dir):
+    """Span assembly must reuse one doc_id exchange (window + groupBy),
+    and the dup-gram filter must come back as a broadcast semi-join —
+    never a shuffled join of the full gram stream against itself."""
+    from csvb_spark.operators import dedup
+    from csvb_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    df = dedup.substring_spans(spark.table("documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 3
