@@ -426,3 +426,79 @@ def neardup_pairs_by_label(
         .filter(F.col("cos_sim") >= min_cos)
         .select("label", "id_a", "id_b", "cos_sim")
     )
+
+
+def kmeans_train(
+    embs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic distributed k-means (Lloyd's), the trainer for
+    :func:`ivf_topk`'s coarse quantizer.
+
+    Determinism contract (everything an engine could disagree on is
+    pinned):
+
+    - init = the ``k`` lowest-id vectors (the same seeding
+      :func:`ivf_topk` uses for its quantizer);
+    - assignment distance is ``dot(c,c) - 2*dot(v,c)`` with the
+      sequential-fold :func:`dot` on both engines (``||v||²`` is
+      constant per row and cannot change the argmin); ties go to the
+      lower centroid id via lexicographic ``array_min`` on
+      ``(distance, cid)`` structs;
+    - the centroid update is a per-(cid, dim) mean of DECIMAL(18,6)
+      sums — order-independent, so parallel partial aggregation
+      cannot perturb it;
+    - a cluster that loses all members keeps its previous centroid.
+
+    Per iteration: one map-only assignment pass against centroid
+    literals + one shuffle (the (cid, dim) aggregate, ≤ k×dim groups).
+    The driver holds only the k×dim quantizer (same bounded-constant
+    pattern as ``ivf_topk``'s centroid collect); at 100 TB swap the
+    k interpreted assignment folds for the pandas_udf matmul exactly
+    as ``ivf_topk`` does, and train on a deterministic sample.
+
+    Returns the trained quantizer as rows ``(cid, pos, val)`` with
+    1-based ``pos``.
+    """
+    spark = embs.sparkSession
+    vecs = embs.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
+    )
+    init = vecs.filter(F.col("vid") < k).collect()
+    cents: dict[int, list[float]] = {
+        int(r["vid"]): [float(x) for x in r["v"]] for r in init
+    }
+    for _ in range(iters):
+        choices = []
+        for cid in sorted(cents):
+            carr = F.array(*[F.lit(x) for x in cents[cid]])
+            d = dot(carr, carr) - 2.0 * dot(F.col("v"), carr)
+            choices.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+        asn = vecs.withColumn("cid", F.array_min(F.array(*choices))["cid"])
+        stats = (
+            asn.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(
+                (
+                    F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                    / F.count("*")
+                ).alias("m")
+            )
+            .collect()
+        )
+        new: dict[int, list[float]] = {}
+        for r in stats:
+            new.setdefault(int(r["cid"]), [0.0] * len(cents[int(r["cid"])]))[
+                int(r["pos"])
+            ] = float(r["m"])
+        for cid, vals in new.items():
+            cents[cid] = vals
+    rows = [
+        (cid, pos + 1, val)
+        for cid in sorted(cents)
+        for pos, val in enumerate(cents[cid])
+    ]
+    return spark.createDataFrame(rows, "cid long, pos int, val double")

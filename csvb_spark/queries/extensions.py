@@ -469,6 +469,63 @@ _q(
     spark=lambda spark, sf: multimodal.multimodal_pipeline(_docs(spark, sf)),
 )
 
+# Deterministic k-means trainer for the IVF coarse quantizer: Lloyd's
+# with pinned init (k lowest ids), pinned tie-break (lower cid), and
+# decimal-sum centroid means. The oracle replays both iterations as
+# chained CTEs: cross-join + row_number argmin for assignment,
+# positional unnest + decimal means for the update, COALESCE against
+# the previous centroid for empty clusters.
+_q(
+    "x43_kmeans_train",
+    spark=lambda spark, sf: similarity.kmeans_train(_embs(spark, sf), k=8, iters=2),
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), vp AS (
+  SELECT vid, unnest(generate_series(1, len(v))) AS pos, v FROM vecs
+), vpv AS (
+  SELECT vid, pos, v[pos] AS val FROM vp
+), c0 AS (
+  SELECT vid AS cid, v AS c FROM vecs WHERE vid < 8
+), c0p AS (
+  SELECT cid, unnest(generate_series(1, len(c))) AS pos, c FROM c0
+), c0pv AS (
+  SELECT cid, pos, c[pos] AS val FROM c0p
+), a1 AS (
+  SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+  FROM (SELECT x.vid, c.cid,
+               list_dot_product(c.c, c.c) - 2 * list_dot_product(x.v, c.c) AS d
+        FROM vecs x CROSS JOIN c0 c) t1
+), asn1 AS (
+  SELECT vid, cid FROM a1 WHERE rn = 1
+), m1 AS (
+  SELECT a.cid, p.pos,
+         CAST(SUM(CAST(p.val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS val
+  FROM asn1 a JOIN vpv p ON a.vid = p.vid
+  GROUP BY a.cid, p.pos
+), c1pv AS (
+  SELECT s.cid, s.pos, COALESCE(m1.val, s.val) AS val
+  FROM c0pv s LEFT JOIN m1 ON s.cid = m1.cid AND s.pos = m1.pos
+), c1 AS (
+  SELECT cid, list(val ORDER BY pos) AS c FROM c1pv GROUP BY cid
+), a2 AS (
+  SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+  FROM (SELECT x.vid, c.cid,
+               list_dot_product(c.c, c.c) - 2 * list_dot_product(x.v, c.c) AS d
+        FROM vecs x CROSS JOIN c1 c) t2
+), asn2 AS (
+  SELECT vid, cid FROM a2 WHERE rn = 1
+), m2 AS (
+  SELECT a.cid, p.pos,
+         CAST(SUM(CAST(p.val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS val
+  FROM asn2 a JOIN vpv p ON a.vid = p.vid
+  GROUP BY a.cid, p.pos
+)
+SELECT s.cid, s.pos, COALESCE(m2.val, s.val) AS val
+FROM c1pv s LEFT JOIN m2 ON s.cid = m2.cid AND s.pos = m2.pos
+""",
+)
+
 # --- IVF similarity search (deterministic coarse quantizer → oracle) ---------
 _q(
     "p14_sim_ivf_topk",
