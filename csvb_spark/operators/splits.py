@@ -29,9 +29,24 @@ from pyspark.sql import functions as F
 from csvb_spark.operators.text import char_shingles
 
 
-def split_bucket(id_col: str | Column, seed: int = 42, buckets: int = 10000) -> Column:
-    """Deterministic bucket in [0, buckets) from the id's hash."""
+def split_bucket(
+    id_col: str | Column,
+    seed: int = 42,
+    buckets: int = 10000,
+    portable: bool = False,
+) -> Column:
+    """Deterministic bucket in [0, buckets) from the id's hash.
+
+    Default is xxhash64 (cheapest at scale). ``portable=True`` derives
+    the bucket from :func:`md5_key`'s first 8 hex chars instead, so any
+    other engine can recompute the assignment (DuckDB:
+    ``('0x' || substr(md5(id || ':seed'), 1, 8))::BIGINT % buckets``) —
+    use it when split membership must be auditable off-cluster.
+    """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
+    if portable:
+        h32 = F.conv(F.substring(md5_key(c, seed), 1, 8), 16, 10).cast("bigint")
+        return F.pmod(h32, F.lit(buckets))
     return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(buckets))
 
 
@@ -40,6 +55,7 @@ def assign_splits(
     id_col: str = "doc_id",
     weights: dict[str, float] | None = None,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """Add a ``split`` column ('train'/'valid'/... per ``weights``).
 
@@ -50,7 +66,7 @@ def assign_splits(
     """
     weights = weights or {"train": 0.9, "valid": 0.05, "test": 0.05}
     total = sum(weights.values())
-    bucket = split_bucket(id_col, seed)
+    bucket = split_bucket(id_col, seed, portable=portable)
     expr: Column | None = None
     acc = 0.0
     for name, w in weights.items():

@@ -646,12 +646,51 @@ _q(
         k=8,
         min_shared=2,
     ),
+    # The xxhash64 inside the operator is only a join-key compaction;
+    # the OUTPUT (distinct shared char-8-grams per pair) is hash-free,
+    # so the oracle recomputes it with string grams.
+    oracle="""
+WITH tg AS (
+  SELECT doc_id AS train_doc_id,
+         unnest(list_distinct([substr(lower(text), g, 8)
+                FOR g IN generate_series(1, greatest(length(text) - 7, 1))])) AS g
+  FROM documents WHERE doc_id % 10 != 0
+), eg AS (
+  SELECT doc_id AS eval_doc_id,
+         unnest(list_distinct([substr(lower(text), g, 8)
+                FOR g IN generate_series(1, greatest(length(text) - 7, 1))])) AS g
+  FROM documents WHERE doc_id % 10 = 0
+), rare AS (
+  SELECT g FROM eg GROUP BY g HAVING COUNT(*) <= 50
+), ek AS (
+  SELECT eval_doc_id, g FROM eg WHERE g IN (SELECT g FROM rare)
 )
+SELECT t.train_doc_id, e.eval_doc_id, COUNT(*) AS n_shared_grams
+FROM tg t JOIN ek e USING (g)
+GROUP BY t.train_doc_id, e.eval_doc_id
+HAVING COUNT(*) >= 2
+""",
+)
+# portable=True derives the bucket from md5 so the oracle can replay
+# the exact assignment; the xxhash64 default stays the scale path
+# (exercised in tests/test_splits.py).
 _q(
     "x20_split_assignment",
-    spark=lambda spark, sf: splits.assign_splits(_docs(spark, sf))
+    spark=lambda spark, sf: splits.assign_splits(_docs(spark, sf), portable=True)
     .groupBy("split")
     .agg(F.count("*").alias("n_docs")),
+    oracle="""
+WITH b AS (
+  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+           % 10000 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'valid'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1
+""",
 )
 
 
