@@ -194,14 +194,17 @@ def ivf_topk(
     nprobe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: dict[int, list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize every
     vector to its nearest centroid, then scan only the probe's
     ``nprobe`` closest centroid lists.
 
     The coarse quantizer is deterministic — centroid c is the vector
-    with ``vec_id == c`` (c < n_centroids) — so the whole operator is
-    SQL-expressible and oracle-checkable, unlike trained k-means.
+    with ``vec_id == c`` (c < n_centroids), or a trained codebook
+    passed via ``centroids`` ({cid: components}, e.g. a pivoted
+    :func:`kmeans_train` result) — either way the operator is
+    SQL-expressible and oracle-checkable.
     Collecting the centroid table to the driver is the standard IVF
     shape: the quantizer is a bounded K×dim constant replicated to
     every executor (like hyperplanes in ``hyperplane_lsh_topk``), NOT
@@ -214,20 +217,28 @@ def ivf_topk(
     """
     import math
 
-    cents = sorted(
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect(),
-        key=lambda r: r.cid,
-    )
+    if centroids is not None:
+        # a trained quantizer (e.g. kmeans_train output, pivoted to
+        # {cid: [components]}) replaces the seed vectors
+        cents = [(cid, centroids[cid]) for cid in sorted(centroids)]
+    else:
+        cents = [
+            (int(r.cid), list(r.cvec))
+            for r in sorted(
+                embeddings.filter(F.col(id_col) < n_centroids)
+                .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+                .collect(),
+                key=lambda r: r.cid,
+            )
+        ]
     cent_lits = []
-    for r in cents:
-        vals = [float(x) for x in r.cvec]
+    for cid_, cvec_ in cents:
+        vals = [float(x) for x in cvec_]
         acc = 0.0  # sequential fold — same IEEE order as the SQL dot product
         for v in vals:
             acc += v * v
         cent_lits.append(
-            (int(r.cid), F.array(*[F.lit(v) for v in vals]), math.sqrt(acc))
+            (cid_, F.array(*[F.lit(v) for v in vals]), math.sqrt(acc))
         )
 
     def ranked_cids(vec: Column) -> Column:
@@ -292,7 +303,7 @@ def ivf_topk(
                 acc += x * y
             return acc
 
-        cent_vecs = [[float(x) for x in r.cvec] for r in cents]
+        cent_vecs = [[float(x) for x in cv] for _, cv in cents]
         # probe ranking: ORDER BY dot(p,c)/||c|| DESC, cid ASC — all
         # Python left-folds, bit-identical to the oracle's ranking
         scored = sorted(

@@ -426,3 +426,32 @@ def test_substring_spans_plan_shape(spark, sf_dir):
     df = dedup.substring_spans(spark.table("documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 3
+
+
+def test_ivf_accepts_trained_quantizer(spark, sf_dir):
+    """kmeans_train output feeds ivf_topk as its coarse quantizer:
+    train -> pivot -> query, deterministic across invocations."""
+    from csvb_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    trained = similarity.kmeans_train(embs, k=8, iters=2).collect()
+    codebook: dict[int, list[float]] = {}
+    for r in trained:
+        codebook.setdefault(r.cid, [0.0] * 64)[r.pos - 1] = r.val
+    probe = embs.filter(F.col("vec_id") == 0)
+
+    def run():
+        return [
+            (r.vec_id, r.cos_sim)
+            for r in similarity.ivf_topk(
+                embs, probe, k=10, n_centroids=8, nprobe=4, centroids=codebook
+            ).collect()
+        ]
+
+    got = run()
+    assert len(got) == 10
+    assert all(got[i][1] >= got[i + 1][1] for i in range(9))  # sorted desc
+    assert all(vid != 0 for vid, _ in got)  # probe excluded
+    assert got == run()  # deterministic
