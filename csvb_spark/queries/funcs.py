@@ -393,6 +393,30 @@ GROUP BY l_returnflag
 # driver's oracle-graded window.
 _q("x41_stats_native", spark=sql_query(_SQL_STATS_NATIVE), oracle=None)
 
+# --- corpus health report: one ROLLUP pass over the documents table ----------
+# The monitoring capstone of the pipeline ops: per-source + TOTAL row
+# counts, exact-dup rate (via md5 content digests), size stats. One
+# shared SQL text — every expression is pinned engine-portable
+# (SUM cast to BIGINT against DuckDB's HUGEINT promotion, MEDIAN over
+# DOUBLE so both engines interpolate in double).
+_SQL_CORPUS_REPORT = """
+SELECT COALESCE(source, 'TOTAL') AS src,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS distinct_contents,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       MEDIAN(CAST(n_chars AS DOUBLE)) AS median_chars,
+       COUNT(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY ROLLUP(source)
+"""
+_q(
+    "x44_corpus_report",
+    spark=sql_query(_SQL_CORPUS_REPORT),
+    oracle=_SQL_CORPUS_REPORT,
+)
+
 # --- JSON functions (bonus surface: absent from the reference's
 # DataFusion 44 core — SURVEY.md §2.B "JSON ✗"; Spark ships them
 # natively and the events.props fixture column IS JSON, so the
