@@ -205,17 +205,36 @@ WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
 )
 
 # Incremental near-dup lookup: the x33 "new batch vs corpus" flow.
-# Rows-only like p09 — banding is xxhash64-based (no DuckDB twin) and
-# by design may MISS sub-threshold band collisions, so no exact-SQL
-# equality exists; tests/test_plans.py plants exact duplicates and
-# asserts they are always found (exact dups collide in every band).
+# Same full-oracle treatment as p09: the graded output drops the
+# xxhash64-derived est_jaccard; the verified exact-Jaccard pairs are
+# an all-cross-pairs equality because the fixture's bimodal pair
+# distribution gives the deterministic banding recall 1.0 (verified
+# at sf0.001 and sf0.01). tests/test_plans.py additionally plants
+# exact duplicates and asserts they are ALWAYS found regardless of
+# distribution (exact dups collide in every band).
 _q(
     "x33_dedup_incremental",
     spark=lambda spark, sf: dedup.dedup_incremental(
         _docs(spark, sf).filter(F.col("doc_id") % 10 == 0),
         _docs(spark, sf).filter(F.col("doc_id") % 10 != 0),
         min_jaccard=0.4,
-    ),
+    ).select("new_doc_id", "corpus_doc_id", "jaccard"),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s
+  FROM toks
+)
+SELECT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id,
+       ROUND(CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+             / len(list_distinct(list_concat(n.s, c.s))), 6) AS jaccard
+FROM sh n JOIN sh c ON n.doc_id % 10 = 0 AND c.doc_id % 10 != 0
+WHERE CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
+      / len(list_distinct(list_concat(n.s, c.s))) >= 0.4
+""",
 )
 
 # Exact-substring duplication spans (Lee et al. 2022 seed+merge):
