@@ -477,11 +477,52 @@ _q(
     "x11_fingerprints",
     spark=lambda spark, sf: text.rolling_fingerprint(_docs(spark, sf)),
 )
+# Hyperplane-LSH top-k WITH an oracle: the 8×64 hyperplane matrix is
+# a deterministic seeded constant (rounded to 6 decimals, so its
+# shortest-repr decimal text parses back to the identical double in
+# any engine) — bake it into the SQL as a VALUES table and replay
+# bucketing, multi-probe expansion, and cosine ranking in DuckDB.
+def _x12_oracle() -> str:
+    planes = similarity._hyperplanes(8, 64, 42)
+    rows = ",\n".join(
+        f"({p}, [{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[])"
+        for p, plane in enumerate(planes)
+    )
+    adjacent = ", ".join(str(1 << p) for p in range(8))
+    return f"""
+WITH planes(p, h) AS (VALUES
+{rows}
+), vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), bk AS (
+  SELECT x.vec_id,
+         CAST(SUM(CASE WHEN list_dot_product(x.v, p.h) > 0
+                       THEN 1 << p.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM vecs x CROSS JOIN planes p
+  GROUP BY x.vec_id
+), b2 AS (
+  SELECT bk.vec_id, bk.bucket, v.v FROM bk JOIN vecs v USING (vec_id)
+), pb AS (
+  SELECT bucket AS pbucket, v AS pv FROM b2 WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       ROUND(list_dot_product(e.v, pb.pv)
+             / (sqrt(list_dot_product(e.v, e.v))
+                * sqrt(list_dot_product(pb.pv, pb.pv))), 6) AS cos_sim
+FROM b2 e, pb
+WHERE e.vec_id <> 0
+  AND (e.bucket = pb.pbucket OR xor(e.bucket, pb.pbucket) IN ({adjacent}))
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+"""
+
+
 _q(
     "x12_sim_lsh_topk",
     spark=lambda spark, sf: similarity.hyperplane_lsh_topk(
         _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") == 0), k=10
     ),
+    oracle=_x12_oracle(),
 )
 _q(
     "x13_multimodal_features",
