@@ -455,3 +455,62 @@ def test_ivf_accepts_trained_quantizer(spark, sf_dir):
     assert all(got[i][1] >= got[i + 1][1] for i in range(9))  # sorted desc
     assert all(vid != 0 for vid, _ in got)  # probe excluded
     assert got == run()  # deterministic
+
+
+def _ref_substring_spans(rows, k=10, min_docs=2):
+    """Pure-Python reference for substring_spans (string grams, no
+    hashing — also cross-checks the operator's no-collision
+    assumption on these inputs)."""
+    import re
+    from collections import defaultdict
+
+    toks = {d: re.split(r"\s+", t.strip()) for d, t in rows}
+    gram_docs = defaultdict(set)
+    positions = defaultdict(list)
+    for d, w in toks.items():
+        for i in range(1, len(w) - k + 2):
+            g = " ".join(w[i - 1 : i - 1 + k])
+            gram_docs[g].add(d)
+            positions[d].append((i, g))
+    out = set()
+    for d, lst in positions.items():
+        starts = sorted(i for i, g in lst if len(gram_docs[g]) >= min_docs)
+        spans = []
+        for s in starts:
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], s + k - 1)
+            else:
+                spans.append([s, s + k - 1])
+        for a, b in spans:
+            out.add((d, a, b, b - a + 1))
+    return out
+
+
+def test_substring_spans_edge_corpora(spark, sf_dir):
+    from csvb_spark.operators import dedup
+
+    s15 = " ".join(f"s{i}" for i in range(15))
+    t15 = " ".join(f"t{i}" for i in range(15))
+    corpora = [
+        # identical docs -> full-doc spans
+        [(1, "a b c d e f g h i j k l"), (2, "a b c d e f g h i j k l")],
+        # shorter than k -> nothing
+        [(1, "a b c d e f g h i"), (2, "a b c d e f g h i")],
+        # two shared regions adjacent in one doc -> one merged span
+        [(1, s15 + " " + t15), (2, s15 + " x y z"), (3, "p q r " + t15)],
+        # same gram twice within ONE doc only -> excluded (min_docs=2)
+        [(1, s15 + " gap " + s15), (2, "unrelated " + " ".join(f"u{i}" for i in range(12)))],
+        # gram twice in doc A, once in doc B -> two spans in A, one in B
+        [(1, s15 + " mid1 mid2 " + s15), (2, s15)],
+        # messy whitespace normalizes identically
+        [(1, "  a\tb   c d e f g h i j  "), (2, "a b c d e f g h i j")],
+        # three-way duplicate
+        [(1, s15), (2, s15), (3, s15)],
+    ]
+    for rows in corpora:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in dedup.substring_spans(df, k=10, min_docs=2).collect()
+        }
+        assert got == _ref_substring_spans(rows), rows
