@@ -281,3 +281,42 @@ def rolling_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> 
         ),
         F.size(sh).alias("n_shingles"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 32,
+) -> DataFrame:
+    """Overlapping fixed-size token-window chunking — the step before
+    sequence packing when documents exceed the training context.
+
+    Chunk starts form the arithmetic sequence 1, 1+stride, … up to
+    ``greatest(n - chunk_tokens + 1, 1)``; the final window may be
+    shorter than ``chunk_tokens`` (it is NOT padded — padding is the
+    packer's job), and with ``stride < chunk_tokens`` consecutive
+    chunks overlap by ``chunk_tokens - stride`` tokens. Map-only: the
+    explode multiplies rows ~n/stride× inside the scan stage, no
+    shuffle anywhere.
+
+    Output: ``(doc_id, chunk_id, chunk_start, chunk_text, n_tokens)``
+    with 1-based token positions and ``chunk_id = (start-1)/stride``.
+    """
+    t = tokens(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(t) - (chunk_tokens - 1), F.lit(1)),
+        F.lit(stride),
+    )
+    exploded = docs.select(
+        "doc_id", t.alias("t"), F.explode(starts).alias("chunk_start")
+    )
+    piece = F.slice(F.col("t"), F.col("chunk_start"), F.lit(chunk_tokens))
+    return exploded.select(
+        "doc_id",
+        ((F.col("chunk_start") - 1) / stride).cast("int").alias("chunk_id"),
+        "chunk_start",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )

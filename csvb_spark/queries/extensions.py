@@ -237,6 +237,32 @@ WHERE CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
 """,
 )
 
+# Overlapping token-window chunking: the step before sequence packing
+# when documents exceed the training context. Starts are an arithmetic
+# sequence, the tail window may be short (padding is the packer's
+# job) — all integer arithmetic, fully replayable in SQL.
+_q(
+    "x45_chunking",
+    spark=lambda spark, sf: text.chunk_documents(
+        _docs(spark, sf), chunk_tokens=32, stride=16
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), starts AS (
+  SELECT doc_id, w,
+         unnest(generate_series(1, greatest(len(w) - 31, 1), 16)) AS chunk_start
+  FROM toks
+)
+SELECT doc_id,
+       CAST((chunk_start - 1) / 16 AS INT) AS chunk_id,
+       chunk_start,
+       array_to_string(w[chunk_start:chunk_start+31], ' ') AS chunk_text,
+       len(w[chunk_start:chunk_start+31]) AS n_tokens
+FROM starts
+""",
+)
+
 # Exact-substring duplication spans (Lee et al. 2022 seed+merge):
 # maximal token spans whose word 10-grams recur across >=2 documents.
 # Spark shuffles the gram as an xxhash64 int64; the oracle carries the
