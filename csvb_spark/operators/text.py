@@ -320,3 +320,54 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("n_tokens"),
     )
+
+
+def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-LM familiarity scoring, integer-only: train a bigram
+    count table over the corpus in the same pass that scores each
+    document against it. High ``n_rare`` / low ``familiarity`` marks
+    out-of-distribution or degenerate text — the count-based stand-in
+    for perplexity filtering (log-prob floats would be engine-fragile;
+    counts are exact).
+
+    Output per document: ``n_bigrams`` (token count - 1, floored at
+    0), ``familiarity`` (sum over the doc's bigram occurrences of that
+    bigram's global count, multiplicity included), and ``n_rare``
+    (occurrences whose bigram appears exactly once in the corpus —
+    necessarily in this doc).
+
+    Plan: one explode of bigrams feeds BOTH the count table (partial-
+    aggregated groupBy) and the scoring join; bigrams travel as
+    xxhash64 int64s, the count table broadcasts in the common case,
+    and the per-doc rollup is one keyed shuffle. Same 3-exchange shape
+    as ``substring_spans`` — linear in corpus size, no all-pairs.
+    """
+    t = tokens(text_col)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, 2))),
+                ),
+            ).otherwise(F.expr("array()").cast("array<bigint>"))
+        ).alias("gh"),
+    )
+    counts = grams.groupBy("gh").agg(F.count("*").alias("n"))
+    scored = grams.join(counts, "gh").groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("n").alias("familiarity"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_rare"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("familiarity", F.lit(0)).alias("familiarity"),
+            F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+        )
+    )

@@ -237,6 +237,38 @@ WHERE CAST(len(list_intersect(n.s, c.s)) AS DOUBLE)
 """,
 )
 
+# Corpus-LM familiarity: bigram count table trained and applied in one
+# pass, integer-only (the count-based stand-in for perplexity
+# filtering). Spark ships bigrams as xxhash64; the oracle recounts
+# with string bigrams.
+_q(
+    "x46_bigram_familiarity",
+    spark=lambda spark, sf: text.bigram_familiarity(_docs(spark, sf)),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), counts AS (
+  SELECT g, COUNT(*) AS n FROM grams GROUP BY g
+), scored AS (
+  SELECT gr.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(c.n) AS BIGINT) AS familiarity,
+         CAST(SUM(CASE WHEN c.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM grams gr JOIN counts c USING (g)
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.familiarity, 0) AS familiarity,
+       COALESCE(s.n_rare, 0) AS n_rare
+FROM documents d LEFT JOIN scored s USING (doc_id)
+""",
+)
+
 # Overlapping token-window chunking: the step before sequence packing
 # when documents exceed the training context. Starts are an arithmetic
 # sequence, the tail window may be short (padding is the packer's
