@@ -614,6 +614,7 @@ def substring_spans(
     text_col: str = "text",
     k: int = 10,
     min_docs: int = 2,
+    policy: str = "all",
 ) -> DataFrame:
     """Exact-substring duplication spans, the seed+merge approximation
     of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
@@ -661,16 +662,36 @@ def substring_spans(
             seeds.groupBy("gh")
             .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
             .filter(F.col("lo") != F.col("hi"))
-            .select("gh")
+            .select("gh", "lo")
         )
     else:
         dup = (
             seeds.groupBy("gh")
-            .agg(F.count_distinct("doc_id").alias("nd"))
+            .agg(
+                F.count_distinct("doc_id").alias("nd"),
+                F.min("doc_id").alias("lo"),
+            )
             .filter(F.col("nd") >= min_docs)
-            .select("gh")
+            .select("gh", "lo")
         )
-    hits = seeds.join(dup, "gh", "left_semi").select("doc_id", "start")
+    if policy == "keep_first":
+        # Lee et al.'s keep-one-copy semantics at gram granularity: the
+        # minimal doc owning a gram keeps it; only later copies become
+        # strippable hits. (Within-doc repeats in the canonical doc are
+        # kept — occurrence-level pruning would need position-ordered
+        # ownership, which banding can't see; documented approximation.)
+        hits = (
+            seeds.join(dup, "gh")
+            .filter(F.col("doc_id") != F.col("lo"))
+            .select("doc_id", "start")
+            .dropDuplicates(["doc_id", "start"])
+        )
+    elif policy == "all":
+        hits = seeds.join(dup.select("gh"), "gh", "left_semi").select(
+            "doc_id", "start"
+        )
+    else:
+        raise ValueError(f"unknown policy: {policy!r}")
 
     from pyspark.sql import Window
 
@@ -732,6 +753,7 @@ def strip_spans(
     text_col: str = "text",
     k: int = 10,
     min_docs: int = 2,
+    policy: str = "all",
 ) -> DataFrame:
     """Apply :func:`substring_spans` to the corpus: rewrite each
     document with its duplicated spans cut out (strip-all policy).
@@ -750,7 +772,7 @@ def strip_spans(
     higher-order filter over token positions — map-only, no Python.
     """
     if spans is None:
-        spans = substring_spans(docs, text_col, k=k, min_docs=min_docs)
+        spans = substring_spans(docs, text_col, k=k, min_docs=min_docs, policy=policy)
     per_doc = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("sp")
     )

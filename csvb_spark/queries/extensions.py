@@ -335,6 +335,49 @@ FROM numbered GROUP BY doc_id, island
 """,
 )
 
+# keep-first policy: the minimal doc owning a gram keeps it; only
+# later copies produce strippable spans (Lee et al.'s keep-one-copy,
+# at gram granularity). Oracle threads MIN(doc_id) through the dup
+# table and excludes the owner's own hits.
+_q(
+    "x47_substring_spans_keep_first",
+    spark=lambda spark, sf: dedup.substring_spans(
+        _docs(spark, sf), k=10, min_docs=2, policy="keep_first"
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), pos AS (
+  SELECT doc_id, unnest(generate_series(1, greatest(len(w) - 9, 0))) AS start, w
+  FROM toks
+), grams AS (
+  SELECT doc_id, start, array_to_string(w[start:start+9], ' ') AS g FROM pos
+), dup AS (
+  SELECT g, MIN(doc_id) AS lo FROM grams
+  GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+  SELECT gr.doc_id, gr.start
+  FROM grams gr JOIN dup d ON gr.g = d.g AND gr.doc_id <> d.lo
+), isl AS (
+  SELECT doc_id, start,
+         CASE WHEN start > COALESCE(MAX(start) OVER (
+                PARTITION BY doc_id ORDER BY start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -10) + 10
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+), numbered AS (
+  SELECT doc_id, start,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY start
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+)
+SELECT doc_id, MIN(start) AS span_start,
+       MAX(start) + 9 AS span_end,
+       MAX(start) + 9 - MIN(start) + 1 AS span_tokens
+FROM numbered GROUP BY doc_id, island
+""",
+)
+
 # Span application: rewrite every document with its duplicated spans
 # cut out (strip-all policy). The oracle reuses x38's span derivation,
 # anti-joins covered token positions, and reassembles the survivors in
