@@ -513,3 +513,32 @@ def kmeans_train(
         for pos, val in enumerate(cents[cid])
     ]
     return spark.createDataFrame(rows, "cid long, pos int, val double")
+
+
+def emb_near_dedup(
+    embs: DataFrame, min_cos: float = 0.4, vec_col: str = "embedding"
+) -> DataFrame:
+    """Semantic (embedding-space) dedup, the SemDeDup shape: exact
+    cosine pairs inside blocking labels → connected components → keep
+    the cluster-canonical (min vec_id); unpaired vectors pass through.
+
+    The label is the blocking bucket (a cluster id from
+    :func:`kmeans_train` at scale — SemDeDup proper blocks on k-means
+    cells exactly like this); pairs explode only within a block, the
+    component labeling shuffles fixed-width (id, label) rows, and the
+    tiny drop set broadcasts into the final anti-join, so the
+    embedding table itself is never shuffled.
+
+    Returns surviving ``(vec_id, label)`` rows (the vector column is
+    projected away — downstream joins re-attach it by id when needed).
+    """
+    from csvb_spark.operators.dedup import dedup_clusters
+
+    pairs = neardup_pairs_by_label(embs, min_cos=min_cos, max_id=None, vec_col=vec_col)
+    labels = dedup_clusters(pairs, left_col="id_a", right_col="id_b")
+    drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    return embs.join(F.broadcast(drop), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )

@@ -687,6 +687,36 @@ FROM c1pv s LEFT JOIN m2 ON s.cid = m2.cid AND s.pos = m2.pos
 """,
 )
 
+# Semantic (embedding-space) dedup, SemDeDup-shaped: exact in-label
+# cosine pairs -> connected components -> keep the cluster minimum.
+# Oracle replays the labeling as recursive-CTE reachability.
+_q(
+    "x48_emb_near_dedup",
+    spark=lambda spark, sf: similarity.emb_near_dedup(_embs(spark, sf), min_cos=0.4),
+    oracle="""
+WITH RECURSIVE v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+), bidir AS (
+  SELECT ia AS a, ib AS b FROM pairs
+  UNION
+  SELECT ib, ia FROM pairs
+), nodes AS (SELECT DISTINCT a AS n FROM bidir),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e2.b, reach.r FROM reach JOIN bidir e2 ON reach.n = e2.a
+), labels AS (SELECT n, MIN(r) AS l FROM reach GROUP BY n)
+SELECT e.vec_id, e.label FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT n FROM labels WHERE n <> l)
+""",
+)
+
 # --- IVF similarity search (deterministic coarse quantizer → oracle) ---------
 _q(
     "p14_sim_ivf_topk",
