@@ -514,3 +514,46 @@ def test_substring_spans_edge_corpora(spark, sf_dir):
             for r in dedup.substring_spans(df, k=10, min_docs=2).collect()
         }
         assert got == _ref_substring_spans(rows), rows
+
+
+def test_semantic_dedup_over_kmeans_cells(spark, sf_dir):
+    """SemDeDup proper blocks on k-means cells: train the quantizer,
+    use cell assignments as the blocking label, dedup within cells.
+    Deterministic end to end."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codebook: dict[int, list[float]] = {}
+    for r in similarity.kmeans_train(embs, k=8, iters=2).collect():
+        codebook.setdefault(r.cid, [0.0] * 64)[r.pos - 1] = r.val
+    cents = [(cid, codebook[cid]) for cid in sorted(codebook)]
+    choices = [
+        F.struct(
+            (
+                similarity.dot(
+                    F.array(*[F.lit(x) for x in cv]), F.array(*[F.lit(x) for x in cv])
+                )
+                - 2.0
+                * similarity.dot(
+                    similarity.as_double(F.col("embedding")),
+                    F.array(*[F.lit(x) for x in cv]),
+                )
+            ).alias("d"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in cents
+    ]
+    cells = embs.withColumn("label", F.array_min(F.array(*choices))["cid"])
+
+    def run():
+        return sorted(
+            (r.vec_id, r.label)
+            for r in similarity.emb_near_dedup(cells, min_cos=0.4).collect()
+        )
+
+    got = run()
+    n = embs.count()
+    assert 0 < len(got) <= n
+    assert got == run()  # deterministic
