@@ -542,3 +542,58 @@ def emb_near_dedup(
     return embs.join(F.broadcast(drop), "vec_id", "left_anti").select(
         "vec_id", "label"
     )
+
+
+def knn_join(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch k-NN join: for EVERY probe vector, its top-k cosine
+    neighbors from the corpus — the retrieval primitive behind
+    dedup-against-index and embedding-based eval contamination.
+
+    Exact formulation: broadcast the (small) probe set, map-side
+    cosine against every corpus row, then a per-probe window top-k.
+    The ranking shuffle carries only fixed-width
+    ``(probe_id, vec_id, cos)`` rows. That is |probes|×|corpus| rows —
+    fine for a bounded probe batch; at full scale, pre-prune the pairs
+    to shared IVF cells (:func:`kmeans_train` + assignment on both
+    sides) so the exchange carries |probes|×|corpus|·(nprobe/K)
+    instead, with identical downstream ranking.
+
+    Output: ``(probe_id, vec_id, cos_sim, rnk)``, ``rnk`` 1..k per
+    probe, ordered by cosine desc with vec_id tiebreak. Self-matches
+    (same id) are excluded.
+    """
+    from pyspark.sql import Window
+
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            norm2(as_double(F.col(vec_col))).alias("probe_norm"),
+        )
+    )
+    scored = (
+        corpus.crossJoin(p)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            id_col,
+            F.round(
+                cosine_pnorm(F.col(vec_col), F.col("probe_vec"), F.col("probe_norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", id_col, "cos_sim", "rnk")
+    )

@@ -687,6 +687,36 @@ FROM c1pv s LEFT JOIN m2 ON s.cid = m2.cid AND s.pos = m2.pos
 """,
 )
 
+# Batch k-NN join: every probe gets its top-k corpus neighbors in one
+# pass — the retrieval primitive. Oracle replays scoring + per-probe
+# ranking with a window.
+_q(
+    "x49_knn_join",
+    spark=lambda spark, sf: similarity.knn_join(
+        _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") < 20), k=5
+    ),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), p AS (
+  SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 20
+), scored AS (
+  SELECT p.probe_id, v.vec_id,
+         ROUND(list_dot_product(v.e, p.pe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(p.pe, p.pe))), 6) AS cos_sim
+  FROM v CROSS JOIN p
+  WHERE v.vec_id <> p.probe_id
+), ranked AS (
+  SELECT probe_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT probe_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+""",
+)
+
 # Semantic (embedding-space) dedup, SemDeDup-shaped: exact in-label
 # cosine pairs -> connected components -> keep the cluster minimum.
 # Oracle replays the labeling as recursive-CTE reachability.
