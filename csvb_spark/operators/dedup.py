@@ -680,11 +680,13 @@ def substring_spans(
         # strippable hits. (Within-doc repeats in the canonical doc are
         # kept — occurrence-level pruning would need position-ordered
         # ownership, which banding can't see; documented approximation.)
+        # seeds is unique on (doc_id, start) and dup on gh, so the join
+        # output needs no dedup — a dropDuplicates here would add a full
+        # extra exchange the doc_id window below cannot reuse
         hits = (
             seeds.join(dup, "gh")
             .filter(F.col("doc_id") != F.col("lo"))
             .select("doc_id", "start")
-            .dropDuplicates(["doc_id", "start"])
         )
     elif policy == "all":
         hits = seeds.join(dup.select("gh"), "gh", "left_semi").select(
@@ -737,14 +739,20 @@ def near_dedup(
     to reuse an already-computed candidate set.
 
     The drop set (cluster members that are not their cluster's min) is
-    tiny relative to the corpus, so the final anti-join broadcasts it:
-    the full corpus is never shuffled.
+    usually tiny relative to the corpus, so AQE broadcasts the final
+    anti-join and the corpus itself is never shuffled; on a heavily
+    duplicated corpus the drop set is large and AQE falls back to a
+    shuffle join instead of forcing an oversized broadcast. Note the
+    clustering step runs a bounded number of driver-coordinated jobs
+    (label-propagation rounds), not a single lazy plan.
     """
     if pairs is None:
         pairs = ngram_jaccard_pairs(docs, text_col=text_col, k=k, min_jaccard=min_jaccard)
     labels = dedup_clusters(pairs)
     drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    # no broadcast hint: on a heavily-duplicated corpus the drop set is
+    # O(corpus) — AQE broadcasts it only when it actually fits
+    return docs.join(drop, "doc_id", "left_anti")
 
 
 def strip_spans(

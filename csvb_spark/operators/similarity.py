@@ -478,10 +478,12 @@ def kmeans_train(
     vecs = embs.select(
         F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("v")
     )
-    init = vecs.filter(F.col("vid") < k).collect()
+    init = vecs.orderBy("vid").limit(k).collect()
     cents: dict[int, list[float]] = {
         int(r["vid"]): [float(x) for x in r["v"]] for r in init
     }
+    if len(cents) < k:
+        raise ValueError(f"kmeans_train: need >= {k} vectors, got {len(cents)}")
     for _ in range(iters):
         choices = []
         for cid in sorted(cents):
@@ -539,9 +541,9 @@ def emb_near_dedup(
     drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias("vec_id")
     )
-    return embs.join(F.broadcast(drop), "vec_id", "left_anti").select(
-        "vec_id", "label"
-    )
+    # no broadcast hint: the drop set is data-dependent (O(corpus) on a
+    # heavily-duplicated crawl) — AQE broadcasts it when it actually fits
+    return embs.join(drop, "vec_id", "left_anti").select("vec_id", "label")
 
 
 def knn_join(

@@ -125,8 +125,11 @@ def adaptive_quality_filter(
         F.row_number().over(w).alias("rk"),
         F.count("*").over(Window.partitionBy(group_col)).alias("n_group"),
     )
+    # ceiling semantics: keep while the ALREADY-kept count is under the
+    # quota — keeps ceil(num/den * n) per group, so a 1-doc source keeps
+    # its document instead of being silently erased by a floor cutoff
     return ranked.filter(
-        F.col("rk") * keep_den <= keep_num * F.col("n_group")
+        (F.col("rk") - 1) * keep_den < keep_num * F.col("n_group")
     )
 
 
@@ -336,10 +339,12 @@ def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (occurrences whose bigram appears exactly once in the corpus —
     necessarily in this doc).
 
-    Plan: one explode of bigrams feeds BOTH the count table (partial-
-    aggregated groupBy) and the scoring join; bigrams travel as
+    Plan: the bigram explode feeds both the count table (partial-
+    aggregated groupBy) and the scoring join — the explode subtree is
+    recomputed per side (map-only work; persist the grams to trade
+    memory for the recompute at very large scale). Bigrams travel as
     xxhash64 int64s, the count table broadcasts in the common case,
-    and the per-doc rollup is one keyed shuffle. Same 3-exchange shape
+    and the per-doc rollup is one keyed shuffle. Same exchange shape
     as ``substring_spans`` — linear in corpus size, no all-pairs.
     """
     t = tokens(text_col)

@@ -86,9 +86,10 @@ FROM documents
 
 # Per-source adaptive quality filter: keep the best 9/10 of each
 # source ranked by the heuristic score. The keep fraction is an
-# integer comparison (rk*10 <= 9*n) — a float threshold would let the
-# engines disagree on the boundary row (DuckDB parses 0.9 as DECIMAL,
-# Spark as DOUBLE).
+# integer ceiling comparison ((rk-1)*10 < 9*n, keeping ceil(9n/10)) —
+# a float threshold would let the engines disagree on the boundary
+# row (DuckDB parses 0.9 as DECIMAL, Spark as DOUBLE), and a floor
+# cutoff would erase every 1-doc source.
 _q(
     "x39_adaptive_quality",
     spark=lambda spark, sf: text.adaptive_quality_filter(_docs(spark, sf)),
@@ -113,7 +114,7 @@ WITH q AS (
   FROM q
 )
 SELECT doc_id, source, quality_score, rk, n_group
-FROM ranked WHERE rk * 10 <= 9 * n_group
+FROM ranked WHERE (rk - 1) * 10 < 9 * n_group
 """,
 )
 

@@ -557,3 +557,51 @@ def test_semantic_dedup_over_kmeans_cells(spark, sf_dir):
     n = embs.count()
     assert 0 < len(got) <= n
     assert got == run()  # deterministic
+
+
+def test_adaptive_quality_keeps_singleton_groups(spark, sf_dir):
+    """Ceiling semantics: a 1-doc source keeps its document (a floor
+    cutoff would silently erase whole small sources)."""
+    from csvb_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(1, "the only doc of tiny source", "tiny"),
+         (2, "first of big " + "x " * 50, "big"),
+         (3, "second of big " + "y " * 50, "big")],
+        "doc_id long, text string, source string",
+    )
+    kept = {r.doc_id for r in text.adaptive_quality_filter(docs).collect()}
+    assert 1 in kept  # singleton survives
+    assert len(kept & {2, 3}) == 2  # ceil(0.9*2) = 2
+
+
+def test_kmeans_seeds_are_k_lowest_ids(spark, sf_dir):
+    """Init takes the k LOWEST ids even when ids are offset/sparse
+    (filter(id < k) would find nothing)."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators import similarity
+
+    embs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("vec_id", F.col("vec_id") + 1000)
+    )
+    out = similarity.kmeans_train(embs, k=4, iters=1).collect()
+    assert {r.cid for r in out} == {1000, 1001, 1002, 1003}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="need >= 4"):
+        similarity.kmeans_train(embs.limit(3), k=4, iters=1)
+
+
+def test_substring_spans_keep_first_plan_shape(spark, sf_dir):
+    """keep_first must not add exchanges over the policy='all' plan
+    (the redundant dropDuplicates once cost a full extra shuffle)."""
+    from csvb_spark.operators import dedup
+    from csvb_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    df = dedup.substring_spans(spark.table("documents"), policy="keep_first")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 3
