@@ -605,3 +605,38 @@ def test_substring_spans_keep_first_plan_shape(spark, sf_dir):
     df = dedup.substring_spans(spark.table("documents"), policy="keep_first")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 3
+
+
+def test_chunk_documents_edge_corpora(spark, sf_dir):
+    """Differential vs a Python reference over edge shapes: short doc,
+    exact-boundary doc, stride > chunk (gaps), whitespace mess."""
+    import re
+
+    from csvb_spark.operators import text
+
+    def ref(rows, chunk, stride):
+        out = set()
+        for d, t in rows:
+            w = re.split(r"\s+", t.strip())
+            last = max(len(w) - chunk + 1, 1)
+            for i in range(1, last + 1, stride):
+                piece = w[i - 1 : i - 1 + chunk]
+                out.add((d, (i - 1) // stride, i, " ".join(piece), len(piece)))
+        return out
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(10))),   # shorter than chunk
+        (2, " ".join(f"v{i}" for i in range(32))),   # exactly one chunk
+        (3, " ".join(f"u{i}" for i in range(33))),   # one full + tail
+        (4, "  a\tb   c  "),                          # whitespace mess
+        (5, " ".join(f"t{i}" for i in range(100))),  # several chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for chunk, stride in [(32, 16), (32, 48), (8, 8)]:
+        got = {
+            (r.doc_id, r.chunk_id, r.chunk_start, r.chunk_text, r.n_tokens)
+            for r in text.chunk_documents(
+                df, chunk_tokens=chunk, stride=stride
+            ).collect()
+        }
+        assert got == ref(rows, chunk, stride), (chunk, stride)
