@@ -271,7 +271,7 @@ _SHARED_CONDITIONAL = """
             ELSE 'thin' END AS bal_band,
        s_acctbal IS NOT NULL AS has_bal,
        TRY_CAST(s_name AS DOUBLE) AS name_as_num,
-       CAST(s_acctbal AS DECIMAL(18,2)) AS bal_dec,
+       CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal_dec,
        CAST(s_suppkey AS STRING) AS key_str,
        CAST(CAST(s_suppkey AS SMALLINT) AS INT) AS key_i16,
        CAST(s_suppkey % 2 = 0 AS BOOLEAN) AS is_even,
