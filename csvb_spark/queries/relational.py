@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from csvb_spark.queries.common import Query, davg, dsum, sql_query, views
+from csvb_spark.queries.common import Query, davg, dialect_query, dsum, sql_query, views
 
 QUERIES: dict[str, Query] = {}
 
@@ -276,6 +276,33 @@ SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
 FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
 """
 _q("q09_full_outer_counts", spark=sql_query(_SQL_Q09), oracle=_SQL_Q09)
+
+# --- x50: recursive CTE (hierarchy walk) ------------------------------
+# Spark 4.1 runs WITH RECURSIVE natively, so the reference's
+# DataFusion-44 recursive-CTE surface (reachable through
+# csvb_engine/src/lib.rs:88) now has engine parity. Each supplier
+# walks up a binary-heap parent chain (node -> floor(node/2)) to the
+# root; the aggregate over the recursive relation checks depth, node
+# count and path sum. floor(node/2) instead of integer division
+# because `/` on BIGINT is float division in both engines while DIV
+# (Spark) / `//` (DuckDB) spell integer division differently.
+# SUM(BIGINT) is HUGEINT in DuckDB -> cast back to BIGINT.
+_SQL_X50 = """
+WITH RECURSIVE walk AS (
+  SELECT s_suppkey AS start_key, CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
+  FROM supplier
+  UNION ALL
+  SELECT start_key, CAST(floor(node / 2) AS BIGINT) AS node, depth + 1
+  FROM walk WHERE node > 1
+)
+SELECT start_key,
+       MAX(depth) AS hops_to_root,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(node) AS BIGINT) AS path_sum
+FROM walk
+GROUP BY start_key
+"""
+_q("x50_recursive_cte", spark=dialect_query(_SQL_X50), oracle=_SQL_X50)
 
 # --- q10: CROSS JOIN ---------------------------------------------------
 _SQL_Q10 = """
