@@ -223,6 +223,121 @@ def _rewrite_date_bin_interval(sql: str, literals: list[str]) -> str:
     return _DATE_BIN_INTERVAL_RE.sub(repl, sql)
 
 
+# CREATE EXTERNAL TABLE (DataFusion DDL; reference surface via
+# `csvb exec` / pgwire — csvb_engine delegates to DataFusion's
+# SessionContext::sql, which accepts
+#   CREATE [UNBOUNDED] EXTERNAL TABLE [IF NOT EXISTS] t [(cols)]
+#   STORED AS CSV [WITH HEADER ROW] [PARTITIONED BY (...)]
+#   [OPTIONS (...)] LOCATION 'path'
+# ). Spark rejects STORED AS CSV, so rewrite to the datasource form:
+#   CREATE TABLE t [(cols)] USING csv OPTIONS (path 'p', ...)
+# A path-ful USING table is external in Spark too (unmanaged; DROP
+# leaves the files). DataFusion option keys arrive as string literals
+# with a `format.` prefix; the common CSV ones map onto Spark reader
+# options (has_header -> header, delimiter -> sep).
+_CET_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+(?:UNBOUNDED\s+)?EXTERNAL\s+TABLE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.\"`]+)\s*",
+    re.IGNORECASE,
+)
+
+_CET_FORMATS = {
+    "csv": "csv",
+    "parquet": "parquet",
+    "json": "json",
+    "ndjson": "json",
+    "avro": "avro",
+}
+
+_CET_KEY_MAP = {
+    "has_header": "header",
+    "delimiter": "sep",
+    "compression": "compression",
+    "escape": "escape",
+    "quote": "quote",
+    "null_value": "nullValue",
+}
+
+
+def _scan_balanced(s: str, open_idx: int) -> int:
+    """Index one past the ')' matching the '(' at ``open_idx``."""
+    depth, i = 1, open_idx + 1
+    while i < len(s) and depth:
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+        i += 1
+    return i if depth == 0 else -1
+
+
+def _rewrite_create_external_table(sql: str, literals: list[str]) -> str:
+    m = _CET_HEAD_RE.match(sql)
+    if not m:
+        return sql
+    i = m.end()
+    cols = ""
+    if i < len(sql) and sql[i] == "(":
+        end = _scan_balanced(sql, i)
+        if end < 0:
+            return sql
+        cols = sql[i:end]
+        i = end
+    rest = sql[i:]
+
+    fm = re.search(r"STORED\s+AS\s+(\w+)", rest, re.IGNORECASE)
+    lm = re.search(r"LOCATION\s+(\x00LIT\d+\x00)", rest, re.IGNORECASE)
+    if not fm or not lm:
+        return sql
+    using = _CET_FORMATS.get(fm.group(1).lower())
+    if using is None:
+        return sql  # unknown format — let Spark raise on the original
+
+    opts: dict[str, str] = {"path": lm.group(1)}
+    if using == "csv":
+        # DataFusion 44 defaults CSV has_header=true; WITH HEADER ROW is
+        # the pre-38 spelling. Explicit OPTIONS below can override.
+        opts["header"] = "'true'"
+    if not cols and using in ("csv", "json"):
+        opts["inferSchema"] = "'true'"
+
+    om = re.search(r"OPTIONS\s*\(", rest, re.IGNORECASE)
+    if om:
+        end = _scan_balanced(rest, om.end() - 1)
+        if end < 0:
+            return sql
+        for pair in _split_args(rest[om.end() : end - 1]):
+            pm = re.match(
+                r"(?P<k>\x00LIT\d+\x00|[\w.]+)\s*=?\s*"
+                r"(?P<v>\x00LIT\d+\x00|\S+)$",
+                pair.strip(),
+            )
+            if not pm:
+                return sql  # unparseable option — leave statement as-is
+            key = pm.group("k")
+            if key.startswith("\x00"):
+                key = literals[int(key[4:-1])].strip("'")
+            key = key.lower().removeprefix("format.")
+            val = pm.group("v")
+            if not val.startswith("\x00"):
+                val = f"'{val}'"
+            opts[_CET_KEY_MAP.get(key, key)] = val
+
+    pb = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest, re.IGNORECASE)
+    partitioned = f" PARTITIONED BY ({pb.group(1)})" if pb else ""
+
+    opt_sql = ", ".join(
+        f"{k} {v}" for k, v in opts.items() if k not in ("path",)
+    )
+    opt_sql = f"path {opts['path']}" + (f", {opt_sql}" if opt_sql else "")
+    ine = "IF NOT EXISTS " if m.group("ine") else ""
+    cols_sql = f" {cols}" if cols else ""
+    return (
+        f"CREATE TABLE {ine}{m.group('name')}{cols_sql} USING {using} "
+        f"OPTIONS ({opt_sql}){partitioned}"
+    )
+
+
 # generate_series as a table factor (FROM/JOIN position). DataFusion
 # exposes it as a TVF whose output column is `value`; Spark's TVF set
 # has explode(), so rewrite to a derived table. The scalar-position
@@ -262,6 +377,12 @@ def _rewrite_generate_series_table(sql: str) -> str:
 def translate_sql(sql: str) -> str:
     """Rewrite DataFusion-dialect SQL into Spark SQL."""
     out, lits = _protect_literals(sql)
+
+    # DataFusion DDL: CREATE EXTERNAL TABLE → CREATE TABLE ... USING.
+    # Statement-level; if it matched, the result is already Spark SQL.
+    rewritten = _rewrite_create_external_table(out, lits)
+    if rewritten is not out:
+        return _restore_literals(rewritten, lits)
 
     # expr::type casts (repeat for chains like x::text::int)
     prev = None

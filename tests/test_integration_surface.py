@@ -581,6 +581,58 @@ def test_ddl_surface(spark, tmp_path):
     assert [d.col_name for d in desc] == ["a", "b"]
 
 
+# --- CREATE EXTERNAL TABLE (DataFusion DDL, reference lib.rs:88) -------------------
+def test_create_external_table_translate_shapes():
+    # bare CSV with DF-44 defaults: header on, schema inferred
+    out = translate_sql(
+        "CREATE EXTERNAL TABLE t STORED AS CSV LOCATION '/data/x.csv'"
+    )
+    assert out == (
+        "CREATE TABLE t USING csv OPTIONS (path '/data/x.csv', "
+        "header 'true', inferSchema 'true')"
+    )
+    # explicit schema suppresses inference; DECIMAL parens survive
+    out = translate_sql(
+        "CREATE EXTERNAL TABLE IF NOT EXISTS s.t2 (a INT, b DECIMAL(10,2)) "
+        "STORED AS CSV LOCATION '/d/y.csv' "
+        "OPTIONS ('format.has_header' 'false', 'format.delimiter' '|')"
+    )
+    assert out == (
+        "CREATE TABLE IF NOT EXISTS s.t2 (a INT, b DECIMAL(10,2)) USING csv "
+        "OPTIONS (path '/d/y.csv', header 'false', sep '|')"
+    )
+    # parquet needs no reader options; partitioning carries over
+    out = translate_sql(
+        "CREATE EXTERNAL TABLE p STORED AS PARQUET "
+        "PARTITIONED BY (dt) LOCATION '/warehouse/p'"
+    )
+    assert out == (
+        "CREATE TABLE p USING parquet OPTIONS (path '/warehouse/p') "
+        "PARTITIONED BY (dt)"
+    )
+    # non-DDL statements are untouched by the statement-level rule
+    assert translate_sql("SELECT 1 AS one") == "SELECT 1 AS one"
+
+
+def test_create_external_table_e2e(spark, tmp_path):
+    from csvb_spark.sql import execute_sql
+
+    csv = tmp_path / "ext.csv"
+    csv.write_text("id,name,score\n1,alpha,0.5\n2,beta,1.5\n3,gamma,2.5\n")
+    execute_sql(spark, "DROP TABLE IF EXISTS t_ext_csv")
+    execute_sql(
+        spark,
+        f"CREATE EXTERNAL TABLE t_ext_csv STORED AS CSV LOCATION '{csv}'",
+    )
+    rows = execute_sql(
+        spark,
+        "SELECT id, name FROM t_ext_csv WHERE score > 1.0 ORDER BY id",
+    ).collect()
+    assert [tuple(r) for r in rows] == [(2, "beta"), (3, "gamma")]
+    execute_sql(spark, "DROP TABLE t_ext_csv")
+    assert csv.exists()  # external: DROP must not delete the data
+
+
 # --- CSV parsing edge cases (RFC-4180, reference CsvFormat::default) ---------------
 def test_csv_rfc4180_quoting(spark, tmp_path):
     from csvb_spark.sources.csv_source import add_direct_table
