@@ -12,7 +12,10 @@ the subset that real clients use):
 - extended protocol: Parse/Bind plan the statement; bind parameters
   are inlined as typed SQL literals ($n substitution with the
   Parse-declared oids — the common psycopg3/JDBC path; binary-format
-  params for well-known oids are decoded first, others 0A000).
+  params decode for every oid the server binary-encodes — bool/int2/
+  int4/int8/float4/float8/text/bytea/date/timestamp — others 0A000;
+  bytea/date/timestamp params render as typed literals X'..'/DATE/
+  TIMESTAMP in both formats).
   Result columns honor Bind's trailing format codes: binary wire
   encoding for bool/int/float/text/bytea/date/timestamp, clean 0A000
   at Bind time for any other type a client requests in binary —
@@ -188,6 +191,10 @@ _CONNS: dict[int, "_Conn"] = {}
 
 _NUMERIC_OIDS = {20, 21, 23, 26, 700, 701, 1700}  # int/oid/float/numeric
 _BOOL_OID = 16
+_BYTEA_OID = 17
+_DATE_OID = 1082
+_TS_OIDS = {1114, 1184}
+_HEX_RE = _re.compile(r"^[0-9a-fA-F]*$")
 
 _PARAM_RE = _re.compile(r"\$(\d+)")
 _SQL_LITERAL_RE = _re.compile(r"'(?:[^']|'')*'")
@@ -220,7 +227,19 @@ def _quote_param(text: str | None, oid: int) -> str:
         if t in ("f", "false", "0", "off", "no", "n"):
             return "FALSE"
         raise ValueError(f"invalid boolean parameter {text!r}")
-    return "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
+    if oid == _BYTEA_OID:
+        # postgres text form is \x-prefixed hex; render as X'..' so the
+        # parameter is a true BINARY literal, not a string
+        h = text[2:] if text.startswith("\\x") else text
+        if not _HEX_RE.match(h) or len(h) % 2:
+            raise ValueError(f"invalid bytea parameter {text!r}")
+        return f"X'{h}'"
+    quoted = "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
+    if oid == _DATE_OID:
+        return f"DATE {quoted}"
+    if oid in _TS_OIDS:
+        return f"TIMESTAMP {quoted}"
+    return quoted
 
 
 class _Cancelled(Exception):
@@ -237,6 +256,13 @@ def _count_params(sql: str) -> int:
 # Binary-format decoders by type oid (the subset JDBC/psycopg send
 # binary for once a statement is reused). Decoded to the TEXT form so
 # downstream substitution is format-agnostic.
+def _dec_ts(b: bytes) -> str:
+    micros = struct.unpack("!q", b)[0]
+    return (_PG_EPOCH_TS + _dt.timedelta(microseconds=micros)).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+
+
 _BINARY_DECODERS = {
     16: lambda b: "t" if b != b"\x00" else "f",  # bool
     21: lambda b: str(struct.unpack("!h", b)[0]),  # int2
@@ -246,6 +272,13 @@ _BINARY_DECODERS = {
     701: lambda b: repr(struct.unpack("!d", b)[0]),  # float8
     25: lambda b: b.decode(),  # text
     1043: lambda b: b.decode(),  # varchar
+    # decoded to the postgres TEXT form; _quote_param renders these
+    # oids as typed SQL literals (X'..'/DATE/TIMESTAMP)
+    17: lambda b: "\\x" + b.hex(),  # bytea
+    1082: lambda b: (  # date (days since 2000-01-01)
+        _PG_EPOCH_DATE + _dt.timedelta(days=struct.unpack("!i", b)[0])
+    ).isoformat(),
+    1114: _dec_ts,  # timestamp (micros since 2000-01-01, integer_datetimes)
 }
 
 

@@ -285,6 +285,42 @@ def test_extended_binary_params_decoded_by_declared_oid(conn):
     assert _data_rows(msgs) == [[b"42", b"2.50", b"t"]]
 
 
+def test_extended_binary_bytea_date_timestamp_params(conn):
+    """Binary-format bytea/date/timestamp params (the remaining oids
+    the server binary-ENCODES) decode and render as typed literals."""
+    import datetime as dt
+
+    sock, buf = conn
+    sql = b"SELECT length($1) AS n, date_add($2, 1) AS d, $3 AS ts"
+    _send(
+        sock,
+        b"P",
+        b"pbd\x00" + sql + b"\x00" + struct.pack("!hIII", 3, 17, 1082, 1114),
+    )
+    date_days = (dt.date(2024, 3, 1) - dt.date(2000, 1, 1)).days
+    delta = dt.datetime(2024, 3, 1, 12, 34, 56, 789000) - dt.datetime(2000, 1, 1)
+    ts_micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+    params = (
+        struct.pack("!i", 5) + b"hello"
+        + struct.pack("!i", 4) + struct.pack("!i", date_days)
+        + struct.pack("!i", 8) + struct.pack("!q", ts_micros)
+    )
+    body = (
+        b"\x00pbd\x00"
+        + struct.pack("!hh", 1, 1)  # one fmt code (binary) for all
+        + struct.pack("!h", 3)
+        + params
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [
+        [b"5", b"2024-03-02", b"2024-03-01 12:34:56.789000"]
+    ]
+
+
 def test_extended_rejects_undeclared_binary_params(conn):
     """Binary params whose type was never declared cannot be decoded —
     clean 0A000, connection survives."""
