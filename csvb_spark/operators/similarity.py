@@ -546,50 +546,129 @@ def emb_near_dedup(
     return embs.join(drop, "vec_id", "left_anti").select("vec_id", "label")
 
 
+def _collect_codebook(centroids: DataFrame, nprobe: int) -> list[tuple[int, list[float]]]:
+    """Pivot a ``kmeans_train``-shaped (cid, pos, val) DataFrame into
+    ``[(cid, components)]`` sorted by cid, validating what a silent
+    failure downstream would otherwise hide: enough cells to probe,
+    and a consistent dimension across cells."""
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in centroids.collect():
+        by_cid.setdefault(int(r["cid"]), {})[int(r["pos"])] = float(r["val"])
+    if len(by_cid) < nprobe:
+        raise ValueError(
+            f"codebook has {len(by_cid)} centroids but nprobe={nprobe}"
+        )
+    dims = {len(v) for v in by_cid.values()}
+    if len(dims) != 1:
+        raise ValueError(f"codebook dimensions are inconsistent: {sorted(dims)}")
+    return [
+        (cid, [by_cid[cid][p] for p in sorted(by_cid[cid])])
+        for cid in sorted(by_cid)
+    ]
+
+
 def knn_join(
     corpus: DataFrame,
     probes: DataFrame,
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Batch k-NN join: for EVERY probe vector, its top-k cosine
     neighbors from the corpus — the retrieval primitive behind
     dedup-against-index and embedding-based eval contamination.
 
-    Exact formulation: broadcast the (small) probe set, map-side
-    cosine against every corpus row, then a per-probe window top-k.
-    The ranking shuffle carries only fixed-width
-    ``(probe_id, vec_id, cos)`` rows. That is |probes|×|corpus| rows —
-    fine for a bounded probe batch; at full scale, pre-prune the pairs
-    to shared IVF cells (:func:`kmeans_train` + assignment on both
-    sides) so the exchange carries |probes|×|corpus|·(nprobe/K)
-    instead, with identical downstream ranking.
+    Exact formulation (``centroids=None``): broadcast the (small)
+    probe set, map-side cosine against every corpus row, then a
+    per-probe window top-k. The ranking shuffle carries only
+    fixed-width ``(probe_id, vec_id, cos)`` rows — |probes|×|corpus|
+    of them, fine for a bounded probe batch.
+
+    IVF-pruned formulation (``centroids=`` a :func:`kmeans_train`
+    result): both sides are coarse-quantized against the codebook —
+    every corpus row to its single nearest cell (Euclidean argmin
+    ``c·c − 2·v·c`` with lower-cid tie-break, exactly the trainer's
+    assignment), every probe to its ``nprobe`` nearest cells — and
+    candidates meet through a cid equi-join instead of a cross join,
+    so the ranking exchange carries ≈ |probes|×|corpus|·(nprobe/K)
+    rows. The codebook is a bounded K×dim driver constant (the same
+    pattern as :func:`ivf_topk`); scoring and ranking are identical
+    to the exact path. Approximate: a true neighbor in an unprobed
+    cell is missed — that is the IVF contract.
+
+    ``exclude_self`` drops candidates whose ``id_col`` equals the
+    probe's id — the right default when probes are drawn from the
+    corpus itself. Pass ``False`` when probes and corpus come from
+    different tables with independent id spaces, where equal ids are
+    legitimate neighbors, not self-matches.
 
     Output: ``(probe_id, vec_id, cos_sim, rnk)``, ``rnk`` 1..k per
-    probe, ordered by cosine desc with vec_id tiebreak. Self-matches
-    (same id) are excluded.
+    probe, ordered by cosine desc with vec_id tiebreak.
     """
     from pyspark.sql import Window
 
-    p = F.broadcast(
-        probes.select(
-            F.col(id_col).alias("probe_id"),
-            F.col(vec_col).alias("probe_vec"),
-            norm2(as_double(F.col(vec_col))).alias("probe_norm"),
+    p_cols = [
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        norm2(as_double(F.col(vec_col))).alias("probe_norm"),
+    ]
+
+    if centroids is None:
+        p = F.broadcast(probes.select(*p_cols))
+        candidates = corpus.crossJoin(p)
+    else:
+        cents = _collect_codebook(centroids, nprobe)
+
+        def _fold_dot(a: list[float], b: list[float]) -> float:
+            acc = 0.0  # sequential fold — same IEEE order as SQL
+            for x, y in zip(a, b):
+                acc += x * y
+            return acc
+
+        def cell_choices(vec: Column) -> list[Column]:
+            vd = as_double(vec)
+            return [
+                F.struct(
+                    (F.lit(_fold_dot(cv, cv)) - 2.0 * dot(vd, F.array(*[F.lit(x) for x in cv]))).alias("d"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+
+        p = F.broadcast(
+            probes.select(
+                *p_cols,
+                F.explode(
+                    F.transform(
+                        F.slice(
+                            F.array_sort(F.array(*cell_choices(F.col(vec_col)))),
+                            1,
+                            nprobe,
+                        ),
+                        lambda s: s["cid"],
+                    )
+                ).alias("cid"),
+            )
         )
-    )
-    scored = (
-        corpus.crossJoin(p)
-        .filter(F.col(id_col) != F.col("probe_id"))
-        .select(
-            "probe_id",
-            id_col,
-            F.round(
-                cosine_pnorm(F.col(vec_col), F.col("probe_vec"), F.col("probe_norm")),
-                6,
-            ).alias("cos_sim"),
+        assigned = corpus.withColumn(
+            "cid", F.array_min(F.array(*cell_choices(F.col(vec_col))))["cid"]
         )
+        # corpus rows carry ONE cell, so a (probe, corpus) pair meets in
+        # at most one cell — the equi-join never duplicates candidates
+        candidates = assigned.join(p, "cid")
+
+    scored = candidates.filter(
+        F.col(id_col) != F.col("probe_id") if exclude_self else F.lit(True)
+    ).select(
+        "probe_id",
+        id_col,
+        F.round(
+            cosine_pnorm(F.col(vec_col), F.col("probe_vec"), F.col("probe_norm")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc(id_col)

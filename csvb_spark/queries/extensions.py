@@ -718,6 +718,88 @@ SELECT probe_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
 """,
 )
 
+# IVF-pruned batch k-NN join — the 100 TB path for x49: both sides
+# coarse-quantized against a kmeans_train codebook (1 Lloyd
+# iteration), candidates meet through a cid equi-join (nprobe=2 of
+# K=8 cells) instead of a cross join. The oracle replays the WHOLE
+# pipeline in SQL — codebook (x43's first iteration), Euclidean
+# argmin cell assignment on both sides, in-cell scoring, per-probe
+# ranking — so it verifies the pruning itself, with no recall
+# assumption about the fixture (whose labels are NOT cosine-separated
+# clusters; an equality-with-exact-knn oracle would be wrong).
+_q(
+    "x51_knn_join_ivf",
+    spark=lambda spark, sf: similarity.knn_join(
+        _embs(spark, sf),
+        _embs(spark, sf).filter(F.col("vec_id") < 20),
+        k=5,
+        centroids=similarity.kmeans_train(_embs(spark, sf), k=8, iters=1),
+        nprobe=2,
+    ),
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), vp AS (
+  SELECT vid, unnest(generate_series(1, len(v))) AS pos, v FROM vecs
+), vpv AS (
+  SELECT vid, pos, v[pos] AS val FROM vp
+), c0 AS (
+  SELECT vid AS cid, v AS c FROM vecs WHERE vid < 8
+), c0p AS (
+  SELECT cid, unnest(generate_series(1, len(c))) AS pos, c FROM c0
+), c0pv AS (
+  SELECT cid, pos, c[pos] AS val FROM c0p
+), a1 AS (
+  SELECT vid, cid, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+  FROM (SELECT x.vid, c.cid,
+               list_dot_product(c.c, c.c) - 2 * list_dot_product(x.v, c.c) AS d
+        FROM vecs x CROSS JOIN c0 c) t1
+), asn1 AS (
+  SELECT vid, cid FROM a1 WHERE rn = 1
+), m1 AS (
+  SELECT a.cid, p.pos,
+         CAST(SUM(CAST(p.val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS val
+  FROM asn1 a JOIN vpv p ON a.vid = p.vid
+  GROUP BY a.cid, p.pos
+), c1pv AS (
+  SELECT s.cid, s.pos, COALESCE(m1.val, s.val) AS val
+  FROM c0pv s LEFT JOIN m1 ON s.cid = m1.cid AND s.pos = m1.pos
+), c1 AS (
+  SELECT cid, list(val ORDER BY pos) AS c FROM c1pv GROUP BY cid
+), corpus_cells AS (
+  SELECT vid, cid FROM (
+    SELECT x.vid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vid ORDER BY
+             list_dot_product(c.c, c.c) - 2 * list_dot_product(x.v, c.c),
+             c.cid) AS rn
+    FROM vecs x CROSS JOIN c1 c) t WHERE rn = 1
+), probe_cells AS (
+  SELECT vid AS probe_id, cid FROM (
+    SELECT x.vid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY x.vid ORDER BY
+             list_dot_product(c.c, c.c) - 2 * list_dot_product(x.v, c.c),
+             c.cid) AS rn
+    FROM vecs x CROSS JOIN c1 c WHERE x.vid < 20) t WHERE rn <= 2
+), scored AS (
+  SELECT p.probe_id, cc.vid AS vec_id,
+         ROUND(list_dot_product(cv.v, pv.v)
+               / (sqrt(list_dot_product(cv.v, cv.v))
+                  * sqrt(list_dot_product(pv.v, pv.v))), 6) AS cos_sim
+  FROM probe_cells p
+  JOIN corpus_cells cc ON p.cid = cc.cid
+  JOIN vecs cv ON cv.vid = cc.vid
+  JOIN vecs pv ON pv.vid = p.probe_id
+  WHERE cc.vid <> p.probe_id
+), ranked AS (
+  SELECT probe_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT probe_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+""",
+)
+
 # Semantic (embedding-space) dedup, SemDeDup-shaped: exact in-label
 # cosine pairs -> connected components -> keep the cluster minimum.
 # Oracle replays the labeling as recursive-CTE reachability.

@@ -140,6 +140,59 @@ def test_ivf_multi_probe_fallback(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_knn_join_ivf_prunes_to_cell_equi_join(spark, sf_dir):
+    """x51: with a codebook, knn_join's candidate generation is a
+    broadcast HASH join on cid — the ranking exchange is bounded by
+    the cell join (≈ nprobe/K of the cross product), never a
+    nested-loop cross join. The exact path keeps the cross join by
+    design (bounded probe contract)."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.similarity import kmeans_train, knn_join
+
+    e = _embs(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < 20)
+    cb = kmeans_train(e, k=8, iters=1)
+    plan = _plan(knn_join(e, probes, k=5, centroids=cb, nprobe=2))
+    assert "BroadcastHashJoin" in plan  # cid equi-join
+    assert "BroadcastNestedLoopJoin" not in plan  # no cross product
+    exact_plan = _plan(knn_join(e, probes, k=5))
+    assert "BroadcastNestedLoopJoin" in exact_plan
+
+
+def test_knn_join_codebook_validation(spark, sf_dir):
+    """A codebook smaller than nprobe or with ragged dimensions is
+    rejected at build time, not via a silent KeyError downstream."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.similarity import kmeans_train, knn_join
+
+    e = _embs(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < 5)
+    cb = kmeans_train(e, k=2, iters=1)
+    with pytest.raises(ValueError, match="nprobe"):
+        knn_join(e, probes, centroids=cb, nprobe=4)
+    ragged = cb.filter("NOT (cid = 1 AND pos = 1)")  # drop one component
+    with pytest.raises(ValueError, match="dimensions"):
+        knn_join(e, probes, centroids=ragged, nprobe=2)
+
+
+def test_knn_join_exclude_self_off_keeps_equal_ids(spark, sf_dir):
+    """Cross-table callers with independent id spaces can disable the
+    self-match filter: rnk 1 for an identical vector is the id itself
+    with cosine 1."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.similarity import knn_join
+
+    e = _embs(spark, sf_dir)
+    probes = e.filter(F.col("vec_id") < 3)
+    out = knn_join(e, probes, k=1, exclude_self=False).collect()
+    assert {(r.probe_id, r.vec_id) for r in out} == {(i, i) for i in range(3)}
+    assert all(r.cos_sim == 1.0 for r in out)
+
+
 def test_brute_force_topk_plan_shape(spark, sf_dir):
     """p07: broadcast 1-row probe (never a shuffle), top-k via
     TakeOrderedAndProject (never a global sort)."""
