@@ -615,6 +615,7 @@ def substring_spans(
     k: int = 10,
     min_docs: int = 2,
     policy: str = "all",
+    wide_gram_keys: bool = False,
 ) -> DataFrame:
     """Exact-substring duplication spans, the seed+merge approximation
     of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
@@ -634,7 +635,9 @@ def substring_spans(
       as a single ``xxhash64`` int64, never the string (k=10 grams are
       ~60 bytes; the hash is 8). At 64 bits a collision needs ~2^32
       distinct grams (birthday bound) — fine per-partition-of-corpus;
-      at full 100 TB scope use two seeded xxhash64 columns as the key.
+      at full 100 TB scope pass ``wide_gram_keys=True`` and the key
+      becomes two independently-seeded hashes (~2^64 bound, 16 bytes
+      on the wire — see ``text.gram_key_struct``).
     - frequency filter is a partial-aggregated groupBy on the hash,
       then a semi-join back (AQE broadcasts it when the duplicated-gram
       dictionary is small, which is the common case).
@@ -642,6 +645,9 @@ def substring_spans(
       ``doc_id`` — the groupBy reuses the window's exchange, so the
       whole merge costs a single shuffle.
     """
+    from csvb_spark.operators.text import gram_key_cols, gram_key_exprs
+
+    keys = gram_key_cols(wide_gram_keys)
     t = docs.select("doc_id", tokens(text_col).alias("t"))
     starts = F.when(
         F.size("t") >= k, F.sequence(F.lit(1), F.size("t") - (k - 1))
@@ -649,8 +655,9 @@ def substring_spans(
     seeds = t.select(
         "doc_id",
         F.explode(starts).alias("start"),
-        F.xxhash64(F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(k)))).alias(
-            "gh"
+        *gram_key_exprs(
+            F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(k))),
+            wide_gram_keys,
         ),
     )
     if min_docs == 2:
@@ -659,20 +666,20 @@ def substring_spans(
         # min != max — one fully partial-aggregated exchange carrying
         # (gh, min, max) instead of the whole (gh, doc_id) pair stream.
         dup = (
-            seeds.groupBy("gh")
+            seeds.groupBy(*keys)
             .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
             .filter(F.col("lo") != F.col("hi"))
-            .select("gh", "lo")
+            .select(*keys, "lo")
         )
     else:
         dup = (
-            seeds.groupBy("gh")
+            seeds.groupBy(*keys)
             .agg(
                 F.count_distinct("doc_id").alias("nd"),
                 F.min("doc_id").alias("lo"),
             )
             .filter(F.col("nd") >= min_docs)
-            .select("gh", "lo")
+            .select(*keys, "lo")
         )
     if policy == "keep_first":
         # Lee et al.'s keep-one-copy semantics at gram granularity: the
@@ -684,12 +691,12 @@ def substring_spans(
         # output needs no dedup — a dropDuplicates here would add a full
         # extra exchange the doc_id window below cannot reuse
         hits = (
-            seeds.join(dup, "gh")
+            seeds.join(dup, keys)
             .filter(F.col("doc_id") != F.col("lo"))
             .select("doc_id", "start")
         )
     elif policy == "all":
-        hits = seeds.join(dup.select("gh"), "gh", "left_semi").select(
+        hits = seeds.join(dup.select(*keys), keys, "left_semi").select(
             "doc_id", "start"
         )
     else:

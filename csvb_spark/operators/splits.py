@@ -312,6 +312,7 @@ def contamination_check(
     k: int = 8,
     min_shared: int = 2,
     max_gram_eval_df: int = 50,
+    wide_gram_keys: bool = False,
 ) -> DataFrame:
     """(train_doc_id, eval_doc_id, n_shared_grams) for pairs sharing
     ≥ ``min_shared`` distinct character k-grams.
@@ -321,25 +322,30 @@ def contamination_check(
     in > ``max_gram_eval_df`` eval documents (boilerplate guard) →
     equi-join train grams to eval grams on the hash → count distinct
     shared grams per (train, eval) pair. Two shuffles (gram join, pair
-    aggregation); no cross join at any size.
+    aggregation); no cross join at any size. ``wide_gram_keys`` widens
+    the join key to two seeded hashes past the ~2^32-distinct-gram
+    birthday bound (see ``text.gram_key_struct``).
     """
+    from csvb_spark.operators.text import gram_key_cols, gram_key_exprs
+
+    keys = gram_key_cols(wide_gram_keys)
     t_grams = train.select(
         F.col("doc_id").alias("train_doc_id"),
         F.explode(char_shingles(text_col, k)).alias("g"),
-    ).select("train_doc_id", F.xxhash64("g").alias("gh"))
+    ).select("train_doc_id", *gram_key_exprs(F.col("g"), wide_gram_keys))
     e_grams = eval_docs.select(
         F.col("doc_id").alias("eval_doc_id"),
         F.explode(char_shingles(text_col, k)).alias("g"),
-    ).select("eval_doc_id", F.xxhash64("g").alias("gh"))
+    ).select("eval_doc_id", *gram_key_exprs(F.col("g"), wide_gram_keys))
     rare = (
-        e_grams.groupBy("gh")
+        e_grams.groupBy(*keys)
         .agg(F.count("*").alias("eval_df"))
         .filter(F.col("eval_df") <= max_gram_eval_df)
-        .select("gh")
+        .select(*keys)
     )
-    e_kept = e_grams.join(rare, "gh")
+    e_kept = e_grams.join(rare, keys)
     return (
-        t_grams.join(e_kept, "gh")
+        t_grams.join(e_kept, keys)
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)

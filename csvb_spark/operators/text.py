@@ -257,6 +257,36 @@ def tfidf_keywords(
     )
 
 
+def gram_key_exprs(gram: Column, wide: bool) -> list[Column]:
+    """Shuffle-key column(s) for a gram expression: ``gh`` (xxhash64)
+    by default; with ``wide`` a second independently-seeded hash
+    ``gh2`` (xxhash64 of (gram, 1) — the extra literal column re-seeds
+    the avalanche) rides along. One 64-bit key birthday-collides at
+    ~2^32 distinct grams — a real correctness cliff over a 100 TB
+    corpus; the 128-bit composite pushes that to ~2^64. Keys stay
+    fixed-width ints on the wire either way (8 vs 16 bytes)."""
+    exprs = [F.xxhash64(gram).alias("gh")]
+    if wide:
+        exprs.append(F.xxhash64(gram, F.lit(1)).alias("gh2"))
+    return exprs
+
+
+def gram_key_struct(gram: Column, wide: bool) -> Column:
+    """:func:`gram_key_exprs` packed as a named struct — for contexts
+    that must carry the key(s) through an array (``transform`` →
+    ``explode``). ``named_struct`` because plain ``struct`` drops
+    inner aliases to ``colN`` field names."""
+    pairs: list[Column] = [F.lit("gh"), F.xxhash64(gram)]
+    if wide:
+        pairs += [F.lit("gh2"), F.xxhash64(gram, F.lit(1))]
+    return F.named_struct(*pairs)
+
+
+def gram_key_cols(wide: bool) -> list[str]:
+    """The join/groupBy key names matching :func:`gram_key_exprs`."""
+    return ["gh", "gh2"] if wide else ["gh"]
+
+
 def char_shingles(col: str | Column, k: int = 4) -> Column:
     """Distinct character k-grams (shingles) of lower(col)."""
     c = F.col(col) if isinstance(col, str) else col
@@ -325,7 +355,9 @@ def chunk_documents(
     )
 
 
-def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def bigram_familiarity(
+    docs: DataFrame, text_col: str = "text", wide_gram_keys: bool = False
+) -> DataFrame:
     """Corpus-LM familiarity scoring, integer-only: train a bigram
     count table over the corpus in the same pass that scores each
     document against it. High ``n_rare`` / low ``familiarity`` marks
@@ -346,8 +378,11 @@ def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     xxhash64 int64s, the count table broadcasts in the common case,
     and the per-doc rollup is one keyed shuffle. Same exchange shape
     as ``substring_spans`` — linear in corpus size, no all-pairs.
+    ``wide_gram_keys`` widens the key to two seeded hashes past the
+    ~2^32-distinct-gram birthday bound (see :func:`gram_key_struct`).
     """
     t = tokens(text_col)
+    keys = gram_key_cols(wide_gram_keys)
     grams = docs.select(
         "doc_id",
         F.explode(
@@ -355,13 +390,19 @@ def bigram_familiarity(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 F.size(t) >= 2,
                 F.transform(
                     F.sequence(F.lit(1), F.size(t) - 1),
-                    lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, 2))),
+                    lambda i: gram_key_struct(
+                        F.concat_ws(" ", F.slice(t, i, 2)), wide_gram_keys
+                    ),
                 ),
-            ).otherwise(F.expr("array()").cast("array<bigint>"))
-        ).alias("gh"),
-    )
-    counts = grams.groupBy("gh").agg(F.count("*").alias("n"))
-    scored = grams.join(counts, "gh").groupBy("doc_id").agg(
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<" + ",".join(f"{k}:bigint" for k in keys) + ">>"
+                )
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.*")
+    counts = grams.groupBy(*keys).agg(F.count("*").alias("n"))
+    scored = grams.join(counts, keys).groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("n").alias("familiarity"),
         F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_rare"),

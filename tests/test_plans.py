@@ -140,6 +140,29 @@ def test_ivf_multi_probe_fallback(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_wide_gram_keys_change_nothing_at_fixture_scale(spark, sf_dir):
+    """wide_gram_keys=True (the >2^32-distinct-gram scale flag) swaps
+    the 64-bit gram key for a two-seeded 128-bit composite; outputs
+    must be row-identical at any scale where neither key collides —
+    the flag exists for the birthday bound, not for semantics."""
+    from csvb_spark.operators.dedup import substring_spans
+    from csvb_spark.operators.splits import contamination_check
+    from csvb_spark.operators.text import bigram_familiarity
+
+    docs = _docs(spark, sf_dir)
+    for fn in (
+        lambda w: substring_spans(docs, wide_gram_keys=w),
+        lambda w: substring_spans(docs, policy="keep_first", wide_gram_keys=w),
+        lambda w: bigram_familiarity(docs, wide_gram_keys=w),
+        lambda w: contamination_check(
+            docs, docs.limit(50), wide_gram_keys=w
+        ),
+    ):
+        narrow = {tuple(r) for r in fn(False).collect()}
+        wide = {tuple(r) for r in fn(True).collect()}
+        assert narrow == wide and narrow
+
+
 def test_knn_join_ivf_prunes_to_cell_equi_join(spark, sf_dir):
     """x51: with a codebook, knn_join's candidate generation is a
     broadcast HASH join on cid — the ranking exchange is bounded by
