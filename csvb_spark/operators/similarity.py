@@ -219,7 +219,19 @@ def ivf_topk(
 
     if centroids is not None:
         # a trained quantizer (e.g. kmeans_train output, pivoted to
-        # {cid: [components]}) replaces the seed vectors
+        # {cid: [components]}) replaces the seed vectors; n_centroids
+        # is IGNORED in this mode — the codebook defines K. Validate
+        # here: a short or ragged codebook would otherwise surface as
+        # silently reduced probe coverage or a downstream size error.
+        if len(centroids) < nprobe:
+            raise ValueError(
+                f"codebook has {len(centroids)} centroids but nprobe={nprobe}"
+            )
+        dims = {len(v) for v in centroids.values()}
+        if len(dims) != 1:
+            raise ValueError(
+                f"codebook dimensions are inconsistent: {sorted(dims)}"
+            )
         cents = [(cid, centroids[cid]) for cid in sorted(centroids)]
     else:
         cents = [
@@ -491,12 +503,17 @@ def kmeans_train(
             d = dot(carr, carr) - 2.0 * dot(F.col("v"), carr)
             choices.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
         asn = vecs.withColumn("cid", F.array_min(F.array(*choices))["cid"])
+        # DECIMAL(30,6) components (sum accumulates in DECIMAL(38,6)):
+        # a (18,6) per-value cast would NULL-overflow any component
+        # >= 10^12 and silently zero that centroid dimension via the
+        # dict initialization below. Scale 6 is unchanged, so the
+        # quantization — and the oracle's decimal mean — is identical.
         stats = (
             asn.select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
             .agg(
                 (
-                    F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+                    F.sum(F.col("val").cast("decimal(30,6)")).cast("double")
                     / F.count("*")
                 ).alias("m")
             )

@@ -662,7 +662,7 @@ WITH vecs AS (
   SELECT vid, cid FROM a1 WHERE rn = 1
 ), m1 AS (
   SELECT a.cid, p.pos,
-         CAST(SUM(CAST(p.val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS val
+         CAST(SUM(CAST(p.val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS val
   FROM asn1 a JOIN vpv p ON a.vid = p.vid
   GROUP BY a.cid, p.pos
 ), c1pv AS (
@@ -679,7 +679,7 @@ WITH vecs AS (
   SELECT vid, cid FROM a2 WHERE rn = 1
 ), m2 AS (
   SELECT a.cid, p.pos,
-         CAST(SUM(CAST(p.val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS val
+         CAST(SUM(CAST(p.val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS val
   FROM asn2 a JOIN vpv p ON a.vid = p.vid
   GROUP BY a.cid, p.pos
 )
@@ -758,7 +758,7 @@ WITH vecs AS (
   SELECT vid, cid FROM a1 WHERE rn = 1
 ), m1 AS (
   SELECT a.cid, p.pos,
-         CAST(SUM(CAST(p.val AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS val
+         CAST(SUM(CAST(p.val AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS val
   FROM asn1 a JOIN vpv p ON a.vid = p.vid
   GROUP BY a.cid, p.pos
 ), c1pv AS (

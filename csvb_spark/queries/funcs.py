@@ -399,10 +399,12 @@ _q("x41_stats_native", spark=sql_query(_SQL_STATS_NATIVE), oracle=None)
 # shared SQL text — every expression is pinned engine-portable
 # (SUM cast to BIGINT against DuckDB's HUGEINT promotion, MEDIAN over
 # DOUBLE so both engines interpolate in double, GROUPING() so a NULL
-# source group can never masquerade as the grand-total row).
+# source group can never masquerade as the grand-total row, and the
+# NULL-source sentinel is '<null>' — not 'NULL', which a real source
+# literally named "NULL" would collide with).
 _SQL_CORPUS_REPORT = """
 SELECT CASE WHEN GROUPING(source) = 1 THEN 'TOTAL'
-            ELSE COALESCE(source, 'NULL') END AS src,
+            ELSE COALESCE(source, '<null>') END AS src,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT md5(text)) AS distinct_contents,
        COUNT(*) - COUNT(DISTINCT md5(text)) AS dup_docs,

@@ -532,6 +532,18 @@ def test_ivf_accepts_trained_quantizer(spark, sf_dir):
     assert all(vid != 0 for vid, _ in got)  # probe excluded
     assert got == run()  # deterministic
 
+    # a bad codebook fails loudly at build time, not downstream
+    import pytest
+
+    with pytest.raises(ValueError, match="nprobe"):
+        similarity.ivf_topk(
+            embs, probe, nprobe=4, centroids={0: codebook[0], 1: codebook[1]}
+        )
+    with pytest.raises(ValueError, match="dimensions"):
+        similarity.ivf_topk(
+            embs, probe, nprobe=1, centroids={0: codebook[0], 1: codebook[1][:32]}
+        )
+
 
 def _ref_substring_spans(rows, k=10, min_docs=2):
     """Pure-Python reference for substring_spans (string grams, no
