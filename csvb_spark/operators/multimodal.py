@@ -138,35 +138,43 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
         import pandas as _pd
 
         for pdf in batches:
-            if not len(pdf):
+            n = len(pdf)
+            if not n:
                 continue
-            # Columnar construction: the only per-row Python work is
-            # materializing the output bytes objects (required by the
-            # binary column) and crc32 (C-speed per slice). Slice
-            # arithmetic is vectorized, and the batch loops over
-            # n_frames — not rows — so a real vectorized decoder slots
-            # into the same shape.
-            p_list = [bytes(p) for p in pdf["payload"]]
-            steps = _np.maximum(
-                _np.fromiter((len(p) for p in p_list), dtype=_np.int64) // n_frames,
-                1,
+            # All slice math is NumPy index arithmetic over ONE
+            # contiguous buffer: per-payload offsets from a cumsum,
+            # an (n_frames × n) grid of clamped starts/lengths, then
+            # a single ravel into the output columns. Per-row Python
+            # remains only where Arrow's binary column forces a bytes
+            # object (the .tobytes() gather) and for crc32 (a C call
+            # per slice) — exactly the two spots a real decoder
+            # replaces.
+            pays = [bytes(p) for p in pdf["payload"]]
+            lens = _np.fromiter(map(len, pays), dtype=_np.int64, count=n)
+            offs = _np.zeros(n + 1, dtype=_np.int64)
+            _np.cumsum(lens, out=offs[1:])
+            buf = memoryview(b"".join(pays))
+            steps = _np.maximum(lens // n_frames, 1)
+            frame_idx = _np.arange(n_frames, dtype=_np.int64)[:, None]
+            starts = _np.minimum(steps[None, :] * frame_idx, lens[None, :])
+            flens = _np.minimum(steps[None, :], lens[None, :] - starts)
+            gstarts = (offs[:-1][None, :] + starts).ravel()
+            gends = (gstarts + flens.ravel())
+            fb = [
+                buf[s:e].tobytes()
+                for s, e in zip(gstarts.tolist(), gends.tolist())
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _np.tile(pdf["doc_id"].values, n_frames),
+                    "frame_id": _np.repeat(
+                        _np.arange(n_frames, dtype=_np.int32), n
+                    ),
+                    "frame_bytes": fb,
+                    "frame_len": flens.ravel().astype(_np.int32),
+                    "frame_crc": [_zlib.crc32(x) for x in fb],
+                }
             )
-            parts = []
-            for i in range(n_frames):
-                starts = steps * i
-                fb = [p[s : s + st] for p, s, st in zip(p_list, starts, steps)]
-                parts.append(
-                    _pd.DataFrame(
-                        {
-                            "doc_id": pdf["doc_id"].values,
-                            "frame_id": i,
-                            "frame_bytes": fb,
-                            "frame_len": [len(x) for x in fb],
-                            "frame_crc": [_zlib.crc32(x) for x in fb],
-                        }
-                    )
-                )
-            yield _pd.concat(parts, ignore_index=True)
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 

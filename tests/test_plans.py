@@ -140,6 +140,34 @@ def test_ivf_multi_probe_fallback(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_sample_frames_vectorized_slices(spark):
+    """Frame sampling's slice math (equal payload slices, clamped at
+    the end, n_frames rows per doc even for short/empty payloads) —
+    pinned against hand-computed frames so the NumPy index-arithmetic
+    path can't drift from the documented stub semantics."""
+    import zlib
+
+    from csvb_spark.operators.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [(1, b"abcdefghij"), (2, b"xy"), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    out = sample_frames(df, n_frames=4).collect()
+    got = {
+        (r.doc_id, r.frame_id): (bytes(r.frame_bytes), r.frame_len, r.frame_crc)
+        for r in out
+    }
+    assert len(out) == 12  # 3 docs × 4 frames, empties included
+    expected = {
+        (1, 0): b"ab", (1, 1): b"cd", (1, 2): b"ef", (1, 3): b"gh",
+        (2, 0): b"x", (2, 1): b"y", (2, 2): b"", (2, 3): b"",
+        (3, 0): b"", (3, 1): b"", (3, 2): b"", (3, 3): b"",
+    }
+    for key, fb in expected.items():
+        assert got[key] == (fb, len(fb), zlib.crc32(fb)), key
+
+
 def test_wide_gram_keys_change_nothing_at_fixture_scale(spark, sf_dir):
     """wide_gram_keys=True (the >2^32-distinct-gram scale flag) swaps
     the 64-bit gram key for a two-seeded 128-bit composite; outputs
