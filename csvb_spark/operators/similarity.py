@@ -243,39 +243,19 @@ def ivf_topk(
                 key=lambda r: r.cid,
             )
         ]
+    # (cid, components, ||c||) — the norm is a Python sequential fold,
+    # same IEEE order as the SQL dot product, so every ranking that
+    # divides by it stays bit-identical to the oracle's formulation.
+    # Assignment/probing rank by dot(v,c)/||c||: the row's own norm is
+    # a positive constant across centroids, so dropping it preserves
+    # the cosine ORDER while cutting the per-row cost.
     cent_lits = []
     for cid_, cvec_ in cents:
         vals = [float(x) for x in cvec_]
         acc = 0.0  # sequential fold — same IEEE order as the SQL dot product
         for v in vals:
             acc += v * v
-        cent_lits.append(
-            (cid_, F.array(*[F.lit(v) for v in vals]), math.sqrt(acc))
-        )
-
-    def ranked_cids(vec: Column) -> Column:
-        """array<struct<neg_score,cid>> sorted asc = best centroid first.
-
-        Ranking score is dot(v,c)/||c|| — the row's own norm is a
-        positive constant across centroids, so dropping it preserves
-        the cosine ordering while cutting the per-row expression cost
-        ~3× (HOFs are interpreted; every aggregate eval counts). The
-        centroid norms are Python literals, computed with the same
-        sequential fold as the SQL dot product so ranking stays
-        bit-identical to the oracle's formulation.
-        """
-        vd = as_double(vec)
-        return F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        (-(dot(vd, cl) / F.lit(nc))).alias("neg_score"),
-                        F.lit(cid).alias("cid"),
-                    )
-                    for cid, cl, nc in cent_lits
-                ]
-            )
-        )
+        cent_lits.append((cid_, vals, math.sqrt(acc)))
 
     from csvb_spark.operators.dedup import spread
 
@@ -361,32 +341,88 @@ def ivf_topk(
             .limit(k)
         )
 
-    # --- multi-probe fallback: broadcast-join expression path ---------
-    p = F.broadcast(
-        probe.select(
-            F.col(id_col).alias("probe_id"),
-            F.col(vec_col).alias("probe_vec"),
-            F.transform(
-                F.slice(ranked_cids(F.col(vec_col)), 1, nprobe), lambda s: s["cid"]
-            ).alias("probe_cids"),
-            norm2(as_double(F.col(vec_col))).alias("probe_norm"),
+    if not p_rows:
+        return embeddings.select(
+            id_col, F.lit(0.0).alias("cos_sim")
+        ).limit(0)
+
+    # --- multi-probe path: the SAME vectorized shape with a probe
+    # MATRIX. One Arrow-batched pandas UDF computes, per batch, the
+    # corpus-side cell (argmax matmul — ranking only, as above), the
+    # row norm (left-fold accumulate, bit-identical to the SQL fold)
+    # and a dim-folded dot against EVERY probe at once
+    # (batch × P × dim accumulate → batch × P, each entry a strict
+    # left-fold). Downstream is scalar codegen: posexplode the pdots,
+    # keep (row, probe) pairs whose cell is in that probe's probed
+    # set (literal array lookup — the probe count is bounded), cos =
+    # pdot/(vnorm·pnorm), global top-k via TakeOrderedAndProject.
+    # No join in the plan and no interpreted HOF evaluation — the r2
+    # fallback evaluated K HOF dot products per corpus row.
+    from pyspark.sql.functions import pandas_udf
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0  # sequential fold — same IEEE order as SQL
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    cent_vecs = [[float(x) for x in cv] for _, cv in cents]
+    probes_py = [(int(r.pid), [float(x) for x in r.pvec]) for r in p_rows]
+    probe_cids: list[list[int]] = []
+    pnorms: list[float] = []
+    for _pid, pv in probes_py:
+        scored = sorted(
+            (-(_fold_dot(pv, cv) / nc), cid)
+            for cv, (cid, _, nc) in zip(cent_vecs, cent_lits)
         )
+        probe_cids.append([cid for _, cid in scored[:nprobe]])
+        pnorms.append(math.sqrt(_fold_dot(pv, pv)))
+
+    cid_arr = np.array([cid for cid, _, _ in cent_lits], dtype=np.int64)
+    cmat = np.array(cent_vecs, dtype=np.float64)
+    cnorms = np.array([nc for _, _, nc in cent_lits], dtype=np.float64)
+    proj = (cmat / cnorms[:, None]).T  # dim × K
+    pmat = np.array([pv for _, pv in probes_py], dtype=np.float64)  # P × dim
+
+    @pandas_udf("struct<cid:bigint,vnorm:double,pdots:array<double>>")
+    def _feat_multi(vs: pd.Series) -> pd.DataFrame:
+        import numpy as _np
+
+        if len(vs) == 0:
+            return pd.DataFrame({"cid": [], "vnorm": [], "pdots": []})
+        v = _np.stack([_np.asarray(x, dtype=_np.float64) for x in vs])
+        pdots = _np.add.accumulate(
+            v[:, None, :] * pmat[None, :, :], axis=2
+        )[:, :, -1]  # batch × P, strict left-folds
+        return pd.DataFrame(
+            {
+                "cid": cid_arr[_np.argmax(v @ proj, axis=1)],
+                "vnorm": _np.sqrt(_np.add.accumulate(v * v, axis=1)[:, -1]),
+                "pdots": list(pdots),
+            }
+        )
+
+    cids_lit = F.array(
+        *[F.array(*[F.lit(c) for c in cl]) for cl in probe_cids]
     )
-    assigned = spread(embeddings).select(
-        id_col,
-        vec_col,
-        F.element_at(ranked_cids(F.col(vec_col)), 1)["cid"].alias("cid"),
-    )
+    pid_lit = F.array(*[F.lit(pid) for pid, _ in probes_py])
+    pnorm_lit = F.array(*[F.lit(x) for x in pnorms])
+    j1 = F.col("j") + 1  # posexplode is 0-based, element_at 1-based
     return (
-        assigned.join(p, F.array_contains(F.col("probe_cids"), F.col("cid")))
-        .filter(F.col(id_col) != F.col("probe_id"))
+        spread(embeddings)
+        .select(id_col, _feat_multi(F.col(vec_col)).alias("f"))
+        .select(
+            id_col,
+            F.col("f.cid").alias("cid"),
+            F.col("f.vnorm").alias("vnorm"),
+            F.posexplode("f.pdots").alias("j", "pdot"),
+        )
+        .filter(F.array_contains(F.element_at(cids_lit, j1), F.col("cid")))
+        .filter(F.col(id_col) != F.element_at(pid_lit, j1))
         .select(
             id_col,
             F.round(
-                cosine_pnorm(
-                    F.col(vec_col), F.col("probe_vec"), F.col("probe_norm")
-                ),
-                6,
+                F.col("pdot") / (F.col("vnorm") * F.element_at(pnorm_lit, j1)), 6
             ).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))

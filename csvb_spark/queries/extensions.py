@@ -879,6 +879,61 @@ LIMIT 10
 """,
 )
 
+# Multi-probe IVF (the probe-matrix pandas_udf path, vectorized in
+# round 4 — the r3 fallback evaluated K interpreted HOF dot products
+# per corpus row). Two probes, union of probed cells, ONE global
+# top-k over all candidates (ivf_topk's multi-probe contract). The
+# oracle replays assignment + per-probe cell choice + scoring.
+_q(
+    "x52_sim_ivf_multiprobe",
+    spark=lambda spark, sf: similarity.ivf_topk(
+        _embs(spark, sf),
+        _embs(spark, sf).filter(F.col("vec_id") < 2),
+        k=10,
+        n_centroids=16,
+        nprobe=4,
+    ),
+    oracle="""
+WITH vecs AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, v AS cvec FROM vecs WHERE vec_id < 16
+), sims AS (
+  SELECT vecs.vec_id, cents.cid,
+         list_dot_product(vecs.v, cents.cvec)
+         / sqrt(list_dot_product(cents.cvec, cents.cvec)) AS sim
+  FROM vecs CROSS JOIN cents
+), assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims) t
+  WHERE rn = 1
+), probe_cids AS (
+  SELECT vec_id AS probe_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM sims WHERE vec_id < 2) t
+  WHERE rn <= 4
+), probes AS (
+  SELECT vec_id AS probe_id, v AS pv FROM vecs WHERE vec_id < 2
+), cand AS (
+  SELECT e.vec_id,
+         ROUND(list_dot_product(e.v, p.pv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(p.pv, p.pv))), 6) AS cos_sim
+  FROM vecs e
+  JOIN assign a ON a.vec_id = e.vec_id
+  JOIN probe_cids pc ON pc.cid = a.cid
+  JOIN probes p ON p.probe_id = pc.probe_id
+  WHERE e.vec_id <> p.probe_id
+)
+SELECT vec_id, cos_sim FROM cand
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+""",
+)
+
 # --- sessionization (batch; the streaming twin is csvb_spark.streaming.sessions) --
 def _events(spark: SparkSession, sf: str) -> DataFrame:
     from csvb_spark.sources.catalog import load_tables

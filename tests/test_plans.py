@@ -121,13 +121,11 @@ def test_ivf_plan_shape(spark, sf_dir):
     assert "aggregate(" not in plan  # no interpreted HOF folds
 
 
-def test_ivf_multi_probe_fallback(spark, sf_dir):
-    """With >1 probe row ivf_topk falls back to the broadcast-join
-    expression path; each probe's neighborhood is still ranked by the
-    same cosine ordering (spot-check: the single-probe result for
-    vec_id=0 is a subset of the 2-probe run restricted to that probe's
-    candidates would require probe ids in the output, so assert the
-    fallback runs, returns k rows, and scores within [-1, 1])."""
+def test_ivf_multi_probe_vectorized(spark, sf_dir):
+    """With >1 probe row ivf_topk runs the probe-MATRIX pandas UDF —
+    same Arrow-batched shape as the single-probe path (r3's fallback
+    evaluated K interpreted HOF dot products per corpus row). Plan:
+    UDF + scalar codegen + TakeOrderedAndProject, no join, no HOFs."""
     from pyspark.sql import functions as F
 
     from csvb_spark.operators.similarity import ivf_topk
@@ -137,7 +135,10 @@ def test_ivf_multi_probe_fallback(spark, sf_dir):
     assert len(out) == 10
     assert all(-1.0 <= r.cos_sim <= 1.0 for r in out)
     plan = _plan(ivf_topk(e, e.filter(F.col("vec_id") < 2), k=10))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "ArrowEvalPython" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan  # probes are driver-side literal arrays
+    assert "aggregate(" not in plan  # no interpreted HOF folds
 
 
 def test_sample_frames_vectorized_slices(spark):
