@@ -126,11 +126,15 @@ def minhash_signatures(
         "doc_id",
         F.explode(word_shingles(text_col, shingle_words)).alias("s"),
     ).select("doc_id", F.xxhash64("s").alias("hs"))
-    mins = exploded.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("hs", F.lit(i))).alias(f"h{i}") for i in range(num_perm)]
-    )
-    return mins.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(num_perm)]).alias("sig")
+    # ONE parsed expression for all num_perm aggregates: building them
+    # as individual Column objects costs 4+ py4j round-trips each and
+    # was ~25% of the operator's per-run plan-construction time (the
+    # bench counts construction — a real user's driver pays it too).
+    # SQL `i` literals are INT like F.lit(i), so hash values are
+    # bit-identical to the Column form.
+    sig = ", ".join(f"min(xxhash64(hs, {i}))" for i in range(num_perm))
+    return exploded.groupBy("doc_id").agg(
+        F.expr(f"array({sig})").alias("sig")
     )
 
 
@@ -156,25 +160,22 @@ def minhash_bands(
     """
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(docs, text_col, num_perm, shingle_words)
+    # one parsed expression for the whole band array (same py4j
+    # economics as the signature aggregate above; values unchanged —
+    # SQL array indexing is 0-based like Column.getItem)
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_key', xxhash64({args}))".format(
+            b=b,
+            args=", ".join(
+                f"sig[{b * rows_per_band + j}]" for j in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigs.select(
         "doc_id",
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            *[
-                                F.col("sig")[b * rows_per_band + j]
-                                for j in range(rows_per_band)
-                            ]
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+        F.expr(f"explode(array({structs}))").alias("band"),
     ).select("doc_id", "sig", "band.band_id", "band.band_key")
 
 
@@ -268,11 +269,15 @@ def minhash_lsh_pairs(
 
     a = banded.alias("a")
     b = banded.alias("b")
-    # est: unrolled equality votes (codegen) instead of zip_with/filter
-    est = sum(
-        (F.col("a.sig")[j] == F.col("b.sig")[j]).cast("int")
-        for j in range(num_perm)
-    ) / F.lit(float(num_perm))
+    # est: unrolled equality votes (codegen) instead of zip_with/filter;
+    # ONE parsed expression — the generator-of-Columns form was ~0.2s
+    # of py4j chatter per plan construction. `/ CAST(n AS DOUBLE)`
+    # keeps the int-sum / double division of the Column form (a bare
+    # `16.0` literal would parse as DECIMAL and change the type).
+    votes = " + ".join(
+        f"CAST(a.sig[{j}] = b.sig[{j}] AS INT)" for j in range(num_perm)
+    )
+    est = F.expr(f"({votes}) / CAST({num_perm} AS DOUBLE)")
     pairs = (
         # merge hint: a broadcast plan would rebuild the banding twice
         # (once for the broadcast, once streamed) with no exchange
@@ -280,9 +285,10 @@ def minhash_lsh_pairs(
         # available for hot band buckets (boilerplate documents).
         a.join(
             b.hint("merge"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band_id = b.band_id AND a.band_key = b.band_key "
+                "AND a.doc_id < b.doc_id"
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
