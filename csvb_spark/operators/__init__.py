@@ -5,6 +5,7 @@
 - ``text``        token stats, quality, language ID, fingerprints
 - ``sessions``    gap-based sessionization (batch; streaming twin in
                   ``csvb_spark.streaming.sessions``)
+- ``search``      BM25 lexical top-k + reciprocal-rank fusion
 - ``skew``        salted join / salted exact count-distinct
 - ``multimodal``  binary payload + metadata plumbing (mapInPandas)
 - ``splits``      dataset assembly: splits, contamination, mixture
@@ -17,6 +18,7 @@ Design notes per operator family: SCALE.md at the repo root.
 from csvb_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
+    search,
     sessions,
     similarity,
     skew,

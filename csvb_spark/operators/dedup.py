@@ -813,3 +813,82 @@ def strip_spans(
         F.size("t").alias("n_tokens"),
         (F.size("t") - F.size(kept)).alias("n_removed"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    segments: Column | None = None,
+    min_docs: int = 2,
+    joiner: str = "\n",
+    text_col: str = "text",
+    wide_gram_keys: bool = False,
+) -> DataFrame:
+    """Repeated-line removal (the RefinedWeb / CCNet line-dedup shape):
+    drop every segment that occurs verbatim in ``min_docs`` or more
+    DISTINCT documents — boilerplate headers, cookie banners,
+    navigation chrome — and reassemble each document from its
+    surviving segments in original order.
+
+    ``segments`` is any ``array<string>`` expression over the row
+    (default: newline split of ``text_col``); pass a custom
+    segmentation (sentences, fixed token windows) when the corpus has
+    no newlines. Output per input doc: ``doc_id``, ``n_lines``,
+    ``n_kept``, ``clean_text`` (empty string when every line was
+    boilerplate).
+
+    Plan: posexplode → segment-hash key (fixed-width int64 on the
+    wire, never the line text; ``wide_gram_keys`` widens to 128-bit
+    past the ~2^32-distinct-line birthday bound) → two-level
+    partial-aggregated groupBy for the distinct-doc count (no
+    count_distinct shuffle of raw doc_ids) → left-anti join against
+    the ≥min_docs set → one keyed shuffle to reassemble. The frequent
+    set is the heavy-hitter tail of the line distribution —
+    broadcast-sized in the common case; AQE decides, and skew on a
+    viral line lands in the anti-join where AQE skew-split applies.
+    Reference scope: beyond-reference (training-pipeline extension);
+    method shape per Penedo et al. 2023 (RefinedWeb) §3.3.
+    """
+    from csvb_spark.operators.text import gram_key_cols, gram_key_struct
+
+    keys = gram_key_cols(wide_gram_keys)
+    segs_expr = segments if segments is not None else F.split(F.col(text_col), "\n")
+    segs = (
+        docs.select("doc_id", F.posexplode(segs_expr).alias("pos", "seg"))
+        .select(
+            "doc_id",
+            "pos",
+            "seg",
+            gram_key_struct(F.col("seg"), wide_gram_keys).alias("gk"),
+        )
+        .select("doc_id", "pos", "seg", "gk.*")
+    )
+    frequent = (
+        segs.select(*keys, "doc_id")
+        .groupBy(*keys, "doc_id")
+        .agg(F.lit(1))
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select(*keys)
+    )
+    kept = segs.join(frequent, keys, "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        docs.select("doc_id", F.size(segs_expr).alias("n_lines"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""Lexical search + rank fusion for training-data pipelines.
+
+BM25 is the lexical complement to the embedding-space retrieval in
+``similarity.py`` — at pipeline scale it drives targeted corpus
+queries ("find docs about X to audit/decontaminate") without an
+embedding pass, and fused with cosine ranks (reciprocal-rank fusion)
+it is the standard hybrid-retrieval baseline.
+
+Both operators are pure DataFrame: the only shuffles are keyed
+aggregations (per-doc term rollup, per-list rank windows); corpus
+statistics (N, avgdl, per-term df) reduce to broadcast single-rows or
+a tiny per-term table. No Python in the row path.
+
+Cross-engine determinism (see ``queries.common``): every
+variable-cardinality sum runs in DECIMAL after a per-addend
+``round(x, 6)``; scalar arithmetic keeps one fixed parenthesization
+so Spark and the DuckDB oracle produce identical IEEE doubles.
+
+Reference scope: beyond-reference (training-pipeline extension);
+BM25 per Robertson & Zaragoza 2009 (log-free idf variant — the raw
+odds ratio (N - df + 0.5)/(df + 0.5), keeping the arithmetic
+engine-portable per this repo's integer/ratio-only convention); RRF
+per Cormack, Clarke & Buettcher 2009.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from csvb_spark.operators.text import tokens
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 against a bag of query terms.
+
+    Output: (doc_id, n_terms, bm25) ordered by score desc with doc_id
+    tiebreak; only documents matching ≥1 term appear (everything else
+    scores 0). ``n_terms`` = distinct query terms present.
+
+    Per-(doc, term): score_t = idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
+    b·dl/avgdl)), idf = (N − df + 0.5)/(df + 0.5) — log-free, see
+    module doc. Per-doc score = decimal sum of round(score_t, 6).
+
+    Plan: the postings explode filters each doc's token array to the
+    query terms BEFORE exploding (map-only; non-matching docs emit
+    nothing), so the exploded cardinality is Σ tf over matching docs
+    only — for a bounded query-term set this is a vanishing fraction
+    of the corpus. df aggregates over the postings (tiny: ≤ |terms|
+    rows, broadcast), corpus stats (N, avgdl) reduce to one broadcast
+    row, and the final rollup is one keyed shuffle + global top-k
+    (TakeOrderedAndProject — never a full sort).
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    t = tokens(text_col)
+    base = docs.select("doc_id", F.size(t).alias("dl"), t.alias("toks"))
+    stats = F.broadcast(
+        base.agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum(F.col("dl").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avgdl"),
+        )
+    )
+    postings = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(F.filter("toks", lambda x: F.array_contains(terms, x))).alias(
+                "term"
+            ),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = F.broadcast(
+        postings.groupBy("term").agg(F.count("*").alias("df"))
+    )
+    k1c, bc = F.lit(float(k1)), F.lit(float(b))
+    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    denom = F.col("tf") + k1c * (
+        F.lit(1.0) - bc + (bc * F.col("dl").cast("double")) / F.col("avgdl")
+    )
+    term_score = F.round(idf * ((F.col("tf") * (k1c + 1.0)) / denom), 6)
+    return (
+        postings.join(df_tbl, "term")
+        .crossJoin(stats)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum(term_score.cast("decimal(18,6)")).cast("double").alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists: rrf(d) = Σ_lists
+    1/(c + rank_list(d)), the standard hybrid-retrieval combiner
+    (robust to incomparable score scales — only ranks matter).
+
+    Each input must expose (id_col, score_col); ranks are assigned
+    per list by score desc with id tiebreak (total order → identical
+    ranks in any engine). Output: (id_col, n_lists, rrf) ordered by
+    fused score desc with id tiebreak. Per-list contributions are
+    round(1/(c+rank), 6) summed in DECIMAL — order-independent.
+
+    Plan: each list is ranked with a single-partition window ONLY if
+    the caller passed an unbounded list — the intended use feeds
+    already-top-k'd lists (bounded, e.g. ``bm25_topk``/
+    ``brute_force_topk`` output), so the window input is k rows per
+    list, the union is tiny, and the rollup + top-k is trivial. At
+    scale the expensive part is producing the input rankings, not the
+    fusion.
+    """
+    ranked = []
+    for i, r in enumerate(rankings):
+        w = (
+            r.select(
+                F.col(id_col).alias("_id"), F.col(score_col).alias("_score")
+            )
+            .withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy(F.desc("_score"), F.asc("_id"))),
+            )
+            .select(
+                "_id",
+                F.round(F.lit(1.0) / (F.lit(float(c)) + F.col("rank")), 6).alias(
+                    "contrib"
+                ),
+            )
+        )
+        ranked.append(w)
+    allr = ranked[0]
+    for w in ranked[1:]:
+        allr = allr.unionAll(w)
+    return (
+        allr.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_lists"),
+            F.sum(F.col("contrib").cast("decimal(18,6)")).cast("double").alias("rrf"),
+        )
+        .select(F.col("_id").alias(id_col), "n_lists", "rrf")
+        .orderBy(F.desc("rrf"), F.asc(id_col))
+        .limit(k)
+    )

@@ -417,3 +417,107 @@ def bigram_familiarity(
             F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
         )
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    wide_gram_keys: bool = False,
+) -> DataFrame:
+    """Data-selection importance weights (the DSIR shape — Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much its hashed-bigram
+    distribution resembles a ``target`` subset of the same corpus
+    (e.g. a known-high-quality source or language), so the raw pool
+    can be importance-resampled toward the target distribution.
+
+    DSIR's weight is a product of per-gram probability ratios; floats
+    multiplied in data-dependent order are engine-fragile, so —
+    consistent with :func:`bigram_familiarity`'s integer-only design —
+    the score is the count-based aggregate ratio
+
+        weight = (target_hits / target_total) / (raw_hits / raw_total)
+
+    where ``target_hits``/``raw_hits`` sum the target/raw corpus
+    counts of the doc's bigram occurrences and the totals are global
+    gram-occurrence counts. All four operands are exact int64 sums;
+    the single double division is IEEE-deterministic. weight > 1 ⇒
+    the doc's grams are over-represented in the target: keep-leaning.
+
+    Plan: one bigram explode feeds ONE count table carrying both raw
+    and target counts (a conditional sum — no second aggregation over
+    the corpus), totals reduce to a broadcast single-row, scoring is
+    the same join + keyed rollup shape as ``bigram_familiarity``.
+    Linear in corpus size, no all-pairs anywhere; grams travel as
+    fixed-width hashes (``wide_gram_keys`` for >2^32 distinct grams).
+    Reference scope: beyond-reference (training-pipeline extension).
+    """
+    t = tokens(text_col)
+    keys = gram_key_cols(wide_gram_keys)
+    grams = docs.select(
+        "doc_id",
+        target.cast("int").alias("is_target"),
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: gram_key_struct(
+                        F.concat_ws(" ", F.slice(t, i, 2)), wide_gram_keys
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast(
+                    "array<struct<" + ",".join(f"{k}:bigint" for k in keys) + ">>"
+                )
+            )
+        ).alias("g"),
+    ).select("doc_id", "is_target", "g.*")
+    counts = grams.groupBy(*keys).agg(
+        F.count("*").alias("n_raw"),
+        F.sum("is_target").alias("n_target"),
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("n_raw").alias("raw_total"),
+            F.sum("n_target").alias("target_total"),
+        )
+    )
+    scored = (
+        grams.join(counts, keys)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("n_target").alias("target_hits"),
+            F.sum("n_raw").alias("raw_hits"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .crossJoin(totals)
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("target_hits", F.lit(0)).alias("target_hits"),
+            F.coalesce("raw_hits", F.lit(0)).alias("raw_hits"),
+            F.when(
+                (F.coalesce("raw_hits", F.lit(0)) > 0)
+                & (F.col("target_total") > 0),
+                F.round(
+                    (
+                        F.col("target_hits").cast("double")
+                        * F.col("raw_total").cast("double")
+                    )
+                    / (
+                        F.col("raw_hits").cast("double")
+                        * F.col("target_total").cast("double")
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("weight"),
+        )
+    )

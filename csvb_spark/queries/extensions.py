@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from csvb_spark.operators import (
     dedup,
     multimodal,
+    search,
     sessions,
     similarity,
     skew,
@@ -1445,5 +1446,184 @@ FROM orders
 WINDOW w AS (PARTITION BY o_custkey
              ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+""",
+)
+
+
+# --- round 4: line dedup, DSIR, lexical search, rank fusion -----------
+# The fixture corpus has no newlines, so the line-dedup entry segments
+# each doc into NON-overlapping 16-token windows (a deterministic
+# pseudo-line both engines replay exactly); with real web text the
+# operator's default newline split applies unchanged.
+def _x53_segments():
+    from csvb_spark.operators.text import tokens
+
+    t = tokens("text")
+    return F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(t) - 1) / 16).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(t, i * 16 + 1, 16)),
+    )
+
+
+_q(
+    "x53_line_dedup",
+    spark=lambda spark, sf: dedup.line_dedup(
+        _docs(spark, sf), segments=_x53_segments(), min_docs=2, joiner=" "
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), segs AS (
+  SELECT doc_id, i, array_to_string(w[(i*16+1):(i*16+16)], ' ') AS seg
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(0, CAST(floor((len(w) - 1) / 16) AS INT))) AS i
+        FROM toks) s
+), freq AS (
+  SELECT seg FROM (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+  WHERE nd >= 2
+), kept AS (
+  SELECT doc_id, i, seg FROM segs WHERE seg NOT IN (SELECT seg FROM freq)
+), re AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(floor((len(t.w) - 1) / 16) AS INT) + 1 AS n_lines,
+       COALESCE(r.n_kept, 0) AS n_kept,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN re r USING (doc_id)
+""",
+)
+
+_q(
+    "x54_dsir_weights",
+    spark=lambda spark, sf: text.dsir_weights(
+        _docs(spark, sf), target=F.col("lang") == "en"
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+         string_split_regex(trim(text), '\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, is_target, array_to_string(w[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, is_target, w,
+               unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), counts AS (
+  SELECT g, COUNT(*) AS n_raw, SUM(is_target) AS n_target FROM grams GROUP BY g
+), tot AS (
+  SELECT SUM(n_raw) AS raw_total, SUM(n_target) AS target_total FROM counts
+), scored AS (
+  SELECT gr.doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(c.n_target) AS BIGINT) AS target_hits,
+         CAST(SUM(c.n_raw) AS BIGINT) AS raw_hits
+  FROM grams gr JOIN counts c USING (g) GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       COALESCE(s.target_hits, 0) AS target_hits,
+       COALESCE(s.raw_hits, 0) AS raw_hits,
+       CASE WHEN COALESCE(s.raw_hits, 0) > 0 AND t.target_total > 0
+            THEN ROUND((CAST(s.target_hits AS DOUBLE) * CAST(t.raw_total AS DOUBLE))
+                       / (CAST(s.raw_hits AS DOUBLE) * CAST(t.target_total AS DOUBLE)), 6)
+            ELSE 0.0 END AS weight
+FROM documents d LEFT JOIN scored s USING (doc_id) CROSS JOIN tot t
+""",
+)
+
+# BM25 and the fused entry share one term set; both SQL texts inline
+# the same scoring expression with identical parenthesization so the
+# IEEE result matches Spark's term-by-term (see search.py module doc).
+_BM25_CTES = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len(w) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM base
+), postings AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+    SELECT doc_id, len(w) AS dl,
+           unnest(list_filter(w, x -> list_contains(['spark','query','join'], x))) AS term
+    FROM base) u
+  GROUP BY doc_id, dl, term
+), dfs AS (
+  SELECT term, COUNT(*) AS df FROM postings GROUP BY term
+), bm AS (
+  SELECT p.doc_id, COUNT(*) AS n_terms,
+         CAST(SUM(CAST(ROUND(
+           ((s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * ((p.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+              / (p.tf + CAST(1.2 AS DOUBLE)
+                 * (1.0 - CAST(0.75 AS DOUBLE)
+                    + (CAST(0.75 AS DOUBLE) * CAST(p.dl AS DOUBLE)) / s.avgdl)))
+         , 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+  FROM postings p JOIN dfs d USING (term) CROSS JOIN stats s
+  GROUP BY p.doc_id
+)
+"""
+
+_q(
+    "x55_bm25_topk",
+    spark=lambda spark, sf: search.bm25_topk(
+        _docs(spark, sf), ["spark", "query", "join"], k=10
+    ),
+    oracle=_BM25_CTES
+    + """
+SELECT doc_id, n_terms, bm25 FROM bm
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+)
+
+
+def _x56(spark: SparkSession, sf: str) -> DataFrame:
+    lexical = search.bm25_topk(
+        _docs(spark, sf), ["spark", "query", "join"], k=50
+    ).select("doc_id", F.col("bm25").alias("score"))
+    semantic = similarity.brute_force_topk(
+        _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") == 0), k=50
+    ).select(F.col("vec_id").alias("doc_id"), F.col("cos_sim").alias("score"))
+    return search.rrf_fuse([lexical, semantic], k=10)
+
+
+_q(
+    "x56_rrf_hybrid",
+    spark=_x56,
+    oracle=_BM25_CTES
+    + """
+, bm50 AS (
+  SELECT doc_id, bm25 AS score FROM bm ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+), probe AS (
+  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+), cos50 AS (
+  SELECT e.vec_id AS doc_id,
+         ROUND(
+           list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(p.pv AS DOUBLE[]), CAST(p.pv AS DOUBLE[])))), 6)
+           AS score
+  FROM embeddings e, probe p
+  WHERE e.vec_id <> 0
+  ORDER BY score DESC, doc_id ASC
+  LIMIT 50
+), r1 AS (
+  SELECT doc_id,
+         ROUND(CAST(1.0 AS DOUBLE) / (60 + ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)), 6) AS contrib
+  FROM bm50
+), r2 AS (
+  SELECT doc_id,
+         ROUND(CAST(1.0 AS DOUBLE) / (60 + ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)), 6) AS contrib
+  FROM cos50
+), u AS (
+  SELECT * FROM r1 UNION ALL SELECT * FROM r2
+)
+SELECT doc_id, COUNT(*) AS n_lists,
+       CAST(SUM(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) AS rrf
+FROM u GROUP BY doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
 """,
 )

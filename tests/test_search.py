@@ -1,0 +1,191 @@
+"""Unit + plan tests for the round-4 operators: line-level dedup,
+DSIR importance weights, BM25 lexical search, reciprocal-rank fusion.
+
+The differential oracles (x53-x56 in test_oracle.py) prove the math
+against DuckDB on the fixture corpus; these tests pin the EDGE
+semantics the fixture can't reach (empty docs, all-boilerplate docs,
+absent targets, disjoint ranked lists) and the plan shapes that make
+the operators scale (broadcast stats, no cartesian over the corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from csvb_spark.operators import dedup, search, text
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
+
+
+# --- line_dedup ---------------------------------------------------------
+
+
+def _line_docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text="keep me\nshared banner\nunique tail"),
+            Row(doc_id=2, text="shared banner\nother content"),
+            Row(doc_id=3, text="shared banner"),
+            Row(doc_id=4, text="solo document"),
+        ]
+    )
+
+
+def test_line_dedup_newline_default(spark):
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(_line_docs(spark), min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "keep me\nunique tail"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["clean_text"] == "other content"
+    # every line boilerplate -> empty doc survives with clean_text ''
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (1, 0)
+    assert out[4]["clean_text"] == "solo document"
+
+
+def test_line_dedup_min_docs_threshold(spark):
+    # min_docs=3: 'shared banner' appears in exactly 3 docs -> still cut;
+    # raising to 4 keeps everything.
+    out3 = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.line_dedup(_line_docs(spark), min_docs=3).collect()
+    }
+    assert out3[3] == ""
+    out4 = {
+        r["doc_id"]: r["clean_text"]
+        for r in dedup.line_dedup(_line_docs(spark), min_docs=4).collect()
+    }
+    assert out4[3] == "shared banner"
+
+
+def test_line_dedup_counts_distinct_docs_not_occurrences(spark):
+    # The same line 3x inside ONE doc is repetition, not cross-doc
+    # boilerplate: distinct-doc counting must keep it.
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="echo\necho\necho"), Row(doc_id=2, text="other")]
+    )
+    out = {
+        r["doc_id"]: r for r in dedup.line_dedup(docs, min_docs=2).collect()
+    }
+    assert out[1]["clean_text"] == "echo\necho\necho"
+    assert out[1]["n_kept"] == 3
+
+
+def test_line_dedup_wide_keys_same_result(spark):
+    narrow = dedup.line_dedup(_line_docs(spark), min_docs=2).collect()
+    wide = dedup.line_dedup(
+        _line_docs(spark), min_docs=2, wide_gram_keys=True
+    ).collect()
+    assert sorted(map(tuple, narrow)) == sorted(map(tuple, wide))
+
+
+# --- dsir_weights -------------------------------------------------------
+
+
+def test_dsir_no_target_docs_scores_zero(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c", lang="fr"), Row(doc_id=2, text="a b", lang="fr")]
+    )
+    rows = text.dsir_weights(docs, target=F.col("lang") == "en").collect()
+    assert all(r["weight"] == 0.0 for r in rows)
+    assert all(r["target_hits"] == 0 for r in rows)
+
+
+def test_dsir_target_doc_overweighted(spark):
+    # Doc 1's bigrams ARE the target distribution -> weight > 1;
+    # doc 3 shares nothing with the target -> weight < 1 side of it.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="good clean prose here", lang="en"),
+            Row(doc_id=2, text="good clean prose here", lang="fr"),
+            Row(doc_id=3, text="zz yy xx ww", lang="fr"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["weight"]
+        for r in text.dsir_weights(docs, target=F.col("lang") == "en").collect()
+    }
+    assert out[1] > 1.0
+    assert out[2] == out[1]  # identical text -> identical weight
+    assert out[3] < out[1]
+
+
+def test_dsir_single_token_doc_zero_bigrams(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="solo", lang="en"), Row(doc_id=2, text="a b", lang="en")]
+    )
+    out = {r["doc_id"]: r for r in text.dsir_weights(docs, F.col("lang") == "en").collect()}
+    assert out[1]["n_bigrams"] == 0
+    assert out[1]["weight"] == 0.0
+
+
+# --- bm25_topk ----------------------------------------------------------
+
+
+def test_bm25_rewards_rarity_and_tf(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark spark spark common"),
+            Row(doc_id=2, text="spark common"),
+            Row(doc_id=3, text="common common filler filler"),
+            Row(doc_id=4, text="filler filler filler filler"),
+        ]
+    )
+    rows = search.bm25_topk(docs, ["spark", "common"], k=10).collect()
+    assert [r["doc_id"] for r in rows][:2] == [1, 2]  # rare term dominates
+    assert rows[0]["n_terms"] == 2
+    by_id = {r["doc_id"]: r for r in rows}
+    assert 3 in by_id and 4 not in by_id  # no query term -> absent
+
+
+def test_bm25_k_truncates_with_id_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text="same text here") for i in range(5)]
+    )
+    rows = search.bm25_topk(docs, ["same"], k=3).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+
+
+def test_bm25_plan_broadcasts_stats_no_corpus_cartesian(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(search.bm25_topk(docs, ["spark", "query"], k=10))
+    # corpus stats and df table ride broadcast exchanges; the top-k is
+    # TakeOrderedAndProject, never a global sort
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+# --- rrf_fuse -----------------------------------------------------------
+
+
+def test_rrf_fuses_disjoint_and_overlapping_lists(spark):
+    a = spark.createDataFrame(
+        [Row(doc_id=1, score=9.0), Row(doc_id=2, score=5.0)]
+    )
+    b = spark.createDataFrame(
+        [Row(doc_id=2, score=0.7), Row(doc_id=3, score=0.6)]
+    )
+    rows = search.rrf_fuse([a, b], k=10, id_col="doc_id", score_col="score").collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # doc 2: rank 2 in a, rank 1 in b -> 1/62 + 1/61
+    assert by_id[2]["n_lists"] == 2
+    assert abs(by_id[2]["rrf"] - (round(1 / 62, 6) + round(1 / 61, 6))) < 1e-9
+    assert by_id[1]["n_lists"] == 1
+    # overlap beats either single-list doc
+    assert rows[0]["doc_id"] == 2
+
+
+def test_rrf_rank_ties_break_by_id(spark):
+    a = spark.createDataFrame([Row(doc_id=7, score=1.0), Row(doc_id=3, score=1.0)])
+    rows = search.rrf_fuse([a], k=2, id_col="doc_id", score_col="score").collect()
+    by_id = {r["doc_id"]: r["rrf"] for r in rows}
+    assert by_id[3] > by_id[7]  # lower id gets the better rank on ties
