@@ -97,6 +97,12 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument("--shards", type=int, default=16)
     px.add_argument("--seed", type=int, default=42)
     px.add_argument("--max-records-per-file", type=int, default=None)
+    px.add_argument(
+        "--format",
+        dest="export_format",
+        choices=["parquet", "jsonl"],
+        default="parquet",
+    )
     px.add_argument("out_dir")
 
     pi = sub.add_parser(
@@ -194,6 +200,7 @@ def main(argv: list[str] | None = None) -> int:
             id_col=args.id_col,
             seed=args.seed,
             max_records_per_file=args.max_records_per_file,
+            fmt=args.export_format,
         )
         print(render_df(manifest.orderBy("shard")))
         return 0

@@ -279,10 +279,17 @@ def export_corpus(
     id_col: str = "doc_id",
     seed: int = 42,
     max_records_per_file: int | None = None,
+    fmt: str = "parquet",
 ) -> DataFrame:
-    """Write the corpus as a deterministic sharded parquet layout
-    (``shard=N/`` hive partitions, rows sorted by md5 key within each
-    shard) and return the manifest DataFrame.
+    """Write the corpus as a deterministic sharded layout (``shard=N/``
+    hive partitions, rows sorted by md5 key within each shard) and
+    return the manifest DataFrame.
+
+    ``fmt`` is ``parquet`` (default) or ``jsonl`` — Spark's json sink
+    writes newline-delimited JSON, the interchange format most
+    training-data tooling consumes; the sharding/ordering contract is
+    identical, so a JSONL export is line-for-line reproducible and
+    any engine (including DuckDB's ``read_json``) can audit it.
 
     One shuffle (repartition on shard) + partition-local sorts; shard
     membership and in-file order depend only on (id, seed), so a
@@ -290,6 +297,8 @@ def export_corpus(
     sequences. ``max_records_per_file`` bounds file size at scale
     without changing order (Spark splits a sorted partition into
     consecutive files)."""
+    if fmt not in ("parquet", "jsonl"):
+        raise ValueError(f"unsupported export format {fmt!r}")
     tagged = df.withColumn("shard", export_shard(id_col, n_shards, seed)).withColumn(
         "_key", md5_key(id_col, seed)
     )
@@ -301,7 +310,11 @@ def export_corpus(
     )
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
-    writer.partitionBy("shard").parquet(out_dir)
+    writer = writer.partitionBy("shard")
+    if fmt == "jsonl":
+        writer.json(out_dir)
+    else:
+        writer.parquet(out_dir)
     return export_manifest(df, n_shards, id_col=id_col, seed=seed)
 
 

@@ -702,3 +702,33 @@ def test_cli_export_without_size_col(spark, sf_dir, tmp_path, capsys):
     )
     out = capsys.readouterr().out
     assert rc == 0 and "n_docs" in out and "sum_" not in out
+
+
+def test_cli_export_jsonl_format(spark, sf_dir, tmp_path, capsys):
+    """`csvb export --format jsonl` writes newline-delimited JSON
+    shards a plain-text consumer (or another engine) can read."""
+    import glob
+    import json as _json
+
+    from csvb_spark.cli import main
+
+    out_dir = str(tmp_path / "exported_jsonl")
+    rc = main(
+        [
+            "export",
+            "--parquet",
+            f"{sf_dir}/documents.parquet",
+            "--shards",
+            "2",
+            "--format",
+            "jsonl",
+            out_dir,
+        ]
+    )
+    assert rc == 0
+    assert "shard" in capsys.readouterr().out
+    files = glob.glob(f"{out_dir}/shard=*/*.json")
+    assert files
+    with open(files[0]) as f:
+        first = _json.loads(f.readline())
+    assert "doc_id" in first and "text" in first

@@ -136,3 +136,43 @@ def test_export_corpus_roundtrip(spark, sf_dir, tmp_path):
     ):
         ks = [r.k for r in grp]
         assert ks == sorted(ks)
+
+
+def test_export_corpus_jsonl_duckdb_audit(spark, sf_dir, tmp_path):
+    """fmt='jsonl' writes newline-delimited JSON with the same
+    deterministic shard layout; DuckDB (a different engine entirely)
+    reads it back and agrees on count, ids, and per-shard membership —
+    the cross-engine audit the format exists for."""
+    import duckdb
+
+    from csvb_spark.operators.splits import export_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    out = str(tmp_path / "corpus_jsonl")
+    manifest = export_corpus(d, out, n_shards=4, fmt="jsonl")
+    m = {r.shard: r.n_docs for r in manifest.collect()}
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT CAST(regexp_extract(filename, 'shard=(\\d+)', 1) AS INT) AS shard,"
+        "       COUNT(*) AS n, COUNT(DISTINCT doc_id) AS nd "
+        f"FROM read_json_auto('{out}/shard=*/*.json', filename=true) "
+        "GROUP BY 1"
+    ).fetchall()
+    got = {r[0]: r[1] for r in rows}
+    assert got == m
+    assert all(r[1] == r[2] for r in rows)  # no dup or lost ids
+    total = con.execute(
+        f"SELECT COUNT(*) FROM read_json_auto('{out}/shard=*/*.json')"
+    ).fetchone()[0]
+    assert total == d.count()
+    con.close()
+
+
+def test_export_corpus_rejects_unknown_format(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    from csvb_spark.operators.splits import export_corpus
+
+    with _pytest.raises(ValueError, match="unsupported export format"):
+        export_corpus(_docs(spark, sf_dir), str(tmp_path / "x"), fmt="orc2")
