@@ -6,6 +6,7 @@
 - ``sessions``    gap-based sessionization (batch; streaming twin in
                   ``csvb_spark.streaming.sessions``)
 - ``search``      BM25 lexical top-k + reciprocal-rank fusion
+- ``bpe``         distributed BPE vocabulary training + apply
 - ``skew``        salted join / salted exact count-distinct
 - ``multimodal``  binary payload + metadata plumbing (mapInPandas)
 - ``splits``      dataset assembly: splits, contamination, mixture
@@ -16,6 +17,7 @@ Design notes per operator family: SCALE.md at the repo root.
 """
 
 from csvb_spark.operators import (  # noqa: F401
+    bpe,
     dedup,
     multimodal,
     search,

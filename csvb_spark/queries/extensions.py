@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from csvb_spark.operators import (
+    bpe,
     dedup,
     multimodal,
     search,
@@ -1626,4 +1627,70 @@ FROM u GROUP BY doc_id
 ORDER BY rrf DESC, doc_id ASC
 LIMIT 10
 """,
+)
+
+
+# --- round 4: distributed BPE trainer ---------------------------------
+# Oracle: the full 3-iteration training loop replayed as chained CTEs
+# (the x43 kmeans precedent). Each iteration recomputes pair counts
+# over the long-form symbol table, picks the argmax with the same
+# (cnt DESC, l, r) total order, and applies the greedy left-to-right
+# merge via run-parity selection: overlapping candidate matches only
+# arise for left==right runs, where taking every other position from
+# each run start reproduces the non-overlapping greedy pairing.
+def _bpe_iter_ctes(k: int) -> str:
+    return f"""
+pair{k} AS (
+  SELECT a.sym AS l, b.sym AS r, SUM(a.freq) AS cnt
+  FROM s{k} a JOIN s{k} b ON a.wid = b.wid AND b.pos = a.pos + 1
+  GROUP BY a.sym, b.sym
+), best{k} AS (
+  SELECT l, r, cnt FROM pair{k} ORDER BY cnt DESC, l, r LIMIT 1
+), cand{k} AS (
+  SELECT a.wid, a.pos
+  FROM s{k} a JOIN s{k} b ON a.wid = b.wid AND b.pos = a.pos + 1
+  CROSS JOIN best{k} t
+  WHERE a.sym = t.l AND b.sym = t.r
+), take{k} AS (
+  SELECT wid, pos FROM (
+    SELECT wid, pos, pos - MIN(pos) OVER (PARTITION BY wid, grp) AS off
+    FROM (SELECT wid, pos,
+                 pos - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS grp
+          FROM cand{k}) g
+  ) h WHERE off % 2 = 0
+), s{k + 1} AS (
+  SELECT wid, freq, ROW_NUMBER() OVER (PARTITION BY wid ORDER BY pos) AS pos, sym FROM (
+    SELECT s.wid, s.freq, s.pos,
+           CASE WHEN t.pos IS NOT NULL THEN s.sym || nx.sym ELSE s.sym END AS sym
+    FROM s{k} s
+    LEFT JOIN take{k} t ON s.wid = t.wid AND s.pos = t.pos
+    LEFT JOIN s{k} nx ON nx.wid = s.wid AND nx.pos = s.pos + 1
+    WHERE NOT EXISTS (SELECT 1 FROM take{k} t2 WHERE t2.wid = s.wid AND t2.pos = s.pos - 1)
+  ) m
+)"""
+
+
+_BPE_ORACLE = (
+    r"""
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents) u
+  WHERE length(w) > 0
+  GROUP BY w
+), s1 AS (
+  SELECT w AS wid, freq, pos, substr(w, pos, 1) AS sym
+  FROM (SELECT w, freq, unnest(generate_series(1, length(w))) AS pos FROM words) z
+),"""
+    + ",".join(_bpe_iter_ctes(k) for k in (1, 2, 3)).replace("\npair", "pair")
+    + """
+SELECT 1 AS step, l AS "left", r AS "right", CAST(cnt AS BIGINT) AS pair_count FROM best1
+UNION ALL SELECT 2, l, r, CAST(cnt AS BIGINT) FROM best2
+UNION ALL SELECT 3, l, r, CAST(cnt AS BIGINT) FROM best3
+"""
+)
+
+_q(
+    "x57_bpe_train",
+    spark=lambda spark, sf: bpe.bpe_train(_docs(spark, sf), n_merges=3),
+    oracle=_BPE_ORACLE,
 )

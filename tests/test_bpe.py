@@ -1,0 +1,104 @@
+"""Unit tests for the distributed BPE trainer + segmenter.
+
+The x57 differential oracle replays full training in DuckDB; these
+tests pin the algorithmic edges the fixture can't isolate: the
+classic textbook merge sequence, repeated-symbol runs (greedy
+non-overlap), deterministic tie-breaks, early stop, and
+trainer/segmenter agreement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from csvb_spark.operators import bpe
+
+
+def _train(spark, rows, n):
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(rows)])
+    return bpe.bpe_train(docs, n_merges=n).orderBy("step").collect()
+
+
+def test_bpe_textbook_sequence(spark):
+    # the Sennrich et al. running example shape: es -> est dominate
+    rows = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+    ]
+    m = _train(spark, rows, 2)
+    assert (m[0]["left"], m[0]["right"]) == ("e", "s")
+    assert m[0]["pair_count"] == 9
+    assert (m[1]["left"], m[1]["right"]) == ("es", "t")
+    assert m[1]["pair_count"] == 9
+
+
+def test_bpe_repeated_symbol_run_nonoverlapping(spark):
+    # 'aaaa' has 3 adjacent (a,a) occurrences but greedy left-to-right
+    # merges only 2 non-overlapping ones; after the merge the word is
+    # [aa, aa] so step 2 must see exactly one (aa, aa) pair.
+    m = _train(spark, ["aaaa"], 2)
+    assert (m[0]["left"], m[0]["right"], m[0]["pair_count"]) == ("a", "a", 3)
+    assert (m[1]["left"], m[1]["right"], m[1]["pair_count"]) == ("aa", "aa", 1)
+
+
+def test_bpe_odd_run_leaves_tail(spark):
+    # 'aaa aaa' -> each word merges to [aa, a]; step 2's best pair is
+    # (aa, a) with count 2.
+    m = _train(spark, ["aaa aaa"], 2)
+    assert (m[1]["left"], m[1]["right"], m[1]["pair_count"]) == ("aa", "a", 2)
+
+
+def test_bpe_tie_breaks_lexicographically(spark):
+    # 'ab' and 'aa' each appear twice: pairs (a,b)=2 and (a,a)=2 tie;
+    # (a,a) < (a,b) lexicographically.
+    m = _train(spark, ["ab ab aa aa"], 1)
+    assert (m[0]["left"], m[0]["right"]) == ("a", "a")
+
+
+def test_bpe_early_stop_when_no_pairs(spark):
+    # single-char words only: zero adjacent pairs, trainer returns empty
+    m = _train(spark, ["a b c a b"], 3)
+    assert m == []
+
+
+def test_bpe_segment_matches_training_state(spark):
+    # applying the learned merges reproduces a lossless segmentation
+    # whose pieces are exactly chars + learned merge outputs
+    rows = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest",
+    ]
+    docs = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in enumerate(rows)])
+    mt = bpe.bpe_train(docs, n_merges=4).orderBy("step").collect()
+    merges = [(r["left"], r["right"]) for r in mt]
+    vocab = {r["left"] + r["right"] for r in mt}
+    out = bpe.bpe_segment(docs, merges).collect()
+    for r in out:
+        # lossless: concatenating pieces reproduces the text minus spaces
+        src = next(t for i, t in enumerate(rows) if i == r["doc_id"])
+        assert "".join(r["pieces"]) == src.replace(" ", "")
+        assert r["n_pieces"] == len(r["pieces"])
+        for p in r["pieces"]:
+            assert len(p) == 1 or p in vocab
+
+
+def test_bpe_segment_rank_greedy_order(spark):
+    # merges applied by rank: with merges [(a,b), (ab,c)] the word
+    # 'abc' becomes [abc]; with only [(b,c)] it becomes [a, bc].
+    docs = spark.createDataFrame([Row(doc_id=1, text="abc")])
+    out1 = bpe.bpe_segment(docs, [("a", "b"), ("ab", "c")]).collect()[0]
+    assert out1["pieces"] == ["abc"]
+    out2 = bpe.bpe_segment(docs, [("b", "c")]).collect()[0]
+    assert out2["pieces"] == ["a", "bc"]
+
+
+def test_bpe_segment_empty_and_whitespace(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text="  x  ")]
+    )
+    out = {r["doc_id"]: r for r in bpe.bpe_segment(docs, [("x", "y")]).collect()}
+    assert out[1]["pieces"] == []
+    assert out[2]["pieces"] == ["x"]
