@@ -363,3 +363,68 @@ def contamination_check(
         .agg(F.count("*").alias("n_shared_grams"))
         .filter(F.col("n_shared_grams") >= min_shared)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-based domain mixture sampling (the multilingual-LM
+    rebalancing of Conneau et al. 2020 / mC4): per-source keep rates
+    are DERIVED from the data — source weights ∝ count^alpha,
+    flattening the head and boosting the tail as alpha → 0 — instead
+    of :func:`mixture_sample`'s hand-specified rates.
+
+    rate_s = min(1, target_frac · N · w_s / n_s) with
+    w_s = n_s^alpha / Σ_t n_t^alpha; the keep decision is the same
+    md5-hash threshold as every sampler here (append-stable, engine-
+    portable, never ``rand()``). Output: kept rows' (id, source) plus
+    the applied ``keep_rate``.
+
+    Determinism: n_s^alpha is rounded to 6 decimals and summed in
+    DECIMAL (the cross-source sum must not depend on source order);
+    the remaining arithmetic is a fixed tree of IEEE doubles.
+
+    Plan: one |sources|-row aggregate → broadcast join → map-only
+    filter. The rate table is tiny at any corpus scale; the filter is
+    a plain predicate over the scan.
+    """
+    w = (
+        df.groupBy(source_col)
+        .agg(F.count("*").alias("n_s"))
+        .withColumn(
+            "w_num",
+            F.round(
+                F.pow(F.col("n_s").cast("double"), F.lit(float(alpha))), 6
+            ).cast("decimal(18,6)"),
+        )
+    )
+    tot = w.agg(
+        F.sum("w_num").alias("w_tot"), F.sum("n_s").alias("n_tot")
+    )
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            F.least(
+                F.lit(1.0),
+                (
+                    (F.lit(float(target_frac)) * F.col("n_tot").cast("double"))
+                    * (
+                        F.col("w_num").cast("double")
+                        / F.col("w_tot").cast("double")
+                    )
+                )
+                / F.col("n_s").cast("double"),
+            ).alias("keep_rate"),
+        )
+    )
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(hash_uniform(id_col, seed) < F.col("keep_rate"))
+        .select(id_col, source_col, F.round("keep_rate", 6).alias("keep_rate"))
+    )

@@ -1694,3 +1694,34 @@ _q(
     spark=lambda spark, sf: bpe.bpe_train(_docs(spark, sf), n_merges=3),
     oracle=_BPE_ORACLE,
 )
+
+
+# --- round 4: temperature-based domain mixture ------------------------
+_q(
+    "x58_temperature_mixture",
+    spark=lambda spark, sf: splits.temperature_mixture(
+        _docs(spark, sf), alpha=0.5, target_frac=0.5
+    ),
+    oracle="""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s,
+         CAST(ROUND(pow(CAST(COUNT(*) AS DOUBLE), CAST(0.5 AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS w_num
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(w_num) AS w_tot, SUM(n_s) AS n_tot FROM counts
+), rates AS (
+  SELECT source,
+         LEAST(CAST(1.0 AS DOUBLE),
+               ((CAST(0.5 AS DOUBLE) * CAST(t.n_tot AS DOUBLE))
+                * (CAST(c.w_num AS DOUBLE) / CAST(t.w_tot AS DOUBLE)))
+               / CAST(c.n_s AS DOUBLE)) AS keep_rate
+  FROM counts c CROSS JOIN tot t
+)
+SELECT d.doc_id, d.source, ROUND(r.keep_rate, 6) AS keep_rate
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+        / 4294967296.0
+      < r.keep_rate
+""",
+)

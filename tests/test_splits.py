@@ -176,3 +176,43 @@ def test_export_corpus_rejects_unknown_format(spark, sf_dir, tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported export format"):
         export_corpus(_docs(spark, sf_dir), str(tmp_path / "x"), fmt="orc2")
+
+
+def test_temperature_mixture_flattens_head(spark):
+    """alpha<1 boosts tail sources: the keep rate of the smallest
+    source must exceed the largest source's, and alpha=1 makes all
+    rates equal (plain proportional sampling)."""
+    from pyspark.sql import Row
+
+    from csvb_spark.operators.splits import temperature_mixture
+
+    rows = [Row(doc_id=i, source="big" if i < 400 else "small") for i in range(500)]
+    docs = spark.createDataFrame(rows)
+    out = temperature_mixture(docs, alpha=0.5, target_frac=0.5)
+    rates = {
+        r["source"]: r["keep_rate"]
+        for r in out.select("source", "keep_rate").distinct().collect()
+    }
+    assert rates["small"] > rates["big"]
+
+    flat = temperature_mixture(docs, alpha=1.0, target_frac=0.5)
+    frates = {
+        r["source"]: r["keep_rate"]
+        for r in flat.select("source", "keep_rate").distinct().collect()
+    }
+    assert len(set(frates.values())) == 1
+
+
+def test_temperature_mixture_rate_caps_at_one(spark):
+    """A tiny tail source whose boosted rate exceeds 1 is kept whole."""
+    from pyspark.sql import Row
+
+    from csvb_spark.operators.splits import temperature_mixture
+
+    rows = [Row(doc_id=i, source="big") for i in range(499)] + [
+        Row(doc_id=999, source="rare")
+    ]
+    docs = spark.createDataFrame(rows)
+    out = temperature_mixture(docs, alpha=0.1, target_frac=0.9)
+    rare = out.filter("source = 'rare'").collect()
+    assert len(rare) == 1 and rare[0]["keep_rate"] == 1.0
