@@ -521,3 +521,82 @@ def dsir_weights(
             .alias("weight"),
         )
     )
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: int = 3,
+    max_mean_word_len: int = 10,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule bundle (Rae et al. 2021, Appendix A —
+    the de-facto baseline document filter for web-scale pretraining
+    corpora): per-document booleans for each rule plus the combined
+    ``keep``, so a pipeline can either filter on ``keep`` or audit
+    which rule fired per document.
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [min, max] (integer cross-multiplication — no division at all);
+    symbol-to-word ratio (# and ellipsis) ≤ max; bullet-started lines
+    ≤ max fraction; ellipsis-ended lines ≤ max fraction; fraction of
+    words containing an alphabetic char ≥ min; ≥ min_stop_hits
+    distinct stopwords present.
+
+    Entirely map-only JVM expressions (regex counts, array filters) —
+    zero shuffles, linear in executors, same scaling story as
+    ``quality_score``. Thresholds compare against ``ratio × count``
+    products, never data-dependent float sums, so any engine agrees
+    exactly.
+    """
+    text = F.col(text_col)
+    t = tokens(text_col)
+    n_words = F.size(t)
+    # chars that sit inside words (mean word length numerator)
+    word_chars = F.length(F.regexp_replace(text, r"\s+", ""))
+    hash_cnt = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    ell_cnt = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("- ") | x.startswith("* ") | x.startswith("• "),
+        )
+    )
+    ell_lines = F.size(F.filter(lines, lambda x: x.endswith("...")))
+    alpha_words = F.size(F.filter(t, lambda x: x.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.array_intersect(t, F.array(*[F.lit(w) for w in STOPWORDS["en"]]))
+    )
+    rules = {
+        "r_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "r_mean_word_len": (word_chars >= F.lit(min_mean_word_len) * n_words)
+        & (word_chars <= F.lit(max_mean_word_len) * n_words),
+        "r_symbol_ratio": (hash_cnt + ell_cnt)
+        <= F.lit(float(max_symbol_word_ratio)) * n_words,
+        "r_bullet_lines": bullet_lines
+        <= F.lit(float(max_bullet_ratio)) * n_lines,
+        "r_ellipsis_lines": ell_lines
+        <= F.lit(float(max_ellipsis_ratio)) * n_lines,
+        "r_alpha_words": alpha_words
+        >= F.lit(float(min_alpha_word_ratio)) * n_words,
+        "r_stopwords": stop_hits >= min_stop_hits,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        keep.alias("keep"),
+    )

@@ -1725,3 +1725,49 @@ WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
       < r.keep_rate
 """,
 )
+
+
+# --- round 4: Gopher quality-rule bundle ------------------------------
+# min_words lowered to 30 so the fixture's 20-80-token docs split into
+# a real pass/fail mix; every other threshold is the Gopher default.
+_q(
+    "x59_gopher_rules",
+    spark=lambda spark, sf: text.gopher_rules(_docs(spark, sf), min_words=30),
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '\s+') AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    length(regexp_replace(text, '\s+', '', 'g')) AS word_chars,
+    length(text) - length(replace(text, '#', '')) AS hash_cnt,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS ell_cnt,
+    len(lines) AS n_lines,
+    len(list_filter(lines, x -> starts_with(x, '- ') OR starts_with(x, '* ')
+                                OR starts_with(x, '• '))) AS bullet_lines,
+    len(list_filter(lines, x -> ends_with(x, '...'))) AS ell_lines,
+    len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha_words,
+    len(list_intersect(w, ['the','and','of','to','a','in','is','it'])) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words,
+  (n_words >= 30 AND n_words <= 100000) AS r_word_count,
+  (word_chars >= 3 * n_words AND word_chars <= 10 * n_words) AS r_mean_word_len,
+  (hash_cnt + ell_cnt) <= CAST(0.1 AS DOUBLE) * n_words AS r_symbol_ratio,
+  bullet_lines <= CAST(0.9 AS DOUBLE) * n_lines AS r_bullet_lines,
+  ell_lines <= CAST(0.3 AS DOUBLE) * n_lines AS r_ellipsis_lines,
+  alpha_words >= CAST(0.8 AS DOUBLE) * n_words AS r_alpha_words,
+  stop_hits >= 2 AS r_stopwords,
+  ((n_words >= 30 AND n_words <= 100000)
+   AND (word_chars >= 3 * n_words AND word_chars <= 10 * n_words)
+   AND ((hash_cnt + ell_cnt) <= CAST(0.1 AS DOUBLE) * n_words)
+   AND (bullet_lines <= CAST(0.9 AS DOUBLE) * n_lines)
+   AND (ell_lines <= CAST(0.3 AS DOUBLE) * n_lines)
+   AND (alpha_words >= CAST(0.8 AS DOUBLE) * n_words)
+   AND (stop_hits >= 2)) AS keep
+FROM m
+""",
+)

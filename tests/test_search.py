@@ -189,3 +189,59 @@ def test_rrf_rank_ties_break_by_id(spark):
     rows = search.rrf_fuse([a], k=2, id_col="doc_id", score_col="score").collect()
     by_id = {r["doc_id"]: r["rrf"] for r in rows}
     assert by_id[3] > by_id[7]  # lower id gets the better rank on ties
+
+
+# --- gopher_rules (lives here with the other round-4 text ops) ----------
+
+
+def test_gopher_rules_fire_individually(spark):
+    docs = spark.createDataFrame(
+        [
+            # 1: healthy doc — passes everything (mean word length 4.0)
+            Row(
+                doc_id=1,
+                text="the cheerful animals and keepers sat in a warm it is sunny today",
+            ),
+            # 2: too short
+            Row(doc_id=2, text="the a of"),
+            # 3: symbol-heavy (### per word)
+            Row(doc_id=3, text="# # # # # # the a of to in is it and word"),
+            # 4: bullet-dominated lines
+            Row(doc_id=4, text="- the a\n- of to\n- in is\n- it and"),
+            # 5: ellipsis-ended lines
+            Row(doc_id=5, text="the a of...\nto in is...\nit and..."),
+            # 6: numeric-only words (alpha fraction fails)
+            Row(doc_id=6, text="1 2 3 4 5 6 7 8 9 10 11 the a"),
+            # 7: no stopwords
+            Row(doc_id=7, text="lorem ipsum dolor sit amet consectetur xyzzy"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_rules(docs, min_words=5).collect()
+    }
+    assert out[1]["keep"]
+    assert not out[2]["r_word_count"]
+    assert not out[3]["r_symbol_ratio"]
+    assert not out[4]["r_bullet_lines"]
+    assert not out[5]["r_ellipsis_lines"]
+    assert not out[6]["r_alpha_words"]
+    assert not out[7]["r_stopwords"] and not out[7]["keep"]
+
+
+def test_gopher_mean_word_len_is_integer_exact(spark):
+    # mean word length bounds use integer cross-multiplication: a doc of
+    # 2-char words (mean 2 < 3) fails; 3-char words pass exactly at the
+    # boundary.
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="ab cd ef gh ij kl"),
+            Row(doc_id=2, text="the and the and the and"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["r_mean_word_len"]
+        for r in text.gopher_rules(docs, min_words=1).collect()
+    }
+    assert out[1] is False
+    assert out[2] is True
