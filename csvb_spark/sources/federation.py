@@ -437,6 +437,16 @@ def federated_agg(
         elif fn == "avg":
             partial_exprs.append(f"SUM({col}) AS {name}__sum")
             partial_exprs.append(f"COUNT({col}) AS {name}__n")
+        elif fn in ("stddev", "var"):
+            # moment decomposition: (Σx, Σx², n) per shard, merged
+            # exactly like avg's partials. The textbook caveat applies
+            # (Σx² − (Σx)²/n cancels catastrophically when stddev ≪
+            # mean) — same trade every two-phase engine makes for
+            # decomposable variance; for ill-conditioned columns
+            # center the data shard-side first.
+            partial_exprs.append(f"SUM({col}) AS {name}__sum")
+            partial_exprs.append(f"SUM({col} * {col}) AS {name}__sq")
+            partial_exprs.append(f"COUNT({col}) AS {name}__n")
         elif fn in ("sum", "min", "max"):
             partial_exprs.append(f"{fn.upper()}({col}) AS {name}")
         else:
@@ -460,6 +470,17 @@ def federated_agg(
             merged.append(F.expr(f"SUM({name}__sum)").alias(f"{name}__sum"))
             merged.append(F.expr(f"SUM({name}__n)").alias(f"{name}__n"))
             finals.append(f"{name}__sum / {name}__n AS {name}")
+        elif fn in ("stddev", "var"):
+            merged.append(F.expr(f"SUM({name}__sum)").alias(f"{name}__sum"))
+            merged.append(F.expr(f"SUM({name}__sq)").alias(f"{name}__sq"))
+            merged.append(F.expr(f"SUM({name}__n)").alias(f"{name}__n"))
+            var = (
+                f"({name}__sq - {name}__sum * {name}__sum / {name}__n)"
+                f" / ({name}__n - 1)"
+            )
+            finals.append(
+                (f"SQRT({var})" if fn == "stddev" else var) + f" AS {name}"
+            )
         else:
             merged.append(F.expr(f"{_FED_AGG_MERGE[fn]}({name})").alias(name))
             finals.append(name)

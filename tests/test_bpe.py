@@ -102,3 +102,54 @@ def test_bpe_segment_empty_and_whitespace(spark):
     out = {r["doc_id"]: r for r in bpe.bpe_segment(docs, [("x", "y")]).collect()}
     assert out[1]["pieces"] == []
     assert out[2]["pieces"] == ["x"]
+
+
+def test_merge_pair_fold_matches_python_reference(spark):
+    """The higher-order merge fold must agree with a straightforward
+    Python implementation of greedy left-to-right non-overlapping
+    merging on randomized symbol arrays (seeded — deterministic),
+    including adversarial cases: runs of equal symbols, pairs whose
+    concatenation collides with an existing symbol, and no-op pairs."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = ["a", "b", "ab", "aa", "ba"]
+    cases = [
+        [rng.choice(alphabet) for _ in range(rng.randint(0, 10))]
+        for _ in range(300)
+    ]
+    pairs = [("a", "a"), ("a", "b"), ("ab", "b"), ("b", "a"), ("aa", "ab")]
+
+    def py_merge(s, l, r):
+        out = []
+        j = 0
+        while j < len(s):
+            if j + 1 < len(s) and s[j] == l and s[j + 1] == r:
+                out.append(l + r)
+                j += 2
+            else:
+                out.append(s[j])
+                j += 1
+        return out
+
+    from pyspark.sql import Row
+
+    rows = [
+        Row(case_id=i * len(pairs) + k, syms=c, l=p[0], r=p[1])
+        for i, c in enumerate(cases)
+        for k, p in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(rows)
+    # one job for all (case, pair) combos: apply the fold per distinct pair
+    got = {}
+    for l, r in pairs:
+        sub = df.filter((F.col("l") == l) & (F.col("r") == r)).select(
+            "case_id", bpe._merge_pair(F.col("syms"), l, r).alias("m")
+        )
+        got.update({row["case_id"]: row["m"] for row in sub.collect()})
+    for row in rows:
+        assert got[row.case_id] == py_merge(row.syms, row.l, row.r), (
+            row.syms,
+            row.l,
+            row.r,
+        )

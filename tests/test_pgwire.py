@@ -660,6 +660,17 @@ def test_federated_agg_pushdown(spark, two_shards):
     g = federated_agg(spark, vt, [], {"n": ("count", "*"), "sum_v": ("sum", "v")})
     assert g.collect() == [(250, plain.agg(F.sum("v")).collect()[0][0])]
 
+    # moment-decomposed stddev/var merge across shards to within float
+    # noise of the central computation
+    sv = federated_agg(
+        spark, vt, [], {"sd_v": ("stddev", "v"), "var_v": ("var", "v")}
+    ).collect()[0]
+    ref = plain.agg(
+        F.stddev_samp("v").alias("sd"), F.var_samp("v").alias("var")
+    ).collect()[0]
+    assert abs(sv["sd_v"] - ref["sd"]) < 1e-9
+    assert abs(sv["var_v"] - ref["var"]) < 1e-9
+
 
 # --- federation over the pgwire transport (no JDBC jar in this env) ----------------
 @pytest.fixture()
