@@ -731,3 +731,192 @@ def knn_join(
         .filter(F.col("rnk") <= k)
         .select("probe_id", id_col, "cos_sim", "rnk")
     )
+
+
+# --- product quantization (PQ) ----------------------------------------
+
+
+def pq_train(
+    embs: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train a product quantizer (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into
+    ``m`` contiguous subspaces and run the deterministic
+    :func:`kmeans_train` independently on each slice. Returns the
+    codebook as rows ``(s, cid, pos, val)`` with 0-based subspace
+    ``s`` and 1-based in-subspace ``pos``.
+
+    PQ is the memory story for 100 TB ANN: a 64-dim float vector
+    (256 B) compresses to ``m`` uint8 codes (m bytes) — the index
+    fits in RAM at billions of vectors, and ADC scoring (see
+    :func:`pq_adc_topk`) never touches the original vectors. Training
+    cost is m independent kmeans runs over the slice columns; each is
+    the bounded-driver-constant pattern kmeans_train documents.
+    """
+    dim = len(embs.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    parts = []
+    for s in range(m):
+        sl = embs.select(
+            id_col,
+            F.slice(as_double(F.col(vec_col)), s * sub + 1, sub).alias(vec_col),
+        )
+        cb = kmeans_train(sl, k=k, iters=iters, vec_col=vec_col, id_col=id_col)
+        parts.append(cb.select(F.lit(s).alias("s"), "cid", "pos", "val"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _pq_codebook_dict(codebooks) -> dict[tuple[int, int], list[float]]:
+    """Normalize a codebook to {(s, cid): [vals]} from either a
+    ``pq_train`` DataFrame or an existing dict; validates shape."""
+    if isinstance(codebooks, dict):
+        cb = {k2: list(map(float, v)) for k2, v in codebooks.items()}
+    else:
+        rows = codebooks.collect()
+        tmp: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            tmp.setdefault((int(r["s"]), int(r["cid"])), {})[int(r["pos"])] = float(
+                r["val"]
+            )
+        cb = {
+            key: [vals[p] for p in sorted(vals)] for key, vals in tmp.items()
+        }
+    if not cb:
+        raise ValueError("pq: empty codebook")
+    subs = {s for s, _ in cb}
+    if subs != set(range(len(subs))):
+        raise ValueError(f"pq: non-contiguous subspace ids {sorted(subs)}")
+    lens = {len(v) for v in cb.values()}
+    if len(lens) != 1:
+        raise ValueError("pq: ragged codebook subvector lengths")
+    for s in sorted({sp for sp, _ in cb}):
+        cids = sorted(c for sp, c in cb if sp == s)
+        if cids != list(range(len(cids))):
+            # ADC's lookup tables index by code value, so codewords
+            # must be dense 0-based (pq_train over dense ids yields
+            # this; re-key the codebook otherwise)
+            raise ValueError(f"pq: non-dense cids {cids} in subspace {s}")
+    return cb
+
+
+def _sq_l2(slice_col: Column, cvals: list[float]) -> Column:
+    """Squared L2 distance between a vector slice and a literal
+    centroid, as the sequential diff fold both engines share
+    (matches DuckDB's ``list_dot_product(diff, diff)``)."""
+    carr = F.array(*[F.lit(x) for x in cvals])
+    diff = F.zip_with(slice_col, carr, lambda x, c: x - c)
+    return dot(diff, diff)
+
+
+def pq_encode(
+    embs: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector its per-subspace nearest codeword (true
+    squared-L2 argmin, ties to the lower cid). Output:
+    ``(id, code_0 … code_{m-1})`` — one small int per subspace, the
+    entire PQ index row. Map-only against codebook literals; at very
+    large m×k swap the interpreted folds for the pandas_udf matmul
+    exactly as ``ivf_topk`` does.
+    """
+    cb = _pq_codebook_dict(codebooks)
+    m = len({s for s, _ in cb})
+    sub = len(next(iter(cb.values())))
+    v = as_double(F.col(vec_col))
+    cols = [F.col(id_col)]
+    for s in range(m):
+        sl = F.slice(v, s * sub + 1, sub)
+        choices = [
+            F.struct(_sq_l2(sl, cb[(s, cid)]).alias("d"), F.lit(cid).alias("cid"))
+            for cid in sorted(c for sp, c in cb if sp == s)
+        ]
+        cols.append(F.array_min(F.array(*choices))["cid"].alias(f"code_{s}"))
+    return embs.select(*cols)
+
+
+def pq_adc_topk(
+    embs: DataFrame,
+    probe: DataFrame,
+    codebooks,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC):
+    encode the corpus with :func:`pq_encode`, precompute the m×K
+    probe-to-codeword distance table, and score every row as the sum
+    of ``m`` table lookups — no per-row vector math at all. Output:
+    ``(id, adc_dist)`` ascending with id tiebreak (squared L2).
+
+    The probe and the m×K table are bounded driver constants (the
+    kmeans_train contract); the table entries are computed with the
+    same sequential diff fold the oracle's ``list_dot_product`` uses,
+    so the lookups are bit-identical cross-engine. The scored scan is
+    pure codegen (element_at on literal arrays + a fixed-order sum)
+    and the top-k is TakeOrderedAndProject. At scale the codes table
+    is the only thing read — m bytes per row instead of the vector.
+    """
+    cb = _pq_codebook_dict(codebooks)
+    m = len({s for s, _ in cb})
+    sub = len(next(iter(cb.values())))
+    prow = probe.select(
+        F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
+    ).first()
+    pv = [float(x) for x in prow["pv"]]
+    if len(pv) != m * sub:
+        raise ValueError(f"pq: probe dim {len(pv)} != m*sub {m * sub}")
+
+    def sq(ps: list[float], cs: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(ps, cs):
+            d = a - b
+            acc = acc + d * d
+        return acc
+
+    tables: list[dict[int, float]] = []
+    for s in range(m):
+        ps = pv[s * sub : (s + 1) * sub]
+        tables.append(
+            {cid: sq(ps, cb[(s, cid)]) for sp, cid in cb if sp == s}
+        )
+    codes = pq_encode(embs, cb, vec_col=vec_col, id_col=id_col)
+    dist = None
+    for s in range(m):
+        tbl = tables[s]
+        lut = F.array(*[F.lit(tbl[cid]) for cid in sorted(tbl)])
+        term = F.element_at(lut, F.col(f"code_{s}").cast("int") + 1)
+        dist = term if dist is None else (dist + term)
+    return (
+        codes.filter(F.col(id_col) != F.lit(int(prow["pid"])))
+        .select(id_col, F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def pq_seeded_codebook(
+    m: int = 4, k: int = 4, sub: int = 16, seed: int = 11
+) -> dict[tuple[int, int], list[float]]:
+    """Deterministic random codebook for tests/oracles (the
+    ``_hyperplanes`` pattern): values formatted to exactly 3 decimals
+    so a SQL literal of the same text parses to the identical double
+    in any engine."""
+    rng = np.random.RandomState(seed)
+    arr = rng.standard_normal((m, k, sub))
+    return {
+        (s, c): [float(f"{x:.3f}") for x in arr[s, c]]
+        for s in range(m)
+        for c in range(k)
+    }

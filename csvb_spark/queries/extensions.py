@@ -1771,3 +1771,70 @@ SELECT doc_id, n_words,
 FROM m
 """,
 )
+
+
+# --- round 4: product quantization ADC top-k --------------------------
+# Codebook = seeded literals baked into BOTH sides (the x12 hyperplane
+# pattern), so the oracle replays encode + ADC without a training
+# replay; training itself is the already-oracled kmeans (x43) run per
+# subspace slice (pq_train), pinned by unit test to equal kmeans_train
+# on each slice. 3-decimal literal formatting parses to the identical
+# double in either engine.
+def _pq_oracle_sql() -> str:
+    cb = similarity.pq_seeded_codebook(m=4, k=4, sub=16, seed=11)
+    rows = ",\n    ".join(
+        "({s}, {c}, [{vals}]::DOUBLE[])".format(
+            s=s, c=c, vals=", ".join(f"{x:.3f}" for x in cb[(s, c)])
+        )
+        for s, c in sorted(cb)
+    )
+    return f"""
+WITH cvecs(s, cid, cv) AS (VALUES
+    {rows}
+), probe AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0
+), enc AS (
+  SELECT vec_id, s, cid, list_dot_product(dl, dl) AS dval FROM (
+    SELECT e.vec_id, c.s, c.cid,
+           list_transform(generate_series(1, 16),
+             i -> CAST(e.embedding[c.s * 16 + i] AS DOUBLE) - c.cv[i]) AS dl
+    FROM embeddings e CROSS JOIN cvecs c) z
+), codes AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT vec_id, s, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dval, cid) AS rn
+    FROM enc) r
+  WHERE rn = 1
+), tbl AS (
+  SELECT s, cid, list_dot_product(dl, dl) AS dval FROM (
+    SELECT c.s, c.cid,
+           list_transform(generate_series(1, 16),
+             i -> p.pv[c.s * 16 + i] - c.cv[i]) AS dl
+    FROM cvecs c CROSS JOIN probe p) z
+), scored AS (
+  SELECT cd.vec_id,
+         MAX(CASE WHEN cd.s = 0 THEN t.dval END) AS t0,
+         MAX(CASE WHEN cd.s = 1 THEN t.dval END) AS t1,
+         MAX(CASE WHEN cd.s = 2 THEN t.dval END) AS t2,
+         MAX(CASE WHEN cd.s = 3 THEN t.dval END) AS t3
+  FROM codes cd JOIN tbl t ON cd.s = t.s AND cd.cid = t.cid
+  GROUP BY cd.vec_id
+)
+SELECT vec_id, ROUND(((t0 + t1) + t2) + t3, 6) AS adc_dist
+FROM scored
+WHERE vec_id <> 0
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+_q(
+    "x60_pq_adc_topk",
+    spark=lambda spark, sf: similarity.pq_adc_topk(
+        _embs(spark, sf),
+        _embs(spark, sf).filter(F.col("vec_id") == 0),
+        similarity.pq_seeded_codebook(m=4, k=4, sub=16, seed=11),
+        k=10,
+    ),
+    oracle=_pq_oracle_sql(),
+)

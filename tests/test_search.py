@@ -245,3 +245,66 @@ def test_gopher_mean_word_len_is_integer_exact(spark):
     }
     assert out[1] is False
     assert out[2] is True
+
+
+# --- product quantization ------------------------------------------------
+
+
+def test_pq_train_equals_kmeans_on_each_slice(spark, sf_dir):
+    """pq_train IS kmeans_train per subspace slice — same rows."""
+    from csvb_spark.operators import similarity as sim
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = sim.pq_train(embs, m=4, k=4, iters=1)
+    got = {
+        (r["s"], r["cid"], r["pos"]): r["val"] for r in cb.collect()
+    }
+    for s in range(4):
+        sl = embs.select(
+            "vec_id",
+            F.slice(
+                F.transform("embedding", lambda x: x.cast("double")),
+                s * 16 + 1,
+                16,
+            ).alias("embedding"),
+        )
+        ref = sim.kmeans_train(sl, k=4, iters=1)
+        for r in ref.collect():
+            assert got[(s, r["cid"], r["pos"])] == r["val"]
+
+
+def test_pq_encode_emits_dense_codes_and_validates(spark, sf_dir):
+    import pytest as _pytest
+
+    from csvb_spark.operators import similarity as sim
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = sim.pq_seeded_codebook(m=4, k=4, sub=16, seed=11)
+    codes = sim.pq_encode(embs, cb)
+    assert codes.columns == ["vec_id", "code_0", "code_1", "code_2", "code_3"]
+    stats = codes.agg(
+        *[F.min(f"code_{s}").alias(f"lo{s}") for s in range(4)],
+        *[F.max(f"code_{s}").alias(f"hi{s}") for s in range(4)],
+    ).collect()[0]
+    for s in range(4):
+        assert 0 <= stats[f"lo{s}"] and stats[f"hi{s}"] <= 3
+
+    # non-dense cids rejected (ADC lookup indexes by code value)
+    bad = {(0, 1): [0.0] * 16, (0, 3): [1.0] * 16}
+    with _pytest.raises(ValueError, match="non-dense"):
+        sim.pq_encode(embs, bad)
+
+
+def test_pq_adc_plan_is_lookup_only(spark, sf_dir):
+    """The ADC scan must contain no join and end in
+    TakeOrderedAndProject — per-row work is m array lookups."""
+    from csvb_spark.operators import similarity as sim
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cb = sim.pq_seeded_codebook(m=4, k=4, sub=16, seed=11)
+    plan = _plan(
+        sim.pq_adc_topk(embs, embs.filter(F.col("vec_id") == 0), cb, k=10)
+    )
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan
