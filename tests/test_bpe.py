@@ -153,3 +153,29 @@ def test_merge_pair_fold_matches_python_reference(spark):
             row.l,
             row.r,
         )
+
+
+def test_bpe_pieces_feed_sequence_packing(spark):
+    """Tokenizer-aware packing: count tokens with the TRAINED BPE
+    segmentation (not whitespace), then pack — the composition a real
+    pretraining pipeline runs. BPE compresses each doc's token count,
+    so the same budget packs more docs per sequence than whitespace
+    counting would."""
+    from csvb_spark.operators.splits import pack_sequences
+
+    rows = [
+        Row(doc_id=i, source="s", text="low low lower newest widest")
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows)
+    mt = bpe.bpe_train(docs, n_merges=4).orderBy("step").collect()
+    merges = [(r["left"], r["right"]) for r in mt]
+    pieces = bpe.bpe_segment(docs, merges).withColumn("source", F.lit("s"))
+    n_pieces = pieces.first()["n_pieces"]
+    assert n_pieces < len("low low lower newest widest".replace(" ", ""))
+
+    packed = pack_sequences(pieces, F.col("n_pieces"), budget=2 * n_pieces)
+    got = {r["doc_id"]: r for r in packed.collect()}
+    # exactly two docs per sequence: doc i starts in sequence i // 2
+    for i in range(6):
+        assert got[i]["seq_id"] == i // 2, got[i]
