@@ -115,6 +115,11 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument("--checkpoint", required=True)
     pi.add_argument("--min-quality", type=float, default=0.5)
     pi.add_argument("--min-jaccard", type=float, default=0.5)
+    pi.add_argument(
+        "--gopher-gate",
+        action="store_true",
+        help="also require the Gopher quality-rule bundle to pass",
+    )
 
     pf = sub.add_parser("federate", help="serve a federated virtual table")
     pf.add_argument("--table-name", required=True)
@@ -217,6 +222,7 @@ def main(argv: list[str] | None = None) -> int:
             args.checkpoint,
             min_quality=args.min_quality,
             min_jaccard=args.min_jaccard,
+            gopher_gate=args.gopher_gate,
         )
         return 0
 

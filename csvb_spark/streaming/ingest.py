@@ -49,16 +49,24 @@ def _accept_batch(
     min_jaccard: float,
     num_perm: int,
     bands: int,
+    gopher_gate: bool = False,
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code)."""
     spark = batch.sparkSession
 
-    # 1. quality gate + scrub (map-only)
+    # 1. quality gate + scrub (map-only). The optional Gopher gate
+    # composes the same rule bundle batch pipelines use (x59) — the
+    # expressions are stateless, so they stream unchanged.
     scored = T.quality_score(batch, text_col).select("doc_id", "quality_score")
     gated = batch.join(scored, "doc_id").filter(
         F.col("quality_score") >= min_quality
     )
+    if gopher_gate:
+        ok = T.gopher_rules(batch, text_col=text_col, min_words=30).filter(
+            "keep"
+        ).select("doc_id")
+        gated = gated.join(ok, "doc_id", "left_semi")
     redacted = gated.join(
         T.pii_redact(gated, text_col).select("doc_id", "redacted"), "doc_id"
     ).drop("quality_score")
@@ -116,6 +124,7 @@ def run_streaming_ingest(
     num_perm: int = 16,
     bands: int = 4,
     query_name: str = "corpus_ingest",
+    gopher_gate: bool = False,
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
     micro-batch per file, so files model arrival order). Appends to
@@ -138,6 +147,7 @@ def run_streaming_ingest(
                 min_jaccard,
                 num_perm,
                 bands,
+                gopher_gate,
             )
         )
         .start()

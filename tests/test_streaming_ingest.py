@@ -108,3 +108,41 @@ def test_cli_ingest_single_batch(spark, sf_dir, tmp_path):
     index = spark.read.parquet(str(tmp_path / "index"))
     assert corpus.count() == len(docs)
     assert "bucket" in index.columns and index.count() == len(docs) * 4
+
+
+def test_streaming_ingest_gopher_gate(spark, sf_dir, tmp_path):
+    """gopher_gate composes the x59 rule bundle into the streaming
+    quality gate: a doc passing the score threshold but failing a
+    Gopher rule (too few words) is rejected."""
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    docs = [
+        r.asDict()
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 10")
+        .collect()
+    ]
+    # 40+ chars and stopwords → quality_score passes, but only 8 words
+    # → fails the min_words=30 Gopher rule
+    shorty = {
+        "doc_id": 9100,
+        "text": "the tiny document and a little more text",
+        "lang": "en",
+        "source": "src0",
+    }
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), docs + [shorty])
+
+    corpus_dir = str(tmp_path / "corpus")
+    run_streaming_ingest(
+        spark,
+        str(src),
+        corpus_dir,
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        gopher_gate=True,
+    )
+    got = {r.doc_id for r in spark.read.parquet(corpus_dir).select("doc_id").collect()}
+    assert 9100 not in got
+    assert got, "long-enough fixture docs still land"
