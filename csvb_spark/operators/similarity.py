@@ -907,16 +907,147 @@ def pq_adc_topk(
 
 
 def pq_seeded_codebook(
-    m: int = 4, k: int = 4, sub: int = 16, seed: int = 11
+    m: int = 4, k: int = 4, sub: int = 16, seed: int = 11, scale: float = 1.0
 ) -> dict[tuple[int, int], list[float]]:
     """Deterministic random codebook for tests/oracles (the
     ``_hyperplanes`` pattern): values formatted to exactly 3 decimals
     so a SQL literal of the same text parses to the identical double
-    in any engine."""
+    in any engine. ``scale`` shrinks codewords toward the magnitude
+    of the vectors being coded (residuals are much smaller than raw
+    vectors — a unit-scale codebook would assign every residual the
+    same nearest codeword and the codes stop discriminating)."""
     rng = np.random.RandomState(seed)
-    arr = rng.standard_normal((m, k, sub))
+    arr = rng.standard_normal((m, k, sub)) * scale
     return {
         (s, c): [float(f"{x:.3f}") for x in arr[s, c]]
         for s in range(m)
         for c in range(k)
     }
+
+
+def ivfpq_topk(
+    embs: DataFrame,
+    probe: DataFrame,
+    codebooks,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composition production ANN
+    indexes (FAISS ``IVFx,PQy``) actually ship: a coarse quantizer
+    prunes the corpus to the probe's ``nprobe`` nearest cells, and
+    within those cells rows are scored by ADC over PQ codes of the
+    RESIDUAL (vector − cell centroid). Residual encoding is what
+    makes small PQ codebooks accurate: each subquantizer only has to
+    cover the spread within a cell, not the whole space.
+
+    Deterministic contract: the coarse quantizer is the ``ivf_topk``
+    seed convention (centroid c = the vector with id == c,
+    c < n_centroids) — data rows, so the oracle reads them from the
+    table; assignment is true squared-L2 argmin with lower-cid ties
+    (the same diff fold as :func:`pq_encode`); the probe's cell
+    ranking and the per-cell ADC tables are bounded driver constants
+    computed with the sequential fold that matches the oracle's
+    ``list_dot_product``.
+
+    Plan: assignment + residual + codes are map-only against
+    centroid/codebook literals; the scored scan filters to probed
+    cells (at scale: the codes table is PERSISTED partitioned by cid,
+    so this prunes at the file level), per-row cost is m lookups
+    chosen by a CASE over nprobe cells, and the top-k is
+    TakeOrderedAndProject. Output: (id, adc_dist) ascending, id
+    tiebreak, probe row excluded.
+    """
+    cb = _pq_codebook_dict(codebooks)
+    m = len({s for s, _ in cb})
+    sub = len(next(iter(cb.values())))
+
+    cents = {
+        int(r["cid"]): [float(x) for x in r["cv"]]
+        for r in embs.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .collect()
+    }
+    if len(cents) < n_centroids:
+        raise ValueError(
+            f"ivfpq: need ids 0..{n_centroids - 1} as seed centroids, "
+            f"found {sorted(cents)}"
+        )
+
+    v = as_double(F.col(vec_col))
+    choices = [
+        F.struct(_sq_l2(v, cents[c]).alias("d"), F.lit(c).alias("cid"))
+        for c in sorted(cents)
+    ]
+    cid_col = F.array_min(F.array(*choices))["cid"]
+    cent_table = F.array(
+        *[F.array(*[F.lit(x) for x in cents[c]]) for c in sorted(cents)]
+    )
+    resid = F.zip_with(
+        F.col("_v"),
+        F.element_at(cent_table, F.col("cid").cast("int") + 1),
+        lambda a, b: a - b,
+    )
+    coded = embs.select(F.col(id_col), v.alias("_v"), cid_col.alias("cid")).select(
+        id_col, "cid", resid.alias("_r")
+    )
+    code_cols = []
+    for s in range(m):
+        sl = F.slice(F.col("_r"), s * sub + 1, sub)
+        ch = [
+            F.struct(_sq_l2(sl, cb[(s, cid)]).alias("d"), F.lit(cid).alias("cid2"))
+            for cid in sorted(c for sp, c in cb if sp == s)
+        ]
+        code_cols.append(F.array_min(F.array(*ch))["cid2"].alias(f"code_{s}"))
+    coded = coded.select(id_col, "cid", *code_cols)
+
+    prow = probe.select(
+        F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
+    ).first()
+    pv = [float(x) for x in prow["pv"]]
+
+    def sq(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            acc = acc + d * d
+        return acc
+
+    cell_rank = sorted((sq(pv, cents[c]), c) for c in sorted(cents))
+    probed = [c for _, c in cell_rank[:nprobe]]
+    tables: dict[int, list[dict[int, float]]] = {}
+    for c in probed:
+        pr = [a - b for a, b in zip(pv, cents[c])]
+        tables[c] = [
+            {
+                cid: sq(pr[s * sub : (s + 1) * sub], cb[(s, cid)])
+                for sp, cid in cb
+                if sp == s
+            }
+            for s in range(m)
+        ]
+
+    dist = None
+    for c in probed:
+        cd = None
+        for s in range(m):
+            tbl = tables[c][s]
+            lut = F.array(*[F.lit(tbl[cid]) for cid in sorted(tbl)])
+            term = F.element_at(lut, F.col(f"code_{s}").cast("int") + 1)
+            cd = term if cd is None else (cd + term)
+        dist = (
+            F.when(F.col("cid") == c, cd)
+            if dist is None
+            else dist.when(F.col("cid") == c, cd)
+        )
+    return (
+        coded.filter(F.col("cid").isin([int(c) for c in probed]))
+        .filter(F.col(id_col) != F.lit(int(prow["pid"])))
+        .select(id_col, F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1838,3 +1838,101 @@ _q(
     ),
     oracle=_pq_oracle_sql(),
 )
+
+
+# --- round 4: IVF-PQ (cell prune + residual-code ADC) -----------------
+# Coarse centroids are DATA ROWS (the ivf_topk seed convention:
+# centroid c = the vector with vec_id == c), so the oracle reads them
+# from the table; the PQ codebook is seeded literals scaled to
+# residual magnitude (a unit-scale codebook would stop discriminating
+# — see pq_seeded_codebook). Probe-side cell ranking and per-cell ADC
+# tables replay the identical ((pv-cent)-cv)^2 op order.
+def _ivfpq_oracle_sql() -> str:
+    cb = similarity.pq_seeded_codebook(m=4, k=4, sub=16, seed=11, scale=0.1)
+    rows = ",\n    ".join(
+        "({s}, {c}, [{vals}]::DOUBLE[])".format(
+            s=s, c=c, vals=", ".join(f"{x:.3f}" for x in cb[(s, c)])
+        )
+        for s, c in sorted(cb)
+    )
+    return f"""
+WITH cvecs(s, cid, cv) AS (VALUES
+    {rows}
+), cents AS (
+  SELECT vec_id AS ccid, CAST(embedding AS DOUBLE[]) AS cent
+  FROM embeddings WHERE vec_id < 8
+), probe AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0
+), asn0 AS (
+  SELECT vec_id, ccid, cent, list_dot_product(dl, dl) AS dval FROM (
+    SELECT e.vec_id, c.ccid, c.cent,
+           list_transform(generate_series(1, 64),
+             i -> CAST(e.embedding[i] AS DOUBLE) - c.cent[i]) AS dl
+    FROM embeddings e CROSS JOIN cents c) z
+), asn AS (
+  SELECT vec_id, ccid AS cid, cent FROM (
+    SELECT vec_id, ccid, cent,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dval, ccid) AS rn
+    FROM asn0) r WHERE rn = 1
+), resid AS (
+  SELECT a.vec_id, a.cid,
+         list_transform(generate_series(1, 64),
+           i -> CAST(e.embedding[i] AS DOUBLE) - a.cent[i]) AS rv
+  FROM asn a JOIN embeddings e USING (vec_id)
+), enc0 AS (
+  SELECT vec_id, cid, s, cid2, list_dot_product(dl, dl) AS dval FROM (
+    SELECT r.vec_id, r.cid, c.s, c.cid AS cid2,
+           list_transform(generate_series(1, 16),
+             i -> r.rv[c.s * 16 + i] - c.cv[i]) AS dl
+    FROM resid r CROSS JOIN cvecs c) z
+), codes AS (
+  SELECT vec_id, cid, s, cid2 FROM (
+    SELECT vec_id, cid, s, cid2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dval, cid2) AS rn
+    FROM enc0) r WHERE rn = 1
+), pcell0 AS (
+  SELECT ccid, cent, list_dot_product(dl, dl) AS dval FROM (
+    SELECT c.ccid, c.cent,
+           list_transform(generate_series(1, 64),
+             i -> p.pv[i] - c.cent[i]) AS dl
+    FROM cents c CROSS JOIN probe p) z
+), pcells AS (
+  SELECT ccid, cent FROM (
+    SELECT ccid, cent, ROW_NUMBER() OVER (ORDER BY dval, ccid) AS rn
+    FROM pcell0) r WHERE rn <= 2
+), tbl AS (
+  SELECT ccid, s, cid2, list_dot_product(dl, dl) AS dval FROM (
+    SELECT pc.ccid, c.s, c.cid AS cid2,
+           list_transform(generate_series(1, 16),
+             i -> (p.pv[c.s * 16 + i] - pc.cent[c.s * 16 + i]) - c.cv[i]) AS dl
+    FROM pcells pc CROSS JOIN cvecs c CROSS JOIN probe p) z
+), scored AS (
+  SELECT cd.vec_id,
+         MAX(CASE WHEN cd.s = 0 THEN t.dval END) AS t0,
+         MAX(CASE WHEN cd.s = 1 THEN t.dval END) AS t1,
+         MAX(CASE WHEN cd.s = 2 THEN t.dval END) AS t2,
+         MAX(CASE WHEN cd.s = 3 THEN t.dval END) AS t3
+  FROM codes cd
+  JOIN tbl t ON cd.cid = t.ccid AND cd.s = t.s AND cd.cid2 = t.cid2
+  GROUP BY cd.vec_id
+)
+SELECT vec_id, ROUND(((t0 + t1) + t2) + t3, 6) AS adc_dist
+FROM scored
+WHERE vec_id <> 0
+ORDER BY adc_dist ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+_q(
+    "x61_ivfpq_topk",
+    spark=lambda spark, sf: similarity.ivfpq_topk(
+        _embs(spark, sf),
+        _embs(spark, sf).filter(F.col("vec_id") == 0),
+        similarity.pq_seeded_codebook(m=4, k=4, sub=16, seed=11, scale=0.1),
+        k=10,
+        n_centroids=8,
+        nprobe=2,
+    ),
+    oracle=_ivfpq_oracle_sql(),
+)

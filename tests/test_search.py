@@ -308,3 +308,39 @@ def test_pq_adc_plan_is_lookup_only(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_ivfpq_prunes_and_scores_by_residual_codes(spark, sf_dir):
+    """IVF-PQ must only emit rows from the probe's nprobe cells, with
+    a no-join lookup scan over the codes (plan-asserted), and raising
+    nprobe to n_centroids must recover at least the pruned result's
+    coverage."""
+    from csvb_spark.operators import similarity as sim
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = embs.filter(F.col("vec_id") == 0)
+    cb = sim.pq_seeded_codebook(m=4, k=4, sub=16, seed=11, scale=0.1)
+
+    pruned = sim.ivfpq_topk(embs, probe, cb, k=500, n_centroids=8, nprobe=2)
+    full = sim.ivfpq_topk(embs, probe, cb, k=500, n_centroids=8, nprobe=8)
+    assert pruned.count() < full.count() == embs.count() - 1
+
+    plan = _plan(sim.ivfpq_topk(embs, probe, cb, k=10, n_centroids=8, nprobe=2))
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan
+
+
+def test_ivfpq_requires_seed_centroid_ids(spark, sf_dir):
+    import pytest as _pytest
+
+    from csvb_spark.operators import similarity as sim
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") >= 4
+    )
+    cb = sim.pq_seeded_codebook(m=4, k=4, sub=16, seed=11, scale=0.1)
+    with _pytest.raises(ValueError, match="seed centroids"):
+        sim.ivfpq_topk(
+            embs, embs.filter(F.col("vec_id") == 4), cb, n_centroids=8
+        )
