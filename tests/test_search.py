@@ -344,3 +344,89 @@ def test_ivfpq_requires_seed_centroid_ids(spark, sf_dir):
         sim.ivfpq_topk(
             embs, embs.filter(F.col("vec_id") == 4), cb, n_centroids=8
         )
+
+
+# --- randomized differentials vs plain-Python references ----------------
+
+
+def test_line_dedup_matches_python_reference_on_random_corpora(spark):
+    """Seeded random corpora (short line alphabet → heavy cross-doc
+    collisions) must agree with a direct Python implementation:
+    distinct-doc counting, greedy keep, order-preserving reassembly."""
+    import random
+
+    from pyspark.sql import Row
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        lines_pool = [f"line{i}" for i in range(8)]
+        docs = [
+            (i, "\n".join(rng.choice(lines_pool) for _ in range(rng.randint(1, 6))))
+            for i in range(30)
+        ]
+        # python reference
+        from collections import defaultdict
+
+        docs_of = defaultdict(set)
+        for i, t in docs:
+            for ln in t.split("\n"):
+                docs_of[ln].add(i)
+        frequent = {ln for ln, ds in docs_of.items() if len(ds) >= 2}
+        expect = {
+            i: "\n".join(ln for ln in t.split("\n") if ln not in frequent)
+            for i, t in docs
+        }
+        df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+        got = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup.line_dedup(df, min_docs=2).collect()
+        }
+        assert got == expect, f"seed {seed}"
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """Random corpus: integer hit counts and the aggregate-ratio
+    weight must equal a direct Python computation."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (
+            i,
+            " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 8))),
+            rng.choice(["en", "fr"]),
+        )
+        for i in range(40)
+    ]
+    raw, tgt = Counter(), Counter()
+    grams_of = {}
+    for i, t, lang in docs:
+        w = t.split()
+        gs = [f"{w[j]} {w[j+1]}" for j in range(len(w) - 1)]
+        grams_of[i] = gs
+        raw.update(gs)
+        if lang == "en":
+            tgt.update(gs)
+    raw_total, tgt_total = sum(raw.values()), sum(tgt.values())
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t, lang=lang) for i, t, lang in docs]
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text.dsir_weights(df, F.col("lang") == "en").collect()
+    }
+    for i, _, _ in docs:
+        gs = grams_of[i]
+        t_hits = sum(tgt[g] for g in gs)
+        r_hits = sum(raw[g] for g in gs)
+        assert got[i]["target_hits"] == t_hits
+        assert got[i]["raw_hits"] == r_hits
+        if r_hits and tgt_total:
+            expect = round((t_hits * float(raw_total)) / (r_hits * float(tgt_total)), 6)
+            assert abs(got[i]["weight"] - expect) < 1e-9
+        else:
+            assert got[i]["weight"] == 0.0
