@@ -27,6 +27,13 @@ After the two warmups p09 still reports ~1.9s vs ~1.5s fully tiered;
 buying the last 0.3-0.4s would take ~4 more warmup passes of the
 whole suite — JIT ramp, not plan cost, and the plan is the
 scale-right one (SMJ keeping AQE skew-split available).
+
+Host-noise caveat (measured round 4): IDENTICAL code on an idle guest
+measured 7.32s, 9.47s, 9.77s, and 12.09s across one session — the
+guest's loadavg spiked with no local CPU consumers, i.e. hypervisor
+host contention invisible from inside the VM. Run-to-run deltas under
+~1.7x are environment, not regressions; compare per-query RATIOS
+across a single run when judging plan changes.
 """
 
 from __future__ import annotations
