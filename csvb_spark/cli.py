@@ -120,6 +120,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="also require the Gopher quality-rule bundle to pass",
     )
+    pi.add_argument(
+        "--gopher-min-words",
+        type=int,
+        default=50,
+        help="word-count floor for the Gopher gate (Gopher default 50)",
+    )
 
     pf = sub.add_parser("federate", help="serve a federated virtual table")
     pf.add_argument("--table-name", required=True)
@@ -223,6 +229,7 @@ def main(argv: list[str] | None = None) -> int:
             min_quality=args.min_quality,
             min_jaccard=args.min_jaccard,
             gopher_gate=args.gopher_gate,
+            gopher_min_words=args.gopher_min_words,
         )
         return 0
 

@@ -121,6 +121,11 @@ def bpe_train(
             nxt = syms.select(
                 "freq", _merge_pair(F.col("s"), b["l"], b["r"]).alias("s")
             ).persist()
+            # materialize nxt BEFORE dropping syms' cache — unpersisting
+            # first would leave nxt lazy over an uncached lineage and
+            # every later iteration would recompute from the raw corpus
+            # (quadratic in n_merges)
+            nxt.count()
             syms.unpersist()
             syms = nxt
     finally:

@@ -58,6 +58,10 @@ def bm25_topk(
     row, and the final rollup is one keyed shuffle + global top-k
     (TakeOrderedAndProject — never a full sort).
     """
+    if not query_terms:
+        # F.array() of zero VOID elements fails deep in analysis;
+        # surface the misuse at the API boundary instead
+        raise ValueError("bm25_topk: query_terms must be non-empty")
     terms = F.array(*[F.lit(t) for t in query_terms])
     t = tokens(text_col)
     base = docs.select("doc_id", F.size(t).alias("dl"), t.alias("toks"))
@@ -128,6 +132,8 @@ def rrf_fuse(
     scale the expensive part is producing the input rankings, not the
     fusion.
     """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
     ranked = []
     for i, r in enumerate(rankings):
         w = (

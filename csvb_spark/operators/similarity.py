@@ -391,9 +391,13 @@ def ivf_topk(
         if len(vs) == 0:
             return pd.DataFrame({"cid": [], "vnorm": [], "pdots": []})
         v = _np.stack([_np.asarray(x, dtype=_np.float64) for x in vs])
-        pdots = _np.add.accumulate(
-            v[:, None, :] * pmat[None, :, :], axis=2
-        )[:, :, -1]  # batch × P, strict left-folds
+        # dim-axis loop: the same strict left-fold (0.0 + x_0 + x_1 …,
+        # matching the SQL aggregate's F.lit(0.0) seed) in O(batch × P)
+        # memory — the broadcast batch×P×dim temporary this replaces
+        # was ~4 GB per batch at 10k rows × 100 probes × 512 dims
+        pdots = _np.zeros((v.shape[0], pmat.shape[0]), dtype=_np.float64)
+        for d in range(v.shape[1]):
+            pdots += v[:, d, None] * pmat[None, :, d]
         return pd.DataFrame(
             {
                 "cid": cid_arr[_np.argmax(v @ proj, axis=1)],
@@ -818,6 +822,21 @@ def _sq_l2(slice_col: Column, cvals: list[float]) -> Column:
     return dot(diff, diff)
 
 
+def _py_sq(a: list[float], b: list[float]) -> float:
+    """Driver-side twin of :func:`_sq_l2`: the SAME sequential
+    (x−y)² left-fold, so driver-computed constants (ADC tables, cell
+    rankings) are bit-identical to the SQL/DuckDB formulation. One
+    definition for every caller — this fold is bit-exactness-critical
+    and must not drift between copies."""
+    if len(a) != len(b):
+        raise ValueError(f"_py_sq: length mismatch {len(a)} != {len(b)}")
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x - y
+        acc = acc + d * d
+    return acc
+
+
 def pq_encode(
     embs: DataFrame,
     codebooks,
@@ -878,18 +897,11 @@ def pq_adc_topk(
     if len(pv) != m * sub:
         raise ValueError(f"pq: probe dim {len(pv)} != m*sub {m * sub}")
 
-    def sq(ps: list[float], cs: list[float]) -> float:
-        acc = 0.0
-        for a, b in zip(ps, cs):
-            d = a - b
-            acc = acc + d * d
-        return acc
-
     tables: list[dict[int, float]] = []
     for s in range(m):
         ps = pv[s * sub : (s + 1) * sub]
         tables.append(
-            {cid: sq(ps, cb[(s, cid)]) for sp, cid in cb if sp == s}
+            {cid: _py_sq(ps, cb[(s, cid)]) for sp, cid in cb if sp == s}
         )
     codes = pq_encode(embs, cb, vec_col=vec_col, id_col=id_col)
     dist = None
@@ -977,6 +989,11 @@ def ivfpq_topk(
             f"ivfpq: need ids 0..{n_centroids - 1} as seed centroids, "
             f"found {sorted(cents)}"
         )
+    for cid_, cv_ in cents.items():
+        if len(cv_) != m * sub:
+            raise ValueError(
+                f"ivfpq: centroid {cid_} dim {len(cv_)} != m*sub {m * sub}"
+            )
 
     v = as_double(F.col(vec_col))
     choices = [
@@ -1009,22 +1026,17 @@ def ivfpq_topk(
         F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
     ).first()
     pv = [float(x) for x in prow["pv"]]
+    if len(pv) != m * sub:
+        raise ValueError(f"ivfpq: probe dim {len(pv)} != m*sub {m * sub}")
 
-    def sq(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            d = x - y
-            acc = acc + d * d
-        return acc
-
-    cell_rank = sorted((sq(pv, cents[c]), c) for c in sorted(cents))
+    cell_rank = sorted((_py_sq(pv, cents[c]), c) for c in sorted(cents))
     probed = [c for _, c in cell_rank[:nprobe]]
     tables: dict[int, list[dict[int, float]]] = {}
     for c in probed:
         pr = [a - b for a, b in zip(pv, cents[c])]
         tables[c] = [
             {
-                cid: sq(pr[s * sub : (s + 1) * sub], cb[(s, cid)])
+                cid: _py_sq(pr[s * sub : (s + 1) * sub], cb[(s, cid)])
                 for sp, cid in cb
                 if sp == s
             }

@@ -279,6 +279,10 @@ _BINARY_DECODERS = {
         _PG_EPOCH_DATE + _dt.timedelta(days=struct.unpack("!i", b)[0])
     ).isoformat(),
     1114: _dec_ts,  # timestamp (micros since 2000-01-01, integer_datetimes)
+    # timestamptz shares 1114's wire format (8-byte micros since
+    # 2000-01-01); the session is UTC, so the same decode applies —
+    # psycopg3/JDBC bind tz-aware datetimes as 1184 in binary mode
+    1184: _dec_ts,
 }
 
 

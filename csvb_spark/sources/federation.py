@@ -474,9 +474,13 @@ def federated_agg(
             merged.append(F.expr(f"SUM({name}__sum)").alias(f"{name}__sum"))
             merged.append(F.expr(f"SUM({name}__sq)").alias(f"{name}__sq"))
             merged.append(F.expr(f"SUM({name}__n)").alias(f"{name}__n"))
+            # NULL for n <= 1 (matching native stddev_samp/var_samp);
+            # a bare /(n-1) would throw DIVIDE_BY_ZERO under Spark 4's
+            # default ANSI mode when a group has one row
             var = (
+                f"CASE WHEN {name}__n > 1 THEN "
                 f"({name}__sq - {name}__sum * {name}__sum / {name}__n)"
-                f" / ({name}__n - 1)"
+                f" / ({name}__n - 1) END"
             )
             finals.append(
                 (f"SQRT({var})" if fn == "stddev" else var) + f" AS {name}"

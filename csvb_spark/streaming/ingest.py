@@ -50,6 +50,7 @@ def _accept_batch(
     num_perm: int,
     bands: int,
     gopher_gate: bool = False,
+    gopher_min_words: int = 50,
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code)."""
@@ -63,9 +64,9 @@ def _accept_batch(
         F.col("quality_score") >= min_quality
     )
     if gopher_gate:
-        ok = T.gopher_rules(batch, text_col=text_col, min_words=30).filter(
-            "keep"
-        ).select("doc_id")
+        ok = T.gopher_rules(
+            batch, text_col=text_col, min_words=gopher_min_words
+        ).filter("keep").select("doc_id")
         gated = gated.join(ok, "doc_id", "left_semi")
     redacted = gated.join(
         T.pii_redact(gated, text_col).select("doc_id", "redacted"), "doc_id"
@@ -125,6 +126,7 @@ def run_streaming_ingest(
     bands: int = 4,
     query_name: str = "corpus_ingest",
     gopher_gate: bool = False,
+    gopher_min_words: int = 50,
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
     micro-batch per file, so files model arrival order). Appends to
@@ -148,6 +150,7 @@ def run_streaming_ingest(
                 num_perm,
                 bands,
                 gopher_gate,
+                gopher_min_words,
             )
         )
         .start()

@@ -671,6 +671,11 @@ def test_federated_agg_pushdown(spark, two_shards):
     assert abs(sv["sd_v"] - ref["sd"]) < 1e-9
     assert abs(sv["var_v"] - ref["var"]) < 1e-9
 
+    # single-row groups: NULL (native stddev_samp semantics), never a
+    # DIVIDE_BY_ZERO under ANSI mode
+    ones = federated_agg(spark, vt, ["id AS g"], {"sd_v": ("stddev", "v")})
+    assert all(r["sd_v"] is None for r in ones.collect())
+
 
 # --- federation over the pgwire transport (no JDBC jar in this env) ----------------
 @pytest.fixture()

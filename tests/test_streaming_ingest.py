@@ -123,7 +123,7 @@ def test_streaming_ingest_gopher_gate(spark, sf_dir, tmp_path):
         .collect()
     ]
     # 40+ chars and stopwords → quality_score passes, but only 8 words
-    # → fails the min_words=30 Gopher rule
+    # → fails the min-words Gopher rule
     shorty = {
         "doc_id": 9100,
         "text": "the tiny document and a little more text",
@@ -142,6 +142,7 @@ def test_streaming_ingest_gopher_gate(spark, sf_dir, tmp_path):
         str(tmp_path / "index"),
         str(tmp_path / "ckpt"),
         gopher_gate=True,
+        gopher_min_words=30,  # fixture docs run 20-80 words
     )
     got = {r.doc_id for r in spark.read.parquet(corpus_dir).select("doc_id").collect()}
     assert 9100 not in got
