@@ -842,3 +842,29 @@ def test_federate_pgwire_schema_mismatch(spark, two_shards):
             )
     finally:
         srv3.shutdown()
+
+
+def test_extended_binary_timestamptz_param(conn):
+    """Binary-format timestamptz (oid 1184) shares 1114's wire format
+    (8-byte micros since 2000-01-01); psycopg3/JDBC bind tz-aware
+    datetimes this way, so it must decode rather than 0A000."""
+    import datetime as dt
+
+    sock, buf = conn
+    sql = b"SELECT $1 AS ts"
+    _send(sock, b"P", b"ptz\x00" + sql + b"\x00" + struct.pack("!hI", 1, 1184))
+    delta = dt.datetime(2024, 3, 1, 12, 34, 56, 789000) - dt.datetime(2000, 1, 1)
+    ts_micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+    body = (
+        b"\x00ptz\x00"
+        + struct.pack("!hh", 1, 1)
+        + struct.pack("!h", 1)
+        + struct.pack("!i", 8)
+        + struct.pack("!q", ts_micros)
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"2024-03-01 12:34:56.789000"]]
