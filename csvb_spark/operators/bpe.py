@@ -9,14 +9,24 @@ for Spark's execution model:
   merge iteration then runs over the vocabulary, which is orders of
   magnitude smaller than a 100 TB corpus and independent of corpus
   growth past saturation.
-- Each iteration is: adjacent-pair explode → freq-weighted groupBy →
-  global argmax (ONE tiny row to the driver, the same bounded-constant
-  pattern as ``similarity.kmeans_train``) → a codegen-free but
-  vocabulary-sized higher-order fold that merges the winning pair
-  left-to-right in every word.
+- The word table is BOUNDED (distinct words, not corpus rows), so the
+  default trainer collects it once and runs the merge loop
+  driver-local with incrementally-maintained pair counts — the
+  standard Sennrich reference implementation shape. This turns "one
+  Spark job pair per merge" (~64k serial jobs at a 32k vocab) into
+  exactly TWO Spark jobs total (vocab count + collect) regardless of
+  ``n_merges``. Corpus-sized work is unchanged.
+- ``distributed=True`` (or a vocabulary above ``driver_vocab_limit``)
+  falls back to the all-Spark loop: adjacent-pair explode →
+  freq-weighted groupBy → global argmax (ONE tiny row to the driver)
+  → a vocabulary-sized higher-order fold that merges the winning pair
+  left-to-right in every word. Same semantics, one job pair per
+  merge — the escape hatch for vocabularies that genuinely don't fit
+  on the driver.
 - Ties on pair count break lexicographically on (left, right) — a
   total order, so training is deterministic on any engine, partition
-  count, or row order.
+  count, row order, or execution path (both paths produce
+  bit-identical merge tables; a test proves it).
 
 Greedy left-to-right non-overlapping merge via a fold: append each
 symbol to the accumulator unless the accumulator's last element
@@ -66,20 +76,98 @@ def _merge_pair(syms: Column, left: str, right: str) -> Column:
     )
 
 
+def _train_local(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-local merge loop over the collected word-frequency
+    table, with incrementally-maintained pair counts (only words
+    containing the winning pair are touched per step — the classic
+    Sennrich et al. reference-implementation optimization).
+
+    Semantics are bit-identical to the distributed loop: pair counts
+    sum ALL adjacent positions (overlaps included), the winner is
+    (max count, then lexicographically smallest (left, right)), and
+    the merge is greedy left-to-right non-overlapping.
+    """
+    # deterministic iteration order regardless of collect() row order
+    word_freqs = sorted(word_freqs)
+    syms: list[list[str]] = [list(w) for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+
+    def pairs_of(s: list[str]) -> dict[tuple[str, str], int]:
+        c: dict[tuple[str, str], int] = {}
+        for p in zip(s, s[1:]):
+            c[p] = c.get(p, 0) + 1
+        return c
+
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for i, s in enumerate(syms):
+        f = freqs[i]
+        for p, k in pairs_of(s).items():
+            pair_counts[p] = pair_counts.get(p, 0) + k * f
+            pair_words.setdefault(p, set()).add(i)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        if not pair_counts:
+            break
+        (left, right), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((step, left, right, cnt))
+        for i in sorted(pair_words.get((left, right), ())):
+            f = freqs[i]
+            old = syms[i]
+            old_pairs = pairs_of(old)
+            new: list[str] = []
+            j = 0
+            while j < len(old):
+                if j + 1 < len(old) and old[j] == left and old[j + 1] == right:
+                    new.append(left + right)
+                    j += 2
+                else:
+                    new.append(old[j])
+                    j += 1
+            syms[i] = new
+            new_pairs = pairs_of(new)
+            for p, k in old_pairs.items():
+                rem = pair_counts.get(p, 0) - k * f
+                if rem > 0:
+                    pair_counts[p] = rem
+                else:
+                    pair_counts.pop(p, None)
+                if p not in new_pairs:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(i)
+                        if not s:
+                            pair_words.pop(p, None)
+            for p, k in new_pairs.items():
+                pair_counts[p] = pair_counts.get(p, 0) + k * f
+                pair_words.setdefault(p, set()).add(i)
+    return merges
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 3,
     text_col: str = "text",
+    distributed: bool | None = None,
+    driver_vocab_limit: int = 5_000_000,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus; returns the
     merge table (step, left, right, pair_count) with step 1-based in
-    merge order.
+    merge order. Stops early if no adjacent pair remains.
 
-    Driver traffic is one (left, right, count) row per iteration —
-    bounded constants, never data (the ``kmeans_train`` contract).
-    The word table is cached across iterations; each iteration
-    re-materializes it once through the pair aggregation. Stops early
-    if no adjacent pair remains.
+    ``distributed=None`` (default) picks the path by vocabulary size:
+    at or under ``driver_vocab_limit`` distinct words the bounded
+    word-frequency table is collected and the merge loop runs
+    driver-local (two Spark jobs total, any ``n_merges``); above it —
+    or with ``distributed=True`` — the all-Spark per-merge loop runs
+    instead. ``distributed=False`` forces the driver path (raises if
+    the vocabulary exceeds the limit rather than risk driver OOM).
+    Both paths are deterministic and produce identical merge tables.
     """
     spark = docs.sparkSession
     words = (
@@ -88,6 +176,26 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
+    if distributed is not True:
+        words = words.persist()
+        try:
+            n_vocab = words.count()
+            if n_vocab <= driver_vocab_limit:
+                rows = words.collect()
+                return spark.createDataFrame(
+                    _train_local(
+                        [(r["w"], int(r["freq"])) for r in rows], n_merges
+                    ),
+                    schema="step int, left string, right string, pair_count bigint",
+                )
+            if distributed is False:
+                raise ValueError(
+                    f"bpe_train: vocabulary ({n_vocab} words) exceeds "
+                    f"driver_vocab_limit={driver_vocab_limit}; pass "
+                    "distributed=True or raise the limit"
+                )
+        finally:
+            words.unpersist()
     syms = words.select("freq", _chars(F.col("w")).alias("s")).persist()
     merges: list[tuple[int, str, str, int]] = []
     try:
