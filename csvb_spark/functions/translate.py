@@ -8,6 +8,7 @@ This module rewrites them before ``spark.sql``:
 - ``a ~ p`` / ``a !~ p``  → ``a RLIKE p`` / ``NOT (a RLIKE p)``
 - ``a ~* p`` / ``a !~* p``→ case-insensitive via ``(?i)`` prefix
 - ``a SIMILAR TO p``      → ``a RLIKE p`` (anchored)
+- ``SELECT DISTINCT ON (k) …`` → row_number-over-partition subquery
 - pure function renames (``approx_distinct`` →
   ``approx_count_distinct``, ``string_agg`` → ``listagg``, ...)
 
@@ -338,6 +339,110 @@ def _rewrite_create_external_table(sql: str, literals: list[str]) -> str:
     )
 
 
+# SELECT DISTINCT ON (keys) — the Postgres form DataFusion 44 accepts
+# (sqlparser-rs 0.53 parses it; datafusion-sql plans it — reference
+# route Cargo.lock:1546). Spark has no surface form, so rewrite onto
+# the row_number() shape q24 proves out:
+#
+#   SELECT DISTINCT ON (k) cols FROM ... ORDER BY k, o DESC [LIMIT n]
+#   →
+#   SELECT * EXCEPT (__don_s0.., __don_rn) FROM (
+#     SELECT cols, k AS __don_s0, o AS __don_s1,
+#            ROW_NUMBER() OVER (PARTITION BY k ORDER BY k, o DESC) AS __don_rn
+#     FROM ...
+#   ) WHERE __don_rn = 1 ORDER BY __don_s0, __don_s1 DESC [LIMIT n]
+#
+# Postgres semantics: first row per key group under the ORDER BY,
+# output ordered by the full ORDER BY. The sort expressions are
+# aliased into the inner projection so the outer ORDER BY resolves
+# even when they aren't in the select list, then EXCEPTed back out.
+# Top-level statements only (optionally under a WITH block); a
+# DISTINCT ON inside a set operation or subquery is left untouched so
+# Spark reports the unsupported form instead of a silent mis-rewrite.
+_DON_RE = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE)
+_DON_ORDER_DIR_RE = re.compile(
+    r"\s+(?P<dir>ASC|DESC)?\s*(?P<nulls>NULLS\s+(?:FIRST|LAST))?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _depth0_search(pattern: re.Pattern[str], s: str, start: int = 0):
+    """First match of ``pattern`` at paren depth 0 (from ``start``)."""
+    for m in pattern.finditer(s, start):
+        if s.count("(", 0, m.start()) == s.count(")", 0, m.start()):
+            return m
+    return None
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    m = _depth0_search(_DON_RE, sql)
+    if not m:
+        return sql
+    close = _scan_balanced(sql, m.end() - 1)
+    if close < 0:
+        return sql
+    keys = _split_args(sql[m.end() : close - 1])
+    if not keys:
+        return sql
+    fm = _depth0_search(re.compile(r"\bFROM\b", re.IGNORECASE), sql, close)
+    if not fm:
+        return sql
+    select_list = sql[close:fm.start()].strip()
+    tail = sql[fm.start() :]
+    if _depth0_search(
+        re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE), tail
+    ):
+        return sql  # set operation — bail, let Spark raise on the original
+    om = _depth0_search(re.compile(r"\bORDER\s+BY\b", re.IGNORECASE), tail)
+    order_items: list[str] = []
+    limit_tail = ""
+    if om:
+        lm = _depth0_search(
+            re.compile(r"\b(LIMIT|OFFSET)\b", re.IGNORECASE), tail, om.end()
+        )
+        order_str = tail[om.end() : lm.start() if lm else len(tail)]
+        limit_tail = " " + tail[lm.start() :].strip() if lm else ""
+        order_items = _split_args(order_str)
+        from_part = tail[: om.start()].rstrip()
+    else:
+        lm = _depth0_search(re.compile(r"\b(LIMIT|OFFSET)\b", re.IGNORECASE), tail)
+        limit_tail = " " + tail[lm.start() :].strip() if lm else ""
+        from_part = tail[: lm.start() if lm else len(tail)].rstrip()
+
+    # split each ORDER BY item into (expr, direction suffix)
+    parsed: list[tuple[str, str]] = []
+    for item in order_items:
+        dm = _DON_ORDER_DIR_RE.search(item)
+        if dm and (dm.group("dir") or dm.group("nulls")):
+            parsed.append((item[: dm.start()].strip(), " " + dm.group(0).strip()))
+        else:
+            parsed.append((item.strip(), ""))
+
+    win_order = (
+        ", ".join(e + d for e, d in parsed) if parsed else ", ".join(keys)
+    )
+    extras = ", ".join(
+        f"{e} AS __don_s{i}" for i, (e, _d) in enumerate(parsed)
+    )
+    except_cols = [f"__don_s{i}" for i in range(len(parsed))] + ["__don_rn"]
+    inner = (
+        f"SELECT {select_list}, "
+        + (f"{extras}, " if extras else "")
+        + f"ROW_NUMBER() OVER (PARTITION BY {', '.join(keys)} "
+        + f"ORDER BY {win_order}) AS __don_rn {from_part}"
+    )
+    outer_order = (
+        " ORDER BY " + ", ".join(f"__don_s{i}{d}" for i, (_e, d) in enumerate(parsed))
+        if parsed
+        else ""
+    )
+    return (
+        sql[: m.start()]
+        + f"SELECT * EXCEPT ({', '.join(except_cols)}) FROM ({inner}) "
+        + f"WHERE __don_rn = 1{outer_order}{limit_tail}"
+    )
+
+
 # generate_series as a table factor (FROM/JOIN position). DataFusion
 # exposes it as a TVF whose output column is `value`; Spark's TVF set
 # has explode(), so rewrite to a derived table. The scalar-position
@@ -383,6 +488,9 @@ def translate_sql(sql: str) -> str:
     rewritten = _rewrite_create_external_table(out, lits)
     if rewritten is not out:
         return _restore_literals(rewritten, lits)
+
+    # SELECT DISTINCT ON (keys) → row_number-over-partition shape
+    out = _rewrite_distinct_on(out)
 
     # expr::type casts (repeat for chains like x::text::int)
     prev = None

@@ -1936,3 +1936,29 @@ _q(
     ),
     oracle=_ivfpq_oracle_sql(),
 )
+
+
+# --- round 5: DISTINCT ON dialect rewrite -----------------------------
+# The reference accepts Postgres `SELECT DISTINCT ON (k) ...` through
+# sqlparser-rs/datafusion-sql (Cargo.lock:1546); Spark has no surface
+# form, so `translate.py` rewrites it onto the q24 row_number shape.
+# Routed through dialect_query so the oracle verifies the REWRITE, not
+# just the semantics: DuckDB runs the original text natively (it
+# implements Postgres DISTINCT ON), Spark runs the translation. The
+# ORDER BY pins a total order per key group (date DESC, then orderkey
+# DESC) so the representative row is engine-independent.
+_SQL_X62 = """
+SELECT DISTINCT ON (o_custkey)
+       o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_date,
+       o_totalprice AS latest_price
+FROM orders
+ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+"""
+
+from csvb_spark.queries.common import dialect_query as _dialect_query  # noqa: E402
+
+_q(
+    "x62_distinct_on_dialect",
+    spark=_dialect_query(_SQL_X62),
+    oracle=_SQL_X62,
+)

@@ -215,6 +215,42 @@ def test_log_levels():
             "SELECT date_bin(INTERVAL '1.5 hours', ts, o) FROM e",
             "SELECT date_bin(INTERVAL '1.5 hours', ts, o) FROM e",
         ),
+        # DISTINCT ON → row_number-over-partition subquery
+        (
+            "SELECT DISTINCT ON (k) v FROM t",
+            "SELECT * EXCEPT (__don_rn) FROM (SELECT v, ROW_NUMBER() OVER "
+            "(PARTITION BY k ORDER BY k) AS __don_rn FROM t) "
+            "WHERE __don_rn = 1",
+        ),
+        (
+            "SELECT DISTINCT ON (a, b) * FROM t "
+            "ORDER BY a, b, c DESC NULLS LAST LIMIT 5",
+            "SELECT * EXCEPT (__don_s0, __don_s1, __don_s2, __don_rn) FROM "
+            "(SELECT *, a AS __don_s0, b AS __don_s1, c AS __don_s2, "
+            "ROW_NUMBER() OVER (PARTITION BY a, b ORDER BY a, b, c DESC "
+            "NULLS LAST) AS __don_rn FROM t) WHERE __don_rn = 1 "
+            "ORDER BY __don_s0, __don_s1, __don_s2 DESC NULLS LAST LIMIT 5",
+        ),
+        # under a WITH block: CTE untouched, main SELECT rewritten
+        (
+            "WITH c AS (SELECT x, y FROM s) "
+            "SELECT DISTINCT ON (x) x, y FROM c ORDER BY x, y",
+            "WITH c AS (SELECT x, y FROM s) "
+            "SELECT * EXCEPT (__don_s0, __don_s1, __don_rn) FROM "
+            "(SELECT x, y, x AS __don_s0, y AS __don_s1, ROW_NUMBER() OVER "
+            "(PARTITION BY x ORDER BY x, y) AS __don_rn FROM c) "
+            "WHERE __don_rn = 1 ORDER BY __don_s0, __don_s1",
+        ),
+        # set operations — bail so Spark reports the unsupported form
+        (
+            "SELECT DISTINCT ON (k) v FROM t UNION SELECT k FROM u",
+            "SELECT DISTINCT ON (k) v FROM t UNION SELECT k FROM u",
+        ),
+        # plain DISTINCT is not DISTINCT ON — untouched
+        (
+            "SELECT DISTINCT on_col FROM t",
+            "SELECT DISTINCT on_col FROM t",
+        ),
     ],
 )
 def test_translate_sql(src, expected):
