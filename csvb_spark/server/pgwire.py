@@ -12,8 +12,8 @@ the subset that real clients use):
 - extended protocol: Parse/Bind plan the statement; bind parameters
   are inlined as typed SQL literals ($n substitution with the
   Parse-declared oids — the common psycopg3/JDBC path; binary-format
-  params decode for every oid the server binary-encodes — bool/int2/
-  int4/int8/float4/float8/text/bytea/date/timestamp — others 0A000;
+  params decode for bool/int2/int4/int8/float4/float8/text/bytea/
+  date/timestamp/timestamptz/numeric/uuid — others 0A000;
   bytea/date/timestamp params render as typed literals X'..'/DATE/
   TIMESTAMP in both formats).
   Result columns honor Bind's trailing format codes: binary wire
@@ -263,6 +263,39 @@ def _dec_ts(b: bytes) -> str:
     )
 
 
+def _dec_numeric(b: bytes) -> str:
+    """NUMERIC binary wire format (public protocol docs / backend
+    utils/adt/numeric.c layout): int16 ndigits, weight, sign, dscale,
+    then ndigits base-10000 digit groups. Decoded to the canonical
+    text form; NaN decodes to 'NaN' and is rejected downstream by the
+    numeric-literal validation (Spark DECIMAL has no NaN) — a loud
+    error instead of a silent mis-bind."""
+    nd, weight, sign, dscale = struct.unpack("!hhHh", b[:8])
+    if sign not in (0x0000, 0x4000):
+        # 0xC000 NaN, 0xD000/0xF000 ±Infinity (pg14+) — all non-finite
+        return {0xD000: "Infinity", 0xF000: "-Infinity"}.get(sign, "NaN")
+    digits = struct.unpack(f"!{nd}h", b[8 : 8 + 2 * nd]) if nd else ()
+    ipart = ""
+    for i in range(weight + 1):
+        d = digits[i] if i < nd else 0
+        ipart += str(d) if i == 0 else f"{d:04d}"
+    ipart = ipart or "0"
+    out = ("-" if sign == 0x4000 else "") + ipart
+    if dscale > 0:
+        fgroups = []
+        for j in range((dscale + 3) // 4):
+            i = weight + 1 + j
+            fgroups.append(digits[i] if 0 <= i < nd else 0)
+        out += "." + "".join(f"{d:04d}" for d in fgroups)[:dscale]
+    return out
+
+
+def _dec_uuid(b: bytes) -> str:
+    import uuid as _uuid
+
+    return str(_uuid.UUID(bytes=b))
+
+
 _BINARY_DECODERS = {
     16: lambda b: "t" if b != b"\x00" else "f",  # bool
     21: lambda b: str(struct.unpack("!h", b)[0]),  # int2
@@ -283,6 +316,8 @@ _BINARY_DECODERS = {
     # 2000-01-01); the session is UTC, so the same decode applies —
     # psycopg3/JDBC bind tz-aware datetimes as 1184 in binary mode
     1184: _dec_ts,
+    1700: _dec_numeric,  # numeric → canonical decimal text
+    2950: _dec_uuid,  # uuid → hyphenated text (renders as a string)
 }
 
 

@@ -868,3 +868,100 @@ def test_extended_binary_timestamptz_param(conn):
     _send(sock, b"S", b"")
     msgs = _read_until_ready(sock, buf)
     assert _data_rows(msgs) == [[b"2024-03-01 12:34:56.789000"]]
+
+
+def _pg_numeric_bin(ndigits, weight, sign, dscale, digits):
+    return struct.pack("!hhHh", ndigits, weight, sign, dscale) + struct.pack(
+        f"!{len(digits)}h", *digits
+    )
+
+
+def test_extended_binary_numeric_param(conn):
+    """Binary-format NUMERIC (oid 1700, base-10000 digit groups)
+    decodes to a decimal literal — the psycopg/JDBC BigDecimal bind
+    path that previously answered 0A000."""
+    sock, buf = conn
+    sql = b"SELECT $1 AS a, $2 AS b, $3 AS c, $4 AS d"
+    _send(
+        sock,
+        b"P",
+        b"pnum\x00" + sql + b"\x00" + struct.pack("!hIIII", 4, 1700, 1700, 1700, 1700),
+    )
+    vals = [
+        # 12345.6789 = groups [1, 2345, 6789] weight 1, dscale 4
+        _pg_numeric_bin(3, 1, 0x0000, 4, [1, 2345, 6789]),
+        # -42 = groups [42] weight 0, negative
+        _pg_numeric_bin(1, 0, 0x4000, 0, [42]),
+        # 0.0001 = groups [1] weight -1, dscale 4
+        _pg_numeric_bin(1, -1, 0x0000, 4, [1]),
+        # 70000 = groups [7] weight 1 (trailing zero group omitted)
+        _pg_numeric_bin(1, 1, 0x0000, 0, [7]),
+    ]
+    params = b"".join(struct.pack("!i", len(v)) + v for v in vals)
+    body = (
+        b"\x00pnum\x00"
+        + struct.pack("!hh", 1, 1)  # one fmt code (binary) for all
+        + struct.pack("!h", 4)
+        + params
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"12345.6789", b"-42", b"0.0001", b"70000"]]
+
+
+def test_extended_binary_numeric_nan_rejected_loudly(conn):
+    """NUMERIC NaN has no Spark DECIMAL equivalent — clean error (not a
+    silent mis-bind), connection survives."""
+    sock, buf = conn
+    _send(
+        sock,
+        b"P",
+        b"pnan\x00SELECT $1 AS x\x00" + struct.pack("!hI", 1, 1700),
+    )
+    v = _pg_numeric_bin(0, 0, 0xC000, 0, [])
+    body = (
+        b"\x00pnan\x00"
+        + struct.pack("!hh", 1, 1)
+        + struct.pack("!h", 1)
+        + struct.pack("!i", len(v))
+        + v
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    tags = [t for t, _ in msgs]
+    assert b"E" in tags and tags[-1] == b"Z"
+    # connection survives: a simple query still works
+    _send(sock, b"Q", b"SELECT 1 AS one\x00")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"1"]]
+
+
+def test_extended_binary_uuid_param(conn):
+    """Binary-format UUID (oid 2950, 16 raw bytes) decodes to the
+    hyphenated text form and binds as a string literal."""
+    import uuid as _uuid
+
+    sock, buf = conn
+    u = _uuid.UUID("12345678-9abc-def0-1234-56789abcdef0")
+    sql = b"SELECT upper($1) AS u, length($1) AS n"
+    _send(sock, b"P", b"puu\x00" + sql + b"\x00" + struct.pack("!hI", 1, 2950))
+    body = (
+        b"\x00puu\x00"
+        + struct.pack("!hh", 1, 1)
+        + struct.pack("!h", 1)
+        + struct.pack("!i", 16)
+        + u.bytes
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [
+        [str(u).upper().encode(), str(len(str(u))).encode()]
+    ]
