@@ -16,8 +16,10 @@ bb8 default), every NEW connection passes a DNS/TCP precheck with a
 short timeout plus a ``SELECT 1`` probe before entering service, and a
 dead shard therefore fails in ~2s with a clean error instead of
 timing out mid-scan. The pool is per process — the driver process and
-each Spark Python worker hold their own (workers are reused across
-tasks, so executor-side scans amortize the handshake too).
+each Spark Python worker hold their own, anchored as a process-wide
+singleton that survives by-value closure deserialization
+(``_process_pool``), so workers reused across tasks amortize the
+handshake: at most one connect per shard per worker, not per slice.
 
 Protocol reference: PostgreSQL docs "Frontend/Backend Protocol" v3
 (public documentation). Text result format only.
@@ -154,18 +156,39 @@ class _PgConn:
 class _Pool:
     """Per-process pool state. This module is pickled BY VALUE into
     executor closures (see federation.read_shard_pg); sockets and
-    locks can't cross the process boundary, so unpickling yields a
-    fresh empty pool in the worker — exactly the semantics we want."""
+    locks can't cross the process boundary, so unpickling must yield
+    the receiving PROCESS's pool — see ``_process_pool``."""
 
     def __init__(self):
         self.lock = threading.Lock()
         self.conns: dict[tuple, list[_PgConn]] = {}
 
     def __reduce__(self):
-        return (_Pool, ())
+        return (_process_pool, ())
 
 
-_POOL = _Pool()
+def _process_pool() -> _Pool:
+    """The one pool for this interpreter process.
+
+    Because the module travels by value, a plain module-global pool
+    would come back EMPTY on every task deserialization — one fresh
+    connect (+ SELECT 1 probe) per slice, no reuse across tasks even
+    on a reused worker. Anchoring the singleton on the ``sys`` module
+    (shared by every unpickled module copy in a process) gives each
+    Spark python worker exactly one pool for its lifetime, so
+    consecutive slices hit warm shard connections — the reference's
+    bb8 per-shard pool intent (postgres_pool.rs:142-150) realized on
+    the executor side. ``dict.setdefault`` is atomic under the GIL; a
+    lost race leaks only an empty pool object."""
+    import sys as _sys
+
+    pool = _sys.__dict__.get("_csvb_pgclient_pool")
+    if pool is None:
+        pool = _sys.__dict__.setdefault("_csvb_pgclient_pool", _Pool())
+    return pool
+
+
+_POOL = _process_pool()
 
 
 def _checkout(host: str, port: int, user: str, database: str, timeout: float) -> _PgConn:

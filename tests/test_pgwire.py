@@ -772,6 +772,49 @@ def test_pgclient_pools_connections(pg_server):
     assert pgclient.pool_stats().get(key) == 1
 
 
+def test_pgclient_pool_survives_by_value_unpickling(pg_server):
+    """Executor-side pooling contract: pgclient travels BY VALUE into
+    task closures (federation.read_shard_pg), so every task
+    deserialization yields a fresh module copy — each copy must
+    resolve to the SAME process-wide pool (the sys-anchored
+    singleton), or every slice opens its own shard connection. Two
+    independently-unpickled copies issuing a query each must leave
+    exactly ONE pooled connection: ≤1 connect per shard per process."""
+    from pyspark import cloudpickle as cp
+    from pyspark.cloudpickle import (
+        register_pickle_by_value,
+        unregister_pickle_by_value,
+    )
+
+    from csvb_spark.sources import pgclient
+
+    key = ("127.0.0.1", pg_server.port, "u3", "db")
+    with pgclient._POOL.lock:
+        pgclient._POOL.conns.pop(key, None)
+    register_pickle_by_value(pgclient)
+    try:
+        payload = cp.dumps(pgclient.pg_simple_query)
+    finally:
+        unregister_pickle_by_value(pgclient)
+    f1, f2 = cp.loads(payload), cp.loads(payload)
+    # genuinely distinct module copies (the executor situation) ...
+    assert f1.__globals__ is not pgclient.pg_simple_query.__globals__
+    assert f1.__globals__ is not f2.__globals__
+    # ... sharing one pool object
+    assert f1.__globals__["_POOL"] is pgclient._POOL
+    assert f2.__globals__["_POOL"] is pgclient._POOL
+    for f, expect in ((f1, "21"), (f2, "22")):
+        _, rows = f(
+            "127.0.0.1",
+            pg_server.port,
+            f"SELECT {expect} AS x",
+            user="u3",
+            database="db",
+        )
+        assert rows == [[expect]]
+    assert pgclient.pool_stats().get(key) == 1
+
+
 def test_pgclient_recovers_from_stale_pooled_conn(pg_server):
     from csvb_spark.sources import pgclient
 
