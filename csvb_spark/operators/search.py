@@ -17,10 +17,11 @@ variable-cardinality sum runs in DECIMAL after a per-addend
 so Spark and the DuckDB oracle produce identical IEEE doubles.
 
 Reference scope: beyond-reference (training-pipeline extension);
-BM25 per Robertson & Zaragoza 2009 (log-free idf variant — the raw
-odds ratio (N - df + 0.5)/(df + 0.5), keeping the arithmetic
-engine-portable per this repo's integer/ratio-only convention); RRF
-per Cormack, Clarke & Buettcher 2009.
+BM25 per Robertson & Zaragoza 2009 — default idf is the log-free
+odds ratio (N - df + 0.5)/(df + 0.5) for engine-portable bit-exact
+replay (multi-term rankings diverge from standard BM25; see the
+``bm25_topk`` docstring), with ``idf="log"`` for Lucene-standard
+parity; RRF per Cormack, Clarke & Buettcher 2009.
 """
 
 from __future__ import annotations
@@ -38,16 +39,29 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
+    idf: str = "ratio",
 ) -> DataFrame:
     """Top-k documents by BM25 against a bag of query terms.
+
+    **Ranking caveat — read before comparing against other BM25
+    tooling.** The default ``idf="ratio"`` uses the LOG-FREE odds
+    ratio (N − df + 0.5)/(df + 0.5). Single-term rankings match
+    standard BM25 exactly (the idf is a positive monotone per-term
+    constant), but MULTI-term rankings diverge materially: without
+    the log, a rare term's contribution is exponentially amplified
+    relative to Robertson/Lucene BM25. The ratio form exists for
+    cross-engine bit-exactness (integer/ratio-only arithmetic — the
+    DuckDB oracle reproduces it bit-for-bit). Pass ``idf="log"`` for
+    the Lucene-standard ln(1 + (N − df + 0.5)/(df + 0.5)) when
+    parity with standard BM25 tooling matters more than bit-exact
+    replay.
 
     Output: (doc_id, n_terms, bm25) ordered by score desc with doc_id
     tiebreak; only documents matching ≥1 term appear (everything else
     scores 0). ``n_terms`` = distinct query terms present.
 
     Per-(doc, term): score_t = idf(t) · tf·(k1+1) / (tf + k1·(1 − b +
-    b·dl/avgdl)), idf = (N − df + 0.5)/(df + 0.5) — log-free, see
-    module doc. Per-doc score = decimal sum of round(score_t, 6).
+    b·dl/avgdl)). Per-doc score = decimal sum of round(score_t, 6).
 
     Plan: the postings explode filters each doc's token array to the
     query terms BEFORE exploding (map-only; non-matching docs emit
@@ -88,12 +102,15 @@ def bm25_topk(
     df_tbl = F.broadcast(
         postings.groupBy("term").agg(F.count("*").alias("df"))
     )
+    if idf not in ("ratio", "log"):
+        raise ValueError(f"bm25_topk: idf must be 'ratio' or 'log', got {idf!r}")
     k1c, bc = F.lit(float(k1)), F.lit(float(b))
-    idf = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    ratio = (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    idf_expr = F.log(F.lit(1.0) + ratio) if idf == "log" else ratio
     denom = F.col("tf") + k1c * (
         F.lit(1.0) - bc + (bc * F.col("dl").cast("double")) / F.col("avgdl")
     )
-    term_score = F.round(idf * ((F.col("tf") * (k1c + 1.0)) / denom), 6)
+    term_score = F.round(idf_expr * ((F.col("tf") * (k1c + 1.0)) / denom), 6)
     return (
         postings.join(df_tbl, "term")
         .crossJoin(stats)
@@ -113,6 +130,7 @@ def rrf_fuse(
     c: int = 60,
     id_col: str = "doc_id",
     score_col: str = "score",
+    max_list_rows: int = 100_000,
 ) -> DataFrame:
     """Reciprocal-rank fusion of N ranked lists: rrf(d) = Σ_lists
     1/(c + rank_list(d)), the standard hybrid-retrieval combiner
@@ -124,16 +142,27 @@ def rrf_fuse(
     fused score desc with id tiebreak. Per-list contributions are
     round(1/(c+rank), 6) summed in DECIMAL — order-independent.
 
-    Plan: each list is ranked with a single-partition window ONLY if
-    the caller passed an unbounded list — the intended use feeds
-    already-top-k'd lists (bounded, e.g. ``bm25_topk``/
-    ``brute_force_topk`` output), so the window input is k rows per
-    list, the union is tiny, and the rollup + top-k is trivial. At
-    scale the expensive part is producing the input rankings, not the
-    fusion.
+    Plan: each list is ranked with a single-partition window, which is
+    safe ONLY because inputs are bounded — the intended use feeds
+    already-top-k'd lists (e.g. ``bm25_topk``/``brute_force_topk``
+    output), so the window input is k rows per list, the union is
+    tiny, and the rollup + top-k is trivial. That contract is
+    ENFORCED, not conventioned: any input list larger than
+    ``max_list_rows`` raises ValueError up front (the check reads at
+    most max_list_rows+1 rows per list) instead of silently funneling
+    a corpus through one partition. At scale the expensive part is
+    producing the input rankings, not the fusion.
     """
     if not rankings:
         raise ValueError("rrf_fuse: rankings must be non-empty")
+    for i, r in enumerate(rankings):
+        if r.limit(max_list_rows + 1).count() > max_list_rows:
+            raise ValueError(
+                f"rrf_fuse: rankings[{i}] exceeds max_list_rows="
+                f"{max_list_rows}; pass pre-top-k'd lists (rank fusion "
+                "over an unbounded list would run a single-partition "
+                "global sort) or raise max_list_rows explicitly"
+            )
     ranked = []
     for i, r in enumerate(rankings):
         w = (

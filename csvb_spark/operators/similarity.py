@@ -893,6 +893,8 @@ def pq_adc_topk(
     prow = probe.select(
         F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
     ).first()
+    if prow is None:
+        raise ValueError("pq: empty probe DataFrame")
     pv = [float(x) for x in prow["pv"]]
     if len(pv) != m * sub:
         raise ValueError(f"pq: probe dim {len(pv)} != m*sub {m * sub}")
@@ -911,7 +913,7 @@ def pq_adc_topk(
         term = F.element_at(lut, F.col(f"code_{s}").cast("int") + 1)
         dist = term if dist is None else (dist + term)
     return (
-        codes.filter(F.col(id_col) != F.lit(int(prow["pid"])))
+        codes.filter(F.col(id_col) != F.lit(prow["pid"]))
         .select(id_col, F.round(dist, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
@@ -1025,6 +1027,8 @@ def ivfpq_topk(
     prow = probe.select(
         F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
     ).first()
+    if prow is None:
+        raise ValueError("ivfpq: empty probe DataFrame")
     pv = [float(x) for x in prow["pv"]]
     if len(pv) != m * sub:
         raise ValueError(f"ivfpq: probe dim {len(pv)} != m*sub {m * sub}")
@@ -1058,7 +1062,7 @@ def ivfpq_topk(
         )
     return (
         coded.filter(F.col("cid").isin([int(c) for c in probed]))
-        .filter(F.col(id_col) != F.lit(int(prow["pid"])))
+        .filter(F.col(id_col) != F.lit(prow["pid"]))
         .select(id_col, F.round(dist, 6).alias("adc_dist"))
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)

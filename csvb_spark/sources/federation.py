@@ -476,11 +476,16 @@ def federated_agg(
             merged.append(F.expr(f"SUM({name}__n)").alias(f"{name}__n"))
             # NULL for n <= 1 (matching native stddev_samp/var_samp);
             # a bare /(n-1) would throw DIVIDE_BY_ZERO under Spark 4's
-            # default ANSI mode when a group has one row
+            # default ANSI mode when a group has one row. GREATEST(·,0)
+            # floors the moment decomposition: catastrophic
+            # cancellation on ill-conditioned columns (near-constant
+            # values of large magnitude) can push sq - sum²/n slightly
+            # negative, and SQRT of that would be NaN where native
+            # stddev_samp degrades to ~0
             var = (
                 f"CASE WHEN {name}__n > 1 THEN "
-                f"({name}__sq - {name}__sum * {name}__sum / {name}__n)"
-                f" / ({name}__n - 1) END"
+                f"GREATEST(({name}__sq - {name}__sum * {name}__sum / {name}__n)"
+                f" / ({name}__n - 1), 0.0) END"
             )
             finals.append(
                 (f"SQRT({var})" if fn == "stddev" else var) + f" AS {name}"

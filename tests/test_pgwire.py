@@ -677,6 +677,53 @@ def test_federated_agg_pushdown(spark, two_shards):
     assert all(r["sd_v"] is None for r in ones.collect())
 
 
+def test_federated_stddev_ill_conditioned_never_nan(spark, two_shards_big_const):
+    """Moment decomposition (sq - sum²/n)/(n-1) can go slightly
+    negative via catastrophic cancellation on near-constant columns of
+    large magnitude; the GREATEST(·, 0) floor must degrade that to
+    0/sqrt(0)=0 (matching native stddev's ~0), never NaN."""
+    import math
+
+    from csvb_spark.sources.federation import VirtualTable, federated_agg
+
+    vt = VirtualTable("tbl", two_shards_big_const)
+    row = federated_agg(
+        spark, vt, [], {"sd": ("stddev", "v"), "vr": ("var", "v")}
+    ).collect()[0]
+    assert row["sd"] is not None and not math.isnan(row["sd"])
+    assert row["vr"] is not None and not math.isnan(row["vr"])
+    assert row["sd"] >= 0.0 and row["vr"] >= 0.0
+    # magnitude sanity: true stddev is ~0.8, but moment decomposition
+    # at |x|~1e9 carries ~|x|²·ε ≈ 1e2-scale variance noise (the
+    # documented conditioning caveat) — assert the noise scale, not
+    # the true value
+    assert row["vr"] < 1e4
+
+
+@pytest.fixture()
+def two_shards_big_const(spark):
+    """Shards whose column is near-constant at large magnitude — the
+    catastrophic-cancellation shape for moment-decomposed variance."""
+    from csvb_spark.server.pgwire import PgWireServer
+
+    s1, s2 = spark.newSession(), spark.newSession()
+    s1.range(0, 50).selectExpr(
+        "id", "CAST(1000000000 + id % 3 AS DOUBLE) AS v"
+    ).createOrReplaceTempView("tbl")
+    s2.range(50, 100).selectExpr(
+        "id", "CAST(1000000000 + id % 3 AS DOUBLE) AS v"
+    ).createOrReplaceTempView("tbl")
+    srv1, srv2 = PgWireServer(s1, "127.0.0.1:0"), PgWireServer(s2, "127.0.0.1:0")
+    srv1.start_background()
+    srv2.start_background()
+    yield [
+        f"postgresql://u@127.0.0.1:{srv1.port}/db",
+        f"postgresql://u@127.0.0.1:{srv2.port}/db",
+    ]
+    srv1.shutdown()
+    srv2.shutdown()
+
+
 # --- federation over the pgwire transport (no JDBC jar in this env) ----------------
 @pytest.fixture()
 def two_shards(spark):

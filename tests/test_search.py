@@ -191,6 +191,73 @@ def test_rrf_rank_ties_break_by_id(spark):
     assert by_id[3] > by_id[7]  # lower id gets the better rank on ties
 
 
+def test_rrf_rejects_unbounded_input(spark):
+    """The single-partition ranking window is safe only for pre-top-k'd
+    lists; the bounded-input contract is enforced, not conventioned."""
+    import pytest
+
+    big = spark.range(0, 50).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) AS score")
+    ok = spark.range(0, 3).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) AS score")
+    with pytest.raises(ValueError, match="max_list_rows"):
+        search.rrf_fuse([ok, big], k=5, max_list_rows=10)
+    # raising the bound explicitly re-admits the same input
+    rows = search.rrf_fuse([ok, big], k=5, max_list_rows=100).collect()
+    assert len(rows) == 5
+
+
+def test_bm25_log_idf_matches_python_reference(spark):
+    """idf='log' reproduces Lucene-standard BM25 (ln(1 + ratio) idf):
+    per-doc scores match an independent Python implementation and the
+    multi-term ranking differs from the ratio variant's amplification
+    where expected."""
+    import math
+
+    corpus = {
+        1: "rare common common tail",
+        2: "common common common common tail",
+        3: "rare rare tail",
+        4: "tail tail tail common",
+        5: "common tail",
+    }
+    terms = ["rare", "common"]
+    k1, b = 1.2, 0.75
+    n = len(corpus)
+    dls = {i: len(t.split()) for i, t in corpus.items()}
+    avgdl = sum(dls.values()) / n
+    df = {
+        t: sum(1 for txt in corpus.values() if t in txt.split()) for t in terms
+    }
+
+    def py_score(i):
+        s = 0.0
+        for t in terms:
+            tf = corpus[i].split().count(t)
+            if not tf:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += round(
+                idf * ((tf * (k1 + 1.0)) / (tf + k1 * (1 - b + (b * dls[i]) / avgdl))),
+                6,
+            )
+        return round(s, 6)
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in corpus.items()]
+    )
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in search.bm25_topk(docs, terms, k=10, idf="log").collect()
+    }
+    for i in corpus:
+        if py_score(i):
+            assert abs(got[i] - py_score(i)) < 1e-9, (i, got[i], py_score(i))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="idf"):
+        search.bm25_topk(docs, terms, idf="nope")
+
+
 # --- gopher_rules (lives here with the other round-4 text ops) ----------
 
 
@@ -344,6 +411,22 @@ def test_ivfpq_requires_seed_centroid_ids(spark, sf_dir):
         sim.ivfpq_topk(
             embs, embs.filter(F.col("vec_id") == 4), cb, n_centroids=8
         )
+
+
+def test_pq_empty_probe_raises_clearly(spark, sf_dir):
+    """An empty probe DataFrame must raise ValueError('empty probe'),
+    not TypeError on a None row."""
+    import pytest as _pytest
+
+    from csvb_spark.operators import similarity as sim
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nobody = embs.filter(F.col("vec_id") < 0)
+    cb = sim.pq_seeded_codebook(m=4, k=4, sub=16, seed=11, scale=0.1)
+    with _pytest.raises(ValueError, match="empty probe"):
+        sim.pq_adc_topk(embs, nobody, cb, k=5)
+    with _pytest.raises(ValueError, match="empty probe"):
+        sim.ivfpq_topk(embs, nobody, cb, k=5, n_centroids=8, nprobe=2)
 
 
 # --- randomized differentials vs plain-Python references ----------------
