@@ -74,10 +74,28 @@ def _expand_dir(path: str, ext: str = ".csv") -> list[str]:
 def resolve_sources(
     sources: list[str], cache_dir: str | None = None, ext: str = ".csv"
 ) -> list[str]:
+    """Expand dirs and fetch URLs; source order is preserved.
+
+    Multiple URLs download CONCURRENTLY (thread pool; urllib releases
+    the GIL on socket reads) so wall-clock is ≈ the slowest transfer,
+    not the sum — the multi-source registration path shouldn't
+    serialize on N networks. With ``cache_dir=None`` each fetch keeps
+    its own temp dir, so equal basenames from different hosts never
+    collide (same rule as the serial path)."""
+    urls = [s for s in sources if _is_url(s)]
+    if len(urls) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(urls))) as ex:
+            # one fetch per OCCURRENCE (a URL listed twice stays two
+            # local copies, exactly like the serial path)
+            fetched = iter(list(ex.map(lambda u: _fetch_url(u, cache_dir), urls)))
+    else:
+        fetched = iter([])
     paths: list[str] = []
     for s in sources:
         if _is_url(s):
-            paths.append(_fetch_url(s, cache_dir))
+            paths.append(next(fetched, None) or _fetch_url(s, cache_dir))
         else:
             paths.extend(_expand_dir(s, ext))
     if not paths:

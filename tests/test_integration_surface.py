@@ -394,6 +394,47 @@ def test_csv_http_source(spark, http_csv_server):
     ] == (330, 3)
 
 
+def test_multi_url_fetch_is_concurrent(tmp_path):
+    """N URLs download through a thread pool: wall-clock ≈ slowest
+    transfer, not the sum. A server that delays each response 0.4s
+    must serve 4 URLs in well under the 1.6s serial floor; contents
+    and source order are preserved."""
+    import http.server
+    import threading
+    import time
+
+    from csvb_spark.sources.csv_source import resolve_sources
+
+    for i in range(4):
+        (tmp_path / f"u{i}.csv").write_text(f"id\n{i}\n")
+
+    class SlowHandler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(tmp_path), **kw)
+
+        def do_GET(self):
+            time.sleep(0.4)
+            super().do_GET()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), SlowHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        urls = [f"{base}/u{i}.csv" for i in range(4)]
+        t0 = time.monotonic()
+        paths = resolve_sources(urls)
+        elapsed = time.monotonic() - t0
+        assert elapsed < 1.2, f"4x0.4s fetches took {elapsed:.2f}s — serialized?"
+        assert [open(p).read() for p in paths] == [f"id\n{i}\n" for i in range(4)]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_cli_exec_parquet_and_json(spark, sf_dir, tmp_path, capsys):
     """`csvb exec --parquet …` / `--json …` register the direct table
     like --csv does (bonus formats; reference wires only CsvFormat,
