@@ -623,11 +623,27 @@ def substring_spans(
     policy: str = "all",
     wide_gram_keys: bool = False,
 ) -> DataFrame:
-    """Exact-substring duplication spans, the seed+merge approximation
+    """Exact-substring duplication spans, the seed+merge formulation
     of suffix-array substring dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): every maximal token
     span whose word ``k``-grams each appear verbatim in at least
     ``min_docs`` distinct documents.
+
+    Exactness bound (differential-tested against an O(n^4) brute-force
+    reference on adversarial overlapping/nested/periodic corpora,
+    ``tests/test_plans.py``): for ``policy='all'`` the construction is
+    COVERAGE-EXACT, not approximate — a position sits inside some
+    duplicated substring of length >= k iff it sits inside a
+    duplicated k-window (every length->=k duplicate contains each of
+    its positions in a duplicated k-window, and every duplicated
+    k-window IS such a substring), and the island merge emits exactly
+    the maximal runs of that position set (recall = precision = 1
+    modulo hash collisions; see the key-width note below). Duplicated
+    runs SHORTER than k are invisible by definition — that threshold,
+    plus ``policy='keep_first'`` attributing ownership at gram (not
+    occurrence) granularity, is where approximation genuinely lives.
+    A fused island may span hits from DIFFERENT duplicate partners;
+    coverage is still exact, only per-partner attribution is not.
 
     Output: one row per maximal span —
     ``(doc_id, span_start, span_end, span_tokens)``, 1-based token

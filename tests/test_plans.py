@@ -520,6 +520,123 @@ def test_strip_spans_rewrites_only_planted(spark, sf_dir):
     assert got[3].clean_text == "short clean doc" and got[3].n_removed == 0
 
 
+def _exact_substring_spans(corpus, k, min_docs):
+    """Brute-force exact reference for substring duplication spans:
+    a position is covered iff it lies inside SOME contiguous token run
+    of length >= k that occurs in >= min_docs distinct documents
+    (occurrence checked by naive scan, no k-gram reasoning); spans are
+    the maximal runs of covered positions, 1-based inclusive. O(n^4) —
+    for tiny corpora only."""
+
+    def occurs_in(needle, toks):
+        n = len(needle)
+        return any(toks[i : i + n] == needle for i in range(len(toks) - n + 1))
+
+    out = {}
+    for d, toks in corpus.items():
+        covered = set()
+        n = len(toks)
+        for s in range(n):
+            for e in range(s + k - 1, n):
+                needle = toks[s : e + 1]
+                nd = sum(1 for toks2 in corpus.values() if occurs_in(needle, toks2))
+                if nd >= min_docs:
+                    covered.update(range(s + 1, e + 2))  # 1-based inclusive
+        spans = []
+        for p in sorted(covered):
+            if spans and p == spans[-1][1] + 1:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        out[d] = [(a, b, b - a + 1) for a, b in spans]
+    return out
+
+
+def test_substring_spans_match_exact_reference_on_adversarial_corpora(spark):
+    """Differential vs the brute-force exact reference: for
+    policy='all' the k-gram seed + island construction is
+    COVERAGE-EXACT — every duplicated substring of length >= k has all
+    its k-windows duplicated and vice versa, so emitted spans must
+    equal the maximal covered runs bit-for-bit. Cases target the
+    shapes where island merging could plausibly diverge: chained
+    overlapping spans with DIFFERENT duplicate partners, nested
+    repeats, periodic self-similar runs, sub-threshold (< k) repeats,
+    and seeded-random heavy-overlap corpora; both the min/max
+    min_docs=2 fast path and the count_distinct path run."""
+    import random
+
+    from csvb_spark.operators import dedup
+
+    A = [f"a{i}" for i in range(4)]
+    B = [f"b{i}" for i in range(5)]
+    P = ["p0", "p1", "p2"]
+    fixed = {
+        # chained: doc1 holds A+B adjacent; A shared only with doc2,
+        # B only with doc3 — doc1's island fuses them into one span no
+        # single partner duplicates in full (coverage still exact)
+        1: A + B,
+        2: ["x1", "x2"] + A + ["x3"],
+        3: B + ["y1", "y2", "y3"],
+        # periodic run: self-similar within AND across docs
+        4: ["w"] * 8 + ["z4"],
+        5: ["z5"] + ["w"] * 5,
+        # nested: P inside A-context in one doc, bare in another;
+        # sub-threshold pair ("q1 q2" with k=3) must NOT seed
+        6: ["q1", "q2"] + P + ["q1", "q2"],
+        7: P + ["r7"],
+    }
+    corpora = [fixed]
+    rng = random.Random(20260814)
+    for _ in range(3):
+        vocab = [f"t{i}" for i in range(6)]
+        corpora.append(
+            {
+                d: [rng.choice(vocab) for _ in range(rng.randint(4, 18))]
+                for d in range(1, 7)
+            }
+        )
+    for corpus in corpora:
+        docs = spark.createDataFrame(
+            [(d, " ".join(toks)) for d, toks in corpus.items()],
+            "doc_id long, text string",
+        )
+        for k, min_docs in ((3, 2), (3, 3), (4, 2)):
+            expect = _exact_substring_spans(corpus, k, min_docs)
+            got = {d: [] for d in corpus}
+            for r in dedup.substring_spans(
+                docs, k=k, min_docs=min_docs, policy="all"
+            ).collect():
+                got[r.doc_id].append((r.span_start, r.span_end, r.span_tokens))
+            for d in corpus:
+                assert sorted(got[d]) == expect[d], (d, k, min_docs, corpus[d])
+
+
+def test_substring_spans_keep_first_ownership_granularity(spark):
+    """keep_first's documented approximation is OWNERSHIP granularity:
+    each duplicated gram is kept by its minimal owning doc, so a doc
+    whose adjacent grams have different canonical owners strips the
+    union while each owner keeps its own piece — quantified here on
+    the adversarial chained-overlap shape."""
+    from csvb_spark.operators import dedup
+
+    A = [f"a{i}" for i in range(4)]
+    B = [f"b{i}" for i in range(4)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(A + ["only1"])),            # canonical owner of A
+            (2, " ".join(B + ["only2"])),            # canonical owner of B
+            (3, " ".join(A + B)),                    # later copy of both
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in dedup.substring_spans(docs, k=4, min_docs=2, policy="keep_first").collect()
+    }
+    # owners keep their copies; doc 3 strips the fused union (1..8)
+    assert got == {3: (1, 8)}
+
+
 def test_substring_spans_plan_shape(spark, sf_dir):
     """Span assembly must reuse one doc_id exchange (window + groupBy),
     and the dup-gram filter must come back as a broadcast semi-join —
