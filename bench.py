@@ -72,19 +72,36 @@ def main() -> None:
     for n in names:
         queries[n].spark(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for n in names:
-        t0 = time.perf_counter()
-        df = queries[n].spark(spark, sf_dir)
-        df.count()
-        timings[n] = round(time.perf_counter() - t0, 4)
+    # Three timed passes; report the per-query MEDIAN (robust against
+    # the documented hypervisor-contention spikes) plus the min/max
+    # spread so host-noise claims stay auditable from the artifact
+    # itself rather than asserted from memory.
+    n_iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(n_iters):
+        for n in names:
+            t0 = time.perf_counter()
+            df = queries[n].spark(spark, sf_dir)
+            df.count()
+            runs[n].append(time.perf_counter() - t0)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings = {n: round(median(v), 4) for n, v in runs.items()}
+    spread = {n: [round(min(v), 4), round(max(v), 4)] for n, v in runs.items()}
 
     out = {
         "metric": "headline query wall-clock at sf "
-        f"{sf} on local[{cpus}] (sum over {len(names)} queries)",
+        f"{sf} on local[{cpus}] (sum of per-query medians over "
+        f"{n_iters} passes, {len(names)} queries)",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "iterations": n_iters,
         "sf": sf,
     }
     print(json.dumps(out))
