@@ -17,9 +17,9 @@ the subset that real clients use):
   bytea/date/timestamp params render as typed literals X'..'/DATE/
   TIMESTAMP in both formats).
   Result columns honor Bind's trailing format codes: binary wire
-  encoding for bool/int/float/text/bytea/date/timestamp, clean 0A000
-  at Bind time for any other type a client requests in binary —
-  never text bytes mislabeled binary. Parameter-less QUERY-shaped
+  encoding for bool/int/float/text/bytea/date/timestamp/numeric,
+  clean 0A000 at Bind time for any other type a client requests in
+  binary — never text bytes mislabeled binary. Parameter-less QUERY-shaped
   statements
   plan once and cache; parameterized statements and commands (Spark
   runs commands eagerly at plan time) re-plan per Bind so repeated
@@ -110,9 +110,9 @@ def _pg_text(v) -> bytes | None:
 
 # Binary-format result encoders by type oid (the wire formats are in
 # the public protocol docs; timestamps use integer_datetimes=on, which
-# the startup parameters announce). Types without an entry (numeric,
-# arrays, ...) reject a binary result request with a clean 0A000 at
-# Bind time instead of mislabeling text bytes.
+# the startup parameters announce). Types without an entry reject a
+# binary result request with a clean 0A000 at Bind time instead of
+# mislabeling text bytes.
 _PG_EPOCH_DATE = _dt.date(2000, 1, 1)
 _PG_EPOCH_TS = _dt.datetime(2000, 1, 1)
 
@@ -123,6 +123,36 @@ def _enc_ts(v) -> bytes:
         micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
         return struct.pack("!q", micros)
     raise ValueError(f"not a timestamp: {v!r}")
+
+
+def _enc_numeric(v) -> bytes:
+    """Inverse of ``_dec_numeric``: Decimal → base-10000 groups.
+    Spark DECIMAL columns collect as ``decimal.Decimal`` (always
+    finite), so the non-finite sign words never encode."""
+    import decimal
+
+    d = v if isinstance(v, decimal.Decimal) else decimal.Decimal(str(v))
+    sign = 0x4000 if d < 0 else 0x0000
+    d = abs(d)
+    dscale = max(0, -d.as_tuple().exponent)
+    text = format(d, "f")
+    istr, _, fstr = text.partition(".")
+    istr = "0" * ((-len(istr)) % 4) + istr
+    fstr = fstr + "0" * ((-len(fstr)) % 4)
+    igroups = [int(istr[i : i + 4]) for i in range(0, len(istr), 4)]
+    fgroups = [int(fstr[i : i + 4]) for i in range(0, len(fstr), 4)]
+    weight = len(igroups) - 1
+    digits = igroups + fgroups
+    while digits and digits[0] == 0:
+        digits.pop(0)
+        weight -= 1
+    while digits and digits[-1] == 0:
+        digits.pop()
+    if not digits:
+        weight = 0
+    return struct.pack("!hhHh", len(digits), weight, sign, dscale) + struct.pack(
+        f"!{len(digits)}h", *digits
+    )
 
 
 _BINARY_ENCODERS = {
@@ -137,6 +167,7 @@ _BINARY_ENCODERS = {
     17: lambda v: bytes(v),  # bytea
     1082: lambda v: struct.pack("!i", (v - _PG_EPOCH_DATE).days),  # date
     1114: _enc_ts,  # timestamp (integer_datetimes)
+    1700: _enc_numeric,  # numeric (base-10000 groups)
 }
 
 

@@ -509,9 +509,13 @@ def test_binary_result_format(conn):
     assert row[3] == b"hi"
 
 
-def test_binary_result_format_per_column_and_unsupported(conn):
-    """Per-column format codes mix text and binary; a binary request
-    for a type with no wire encoder (decimal) fails 0A000 at Bind."""
+def test_binary_result_format_per_column_and_numeric(conn):
+    """Per-column format codes mix text and binary; DECIMAL columns
+    binary-encode in the base-10000 NUMERIC wire format (negative,
+    sub-unit, and trailing-zero-scale shapes all round-trip through
+    the same decoder the bind path uses)."""
+    from csvb_spark.server.pgwire import _dec_numeric
+
     sock, buf = conn
     sql = b"SELECT CAST(3 AS INT) AS i, 'x' AS s"
     _send(sock, b"P", b"bm\x00" + sql + b"\x00" + struct.pack("!h", 0))
@@ -521,14 +525,54 @@ def test_binary_result_format_per_column_and_unsupported(conn):
     msgs = _read_until_ready(sock, buf)
     (row,) = _data_rows(msgs)
     assert struct.unpack("!i", row[0]) == (3,) and row[1] == b"x"
-    # decimal in binary → clean feature-not-supported error
-    sql2 = b"SELECT CAST(1 AS DECIMAL(10,2)) AS n"
+    # numeric in binary: decode with the documented wire layout
+    sql2 = (
+        b"SELECT CAST(-12345.6789 AS DECIMAL(12,4)) AS a, "
+        b"CAST(0.0001 AS DECIMAL(8,4)) AS b, "
+        b"CAST(1 AS DECIMAL(10,2)) AS c, "
+        b"CAST(70000 AS DECIMAL(10,0)) AS d"
+    )
     _send(sock, b"P", b"bu\x00" + sql2 + b"\x00" + struct.pack("!h", 0))
     _send(sock, b"B", b"\x00bu\x00" + struct.pack("!hhhh", 0, 0, 1, 1))
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
     _send(sock, b"S", b"")
     msgs = _read_until_ready(sock, buf)
-    errs = [p for t, p in msgs if t == b"E"]
-    assert errs and b"0A000" in errs[0]
+    (row,) = _data_rows(msgs)
+    assert [_dec_numeric(v) for v in row] == [
+        "-12345.6789",
+        "0.0001",
+        "1.00",
+        "70000",
+    ]
+    # field layout sanity on the negative value: 3 groups, weight 1,
+    # sign 0x4000, dscale 4
+    assert struct.unpack("!hhHh", row[0][:8]) == (3, 1, 0x4000, 4)
+
+
+def test_numeric_wire_roundtrip_randomized():
+    """enc→dec round-trips the canonical decimal text for randomized
+    scales/magnitudes (pure unit test, no socket)."""
+    import decimal
+    import random
+
+    from csvb_spark.server.pgwire import _dec_numeric, _enc_numeric
+
+    rng = random.Random(20260814)
+    cases = [decimal.Decimal("0"), decimal.Decimal("0.00"), decimal.Decimal("-0.0001")]
+    for _ in range(300):
+        digits = "".join(rng.choice("0123456789") for _ in range(rng.randint(1, 24)))
+        scale = rng.randint(0, min(len(digits), 12))
+        sign = rng.choice(["", "-"])
+        ipart = digits[: len(digits) - scale] or "0"
+        fpart = digits[len(digits) - scale :]
+        cases.append(decimal.Decimal(f"{sign}{ipart}{'.' + fpart if fpart else ''}"))
+    for d in cases:
+        got = _dec_numeric(_enc_numeric(d))
+        assert decimal.Decimal(got) == d, (d, got)
+        # scale (displayed fraction digits) is preserved exactly
+        assert max(0, -decimal.Decimal(got).as_tuple().exponent) == max(
+            0, -d.as_tuple().exponent
+        ), (d, got)
 
 
 def test_cancel_requires_secret_and_running_query(pg_server):
