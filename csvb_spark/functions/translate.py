@@ -9,6 +9,7 @@ This module rewrites them before ``spark.sql``:
 - ``a ~* p`` / ``a !~* p``→ case-insensitive via ``(?i)`` prefix
 - ``a SIMILAR TO p``      → ``a RLIKE p`` (anchored)
 - ``SELECT DISTINCT ON (k) …`` → row_number-over-partition subquery
+- ``* EXCLUDE (cols)``     → ``* EXCEPT (cols)``
 - pure function renames (``approx_distinct`` →
   ``approx_count_distinct``, ``string_agg`` → ``listagg``, ...)
 
@@ -339,6 +340,27 @@ def _rewrite_create_external_table(sql: str, literals: list[str]) -> str:
     )
 
 
+# SELECT * EXCLUDE (...) — the wildcard-options form DataFusion 44
+# accepts (sqlparser-rs 0.53 WildcardAdditionalOptions; DuckDB spells
+# it identically). Spark's spelling is `* EXCEPT (cols)`, a pure
+# keyword swap. Both the parenthesized list and the bare
+# single-column form rewrite; `tbl.* EXCLUDE` works the same way.
+_EXCLUDE_RE = re.compile(
+    r"(?P<star>\*\s+)EXCLUDE(?P<cols>\s*\([^)]*\)|\s+[A-Za-z_][\w]*)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_exclude(sql: str) -> str:
+    def repl(m: re.Match[str]) -> str:
+        cols = m.group("cols").strip()
+        if not cols.startswith("("):
+            cols = f"({cols})"
+        return f"{m.group('star')}EXCEPT {cols}"
+
+    return _EXCLUDE_RE.sub(repl, sql)
+
+
 # SELECT DISTINCT ON (keys) — the Postgres form DataFusion 44 accepts
 # (sqlparser-rs 0.53 parses it; datafusion-sql plans it — reference
 # route Cargo.lock:1546). Spark has no surface form, so rewrite onto
@@ -488,6 +510,9 @@ def translate_sql(sql: str) -> str:
     rewritten = _rewrite_create_external_table(out, lits)
     if rewritten is not out:
         return _restore_literals(rewritten, lits)
+
+    # SELECT * EXCLUDE (...) → * EXCEPT (...)
+    out = _rewrite_exclude(out)
 
     # SELECT DISTINCT ON (keys) → row_number-over-partition shape
     out = _rewrite_distinct_on(out)

@@ -1962,3 +1962,20 @@ _q(
     spark=_dialect_query(_SQL_X62),
     oracle=_SQL_X62,
 )
+
+
+# --- round 5: wildcard EXCLUDE dialect rewrite ------------------------
+# sqlparser-rs 0.53 (the reference's parser) accepts the wildcard
+# EXCLUDE option; Spark spells it `* EXCEPT`. DuckDB runs EXCLUDE
+# natively, so the oracle verifies the rewrite itself, like x62.
+_SQL_X63 = """
+SELECT * EXCLUDE (o_orderpriority, o_orderstatus)
+FROM orders
+WHERE o_totalprice > 400000
+"""
+
+_q(
+    "x63_wildcard_exclude_dialect",
+    spark=_dialect_query(_SQL_X63),
+    oracle=_SQL_X63,
+)

@@ -251,6 +251,24 @@ def test_log_levels():
             "SELECT DISTINCT on_col FROM t",
             "SELECT DISTINCT on_col FROM t",
         ),
+        # wildcard EXCLUDE → EXCEPT (list, bare single column, tbl.*)
+        (
+            "SELECT * EXCLUDE (a, b) FROM t",
+            "SELECT * EXCEPT (a, b) FROM t",
+        ),
+        (
+            "SELECT * EXCLUDE a FROM t",
+            "SELECT * EXCEPT (a) FROM t",
+        ),
+        (
+            "SELECT t.* EXCLUDE (x) FROM t",
+            "SELECT t.* EXCEPT (x) FROM t",
+        ),
+        # an identifier merely containing 'exclude' is untouched
+        (
+            "SELECT excluded, a * excluded FROM t",
+            "SELECT excluded, a * excluded FROM t",
+        ),
     ],
 )
 def test_translate_sql(src, expected):
