@@ -1,0 +1,164 @@
+"""Model-based filtering scaffolding: a hashed-feature linear text
+classifier (the fastText shape — Joulin et al. 2016, "Bag of Tricks
+for Efficient Text Classification") scored entirely JVM-side.
+
+Quality filtering at LLM-corpus scale is overwhelmingly done with
+linear classifiers over hashed bag-of-n-gram features (CCNet, GPT-3's
+WebText filter, FineWeb-Edu's distilled scorer all reduce to this
+shape at inference time): the model is a bounded weight vector, and
+scoring is a per-document dot product — embarrassingly parallel,
+map-only, no Python boundary needed.
+
+Two scoring paths, identical semantics:
+
+- **formula weights** (default): the bucket→weight map is a pure
+  expression, so scoring is a single higher-order-function fold in
+  whole-stage codegen — ZERO shuffles, linear scan, the 100 TB hot
+  path. Used by the corpus entry because any engine can recompute it
+  (the oracle re-derives every weight in SQL).
+- **table weights** (`weights=` DataFrame): real trained weights.
+  Features explode → md5 bucket → broadcast-join the weight table
+  (≤ n_buckets rows — a model, bounded by construction, never by
+  data) → one groupBy(doc_id) rollup. One fixed-width shuffle.
+
+Determinism contract (per the repo-wide cross-engine rules): feature
+hashing is md5-based (portable — xxhash64 has no DuckDB twin), weights
+are INTEGERS in [-500, 500] summed exactly as int64 (float sums in
+data-dependent order are engine-fragile), and the only float op is one
+final IEEE division. Reference scope: beyond-reference
+(training-pipeline extension; the reference has no text operators —
+SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from csvb_spark.operators.text import tokens
+
+
+def feature_bucket(feat: Column, n_buckets: int, seed: int = 7) -> Column:
+    """Portable hash bucket in [0, n_buckets) for a feature string.
+
+    DuckDB twin: ``('0x' || substr(md5(f || ':seed'), 1, 8))::BIGINT
+    % n_buckets`` (same recipe as ``splits.split_bucket(portable=
+    True)``).
+    """
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(feat, F.lit(f":{seed}")), "UTF-8")), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h32, F.lit(n_buckets))
+
+
+def formula_weight(bucket: Column) -> Column:
+    """Deterministic pseudo-trained integer weight in [-500, 500] for a
+    bucket: a SECOND md5 avalanche over the bucket id (so weight is
+    uncorrelated with bucket order).
+
+    DuckDB twin: ``(('0x' || substr(md5(bucket || ':w'), 1, 8))::BIGINT
+    % 1001) - 500``.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.encode(F.concat(bucket.cast("string"), F.lit(":w")), "UTF-8")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return F.pmod(h, F.lit(1001)) - F.lit(500)
+
+
+def hashed_features(text_col: str | Column = "text") -> Column:
+    """fastText-style feature set: lowercased unigrams + word bigrams
+    (``wordNgrams=2``), as one array column. Map-only."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    t = tokens(F.lower(c))
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(t, bigrams)
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 18,
+    seed: int = 7,
+    weights: DataFrame | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Score every document with a hashed-feature linear classifier.
+
+    Output: ``(doc_id, n_features, margin, score, keep)`` where
+    ``margin`` is the exact int64 weight sum over the document's
+    hashed unigram+bigram features, ``score = margin / (1000 * n)``
+    (mean weight rescaled to roughly [-0.5, 0.5] — the single IEEE
+    division), and ``keep = score > threshold``.
+
+    With ``weights=None`` the bucket→weight map is
+    :func:`formula_weight` and the whole operator is one codegen'd
+    projection — zero shuffles. With a ``weights`` DataFrame
+    ``(bucket, weight)`` (a trained model; weight must be integer),
+    features explode and broadcast-join the model, then roll up per
+    document — one shuffle on ``doc_id``.
+    """
+    feats = hashed_features(text_col)
+    if weights is None:
+        margin = F.aggregate(
+            feats,
+            F.lit(0).cast("bigint"),
+            lambda acc, f: acc + formula_weight(feature_bucket(f, n_buckets, seed)),
+        )
+        scored = docs.select(
+            id_col,
+            F.size(feats).alias("n_features"),
+            margin.alias("margin"),
+        )
+    else:
+        exploded = docs.select(
+            id_col, F.explode(feats).alias("f")
+        ).withColumn("bucket", feature_bucket(F.col("f"), n_buckets, seed))
+        joined = exploded.join(F.broadcast(weights), "bucket", "left")
+        scored = joined.groupBy(id_col).agg(
+            F.count("*").alias("n_features"),
+            F.sum(F.coalesce(F.col("weight"), F.lit(0)).cast("bigint")).alias(
+                "margin"
+            ),
+        )
+    return scored.select(
+        id_col,
+        "n_features",
+        "margin",
+        F.round(
+            F.col("margin").cast("double")
+            / (F.lit(1000.0) * F.col("n_features").cast("double")),
+            6,
+        ).alias("score"),
+        (
+            F.col("margin").cast("double")
+            / (F.lit(1000.0) * F.col("n_features").cast("double"))
+            > F.lit(threshold)
+        ).alias("keep"),
+    )
+
+
+def formula_weights_table(spark, n_buckets: int) -> DataFrame:
+    """The :func:`formula_weight` map materialized as a model table
+    ``(bucket, weight)`` — for tests proving the two scoring paths
+    agree, and as the template shape a real trained model loads into."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        formula_weight(F.col("id")).cast("int").alias("weight"),
+    )

@@ -1067,3 +1067,78 @@ def ivfpq_topk(
         .orderBy(F.asc("adc_dist"), F.asc(id_col))
         .limit(k)
     )
+
+
+def rp_signs(out_dim: int, in_dim: int, seed: int = 11) -> list[list[int]]:
+    """Deterministic ±1 random-projection matrix (Achlioptas 2003,
+    sparse/sign random projections): ``sign[j][i]`` is derived from the
+    parity of ``md5(j:i:seed)``'s first 8 hex chars, so ANY engine can
+    re-derive the matrix from the three integers alone — no shipped
+    artifact. ``out_dim × in_dim`` ints: a bounded constant (the same
+    driver-constant pattern as the IVF codebooks), NOT data."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}:{i}:{seed}".encode()).hexdigest()[:8], 16) % 2
+            == 0
+            else -1
+            for i in range(1, in_dim + 1)
+        ]
+        for j in range(1, out_dim + 1)
+    ]
+
+
+def rp_project(
+    embs: DataFrame,
+    out_dim: int = 8,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-projection dimensionality reduction — the standard
+    pre-LSH / pre-clustering step when the raw embedding dim makes
+    banding or cross-cell scoring too wide (project 768 → 8-32 dims,
+    then band/bucket the short code).
+
+    Output: ``(vec_id, pos, val)`` long-form, 1-based ``pos`` —
+    ``val = round(Σ_i v[i] * sign[pos][i], 6)``.
+
+    Determinism contract: the sign matrix is :func:`rp_signs`
+    (md5-parity, engine-recomputable); each term is cast to
+    DECIMAL(30,6) and summed EXACTLY (order-independent — parallel
+    partial aggregation cannot perturb it), with one final
+    decimal→double cast. Same integer-exactness design as
+    ``kmeans_train``'s centroid update.
+
+    Plan: map-only — per output dim one zip_with/aggregate fold over
+    the vector against a literal sign array; zero shuffles, zero
+    Python, linear in corpus size. The sign matrix costs
+    ``out_dim × in_dim`` ints on the driver regardless of data scale.
+    Reference scope: beyond-reference (training-pipeline extension).
+    """
+    first = embs.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("rp_project: empty embeddings input")
+    in_dim = int(first["d"])
+    signs = rp_signs(out_dim, in_dim, seed)
+    v = as_double(F.col(vec_col))
+    cols = []
+    for j in range(1, out_dim + 1):
+        sj = F.array(*[F.lit(s) for s in signs[j - 1]])
+        acc = F.aggregate(
+            F.zip_with(v, sj, lambda x, s: (x * s).cast("decimal(30,6)")),
+            F.lit(0).cast("decimal(30,6)"),
+            # decimal addition widens to (31,6); cast back so the fold's
+            # accumulator type is stable (exact — terms are |x| ≲ 1e3)
+            lambda a, t: (a + t).cast("decimal(30,6)"),
+        )
+        cols.append(
+            F.named_struct(
+                F.lit("pos"), F.lit(j), F.lit("val"), F.round(acc.cast("double"), 6)
+            )
+        )
+    return embs.select(
+        F.col(id_col), F.explode(F.array(*cols)).alias("o")
+    ).select(id_col, F.col("o.pos").alias("pos"), F.col("o.val").alias("val"))

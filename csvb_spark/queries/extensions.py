@@ -1979,3 +1979,61 @@ _q(
     spark=_dialect_query(_SQL_X63),
     oracle=_SQL_X63,
 )
+
+
+# --- round 5: model-based filtering + random projection ---------------
+# Hashed-feature linear classifier (the fastText inference shape used
+# by CCNet/WebText/FineWeb-style quality filters) and ±1 random
+# projection (Achlioptas) — both md5-portable so DuckDB re-derives the
+# model/matrix entirely in SQL (see operators/classify.py module doc).
+from csvb_spark.operators import classify  # noqa: E402
+
+_q(
+    "x64_linear_classifier",
+    spark=lambda spark, sf: classify.linear_classifier_score(_docs(spark, sf)),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+), feats AS (
+  SELECT doc_id, unnest(w) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS f
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), wtd AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(bucket::VARCHAR || ':w'), 1, 8))::BIGINT % 1001) - 500) AS wt
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(f || ':7'), 1, 8))::BIGINT % 262144 AS bucket
+        FROM feats) b
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_features, CAST(SUM(wt) AS BIGINT) AS margin
+  FROM wtd GROUP BY doc_id
+)
+SELECT doc_id, n_features, margin,
+       ROUND(CAST(margin AS DOUBLE) / (1000.0 * CAST(n_features AS DOUBLE)), 6) AS score,
+       (CAST(margin AS DOUBLE) / (1000.0 * CAST(n_features AS DOUBLE))) > 0.0 AS keep
+FROM agg
+""",
+)
+
+_q(
+    "x65_random_projection",
+    spark=lambda spark, sf: similarity.rp_project(_embs(spark, sf), out_dim=4),
+    oracle=r"""
+WITH p AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings) u
+), s AS (
+  SELECT p.vec_id, j.j AS pos,
+         CAST(SUM(CAST(p.x * (CASE WHEN ('0x' || substr(md5(j.j || ':' || p.i || ':11'), 1, 8))::BIGINT % 2 = 0
+                                   THEN 1 ELSE -1 END)
+                       AS DECIMAL(30,6))) AS DOUBLE) AS val
+  FROM p CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) j
+  GROUP BY p.vec_id, j.j
+)
+SELECT vec_id, pos, ROUND(val, 6) AS val FROM s
+""",
+)

