@@ -188,3 +188,254 @@ def frame_pipeline(docs: DataFrame, n_frames: int = 4) -> DataFrame:
     """documents → payload → resize → frame sampling: the full
     multimodal plumbing chain (all mapInPandas, zero shuffles)."""
     return sample_frames(resize(attach_fake_payload(docs)), n_frames)
+
+
+# --- round 5: REAL decode for codec-free formats ----------------------
+# The container has no image/audio codec libraries, but WAV/PCM is
+# parseable with the stdlib `wave` module and PPM(P6)/BMP(24-bit) with
+# NumPy alone — so for those formats decode is now REAL, not stubbed:
+# bytes are parsed, samples/pixels are materialized, and features are
+# computed from the actual signal. Compressed formats (JPEG/MP3/MP4)
+# still fall through to the clearly-marked fallback with
+# decoded=false. Everything stays mapInPandas/zero-shuffle.
+
+DECODED_SCHEMA = (
+    "doc_id bigint, kind string, byte_len int, width int, height int, "
+    "n_channels int, sample_rate int, n_samples bigint, duration_ms double, "
+    "rms double, peak double, mean_r double, mean_g double, mean_b double, "
+    "decoded boolean"
+)
+
+
+def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL media bytes per document: even ids get a
+    mono 16-bit PCM WAV (8 kHz sine, length/frequency derived from the
+    id), odd ids a binary P6 PPM (gradient pattern, dims derived from
+    the id). The bytes are genuine format-conformant files — any
+    external WAV/PPM reader opens them — so the decode stage is tested
+    against real payloads, not markers. Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _wav(doc_id: int) -> bytes:
+            sr = 8000
+            n = 800 + (doc_id % 17) * 40
+            freq = 220 + (doc_id % 13) * 20
+            t = _np.arange(n, dtype=_np.float64)
+            samples = (12000.0 * _np.sin(2.0 * _np.pi * freq * t / sr)).astype(
+                _np.int16
+            )
+            buf = _io.BytesIO()
+            with _wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(sr)
+                w.writeframes(samples.tobytes())
+            return buf.getvalue()
+
+        def _ppm(doc_id: int) -> bytes:
+            w = 8 + (doc_id % 9)
+            h = 6 + (doc_id % 7)
+            y, x = _np.mgrid[0:h, 0:w]
+            px = _np.stack(
+                [
+                    (x * 3 + doc_id) % 256,
+                    (y * 7 + doc_id) % 256,
+                    (x + y + doc_id) % 256,
+                ],
+                axis=-1,
+            ).astype(_np.uint8)
+            return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [
+                        _wav(i) if i % 2 == 0 else _ppm(i) for i in ids
+                    ],
+                    "mime": [
+                        "audio/wav" if i % 2 == 0 else "image/x-portable-pixmap"
+                        for i in ids
+                    ],
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary, mime string"
+    )
+
+
+def decode_media_features(media: DataFrame) -> DataFrame:
+    """REAL decode + feature extraction for WAV/PPM/BMP payloads,
+    sniffed by magic bytes; anything else falls through with
+    ``decoded=false`` (byte_len only). Audio features (rms/peak) are
+    computed over the actual PCM samples normalized to [-1, 1]; image
+    features over the actual pixel array. Arrow-batched, map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave as _wave
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _null_row(doc_id: int, p: bytes) -> dict:
+            return {
+                "doc_id": doc_id,
+                "kind": "unknown",
+                "byte_len": len(p),
+                "width": None,
+                "height": None,
+                "n_channels": None,
+                "sample_rate": None,
+                "n_samples": None,
+                "duration_ms": None,
+                "rms": None,
+                "peak": None,
+                "mean_r": None,
+                "mean_g": None,
+                "mean_b": None,
+                "decoded": False,
+            }
+
+        def _decode_wav(doc_id: int, p: bytes) -> dict:
+            with _wave.open(_io.BytesIO(p), "rb") as w:
+                nch, sw, sr, n = (
+                    w.getnchannels(),
+                    w.getsampwidth(),
+                    w.getframerate(),
+                    w.getnframes(),
+                )
+                raw = w.readframes(n)
+            dt = {1: _np.uint8, 2: _np.int16, 4: _np.int32}.get(sw)
+            if dt is None:
+                return _null_row(doc_id, p)
+            x = _np.frombuffer(raw, dtype=dt).astype(_np.float64)
+            if sw == 1:
+                x = x - 128.0
+            full = float(2 ** (8 * sw - 1))
+            x = x / full
+            row = _null_row(doc_id, p)
+            row.update(
+                kind="audio",
+                n_channels=nch,
+                sample_rate=sr,
+                n_samples=n,
+                duration_ms=round(n * 1000.0 / sr, 6),
+                rms=float(_np.sqrt(_np.mean(x * x))) if len(x) else 0.0,
+                peak=float(_np.max(_np.abs(x))) if len(x) else 0.0,
+                decoded=True,
+            )
+            return row
+
+        def _parse_ppm(p: bytes):
+            # P6 header: magic, whitespace/comments, width, height,
+            # maxval, single whitespace, then raw RGB
+            pos, fields = 2, []
+            while len(fields) < 3:
+                while pos < len(p) and p[pos : pos + 1].isspace():
+                    pos += 1
+                if p[pos : pos + 1] == b"#":
+                    while pos < len(p) and p[pos] != 0x0A:
+                        pos += 1
+                    continue
+                start = pos
+                while pos < len(p) and not p[pos : pos + 1].isspace():
+                    pos += 1
+                fields.append(int(p[start:pos]))
+            pos += 1  # the single whitespace after maxval
+            w, h, maxval = fields
+            if maxval > 255:
+                return None
+            px = _np.frombuffer(p, dtype=_np.uint8, count=w * h * 3, offset=pos)
+            return px.reshape(h, w, 3)
+
+        def _parse_bmp(p: bytes):
+            # 24-bit uncompressed BI_RGB only; rows 4-byte padded,
+            # bottom-up (positive height)
+            if len(p) < 54:
+                return None
+            off = int.from_bytes(p[10:14], "little")
+            w = int.from_bytes(p[18:22], "little", signed=True)
+            h = int.from_bytes(p[22:26], "little", signed=True)
+            bpp = int.from_bytes(p[28:30], "little")
+            comp = int.from_bytes(p[30:34], "little")
+            if bpp != 24 or comp != 0 or w <= 0 or h <= 0:
+                return None
+            stride = (w * 3 + 3) & ~3
+            rows = _np.frombuffer(
+                p, dtype=_np.uint8, count=stride * h, offset=off
+            ).reshape(h, stride)[:, : w * 3]
+            bgr = rows.reshape(h, w, 3)[::-1]  # bottom-up → top-down
+            return bgr[..., ::-1]  # BGR → RGB
+
+        def _decode_image(doc_id: int, p: bytes, px) -> dict:
+            h, w = px.shape[0], px.shape[1]
+            means = px.reshape(-1, 3).mean(axis=0)
+            row = _null_row(doc_id, p)
+            row.update(
+                kind="image",
+                width=w,
+                height=h,
+                n_channels=3,
+                mean_r=round(float(means[0]), 6),
+                mean_g=round(float(means[1]), 6),
+                mean_b=round(float(means[2]), 6),
+                decoded=True,
+            )
+            return row
+
+        for pdf in batches:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                doc_id, p = int(doc_id), bytes(p)
+                try:
+                    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+                        rows.append(_decode_wav(doc_id, p))
+                    elif p[:2] == b"P6":
+                        px = _parse_ppm(p)
+                        rows.append(
+                            _decode_image(doc_id, p, px)
+                            if px is not None
+                            else _null_row(doc_id, p)
+                        )
+                    elif p[:2] == b"BM":
+                        px = _parse_bmp(p)
+                        rows.append(
+                            _decode_image(doc_id, p, px)
+                            if px is not None
+                            else _null_row(doc_id, p)
+                        )
+                    else:
+                        rows.append(_null_row(doc_id, p))
+                except Exception:
+                    rows.append(_null_row(doc_id, p))
+            yield _pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def real_multimodal_pipeline(docs: DataFrame) -> DataFrame:
+    """documents → REAL synthesized WAV/PPM bytes → REAL decode.
+    Every metadata field the decode reports is arithmetic in doc_id
+    (see synthesize_media), so a SQL oracle can verify the full
+    encode→decode round trip without touching a byte itself."""
+    return decode_media_features(synthesize_media(docs)).select(
+        "doc_id",
+        "kind",
+        "byte_len",
+        "width",
+        "height",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "decoded",
+    )

@@ -2037,3 +2037,36 @@ WITH p AS (
 SELECT vec_id, pos, ROUND(val, 6) AS val FROM s
 """,
 )
+
+
+# --- round 5: REAL multimodal decode round trip -----------------------
+# synthesize_media emits genuine WAV/PPM files whose every metadata
+# field is arithmetic in doc_id, so DuckDB can verify the full
+# encode→decode round trip (Spark actually builds and parses the
+# bytes; the oracle predicts what a correct codec must report).
+# Sample-level features (rms/peak/means) are float-accumulated and
+# pytest-verified against NumPy instead (test_multimodal_real.py).
+_q(
+    "x66_multimodal_real_decode",
+    spark=lambda spark, sf: multimodal.real_multimodal_pipeline(_docs(spark, sf)),
+    oracle=r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 44 + 2 * (800 + (doc_id % 17) * 40)
+                 ELSE 9 + length(CAST(8 + (doc_id % 9) AS VARCHAR))
+                        + length(CAST(6 + (doc_id % 7) AS VARCHAR))
+                        + 3 * (8 + (doc_id % 9)) * (6 + (doc_id % 7))
+            END AS INT) AS byte_len,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 8 + (doc_id % 9) END AS INT) AS width,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 6 + (doc_id % 7) END AS INT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT) AS n_channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 END AS INT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 800 + (doc_id % 17) * 40 END AS BIGINT) AS n_samples,
+       CASE WHEN doc_id % 2 = 0
+            THEN ROUND((800 + (doc_id % 17) * 40) * 1000.0 / 8000, 6)
+       END AS duration_ms,
+       TRUE AS decoded
+FROM documents
+""",
+)
