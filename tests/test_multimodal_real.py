@@ -135,3 +135,46 @@ def test_real_pipeline_stereo_and_plan_shape(spark, sf_dir):
     )
     plan = df._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
     assert "Exchange" not in plan
+
+
+def test_transform_media_nn_resize_exact(spark):
+    from csvb_spark.operators.multimodal import transform_media
+
+    # 4×4 checkerboard-ish: NN to 2×2 must pick pixels (1,1),(1,3),(3,1),(3,3)
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    payload = b"P6\n4 4\n255\n" + px.tobytes()
+    out = transform_media(
+        _media_df(spark, [(1, payload)]), width=2, height=2
+    ).collect()[0]
+    assert out["transformed"] and (out["width"], out["height"]) == (2, 2)
+    got = np.frombuffer(bytes(out["payload"])[len(b"P6\n2 2\n255\n"):], dtype=np.uint8)
+    want = px[np.ix_([1, 3], [1, 3])].reshape(-1)
+    assert np.array_equal(got, want)
+
+
+def test_transform_media_wav_decimation_roundtrip(spark):
+    from csvb_spark.operators.multimodal import decode_media_features, transform_media
+
+    samples = np.arange(800, dtype=np.int16)
+    wav = _make_wav(samples, sr=8000)
+    out = transform_media(
+        _media_df(spark, [(2, wav)]), target_rate=2000
+    ).collect()[0]
+    assert out["transformed"] and out["sample_rate"] == 2000
+    # re-decode the transformed payload: every 4th sample survives
+    dec = decode_media_features(
+        _media_df(spark, [(2, bytes(out["payload"]))])
+    ).collect()[0]
+    assert dec["decoded"] and dec["sample_rate"] == 2000
+    assert dec["n_samples"] == 200
+    with wave.open(io.BytesIO(bytes(out["payload"])), "rb") as w:
+        got = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    assert np.array_equal(got, samples[::4])
+
+
+def test_transform_media_passthrough_unknown(spark):
+    from csvb_spark.operators.multimodal import transform_media
+
+    out = transform_media(_media_df(spark, [(3, b"\x89PNG unparseable")])).collect()[0]
+    assert not out["transformed"]
+    assert bytes(out["payload"]) == b"\x89PNG unparseable"
