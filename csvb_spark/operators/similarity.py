@@ -633,10 +633,16 @@ def knn_join(
     centroids: DataFrame | None = None,
     nprobe: int = 1,
     exclude_self: bool = True,
+    neg_label_col: str | None = None,
 ) -> DataFrame:
     """Batch k-NN join: for EVERY probe vector, its top-k cosine
     neighbors from the corpus — the retrieval primitive behind
     dedup-against-index and embedding-based eval contamination.
+
+    ``neg_label_col``: restrict candidates to corpus rows whose label
+    DIFFERS from the probe's — the hard-negative-mining mode (see
+    :func:`hard_negatives`). The filter runs before ranking, inside
+    the same exchange; no extra pass.
 
     Exact formulation (``centroids=None``): broadcast the (small)
     probe set, map-side cosine against every corpus row, then a
@@ -672,6 +678,8 @@ def knn_join(
         F.col(vec_col).alias("probe_vec"),
         norm2(as_double(F.col(vec_col))).alias("probe_norm"),
     ]
+    if neg_label_col is not None:
+        p_cols.append(F.col(neg_label_col).alias("probe_label"))
 
     if centroids is None:
         p = F.broadcast(probes.select(*p_cols))
@@ -717,6 +725,10 @@ def knn_join(
         # at most one cell — the equi-join never duplicates candidates
         candidates = assigned.join(p, "cid")
 
+    if neg_label_col is not None:
+        candidates = candidates.filter(
+            F.col(neg_label_col) != F.col("probe_label")
+        )
     scored = candidates.filter(
         F.col(id_col) != F.col("probe_id") if exclude_self else F.lit(True)
     ).select(
@@ -1142,3 +1154,39 @@ def rp_project(
     return embs.select(
         F.col(id_col), F.explode(F.array(*cols)).alias("o")
     ).select(id_col, F.col("o.pos").alias("pos"), F.col("o.val").alias("val"))
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    every probe, the ``k`` corpus vectors MOST similar to it that
+    carry a DIFFERENT label — the near-miss negatives that make
+    InfoNCE/triplet training converge (random negatives are too easy;
+    same-label neighbors are positives, not negatives).
+
+    Pure composition over :func:`knn_join`'s candidate machinery: the
+    label-mismatch filter runs inside the ranking exchange, so cost
+    and plan shape are identical to the plain k-NN join — broadcast
+    probe batch + map-side cosine exactly, or cid equi-join when a
+    ``centroids`` codebook prunes (the 100 TB path). Output:
+    ``(probe_id, vec_id, cos_sim, rnk)``.
+    """
+    return knn_join(
+        corpus,
+        probes,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        centroids=centroids,
+        nprobe=nprobe,
+        exclude_self=True,
+        neg_label_col=label_col,
+    )

@@ -2070,3 +2070,36 @@ SELECT doc_id,
 FROM documents
 """,
 )
+
+
+# --- round 5: hard-negative mining ------------------------------------
+# knn_join's candidate machinery with a label-mismatch filter inside
+# the ranking exchange: per probe, the k most-similar DIFFERENT-label
+# corpus vectors (the contrastive-training negatives). Oracle = x49's
+# exact formulation + the label predicate.
+_q(
+    "x67_hard_negatives",
+    spark=lambda spark, sf: similarity.hard_negatives(
+        _embs(spark, sf), _embs(spark, sf).filter(F.col("vec_id") < 20), k=5
+    ),
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), p AS (
+  SELECT vec_id AS probe_id, label AS probe_label, e AS pe FROM v WHERE vec_id < 20
+), scored AS (
+  SELECT p.probe_id, v.vec_id,
+         ROUND(list_dot_product(v.e, p.pe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(p.pe, p.pe))), 6) AS cos_sim
+  FROM v CROSS JOIN p
+  WHERE v.vec_id <> p.probe_id AND v.label <> p.probe_label
+), ranked AS (
+  SELECT probe_id, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT probe_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
+""",
+)

@@ -110,3 +110,33 @@ def test_rp_project_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     with pytest.raises(ValueError, match="empty"):
         rp_project(empty)
+
+
+def test_hard_negatives_exclude_same_label(spark, sf_dir):
+    from csvb_spark.operators.similarity import hard_negatives
+
+    embs = _embs(spark, sf_dir)
+    probes = embs.filter(F.col("vec_id") < 10)
+    out = hard_negatives(embs, probes, k=3)
+    # no (probe, neighbor) pair shares a label
+    joined = (
+        out.join(
+            embs.select(F.col("vec_id").alias("probe_id"), F.col("label").alias("pl")),
+            "probe_id",
+        )
+        .join(embs.select("vec_id", F.col("label").alias("nl")), "vec_id")
+    )
+    assert joined.filter("pl = nl").count() == 0
+    assert out.groupBy("probe_id").count().filter("count > 3").count() == 0
+
+
+def test_hard_negatives_ivf_path_runs(spark, sf_dir):
+    from csvb_spark.operators.similarity import hard_negatives, kmeans_train
+
+    embs = _embs(spark, sf_dir)
+    cents = kmeans_train(embs, k=4, iters=1)
+    out = hard_negatives(
+        embs, embs.filter(F.col("vec_id") < 5), k=3, centroids=cents, nprobe=2
+    )
+    rows = out.collect()
+    assert rows and all(r["rnk"] <= 3 for r in rows)
