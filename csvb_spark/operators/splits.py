@@ -428,3 +428,49 @@ def temperature_mixture(
         .filter(hash_uniform(id_col, seed) < F.col("keep_rate"))
         .select(id_col, source_col, F.round("keep_rate", 6).alias("keep_rate"))
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: per document id,
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` plus both
+    content digests — the audit primitive for incremental pipeline
+    runs (what did this crawl refresh actually change?) and for
+    verifying that a re-run was a no-op.
+
+    Content identity is the md5 digest (engine-portable, same as
+    ``dedup.exact_groups``). Row PRESENCE is tracked separately from
+    the digest (a NULL text must not masquerade as a missing row), and
+    digests compare null-safely: NULL vs NULL is ``unchanged``, NULL
+    vs text is ``changed``.
+
+    Plan: digest each side map-side (fixed-width rows into the join),
+    ONE full-outer shuffle on the id. At 100 TB, snapshots exported
+    through ``sources.bucketed.write_bucketed`` on the id make even
+    that join shuffle-free.
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("old_fp"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("new_fp"),
+        F.lit(True).alias("_in_new"),
+    )
+    j = o.join(n, "_id", "full_outer")
+    return j.select(
+        F.col("_id").alias(id_col),
+        "old_fp",
+        "new_fp",
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )

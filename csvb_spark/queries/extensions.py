@@ -2103,3 +2103,52 @@ WITH v AS (
 SELECT probe_id, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 5
 """,
 )
+
+
+# --- round 5: corpus snapshot diff ------------------------------------
+# Old = the documents fixture; new = a SQL-derived revision (drop
+# doc_id%7=0, rewrite text for doc_id%5=0, add 10 fresh ids) built
+# IDENTICALLY on both engines, so the oracle checks the diff logic,
+# not fixture luck.
+def _x68_spark(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _docs(spark, sf)
+    changed = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" [rev2]"))
+    )
+    kept = docs.filter((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 != 0))
+    added = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("new "), F.col("text")).alias("text"),
+    )
+    new = (
+        kept.select("doc_id", "text")
+        .unionByName(changed.filter(F.col("doc_id") % 7 != 0).select("doc_id", "text"))
+        .unionByName(added)
+    )
+    return splits.corpus_diff(docs, new)
+
+
+_q(
+    "x68_corpus_diff",
+    spark=_x68_spark,
+    oracle="""
+WITH new_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+  FROM documents WHERE doc_id < 10
+), o AS (
+  SELECT doc_id AS id, md5(text) AS old_fp FROM documents
+), n AS (
+  SELECT doc_id AS id, md5(text) AS new_fp FROM new_docs
+)
+SELECT COALESCE(o.id, n.id) AS doc_id, o.old_fp, n.new_fp,
+       CASE WHEN o.id IS NULL THEN 'added'
+            WHEN n.id IS NULL THEN 'removed'
+            WHEN o.old_fp IS NOT DISTINCT FROM n.new_fp THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.id = n.id
+""",
+)

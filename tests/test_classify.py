@@ -140,3 +140,65 @@ def test_hard_negatives_ivf_path_runs(spark, sf_dir):
     )
     rows = out.collect()
     assert rows and all(r["rnk"] <= 3 for r in rows)
+
+
+def test_classifier_paths_agree_on_adversarial_unicode(spark):
+    # quotes, backslashes, NULs, multi-byte, RTL, combining marks,
+    # repeated separators — one batch, both scoring paths, exact match
+    texts = [
+        "",
+        " ",
+        "\t\n  mixed\tws\n",
+        "quote ' quote '' end",
+        "back\\slash \\\\ two",
+        "nul\x00byte",
+        "héllo wörld ÉÀÇ",
+        "ÅÄÖ åäö ß ẞ",
+        "עברית ערבית مرحبا",
+        "日本語 テキスト 中文",
+        "é combining å ring",
+        "emoji 🙂 🚀 🎯 end",
+        "ALL CAPS SHOUTING",
+        "a" * 500,
+        ("word " * 200).strip(),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    from csvb_spark.operators.classify import (
+        formula_weights_table,
+        linear_classifier_score,
+    )
+
+    n_buckets = 4096
+    a = {
+        tuple(r)
+        for r in linear_classifier_score(docs, n_buckets=n_buckets).collect()
+    }
+    w = formula_weights_table(spark, n_buckets)
+    b = {
+        tuple(r)
+        for r in linear_classifier_score(docs, n_buckets=n_buckets, weights=w).collect()
+    }
+    assert a == b
+    # score stays within the weight-range bound |w| <= 500 → |score| <= 0.5
+    assert all(abs(t[3]) <= 0.5 for t in a)
+
+
+def test_corpus_diff_statuses(spark):
+    from csvb_spark.operators.splits import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e"), (4, None)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        5: "added",
+        4: "unchanged",  # NULL text on both sides: null-safe equal
+    }
