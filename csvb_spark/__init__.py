@@ -17,16 +17,22 @@ that capability Spark-first:
   ``haiku()`` UDF (closes the TODO at reference csvb/src/lib.rs:97).
 - ``csvb_spark.operators`` — beyond-reference LLM-data-pipeline
   operators: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard /
-  embedding cosine), similarity search, text analysis, multimodal
-  column plumbing. All designed for 100 TB scale: no driver-side
-  collects in the data path, broadcast for small sides, partial
-  aggregation, bounded shuffles.
+  embedding cosine / substring spans / line-level), similarity search
+  (brute-force, LSH, IVF, PQ, k-NN join, hard-negative mining,
+  random projection), text analysis + quality filtering (heuristic,
+  Gopher rules, hashed linear classifier), BPE training, dataset
+  assembly (splits, mixtures, packing, export, snapshot diff),
+  multimodal columns with real codec-free decode (WAV/PPM/BMP). All
+  designed for 100 TB scale: no driver-side collects in the data
+  path, broadcast for small sides, partial aggregation, bounded
+  shuffles.
 - ``csvb_spark.plans``     — ASCII result renderer (parity with
   arrow::util::pretty, reference csvb/src/lib.rs:112).
 - ``csvb_spark.server``    — Postgres wire-protocol front-end over
   ``spark.sql`` (reference: csvb_engine/src/lib.rs:91-132).
 - ``csvb_spark.cli``       — ``csvb`` CLI: haiku / exec / serve /
-  federate (reference: csvb/src/bin/csvb.rs).
+  federate (reference: csvb/src/bin/csvb.rs) + export / ingest /
+  diff bonuses.
 """
 
 __version__ = "0.1.0"

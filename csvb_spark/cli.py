@@ -127,6 +127,23 @@ def build_parser() -> argparse.ArgumentParser:
         help="word-count floor for the Gopher gate (Gopher default 50)",
     )
 
+    pd = sub.add_parser(
+        "diff",
+        help="snapshot diff of two corpus versions (status counts + rows)",
+    )
+    pd.add_argument("--old", required=True, help="old snapshot parquet path")
+    pd.add_argument("--new", required=True, help="new snapshot parquet path")
+    pd.add_argument("--id-col", default="doc_id")
+    pd.add_argument("--text-col", default="text")
+    pd.add_argument(
+        "--summary-only",
+        action="store_true",
+        help="print only the per-status counts",
+    )
+    pd.add_argument(
+        "--limit", type=int, default=20, help="max changed rows to print"
+    )
+
     pf = sub.add_parser("federate", help="serve a federated virtual table")
     pf.add_argument("--table-name", required=True)
     pf.add_argument(
@@ -231,6 +248,34 @@ def main(argv: list[str] | None = None) -> int:
             gopher_gate=args.gopher_gate,
             gopher_min_words=args.gopher_min_words,
         )
+        return 0
+
+    if args.command == "diff":
+        from pyspark.sql import functions as F
+
+        from csvb_spark.operators.splits import corpus_diff
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        d = corpus_diff(
+            spark.read.parquet(args.old),
+            spark.read.parquet(args.new),
+            id_col=args.id_col,
+            text_col=args.text_col,
+        )
+        print(
+            render_df(
+                d.groupBy("status").agg(F.count("*").alias("n")).orderBy("status")
+            )
+        )
+        if not args.summary_only:
+            print(
+                render_df(
+                    d.filter(F.col("status") != "unchanged")
+                    .orderBy("status", args.id_col)
+                    .limit(args.limit)
+                )
+            )
         return 0
 
     if args.command == "federate":

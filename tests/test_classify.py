@@ -202,3 +202,19 @@ def test_corpus_diff_statuses(spark):
         5: "added",
         4: "unchanged",  # NULL text on both sides: null-safe equal
     }
+
+
+def test_cli_diff(spark, tmp_path, capsys):
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a", "b", "c"]}).to_parquet(old)
+    pd.DataFrame({"doc_id": [1, 2, 4], "text": ["a", "B", "d"]}).to_parquet(new)
+    rc = main(["diff", "--old", old, "--new", new])
+    out = capsys.readouterr().out
+    assert rc == 0
+    for status in ("added", "changed", "removed", "unchanged"):
+        assert status in out
