@@ -600,3 +600,57 @@ def gopher_rules(
         *[c.alias(name) for name, c in rules.items()],
         keep.alias("keep"),
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    collapse_ws: bool = True,
+) -> DataFrame:
+    """Canonical text normalization — the step BEFORE any hashing
+    operator, because every digest/shingle/minhash in this package is
+    byte-exact: 'é' composed and 'e'+U+0301 decomposed are the same
+    text to a reader but different md5s, so unnormalized corpora
+    under-deduplicate. Pipeline order: control-character strip (keep
+    \\t \\n \\r) → Unicode ``form`` normalization (NFC default; NFKC
+    folds ligatures/width variants too) → optional whitespace-run
+    collapse + trim.
+
+    The control strip and whitespace collapse are JVM regex
+    (codegen); the Unicode normalization is an Arrow-batched
+    ``pandas_udf`` (`Series.str.normalize`) — there is no Catalyst
+    normalization function, and a batch of strings through Arrow is
+    the cheapest Python boundary available. Map-only, zero shuffles.
+
+    Output: ``(doc_id, norm_text, changed)``. DuckDB twin for NFC:
+    ``nfc_normalize()`` over the same regex steps (oracle x69).
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_text: unknown form {form!r}")
+
+    _form = form
+
+    def _norm_fn(s):
+        return s.str.normalize(_form)
+
+    # module-wide `from __future__ import annotations` stringifies
+    # inline hints, which pyspark's typehint parser can't resolve —
+    # attach real objects instead
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _unicode_norm = pandas_udf(_norm_fn, "string")
+
+    stripped = F.regexp_replace(
+        F.col(text_col), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+    )
+    norm = _unicode_norm(stripped)
+    if collapse_ws:
+        norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (~norm.eqNullSafe(F.col(text_col))).alias("changed"),
+    )

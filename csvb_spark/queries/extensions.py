@@ -2152,3 +2152,25 @@ SELECT COALESCE(o.id, n.id) AS doc_id, o.old_fp, n.new_fp,
 FROM o FULL OUTER JOIN n ON o.id = n.id
 """,
 )
+
+
+# --- round 5: unicode text normalization ------------------------------
+# The pre-hashing canonicalization step (composed vs decomposed
+# accents under-deduplicate byte-exact digests). DuckDB runs
+# nfc_normalize natively over the identical regex steps, so the
+# oracle checks the full JVM-regex → Arrow-batched-normalize → JVM-
+# regex chain.
+_q(
+    "x69_normalize_text",
+    spark=lambda spark, sf: text.normalize_text(_docs(spark, sf)),
+    oracle=r"""
+SELECT doc_id,
+       trim(regexp_replace(
+         nfc_normalize(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+         '\s+', ' ', 'g')) AS norm_text,
+       trim(regexp_replace(
+         nfc_normalize(regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')),
+         '\s+', ' ', 'g')) IS DISTINCT FROM text AS changed
+FROM documents
+""",
+)

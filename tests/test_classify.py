@@ -218,3 +218,50 @@ def test_cli_diff(spark, tmp_path, capsys):
     assert rc == 0
     for status in ("added", "changed", "removed", "unchanged"):
         assert status in out
+
+
+def test_normalize_text_unicode_forms(spark):
+    import unicodedata
+
+    from csvb_spark.operators.text import normalize_text
+
+    decomposed = "Café  du\tmonde"  # e + combining acute, run of ws
+    ligature = "ﬁne ﬁle"  # U+FB01 ligature; NFC keeps, NFKC folds
+    control = "a\x00b\x08c"
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, ligature), (3, control), (4, None)],
+        "doc_id bigint, text string",
+    )
+    nfc = {r["doc_id"]: r for r in normalize_text(docs).collect()}
+    assert nfc[1]["norm_text"] == "Café du monde"
+    assert nfc[1]["changed"]
+    assert nfc[2]["norm_text"] == ligature  # NFC preserves ligatures
+    assert not nfc[2]["changed"]
+    assert nfc[3]["norm_text"] == "abc" and nfc[3]["changed"]
+    assert nfc[4]["norm_text"] is None and not nfc[4]["changed"]
+
+    nfkc = {r["doc_id"]: r for r in normalize_text(docs, form="NFKC").collect()}
+    assert nfkc[2]["norm_text"] == unicodedata.normalize(
+        "NFKC", "ﬁne ﬁle"
+    )
+    assert nfkc[2]["changed"]
+
+    with pytest.raises(ValueError, match="unknown form"):
+        normalize_text(docs, form="NFX")
+
+
+def test_normalize_text_then_dedup_catches_decomposed_dups(spark):
+    # the motivating composition: byte-different, canonically-equal
+    # texts dedup ONLY after normalization
+    from csvb_spark.operators.dedup import exact_groups
+    from csvb_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "café"), (2, "café")], "doc_id bigint, text string"
+    )
+    raw_groups = exact_groups(docs)
+    assert raw_groups.count() == 2  # byte-distinct: no dup found
+    normed = normalize_text(docs).select(
+        "doc_id", F.col("norm_text").alias("text")
+    )
+    assert exact_groups(normed).count() == 1  # one canonical group
