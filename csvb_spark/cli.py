@@ -126,6 +126,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=50,
         help="word-count floor for the Gopher gate (Gopher default 50)",
     )
+    pi.add_argument(
+        "--classifier-threshold",
+        type=float,
+        default=None,
+        help="also require the hashed linear classifier score to exceed "
+        "this margin (omit to disable the model gate)",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -247,6 +254,7 @@ def main(argv: list[str] | None = None) -> int:
             min_jaccard=args.min_jaccard,
             gopher_gate=args.gopher_gate,
             gopher_min_words=args.gopher_min_words,
+            classifier_threshold=args.classifier_threshold,
         )
         return 0
 

@@ -36,6 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from csvb_spark.operators import classify as C
 from csvb_spark.operators import dedup as D
 from csvb_spark.operators import text as T
 
@@ -51,6 +52,7 @@ def _accept_batch(
     bands: int,
     gopher_gate: bool = False,
     gopher_min_words: int = 50,
+    classifier_threshold: float | None = None,
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code)."""
@@ -68,6 +70,17 @@ def _accept_batch(
             batch, text_col=text_col, min_words=gopher_min_words
         ).filter("keep").select("doc_id")
         gated = gated.join(ok, "doc_id", "left_semi")
+    if classifier_threshold is not None:
+        # model-based gate (x64): map-only scoring, so it streams
+        # unchanged like the rule gates above
+        keep = (
+            C.linear_classifier_score(
+                batch, text_col=text_col, threshold=classifier_threshold
+            )
+            .filter("keep")
+            .select("doc_id")
+        )
+        gated = gated.join(keep, "doc_id", "left_semi")
     redacted = gated.join(
         T.pii_redact(gated, text_col).select("doc_id", "redacted"), "doc_id"
     ).drop("quality_score")
@@ -127,6 +140,7 @@ def run_streaming_ingest(
     query_name: str = "corpus_ingest",
     gopher_gate: bool = False,
     gopher_min_words: int = 50,
+    classifier_threshold: float | None = None,
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
     micro-batch per file, so files model arrival order). Appends to
@@ -151,6 +165,7 @@ def run_streaming_ingest(
                 bands,
                 gopher_gate,
                 gopher_min_words,
+                classifier_threshold,
             )
         )
         .start()

@@ -147,3 +147,48 @@ def test_streaming_ingest_gopher_gate(spark, sf_dir, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(corpus_dir).select("doc_id").collect()}
     assert 9100 not in got
     assert got, "long-enough fixture docs still land"
+
+
+def test_streaming_ingest_classifier_gate(spark, sf_dir, tmp_path):
+    """classifier_threshold composes the x64 hashed linear classifier
+    into the streaming quality gate: with an impossible threshold
+    (scores are bounded in [-0.5, 0.5]) every doc is rejected; with
+    threshold None the same batch lands."""
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    docs = [
+        r.asDict()
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id < 10")
+        .collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), docs)
+
+    closed = str(tmp_path / "corpus_closed")
+    run_streaming_ingest(
+        spark,
+        str(src),
+        closed,
+        str(tmp_path / "index_closed"),
+        str(tmp_path / "ckpt_closed"),
+        classifier_threshold=0.6,  # > max possible score: rejects all
+    )
+    import os
+
+    assert not os.path.isdir(closed) or not any(
+        f.endswith(".parquet") for f in os.listdir(closed)
+    )
+
+    open_dir = str(tmp_path / "corpus_open")
+    run_streaming_ingest(
+        spark,
+        str(src),
+        open_dir,
+        str(tmp_path / "index_open"),
+        str(tmp_path / "ckpt_open"),
+        classifier_threshold=-0.6,  # < min possible score: gate passes all
+    )
+    got = {r.doc_id for r in spark.read.parquet(open_dir).select("doc_id").collect()}
+    assert got
