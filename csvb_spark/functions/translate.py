@@ -9,6 +9,7 @@ This module rewrites them before ``spark.sql``:
 - ``a ~* p`` / ``a !~* p``→ case-insensitive via ``(?i)`` prefix
 - ``a SIMILAR TO p``      → ``a RLIKE p`` (anchored)
 - ``SELECT DISTINCT ON (k) …`` → row_number-over-partition subquery
+- ``QUALIFY <pred>``        → projected-boolean subquery filter
 - ``* EXCLUDE (cols)``     → ``* EXCEPT (cols)``
 - pure function renames (``approx_distinct`` →
   ``approx_count_distinct``, ``string_agg`` → ``listagg``, ...)
@@ -465,6 +466,61 @@ def _rewrite_distinct_on(sql: str) -> str:
     )
 
 
+# SELECT ... QUALIFY <pred> — the window-filter clause DuckDB/
+# Snowflake (and sqlparser-rs) accept; Spark has no QUALIFY, so the
+# predicate becomes a projected boolean in a subquery:
+#   SELECT sl FROM rest QUALIFY pred [ORDER BY ...] [LIMIT n]
+# →
+#   SELECT * EXCEPT (__qualify) FROM
+#     (SELECT sl, (pred) AS __qualify FROM rest)
+#   WHERE __qualify [ORDER BY ...] [LIMIT n]
+# The predicate evaluates in the same projection as the select list
+# (post-GROUP BY/HAVING — QUALIFY's evaluation point), so window
+# functions and select aliases resolve exactly as the source dialect
+# defines. Bails (leaving Spark to raise on the original) for
+# depth-0 set operations and SELECT DISTINCT, where the wrap would
+# change semantics. Limitation of a textual rewriter: an outer
+# ORDER BY referencing a raw column absent from the select list
+# won't resolve after the wrap.
+_QUALIFY_RE = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    qm = _depth0_search(_QUALIFY_RE, sql)
+    if not qm:
+        return sql
+    if _depth0_search(
+        re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE), sql
+    ):
+        return sql
+    sm = _depth0_search(re.compile(r"\bSELECT\b", re.IGNORECASE), sql)
+    if not sm or sm.start() > qm.start():
+        return sql
+    if _depth0_search(
+        re.compile(r"\bSELECT\s+DISTINCT\b", re.IGNORECASE), sql
+    ):
+        return sql
+    fm = _depth0_search(re.compile(r"\bFROM\b", re.IGNORECASE), sql, sm.end())
+    if not fm or fm.start() > qm.start():
+        return sql
+    select_list = sql[sm.end() : fm.start()].strip()
+    from_part = sql[fm.start() : qm.start()].rstrip()
+    tail = sql[qm.end() :]
+    tm = _depth0_search(
+        re.compile(r"\b(ORDER\s+BY|LIMIT|OFFSET)\b", re.IGNORECASE), tail
+    )
+    pred = tail[: tm.start() if tm else len(tail)].strip()
+    outer_tail = " " + tail[tm.start() :].strip() if tm else ""
+    if not pred:
+        return sql
+    return (
+        sql[: sm.start()]
+        + f"SELECT * EXCEPT (__qualify) FROM (SELECT {select_list}, "
+        + f"({pred}) AS __qualify {from_part}) WHERE __qualify"
+        + outer_tail
+    )
+
+
 # generate_series as a table factor (FROM/JOIN position). DataFusion
 # exposes it as a TVF whose output column is `value`; Spark's TVF set
 # has explode(), so rewrite to a derived table. The scalar-position
@@ -516,6 +572,9 @@ def translate_sql(sql: str) -> str:
 
     # SELECT DISTINCT ON (keys) → row_number-over-partition shape
     out = _rewrite_distinct_on(out)
+
+    # QUALIFY window filter → projected-boolean subquery
+    out = _rewrite_qualify(out)
 
     # expr::type casts (repeat for chains like x::text::int)
     prev = None

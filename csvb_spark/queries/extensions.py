@@ -2174,3 +2174,35 @@ SELECT doc_id,
 FROM documents
 """,
 )
+
+
+# --- round 5: QUALIFY + GROUP BY ALL dialect entries ------------------
+# QUALIFY (DuckDB/Snowflake window filter, parsed by sqlparser-rs) is
+# rewritten by translate.py onto a projected-boolean subquery; GROUP
+# BY ALL runs natively on both engines. DuckDB executes both forms
+# natively, so each oracle verifies the dialect path itself.
+_SQL_X70 = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_totalprice > 100000
+GROUP BY ALL
+"""
+
+_q(
+    "x70_group_by_all",
+    spark=_dialect_query(_SQL_X70),
+    oracle=_SQL_X70,
+)
+
+_SQL_X71 = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 2
+"""
+
+_q(
+    "x71_qualify_dialect",
+    spark=_dialect_query(_SQL_X71),
+    oracle=_SQL_X71,
+)

@@ -827,3 +827,44 @@ def test_cli_export_jsonl_format(spark, sf_dir, tmp_path, capsys):
     with open(files[0]) as f:
         first = _json.loads(f.readline())
     assert "doc_id" in first and "text" in first
+
+
+# --- QUALIFY dialect rewrite (round 5) ---------------------------------------------
+def test_translate_qualify_shapes():
+    from csvb_spark.functions.translate import translate_sql
+
+    out = translate_sql(
+        "SELECT k, v FROM t QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1"
+    )
+    assert out.startswith("SELECT * EXCEPT (__qualify) FROM (SELECT k, v, (")
+    assert out.endswith(") WHERE __qualify")
+    # tail clauses stay outside the wrap
+    out2 = translate_sql(
+        "SELECT k FROM t QUALIFY rank() OVER (ORDER BY k) <= 3 ORDER BY k LIMIT 2"
+    )
+    assert out2.endswith("WHERE __qualify ORDER BY k LIMIT 2")
+    # guards: set ops, DISTINCT, and QUALIFY-free SQL are untouched
+    for sql in (
+        "SELECT a FROM x UNION SELECT b FROM y QUALIFY r = 1",
+        "SELECT DISTINCT k FROM t QUALIFY row_number() OVER (ORDER BY k) = 1",
+        "SELECT k FROM t WHERE v > 1",
+        "SELECT 'QUALIFY' AS s FROM t",  # literal stays a literal
+    ):
+        assert translate_sql(sql) == sql
+
+
+def test_qualify_executes(spark):
+    from csvb_spark.sql import execute_sql
+
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], ["k", "v"]
+    ).createOrReplaceTempView("t_qual")
+    got = {
+        tuple(r)
+        for r in execute_sql(
+            spark,
+            "SELECT k, v FROM t_qual "
+            "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1",
+        ).collect()
+    }
+    assert got == {(1, 10), (2, 5)}
