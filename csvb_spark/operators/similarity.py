@@ -1190,3 +1190,110 @@ def hard_negatives(
         exclude_self=True,
         neg_label_col=label_col,
     )
+
+
+def ivf_cell_expr(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-cell id for a vector against a collected codebook —
+    the Euclidean argmin ``c·c − 2·v·c`` with lower-cid tie-break,
+    identical to :func:`knn_join`'s assignment (||v||² is constant
+    per row and cannot change the argmin)."""
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    vd = as_double(vec)
+    choices = [
+        F.struct(
+            (
+                F.lit(_fold_dot(cv, cv))
+                - 2.0 * dot(vd, F.array(*[F.lit(x) for x in cv]))
+            ).alias("d"),
+            F.lit(cid).alias("cid"),
+        )
+        for cid, cv in cents
+    ]
+    return F.array_min(F.array(*choices))["cid"]
+
+
+def write_ivf_index(
+    embs: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus hive-partitioned by IVF cell — the ANN twin
+    of ``dedup.write_band_index``: a probe knows its ``nprobe`` cells
+    from the (bounded, driver-constant) codebook alone, so the read
+    side partition-prunes to those directories and per-query I/O is
+    ``nprobe/K`` of the corpus BEFORE any compute — the property that
+    makes IVF pay at 100 TB, where the win is skipped I/O, not
+    skipped math. One shuffle (repartition by cid keeps one file per
+    cell per write, so pruned partitions are also few files)."""
+    cents = _collect_codebook(centroids, nprobe=1)
+    (
+        embs.withColumn("cid", ivf_cell_expr(F.col(vec_col), cents))
+        .repartition("cid")
+        .write.mode(mode)
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    centroids: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k for a 1-row probe against a :func:`write_ivf_index`
+    layout, reading ONLY the probe's ``nprobe`` nearest cells (the
+    filter is on the partition column, so it prunes directories at
+    planning time — asserted via ``PartitionFilters`` in tests).
+
+    Candidate set, scoring, and ranking are identical to
+    :func:`ivf_topk` with the same codebook, so the two agree
+    exactly — the index buys I/O pruning, not different semantics."""
+    cents = _collect_codebook(centroids, nprobe)
+    prow = probe.select(
+        F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
+    ).first()
+    if prow is None:
+        raise ValueError("ivf_index_topk: empty probe")
+    pv = [float(x) for x in prow["pv"]]
+
+    def _d(cv: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(cv, pv):
+            acc += x * y
+        cc = 0.0
+        for x in cv:
+            cc += x * x
+        return cc - 2.0 * acc
+
+    probed = [cid for _, cid in sorted((( _d(cv), cid)) for cid, cv in cents)[:nprobe]]
+    pvec = F.array(*[F.lit(x) for x in pv])
+    pnorm = float(sum(x * x for x in pv)) ** 0.5
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("cid").isin(probed))
+        .filter(F.col(id_col) != F.lit(prow["pid"]))
+        .select(
+            id_col,
+            F.round(
+                dot(as_double(F.col(vec_col)), pvec)
+                / (norm2(as_double(F.col(vec_col))) * F.lit(pnorm)),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

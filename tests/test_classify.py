@@ -265,3 +265,41 @@ def test_normalize_text_then_dedup_catches_decomposed_dups(spark):
         "doc_id", F.col("norm_text").alias("text")
     )
     assert exact_groups(normed).count() == 1  # one canonical group
+
+
+def test_ivf_index_prunes_partitions_and_matches_knn_join(spark, sf_dir, tmp_path):
+    from csvb_spark.operators.similarity import (
+        ivf_index_topk,
+        kmeans_train,
+        knn_join,
+        write_ivf_index,
+    )
+
+    embs = _embs(spark, sf_dir)
+    cents = kmeans_train(embs, k=4, iters=1)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(embs, cents, path)
+
+    probe = embs.filter(F.col("vec_id") == 7)
+    got = ivf_index_topk(spark, path, cents, probe, k=5, nprobe=2)
+
+    # partition pruning is visible at plan time: the cid filter lands
+    # in PartitionFilters, not a post-scan Filter
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+
+    # same codebook + same nprobe → identical candidates, scores, and
+    # ranking as the in-memory IVF-pruned k-NN join
+    want = {
+        (r["vec_id"], r["cos_sim"])
+        for r in knn_join(embs, probe, k=5, centroids=cents, nprobe=2).collect()
+    }
+    assert {(r["vec_id"], r["cos_sim"]) for r in got.collect()} == want
+
+    import os
+
+    cells = sorted(d for d in os.listdir(path) if d.startswith("cid="))
+    assert len(cells) >= 2  # layout actually partitioned by cell
