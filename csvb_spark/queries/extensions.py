@@ -2206,3 +2206,53 @@ _q(
     spark=_dialect_query(_SQL_X71),
     oracle=_SQL_X71,
 )
+
+
+# --- round 5: data-expectation contract checks ------------------------
+# Deequ-style single-pass quality gates (one scan, every metric a
+# conditional aggregate). All metrics are exact counts or one-division
+# ratios, so DuckDB reproduces them bit-for-bit.
+from csvb_spark.operators import expectations as X  # noqa: E402
+
+_q(
+    "x72_data_expectations",
+    spark=lambda spark, sf: X.check_expectations(
+        _docs(spark, sf),
+        [
+            X.expect_row_count_at_least(100),
+            X.expect_unique("doc_id"),
+            X.expect_max_null_fraction("text", 0.01),
+            X.expect_in_set("lang", ["en", "fr", "de", "es", "zh"]),
+            X.expect_min("n_chars", 0),
+            X.expect_max("n_chars", 1000000),
+        ],
+    ),
+    oracle="""
+WITH m AS (
+  SELECT COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              - COUNT(DISTINCT doc_id) AS DOUBLE) AS dup_ids,
+         CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS null_frac,
+         CAST(SUM(CASE WHEN lang IS NOT NULL
+                        AND lang NOT IN ('en','fr','de','es','zh')
+                   THEN 1 ELSE 0 END) AS DOUBLE) AS bad_lang,
+         CAST(MIN(n_chars) AS DOUBLE) AS min_chars,
+         CAST(MAX(n_chars) AS DOUBLE) AS max_chars
+  FROM documents
+)
+SELECT u.check_name, u.metric, CAST(u.threshold AS DOUBLE) AS threshold, u.passed FROM m, LATERAL (
+  SELECT * FROM (VALUES
+    ('row_count>=100', ROUND(CAST(m.n_rows AS DOUBLE), 6), 100.0,
+     CAST(m.n_rows AS DOUBLE) >= 100.0),
+    ('unique(doc_id)', ROUND(m.dup_ids, 6), 0.0, m.dup_ids <= 0.0),
+    ('null_fraction(text)<=0.01', ROUND(m.null_frac, 6), 0.01,
+     m.null_frac <= 0.01),
+    ('in_set(lang)', ROUND(m.bad_lang, 6), 0.0, m.bad_lang <= 0.0),
+    ('min(n_chars)>=0', ROUND(m.min_chars, 6), 0.0, m.min_chars >= 0.0),
+    ('max(n_chars)<=1000000', ROUND(m.max_chars, 6), 1000000.0,
+     m.max_chars <= 1000000.0)
+  ) v(check_name, metric, threshold, passed)
+) u
+""",
+)
