@@ -2256,3 +2256,82 @@ SELECT u.check_name, u.metric, CAST(u.threshold AS DOUBLE) AS threshold, u.passe
 ) u
 """,
 )
+
+
+# --- round 5: PageRank over the similarity graph ----------------------
+# Deterministic power iteration (operators/graph.py) on the p06
+# n-gram-Jaccard pair graph fed as both directions. The oracle replays
+# BOTH iterations as chained CTEs with the identical arithmetic:
+# rank/outdeg IEEE divisions, DECIMAL(30,15)-exact mass sums, and the
+# same (1.0 - 0.85) spelling Spark evaluates (0.15 typed directly is a
+# DIFFERENT double).
+from csvb_spark.operators import graph as G  # noqa: E402
+
+
+def _x73_spark(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(
+        _docs(spark, sf), k=4, min_jaccard=0.3
+    ).select("doc_id_a", "doc_id_b")
+    edges = pairs.select(
+        F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
+    ).union(
+        pairs.select(
+            F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
+        )
+    )
+    return G.pagerank(edges, iters=2)
+
+
+_q(
+    "x73_pagerank_simgraph",
+    spark=_x73_spark,
+    oracle=r"""
+WITH sh AS (
+  SELECT lang, source, doc_id,
+         list_distinct([substr(lower(text), g, 4)
+                        FOR g IN generate_series(1, greatest(length(text) - 3, 1))]) AS s
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM sh a JOIN sh b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.3
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+), it1 AS (
+  SELECT nd.node,
+         ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))
+         + CAST(0.85 AS DOUBLE) * COALESCE(g.mass, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r.rank / CAST(d.outdeg AS DOUBLE)
+                         AS DECIMAL(30,15))) AS DOUBLE) AS mass
+    FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.node = e.src
+    GROUP BY e.dst
+  ) g ON g.node = nd.node
+), it2 AS (
+  SELECT nd.node,
+         ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))
+         + CAST(0.85 AS DOUBLE) * COALESCE(g.mass, CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r.rank / CAST(d.outdeg AS DOUBLE)
+                         AS DECIMAL(30,15))) AS DOUBLE) AS mass
+    FROM edges e JOIN deg d ON e.src = d.src JOIN it1 r ON r.node = e.src
+    GROUP BY e.dst
+  ) g ON g.node = nd.node
+)
+SELECT node, ROUND(rank, 6) AS rank FROM it2
+""",
+)

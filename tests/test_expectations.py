@@ -89,3 +89,51 @@ def test_check_expectations_validates_input(spark):
         check_expectations(df, [])
     with pytest.raises(ValueError, match="duplicate"):
         check_expectations(df, [expect_unique("doc_id"), expect_unique("doc_id")])
+
+
+# --- PageRank (operators/graph.py) -------------------------------------
+
+
+def test_pagerank_known_small_graph(spark):
+    from csvb_spark.operators.graph import pagerank
+
+    # two-node symmetric graph: ranks stay at 0.5 for any damping
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=3).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+
+    # star: hub 1 <-> leaves 2,3,4 (undirected, fed both ways)
+    pairs = [(1, 2), (1, 3), (1, 4)]
+    e2 = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src bigint, dst bigint"
+    )
+    got2 = {r["node"]: r["rank"] for r in pagerank(e2, iters=10).collect()}
+    # hub collects all leaf mass; leaves split the hub's equally
+    assert got2[1] > got2[2]
+    assert got2[2] == got2[3] == got2[4]
+    assert abs(sum(got2.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_directed_sink_gets_base_rank(spark):
+    from csvb_spark.operators.graph import pagerank
+
+    # 1 -> 2 -> 3, 3 -> 1 (a cycle: every node has out-degree)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=5).collect()}
+    # symmetric cycle → uniform
+    assert len(set(got.values())) == 1
+
+
+def test_pagerank_guards(spark):
+    from csvb_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="empty"):
+        pagerank(empty)
+    dangling = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(dangling)
+    with pytest.raises(ValueError, match="iters"):
+        pagerank(dangling, iters=0)
