@@ -151,6 +151,21 @@ def build_parser() -> argparse.ArgumentParser:
         "--limit", type=int, default=20, help="max changed rows to print"
     )
 
+    pc = sub.add_parser(
+        "expect",
+        help="run data-expectation contracts from a JSON spec; exit 1 on violation",
+    )
+    pc.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pc.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pc.add_argument("--json", action="append", default=[], metavar="PATH")
+    pc.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pc.add_argument(
+        "spec",
+        help="JSON file: list of {check: name, ...args}; checks: "
+        "row_count_at_least{n}, unique{col}, max_null_fraction{col,fraction}, "
+        "in_set{col,allowed}, min{col,lo}, max{col,hi}",
+    )
+
     pf = sub.add_parser("federate", help="serve a federated virtual table")
     pf.add_argument("--table-name", required=True)
     pf.add_argument(
@@ -285,6 +300,34 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
         return 0
+
+    if args.command == "expect":
+        import json as _json
+
+        from csvb_spark.operators import expectations as X
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        spec = _json.load(open(args.spec))
+        builders = {
+            "row_count_at_least": lambda a: X.expect_row_count_at_least(a["n"]),
+            "unique": lambda a: X.expect_unique(a["col"]),
+            "max_null_fraction": lambda a: X.expect_max_null_fraction(
+                a["col"], a["fraction"]
+            ),
+            "in_set": lambda a: X.expect_in_set(a["col"], a["allowed"]),
+            "min": lambda a: X.expect_min(a["col"], a["lo"]),
+            "max": lambda a: X.expect_max(a["col"], a["hi"]),
+        }
+        try:
+            checks = [builders[c.pop("check")](c) for c in spec]
+        except KeyError as e:
+            raise SystemExit(f"expect: unknown check {e}")
+        report = X.check_expectations(spark.table(args.table_name), checks)
+        rows = report.collect()
+        print(render_df(report))
+        return 0 if all(r["passed"] for r in rows) else 1
 
     if args.command == "federate":
         from csvb_spark.server.pgwire import serve_forever

@@ -137,3 +137,35 @@ def test_pagerank_guards(spark):
         pagerank(dangling)
     with pytest.raises(ValueError, match="iters"):
         pagerank(dangling, iters=0)
+
+
+def test_cli_expect(spark, tmp_path, capsys):
+    import json
+
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "t.parquet")
+    pd.DataFrame({"doc_id": [1, 2, 2], "lang": ["en", "fr", "xx"]}).to_parquet(data)
+
+    ok_spec = str(tmp_path / "ok.json")
+    json.dump([{"check": "row_count_at_least", "n": 2}], open(ok_spec, "w"))
+    assert main(["expect", "--parquet", data, ok_spec]) == 0
+    out = capsys.readouterr().out
+    assert "row_count>=2" in out and "true" in out.lower()
+
+    bad_spec = str(tmp_path / "bad.json")
+    json.dump(
+        [
+            {"check": "unique", "col": "doc_id"},
+            {"check": "in_set", "col": "lang", "allowed": ["en", "fr"]},
+        ],
+        open(bad_spec, "w"),
+    )
+    assert main(["expect", "--parquet", data, bad_spec]) == 1
+
+    unknown = str(tmp_path / "unk.json")
+    json.dump([{"check": "nope"}], open(unknown, "w"))
+    with pytest.raises(SystemExit, match="unknown check"):
+        main(["expect", "--parquet", data, unknown])
