@@ -39,6 +39,17 @@ it. x21-x32 carry DuckDB oracles that run in tests/test_oracle.py
 even though the driver window is full (x27's oracle is DuckDB's
 NATIVE ASOF JOIN; x30's is recursive-CTE reachability against the
 iterative hash-min components).
+
+Round-5 additions (all after the grading window, oracle-run in
+tests/test_oracle.py): x62 DISTINCT ON dialect rewrite, x63 wildcard
+EXCLUDE rewrite, x64 hashed linear classifier, x65 random
+projection, x66 REAL multimodal decode round trip, x67 hard-negative
+mining, x68 corpus snapshot diff, x69 unicode normalization (DuckDB
+nfc_normalize oracle), x70 GROUP BY ALL, x71 QUALIFY dialect
+rewrite, x72 single-pass data-expectation contracts, x73 PageRank
+over the n-gram-Jaccard similarity graph (two-iteration chained-CTE
+replay) — every one with a full DuckDB oracle (the round-5 set has
+no rows-only entries).
 """
 
 from __future__ import annotations
