@@ -1099,3 +1099,22 @@ def test_extended_binary_uuid_param(conn):
     assert _data_rows(msgs) == [
         [str(u).upper().encode(), str(len(str(u))).encode()]
     ]
+
+
+def test_simple_query_qualify_dialect(conn):
+    """A psql user pasting DuckDB/Snowflake-style QUALIFY gets the
+    round-5 dialect rewrite through the wire path too."""
+    sock, buf = conn
+    msgs = _simple_query(
+        sock,
+        buf,
+        "SELECT o_custkey, o_orderkey FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) = 1 "
+        "ORDER BY o_custkey LIMIT 3",
+    )
+    rows = _data_rows(msgs)
+    assert len(rows) == 3
+    # one row per customer: first column strictly increasing
+    custs = [int(r[0]) for r in rows]
+    assert custs == sorted(set(custs))
