@@ -2335,3 +2335,89 @@ WITH sh AS (
 SELECT node, ROUND(rank, 6) AS rank FROM it2
 """,
 )
+
+
+# --- round 5: random projection → sign-code LSH composition -----------
+# The scale purpose of x65: project to 4 dims, bucket on the sign
+# pattern (a 4-bit code), generate candidate pairs ONLY within a
+# bucket, verify with exact cosine. The oracle recomputes projection,
+# codes, pairs, and cosines entirely in SQL — md5-parity signs and
+# DECIMAL-exact folds make the whole chain engine-reproducible.
+def _x74_spark(spark: SparkSession, sf: str) -> DataFrame:
+    embs = _embs(spark, sf)
+    rp = similarity.rp_project(embs, out_dim=4)
+    codes = rp.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("val") > 0, F.pow(F.lit(2.0), F.col("pos") - 1))
+            .otherwise(F.lit(0.0))
+            .cast("bigint")
+        ).alias("bucket")
+    )
+    a = codes.alias("a")
+    b = codes.alias("b")
+    pairs = a.join(
+        b,
+        F.expr("a.bucket = b.bucket AND a.vec_id < b.vec_id"),
+    ).select(
+        F.col("a.vec_id").alias("vec_id_a"),
+        F.col("b.vec_id").alias("vec_id_b"),
+        F.col("a.bucket").alias("bucket"),
+    )
+    ea = embs.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va")
+    )
+    eb = embs.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb")
+    )
+    return (
+        pairs.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            "bucket",
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+_q(
+    "x74_rp_lsh_pairs",
+    spark=_x74_spark,
+    oracle=r"""
+WITH p AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+  FROM (SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings) u
+), s AS (
+  SELECT p.vec_id, j.j AS pos,
+         ROUND(CAST(SUM(CAST(p.x * (CASE WHEN ('0x' || substr(md5(j.j || ':' || p.i || ':11'), 1, 8))::BIGINT % 2 = 0
+                                   THEN 1 ELSE -1 END)
+                       AS DECIMAL(30,6))) AS DOUBLE), 6) AS val
+  FROM p CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) j
+  GROUP BY p.vec_id, j.j
+), codes AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN val > 0 THEN POW(2.0, pos - 1) ELSE 0.0 END) AS BIGINT) AS bucket
+  FROM s GROUP BY vec_id
+), pr AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.bucket
+  FROM codes a JOIN codes b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT pr.vec_id_a, pr.vec_id_b, pr.bucket,
+       ROUND(list_dot_product(va.e, vb.e)
+             / (sqrt(list_dot_product(va.e, va.e))
+                * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cos_sim
+FROM pr JOIN v va ON va.vec_id = pr.vec_id_a
+        JOIN v vb ON vb.vec_id = pr.vec_id_b
+WHERE ROUND(list_dot_product(va.e, vb.e)
+            / (sqrt(list_dot_product(va.e, va.e))
+               * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.2
+""",
+)
