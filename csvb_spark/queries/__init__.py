@@ -48,8 +48,9 @@ mining, x68 corpus snapshot diff, x69 unicode normalization (DuckDB
 nfc_normalize oracle), x70 GROUP BY ALL, x71 QUALIFY dialect
 rewrite, x72 single-pass data-expectation contracts, x73 PageRank
 over the n-gram-Jaccard similarity graph (two-iteration chained-CTE
-replay) — every one with a full DuckDB oracle (the round-5 set has
-no rows-only entries).
+replay), x74 random-projection sign-code LSH pairing with exact
+cosine verification — every one with a full DuckDB oracle (the
+round-5 set has no rows-only entries).
 """
 
 from __future__ import annotations
