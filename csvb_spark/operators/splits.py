@@ -474,3 +474,73 @@ def corpus_diff(
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "quality_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    score_buckets: int = 1000,
+) -> DataFrame:
+    """Select the highest-quality documents until a token budget:
+    rank the corpus by ``(score DESC, id)`` and keep every document
+    whose running token total fits inside ``budget`` — the standard
+    "best N tokens" curation step when compute, not data, is the
+    constraint.
+
+    The naive plan is a GLOBAL ordered cumulative sum
+    (``SUM(tokens) OVER (ORDER BY score DESC)``) — a single-reducer
+    sort of the whole corpus. This uses :func:`global_index`'s
+    two-pass shape instead: coarse-bucket on the quantized score
+    (``round(score × score_buckets)`` — rounding is monotone, so
+    bucket order agrees with exact-score order), token-cumsum WITHIN
+    each bucket in parallel, and add per-bucket token offsets from
+    the bucket-subtotal table (bounded by ``score_buckets`` rows — a
+    broadcast constant whose own cumsum runs over ≤1001 rows by
+    design). Works for any score with bounded range (quality scores
+    are ratios in [0, 1]); exact int64 token sums throughout, one
+    IEEE-free comparison against the budget.
+
+    Output: ``(id, score, tokens, cum_tokens, keep)`` —
+    ``keep = cum_tokens <= budget`` (a document only counts if it
+    fits entirely).
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget_select: budget must be >= 0")
+    keyed = df.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.col(tokens_col).cast("bigint").alias("_bs_tok"),
+    ).withColumn(
+        "_bs_b", F.round(F.col(score_col) * score_buckets).cast("bigint")
+    )
+    per = keyed.groupBy("_bs_b").agg(F.sum("_bs_tok").alias("_bs_sub"))
+    off_w = (
+        Window.orderBy(F.desc("_bs_b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per.withColumn(
+        "_bs_off", F.coalesce(F.sum("_bs_sub").over(off_w), F.lit(0))
+    ).select("_bs_b", "_bs_off")
+    in_w = (
+        Window.partitionBy("_bs_b")
+        .orderBy(F.desc(score_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keyed.withColumn("_bs_cum_in", F.sum("_bs_tok").over(in_w))
+        .join(F.broadcast(offsets), "_bs_b")
+        .select(
+            id_col,
+            score_col,
+            F.col("_bs_tok").alias(tokens_col),
+            (F.col("_bs_off") + F.col("_bs_cum_in")).alias("cum_tokens"),
+            (
+                (F.col("_bs_off") + F.col("_bs_cum_in")) <= F.lit(int(budget))
+            ).alias("keep"),
+        )
+    )

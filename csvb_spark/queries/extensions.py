@@ -2421,3 +2421,43 @@ WHERE ROUND(list_dot_product(va.e, vb.e)
                * sqrt(list_dot_product(vb.e, vb.e))), 6) >= 0.2
 """,
 )
+
+
+# --- round 5: token-budget curation -----------------------------------
+# Keep the highest-quality documents until a 12k-token budget. The
+# Spark side uses budget_select's two-pass bucket-offset shape (no
+# global single-reducer sort); the oracle IS the naive global ordered
+# cumsum — same result, scale-hostile plan — so the differential
+# proves the decomposition exact.
+_q(
+    "x75_budget_select",
+    spark=lambda spark, sf: splits.budget_select(
+        text.quality_score(_docs(spark, sf)).select(
+            "doc_id", "quality_score", "n_tokens"
+        ),
+        budget=12000,
+    ),
+    oracle=r"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         ROUND(CAST(
+           (CASE WHEN length(text) < 64 THEN 0.2 ELSE 0.5 END)
+           + (CASE WHEN len(list_intersect(string_split_regex(trim(text), '\s+'),
+                          ['the','and','of','to','a','in','is','it'])) > 0
+                   THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                        / length(text) < 0.1
+                   THEN 0.2 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
+  FROM documents
+)
+SELECT doc_id, quality_score, n_tokens,
+       SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_tokens,
+       SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         <= 12000 AS keep
+FROM q
+""",
+)

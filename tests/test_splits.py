@@ -216,3 +216,37 @@ def test_temperature_mixture_rate_caps_at_one(spark):
     out = temperature_mixture(docs, alpha=0.1, target_frac=0.9)
     rare = out.filter("source = 'rare'").collect()
     assert len(rare) == 1 and rare[0]["keep_rate"] == 1.0
+
+
+def test_budget_select_no_global_sort_and_exact(spark):
+    import pytest
+
+    from csvb_spark.operators.splits import budget_select
+
+    rows = [(i, round(0.1 * (i % 10), 2), 10 + i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, quality_score double, n_tokens int")
+    out = budget_select(df, budget=500)
+    got = {r["doc_id"]: (r["cum_tokens"], r["keep"]) for r in out.collect()}
+
+    # reference: naive global ordered cumsum in Python
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum = 0
+    for doc_id, _s, tok in ordered:
+        cum += tok
+        assert got[doc_id] == (cum, cum <= 500)
+
+    # plan: the window sort is per-bucket (partitioned), never global —
+    # no single-partition Exchange for ordering
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
+    # the big-side window partitions by the score bucket; the only
+    # SinglePartition exchange allowed is the ≤1001-row offsets table
+    import re
+
+    singles = len(re.findall(r"Exchange SinglePartition", plan))
+    assert singles <= 1
+
+    with pytest.raises(ValueError, match="budget"):
+        budget_select(df, budget=-1)
