@@ -2461,3 +2461,23 @@ SELECT doc_id, quality_score, n_tokens,
 FROM q
 """,
 )
+
+
+# --- round 5: wildcard REPLACE (schema-aware dialect rewrite) ---------
+# sqlparser-rs/DuckDB accept `* REPLACE (expr AS col)`; Spark has no
+# equivalent and the column list is unknowable from text alone, so the
+# rewrite lives in sql.py's execution layer where the catalog resolves
+# it. DuckDB runs the form natively — the oracle verifies the
+# schema-aware expansion itself (like x62/x63/x71).
+_SQL_X76 = """
+SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+                  upper(o_orderpriority) AS o_orderpriority)
+FROM orders
+WHERE o_totalprice > 450000
+"""
+
+_q(
+    "x76_wildcard_replace_dialect",
+    spark=_dialect_query(_SQL_X76),
+    oracle=_SQL_X76,
+)

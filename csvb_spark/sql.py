@@ -91,6 +91,68 @@ def refresh_information_schema(spark: SparkSession) -> None:
     )
 
 
+
+
+# SELECT * REPLACE (expr AS col, ...) — the wildcard-option sqlparser-rs
+# (and DuckDB) accept alongside EXCLUDE. Spark has no native REPLACE and
+# a pure-text rewrite cannot know the column list, so this lives at the
+# execution layer where the catalog can resolve it: expand `*` to the
+# FROM table's explicit columns with the replaced expressions spliced
+# in. Scope (bail → Spark raises on the original text): plain `SELECT *
+# REPLACE (...) FROM <single identifier>` — joins, subqueries, and
+# `tbl.*` forms are left untouched.
+_STAR_REPLACE_RE = re.compile(
+    r"(?<![\w.])\*\s+REPLACE\s*\(", re.IGNORECASE
+)
+_SR_FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
+_SR_CLAUSE_RE = re.compile(
+    r"\b(WHERE|GROUP\s+BY|HAVING|QUALIFY|ORDER\s+BY|LIMIT|OFFSET)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_star_replace(spark: SparkSession, sql: str) -> str:
+    from csvb_spark.functions.translate import _scan_balanced, _split_args
+
+    m = _STAR_REPLACE_RE.search(sql)
+    if not m:
+        return sql
+    close = _scan_balanced(sql, m.end() - 1)
+    if close < 0:
+        return sql
+    items = _split_args(sql[m.end() : close - 1])
+    repl: dict[str, str] = {}
+    for item in items:
+        am = re.search(r"\s+AS\s+([A-Za-z_][\w]*)\s*$", item, re.IGNORECASE)
+        if not am:
+            return sql
+        repl[am.group(1).lower()] = item[: am.start()].strip()
+    fm = _SR_FROM_RE.search(sql, close)
+    if not fm:
+        return sql
+    between = sql[close : fm.start()]
+    if between.strip():  # something between the option and FROM — bail
+        return sql
+    table = fm.group(1)
+    # the FROM clause must be EXACTLY one identifier: anything between
+    # the table name and the next clause keyword (an alias, JOIN,
+    # comma-join, sample, ...) → bail
+    rest = sql[fm.end() :]
+    cm = _SR_CLAUSE_RE.search(rest)
+    if (rest[: cm.start()] if cm else rest).strip():
+        return sql
+    try:
+        cols = spark.table(table).columns
+    except Exception:
+        return sql
+    if not set(repl) <= {c.lower() for c in cols}:
+        return sql  # replacing a nonexistent column: let Spark raise
+    select_list = ", ".join(
+        f"{repl[c.lower()]} AS {c}" if c.lower() in repl else c for c in cols
+    )
+    return sql[: m.start()] + select_list + " " + sql[fm.start() :]
+
+
 def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Translate reference-dialect SQL and run it, emulating
     information_schema on demand."""
@@ -99,4 +161,5 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     if _INFO_SCHEMA_RE.search(sql):
         refresh_information_schema(spark)
         sql = _INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
+    sql = _rewrite_star_replace(spark, sql)
     return spark.sql(translate_sql(sql))

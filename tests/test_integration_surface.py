@@ -868,3 +868,32 @@ def test_qualify_executes(spark):
         ).collect()
     }
     assert got == {(1, 10), (2, 5)}
+
+
+# --- wildcard REPLACE, schema-aware rewrite (round 5) ------------------------------
+def test_star_replace_execution_and_guards(spark):
+    from csvb_spark.sql import _rewrite_star_replace, execute_sql
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], ["k", "v", "s"]
+    ).createOrReplaceTempView("t_sr")
+    got = sorted(
+        tuple(r)
+        for r in execute_sql(
+            spark, "SELECT * REPLACE (v * 10 AS v) FROM t_sr"
+        ).collect()
+    )
+    assert got == [(1, 100, "a"), (2, 200, "b")]
+    # column order and names preserved
+    assert execute_sql(
+        spark, "SELECT * REPLACE (k + 1 AS k) FROM t_sr"
+    ).columns == ["k", "v", "s"]
+    # guards: joins, tbl.*, unknown replaced column, missing AS → untouched
+    for sql in (
+        "SELECT * REPLACE (v AS v) FROM t_sr a JOIN t_sr b ON a.k = b.k",
+        "SELECT a.* REPLACE (v AS v) FROM t_sr a",
+        "SELECT * REPLACE (1 AS nope) FROM t_sr",
+        "SELECT * REPLACE (v + 1) FROM t_sr",
+        "SELECT k FROM t_sr",
+    ):
+        assert _rewrite_star_replace(spark, sql) == sql
