@@ -2481,3 +2481,20 @@ _q(
     spark=_dialect_query(_SQL_X76),
     oracle=_SQL_X76,
 )
+
+
+# --- round 5: COLUMNS('regex') selector -------------------------------
+# DuckDB's pattern column selector, expanded schema-aware at the
+# execution layer like x76; DuckDB runs it natively so the oracle
+# verifies the expansion. Regex semantics note: Python re.fullmatch on
+# the Spark side vs DuckDB's RE2 — identical for this anchored-basic
+# pattern class (the scope the rewrite supports).
+_SQL_X77 = """
+SELECT COLUMNS('o_order.*') FROM orders WHERE o_totalprice > 300000
+"""
+
+_q(
+    "x77_columns_selector_dialect",
+    spark=_dialect_query(_SQL_X77),
+    oracle=_SQL_X77,
+)

@@ -153,6 +153,38 @@ def _rewrite_star_replace(spark: SparkSession, sql: str) -> str:
     return sql[: m.start()] + select_list + " " + sql[fm.start() :]
 
 
+# SELECT COLUMNS('regex') — DuckDB's columns-by-pattern selector.
+# Same execution-layer treatment as REPLACE: resolve the FROM table's
+# schema, keep columns whose name fully matches the pattern, expand to
+# an explicit list. Scope: COLUMNS('...') select items in a
+# single-identifier FROM; non-literal arguments or zero matches bail.
+_SR_COLUMNS_RE = re.compile(
+    r"(?<![\w.])COLUMNS\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
+)
+
+
+def _rewrite_columns_selector(spark: SparkSession, sql: str) -> str:
+    m = _SR_COLUMNS_RE.search(sql)
+    if not m:
+        return sql
+    fm = _SR_FROM_RE.search(sql, m.end())
+    if not fm:
+        return sql
+    rest = sql[fm.end() :]
+    cm = _SR_CLAUSE_RE.search(rest)
+    if (rest[: cm.start()] if cm else rest).strip():
+        return sql
+    try:
+        cols = spark.table(fm.group(1)).columns
+        pat = re.compile(m.group(1))
+    except Exception:
+        return sql
+    keep = [c for c in cols if pat.fullmatch(c)]
+    if not keep:
+        return sql
+    return sql[: m.start()] + ", ".join(keep) + sql[m.end() :]
+
+
 def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Translate reference-dialect SQL and run it, emulating
     information_schema on demand."""
@@ -162,4 +194,5 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
         refresh_information_schema(spark)
         sql = _INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
     sql = _rewrite_star_replace(spark, sql)
+    sql = _rewrite_columns_selector(spark, sql)
     return spark.sql(translate_sql(sql))

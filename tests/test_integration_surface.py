@@ -897,3 +897,20 @@ def test_star_replace_execution_and_guards(spark):
         "SELECT k FROM t_sr",
     ):
         assert _rewrite_star_replace(spark, sql) == sql
+
+
+def test_columns_selector_and_guards(spark):
+    from csvb_spark.sql import _rewrite_columns_selector, execute_sql
+
+    spark.createDataFrame(
+        [(1, 10, "a")], ["o_key", "o_price", "note"]
+    ).createOrReplaceTempView("t_cols")
+    out = execute_sql(spark, "SELECT COLUMNS('o_.*') FROM t_cols")
+    assert out.columns == ["o_key", "o_price"]
+    # guards: join, zero matches, non-literal pattern → untouched
+    for sql in (
+        "SELECT COLUMNS('o_.*') FROM t_cols a JOIN t_cols b ON a.o_key = b.o_key",
+        "SELECT COLUMNS('zzz.*') FROM t_cols",
+        "SELECT COLUMNS(x) FROM t_cols",
+    ):
+        assert _rewrite_columns_selector(spark, sql) == sql
