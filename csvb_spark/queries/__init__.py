@@ -50,9 +50,10 @@ rewrite, x72 single-pass data-expectation contracts, x73 PageRank
 over the n-gram-Jaccard similarity graph (two-iteration chained-CTE
 replay), x74 random-projection sign-code LSH pairing with exact
 cosine verification, x75 token-budget curation (two-pass bucket
-offsets vs the naive global-cumsum oracle), x76 wildcard REPLACE
-expanded schema-aware at the execution layer — every one with a full
-DuckDB oracle (the round-5 set has no rows-only entries).
+offsets vs the naive global-cumsum oracle), x76 wildcard REPLACE and
+x77 COLUMNS('regex') selector expanded schema-aware at the execution
+layer — every one with a full DuckDB oracle (the round-5 set has no
+rows-only entries).
 """
 
 from __future__ import annotations
