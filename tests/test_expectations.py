@@ -169,3 +169,39 @@ def test_cli_expect(spark, tmp_path, capsys):
     json.dump([{"check": "nope"}], open(unknown, "w"))
     with pytest.raises(SystemExit, match="unknown check"):
         main(["expect", "--parquet", data, unknown])
+
+
+# --- streaming expectation monitor (streaming/monitor.py) --------------
+
+
+def test_streaming_expectation_monitor(spark, tmp_path):
+    import pandas as pd
+
+    from csvb_spark.streaming.monitor import run_expectation_monitor
+
+    src = tmp_path / "mon_src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "lang": ["en", "fr"]}).to_parquet(
+        str(src / "b1.parquet")
+    )
+    pd.DataFrame({"doc_id": [3, 3], "lang": ["en", "xx"]}).to_parquet(
+        str(src / "b2.parquet")
+    )
+    out = run_expectation_monitor(
+        spark,
+        str(src),
+        str(tmp_path / "metrics"),
+        str(tmp_path / "ckpt"),
+        [expect_unique("doc_id"), expect_in_set("lang", ["en", "fr"])],
+        query_name="t_exp_mon",
+    )
+    rows = {
+        (r["batch_id"], r["check_name"]): r["passed"] for r in out.collect()
+    }
+    assert len(rows) == 4  # 2 batches × 2 checks
+    # the clean batch passes both; the bad batch fails both — and the
+    # failure is LOCALIZED to its batch
+    by_batch: dict = {}
+    for (bid, _c), passed in rows.items():
+        by_batch.setdefault(bid, []).append(passed)
+    assert sorted(all(v) for v in by_batch.values()) == [False, True]
