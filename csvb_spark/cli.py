@@ -320,10 +320,17 @@ def main(argv: list[str] | None = None) -> int:
             "min": lambda a: X.expect_min(a["col"], a["lo"]),
             "max": lambda a: X.expect_max(a["col"], a["hi"]),
         }
-        try:
-            checks = [builders[c.pop("check")](c) for c in spec]
-        except KeyError as e:
-            raise SystemExit(f"expect: unknown check {e}")
+        checks = []
+        for c in spec:
+            kind = c.pop("check", None)
+            if kind not in builders:
+                raise SystemExit(f"expect: unknown check {kind!r}")
+            try:
+                checks.append(builders[kind](c))
+            except KeyError as e:
+                raise SystemExit(
+                    f"expect: check {kind!r} is missing argument {e}"
+                )
         report = X.check_expectations(spark.table(args.table_name), checks)
         rows = report.collect()
         print(render_df(report))

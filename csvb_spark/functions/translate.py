@@ -347,7 +347,9 @@ def _rewrite_create_external_table(sql: str, literals: list[str]) -> str:
 # keyword swap. Both the parenthesized list and the bare
 # single-column form rewrite; `tbl.* EXCLUDE` works the same way.
 _EXCLUDE_RE = re.compile(
-    r"(?P<star>\*\s+)EXCLUDE(?P<cols>\s*\([^)]*\)|\s+[A-Za-z_][\w]*)",
+    r"(?P<star>\*\s+)EXCLUDE"
+    r"(?P<cols>\s*\([^)]*\)"
+    r"|\s+(?!(?:FROM|WHERE|GROUP|HAVING|QUALIFY|ORDER|LIMIT|OFFSET|JOIN|ON|AS|AND|OR|UNION|INTERSECT|EXCEPT)\b)[A-Za-z_][\w]*)",
     re.IGNORECASE,
 )
 
@@ -441,6 +443,23 @@ def _rewrite_distinct_on(sql: str) -> str:
         else:
             parsed.append((item.strip(), ""))
 
+    # ORDER BY may reference a select-list ALIAS (the standard
+    # Postgres idiom); the ROW_NUMBER window lives in the projection
+    # that DEFINES those aliases, where Spark forbids lateral alias
+    # references — substitute the alias's defining expression instead
+    # (exactly what the alias means)
+    aliases: dict[str, str] = {}
+    for sel_item in _split_args(select_list):
+        am = re.search(r"\s+AS\s+([A-Za-z_][\w]*)\s*$", sel_item, re.IGNORECASE)
+        if am:
+            aliases[am.group(1).lower()] = sel_item[: am.start()].strip()
+    parsed = [
+        (f"({aliases[e.lower()]})", d)
+        if re.fullmatch(r"[A-Za-z_][\w]*", e) and e.lower() in aliases
+        else (e, d)
+        for e, d in parsed
+    ]
+
     win_order = (
         ", ".join(e + d for e, d in parsed) if parsed else ", ".join(keys)
     )
@@ -489,8 +508,22 @@ def _rewrite_qualify(sql: str) -> str:
     qm = _depth0_search(_QUALIFY_RE, sql)
     if not qm:
         return sql
+    # `* EXCEPT (cols)` (Spark's wildcard option, the EXCLUDE rewrite
+    # target) is NOT a set operation — blank it before scanning, so
+    # only real UNION/INTERSECT/EXCEPT operands (followed by SELECT or
+    # a parenthesized query) trigger the bail
+    scan = re.sub(
+        r"\*\s+EXCEPT\s*\([^)]*\)",
+        lambda m: " " * len(m.group(0)),
+        sql,
+        flags=re.IGNORECASE,
+    )
     if _depth0_search(
-        re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.IGNORECASE), sql
+        re.compile(
+            r"\b(UNION|INTERSECT|EXCEPT)\s+(ALL\s+|DISTINCT\s+)?(SELECT\b|\()",
+            re.IGNORECASE,
+        ),
+        scan,
     ):
         return sql
     sm = _depth0_search(re.compile(r"\bSELECT\b", re.IGNORECASE), sql)

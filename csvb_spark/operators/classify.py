@@ -79,7 +79,11 @@ def hashed_features(text_col: str | Column = "text") -> Column:
     """fastText-style feature set: lowercased unigrams + word bigrams
     (``wordNgrams=2``), as one array column. Map-only."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    t = tokens(F.lower(c))
+    # NULL text reads as empty (one '' token after split) so BOTH
+    # scoring paths keep the document: a NULL feature array would be
+    # dropped by the join path's explode but pass through the formula
+    # fold as NULL — divergent outputs for the same model
+    t = tokens(F.lower(F.coalesce(c, F.lit(""))))
     bigrams = F.when(
         F.size(t) >= 2,
         F.transform(

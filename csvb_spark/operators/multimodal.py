@@ -521,7 +521,8 @@ def transform_media(
                 raw = w.readframes(n)
             if sw != 2:
                 return None
-            factor = max(1, sr // target_rate)
+            # ceil division: the decimated rate must be <= target_rate
+            factor = max(1, -(-sr // target_rate))
             x = _np.frombuffer(raw, dtype=_np.int16).reshape(-1, nch)
             y = x[::factor]
             buf = _io.BytesIO()

@@ -147,22 +147,17 @@ def rrf_fuse(
     already-top-k'd lists (e.g. ``bm25_topk``/``brute_force_topk``
     output), so the window input is k rows per list, the union is
     tiny, and the rollup + top-k is trivial. That contract is
-    ENFORCED, not conventioned: any input list larger than
-    ``max_list_rows`` raises ValueError up front (the check reads at
-    most max_list_rows+1 rows per list) instead of silently funneling
-    a corpus through one partition. At scale the expensive part is
-    producing the input rankings, not the fusion.
+    ENFORCED, not conventioned — inside the single execution: each
+    list's ranking window also counts the list, and a runtime
+    ``assert_true`` fails the job if any list exceeds
+    ``max_list_rows``. (An earlier eager ``limit(n+1).count()`` guard
+    re-executed every input's full upstream plan once for the check
+    and again for the fusion — doubling BM25/top-k compute — so the
+    check now rides the plan instead of preceding it.) At scale the
+    expensive part is producing the input rankings, not the fusion.
     """
     if not rankings:
         raise ValueError("rrf_fuse: rankings must be non-empty")
-    for i, r in enumerate(rankings):
-        if r.limit(max_list_rows + 1).count() > max_list_rows:
-            raise ValueError(
-                f"rrf_fuse: rankings[{i}] exceeds max_list_rows="
-                f"{max_list_rows}; pass pre-top-k'd lists (rank fusion "
-                "over an unbounded list would run a single-partition "
-                "global sort) or raise max_list_rows explicitly"
-            )
     ranked = []
     for i, r in enumerate(rankings):
         w = (
@@ -173,11 +168,30 @@ def rrf_fuse(
                 "rank",
                 F.row_number().over(Window.orderBy(F.desc("_score"), F.asc("_id"))),
             )
+            .withColumn(
+                "_n",
+                F.count("*").over(
+                    Window.orderBy(F.lit(1)).rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
             .select(
                 "_id",
-                F.round(F.lit(1.0) / (F.lit(float(c)) + F.col("rank")), 6).alias(
-                    "contrib"
-                ),
+                (
+                    F.round(F.lit(1.0) / (F.lit(float(c)) + F.col("rank")), 6)
+                    + F.when(
+                        F.col("_n") > max_list_rows,
+                        F.assert_true(
+                            F.col("_n") <= max_list_rows,
+                            F.lit(
+                                f"rrf_fuse: rankings[{i}] exceeds "
+                                f"max_list_rows={max_list_rows}; pass "
+                                "pre-top-k'd lists or raise max_list_rows"
+                            ),
+                        ).cast("double")
+                    ).otherwise(F.lit(0.0))
+                ).alias("contrib"),
             )
         )
         ranked.append(w)

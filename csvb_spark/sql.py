@@ -158,31 +158,54 @@ def _rewrite_star_replace(spark: SparkSession, sql: str) -> str:
 # schema, keep columns whose name fully matches the pattern, expand to
 # an explicit list. Scope: COLUMNS('...') select items in a
 # single-identifier FROM; non-literal arguments or zero matches bail.
+# pattern arrives either as a raw quoted literal or, when the caller
+# pre-masked string literals (execute_sql does — see below), as a
+# \x00LITn\x00 placeholder to resolve against the literal table
 _SR_COLUMNS_RE = re.compile(
-    r"(?<![\w.])COLUMNS\s*\(\s*'([^']*)'\s*\)", re.IGNORECASE
+    r"(?<![\w.])COLUMNS\s*\(\s*(?:'([^']*)'|\x00LIT(\d+)\x00)\s*\)",
+    re.IGNORECASE,
 )
 
 
-def _rewrite_columns_selector(spark: SparkSession, sql: str) -> str:
-    m = _SR_COLUMNS_RE.search(sql)
-    if not m:
-        return sql
-    fm = _SR_FROM_RE.search(sql, m.end())
-    if not fm:
-        return sql
-    rest = sql[fm.end() :]
-    cm = _SR_CLAUSE_RE.search(rest)
-    if (rest[: cm.start()] if cm else rest).strip():
-        return sql
-    try:
-        cols = spark.table(fm.group(1)).columns
-        pat = re.compile(m.group(1))
-    except Exception:
-        return sql
-    keep = [c for c in cols if pat.fullmatch(c)]
-    if not keep:
-        return sql
-    return sql[: m.start()] + ", ".join(keep) + sql[m.end() :]
+def _rewrite_columns_selector(
+    spark: SparkSession, sql: str, literals: list[str] | None = None
+) -> str:
+    # expand EVERY occurrence (a select list may use several
+    # selectors); each expansion shortens nothing the next match
+    # depends on, and a bail leaves the remainder untouched
+    pos = 0
+    while True:
+        m = _SR_COLUMNS_RE.search(sql, pos)
+        if not m:
+            return sql
+        if m.group(1) is not None:
+            pattern = m.group(1)
+        else:
+            if literals is None:
+                return sql
+            lit = literals[int(m.group(2))]
+            if len(lit) < 2 or lit[0] != "'" or lit[-1] != "'":
+                return sql
+            pattern = lit[1:-1]
+        fm = _SR_FROM_RE.search(sql, m.end())
+        if not fm:
+            return sql
+        rest = sql[fm.end() :]
+        cm = _SR_CLAUSE_RE.search(rest)
+        if (rest[: cm.start()] if cm else rest).strip():
+            return sql
+        try:
+            cols = spark.table(fm.group(1)).columns
+            pat = re.compile(pattern)
+        except Exception:
+            return sql
+        keep = [c for c in cols if pat.fullmatch(c)]
+        if not keep:
+            pos = m.end()
+            continue
+        expansion = ", ".join(keep)
+        sql = sql[: m.start()] + expansion + sql[m.end() :]
+        pos = m.start() + len(expansion)
 
 
 def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
@@ -193,6 +216,17 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     if _INFO_SCHEMA_RE.search(sql):
         refresh_information_schema(spark)
         sql = _INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
-    sql = _rewrite_star_replace(spark, sql)
-    sql = _rewrite_columns_selector(spark, sql)
+    # mask string literals before the schema-aware rewrites so text
+    # that LOOKS like "* REPLACE (...)" or "COLUMNS('...')" inside a
+    # quoted literal is never rewritten (translate.py does the same
+    # for its own rewrites)
+    from csvb_spark.functions.translate import (
+        _protect_literals,
+        _restore_literals,
+    )
+
+    masked, lits = _protect_literals(sql)
+    masked = _rewrite_star_replace(spark, masked)
+    masked = _rewrite_columns_selector(spark, masked, lits)
+    sql = _restore_literals(masked, lits)
     return spark.sql(translate_sql(sql))

@@ -914,3 +914,71 @@ def test_columns_selector_and_guards(spark):
         "SELECT COLUMNS(x) FROM t_cols",
     ):
         assert _rewrite_columns_selector(spark, sql) == sql
+
+
+# --- round-5 review regressions ----------------------------------------------------
+def test_rewrites_never_touch_string_literals(spark):
+    from csvb_spark.sql import execute_sql
+
+    spark.range(1).selectExpr("id AS k").createOrReplaceTempView("t_lit")
+    s1 = execute_sql(
+        spark, "SELECT '* REPLACE (1 AS v) FROM t2 WHERE x' AS s FROM t_lit"
+    ).collect()[0]["s"]
+    assert s1 == "* REPLACE (1 AS v) FROM t2 WHERE x"
+    s2 = execute_sql(
+        spark, "SELECT 'COLUMNS(''k'')' AS s FROM t_lit"
+    ).collect()[0]["s"]
+    assert s2 == "COLUMNS('k')"
+
+
+def test_exclude_plus_qualify_compose(spark):
+    from csvb_spark.sql import execute_sql
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], ["k", "v", "s"]
+    ).createOrReplaceTempView("t_eq")
+    out = execute_sql(
+        spark,
+        "SELECT * EXCLUDE (s) FROM t_eq "
+        "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1",
+    )
+    assert out.columns == ["k", "v"]
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 10), (2, 5)]
+
+
+def test_exclude_does_not_eat_keywords():
+    from csvb_spark.functions.translate import translate_sql
+
+    # a column literally named `exclude` in an expression
+    assert (
+        translate_sql("SELECT price * exclude FROM t")
+        == "SELECT price * exclude FROM t"
+    )
+
+
+def test_distinct_on_order_by_select_alias(spark):
+    from csvb_spark.sql import execute_sql
+
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5)], ["k", "v"]
+    ).createOrReplaceTempView("t_don")
+    out = execute_sql(
+        spark, "SELECT DISTINCT ON (k) v + 1 AS w FROM t_don ORDER BY k, w DESC"
+    )
+    assert sorted(r["w"] for r in out.collect()) == [6, 21]
+
+
+def test_cli_expect_missing_argument_message(spark, tmp_path):
+    import json
+
+    import pandas as pd
+    import pytest
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "t.parquet")
+    pd.DataFrame({"doc_id": [1]}).to_parquet(data)
+    spec = str(tmp_path / "s.json")
+    json.dump([{"check": "unique"}], open(spec, "w"))  # valid name, no col
+    with pytest.raises(SystemExit, match="missing argument"):
+        main(["expect", "--parquet", data, spec])

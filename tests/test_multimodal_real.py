@@ -178,3 +178,14 @@ def test_transform_media_passthrough_unknown(spark):
     out = transform_media(_media_df(spark, [(3, b"\x89PNG unparseable")])).collect()[0]
     assert not out["transformed"]
     assert bytes(out["payload"]) == b"\x89PNG unparseable"
+
+
+def test_transform_media_decimation_never_exceeds_target_rate(spark):
+    from csvb_spark.operators.multimodal import transform_media
+
+    # sr in (target, 2*target): floor division would leave it at sr
+    wav = _make_wav(np.arange(400, dtype=np.int16), sr=8000)
+    out = transform_media(
+        _media_df(spark, [(1, wav)]), target_rate=3000
+    ).collect()[0]
+    assert out["transformed"] and out["sample_rate"] <= 3000

@@ -198,8 +198,10 @@ def test_rrf_rejects_unbounded_input(spark):
 
     big = spark.range(0, 50).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) AS score")
     ok = spark.range(0, 3).selectExpr("id AS doc_id", "CAST(id AS DOUBLE) AS score")
-    with pytest.raises(ValueError, match="max_list_rows"):
-        search.rrf_fuse([ok, big], k=5, max_list_rows=10)
+    # the bound rides the plan (no eager double-execution of the
+    # inputs), so the violation surfaces when the fusion RUNS
+    with pytest.raises(Exception, match="max_list_rows"):
+        search.rrf_fuse([ok, big], k=5, max_list_rows=10).collect()
     # raising the bound explicitly re-admits the same input
     rows = search.rrf_fuse([ok, big], k=5, max_list_rows=100).collect()
     assert len(rows) == 5
