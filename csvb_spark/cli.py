@@ -166,6 +166,19 @@ def build_parser() -> argparse.ArgumentParser:
         "in_set{col,allowed}, min{col,lo}, max{col,hi}",
     )
 
+    pp = sub.add_parser(
+        "profile", help="one-pass per-column table profile (SUMMARIZE-style)"
+    )
+    pp.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pp.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pp.add_argument("--json", action="append", default=[], metavar="PATH")
+    pp.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pp.add_argument(
+        "--exact",
+        action="store_true",
+        help="exact distinct counts (default: HyperLogLog approximation)",
+    )
+
     pf = sub.add_parser("federate", help="serve a federated virtual table")
     pf.add_argument("--table-name", required=True)
     pf.add_argument(
@@ -335,6 +348,17 @@ def main(argv: list[str] | None = None) -> int:
         rows = report.collect()
         print(render_df(report))
         return 0 if all(r["passed"] for r in rows) else 1
+
+    if args.command == "profile":
+        from csvb_spark.operators.profile import profile_table
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        print(
+            render_df(profile_table(spark.table(args.table_name), exact=args.exact))
+        )
+        return 0
 
     if args.command == "federate":
         from csvb_spark.server.pgwire import serve_forever

@@ -52,7 +52,8 @@ replay), x74 random-projection sign-code LSH pairing with exact
 cosine verification, x75 token-budget curation (two-pass bucket
 offsets vs the naive global-cumsum oracle), x76 wildcard REPLACE and
 x77 COLUMNS('regex') selector expanded schema-aware at the execution
-layer — every one with a full DuckDB oracle (the round-5 set has no
+layer, x78 one-pass table profile (SUMMARIZE shape, exact mode) —
+every one with a full DuckDB oracle (the round-5 set has no
 rows-only entries).
 """
 

@@ -2498,3 +2498,48 @@ _q(
     spark=_dialect_query(_SQL_X77),
     oracle=_SQL_X77,
 )
+
+
+# --- round 5: one-pass table profile ----------------------------------
+# DuckDB-SUMMARIZE-shaped per-column stats, exact mode so the oracle
+# can reproduce the cardinalities. Profiling `orders`: numeric,
+# string, and timestamp columns all appear.
+from csvb_spark.operators import profile as PR  # noqa: E402
+
+_q(
+    "x78_table_profile",
+    spark=lambda spark, sf: PR.profile_table(
+        spark.read.parquet(f"{sf}/orders.parquet"), exact=True
+    ),
+    oracle=r"""
+WITH m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu0,
+         COUNT(DISTINCT o_orderkey) AS nd0,
+         CAST(MIN(o_orderkey) AS DOUBLE) AS mn0, CAST(MAX(o_orderkey) AS DOUBLE) AS mx0,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+         COUNT(DISTINCT o_custkey) AS nd1,
+         CAST(MIN(o_custkey) AS DOUBLE) AS mn1, CAST(MAX(o_custkey) AS DOUBLE) AS mx1,
+         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu2,
+         COUNT(DISTINCT o_orderstatus) AS nd2,
+         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu3,
+         COUNT(DISTINCT o_totalprice) AS nd3,
+         CAST(MIN(o_totalprice) AS DOUBLE) AS mn3, CAST(MAX(o_totalprice) AS DOUBLE) AS mx3,
+         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nu4,
+         COUNT(DISTINCT o_orderdate) AS nd4,
+         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu5,
+         COUNT(DISTINCT o_orderpriority) AS nd5
+  FROM orders
+)
+SELECT v.* FROM m, LATERAL (
+  SELECT * FROM (VALUES
+    ('o_orderkey', 'bigint', m.n, m.nu0, m.nd0, m.mn0, m.mx0),
+    ('o_custkey', 'bigint', m.n, m.nu1, m.nd1, m.mn1, m.mx1),
+    ('o_orderstatus', 'string', m.n, m.nu2, m.nd2, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+    ('o_totalprice', 'double', m.n, m.nu3, m.nd3, m.mn3, m.mx3),
+    ('o_orderdate', 'timestamp_ntz', m.n, m.nu4, m.nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+    ('o_orderpriority', 'string', m.n, m.nu5, m.nd5, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+  ) t(col_name, dtype, n_rows, n_nulls, n_distinct, min_val, max_val)
+) v
+""",
+)

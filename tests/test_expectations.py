@@ -205,3 +205,44 @@ def test_streaming_expectation_monitor(spark, tmp_path):
     for (bid, _c), passed in rows.items():
         by_batch.setdefault(bid, []).append(passed)
     assert sorted(all(v) for v in by_batch.values()) == [False, True]
+
+
+# --- table profile (operators/profile.py) ------------------------------
+
+
+def test_profile_table_single_pass_and_values(spark):
+    import re
+
+    from csvb_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (None, "b", 3.5)],
+        "k bigint, s string, x double",
+    )
+    out = {r["col_name"]: r for r in profile_table(df, exact=True).collect()}
+    assert out["k"]["n_rows"] == 3 and out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 2
+    assert (out["k"]["min_val"], out["k"]["max_val"]) == (1.0, 2.0)
+    assert out["s"]["n_distinct"] == 2 and out["s"]["min_val"] is None
+    assert out["x"]["n_nulls"] == 1 and out["x"]["max_val"] == 3.5
+
+    plan_df = profile_table(df)  # approx mode: no Expand, one scan
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+        "formatted"
+    )
+    plan = plan_df._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
+    assert len(re.findall(r"\(\d+\) Scan ", plan)) == 1
+    assert "Expand" not in plan
+
+
+def test_cli_profile(spark, tmp_path, capsys):
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "p.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "lang": ["en", "fr"]}).to_parquet(data)
+    rc = main(["profile", "--parquet", data, "--exact"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "doc_id" in out and "n_distinct" in out
