@@ -951,6 +951,79 @@ def pq_seeded_codebook(
     }
 
 
+def _ivfpq_coded(
+    embs: DataFrame,
+    cb: dict,
+    m: int,
+    sub: int,
+    cents: dict[int, list[float]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, cid, code_0..m-1): coarse cell assignment + residual PQ
+    codes — the map-only encode stage ivfpq_topk and the persisted
+    index share."""
+    v = as_double(F.col(vec_col))
+    choices = [
+        F.struct(_sq_l2(v, cents[c]).alias("d"), F.lit(c).alias("cid"))
+        for c in sorted(cents)
+    ]
+    cid_col = F.array_min(F.array(*choices))["cid"]
+    cent_table = F.array(
+        *[F.array(*[F.lit(x) for x in cents[c]]) for c in sorted(cents)]
+    )
+    resid = F.zip_with(
+        F.col("_v"),
+        F.element_at(cent_table, F.col("cid").cast("int") + 1),
+        lambda a, b: a - b,
+    )
+    coded = embs.select(F.col(id_col), v.alias("_v"), cid_col.alias("cid")).select(
+        id_col, "cid", resid.alias("_r")
+    )
+    code_cols = []
+    for s in range(m):
+        sl = F.slice(F.col("_r"), s * sub + 1, sub)
+        ch = [
+            F.struct(_sq_l2(sl, cb[(s, cid)]).alias("d"), F.lit(cid).alias("cid2"))
+            for cid in sorted(c for sp, c in cb if sp == s)
+        ]
+        code_cols.append(F.array_min(F.array(*ch))["cid2"].alias(f"code_{s}"))
+    return coded.select(id_col, "cid", *code_cols)
+
+
+def _ivfpq_adc(
+    coded: DataFrame,
+    m: int,
+    probed: list[int],
+    tables: dict,
+    pid,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """ADC scoring over a coded table restricted to the probed cells —
+    shared by the in-memory and persisted-index paths."""
+    dist = None
+    for c in probed:
+        cd = None
+        for s in range(m):
+            tbl = tables[c][s]
+            lut = F.array(*[F.lit(tbl[cid]) for cid in sorted(tbl)])
+            term = F.element_at(lut, F.col(f"code_{s}").cast("int") + 1)
+            cd = term if cd is None else (cd + term)
+        dist = (
+            F.when(F.col("cid") == c, cd)
+            if dist is None
+            else dist.when(F.col("cid") == c, cd)
+        )
+    return (
+        coded.filter(F.col("cid").isin([int(c) for c in probed]))
+        .filter(F.col(id_col) != F.lit(pid))
+        .select(id_col, F.round(dist, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivfpq_topk(
     embs: DataFrame,
     probe: DataFrame,
@@ -990,51 +1063,14 @@ def ivfpq_topk(
     m = len({s for s, _ in cb})
     sub = len(next(iter(cb.values())))
 
-    cents = {
-        int(r["cid"]): [float(x) for x in r["cv"]]
-        for r in embs.filter(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
-        )
-        .collect()
-    }
-    if len(cents) < n_centroids:
-        raise ValueError(
-            f"ivfpq: need ids 0..{n_centroids - 1} as seed centroids, "
-            f"found {sorted(cents)}"
-        )
+    cents = seed_centroids(embs, n_centroids, vec_col, id_col)
     for cid_, cv_ in cents.items():
         if len(cv_) != m * sub:
             raise ValueError(
                 f"ivfpq: centroid {cid_} dim {len(cv_)} != m*sub {m * sub}"
             )
 
-    v = as_double(F.col(vec_col))
-    choices = [
-        F.struct(_sq_l2(v, cents[c]).alias("d"), F.lit(c).alias("cid"))
-        for c in sorted(cents)
-    ]
-    cid_col = F.array_min(F.array(*choices))["cid"]
-    cent_table = F.array(
-        *[F.array(*[F.lit(x) for x in cents[c]]) for c in sorted(cents)]
-    )
-    resid = F.zip_with(
-        F.col("_v"),
-        F.element_at(cent_table, F.col("cid").cast("int") + 1),
-        lambda a, b: a - b,
-    )
-    coded = embs.select(F.col(id_col), v.alias("_v"), cid_col.alias("cid")).select(
-        id_col, "cid", resid.alias("_r")
-    )
-    code_cols = []
-    for s in range(m):
-        sl = F.slice(F.col("_r"), s * sub + 1, sub)
-        ch = [
-            F.struct(_sq_l2(sl, cb[(s, cid)]).alias("d"), F.lit(cid).alias("cid2"))
-            for cid in sorted(c for sp, c in cb if sp == s)
-        ]
-        code_cols.append(F.array_min(F.array(*ch))["cid2"].alias(f"code_{s}"))
-    coded = coded.select(id_col, "cid", *code_cols)
+    coded = _ivfpq_coded(embs, cb, m, sub, cents, vec_col, id_col)
 
     prow = probe.select(
         F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
@@ -1059,26 +1095,7 @@ def ivfpq_topk(
             for s in range(m)
         ]
 
-    dist = None
-    for c in probed:
-        cd = None
-        for s in range(m):
-            tbl = tables[c][s]
-            lut = F.array(*[F.lit(tbl[cid]) for cid in sorted(tbl)])
-            term = F.element_at(lut, F.col(f"code_{s}").cast("int") + 1)
-            cd = term if cd is None else (cd + term)
-        dist = (
-            F.when(F.col("cid") == c, cd)
-            if dist is None
-            else dist.when(F.col("cid") == c, cd)
-        )
-    return (
-        coded.filter(F.col("cid").isin([int(c) for c in probed]))
-        .filter(F.col(id_col) != F.lit(prow["pid"]))
-        .select(id_col, F.round(dist, 6).alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc(id_col))
-        .limit(k)
-    )
+    return _ivfpq_adc(coded, m, probed, tables, prow["pid"], k, id_col)
 
 
 def rp_signs(out_dim: int, in_dim: int, seed: int = 11) -> list[list[int]]:
@@ -1296,4 +1313,105 @@ def ivf_index_topk(
         )
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def write_ivfpq_index(
+    embs: DataFrame,
+    codebooks,
+    path: str,
+    n_centroids: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the IVF-PQ index: (id, cid, code_0..m-1) hive-partitioned
+    by coarse cell. This is the layout FAISS's ``IVFx,PQy`` keeps in
+    RAM, as a parquet table: m bytes-ish of code per row instead of
+    the full vector (the raw embeddings can go cold), and a probe
+    reads only its ``nprobe`` cell directories before any ADC math.
+    One shuffle (repartition by cid → one file per cell per write)."""
+    cb = _pq_codebook_dict(codebooks)
+    m = len({s for s, _ in cb})
+    sub = len(next(iter(cb.values())))
+    cents = seed_centroids(embs, n_centroids, vec_col, id_col)
+    coded = _ivfpq_coded(embs, cb, m, sub, cents, vec_col, id_col)
+    (
+        coded.repartition("cid")
+        .write.mode(mode)
+        .partitionBy("cid")
+        .parquet(path)
+    )
+
+
+def seed_centroids(
+    embs: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict[int, list[float]]:
+    """The ivf_topk/ivfpq seed convention as a reusable collect:
+    centroid c = the vector with id == c (bounded K×dim driver
+    constant)."""
+    cents = {
+        int(r["cid"]): [float(x) for x in r["cv"]]
+        for r in embs.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+        )
+        .collect()
+    }
+    if len(cents) < n_centroids:
+        raise ValueError(
+            f"seed_centroids: need ids 0..{n_centroids - 1}, "
+            f"found {sorted(cents)}"
+        )
+    return cents
+
+
+def ivfpq_index_topk(
+    spark,
+    path: str,
+    codebooks,
+    centroids: dict[int, list[float]],
+    probe: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k against a :func:`write_ivfpq_index` layout, reading
+    ONLY the probe's ``nprobe`` nearest cells (planning-time partition
+    pruning — the cid filter never scans the other cells' files).
+    Candidates, ADC tables, and ranking are identical to
+    :func:`ivfpq_topk` over the same codebook/centroids, so the two
+    agree exactly; the index buys cold storage + pruned I/O."""
+    cb = _pq_codebook_dict(codebooks)
+    m = len({s for s, _ in cb})
+    sub = len(next(iter(cb.values())))
+    prow = probe.select(
+        F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
+    ).first()
+    if prow is None:
+        raise ValueError("ivfpq_index_topk: empty probe DataFrame")
+    pv = [float(x) for x in prow["pv"]]
+    if len(pv) != m * sub:
+        raise ValueError(
+            f"ivfpq_index_topk: probe dim {len(pv)} != m*sub {m * sub}"
+        )
+    cell_rank = sorted((_py_sq(pv, centroids[c]), c) for c in sorted(centroids))
+    probed = [c for _, c in cell_rank[:nprobe]]
+    tables: dict[int, list[dict[int, float]]] = {}
+    for c in probed:
+        pr = [a - b for a, b in zip(pv, centroids[c])]
+        tables[c] = [
+            {
+                cid: _py_sq(pr[s * sub : (s + 1) * sub], cb[(s, cid)])
+                for sp, cid in cb
+                if sp == s
+            }
+            for s in range(m)
+        ]
+    return _ivfpq_adc(
+        spark.read.parquet(path), m, probed, tables, prow["pid"], k, id_col
     )

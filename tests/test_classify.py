@@ -322,3 +322,33 @@ def test_classifier_null_text_agrees_across_paths(spark):
     }
     assert a == b
     assert {t[0] for t in a} == {1, 2}  # the NULL-text doc is KEPT by both
+
+
+def test_ivfpq_index_prunes_and_matches_in_memory(spark, sf_dir, tmp_path):
+    from csvb_spark.operators.similarity import (
+        ivfpq_index_topk,
+        ivfpq_topk,
+        pq_seeded_codebook,
+        seed_centroids,
+        write_ivfpq_index,
+    )
+
+    embs = _embs(spark, sf_dir)
+    cb = pq_seeded_codebook(m=4, k=4, scale=0.2)
+    path = str(tmp_path / "ivfpq_idx")
+    write_ivfpq_index(embs, cb, path, n_centroids=4)
+    cents = seed_centroids(embs, 4)
+    probe = embs.filter(F.col("vec_id") == 9)
+
+    got = ivfpq_index_topk(spark, path, cb, cents, probe, k=5, nprobe=2)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+        "formatted"
+    )
+    plan = got._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
+    assert "PartitionFilters" in plan
+
+    want = {
+        (r["vec_id"], r["adc_dist"])
+        for r in ivfpq_topk(embs, probe, cb, k=5, n_centroids=4, nprobe=2).collect()
+    }
+    assert {(r["vec_id"], r["adc_dist"]) for r in got.collect()} == want
