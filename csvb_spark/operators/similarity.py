@@ -1363,8 +1363,8 @@ def seed_centroids(
     }
     if len(cents) < n_centroids:
         raise ValueError(
-            f"seed_centroids: need ids 0..{n_centroids - 1}, "
-            f"found {sorted(cents)}"
+            f"seed_centroids: need ids 0..{n_centroids - 1} as seed "
+            f"centroids, found {sorted(cents)}"
         )
     return cents
 
