@@ -158,6 +158,126 @@ def linear_classifier_score(
     )
 
 
+def linear_classifier_train(
+    labeled: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "label",
+    n_buckets: int = 1 << 18,
+    seed: int = 7,
+    lr: int = 4000,
+    steps: int = 2,
+    driver_bucket_limit: int = 1 << 21,
+) -> DataFrame:
+    """Train the hashed-feature linear classifier that
+    :func:`linear_classifier_score` consumes — full-batch logistic
+    regression over the same unigram+bigram hashed features, so
+    model-based filtering has an in-engine trained-weights producer
+    (completing the fastText train+infer shape; module doc).
+
+    ``labeled`` must carry a non-null 0/1 integer ``label_col``.
+    Returns a model DataFrame ``(bucket, weight)`` — integer
+    milli-unit weights, exactly the shape ``weights=`` expects — with
+    one row per distinct feature bucket observed in the corpus.
+
+    Execution shape (the ``kmeans_train`` pattern — the model lives on
+    the driver as a bounded constant, the data never does): the
+    feature-exploded corpus is cached once; each gradient step is two
+    aggregations over it — a per-document margin rollup (current
+    weights broadcast-joined) and a per-bucket gradient rollup — and
+    one bounded collect of the per-bucket gradient (≤ ``n_buckets``
+    rows, guarded by ``driver_bucket_limit``). No driver pass ever
+    touches per-document data. At 100 TB you train on a deterministic
+    sample (as every production quality filter does) and score the
+    full corpus with the broadcast-join path.
+
+    Determinism contract (everything an engine could disagree on is
+    pinned, so a DuckDB oracle replays every step bit-exactly):
+
+    - weights are INT64 milli-units; per-document margins are exact
+      integer sums;
+    - the sigmoid input ``z = margin / (1000 * n_features)`` and the
+      per-document residual factor ``q = round((label - 1/(1+exp(-z)))
+      / n_features, 8)`` are the only float ops, and ``q`` is
+      immediately quantized to DECIMAL(18,8) — so the per-bucket
+      gradient ``sum(q * multiplicity)`` is an order-independent
+      decimal sum;
+    - ``lr`` must be an integer, so the update ``w += round(lr * g)``
+      is exact decimal arithmetic rounded half-away-from-zero (both
+      engines' ``round``);
+    - step 1 starts from all-zero weights: ``z = 0`` makes
+      ``p = 0.5`` exactly in IEEE, so the first step has no
+      transcendental at all.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not isinstance(lr, int) or lr <= 0:
+        raise ValueError(f"linear_classifier_train: lr must be a positive int, got {lr!r}")
+    if n_buckets > driver_bucket_limit:
+        raise ValueError(
+            "linear_classifier_train: n_buckets"
+            f" {n_buckets} exceeds driver_bucket_limit {driver_bucket_limit}"
+            " (the per-step gradient collect is bounded by n_buckets)"
+        )
+    spark = labeled.sparkSession
+    exploded = (
+        labeled.select(
+            F.col(id_col).alias("_id"),
+            F.col(label_col).cast("int").alias("_label"),
+            F.explode(hashed_features(text_col)).alias("f"),
+        )
+        .withColumn("bucket", feature_bucket(F.col("f"), n_buckets, seed))
+        .select("_id", "_label", "bucket")
+        .persist()
+    )
+    try:
+        weights: dict[int, int] = {}
+        for _ in range(steps):
+            wdf = spark.createDataFrame(
+                sorted(weights.items()), "bucket bigint, weight bigint"
+            )
+            per_doc = (
+                exploded.join(F.broadcast(wdf), "bucket", "left")
+                .groupBy("_id", "_label")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.coalesce(F.col("weight"), F.lit(0))).alias("margin"),
+                )
+            )
+            z = F.col("margin").cast("double") / (
+                F.lit(1000.0) * F.col("n").cast("double")
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            qdf = per_doc.select(
+                "_id",
+                F.round(
+                    (F.col("_label").cast("double") - p) / F.col("n").cast("double"),
+                    8,
+                )
+                .cast("decimal(18,8)")
+                .alias("q"),
+            )
+            grad = (
+                exploded.join(qdf, "_id")
+                .groupBy("bucket")
+                .agg(F.sum("q").alias("g"))
+                .collect()
+            )
+            for r in grad:
+                b = int(r["bucket"])
+                delta = int(
+                    (Decimal(lr) * r["g"]).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+                weights[b] = weights.get(b, 0) + delta
+    finally:
+        exploded.unpersist()
+    return spark.createDataFrame(
+        sorted(weights.items()), "bucket bigint, weight bigint"
+    )
+
+
 def formula_weights_table(spark, n_buckets: int) -> DataFrame:
     """The :func:`formula_weight` map materialized as a model table
     ``(bucket, weight)`` — for tests proving the two scoring paths

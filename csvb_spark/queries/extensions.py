@@ -2543,3 +2543,72 @@ SELECT v.* FROM m, LATERAL (
 ) v
 """,
 )
+
+
+# --- round 6: train the linear classifier ------------------------------
+# linear_classifier_train completes the fastText train+infer shape:
+# full-batch logistic regression over the same md5-hashed unigram+
+# bigram features x64 scores with. The oracle replays BOTH gradient
+# steps as chained CTEs — integer milli-unit weights, DECIMAL(18,8)
+# residual factors, exact decimal gradient sums, round-half-away
+# updates — bit-exactly (see the determinism contract in
+# operators/classify.py:linear_classifier_train). Labels here are the
+# deterministic doc_id parity split; the planted-quality-split test
+# (trained weights beat the formula gate) is tests/test_classify.py.
+_q(
+    "x79_linear_classifier_train",
+    spark=lambda spark, sf: classify.linear_classifier_train(
+        _docs(spark, sf).select(
+            "doc_id", "text", (F.col("doc_id") % 2).cast("int").alias("label")
+        ),
+        lr=4000,
+        steps=2,
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, CAST(doc_id % 2 AS INT) AS label,
+         string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id, f FROM (SELECT doc_id, unnest(w) AS f FROM toks)
+  UNION ALL
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS f
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), ex AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(f || ':7'), 1, 8))::BIGINT % 262144 AS bucket
+  FROM feats
+), d AS (
+  SELECT ex.doc_id, t.label, COUNT(*) AS n
+  FROM ex JOIN (SELECT doc_id, label FROM toks) t USING (doc_id)
+  GROUP BY ex.doc_id, t.label
+), q1 AS (
+  -- step 1: all-zero weights make z = 0 and p = 0.5 exactly
+  SELECT doc_id,
+         CAST(round((CAST(label AS DOUBLE) - 0.5) / CAST(n AS DOUBLE), 8)
+              AS DECIMAL(18,8)) AS q
+  FROM d
+), g1 AS (
+  SELECT ex.bucket, SUM(q1.q) AS g FROM ex JOIN q1 USING (doc_id) GROUP BY ex.bucket
+), w1 AS (
+  SELECT bucket, CAST(round(4000 * g) AS BIGINT) AS wt FROM g1
+), m2 AS (
+  SELECT ex.doc_id, CAST(SUM(w1.wt) AS BIGINT) AS margin
+  FROM ex JOIN w1 USING (bucket) GROUP BY ex.doc_id
+), q2 AS (
+  SELECT d.doc_id,
+         CAST(round((CAST(d.label AS DOUBLE)
+                     - 1.0 / (1.0 + exp(-(CAST(m2.margin AS DOUBLE)
+                                          / (1000.0 * CAST(d.n AS DOUBLE))))))
+                    / CAST(d.n AS DOUBLE), 8)
+              AS DECIMAL(18,8)) AS q
+  FROM d JOIN m2 USING (doc_id)
+), g2 AS (
+  SELECT ex.bucket, SUM(q2.q) AS g FROM ex JOIN q2 USING (doc_id) GROUP BY ex.bucket
+)
+SELECT w1.bucket,
+       CAST(w1.wt + CAST(round(4000 * g2.g) AS BIGINT) AS BIGINT) AS weight
+FROM w1 JOIN g2 USING (bucket)
+""",
+)

@@ -352,3 +352,85 @@ def test_ivfpq_index_prunes_and_matches_in_memory(spark, sf_dir, tmp_path):
         for r in ivfpq_topk(embs, probe, cb, k=5, n_centroids=4, nprobe=2).collect()
     }
     assert {(r["vec_id"], r["adc_dist"]) for r in got.collect()} == want
+
+
+def _planted_quality_corpus(spark):
+    # positives share "good" vocabulary, negatives share "bad" vocabulary,
+    # with common filler words on both sides
+    pos = [
+        "excellent wonderful prose with great clarity and depth",
+        "great writing excellent structure wonderful argument",
+        "wonderful excellent great insightful and thorough text",
+        "clear great excellent reasoning wonderful evidence",
+        "excellent great wonderful well sourced careful prose",
+    ]
+    neg = [
+        "spam junk garbage click here buy now cheap",
+        "junk spam cheap garbage free offer click now",
+        "garbage junk spam worthless cheap click bait",
+        "cheap spam garbage junk nonsense buy click",
+        "spam garbage cheap junk low quality click farm",
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(pos)] + [
+        (100 + i, t, 0) for i, t in enumerate(neg)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, label int")
+
+
+def test_trained_weights_beat_formula_gate_on_planted_split(spark):
+    from csvb_spark.operators.classify import (
+        linear_classifier_score,
+        linear_classifier_train,
+    )
+
+    labeled = _planted_quality_corpus(spark)
+    w = linear_classifier_train(labeled, n_buckets=4096, lr=4000, steps=3)
+    trained = {
+        r["doc_id"]: r["keep"]
+        for r in linear_classifier_score(
+            labeled, n_buckets=4096, weights=w
+        ).collect()
+    }
+    formula = {
+        r["doc_id"]: r["keep"]
+        for r in linear_classifier_score(labeled, n_buckets=4096).collect()
+    }
+    truth = {r["doc_id"]: bool(r["label"]) for r in labeled.collect()}
+    acc_trained = sum(trained[d] == truth[d] for d in truth) / len(truth)
+    acc_formula = sum(formula[d] == truth[d] for d in truth) / len(truth)
+    assert acc_trained == 1.0  # separable vocabulary: perfect on train set
+    assert acc_trained > acc_formula  # the gate the model replaces
+
+
+def test_trainer_is_deterministic(spark):
+    from csvb_spark.operators.classify import linear_classifier_train
+
+    labeled = _planted_quality_corpus(spark)
+    a = sorted(tuple(r) for r in linear_classifier_train(labeled, n_buckets=1024).collect())
+    b = sorted(tuple(r) for r in linear_classifier_train(labeled, n_buckets=1024).collect())
+    assert a == b
+    assert a  # nonempty model
+
+
+def test_trainer_output_feeds_score_path_shape(spark):
+    from csvb_spark.operators.classify import (
+        linear_classifier_score,
+        linear_classifier_train,
+    )
+
+    labeled = _planted_quality_corpus(spark)
+    w = linear_classifier_train(labeled, n_buckets=1024, steps=1)
+    assert [f.name for f in w.schema.fields] == ["bucket", "weight"]
+    assert dict(w.dtypes) == {"bucket": "bigint", "weight": "bigint"}
+    out = linear_classifier_score(labeled, n_buckets=1024, weights=w)
+    assert out.count() == labeled.count()
+
+
+def test_trainer_validates_lr_and_bucket_limit(spark):
+    from csvb_spark.operators.classify import linear_classifier_train
+
+    labeled = _planted_quality_corpus(spark)
+    with pytest.raises(ValueError, match="lr must be a positive int"):
+        linear_classifier_train(labeled, lr=0.5)  # type: ignore[arg-type]
+    with pytest.raises(ValueError, match="driver_bucket_limit"):
+        linear_classifier_train(labeled, n_buckets=1 << 22)
