@@ -2612,3 +2612,48 @@ SELECT w1.bucket,
 FROM w1 JOIN g2 USING (bucket)
 """,
 )
+
+
+# --- round 6: REPLACE/COLUMNS beyond single-table FROM -----------------
+# The round-5 rewrites only expanded over `FROM <single identifier>`;
+# they now resolve ANY analyzable FROM clause (aliased tables, joins,
+# subqueries) by planning `SELECT * FROM <clause>` — sqlparser 0.53
+# (the reference's parser, Cargo.lock:3895) accepts the options
+# anywhere a wildcard is legal. DuckDB runs the original text natively,
+# so these oracles verify the widened expansion itself, like x76/x77.
+_SQL_X80 = """
+SELECT * REPLACE (o_totalprice * 2 AS o_totalprice,
+                  upper(o_orderpriority) AS o_orderpriority)
+FROM orders AS o
+WHERE o.o_totalprice > 450000
+"""
+
+_q(
+    "x80_wildcard_replace_aliased",
+    spark=_dialect_query(_SQL_X80),
+    oracle=_SQL_X80,
+)
+
+_SQL_X81 = """
+SELECT * REPLACE (upper(c_mktsegment) AS c_mktsegment)
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 470000
+"""
+
+_q(
+    "x81_wildcard_replace_join",
+    spark=_dialect_query(_SQL_X81),
+    oracle=_SQL_X81,
+)
+
+_SQL_X82 = """
+SELECT COLUMNS('.*(custkey|totalprice|acctbal)')
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 460000
+"""
+
+_q(
+    "x82_columns_selector_join",
+    spark=_dialect_query(_SQL_X82),
+    oracle=_SQL_X82,
+)

@@ -97,70 +97,162 @@ def refresh_information_schema(spark: SparkSession) -> None:
 # (and DuckDB) accept alongside EXCLUDE. Spark has no native REPLACE and
 # a pure-text rewrite cannot know the column list, so this lives at the
 # execution layer where the catalog can resolve it: expand `*` to the
-# FROM table's explicit columns with the replaced expressions spliced
-# in. Scope (bail → Spark raises on the original text): plain `SELECT *
-# REPLACE (...) FROM <single identifier>` — joins, subqueries, and
-# `tbl.*` forms are left untouched.
+# FROM clause's output columns with the replaced expressions spliced
+# in. The FROM clause is resolved by ANALYZING it (`SELECT * FROM
+# <clause>` through the translator — planning only, no job), so aliased
+# tables, multi-table joins, and subqueries all expand; sqlparser 0.53
+# (the reference's parser) accepts the option anywhere a wildcard is
+# legal. Bail → Spark raises on the original text — when the FROM
+# clause does not analyze, the join output has duplicate column names
+# (an expansion by bare name would be ambiguous), or the select item is
+# a `tbl.*` qualified form.
 _STAR_REPLACE_RE = re.compile(
     r"(?<![\w.])\*\s+REPLACE\s*\(", re.IGNORECASE
 )
-_SR_FROM_RE = re.compile(r"\bFROM\s+([A-Za-z_][\w.]*)", re.IGNORECASE)
+_SR_FROM_KW_RE = re.compile(r"\bFROM\b", re.IGNORECASE)
+# depth-0 keywords that terminate a FROM clause
 _SR_CLAUSE_RE = re.compile(
-    r"\b(WHERE|GROUP\s+BY|HAVING|QUALIFY|ORDER\s+BY|LIMIT|OFFSET)\b",
+    r"\b(WHERE|GROUP\s+BY|HAVING|QUALIFY|WINDOW|ORDER\s+BY|LIMIT|OFFSET"
+    r"|FETCH|UNION|INTERSECT|EXCEPT)\b|;",
     re.IGNORECASE,
 )
+_SR_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
 
-def _rewrite_star_replace(spark: SparkSession, sql: str) -> str:
+def _depth0_search(sql: str, pattern: re.Pattern, start: int) -> re.Match | None:
+    """First match of ``pattern`` at paren depth 0 relative to
+    ``start``; stops (None) at an unmatched ``)`` — the end of the
+    enclosing subquery scope."""
+    depth = 0
+    for i in range(start, len(sql)):
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return None
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(sql, i)
+            if m:
+                return m
+    return None
+
+
+def _from_clause_end(sql: str, start: int) -> int:
+    """Index just past the FROM clause starting at ``start`` (the text
+    after the FROM keyword): the first depth-0 clause keyword,
+    unmatched ``)``, or end of string."""
+    depth = 0
+    i = start
+    while i < len(sql):
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return i
+            depth -= 1
+        elif depth == 0 and _SR_CLAUSE_RE.match(sql, i):
+            return i
+        i += 1
+    return len(sql)
+
+
+def _probe_from_columns(
+    spark: SparkSession, from_text: str, literals: list[str] | None
+) -> list[str] | None:
+    """Output column names of ``SELECT * FROM <from_text>`` — analysis
+    only (``.columns`` plans, never executes). None when the clause
+    doesn't analyze."""
+    from csvb_spark.functions.translate import _restore_literals, translate_sql
+
+    if not from_text.strip():
+        return None
+    probe = "SELECT * FROM " + (
+        _restore_literals(from_text, literals) if literals else from_text
+    )
+    try:
+        return spark.sql(translate_sql(probe)).columns
+    except Exception:
+        return None
+
+
+def _quote_ident(c: str) -> str:
+    # backquote anything that isn't a plain identifier (Spark-side
+    # only: the rewrite output never reaches the DuckDB oracle)
+    return c if _SR_IDENT_RE.fullmatch(c) else "`" + c.replace("`", "``") + "`"
+
+
+def _resolve_from(
+    spark: SparkSession, sql: str, search_from: int, literals: list[str] | None
+) -> list[str] | None:
+    """Locate the depth-0 FROM clause after ``search_from`` and return
+    its analyzed output columns — None (bail) when it can't be found,
+    doesn't analyze, or has case-insensitively duplicate names (a
+    bare-name expansion would be ambiguous)."""
+    fm = _depth0_search(sql, _SR_FROM_KW_RE, search_from)
+    if not fm:
+        return None
+    cols = _probe_from_columns(
+        spark, sql[fm.end() : _from_clause_end(sql, fm.end())], literals
+    )
+    if cols is None:
+        return None
+    low = [c.lower() for c in cols]
+    if len(set(low)) != len(low):
+        return None
+    return cols
+
+
+def _rewrite_star_replace(
+    spark: SparkSession, sql: str, literals: list[str] | None = None
+) -> str:
     from csvb_spark.functions.translate import _scan_balanced, _split_args
 
-    m = _STAR_REPLACE_RE.search(sql)
-    if not m:
-        return sql
-    close = _scan_balanced(sql, m.end() - 1)
-    if close < 0:
-        return sql
-    items = _split_args(sql[m.end() : close - 1])
-    repl: dict[str, str] = {}
-    for item in items:
-        am = re.search(r"\s+AS\s+([A-Za-z_][\w]*)\s*$", item, re.IGNORECASE)
-        if not am:
+    # expand every occurrence (outer query and subqueries may each
+    # carry one), INNERMOST first: the last match textually is the one
+    # whose FROM clause cannot contain another `* REPLACE`, so its
+    # probe analyzes; each pass consumes exactly one match
+    for _ in range(10):
+        matches = list(_STAR_REPLACE_RE.finditer(sql))
+        if not matches:
             return sql
-        repl[am.group(1).lower()] = item[: am.start()].strip()
-    fm = _SR_FROM_RE.search(sql, close)
-    if not fm:
-        return sql
-    between = sql[close : fm.start()]
-    if between.strip():  # something between the option and FROM — bail
-        return sql
-    table = fm.group(1)
-    # the FROM clause must be EXACTLY one identifier: anything between
-    # the table name and the next clause keyword (an alias, JOIN,
-    # comma-join, sample, ...) → bail
-    rest = sql[fm.end() :]
-    cm = _SR_CLAUSE_RE.search(rest)
-    if (rest[: cm.start()] if cm else rest).strip():
-        return sql
-    try:
-        cols = spark.table(table).columns
-    except Exception:
-        return sql
-    if not set(repl) <= {c.lower() for c in cols}:
-        return sql  # replacing a nonexistent column: let Spark raise
-    select_list = ", ".join(
-        f"{repl[c.lower()]} AS {c}" if c.lower() in repl else c for c in cols
-    )
-    return sql[: m.start()] + select_list + " " + sql[fm.start() :]
+        m = matches[-1]
+        close = _scan_balanced(sql, m.end() - 1)
+        if close < 0:
+            return sql
+        items = _split_args(sql[m.end() : close - 1])
+        repl: dict[str, str] = {}
+        for item in items:
+            am = re.search(r"\s+AS\s+([A-Za-z_][\w]*)\s*$", item, re.IGNORECASE)
+            if not am:
+                return sql
+            repl[am.group(1).lower()] = item[: am.start()].strip()
+        cols = _resolve_from(spark, sql, close, literals)
+        if cols is None:
+            return sql
+        if not set(repl) <= {c.lower() for c in cols}:
+            return sql  # replacing a nonexistent column: let Spark raise
+        select_list = ", ".join(
+            f"{repl[c.lower()]} AS {c}" if c.lower() in repl else _quote_ident(c)
+            for c in cols
+        )
+        # splice the expansion over `* REPLACE (...)` only; any further
+        # select items between the option and FROM are kept verbatim
+        sql = sql[: m.start()] + select_list + sql[close:]
+    return sql
 
 
 # SELECT COLUMNS('regex') — DuckDB's columns-by-pattern selector.
-# Same execution-layer treatment as REPLACE: resolve the FROM table's
-# schema, keep columns whose name fully matches the pattern, expand to
-# an explicit list. Scope: COLUMNS('...') select items in a
-# single-identifier FROM; non-literal arguments or zero matches bail.
-# pattern arrives either as a raw quoted literal or, when the caller
-# pre-masked string literals (execute_sql does — see below), as a
-# \x00LITn\x00 placeholder to resolve against the literal table
+# Same execution-layer treatment as REPLACE: analyze the FROM clause,
+# keep columns whose name fully matches the pattern, expand to an
+# explicit list. Scope: COLUMNS('...') select items over any FROM
+# clause that analyzes with unique output names; non-literal arguments
+# or zero matches bail. The pattern arrives either as a raw quoted
+# literal or, when the caller pre-masked string literals (execute_sql
+# does — see below), as a \x00LITn\x00 placeholder to resolve against
+# the literal table.
 _SR_COLUMNS_RE = re.compile(
     r"(?<![\w.])COLUMNS\s*\(\s*(?:'([^']*)'|\x00LIT(\d+)\x00)\s*\)",
     re.IGNORECASE,
@@ -171,41 +263,41 @@ def _rewrite_columns_selector(
     spark: SparkSession, sql: str, literals: list[str] | None = None
 ) -> str:
     # expand EVERY occurrence (a select list may use several
-    # selectors); each expansion shortens nothing the next match
-    # depends on, and a bail leaves the remainder untouched
-    pos = 0
-    while True:
-        m = _SR_COLUMNS_RE.search(sql, pos)
-        if not m:
-            return sql
-        if m.group(1) is not None:
-            pattern = m.group(1)
-        else:
-            if literals is None:
+    # selectors), innermost (last) first so a selector inside a FROM
+    # subquery resolves before the outer probe needs it; a bail leaves
+    # the remainder untouched
+    for _ in range(16):
+        progressed = False
+        for m in reversed(list(_SR_COLUMNS_RE.finditer(sql))):
+            if m.group(1) is not None:
+                pattern = m.group(1)
+            else:
+                if literals is None:
+                    return sql
+                lit = literals[int(m.group(2))]
+                if len(lit) < 2 or lit[0] != "'" or lit[-1] != "'":
+                    return sql
+                pattern = lit[1:-1]
+            cols = _resolve_from(spark, sql, m.end(), literals)
+            if cols is None:
                 return sql
-            lit = literals[int(m.group(2))]
-            if len(lit) < 2 or lit[0] != "'" or lit[-1] != "'":
+            try:
+                pat = re.compile(pattern)
+            except Exception:
                 return sql
-            pattern = lit[1:-1]
-        fm = _SR_FROM_RE.search(sql, m.end())
-        if not fm:
+            keep = [c for c in cols if pat.fullmatch(c)]
+            if not keep:
+                continue  # zero matches: leave this selector alone
+            sql = (
+                sql[: m.start()]
+                + ", ".join(_quote_ident(c) for c in keep)
+                + sql[m.end() :]
+            )
+            progressed = True
+            break
+        if not progressed:
             return sql
-        rest = sql[fm.end() :]
-        cm = _SR_CLAUSE_RE.search(rest)
-        if (rest[: cm.start()] if cm else rest).strip():
-            return sql
-        try:
-            cols = spark.table(fm.group(1)).columns
-            pat = re.compile(pattern)
-        except Exception:
-            return sql
-        keep = [c for c in cols if pat.fullmatch(c)]
-        if not keep:
-            pos = m.end()
-            continue
-        expansion = ", ".join(keep)
-        sql = sql[: m.start()] + expansion + sql[m.end() :]
-        pos = m.start() + len(expansion)
+    return sql
 
 
 def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
@@ -226,7 +318,7 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     )
 
     masked, lits = _protect_literals(sql)
-    masked = _rewrite_star_replace(spark, masked)
+    masked = _rewrite_star_replace(spark, masked, lits)
     masked = _rewrite_columns_selector(spark, masked, lits)
     sql = _restore_literals(masked, lits)
     return spark.sql(translate_sql(sql))

@@ -888,7 +888,8 @@ def test_star_replace_execution_and_guards(spark):
     assert execute_sql(
         spark, "SELECT * REPLACE (k + 1 AS k) FROM t_sr"
     ).columns == ["k", "v", "s"]
-    # guards: joins, tbl.*, unknown replaced column, missing AS → untouched
+    # guards: duplicate-name self-join (ambiguous bare-name expansion),
+    # tbl.*, unknown replaced column, missing AS → untouched
     for sql in (
         "SELECT * REPLACE (v AS v) FROM t_sr a JOIN t_sr b ON a.k = b.k",
         "SELECT a.* REPLACE (v AS v) FROM t_sr a",
@@ -899,6 +900,46 @@ def test_star_replace_execution_and_guards(spark):
         assert _rewrite_star_replace(spark, sql) == sql
 
 
+# --- round 6: REPLACE/COLUMNS widened beyond single-table FROM ---------------------
+def test_star_replace_aliased_table_and_join(spark):
+    from csvb_spark.sql import execute_sql
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b")], ["k", "v", "s"]
+    ).createOrReplaceTempView("t_sra")
+    spark.createDataFrame(
+        [(1, "x"), (2, "y")], ["fk", "tag"]
+    ).createOrReplaceTempView("t_srb")
+    # aliased table (with and without AS)
+    got = sorted(
+        tuple(r)
+        for r in execute_sql(
+            spark, "SELECT * REPLACE (v * 10 AS v) FROM t_sra AS a WHERE a.k <= 2"
+        ).collect()
+    )
+    assert got == [(1, 100, "a"), (2, 200, "b")]
+    # 2-table join with unique output names: * expands across BOTH sides
+    out = execute_sql(
+        spark,
+        "SELECT * REPLACE (upper(tag) AS tag) FROM t_sra a "
+        "JOIN t_srb b ON a.k = b.fk WHERE a.k = 1",
+    )
+    assert out.columns == ["k", "v", "s", "fk", "tag"]
+    assert tuple(out.collect()[0]) == (1, 10, "a", 1, "X")
+    # further select items between the option and FROM are preserved
+    out2 = execute_sql(
+        spark, "SELECT * REPLACE (k + 1 AS k), v * 2 AS dbl FROM t_sra"
+    )
+    assert out2.columns == ["k", "v", "s", "dbl"]
+    # subquery FROM
+    out3 = execute_sql(
+        spark,
+        "SELECT * REPLACE (v - 1 AS v) FROM "
+        "(SELECT k, v FROM t_sra WHERE k = 2) sub",
+    )
+    assert tuple(out3.collect()[0]) == (2, 19)
+
+
 def test_columns_selector_and_guards(spark):
     from csvb_spark.sql import _rewrite_columns_selector, execute_sql
 
@@ -907,13 +948,35 @@ def test_columns_selector_and_guards(spark):
     ).createOrReplaceTempView("t_cols")
     out = execute_sql(spark, "SELECT COLUMNS('o_.*') FROM t_cols")
     assert out.columns == ["o_key", "o_price"]
-    # guards: join, zero matches, non-literal pattern → untouched
+    # guards: duplicate-name self-join, zero matches, non-literal
+    # pattern → untouched
     for sql in (
         "SELECT COLUMNS('o_.*') FROM t_cols a JOIN t_cols b ON a.o_key = b.o_key",
         "SELECT COLUMNS('zzz.*') FROM t_cols",
         "SELECT COLUMNS(x) FROM t_cols",
     ):
         assert _rewrite_columns_selector(spark, sql) == sql
+
+
+def test_columns_selector_aliased_table_and_join(spark):
+    from csvb_spark.sql import execute_sql
+
+    spark.createDataFrame(
+        [(1, 10, "a")], ["o_key", "o_price", "note"]
+    ).createOrReplaceTempView("t_cA")
+    spark.createDataFrame(
+        [(1, "p")], ["c_key", "c_name"]
+    ).createOrReplaceTempView("t_cB")
+    # aliased table
+    assert execute_sql(
+        spark, "SELECT COLUMNS('o_.*') FROM t_cA AS t WHERE t.o_key = 1"
+    ).columns == ["o_key", "o_price"]
+    # join with unique names: the pattern selects across both sides
+    out = execute_sql(
+        spark,
+        "SELECT COLUMNS('.*_key') FROM t_cA a JOIN t_cB b ON a.o_key = b.c_key",
+    )
+    assert out.columns == ["o_key", "c_key"]
 
 
 # --- round-5 review regressions ----------------------------------------------------
