@@ -482,7 +482,7 @@ def budget_select(
     score_col: str = "quality_score",
     tokens_col: str = "n_tokens",
     id_col: str = "doc_id",
-    score_buckets: int = 1000,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Select the highest-quality documents until a token budget:
     rank the corpus by ``(score DESC, id)`` and keep every document
@@ -492,16 +492,33 @@ def budget_select(
 
     The naive plan is a GLOBAL ordered cumulative sum
     (``SUM(tokens) OVER (ORDER BY score DESC)``) — a single-reducer
-    sort of the whole corpus. This uses :func:`global_index`'s
-    two-pass shape instead: coarse-bucket on the quantized score
-    (``round(score × score_buckets)`` — rounding is monotone, so
-    bucket order agrees with exact-score order), token-cumsum WITHIN
-    each bucket in parallel, and add per-bucket token offsets from
-    the bucket-subtotal table (bounded by ``score_buckets`` rows — a
-    broadcast constant whose own cumsum runs over ≤1001 rows by
-    design). Works for any score with bounded range (quality scores
-    are ratios in [0, 1]); exact int64 token sums throughout, one
-    IEEE-free comparison against the budget.
+    sort of the whole corpus. This is the distributed prefix-sum
+    instead: ``repartitionByRange`` on the full sort key
+    ``(score DESC, id)`` makes each partition an order-contiguous
+    slice of the global ranking, the token cumsum runs per partition
+    in parallel, and per-partition subtotal offsets (≤ ``partitions``
+    rows — a broadcast constant) lift local sums to global ones.
+    Because the range partitioner splits on the WHOLE key, a corpus
+    whose scores are constant (or concentrated in a few values) still
+    spreads across partitions by id — the tie-skew collapse the
+    round-5 quantized-score design suffered cannot happen, and scores
+    no longer need a bounded range. Exact int64 token sums
+    throughout; per-row results depend only on the global order, not
+    on where the sampled range boundaries land.
+
+    Cost: one range shuffle (plus the partitioner's sampling pass)
+    and one fixed-width hash shuffle for the per-partition window —
+    both over narrow ``(id, score, tokens)`` rows. ``partitions`` is
+    pinned explicitly (default: the cluster's default parallelism)
+    because AQE never coalesces a user-specified partition count —
+    that guarantee is what keeps ``spark_partition_id()`` consistent
+    between the subtotal and cumsum branches reading the same range
+    exchange.
+
+    NULL handling: a NULL score or token count raises at execution
+    (in-plan ``assert_true``) rather than silently dropping the row —
+    score every document (or ``coalesce`` a sentinel) before
+    budgeting.
 
     Output: ``(id, score, tokens, cum_tokens, keep)`` —
     ``keep = cum_tokens <= budget`` (a document only counts if it
@@ -511,32 +528,57 @@ def budget_select(
 
     if budget < 0:
         raise ValueError("budget_select: budget must be >= 0")
+    spark = df.sparkSession
+    n_part = int(partitions) if partitions else spark.sparkContext.defaultParallelism
+    score_t = dict(df.dtypes)[score_col]
     keyed = df.select(
         F.col(id_col),
-        F.col(score_col),
-        F.col(tokens_col).cast("bigint").alias("_bs_tok"),
-    ).withColumn(
-        "_bs_b", F.round(F.col(score_col) * score_buckets).cast("bigint")
+        F.when(F.col(score_col).isNotNull(), F.col(score_col))
+        .otherwise(
+            F.assert_true(
+                F.col(score_col).isNotNull(),
+                F.lit(
+                    f"budget_select: NULL in score_col {score_col!r} — score"
+                    " every document (or coalesce a sentinel) before budgeting"
+                ),
+            ).cast(score_t)
+        )
+        .alias("_bs_score"),
+        F.when(
+            F.col(tokens_col).isNotNull(), F.col(tokens_col).cast("bigint")
+        )
+        .otherwise(
+            F.assert_true(
+                F.col(tokens_col).isNotNull(),
+                F.lit(
+                    f"budget_select: NULL in tokens_col {tokens_col!r} — count"
+                    " tokens for every document before budgeting"
+                ),
+            ).cast("bigint")
+        )
+        .alias("_bs_tok"),
     )
-    per = keyed.groupBy("_bs_b").agg(F.sum("_bs_tok").alias("_bs_sub"))
-    off_w = (
-        Window.orderBy(F.desc("_bs_b"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    ranged = keyed.repartitionByRange(
+        n_part, F.desc("_bs_score"), F.asc(id_col)
+    ).withColumn("_bs_pid", F.spark_partition_id())
+    per = ranged.groupBy("_bs_pid").agg(F.sum("_bs_tok").alias("_bs_sub"))
+    off_w = Window.orderBy(F.asc("_bs_pid")).rowsBetween(
+        Window.unboundedPreceding, -1
     )
     offsets = per.withColumn(
         "_bs_off", F.coalesce(F.sum("_bs_sub").over(off_w), F.lit(0))
-    ).select("_bs_b", "_bs_off")
+    ).select("_bs_pid", "_bs_off")
     in_w = (
-        Window.partitionBy("_bs_b")
-        .orderBy(F.desc(score_col), F.asc(id_col))
+        Window.partitionBy("_bs_pid")
+        .orderBy(F.desc("_bs_score"), F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        keyed.withColumn("_bs_cum_in", F.sum("_bs_tok").over(in_w))
-        .join(F.broadcast(offsets), "_bs_b")
+        ranged.withColumn("_bs_cum_in", F.sum("_bs_tok").over(in_w))
+        .join(F.broadcast(offsets), "_bs_pid")
         .select(
             id_col,
-            score_col,
+            F.col("_bs_score").alias(score_col),
             F.col("_bs_tok").alias(tokens_col),
             (F.col("_bs_off") + F.col("_bs_cum_in")).alias("cum_tokens"),
             (

@@ -2423,12 +2423,13 @@ WHERE ROUND(list_dot_product(va.e, vb.e)
 )
 
 
-# --- round 5: token-budget curation -----------------------------------
+# --- round 5: token-budget curation (round 6: range-partitioned) ------
 # Keep the highest-quality documents until a 12k-token budget. The
-# Spark side uses budget_select's two-pass bucket-offset shape (no
-# global single-reducer sort); the oracle IS the naive global ordered
-# cumsum — same result, scale-hostile plan — so the differential
-# proves the decomposition exact.
+# Spark side uses budget_select's range-partitioned distributed
+# prefix-sum (no global single-reducer sort, no tie-skew collapse on
+# constant scores); the oracle IS the naive global ordered cumsum —
+# same result, scale-hostile plan — so the differential proves the
+# decomposition exact.
 _q(
     "x75_budget_select",
     spark=lambda spark, sf: splits.budget_select(

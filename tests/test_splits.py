@@ -235,18 +235,67 @@ def test_budget_select_no_global_sort_and_exact(spark):
         cum += tok
         assert got[doc_id] == (cum, cum <= 500)
 
-    # plan: the window sort is per-bucket (partitioned), never global —
-    # no single-partition Exchange for ordering
+    # plan: the window sort is per range-partition, never global — no
+    # single-partition Exchange for ordering the data; the only
+    # SinglePartition exchange allowed is the ≤partitions-row offsets
+    # table, and the data goes through rangepartitioning on the full
+    # (score DESC, id ASC) sort key
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
         "formatted"
     )
     plan = out._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
-    # the big-side window partitions by the score bucket; the only
-    # SinglePartition exchange allowed is the ≤1001-row offsets table
     import re
 
     singles = len(re.findall(r"Exchange SinglePartition", plan))
     assert singles <= 1
+    assert "rangepartitioning" in plan
 
     with pytest.raises(ValueError, match="budget"):
         budget_select(df, budget=-1)
+
+
+def test_budget_select_constant_scores_stay_parallel_and_exact(spark):
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.splits import budget_select
+
+    # the round-5 degenerate case: EVERY score identical — the
+    # quantized-score design collapsed this into one window partition
+    rows = [(i, 0.5, 10 + i % 7) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, quality_score double, n_tokens int")
+    out = budget_select(df, budget=5000, partitions=8)
+    got = {r["doc_id"]: (r["cum_tokens"], r["keep"]) for r in out.collect()}
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum = 0
+    for doc_id, _s, tok in ordered:
+        cum += tok
+        assert got[doc_id] == (cum, cum <= 5000)
+
+    # the range partitioner splits ties by id: the constant-score frame
+    # actually spreads across the pinned partition count
+    spread = (
+        df.repartitionByRange(8, F.desc("quality_score"), F.asc("doc_id"))
+        .groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    assert len(spread) == 8
+    assert max(r["count"] for r in spread) <= 2 * (2000 // 8)
+
+
+def test_budget_select_null_score_raises(spark):
+    import pytest
+
+    from csvb_spark.operators.splits import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0.5, 10), (2, None, 10)],
+        "doc_id bigint, quality_score double, n_tokens int",
+    )
+    with pytest.raises(Exception, match="NULL in score_col"):
+        budget_select(df, budget=100).collect()
+    df2 = spark.createDataFrame(
+        [(1, 0.5, None)], "doc_id bigint, quality_score double, n_tokens int"
+    )
+    with pytest.raises(Exception, match="NULL in tokens_col"):
+        budget_select(df2, budget=100).collect()
