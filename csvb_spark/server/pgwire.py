@@ -13,9 +13,12 @@ the subset that real clients use):
   are inlined as typed SQL literals ($n substitution with the
   Parse-declared oids — the common psycopg3/JDBC path; binary-format
   params decode for bool/int2/int4/int8/float4/float8/text/bytea/
-  date/timestamp/timestamptz/numeric/uuid — others 0A000;
-  bytea/date/timestamp params render as typed literals X'..'/DATE/
-  TIMESTAMP in both formats).
+  date/timestamp/timestamptz/numeric/uuid/interval/1-D arrays of
+  those — others 0A000; bytea/date/timestamp/interval params render
+  as typed literals X'..'/DATE/TIMESTAMP/INTERVAL and arrays as
+  array(...) constructors in both formats. Interval params mixing
+  year-month AND day-time fields error cleanly — Spark's two ANSI
+  interval families cannot represent both in one value).
   Result columns honor Bind's trailing format codes: binary wire
   encoding for bool/int/float/text/bytea/date/timestamp/numeric,
   clean 0A000 at Bind time for any other type a client requests in
@@ -225,6 +228,41 @@ _BOOL_OID = 16
 _BYTEA_OID = 17
 _DATE_OID = 1082
 _TS_OIDS = {1114, 1184}
+_INTERVAL_OID = 1186
+# 1-D array oid → element oid (the array types postgres clients bind)
+_ARRAY_ELEM = {
+    1000: 16,  # bool[]
+    1001: 17,  # bytea[]
+    1005: 21,  # int2[]
+    1007: 23,  # int4[]
+    1016: 20,  # int8[]
+    1021: 700,  # float4[]
+    1022: 701,  # float8[]
+    1009: 25,  # text[]
+    1015: 1043,  # varchar[]
+    1182: 1082,  # date[]
+    1115: 1114,  # timestamp[]
+    1185: 1184,  # timestamptz[]
+    1231: 1700,  # numeric[]
+    2951: 2950,  # uuid[]
+}
+# element oid → Spark SQL type, for pinning an empty array's type
+_SPARK_ELEM_TYPE = {
+    16: "boolean",
+    17: "binary",
+    21: "smallint",
+    23: "int",
+    20: "bigint",
+    700: "float",
+    701: "double",
+    25: "string",
+    1043: "string",
+    1082: "date",
+    1114: "timestamp",
+    1184: "timestamp",
+    1700: "decimal(38,18)",
+    2950: "string",
+}
 _HEX_RE = _re.compile(r"^[0-9a-fA-F]*$")
 
 _PARAM_RE = _re.compile(r"\$(\d+)")
@@ -265,12 +303,101 @@ def _quote_param(text: str | None, oid: int) -> str:
         if not _HEX_RE.match(h) or len(h) % 2:
             raise ValueError(f"invalid bytea parameter {text!r}")
         return f"X'{h}'"
+    if oid == _INTERVAL_OID:
+        return _quote_interval(text)
+    if oid in _ARRAY_ELEM:
+        elems = _parse_pg_array_text(text)
+        eloid = _ARRAY_ELEM[oid]
+        if not elems:
+            # array() alone is array<void>; pin the element type
+            return f"CAST(array() AS array<{_SPARK_ELEM_TYPE[eloid]}>)"
+        return "array(" + ", ".join(_quote_param(e, eloid) for e in elems) + ")"
     quoted = "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
     if oid == _DATE_OID:
         return f"DATE {quoted}"
     if oid in _TS_OIDS:
         return f"TIMESTAMP {quoted}"
     return quoted
+
+
+_YM_UNIT_RE = _re.compile(r"\b(?:year|month|mon)s?\b", _re.IGNORECASE)
+_DT_UNIT_RE = _re.compile(
+    r"\b(?:day|hour|minute|min|second|sec|microsecond|millisecond)s?\b|\d:\d",
+    _re.IGNORECASE,
+)
+_INTERVAL_SAFE_RE = _re.compile(r"^[A-Za-z0-9.:+\-\s]+$")
+
+
+def _quote_interval(text: str) -> str:
+    """Render an interval parameter as a Spark interval literal.
+
+    Spark has two disjoint ANSI interval families and refuses a
+    literal mixing them, so: year-month units only → a year-month
+    interval; day-time units only → a day-time interval; a parameter
+    carrying BOTH (postgres allows '1 mon 2 days') raises — a clean
+    error instead of a downstream parse failure. Postgres's 'mon(s)'
+    unit spelling is normalized to Spark's 'months'."""
+    t = _re.sub(r"\bmons?\b", "months", text.strip(), flags=_re.IGNORECASE)
+    if not t or not _INTERVAL_SAFE_RE.match(t):
+        raise ValueError(f"invalid interval parameter {text!r}")
+    ym = bool(_YM_UNIT_RE.search(t))
+    dt = bool(_DT_UNIT_RE.search(t))
+    if ym and dt:
+        raise ValueError(
+            "interval parameter mixes year-month and day-time fields"
+            f" ({text!r}); Spark intervals cannot represent both at once"
+        )
+    return "INTERVAL '" + t.replace("'", "''") + "'"
+
+
+def _parse_pg_array_text(text: str) -> list[str | None]:
+    """Parse a 1-D postgres array text form ('{a,b,"c,d",NULL}') into
+    element text values. Raises on nested arrays and malformed input."""
+    t = text.strip()
+    if not (t.startswith("{") and t.endswith("}")):
+        raise ValueError(f"invalid array parameter {text!r}")
+    body = t[1:-1]
+    if not body.strip():
+        return []
+    elems: list[str | None] = []
+    cur: list[str] = []
+    in_quotes = False
+    i = 0
+    quoted_elem = False
+    while i < len(body):
+        c = body[i]
+        if in_quotes:
+            if c == "\\" and i + 1 < len(body):
+                cur.append(body[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_quotes = False
+                i += 1
+                continue
+            cur.append(c)
+        elif c == '"':
+            in_quotes = True
+            quoted_elem = True
+        elif c == "{":
+            raise ValueError("only 1-D array parameters are supported")
+        elif c == ",":
+            elems.append(_finish_array_elem(cur, quoted_elem))
+            cur, quoted_elem = [], False
+        else:
+            cur.append(c)
+        i += 1
+    if in_quotes:
+        raise ValueError(f"invalid array parameter {text!r}")
+    elems.append(_finish_array_elem(cur, quoted_elem))
+    return elems
+
+
+def _finish_array_elem(chars: list[str], quoted: bool) -> str | None:
+    s = "".join(chars) if quoted else "".join(chars).strip()
+    if not quoted and s.upper() == "NULL":
+        return None
+    return s
 
 
 class _Cancelled(Exception):
@@ -327,6 +454,60 @@ def _dec_uuid(b: bytes) -> str:
     return str(_uuid.UUID(bytes=b))
 
 
+def _dec_interval(b: bytes) -> str:
+    """INTERVAL binary wire format (public protocol docs, integer
+    datetimes): int64 microseconds, int32 days, int32 months. Decoded
+    to Spark-compatible unit text; ``_quote_interval`` renders it (and
+    rejects a genuinely mixed year-month + day-time value)."""
+    micros, days, months = struct.unpack("!qii", b)
+    parts: list[str] = []
+    if months:
+        parts.append(f"{months} months")
+    if days:
+        parts.append(f"{days} days")
+    if micros:
+        sign = "-" if micros < 0 else ""
+        a = abs(micros)
+        parts.append(f"{sign}{a // 1_000_000}.{a % 1_000_000:06d} seconds")
+    return " ".join(parts) if parts else "0 seconds"
+
+
+def _dec_array(b: bytes) -> str:
+    """1-D ARRAY binary wire format (public protocol docs /
+    utils/adt/arrayfuncs.c layout): int32 ndim, int32 hasnull, int32
+    element oid, per-dim {int32 len, int32 lower bound}, then elements
+    as {int32 len, payload} with len=-1 for NULL. Decoded to the
+    postgres array TEXT form; ``_quote_param`` re-parses that into a
+    Spark ``array(...)`` constructor, so text- and binary-format array
+    binds share one rendering path."""
+    ndim, _hasnull, eloid = struct.unpack("!iii", b[:12])
+    if ndim == 0:
+        return "{}"
+    if ndim != 1:
+        raise ValueError(f"only 1-D array parameters are supported (got {ndim}-D)")
+    dec = _BINARY_DECODERS.get(eloid)
+    if dec is None or eloid in _ARRAY_ELEM:
+        raise ValueError(f"unsupported array element type oid {eloid}")
+    (dimlen, _lbound) = struct.unpack("!ii", b[12:20])
+    off = 20
+    parts: list[str] = []
+    for _ in range(dimlen):
+        (elen,) = struct.unpack("!i", b[off : off + 4])
+        off += 4
+        if elen == -1:
+            parts.append("NULL")
+            continue
+        txt = dec(b[off : off + elen])
+        off += elen
+        # quote any element the text form couldn't round-trip bare
+        if txt == "" or txt.upper() == "NULL" or any(
+            c in txt for c in ',{}"\\ '
+        ):
+            txt = '"' + txt.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        parts.append(txt)
+    return "{" + ",".join(parts) + "}"
+
+
 _BINARY_DECODERS = {
     16: lambda b: "t" if b != b"\x00" else "f",  # bool
     21: lambda b: str(struct.unpack("!h", b)[0]),  # int2
@@ -349,7 +530,12 @@ _BINARY_DECODERS = {
     1184: _dec_ts,
     1700: _dec_numeric,  # numeric → canonical decimal text
     2950: _dec_uuid,  # uuid → hyphenated text (renders as a string)
+    1186: _dec_interval,  # interval → Spark-unit text
 }
+# 1-D arrays: the payload carries its own element oid, so one decoder
+# serves every array type the server understands
+for _aoid in _ARRAY_ELEM:
+    _BINARY_DECODERS[_aoid] = _dec_array
 
 
 def _decode_bind_params(

@@ -1118,3 +1118,175 @@ def test_simple_query_qualify_dialect(conn):
     # one row per customer: first column strictly increasing
     custs = [int(r[0]) for r in rows]
     assert custs == sorted(set(custs))
+
+
+# --- round 6: binary interval + 1-D array binds ------------------------------
+def _pg_interval_bin(micros: int, days: int, months: int) -> bytes:
+    return struct.pack("!qii", micros, days, months)
+
+
+def test_extended_binary_interval_param_daytime(conn):
+    """Binary-format INTERVAL (oid 1186: micros/days/months) with only
+    day-time fields — the psycopg3 datetime.timedelta bind path."""
+    sock, buf = conn
+    sql = b"SELECT TIMESTAMP '2024-01-01 00:00:00' + $1 AS t"
+    _send(sock, b"P", b"piv\x00" + sql + b"\x00" + struct.pack("!hI", 1, 1186))
+    iv = _pg_interval_bin(3_500_000, 2, 0)  # 2 days 3.5 seconds
+    body = (
+        b"\x00piv\x00"
+        + struct.pack("!hh", 1, 1)
+        + struct.pack("!h", 1)
+        + struct.pack("!i", len(iv))
+        + iv
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"2024-01-03 00:00:03.500000"]]
+
+
+def test_extended_binary_interval_param_yearmonth_and_mixed(conn):
+    """Months-only intervals render as a year-month literal; a value
+    mixing months AND day-time fields errors cleanly (Spark's two ANSI
+    interval families are disjoint) and the connection survives."""
+    sock, buf = conn
+    sql = b"SELECT TIMESTAMP '2024-01-31 00:00:00' + $1 AS t"
+    _send(sock, b"P", b"pym\x00" + sql + b"\x00" + struct.pack("!hI", 1, 1186))
+    iv = _pg_interval_bin(0, 0, 13)  # 13 months
+    body = (
+        b"\x00pym\x00"
+        + struct.pack("!hh", 1, 1)
+        + struct.pack("!h", 1)
+        + struct.pack("!i", len(iv))
+        + iv
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"2025-02-28 00:00:00.000000"]]
+
+    # mixed: 1 month 1 day → clean error, then the session still works
+    iv2 = _pg_interval_bin(0, 1, 1)
+    body2 = (
+        b"\x00pym\x00"
+        + struct.pack("!hh", 1, 1)
+        + struct.pack("!h", 1)
+        + struct.pack("!i", len(iv2))
+        + iv2
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body2)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs2 = _read_until_ready(sock, buf)
+    tags = [t for t, _ in msgs2]
+    assert b"E" in tags and tags[-1] == b"Z"
+    assert _data_rows(_simple_query(sock, buf, "SELECT 1 AS x")) == [[b"1"]]
+
+
+def _pg_array_bin(eloid: int, elems: list[bytes | None]) -> bytes:
+    out = struct.pack(
+        "!iii", 1, int(any(e is None for e in elems)), eloid
+    ) + struct.pack("!ii", len(elems), 1)
+    for e in elems:
+        if e is None:
+            out += struct.pack("!i", -1)
+        else:
+            out += struct.pack("!i", len(e)) + e
+    return out
+
+
+def test_extended_binary_int4_array_param(conn):
+    """Binary-format int4[] (oid 1007) binds decode element-wise and
+    render as an array(...) constructor."""
+    sock, buf = conn
+    sql = b"SELECT array_contains($1, 20) AS c, size($1) AS n, element_at($1, 3) AS e"
+    _send(sock, b"P", b"par\x00" + sql + b"\x00" + struct.pack("!hI", 1, 1007))
+    arr = _pg_array_bin(23, [struct.pack("!i", v) for v in (10, 20, 30)])
+    body = (
+        b"\x00par\x00"
+        + struct.pack("!hh", 1, 1)
+        + struct.pack("!h", 1)
+        + struct.pack("!i", len(arr))
+        + arr
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"t", b"3", b"30"]]
+
+
+def test_extended_binary_text_array_with_null_and_specials(conn):
+    """text[] binary binds quote elements containing separators, keep
+    NULL elements, and round-trip through element_at."""
+    sock, buf = conn
+    sql = b"SELECT size($1) AS n, element_at($1, 2) AS e, element_at($1, 3) IS NULL AS z"
+    _send(sock, b"P", b"pta\x00" + sql + b"\x00" + struct.pack("!hI", 1, 1009))
+    arr = _pg_array_bin(25, [b"plain", b"a,b {c}", None])
+    body = (
+        b"\x00pta\x00"
+        + struct.pack("!hh", 1, 1)
+        + struct.pack("!h", 1)
+        + struct.pack("!i", len(arr))
+        + arr
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"3", b"a,b {c}", b"t"]]
+
+
+def test_extended_text_format_array_param(conn):
+    """TEXT-format array binds ('{...}' postgres array text) share the
+    binary path's rendering — including empty arrays, whose element
+    type is pinned with a CAST."""
+    sock, buf = conn
+    sql = b"SELECT size($1) AS n, element_at($1, 1) AS a, size($2) AS z"
+    _send(
+        sock,
+        b"P",
+        b"pts\x00" + sql + b"\x00" + struct.pack("!hII", 2, 1016, 1007),
+    )
+    body = (
+        b"\x00pts\x00"
+        + struct.pack("!h", 0)  # all text format
+        + struct.pack("!h", 2)
+        + struct.pack("!i", 7) + b"{5,6,7}"
+        + struct.pack("!i", 2) + b"{}"
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"3", b"5", b"0"]]
+
+
+def test_pg_array_text_parser_unit():
+    from csvb_spark.server.pgwire import _parse_pg_array_text, _quote_param
+
+    assert _parse_pg_array_text("{1,2,3}") == ["1", "2", "3"]
+    assert _parse_pg_array_text('{a,"b,c",NULL,"NULL"}') == ["a", "b,c", None, "NULL"]
+    assert _parse_pg_array_text('{"back\\\\slash","qu\\"ote"}') == [
+        'back\\slash',
+        'qu"ote',
+    ]
+    assert _parse_pg_array_text("{}") == []
+    import pytest
+
+    with pytest.raises(ValueError, match="1-D"):
+        _parse_pg_array_text("{{1},{2}}")
+    with pytest.raises(ValueError, match="invalid array"):
+        _parse_pg_array_text("1,2,3")
+    # rendering: ints bare, strings quoted, NULL kept
+    assert _quote_param("{1,2}", 1007) == "array(1, 2)"
+    assert _quote_param('{x,NULL,"a b"}', 1009) == "array('x', NULL, 'a b')"
+    assert _quote_param("{}", 1007) == "CAST(array() AS array<int>)"
