@@ -554,6 +554,46 @@ def _rewrite_qualify(sql: str) -> str:
     )
 
 
+def _enclosing_paren_span(sql: str, pos: int) -> tuple[int, int] | None:
+    """Innermost ``( ... )`` span strictly containing ``pos`` — the
+    indices of the open and close parens — or None at depth 0."""
+    stack: list[int] = []
+    for i, c in enumerate(sql):
+        if c == "(":
+            stack.append(i)
+        elif c == ")" and stack:
+            a = stack.pop()
+            if a < pos < i:
+                return (a, i)
+    return None
+
+
+def _rewrite_qualify_anywhere(sql: str) -> str:
+    """Apply the QUALIFY rewrite at any nesting depth, innermost
+    first — the common DuckDB/Snowflake idiom puts QUALIFY inside a
+    CTE body (``WITH x AS (... QUALIFY ...)``) or a derived table,
+    which the depth-0 rewriter alone never sees. Each pass rewrites
+    the innermost parenthesized query around one QUALIFY; a bail
+    (set-op/DISTINCT scope guards) leaves the text for Spark to raise
+    on. Literals are pre-masked by the caller, so the keyword scan
+    cannot fire inside a string."""
+    sql = _rewrite_qualify(sql)
+    for _ in range(16):
+        m = _QUALIFY_RE.search(sql)
+        if not m:
+            return sql
+        span = _enclosing_paren_span(sql, m.start())
+        if span is None:
+            return sql  # depth-0 QUALIFY the scope guards bailed on
+        a, b = span
+        inner = sql[a + 1 : b]
+        new_inner = _rewrite_qualify(inner)
+        if new_inner == inner:
+            return sql
+        sql = sql[: a + 1] + new_inner + sql[b:]
+    return sql
+
+
 # generate_series as a table factor (FROM/JOIN position). DataFusion
 # exposes it as a TVF whose output column is `value`; Spark's TVF set
 # has explode(), so rewrite to a derived table. The scalar-position
@@ -606,8 +646,9 @@ def translate_sql(sql: str) -> str:
     # SELECT DISTINCT ON (keys) → row_number-over-partition shape
     out = _rewrite_distinct_on(out)
 
-    # QUALIFY window filter → projected-boolean subquery
-    out = _rewrite_qualify(out)
+    # QUALIFY window filter → projected-boolean subquery (any depth:
+    # CTE bodies and derived tables included)
+    out = _rewrite_qualify_anywhere(out)
 
     # expr::type casts (repeat for chains like x::text::int)
     prev = None

@@ -21,9 +21,14 @@ iteration, fixed-width rows. Iterations are a bounded driver loop
 scale you checkpoint the rank table every few iterations exactly as
 ``dedup_clusters`` does its frontier.
 
-Scope: nodes/edges of the GIVEN graph; every node is expected to have
-at least one out-edge (feed undirected graphs as both directions —
-then no dangling mass exists by construction). Dangling nodes raise.
+Scope: nodes/edges of the GIVEN graph. Dangling nodes (no out-edges —
+directed sinks) get the standard treatment: their rank mass
+redistributes uniformly over all nodes each iteration, via one extra
+scalar aggregate (a 1-row DECIMAL-exact sum, broadcast onto the rank
+update — never a driver collect). Undirected graphs fed as both
+directions have no dangling mass; the term is exactly 0.0 and the
+arithmetic is bit-identical to the mass-only update (x73's oracle
+relies on this).
 """
 
 from __future__ import annotations
@@ -56,11 +61,6 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank: empty edge list")
     deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    if nodes.join(deg, nodes["node"] == deg["src"], "left_anti").limit(1).count():
-        raise ValueError(
-            "pagerank: dangling node (no out-edges) — feed undirected "
-            "graphs as both directions"
-        )
     base = (1.0 - damping) / float(n)
 
     ranks = nodes.select("node", F.lit(1.0 / float(n)).alias("rank"))
@@ -78,14 +78,40 @@ def pagerank(
                 "CAST(SUM(CAST(c AS DECIMAL(30,15))) AS DOUBLE)"
             ).alias("mass")
         )
-        # every node has an out-edge (checked) and, for undirected
-        # inputs, an in-edge — but keep the left join + zero-mass
-        # coalesce so a directed sink still receives its base rank
-        ranks = nodes.join(gathered, "node", "left").select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce("mass", F.lit(0.0))
-            ).alias("rank"),
+        # dangling (out-degree-less) nodes redistribute their rank
+        # uniformly — a 1-row DECIMAL-exact scalar, broadcast into the
+        # update. With no dangling nodes this is exactly 0.0 and
+        # `mass + 0.0` is bit-identical to `mass` for the non-negative
+        # masses PageRank produces — the oracle's mass-only arithmetic
+        # still replays undirected graphs exactly.
+        dang = (
+            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(
+                F.expr(
+                    "CAST(COALESCE(SUM(CAST(rank AS DECIMAL(30,15))), 0)"
+                    " AS DOUBLE)"
+                ).alias("dmass")
+            )
         )
+        ranks = (
+            nodes.join(gathered, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("mass", F.lit(0.0))
+                        + F.col("dmass") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        # the dangling scalar makes each iteration consume `ranks`
+        # TWICE (contribs + dang), so unbroken lineage doubles per
+        # iteration; checkpoint the |V|-row rank frontier like
+        # dedup_clusters does its labels (lazy: materializes on first
+        # use, one copy per iteration, plan stays constant-size)
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", 6).alias("rank"))

@@ -642,7 +642,9 @@ def knn_join(
     ``neg_label_col``: restrict candidates to corpus rows whose label
     DIFFERS from the probe's — the hard-negative-mining mode (see
     :func:`hard_negatives`). The filter runs before ranking, inside
-    the same exchange; no extra pass.
+    the same exchange; no extra pass. Labels compare NULL-safely: a
+    NULL label is a distinct label value, so NULL-vs-non-NULL pairs
+    are mined and NULL-vs-NULL pairs are not.
 
     Exact formulation (``centroids=None``): broadcast the (small)
     probe set, map-side cosine against every corpus row, then a
@@ -726,8 +728,12 @@ def knn_join(
         candidates = assigned.join(p, "cid")
 
     if neg_label_col is not None:
+        # null-safe: a NULL label is a distinct label VALUE, so
+        # NULL-vs-non-NULL pairs are mined and NULL-vs-NULL pairs are
+        # not — a stated contract instead of SQL NULL semantics
+        # silently dropping every candidate of a NULL-labeled probe
         candidates = candidates.filter(
-            F.col(neg_label_col) != F.col("probe_label")
+            ~F.col(neg_label_col).eqNullSafe(F.col("probe_label"))
         )
     scored = candidates.filter(
         F.col(id_col) != F.col("probe_id") if exclude_self else F.lit(True)
@@ -1033,6 +1039,7 @@ def ivfpq_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed_ids: list | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composition production ANN
     indexes (FAISS ``IVFx,PQy``) actually ship: a coarse quantizer
@@ -1063,7 +1070,7 @@ def ivfpq_topk(
     m = len({s for s, _ in cb})
     sub = len(next(iter(cb.values())))
 
-    cents = seed_centroids(embs, n_centroids, vec_col, id_col)
+    cents = seed_centroids(embs, n_centroids, vec_col, id_col, seed_ids)
     for cid_, cv_ in cents.items():
         if len(cv_) != m * sub:
             raise ValueError(
@@ -1276,9 +1283,13 @@ def ivf_index_topk(
     filter is on the partition column, so it prunes directories at
     planning time — asserted via ``PartitionFilters`` in tests).
 
-    Candidate set, scoring, and ranking are identical to
-    :func:`ivf_topk` with the same codebook, so the two agree
-    exactly — the index buys I/O pruning, not different semantics."""
+    Cell assignment and probe-cell choice use squared-L2 argmin
+    (``c·c − 2·v·c``) — :func:`knn_join`'s IVF-pruned convention, and
+    the twin this index agrees with exactly (the parity test compares
+    against ``knn_join(centroids=...)``). :func:`ivf_topk` ranks its
+    probe CELLS by cosine instead, so with centroids of unequal norm
+    the two can probe different cells; within identical candidate
+    sets the scoring and ranking are the same."""
     cents = _collect_codebook(centroids, nprobe)
     prow = probe.select(
         F.col(id_col).alias("pid"), as_double(F.col(vec_col)).alias("pv")
@@ -1324,6 +1335,7 @@ def write_ivfpq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     mode: str = "overwrite",
+    seed_ids: list | None = None,
 ) -> None:
     """Persist the IVF-PQ index: (id, cid, code_0..m-1) hive-partitioned
     by coarse cell. This is the layout FAISS's ``IVFx,PQy`` keeps in
@@ -1334,7 +1346,7 @@ def write_ivfpq_index(
     cb = _pq_codebook_dict(codebooks)
     m = len({s for s, _ in cb})
     sub = len(next(iter(cb.values())))
-    cents = seed_centroids(embs, n_centroids, vec_col, id_col)
+    cents = seed_centroids(embs, n_centroids, vec_col, id_col, seed_ids)
     coded = _ivfpq_coded(embs, cb, m, sub, cents, vec_col, id_col)
     (
         coded.repartition("cid")
@@ -1349,24 +1361,36 @@ def seed_centroids(
     n_centroids: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed_ids: list | None = None,
 ) -> dict[int, list[float]]:
     """The ivf_topk/ivfpq seed convention as a reusable collect:
-    centroid c = the vector with id == c (bounded K×dim driver
-    constant)."""
-    cents = {
-        int(r["cid"]): [float(x) for x in r["cv"]]
-        for r in embs.filter(F.col(id_col) < n_centroids)
+    cell ``c``'s centroid is the vector with id ``seed_ids[c]``
+    (bounded K×dim driver constant). ``seed_ids`` defaults to
+    ``0..n_centroids-1`` (the historical convention), so a corpus
+    whose ids don't start at 0 passes any ``n_centroids`` ids it
+    likes — cells are numbered by position in the list."""
+    if seed_ids is None:
+        seed_ids = list(range(n_centroids))
+    if len(seed_ids) != len(set(seed_ids)) or len(seed_ids) != n_centroids:
+        raise ValueError(
+            f"seed_centroids: seed_ids must be {n_centroids} distinct ids,"
+            f" got {seed_ids!r}"
+        )
+    by_id = {
+        r["sid"]: [float(x) for x in r["cv"]]
+        for r in embs.filter(F.col(id_col).isin(list(seed_ids)))
         .select(
-            F.col(id_col).alias("cid"), as_double(F.col(vec_col)).alias("cv")
+            F.col(id_col).alias("sid"), as_double(F.col(vec_col)).alias("cv")
         )
         .collect()
     }
-    if len(cents) < n_centroids:
+    missing = [s for s in seed_ids if s not in by_id]
+    if missing:
         raise ValueError(
-            f"seed_centroids: need ids 0..{n_centroids - 1} as seed "
-            f"centroids, found {sorted(cents)}"
+            f"seed_centroids: need ids {seed_ids} as seed "
+            f"centroids, found {sorted(by_id)}"
         )
-    return cents
+    return {c: by_id[s] for c, s in enumerate(seed_ids)}
 
 
 def ivfpq_index_topk(

@@ -1993,7 +1993,12 @@ _q(
     spark=lambda spark, sf: classify.linear_classifier_score(_docs(spark, sf)),
     oracle=r"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents
+  -- coalesce mirrors the Spark side's NULL-text handling (a NULL doc
+  -- keeps one '' feature and stays in the aggregate); without it the
+  -- oracle's unnest would DROP NULL-text documents and the entry
+  -- would only stay green while the fixture happens to lack them
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
 ), feats AS (
   SELECT doc_id, unnest(w) AS f FROM toks
   UNION ALL
@@ -2523,24 +2528,34 @@ WITH m AS (
          CAST(MIN(o_custkey) AS DOUBLE) AS mn1, CAST(MAX(o_custkey) AS DOUBLE) AS mx1,
          SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu2,
          COUNT(DISTINCT o_orderstatus) AS nd2,
+         MIN(o_orderstatus) AS tn2, MAX(o_orderstatus) AS tx2,
          SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu3,
          COUNT(DISTINCT o_totalprice) AS nd3,
          CAST(MIN(o_totalprice) AS DOUBLE) AS mn3, CAST(MAX(o_totalprice) AS DOUBLE) AS mx3,
          SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nu4,
          COUNT(DISTINCT o_orderdate) AS nd4,
+         strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS tn4,
+         strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS tx4,
          SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu5,
-         COUNT(DISTINCT o_orderpriority) AS nd5
+         COUNT(DISTINCT o_orderpriority) AS nd5,
+         MIN(o_orderpriority) AS tn5, MAX(o_orderpriority) AS tx5
   FROM orders
 )
 SELECT v.* FROM m, LATERAL (
   SELECT * FROM (VALUES
-    ('o_orderkey', 'bigint', m.n, m.nu0, m.nd0, m.mn0, m.mx0),
-    ('o_custkey', 'bigint', m.n, m.nu1, m.nd1, m.mn1, m.mx1),
-    ('o_orderstatus', 'string', m.n, m.nu2, m.nd2, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
-    ('o_totalprice', 'double', m.n, m.nu3, m.nd3, m.mn3, m.mx3),
-    ('o_orderdate', 'timestamp_ntz', m.n, m.nu4, m.nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
-    ('o_orderpriority', 'string', m.n, m.nu5, m.nd5, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
-  ) t(col_name, dtype, n_rows, n_nulls, n_distinct, min_val, max_val)
+    ('o_orderkey', 'bigint', m.n, m.nu0, m.nd0, m.mn0, m.mx0,
+     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+    ('o_custkey', 'bigint', m.n, m.nu1, m.nd1, m.mn1, m.mx1,
+     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+    ('o_orderstatus', 'string', m.n, m.nu2, m.nd2, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+     m.tn2, m.tx2),
+    ('o_totalprice', 'double', m.n, m.nu3, m.nd3, m.mn3, m.mx3,
+     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)),
+    ('o_orderdate', 'timestamp_ntz', m.n, m.nu4, m.nd4, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+     m.tn4, m.tx4),
+    ('o_orderpriority', 'string', m.n, m.nu5, m.nd5, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+     m.tn5, m.tx5)
+  ) t(col_name, dtype, n_rows, n_nulls, n_distinct, min_val, max_val, min_text, max_text)
 ) v
 """,
 )
@@ -2657,4 +2672,77 @@ _q(
     "x82_columns_selector_join",
     spark=_dialect_query(_SQL_X82),
     oracle=_SQL_X82,
+)
+
+
+# --- round 6: PageRank dangling-mass redistribution --------------------
+# A DIRECTED graph with sinks: every nation points at a synthetic
+# `key+100` node that has no out-edges, so half the graph is dangling.
+# pagerank now redistributes dangling rank uniformly each iteration
+# (the standard treatment) instead of refusing; the oracle replays
+# both iterations with the dangling scalar as chained CTEs. x73 (the
+# undirected similarity graph) pins the no-dangling arithmetic
+# unchanged — its dangling term is exactly 0.0.
+def _x83_spark(spark: SparkSession, sf: str) -> DataFrame:
+    nation = spark.read.parquet(f"{sf}/nation.parquet")
+    edges = nation.select(
+        F.col("n_nationkey").alias("src"),
+        (F.col("n_nationkey") + 100).alias("dst"),
+    )
+    return G.pagerank(edges, iters=2)
+
+
+_q(
+    "x83_pagerank_dangling",
+    spark=_x83_spark,
+    oracle=r"""
+WITH edges AS (
+  SELECT n_nationkey AS src, n_nationkey + 100 AS dst FROM nation
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), deg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), r0 AS (
+  SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes
+), d1 AS (
+  SELECT CAST(COALESCE(SUM(CAST(r.rank AS DECIMAL(30,15))), 0) AS DOUBLE) AS dmass
+  FROM r0 r LEFT JOIN deg d ON r.node = d.src
+  WHERE d.src IS NULL
+), it1 AS (
+  SELECT nd.node,
+         ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))
+         + CAST(0.85 AS DOUBLE)
+           * (COALESCE(g.mass, CAST(0.0 AS DOUBLE))
+              + (SELECT dmass FROM d1) / (SELECT n FROM nn)) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r.rank / CAST(d.outdeg AS DOUBLE)
+                         AS DECIMAL(30,15))) AS DOUBLE) AS mass
+    FROM edges e JOIN deg d ON e.src = d.src JOIN r0 r ON r.node = e.src
+    GROUP BY e.dst
+  ) g ON g.node = nd.node
+), d2 AS (
+  SELECT CAST(COALESCE(SUM(CAST(r.rank AS DECIMAL(30,15))), 0) AS DOUBLE) AS dmass
+  FROM it1 r LEFT JOIN deg d ON r.node = d.src
+  WHERE d.src IS NULL
+), it2 AS (
+  SELECT nd.node,
+         ((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn))
+         + CAST(0.85 AS DOUBLE)
+           * (COALESCE(g.mass, CAST(0.0 AS DOUBLE))
+              + (SELECT dmass FROM d2) / (SELECT n FROM nn)) AS rank
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node,
+           CAST(SUM(CAST(r.rank / CAST(d.outdeg AS DOUBLE)
+                         AS DECIMAL(30,15))) AS DOUBLE) AS mass
+    FROM edges e JOIN deg d ON e.src = d.src JOIN it1 r ON r.node = e.src
+    GROUP BY e.dst
+  ) g ON g.node = nd.node
+)
+SELECT node, ROUND(rank, 6) AS rank FROM it2
+""",
 )

@@ -29,15 +29,18 @@ DEFAULT_MEMORY_POOL_BYTES = 10 * 1024**3  # reference csvb/src/bin/csvb.rs:16-18
 def get_session(
     app_name: str = "csvb_spark",
     master: str | None = None,
-    memory_pool_bytes: int | None = None,
+    memory_pool_bytes: int | None = DEFAULT_MEMORY_POOL_BYTES,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
     ``memory_pool_bytes`` maps the reference's ``--memory-pool-bytes``
-    greedy-pool budget onto driver memory in local mode. It only takes
-    effect if no JVM is up yet (Spark can't resize a live JVM).
+    greedy-pool budget onto driver memory in local mode, and DEFAULTS
+    to the reference's 10 GiB default (Spark's own 1g driver heap is
+    far below the parity contract, and broadcast builds at sf1 hit
+    it). Pass ``None`` to keep Spark's default. It only takes effect
+    if no JVM is up yet (Spark can't resize a live JVM).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
     master = master or f"local[{cpus}]"

@@ -434,3 +434,69 @@ def test_trainer_validates_lr_and_bucket_limit(spark):
         linear_classifier_train(labeled, lr=0.5)  # type: ignore[arg-type]
     with pytest.raises(ValueError, match="driver_bucket_limit"):
         linear_classifier_train(labeled, n_buckets=1 << 22)
+
+
+def test_ivfpq_index_accepts_shifted_seed_ids(spark, sf_dir, tmp_path):
+    from csvb_spark.operators.similarity import (
+        ivfpq_index_topk,
+        ivfpq_topk,
+        pq_seeded_codebook,
+        seed_centroids,
+        write_ivfpq_index,
+    )
+
+    # a corpus whose ids do NOT start at 0: shift everything by 1000
+    embs = _embs(spark, sf_dir).withColumn("vec_id", F.col("vec_id") + 1000)
+    seeds = [1000, 1001, 1002, 1003]
+    cb = pq_seeded_codebook(m=4, k=4, scale=0.2)
+    path = str(tmp_path / "ivfpq_shifted")
+    write_ivfpq_index(embs, cb, path, n_centroids=4, seed_ids=seeds)
+    cents = seed_centroids(embs, 4, seed_ids=seeds)
+    probe = embs.filter(F.col("vec_id") == 1009)
+
+    got = ivfpq_index_topk(spark, path, cb, cents, probe, k=5, nprobe=2)
+    want = ivfpq_topk(
+        embs, probe, cb, k=5, n_centroids=4, nprobe=2, seed_ids=seeds
+    )
+    assert {(r["vec_id"], r["adc_dist"]) for r in got.collect()} == {
+        (r["vec_id"], r["adc_dist"]) for r in want.collect()
+    }
+
+
+def test_seed_centroids_validates_ids(spark, sf_dir):
+    from csvb_spark.operators.similarity import seed_centroids
+
+    embs = _embs(spark, sf_dir)
+    with pytest.raises(ValueError, match="distinct ids"):
+        seed_centroids(embs, 3, seed_ids=[0, 0, 1])
+    with pytest.raises(ValueError, match="seed centroids"):
+        seed_centroids(embs, 2, seed_ids=[0, 10**9])
+
+
+def test_hard_negatives_null_labels_are_a_distinct_value(spark):
+    from csvb_spark.operators.similarity import knn_join
+
+    rows = [
+        (0, [1.0, 0.0], "a"),
+        (1, [0.9, 0.1], None),  # NULL-labeled corpus row
+        (2, [0.8, 0.2], "b"),
+        (3, [0.7, 0.3], None),
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label string"
+    )
+    # NULL-labeled probe: candidates with real labels ARE mined,
+    # the other NULL-labeled row is not (NULL == NULL null-safely)
+    probe = embs.filter(F.col("vec_id") == 1)
+    got = {
+        r["vec_id"]
+        for r in knn_join(embs, probe, k=5, neg_label_col="label").collect()
+    }
+    assert got == {0, 2}
+    # labeled probe: NULL-labeled corpus rows count as a differing label
+    probe2 = embs.filter(F.col("vec_id") == 0)
+    got2 = {
+        r["vec_id"]
+        for r in knn_join(embs, probe2, k=5, neg_label_col="label").collect()
+    }
+    assert got2 == {1, 2, 3}

@@ -132,11 +132,30 @@ def test_pagerank_guards(spark):
     empty = spark.createDataFrame([], "src bigint, dst bigint")
     with pytest.raises(ValueError, match="empty"):
         pagerank(empty)
-    dangling = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
-    with pytest.raises(ValueError, match="dangling"):
-        pagerank(dangling)
     with pytest.raises(ValueError, match="iters"):
-        pagerank(dangling, iters=0)
+        pagerank(
+            spark.createDataFrame([(1, 2)], "src bigint, dst bigint"), iters=0
+        )
+
+
+def test_pagerank_dangling_mass_redistributes(spark):
+    from csvb_spark.operators.graph import pagerank
+
+    # 1 -> 2: node 2 is a sink. Round 5 refused this; now its rank
+    # mass redistributes uniformly (the standard treatment), so ranks
+    # keep summing to ~1 and the sink out-ranks its source (it
+    # receives source mass AND its share of its own redistribution).
+    e = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=8).collect()}
+    assert set(got) == {1, 2}
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    assert got[2] > got[1]
+
+    # hand-checked one iteration: n=2, r0=0.5 each, dangling=node 2
+    # it1(1) = 0.15/2 + 0.85*(0 + 0.5/2)        = 0.2875
+    # it1(2) = 0.15/2 + 0.85*(0.5/1 + 0.5/2)    = 0.7125
+    one = {r["node"]: r["rank"] for r in pagerank(e, iters=1).collect()}
+    assert one == {1: 0.2875, 2: 0.7125}
 
 
 def test_cli_expect(spark, tmp_path, capsys):
@@ -246,3 +265,25 @@ def test_cli_profile(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "doc_id" in out and "n_distinct" in out
+
+
+def test_profile_table_text_ranges(spark):
+    import datetime as dt
+
+    from csvb_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            ("banana", dt.datetime(2024, 3, 1, 12, 0, 0, 250000), dt.date(2024, 1, 2), 5),
+            ("apple", dt.datetime(2023, 1, 1, 0, 0, 0), dt.date(2024, 5, 6), 9),
+        ],
+        "s string, ts timestamp, d date, n int",
+    )
+    prof = {r["col_name"]: r for r in profile_table(df, exact=True).collect()}
+    assert prof["s"]["min_text"] == "apple" and prof["s"]["max_text"] == "banana"
+    assert prof["ts"]["min_text"] == "2023-01-01 00:00:00.000000"
+    assert prof["ts"]["max_text"] == "2024-03-01 12:00:00.250000"
+    assert prof["d"]["min_text"] == "2024-01-02" and prof["d"]["max_text"] == "2024-05-06"
+    # numeric columns keep DOUBLE ranges and NULL text; text-typed keep NULL doubles
+    assert prof["n"]["min_val"] == 5.0 and prof["n"]["min_text"] is None
+    assert prof["s"]["min_val"] is None

@@ -870,6 +870,45 @@ def test_qualify_executes(spark):
     assert got == {(1, 10), (2, 5)}
 
 
+def test_qualify_inside_cte_and_subquery(spark):
+    # round 6: the common DuckDB/Snowflake idiom — QUALIFY inside a
+    # CTE body or a derived table — now rewrites too (innermost-first)
+    from csvb_spark.sql import execute_sql
+
+    spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 5), (2, 7)], ["k", "v"]
+    ).createOrReplaceTempView("t_qcte")
+    got = {
+        tuple(r)
+        for r in execute_sql(
+            spark,
+            "WITH best AS (SELECT k, v FROM t_qcte "
+            "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1) "
+            "SELECT k, v FROM best WHERE v > 6",
+        ).collect()
+    }
+    assert got == {(1, 10)}
+    got2 = {
+        tuple(r)
+        for r in execute_sql(
+            spark,
+            "SELECT s.k, s.v FROM (SELECT k, v FROM t_qcte "
+            "QUALIFY rank() OVER (PARTITION BY k ORDER BY v DESC) = 1) s",
+        ).collect()
+    }
+    assert got2 == {(1, 20), (2, 7)}
+    # outer QUALIFY over a CTE still works through the depth-0 path
+    got3 = {
+        tuple(r)
+        for r in execute_sql(
+            spark,
+            "WITH c AS (SELECT k, v FROM t_qcte) SELECT k, v FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY k ORDER BY v) = 1",
+        ).collect()
+    }
+    assert got3 == {(1, 10), (2, 5)}
+
+
 # --- wildcard REPLACE, schema-aware rewrite (round 5) ------------------------------
 def test_star_replace_execution_and_guards(spark):
     from csvb_spark.sql import _rewrite_star_replace, execute_sql
