@@ -55,6 +55,15 @@ x77 COLUMNS('regex') selector expanded schema-aware at the execution
 layer, x78 one-pass table profile (SUMMARIZE shape, exact mode) —
 every one with a full DuckDB oracle (the round-5 set has no
 rows-only entries).
+
+Round-6 additions (all full DuckDB oracles, no rows-only entries):
+x79 linear-classifier TRAINER (hashed-feature logistic regression;
+the oracle replays both gradient steps bit-exactly as chained CTEs),
+x80 wildcard REPLACE over an aliased table, x81 REPLACE over a
+2-table join, x82 COLUMNS('re') over a join (the execution-layer
+rewrites now resolve any analyzable FROM clause), x83 PageRank with
+dangling-mass redistribution over a directed sink graph. Corpus:
+120 entries, 115 with full oracles.
 """
 
 from __future__ import annotations
