@@ -179,6 +179,60 @@ def build_parser() -> argparse.ArgumentParser:
         help="exact distinct counts (default: HyperLogLog approximation)",
     )
 
+    pt = sub.add_parser(
+        "train-filter",
+        help="train a quality-filter model (hashed linear classifier "
+        "or bigram LM) and write it as parquet",
+    )
+    pt.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pt.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pt.add_argument("--json", action="append", default=[], metavar="PATH")
+    pt.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pt.add_argument(
+        "--method", choices=("classifier", "lm"), default="classifier"
+    )
+    pt.add_argument("--output", required=True, help="model output dir (parquet)")
+    pt.add_argument("--text-col", default="text")
+    pt.add_argument("--id-col", default="doc_id")
+    pt.add_argument(
+        "--label-col",
+        default="label",
+        help="0/1 label column (classifier only)",
+    )
+    pt.add_argument("--steps", type=int, default=2, help="gradient steps")
+    pt.add_argument("--lr", type=int, default=4000, help="integer learning rate")
+    pt.add_argument("--n-buckets", type=int, default=1 << 18)
+
+    pq = sub.add_parser(
+        "score",
+        help="score documents with a quality-filter model; prints a "
+        "keep-rate summary and optionally writes scored rows",
+    )
+    pq.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pq.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pq.add_argument("--json", action="append", default=[], metavar="PATH")
+    pq.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pq.add_argument(
+        "--method", choices=("classifier", "lm"), default="classifier"
+    )
+    pq.add_argument(
+        "--model",
+        default=None,
+        help="trained model parquet dir (from train-filter); classifier "
+        "without --model uses the engine-recomputable formula weights",
+    )
+    pq.add_argument("--text-col", default="text")
+    pq.add_argument("--id-col", default="doc_id")
+    pq.add_argument("--threshold", type=float, default=0.0)
+    pq.add_argument("--n-buckets", type=int, default=1 << 18)
+    pq.add_argument(
+        "--max-ppl",
+        type=float,
+        default=None,
+        help="LM mode: keep documents with perplexity <= this",
+    )
+    pq.add_argument("--output", default=None, help="write scored rows here")
+
     pf = sub.add_parser("federate", help="serve a federated virtual table")
     pf.add_argument("--table-name", required=True)
     pf.add_argument(
@@ -358,6 +412,80 @@ def main(argv: list[str] | None = None) -> int:
         print(
             render_df(profile_table(spark.table(args.table_name), exact=args.exact))
         )
+        return 0
+
+    if args.command == "train-filter":
+        spark = _session(args)
+        _register_direct(spark, args)
+        table = spark.table(args.table_name)
+        if args.method == "classifier":
+            from csvb_spark.operators.classify import linear_classifier_train
+
+            model = linear_classifier_train(
+                table,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                label_col=args.label_col,
+                n_buckets=args.n_buckets,
+                lr=args.lr,
+                steps=args.steps,
+            )
+        else:
+            from csvb_spark.operators.lm import bigram_lm_train
+
+            model = bigram_lm_train(table, text_col=args.text_col)
+        model.write.mode("overwrite").parquet(args.output)
+        print(f"{args.method} model: {model.count()} rows -> {args.output}")
+        return 0
+
+    if args.command == "score":
+        from pyspark.sql import functions as F
+
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        table = spark.table(args.table_name)
+        if args.method == "classifier":
+            from csvb_spark.operators.classify import linear_classifier_score
+
+            weights = (
+                spark.read.parquet(args.model) if args.model else None
+            )
+            scored = linear_classifier_score(
+                table,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                n_buckets=args.n_buckets,
+                weights=weights,
+                threshold=args.threshold,
+            )
+        else:
+            if not args.model:
+                raise SystemExit("score --method lm requires --model")
+            from csvb_spark.operators.lm import perplexity_score
+
+            lm = spark.read.parquet(args.model)
+            scored = perplexity_score(
+                table,
+                lm,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                broadcast_model=True,
+            )
+            keep = (
+                F.col("ppl") <= F.lit(float(args.max_ppl))
+                if args.max_ppl is not None
+                else F.col("ppl").isNotNull()
+            )
+            scored = scored.withColumn("keep", keep)
+        if args.output:
+            scored.write.mode("overwrite").parquet(args.output)
+        summary = scored.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_keep"),
+        )
+        print(render_df(summary))
         return 0
 
     if args.command == "federate":

@@ -1,0 +1,161 @@
+"""N-gram language-model perplexity scoring for quality filtering.
+
+The second standard model-based quality filter (beside the hashed
+linear classifier, ``operators/classify.py``): CCNet and its
+descendants rank crawl documents by the perplexity of a small n-gram
+LM — low perplexity ≈ fluent in-domain prose, high ≈ boilerplate or
+garbage. The production shape is exactly this module's: TRAIN a
+bounded count model (here: unigram + bigram counts over a corpus —
+one groupBy), then SCORE every document map-side against it with
+add-alpha smoothing.
+
+Determinism contract (repo-wide cross-engine rules):
+
+- counts are exact int64 aggregations; the vocabulary size ``V`` and
+  smoothing ``alpha`` are integers, so every probability
+  ``(c2 + alpha) / (c1 + alpha·V)`` is ONE IEEE division of exact
+  integers;
+- each token's ``ln(p)`` is rounded to 6 decimals and quantized to
+  DECIMAL(18,6) immediately, so the per-document log-prob total is an
+  order-independent exact decimal sum (parallel partial aggregation
+  cannot perturb it);
+- the only remaining float ops are the final average and ``exp`` —
+  computed from exactly-agreed operands, then rounded to 6.
+
+Plan shape: tokenize + explode bigrams map-side; the score join
+shuffles on the bigram key against the count model. At 100 TB the LM
+is trained on a bounded sample (as CCNet does — a few GB of target-
+domain text) and BROADCAST, making scoring map-only; pass the hint
+through ``broadcast_model=True``. Reference scope: beyond-reference
+(the reference has no text operators — SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _toks(text_col: str):
+    # classifier-compatible tokenization (classify.hashed_features):
+    # lowercase, whitespace split, NULL reads as one '' token
+    return F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+
+
+def bigram_lm_train(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Train the count model: one row per observed n-gram.
+
+    Output: ``(w1, w2, cnt)`` — bigram rows carry both words; unigram
+    (context) rows carry ``w2 = NULL``. One explode + one groupBy
+    (single fixed-width shuffle); the model size is bounded by the
+    corpus vocabulary, not its row count.
+    """
+    t = _toks(text_col)
+    unis = docs.select(F.explode(t).alias("w1")).select(
+        "w1", F.lit(None).cast("string").alias("w2")
+    )
+    bis = docs.select(
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    return unis.union(bis).groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+
+
+def perplexity_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    alpha: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Score every document's bigram perplexity under ``lm``.
+
+    Output: ``(doc_id, n_bigrams, avg_neg_logprob, ppl)`` — the
+    add-alpha-smoothed average negative log probability of the
+    document's bigrams and its exponential (the perplexity). A
+    document with fewer than two tokens has ``n_bigrams = 0`` and
+    NULL scores (no bigram evidence — the caller decides its fate).
+
+    ``alpha`` must be a positive integer (the determinism contract —
+    see module doc). ``broadcast_model=True`` adds the broadcast hint
+    for sampled/bounded LMs, making the score pass map-only.
+    """
+    if not isinstance(alpha, int) or alpha <= 0:
+        raise ValueError(
+            f"perplexity_score: alpha must be a positive int, got {alpha!r}"
+        )
+    spark = docs.sparkSession
+    uni = lm.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("_c_w1"), F.col("cnt").alias("_c1")
+    )
+    bi = lm.filter(F.col("w2").isNotNull()).select(
+        F.col("w1").alias("_b_w1"),
+        F.col("w2").alias("_b_w2"),
+        F.col("cnt").alias("_c2"),
+    )
+    if broadcast_model:
+        uni, bi = F.broadcast(uni), F.broadcast(bi)
+    # V = distinct unigram types, a scalar the oracle derives the same
+    # way; bounded driver constant (one small agg over the model)
+    v = uni.count()
+
+    t = _toks(text_col)
+    pairs = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select("_id", "b.w1", "b.w2")
+    joined = (
+        pairs.join(bi, (pairs.w1 == bi._b_w1) & (pairs.w2 == bi._b_w2), "left")
+        .join(uni, pairs.w1 == uni._c_w1, "left")
+    )
+    p = (
+        (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(alpha)).cast("double")
+        / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(alpha) * F.lit(v)).cast(
+            "double"
+        )
+    )
+    q = F.round(F.log(p), 6).cast("decimal(18,6)")
+    per_doc = joined.select("_id", q.alias("_q")).groupBy("_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("_q").alias("_total"),
+    )
+    avg_nll = -(F.col("_total").cast("double") / F.col("n_bigrams").cast("double"))
+    scored = per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        F.round(avg_nll, 6).alias("avg_neg_logprob"),
+        F.round(F.exp(avg_nll), 6).alias("ppl"),
+    )
+    # documents with no bigrams (0 or 1 token) carry NULL scores —
+    # detected map-side from the token count, no anti-join needed
+    short = docs.filter(F.size(t) < 2).select(
+        F.col(id_col),
+        F.lit(0).cast("bigint").alias("n_bigrams"),
+        F.lit(None).cast("double").alias("avg_neg_logprob"),
+        F.lit(None).cast("double").alias("ppl"),
+    )
+    return scored.unionByName(short)

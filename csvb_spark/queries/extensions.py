@@ -2746,3 +2746,54 @@ WITH edges AS (
 SELECT node, ROUND(rank, 6) AS rank FROM it2
 """,
 )
+
+
+# --- round 6: bigram-LM perplexity scoring -----------------------------
+# The CCNet-style quality filter: train unigram+bigram counts on the
+# corpus (one groupBy), score every document's add-1-smoothed average
+# negative log probability and perplexity. Exact int64 counts, one
+# IEEE division per bigram, per-token ln rounded to 6 and summed as
+# DECIMAL(18,6) — the oracle replays train AND score in SQL.
+from csvb_spark.operators import lm as LM  # noqa: E402
+
+_q(
+    "x84_bigram_perplexity",
+    spark=lambda spark, sf: LM.perplexity_score(
+        _docs(spark, sf), LM.bigram_lm_train(_docs(spark, sf))
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), bis AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), uc AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM toks) u GROUP BY w1
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bis GROUP BY w1, w2
+), vv AS (
+  SELECT COUNT(*) AS v FROM uc
+), q AS (
+  SELECT b.doc_id,
+         CAST(round(ln(CAST(COALESCE(bc.c2, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(uc.c1, 0) + 1 * (SELECT v FROM vv)
+                              AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS q
+  FROM bis b
+  LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  LEFT JOIN uc ON b.w1 = uc.w1
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(q) AS total FROM q GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       ROUND(-(CAST(sc.total AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)), 6)
+         AS avg_neg_logprob,
+       ROUND(exp(-(CAST(sc.total AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE))), 6)
+         AS ppl
+FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+""",
+)

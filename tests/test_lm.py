@@ -1,0 +1,160 @@
+"""Bigram-LM perplexity scoring: ranking behavior, edge cases, plan
+shape. Oracle parity is x84 in test_oracle.py."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csvb_spark.operators.lm import bigram_lm_train, perplexity_score
+
+
+def _corpus(spark):
+    fluent = "the cat sat on the mat and the cat slept"
+    rows = [(i, fluent) for i in range(8)] + [
+        (100, "zqx vbn plm wrt kjh dfg"),  # vocabulary never repeated
+        (101, "the cat sat on the mat"),  # in-domain
+        (200, "one"),  # single token: no bigrams
+        (201, None),  # NULL text
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_perplexity_ranks_in_domain_below_garbage(spark):
+    docs = _corpus(spark)
+    lm = bigram_lm_train(docs)
+    got = {r["doc_id"]: r for r in perplexity_score(docs, lm).collect()}
+    assert got[101]["ppl"] < got[100]["ppl"]  # fluent beats junk
+    assert got[0]["ppl"] < got[100]["ppl"]
+    assert got[101]["avg_neg_logprob"] < got[100]["avg_neg_logprob"]
+    # all docs present; short/NULL docs carry NULL scores, 0 bigrams
+    assert set(got) == {*range(8), 100, 101, 200, 201}
+    for d in (200, 201):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["ppl"] is None and got[d]["avg_neg_logprob"] is None
+
+
+def test_lm_train_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id bigint, text string"
+    )
+    lm = bigram_lm_train(docs)
+    uni = {r["w1"]: r["cnt"] for r in lm.filter(F.col("w2").isNull()).collect()}
+    bi = {
+        (r["w1"], r["w2"]): r["cnt"]
+        for r in lm.filter(F.col("w2").isNotNull()).collect()
+    }
+    assert uni == {"a": 3, "b": 3}
+    assert bi == {("a", "b"): 3, ("b", "a"): 1}
+
+
+def test_perplexity_deterministic_and_alpha_guard(spark):
+    docs = _corpus(spark)
+    lm = bigram_lm_train(docs)
+    a = sorted(tuple(r) for r in perplexity_score(docs, lm).collect())
+    b = sorted(tuple(r) for r in perplexity_score(docs, lm).collect())
+    assert a == b
+    with pytest.raises(ValueError, match="alpha"):
+        perplexity_score(docs, lm, alpha=0)
+    with pytest.raises(ValueError, match="alpha"):
+        perplexity_score(docs, lm, alpha=0.5)  # type: ignore[arg-type]
+
+
+def test_broadcast_model_uses_broadcast_joins(spark):
+    docs = _corpus(spark)
+    lm = bigram_lm_train(docs)
+    out = perplexity_score(docs, lm, broadcast_model=True)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+        "formatted"
+    )
+    plan = out._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # scoring never shuffles the corpus
+
+
+def test_cli_train_filter_and_score_classifier(spark, tmp_path, capsys):
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "labeled.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [
+                "excellent great wonderful prose",
+                "great excellent clear writing",
+                "wonderful excellent great text",
+                "spam junk garbage click",
+                "junk spam cheap garbage",
+                "garbage junk spam click",
+            ],
+            "label": [1, 1, 1, 0, 0, 0],
+        }
+    ).to_parquet(data)
+    model_dir = str(tmp_path / "clf_model")
+    rc = main(
+        [
+            "train-filter", "--parquet", data, "--method", "classifier",
+            "--output", model_dir, "--n-buckets", "4096", "--steps", "3",
+        ]
+    )
+    assert rc == 0
+    assert "classifier model:" in capsys.readouterr().out
+
+    out_dir = str(tmp_path / "scored")
+    rc = main(
+        [
+            "score", "--parquet", data, "--method", "classifier",
+            "--model", model_dir, "--n-buckets", "4096", "--output", out_dir,
+        ]
+    )
+    assert rc == 0
+    got = capsys.readouterr().out
+    assert "n_docs" in got and "n_keep" in got
+    scored = {r["doc_id"]: r["keep"] for r in spark.read.parquet(out_dir).collect()}
+    assert [scored[i] for i in range(6)] == [True] * 3 + [False] * 3
+
+
+def test_cli_train_filter_and_score_lm(spark, tmp_path, capsys):
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": [
+                "the cat sat on the mat",
+                "the cat sat on the mat again",
+                "the cat slept on the mat",
+                "the mat sat on the cat",
+                "zzq wxv unseen gibberish tokens here",
+            ],
+        }
+    ).to_parquet(data)
+    model_dir = str(tmp_path / "lm_model")
+    rc = main(
+        ["train-filter", "--parquet", data, "--method", "lm", "--output", model_dir]
+    )
+    assert rc == 0
+    assert "lm model:" in capsys.readouterr().out
+
+    out_dir = str(tmp_path / "lm_scored")
+    rc = main(
+        [
+            "score", "--parquet", data, "--method", "lm", "--model", model_dir,
+            "--max-ppl", "200", "--output", out_dir,
+        ]
+    )
+    assert rc == 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    # the gibberish doc has the worst perplexity of the corpus
+    assert rows[4]["ppl"] == max(r["ppl"] for r in rows.values())
+
+    # lm scoring without a model is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="requires --model"):
+        main(["score", "--parquet", data, "--method", "lm"])
