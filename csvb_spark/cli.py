@@ -133,6 +133,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="also require the hashed linear classifier score to exceed "
         "this margin (omit to disable the model gate)",
     )
+    pi.add_argument(
+        "--lm-model",
+        default=None,
+        help="bigram LM parquet dir (train-filter --method lm); enables "
+        "the perplexity gate",
+    )
+    pi.add_argument(
+        "--max-ppl",
+        type=float,
+        default=None,
+        help="perplexity ceiling for the LM gate (requires --lm-model)",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -337,6 +349,8 @@ def main(argv: list[str] | None = None) -> int:
             gopher_gate=args.gopher_gate,
             gopher_min_words=args.gopher_min_words,
             classifier_threshold=args.classifier_threshold,
+            lm_model_dir=args.lm_model,
+            max_ppl=args.max_ppl,
         )
         return 0
 

@@ -20,9 +20,12 @@ the subset that real clients use):
   year-month AND day-time fields error cleanly — Spark's two ANSI
   interval families cannot represent both in one value).
   Result columns honor Bind's trailing format codes: binary wire
-  encoding for bool/int/float/text/bytea/date/timestamp/numeric,
-  clean 0A000 at Bind time for any other type a client requests in
-  binary — never text bytes mislabeled binary. Parameter-less QUERY-shaped
+  encoding for bool/int/float/text/bytea/date/timestamp/numeric/
+  day-time interval/1-D arrays of the encodable types (array columns
+  report their true array oids and render the quoted postgres array
+  text form in text mode), clean 0A000 at Bind time for any other
+  type a client requests in binary — never text bytes mislabeled
+  binary. Parameter-less QUERY-shaped
   statements
   plan once and cache; parameterized statements and commands (Spark
   runs commands eagerly at plan time) re-plan per Bind so repeated
@@ -90,12 +93,42 @@ def _oid_for(dtype: str) -> tuple[int, int]:
     base = dtype.split("(")[0]
     if base.startswith("decimal"):
         return (1700, -1)
+    if base.startswith("array<") and dtype.endswith(">"):
+        elem_oid, _ = _oid_for(dtype[6:-1])
+        aoid = _ELEM_ARRAY.get(elem_oid)
+        if aoid is not None:
+            return (aoid, -1)
+        return (25, -1)  # arrays of structs/maps/arrays: text fallback
+    if base.startswith("interval"):
+        # day-time intervals collect as datetime.timedelta → oid 1186;
+        # year-month intervals collect as plain ints — leave them text
+        if "year" not in dtype and "month" not in dtype:
+            return (1186, 16)
+        return (25, -1)
     return _PG_OIDS.get(base, (25, -1))
+
+
+def _pg_array_elem_text(s: str) -> str:
+    """Quote a postgres array element when the bare form is ambiguous
+    (separators, braces, quotes, whitespace, empty, or literal NULL)."""
+    if s == "" or s.upper() == "NULL" or any(c in s for c in ',{}"\\ '):
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return s
+
+
+def _interval_text(v: "_dt.timedelta") -> str:
+    sec = v.seconds
+    return (
+        f"{v.days} days {sec // 3600:02d}:{(sec // 60) % 60:02d}:"
+        f"{sec % 60:02d}.{v.microseconds:06d}"
+    )
 
 
 def _pg_text(v) -> bytes | None:
     if v is None:
         return None
+    if isinstance(v, _dt.timedelta):
+        return _interval_text(v).encode()
     if isinstance(v, bool):
         return b"t" if v else b"f"
     if isinstance(v, _dt.datetime):
@@ -105,7 +138,16 @@ def _pg_text(v) -> bytes | None:
     if isinstance(v, (bytes, bytearray)):
         return b"\\x" + v.hex().encode()
     if isinstance(v, (list, tuple)):
-        return ("{" + ",".join("NULL" if x is None else str(x) for x in v) + "}").encode()
+        return (
+            "{"
+            + ",".join(
+                "NULL"
+                if x is None
+                else _pg_array_elem_text(_pg_text(x).decode())
+                for x in v
+            )
+            + "}"
+        ).encode()
     if isinstance(v, dict):
         return str(v).encode()
     return str(v).encode()
@@ -263,7 +305,45 @@ _SPARK_ELEM_TYPE = {
     1700: "decimal(38,18)",
     2950: "string",
 }
+# element oid → array oid, for typing array-valued RESULT columns
+_ELEM_ARRAY = {e: a for a, e in _ARRAY_ELEM.items()}
 _HEX_RE = _re.compile(r"^[0-9a-fA-F]*$")
+
+
+def _enc_interval_res(v) -> bytes:
+    if not isinstance(v, _dt.timedelta):
+        raise ValueError(f"not an interval: {v!r}")
+    return struct.pack(
+        "!qii", v.seconds * 1_000_000 + v.microseconds, v.days, 0
+    )
+
+
+def _mk_enc_array(eloid: int):
+    def enc(v) -> bytes:
+        if not isinstance(v, (list, tuple)):
+            raise ValueError(f"not an array: {v!r}")
+        if not v:
+            # postgres emits empty arrays as zero-dimensional
+            return struct.pack("!iii", 0, 0, eloid)
+        ee = _BINARY_ENCODERS[eloid]
+        out = struct.pack(
+            "!iii", 1, int(any(x is None for x in v)), eloid
+        ) + struct.pack("!ii", len(v), 1)
+        for x in v:
+            if x is None:
+                out += struct.pack("!i", -1)
+            else:
+                b = ee(x)
+                out += struct.pack("!i", len(b)) + b
+        return out
+
+    return enc
+
+
+_BINARY_ENCODERS[1186] = _enc_interval_res
+for _aoid, _eloid in _ARRAY_ELEM.items():
+    if _eloid in _BINARY_ENCODERS:
+        _BINARY_ENCODERS[_aoid] = _mk_enc_array(_eloid)
 
 _PARAM_RE = _re.compile(r"\$(\d+)")
 _SQL_LITERAL_RE = _re.compile(r"'(?:[^']|'')*'")

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 
 from csvb_spark.operators import classify as C
 from csvb_spark.operators import dedup as D
+from csvb_spark.operators import lm as L
 from csvb_spark.operators import text as T
 
 
@@ -53,6 +54,8 @@ def _accept_batch(
     gopher_gate: bool = False,
     gopher_min_words: int = 50,
     classifier_threshold: float | None = None,
+    lm_model_dir: str | None = None,
+    max_ppl: float | None = None,
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code)."""
@@ -81,6 +84,26 @@ def _accept_batch(
             .select("doc_id")
         )
         gated = gated.join(keep, "doc_id", "left_semi")
+    if lm_model_dir is not None:
+        # perplexity gate (x84, the CCNet filter shape): a PRE-TRAINED
+        # bigram LM read per batch and broadcast, so scoring is
+        # map-only like the other gates; documents too short for
+        # bigram evidence (NULL ppl) pass through — the rule gates,
+        # not the LM, decide their fate
+        lm_keep = (
+            L.perplexity_score(
+                batch,
+                spark.read.parquet(lm_model_dir),
+                text_col=text_col,
+                broadcast_model=True,
+            )
+            .filter(
+                F.col("ppl").isNull()
+                | (F.col("ppl") <= F.lit(float(max_ppl)))
+            )
+            .select("doc_id")
+        )
+        gated = gated.join(lm_keep, "doc_id", "left_semi")
     redacted = gated.join(
         T.pii_redact(gated, text_col).select("doc_id", "redacted"), "doc_id"
     ).drop("quality_score")
@@ -141,11 +164,17 @@ def run_streaming_ingest(
     gopher_gate: bool = False,
     gopher_min_words: int = 50,
     classifier_threshold: float | None = None,
+    lm_model_dir: str | None = None,
+    max_ppl: float | None = None,
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
     micro-batch per file, so files model arrival order). Appends to
     ``corpus_dir`` + ``index_dir``; re-runs resume from the
     checkpoint without re-processing consumed files."""
+    if (lm_model_dir is None) != (max_ppl is None):
+        raise ValueError(
+            "run_streaming_ingest: lm_model_dir and max_ppl go together"
+        )
     schema = spark.read.parquet(source_dir).schema
     q = (
         spark.readStream.schema(schema)
@@ -166,6 +195,8 @@ def run_streaming_ingest(
                 gopher_gate,
                 gopher_min_words,
                 classifier_threshold,
+                lm_model_dir,
+                max_ppl,
             )
         )
         .start()

@@ -1290,3 +1290,77 @@ def test_pg_array_text_parser_unit():
     assert _quote_param("{1,2}", 1007) == "array(1, 2)"
     assert _quote_param('{x,NULL,"a b"}', 1009) == "array('x', NULL, 'a b')"
     assert _quote_param("{}", 1007) == "CAST(array() AS array<int>)"
+
+
+def test_array_result_columns_typed_and_text_quoted(conn):
+    """Array-valued result columns report their true array oid in
+    RowDescription and render the QUOTED postgres array text form."""
+    sock, buf = conn
+    msgs = _simple_query(
+        sock, buf,
+        "SELECT array(1, 2, 3) AS xs, array('plain', 'a,b', NULL) AS ss",
+    )
+    rowdesc = next(b for t, b in msgs if t == b"T")
+    # field entries: int16 nfields, then per field name\0 + 18 bytes
+    nf = struct.unpack("!h", rowdesc[:2])[0]
+    assert nf == 2
+    off, oids = 2, []
+    for _ in range(nf):
+        end = rowdesc.index(b"\x00", off)
+        tableoid, colno, oid, size, mod, fmt = struct.unpack(
+            "!IhIhih", rowdesc[end + 1 : end + 19]
+        )
+        oids.append(oid)
+        off = end + 19
+    assert oids == [1007, 1009]  # int4[], text[]
+    assert _data_rows(msgs) == [[b"{1,2,3}", b'{plain,"a,b",NULL}']]
+
+
+def test_binary_result_array_and_interval(conn):
+    """Binary-coded array and interval result columns use the wire
+    layouts (round-tripped through the decoders used for binds)."""
+    sock, buf = conn
+    sql = (
+        b"SELECT array(7, NULL, 9) AS xs, "
+        b"TIMESTAMP '2024-01-03 00:00:01' - TIMESTAMP '2024-01-01 00:00:00' AS iv"
+    )
+    _send(sock, b"P", b"pbr\x00" + sql + b"\x00" + struct.pack("!h", 0))
+    body = (
+        b"\x00pbr\x00"
+        + struct.pack("!h", 0)  # no params
+        + struct.pack("!h", 0)
+        + struct.pack("!hh", 1, 1)  # ALL result columns binary
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    rows = _data_rows(msgs)
+    assert len(rows) == 1
+    arr, iv = rows[0]
+    ndim, hasnull, eloid = struct.unpack("!iii", arr[:12])
+    assert (ndim, hasnull, eloid) == (1, 1, 23)
+    dimlen, lbound = struct.unpack("!ii", arr[12:20])
+    assert (dimlen, lbound) == (3, 1)
+    vals, off = [], 20
+    for _ in range(dimlen):
+        (elen,) = struct.unpack("!i", arr[off : off + 4])
+        off += 4
+        if elen == -1:
+            vals.append(None)
+        else:
+            vals.append(struct.unpack("!i", arr[off : off + elen])[0])
+            off += elen
+    assert vals == [7, None, 9]
+    micros, days, months = struct.unpack("!qii", iv)
+    assert (micros, days, months) == (1_000_000, 2, 0)
+
+
+def test_interval_result_text_form(conn):
+    sock, buf = conn
+    msgs = _simple_query(
+        sock, buf,
+        "SELECT TIMESTAMP '2024-01-02 03:00:00.5' - "
+        "TIMESTAMP '2024-01-01 00:00:00' AS iv",
+    )
+    assert _data_rows(msgs) == [[b"1 days 03:00:00.500000"]]

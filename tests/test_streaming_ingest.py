@@ -192,3 +192,62 @@ def test_streaming_ingest_classifier_gate(spark, sf_dir, tmp_path):
     )
     got = {r.doc_id for r in spark.read.parquet(open_dir).select("doc_id").collect()}
     assert got
+
+
+def test_streaming_ingest_perplexity_gate(spark, sf_dir, tmp_path):
+    """lm_model_dir + max_ppl compose the x84 bigram-LM perplexity
+    filter into the streaming gate: gibberish (high-ppl) documents
+    are rejected, in-domain documents land, and short documents
+    (NULL ppl) pass through to the rule gates."""
+    import pytest
+
+    from csvb_spark.operators.lm import bigram_lm_train
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    fluent = (
+        "the cat sat on the mat and the dog slept in the sun while "
+        "the birds sang in the trees of the garden"
+    )
+    train = spark.createDataFrame(
+        [(i, fluent) for i in range(6)], "doc_id bigint, text string"
+    )
+    model_dir = str(tmp_path / "lm")
+    bigram_lm_train(train).write.parquet(model_dir)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": fluent, "lang": "en", "source": "a"},
+        {
+            "doc_id": 2,
+            "text": "qqz wvx klm trp fgh bnj uio wer dsa zxc vbn mlp "
+            "the and of to in is it more padding words here now",
+            "lang": "en",
+            "source": "a",
+        },
+    ]
+    _write_batch(str(src / "b1.parquet"), rows)
+
+    corpus = str(tmp_path / "corpus")
+    run_streaming_ingest(
+        spark,
+        str(src),
+        corpus,
+        str(tmp_path / "index"),
+        str(tmp_path / "ckpt"),
+        lm_model_dir=model_dir,
+        max_ppl=15.0,
+    )
+    got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert 1 in got and 2 not in got
+
+    # the two LM-gate args must travel together
+    with pytest.raises(ValueError, match="go together"):
+        run_streaming_ingest(
+            spark,
+            str(src),
+            corpus,
+            str(tmp_path / "index2"),
+            str(tmp_path / "ckpt2"),
+            lm_model_dir=model_dir,
+        )
