@@ -110,8 +110,14 @@ def _oid_for(dtype: str) -> tuple[int, int]:
 
 def _pg_array_elem_text(s: str) -> str:
     """Quote a postgres array element when the bare form is ambiguous
-    (separators, braces, quotes, whitespace, empty, or literal NULL)."""
-    if s == "" or s.upper() == "NULL" or any(c in s for c in ',{}"\\ '):
+    (separators, braces, quotes, ANY whitespace — including the
+    \\x1c-\\x1f separators str.strip() also eats — empty, or literal
+    NULL)."""
+    if (
+        s == ""
+        or s.upper() == "NULL"
+        or any(c in ',{}"\\' or c.isspace() for c in s)
+    ):
         return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
     return s
 

@@ -134,3 +134,64 @@ def test_csv_nasty_cells_round_trip(spark, tmp_path) -> None:
     for i, cell in enumerate(nasty):
         want = cell.replace("\r\n", "\n") if cell else None  # see docstring
         assert got[i] == want, f"row {i}: {got[i]!r}"
+
+
+# --- round 6: pg array text parsing / rendering round trip -------------------
+
+_array_elem = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+
+
+@given(st.lists(_array_elem, min_size=0, max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_pg_array_text_round_trips(elems) -> None:
+    """Rendering a postgres array text form with the server's element
+    quoting and re-parsing it with the bind-side parser is lossless —
+    commas, braces, quotes, backslashes, whitespace, empty strings,
+    and literal 'NULL' strings all survive."""
+    from csvb_spark.server.pgwire import (
+        _parse_pg_array_text,
+        _pg_array_elem_text,
+    )
+
+    rendered = (
+        "{"
+        + ",".join(
+            "NULL" if e is None else _pg_array_elem_text(e) for e in elems
+        )
+        + "}"
+    )
+    assert _parse_pg_array_text(rendered) == elems
+
+
+@given(
+    st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1),
+    st.integers(min_value=-(2**31) + 1, max_value=2**31 - 1),
+    st.integers(min_value=-(2**31) + 1, max_value=2**31 - 1),
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_binary_decode_renders_or_refuses(micros, days, months) -> None:
+    """Every decodable 16-byte interval either renders as exactly one
+    INTERVAL literal (no quote breakout) or raises the documented
+    mixed-fields error — never silent garbage."""
+    import struct as _struct
+
+    from csvb_spark.server.pgwire import _dec_interval, _quote_interval
+
+    text = _dec_interval(_struct.pack("!qii", micros, days, months))
+    mixed = months != 0 and (days != 0 or micros != 0)
+    if mixed:
+        with pytest.raises(ValueError, match="mixes year-month"):
+            _quote_interval(text)
+    else:
+        lit = _quote_interval(text)
+        assert lit.startswith("INTERVAL '") and lit.endswith("'")
+        assert "''" not in lit or "'" not in text  # no breakout
+        inner = lit[len("INTERVAL '") : -1]
+        assert "'" not in inner.replace("''", "")

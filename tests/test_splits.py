@@ -299,3 +299,35 @@ def test_budget_select_null_score_raises(spark):
     )
     with pytest.raises(Exception, match="NULL in tokens_col"):
         budget_select(df2, budget=100).collect()
+
+
+def test_budget_select_adversarial_differentials(spark):
+    """Crafted shapes vs the naive Python global cumsum: heavy exact
+    ties, negative and unbounded scores (the round-5 design required
+    [0,1]), non-contiguous ids, zero budget, budget beyond the corpus."""
+    from csvb_spark.operators.splits import budget_select
+
+    cases = [
+        # (rows, budget)
+        ([(i * 7 + 1, 0.25, 5) for i in range(300)], 0),  # zero budget
+        ([(i, -3.5 + (i % 3), 10 + i % 4) for i in range(200)], 700),  # negatives
+        ([(i * 11, 1e9 if i % 2 else -1e9, 3) for i in range(100)], 90),  # unbounded
+        (
+            [(i, 0.9 if i < 150 else 0.1, 8) for i in range(300)],  # two tie blocks
+            777,
+        ),
+        ([(5, 0.3, 4)], 4),  # single row, exact fit
+        ([(i, 0.5, 10) for i in range(50)], 10**9),  # budget exceeds corpus
+    ]
+    for rows, budget in cases:
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, quality_score double, n_tokens int"
+        )
+        got = {
+            r["doc_id"]: (r["cum_tokens"], r["keep"])
+            for r in budget_select(df, budget=budget, partitions=7).collect()
+        }
+        cum = 0
+        for doc_id, _s, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
+            cum += tok
+            assert got[doc_id] == (cum, cum <= budget), (rows[:3], budget, doc_id)
