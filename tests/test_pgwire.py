@@ -1364,3 +1364,21 @@ def test_interval_result_text_form(conn):
         "TIMESTAMP '2024-01-01 00:00:00' AS iv",
     )
     assert _data_rows(msgs) == [[b"1 days 03:00:00.500000"]]
+
+
+def test_wildcard_replace_over_join_via_wire(conn):
+    """A pasted `SELECT * REPLACE (...)` over a 2-table join resolves
+    through the simple-query path (the round-6 widened schema-aware
+    rewrite runs inside execute_sql, which serves the wire)."""
+    sock, buf = conn
+    msgs = _simple_query(
+        sock, buf,
+        "SELECT * REPLACE (upper(r_name) AS r_name) "
+        "FROM region r JOIN nation n ON r.r_regionkey = n.n_regionkey "
+        "WHERE n.n_nationkey = 0",
+    )
+    rows = _data_rows(msgs)
+    assert len(rows) == 1
+    # region columns then nation columns; r_name uppercased
+    assert rows[0][1] == rows[0][1].upper()
+    assert rows[0][2] == b"0"  # n_nationkey
