@@ -3,10 +3,13 @@
 The engine treats image/audio/video as ``binary`` columns beside a
 metadata struct. Decode / feature-extraction runs as Arrow-batched
 pandas iterators (``mapInPandas``) so the bytes never round-trip
-through Python row objects. The decode step itself is STUBBED — the
-container has no image/audio libs — but everything Spark-side is
-real: schema, batch shape, partitioning, and the UDF contract. Swap
-``_decode_stub`` for a PIL/torchaudio call and nothing else changes.
+through Python row objects. Decode is REAL for WAV/PCM (stdlib
+``wave``), PPM(P6)/24-bit BMP (NumPy), and — since round 6 — PNG, a
+genuinely compressed format (stdlib zlib inflate + scanline
+unfiltering). Formats needing external codec libraries (JPEG/MP3)
+still fall through ``decoded=false``; everything Spark-side — schema,
+batch shape, partitioning, the UDF contract — is identical either
+way, so a PIL/torchaudio branch drops into the same sniff dispatch.
 """
 
 from __future__ import annotations
@@ -272,9 +275,99 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL PNG bytes per document — a genuinely
+    COMPRESSED format (zlib DEFLATE, stdlib), unlike the raw-pixel
+    PPM/BMP payloads: 8-bit truecolor, per-row scanline filters
+    cycling None/Sub/Up so the decoder's unfilter logic is exercised,
+    pixel values arithmetic in ``doc_id`` so a SQL oracle can predict
+    the decoded channel means without touching a byte. Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+        import zlib as _zlib
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                _struct.pack("!I", len(data))
+                + typ
+                + data
+                + _struct.pack("!I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        def _png(doc_id: int) -> bytes:
+            w = 5 + doc_id % 7
+            h = 4 + doc_id % 5
+            y, x = _np.mgrid[0:h, 0:w]
+            px = _np.stack(
+                [
+                    (x * 5 + doc_id) % 256,
+                    (y * 11 + doc_id) % 256,
+                    (x * y + doc_id) % 256,
+                ],
+                axis=-1,
+            ).astype(_np.uint8)
+            stride = w * 3
+            prev = _np.zeros(stride, dtype=_np.int64)
+            scanlines = []
+            for yy in range(h):
+                line = px[yy].reshape(-1).astype(_np.int64)
+                f = yy % 3
+                if f == 0:  # None
+                    filt = line
+                elif f == 1:  # Sub (bpp = 3)
+                    filt = line.copy()
+                    filt[3:] = (line[3:] - line[:-3]) % 256
+                else:  # Up
+                    filt = (line - prev) % 256
+                scanlines.append(
+                    bytes([f]) + filt.astype(_np.uint8).tobytes()
+                )
+                prev = line
+            ihdr = _struct.pack("!IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", _zlib.compress(b"".join(scanlines)))
+                + _chunk(b"IEND", b"")
+            )
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [_png(i) for i in ids],
+                    "mime": ["image/png"] * len(ids),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary, mime string"
+    )
+
+
+def png_round_trip(docs: DataFrame) -> DataFrame:
+    """documents → REAL PNG bytes → REAL decode (inflate + unfilter).
+    Output: ``(doc_id, width, height, mean_r, mean_g, mean_b,
+    decoded)`` — every field predictable from ``doc_id`` alone (the
+    pixel pattern is arithmetic and channel sums of ≤ 8-bit values
+    are exact in float64), so the x85 oracle proves the decompression
+    path end to end: one corrupted filter byte or inflate error moves
+    a channel mean."""
+    return decode_media_features(synthesize_png(docs)).select(
+        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "decoded"
+    )
+
+
 def decode_media_features(media: DataFrame) -> DataFrame:
-    """REAL decode + feature extraction for WAV/PPM/BMP payloads,
-    sniffed by magic bytes; anything else falls through with
+    """REAL decode + feature extraction for WAV/PPM/BMP/PNG payloads,
+    sniffed by magic bytes (PNG is a genuinely COMPRESSED format:
+    zlib inflate + scanline unfiltering, stdlib-only); anything else
+    falls through with
     ``decoded=false`` (byte_len only). Audio features (rms/peak) are
     computed over the actual PCM samples normalized to [-1, 1]; image
     features over the actual pixel array. Arrow-batched, map-only."""
@@ -357,6 +450,75 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             px = _np.frombuffer(p, dtype=_np.uint8, count=w * h * 3, offset=pos)
             return px.reshape(h, w, 3)
 
+        def _parse_png(p: bytes):
+            # 8-bit truecolor (color type 2), no interlace: chunk walk,
+            # zlib inflate, then reverse the five scanline filters.
+            # Per-byte Python loops for Sub/Average/Paeth are fine at
+            # the thumbnail sizes this pipeline feeds (and Up/None are
+            # vectorized); a production decoder would swap in a codec
+            # library behind this same sniff.
+            import zlib as _zlib
+
+            if p[:8] != b"\x89PNG\r\n\x1a\n":
+                return None
+            pos, idat, w, h = 8, b"", None, None
+            while pos + 8 <= len(p):
+                ln = int.from_bytes(p[pos : pos + 4], "big")
+                typ = p[pos + 4 : pos + 8]
+                data = p[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+                if typ == b"IHDR":
+                    w = int.from_bytes(data[0:4], "big")
+                    h = int.from_bytes(data[4:8], "big")
+                    bitd, ct, comp, filt, inter = data[8:13]
+                    if bitd != 8 or ct != 2 or comp or filt or inter:
+                        return None
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+            if not w or not h or not idat:
+                return None
+            raw = _zlib.decompress(idat)
+            stride = w * 3
+            if len(raw) != h * (stride + 1):
+                return None
+            out = _np.zeros((h, stride), dtype=_np.uint8)
+            rp = 0
+            for y in range(h):
+                f = raw[rp]
+                cur = _np.frombuffer(
+                    raw, dtype=_np.uint8, count=stride, offset=rp + 1
+                ).astype(_np.int64)
+                rp += 1 + stride
+                prev = out[y - 1].astype(_np.int64) if y else _np.zeros(
+                    stride, dtype=_np.int64
+                )
+                if f == 0:
+                    pass
+                elif f == 1:  # Sub
+                    for i in range(3, stride):
+                        cur[i] = (cur[i] + cur[i - 3]) & 0xFF
+                elif f == 2:  # Up
+                    cur = (cur + prev) & 0xFF
+                elif f == 3:  # Average
+                    for i in range(stride):
+                        left = cur[i - 3] if i >= 3 else 0
+                        cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+                elif f == 4:  # Paeth
+                    for i in range(stride):
+                        a = cur[i - 3] if i >= 3 else 0
+                        b = prev[i]
+                        c = prev[i - 3] if i >= 3 else 0
+                        pp = a + b - c
+                        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                        pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        cur[i] = (cur[i] + pr) & 0xFF
+                else:
+                    return None
+                out[y] = cur.astype(_np.uint8)
+            return out.reshape(h, w, 3)
+
         def _parse_bmp(p: bytes):
             # 24-bit uncompressed BI_RGB only; rows 4-byte padded,
             # bottom-up (positive height)
@@ -408,6 +570,13 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                         )
                     elif p[:2] == b"BM":
                         px = _parse_bmp(p)
+                        rows.append(
+                            _decode_image(doc_id, p, px)
+                            if px is not None
+                            else _null_row(doc_id, p)
+                        )
+                    elif p[:8] == b"\x89PNG\r\n\x1a\n":
+                        px = _parse_png(p)
                         rows.append(
                             _decode_image(doc_id, p, px)
                             if px is not None

@@ -2797,3 +2797,35 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
 """,
 )
+
+
+# --- round 6: REAL compressed-format (PNG) decode round trip -----------
+# The round-5 multimodal gap was "compressed codecs still stub"; PNG
+# closes it with stdlib alone: synthesize_png emits genuine
+# zlib-DEFLATE truecolor PNGs (scanline filters cycling None/Sub/Up),
+# decode_media_features inflates and unfilters them, and every decoded
+# field is arithmetic in doc_id — the oracle predicts the channel
+# means (exact integer sums / count), so one corrupted filter byte or
+# inflate error fails the entry.
+_q(
+    "x85_png_decode_round_trip",
+    spark=lambda spark, sf: multimodal.png_round_trip(_docs(spark, sf)),
+    oracle=r"""
+WITH dims AS (
+  SELECT doc_id, 5 + doc_id % 7 AS w, 4 + doc_id % 5 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims
+), pxy AS (
+  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       ROUND(AVG(CAST((x * 5 + doc_id) % 256 AS DOUBLE)), 6) AS mean_r,
+       ROUND(AVG(CAST((y * 11 + doc_id) % 256 AS DOUBLE)), 6) AS mean_g,
+       ROUND(AVG(CAST((x * y + doc_id) % 256 AS DOUBLE)), 6) AS mean_b,
+       TRUE AS decoded
+FROM pxy
+GROUP BY doc_id
+""",
+)
