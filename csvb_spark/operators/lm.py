@@ -144,10 +144,17 @@ def perplexity_score(
         F.sum("_q").alias("_total"),
     )
     avg_nll = -(F.col("_total").cast("double") / F.col("n_bigrams").cast("double"))
+    # avg_neg_logprob ships UNROUNDED: its operands (exact decimal
+    # total, int count) make the division bit-identical on any engine,
+    # and a display ROUND would *reintroduce* divergence — Spark
+    # rounds the shortest decimal repr where DuckDB rounds the binary
+    # value, which differs when the repr lands exactly on a half
+    # boundary (observed once in 5,000 docs at sf0.1). ppl must round
+    # because exp() itself is only ulp-identical across engines.
     scored = per_doc.select(
         F.col("_id").alias(id_col),
         "n_bigrams",
-        F.round(avg_nll, 6).alias("avg_neg_logprob"),
+        avg_nll.alias("avg_neg_logprob"),
         F.round(F.exp(avg_nll), 6).alias("ppl"),
     )
     # documents with no bigrams (0 or 1 token) carry NULL scores —

@@ -62,8 +62,12 @@ the oracle replays both gradient steps bit-exactly as chained CTEs),
 x80 wildcard REPLACE over an aliased table, x81 REPLACE over a
 2-table join, x82 COLUMNS('re') over a join (the execution-layer
 rewrites now resolve any analyzable FROM clause), x83 PageRank with
-dangling-mass redistribution over a directed sink graph. Corpus:
-120 entries, 115 with full oracles.
+dangling-mass redistribution over a directed sink graph, x84
+bigram-LM perplexity scoring (the CCNet quality filter; train AND
+score replayed in SQL), x85 REAL compressed-format decode — genuine
+zlib-DEFLATE PNGs synthesized, inflated, and unfiltered, with the
+oracle predicting the decoded channel means from doc_id arithmetic.
+Corpus: 122 entries, 117 with full oracles.
 """
 
 from __future__ import annotations

@@ -16,6 +16,13 @@ Cross-engine determinism rules (Spark vs DuckDB oracle):
 - Every LIMIT query pins a total order (unique tiebreaker column).
 - Aliases are identical on both sides; the driver sorts columns by
   name before hashing.
+- **Don't ROUND a value that is already bit-identical.** ``round(x,
+  n)`` itself diverges between engines when x's shortest decimal repr
+  lands exactly on a half boundary: Spark rounds the REPR
+  (BigDecimal.valueOf), DuckDB rounds the BINARY value — observed
+  once in 5,000 docs at sf0.1 (x84 round 6). Rounding is only for
+  values whose bits may differ (transcendentals, order-dependent
+  float sums); exactly-agreed doubles ship unrounded.
 """
 
 from __future__ import annotations

@@ -2790,7 +2790,10 @@ WITH toks AS (
 )
 SELECT d.doc_id,
        CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-       ROUND(-(CAST(sc.total AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE)), 6)
+       -- unrounded: the operands are exact, so the division is
+       -- bit-identical; ROUND here diverges at shortest-repr half
+       -- boundaries (Spark rounds the repr, DuckDB the binary value)
+       -(CAST(sc.total AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE))
          AS avg_neg_logprob,
        ROUND(exp(-(CAST(sc.total AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE))), 6)
          AS ppl
