@@ -19,8 +19,11 @@ Determinism contract (repo-wide cross-engine rules):
   DECIMAL(18,6) immediately, so the per-document log-prob total is an
   order-independent exact decimal sum (parallel partial aggregation
   cannot perturb it);
-- the only remaining float ops are the final average and ``exp`` —
-  computed from exactly-agreed operands, then rounded to 6.
+- the only remaining float ops are the final average — bit-identical
+  by construction, shipped UNROUNDED (rounding an exactly-agreed
+  double reintroduces divergence at shortest-repr half boundaries;
+  see queries/common.py) — and ``exp``, rounded to 6 because its ulp
+  is implementation-defined.
 
 Plan shape: tokenize + explode bigrams map-side; the score join
 shuffles on the bigram key against the count model. At 100 TB the LM
@@ -71,6 +74,76 @@ def bigram_lm_train(
         ).alias("b")
     ).select("b.w1", "b.w2")
     return unis.union(bis).groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
+
+
+def token_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    alpha: int = 1,
+    k: int = 50,
+) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots: the
+    top-``k`` tokens by KL contribution ``p_new · ln(p_new / p_old)``
+    (add-``alpha`` smoothed over the union vocabulary) — the
+    monitoring twin of ``splits.corpus_diff``: diff tells you WHICH
+    documents changed, drift tells you WHAT the change did to the
+    token distribution (a crawl refresh quietly filling with spam
+    vocabulary shows up here first).
+
+    Determinism: counts are exact int64; the corpus totals and vocab
+    size join in as a broadcast 1-row aggregate (never a driver
+    collect); each probability is one IEEE division of exact
+    integers; the only transcendental, ``ln``, is rounded to 9 — so
+    the output order (``contrib`` DESC, token ASC) and every value
+    replay exactly in SQL (x86).
+
+    Plan: one groupBy per snapshot (token counts), a full-outer join
+    on the (bounded-by-vocabulary) count tables, and a top-k — the
+    corpora themselves are scanned once each and never shuffled.
+    """
+    if not isinstance(alpha, int) or alpha <= 0:
+        raise ValueError(
+            f"token_drift: alpha must be a positive int, got {alpha!r}"
+        )
+    oc = (
+        old.select(F.explode(_toks(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_old"))
+    )
+    nc = (
+        new.select(F.explode(_toks(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_new"))
+    )
+    j = oc.join(nc, "token", "full_outer").select(
+        "token",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    totals = j.agg(
+        F.sum("n_old").alias("_t_old"),
+        F.sum("n_new").alias("_t_new"),
+        F.count("*").alias("_v"),
+    )
+    w = j.crossJoin(F.broadcast(totals))
+    p_new = (F.col("n_new") + F.lit(alpha)).cast("double") / (
+        F.col("_t_new") + F.lit(alpha) * F.col("_v")
+    ).cast("double")
+    p_old = (F.col("n_old") + F.lit(alpha)).cast("double") / (
+        F.col("_t_old") + F.lit(alpha) * F.col("_v")
+    ).cast("double")
+    contrib = F.round(p_new * F.log(p_new / p_old), 9)
+    return (
+        w.select(
+            "token",
+            "n_old",
+            "n_new",
+            contrib.alias("contrib"),
+        )
+        .orderBy(F.desc("contrib"), F.asc("token"))
+        .limit(k)
+    )
 
 
 def perplexity_score(

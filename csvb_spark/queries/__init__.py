@@ -66,8 +66,10 @@ dangling-mass redistribution over a directed sink graph, x84
 bigram-LM perplexity scoring (the CCNet quality filter; train AND
 score replayed in SQL), x85 REAL compressed-format decode — genuine
 zlib-DEFLATE PNGs synthesized, inflated, and unfiltered, with the
-oracle predicting the decoded channel means from doc_id arithmetic.
-Corpus: 122 entries, 117 with full oracles.
+oracle predicting the decoded channel means from doc_id arithmetic,
+x86 token-distribution drift (KL-contribution top-k between corpus
+snapshots, corpus_diff's monitoring twin).
+Corpus: 123 entries, 118 with full oracles.
 """
 
 from __future__ import annotations

@@ -2832,3 +2832,49 @@ FROM pxy
 GROUP BY doc_id
 """,
 )
+
+
+# --- round 6: token-distribution drift ---------------------------------
+# KL-contribution top-k between two snapshots (the even/odd doc_id
+# halves here) — corpus_diff's monitoring twin. Exact counts, broadcast
+# scalar totals, one transcendental rounded to 9; the oracle replays
+# counts, smoothing, and the (contrib DESC, token) top-k in SQL.
+_q(
+    "x86_token_drift",
+    spark=lambda spark, sf: LM.token_drift(
+        _docs(spark, sf).filter(F.col("doc_id") % 2 == 0),
+        _docs(spark, sf).filter(F.col("doc_id") % 2 == 1),
+        k=40,
+    ),
+    oracle=r"""
+WITH oc AS (
+  SELECT t AS token, COUNT(*) AS n_old
+  FROM (SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS t
+        FROM documents WHERE doc_id % 2 = 0) u
+  GROUP BY t
+), nc AS (
+  SELECT t AS token, COUNT(*) AS n_new
+  FROM (SELECT unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\s+')) AS t
+        FROM documents WHERE doc_id % 2 = 1) u
+  GROUP BY t
+), j AS (
+  SELECT COALESCE(oc.token, nc.token) AS token,
+         COALESCE(oc.n_old, 0) AS n_old,
+         COALESCE(nc.n_new, 0) AS n_new
+  FROM oc FULL OUTER JOIN nc ON oc.token = nc.token
+), t AS (
+  SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+         CAST(SUM(n_new) AS BIGINT) AS t_new,
+         COUNT(*) AS v
+  FROM j
+)
+SELECT j.token, j.n_old, j.n_new,
+       ROUND((CAST(j.n_new + 1 AS DOUBLE) / CAST(t.t_new + 1 * t.v AS DOUBLE))
+             * ln((CAST(j.n_new + 1 AS DOUBLE) / CAST(t.t_new + 1 * t.v AS DOUBLE))
+                  / (CAST(j.n_old + 1 AS DOUBLE) / CAST(t.t_old + 1 * t.v AS DOUBLE))),
+             9) AS contrib
+FROM j, t
+ORDER BY contrib DESC, j.token
+LIMIT 40
+""",
+)

@@ -158,3 +158,35 @@ def test_cli_train_filter_and_score_lm(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="requires --model"):
         main(["score", "--parquet", data, "--method", "lm"])
+
+
+def test_token_drift_surfaces_planted_vocabulary(spark):
+    from csvb_spark.operators.lm import token_drift
+
+    base = "the cat sat on the mat near the tree"
+    old = spark.createDataFrame(
+        [(i, base) for i in range(10)], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(i, base) for i in range(8)]
+        + [(100, "spam casino jackpot spam casino"), (101, "spam jackpot spam")],
+        "doc_id bigint, text string",
+    )
+    out = token_drift(old, new, k=5).collect()
+    # the planted vocabulary dominates the positive drift
+    top = [r["token"] for r in out[:3]]
+    assert set(top) <= {"spam", "casino", "jackpot"}
+    assert out[0]["token"] == "spam"  # highest new-mass token first
+    assert out[0]["n_old"] == 0 and out[0]["n_new"] == 4
+    assert all(out[i]["contrib"] >= out[i + 1]["contrib"] for i in range(len(out) - 1))
+
+    # identical corpora: every contribution is ~0 (only count-scale
+    # smoothing noise), and the op is deterministic
+    same = token_drift(old, old, k=10)
+    vals = [r["contrib"] for r in same.collect()]
+    assert all(abs(v) < 1e-9 for v in vals)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        token_drift(old, new, alpha=0)
