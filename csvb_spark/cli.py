@@ -163,6 +163,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--limit", type=int, default=20, help="max changed rows to print"
     )
 
+    pdr = sub.add_parser(
+        "drift",
+        help="token-distribution drift (KL-contribution top-k) between "
+        "two corpus snapshots",
+    )
+    pdr.add_argument("--old", required=True, help="old snapshot parquet path")
+    pdr.add_argument("--new", required=True, help="new snapshot parquet path")
+    pdr.add_argument("--text-col", default="text")
+    pdr.add_argument("--k", type=int, default=25)
+
     pc = sub.add_parser(
         "expect",
         help="run data-expectation contracts from a JSON spec; exit 1 on violation",
@@ -380,6 +390,23 @@ def main(argv: list[str] | None = None) -> int:
                     .limit(args.limit)
                 )
             )
+        return 0
+
+    if args.command == "drift":
+        from csvb_spark.operators.lm import token_drift
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        print(
+            render_df(
+                token_drift(
+                    spark.read.parquet(args.old),
+                    spark.read.parquet(args.new),
+                    text_col=args.text_col,
+                    k=args.k,
+                )
+            )
+        )
         return 0
 
     if args.command == "expect":

@@ -190,3 +190,18 @@ def test_token_drift_surfaces_planted_vocabulary(spark):
 
     with _pytest.raises(ValueError, match="alpha"):
         token_drift(old, new, alpha=0)
+
+
+def test_cli_drift(spark, tmp_path, capsys):
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    old = str(tmp_path / "old.parquet")
+    new = str(tmp_path / "new.parquet")
+    pd.DataFrame({"doc_id": [1, 2], "text": ["the cat sat", "the dog ran"]}).to_parquet(old)
+    pd.DataFrame({"doc_id": [1, 2], "text": ["the cat sat", "spam spam spam"]}).to_parquet(new)
+    rc = main(["drift", "--old", old, "--new", new, "--k", "3"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "spam" in out and "contrib" in out
