@@ -117,7 +117,7 @@ def main() -> None:
             sf1_dir = os.environ.get(
                 "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"
             )
-            _ensure_sf1(spark, "/root/testdata/sf0.1", sf1_dir)
+            _ensure_sf1(spark, sf_dir, sf1_dir)
             for n in names:
                 queries[n].spark(spark, sf1_dir).count()
             sf1_iters = int(os.environ.get("SPARK_GRAFT_SF1_ITERS", "2"))
@@ -168,7 +168,9 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
     foreign-key join consistent within a copy, so join cardinalities
     scale linearly like a real 10x corpus."""
     marker = os.path.join(dst_dir, "_BENCH_SF1_OK")
-    if os.path.exists(marker):
+    # the marker records the SOURCE dir so a changed SPARK_GRAFT_SF_DIR
+    # regenerates instead of silently benchmarking a stale upscale
+    if os.path.exists(marker) and open(marker).read() == src_dir:
         return
     from pyspark.sql import functions as F
 
@@ -209,7 +211,7 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
                 outdf = outdf.union(cp)
         outdf.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(src_dir)
 
 
 if __name__ == "__main__":

@@ -472,6 +472,16 @@ def main(argv: list[str] | None = None) -> int:
                 steps=args.steps,
             )
         else:
+            # classifier-only flags must not be silently discarded
+            for flag, default in (
+                ("label_col", "label"), ("steps", 2), ("lr", 4000),
+                ("n_buckets", 1 << 18),
+            ):
+                if getattr(args, flag) != default:
+                    raise SystemExit(
+                        f"train-filter: --{flag.replace('_', '-')} applies"
+                        " to --method classifier only"
+                    )
             from csvb_spark.operators.lm import bigram_lm_train
 
             model = bigram_lm_train(table, text_col=args.text_col)
@@ -488,6 +498,8 @@ def main(argv: list[str] | None = None) -> int:
         _register_direct(spark, args)
         table = spark.table(args.table_name)
         if args.method == "classifier":
+            if args.max_ppl is not None:
+                raise SystemExit("score: --max-ppl applies to --method lm only")
             from csvb_spark.operators.classify import linear_classifier_score
 
             weights = (
@@ -504,6 +516,11 @@ def main(argv: list[str] | None = None) -> int:
         else:
             if not args.model:
                 raise SystemExit("score --method lm requires --model")
+            if args.threshold != 0.0:
+                raise SystemExit(
+                    "score: --threshold applies to --method classifier only;"
+                    " use --max-ppl for the LM gate"
+                )
             from csvb_spark.operators.lm import perplexity_score
 
             lm = spark.read.parquet(args.model)
@@ -521,7 +538,10 @@ def main(argv: list[str] | None = None) -> int:
             )
             scored = scored.withColumn("keep", keep)
         if args.output:
+            # write once, summarize from the written files — never
+            # re-execute the scoring pipeline for the summary line
             scored.write.mode("overwrite").parquet(args.output)
+            scored = spark.read.parquet(args.output)
         summary = scored.agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("keep").cast("bigint")).alias("n_keep"),

@@ -45,6 +45,22 @@ def _toks(text_col: str):
     return F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
 
 
+def _bigrams(t):
+    """Consecutive-token pair array for a token-array column — ONE
+    definition shared by train and score, so the bigram shape can
+    never drift between them (and break x84 parity)."""
+    return F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+
+
 def bigram_lm_train(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -59,20 +75,7 @@ def bigram_lm_train(
     unis = docs.select(F.explode(t).alias("w1")).select(
         "w1", F.lit(None).cast("string").alias("w2")
     )
-    bis = docs.select(
-        F.explode(
-            F.when(
-                F.size(t) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 1),
-                    lambda i: F.struct(
-                        F.element_at(t, i).alias("w1"),
-                        F.element_at(t, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    bis = docs.select(F.explode(_bigrams(t)).alias("b")).select("b.w1", "b.w2")
     return unis.union(bis).groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
 
 
@@ -186,20 +189,18 @@ def perplexity_score(
     v = uni.count()
 
     t = _toks(text_col)
+    # every document emits its bigrams PLUS one NULL sentinel pair, so
+    # short documents (no bigrams) survive the explode and the corpus
+    # is scanned exactly once — no second filter pass, no anti-join
+    sentinel = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+        )
+    )
     pairs = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.when(
-                F.size(t) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 1),
-                    lambda i: F.struct(
-                        F.element_at(t, i).alias("w1"),
-                        F.element_at(t, i + 1).alias("w2"),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("b"),
+        F.explode(F.concat(_bigrams(t), sentinel)).alias("b"),
     ).select("_id", "b.w1", "b.w2")
     joined = (
         pairs.join(bi, (pairs.w1 == bi._b_w1) & (pairs.w2 == bi._b_w2), "left")
@@ -211,12 +212,19 @@ def perplexity_score(
             "double"
         )
     )
-    q = F.round(F.log(p), 6).cast("decimal(18,6)")
-    per_doc = joined.select("_id", q.alias("_q")).groupBy("_id").agg(
-        F.count("*").alias("n_bigrams"),
+    q = F.when(
+        F.col("w1").isNotNull(), F.round(F.log(p), 6).cast("decimal(18,6)")
+    )  # sentinel rows contribute NULL (ignored by SUM)
+    per_doc = joined.select(
+        "_id", F.col("w1").isNotNull().cast("bigint").alias("_is_bg"), q.alias("_q")
+    ).groupBy("_id").agg(
+        F.sum("_is_bg").alias("n_bigrams"),
         F.sum("_q").alias("_total"),
     )
-    avg_nll = -(F.col("_total").cast("double") / F.col("n_bigrams").cast("double"))
+    avg_nll = F.when(
+        F.col("n_bigrams") > 0,
+        -(F.col("_total").cast("double") / F.col("n_bigrams").cast("double")),
+    )
     # avg_neg_logprob ships UNROUNDED: its operands (exact decimal
     # total, int count) make the division bit-identical on any engine,
     # and a display ROUND would *reintroduce* divergence — Spark
@@ -224,18 +232,9 @@ def perplexity_score(
     # value, which differs when the repr lands exactly on a half
     # boundary (observed once in 5,000 docs at sf0.1). ppl must round
     # because exp() itself is only ulp-identical across engines.
-    scored = per_doc.select(
+    return per_doc.select(
         F.col("_id").alias(id_col),
         "n_bigrams",
         avg_nll.alias("avg_neg_logprob"),
         F.round(F.exp(avg_nll), 6).alias("ppl"),
     )
-    # documents with no bigrams (0 or 1 token) carry NULL scores —
-    # detected map-side from the token count, no anti-join needed
-    short = docs.filter(F.size(t) < 2).select(
-        F.col(id_col),
-        F.lit(0).cast("bigint").alias("n_bigrams"),
-        F.lit(None).cast("double").alias("avg_neg_logprob"),
-        F.lit(None).cast("double").alias("ppl"),
-    )
-    return scored.unionByName(short)

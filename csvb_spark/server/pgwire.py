@@ -94,10 +94,17 @@ def _oid_for(dtype: str) -> tuple[int, int]:
     if base.startswith("decimal"):
         return (1700, -1)
     if base.startswith("array<") and dtype.endswith(">"):
-        elem_oid, _ = _oid_for(dtype[6:-1])
-        aoid = _ELEM_ARRAY.get(elem_oid)
-        if aoid is not None:
-            return (aoid, -1)
+        # only PRIMITIVE element types get a true array oid; struct/
+        # map/array elements must fall back to plain text (25) — their
+        # element-oid lookup would otherwise hit the text fallback
+        # (oid 25) and mislabel the column text[] with repr() payloads
+        elem = dtype[6:-1]
+        ebase = elem.split("(")[0]
+        if ebase in _PG_OIDS or ebase.startswith("decimal"):
+            elem_oid, _ = _oid_for(elem)
+            aoid = _ELEM_ARRAY.get(elem_oid)
+            if aoid is not None:
+                return (aoid, -1)
         return (25, -1)  # arrays of structs/maps/arrays: text fallback
     if base.startswith("interval"):
         # day-time intervals collect as datetime.timedelta → oid 1186;
@@ -585,12 +592,10 @@ def _dec_array(b: bytes) -> str:
             continue
         txt = dec(b[off : off + elen])
         off += elen
-        # quote any element the text form couldn't round-trip bare
-        if txt == "" or txt.upper() == "NULL" or any(
-            c in txt for c in ',{}"\\ '
-        ):
-            txt = '"' + txt.replace("\\", "\\\\").replace('"', '\\"') + '"'
-        parts.append(txt)
+        # ONE quoting rule for both directions (_pg_array_elem_text):
+        # a hand-rolled duplicate here under-quoted non-space
+        # whitespace, silently corrupting e.g. tab-prefixed elements
+        parts.append(_pg_array_elem_text(txt))
     return "{" + ",".join(parts) + "}"
 
 

@@ -119,10 +119,11 @@ _SR_CLAUSE_RE = re.compile(
 _SR_IDENT_RE = re.compile(r"[A-Za-z_]\w*")
 
 
-def _depth0_search(sql: str, pattern: re.Pattern, start: int) -> re.Match | None:
+def _depth0_find(sql: str, pattern: re.Pattern, start: int) -> re.Match | None:
     """First match of ``pattern`` at paren depth 0 relative to
     ``start``; stops (None) at an unmatched ``)`` — the end of the
-    enclosing subquery scope."""
+    enclosing subquery scope. (Named apart from translate.py's
+    ``_depth0_search``, whose argument order differs.)"""
     depth = 0
     for i in range(start, len(sql)):
         c = sql[i]
@@ -191,7 +192,7 @@ def _resolve_from(
     its analyzed output columns — None (bail) when it can't be found,
     doesn't analyze, or has case-insensitively duplicate names (a
     bare-name expansion would be ambiguous)."""
-    fm = _depth0_search(sql, _SR_FROM_KW_RE, search_from)
+    fm = _depth0_find(sql, _SR_FROM_KW_RE, search_from)
     if not fm:
         return None
     cols = _probe_from_columns(

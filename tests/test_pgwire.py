@@ -1382,3 +1382,38 @@ def test_wildcard_replace_over_join_via_wire(conn):
     # region columns then nation columns; r_name uppercased
     assert rows[0][1] == rows[0][1].upper()
     assert rows[0][2] == b"0"  # n_nationkey
+
+
+def test_array_of_struct_reports_plain_text_oid():
+    """Arrays of struct/map elements must NOT claim a real array oid —
+    their elements have no wire encoding, so the column stays text."""
+    from csvb_spark.server.pgwire import _oid_for
+
+    assert _oid_for("array<struct<a:int>>") == (25, -1)
+    assert _oid_for("array<map<string,int>>") == (25, -1)
+    assert _oid_for("array<array<int>>") == (25, -1)
+    assert _oid_for("array<int>") == (1007, -1)
+    assert _oid_for("array<decimal(10,2)>") == (1231, -1)
+
+
+def test_binary_text_array_bind_preserves_whitespace_elements(conn):
+    """A binary text[] bind whose element starts with a tab must
+    round-trip exactly — the decoder shares the renderer's quoting
+    rule (a hand-rolled duplicate used to drop the whitespace)."""
+    sock, buf = conn
+    sql = b"SELECT element_at($1, 1) AS a, length(element_at($1, 1)) AS n"
+    _send(sock, b"P", b"pws\x00" + sql + b"\x00" + struct.pack("!hI", 1, 1009))
+    arr = _pg_array_bin(25, [b"\thello\n"])
+    body = (
+        b"\x00pws\x00"
+        + struct.pack("!hh", 1, 1)
+        + struct.pack("!h", 1)
+        + struct.pack("!i", len(arr))
+        + arr
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"\thello\n", b"7"]]
