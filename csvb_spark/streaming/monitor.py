@@ -60,3 +60,57 @@ def run_expectation_monitor(
     finally:
         q.stop()
     return spark.read.parquet(metrics_dir)
+
+
+def run_drift_monitor(
+    spark: SparkSession,
+    source_dir: str,
+    reference_dir: str,
+    metrics_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    k: int = 20,
+    query_name: str = "drift_monitor",
+) -> DataFrame:
+    """Per-micro-batch token-distribution drift against a REFERENCE
+    corpus snapshot: each arriving batch reports its top-``k`` KL
+    drift contributions (``operators.lm.token_drift``), so vocabulary
+    shift — a crawl source going spammy, an upstream language mix
+    change — is localized to the batch that carried it, the drift
+    twin of the expectation monitor above.
+
+    The reference token counts depend only on ``reference_dir``
+    contents; each micro-batch runs one count aggregation over the
+    batch plus the (vocabulary-bounded) full-outer join against the
+    reference counts. Metrics sink grows by ``k`` rows per batch.
+    Returns the accumulated ``(batch_id, token, n_old, n_new,
+    contrib)`` table.
+    """
+    from csvb_spark.operators.lm import token_drift
+
+    schema = spark.read.parquet(source_dir).schema
+    reference = spark.read.parquet(reference_dir)
+
+    def _report(batch: DataFrame, batch_id: int) -> None:
+        (
+            token_drift(reference, batch, text_col=text_col, k=k)
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .select("batch_id", "token", "n_old", "n_new", "contrib")
+            .write.mode("append")
+            .parquet(metrics_dir)
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_dir)
+        .writeStream.queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_report)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(metrics_dir)

@@ -287,3 +287,76 @@ def test_profile_table_text_ranges(spark):
     # numeric columns keep DOUBLE ranges and NULL text; text-typed keep NULL doubles
     assert prof["n"]["min_val"] == 5.0 and prof["n"]["min_text"] is None
     assert prof["s"]["min_val"] is None
+
+
+def test_streaming_drift_monitor(spark, tmp_path):
+    """Per-batch drift vs a reference corpus: a clean batch reports
+    near-zero contributions, a vocabulary-shifted batch surfaces its
+    planted tokens, and each batch's report equals the BATCH
+    token_drift run (streaming = repeated batch semantics)."""
+    import pandas as pd
+
+    from csvb_spark.operators.lm import token_drift
+    from csvb_spark.streaming.monitor import run_drift_monitor
+
+    base = "the cat sat on the mat near the tall tree"
+    ref_dir = str(tmp_path / "ref")
+    pd.DataFrame({"doc_id": list(range(10)), "text": [base] * 10}).to_parquet(
+        str(tmp_path / "ref.parquet")
+    )
+    import os
+
+    os.rename(str(tmp_path / "ref.parquet"), ref_dir + ".parquet")
+    ref_path = ref_dir + ".parquet"
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text": [base, base]}).to_parquet(
+        str(src / "b1.parquet")
+    )
+    import time
+
+    time.sleep(0.05)
+    pd.DataFrame(
+        {"doc_id": [3, 4], "text": ["spam casino spam", "casino jackpot spam"]}
+    ).to_parquet(str(src / "b2.parquet"))
+
+    out = run_drift_monitor(
+        spark,
+        str(src),
+        ref_path,
+        str(tmp_path / "metrics"),
+        str(tmp_path / "ckpt"),
+        k=5,
+        query_name="t_drift_mon",
+    )
+    rows = out.collect()
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], []).append(r)
+    assert len(by_batch) == 2
+    # one batch is clean (all near-zero contribs), one is shifted
+    tops = {
+        b: max(r["contrib"] for r in rs) for b, rs in by_batch.items()
+    }
+    clean_b = min(tops, key=tops.get)
+    spam_b = max(tops, key=tops.get)
+    assert tops[clean_b] < 0.02 < tops[spam_b]  # smoothing noise vs real shift
+    spam_tokens = {r["token"] for r in by_batch[spam_b][:3]}
+    assert spam_tokens & {"spam", "casino", "jackpot"}
+
+    # streaming report == batch token_drift on the same data
+    ref = spark.read.parquet(ref_path)
+    batch2 = spark.createDataFrame(
+        [(3, "spam casino spam"), (4, "casino jackpot spam")],
+        "doc_id bigint, text string",
+    )
+    want = {
+        (r["token"], r["n_old"], r["n_new"], r["contrib"])
+        for r in token_drift(ref, batch2, k=5).collect()
+    }
+    got = {
+        (r["token"], r["n_old"], r["n_new"], r["contrib"])
+        for r in by_batch[spam_b]
+    }
+    assert got == want
