@@ -874,3 +874,59 @@ def test_chunk_documents_edge_corpora(spark, sf_dir):
             ).collect()
         }
         assert got == ref(rows, chunk, stride), (chunk, stride)
+
+
+# --- round 6: plan shapes of the new operators -------------------------------
+def test_classifier_trained_weights_path_broadcasts_model(spark, sf_dir):
+    """The trained-weights scoring path is exactly one broadcast join
+    + one doc rollup — the model never shuffles the corpus."""
+    from csvb_spark.operators.classify import (
+        formula_weights_table,
+        linear_classifier_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = formula_weights_table(spark, 4096)
+    plan = _plan(linear_classifier_score(docs, n_buckets=4096, weights=w))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_token_drift_plan_no_cartesian(spark, sf_dir):
+    """token_drift's scalar-totals attach is a broadcast of ONE row —
+    never a CartesianProduct — and the corpora are never sort-merged
+    against each other (only their bounded count tables meet)."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.lm import token_drift
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(
+        token_drift(
+            docs.filter(F.col("doc_id") % 2 == 0),
+            docs.filter(F.col("doc_id") % 2 == 1),
+        )
+    )
+    assert "CartesianProduct" not in plan
+    # top-k is a TakeOrdered, not a global sort of the vocab join
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_png_pipeline_is_map_only(spark, sf_dir):
+    """synthesize → decode is pure mapInPandas: zero shuffles."""
+    from csvb_spark.operators.multimodal import png_round_trip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(png_round_trip(docs))
+    assert "Exchange" not in plan
+
+
+def test_pagerank_dangling_scalar_broadcasts(spark):
+    """The per-iteration dangling-mass attach is a 1-row broadcast,
+    never a CartesianProduct over the rank table."""
+    from csvb_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
+    plan = _plan(pagerank(e, iters=1))
+    assert "CartesianProduct" not in plan
