@@ -2,9 +2,23 @@
 """Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints TWO JSON lines; the FINAL line is the compact headline object
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
+and the line before it carries the detail (min/max spreads, the sf1
+section). The split is an artifact contract, not cosmetics: the
+driver machine-reads the bench through a fixed-size tail capture
+(~2000 chars), and in round 6 the single-line form outgrew it once
+the sf1 section landed, leaving BENCH_r06 unparseable. Everything a
+human wants stays printed; the machine-read line stays small. Keep
+the final line COMPACT — per-query medians only, no nested sections.
+
+``value`` stays the sum over the LEGACY 13-query headline set so the
+number remains comparable to BASELINE.md and BENCH_r01-r06; the
+model-filter passes promoted in round 7 (classifier score, bigram-LM
+perplexity, token drift — the dominant corpus scans of a real 100 TB
+curation run) are timed alongside and reported per-query plus as
+``model_ops_sec`` (and folded into ``total_sec``).
 
 Timing is wall-clock per query over a full materialization so the
 whole plan executes. Two warm-up passes precede the timed pass:
@@ -93,17 +107,24 @@ def main() -> None:
     timings = {n: round(median(v), 4) for n, v in runs.items()}
     spread = {n: [round(min(v), 4), round(max(v), 4)] for n, v in runs.items()}
 
+    # round-7 model-filter additions, reported separately so "value"
+    # stays the legacy-13 sum BASELINE.md was measured on
+    legacy = {n: t for n, t in timings.items() if n not in MODEL_OPS}
+    model = {n: t for n, t in timings.items() if n in MODEL_OPS}
+
     out = {
         "metric": "headline query wall-clock at sf "
         f"{sf} on local[{cpus}] (sum of per-query medians over "
-        f"{n_iters} passes, {len(names)} queries)",
-        "value": round(sum(timings.values()), 4),
+        f"{n_iters} passes, {len(legacy)} legacy queries; "
+        f"{len(model)} model-filter passes timed separately)",
+        "value": round(sum(legacy.values()), 4),
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
-        "iterations": n_iters,
+        "model_ops_sec": round(sum(model.values()), 4),
+        "total_sec": round(sum(timings.values()), 4),
         "sf": sf,
     }
+    detail = {"spread": spread, "iterations": n_iters, "sf": sf}
 
     # --- sf1 section: one decade more data, to catch constant-factor
     # cliffs the sf0.1 run hides. No sf1 fixture exists, so the data is
@@ -128,7 +149,7 @@ def main() -> None:
                     queries[n].spark(spark, sf1_dir).count()
                     sf1_runs[n].append(time.perf_counter() - t0)
             sf1_t = {n: round(median(v), 4) for n, v in sf1_runs.items()}
-            out["sf1"] = {
+            detail["sf1"] = {
                 "queries": sf1_t,
                 "spread": {
                     n: [round(min(v), 4), round(max(v), 4)]
@@ -142,10 +163,17 @@ def main() -> None:
                 f"{sf1_iters} passes after one warm pass",
             }
         except Exception as ex:  # never let the sf1 extra kill the bench
-            out["sf1"] = {"error": f"{type(ex).__name__}: {ex}"}
+            detail["sf1"] = {"error": f"{type(ex).__name__}: {ex}"}
 
+    # detail first, compact machine-read line LAST (see module doc)
+    print(json.dumps(detail))
     print(json.dumps(out))
 
+
+# model-filter passes timed outside the legacy BASELINE-comparable sum
+MODEL_OPS = frozenset(
+    {"x64_linear_classifier", "x84_bigram_perplexity", "x86_token_drift"}
+)
 
 # ten key-shifted copies per fact table; dims stay one copy
 _SF1_SHIFT_COLS: dict[str, list[str] | None] = {

@@ -26,11 +26,15 @@ Determinism contract (repo-wide cross-engine rules):
   is implementation-defined.
 
 Plan shape: tokenize + explode bigrams map-side; the score join
-shuffles on the bigram key against the count model. At 100 TB the LM
-is trained on a bounded sample (as CCNet does — a few GB of target-
-domain text) and BROADCAST, making scoring map-only; pass the hint
-through ``broadcast_model=True``. Reference scope: beyond-reference
-(the reference has no text operators — SURVEY.md §2).
+BROADCASTS the count model by default (the model row count is known
+from the same bounded aggregation that derives V, and broadcasting
+happens automatically while it fits ``broadcast_max_rows``), making
+scoring map-only. At 100 TB the LM is trained on a bounded sample
+(as CCNet does — a few GB of target-domain text), so the broadcast
+path is the normal one; an over-bound model falls back to a shuffle
+join on the bigram key WITH a warning (that key is Zipf-skewed — a
+hot-key exchange at scale). Reference scope: beyond-reference (the
+reference has no text operators — SURVEY.md §2).
 """
 
 from __future__ import annotations
@@ -155,7 +159,8 @@ def perplexity_score(
     alpha: int = 1,
     text_col: str = "text",
     id_col: str = "doc_id",
-    broadcast_model: bool = False,
+    broadcast_model: bool | None = None,
+    broadcast_max_rows: int = 8_000_000,
 ) -> DataFrame:
     """Score every document's bigram perplexity under ``lm``.
 
@@ -166,8 +171,22 @@ def perplexity_score(
     NULL scores (no bigram evidence — the caller decides its fate).
 
     ``alpha`` must be a positive integer (the determinism contract —
-    see module doc). ``broadcast_model=True`` adds the broadcast hint
-    for sampled/bounded LMs, making the score pass map-only.
+    see module doc).
+
+    ``broadcast_model=None`` (the default) picks automatically: the
+    model row count comes out of the same bounded aggregation that
+    derives the vocabulary size ``V`` (no extra pass), so when the
+    model fits under ``broadcast_max_rows`` the score joins get the
+    broadcast hint and the pass is map-only. This matters because the
+    shuffle alternative exchanges the bigram-exploded CORPUS on the
+    ``(w1, w2)`` key — Zipf-distributed, so at 100 TB the "the the"
+    partition is a hot-key exchange. Only an over-bound model (more
+    distinct n-grams than ``broadcast_max_rows``, ≈ a few hundred MB
+    serialized) falls back to the shuffle, with a warning naming the
+    sampled-train-then-broadcast-score contract (train the LM on a
+    bounded sample, as CCNet does; score the full corpus map-side).
+    ``True``/``False`` force the choice without the size probe's
+    outcome mattering.
     """
     if not isinstance(alpha, int) or alpha <= 0:
         raise ValueError(
@@ -182,11 +201,28 @@ def perplexity_score(
         F.col("w2").alias("_b_w2"),
         F.col("cnt").alias("_c2"),
     )
+    # V = distinct unigram types, a scalar the oracle derives the same
+    # way; bounded driver constant. ONE small agg over the model also
+    # yields the total row count — the auto-broadcast size signal.
+    v, n_model = lm.agg(
+        F.count(F.when(F.col("w2").isNull(), 1)).alias("v"),
+        F.count("*").alias("n"),
+    ).first()
+    if broadcast_model is None:
+        broadcast_model = n_model <= broadcast_max_rows
+        if not broadcast_model:
+            import warnings
+
+            warnings.warn(
+                f"perplexity_score: model has {n_model} rows "
+                f"(> broadcast_max_rows={broadcast_max_rows}); falling "
+                "back to a shuffle join on the Zipf-skewed bigram key. "
+                "Train on a bounded sample (the CCNet contract) so the "
+                "model broadcasts, or raise broadcast_max_rows.",
+                stacklevel=2,
+            )
     if broadcast_model:
         uni, bi = F.broadcast(uni), F.broadcast(bi)
-    # V = distinct unigram types, a scalar the oracle derives the same
-    # way; bounded driver constant (one small agg over the model)
-    v = uni.count()
 
     t = _toks(text_col)
     # every document emits its bigrams PLUS one NULL sentinel pair, so

@@ -1991,6 +1991,7 @@ from csvb_spark.operators import classify  # noqa: E402
 _q(
     "x64_linear_classifier",
     spark=lambda spark, sf: classify.linear_classifier_score(_docs(spark, sf)),
+    headline=True,  # model-filter pass: dominant corpus scan at 100 TB
     oracle=r"""
 WITH toks AS (
   -- coalesce mirrors the Spark side's NULL-text handling (a NULL doc
@@ -2761,6 +2762,7 @@ _q(
     spark=lambda spark, sf: LM.perplexity_score(
         _docs(spark, sf), LM.bigram_lm_train(_docs(spark, sf))
     ),
+    headline=True,  # model-filter pass: dominant corpus scan at 100 TB
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
@@ -2846,6 +2848,7 @@ _q(
         _docs(spark, sf).filter(F.col("doc_id") % 2 == 1),
         k=40,
     ),
+    headline=True,  # monitoring pass over both corpus snapshots
     oracle=r"""
 WITH oc AS (
   SELECT t AS token, COUNT(*) AS n_old

@@ -930,3 +930,33 @@ def test_pagerank_dangling_scalar_broadcasts(spark):
     e = spark.createDataFrame([(1, 2), (2, 3)], "src bigint, dst bigint")
     plan = _plan(pagerank(e, iters=1))
     assert "CartesianProduct" not in plan
+
+
+# --- round 7: perplexity auto-broadcast --------------------------------------
+def test_perplexity_default_broadcasts_bounded_model(spark, sf_dir):
+    """With DEFAULT args a bounded LM broadcasts: the score pass is
+    map-only over the corpus — no sort-merge exchange of the
+    bigram-exploded corpus on the Zipf-skewed (w1, w2) key."""
+    from csvb_spark.operators.lm import bigram_lm_train, perplexity_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(perplexity_score(docs, bigram_lm_train(docs)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_over_bound_model_warns_and_shuffles(spark, sf_dir):
+    """An over-bound model falls back to the shuffle join WITH the
+    warning naming the sample-then-broadcast contract."""
+    import warnings
+
+    from csvb_spark.operators.lm import bigram_lm_train, perplexity_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = bigram_lm_train(docs)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        scored = perplexity_score(docs, lm, broadcast_max_rows=1)
+    assert any("broadcast_max_rows" in str(x.message) for x in w)
+    # forced-off path still computes the same result shape
+    assert scored.columns == ["doc_id", "n_bigrams", "avg_neg_logprob", "ppl"]
