@@ -508,12 +508,21 @@ def budget_select(
 
     Cost: one range shuffle (plus the partitioner's sampling pass)
     and one fixed-width hash shuffle for the per-partition window —
-    both over narrow ``(id, score, tokens)`` rows. ``partitions`` is
-    pinned explicitly (default: the cluster's default parallelism)
-    because AQE never coalesces a user-specified partition count —
-    that guarantee is what keeps ``spark_partition_id()`` consistent
-    between the subtotal and cumsum branches reading the same range
-    exchange.
+    both over narrow ``(id, score, tokens)`` rows, plus one eager
+    materialization of the ranged slice (local checkpoint). The
+    checkpoint is load-bearing, not an optimization: BOTH consumers
+    of the ranged slice (the per-partition subtotal aggregate and
+    the windowed cumsum) must observe the SAME physical partition
+    assignment, and without materialization that only holds while
+    the optimizer reuses one exchange — if exchange reuse is
+    disabled or plan canonicalization diverges, each branch
+    re-executes the range exchange, the RangePartitioner resamples
+    its boundaries, and the two branches can disagree on
+    ``spark_partition_id()``, silently corrupting ``cum_tokens``.
+    Checkpointing pins the rows (pid included) once; every branch
+    reads the stored data. ``partitions`` is pinned explicitly
+    (default: the cluster's default parallelism) because AQE never
+    coalesces a user-specified partition count.
 
     NULL handling: a NULL score or token count raises at execution
     (in-plan ``assert_true``) rather than silently dropping the row —
@@ -558,9 +567,14 @@ def budget_select(
         )
         .alias("_bs_tok"),
     )
-    ranged = keyed.repartitionByRange(
-        n_part, F.desc("_bs_score"), F.asc(id_col)
-    ).withColumn("_bs_pid", F.spark_partition_id())
+    # eager: materialize BEFORE building the two consumer branches so
+    # the pid labels are data, not a recomputable expression (see
+    # docstring — correctness, not caching)
+    ranged = (
+        keyed.repartitionByRange(n_part, F.desc("_bs_score"), F.asc(id_col))
+        .withColumn("_bs_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     per = ranged.groupBy("_bs_pid").agg(F.sum("_bs_tok").alias("_bs_sub"))
     off_w = Window.orderBy(F.asc("_bs_pid")).rowsBetween(
         Window.unboundedPreceding, -1

@@ -238,8 +238,11 @@ def test_budget_select_no_global_sort_and_exact(spark):
     # plan: the window sort is per range-partition, never global — no
     # single-partition Exchange for ordering the data; the only
     # SinglePartition exchange allowed is the ≤partitions-row offsets
-    # table, and the data goes through rangepartitioning on the full
-    # (score DESC, id ASC) sort key
+    # table. The range exchange itself ran inside the eager local
+    # checkpoint (round-7: materialized so both consumer branches see
+    # ONE partition assignment — exchange reuse is no longer
+    # load-bearing), so downstream both branches scan the same
+    # checkpointed RDD instead of re-executing rangepartitioning.
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
         "formatted"
     )
@@ -248,7 +251,8 @@ def test_budget_select_no_global_sort_and_exact(spark):
 
     singles = len(re.findall(r"Exchange SinglePartition", plan))
     assert singles <= 1
-    assert "rangepartitioning" in plan
+    assert "rangepartitioning" not in plan  # pre-materialized, not re-run
+    assert "Scan ExistingRDD" in plan  # both branches read the checkpoint
 
     with pytest.raises(ValueError, match="budget"):
         budget_select(df, budget=-1)
@@ -331,3 +335,29 @@ def test_budget_select_adversarial_differentials(spark):
         for doc_id, _s, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
             cum += tok
             assert got[doc_id] == (cum, cum <= budget), (rows[:3], budget, doc_id)
+
+
+def test_budget_select_exact_with_exchange_reuse_disabled(spark):
+    """The ADVICE round-6 scenario: with spark.sql.exchange.reuse off,
+    un-materialized branches would each re-run the range exchange with
+    freshly sampled boundaries and could disagree on partition ids.
+    The eager checkpoint makes the result independent of reuse."""
+    from csvb_spark.operators.splits import budget_select
+
+    rows = [(i, round(0.1 * (i % 10), 2), 10 + i % 7) for i in range(500)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, quality_score double, n_tokens int"
+    )
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    try:
+        spark.conf.set("spark.sql.exchange.reuse", "false")
+        got = {
+            r["doc_id"]: (r["cum_tokens"], r["keep"])
+            for r in budget_select(df, budget=1500).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    cum = 0
+    for doc_id, _s, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
+        cum += tok
+        assert got[doc_id] == (cum, cum <= 1500)
