@@ -531,8 +531,14 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col,
                 broadcast_model=True,
             )
+            # same rule as the streaming ingest gate (_accept_batch):
+            # documents with no bigram evidence (NULL ppl) PASS the LM
+            # gate — other rules decide their fate. keep is therefore
+            # always a real boolean, never three-valued NULL (which
+            # the n_keep summary would silently exclude).
             keep = (
-                F.col("ppl") <= F.lit(float(args.max_ppl))
+                F.col("ppl").isNull()
+                | (F.col("ppl") <= F.lit(float(args.max_ppl)))
                 if args.max_ppl is not None
                 else F.col("ppl").isNotNull()
             )

@@ -113,16 +113,41 @@ def token_drift(
         raise ValueError(
             f"token_drift: alpha must be a positive int, got {alpha!r}"
         )
-    oc = (
-        old.select(F.explode(_toks(text_col)).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("n_old"))
+    return token_drift_from_counts(
+        token_counts(old, text_col).withColumnRenamed("n", "n_old"),
+        token_counts(new, text_col).withColumnRenamed("n", "n_new"),
+        alpha=alpha,
+        k=k,
     )
-    nc = (
-        new.select(F.explode(_toks(text_col)).alias("token"))
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact per-token counts ``(token, n)`` — the input to
+    ``token_drift_from_counts``. Split out so a FIXED side (the drift
+    monitor's reference corpus) can be counted ONCE, persisted, and
+    reused across micro-batches instead of re-aggregated per batch."""
+    return (
+        docs.select(F.explode(_toks(text_col)).alias("token"))
         .groupBy("token")
-        .agg(F.count("*").alias("n_new"))
+        .agg(F.count("*").alias("n"))
     )
+
+
+def token_drift_from_counts(
+    oc: DataFrame,
+    nc: DataFrame,
+    alpha: int = 1,
+    k: int = 50,
+) -> DataFrame:
+    """``token_drift`` over PRE-AGGREGATED count tables:
+    ``oc = (token, n_old)``, ``nc = (token, n_new)``. Same math, same
+    determinism contract; the full-outer join and the top-k are the
+    only work — bounded by vocabulary, not corpus size."""
+    if not isinstance(alpha, int) or alpha <= 0:
+        raise ValueError(
+            f"token_drift_from_counts: alpha must be a positive int,"
+            f" got {alpha!r}"
+        )
     j = oc.join(nc, "token", "full_outer").select(
         "token",
         F.coalesce("n_old", F.lit(0)).alias("n_old"),

@@ -415,10 +415,27 @@ def _quote_param(text: str | None, oid: int) -> str:
 
 _YM_UNIT_RE = _re.compile(r"\b(?:year|month|mon)s?\b", _re.IGNORECASE)
 _DT_UNIT_RE = _re.compile(
-    r"\b(?:day|hour|minute|min|second|sec|microsecond|millisecond)s?\b|\d:\d",
+    r"\b(?:day|week|hour|minute|min|second|sec|microsecond|millisecond)s?\b",
     _re.IGNORECASE,
 )
 _INTERVAL_SAFE_RE = _re.compile(r"^[A-Za-z0-9.:+\-\s]+$")
+# HH:MM[:SS[.ffffff]] — the default postgres IntervalStyle rendering of
+# the time part ('04:00:00', '1 day 04:00:00')
+_CLOCK_RE = _re.compile(
+    r"(?<![\d:.])([+-]?)(\d+):(\d{1,2})(?::(\d{1,2}(?:\.\d+)?))?(?![\d:.])"
+)
+
+
+def _expand_clock(m: "_re.Match[str]") -> str:
+    # Spark's multi-unit parser has no colon form; spell the clock out
+    # ('04:30:10' → '4 hours 30 minutes 10 seconds'). A leading sign
+    # distributes over all three fields, matching how postgres means
+    # '-04:00:00' (negative four hours, not -4h +0m +0s).
+    sign = "-" if m.group(1) == "-" else ""
+    h, mi = int(m.group(2)), int(m.group(3))
+    whole, _, frac = (m.group(4) or "0").partition(".")
+    s = f"{int(whole)}.{frac}" if frac else str(int(whole))
+    return f"{sign}{h} hours {sign}{mi} minutes {sign}{s} seconds"
 
 
 def _quote_interval(text: str) -> str:
@@ -429,16 +446,27 @@ def _quote_interval(text: str) -> str:
     interval; day-time units only → a day-time interval; a parameter
     carrying BOTH (postgres allows '1 mon 2 days') raises — a clean
     error instead of a downstream parse failure. Postgres's 'mon(s)'
-    unit spelling is normalized to Spark's 'months'."""
+    unit spelling is normalized to Spark's 'months', and its default
+    colon-rendered time part ('04:00:00', '1 day 04:00:00') is
+    expanded to unit text Spark's multi-unit parser accepts. Text
+    with NO recognizable unit after normalization ('1-2', 'P1Y2M')
+    raises here — the clean ValueError this function promises —
+    instead of surfacing as a downstream AnalysisException."""
     t = _re.sub(r"\bmons?\b", "months", text.strip(), flags=_re.IGNORECASE)
     if not t or not _INTERVAL_SAFE_RE.match(t):
         raise ValueError(f"invalid interval parameter {text!r}")
+    t = _CLOCK_RE.sub(_expand_clock, t)
     ym = bool(_YM_UNIT_RE.search(t))
     dt = bool(_DT_UNIT_RE.search(t))
     if ym and dt:
         raise ValueError(
             "interval parameter mixes year-month and day-time fields"
             f" ({text!r}); Spark intervals cannot represent both at once"
+        )
+    if not ym and not dt:
+        raise ValueError(
+            f"interval parameter {text!r} carries no recognizable unit"
+            " (expected e.g. '2 days 04:30:00', '3 months', '04:00:00')"
         )
     return "INTERVAL '" + t.replace("'", "''") + "'"
 

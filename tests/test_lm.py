@@ -205,3 +205,39 @@ def test_cli_drift(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "spam" in out and "contrib" in out
+
+
+def test_cli_score_lm_null_ppl_passes_gate(spark, tmp_path, capsys):
+    """A document with no bigram evidence (ppl NULL) PASSES the LM
+    gate under --max-ppl — same rule as the streaming ingest gate —
+    and keep is a real boolean, never three-valued NULL (which the
+    n_keep summary would silently exclude)."""
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["the cat sat on the mat", "the cat sat again", "x"],
+        }
+    ).to_parquet(data)
+    model_dir = str(tmp_path / "lm_model")
+    assert main(
+        ["train-filter", "--parquet", data, "--method", "lm",
+         "--output", model_dir]
+    ) == 0
+    capsys.readouterr()
+
+    out_dir = str(tmp_path / "scored")
+    assert main(
+        ["score", "--parquet", data, "--method", "lm", "--model", model_dir,
+         "--max-ppl", "1e9", "--output", out_dir]
+    ) == 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[2]["ppl"] is None
+    assert rows[2]["keep"] is True          # NULL ppl passes the gate
+    assert all(r["keep"] is True for r in rows.values())
+    # the summary counts ALL kept docs, including the NULL-ppl one
+    assert "| 3      | 3      |" in capsys.readouterr().out.replace("\n", "")

@@ -1417,3 +1417,35 @@ def test_binary_text_array_bind_preserves_whitespace_elements(conn):
     _send(sock, b"S", b"")
     msgs = _read_until_ready(sock, buf)
     assert _data_rows(msgs) == [[b"\thello\n", b"7"]]
+
+
+# --- round 7: colon-form interval text binds --------------------------------
+def test_quote_interval_colon_forms():
+    """Postgres's default IntervalStyle renders the time part as
+    HH:MM:SS; Spark's multi-unit parser has no colon form, so the
+    clock expands to unit text (and a leading sign distributes)."""
+    from csvb_spark.server.pgwire import _quote_interval
+
+    assert _quote_interval("04:00:00") == (
+        "INTERVAL '4 hours 0 minutes 0 seconds'"
+    )
+    assert _quote_interval("1 day 04:30:10.5") == (
+        "INTERVAL '1 day 4 hours 30 minutes 10.5 seconds'"
+    )
+    assert _quote_interval("-04:00:00") == (
+        "INTERVAL '-4 hours -0 minutes -0 seconds'"
+    )
+    assert _quote_interval("2 mons") == "INTERVAL '2 months'"
+
+
+def test_quote_interval_unitless_rejected():
+    """Unit-less text that slips the safe-charset regex ('1-2',
+    'P1Y2M') raises the promised ValueError instead of a downstream
+    Spark parse error."""
+    import pytest as _pytest
+
+    from csvb_spark.server.pgwire import _quote_interval
+
+    for bad in ("1-2", "P1Y2M", "17"):
+        with _pytest.raises(ValueError):
+            _quote_interval(bad)
