@@ -38,6 +38,18 @@ _INFO_SCHEMA_RE = re.compile(
 )
 
 
+class RewriteBindError(ValueError):
+    """A schema-aware rewrite (``* REPLACE``, ``COLUMNS('re')``)
+    analyzed its FROM clause and found the construct CANNOT bind —
+    a nonexistent replaced column, a zero-match pattern, duplicate
+    output names. Raised instead of passing the original text to
+    Spark (whose parser does not know these constructs and would
+    report an unrelated syntax error) — the same targeted binder
+    error DataFusion's sqlparser / DuckDB give. Bail-outs where the
+    FROM clause merely can't be ANALYZED (temp functions, constructs
+    the probe can't see) still fall through untouched, as before."""
+
+
 def refresh_information_schema(spark: SparkSession) -> None:
     """(Re)build information_schema_{tables,columns} temp views from
     the live session catalog."""
@@ -189,9 +201,10 @@ def _resolve_from(
     spark: SparkSession, sql: str, search_from: int, literals: list[str] | None
 ) -> list[str] | None:
     """Locate the depth-0 FROM clause after ``search_from`` and return
-    its analyzed output columns — None (bail) when it can't be found,
-    doesn't analyze, or has case-insensitively duplicate names (a
-    bare-name expansion would be ambiguous)."""
+    its analyzed output columns — None (bail) when it can't be found
+    or doesn't analyze. Case-insensitively duplicate output names
+    RAISE ``RewriteBindError`` (a bare-name expansion would be
+    ambiguous, and the construct cannot reach Spark either way)."""
     fm = _depth0_find(sql, _SR_FROM_KW_RE, search_from)
     if not fm:
         return None
@@ -202,7 +215,12 @@ def _resolve_from(
         return None
     low = [c.lower() for c in cols]
     if len(set(low)) != len(low):
-        return None
+        dups = sorted({c for c in low if low.count(c) > 1})
+        raise RewriteBindError(
+            "cannot expand the wildcard option: the FROM clause has "
+            f"duplicate output column name(s) {dups} — alias them apart "
+            "before using * REPLACE / COLUMNS()"
+        )
     return cols
 
 
@@ -233,8 +251,12 @@ def _rewrite_star_replace(
         cols = _resolve_from(spark, sql, close, literals)
         if cols is None:
             return sql
-        if not set(repl) <= {c.lower() for c in cols}:
-            return sql  # replacing a nonexistent column: let Spark raise
+        missing = sorted(set(repl) - {c.lower() for c in cols})
+        if missing:
+            raise RewriteBindError(
+                f"* REPLACE names column(s) {missing} that do not exist "
+                f"in the FROM clause (available: {sorted(cols)})"
+            )
         select_list = ", ".join(
             f"{repl[c.lower()]} AS {c}" if c.lower() in repl else _quote_ident(c)
             for c in cols
@@ -288,7 +310,10 @@ def _rewrite_columns_selector(
                 return sql
             keep = [c for c in cols if pat.fullmatch(c)]
             if not keep:
-                continue  # zero matches: leave this selector alone
+                raise RewriteBindError(
+                    f"COLUMNS({pattern!r}) matches no column of the FROM "
+                    f"clause (available: {sorted(cols)})"
+                )
             sql = (
                 sql[: m.start()]
                 + ", ".join(_quote_ident(c) for c in keep)

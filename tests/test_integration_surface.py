@@ -927,16 +927,28 @@ def test_star_replace_execution_and_guards(spark):
     assert execute_sql(
         spark, "SELECT * REPLACE (k + 1 AS k) FROM t_sr"
     ).columns == ["k", "v", "s"]
-    # guards: duplicate-name self-join (ambiguous bare-name expansion),
-    # tbl.*, unknown replaced column, missing AS → untouched
+    # guards that can't bind at all stay untouched (tbl.*, missing AS,
+    # no construct) — Spark reports its own error for the first two
     for sql in (
-        "SELECT * REPLACE (v AS v) FROM t_sr a JOIN t_sr b ON a.k = b.k",
         "SELECT a.* REPLACE (v AS v) FROM t_sr a",
-        "SELECT * REPLACE (1 AS nope) FROM t_sr",
         "SELECT * REPLACE (v + 1) FROM t_sr",
         "SELECT k FROM t_sr",
     ):
         assert _rewrite_star_replace(spark, sql) == sql
+    # binder-style failures raise a TARGETED error naming the reason
+    # (round 7 — matching DataFusion/DuckDB), instead of handing Spark
+    # text whose parser reports an unrelated syntax error
+    import pytest as _pytest
+
+    from csvb_spark.sql import RewriteBindError
+
+    with _pytest.raises(RewriteBindError, match=r"duplicate output column"):
+        _rewrite_star_replace(
+            spark,
+            "SELECT * REPLACE (v AS v) FROM t_sr a JOIN t_sr b ON a.k = b.k",
+        )
+    with _pytest.raises(RewriteBindError, match=r"nope.*do not exist"):
+        _rewrite_star_replace(spark, "SELECT * REPLACE (1 AS nope) FROM t_sr")
 
 
 # --- round 6: REPLACE/COLUMNS widened beyond single-table FROM ---------------------
@@ -987,14 +999,24 @@ def test_columns_selector_and_guards(spark):
     ).createOrReplaceTempView("t_cols")
     out = execute_sql(spark, "SELECT COLUMNS('o_.*') FROM t_cols")
     assert out.columns == ["o_key", "o_price"]
-    # guards: duplicate-name self-join, zero matches, non-literal
-    # pattern → untouched
-    for sql in (
-        "SELECT COLUMNS('o_.*') FROM t_cols a JOIN t_cols b ON a.o_key = b.o_key",
-        "SELECT COLUMNS('zzz.*') FROM t_cols",
-        "SELECT COLUMNS(x) FROM t_cols",
-    ):
-        assert _rewrite_columns_selector(spark, sql) == sql
+    # non-binding guard: non-literal pattern → untouched
+    assert (
+        _rewrite_columns_selector(spark, "SELECT COLUMNS(x) FROM t_cols")
+        == "SELECT COLUMNS(x) FROM t_cols"
+    )
+    # binder-style failures raise the targeted error (round 7)
+    import pytest as _pytest
+
+    from csvb_spark.sql import RewriteBindError
+
+    with _pytest.raises(RewriteBindError, match=r"duplicate output column"):
+        _rewrite_columns_selector(
+            spark,
+            "SELECT COLUMNS('o_.*') FROM t_cols a JOIN t_cols b "
+            "ON a.o_key = b.o_key",
+        )
+    with _pytest.raises(RewriteBindError, match=r"matches no column"):
+        _rewrite_columns_selector(spark, "SELECT COLUMNS('zzz.*') FROM t_cols")
 
 
 def test_columns_selector_aliased_table_and_join(spark):
