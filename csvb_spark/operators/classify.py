@@ -168,6 +168,7 @@ def linear_classifier_train(
     lr: int = 4000,
     steps: int = 2,
     driver_bucket_limit: int = 1 << 21,
+    storage_level=None,
 ) -> DataFrame:
     """Train the hashed-feature linear classifier that
     :func:`linear_classifier_score` consumes — full-batch logistic
@@ -190,6 +191,16 @@ def linear_classifier_train(
     touches per-document data. At 100 TB you train on a deterministic
     sample (as every production quality filter does) and score the
     full corpus with the broadcast-join path.
+
+    Storage note: the cached exploded table is ≈ 2× the TRAINING
+    corpus's token count in narrow (id, label, bucket) rows — cheap
+    for the sampled-training contract above, but it must fit the
+    cluster's storage fraction to be "cached once" in memory; the
+    default ``MEMORY_AND_DISK`` level degrades to disk-backed
+    re-reads (correct, slower) when it doesn't. Size the training
+    sample to the cluster, or pass an explicit ``storage_level``
+    (a ``pyspark.StorageLevel``) — e.g. ``DISK_ONLY`` to stop the
+    cache from competing with shuffle memory on a hot cluster.
 
     Determinism contract (everything an engine could disagree on is
     pinned, so a DuckDB oracle replays every step bit-exactly):
@@ -228,7 +239,9 @@ def linear_classifier_train(
         )
         .withColumn("bucket", feature_bucket(F.col("f"), n_buckets, seed))
         .select("_id", "_label", "bucket")
-        .persist()
+    )
+    exploded = (
+        exploded.persist(storage_level) if storage_level else exploded.persist()
     )
     try:
         weights: dict[int, int] = {}

@@ -135,6 +135,25 @@ def jdbc_driver_available(spark: SparkSession) -> bool:
         return False
 
 
+def probe_shard_schema(shard_addr: str, table: str) -> list[tuple[str, int]]:
+    """One shard's ``(column, type oid)`` list via a ``SELECT * FROM t
+    LIMIT 1`` probe (reference postgres_connection.rs:120). Split out
+    of ``read_shard_pg`` so registration can probe N shards
+    CONCURRENTLY (thread pool — the probe is one blocking socket
+    round trip, so N shards × RTT would otherwise serialize)."""
+    from csvb_spark.sources.pgclient import pg_simple_query
+
+    params = parse_postgres_conn_str(shard_addr)
+    cols, _ = pg_simple_query(
+        params["host"],
+        int(params.get("port", "5432")),
+        f"SELECT * FROM {table} LIMIT 1",
+        user=params.get("user", "csvb"),
+        database=params.get("db", "csvb"),
+    )
+    return cols
+
+
 def read_shard_pg(
     spark: SparkSession,
     shard_addr: str,
@@ -144,6 +163,7 @@ def read_shard_pg(
     limit: int | None = None,
     partition_column: str | None = None,
     num_partitions: int = 1,
+    probed_cols: list[tuple[str, int]] | None = None,
 ) -> DataFrame:
     """One shard scan over the raw Postgres wire protocol (no JDBC jar
     needed — e.g. federating other csvb_spark ``serve`` instances, the
@@ -168,7 +188,7 @@ def read_shard_pg(
     N > 1, each slice carries the limit as a safe upper bound and the
     exact global limit is re-applied Spark-side.
     """
-    from csvb_spark.sources.pgclient import OID_SPARK, pg_simple_query
+    from csvb_spark.sources.pgclient import OID_SPARK
 
     params = parse_postgres_conn_str(shard_addr)
     host = params["host"]
@@ -176,8 +196,10 @@ def read_shard_pg(
     user = params.get("user", "csvb")
     db = params.get("db", "csvb")
 
-    probe_cols, _ = pg_simple_query(
-        host, port, f"SELECT * FROM {table} LIMIT 1", user=user, database=db
+    probe_cols = (
+        list(probed_cols)
+        if probed_cols is not None
+        else probe_shard_schema(shard_addr, table)
     )
     if columns is not None:
         keep = set(columns)
@@ -252,21 +274,33 @@ def _precheck_all_shards(tables: list[VirtualTable]) -> None:
     ~2s with every unreachable address listed, instead of failing one
     at a time mid-registration; the validated connections are pooled,
     so none of this work is thrown away."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from csvb_spark.sources.pgclient import ShardUnreachable, precheck_shard
 
-    dead: list[str] = []
-    for vt in tables:
-        for addr in vt.shard_addrs:
-            p = parse_postgres_conn_str(addr)
-            try:
-                precheck_shard(
-                    p["host"],
-                    int(p.get("port", "5432")),
-                    user=p.get("user", "csvb"),
-                    database=p.get("db", "csvb"),
-                )
-            except ShardUnreachable as e:
-                dead.append(f"{vt.name}: {addr} ({e})")
+    jobs = [(vt.name, addr) for vt in tables for addr in vt.shard_addrs]
+    if not jobs:
+        return
+
+    def check(job: tuple[str, str]) -> str | None:
+        name, addr = job
+        p = parse_postgres_conn_str(addr)
+        try:
+            precheck_shard(
+                p["host"],
+                int(p.get("port", "5432")),
+                user=p.get("user", "csvb"),
+                database=p.get("db", "csvb"),
+            )
+            return None
+        except ShardUnreachable as e:
+            return f"{name}: {addr} ({e})"
+
+    # one CONCURRENT round (like the HTTP fetcher, csv_source.py:74):
+    # each precheck is a blocking socket round trip that releases the
+    # GIL, so a fleet of N shards costs ≈ the slowest RTT, not the sum
+    with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+        dead = [d for d in ex.map(check, jobs) if d]
     if dead:
         raise ShardUnreachable(
             "unreachable shard(s):\n  " + "\n  ".join(dead)
@@ -296,6 +330,21 @@ def add_federated_tables(
         transport = "jdbc" if jdbc_driver_available(spark) else "pgwire"
     if transport != "jdbc":
         _precheck_all_shards(tables)
+        # probe every shard's schema in ONE concurrent round across
+        # all tables (same economics as the precheck above: blocking
+        # socket round trips, fleet cost ≈ slowest RTT, not the sum)
+        from concurrent.futures import ThreadPoolExecutor
+
+        probe_jobs = [
+            (vt.name, addr) for vt in tables for addr in vt.shard_addrs
+        ]
+        with ThreadPoolExecutor(max_workers=min(8, len(probe_jobs) or 1)) as ex:
+            probed = dict(
+                zip(
+                    probe_jobs,
+                    ex.map(lambda j: probe_shard_schema(j[1], j[0]), probe_jobs),
+                )
+            )
     out: dict[str, DataFrame] = {}
     for vt in tables:
         if transport == "jdbc":
@@ -311,6 +360,7 @@ def add_federated_tables(
                     vt.name,
                     partition_column=partition_column,
                     num_partitions=num_partitions,
+                    probed_cols=probed[(vt.name, addr)],
                 )
                 for addr in vt.shard_addrs
             ]

@@ -1449,3 +1449,32 @@ def test_quote_interval_unitless_rejected():
     for bad in ("1-2", "P1Y2M", "17"):
         with _pytest.raises(ValueError):
             _quote_interval(bad)
+
+
+# --- round 7: registration probes run concurrently ---------------------------
+def test_federated_probes_run_concurrently(spark, monkeypatch):
+    """With 3 shards, the liveness prechecks all run in ONE concurrent
+    round, and so do the schema probes: each fake blocks on a
+    3-party barrier, so a sequential registration would deadlock the
+    barrier (BrokenBarrierError via timeout) instead of passing."""
+    import threading
+
+    from csvb_spark.sources import federation, pgclient
+
+    barrier_pre = threading.Barrier(3, timeout=15)
+    barrier_probe = threading.Barrier(3, timeout=15)
+
+    def fake_precheck(host, port, user="csvb", database="csvb"):
+        barrier_pre.wait()
+
+    def fake_probe(addr, table):
+        barrier_probe.wait()
+        return [("id", 20), ("v", 25)]
+
+    monkeypatch.setattr(pgclient, "precheck_shard", fake_precheck)
+    monkeypatch.setattr(federation, "probe_shard_schema", fake_probe)
+    vt = federation.VirtualTable(
+        "t_conc", [f"postgres://u@h{i}:5432/db" for i in range(3)]
+    )
+    dfs = federation.add_federated_tables(spark, [vt], transport="pgwire")
+    assert dfs["t_conc"].columns == ["id", "v"]
