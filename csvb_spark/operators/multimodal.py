@@ -4,12 +4,14 @@ The engine treats image/audio/video as ``binary`` columns beside a
 metadata struct. Decode / feature-extraction runs as Arrow-batched
 pandas iterators (``mapInPandas``) so the bytes never round-trip
 through Python row objects. Decode is REAL for WAV/PCM (stdlib
-``wave``), PPM(P6)/24-bit BMP (NumPy), and — since round 6 — PNG, a
-genuinely compressed format (stdlib zlib inflate + scanline
-unfiltering). Formats needing external codec libraries (JPEG/MP3)
-still fall through ``decoded=false``; everything Spark-side — schema,
-batch shape, partitioning, the UDF contract — is identical either
-way, so a PIL/torchaudio branch drops into the same sniff dispatch.
+``wave``), PPM(P6)/24-bit BMP (NumPy), PNG (round 6: stdlib zlib
+inflate + scanline unfiltering), and baseline JPEG (round 7: full
+entropy decode — canonical Huffman from DHT, DC prediction,
+run-length AC, dequantize + IDCT + YCbCr→RGB, stdlib + NumPy only).
+Only audio codecs needing external libraries (MP3) still fall
+through ``decoded=false``; everything Spark-side — schema, batch
+shape, partitioning, the UDF contract — is identical either way, so
+a torchaudio branch drops into the same sniff dispatch.
 """
 
 from __future__ import annotations
@@ -350,6 +352,227 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthesize_jpeg(
+    docs: DataFrame, id_col: str = "doc_id", mode: str = "flat"
+) -> DataFrame:
+    """Deterministic REAL baseline JPEG (JFIF) bytes per document —
+    the full entropy-coded format: quantization tables, canonical
+    Huffman tables (written into DHT segments, not assumed), DC
+    prediction, run-length AC coding, byte stuffing. Stdlib + NumPy
+    only, like the PNG path (``synthesize_png``).
+
+    ``mode='flat'``: every 8×8 block is a constant gray (Cb=Cr=128),
+    the luma value arithmetic in ``doc_id`` and the block position.
+    With a uniform quantizer of 8 the DC round trip is EXACT for
+    constant blocks (DC = 8·(v-128), quantized by 8 losslessly), so
+    the decoded channel means are predictable by a SQL oracle from
+    ``doc_id`` alone (x87) even though the codec is lossy in general.
+
+    ``mode='gradient'``: per-pixel luma gradients and non-neutral
+    per-block chroma — blocks carry real AC coefficients, exercising
+    zigzag, run-length/ZRL coding, and the chroma reconstruction.
+    Lossy; tests compare against an independent replay of the same
+    quantize→dequantize→IDCT arithmetic.
+
+    Map-only; one task per input partition.
+    """
+    if mode not in ("flat", "gradient"):
+        raise ValueError(f"synthesize_jpeg: unknown mode {mode!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        # natural-order (i, j) for zigzag position k — even diagonals
+        # walk up-right, odd walk down-left (the JPEG scan order)
+        zz = sorted(
+            ((i, j) for i in range(8) for j in range(8)),
+            key=lambda t: (t[0] + t[1], t[0] if (t[0] + t[1]) % 2 else -t[0]),
+        )
+        # 2-D DCT-II basis: A[u, x] = c(u)/2 · cos((2x+1)uπ/16);
+        # coef = A @ block @ A.T for the level-shifted block
+        ax = _np.arange(8)
+        A = _np.cos((2 * ax[None, :] + 1) * ax[:, None] * _np.pi / 16) / 2.0
+        A[0, :] /= _np.sqrt(2.0)
+        Q = 8  # uniform quantizer: exact for constant blocks (see doc)
+
+        # canonical Huffman: all 12 DC categories at code length 4,
+        # all 162 AC symbols at length 8 → code i for the i-th symbol
+        dc_vals = bytes(range(12))
+        ac_vals = bytes(
+            [0x00, 0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        )
+        dc_bits = bytes([0, 0, 0, 12] + [0] * 12)
+        ac_bits = bytes([0] * 7 + [162] + [0] * 8)
+        dc_codes = {sym: (4, i) for i, sym in enumerate(dc_vals)}
+        ac_codes = {sym: (8, i) for i, sym in enumerate(ac_vals)}
+
+        def _seg(marker: int, payload: bytes) -> bytes:
+            return (
+                bytes([0xFF, marker])
+                + _struct.pack(">H", len(payload) + 2)
+                + payload
+            )
+
+        class _BW:
+            """MSB-first bit writer with 0xFF byte stuffing."""
+
+            def __init__(self) -> None:
+                self.buf = bytearray()
+                self.acc = 0
+                self.n = 0
+
+            def put(self, val: int, nbits: int) -> None:
+                if not nbits:
+                    return
+                self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+                self.n += nbits
+                while self.n >= 8:
+                    b = (self.acc >> (self.n - 8)) & 0xFF
+                    self.n -= 8
+                    self.buf.append(b)
+                    if b == 0xFF:
+                        self.buf.append(0x00)
+
+            def flush(self) -> None:
+                if self.n:
+                    pad = 8 - self.n
+                    b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+                    self.buf.append(b)
+                    if b == 0xFF:
+                        self.buf.append(0x00)
+                    self.n = 0
+
+        def _cat(v: int) -> int:
+            return v.bit_length() if v >= 0 else (-v).bit_length()
+
+        def _enc_block(bw: _BW, coefs: list[int], prev_dc: int) -> int:
+            """Entropy-code one zigzag-ordered quantized block; returns
+            its DC for the next block's prediction."""
+            diff = coefs[0] - prev_dc
+            s = _cat(diff)
+            ln, c = dc_codes[s]
+            bw.put(c, ln)
+            if s:
+                bw.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if coefs[k]:
+                    last_nz = k
+                    break
+            run = 0
+            for k in range(1, last_nz + 1):
+                v = coefs[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ln, c = ac_codes[0xF0]
+                    bw.put(c, ln)
+                    run -= 16
+                s = _cat(v)
+                ln, c = ac_codes[(run << 4) | s]
+                bw.put(c, ln)
+                bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                ln, c = ac_codes[0x00]
+                bw.put(c, ln)
+            return coefs[0]
+
+        def _quantize(block: "_np.ndarray") -> list[int]:
+            """Level-shift → DCT → uniform quantize → zigzag order."""
+            coef = A @ (block.astype(_np.float64) - 128.0) @ A.T
+            q = _np.rint(coef / Q).astype(_np.int64)
+            return [int(q[i, j]) for i, j in zz]
+
+        def _jpeg(doc_id: int) -> bytes:
+            wb = 2 + doc_id % 3
+            hb = 1 + doc_id % 2
+            w, h = wb * 8, hb * 8
+            head = b"\xff\xd8"  # SOI
+            head += _seg(
+                0xE0,
+                b"JFIF\x00\x01\x01\x00" + _struct.pack(">HHBB", 1, 1, 0, 0),
+            )
+            qz = bytes([Q] * 64)  # uniform → zigzag order is identity
+            head += _seg(0xDB, bytes([0x00]) + qz + bytes([0x01]) + qz)
+            head += _seg(
+                0xC0,
+                _struct.pack(">BHHB", 8, h, w, 3)
+                + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+            )
+            head += _seg(
+                0xC4,
+                bytes([0x00]) + dc_bits + dc_vals
+                + bytes([0x01]) + dc_bits + dc_vals
+                + bytes([0x10]) + ac_bits + ac_vals
+                + bytes([0x11]) + ac_bits + ac_vals,
+            )
+            head += _seg(
+                0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+            )
+            bw = _BW()
+            prev = [0, 0, 0]  # DC prediction per component
+            for by in range(hb):
+                for bx in range(wb):
+                    yv = (bx * 31 + by * 17 + doc_id * 7) % 256
+                    if mode == "flat":
+                        # constant blocks: DC = 8·(v-128)/Q = v-128
+                        # exactly — no float DCT needed
+                        blocks = [
+                            [yv - 128] + [0] * 63,
+                            [0] * 64,
+                            [0] * 64,
+                        ]
+                    else:
+                        yy, xx = _np.mgrid[0:8, 0:8]
+                        ybl = (
+                            (xx * 3 + yy * 5 + bx * 7 + by * 11 + doc_id)
+                            % 256
+                        ).astype(_np.float64)
+                        # chroma stays near neutral (±32) so the RGB
+                        # conversion exercises real color shifts
+                        # without saturating whole channels to 0/255
+                        cb = _np.full((8, 8), 96 + (bx * 13 + doc_id) % 64)
+                        cr = _np.full((8, 8), 96 + (by * 19 + doc_id * 3) % 64)
+                        blocks = [_quantize(b) for b in (ybl, cb, cr)]
+                    for ci in range(3):
+                        prev[ci] = _enc_block(bw, blocks[ci], prev[ci])
+            bw.flush()
+            return head + bytes(bw.buf) + b"\xff\xd9"
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [_jpeg(i) for i in ids],
+                    "mime": ["image/jpeg"] * len(ids),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary, mime string"
+    )
+
+
+def jpeg_round_trip(docs: DataFrame) -> DataFrame:
+    """documents → REAL baseline-JPEG bytes → REAL decode (Huffman +
+    dequantize + IDCT + YCbCr→RGB). Output mirrors
+    ``png_round_trip``; in ``flat`` mode every field is predictable
+    from ``doc_id`` alone (constant blocks survive the uniform-8
+    quantizer exactly, and neutral chroma makes R=G=B=Y), so the x87
+    oracle proves the entropy-decode path end to end: one wrong
+    Huffman code, zigzag slot, or IDCT term moves a channel mean."""
+    return decode_media_features(synthesize_jpeg(docs)).select(
+        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "decoded"
+    )
+
+
 def png_round_trip(docs: DataFrame) -> DataFrame:
     """documents → REAL PNG bytes → REAL decode (inflate + unfilter).
     Output: ``(doc_id, width, height, mean_r, mean_g, mean_b,
@@ -519,6 +742,206 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 out[y] = cur.astype(_np.uint8)
             return out.reshape(h, w, 3)
 
+        def _parse_jpeg(p: bytes):
+            # Baseline sequential JFIF, 8-bit, 3 components, 1x1
+            # sampling (what synthesize_jpeg emits and what most
+            # 4:4:4 encoders produce): segment walk, DQT/DHT table
+            # build (canonical codes derived from the DHT bits array,
+            # nothing assumed), entropy decode with DC prediction and
+            # run-length AC, dequantize, IDCT, YCbCr→RGB. Progressive
+            # (SOF2), subsampled, or restart-interval streams return
+            # None (→ decoded=false), like every other sniff here.
+            if p[:2] != b"\xff\xd8":
+                return None
+            zz = sorted(
+                ((i, j) for i in range(8) for j in range(8)),
+                key=lambda t: (
+                    t[0] + t[1],
+                    t[0] if (t[0] + t[1]) % 2 else -t[0],
+                ),
+            )
+            ax = _np.arange(8)
+            A = _np.cos((2 * ax[None, :] + 1) * ax[:, None] * _np.pi / 16) / 2.0
+            A[0, :] /= _np.sqrt(2.0)
+            qt: dict[int, list[int]] = {}
+            huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+            w = h = None
+            comps: list[tuple[int, int]] = []  # (component id, quant id)
+            scomp: list[tuple[int, int, int]] = []  # (id, dc tbl, ac tbl)
+            data = None
+            pos = 2
+            while pos + 4 <= len(p):
+                if p[pos] != 0xFF:
+                    return None
+                m = p[pos + 1]
+                if m == 0xD9:
+                    break
+                ln = int.from_bytes(p[pos + 2 : pos + 4], "big")
+                seg = p[pos + 4 : pos + 2 + ln]
+                pos += 2 + ln
+                if m == 0xDB:
+                    i = 0
+                    while i < len(seg):
+                        pq, tq = seg[i] >> 4, seg[i] & 15
+                        if pq != 0 or i + 65 > len(seg):
+                            return None
+                        tbl = [0] * 64
+                        for k in range(64):
+                            ii, jj = zz[k]
+                            tbl[ii * 8 + jj] = seg[i + 1 + k]
+                        qt[tq] = tbl
+                        i += 65
+                elif m == 0xC0:
+                    if seg[0] != 8 or seg[5] != 3:
+                        return None
+                    h = int.from_bytes(seg[1:3], "big")
+                    w = int.from_bytes(seg[3:5], "big")
+                    for c in range(3):
+                        cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                        if samp != 0x11:
+                            return None
+                        comps.append((cid, tq))
+                elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xDD):
+                    return None  # non-baseline / restart intervals
+                elif m == 0xC4:
+                    i = 0
+                    while i + 17 <= len(seg):
+                        tc, th = seg[i] >> 4, seg[i] & 15
+                        bits = seg[i + 1 : i + 17]
+                        nsym = sum(bits)
+                        vals = seg[i + 17 : i + 17 + nsym]
+                        code, vi = 0, 0
+                        table: dict[tuple[int, int], int] = {}
+                        for length in range(1, 17):
+                            for _ in range(bits[length - 1]):
+                                table[(length, code)] = vals[vi]
+                                vi += 1
+                                code += 1
+                            code <<= 1
+                        huff[(tc, th)] = table
+                        i += 17 + nsym
+                elif m == 0xDA:
+                    if seg[0] != 3:
+                        return None
+                    for c in range(3):
+                        cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                        scomp.append((cid, tt >> 4, tt & 15))
+                    data = p[pos:]
+                    break
+                # APPn / COM: skip
+            if data is None or w is None or not comps:
+                return None
+            # unstuff the entropy stream up to EOI
+            es = bytearray()
+            i = 0
+            while i < len(data):
+                b = data[i]
+                if b == 0xFF:
+                    nxt = data[i + 1] if i + 1 < len(data) else 0xD9
+                    if nxt == 0x00:
+                        es.append(0xFF)
+                        i += 2
+                        continue
+                    if nxt == 0xD9:
+                        break
+                    return None  # RSTn or stray marker: unsupported
+                es.append(b)
+                i += 1
+
+            bitpos = 0
+            nbits = len(es) * 8
+
+            def _rd(n: int) -> int | None:
+                nonlocal bitpos
+                if bitpos + n > nbits:
+                    return None
+                v = 0
+                for _ in range(n):
+                    v = (v << 1) | (
+                        (es[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+                    )
+                    bitpos += 1
+                return v
+
+            def _sym(table) -> int | None:
+                code = 0
+                for length in range(1, 17):
+                    b = _rd(1)
+                    if b is None:
+                        return None
+                    code = (code << 1) | b
+                    if (length, code) in table:
+                        return table[(length, code)]
+                return None
+
+            def _ext(v: int, s: int) -> int:
+                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+            wb, hb = (w + 7) // 8, (h + 7) // 8
+            planes = [
+                _np.zeros((hb * 8, wb * 8), dtype=_np.float64)
+                for _ in range(3)
+            ]
+            prev = [0, 0, 0]
+            by_id = {cid: k for k, (cid, _tq) in enumerate(comps)}
+            for by in range(hb):
+                for bx in range(wb):
+                    for cid, dcid, acid in scomp:
+                        ci = by_id.get(cid)
+                        if ci is None:
+                            return None
+                        q = qt.get(comps[ci][1])
+                        dct = huff.get((0, dcid))
+                        act = huff.get((1, acid))
+                        if q is None or dct is None or act is None:
+                            return None
+                        coef = _np.zeros((8, 8), dtype=_np.float64)
+                        s = _sym(dct)
+                        if s is None or s > 11:
+                            return None
+                        diff = 0
+                        if s:
+                            v = _rd(s)
+                            if v is None:
+                                return None
+                            diff = _ext(v, s)
+                        prev[ci] += diff
+                        coef[0, 0] = prev[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            sym = _sym(act)
+                            if sym is None:
+                                return None
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run != 15:
+                                    return None
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                return None
+                            v = _rd(size)
+                            if v is None:
+                                return None
+                            ii, jj = zz[k]
+                            coef[ii, jj] = _ext(v, size) * q[ii * 8 + jj]
+                            k += 1
+                        block = A.T @ coef @ A + 128.0
+                        planes[ci][
+                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
+                        ] = block
+            y = planes[0][:h, :w]
+            cb = planes[1][:h, :w] - 128.0
+            cr = planes[2][:h, :w] - 128.0
+            r = y + 1.402 * cr
+            g = y - 0.344136 * cb - 0.714136 * cr
+            b = y + 1.772 * cb
+            rgb = _np.stack([r, g, b], axis=-1)
+            return _np.clip(_np.rint(rgb), 0, 255).astype(_np.uint8)
+
         def _parse_bmp(p: bytes):
             # 24-bit uncompressed BI_RGB only; rows 4-byte padded,
             # bottom-up (positive height)
@@ -577,6 +1000,13 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                         )
                     elif p[:8] == b"\x89PNG\r\n\x1a\n":
                         px = _parse_png(p)
+                        rows.append(
+                            _decode_image(doc_id, p, px)
+                            if px is not None
+                            else _null_row(doc_id, p)
+                        )
+                    elif p[:2] == b"\xff\xd8":
+                        px = _parse_jpeg(p)
                         rows.append(
                             _decode_image(doc_id, p, px)
                             if px is not None

@@ -69,7 +69,16 @@ zlib-DEFLATE PNGs synthesized, inflated, and unfiltered, with the
 oracle predicting the decoded channel means from doc_id arithmetic,
 x86 token-distribution drift (KL-contribution top-k between corpus
 snapshots, corpus_diff's monitoring twin).
-Corpus: 123 entries, 118 with full oracles.
+
+Round-7 addition: x87 REAL baseline-JPEG decode round trip — genuine
+entropy-coded JFIF synthesized (canonical Huffman tables, DC
+prediction, run-length AC, byte stuffing) and decoded stdlib+NumPy-
+only; constant blocks survive the uniform quantizer exactly, so the
+oracle predicts the decoded means from doc_id arithmetic. With PNG
+(x85) and JPEG both real, the x13/x18 multimodal stubs' rows-only
+justification now covers only audio codecs (MP3 — no codec library
+in this environment).
+Corpus: 124 entries, 119 with full oracles.
 """
 
 from __future__ import annotations

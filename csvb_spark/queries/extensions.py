@@ -2881,3 +2881,40 @@ ORDER BY contrib DESC, j.token
 LIMIT 40
 """,
 )
+
+
+# --- round 7: REAL baseline-JPEG decode round trip ---------------------
+# The last image-format stub closed: synthesize_jpeg emits genuine
+# entropy-coded baseline JFIF (DQT + canonical DHT + DC prediction +
+# run-length AC + byte stuffing), decode_media_features Huffman-
+# decodes, dequantizes, and IDCTs it — stdlib + NumPy only, like the
+# x85 PNG path. Constant 8x8 blocks survive the uniform-8 quantizer
+# EXACTLY (DC = 8·(v-128), quantized by 8 losslessly) and neutral
+# chroma makes R=G=B=Y, so the oracle predicts the decoded channel
+# means from doc_id arithmetic even though the codec is lossy in
+# general; one wrong Huffman code, zigzag slot, or IDCT term moves a
+# mean. (The lossy gradient path — real AC coefficients, ZRL, chroma
+# reconstruction — is pytest-verified against an independent replay in
+# tests/test_multimodal_real.py.)
+_q(
+    "x87_jpeg_decode_round_trip",
+    spark=lambda spark, sf: multimodal.jpeg_round_trip(_docs(spark, sf)),
+    oracle=r"""
+WITH dims AS (
+  SELECT doc_id, 2 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb FROM documents
+), bx AS (
+  SELECT doc_id, wb, hb, unnest(generate_series(0, wb - 1)) AS x FROM dims
+), bxy AS (
+  SELECT doc_id, wb, hb, x, unnest(generate_series(0, hb - 1)) AS y FROM bx
+)
+SELECT doc_id,
+       CAST(MAX(wb) * 8 AS INT) AS width,
+       CAST(MAX(hb) * 8 AS INT) AS height,
+       ROUND(AVG(CAST((x * 31 + y * 17 + doc_id * 7) % 256 AS DOUBLE)), 6) AS mean_r,
+       ROUND(AVG(CAST((x * 31 + y * 17 + doc_id * 7) % 256 AS DOUBLE)), 6) AS mean_g,
+       ROUND(AVG(CAST((x * 31 + y * 17 + doc_id * 7) % 256 AS DOUBLE)), 6) AS mean_b,
+       TRUE AS decoded
+FROM bxy
+GROUP BY doc_id
+""",
+)

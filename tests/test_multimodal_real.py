@@ -274,3 +274,148 @@ def test_png_decoder_handles_all_filters_and_corruption(spark):
     assert rows[1]["mean_g"] == round(float(means[1]), 6)
     assert rows[1]["mean_b"] == round(float(means[2]), 6)
     assert rows[2]["decoded"] is False  # corruption is contained
+
+
+# --- round 7: baseline JPEG, the full entropy-coded codec --------------------
+def _jpeg_ref_decode_gradient(doc_id: int):
+    """Independent replay of the gradient-mode encode→decode
+    arithmetic (float DCT → uniform-8 quantize → dequantize → IDCT →
+    clamp → YCbCr→RGB), sharing no code with the operator module —
+    only the published JPEG math."""
+    import numpy as np
+
+    ax = np.arange(8)
+    A = np.cos((2 * ax[None, :] + 1) * ax[:, None] * np.pi / 16) / 2.0
+    A[0, :] /= np.sqrt(2.0)
+    wb, hb = 2 + doc_id % 3, 1 + doc_id % 2
+    planes = [np.zeros((hb * 8, wb * 8)) for _ in range(3)]
+    for by in range(hb):
+        for bx in range(wb):
+            yy, xx = np.mgrid[0:8, 0:8]
+            blocks = [
+                ((xx * 3 + yy * 5 + bx * 7 + by * 11 + doc_id) % 256).astype(
+                    float
+                ),
+                np.full((8, 8), 96 + (bx * 13 + doc_id) % 64, dtype=float),
+                np.full((8, 8), 96 + (by * 19 + doc_id * 3) % 64, dtype=float),
+            ]
+            for ci, bl in enumerate(blocks):
+                coef = A @ (bl - 128.0) @ A.T
+                deq = np.rint(coef / 8.0) * 8.0
+                rec = A.T @ deq @ A + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rec
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def test_jpeg_flat_round_trip_exact(spark):
+    """Constant 8x8 blocks survive the uniform-8 quantizer exactly,
+    so the decoded means equal the doc_id arithmetic bit-for-bit —
+    the lossless corner of a lossy codec (the x87 oracle's basis)."""
+    from csvb_spark.operators.multimodal import jpeg_round_trip
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id bigint")
+    for r in jpeg_round_trip(docs).collect():
+        wb, hb = 2 + r.doc_id % 3, 1 + r.doc_id % 2
+        exp = round(
+            sum(
+                (bx * 31 + by * 17 + r.doc_id * 7) % 256
+                for bx in range(wb)
+                for by in range(hb)
+            )
+            / (wb * hb),
+            6,
+        )
+        assert r.decoded and (r.width, r.height) == (wb * 8, hb * 8)
+        assert r.mean_r == r.mean_g == r.mean_b == exp
+
+
+def test_jpeg_gradient_mode_matches_reference_replay(spark):
+    """Gradient blocks carry real AC coefficients: zigzag, run-length
+    coding, DC prediction, and the chroma path must all be right for
+    the decoded means to match the independent quantize→IDCT replay."""
+    from csvb_spark.operators.multimodal import (
+        decode_media_features,
+        synthesize_jpeg,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id bigint")
+    got = {
+        r.doc_id: r
+        for r in decode_media_features(
+            synthesize_jpeg(docs, mode="gradient")
+        ).collect()
+    }
+    for i in range(8):
+        ref = _jpeg_ref_decode_gradient(i)
+        means = ref.reshape(-1, 3).mean(axis=0)
+        r = got[i]
+        assert r.decoded and (r.height, r.width) == ref.shape[:2]
+        assert (r.mean_r, r.mean_g, r.mean_b) == tuple(
+            round(float(m), 6) for m in means
+        )
+
+
+def test_jpeg_corrupt_and_unsupported_fall_through(spark):
+    """A truncated entropy stream and a progressive (SOF2) stream both
+    fall through decoded=false instead of raising."""
+    from csvb_spark.operators.multimodal import (
+        decode_media_features,
+        synthesize_jpeg,
+    )
+
+    docs = spark.createDataFrame([(1,)], "doc_id bigint")
+    good = bytes(
+        synthesize_jpeg(docs).collect()[0].payload
+    )
+    truncated = good[: len(good) // 2]
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    out = {
+        r.doc_id: r.decoded
+        for r in decode_media_features(
+            _media_df(
+                spark,
+                [(1, bytearray(truncated)), (2, bytearray(progressive))],
+            )
+        ).collect()
+    }
+    assert out == {1: False, 2: False}
+
+
+def test_jpeg_huffman_tables_are_honored_not_assumed(spark):
+    """The decoder derives codes from the DHT bits array rather than
+    assuming the encoder's table: shuffling the DHT value order (a
+    DIFFERENT valid canonical table) must change decode results, so
+    corrupt the first DC value slot and expect a clean fall-through
+    or a different mean — never the original answer with a raise."""
+    from csvb_spark.operators.multimodal import (
+        decode_media_features,
+        synthesize_jpeg,
+    )
+
+    docs = spark.createDataFrame([(3,)], "doc_id bigint")
+    good = bytes(synthesize_jpeg(docs).collect()[0].payload)
+    base = decode_media_features(
+        _media_df(spark, [(3, bytearray(good))])
+    ).collect()[0]
+    assert base.decoded
+    # swap DC symbols 4 and 5 in the luma DHT (categories this
+    # image's luma DC diffs actually use): codes now mean the wrong
+    # categories, so the decode must differ or fail cleanly
+    i = good.index(b"\xff\xc4")
+    # DHT payload: [0x00][16 bits counts][12 values 0..11]...
+    vals_at = i + 4 + 1 + 16 + 4
+    assert good[vals_at : vals_at + 2] == b"\x04\x05"
+    bad = good[:vals_at] + b"\x05\x04" + good[vals_at + 2 :]
+    r = decode_media_features(
+        _media_df(spark, [(3, bytearray(bad))])
+    ).collect()[0]
+    assert (not r.decoded) or r.mean_r != base.mean_r

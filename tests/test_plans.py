@@ -960,3 +960,13 @@ def test_perplexity_over_bound_model_warns_and_shuffles(spark, sf_dir):
     assert any("broadcast_max_rows" in str(x.message) for x in w)
     # forced-off path still computes the same result shape
     assert scored.columns == ["doc_id", "n_bigrams", "avg_neg_logprob", "ppl"]
+
+
+def test_jpeg_pipeline_is_map_only(spark, sf_dir):
+    """synthesize → entropy-decode is pure mapInPandas: zero
+    shuffles, same plan shape as the PNG path."""
+    from csvb_spark.operators.multimodal import jpeg_round_trip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(jpeg_round_trip(docs))
+    assert "Exchange" not in plan
