@@ -64,6 +64,7 @@ import socketserver
 import struct
 import threading
 
+from pyspark.sql import Row as _PgRow
 from pyspark.sql import SparkSession
 
 log = logging.getLogger("csvb.pgwire")
@@ -94,10 +95,12 @@ def _oid_for(dtype: str) -> tuple[int, int]:
     if base.startswith("decimal"):
         return (1700, -1)
     if base.startswith("array<") and dtype.endswith(">"):
-        # only PRIMITIVE element types get a true array oid; struct/
-        # map/array elements must fall back to plain text (25) — their
-        # element-oid lookup would otherwise hit the text fallback
-        # (oid 25) and mislabel the column text[] with repr() payloads
+        # PRIMITIVE element types get their true array oid; arrays of
+        # STRUCT report text[] (1009) with postgres composite-text
+        # elements ('{"(a,b)","(c,d)"}', round 7 — how postgres
+        # renders row types inside arrays); map/array elements still
+        # fall back to plain text (25) — their element-oid lookup
+        # would otherwise mislabel the column with repr() payloads
         elem = dtype[6:-1]
         ebase = elem.split("(")[0]
         if ebase in _PG_OIDS or ebase.startswith("decimal"):
@@ -105,7 +108,9 @@ def _oid_for(dtype: str) -> tuple[int, int]:
             aoid = _ELEM_ARRAY.get(elem_oid)
             if aoid is not None:
                 return (aoid, -1)
-        return (25, -1)  # arrays of structs/maps/arrays: text fallback
+        if ebase.startswith("struct<"):
+            return (1009, -1)  # text[] of composite text
+        return (25, -1)  # arrays of maps/arrays: text fallback
     if base.startswith("interval"):
         # day-time intervals collect as datetime.timedelta → oid 1186;
         # year-month intervals collect as plain ints — leave them text
@@ -137,6 +142,23 @@ def _interval_text(v: "_dt.timedelta") -> str:
     )
 
 
+def _pg_composite_text(row) -> str:
+    """Postgres composite (row type) text form: ``(f1,f2)``, NULL
+    fields empty, fields quoted with doubled quotes when they carry
+    separators/quotes/whitespace — how postgres itself renders a row
+    value, including inside arrays (``{"(a,b)"}``)."""
+    parts: list[str] = []
+    for x in row:
+        if x is None:
+            parts.append("")
+            continue
+        t = (_pg_text(x) or b"").decode()
+        if t == "" or any(c in ',()"\\' or c.isspace() for c in t):
+            t = '"' + t.replace("\\", "\\\\").replace('"', '""') + '"'
+        parts.append(t)
+    return "(" + ",".join(parts) + ")"
+
+
 def _pg_text(v) -> bytes | None:
     if v is None:
         return None
@@ -150,6 +172,10 @@ def _pg_text(v) -> bytes | None:
         return v.isoformat().encode()
     if isinstance(v, (bytes, bytearray)):
         return b"\\x" + v.hex().encode()
+    if isinstance(v, _PgRow):
+        # struct values (pyspark Row, a tuple subclass — test BEFORE
+        # the array branch) render as postgres composite text
+        return _pg_composite_text(v).encode()
     if isinstance(v, (list, tuple)):
         return (
             "{"
@@ -220,8 +246,10 @@ _BINARY_ENCODERS = {
     20: lambda v: struct.pack("!q", v),  # int8
     700: lambda v: struct.pack("!f", v),  # float4
     701: lambda v: struct.pack("!d", v),  # float8
-    25: lambda v: str(v).encode(),  # text
-    1043: lambda v: str(v).encode(),  # varchar
+    # text routes through _pg_text so struct values (pyspark Row)
+    # render composite text in binary results too, not Row repr
+    25: lambda v: _pg_text(v) or b"",  # text
+    1043: lambda v: _pg_text(v) or b"",  # varchar
     17: lambda v: bytes(v),  # bytea
     1082: lambda v: struct.pack("!i", (v - _PG_EPOCH_DATE).days),  # date
     1114: _enc_ts,  # timestamp (integer_datetimes)
@@ -401,10 +429,20 @@ def _quote_param(text: str | None, oid: int) -> str:
     if oid in _ARRAY_ELEM:
         elems = _parse_pg_array_text(text)
         eloid = _ARRAY_ELEM[oid]
-        if not elems:
-            # array() alone is array<void>; pin the element type
-            return f"CAST(array() AS array<{_SPARK_ELEM_TYPE[eloid]}>)"
-        return "array(" + ", ".join(_quote_param(e, eloid) for e in elems) + ")"
+
+        def render(a: list) -> str:
+            if not a:
+                # array() alone is array<void>; pin the element type
+                # (an EMPTY sub-array inside a multi-D value is not
+                # valid postgres input, so this only fires at depth 0)
+                return f"CAST(array() AS array<{_SPARK_ELEM_TYPE[eloid]}>)"
+            if isinstance(a[0], list):  # parser guarantees no mixing
+                return "array(" + ", ".join(render(x) for x in a) + ")"
+            return (
+                "array(" + ", ".join(_quote_param(e, eloid) for e in a) + ")"
+            )
+
+        return render(elems)
     quoted = "'" + text.replace("\\", "\\\\").replace("'", "''") + "'"
     if oid == _DATE_OID:
         return f"DATE {quoted}"
@@ -471,25 +509,36 @@ def _quote_interval(text: str) -> str:
     return "INTERVAL '" + t.replace("'", "''") + "'"
 
 
-def _parse_pg_array_text(text: str) -> list[str | None]:
-    """Parse a 1-D postgres array text form ('{a,b,"c,d",NULL}') into
-    element text values. Raises on nested arrays and malformed input."""
+def _parse_pg_array_text(text: str) -> list:
+    """Parse a postgres array text form ('{a,b,"c,d",NULL}', nested
+    '{{1,2},{3,4}}') into element text values — sub-arrays become
+    sub-lists (round 7: multi-dimensional binds accepted). Raises on
+    malformed input and on MIXED nesting ('{1,{2}}' — not a valid
+    postgres array)."""
     t = text.strip()
     if not (t.startswith("{") and t.endswith("}")):
         raise ValueError(f"invalid array parameter {text!r}")
-    body = t[1:-1]
-    if not body.strip():
-        return []
-    elems: list[str | None] = []
+    out, pos = _parse_pg_array_body(t, 0)
+    if t[pos:].strip():
+        raise ValueError(f"invalid array parameter {text!r}")
+    return out
+
+
+def _parse_pg_array_body(t: str, start: int) -> tuple[list, int]:
+    """Parse one '{...}' starting at ``t[start]``; returns (elements,
+    index just past the closing brace)."""
+    assert t[start] == "{"
+    elems: list = []
     cur: list[str] = []
     in_quotes = False
-    i = 0
     quoted_elem = False
-    while i < len(body):
-        c = body[i]
+    have_elem = False  # a sub-array was appended for this slot
+    i = start + 1
+    while i < len(t):
+        c = t[i]
         if in_quotes:
-            if c == "\\" and i + 1 < len(body):
-                cur.append(body[i + 1])
+            if c == "\\" and i + 1 < len(t):
+                cur.append(t[i + 1])
                 i += 2
                 continue
             if c == '"':
@@ -501,17 +550,34 @@ def _parse_pg_array_text(text: str) -> list[str | None]:
             in_quotes = True
             quoted_elem = True
         elif c == "{":
-            raise ValueError("only 1-D array parameters are supported")
+            if cur or quoted_elem or have_elem:
+                raise ValueError(f"invalid array parameter {t!r}")
+            sub, i = _parse_pg_array_body(t, i)
+            elems.append(sub)
+            have_elem = True
+            continue
         elif c == ",":
-            elems.append(_finish_array_elem(cur, quoted_elem))
-            cur, quoted_elem = [], False
-        else:
+            if not have_elem:
+                elems.append(_finish_array_elem(cur, quoted_elem))
+            elif cur:
+                raise ValueError(f"invalid array parameter {t!r}")
+            cur, quoted_elem, have_elem = [], False, False
+        elif c == "}":
+            if not have_elem:
+                if cur or quoted_elem or elems:
+                    elems.append(_finish_array_elem(cur, quoted_elem))
+            elif cur:
+                raise ValueError(f"invalid array parameter {t!r}")
+            subs = sum(isinstance(e, list) for e in elems)
+            if subs not in (0, len(elems)):
+                raise ValueError(
+                    "array parameter mixes scalar and sub-array elements"
+                )
+            return elems, i + 1
+        elif not c.isspace() or cur:
             cur.append(c)
         i += 1
-    if in_quotes:
-        raise ValueError(f"invalid array parameter {text!r}")
-    elems.append(_finish_array_elem(cur, quoted_elem))
-    return elems
+    raise ValueError(f"invalid array parameter {t!r}")
 
 
 def _finish_array_elem(chars: list[str], quoted: bool) -> str | None:
@@ -594,37 +660,62 @@ def _dec_interval(b: bytes) -> str:
 
 
 def _dec_array(b: bytes) -> str:
-    """1-D ARRAY binary wire format (public protocol docs /
+    """ARRAY binary wire format (public protocol docs /
     utils/adt/arrayfuncs.c layout): int32 ndim, int32 hasnull, int32
     element oid, per-dim {int32 len, int32 lower bound}, then elements
-    as {int32 len, payload} with len=-1 for NULL. Decoded to the
-    postgres array TEXT form; ``_quote_param`` re-parses that into a
-    Spark ``array(...)`` constructor, so text- and binary-format array
-    binds share one rendering path."""
+    in row-major order as {int32 len, payload} with len=-1 for NULL.
+    Decoded to the postgres array TEXT form — multi-dimensional
+    values nest braces ('{{1,2},{3,4}}', round 7); ``_quote_param``
+    re-parses that into a (nested) Spark ``array(...)`` constructor,
+    so text- and binary-format array binds share one rendering
+    path."""
     ndim, _hasnull, eloid = struct.unpack("!iii", b[:12])
     if ndim == 0:
         return "{}"
-    if ndim != 1:
-        raise ValueError(f"only 1-D array parameters are supported (got {ndim}-D)")
+    if not 1 <= ndim <= 6:  # postgres's own MAXDIM
+        raise ValueError(f"invalid array parameter dimensionality {ndim}")
     dec = _BINARY_DECODERS.get(eloid)
     if dec is None or eloid in _ARRAY_ELEM:
         raise ValueError(f"unsupported array element type oid {eloid}")
-    (dimlen, _lbound) = struct.unpack("!ii", b[12:20])
-    off = 20
-    parts: list[str] = []
-    for _ in range(dimlen):
+    dims: list[int] = []
+    off = 12
+    for _ in range(ndim):
+        dimlen, _lbound = struct.unpack("!ii", b[off : off + 8])
+        if dimlen < 0:
+            raise ValueError("invalid array parameter dimension length")
+        dims.append(dimlen)
+        off += 8
+    n = 1
+    for d in dims:
+        n *= d
+    flat: list[str] = []
+    for _ in range(n):
         (elen,) = struct.unpack("!i", b[off : off + 4])
         off += 4
         if elen == -1:
-            parts.append("NULL")
+            flat.append("NULL")
             continue
         txt = dec(b[off : off + elen])
         off += elen
         # ONE quoting rule for both directions (_pg_array_elem_text):
         # a hand-rolled duplicate here under-quoted non-space
         # whitespace, silently corrupting e.g. tab-prefixed elements
-        parts.append(_pg_array_elem_text(txt))
-    return "{" + ",".join(parts) + "}"
+        flat.append(_pg_array_elem_text(txt))
+
+    def nest(level: int, items: list[str]) -> str:
+        if level == len(dims) - 1:
+            return "{" + ",".join(items) + "}"
+        step = len(items) // dims[level] if dims[level] else 0
+        return (
+            "{"
+            + ",".join(
+                nest(level + 1, items[i * step : (i + 1) * step])
+                for i in range(dims[level])
+            )
+            + "}"
+        )
+
+    return nest(0, flat)
 
 
 _BINARY_DECODERS = {

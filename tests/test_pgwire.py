@@ -1282,8 +1282,14 @@ def test_pg_array_text_parser_unit():
     assert _parse_pg_array_text("{}") == []
     import pytest
 
-    with pytest.raises(ValueError, match="1-D"):
-        _parse_pg_array_text("{{1},{2}}")
+    # nested arrays parse into sub-lists (round 7: multi-D binds)
+    assert _parse_pg_array_text("{{1},{2}}") == [["1"], ["2"]]
+    assert _parse_pg_array_text('{{a,"b c"},{NULL,d}}') == [
+        ["a", "b c"],
+        [None, "d"],
+    ]
+    with pytest.raises(ValueError, match="mixes scalar"):
+        _parse_pg_array_text("{1,{2}}")
     with pytest.raises(ValueError, match="invalid array"):
         _parse_pg_array_text("1,2,3")
     # rendering: ints bare, strings quoted, NULL kept
@@ -1384,12 +1390,13 @@ def test_wildcard_replace_over_join_via_wire(conn):
     assert rows[0][2] == b"0"  # n_nationkey
 
 
-def test_array_of_struct_reports_plain_text_oid():
-    """Arrays of struct/map elements must NOT claim a real array oid —
-    their elements have no wire encoding, so the column stays text."""
+def test_array_of_struct_reports_text_array_oid():
+    """Arrays of STRUCT report text[] (1009) carrying composite-text
+    elements (round 7); maps/nested arrays have no composite wire
+    form, so those columns stay plain text."""
     from csvb_spark.server.pgwire import _oid_for
 
-    assert _oid_for("array<struct<a:int>>") == (25, -1)
+    assert _oid_for("array<struct<a:int>>") == (1009, -1)
     assert _oid_for("array<map<string,int>>") == (25, -1)
     assert _oid_for("array<array<int>>") == (25, -1)
     assert _oid_for("array<int>") == (1007, -1)
@@ -1478,3 +1485,110 @@ def test_federated_probes_run_concurrently(spark, monkeypatch):
     )
     dfs = federation.add_federated_tables(spark, [vt], transport="pgwire")
     assert dfs["t_conc"].columns == ["id", "v"]
+
+
+# --- round 7: composite arrays and multi-dimensional binds -------------------
+def test_struct_array_result_is_composite_text(conn):
+    """array<struct> result columns report text[] (1009) and render
+    postgres composite-text elements: {"(a,b)","(c,d)"}."""
+    sock, buf = conn
+    sql = (
+        b"SELECT array(named_struct('a', 1, 'b', 'x'), "
+        b"named_struct('a', 2, 'b', 'y z')) AS xs"
+    )
+    _send(sock, b"P", b"pcs\x00" + sql + b"\x00" + struct.pack("!h", 0))
+    _send(sock, b"D", b"S" + b"pcs\x00")
+    _send(
+        sock,
+        b"B",
+        b"\x00pcs\x00" + struct.pack("!h", 0) + struct.pack("!h", 0)
+        + struct.pack("!h", 0),
+    )
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    rowdesc = next(p for t, p in msgs if t == b"T")
+    # column oid lives at a fixed offset after the NUL-terminated name
+    name_end = rowdesc.index(b"\x00", 2)
+    (oid,) = struct.unpack("!I", rowdesc[name_end + 7 : name_end + 11])
+    assert oid == 1009
+    assert _data_rows(msgs) == [[b'{"(1,x)","(2,\\"y z\\")"}']]
+
+
+def test_struct_scalar_renders_composite_text(conn):
+    sock, buf = conn
+    msgs = _simple_query(
+        sock, buf, "SELECT named_struct('a', 1, 'b', NULL, 'c', 'x,y') AS s"
+    )
+    assert _data_rows(msgs) == [[b'(1,,"x,y")']]
+
+
+def test_text_bind_2d_array(conn):
+    """A 2-D text-format array parameter ('{{1,2},{3,4}}') binds into
+    a Spark array<array<int>>."""
+    sock, buf = conn
+    sql = b"SELECT element_at(element_at($1, 2), 1) AS v, size($1) AS n"
+    _send(sock, b"P", b"p2d\x00" + sql + b"\x00" + struct.pack("!hI", 1, 1007))
+    val = b"{{1,2},{30,4}}"
+    body = (
+        b"\x00p2d\x00"
+        + struct.pack("!h", 0)  # all params text format
+        + struct.pack("!h", 1)
+        + struct.pack("!i", len(val))
+        + val
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"30", b"2"]]
+
+
+def test_binary_bind_2d_array(conn):
+    """A 2-D binary array parameter (two dim headers, row-major
+    elements) decodes into nested text and binds as
+    array<array<int>>."""
+    sock, buf = conn
+    sql = b"SELECT element_at(element_at($1, 1), 2) AS v"
+    _send(sock, b"P", b"p2b\x00" + sql + b"\x00" + struct.pack("!hI", 1, 1007))
+    payload = struct.pack("!iii", 2, 0, 23)  # ndim=2, no nulls, int4
+    payload += struct.pack("!ii", 2, 1)  # dim 0: len 2
+    payload += struct.pack("!ii", 3, 1)  # dim 1: len 3
+    for v in (10, 20, 30, 40, 50, 60):
+        payload += struct.pack("!i", 4) + struct.pack("!i", v)
+    body = (
+        b"\x00p2b\x00"
+        + struct.pack("!hh", 1, 1)  # one param, binary
+        + struct.pack("!h", 1)
+        + struct.pack("!i", len(payload))
+        + payload
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"E", b"\x00" + struct.pack("!I", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert _data_rows(msgs) == [[b"20"]]
+
+
+def test_mixed_scalar_subarray_text_bind_rejected(conn):
+    """'{1,{2}}' is not a valid postgres array: clean error, and the
+    connection survives for the next query."""
+    sock, buf = conn
+    sql = b"SELECT $1 AS v"
+    _send(sock, b"P", b"pmx\x00" + sql + b"\x00" + struct.pack("!hI", 1, 1007))
+    val = b"{1,{2}}"
+    body = (
+        b"\x00pmx\x00"
+        + struct.pack("!h", 0)
+        + struct.pack("!h", 1)
+        + struct.pack("!i", len(val))
+        + val
+        + struct.pack("!h", 0)
+    )
+    _send(sock, b"B", body)
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert any(t == b"E" for t, _ in msgs)
+    assert _data_rows(_simple_query(sock, buf, "SELECT 1 AS ok")) == [[b"1"]]
