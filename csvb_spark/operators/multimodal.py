@@ -573,6 +573,68 @@ def jpeg_round_trip(docs: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_mulaw(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL G.711 μ-law WAV bytes per document — a
+    genuine COMPANDED audio codec (format tag 7), not raw PCM:
+    RIFF/WAVE with an 18-byte fmt chunk, the spec-required fact
+    chunk, and a μ-law-coded data chunk whose BYTES are arithmetic in
+    ``doc_id`` — the decode expansion is pure integer arithmetic
+    (CCITT G.711), so a SQL oracle can replay byte → 16-bit sample →
+    rms/peak without any codec library. Map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pandas as _pd
+
+        def _wav(doc_id: int) -> bytes:
+            n = 400 + doc_id % 100
+            data = bytes((i * 7 + doc_id * 13) % 256 for i in range(n))
+            sr = 8000
+            fmt = _struct.pack("<HHIIHHH", 7, 1, sr, sr, 1, 8, 0)
+            fact = _struct.pack("<I", n)
+            body = (
+                b"WAVE"
+                + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+                + b"fact" + _struct.pack("<I", len(fact)) + fact
+                + b"data" + _struct.pack("<I", n) + data
+                + (b"\x00" if n % 2 else b"")
+            )
+            return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [_wav(i) for i in ids],
+                    "mime": ["audio/basic"] * len(ids),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary, mime string"
+    )
+
+
+def mulaw_round_trip(docs: DataFrame) -> DataFrame:
+    """documents → REAL μ-law WAV bytes → REAL decode (G.711
+    expansion to 16-bit PCM). rms/peak are rounded to 6 here because
+    they pass through sqrt/div (sqrt is correctly rounded per IEEE so
+    this is belt-and-braces); everything else is exact integer
+    metadata. The x88 oracle replays the companding law in SQL."""
+    return decode_media_features(synthesize_mulaw(docs)).select(
+        "doc_id",
+        "n_channels",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+        "decoded",
+    )
+
+
 def png_round_trip(docs: DataFrame) -> DataFrame:
     """documents → REAL PNG bytes → REAL decode (inflate + unfilter).
     Output: ``(doc_id, width, height, mean_r, mean_g, mean_b,
@@ -621,15 +683,68 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 "decoded": False,
             }
 
+        def _parse_riff_mulaw(p: bytes):
+            """G.711 μ-law WAV (format tag 7, 8-bit): RIFF chunk walk
+            + the CCITT expansion — pure integer arithmetic, so the
+            x88 SQL oracle replays it. Returns (nch, sr, pcm int16
+            array) or None."""
+            if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                return None
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(p):
+                cid = p[pos : pos + 4]
+                ln = int.from_bytes(p[pos + 4 : pos + 8], "little")
+                body = p[pos + 8 : pos + 8 + ln]
+                pos += 8 + ln + (ln & 1)
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+            if fmt is None or data is None or len(fmt) < 16:
+                return None
+            tag = int.from_bytes(fmt[0:2], "little")
+            nch = int.from_bytes(fmt[2:4], "little")
+            sr = int.from_bytes(fmt[4:8], "little")
+            bits = int.from_bytes(fmt[14:16], "little")
+            if tag != 7 or bits != 8 or nch < 1 or sr <= 0:
+                return None
+            u = _np.frombuffer(data, dtype=_np.uint8)
+            x = (~u).astype(_np.int64) & 0xFF
+            t = (((x & 15) << 3) + 132) << ((x >> 4) & 7)
+            pcm = _np.where(x & 0x80, 132 - t, t - 132)
+            return nch, sr, pcm
+
         def _decode_wav(doc_id: int, p: bytes) -> dict:
-            with _wave.open(_io.BytesIO(p), "rb") as w:
-                nch, sw, sr, n = (
-                    w.getnchannels(),
-                    w.getsampwidth(),
-                    w.getframerate(),
-                    w.getnframes(),
+            try:
+                with _wave.open(_io.BytesIO(p), "rb") as w:
+                    nch, sw, sr, n = (
+                        w.getnchannels(),
+                        w.getsampwidth(),
+                        w.getframerate(),
+                        w.getnframes(),
+                    )
+                    raw = w.readframes(n)
+            except _wave.Error:
+                # stdlib wave is PCM-only; companded formats (G.711
+                # μ-law, tag 7) decode via the manual RIFF walk
+                mu = _parse_riff_mulaw(p)
+                if mu is None:
+                    return _null_row(doc_id, p)
+                nch, sr, pcm = mu
+                x = pcm.astype(_np.float64) / 32768.0
+                n = len(pcm) // nch
+                row = _null_row(doc_id, p)
+                row.update(
+                    kind="audio",
+                    n_channels=nch,
+                    sample_rate=sr,
+                    n_samples=n,
+                    duration_ms=round(n * 1000.0 / sr, 6),
+                    rms=float(_np.sqrt(_np.mean(x * x))) if len(x) else 0.0,
+                    peak=float(_np.max(_np.abs(x))) if len(x) else 0.0,
+                    decoded=True,
                 )
-                raw = w.readframes(n)
+                return row
             dt = {1: _np.uint8, 2: _np.int16, 4: _np.int32}.get(sw)
             if dt is None:
                 return _null_row(doc_id, p)

@@ -70,15 +70,18 @@ oracle predicting the decoded channel means from doc_id arithmetic,
 x86 token-distribution drift (KL-contribution top-k between corpus
 snapshots, corpus_diff's monitoring twin).
 
-Round-7 addition: x87 REAL baseline-JPEG decode round trip — genuine
-entropy-coded JFIF synthesized (canonical Huffman tables, DC
+Round-7 additions: x87 REAL baseline-JPEG decode round trip —
+genuine entropy-coded JFIF synthesized (canonical Huffman tables, DC
 prediction, run-length AC, byte stuffing) and decoded stdlib+NumPy-
 only; constant blocks survive the uniform quantizer exactly, so the
-oracle predicts the decoded means from doc_id arithmetic. With PNG
-(x85) and JPEG both real, the x13/x18 multimodal stubs' rows-only
-justification now covers only audio codecs (MP3 — no codec library
-in this environment).
-Corpus: 124 entries, 119 with full oracles.
+oracle predicts the decoded means from doc_id arithmetic. x88 REAL
+G.711 mu-law audio decode round trip — companded WAV (format tag 7)
+expanded to 16-bit PCM via the CCITT law, pure integer arithmetic,
+so the oracle replays byte → sample → rms/peak entirely in SQL. With
+PNG (x85), JPEG, and mu-law all real, the x13/x18 multimodal stubs'
+rows-only justification now covers only codecs needing external
+libraries (MP3).
+Corpus: 125 entries, 120 with full oracles.
 """
 
 from __future__ import annotations

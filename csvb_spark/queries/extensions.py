@@ -2918,3 +2918,45 @@ FROM bxy
 GROUP BY doc_id
 """,
 )
+
+
+# --- round 7: REAL G.711 mu-law audio decode round trip ----------------
+# The audio half of the multimodal stub shrinks: synthesize_mulaw
+# emits genuine companded WAV files (format tag 7 — not raw PCM) whose
+# mu-law BYTES are arithmetic in doc_id, and the decoder expands them
+# to 16-bit samples via the CCITT G.711 law — pure integer arithmetic,
+# so the oracle replays byte → sample → rms/peak entirely in SQL
+# (sum of exact int squares / 2^30 / n; sqrt is correctly rounded per
+# IEEE-754, so the rounded-6 values agree bit-for-bit). Only formats
+# needing external codec libraries (MP3) remain out of decode scope.
+_q(
+    "x88_mulaw_decode_round_trip",
+    spark=lambda spark, sf: multimodal.mulaw_round_trip(_docs(spark, sf)),
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, 400 + doc_id % 100 AS n FROM documents
+), idx AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM base
+), inv AS (
+  SELECT doc_id, n, 255 - ((i * 7 + doc_id * 13) % 256) AS x FROM idx
+), pcm AS (
+  SELECT doc_id, n,
+         CASE WHEN (x & 128) <> 0
+              THEN 132 - ((((x & 15) * 8) + 132) << ((x >> 4) & 7))
+              ELSE ((((x & 15) * 8) + 132) << ((x >> 4) & 7)) - 132
+         END AS s
+  FROM inv
+)
+SELECT doc_id,
+       CAST(1 AS INT) AS n_channels,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       ROUND(MAX(n) * 1000.0 / 8000, 6) AS duration_ms,
+       ROUND(sqrt((CAST(SUM(s * s) AS DOUBLE) / 1073741824.0) / MAX(n)), 6)
+         AS rms,
+       ROUND(CAST(MAX(ABS(s)) AS DOUBLE) / 32768.0, 6) AS peak,
+       TRUE AS decoded
+FROM pcm
+GROUP BY doc_id
+""",
+)

@@ -419,3 +419,73 @@ def test_jpeg_huffman_tables_are_honored_not_assumed(spark):
         _media_df(spark, [(3, bytearray(bad))])
     ).collect()[0]
     assert (not r.decoded) or r.mean_r != base.mean_r
+
+
+# --- round 7: G.711 mu-law, a real companded audio codec ---------------------
+def test_mulaw_round_trip_matches_integer_replay(spark):
+    """The decoded rms/peak equal an independent pure-Python replay of
+    the CCITT expansion — one wrong shift or bias moves them."""
+    import math
+
+    from csvb_spark.operators.multimodal import mulaw_round_trip
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id bigint")
+    for r in mulaw_round_trip(docs).collect():
+        n = 400 + r.doc_id % 100
+        pcm = []
+        for i in range(n):
+            x = 255 - ((i * 7 + r.doc_id * 13) % 256)
+            t = (((x & 15) << 3) + 132) << ((x >> 4) & 7)
+            pcm.append(132 - t if x & 0x80 else t - 132)
+        assert r.decoded and (r.n_channels, r.sample_rate) == (1, 8000)
+        assert r.n_samples == n
+        assert r.rms == round(
+            math.sqrt((sum(s * s for s in pcm) / 1073741824.0) / n), 6
+        )
+        assert r.peak == round(max(abs(s) for s in pcm) / 32768.0, 6)
+
+
+def test_mulaw_extremes_decode_to_known_samples(spark):
+    """Known G.711 anchor points: byte 0x7F decodes to 0 (positive
+    zero), 0xFF to 0 (negative zero), 0x00 to -32124 (the mu-law
+    maximum magnitude) — checked through a hand-built WAV payload."""
+    import struct as _struct
+
+    from csvb_spark.operators.multimodal import decode_media_features
+
+    data = bytes([0x00, 0x7F, 0xFF, 0x80])
+    fmt = _struct.pack("<HHIIHHH", 7, 1, 8000, 8000, 1, 8, 0)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    wav = b"RIFF" + _struct.pack("<I", len(body)) + body
+    r = decode_media_features(
+        _media_df(spark, [(1, bytearray(wav))])
+    ).collect()[0]
+    assert r.decoded and r.n_samples == 4
+    # peak = |-32124| / 32768; byte 0x80 is +32124 (sign bit clear
+    # after inversion), bytes 0x7F/0xFF are the two zeros
+    assert r.peak == 32124 / 32768.0
+
+
+def test_mulaw_corrupt_and_pcm_regression(spark):
+    """A truncated mu-law RIFF falls through decoded=false, and plain
+    PCM WAVs still take the stdlib wave path (regression)."""
+    from csvb_spark.operators.multimodal import (
+        decode_media_features,
+        synthesize_media,
+        synthesize_mulaw,
+    )
+
+    docs = spark.createDataFrame([(2,)], "doc_id bigint")
+    mu = bytes(synthesize_mulaw(docs).collect()[0].payload)
+    r = decode_media_features(
+        _media_df(spark, [(2, bytearray(mu[:20]))])
+    ).collect()[0]
+    assert not r.decoded
+    pcm = decode_media_features(
+        synthesize_media(docs)  # even id → 16-bit PCM WAV
+    ).collect()[0]
+    assert pcm.decoded and pcm.kind == "audio" and pcm.sample_rate == 8000

@@ -970,3 +970,11 @@ def test_jpeg_pipeline_is_map_only(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(jpeg_round_trip(docs))
     assert "Exchange" not in plan
+
+
+def test_mulaw_pipeline_is_map_only(spark, sf_dir):
+    from csvb_spark.operators.multimodal import mulaw_round_trip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(mulaw_round_trip(docs))
+    assert "Exchange" not in plan
