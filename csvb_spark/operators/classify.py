@@ -84,11 +84,18 @@ def hashed_features(text_col: str | Column = "text") -> Column:
     # dropped by the join path's explode but pass through the formula
     # fold as NULL — divergent outputs for the same model
     t = tokens(F.lower(F.coalesce(c, F.lit(""))))
+    # zip_with over two slices, NOT transform(sequence(...), i ->
+    # slice(t, i, 2)): expressions referenced INSIDE a higher-order
+    # lambda re-evaluate per element, so the sequence form re-ran the
+    # tokenizer split once per bigram — quadratic in document length
+    # (measured 3.1 s → linear on the sf0.1 feature explode). zip_with
+    # children evaluate once per row.
     bigrams = F.when(
         F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.concat(t, bigrams)

@@ -52,17 +52,26 @@ def _toks(text_col: str):
 def _bigrams(t):
     """Consecutive-token pair array for a token-array column — ONE
     definition shared by train and score, so the bigram shape can
-    never drift between them (and break x84 parity)."""
-    return F.when(
-        F.size(t) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.struct(
-                F.element_at(t, i).alias("w1"),
-                F.element_at(t, i + 1).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    never drift between them (and break x84 parity).
+
+    Shape matters 35x here: the earlier ``transform(sequence(...),
+    i -> struct(element_at(t, i), element_at(t, i+1)))`` form
+    re-evaluated the token expression PER ELEMENT inside the lambda —
+    when ``t`` is the tokenizer (a regex split), that meant one
+    re-split of the document per bigram, turning a linear explode
+    into a quadratic one (measured 5.6 s → 0.16 s on the sf0.1 train
+    pass). ``slice`` + ``arrays_zip`` copies the materialized array
+    twice and zips — no lambda, no re-evaluation. Callers ALSO
+    project the tokenizer into a real column first (CollapseProject
+    keeps multi-referenced non-trivial expressions un-inlined, so the
+    split stays evaluated once per row)."""
+    z = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 1).alias("w1"),
+        F.slice(t, 2, F.size(t) - 1).alias("w2"),
+    )
+    return F.when(F.size(t) >= 2, z).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
 
 
 def bigram_lm_train(
@@ -75,11 +84,13 @@ def bigram_lm_train(
     (single fixed-width shuffle); the model size is bounded by the
     corpus vocabulary, not its row count.
     """
-    t = _toks(text_col)
-    unis = docs.select(F.explode(t).alias("w1")).select(
+    tok = docs.select(_toks(text_col).alias("_t"))
+    unis = tok.select(F.explode("_t").alias("w1")).select(
         "w1", F.lit(None).cast("string").alias("w2")
     )
-    bis = docs.select(F.explode(_bigrams(t)).alias("b")).select("b.w1", "b.w2")
+    bis = tok.select(F.explode(_bigrams(F.col("_t"))).alias("b")).select(
+        "b.w1", "b.w2"
+    )
     return unis.union(bis).groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
 
 
@@ -218,6 +229,15 @@ def perplexity_score(
             f"perplexity_score: alpha must be a positive int, got {alpha!r}"
         )
     spark = docs.sparkSession
+    # The model is consumed THREE times below (size/V probe + the two
+    # broadcast builds); if it arrives as an unmaterialized plan — in
+    # particular bigram_lm_train's full-corpus aggregation — each
+    # consumer would re-execute that aggregation (cross-job, so
+    # exchange reuse cannot save it). Materialize once: the model is
+    # vocabulary-bounded, so executor-local storage is cheap, and the
+    # train-then-score pipeline pays for ONE training pass.
+    # (Measured: 3.2x on the sf0.1 train+score benchmark entry.)
+    lm = lm.localCheckpoint(eager=True)
     uni = lm.filter(F.col("w2").isNull()).select(
         F.col("w1").alias("_c_w1"), F.col("cnt").alias("_c1")
     )
@@ -249,7 +269,6 @@ def perplexity_score(
     if broadcast_model:
         uni, bi = F.broadcast(uni), F.broadcast(bi)
 
-    t = _toks(text_col)
     # every document emits its bigrams PLUS one NULL sentinel pair, so
     # short documents (no bigrams) survive the explode and the corpus
     # is scanned exactly once — no second filter pass, no anti-join
@@ -259,10 +278,15 @@ def perplexity_score(
             F.lit(None).cast("string").alias("w2"),
         )
     )
-    pairs = docs.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.concat(_bigrams(t), sentinel)).alias("b"),
-    ).select("_id", "b.w1", "b.w2")
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("_id"), _toks(text_col).alias("_t")
+        )
+        .select(
+            "_id", F.explode(F.concat(_bigrams(F.col("_t")), sentinel)).alias("b")
+        )
+        .select("_id", "b.w1", "b.w2")
+    )
     joined = (
         pairs.join(bi, (pairs.w1 == bi._b_w1) & (pairs.w2 == bi._b_w2), "left")
         .join(uni, pairs.w1 == uni._c_w1, "left")
@@ -293,6 +317,128 @@ def perplexity_score(
     # value, which differs when the repr lands exactly on a half
     # boundary (observed once in 5,000 docs at sf0.1). ppl must round
     # because exp() itself is only ulp-identical across engines.
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        avg_nll.alias("avg_neg_logprob"),
+        F.round(F.exp(avg_nll), 6).alias("ppl"),
+    )
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    discount_milli: int = 750,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity — the smoothing real
+    n-gram quality filters use (KenLM/CCNet's default) rather than
+    add-alpha: probability mass is discounted from SEEN bigrams and
+    redistributed by CONTINUATION counts (in how many distinct
+    contexts a word completes), which scores boilerplate far better
+    than raw frequency smoothing.
+
+    ``lm`` is the ``bigram_lm_train`` output (only its bigram rows are
+    used — every other statistic KN needs derives from them):
+    context totals ``c(w1) = Σ_w2 c(w1,w2)``, context fan-out
+    ``N1+(w1·)``, continuation counts ``N1+(·w2)``, and the scalars
+    ``B = N1+(··)`` (distinct bigram types) and ``V`` (continuation
+    vocabulary). With an add-one continuation floor for OOV words:
+
+        Pcont(w2)  = (N1+(·w2) + 1) / (B + V + 1)
+        P(w2|w1)   = [max(c2·1000 − D, 0)·(B+V+1) + D·N1+(w1·)·(N1+(·w2)+1)]
+                     / [1000·c1·(B+V+1)]                (w1 seen)
+                   = Pcont(w2)                          (w1 unseen)
+
+    where ``D = discount_milli`` keeps the discount an INTEGER
+    milli-unit, so numerator and denominator are exact int64 products
+    and each probability is ONE IEEE division of exact integers — the
+    same determinism contract as ``perplexity_score`` (ln rounded to
+    6, quantized to DECIMAL(18,6), order-independent decimal sum;
+    module doc). The x89 oracle replays every derived statistic and
+    the full formula as chained CTEs.
+
+    Plan shape: the model-derived tables (bigrams, context totals,
+    continuation counts) are vocabulary-bounded and BROADCAST; the
+    corpus is tokenized and scored map-side in one scan (NULL-
+    sentinel trick for short documents) — no shuffle touches corpus
+    rows until the per-document rollup on ``doc_id``.
+    """
+    if not isinstance(discount_milli, int) or not 0 < discount_milli < 1000:
+        raise ValueError(
+            "kneser_ney_score: discount_milli must be an int in (0, 1000),"
+            f" got {discount_milli!r}"
+        )
+    # four consumers (ctx/cont/scalars/broadcast join) — materialize
+    # the vocabulary-bounded model once (see perplexity_score)
+    lm = lm.localCheckpoint(eager=True)
+    bi = lm.filter(F.col("w2").isNotNull()).select("w1", "w2", "cnt")
+    ctx = bi.groupBy("w1").agg(
+        F.sum("cnt").alias("_c1"), F.count("*").alias("_n1fwd")
+    )
+    cont = bi.groupBy("w2").agg(F.count("*").alias("_n1bwd"))
+    # scalars: distinct bigram types + continuation vocabulary — one
+    # bounded agg over the model, like perplexity_score's V probe
+    b_types, v_cont = bi.agg(
+        F.count("*").alias("b"), F.countDistinct("w2").alias("v")
+    ).first()
+    scale = int(b_types) + int(v_cont) + 1
+    dm = int(discount_milli)
+
+    sentinel = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+        )
+    )
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("_id"), _toks(text_col).alias("_t")
+        )
+        .select(
+            "_id", F.explode(F.concat(_bigrams(F.col("_t")), sentinel)).alias("b")
+        )
+        .select("_id", "b.w1", "b.w2")
+    )
+    j = (
+        pairs.join(
+            F.broadcast(bi.withColumnRenamed("cnt", "_c2")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(F.broadcast(ctx), ["w1"], "left")
+        .join(F.broadcast(cont), ["w2"], "left")
+    )
+    n1b = F.coalesce(F.col("_n1bwd"), F.lit(0)) + F.lit(1)
+    num_seen = (
+        F.greatest(
+            F.coalesce(F.col("_c2"), F.lit(0)) * F.lit(1000) - F.lit(dm),
+            F.lit(0),
+        )
+        * F.lit(scale)
+        + F.lit(dm) * F.col("_n1fwd") * n1b
+    )
+    den_seen = F.lit(1000) * F.col("_c1") * F.lit(scale)
+    p = F.when(
+        F.col("_c1").isNotNull(),
+        num_seen.cast("double") / den_seen.cast("double"),
+    ).otherwise(n1b.cast("double") / F.lit(scale).cast("double"))
+    q = F.when(
+        F.col("w1").isNotNull(), F.round(F.log(p), 6).cast("decimal(18,6)")
+    )
+    per_doc = j.select(
+        "_id",
+        F.col("w1").isNotNull().cast("bigint").alias("_is_bg"),
+        q.alias("_q"),
+    ).groupBy("_id").agg(
+        F.sum("_is_bg").alias("n_bigrams"),
+        F.sum("_q").alias("_total"),
+    )
+    avg_nll = F.when(
+        F.col("n_bigrams") > 0,
+        -(F.col("_total").cast("double") / F.col("n_bigrams").cast("double")),
+    )
     return per_doc.select(
         F.col("_id").alias(id_col),
         "n_bigrams",

@@ -2960,3 +2960,74 @@ FROM pcm
 GROUP BY doc_id
 """,
 )
+
+
+# --- round 7: interpolated Kneser-Ney bigram perplexity ----------------
+# The smoothing real n-gram quality filters use (KenLM/CCNet default):
+# mass discounted from seen bigrams, redistributed by CONTINUATION
+# counts, add-one continuation floor for OOV. Trained on the EVEN half
+# and scoring ALL documents so both the seen-context and unseen-
+# context (backoff-to-continuation) branches exercise. Integer
+# milli-unit discount keeps every numerator/denominator an exact int64
+# product, so each probability is one IEEE division and the oracle
+# replays every derived statistic (context totals, fan-outs,
+# continuation counts, scalars) as chained CTEs.
+_q(
+    "x89_kneser_ney_perplexity",
+    spark=lambda spark, sf: LM.kneser_ney_score(
+        _docs(spark, sf),
+        LM.bigram_lm_train(_docs(spark, sf).filter(F.col("doc_id") % 2 == 0)),
+    ),
+    oracle=r"""
+WITH toks_tr AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents WHERE doc_id % 2 = 0
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM (
+    SELECT w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+          FROM toks_tr) s
+  ) GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS n1fwd
+  FROM bc GROUP BY w1
+), cont AS (
+  SELECT w2, COUNT(*) AS n1bwd FROM bc GROUP BY w2
+), scal AS (
+  SELECT COUNT(*) + COUNT(DISTINCT w2) + 1 AS scale FROM bc
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), bis AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), q AS (
+  SELECT b.doc_id,
+         CAST(round(ln(
+           CASE WHEN ctx.c1 IS NOT NULL THEN
+             CAST(GREATEST(COALESCE(bc.c2, 0) * 1000 - 750, 0)
+                    * (SELECT scale FROM scal)
+                  + 750 * ctx.n1fwd * (COALESCE(cont.n1bwd, 0) + 1)
+                  AS DOUBLE)
+             / CAST(1000 * ctx.c1 * (SELECT scale FROM scal) AS DOUBLE)
+           ELSE
+             CAST(COALESCE(cont.n1bwd, 0) + 1 AS DOUBLE)
+             / CAST((SELECT scale FROM scal) AS DOUBLE)
+           END), 6) AS DECIMAL(18,6)) AS q
+  FROM bis b
+  LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  LEFT JOIN ctx ON b.w1 = ctx.w1
+  LEFT JOIN cont ON b.w2 = cont.w2
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(q) AS total FROM q GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       -(CAST(sc.total AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE))
+         AS avg_neg_logprob,
+       ROUND(exp(-(CAST(sc.total AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE))), 6)
+         AS ppl
+FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+""",
+)

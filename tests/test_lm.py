@@ -241,3 +241,82 @@ def test_cli_score_lm_null_ppl_passes_gate(spark, tmp_path, capsys):
     assert all(r["keep"] is True for r in rows.values())
     # the summary counts ALL kept docs, including the NULL-ppl one
     assert "| 3      | 3      |" in capsys.readouterr().out.replace("\n", "")
+
+
+# --- round 7: interpolated Kneser-Ney ----------------------------------------
+def test_kneser_ney_separates_gibberish(spark):
+    """KN perplexity ranks an out-of-domain gibberish document above
+    every fluent in-domain document (the quality-filter contract),
+    including under a held-out model where its bigrams are unseen."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.lm import bigram_lm_train, kneser_ney_score
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat again"),
+        (2, "the dog sat on the mat"),
+        (3, "the cat slept on the mat"),
+        (4, "zzq wxv gibberish unseen tokens qqx"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    lm = bigram_lm_train(docs.filter(F.col("doc_id") < 4))
+    got = {r.doc_id: r.ppl for r in kneser_ney_score(docs, lm).collect()}
+    assert got[4] == max(got.values())
+    assert all(got[i] < got[4] for i in range(4))
+
+
+def test_kneser_ney_probabilities_nearly_normalize(spark):
+    """For a seen context, summing P(w2|w1) over the continuation
+    vocabulary must land near 1 (the discount redistribution is mass-
+    preserving up to the documented add-one OOV floor)."""
+    import math
+
+    from csvb_spark.operators.lm import bigram_lm_train, kneser_ney_score
+
+    docs = spark.createDataFrame(
+        [(0, "a b a c a b a d b c d a")], "doc_id bigint, text string"
+    )
+    lm = bigram_lm_train(docs)
+    bi = {(r.w1, r.w2): r.cnt for r in lm.collect() if r.w2 is not None}
+    vocab = sorted({w2 for _, w2 in bi})
+    B, V = len(bi), len(vocab)
+    scale = B + V + 1
+    c1 = {}
+    n1fwd = {}
+    n1bwd = {}
+    for (w1, w2), c in bi.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1fwd[w1] = n1fwd.get(w1, 0) + 1
+        n1bwd[w2] = n1bwd.get(w2, 0) + 1
+    total = sum(
+        (
+            max(bi.get(("a", w2), 0) * 1000 - 750, 0) * scale
+            + 750 * n1fwd["a"] * (n1bwd.get(w2, 0) + 1)
+        )
+        / (1000 * c1["a"] * scale)
+        for w2 in vocab
+    )
+    assert 0.9 < total <= 1.05  # mass-preserving up to the OOV floor
+    # and the operator's own scores agree with this hand replay for
+    # one concrete bigram-only document
+    probe = spark.createDataFrame([(9, "a b")], "doc_id bigint, text string")
+    r = kneser_ney_score(probe, lm).collect()[0]
+    p_ab = (
+        max(bi[("a", "b")] * 1000 - 750, 0) * scale
+        + 750 * n1fwd["a"] * (n1bwd["b"] + 1)
+    ) / (1000 * c1["a"] * scale)
+    # one bigram: q = round(ln(p), 6); ppl = round(exp(-q), 6)
+    assert r.ppl == round(math.exp(-round(math.log(p_ab), 6)), 6)
+
+
+def test_kneser_ney_rejects_bad_discount(spark):
+    import pytest as _pytest
+
+    from csvb_spark.operators.lm import bigram_lm_train, kneser_ney_score
+
+    docs = spark.createDataFrame([(0, "a b")], "doc_id bigint, text string")
+    lm = bigram_lm_train(docs)
+    for bad in (0, 1000, 1.5, -5):
+        with _pytest.raises(ValueError, match="discount_milli"):
+            kneser_ney_score(docs, lm, discount_milli=bad)

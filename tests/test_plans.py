@@ -978,3 +978,18 @@ def test_mulaw_pipeline_is_map_only(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = _plan(mulaw_round_trip(docs))
     assert "Exchange" not in plan
+
+
+def test_kneser_ney_scoring_broadcasts_model_tables(spark, sf_dir):
+    """All three model-derived tables (bigrams, context totals,
+    continuation counts) broadcast: the corpus is never sort-merged
+    on a token key."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.lm import bigram_lm_train, kneser_ney_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = bigram_lm_train(docs.filter(F.col("doc_id") % 2 == 0))
+    plan = _plan(kneser_ney_score(docs, lm))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
