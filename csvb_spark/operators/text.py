@@ -407,10 +407,15 @@ def bigram_familiarity(
         F.explode(
             F.when(
                 F.size(t) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 1),
-                    lambda i: gram_key_struct(
-                        F.concat_ws(" ", F.slice(t, i, 2)), wide_gram_keys
+                # zip_with over shifted slices, not transform(sequence):
+                # an outer expression inside a HOF lambda re-evaluates
+                # per element — the sequence form re-ran the tokenizer
+                # split once per bigram (see dedup.word_shingles)
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: gram_key_struct(
+                        F.concat_ws(" ", a, b), wide_gram_keys
                     ),
                 ),
             ).otherwise(
@@ -480,10 +485,15 @@ def dsir_weights(
         F.explode(
             F.when(
                 F.size(t) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - 1),
-                    lambda i: gram_key_struct(
-                        F.concat_ws(" ", F.slice(t, i, 2)), wide_gram_keys
+                # zip_with over shifted slices, not transform(sequence):
+                # an outer expression inside a HOF lambda re-evaluates
+                # per element — the sequence form re-ran the tokenizer
+                # split once per bigram (see dedup.word_shingles)
+                F.zip_with(
+                    F.slice(t, 1, F.size(t) - 1),
+                    F.slice(t, 2, F.size(t) - 1),
+                    lambda a, b: gram_key_struct(
+                        F.concat_ws(" ", a, b), wide_gram_keys
                     ),
                 ),
             ).otherwise(
