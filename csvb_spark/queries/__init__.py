@@ -80,8 +80,10 @@ expanded to 16-bit PCM via the CCITT law, pure integer arithmetic,
 so the oracle replays byte → sample → rms/peak entirely in SQL. With
 PNG (x85), JPEG, and mu-law all real, the x13/x18 multimodal stubs'
 rows-only justification now covers only codecs needing external
-libraries (MP3).
-Corpus: 125 entries, 120 with full oracles.
+libraries (MP3). x89 adds interpolated Kneser-Ney bigram perplexity
+(the KenLM/CCNet smoothing; every statistic derives from the bigram
+count model, integer milli-unit discount, full chained-CTE oracle).
+Corpus: 126 entries, 121 with full oracles.
 """
 
 from __future__ import annotations
