@@ -600,3 +600,69 @@ def budget_select(
             ).alias("keep"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Seeded weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis exponential-sort trick, the standard way to
+    draw a fixed-size weighted sample from a distributed table in one
+    pass: every row gets the key ``-ln(u) / w`` from a per-row
+    deterministic uniform ``u`` and its weight ``w``; the ``k``
+    smallest keys ARE a weighted sample without replacement (each
+    key is an Exponential(w) draw; the argmin of exponentials picks
+    proportionally to rates, and the property telescopes).
+
+    Scale shape: map-side key computation + ONE TakeOrderedAndProject
+    (partial top-k on every partition, k rows to the driver-side
+    merge) — no shuffle of the table, no global sort. This is the
+    curation-time "draw 1M docs proportional to quality" primitive;
+    ``budget_select`` is its deterministic-rank sibling when you want
+    the BEST rows rather than a proportional draw.
+
+    Determinism (engine-portable, like every sampling op here): ``u``
+    derives from ``md5(id:seed)``'s first 8 hex chars — 32 bits,
+    shifted into (0, 1) as ``(h + 1) / (2^32 + 1)`` so ``ln`` never
+    sees 0 or 1; the key is rounded to 9 decimals with ``id`` as the
+    tie-break, so the selected set replays exactly in SQL (x90).
+
+    NULL or non-positive weights raise in-plan (``assert_true``)
+    rather than silently biasing the draw.
+
+    Output: the sampled rows ``(id, weight, skey)``, ``skey`` ASC.
+    """
+    if k <= 0:
+        raise ValueError(f"weighted_sample: k must be positive, got {k}")
+    w = (
+        F.when(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0),
+            F.col(weight_col),
+        )
+        .otherwise(
+            F.assert_true(
+                F.col(weight_col).isNotNull() & (F.col(weight_col) > 0),
+                F.lit(
+                    f"weighted_sample: weight_col {weight_col!r} must be"
+                    " positive and non-NULL for every row"
+                ),
+            ).cast(dict(df.dtypes)[weight_col])
+        )
+        .cast("double")
+    )
+    h = F.conv(F.substring(md5_key(id_col, seed), 1, 8), 16, 10).cast("bigint")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967297.0)
+    skey = F.round(-F.log(u) / w, 9)
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col),
+            skey.alias("skey"),
+        )
+        .orderBy(F.asc("skey"), F.asc(id_col))
+        .limit(k)
+    )

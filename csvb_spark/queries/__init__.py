@@ -83,7 +83,9 @@ rows-only justification now covers only codecs needing external
 libraries (MP3). x89 adds interpolated Kneser-Ney bigram perplexity
 (the KenLM/CCNet smoothing; every statistic derives from the bigram
 count model, integer milli-unit discount, full chained-CTE oracle).
-Corpus: 126 entries, 121 with full oracles.
+x90 adds Efraimidis-Spirakis weighted sampling without replacement
+(md5-derived uniforms, one TakeOrderedAndProject, no table shuffle).
+Corpus: 127 entries, 122 with full oracles.
 """
 
 from __future__ import annotations

@@ -3031,3 +3031,52 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
 """,
 )
+
+
+# --- round 7: weighted sampling without replacement --------------------
+# Efraimidis-Spirakis exponential sort: key = -ln(u)/w from a
+# deterministic md5-derived uniform; the k smallest keys are a
+# weighted sample without replacement, drawn with ONE map-side pass +
+# TakeOrderedAndProject (no shuffle of the table). Weight = token
+# count here, so long documents are proportionally overrepresented —
+# the "draw N docs proportional to size/quality" curation primitive.
+# The oracle replays hash → uniform → key → top-k in SQL.
+from csvb_spark.operators import splits as SPLITS  # noqa: E402
+
+_q(
+    "x90_weighted_sample",
+    spark=lambda spark, sf: SPLITS.weighted_sample(
+        _docs(spark, sf).select(
+            "doc_id",
+            F.greatest(
+                F.size(
+                    F.split(
+                        F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+                    )
+                ),
+                F.lit(1),
+            ).alias("w"),
+        ),
+        k=50,
+        weight_col="w",
+    ),
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id,
+         GREATEST(len(string_split_regex(trim(coalesce(text, '')), '\s+')), 1)
+           AS w
+  FROM documents
+), keyed AS (
+  SELECT doc_id, w,
+         ROUND(
+           -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
+                + 1) / 4294967297.0)
+           / CAST(w AS DOUBLE), 9) AS skey
+  FROM base
+)
+SELECT doc_id, w, skey
+FROM keyed
+ORDER BY skey ASC, doc_id ASC
+LIMIT 50
+""",
+)

@@ -361,3 +361,50 @@ def test_budget_select_exact_with_exchange_reuse_disabled(spark):
     for doc_id, _s, tok in sorted(rows, key=lambda r: (-r[1], r[0])):
         cum += tok
         assert got[doc_id] == (cum, cum <= 1500)
+
+
+def test_weighted_sample_properties(spark):
+    """Determinism, proportionality, and the in-plan weight guard:
+    a 1000x-weight row is effectively always drawn; re-runs pick the
+    identical set; NULL/zero weights raise."""
+    import pytest as _pytest
+
+    from csvb_spark.operators.splits import weighted_sample
+
+    rows = [(i, 1000 if i == 0 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w int")
+    got = weighted_sample(df, k=10, weight_col="w").collect()
+    assert len(got) == 10
+    assert 0 in {r.doc_id for r in got}  # P(miss) ~ (1/1000)^something
+    again = weighted_sample(df, k=10, weight_col="w").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in again]
+    # output is skey-ascending with the id tie-break
+    keys = [(r.skey, r.doc_id) for r in got]
+    assert keys == sorted(keys)
+
+    # different seeds draw different sets (with overwhelming prob.)
+    other = {r.doc_id for r in weighted_sample(df, 10, "w", seed=99).collect()}
+    assert other != {r.doc_id for r in got}
+
+    with _pytest.raises(ValueError, match="k must be positive"):
+        weighted_sample(df, 0, "w")
+    bad = spark.createDataFrame([(1, None)], "doc_id bigint, w int")
+    with _pytest.raises(Exception, match="must be.*positive|assert"):
+        weighted_sample(bad, 1, "w").collect()
+
+
+def test_weighted_sample_plan_is_take_ordered(spark, sf_dir):
+    """One map-side key projection + TakeOrderedAndProject — the
+    table is never globally sorted or shuffled."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.splits import weighted_sample
+    from tests.test_plans import _plan
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.length("text").alias("w"))
+    )
+    plan = _plan(weighted_sample(docs, 20, "w"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
