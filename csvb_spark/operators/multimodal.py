@@ -573,14 +573,20 @@ def jpeg_round_trip(docs: DataFrame) -> DataFrame:
     )
 
 
-def synthesize_mulaw(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic REAL G.711 μ-law WAV bytes per document — a
-    genuine COMPANDED audio codec (format tag 7), not raw PCM:
-    RIFF/WAVE with an 18-byte fmt chunk, the spec-required fact
-    chunk, and a μ-law-coded data chunk whose BYTES are arithmetic in
-    ``doc_id`` — the decode expansion is pure integer arithmetic
+def synthesize_mulaw(
+    docs: DataFrame, id_col: str = "doc_id", law: str = "mu"
+) -> DataFrame:
+    """Deterministic REAL G.711 companded WAV bytes per document —
+    μ-law (format tag 7, default) or A-law (``law='a'``, tag 6), not
+    raw PCM: RIFF/WAVE with an 18-byte fmt chunk, the spec-required
+    fact chunk, and a companded data chunk whose BYTES are arithmetic
+    in ``doc_id`` — the decode expansion is pure integer arithmetic
     (CCITT G.711), so a SQL oracle can replay byte → 16-bit sample →
-    rms/peak without any codec library. Map-only."""
+    rms/peak without any codec library (x88 replays the μ-law path;
+    A-law is pytest-replayed). Map-only."""
+    if law not in ("mu", "a"):
+        raise ValueError(f"synthesize_mulaw: unknown law {law!r}")
+    tag = 7 if law == "mu" else 6
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct
@@ -591,7 +597,7 @@ def synthesize_mulaw(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             n = 400 + doc_id % 100
             data = bytes((i * 7 + doc_id * 13) % 256 for i in range(n))
             sr = 8000
-            fmt = _struct.pack("<HHIIHHH", 7, 1, sr, sr, 1, 8, 0)
+            fmt = _struct.pack("<HHIIHHH", tag, 1, sr, sr, 1, 8, 0)
             fact = _struct.pack("<I", n)
             body = (
                 b"WAVE"
@@ -684,10 +690,11 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             }
 
         def _parse_riff_mulaw(p: bytes):
-            """G.711 μ-law WAV (format tag 7, 8-bit): RIFF chunk walk
-            + the CCITT expansion — pure integer arithmetic, so the
-            x88 SQL oracle replays it. Returns (nch, sr, pcm int16
-            array) or None."""
+            """G.711 companded WAV (format tag 7 = μ-law, tag 6 =
+            A-law; 8-bit): RIFF chunk walk + the CCITT expansion —
+            pure integer arithmetic, so the x88 SQL oracle replays
+            the μ-law path. Returns (nch, sr, pcm int16 array) or
+            None."""
             if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
                 return None
             pos, fmt, data = 12, None, None
@@ -706,12 +713,27 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             nch = int.from_bytes(fmt[2:4], "little")
             sr = int.from_bytes(fmt[4:8], "little")
             bits = int.from_bytes(fmt[14:16], "little")
-            if tag != 7 or bits != 8 or nch < 1 or sr <= 0:
+            if tag not in (6, 7) or bits != 8 or nch < 1 or sr <= 0:
                 return None
             u = _np.frombuffer(data, dtype=_np.uint8)
-            x = (~u).astype(_np.int64) & 0xFF
-            t = (((x & 15) << 3) + 132) << ((x >> 4) & 7)
-            pcm = _np.where(x & 0x80, 132 - t, t - 132)
+            if tag == 7:  # μ-law
+                x = (~u).astype(_np.int64) & 0xFF
+                t = (((x & 15) << 3) + 132) << ((x >> 4) & 7)
+                pcm = _np.where(x & 0x80, 132 - t, t - 132)
+            else:  # A-law
+                x = (u.astype(_np.int64)) ^ 0x55
+                seg = (x & 0x70) >> 4
+                t = (x & 15) << 4
+                t = _np.where(
+                    seg == 0,
+                    t + 8,
+                    _np.where(
+                        seg == 1,
+                        t + 0x108,
+                        (t + 0x108) << _np.maximum(seg - 1, 0),
+                    ),
+                )
+                pcm = _np.where(x & 0x80, t, -t)
             return nch, sr, pcm
 
         def _decode_wav(doc_id: int, p: bytes) -> dict:

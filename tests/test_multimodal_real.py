@@ -489,3 +489,47 @@ def test_mulaw_corrupt_and_pcm_regression(spark):
         synthesize_media(docs)  # even id → 16-bit PCM WAV
     ).collect()[0]
     assert pcm.decoded and pcm.kind == "audio" and pcm.sample_rate == 8000
+
+
+def test_alaw_decode_matches_integer_replay(spark):
+    """A-law (format tag 6) expands via the CCITT segment law; the
+    decoded rms/peak equal an independent pure-Python replay, and the
+    known anchor byte 0x55 (xor -> 0) decodes to -8."""
+    import math
+
+    from csvb_spark.operators.multimodal import (
+        decode_media_features,
+        synthesize_mulaw,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id bigint")
+    got = {
+        r.doc_id: r
+        for r in decode_media_features(
+            synthesize_mulaw(docs, law="a")
+        ).collect()
+    }
+
+    def expand(b):
+        x = b ^ 0x55
+        seg = (x & 0x70) >> 4
+        t = (x & 15) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if x & 0x80 else -t
+
+    assert expand(0x55) == -8  # anchor: quietest negative step
+    assert max(abs(expand(b)) for b in range(256)) == 32256  # A-law max
+    for d in range(6):
+        n = 400 + d % 100
+        pcm = [expand((i * 7 + d * 13) % 256) for i in range(n)]
+        r = got[d]
+        assert r.decoded and r.n_samples == n and r.sample_rate == 8000
+        assert r.rms == float(
+            math.sqrt((sum(s * s for s in pcm) / 1073741824.0) / n)
+        )
+        assert r.peak == max(abs(s) for s in pcm) / 32768.0
