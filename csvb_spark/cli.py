@@ -533,14 +533,18 @@ def main(argv: list[str] | None = None) -> int:
             )
             # same rule as the streaming ingest gate (_accept_batch):
             # documents with no bigram evidence (NULL ppl) PASS the LM
-            # gate — other rules decide their fate. keep is therefore
-            # always a real boolean, never three-valued NULL (which
-            # the n_keep summary would silently exclude).
+            # gate — other rules decide their fate. Without --max-ppl
+            # there IS no gate, so keep is uniformly true (n_keep ==
+            # n_docs) — NOT a was-scorable flag, which would mark the
+            # same no-evidence document false here and true under any
+            # threshold (a looser constraint flipping a doc from
+            # rejected to accepted). keep is always a real boolean,
+            # never three-valued NULL.
             keep = (
                 F.col("ppl").isNull()
                 | (F.col("ppl") <= F.lit(float(args.max_ppl)))
                 if args.max_ppl is not None
-                else F.col("ppl").isNotNull()
+                else F.lit(True)
             )
             scored = scored.withColumn("keep", keep)
         if args.output:

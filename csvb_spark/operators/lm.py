@@ -237,6 +237,10 @@ def perplexity_score(
     # vocabulary-bounded, so executor-local storage is cheap, and the
     # train-then-score pipeline pays for ONE training pass.
     # (Measured: 3.2x on the sf0.1 train+score benchmark entry.)
+    # Caveat: localCheckpoint blocks are not executor-loss-recoverable
+    # (lineage truncated); losing one fails the query cleanly — on
+    # preemptible clusters write the trained model to parquet and
+    # score from that instead (the CLI train-filter/score split).
     lm = lm.localCheckpoint(eager=True)
     uni = lm.filter(F.col("w2").isNull()).select(
         F.col("w1").alias("_c_w1"), F.col("cnt").alias("_c1")
@@ -347,17 +351,21 @@ def kneser_ney_score(
     vocabulary). With an add-one continuation floor for OOV words:
 
         Pcont(w2)  = (N1+(·w2) + 1) / (B + V + 1)
-        P(w2|w1)   = [max(c2·1000 − D, 0)·(B+V+1) + D·N1+(w1·)·(N1+(·w2)+1)]
-                     / [1000·c1·(B+V+1)]                (w1 seen)
-                   = Pcont(w2)                          (w1 unseen)
+        P(w2|w1)   = max(c2·1000 − D, 0) / (1000·c1)
+                     + [D·N1+(w1·) / (1000·c1)] · Pcont(w2)   (w1 seen)
+                   = Pcont(w2)                                (w1 unseen)
 
     where ``D = discount_milli`` keeps the discount an INTEGER
-    milli-unit, so numerator and denominator are exact int64 products
-    and each probability is ONE IEEE division of exact integers — the
-    same determinism contract as ``perplexity_score`` (ln rounded to
-    6, quantized to DECIMAL(18,6), order-independent decimal sum;
-    module doc). The x89 oracle replays every derived statistic and
-    the full formula as chained CTEs.
+    milli-unit. Every int64 operand stays bounded by
+    1000 × (corpus bigram tokens) — deliberately NOT the
+    cross-multiplied single-fraction form, whose numerator/denominator
+    products (…·(B+V+1)) overflow int64 for realistically sized
+    models. The probability is three IEEE double ops in a pinned tree
+    shape (``t1 + (t2 · pc)``), bit-identical on any engine; the rest
+    is the ``perplexity_score`` determinism contract (ln rounded to
+    6, quantized to DECIMAL(18,6), order-independent decimal sum).
+    The x89 oracle replays every derived statistic and the same
+    expression tree as chained CTEs.
 
     Plan shape: the model-derived tables (bigrams, context totals,
     continuation counts) are vocabulary-bounded and BROADCAST; the
@@ -411,19 +419,24 @@ def kneser_ney_score(
         .join(F.broadcast(cont), ["w2"], "left")
     )
     n1b = F.coalesce(F.col("_n1bwd"), F.lit(0)) + F.lit(1)
-    num_seen = (
-        F.greatest(
-            F.coalesce(F.col("_c2"), F.lit(0)) * F.lit(1000) - F.lit(dm),
-            F.lit(0),
-        )
-        * F.lit(scale)
-        + F.lit(dm) * F.col("_n1fwd") * n1b
+    # Per-term double divisions, NEVER the cross-multiplied int64 form
+    # (max(c2·1000−D,0)·scale and 1000·c1·scale overflow int64 for a
+    # realistically sized model — c1 ~ 6e7 for a hot context times
+    # scale ~ 3e8 bigram types exceeds 2^63). Each factor here stays
+    # bounded by 1000 × (corpus bigram tokens) — exact int64 with
+    # ~400x headroom even at petatoken scale — and the probability is
+    # three IEEE ops in a PINNED order (t1 + (t2 · pc)), which any
+    # engine reproduces bit-for-bit; the x89 oracle mirrors the same
+    # tree shape.
+    disc = F.greatest(
+        F.coalesce(F.col("_c2"), F.lit(0)) * F.lit(1000) - F.lit(dm),
+        F.lit(0),
     )
-    den_seen = F.lit(1000) * F.col("_c1") * F.lit(scale)
-    p = F.when(
-        F.col("_c1").isNotNull(),
-        num_seen.cast("double") / den_seen.cast("double"),
-    ).otherwise(n1b.cast("double") / F.lit(scale).cast("double"))
+    den = F.lit(1000) * F.col("_c1")
+    t1 = disc.cast("double") / den.cast("double")
+    t2 = (F.lit(dm) * F.col("_n1fwd")).cast("double") / den.cast("double")
+    pc = n1b.cast("double") / F.lit(scale).cast("double")
+    p = F.when(F.col("_c1").isNotNull(), t1 + (t2 * pc)).otherwise(pc)
     q = F.when(
         F.col("w1").isNotNull(), F.round(F.log(p), 6).cast("decimal(18,6)")
     )

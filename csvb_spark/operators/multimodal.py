@@ -664,11 +664,32 @@ def decode_media_features(media: DataFrame) -> DataFrame:
     features over the actual pixel array. Arrow-batched, map-only."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import functools as _functools
         import io as _io
         import wave as _wave
 
         import numpy as _np
         import pandas as _pd
+
+        @_functools.lru_cache(maxsize=1)
+        def _jpeg_consts():
+            # zigzag order + orthonormal DCT basis: built once per
+            # task, not per payload (the synthesize side hoists the
+            # identical constants to its iterator scope)
+            zz = sorted(
+                ((i, j) for i in range(8) for j in range(8)),
+                key=lambda t: (
+                    t[0] + t[1],
+                    t[0] if (t[0] + t[1]) % 2 else -t[0],
+                ),
+            )
+            ax = _np.arange(8)
+            A = (
+                _np.cos((2 * ax[None, :] + 1) * ax[:, None] * _np.pi / 16)
+                / 2.0
+            )
+            A[0, :] /= _np.sqrt(2.0)
+            return zz, A
 
         def _null_row(doc_id: int, p: bytes) -> dict:
             return {
@@ -890,16 +911,7 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             # None (→ decoded=false), like every other sniff here.
             if p[:2] != b"\xff\xd8":
                 return None
-            zz = sorted(
-                ((i, j) for i in range(8) for j in range(8)),
-                key=lambda t: (
-                    t[0] + t[1],
-                    t[0] if (t[0] + t[1]) % 2 else -t[0],
-                ),
-            )
-            ax = _np.arange(8)
-            A = _np.cos((2 * ax[None, :] + 1) * ax[:, None] * _np.pi / 16) / 2.0
-            A[0, :] /= _np.sqrt(2.0)
+            zz, A = _jpeg_consts()
             qt: dict[int, list[int]] = {}
             huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
             w = h = None

@@ -524,6 +524,16 @@ def budget_select(
     (default: the cluster's default parallelism) because AQE never
     coalesces a user-specified partition count.
 
+    Operational caveat: ``localCheckpoint`` truncates lineage, so its
+    blocks are NOT recoverable if an executor holding them is lost —
+    on preemptible/spot clusters or with aggressive dynamic
+    allocation, an executor loss between the checkpoint and the
+    consuming branches fails the query (a clean retry-the-job
+    failure, never silent corruption). On such clusters prefer a
+    reliable checkpoint directory (``sparkContext.setCheckpointDir``
+    + ``.checkpoint()`` on the same slice — identical semantics,
+    HDFS/object-store durability) and re-run this operator on top.
+
     NULL handling: a NULL score or token count raises at execution
     (in-plan ``assert_true``) rather than silently dropping the row —
     score every document (or ``coalesce`` a sentinel) before

@@ -3004,13 +3004,17 @@ WITH toks_tr AS (
         FROM toks) s
 ), q AS (
   SELECT b.doc_id,
+         -- per-term double divisions in the same pinned tree shape as
+         -- the operator (t1 + (t2 * pc)) — the cross-multiplied int64
+         -- single-fraction form overflows for realistic model sizes
          CAST(round(ln(
            CASE WHEN ctx.c1 IS NOT NULL THEN
-             CAST(GREATEST(COALESCE(bc.c2, 0) * 1000 - 750, 0)
-                    * (SELECT scale FROM scal)
-                  + 750 * ctx.n1fwd * (COALESCE(cont.n1bwd, 0) + 1)
-                  AS DOUBLE)
-             / CAST(1000 * ctx.c1 * (SELECT scale FROM scal) AS DOUBLE)
+             CAST(GREATEST(COALESCE(bc.c2, 0) * 1000 - 750, 0) AS DOUBLE)
+               / CAST(1000 * ctx.c1 AS DOUBLE)
+             + (CAST(750 * ctx.n1fwd AS DOUBLE)
+                  / CAST(1000 * ctx.c1 AS DOUBLE))
+               * (CAST(COALESCE(cont.n1bwd, 0) + 1 AS DOUBLE)
+                    / CAST((SELECT scale FROM scal) AS DOUBLE))
            ELSE
              CAST(COALESCE(cont.n1bwd, 0) + 1 AS DOUBLE)
              / CAST((SELECT scale FROM scal) AS DOUBLE)
