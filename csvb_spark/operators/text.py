@@ -683,3 +683,94 @@ def normalize_text(
         norm.alias("norm_text"),
         (~norm.eqNullSafe(F.col(text_col))).alias("changed"),
     )
+
+
+def calibrate_keep_threshold(
+    df: DataFrame,
+    keep_num: int,
+    keep_den: int,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Quantile-calibrated quality gating: find the LARGEST observed
+    score threshold ``t`` such that at least ``keep_num/keep_den`` of
+    the corpus scores ``>= t``, and mark ``keep = score >= t`` — the
+    standard way to turn "keep the best 30%" into a fixed, auditable
+    threshold (fixed thresholds mis-calibrate as the corpus mix
+    shifts; per-GROUP adaptation is :func:`adaptive_quality_filter`,
+    this is the corpus-global twin that yields one reusable number).
+
+    Exact and engine-portable, not approxQuantile: scores here are
+    QUANTIZED (``quality_score`` rounds to 2 decimals), so the
+    distinct-score histogram is bounded — one fixed-width groupBy, a
+    cumulative sum over that bounded table, and integer quota
+    comparisons (``cum·den >= num·n`` — no float ratio, so engines
+    cannot disagree on the boundary). The guard raises if the score
+    column has more than ``max_distinct`` distinct values (use a
+    quantized score, or raise the bound knowingly: the histogram
+    cumsum runs single-partition).
+
+    NULL scores raise in-plan (``assert_true``) — score every
+    document before calibrating (NULL ordering differs across
+    engines, so silently grouping them would be non-portable).
+
+    Output: ``(id, score, threshold, keep)``; at least the requested
+    fraction is kept, with minimal overshoot (ties at the threshold
+    all kept). Driver traffic is three bounded scalars.
+    """
+    from pyspark.sql import Window
+
+    if keep_den <= 0 or not 0 < keep_num <= keep_den:
+        raise ValueError(
+            "calibrate_keep_threshold: need 0 < keep_num <= keep_den,"
+            f" got {keep_num}/{keep_den}"
+        )
+    score_t = dict(df.dtypes)[score_col]
+    s = (
+        F.when(F.col(score_col).isNotNull(), F.col(score_col))
+        .otherwise(
+            F.assert_true(
+                F.col(score_col).isNotNull(),
+                F.lit(
+                    f"calibrate_keep_threshold: NULL in {score_col!r} —"
+                    " score every document before calibrating"
+                ),
+            ).cast(score_t)
+        )
+        .alias("_ck_s")
+    )
+    scored = df.select(F.col(id_col), s)
+    stats = scored.agg(
+        F.count("*").alias("n"), F.countDistinct("_ck_s").alias("d")
+    ).first()
+    n, d = int(stats["n"]), int(stats["d"])
+    if d > max_distinct:
+        raise ValueError(
+            f"calibrate_keep_threshold: {d} distinct scores exceeds"
+            f" max_distinct={max_distinct}; quantize the score first"
+        )
+    if n == 0:
+        return df.select(
+            F.col(id_col),
+            F.col(score_col),
+            F.lit(None).cast(score_t).alias("threshold"),
+            F.lit(False).alias("keep"),
+        )
+    w = Window.orderBy(F.desc("_ck_s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    thr = (
+        scored.groupBy("_ck_s")
+        .agg(F.count("*").alias("_n"))
+        .withColumn("_cum", F.sum("_n").over(w))
+        .filter(F.col("_cum") * F.lit(int(keep_den)) >= F.lit(int(keep_num)) * F.lit(n))
+        .agg(F.max("_ck_s"))
+        .first()[0]
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(score_col),
+        F.lit(thr).cast(score_t).alias("threshold"),
+        (F.col(score_col) >= F.lit(thr)).alias("keep"),
+    )

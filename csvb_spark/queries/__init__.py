@@ -85,7 +85,10 @@ libraries (MP3). x89 adds interpolated Kneser-Ney bigram perplexity
 count model, integer milli-unit discount, full chained-CTE oracle).
 x90 adds Efraimidis-Spirakis weighted sampling without replacement
 (md5-derived uniforms, one TakeOrderedAndProject, no table shuffle).
-Corpus: 127 entries, 122 with full oracles.
+x91 adds quantile-calibrated quality gating (largest threshold
+meeting a keep-rate quota — exact integer comparisons over the
+bounded distinct-score histogram, no approxQuantile).
+Corpus: 128 entries, 123 with full oracles.
 """
 
 from __future__ import annotations

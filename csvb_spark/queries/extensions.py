@@ -3084,3 +3084,49 @@ ORDER BY skey ASC, doc_id ASC
 LIMIT 50
 """,
 )
+
+
+# --- round 7: quantile-calibrated quality threshold --------------------
+# "Keep the best 30%" turned into a fixed auditable threshold: the
+# largest observed score t with #(score >= t) * den >= num * n. Exact
+# over the bounded distinct-score histogram (quality_score quantizes
+# to 2 decimals) with integer quota comparisons — no approxQuantile,
+# no float ratio an engine could disagree on. The oracle replays the
+# score formula (p04's), the histogram cumsum, and the quota.
+_q(
+    "x91_calibrated_threshold",
+    spark=lambda spark, sf: text.calibrate_keep_threshold(
+        text.quality_score(_docs(spark, sf)).select("doc_id", "quality_score"),
+        keep_num=3,
+        keep_den=10,
+    ),
+    oracle=r"""
+WITH q AS (
+  SELECT doc_id,
+         ROUND(CAST(
+           (CASE WHEN length(text) < 64 THEN 0.2 ELSE 0.5 END)
+           + (CASE WHEN len(list_intersect(string_split_regex(trim(text), '\s+'),
+                          ['the','and','of','to','a','in','is','it'])) > 0
+                   THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                        / length(text) < 0.1
+                   THEN 0.2 ELSE 0.0 END) AS DOUBLE), 2) AS s
+  FROM documents
+), c AS (
+  SELECT s, COUNT(*) AS n FROM q GROUP BY s
+), cum AS (
+  SELECT s, SUM(n) OVER (ORDER BY s DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn
+  FROM c
+), tot AS (
+  SELECT COUNT(*) AS n FROM q
+), thr AS (
+  SELECT MAX(s) AS t FROM cum WHERE cn * 10 >= 3 * (SELECT n FROM tot)
+)
+SELECT doc_id,
+       s AS quality_score,
+       (SELECT t FROM thr) AS threshold,
+       s >= (SELECT t FROM thr) AS keep
+FROM q
+""",
+)

@@ -408,3 +408,38 @@ def test_weighted_sample_plan_is_take_ordered(spark, sf_dir):
     plan = _plan(weighted_sample(docs, 20, "w"))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_calibrate_keep_threshold_exact_quota(spark):
+    """The chosen threshold keeps >= the requested fraction with
+    minimal overshoot; NULL scores raise; cardinality guard fires."""
+    import pytest as _pytest
+
+    from csvb_spark.operators.text import calibrate_keep_threshold
+
+    # scores 0.0 .. 0.9, ten docs each → keep 3/10 means t = 0.7
+    rows = [(i, round((i % 10) * 0.1, 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, quality_score double")
+    out = calibrate_keep_threshold(df, 3, 10).collect()
+    assert all(r.threshold == 0.7 for r in out)
+    kept = [r for r in out if r.keep]
+    assert len(kept) == 30 and all(r.quality_score >= 0.7 for r in kept)
+
+    # quota not divisible: 3/7 of 100 → 42.85… → first cum >= 42.86
+    out2 = calibrate_keep_threshold(df, 3, 7).collect()
+    n_kept = sum(r.keep for r in out2)
+    assert n_kept >= 100 * 3 / 7
+    # minimal overshoot: dropping the threshold bucket goes under quota
+    t = out2[0].threshold
+    below = sum(1 for r in out2 if r.quality_score > t)
+    assert below < 100 * 3 / 7
+
+    with _pytest.raises(ValueError, match="keep_num"):
+        calibrate_keep_threshold(df, 0, 10)
+    bad = spark.createDataFrame(
+        [(1, None)], "doc_id bigint, quality_score double"
+    )
+    with _pytest.raises(Exception, match="NULL|assert"):
+        calibrate_keep_threshold(bad, 1, 2).collect()
+    with _pytest.raises(ValueError, match="distinct"):
+        calibrate_keep_threshold(df, 1, 2, max_distinct=3)
