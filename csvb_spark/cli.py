@@ -255,6 +255,39 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pq.add_argument("--output", default=None, help="write scored rows here")
 
+    pv = sub.add_parser(
+        "sample",
+        help="draw a deterministic sample: weighted (proportional to a "
+        "column), per-group stratified, or token-budget curation",
+    )
+    pv.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pv.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pv.add_argument("--json", action="append", default=[], metavar="PATH")
+    pv.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pv.add_argument(
+        "--method",
+        choices=("weighted", "per-group", "budget"),
+        default="weighted",
+    )
+    pv.add_argument("--k", type=int, default=None, help="sample size")
+    pv.add_argument(
+        "--weight-col", default=None, help="weighted: positive weight column"
+    )
+    pv.add_argument(
+        "--group-col",
+        action="append",
+        default=[],
+        help="per-group: stratum column(s)",
+    )
+    pv.add_argument(
+        "--budget", type=int, default=None, help="budget: token budget"
+    )
+    pv.add_argument("--score-col", default="quality_score")
+    pv.add_argument("--tokens-col", default="n_tokens")
+    pv.add_argument("--id-col", default="doc_id")
+    pv.add_argument("--seed", type=int, default=7)
+    pv.add_argument("--output", default=None, help="write sampled rows here")
+
     pf = sub.add_parser("federate", help="serve a federated virtual table")
     pf.add_argument("--table-name", required=True)
     pf.add_argument(
@@ -557,6 +590,60 @@ def main(argv: list[str] | None = None) -> int:
             F.sum(F.col("keep").cast("bigint")).alias("n_keep"),
         )
         print(render_df(summary))
+        return 0
+
+    if args.command == "sample":
+        from pyspark.sql import functions as F
+
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        table = spark.table(args.table_name)
+        if args.method == "weighted":
+            if args.k is None or args.weight_col is None:
+                raise SystemExit(
+                    "sample --method weighted requires --k and --weight-col"
+                )
+            from csvb_spark.operators.splits import weighted_sample
+
+            out = weighted_sample(
+                table,
+                k=args.k,
+                weight_col=args.weight_col,
+                id_col=args.id_col,
+                seed=args.seed,
+            )
+        elif args.method == "per-group":
+            if args.k is None or not args.group_col:
+                raise SystemExit(
+                    "sample --method per-group requires --k and --group-col"
+                )
+            from csvb_spark.operators.splits import sample_per_group
+
+            out = sample_per_group(
+                table,
+                tuple(args.group_col),
+                args.k,
+                id_col=args.id_col,
+                seed=args.seed,
+            )
+        else:
+            if args.budget is None:
+                raise SystemExit("sample --method budget requires --budget")
+            from csvb_spark.operators.splits import budget_select
+
+            out = budget_select(
+                table,
+                budget=args.budget,
+                score_col=args.score_col,
+                tokens_col=args.tokens_col,
+                id_col=args.id_col,
+            ).filter(F.col("keep"))
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            out = spark.read.parquet(args.output)
+        print(render_df(out.agg(F.count("*").alias("n_sampled"))))
         return 0
 
     if args.command == "federate":

@@ -320,3 +320,55 @@ def test_kneser_ney_rejects_bad_discount(spark):
     for bad in (0, 1000, 1.5, -5):
         with _pytest.raises(ValueError, match="discount_milli"):
             kneser_ney_score(docs, lm, discount_milli=bad)
+
+
+def test_cli_sample_methods(spark, tmp_path, capsys):
+    """The sample subcommand drives all three deterministic draws and
+    writes the sampled rows; flag misuse is a loud SystemExit."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(40)),
+            "w": [1 + i % 5 for i in range(40)],
+            "grp": ["a" if i % 2 else "b" for i in range(40)],
+            "quality_score": [round((i % 10) * 0.1, 1) for i in range(40)],
+            "n_tokens": [10] * 40,
+        }
+    ).to_parquet(data)
+
+    out = str(tmp_path / "s1")
+    assert main(
+        ["sample", "--parquet", data, "--method", "weighted",
+         "--k", "7", "--weight-col", "w", "--output", out]
+    ) == 0
+    assert "| 7" in capsys.readouterr().out
+    assert spark.read.parquet(out).count() == 7
+
+    out2 = str(tmp_path / "s2")
+    assert main(
+        ["sample", "--parquet", data, "--method", "per-group",
+         "--k", "3", "--group-col", "grp", "--output", out2]
+    ) == 0
+    capsys.readouterr()
+    got = spark.read.parquet(out2)
+    assert got.count() == 6  # 3 per group x 2 groups
+
+    out3 = str(tmp_path / "s3")
+    assert main(
+        ["sample", "--parquet", data, "--method", "budget",
+         "--budget", "50", "--output", out3]
+    ) == 0
+    capsys.readouterr()
+    assert spark.read.parquet(out3).count() == 5  # 50 tokens / 10 each
+
+    with _pytest.raises(SystemExit, match="weighted requires"):
+        main(["sample", "--parquet", data, "--method", "weighted"])
+    with _pytest.raises(SystemExit, match="per-group requires"):
+        main(["sample", "--parquet", data, "--method", "per-group"])
+    with _pytest.raises(SystemExit, match="budget requires"):
+        main(["sample", "--parquet", data, "--method", "budget"])
