@@ -195,3 +195,36 @@ def test_interval_binary_decode_renders_or_refuses(micros, days, months) -> None
         assert "''" not in lit or "'" not in text  # no breakout
         inner = lit[len("INTERVAL '") : -1]
         assert "'" not in inner.replace("''", "")
+
+
+# --- round 7: nested (multi-D) array text round trip -------------------------
+@given(
+    st.lists(
+        st.lists(_array_elem, min_size=1, max_size=5),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_pg_nested_array_text_round_trips(rows) -> None:
+    """2-D arrays render and re-parse losslessly: sub-arrays nest
+    unquoted braces; every element-quoting case of the 1-D test holds
+    inside a sub-array too."""
+    from csvb_spark.server.pgwire import (
+        _parse_pg_array_text,
+        _pg_array_elem_text,
+    )
+
+    rendered = (
+        "{"
+        + ",".join(
+            "{"
+            + ",".join(
+                "NULL" if e is None else _pg_array_elem_text(e) for e in row
+            )
+            + "}"
+            for row in rows
+        )
+        + "}"
+    )
+    assert _parse_pg_array_text(rendered) == rows
