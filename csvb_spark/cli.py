@@ -253,6 +253,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="LM mode: keep documents with perplexity <= this",
     )
+    pq.add_argument(
+        "--smoothing",
+        choices=("addk", "kn"),
+        default="addk",
+        help="LM mode: add-k (default) or interpolated Kneser-Ney "
+        "(continuation-count redistribution, the KenLM/CCNet default)",
+    )
     pq.add_argument("--output", default=None, help="write scored rows here")
 
     pv = sub.add_parser(
@@ -533,6 +540,10 @@ def main(argv: list[str] | None = None) -> int:
         if args.method == "classifier":
             if args.max_ppl is not None:
                 raise SystemExit("score: --max-ppl applies to --method lm only")
+            if args.smoothing != "addk":
+                raise SystemExit(
+                    "score: --smoothing applies to --method lm only"
+                )
             from csvb_spark.operators.classify import linear_classifier_score
 
             weights = (
@@ -554,16 +565,27 @@ def main(argv: list[str] | None = None) -> int:
                     "score: --threshold applies to --method classifier only;"
                     " use --max-ppl for the LM gate"
                 )
-            from csvb_spark.operators.lm import perplexity_score
+            from csvb_spark.operators.lm import (
+                kneser_ney_score,
+                perplexity_score,
+            )
 
             lm = spark.read.parquet(args.model)
-            scored = perplexity_score(
-                table,
-                lm,
-                text_col=args.text_col,
-                id_col=args.id_col,
-                broadcast_model=True,
-            )
+            if args.smoothing == "kn":
+                scored = kneser_ney_score(
+                    table,
+                    lm,
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                )
+            else:
+                scored = perplexity_score(
+                    table,
+                    lm,
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                    broadcast_model=True,
+                )
             # same rule as the streaming ingest gate (_accept_batch):
             # documents with no bigram evidence (NULL ppl) PASS the LM
             # gate — other rules decide their fate. Without --max-ppl

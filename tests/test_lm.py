@@ -372,3 +372,45 @@ def test_cli_sample_methods(spark, tmp_path, capsys):
         main(["sample", "--parquet", data, "--method", "per-group"])
     with _pytest.raises(SystemExit, match="budget requires"):
         main(["sample", "--parquet", data, "--method", "budget"])
+
+
+def test_cli_score_lm_kn_smoothing(spark, tmp_path, capsys):
+    """--smoothing kn routes through the Kneser-Ney scorer; the
+    gibberish document still ranks worst, and cross-method misuse is
+    a loud error."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": [
+                "the cat sat on the mat",
+                "the cat sat on the mat again",
+                "the cat slept on the mat",
+                "the mat sat on the cat",
+                "zzq wxv unseen gibberish tokens here",
+            ],
+        }
+    ).to_parquet(data)
+    model_dir = str(tmp_path / "lm_model")
+    assert main(
+        ["train-filter", "--parquet", data, "--method", "lm",
+         "--output", model_dir]
+    ) == 0
+    capsys.readouterr()
+
+    out_dir = str(tmp_path / "kn_scored")
+    assert main(
+        ["score", "--parquet", data, "--method", "lm", "--model", model_dir,
+         "--smoothing", "kn", "--max-ppl", "1e6", "--output", out_dir]
+    ) == 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[4]["ppl"] == max(r["ppl"] for r in rows.values())
+
+    with _pytest.raises(SystemExit, match="--smoothing applies"):
+        main(["score", "--parquet", data, "--method", "classifier",
+              "--smoothing", "kn"])
