@@ -125,3 +125,77 @@ def profile_table(df: DataFrame, exact: bool = False) -> DataFrame:
         .orderBy("ord")
         .drop("ord")
     )
+
+
+def skew_report(
+    df: DataFrame, key_col: str, k: int = 20
+) -> DataFrame:
+    """Hot-key diagnostics for shuffle planning: the top-``k`` keys by
+    exact count, each with its share of the table and the whole key
+    distribution's entropy — the pre-flight check before deciding
+    whether a 100 TB join/groupBy on this key needs salting, AQE skew
+    splitting, or a broadcast instead (a normalized entropy near 1 ⇒
+    uniform keys, shuffle freely; near 0 ⇒ a few keys own the table,
+    plan for skew).
+
+    Plan: one fixed-width groupBy on the key (the histogram), one
+    bounded aggregate over the histogram for the totals/entropy, and
+    a top-k (``TakeOrderedAndProject``) — the table itself is scanned
+    once and only (key, count) rows ever shuffle.
+
+    Determinism (engine-portable, x92): counts are exact int64;
+    ``share`` is one IEEE division rounded to 9; entropy uses
+    ``H = ln(N) − Σ n·ln(n) / N`` with each key's ``n·ln(n)`` rounded
+    to 6 and quantized to DECIMAL(18,6) (order-independent exact
+    sum), the final ``H`` and its ``ln(n_keys)``-normalized form
+    rounded to 6. ``norm_entropy`` is NULL for a single-key table.
+
+    Output (top-k rows, count DESC / key ASC): ``(key, n, share,
+    total_rows, n_keys, entropy, norm_entropy)`` — the last four are
+    table-level constants repeated per row so the report is one flat
+    result set.
+    """
+    if k <= 0:
+        raise ValueError(f"skew_report: k must be positive, got {k}")
+    hist = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    totals = hist.agg(
+        F.sum("n").alias("_N"),
+        F.count("*").alias("_K"),
+        F.sum(
+            F.round(F.col("n") * F.log(F.col("n")), 6).cast("decimal(18,6)")
+        ).alias("_nlogn"),
+    )
+    ent = F.round(
+        F.log(F.col("_N").cast("double"))
+        - F.col("_nlogn").cast("double") / F.col("_N").cast("double"),
+        6,
+    )
+    norm = F.when(
+        F.col("_K") > 1,
+        F.round(
+            (
+                F.log(F.col("_N").cast("double"))
+                - F.col("_nlogn").cast("double") / F.col("_N").cast("double")
+            )
+            / F.log(F.col("_K").cast("double")),
+            6,
+        ),
+    )
+    return (
+        hist.crossJoin(F.broadcast(totals))
+        .select(
+            "key",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_N").cast("double"), 9
+            ).alias("share"),
+            F.col("_N").alias("total_rows"),
+            F.col("_K").alias("n_keys"),
+            ent.alias("entropy"),
+            norm.alias("norm_entropy"),
+        )
+        .orderBy(F.desc("n"), F.asc("key"))
+        .limit(k)
+    )

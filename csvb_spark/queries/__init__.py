@@ -87,8 +87,10 @@ x90 adds Efraimidis-Spirakis weighted sampling without replacement
 (md5-derived uniforms, one TakeOrderedAndProject, no table shuffle).
 x91 adds quantile-calibrated quality gating (largest threshold
 meeting a keep-rate quota — exact integer comparisons over the
-bounded distinct-score histogram, no approxQuantile).
-Corpus: 128 entries, 123 with full oracles.
+bounded distinct-score histogram, no approxQuantile). x92 adds
+hot-key skew diagnostics (top-k keys, shares, normalized entropy —
+the salting/AQE pre-flight; exact counts, decimal-summed entropy).
+Corpus: 129 entries, 124 with full oracles.
 """
 
 from __future__ import annotations

@@ -3130,3 +3130,40 @@ SELECT doc_id,
 FROM q
 """,
 )
+
+
+# --- round 7: hot-key skew diagnostics ---------------------------------
+# The shuffle-planning pre-flight: top-k hottest join keys with exact
+# counts, shares, and the key distribution's (normalized) entropy.
+# Keyed on orders.o_custkey — a real join key of the schema. The
+# oracle replays histogram, entropy decimal-sum, and top-k in SQL.
+_q(
+    "x92_skew_report",
+    spark=lambda spark, sf: PR.skew_report(
+        spark.read.parquet(f"{sf}/orders.parquet"), "o_custkey", k=25
+    ),
+    oracle=r"""
+WITH hist AS (
+  SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS N,
+         COUNT(*) AS K,
+         SUM(CAST(round(n * ln(n), 6) AS DECIMAL(18,6))) AS nlogn
+  FROM hist
+)
+SELECT h.key, h.n,
+       ROUND(CAST(h.n AS DOUBLE) / CAST(t.N AS DOUBLE), 9) AS share,
+       t.N AS total_rows,
+       t.K AS n_keys,
+       ROUND(ln(CAST(t.N AS DOUBLE))
+             - CAST(t.nlogn AS DOUBLE) / CAST(t.N AS DOUBLE), 6) AS entropy,
+       CASE WHEN t.K > 1 THEN
+         ROUND((ln(CAST(t.N AS DOUBLE))
+                - CAST(t.nlogn AS DOUBLE) / CAST(t.N AS DOUBLE))
+               / ln(CAST(t.K AS DOUBLE)), 6)
+       END AS norm_entropy
+FROM hist h, tot t
+ORDER BY h.n DESC, h.key ASC
+LIMIT 25
+""",
+)

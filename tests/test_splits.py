@@ -443,3 +443,40 @@ def test_calibrate_keep_threshold_exact_quota(spark):
         calibrate_keep_threshold(bad, 1, 2).collect()
     with _pytest.raises(ValueError, match="distinct"):
         calibrate_keep_threshold(df, 1, 2, max_distinct=3)
+
+
+def test_skew_report_math_and_plan(spark, sf_dir):
+    """Entropy anchors: a uniform key distribution has norm_entropy
+    1.0, a constant key has entropy 0 and NULL norm; plan is one
+    groupBy + broadcast totals + TakeOrderedAndProject."""
+    import pytest as _pytest
+
+    from csvb_spark.operators.profile import skew_report
+    from tests.test_plans import _plan
+
+    uniform = spark.createDataFrame(
+        [(i % 8,) for i in range(800)], "k bigint"
+    )
+    u = skew_report(uniform, "k", k=10).collect()
+    assert len(u) == 8
+    assert all(r.norm_entropy == 1.0 and r.n == 100 for r in u)
+    assert all(r.share == 0.125 for r in u)
+
+    const = spark.createDataFrame([(1,)] * 50, "k bigint")
+    c = skew_report(const, "k", k=5).collect()
+    assert len(c) == 1 and c[0].entropy == 0.0 and c[0].norm_entropy is None
+
+    skewed = spark.createDataFrame(
+        [(0,)] * 900 + [(i,) for i in range(1, 101)], "k bigint"
+    )
+    s = skew_report(skewed, "k", k=3).collect()
+    assert s[0].key == 0 and s[0].share == 0.9
+    assert s[0].norm_entropy < 0.25  # concentrated → near 0
+
+    with _pytest.raises(ValueError, match="k must be positive"):
+        skew_report(uniform, "k", 0)
+
+    docs = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    plan = _plan(skew_report(docs, "o_custkey"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
