@@ -56,6 +56,7 @@ def _accept_batch(
     classifier_threshold: float | None = None,
     lm_model_dir: str | None = None,
     max_ppl: float | None = None,
+    lm_smoothing: str = "addk",
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code)."""
@@ -90,13 +91,16 @@ def _accept_batch(
         # map-only like the other gates; documents too short for
         # bigram evidence (NULL ppl) pass through — the rule gates,
         # not the LM, decide their fate
-        lm_keep = (
-            L.perplexity_score(
-                batch,
-                spark.read.parquet(lm_model_dir),
-                text_col=text_col,
-                broadcast_model=True,
+        lm = spark.read.parquet(lm_model_dir)
+        scored = (
+            L.kneser_ney_score(batch, lm, text_col=text_col)
+            if lm_smoothing == "kn"
+            else L.perplexity_score(
+                batch, lm, text_col=text_col, broadcast_model=True
             )
+        )
+        lm_keep = (
+            scored
             .filter(
                 F.col("ppl").isNull()
                 | (F.col("ppl") <= F.lit(float(max_ppl)))
@@ -166,6 +170,7 @@ def run_streaming_ingest(
     classifier_threshold: float | None = None,
     lm_model_dir: str | None = None,
     max_ppl: float | None = None,
+    lm_smoothing: str = "addk",
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
     micro-batch per file, so files model arrival order). Appends to
@@ -174,6 +179,10 @@ def run_streaming_ingest(
     if (lm_model_dir is None) != (max_ppl is None):
         raise ValueError(
             "run_streaming_ingest: lm_model_dir and max_ppl go together"
+        )
+    if lm_smoothing not in ("addk", "kn"):
+        raise ValueError(
+            f"run_streaming_ingest: unknown lm_smoothing {lm_smoothing!r}"
         )
     schema = spark.read.parquet(source_dir).schema
     q = (
@@ -197,6 +206,7 @@ def run_streaming_ingest(
                 classifier_threshold,
                 lm_model_dir,
                 max_ppl,
+                lm_smoothing,
             )
         )
         .start()

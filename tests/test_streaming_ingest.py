@@ -251,3 +251,64 @@ def test_streaming_ingest_perplexity_gate(spark, sf_dir, tmp_path):
             str(tmp_path / "ckpt2"),
             lm_model_dir=model_dir,
         )
+
+
+def test_streaming_ingest_kn_gate(spark, sf_dir, tmp_path):
+    """lm_smoothing='kn' routes the streaming LM gate through the
+    Kneser-Ney scorer: the same fluent/gibberish split holds, and an
+    unknown smoothing name is a loud error."""
+    import pytest
+
+    from csvb_spark.operators.lm import bigram_lm_train
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    fluent = (
+        "the cat sat on the mat and the dog slept in the sun while "
+        "the birds sang in the trees of the garden"
+    )
+    train = spark.createDataFrame(
+        [(i, fluent) for i in range(6)], "doc_id bigint, text string"
+    )
+    model_dir = str(tmp_path / "lm_kn")
+    bigram_lm_train(train).write.parquet(model_dir)
+
+    src = tmp_path / "src_kn"
+    src.mkdir()
+    _write_batch(
+        str(src / "b1.parquet"),
+        [
+            {"doc_id": 1, "text": fluent, "lang": "en", "source": "a"},
+            {
+                "doc_id": 2,
+                "text": "qqz wvx klm trp fgh bnj uio wer dsa zxc vbn mlp "
+                "the and of to in is it more padding words here now",
+                "lang": "en",
+                "source": "a",
+            },
+        ],
+    )
+    corpus = str(tmp_path / "corpus_kn")
+    run_streaming_ingest(
+        spark,
+        str(src),
+        corpus,
+        str(tmp_path / "index_kn"),
+        str(tmp_path / "ckpt_kn"),
+        lm_model_dir=model_dir,
+        max_ppl=20.0,  # fluent ppl ~2.06, gibberish ~46.7 (measured)
+        lm_smoothing="kn",
+    )
+    got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert 1 in got and 2 not in got
+
+    with pytest.raises(ValueError, match="lm_smoothing"):
+        run_streaming_ingest(
+            spark,
+            str(src),
+            corpus,
+            str(tmp_path / "index_kn2"),
+            str(tmp_path / "ckpt_kn2"),
+            lm_model_dir=model_dir,
+            max_ppl=20.0,
+            lm_smoothing="laplace",
+        )
