@@ -458,3 +458,211 @@ def kneser_ney_score(
         avg_nll.alias("avg_neg_logprob"),
         F.round(F.exp(avg_nll), 6).alias("ppl"),
     )
+
+
+def _trigrams(t):
+    """Consecutive-token triple array — the 3-gram sibling of
+    ``_bigrams`` (same zip_with-over-slices shape, same reason: no
+    per-element re-evaluation of the tokenizer)."""
+    z = F.arrays_zip(
+        F.slice(t, 1, F.size(t) - 2).alias("w1"),
+        F.slice(t, 2, F.size(t) - 2).alias("w2"),
+        F.slice(t, 3, F.size(t) - 2).alias("w3"),
+    )
+    return F.when(F.size(t) >= 3, z).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string,w3:string>>")
+    )
+
+
+def trigram_lm_train(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Train the 3-gram count model stupid-backoff scoring consumes:
+    one row per observed n-gram — trigram rows carry all three words,
+    bigram rows have ``w3 = NULL``, unigram rows ``w2 = w3 = NULL``.
+    One union of three map-side explodes + ONE groupBy (single
+    fixed-width shuffle); model size is bounded by the corpus's
+    distinct n-grams, not its row count.
+    """
+    tok = docs.select(_toks(text_col).alias("_t"))
+    unis = tok.select(F.explode("_t").alias("w1")).select(
+        "w1",
+        F.lit(None).cast("string").alias("w2"),
+        F.lit(None).cast("string").alias("w3"),
+    )
+    bis = tok.select(F.explode(_bigrams(F.col("_t"))).alias("b")).select(
+        "b.w1", "b.w2", F.lit(None).cast("string").alias("w3")
+    )
+    tris = tok.select(F.explode(_trigrams(F.col("_t"))).alias("b")).select(
+        "b.w1", "b.w2", "b.w3"
+    )
+    return (
+        unis.union(bis)
+        .union(tris)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    alpha_milli: int = 400,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Trigram "stupid backoff" scoring (Brants et al. 2007) — the
+    smoothing actually used for web-scale n-gram LMs because it needs
+    NO discount statistics, just raw counts with a fixed backoff
+    penalty:
+
+        S(w3|w1 w2) = c(w1 w2 w3) / c(w1 w2)          if seen
+                    = α · c(w2 w3) / c(w2)            else if seen
+                    = α² · c(w3) / N                  else if w3 seen
+                    = α² · 1 / N                      OOV floor
+
+    with ``α = alpha_milli / 1000`` (0.4, the published constant).
+    Scores are NOT normalized probabilities (the trade Brants makes
+    for scale); the per-document average negative log score and its
+    exponential still rank fluency exactly like perplexity, so the
+    output shape matches the other scorers:
+    ``(doc_id, n_trigrams, avg_neg_logscore, sppl)``. Documents with
+    fewer than three tokens carry NULL scores.
+
+    Determinism: every count ratio is ONE IEEE division of exact
+    int64s; α arrives as ``alpha_milli/1000`` (one exact-int
+    division — bit-identical to the literal the oracle writes), the
+    backoff multiplications follow a pinned tree shape, per-trigram
+    ``ln`` rounds to 6 into DECIMAL(18,6) (order-independent sum) —
+    the x93 oracle replays counts, backoff cases, and the rollup as
+    chained CTEs.
+
+    Plan: the (vocabulary-bounded) model materializes once
+    (localCheckpoint, same caveat as ``perplexity_score``), its
+    three derived tables broadcast, and the corpus is scanned once
+    (trigram explode + NULL sentinel, map-side).
+    """
+    if not isinstance(alpha_milli, int) or not 0 < alpha_milli < 1000:
+        raise ValueError(
+            "stupid_backoff_score: alpha_milli must be an int in (0, 1000),"
+            f" got {alpha_milli!r}"
+        )
+    lm = lm.localCheckpoint(eager=True)
+    tri = lm.filter(F.col("w3").isNotNull()).select(
+        F.col("w1").alias("_t_w1"),
+        F.col("w2").alias("_t_w2"),
+        F.col("w3").alias("_t_w3"),
+        F.col("cnt").alias("_c123"),
+    )
+    big = lm.filter(F.col("w3").isNull() & F.col("w2").isNotNull()).select(
+        F.col("w1").alias("_b_w1"),
+        F.col("w2").alias("_b_w2"),
+        F.col("cnt").alias("_b_cnt"),
+    )
+    uni = lm.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("_u_w1"), F.col("cnt").alias("_u_cnt")
+    )
+    n_tokens = int(
+        lm.filter(F.col("w2").isNull()).agg(F.sum("cnt")).first()[0] or 0
+    )
+    if n_tokens == 0:
+        raise ValueError("stupid_backoff_score: empty model")
+
+    sentinel = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+            F.lit(None).cast("string").alias("w3"),
+        )
+    )
+    triples = (
+        docs.select(F.col(id_col).alias("_id"), _toks(text_col).alias("_t"))
+        .select(
+            "_id",
+            F.explode(F.concat(_trigrams(F.col("_t")), sentinel)).alias("b"),
+        )
+        .select("_id", "b.w1", "b.w2", "b.w3")
+    )
+    j = (
+        triples.join(
+            F.broadcast(tri),
+            (F.col("w1") == F.col("_t_w1"))
+            & (F.col("w2") == F.col("_t_w2"))
+            & (F.col("w3") == F.col("_t_w3")),
+            "left",
+        )
+        .join(
+            F.broadcast(big.withColumnRenamed("_b_cnt", "_c12")),
+            (F.col("w1") == F.col("_b_w1")) & (F.col("w2") == F.col("_b_w2")),
+            "left",
+        )
+        .drop("_b_w1", "_b_w2")
+        .join(
+            F.broadcast(
+                big.select(
+                    F.col("_b_w1").alias("_b2_w1"),
+                    F.col("_b_w2").alias("_b2_w2"),
+                    F.col("_b_cnt").alias("_c23"),
+                )
+            ),
+            (F.col("w2") == F.col("_b2_w1")) & (F.col("w3") == F.col("_b2_w2")),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("_u_w1").alias("_u2_w1"), F.col("_u_cnt").alias("_c2")
+                )
+            ),
+            F.col("w2") == F.col("_u2_w1"),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                uni.select(
+                    F.col("_u_w1").alias("_u3_w1"), F.col("_u_cnt").alias("_c3")
+                )
+            ),
+            F.col("w3") == F.col("_u3_w1"),
+            "left",
+        )
+    )
+    a = F.lit(alpha_milli).cast("double") / F.lit(1000).cast("double")
+    s = (
+        F.when(
+            F.col("_c123").isNotNull(),
+            F.col("_c123").cast("double") / F.col("_c12").cast("double"),
+        )
+        .when(
+            F.col("_c23").isNotNull(),
+            a * (F.col("_c23").cast("double") / F.col("_c2").cast("double")),
+        )
+        .when(
+            F.col("_c3").isNotNull(),
+            (a * a)
+            * (F.col("_c3").cast("double") / F.lit(n_tokens).cast("double")),
+        )
+        .otherwise(
+            (a * a)
+            * (F.lit(1).cast("double") / F.lit(n_tokens).cast("double"))
+        )
+    )
+    q = F.when(
+        F.col("w1").isNotNull(), F.round(F.log(s), 6).cast("decimal(18,6)")
+    )
+    per_doc = j.select(
+        "_id",
+        F.col("w1").isNotNull().cast("bigint").alias("_is_tg"),
+        q.alias("_q"),
+    ).groupBy("_id").agg(
+        F.sum("_is_tg").alias("n_trigrams"),
+        F.sum("_q").alias("_total"),
+    )
+    avg_nls = F.when(
+        F.col("n_trigrams") > 0,
+        -(F.col("_total").cast("double") / F.col("n_trigrams").cast("double")),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_trigrams",
+        avg_nls.alias("avg_neg_logscore"),
+        F.round(F.exp(avg_nls), 6).alias("sppl"),
+    )

@@ -90,7 +90,11 @@ meeting a keep-rate quota — exact integer comparisons over the
 bounded distinct-score histogram, no approxQuantile). x92 adds
 hot-key skew diagnostics (top-k keys, shares, normalized entropy —
 the salting/AQE pre-flight; exact counts, decimal-summed entropy).
-Corpus: 129 entries, 124 with full oracles.
+x93 adds the stupid-backoff trigram LM (Brants et al. — raw count
+ratios with the fixed 0.4 backoff penalty, all four tiers
+oracle-replayed; the web-scale smoothing beside x84's add-k and
+x89's Kneser-Ney).
+Corpus: 130 entries, 125 with full oracles.
 """
 
 from __future__ import annotations

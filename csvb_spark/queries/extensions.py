@@ -3167,3 +3167,84 @@ ORDER BY h.n DESC, h.key ASC
 LIMIT 25
 """,
 )
+
+
+# --- round 7: stupid-backoff trigram LM --------------------------------
+# Brants et al. 2007 — the smoothing web-scale n-gram LMs actually
+# use: raw count ratios with a fixed backoff penalty, no discount
+# statistics. Trained on the EVEN half, scoring ALL documents so every
+# backoff tier (trigram hit, bigram backoff, unigram backoff, OOV
+# floor) exercises. Every ratio is one IEEE division of exact int64s;
+# alpha enters as CAST(400)/CAST(1000) in BOTH engines (bit-identical
+# to the 0.4 the paper writes) with a pinned multiplication tree.
+_q(
+    "x93_stupid_backoff_trigram",
+    spark=lambda spark, sf: LM.stupid_backoff_score(
+        _docs(spark, sf),
+        LM.trigram_lm_train(
+            _docs(spark, sf).filter(F.col("doc_id") % 2 == 0)
+        ),
+    ),
+    oracle=r"""
+WITH toks_tr AS (
+  SELECT string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents WHERE doc_id % 2 = 0
+), uni AS (
+  SELECT w1, COUNT(*) AS c FROM (SELECT unnest(w) AS w1 FROM toks_tr) GROUP BY w1
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c FROM (
+    SELECT w[i] AS w1, w[i + 1] AS w2
+    FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+          FROM toks_tr) s
+  ) GROUP BY w1, w2
+), tri AS (
+  SELECT w1, w2, w3, COUNT(*) AS c FROM (
+    SELECT w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+    FROM (SELECT w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+          FROM toks_tr) s
+  ) GROUP BY w1, w2, w3
+), nn AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS N FROM uni
+), toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), tris AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+        FROM toks) s
+), q AS (
+  SELECT g.doc_id,
+         CAST(round(ln(
+           CASE
+             WHEN t.c IS NOT NULL THEN
+               CAST(t.c AS DOUBLE) / CAST(b12.c AS DOUBLE)
+             WHEN b23.c IS NOT NULL THEN
+               (CAST(400 AS DOUBLE) / CAST(1000 AS DOUBLE))
+               * (CAST(b23.c AS DOUBLE) / CAST(u2.c AS DOUBLE))
+             WHEN u3.c IS NOT NULL THEN
+               ((CAST(400 AS DOUBLE) / CAST(1000 AS DOUBLE))
+                * (CAST(400 AS DOUBLE) / CAST(1000 AS DOUBLE)))
+               * (CAST(u3.c AS DOUBLE) / CAST((SELECT N FROM nn) AS DOUBLE))
+             ELSE
+               ((CAST(400 AS DOUBLE) / CAST(1000 AS DOUBLE))
+                * (CAST(400 AS DOUBLE) / CAST(1000 AS DOUBLE)))
+               * (CAST(1 AS DOUBLE) / CAST((SELECT N FROM nn) AS DOUBLE))
+           END), 6) AS DECIMAL(18,6)) AS q
+  FROM tris g
+  LEFT JOIN tri t ON g.w1 = t.w1 AND g.w2 = t.w2 AND g.w3 = t.w3
+  LEFT JOIN big b12 ON g.w1 = b12.w1 AND g.w2 = b12.w2
+  LEFT JOIN big b23 ON g.w2 = b23.w1 AND g.w3 = b23.w2
+  LEFT JOIN uni u2 ON g.w2 = u2.w1
+  LEFT JOIN uni u3 ON g.w3 = u3.w1
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n_trigrams, SUM(q) AS total FROM q GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       -(CAST(sc.total AS DOUBLE) / CAST(sc.n_trigrams AS DOUBLE))
+         AS avg_neg_logscore,
+       ROUND(exp(-(CAST(sc.total AS DOUBLE) / CAST(sc.n_trigrams AS DOUBLE))), 6)
+         AS sppl
+FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+""",
+)

@@ -414,3 +414,45 @@ def test_cli_score_lm_kn_smoothing(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="--smoothing applies"):
         main(["score", "--parquet", data, "--method", "classifier",
               "--smoothing", "kn"])
+
+
+# --- round 7: stupid-backoff trigram LM --------------------------------------
+def test_stupid_backoff_tiers_and_anchors(spark):
+    """Anchor values per backoff tier: a fully-seen document scores
+    sppl exactly 1.0 (every ratio is 1), the OOV floor is N/alpha^2,
+    short documents carry NULLs, and fluency ranks in tier order."""
+    from csvb_spark.operators.lm import stupid_backoff_score, trigram_lm_train
+
+    fluent = "the cat sat on the mat and the dog slept in the sun"
+    train = spark.createDataFrame(
+        [(i, fluent) for i in range(4)], "doc_id bigint, text string"
+    )
+    lm = trigram_lm_train(train)
+    test = spark.createDataFrame(
+        [
+            (1, fluent),
+            (2, "the cat sat on the mat quietly today"),
+            (3, "zzq wxv unseen gibberish"),
+            (4, "two words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in stupid_backoff_score(test, lm).collect()}
+    assert got[1].sppl == 1.0 and got[1].n_trigrams == 11
+    assert got[1].sppl < got[2].sppl < got[3].sppl
+    # OOV floor: every trigram of doc 3 is alpha^2/N -> sppl = N/0.16
+    n_tokens = 4 * len(fluent.split())
+    assert abs(got[3].sppl - n_tokens / 0.16) < 1e-3
+    assert got[4].n_trigrams == 0 and got[4].sppl is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha_milli"):
+        stupid_backoff_score(test, lm, alpha_milli=0)
+    with _pytest.raises(ValueError, match="empty model"):
+        stupid_backoff_score(
+            test,
+            trigram_lm_train(
+                spark.createDataFrame([], "doc_id bigint, text string")
+            ),
+        )

@@ -993,3 +993,17 @@ def test_kneser_ney_scoring_broadcasts_model_tables(spark, sf_dir):
     plan = _plan(kneser_ney_score(docs, lm))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stupid_backoff_broadcasts_all_model_tables(spark, sf_dir):
+    """All five model lookups broadcast: the trigram-exploded corpus
+    is never sort-merged on a token key."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.lm import stupid_backoff_score, trigram_lm_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = trigram_lm_train(docs.filter(F.col("doc_id") % 2 == 0))
+    plan = _plan(stupid_backoff_score(docs, lm))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
