@@ -145,6 +145,13 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="perplexity ceiling for the LM gate (requires --lm-model)",
     )
+    pi.add_argument(
+        "--lm-smoothing",
+        choices=("addk", "kn"),
+        default="addk",
+        help="LM gate smoothing: add-k (default) or interpolated "
+        "Kneser-Ney (requires --lm-model)",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -401,6 +408,7 @@ def main(argv: list[str] | None = None) -> int:
             classifier_threshold=args.classifier_threshold,
             lm_model_dir=args.lm_model,
             max_ppl=args.max_ppl,
+            lm_smoothing=args.lm_smoothing,
         )
         return 0
 
@@ -622,6 +630,28 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         _register_direct(spark, args)
         table = spark.table(args.table_name)
+        # method-specific flags must not be silently discarded — the
+        # same convention as train-filter/score
+        if args.method != "budget" and args.budget is not None:
+            raise SystemExit("sample: --budget applies to --method budget only")
+        if args.method != "weighted" and args.weight_col is not None:
+            raise SystemExit(
+                "sample: --weight-col applies to --method weighted only"
+            )
+        if args.method != "per-group" and args.group_col:
+            raise SystemExit(
+                "sample: --group-col applies to --method per-group only"
+            )
+        if args.method == "budget" and args.k is not None:
+            raise SystemExit(
+                "sample: --k applies to the weighted/per-group draws;"
+                " --method budget sizes by --budget"
+            )
+        if args.method == "budget" and args.seed != 7:
+            raise SystemExit(
+                "sample: --seed has no effect on --method budget (the"
+                " selection is the deterministic score ranking)"
+            )
         if args.method == "weighted":
             if args.k is None or args.weight_col is None:
                 raise SystemExit(
@@ -629,12 +659,18 @@ def main(argv: list[str] | None = None) -> int:
                 )
             from csvb_spark.operators.splits import weighted_sample
 
-            out = weighted_sample(
+            picked = weighted_sample(
                 table,
                 k=args.k,
                 weight_col=args.weight_col,
                 id_col=args.id_col,
                 seed=args.seed,
+            )
+            # the draw returns (id, weight, skey); ship FULL rows like
+            # the other methods, with the sort key attached
+            out = table.join(
+                F.broadcast(picked.select(args.id_col, "skey")),
+                args.id_col,
             )
         elif args.method == "per-group":
             if args.k is None or not args.group_col:
@@ -655,13 +691,16 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("sample --method budget requires --budget")
             from csvb_spark.operators.splits import budget_select
 
-            out = budget_select(
+            kept = budget_select(
                 table,
                 budget=args.budget,
                 score_col=args.score_col,
                 tokens_col=args.tokens_col,
                 id_col=args.id_col,
             ).filter(F.col("keep"))
+            # full rows, like the other methods (the kept set is not
+            # k-bounded, so a semi join — never a broadcast)
+            out = table.join(kept.select(args.id_col), args.id_col, "left_semi")
         if args.output:
             out.write.mode("overwrite").parquet(args.output)
             out = spark.read.parquet(args.output)

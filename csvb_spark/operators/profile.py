@@ -144,7 +144,10 @@ def skew_report(
     once and only (key, count) rows ever shuffle.
 
     Determinism (engine-portable, x92): counts are exact int64;
-    ``share`` is one IEEE division rounded to 9; entropy uses
+    ``share`` is ONE IEEE division of exact integers and therefore
+    ships UNROUNDED (bit-identical by construction — rounding an
+    already-agreed double is the half-boundary trap queries/common.py
+    documents); entropy uses
     ``H = ln(N) − Σ n·ln(n) / N`` with each key's ``n·ln(n)`` rounded
     to 6 and quantized to DECIMAL(18,6) (order-independent exact
     sum), the final ``H`` and its ``ln(n_keys)``-normalized form
@@ -188,9 +191,9 @@ def skew_report(
         .select(
             "key",
             "n",
-            F.round(
-                F.col("n").cast("double") / F.col("_N").cast("double"), 9
-            ).alias("share"),
+            (F.col("n").cast("double") / F.col("_N").cast("double")).alias(
+                "share"
+            ),
             F.col("_N").alias("total_rows"),
             F.col("_K").alias("n_keys"),
             ent.alias("entropy"),

@@ -741,8 +741,21 @@ def calibrate_keep_threshold(
         .alias("_ck_s")
     )
     scored = df.select(F.col(id_col), s)
-    stats = scored.agg(
-        F.count("*").alias("n"), F.countDistinct("_ck_s").alias("d")
+    # ONE corpus pass: the bounded distinct-score histogram carries
+    # everything needed — n = Σ counts, d = rows — so no separate
+    # count/countDistinct scan of the table (a second full pass that
+    # cross-job exchange reuse could never eliminate). The histogram
+    # materializes once (localCheckpoint — it is bounded by
+    # max_distinct rows, pennies to store) and serves both the
+    # stats probe and the threshold window.
+    hist = (
+        scored.groupBy("_ck_s")
+        .agg(F.count("*").alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    stats = hist.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
+        F.count("*").alias("d"),
     ).first()
     n, d = int(stats["n"]), int(stats["d"])
     if d > max_distinct:
@@ -761,9 +774,7 @@ def calibrate_keep_threshold(
         Window.unboundedPreceding, Window.currentRow
     )
     thr = (
-        scored.groupBy("_ck_s")
-        .agg(F.count("*").alias("_n"))
-        .withColumn("_cum", F.sum("_n").over(w))
+        hist.withColumn("_cum", F.sum("_n").over(w))
         .filter(F.col("_cum") * F.lit(int(keep_den)) >= F.lit(int(keep_num)) * F.lit(n))
         .agg(F.max("_ck_s"))
         .first()[0]

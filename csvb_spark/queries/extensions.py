@@ -3152,7 +3152,7 @@ WITH hist AS (
   FROM hist
 )
 SELECT h.key, h.n,
-       ROUND(CAST(h.n AS DOUBLE) / CAST(t.N AS DOUBLE), 9) AS share,
+       CAST(h.n AS DOUBLE) / CAST(t.N AS DOUBLE) AS share,
        t.N AS total_rows,
        t.K AS n_keys,
        ROUND(ln(CAST(t.N AS DOUBLE))

@@ -86,13 +86,14 @@ def _accept_batch(
         )
         gated = gated.join(keep, "doc_id", "left_semi")
     if lm_model_dir is not None:
-        # perplexity gate (x84, the CCNet filter shape): a PRE-TRAINED
+        # perplexity gate (x84 add-k, or x89 Kneser-Ney via
+        # lm_smoothing): a PRE-TRAINED
         # bigram LM read per batch and broadcast, so scoring is
         # map-only like the other gates; documents too short for
         # bigram evidence (NULL ppl) pass through — the rule gates,
         # not the LM, decide their fate
         lm = spark.read.parquet(lm_model_dir)
-        scored = (
+        lm_scored = (
             L.kneser_ney_score(batch, lm, text_col=text_col)
             if lm_smoothing == "kn"
             else L.perplexity_score(
@@ -100,7 +101,7 @@ def _accept_batch(
             )
         )
         lm_keep = (
-            scored
+            lm_scored
             .filter(
                 F.col("ppl").isNull()
                 | (F.col("ppl") <= F.lit(float(max_ppl)))
@@ -183,6 +184,11 @@ def run_streaming_ingest(
     if lm_smoothing not in ("addk", "kn"):
         raise ValueError(
             f"run_streaming_ingest: unknown lm_smoothing {lm_smoothing!r}"
+        )
+    if lm_smoothing != "addk" and lm_model_dir is None:
+        raise ValueError(
+            "run_streaming_ingest: lm_smoothing without lm_model_dir is a"
+            " no-op — configure the LM gate or drop the smoothing choice"
         )
     schema = spark.read.parquet(source_dir).schema
     q = (

@@ -364,7 +364,12 @@ def test_cli_sample_methods(spark, tmp_path, capsys):
          "--budget", "50", "--output", out3]
     ) == 0
     capsys.readouterr()
-    assert spark.read.parquet(out3).count() == 5  # 50 tokens / 10 each
+    got3 = spark.read.parquet(out3)
+    assert got3.count() == 5  # 50 tokens / 10 each
+    # every method ships FULL input rows (weighted adds skey)
+    assert set(got3.columns) >= {"doc_id", "w", "grp", "quality_score"}
+    w_rows = spark.read.parquet(out)
+    assert set(w_rows.columns) >= {"doc_id", "w", "grp", "skey"}
 
     with _pytest.raises(SystemExit, match="weighted requires"):
         main(["sample", "--parquet", data, "--method", "weighted"])
@@ -372,6 +377,19 @@ def test_cli_sample_methods(spark, tmp_path, capsys):
         main(["sample", "--parquet", data, "--method", "per-group"])
     with _pytest.raises(SystemExit, match="budget requires"):
         main(["sample", "--parquet", data, "--method", "budget"])
+    # cross-method flags are rejected loudly, never silently dropped
+    with _pytest.raises(SystemExit, match="--budget applies"):
+        main(["sample", "--parquet", data, "--method", "weighted",
+              "--k", "3", "--weight-col", "w", "--budget", "10"])
+    with _pytest.raises(SystemExit, match="--k applies"):
+        main(["sample", "--parquet", data, "--method", "budget",
+              "--budget", "10", "--k", "3"])
+    with _pytest.raises(SystemExit, match="--seed has no effect"):
+        main(["sample", "--parquet", data, "--method", "budget",
+              "--budget", "10", "--seed", "9"])
+    with _pytest.raises(SystemExit, match="--group-col applies"):
+        main(["sample", "--parquet", data, "--method", "weighted",
+              "--k", "3", "--weight-col", "w", "--group-col", "grp"])
 
 
 def test_cli_score_lm_kn_smoothing(spark, tmp_path, capsys):

@@ -312,3 +312,21 @@ def test_streaming_ingest_kn_gate(spark, sf_dir, tmp_path):
             max_ppl=20.0,
             lm_smoothing="laplace",
         )
+
+
+def test_ingest_kn_without_model_rejected(spark, tmp_path):
+    """lm_smoothing='kn' without an LM model would be a silent no-op;
+    it raises instead."""
+    import pytest
+
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    with pytest.raises(ValueError, match="no-op"):
+        run_streaming_ingest(
+            spark,
+            str(tmp_path),
+            str(tmp_path / "c"),
+            str(tmp_path / "i"),
+            str(tmp_path / "k"),
+            lm_smoothing="kn",
+        )
