@@ -94,7 +94,15 @@ x93 adds the stupid-backoff trigram LM (Brants et al. — raw count
 ratios with the fixed 0.4 backoff penalty, all four tiers
 oracle-replayed; the web-scale smoothing beside x84's add-k and
 x89's Kneser-Ney).
-Corpus: 130 entries, 125 with full oracles.
+
+Round-8 additions: p18-p23 — driver-gate ALIASES of the flagship
+LLM-pipeline operators (x84 perplexity, x79 classifier trainer, x75
+budget_select, x40 near-dup keep, x90 weighted sample, x92 skew
+report). The driver grades exactly the p/q-named entries, so these
+put the extension surface's most-load-bearing ops under the hard
+CORRECTNESS gate; each shares its source entry's callable and oracle
+verbatim (see extensions._P_ALIASES).
+Corpus: 136 entries, 131 with full oracles.
 """
 
 from __future__ import annotations
