@@ -74,6 +74,37 @@ def _bigrams(t):
     )
 
 
+def _resolve_broadcast(
+    caller: str,
+    n_model: int,
+    broadcast_model: bool | None,
+    broadcast_max_rows: int,
+) -> bool:
+    """Shared auto-broadcast policy for the three scorers (add-alpha,
+    Kneser-Ney, stupid backoff): broadcast the model-derived tables
+    while the model fits under ``broadcast_max_rows`` (map-only
+    scoring), else WARN and fall back to a shuffle join. The fallback
+    exchanges the n-gram-exploded corpus on a Zipf-skewed key — slow
+    but bounded; an over-bound broadcast would be an executor OOM.
+    ``broadcast_model=True/False`` forces the choice (the size probe's
+    outcome is ignored; the count itself comes from an aggregation the
+    caller needs anyway, so no work is saved by forcing)."""
+    if broadcast_model is not None:
+        return broadcast_model
+    if n_model <= broadcast_max_rows:
+        return True
+    import warnings
+
+    warnings.warn(
+        f"{caller}: model has {n_model} rows (> broadcast_max_rows="
+        f"{broadcast_max_rows}); falling back to a shuffle join on the "
+        "Zipf-skewed n-gram key. Train on a bounded sample (the CCNet "
+        "contract) so the model broadcasts, or raise broadcast_max_rows.",
+        stacklevel=3,
+    )
+    return False
+
+
 def bigram_lm_train(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -257,19 +288,9 @@ def perplexity_score(
         F.count(F.when(F.col("w2").isNull(), 1)).alias("v"),
         F.count("*").alias("n"),
     ).first()
-    if broadcast_model is None:
-        broadcast_model = n_model <= broadcast_max_rows
-        if not broadcast_model:
-            import warnings
-
-            warnings.warn(
-                f"perplexity_score: model has {n_model} rows "
-                f"(> broadcast_max_rows={broadcast_max_rows}); falling "
-                "back to a shuffle join on the Zipf-skewed bigram key. "
-                "Train on a bounded sample (the CCNet contract) so the "
-                "model broadcasts, or raise broadcast_max_rows.",
-                stacklevel=2,
-            )
+    broadcast_model = _resolve_broadcast(
+        "perplexity_score", n_model, broadcast_model, broadcast_max_rows
+    )
     if broadcast_model:
         uni, bi = F.broadcast(uni), F.broadcast(bi)
 
@@ -335,6 +356,8 @@ def kneser_ney_score(
     discount_milli: int = 750,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_model: bool | None = None,
+    broadcast_max_rows: int = 8_000_000,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity — the smoothing real
     n-gram quality filters use (KenLM/CCNet's default) rather than
@@ -368,10 +391,17 @@ def kneser_ney_score(
     expression tree as chained CTEs.
 
     Plan shape: the model-derived tables (bigrams, context totals,
-    continuation counts) are vocabulary-bounded and BROADCAST; the
-    corpus is tokenized and scored map-side in one scan (NULL-
-    sentinel trick for short documents) — no shuffle touches corpus
-    rows until the per-document rollup on ``doc_id``.
+    continuation counts) are vocabulary-bounded and broadcast under
+    the shared auto-pick policy (``_resolve_broadcast``, same as
+    ``perplexity_score``): the bigram row count — which bounds all
+    three derived tables — comes out of the scalar agg this smoothing
+    needs anyway, so the probe is free; an over-bound model falls back
+    to shuffle joins WITH a warning instead of OOMing executors (a
+    bigram table is corpus-bounded, not vocab-bounded). Under the
+    broadcast (normal) path the corpus is tokenized and scored
+    map-side in one scan (NULL-sentinel trick for short documents) —
+    no shuffle touches corpus rows until the per-document rollup on
+    ``doc_id``.
     """
     if not isinstance(discount_milli, int) or not 0 < discount_milli < 1000:
         raise ValueError(
@@ -393,6 +423,15 @@ def kneser_ney_score(
     ).first()
     scale = int(b_types) + int(v_cont) + 1
     dm = int(discount_milli)
+    # b_types IS the bigram row count, which bounds every broadcast
+    # side below (ctx and cont are per-w1/per-w2 rollups of it)
+    _bc = (
+        F.broadcast
+        if _resolve_broadcast(
+            "kneser_ney_score", int(b_types), broadcast_model, broadcast_max_rows
+        )
+        else (lambda df: df)
+    )
 
     sentinel = F.array(
         F.struct(
@@ -411,12 +450,12 @@ def kneser_ney_score(
     )
     j = (
         pairs.join(
-            F.broadcast(bi.withColumnRenamed("cnt", "_c2")),
+            _bc(bi.withColumnRenamed("cnt", "_c2")),
             ["w1", "w2"],
             "left",
         )
-        .join(F.broadcast(ctx), ["w1"], "left")
-        .join(F.broadcast(cont), ["w2"], "left")
+        .join(_bc(ctx), ["w1"], "left")
+        .join(_bc(cont), ["w2"], "left")
     )
     n1b = F.coalesce(F.col("_n1bwd"), F.lit(0)) + F.lit(1)
     # Per-term double divisions, NEVER the cross-multiplied int64 form
@@ -508,6 +547,8 @@ def stupid_backoff_score(
     alpha_milli: int = 400,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_model: bool | None = None,
+    broadcast_max_rows: int = 8_000_000,
 ) -> DataFrame:
     """Trigram "stupid backoff" scoring (Brants et al. 2007) — the
     smoothing actually used for web-scale n-gram LMs because it needs
@@ -535,10 +576,15 @@ def stupid_backoff_score(
     the x93 oracle replays counts, backoff cases, and the rollup as
     chained CTEs.
 
-    Plan: the (vocabulary-bounded) model materializes once
-    (localCheckpoint, same caveat as ``perplexity_score``), its
-    three derived tables broadcast, and the corpus is scanned once
-    (trigram explode + NULL sentinel, map-side).
+    Plan: the model materializes once (localCheckpoint, same caveat
+    as ``perplexity_score``), its derived tables broadcast under the
+    shared auto-pick policy (``_resolve_broadcast``; the model row
+    count rides the same scalar agg that derives ``N``, so the probe
+    is free), and the corpus is scanned once (trigram explode + NULL
+    sentinel, map-side). A trigram model is corpus-bounded — Brants-
+    scale models are exactly what this smoothing exists for — so the
+    over-bound case warns and falls back to shuffle joins instead of
+    OOMing executors.
     """
     if not isinstance(alpha_milli, int) or not 0 < alpha_milli < 1000:
         raise ValueError(
@@ -560,11 +606,22 @@ def stupid_backoff_score(
     uni = lm.filter(F.col("w2").isNull()).select(
         F.col("w1").alias("_u_w1"), F.col("cnt").alias("_u_cnt")
     )
-    n_tokens = int(
-        lm.filter(F.col("w2").isNull()).agg(F.sum("cnt")).first()[0] or 0
-    )
+    # ONE bounded agg yields both the unigram total N (the scoring
+    # floor) and the model row count (the auto-broadcast size signal)
+    n_tokens, n_model = lm.agg(
+        F.sum(F.when(F.col("w2").isNull(), F.col("cnt"))).alias("n"),
+        F.count("*").alias("rows"),
+    ).first()
+    n_tokens = int(n_tokens or 0)
     if n_tokens == 0:
         raise ValueError("stupid_backoff_score: empty model")
+    _bc = (
+        F.broadcast
+        if _resolve_broadcast(
+            "stupid_backoff_score", int(n_model), broadcast_model, broadcast_max_rows
+        )
+        else (lambda df: df)
+    )
 
     sentinel = F.array(
         F.struct(
@@ -583,20 +640,20 @@ def stupid_backoff_score(
     )
     j = (
         triples.join(
-            F.broadcast(tri),
+            _bc(tri),
             (F.col("w1") == F.col("_t_w1"))
             & (F.col("w2") == F.col("_t_w2"))
             & (F.col("w3") == F.col("_t_w3")),
             "left",
         )
         .join(
-            F.broadcast(big.withColumnRenamed("_b_cnt", "_c12")),
+            _bc(big.withColumnRenamed("_b_cnt", "_c12")),
             (F.col("w1") == F.col("_b_w1")) & (F.col("w2") == F.col("_b_w2")),
             "left",
         )
         .drop("_b_w1", "_b_w2")
         .join(
-            F.broadcast(
+            _bc(
                 big.select(
                     F.col("_b_w1").alias("_b2_w1"),
                     F.col("_b_w2").alias("_b2_w2"),
@@ -607,7 +664,7 @@ def stupid_backoff_score(
             "left",
         )
         .join(
-            F.broadcast(
+            _bc(
                 uni.select(
                     F.col("_u_w1").alias("_u2_w1"), F.col("_u_cnt").alias("_c2")
                 )
@@ -616,7 +673,7 @@ def stupid_backoff_score(
             "left",
         )
         .join(
-            F.broadcast(
+            _bc(
                 uni.select(
                     F.col("_u_w1").alias("_u3_w1"), F.col("_u_cnt").alias("_c3")
                 )

@@ -474,3 +474,53 @@ def test_stupid_backoff_tiers_and_anchors(spark):
                 spark.createDataFrame([], "doc_id bigint, text string")
             ),
         )
+
+
+# --- round 8: shared size-guarded auto-broadcast across all scorers ----------
+def _plan_of(df):
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
+
+
+@pytest.mark.parametrize("scorer", ["kn", "sb", "addk"])
+def test_scorers_share_auto_broadcast_policy(spark, scorer):
+    """All three scorers broadcast a bounded model automatically and
+    fall back to non-broadcast joins WITH a warning when the model
+    exceeds broadcast_max_rows — an over-bound broadcast would be an
+    executor OOM, not a slow query (VERDICT r7 / ADVICE)."""
+    import warnings
+
+    from csvb_spark.operators.lm import (
+        bigram_lm_train,
+        kneser_ney_score,
+        perplexity_score,
+        stupid_backoff_score,
+        trigram_lm_train,
+    )
+
+    docs = _corpus(spark)
+    if scorer == "sb":
+        lm = trigram_lm_train(docs)
+        run = lambda **kw: stupid_backoff_score(docs, lm, **kw)  # noqa: E731
+    else:
+        lm = bigram_lm_train(docs)
+        fn = kneser_ney_score if scorer == "kn" else perplexity_score
+        run = lambda **kw: fn(docs, lm, **kw)  # noqa: E731
+
+    # bounded model → auto-broadcast, no warning, no corpus shuffle
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        plan = _plan_of(run())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # over-bound model → warning + shuffle fallback (no model broadcast)
+    with pytest.warns(UserWarning, match="broadcast_max_rows"):
+        fb = run(broadcast_max_rows=0)
+    assert "BroadcastHashJoin" not in _plan_of(fb)
+    # values identical on either path
+    a = sorted(map(tuple, run().collect()))
+    b = sorted(map(tuple, fb.collect()))
+    assert a == b
