@@ -147,10 +147,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pi.add_argument(
         "--lm-smoothing",
-        choices=("addk", "kn"),
+        choices=("addk", "kn", "sb"),
         default="addk",
-        help="LM gate smoothing: add-k (default) or interpolated "
-        "Kneser-Ney (requires --lm-model)",
+        help="LM gate smoothing: add-k (default), interpolated "
+        "Kneser-Ney, or stupid backoff (sb needs a TRIGRAM --lm-model; "
+        "addk/kn need a bigram one)",
     )
 
     pd = sub.add_parser(
@@ -229,6 +230,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="0/1 label column (classifier only)",
     )
     pt.add_argument("--steps", type=int, default=2, help="gradient steps")
+    pt.add_argument(
+        "--ngram",
+        type=int,
+        choices=(2, 3),
+        default=None,
+        help="LM order (lm only): 2 = bigram (default; addk/kn "
+        "scoring), 3 = trigram (stupid-backoff scoring)",
+    )
     pt.add_argument("--lr", type=int, default=4000, help="integer learning rate")
     pt.add_argument("--n-buckets", type=int, default=1 << 18)
 
@@ -262,10 +271,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pq.add_argument(
         "--smoothing",
-        choices=("addk", "kn"),
+        choices=("addk", "kn", "sb"),
         default="addk",
-        help="LM mode: add-k (default) or interpolated Kneser-Ney "
-        "(continuation-count redistribution, the KenLM/CCNet default)",
+        help="LM mode: add-k (default), interpolated Kneser-Ney "
+        "(continuation-count redistribution, the KenLM/CCNet default), "
+        "or trigram stupid backoff (sb needs a TRIGRAM model from "
+        "train-filter --method lm --ngram 3; addk/kn need a bigram one)",
     )
     pq.add_argument("--output", default=None, help="write scored rows here")
 
@@ -296,10 +307,22 @@ def build_parser() -> argparse.ArgumentParser:
     pv.add_argument(
         "--budget", type=int, default=None, help="budget: token budget"
     )
-    pv.add_argument("--score-col", default="quality_score")
-    pv.add_argument("--tokens-col", default="n_tokens")
+    # method-specific flags default to None so an EXPLICITLY passed
+    # default value is distinguishable from 'not passed' (the r7
+    # --seed 7 false-accept); defaults resolve after validation
+    pv.add_argument(
+        "--score-col", default=None, help="budget: ranking column"
+        " (default quality_score)"
+    )
+    pv.add_argument(
+        "--tokens-col", default=None, help="budget: token-count column"
+        " (default n_tokens)"
+    )
     pv.add_argument("--id-col", default="doc_id")
-    pv.add_argument("--seed", type=int, default=7)
+    pv.add_argument(
+        "--seed", type=int, default=None,
+        help="weighted/per-group: draw seed (default 7)"
+    )
     pv.add_argument("--output", default=None, help="write sampled rows here")
 
     pf = sub.add_parser("federate", help="serve a federated virtual table")
@@ -508,6 +531,10 @@ def main(argv: list[str] | None = None) -> int:
         _register_direct(spark, args)
         table = spark.table(args.table_name)
         if args.method == "classifier":
+            if args.ngram is not None:
+                raise SystemExit(
+                    "train-filter: --ngram applies to --method lm only"
+                )
             from csvb_spark.operators.classify import linear_classifier_train
 
             model = linear_classifier_train(
@@ -530,9 +557,13 @@ def main(argv: list[str] | None = None) -> int:
                         f"train-filter: --{flag.replace('_', '-')} applies"
                         " to --method classifier only"
                     )
-            from csvb_spark.operators.lm import bigram_lm_train
+            from csvb_spark.operators.lm import (
+                bigram_lm_train,
+                trigram_lm_train,
+            )
 
-            model = bigram_lm_train(table, text_col=args.text_col)
+            train = trigram_lm_train if args.ngram == 3 else bigram_lm_train
+            model = train(table, text_col=args.text_col)
         model.write.mode("overwrite").parquet(args.output)
         print(f"{args.method} model: {model.count()} rows -> {args.output}")
         return 0
@@ -576,10 +607,35 @@ def main(argv: list[str] | None = None) -> int:
             from csvb_spark.operators.lm import (
                 kneser_ney_score,
                 perplexity_score,
+                stupid_backoff_score,
             )
 
             lm = spark.read.parquet(args.model)
-            if args.smoothing == "kn":
+            # reject mismatched model shapes loudly (same convention as
+            # the cross-method flag checks): sb scores against a TRIGRAM
+            # model, addk/kn against a bigram one — a silent mismatch
+            # would pollute the n-gram counts, not fail
+            has_w3 = "w3" in lm.columns
+            if args.smoothing == "sb" and not has_w3:
+                raise SystemExit(
+                    "score: --smoothing sb needs a TRIGRAM model"
+                    " (train-filter --method lm --ngram 3); this model"
+                    " has no w3 column"
+                )
+            if args.smoothing != "sb" and has_w3:
+                raise SystemExit(
+                    f"score: --smoothing {args.smoothing} needs a BIGRAM"
+                    " model (train-filter --method lm); this model has a"
+                    " w3 column (trigram) — use --smoothing sb"
+                )
+            if args.smoothing == "sb":
+                scored = stupid_backoff_score(
+                    table,
+                    lm,
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                )
+            elif args.smoothing == "kn":
                 scored = kneser_ney_score(
                     table,
                     lm,
@@ -603,9 +659,10 @@ def main(argv: list[str] | None = None) -> int:
             # threshold (a looser constraint flipping a doc from
             # rejected to accepted). keep is always a real boolean,
             # never three-valued NULL.
+            score_col = "sppl" if args.smoothing == "sb" else "ppl"
             keep = (
-                F.col("ppl").isNull()
-                | (F.col("ppl") <= F.lit(float(args.max_ppl)))
+                F.col(score_col).isNull()
+                | (F.col(score_col) <= F.lit(float(args.max_ppl)))
                 if args.max_ppl is not None
                 else F.lit(True)
             )
@@ -647,11 +704,20 @@ def main(argv: list[str] | None = None) -> int:
                 "sample: --k applies to the weighted/per-group draws;"
                 " --method budget sizes by --budget"
             )
-        if args.method == "budget" and args.seed != 7:
+        if args.method == "budget" and args.seed is not None:
             raise SystemExit(
                 "sample: --seed has no effect on --method budget (the"
                 " selection is the deterministic score ranking)"
             )
+        if args.method != "budget" and args.score_col is not None:
+            raise SystemExit(
+                "sample: --score-col applies to --method budget only"
+            )
+        if args.method != "budget" and args.tokens_col is not None:
+            raise SystemExit(
+                "sample: --tokens-col applies to --method budget only"
+            )
+        seed = 7 if args.seed is None else args.seed
         if args.method == "weighted":
             if args.k is None or args.weight_col is None:
                 raise SystemExit(
@@ -664,7 +730,7 @@ def main(argv: list[str] | None = None) -> int:
                 k=args.k,
                 weight_col=args.weight_col,
                 id_col=args.id_col,
-                seed=args.seed,
+                seed=seed,
             )
             # the draw returns (id, weight, skey); ship FULL rows like
             # the other methods, with the sort key attached
@@ -684,7 +750,7 @@ def main(argv: list[str] | None = None) -> int:
                 tuple(args.group_col),
                 args.k,
                 id_col=args.id_col,
-                seed=args.seed,
+                seed=seed,
             )
         else:
             if args.budget is None:
@@ -694,8 +760,8 @@ def main(argv: list[str] | None = None) -> int:
             kept = budget_select(
                 table,
                 budget=args.budget,
-                score_col=args.score_col,
-                tokens_col=args.tokens_col,
+                score_col=args.score_col or "quality_score",
+                tokens_col=args.tokens_col or "n_tokens",
                 id_col=args.id_col,
             ).filter(F.col("keep"))
             # full rows, like the other methods (the kept set is not

@@ -228,6 +228,7 @@ def perplexity_score(
     id_col: str = "doc_id",
     broadcast_model: bool | None = None,
     broadcast_max_rows: int = 8_000_000,
+    model_materialized: bool = False,
 ) -> DataFrame:
     """Score every document's bigram perplexity under ``lm``.
 
@@ -272,7 +273,11 @@ def perplexity_score(
     # (lineage truncated); losing one fails the query cleanly — on
     # preemptible clusters write the trained model to parquet and
     # score from that instead (the CLI train-filter/score split).
-    lm = lm.localCheckpoint(eager=True)
+    # ``model_materialized=True`` skips the checkpoint when the caller
+    # already holds a materialized model (the streaming gate caches the
+    # parquet-read model ONCE across micro-batches and opts out here).
+    if not model_materialized:
+        lm = lm.localCheckpoint(eager=True)
     uni = lm.filter(F.col("w2").isNull()).select(
         F.col("w1").alias("_c_w1"), F.col("cnt").alias("_c1")
     )
@@ -358,6 +363,7 @@ def kneser_ney_score(
     id_col: str = "doc_id",
     broadcast_model: bool | None = None,
     broadcast_max_rows: int = 8_000_000,
+    model_materialized: bool = False,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity — the smoothing real
     n-gram quality filters use (KenLM/CCNet's default) rather than
@@ -409,8 +415,10 @@ def kneser_ney_score(
             f" got {discount_milli!r}"
         )
     # four consumers (ctx/cont/scalars/broadcast join) — materialize
-    # the vocabulary-bounded model once (see perplexity_score)
-    lm = lm.localCheckpoint(eager=True)
+    # the vocabulary-bounded model once (see perplexity_score; callers
+    # holding an already-materialized model opt out)
+    if not model_materialized:
+        lm = lm.localCheckpoint(eager=True)
     bi = lm.filter(F.col("w2").isNotNull()).select("w1", "w2", "cnt")
     ctx = bi.groupBy("w1").agg(
         F.sum("cnt").alias("_c1"), F.count("*").alias("_n1fwd")
@@ -549,6 +557,7 @@ def stupid_backoff_score(
     id_col: str = "doc_id",
     broadcast_model: bool | None = None,
     broadcast_max_rows: int = 8_000_000,
+    model_materialized: bool = False,
 ) -> DataFrame:
     """Trigram "stupid backoff" scoring (Brants et al. 2007) — the
     smoothing actually used for web-scale n-gram LMs because it needs
@@ -591,7 +600,8 @@ def stupid_backoff_score(
             "stupid_backoff_score: alpha_milli must be an int in (0, 1000),"
             f" got {alpha_milli!r}"
         )
-    lm = lm.localCheckpoint(eager=True)
+    if not model_materialized:
+        lm = lm.localCheckpoint(eager=True)
     tri = lm.filter(F.col("w3").isNotNull()).select(
         F.col("w1").alias("_t_w1"),
         F.col("w2").alias("_t_w2"),

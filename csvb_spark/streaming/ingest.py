@@ -54,12 +54,16 @@ def _accept_batch(
     gopher_gate: bool = False,
     gopher_min_words: int = 50,
     classifier_threshold: float | None = None,
-    lm_model_dir: str | None = None,
+    lm_model: DataFrame | None = None,
     max_ppl: float | None = None,
     lm_smoothing: str = "addk",
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
-    everything in here is ordinary batch DataFrame code)."""
+    everything in here is ordinary batch DataFrame code).
+
+    ``lm_model`` arrives ALREADY materialized (read + localCheckpoint
+    once before the stream starts), so no micro-batch re-reads or
+    re-checkpoints the gate model (round-7 ADVICE)."""
     spark = batch.sparkSession
 
     # 1. quality gate + scrub (map-only). The optional Gopher gate
@@ -85,26 +89,37 @@ def _accept_batch(
             .select("doc_id")
         )
         gated = gated.join(keep, "doc_id", "left_semi")
-    if lm_model_dir is not None:
-        # perplexity gate (x84 add-k, or x89 Kneser-Ney via
-        # lm_smoothing): a PRE-TRAINED
-        # bigram LM read per batch and broadcast, so scoring is
+    if lm_model is not None:
+        # LM fluency gate (x84 add-k, x89 Kneser-Ney, or x93 stupid
+        # backoff via lm_smoothing): a PRE-TRAINED model, materialized
+        # once for the whole stream and broadcast, so scoring is
         # map-only like the other gates; documents too short for
-        # bigram evidence (NULL ppl) pass through — the rule gates,
+        # n-gram evidence (NULL score) pass through — the rule gates,
         # not the LM, decide their fate
-        lm = spark.read.parquet(lm_model_dir)
-        lm_scored = (
-            L.kneser_ney_score(batch, lm, text_col=text_col)
-            if lm_smoothing == "kn"
-            else L.perplexity_score(
-                batch, lm, text_col=text_col, broadcast_model=True
+        if lm_smoothing == "sb":
+            lm_scored = L.stupid_backoff_score(
+                batch, lm_model, text_col=text_col, model_materialized=True
             )
-        )
+            score_col = "sppl"
+        elif lm_smoothing == "kn":
+            lm_scored = L.kneser_ney_score(
+                batch, lm_model, text_col=text_col, model_materialized=True
+            )
+            score_col = "ppl"
+        else:
+            lm_scored = L.perplexity_score(
+                batch,
+                lm_model,
+                text_col=text_col,
+                broadcast_model=True,
+                model_materialized=True,
+            )
+            score_col = "ppl"
         lm_keep = (
             lm_scored
             .filter(
-                F.col("ppl").isNull()
-                | (F.col("ppl") <= F.lit(float(max_ppl)))
+                F.col(score_col).isNull()
+                | (F.col(score_col) <= F.lit(float(max_ppl)))
             )
             .select("doc_id")
         )
@@ -181,7 +196,7 @@ def run_streaming_ingest(
         raise ValueError(
             "run_streaming_ingest: lm_model_dir and max_ppl go together"
         )
-    if lm_smoothing not in ("addk", "kn"):
+    if lm_smoothing not in ("addk", "kn", "sb"):
         raise ValueError(
             f"run_streaming_ingest: unknown lm_smoothing {lm_smoothing!r}"
         )
@@ -190,6 +205,27 @@ def run_streaming_ingest(
             "run_streaming_ingest: lm_smoothing without lm_model_dir is a"
             " no-op — configure the LM gate or drop the smoothing choice"
         )
+    lm_model = None
+    if lm_model_dir is not None:
+        # read + materialize the gate model ONCE before the stream
+        # starts (like the drift monitor's cached reference counts) —
+        # micro-batches score against the checkpointed model, never
+        # re-reading or re-checkpointing it (round-7 ADVICE)
+        lm_model = spark.read.parquet(lm_model_dir)
+        has_w3 = "w3" in lm_model.columns
+        if lm_smoothing == "sb" and not has_w3:
+            raise ValueError(
+                "run_streaming_ingest: lm_smoothing='sb' needs a TRIGRAM"
+                " model (w1,w2,w3,cnt — trigram_lm_train); got a bigram"
+                " model"
+            )
+        if lm_smoothing != "sb" and has_w3:
+            raise ValueError(
+                f"run_streaming_ingest: lm_smoothing={lm_smoothing!r} needs"
+                " a BIGRAM model (w1,w2,cnt — bigram_lm_train); got a"
+                " trigram model (w3 column present)"
+            )
+        lm_model = lm_model.localCheckpoint(eager=True)
     schema = spark.read.parquet(source_dir).schema
     q = (
         spark.readStream.schema(schema)
@@ -210,7 +246,7 @@ def run_streaming_ingest(
                 gopher_gate,
                 gopher_min_words,
                 classifier_threshold,
-                lm_model_dir,
+                lm_model,
                 max_ppl,
                 lm_smoothing,
             )

@@ -524,3 +524,84 @@ def test_scorers_share_auto_broadcast_policy(spark, scorer):
     a = sorted(map(tuple, run().collect()))
     b = sorted(map(tuple, fb.collect()))
     assert a == b
+
+
+def test_cli_score_lm_sb_smoothing(spark, tmp_path, capsys):
+    """--smoothing sb scores against a TRIGRAM model (train-filter
+    --ngram 3) and gates on sppl; mismatched model shapes are loud
+    errors in BOTH directions, as is --ngram on the classifier."""
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    # train on FLUENT text only (training on the gibberish too would
+    # make its unique trigrams fully seen — ratio 1, sppl 1.0)
+    fluent = "the cat sat on the mat and the dog slept in the sun"
+    train_data = str(tmp_path / "train.parquet")
+    pd.DataFrame(
+        {"doc_id": [10, 11, 12, 13], "text": [fluent] * 4}
+    ).to_parquet(train_data)
+    data = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [fluent, "the cat sat on the mat quietly",
+                     "zzq wxv unseen gibberish tokens"],
+        }
+    ).to_parquet(data)
+    tri_dir = str(tmp_path / "lm3")
+    assert main(
+        ["train-filter", "--parquet", train_data, "--method", "lm",
+         "--ngram", "3", "--output", tri_dir]
+    ) == 0
+    bi_dir = str(tmp_path / "lm2")
+    assert main(
+        ["train-filter", "--parquet", train_data, "--method", "lm",
+         "--output", bi_dir]
+    ) == 0
+    capsys.readouterr()
+
+    out_dir = str(tmp_path / "sb_scored")
+    assert main(
+        ["score", "--parquet", data, "--method", "lm", "--model", tri_dir,
+         "--smoothing", "sb", "--max-ppl", "50", "--output", out_dir]
+    ) == 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[0]["sppl"] == 1.0  # exactly the training text
+    assert rows[0]["sppl"] < rows[1]["sppl"] < rows[2]["sppl"]
+    assert rows[0]["keep"] and not rows[2]["keep"]
+
+    with pytest.raises(SystemExit, match="TRIGRAM"):
+        main(["score", "--parquet", data, "--method", "lm",
+              "--model", bi_dir, "--smoothing", "sb"])
+    with pytest.raises(SystemExit, match="BIGRAM"):
+        main(["score", "--parquet", data, "--method", "lm",
+              "--model", tri_dir, "--smoothing", "kn"])
+    with pytest.raises(SystemExit, match="--ngram applies"):
+        main(["train-filter", "--parquet", data, "--method", "classifier",
+              "--ngram", "3", "--output", str(tmp_path / "x")])
+
+
+def test_cli_sample_flag_defaults(tmp_path):
+    """Method-specific sample flags default to None, so an EXPLICITLY
+    passed default value is caught too (the r7 --seed 7 false-accept),
+    and --score-col/--tokens-col are budget-only."""
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {"doc_id": [1, 2], "w": [1, 2], "quality_score": [0.1, 0.9],
+         "n_tokens": [10, 10]}
+    ).to_parquet(data)
+    with pytest.raises(SystemExit, match="--seed has no effect"):
+        main(["sample", "--parquet", data, "--method", "budget",
+              "--budget", "10", "--seed", "7"])
+    with pytest.raises(SystemExit, match="--score-col applies"):
+        main(["sample", "--parquet", data, "--method", "weighted",
+              "--k", "1", "--weight-col", "w",
+              "--score-col", "quality_score"])
+    with pytest.raises(SystemExit, match="--tokens-col applies"):
+        main(["sample", "--parquet", data, "--method", "weighted",
+              "--k", "1", "--weight-col", "w", "--tokens-col", "n_tokens"])

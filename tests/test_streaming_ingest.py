@@ -330,3 +330,67 @@ def test_ingest_kn_without_model_rejected(spark, tmp_path):
             str(tmp_path / "k"),
             lm_smoothing="kn",
         )
+
+
+def test_streaming_ingest_sb_gate(spark, tmp_path):
+    """lm_smoothing='sb' routes the streaming LM gate through the
+    stupid-backoff trigram scorer (model materialized ONCE for the
+    stream); mismatched model shapes are loud errors both ways."""
+    import pytest
+
+    from csvb_spark.operators.lm import bigram_lm_train, trigram_lm_train
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    fluent = (
+        "the cat sat on the mat and the dog slept in the sun while "
+        "the birds sang in the trees of the garden"
+    )
+    train = spark.createDataFrame(
+        [(i, fluent) for i in range(6)], "doc_id bigint, text string"
+    )
+    tri_dir = str(tmp_path / "lm_sb")
+    trigram_lm_train(train).write.parquet(tri_dir)
+    bi_dir = str(tmp_path / "lm_bi")
+    bigram_lm_train(train).write.parquet(bi_dir)
+
+    src = tmp_path / "src_sb"
+    src.mkdir()
+    _write_batch(
+        str(src / "b1.parquet"),
+        [
+            {"doc_id": 1, "text": fluent, "lang": "en", "source": "a"},
+            {
+                "doc_id": 2,
+                "text": "qqz wvx klm trp fgh bnj uio wer dsa zxc vbn mlp "
+                "the and of to in is it more padding words here now",
+                "lang": "en",
+                "source": "a",
+            },
+        ],
+    )
+    corpus = str(tmp_path / "corpus_sb")
+    run_streaming_ingest(
+        spark,
+        str(src),
+        corpus,
+        str(tmp_path / "index_sb"),
+        str(tmp_path / "ckpt_sb"),
+        lm_model_dir=tri_dir,
+        max_ppl=50.0,  # fluent sppl = 1.0 (training text), gibberish >> 50
+        lm_smoothing="sb",
+    )
+    got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert 1 in got and 2 not in got
+
+    with pytest.raises(ValueError, match="TRIGRAM"):
+        run_streaming_ingest(
+            spark, str(src), corpus,
+            str(tmp_path / "i2"), str(tmp_path / "k2"),
+            lm_model_dir=bi_dir, max_ppl=50.0, lm_smoothing="sb",
+        )
+    with pytest.raises(ValueError, match="BIGRAM"):
+        run_streaming_ingest(
+            spark, str(src), corpus,
+            str(tmp_path / "i3"), str(tmp_path / "k3"),
+            lm_model_dir=tri_dir, max_ppl=50.0, lm_smoothing="kn",
+        )
