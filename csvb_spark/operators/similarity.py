@@ -195,10 +195,18 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: dict[int, list[float]] | None = None,
+    max_probes: int = 10_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize every
     vector to its nearest centroid, then scan only the probe's
     ``nprobe`` closest centroid lists.
+
+    The BOUNDED-PROBE contract is enforced: the probe side collects to
+    the driver (the IVF query shape — a handful of query vectors
+    against a big corpus), so a probe table larger than ``max_probes``
+    raises with a pointer to :func:`knn_join`, the probe-side-
+    distributed operator, instead of silently materializing on the
+    driver.
 
     The coarse quantizer is deterministic — centroid c is the vector
     with ``vec_id == c`` (c < n_centroids), or a trained codebook
@@ -259,6 +267,18 @@ def ivf_topk(
 
     from csvb_spark.operators.dedup import spread
 
+    # enforce the bounded-probe contract BEFORE collecting: the count
+    # scans at most max_probes + 1 probe rows (limit pushes into the
+    # scan), so an over-bound probe fails fast and cheap
+    n_probe = probe.select(id_col).limit(max_probes + 1).count()
+    if n_probe > max_probes:
+        raise ValueError(
+            f"ivf_topk: probe side exceeds max_probes={max_probes} rows;"
+            " it is collected to the driver (the bounded-probe IVF"
+            " contract). Use knn_join for a large probe table (broadcast"
+            "/cell-equi-join scoring, fully distributed), or raise"
+            " max_probes."
+        )
     p_rows = probe.select(
         F.col(id_col).alias("pid"), F.col(vec_col).alias("pvec")
     ).collect()

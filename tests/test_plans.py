@@ -141,6 +141,25 @@ def test_ivf_multi_probe_vectorized(spark, sf_dir):
     assert "aggregate(" not in plan  # no interpreted HOF folds
 
 
+def test_ivf_bounded_probe_contract_enforced(spark, sf_dir):
+    """An over-bound probe table raises (pointing at knn_join) instead
+    of silently collecting to the driver; knn_join handles the same
+    input distributed (VERDICT r7 task 4)."""
+    import pytest
+
+    from csvb_spark.operators.similarity import ivf_topk, knn_join
+
+    e = _embs(spark, sf_dir)
+    big_probe = e  # the whole corpus as probes: the knn_join shape
+    with pytest.raises(ValueError, match="knn_join"):
+        ivf_topk(e, big_probe, k=3, max_probes=5)
+    # the distributed operator accepts exactly the same input
+    out = knn_join(e, big_probe.limit(8), k=2)
+    assert out.count() == 16  # 8 probes x k=2
+    # and a probe inside the bound still works
+    assert ivf_topk(e, e.filter(e.vec_id < 3), k=3, max_probes=5).count() == 3
+
+
 def test_sample_frames_vectorized_slices(spark):
     """Frame sampling's slice math (equal payload slices, clamped at
     the end, n_frames rows per doc even for short/empty payloads) —
