@@ -171,8 +171,18 @@ def main() -> None:
 
 
 # model-filter passes timed outside the legacy BASELINE-comparable sum
+# (round 8 adds the KN + stupid-backoff scorers and the weighted draw —
+# constant factors get watched the way x84's were, which is how the
+# quadratic HOF-lambda bug was caught)
 MODEL_OPS = frozenset(
-    {"x64_linear_classifier", "x84_bigram_perplexity", "x86_token_drift"}
+    {
+        "x64_linear_classifier",
+        "x84_bigram_perplexity",
+        "x86_token_drift",
+        "x89_kneser_ney_perplexity",
+        "x90_weighted_sample",
+        "x93_stupid_backoff_trigram",
+    }
 )
 
 # ten key-shifted copies per fact table; dims stay one copy

@@ -2974,6 +2974,7 @@ GROUP BY doc_id
 # continuation counts, scalars) as chained CTEs.
 _q(
     "x89_kneser_ney_perplexity",
+    headline=True,  # model-ops bench section (round 8)
     spark=lambda spark, sf: LM.kneser_ney_score(
         _docs(spark, sf),
         LM.bigram_lm_train(_docs(spark, sf).filter(F.col("doc_id") % 2 == 0)),
@@ -3049,6 +3050,7 @@ from csvb_spark.operators import splits as SPLITS  # noqa: E402
 
 _q(
     "x90_weighted_sample",
+    headline=True,  # model-ops bench section (round 8)
     spark=lambda spark, sf: SPLITS.weighted_sample(
         _docs(spark, sf).select(
             "doc_id",
@@ -3179,6 +3181,7 @@ LIMIT 25
 # to the 0.4 the paper writes) with a pinned multiplication tree.
 _q(
     "x93_stupid_backoff_trigram",
+    headline=True,  # model-ops bench section (round 8)
     spark=lambda spark, sf: LM.stupid_backoff_score(
         _docs(spark, sf),
         LM.trigram_lm_train(
