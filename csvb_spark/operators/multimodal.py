@@ -259,6 +259,15 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
+            if ids and min(ids) < 0:
+                # the id-derived byte arithmetic uses Python %, which is
+                # non-negative for negative ids while SQL's % follows the
+                # sign — a negative id would silently diverge from the
+                # x66/x85/x87/x88 oracles instead of failing cleanly
+                raise ValueError(
+                    "synthesize: doc ids must be non-negative, got "
+                    f"{min(ids)}"
+                )
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -339,6 +348,15 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
+            if ids and min(ids) < 0:
+                # the id-derived byte arithmetic uses Python %, which is
+                # non-negative for negative ids while SQL's % follows the
+                # sign — a negative id would silently diverge from the
+                # x66/x85/x87/x88 oracles instead of failing cleanly
+                raise ValueError(
+                    "synthesize: doc ids must be non-negative, got "
+                    f"{min(ids)}"
+                )
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -547,6 +565,15 @@ def synthesize_jpeg(
 
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
+            if ids and min(ids) < 0:
+                # the id-derived byte arithmetic uses Python %, which is
+                # non-negative for negative ids while SQL's % follows the
+                # sign — a negative id would silently diverge from the
+                # x66/x85/x87/x88 oracles instead of failing cleanly
+                raise ValueError(
+                    "synthesize: doc ids must be non-negative, got "
+                    f"{min(ids)}"
+                )
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -610,6 +637,15 @@ def synthesize_mulaw(
 
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
+            if ids and min(ids) < 0:
+                # the id-derived byte arithmetic uses Python %, which is
+                # non-negative for negative ids while SQL's % follows the
+                # sign — a negative id would silently diverge from the
+                # x66/x85/x87/x88 oracles instead of failing cleanly
+                raise ValueError(
+                    "synthesize: doc ids must be non-negative, got "
+                    f"{min(ids)}"
+                )
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,

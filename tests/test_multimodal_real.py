@@ -533,3 +533,22 @@ def test_alaw_decode_matches_integer_replay(spark):
             math.sqrt((sum(s * s for s in pcm) / 1073741824.0) / n)
         )
         assert r.peak == max(abs(s) for s in pcm) / 32768.0
+
+
+def test_synthesizers_reject_negative_ids(spark):
+    """Negative doc ids would silently diverge from the SQL oracles
+    (Python % is non-negative, SQL % follows the sign) — every
+    synthesizer fails cleanly instead (round-7 ADVICE)."""
+    import pytest
+
+    from csvb_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(-1,), (2,)], "doc_id bigint")
+    for fn in (
+        M.synthesize_media,
+        M.synthesize_png,
+        M.synthesize_jpeg,
+        M.synthesize_mulaw,
+    ):
+        with pytest.raises(Exception, match="non-negative"):
+            fn(docs).collect()
