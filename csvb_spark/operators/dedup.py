@@ -268,6 +268,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_words: int = 3,
     min_jaccard: float = 0.5,
+    skew_warn_threshold: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard over the shingle sets.
@@ -275,6 +276,19 @@ def minhash_lsh_pairs(
     Plan shape: project(signature) → explode(bands) → shuffle on
     (band, key) → pair join → exact-Jaccard verify. Output:
     (doc_id_a, doc_id_b, est_jaccard, jaccard).
+
+    ``skew_warn_threshold``: opt-in skew pre-flight. When set, the
+    band-bucket histogram (``profile.skew_report`` over the banding,
+    which is then materialized once and reused by both sides of the
+    self-join) is checked before the candidate join; a normalized
+    entropy below the threshold raises a warning. The warning — not a
+    salt — is deliberate: salting cannot shrink a hot bucket's pair
+    OUTPUT, which is quadratic in bucket size (AQE skew-split already
+    rebalances the exchange itself; see the merge hint below). The
+    actionable fix the warning names is running EXACT dedup first, so
+    identical boilerplate collapses to one representative per digest
+    before it can form a quadratic band bucket. Default off: the
+    pre-flight costs one extra aggregation over the banding.
     """
     # Shuffle economics: only (doc_id, sig, band_id, band_key) moves
     # through the candidate join — 16 bigints + keys per row, never
@@ -282,6 +296,38 @@ def minhash_lsh_pairs(
     # (small) candidate set during verification.
     base = spread(docs.select("doc_id", text_col))
     banded = minhash_bands(docs, text_col, num_perm, bands, shingle_words)
+    if skew_warn_threshold is not None:
+        from csvb_spark.operators.profile import skew_report
+
+        banded = banded.localCheckpoint(eager=True)
+        rep = skew_report(
+            banded.select(
+                F.concat_ws(
+                    "\x00", F.col("band_id").cast("string"), F.col("band_key")
+                ).alias("bucket")
+            ),
+            "bucket",
+            k=1,
+        ).first()
+        ne = rep["norm_entropy"] if rep is not None else None
+        # a single-bucket banding normalizes to NULL entropy but is the
+        # degenerate-skew case, not the uniform one
+        if rep is not None and rep["n_keys"] == 1:
+            ne = 0.0
+        if ne is not None and ne < skew_warn_threshold:
+            import warnings
+
+            warnings.warn(
+                "minhash_lsh_pairs: band buckets are skewed "
+                f"(norm_entropy={ne}, hottest bucket holds "
+                f"{rep['n']} of {rep['total_rows']} band rows). AQE "
+                "skew-split rebalances the exchange, but the hot "
+                "bucket's candidate-pair OUTPUT is quadratic in its "
+                "size — run exact dedup (exact_dedup/exact_groups) "
+                "first so identical boilerplate collapses before "
+                "banding.",
+                stacklevel=2,
+            )
 
     a = banded.alias("a")
     b = banded.alias("b")

@@ -105,6 +105,24 @@ def _resolve_broadcast(
     return False
 
 
+def _model_norm_entropy(
+    n_tokens, n_keys, nlogn
+) -> float | None:
+    """Normalized entropy of an n-gram key distribution from its count
+    model's scalar statistics (``Σn``, ``K``, ``Σ n·ln n``) — the skew
+    pre-flight signal for the shuffle-fallback score joins. Returns
+    None with no data; a single-key distribution reads as 0.0 (fully
+    concentrated — the degenerate-skew case, not the uniform one)."""
+    import math
+
+    if not n_tokens or n_keys is None or n_keys == 0:
+        return None
+    if n_keys == 1:
+        return 0.0
+    h = math.log(float(n_tokens)) - float(nlogn or 0.0) / float(n_tokens)
+    return h / math.log(float(n_keys))
+
+
 def bigram_lm_train(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -229,6 +247,8 @@ def perplexity_score(
     broadcast_model: bool | None = None,
     broadcast_max_rows: int = 8_000_000,
     model_materialized: bool = False,
+    n_salts: int = 16,
+    salt_threshold: float = 0.5,
 ) -> DataFrame:
     """Score every document's bigram perplexity under ``lm``.
 
@@ -255,6 +275,15 @@ def perplexity_score(
     bounded sample, as CCNet does; score the full corpus map-side).
     ``True``/``False`` force the choice without the size probe's
     outcome mattering.
+
+    The shuffle fallback is additionally SKEW-GUARDED: the model's
+    bigram-count entropy (computed in the same scalar agg as ``V`` —
+    no extra pass) stands in for the scoring corpus's join-key
+    distribution, and when its normalized entropy drops below
+    ``salt_threshold`` the score joins are salted over ``n_salts``
+    deterministic salts (corpus side scattered by xxhash64, model
+    side replicated) — row-identical output, but the hot key's rows
+    land on ``n_salts`` reducers instead of one straggler.
     """
     if not isinstance(alpha, int) or alpha <= 0:
         raise ValueError(
@@ -288,10 +317,22 @@ def perplexity_score(
     )
     # V = distinct unigram types, a scalar the oracle derives the same
     # way; bounded driver constant. ONE small agg over the model also
-    # yields the total row count — the auto-broadcast size signal.
-    v, n_model = lm.agg(
+    # yields the total row count (the auto-broadcast size signal) AND
+    # the bigram-key entropy statistics (the skew pre-flight for the
+    # shuffle fallback) — no extra pass for either.
+    _is_bi = F.col("w2").isNotNull()
+    v, n_model, b_tokens, b_keys, b_nlogn = lm.agg(
         F.count(F.when(F.col("w2").isNull(), 1)).alias("v"),
         F.count("*").alias("n"),
+        F.sum(F.when(_is_bi, F.col("cnt"))).alias("bn"),
+        F.count(F.when(_is_bi, 1)).alias("bk"),
+        F.sum(
+            F.when(
+                _is_bi,
+                F.col("cnt").cast("double")
+                * F.log(F.col("cnt").cast("double")),
+            )
+        ).alias("bnlogn"),
     ).first()
     broadcast_model = _resolve_broadcast(
         "perplexity_score", n_model, broadcast_model, broadcast_max_rows
@@ -317,10 +358,57 @@ def perplexity_score(
         )
         .select("_id", "b.w1", "b.w2")
     )
-    joined = (
-        pairs.join(bi, (pairs.w1 == bi._b_w1) & (pairs.w2 == bi._b_w2), "left")
-        .join(uni, pairs.w1 == uni._c_w1, "left")
-    )
+    _ne = _model_norm_entropy(b_tokens, b_keys, b_nlogn)
+    if not broadcast_model and _ne is not None and _ne < salt_threshold:
+        # SKEW PRE-FLIGHT (free: the entropy came out of the same agg
+        # as V). The shuffle fallback exchanges the bigram-exploded
+        # corpus on the Zipf-skewed (w1, w2) key; when the TRAIN
+        # corpus's bigram distribution — the best available proxy for
+        # the scoring corpus — is concentrated (norm entropy below
+        # ``salt_threshold``), the hot key becomes one straggler
+        # reducer. Salt: scatter each corpus pair over ``n_salts``
+        # deterministic salts and replicate the model rows across all
+        # of them — every pair still meets exactly ONE replica of its
+        # model row, so the result is row-identical to the plain left
+        # join (the x84 oracle is unchanged); the hot key's rows now
+        # land on n_salts reducers instead of one.
+        import warnings
+
+        warnings.warn(
+            "perplexity_score: shuffle-fallback join key is skewed "
+            f"(model bigram norm_entropy < {salt_threshold}); salting "
+            f"the score joins over {n_salts} salts.",
+            stacklevel=2,
+        )
+        pairs = pairs.withColumn(
+            "_ps", F.pmod(F.xxhash64("_id", "w1", "w2"), F.lit(n_salts))
+        )
+        all_salts = F.explode(
+            F.sequence(F.lit(0), F.lit(n_salts - 1))
+        )
+        bi = bi.withColumn("_bs", all_salts)
+        uni = uni.withColumn("_us", all_salts)
+        joined = (
+            pairs.join(
+                bi,
+                (pairs.w1 == bi._b_w1)
+                & (pairs.w2 == bi._b_w2)
+                & (pairs._ps == bi._bs),
+                "left",
+            )
+            .join(
+                uni,
+                (pairs.w1 == uni._c_w1) & (pairs._ps == uni._us),
+                "left",
+            )
+        )
+    else:
+        joined = (
+            pairs.join(
+                bi, (pairs.w1 == bi._b_w1) & (pairs.w2 == bi._b_w2), "left"
+            )
+            .join(uni, pairs.w1 == uni._c_w1, "left")
+        )
     p = (
         (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(alpha)).cast("double")
         / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(alpha) * F.lit(v)).cast(

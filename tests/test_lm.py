@@ -605,3 +605,45 @@ def test_cli_sample_flag_defaults(tmp_path):
     with pytest.raises(SystemExit, match="--tokens-col applies"):
         main(["sample", "--parquet", data, "--method", "weighted",
               "--k", "1", "--weight-col", "w", "--tokens-col", "n_tokens"])
+
+
+def test_shuffle_fallback_salts_skewed_key(spark):
+    """Planted 90%-one-bigram corpus + over-bound model: the shuffle
+    fallback detects the concentrated key distribution (entropy probe
+    rides the V agg — no extra pass) and salts the score joins; the
+    output is row-identical to the broadcast path (VERDICT r7 task 6)."""
+    import warnings as _warnings
+
+    from csvb_spark.operators.lm import bigram_lm_train, perplexity_score
+
+    rows = [(i, "the the the the the the the the") for i in range(90)] + [
+        (100 + i, f"alpha{i} beta{i} gamma{i}") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    lm = bigram_lm_train(docs)
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        salted = perplexity_score(docs, lm, broadcast_max_rows=0)
+    msgs = [str(w.message) for w in caught]
+    assert any("salting" in m for m in msgs)
+    plan = _plan_of(salted)
+    assert "xxhash64" in plan  # the salt scatter is in the plan
+    assert "BroadcastHashJoin" not in plan
+
+    # row-identical to the broadcast path (the oracle contract)
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, perplexity_score(docs, lm, broadcast_model=True).collect()))
+    assert a == b
+
+    # a UNIFORM corpus's fallback does NOT salt (entropy above threshold)
+    uni_docs = spark.createDataFrame(
+        [(i, f"u{i} v{i} w{i} x{i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    uni_lm = bigram_lm_train(uni_docs)
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        unsalted = perplexity_score(uni_docs, uni_lm, broadcast_max_rows=0)
+    assert not any("salting" in str(w.message) for w in caught2)
+    assert "xxhash64" not in _plan_of(unsalted)

@@ -1026,3 +1026,38 @@ def test_stupid_backoff_broadcasts_all_model_tables(spark, sf_dir):
     plan = _plan(stupid_backoff_score(docs, lm))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_minhash_skew_preflight_warns_on_hot_bucket(spark):
+    """Opt-in band-bucket pre-flight: a boilerplate-heavy corpus (90%
+    identical text -> one hot band bucket) warns and names the
+    exact-dedup-first fix; output matches the no-preflight run; a
+    diverse corpus stays silent."""
+    import warnings as _warnings
+
+    import pytest as _pytest
+
+    from csvb_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "all work and no play makes a dull page of boilerplate text"
+    rows = [(i, boiler) for i in range(45)] + [
+        (100 + i, f"unique document number {i} with words {i * 7} and {i * 13}")
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with _pytest.warns(UserWarning, match="exact dedup"):
+        flagged = minhash_lsh_pairs(docs, skew_warn_threshold=0.6)
+    plain = minhash_lsh_pairs(docs)
+    assert sorted(map(tuple, flagged.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    diverse = spark.createDataFrame(
+        [(i, f"doc {i} talks about topic{i} item{i*3} thing{i*11}")
+         for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        minhash_lsh_pairs(diverse, skew_warn_threshold=0.6).collect()
+    assert not any("exact dedup" in str(w.message) for w in caught)
