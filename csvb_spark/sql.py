@@ -79,22 +79,58 @@ def refresh_information_schema(spark: SparkSession) -> None:
         tables or [("spark_catalog", "default", "", "VIEW")],
         "table_catalog string, table_schema string, table_name string, table_type string",
     ).filter("table_name <> ''").createOrReplaceTempView("information_schema_tables")
+    # Column layout pinned to DataFusion 44's information_schema.columns
+    # (the reference enables it via csvb_engine/src/lib.rs:22): the full
+    # 15-column SQL-standard shape, names and order. Documented
+    # divergence (SURVEY §1.4): the type-derived metadata columns
+    # (column_default, character_*_length, numeric_*, datetime_precision,
+    # interval_type) ship NULL — Spark's catalog exposes the type string,
+    # not Arrow-level precision metadata, and fabricating a mapping
+    # would be parity theater. DataFusion itself ships NULL for most of
+    # them on parquet-derived schemas.
     spark.createDataFrame(
         columns or [("spark_catalog", "default", "", "", 0, "", "YES")],
         "table_catalog string, table_schema string, table_name string, "
         "column_name string, ordinal_position int, data_type string, "
         "is_nullable string",
-    ).filter("table_name <> ''").createOrReplaceTempView("information_schema_columns")
+    ).filter("table_name <> ''").selectExpr(
+        "table_catalog",
+        "table_schema",
+        "table_name",
+        "column_name",
+        "ordinal_position",
+        "CAST(NULL AS STRING) AS column_default",
+        "is_nullable",
+        "data_type",
+        "CAST(NULL AS BIGINT) AS character_maximum_length",
+        "CAST(NULL AS BIGINT) AS character_octet_length",
+        "CAST(NULL AS BIGINT) AS numeric_precision",
+        "CAST(NULL AS BIGINT) AS numeric_precision_radix",
+        "CAST(NULL AS BIGINT) AS numeric_scale",
+        "CAST(NULL AS BIGINT) AS datetime_precision",
+        "CAST(NULL AS STRING) AS interval_type",
+    ).createOrReplaceTempView("information_schema_columns")
     views = [t for t in tables if t[3] == "VIEW"]
     spark.createDataFrame(
         [(c, s, n, None) for c, s, n, _ in views] or [("", "", "", None)],
         "table_catalog string, table_schema string, table_name string, "
         "definition string",
     ).filter("table_name <> ''").createOrReplaceTempView("information_schema_views")
+    # schemata likewise pinned to DataFusion 44's 7-column layout; the
+    # owner/charset/sql_path columns are NULL there too (DataFusion
+    # fills them with NULL for every schema)
     spark.createDataFrame(
         [(d.catalog or "spark_catalog", d.name) for d in spark.catalog.listDatabases()]
         or [("spark_catalog", "default")],
         "catalog_name string, schema_name string",
+    ).selectExpr(
+        "catalog_name",
+        "schema_name",
+        "CAST(NULL AS STRING) AS schema_owner",
+        "CAST(NULL AS STRING) AS default_character_set_catalog",
+        "CAST(NULL AS STRING) AS default_character_set_schema",
+        "CAST(NULL AS STRING) AS default_character_set_name",
+        "CAST(NULL AS STRING) AS sql_path",
     ).createOrReplaceTempView("information_schema_schemata")
     # DataFusion's df_settings analogue: the session's explicit config
     # (Spark's `SET` command output, renamed to DataFusion's columns)

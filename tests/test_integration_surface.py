@@ -1106,3 +1106,50 @@ def test_cli_expect_missing_argument_message(spark, tmp_path):
     json.dump([{"check": "unique"}], open(spec, "w"))  # valid name, no col
     with pytest.raises(SystemExit, match="missing argument"):
         main(["expect", "--parquet", data, spec])
+
+
+def test_information_schema_columns_match_datafusion_layout(spark, sf_dir):
+    """Column-for-column parity sweep against DataFusion 44's
+    information_schema layout (the reference enables it via
+    csvb_engine/src/lib.rs:22). Names AND order are pinned; the
+    type-derived metadata columns ship NULL here (documented
+    divergence, SURVEY §1.4 — DataFusion itself NULLs most of them
+    for parquet-derived schemas)."""
+    from csvb_spark.sources.catalog import register_views
+    from csvb_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    layouts = {
+        "tables": ["table_catalog", "table_schema", "table_name",
+                   "table_type"],
+        "views": ["table_catalog", "table_schema", "table_name",
+                  "definition"],
+        "columns": [
+            "table_catalog", "table_schema", "table_name", "column_name",
+            "ordinal_position", "column_default", "is_nullable",
+            "data_type", "character_maximum_length",
+            "character_octet_length", "numeric_precision",
+            "numeric_precision_radix", "numeric_scale",
+            "datetime_precision", "interval_type",
+        ],
+        "schemata": [
+            "catalog_name", "schema_name", "schema_owner",
+            "default_character_set_catalog",
+            "default_character_set_schema",
+            "default_character_set_name", "sql_path",
+        ],
+        "df_settings": ["name", "value"],
+    }
+    for view, expected in layouts.items():
+        got = execute_sql(
+            spark, f"SELECT * FROM information_schema.{view}"
+        ).columns
+        assert got == expected, f"information_schema.{view}: {got}"
+    # the populated columns still carry real catalog data
+    row = execute_sql(
+        spark,
+        "SELECT ordinal_position, is_nullable, data_type FROM "
+        "information_schema.columns WHERE table_name = 'lineitem' "
+        "AND column_name = 'l_orderkey'",
+    ).collect()
+    assert len(row) == 1 and row[0]["data_type"] == "bigint"
