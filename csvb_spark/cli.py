@@ -209,6 +209,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="exact distinct counts (default: HyperLogLog approximation)",
     )
 
+    pk = sub.add_parser(
+        "skew",
+        help="hot-key shuffle diagnostics for a column: top-k keys, "
+        "shares, normalized entropy (the salting/AQE pre-flight)",
+    )
+    pk.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pk.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pk.add_argument("--json", action="append", default=[], metavar="PATH")
+    pk.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pk.add_argument("--key", required=True, help="the join/groupBy key column")
+    pk.add_argument("--k", type=int, default=20, help="top-k hot keys to show")
+
     pt = sub.add_parser(
         "train-filter",
         help="train a quality-filter model (hashed linear classifier "
@@ -524,6 +536,31 @@ def main(argv: list[str] | None = None) -> int:
         print(
             render_df(profile_table(spark.table(args.table_name), exact=args.exact))
         )
+        return 0
+
+    if args.command == "skew":
+        from csvb_spark.operators.profile import skew_report
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        table = spark.table(args.table_name)
+        if args.key not in table.columns:
+            raise SystemExit(
+                f"skew: column {args.key!r} not in table"
+                f" (columns: {', '.join(table.columns)})"
+            )
+        rep = skew_report(table, args.key, k=args.k)
+        print(render_df(rep))
+        first = rep.first()
+        if first is not None and first["norm_entropy"] is not None:
+            ne = first["norm_entropy"]
+            verdict = (
+                "SKEWED - plan for salting/AQE skew-split on this key"
+                if ne < 0.5
+                else "balanced - shuffle freely on this key"
+            )
+            print(f"norm_entropy={ne}: {verdict}")
         return 0
 
     if args.command == "train-filter":

@@ -360,3 +360,31 @@ def test_streaming_drift_monitor(spark, tmp_path):
         for r in by_batch[spam_b]
     }
     assert got == want
+
+
+def test_cli_skew_subcommand(spark, tmp_path, capsys):
+    """The skew subcommand surfaces skew_report end to end: hot-key
+    table + a SKEWED/balanced verdict line; a missing key column is a
+    loud error naming the available columns."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "skewed.parquet")
+    pd.DataFrame(
+        {"k": ["hot"] * 90 + [f"u{i}" for i in range(10)], "v": range(100)}
+    ).to_parquet(data)
+    assert main(["skew", "--parquet", data, "--key", "k", "--k", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "| hot | 90" in out and "SKEWED" in out
+
+    uniform = str(tmp_path / "uniform.parquet")
+    pd.DataFrame({"k": [f"u{i}" for i in range(100)], "v": range(100)}).to_parquet(
+        uniform
+    )
+    assert main(["skew", "--parquet", uniform, "--key", "k"]) == 0
+    assert "balanced" in capsys.readouterr().out
+
+    with _pytest.raises(SystemExit, match="not in table"):
+        main(["skew", "--parquet", data, "--key", "nope"])
