@@ -3275,6 +3275,11 @@ _P_ALIASES: dict[str, str] = {
     "p21_near_dedup": "x40_near_dedup_keep",
     "p22_weighted_sample": "x90_weighted_sample",
     "p23_skew_report": "x92_skew_report",
+    # round 8, second batch: retrieval, decontamination, and packing are
+    # the remaining ops a training pipeline cannot ship without.
+    "p24_bm25_topk": "x55_bm25_topk",
+    "p25_contamination": "x19_contamination",
+    "p26_sequence_packing": "x24_sequence_packing",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]
