@@ -631,6 +631,73 @@ def gopher_rules(
     )
 
 
+def c4_line_filter(
+    docs: DataFrame,
+    segments: Column | None = None,
+    text_col: str = "text",
+    min_words: int = 3,
+    require_terminal: bool = True,
+    blocked_line_words: tuple[str, ...] = ("javascript",),
+    blocked_doc_phrases: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_kept_lines: int = 5,
+    joiner: str = "\n",
+) -> DataFrame:
+    """The C4 line/page filter bundle (Raffel et al. 2020, §2.2 — the
+    cleanup pass behind the C4 corpus): keep a line iff it ends in a
+    terminal punctuation mark (``.``, ``!``, ``?``, or a closing
+    quote), has at least ``min_words`` words, and contains none of
+    ``blocked_line_words`` (C4 drops lines with the word
+    "javascript"); keep the page iff at least ``min_kept_lines`` lines
+    survive and the full text contains none of
+    ``blocked_doc_phrases`` (C4 drops pages with "lorem ipsum" or a
+    curly brace). All containment checks are case-insensitive.
+
+    ``segments`` is any ``array<string>`` expression over the row
+    (default: newline split of ``text_col``) — pass a sentence or
+    fixed-window segmentation when the corpus has no newlines.
+    ``require_terminal=False`` disables the punctuation rule for
+    corpora without it. Output per input doc: ``doc_id``,
+    ``n_lines``, ``n_kept``, ``keep_doc``, ``clean_text`` (kept lines
+    joined in original order; empty when nothing survives).
+
+    Plan: ENTIRELY map-only — the keep predicate is an ``F.filter``
+    lambda over the segment array, the page rules are scalar
+    expressions on the same row, and no explode/groupBy round-trip is
+    needed because line order is free inside the array. Zero
+    shuffles, linear in executors, trivially 100 TB-safe (contrast
+    ``line_dedup``, whose cross-document frequency count genuinely
+    needs a shuffle). Reference scope: beyond-reference
+    (training-pipeline extension).
+    """
+    text = F.col(text_col)
+    segs = segments if segments is not None else F.split(text, "\n")
+
+    def _line_keep(s: Column) -> Column:
+        st = F.trim(s)
+        keep = F.size(F.split(st, r"\s+")) >= F.lit(min_words)
+        keep = keep & (F.length(st) > 0)
+        if require_terminal:
+            keep = keep & st.rlike('[.!?"]$')
+        low = F.lower(st)
+        for w in blocked_line_words:
+            keep = keep & ~low.contains(F.lit(w.lower()))
+        return keep
+
+    kept = F.filter(segs, _line_keep)
+    n_kept = F.size(kept)
+    doc_ok = n_kept >= F.lit(min_kept_lines)
+    low_text = F.lower(text)
+    for p in blocked_doc_phrases:
+        doc_ok = doc_ok & ~low_text.contains(F.lit(p.lower()))
+    return docs.select(
+        "doc_id",
+        F.size(segs).alias("n_lines"),
+        n_kept.alias("n_kept"),
+        doc_ok.alias("keep_doc"),
+        F.concat_ws(joiner, kept).alias("clean_text"),
+    )
+
+
 def normalize_text(
     docs: DataFrame,
     text_col: str = "text",

@@ -3260,6 +3260,70 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
 )
 
 
+# --- round 8: C4 line/page filter ------------------------------------
+# The fixture corpus has no newlines or punctuation, so the entry
+# segments each doc into non-overlapping 16-token windows (the x53
+# pseudo-line convention) and appends a deterministic terminal '.' to
+# every third window — both engines replay the synthesis exactly, and
+# the terminal-punctuation rule stays meaningfully exercised (≈1/3 of
+# lines pass it). 'vector' stands in for C4's "javascript" line rule,
+# 'dup dup' for its "lorem ipsum" page rule.
+def _x94_segments():
+    from csvb_spark.operators.text import tokens
+
+    t = tokens("text")
+    return F.transform(
+        F.sequence(F.lit(0), F.floor((F.size(t) - 1) / 16).cast("int")),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(t, i * 16 + 1, 16)),
+            F.when(i % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+
+
+_q(
+    "x94_c4_line_filter",
+    spark=lambda spark, sf: text.c4_line_filter(
+        _docs(spark, sf),
+        segments=_x94_segments(),
+        min_words=8,
+        blocked_line_words=("vector",),
+        blocked_doc_phrases=("dup dup",),
+        min_kept_lines=2,
+        joiner=" ",
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS w FROM documents
+), segs AS (
+  SELECT doc_id, i,
+         array_to_string(w[(i*16+1):(i*16+16)], ' ')
+           || CASE WHEN i % 3 = 0 THEN '.' ELSE '' END AS seg
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(0, CAST(floor((len(w) - 1) / 16) AS INT))) AS i
+        FROM toks) s
+), kept AS (
+  SELECT doc_id, i, seg FROM segs
+  WHERE len(string_split_regex(trim(seg), '\s+')) >= 8
+    AND length(trim(seg)) > 0
+    AND regexp_matches(trim(seg), '[.!?"]$')
+    AND NOT contains(lower(trim(seg)), 'vector')
+), re AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(floor((len(t.w) - 1) / 16) AS INT) + 1 AS n_lines,
+       CAST(COALESCE(r.n_kept, 0) AS INT) AS n_kept,
+       (COALESCE(r.n_kept, 0) >= 2
+          AND NOT contains(lower(t.text), 'dup dup')) AS keep_doc,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN re r USING (doc_id)
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).

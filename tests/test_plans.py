@@ -318,6 +318,50 @@ def test_scrub_operators_map_only(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_c4_line_filter_map_only(spark, sf_dir):
+    """The C4 line/page filter is a pure per-row array filter — zero
+    exchanges, zero Python evaluation (contrast line_dedup, whose
+    cross-doc frequency count genuinely shuffles)."""
+    from csvb_spark.operators.text import c4_line_filter
+
+    plan = _plan(c4_line_filter(_docs(spark, sf_dir)))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_c4_line_filter_rules(spark):
+    """Planted newline docs: each C4 rule fires on the line or page
+    it should and nothing else."""
+    from csvb_spark.operators.text import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            # 5 good lines -> keep_doc
+            (1, "\n".join(f"one two three four {i}." for i in range(5))),
+            # terminal-punct rule drops the bare line; javascript rule
+            # drops the third; only 1 survivor -> page dropped
+            (2, "one two three four five.\nno terminal punct here\n"
+                "Uses JavaScript for rendering."),
+            # page-level phrase rules
+            (3, "\n".join("lorem ipsum dolor sit amet." for _ in range(5))),
+            (4, "\n".join("function f() { return 1; }." for _ in range(5))),
+            # short line rule
+            (5, "\n".join("too short." for _ in range(5))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in c4_line_filter(docs, min_kept_lines=5).collect()
+    }
+    assert out[1]["keep_doc"] and out[1]["n_kept"] == 5
+    assert out[2]["n_kept"] == 1 and not out[2]["keep_doc"]
+    assert out[2]["clean_text"] == "one two three four five."
+    assert out[3]["n_kept"] == 5 and not out[3]["keep_doc"]  # lorem ipsum
+    assert out[4]["n_kept"] == 5 and not out[4]["keep_doc"]  # curly brace
+    assert out[5]["n_kept"] == 0 and not out[5]["keep_doc"]
+
+
 def test_pack_sequences_single_exchange(spark, sf_dir):
     """Concat-and-chunk packing is exactly one shuffle (the per-stream
     window sort): more exchanges would mean the cumsum re-partitioned."""
