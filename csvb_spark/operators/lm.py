@@ -821,3 +821,110 @@ def stupid_backoff_score(
         avg_nls.alias("avg_neg_logscore"),
         F.round(F.exp(avg_nls), 6).alias("sppl"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    lm: DataFrame,
+    n_buckets: int = 3,
+    labels: tuple[str, ...] | None = None,
+    alpha: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_distinct: int = 1_000_000,
+    **score_kwargs,
+) -> DataFrame:
+    """CCNet's head/middle/tail cut (Wenzek et al. 2020, §4.3): score
+    every document's perplexity under ``lm`` and split the corpus into
+    ``n_buckets`` equal-mass groups by ppl — bucket 1 ("head") is the
+    most fluent third, the part CCNet keeps unconditionally; "tail"
+    is the candidate-discard third. Documents sharing a (quantized)
+    ppl always share a bucket, so the split is reproducible by any
+    engine — no rank tiebreaks, no interpolated quantiles.
+
+    Output: ``(doc_id, ppl, bucket, cut)`` — ``bucket`` 1-based,
+    ``cut`` the matching label (default head/middle/tail for 3),
+    NULL/-'unscored' for documents with no bigram evidence.
+
+    Plan shape (the x91 calibration pattern, generalized to k
+    cutoffs): ppl is quantized to 6 decimals by ``perplexity_score``,
+    so the distinct-ppl histogram is bounded — ONE groupBy over the
+    scored projection, a cumulative sum over that bounded table
+    (single-partition over ≤ ``max_distinct`` rows by design, guarded
+    loudly), bucket ids from exact integer arithmetic
+    (``((cum-1)·k) div n + 1`` — engines cannot disagree on a
+    boundary), then a BROADCAST join back so assignment is map-side.
+    No global sort, no rank window over the corpus: at 100 TB the only
+    corpus-wide shuffles are the ones ``perplexity_score`` already
+    pays. Reference scope: beyond-reference (training-pipeline
+    extension).
+    """
+    from pyspark.sql import Window
+
+    if n_buckets < 2:
+        raise ValueError(f"perplexity_buckets: need n_buckets >= 2, got {n_buckets}")
+    if labels is None:
+        labels = (
+            ("head", "middle", "tail")
+            if n_buckets == 3
+            else tuple(f"b{i + 1}" for i in range(n_buckets))
+        )
+    if len(labels) != n_buckets:
+        raise ValueError(
+            f"perplexity_buckets: {len(labels)} labels for {n_buckets} buckets"
+        )
+    # The narrow (id, ppl) projection is consumed twice (histogram +
+    # final assignment); materialize it once so the corpus is SCORED
+    # once — 16 bytes/row of executor-local storage versus a second
+    # full tokenize-explode-score pass. Same executor-loss caveat as
+    # perplexity_score's model checkpoint.
+    scored = (
+        perplexity_score(
+            docs, lm, alpha=alpha, text_col=text_col, id_col=id_col, **score_kwargs
+        )
+        .select(id_col, "ppl")
+        .localCheckpoint(eager=True)
+    )
+    hist = (
+        scored.filter(F.col("ppl").isNotNull())
+        .groupBy("ppl")
+        .agg(F.count("*").alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    stats = hist.agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n"), F.count("*").alias("d")
+    ).first()
+    n, d = int(stats["n"]), int(stats["d"])
+    if d > max_distinct:
+        raise ValueError(
+            f"perplexity_buckets: {d} distinct ppl values exceeds"
+            f" max_distinct={max_distinct}; the histogram cumsum runs"
+            " single-partition — raise the bound knowingly"
+        )
+    label_arr = F.array(*[F.lit(s) for s in labels])
+    if n == 0:
+        return scored.select(
+            id_col,
+            "ppl",
+            F.lit(None).cast("int").alias("bucket"),
+            F.lit("unscored").alias("cut"),
+        )
+    w = Window.orderBy("ppl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets = hist.withColumn("_cum", F.sum("_n").over(w)).select(
+        "ppl",
+        F.expr(f"cast(((_cum - 1) * {int(n_buckets)}) div {n} + 1 as int)").alias(
+            "bucket"
+        ),
+    )
+    # NOTE: not coalesce(element_at(arr, bucket), ...) — Spark 4.1
+    # folds element_at over a foldable array THROUGH the outer join's
+    # null, yielding arr[-1] instead of NULL for unmatched rows; an
+    # explicit null gate on the index sidesteps the rewrite.
+    return scored.join(F.broadcast(buckets), "ppl", "left").select(
+        id_col,
+        "ppl",
+        "bucket",
+        F.when(F.col("bucket").isNull(), F.lit("unscored"))
+        .otherwise(F.element_at(label_arr, F.col("bucket")))
+        .alias("cut"),
+    )

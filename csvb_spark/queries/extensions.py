@@ -3324,6 +3324,66 @@ FROM toks t LEFT JOIN re r USING (doc_id)
 )
 
 
+# --- round 8: CCNet head/middle/tail perplexity cut --------------------
+# The step CCNet runs AFTER x84's scoring: split the corpus into three
+# equal-mass buckets by ppl (ties share buckets — exact integer quota
+# arithmetic, no interpolated quantiles), keep head+middle. The oracle
+# replays x84's train+score CTEs, then the bounded distinct-ppl
+# histogram cumsum and the same ((cum-1)·k) // n + 1 boundary rule.
+_q(
+    "x95_perplexity_buckets",
+    spark=lambda spark, sf: LM.perplexity_buckets(
+        _docs(spark, sf), LM.bigram_lm_train(_docs(spark, sf))
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), bis AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), uc AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM toks) u GROUP BY w1
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bis GROUP BY w1, w2
+), vv AS (
+  SELECT COUNT(*) AS v FROM uc
+), q AS (
+  SELECT b.doc_id,
+         CAST(round(ln(CAST(COALESCE(bc.c2, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(uc.c1, 0) + 1 * (SELECT v FROM vv)
+                              AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS q
+  FROM bis b
+  LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  LEFT JOIN uc ON b.w1 = uc.w1
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(q) AS total FROM q GROUP BY doc_id
+), ppl AS (
+  SELECT d.doc_id,
+         ROUND(exp(-(CAST(sc.total AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE))), 6)
+           AS ppl
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+), hist AS (
+  SELECT ppl, COUNT(*) AS c FROM ppl WHERE ppl IS NOT NULL GROUP BY ppl
+), tot AS (
+  SELECT COALESCE(SUM(c), 0) AS n FROM hist
+), bkt AS (
+  SELECT ppl,
+         CAST(((SUM(c) OVER (ORDER BY ppl) - 1) * 3)
+              // (SELECT n FROM tot) + 1 AS INT) AS bucket
+  FROM hist
+)
+SELECT p.doc_id, p.ppl, b.bucket,
+       CASE b.bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' WHEN 3 THEN 'tail'
+            ELSE 'unscored' END AS cut
+FROM ppl p LEFT JOIN bkt b ON p.ppl = b.ppl
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).

@@ -647,3 +647,60 @@ def test_shuffle_fallback_salts_skewed_key(spark):
         unsalted = perplexity_score(uni_docs, uni_lm, broadcast_max_rows=0)
     assert not any("salting" in str(w.message) for w in caught2)
     assert "xxhash64" not in _plan_of(unsalted)
+
+
+def test_perplexity_buckets_rules(spark):
+    """Equal-mass CCNet cut: ties share buckets, unscored docs get
+    NULL/'unscored', and the head bucket is the LOWEST-ppl third."""
+    from csvb_spark.operators.lm import bigram_lm_train, perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),   # mid ppl
+            (2, "a a a a"),     # most predictable -> head
+            (3, "b b c"),       # least predictable -> tail
+            (4, "x"),           # no bigram evidence
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in perplexity_buckets(docs, bigram_lm_train(docs)).collect()
+    }
+    assert (out[2]["bucket"], out[2]["cut"]) == (1, "head")
+    assert (out[1]["bucket"], out[1]["cut"]) == (2, "middle")
+    assert (out[3]["bucket"], out[3]["cut"]) == (3, "tail")
+    for d in (4, 5):
+        assert out[d]["bucket"] is None and out[d]["cut"] == "unscored"
+        assert out[d]["ppl"] is None
+
+    # ties share a bucket: two identical docs cannot straddle a cut
+    tied = spark.createDataFrame(
+        [(i, "z z z") for i in range(6)], "doc_id long, text string"
+    )
+    t = perplexity_buckets(tied, bigram_lm_train(tied)).collect()
+    assert len({r["bucket"] for r in t}) == 1
+
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        perplexity_buckets(docs, bigram_lm_train(docs), n_buckets=1)
+    with _pytest.raises(ValueError, match="labels"):
+        perplexity_buckets(
+            docs, bigram_lm_train(docs), n_buckets=3, labels=("a", "b")
+        )
+
+
+def test_perplexity_buckets_assignment_is_broadcast(spark):
+    """The bucket table joins back by BROADCAST — assignment is
+    map-side; the only corpus-wide work is the scoring itself."""
+    from csvb_spark.operators.lm import bigram_lm_train, perplexity_buckets
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = perplexity_buckets(docs, bigram_lm_train(docs))
+    assert "BroadcastHashJoin" in _plan_of(out)
