@@ -93,6 +93,89 @@ def brute_force_topk(
     )
 
 
+def matryoshka_topk(
+    embeddings: DataFrame,
+    probe: DataFrame,
+    dims: int = 16,
+    k: int = 10,
+    rerank_k: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Matryoshka funnel retrieval (Kusupati et al. 2022): shortlist
+    ``rerank_k`` candidates by cosine over the FIRST ``dims``
+    dimensions (MRL-trained embeddings pack most signal into the
+    prefix), then rerank the shortlist with full-dimension cosine and
+    return the top ``k``. Output: ``(vec_id, cos_low, cos_full)``
+    ordered by ``cos_full`` desc with id tiebreak.
+
+    Both stages are exact given their inputs (sequential-fold dot
+    products rounded to 6, ties broken by id), so any engine replays
+    the same shortlist and the same final k — the approximation is
+    the funnel itself (a true neighbor outside the low-dim shortlist
+    is unrecoverable, the standard MRL trade).
+
+    Plan: ONE corpus pass — the probe prefix/norms broadcast, the
+    low-dim cosine is map-side over ``slice(vec, 1, dims)`` (a
+    dims/64 FLOP cut; at 100 TB store the prefix as its own parquet
+    column and the scan reads dims/full_dim of the bytes), and the
+    full vector rides the rerank_k-bounded TakeOrderedAndProject so
+    the rerank needs no second scan or join. Reference scope:
+    beyond-reference (training-pipeline extension).
+    """
+    if dims < 1:
+        raise ValueError(f"matryoshka_topk: dims must be >= 1, got {dims}")
+    if rerank_k < k:
+        raise ValueError(
+            f"matryoshka_topk: rerank_k ({rerank_k}) must be >= k ({k})"
+        )
+
+    def pref(c: Column) -> Column:
+        return F.slice(c, 1, dims)
+
+    p = F.broadcast(
+        probe.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            norm2(as_double(F.col(vec_col))).alias("probe_norm"),
+            pref(F.col(vec_col)).alias("probe_pref"),
+            norm2(as_double(pref(F.col(vec_col)))).alias("probe_pref_norm"),
+        )
+    )
+    shortlist = (
+        embeddings.crossJoin(p)
+        .filter(F.col(id_col) != F.col("probe_id"))
+        .select(
+            id_col,
+            vec_col,
+            "probe_vec",
+            "probe_norm",
+            F.round(
+                cosine_pnorm(
+                    pref(F.col(vec_col)),
+                    F.col("probe_pref"),
+                    F.col("probe_pref_norm"),
+                ),
+                6,
+            ).alias("cos_low"),
+        )
+        .orderBy(F.desc("cos_low"), F.asc(id_col))
+        .limit(rerank_k)
+    )
+    return (
+        shortlist.select(
+            id_col,
+            "cos_low",
+            F.round(
+                cosine_pnorm(F.col(vec_col), F.col("probe_vec"), F.col("probe_norm")),
+                6,
+            ).alias("cos_full"),
+        )
+        .orderBy(F.desc("cos_full"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.standard_normal((n_planes, dim)).round(6).tolist()

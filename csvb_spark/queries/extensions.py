@@ -3384,6 +3384,50 @@ FROM ppl p LEFT JOIN bkt b ON p.ppl = b.ppl
 )
 
 
+# --- round 8: matryoshka funnel retrieval ------------------------------
+# Shortlist by prefix-16 cosine, rerank the 50-candidate shortlist at
+# full dimension. Exact given the funnel: both stages round to 6 and
+# tiebreak by id, so the oracle replays shortlist AND rerank.
+_q(
+    "x96_matryoshka_topk",
+    spark=lambda spark, sf: similarity.matryoshka_topk(
+        _embs(spark, sf),
+        _embs(spark, sf).filter(F.col("vec_id") == 0),
+        dims=16,
+        k=10,
+        rerank_k=50,
+    ),
+    oracle="""
+WITH probe AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+low AS (
+  SELECT e.vec_id, e.embedding, p.pv,
+         ROUND(
+           list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]),
+                            CAST(p.pv[1:16] AS DOUBLE[]))
+           / (sqrt(list_dot_product(CAST(e.embedding[1:16] AS DOUBLE[]),
+                                    CAST(e.embedding[1:16] AS DOUBLE[])))
+              * sqrt(list_dot_product(CAST(p.pv[1:16] AS DOUBLE[]),
+                                      CAST(p.pv[1:16] AS DOUBLE[])))), 6)
+           AS cos_low
+  FROM embeddings e, probe p
+  WHERE e.vec_id <> 0
+), short AS (
+  SELECT * FROM low ORDER BY cos_low DESC, vec_id ASC LIMIT 50
+)
+SELECT vec_id, cos_low,
+       ROUND(
+         list_dot_product(CAST(embedding AS DOUBLE[]), CAST(pv AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                  CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(CAST(pv AS DOUBLE[]), CAST(pv AS DOUBLE[])))),
+         6) AS cos_full
+FROM short
+ORDER BY cos_full DESC, vec_id ASC
+LIMIT 10
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).

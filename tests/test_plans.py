@@ -278,6 +278,48 @@ def test_brute_force_topk_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_matryoshka_topk_funnel(spark, sf_dir):
+    """x96: the funnel plan mirrors p07 (broadcast probe, two
+    TakeOrderedAndProject stages, no shuffle join) — and the funnel
+    SEMANTICS hold: a vector whose similarity lives only in the tail
+    dims never reaches the rerank."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.similarity import matryoshka_topk
+
+    e = _embs(spark, sf_dir)
+    out = matryoshka_topk(e, e.filter(F.col("vec_id") == 0), dims=16, k=10)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan
+    # two stages, each listed twice by the formatted explain (tree +
+    # detail section)
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "SortMergeJoin" not in plan
+
+    # planted funnel miss: id 2 matches the probe ONLY in dims 5-8
+    # (its prefix is orthogonal to the probe's), id 1 matches in dims
+    # 1-4 — with dims=4 the shortlist (size 1) keeps id 1 even though
+    # id 2's full cosine is comparable. Prefixes stay nonzero-norm
+    # (ANSI divide-by-zero).
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        (1, [1.0, 1.0, 1.0, 1.0, 0.1, -0.1, 0.1, -0.1]),
+        (2, [0.1, -0.1, 0.1, -0.1, 1.0, 1.0, 1.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = matryoshka_topk(
+        df, df.filter(F.col("vec_id") == 0), dims=4, k=1, rerank_k=1
+    ).collect()
+    assert [r["vec_id"] for r in got] == [1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rerank_k"):
+        matryoshka_topk(df, df, k=10, rerank_k=5)
+    with _pytest.raises(ValueError, match="dims"):
+        matryoshka_topk(df, df, dims=0)
+
+
 def test_q03_broadcasts_dimensions(spark, sf_dir):
     """q03: the customer dimension side must broadcast; only the
     orderkey edge shuffles."""
