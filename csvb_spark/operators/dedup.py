@@ -616,6 +616,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    max_df: int = 50,
+    min_containment: float = 0.6,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT near-dup pairs:
+    ``C(A→B) = |S(A) ∩ S(B)| / |S(A)|`` over distinct word
+    ``k``-gram shingles — the subset-duplicate detector Jaccard
+    misses (a short doc quoted whole inside a long one scores
+    near-1.0 containment but low Jaccard; Broder 1997 defines both).
+    Emits ``(doc_id_a, doc_id_b, containment)`` for every ORDERED
+    pair with ``containment >= min_containment`` — A-in-B and B-in-A
+    are different facts.
+
+    Shingles with document frequency above ``max_df`` are dropped
+    from the shingle UNIVERSE (numerator and denominator alike — the
+    standard stop-shingle rule): a boilerplate shingle shared by a
+    million documents carries no dedup signal but would alone explode
+    the index join to 10^12 pairs. The cap makes the worst-case
+    fan-out per shingle ``max_df²`` BY CONSTRUCTION — the skew bound
+    is in the algorithm, not in runtime mitigation. Documents whose
+    capped shingle set is empty have no evidence and emit nothing.
+
+    Plan: explode distinct shingles (map-side), one groupBy for df,
+    semi-join the cap (both sides already keyed by shingle), then the
+    inverted-index self-join on the shingle key — intersections come
+    from an equi-join + count, NEVER an all-pairs product — and one
+    equi-join back to the per-doc set sizes. The capped shingle
+    table is materialized once (localCheckpoint) because three
+    consumers (sizes + both join sides) would otherwise re-run the
+    explode-and-cap chain. Reference scope: beyond-reference
+    (training-pipeline extension).
+    """
+    if max_df < 2:
+        raise ValueError(f"containment_pairs: max_df must be >= 2, got {max_df}")
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("g")
+    )
+    capped = (
+        sh.groupBy("g")
+        .agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") <= max_df)
+        .select("g")
+    )
+    fg = sh.join(capped, "g").localCheckpoint(eager=True)
+    sz = fg.groupBy("doc_id").agg(F.count("*").alias("_n"))
+    inter = (
+        fg.alias("a")
+        .join(fg.alias("b"), "g")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("_i"))
+    )
+    return (
+        inter.join(sz.withColumnRenamed("doc_id", "doc_id_a"), "doc_id_a")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("_i") / F.col("_n"), 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     left_col: str = "doc_id_a",

@@ -3428,6 +3428,45 @@ LIMIT 10
 )
 
 
+# --- round 8: asymmetric shingle containment ---------------------------
+# |S(A)∩S(B)| / |S(A)| over word trigram shingles with the df<=max_df
+# stop-shingle cap applied to the universe — the subset-duplicate
+# detector. The oracle replays shingling (the p09 w[i:i+2] trigram
+# convention), the cap, and the ordered-pair division exactly.
+_q(
+    "x97_containment_pairs",
+    spark=lambda spark, sf: dedup.containment_pairs(
+        _docs(spark, sf), k=3, max_df=50, min_containment=0.6
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s
+  FROM toks
+), g AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), capped AS (
+  SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY g) WHERE df <= 50
+), fg AS (
+  SELECT doc_id, g.g FROM g JOIN capped USING (g)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM fg GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+  FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+FROM inter JOIN sz sa ON sa.doc_id = inter.doc_id_a
+WHERE ROUND(CAST(i AS DOUBLE) / sa.n, 6) >= 0.6
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).

@@ -278,6 +278,38 @@ def test_brute_force_topk_plan_shape(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_containment_pairs_subset_dup(spark, sf_dir):
+    """x97: a short doc quoted whole inside a long one scores
+    containment 1.0 in the A-in-B direction only — the asymmetric
+    fact Jaccard misses; the index join stays an equi-join."""
+    from csvb_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated words only here now")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["containment"]
+        for r in containment_pairs(docs, min_containment=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0  # short fully contained in long
+    assert (2, 1) not in got  # reverse direction dilutes below 0.5
+    assert not any(3 in pair for pair in got)
+
+    # stop-shingle cap: with max_df=2 hiding nothing changes here
+    # (every shared shingle has df=2); the plan is equi-join only
+    plan = _plan(containment_pairs(_docs(spark, sf_dir)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_df"):
+        containment_pairs(docs, max_df=1)
+
+
 def test_matryoshka_topk_funnel(spark, sf_dir):
     """x96: the funnel plan mirrors p07 (broadcast probe, two
     TakeOrderedAndProject stages, no shuffle join) — and the funnel
