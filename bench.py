@@ -116,7 +116,7 @@ def main() -> None:
         "metric": "headline query wall-clock at sf "
         f"{sf} on local[{cpus}] (sum of per-query medians over "
         f"{n_iters} passes, {len(legacy)} legacy queries; "
-        f"{len(model)} model-filter passes timed separately)",
+        f"{len(model)} post-baseline op passes timed separately)",
         "value": round(sum(legacy.values()), 4),
         "unit": "sec",
         "queries": timings,
@@ -170,8 +170,9 @@ def main() -> None:
     print(json.dumps(out))
 
 
-# model-filter passes timed outside the legacy BASELINE-comparable sum
-# (round 8 adds the KN + stupid-backoff scorers and the weighted draw —
+# post-baseline operator passes timed outside the legacy
+# BASELINE-comparable sum (round 7 promoted the model-filter scorers;
+# round 8 adds the CCNet bucket cut and the containment index —
 # constant factors get watched the way x84's were, which is how the
 # quadratic HOF-lambda bug was caught)
 MODEL_OPS = frozenset(
@@ -182,6 +183,8 @@ MODEL_OPS = frozenset(
         "x89_kneser_ney_perplexity",
         "x90_weighted_sample",
         "x93_stupid_backoff_trigram",
+        "x95_perplexity_buckets",
+        "x97_containment_pairs",
     }
 )
 

@@ -3335,6 +3335,7 @@ _q(
     spark=lambda spark, sf: LM.perplexity_buckets(
         _docs(spark, sf), LM.bigram_lm_train(_docs(spark, sf))
     ),
+    headline=True,  # benched (model_ops): train+score+cut corpus pass
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
@@ -3438,6 +3439,7 @@ _q(
     spark=lambda spark, sf: dedup.containment_pairs(
         _docs(spark, sf), k=3, max_df=50, min_containment=0.6
     ),
+    headline=True,  # benched (model_ops): inverted-index dedup pass
     oracle=r"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
