@@ -3469,6 +3469,37 @@ WHERE ROUND(CAST(i AS DOUBLE) / sa.n, 6) >= 0.6
 )
 
 
+# --- round 8: n-gram novelty -------------------------------------------
+# Fraction of each doc's distinct trigram shingles occurring in no
+# other document — same shingle convention as x97; the oracle replays
+# the df==1 set and the per-doc division exactly.
+_q(
+    "x98_ngram_novelty",
+    spark=lambda spark, sf: dedup.ngram_novelty(_docs(spark, sf), k=3),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s
+  FROM toks
+), g AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), uniq AS (
+  SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY g) WHERE df = 1
+), nu AS (
+  SELECT doc_id, COUNT(*) AS n_unique FROM g JOIN uniq USING (g) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(len(s.s) AS INT) AS n_grams,
+       CAST(COALESCE(nu.n_unique, 0) AS BIGINT) AS n_unique,
+       ROUND(CAST(COALESCE(nu.n_unique, 0) AS DOUBLE) / len(s.s), 6) AS novelty
+FROM sh s LEFT JOIN nu USING (doc_id)
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).

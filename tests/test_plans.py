@@ -310,6 +310,28 @@ def test_containment_pairs_subset_dup(spark, sf_dir):
         containment_pairs(docs, max_df=1)
 
 
+def test_ngram_novelty_planted(spark):
+    """x98: duplicated docs score 0 novelty, a fully unique doc
+    scores 1.0, and a half-shared doc lands exactly between."""
+    from csvb_spark.operators.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # twin of 2 -> 0.0
+            (2, "alpha beta gamma delta"),
+            (3, "wholly unique trigram words"), # -> 1.0
+            # shares its first trigram with 1/2, second is unique
+            (4, "alpha beta gamma unique"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    assert out[4]["n_grams"] == 2 and out[4]["n_unique"] == 1
+    assert out[4]["novelty"] == 0.5
+
+
 def test_matryoshka_topk_funnel(spark, sf_dir):
     """x96: the funnel plan mirrors p07 (broadcast probe, two
     TakeOrderedAndProject stages, no shuffle join) — and the funnel
