@@ -550,17 +550,30 @@ def main(argv: list[str] | None = None) -> int:
                 f"skew: column {args.key!r} not in table"
                 f" (columns: {', '.join(table.columns)})"
             )
+        # collect ONCE; render and verdict from the collected rows —
+        # rep.first() after render_df would re-run the whole scan+agg
+        # (the score path's write-once rule applies here too)
         rep = skew_report(table, args.key, k=args.k)
-        print(render_df(rep))
-        first = rep.first()
-        if first is not None and first["norm_entropy"] is not None:
+        rows = rep.collect()
+        print(render_df(spark.createDataFrame(rows, rep.schema)))
+        if rows:
+            first = rows[0]
             ne = first["norm_entropy"]
-            verdict = (
-                "SKEWED - plan for salting/AQE skew-split on this key"
-                if ne < 0.5
-                else "balanced - shuffle freely on this key"
-            )
-            print(f"norm_entropy={ne}: {verdict}")
+            if ne is None and first["n_keys"] == 1:
+                # one key owns 100% of rows: entropy normalizes to
+                # NULL but this is the DEGENERATE-skew case (the
+                # minhash preflight special-cases it the same way)
+                print(
+                    "norm_entropy=NULL (single key): SKEWED - one key owns "
+                    "every row; salting/AQE skew-split mandatory on this key"
+                )
+            elif ne is not None:
+                verdict = (
+                    "SKEWED - plan for salting/AQE skew-split on this key"
+                    if ne < 0.5
+                    else "balanced - shuffle freely on this key"
+                )
+                print(f"norm_entropy={ne}: {verdict}")
         return 0
 
     if args.command == "train-filter":
@@ -648,23 +661,12 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             lm = spark.read.parquet(args.model)
-            # reject mismatched model shapes loudly (same convention as
-            # the cross-method flag checks): sb scores against a TRIGRAM
-            # model, addk/kn against a bigram one — a silent mismatch
-            # would pollute the n-gram counts, not fail
-            has_w3 = "w3" in lm.columns
-            if args.smoothing == "sb" and not has_w3:
-                raise SystemExit(
-                    "score: --smoothing sb needs a TRIGRAM model"
-                    " (train-filter --method lm --ngram 3); this model"
-                    " has no w3 column"
-                )
-            if args.smoothing != "sb" and has_w3:
-                raise SystemExit(
-                    f"score: --smoothing {args.smoothing} needs a BIGRAM"
-                    " model (train-filter --method lm); this model has a"
-                    " w3 column (trigram) — use --smoothing sb"
-                )
+            from csvb_spark.operators.lm import check_model_shape
+
+            try:
+                check_model_shape(lm.columns, args.smoothing, "score")
+            except ValueError as ex:
+                raise SystemExit(str(ex)) from None
             if args.smoothing == "sb":
                 scored = stupid_backoff_score(
                     table,

@@ -736,28 +736,31 @@ def ngram_novelty(
     explosion at all. Reference scope: beyond-reference
     (training-pipeline extension).
     """
-    shingles = word_shingles(F.col(text_col), k)
-    sh = docs.select("doc_id", F.explode(shingles).alias("g"))
+    # ONE shingle pass: the exploded table is materialized once and
+    # serves all three consumers (df histogram, the unique-set join,
+    # and the per-doc totals — every doc emits >= 1 shingle row, so
+    # n_grams needs no second word_shingles evaluation over the
+    # corpus, which would double the dominant map-side tokenize cost).
+    sh = docs.select(
+        "doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("g")
+    ).localCheckpoint(eager=True)
     uniq = (
         sh.groupBy("g")
         .agg(F.count("*").alias("_df"))
         .filter(F.col("_df") == 1)
         .select("g")
     )
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     n_unique = sh.join(uniq, "g").groupBy("doc_id").agg(
         F.count("*").alias("n_unique")
     )
-    return (
-        docs.select("doc_id", F.size(shingles).alias("n_grams"))
-        .join(n_unique, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
-            F.round(
-                F.coalesce("n_unique", F.lit(0)) / F.col("n_grams"), 6
-            ).alias("novelty"),
-        )
+    return per_doc.join(n_unique, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+        F.round(
+            F.coalesce("n_unique", F.lit(0)) / F.col("n_grams"), 6
+        ).alias("novelty"),
     )
 
 

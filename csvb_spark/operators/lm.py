@@ -74,6 +74,30 @@ def _bigrams(t):
     )
 
 
+def check_model_shape(columns, smoothing: str, where: str) -> None:
+    """Single source of truth for the smoothing-vs-model-shape
+    contract (lm.py owns the model schema): ``sb`` scores against a
+    TRIGRAM model (``w1,w2,w3,cnt`` — ``trigram_lm_train``), ``addk``/
+    ``kn`` against a bigram one (``w1,w2,cnt``). A silent mismatch
+    would pollute the n-gram counts, not fail — so every surface (CLI
+    score, streaming ingest) rejects loudly through this one check.
+    Raises ValueError; CLI callers wrap into SystemExit as usual.
+    """
+    has_w3 = "w3" in columns
+    if smoothing == "sb" and not has_w3:
+        raise ValueError(
+            f"{where}: smoothing 'sb' needs a TRIGRAM model"
+            " (w1,w2,w3,cnt — trigram_lm_train / train-filter --method lm"
+            " --ngram 3); this model has no w3 column"
+        )
+    if smoothing != "sb" and has_w3:
+        raise ValueError(
+            f"{where}: smoothing {smoothing!r} needs a BIGRAM model"
+            " (w1,w2,cnt — bigram_lm_train / train-filter --method lm);"
+            " this model has a w3 column (trigram) — use smoothing 'sb'"
+        )
+
+
 def _resolve_broadcast(
     caller: str,
     n_model: int,
@@ -288,6 +312,18 @@ def perplexity_score(
     if not isinstance(alpha, int) or alpha <= 0:
         raise ValueError(
             f"perplexity_score: alpha must be a positive int, got {alpha!r}"
+        )
+    # loud upfront, like every other knob: n_salts=0 would otherwise
+    # surface as REMAINDER_BY_ZERO mid-job (ANSI) or silently score
+    # every bigram as unseen (non-ANSI pmod -> NULL join keys)
+    if not isinstance(n_salts, int) or n_salts < 1:
+        raise ValueError(
+            f"perplexity_score: n_salts must be a positive int, got {n_salts!r}"
+        )
+    if not 0.0 <= salt_threshold <= 1.0:
+        raise ValueError(
+            "perplexity_score: salt_threshold must be in [0, 1],"
+            f" got {salt_threshold!r}"
         )
     spark = docs.sparkSession
     # The model is consumed THREE times below (size/V probe + the two

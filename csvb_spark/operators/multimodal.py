@@ -212,6 +212,24 @@ DECODED_SCHEMA = (
 )
 
 
+def _nonneg_ids(docs: DataFrame, id_col: str) -> DataFrame:
+    """In-plan guard shared by every synthesizer: the id-derived byte
+    arithmetic uses Python ``%``, which is non-negative for negative
+    ids while SQL's ``%`` follows the sign — a negative id would
+    silently diverge from the x66/x85/x87/x88 oracles instead of
+    failing cleanly. JVM-side ``assert_true`` (the calibrate pattern)
+    rather than a check inside each mapInPandas closure: one copy,
+    and the closures stay free of module-level names (worker-side
+    pickle hygiene)."""
+    ok = F.col(id_col) >= 0
+    guarded = F.when(ok, F.col(id_col)).otherwise(
+        F.assert_true(
+            ok, F.lit("synthesize: doc ids must be non-negative")
+        ).cast("bigint")
+    )
+    return docs.select(guarded.alias(id_col))
+
+
 def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic REAL media bytes per document: even ids get a
     mono 16-bit PCM WAV (8 kHz sine, length/frequency derived from the
@@ -259,15 +277,6 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
-            if ids and min(ids) < 0:
-                # the id-derived byte arithmetic uses Python %, which is
-                # non-negative for negative ids while SQL's % follows the
-                # sign — a negative id would silently diverge from the
-                # x66/x85/x87/x88 oracles instead of failing cleanly
-                raise ValueError(
-                    "synthesize: doc ids must be non-negative, got "
-                    f"{min(ids)}"
-                )
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -281,7 +290,7 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _nonneg_ids(docs, id_col).mapInPandas(
         run, schema="doc_id bigint, payload binary, mime string"
     )
 
@@ -348,15 +357,6 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
-            if ids and min(ids) < 0:
-                # the id-derived byte arithmetic uses Python %, which is
-                # non-negative for negative ids while SQL's % follows the
-                # sign — a negative id would silently diverge from the
-                # x66/x85/x87/x88 oracles instead of failing cleanly
-                raise ValueError(
-                    "synthesize: doc ids must be non-negative, got "
-                    f"{min(ids)}"
-                )
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -365,7 +365,7 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _nonneg_ids(docs, id_col).mapInPandas(
         run, schema="doc_id bigint, payload binary, mime string"
     )
 
@@ -565,15 +565,6 @@ def synthesize_jpeg(
 
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
-            if ids and min(ids) < 0:
-                # the id-derived byte arithmetic uses Python %, which is
-                # non-negative for negative ids while SQL's % follows the
-                # sign — a negative id would silently diverge from the
-                # x66/x85/x87/x88 oracles instead of failing cleanly
-                raise ValueError(
-                    "synthesize: doc ids must be non-negative, got "
-                    f"{min(ids)}"
-                )
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -582,7 +573,7 @@ def synthesize_jpeg(
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _nonneg_ids(docs, id_col).mapInPandas(
         run, schema="doc_id bigint, payload binary, mime string"
     )
 
@@ -637,15 +628,6 @@ def synthesize_mulaw(
 
         for pdf in batches:
             ids = [int(i) for i in pdf[id_col]]
-            if ids and min(ids) < 0:
-                # the id-derived byte arithmetic uses Python %, which is
-                # non-negative for negative ids while SQL's % follows the
-                # sign — a negative id would silently diverge from the
-                # x66/x85/x87/x88 oracles instead of failing cleanly
-                raise ValueError(
-                    "synthesize: doc ids must be non-negative, got "
-                    f"{min(ids)}"
-                )
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -654,7 +636,7 @@ def synthesize_mulaw(
                 }
             )
 
-    return docs.select(id_col).mapInPandas(
+    return _nonneg_ids(docs, id_col).mapInPandas(
         run, schema="doc_id bigint, payload binary, mime string"
     )
 

@@ -129,6 +129,18 @@ def matryoshka_topk(
         raise ValueError(
             f"matryoshka_topk: rerank_k ({rerank_k}) must be >= k ({k})"
         )
+    # single-probe contract, ENFORCED (the shortlist/rerank LIMITs are
+    # global — a multi-row probe would interleave different probes'
+    # candidates into one meaningless top-k with no probe_id to tell
+    # them apart). The count is one tiny job on a table that is about
+    # to broadcast anyway; batch probing is knn_join's job.
+    n_probe = probe.limit(2).count()
+    if n_probe != 1:
+        raise ValueError(
+            f"matryoshka_topk: probe must be exactly 1 row, got "
+            f"{'>=2' if n_probe > 1 else n_probe} — for a probe BATCH use "
+            "knn_join (optionally with centroids= for the IVF path)"
+        )
 
     def pref(c: Column) -> Column:
         return F.slice(c, 1, dims)

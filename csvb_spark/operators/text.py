@@ -684,14 +684,19 @@ def c4_line_filter(
         return keep
 
     kept = F.filter(segs, _line_keep)
-    n_kept = F.size(kept)
+    # NULL text: size(NULL array) is -1 and boolean algebra over it
+    # goes three-valued — pin the whole row to the empty-document
+    # outcome (0 lines, keep_doc FALSE) so ``keep_doc`` is always a
+    # real boolean, never NULL (the repo-wide keep-column contract).
+    n_lines = F.greatest(F.size(segs), F.lit(0))
+    n_kept = F.greatest(F.size(kept), F.lit(0))
     doc_ok = n_kept >= F.lit(min_kept_lines)
-    low_text = F.lower(text)
+    low_text = F.lower(F.coalesce(text, F.lit("")))
     for p in blocked_doc_phrases:
         doc_ok = doc_ok & ~low_text.contains(F.lit(p.lower()))
     return docs.select(
         "doc_id",
-        F.size(segs).alias("n_lines"),
+        n_lines.alias("n_lines"),
         n_kept.alias("n_kept"),
         doc_ok.alias("keep_doc"),
         F.concat_ws(joiner, kept).alias("clean_text"),

@@ -3492,7 +3492,7 @@ WITH toks AS (
   SELECT doc_id, COUNT(*) AS n_unique FROM g JOIN uniq USING (g) GROUP BY doc_id
 )
 SELECT s.doc_id,
-       CAST(len(s.s) AS INT) AS n_grams,
+       CAST(len(s.s) AS BIGINT) AS n_grams,
        CAST(COALESCE(nu.n_unique, 0) AS BIGINT) AS n_unique,
        ROUND(CAST(COALESCE(nu.n_unique, 0) AS DOUBLE) / len(s.s), 6) AS novelty
 FROM sh s LEFT JOIN nu USING (doc_id)

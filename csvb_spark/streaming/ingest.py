@@ -212,19 +212,9 @@ def run_streaming_ingest(
         # micro-batches score against the checkpointed model, never
         # re-reading or re-checkpointing it (round-7 ADVICE)
         lm_model = spark.read.parquet(lm_model_dir)
-        has_w3 = "w3" in lm_model.columns
-        if lm_smoothing == "sb" and not has_w3:
-            raise ValueError(
-                "run_streaming_ingest: lm_smoothing='sb' needs a TRIGRAM"
-                " model (w1,w2,w3,cnt — trigram_lm_train); got a bigram"
-                " model"
-            )
-        if lm_smoothing != "sb" and has_w3:
-            raise ValueError(
-                f"run_streaming_ingest: lm_smoothing={lm_smoothing!r} needs"
-                " a BIGRAM model (w1,w2,cnt — bigram_lm_train); got a"
-                " trigram model (w3 column present)"
-            )
+        from csvb_spark.operators.lm import check_model_shape
+
+        check_model_shape(lm_model.columns, lm_smoothing, "run_streaming_ingest")
         lm_model = lm_model.localCheckpoint(eager=True)
     schema = spark.read.parquet(source_dir).schema
     q = (

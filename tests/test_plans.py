@@ -372,6 +372,9 @@ def test_matryoshka_topk_funnel(spark, sf_dir):
         matryoshka_topk(df, df, k=10, rerank_k=5)
     with _pytest.raises(ValueError, match="dims"):
         matryoshka_topk(df, df, dims=0)
+    # single-probe contract is enforced, pointing at knn_join
+    with _pytest.raises(ValueError, match="knn_join"):
+        matryoshka_topk(df, df, k=1)
 
 
 def test_q03_broadcasts_dimensions(spark, sf_dir):
@@ -443,6 +446,8 @@ def test_c4_line_filter_rules(spark):
             (4, "\n".join("function f() { return 1; }." for _ in range(5))),
             # short line rule
             (5, "\n".join("too short." for _ in range(5))),
+            # NULL text: empty-document outcome, keep_doc a REAL false
+            (6, None),
         ],
         "doc_id long, text string",
     )
@@ -456,6 +461,8 @@ def test_c4_line_filter_rules(spark):
     assert out[3]["n_kept"] == 5 and not out[3]["keep_doc"]  # lorem ipsum
     assert out[4]["n_kept"] == 5 and not out[4]["keep_doc"]  # curly brace
     assert out[5]["n_kept"] == 0 and not out[5]["keep_doc"]
+    assert out[6]["n_lines"] == 0 and out[6]["n_kept"] == 0
+    assert out[6]["keep_doc"] is False and out[6]["clean_text"] == ""
 
 
 def test_pack_sequences_single_exchange(spark, sf_dir):
