@@ -673,7 +673,10 @@ def c4_line_filter(
     segs = segments if segments is not None else F.split(text, "\n")
 
     def _line_keep(s: Column) -> Column:
-        st = F.trim(s)
+        # NOT F.trim: that strips SPACES only, so a line ending
+        # '. \t' would flunk the terminal-punctuation rule — the
+        # differential test caught it. Strip the full \s class.
+        st = F.regexp_replace(s, r"^\s+|\s+$", "")
         keep = F.size(F.split(st, r"\s+")) >= F.lit(min_words)
         keep = keep & (F.length(st) > 0)
         if require_terminal:

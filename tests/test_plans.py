@@ -332,6 +332,63 @@ def test_ngram_novelty_planted(spark):
     assert out[4]["novelty"] == 0.5
 
 
+def test_c4_line_filter_differential(spark):
+    """Seeded adversarial corpus (punctuation/quotes/blocked words/
+    whitespace-only lines/empty/NULL/unicode) vs an independent pure-
+    Python model of the C4 rules — every column must match."""
+    import random
+    import re
+
+    from csvb_spark.operators.text import c4_line_filter
+
+    rng = random.Random(42)
+    vocab = [
+        "alpha", "beta", "javascript", "JavaScript", "lorem", "ipsum",
+        "{", "}", "word", "x", "é", "...", '"', "end.", "huh?", "yes!",
+        "", " ", "\t",
+    ]
+    docs = []
+    for i in range(200):
+        if i % 37 == 0:
+            docs.append((i, None))
+            continue
+        lines = [
+            " ".join(rng.choices(vocab, k=rng.randint(0, 8)))
+            for _ in range(rng.randint(0, 6))
+        ]
+        docs.append((i, "\n".join(lines)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in c4_line_filter(df, min_kept_lines=2).collect()}
+
+    def model(text):
+        if text is None:
+            return (0, 0, False, "")
+        segs = text.split("\n")
+        kept = []
+        for s in segs:
+            t = s.strip()
+            words = re.split(r"\s+", t)
+            ok = (
+                len(words) >= 3
+                and len(t) > 0
+                and re.search(r'[.!?"]$', t) is not None
+                and "javascript" not in t.lower()
+            )
+            if ok:
+                kept.append(s)
+        low = text.lower()
+        keep_doc = (
+            len(kept) >= 2 and "lorem ipsum" not in low and "{" not in low
+        )
+        return (len(segs), len(kept), keep_doc, "\n".join(kept))
+
+    for i, text in docs:
+        exp = model(text)
+        r = got[i]
+        actual = (r["n_lines"], r["n_kept"], r["keep_doc"], r["clean_text"])
+        assert actual == exp, f"doc {i}: {actual} != {exp} for {text!r}"
+
+
 def test_matryoshka_topk_funnel(spark, sf_dir):
     """x96: the funnel plan mirrors p07 (broadcast probe, two
     TakeOrderedAndProject stages, no shuffle join) — and the funnel
