@@ -306,3 +306,60 @@ def formula_weights_table(spark, n_buckets: int) -> DataFrame:
         F.col("id").alias("bucket"),
         formula_weight(F.col("id")).cast("int").alias("weight"),
     )
+
+
+def calibration_table(
+    scored: DataFrame,
+    label_col: str,
+    score_col: str = "score",
+    n_bins: int = 10,
+    lo: float = -0.5,
+    hi: float = 0.5,
+) -> DataFrame:
+    """Reliability table for a scored corpus — the calibration audit
+    every model-based quality filter needs before its scores gate
+    real data (Niculescu-Mizil & Caruana 2005): bin rows by score,
+    report per-bin count, mean score, and positive-label fraction.
+    A calibrated scorer has ``frac_positive ≈ mean_score`` (suitably
+    affine-mapped) bin by bin; divergence localizes WHERE the scorer
+    lies.
+
+    Output: ``(bin, n, mean_score, n_pos, frac_positive)`` ordered by
+    bin; bins are ``[lo, hi)`` split ``n_bins`` ways with the edges
+    clamped (a score exactly at ``hi`` lands in the last bin).
+
+    Determinism contract: ``score`` must be quantized (the repo's
+    scorers round to 6), so ``mean_score`` is an exact DECIMAL(18,6)
+    sum over one IEEE division, and ``frac_positive`` is a ratio of
+    exact integers — any engine agrees bit for bit. Labels must be
+    non-NULL (score every row's label before auditing).
+
+    Plan: one map-side bin projection + ONE partial-aggregated
+    groupBy over ``n_bins`` groups — nothing corpus-wide beyond the
+    scoring pass that produced the input. Reference scope:
+    beyond-reference (training-pipeline extension).
+    """
+    if n_bins < 2:
+        raise ValueError(f"calibration_table: need n_bins >= 2, got {n_bins}")
+    if not lo < hi:
+        raise ValueError(f"calibration_table: need lo < hi, got [{lo}, {hi}]")
+    # width is computed ONCE in Python and injected as the same
+    # literal into any oracle, so both engines floor identical doubles
+    width = (hi - lo) / n_bins
+    b = F.floor((F.col(score_col) - F.lit(float(lo))) / F.lit(width))
+    b = F.greatest(F.least(b, F.lit(n_bins - 1)), F.lit(0)).cast("int")
+    y = F.col(label_col).cast("int")
+    return (
+        scored.select(b.alias("bin"), F.col(score_col).alias("_s"), y.alias("_y"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(F.col("_s").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_score"),
+            F.sum("_y").alias("n_pos"),
+            (F.sum("_y").cast("double") / F.count("*")).alias("frac_positive"),
+        )
+        .orderBy("bin")
+    )

@@ -102,7 +102,7 @@ report). The driver grades exactly the p/q-named entries, so these
 put the extension surface's most-load-bearing ops under the hard
 CORRECTNESS gate; each shares its source entry's callable and oracle
 verbatim (see extensions._P_ALIASES).
-Corpus: 144 entries, 139 with full oracles.
+Corpus: 145 entries, 140 with full oracles.
 """
 
 from __future__ import annotations

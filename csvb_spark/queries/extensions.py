@@ -3500,6 +3500,59 @@ FROM sh s LEFT JOIN nu USING (doc_id)
 )
 
 
+# --- round 8: classifier calibration audit -----------------------------
+# Reliability table over x64's hashed-linear scores with lang='en' as
+# the audited label: decile bins on [-0.5, 0.5), exact DECIMAL score
+# sums, integer positive counts. The oracle replays x64's scoring CTEs
+# plus the same clamped-floor binning.
+_q(
+    "x99_calibration_table",
+    spark=lambda spark, sf: classify.calibration_table(
+        classify.linear_classifier_score(_docs(spark, sf)).join(
+            _docs(spark, sf).select(
+                "doc_id", (F.col("lang") == "en").alias("is_en")
+            ),
+            "doc_id",
+        ),
+        label_col="is_en",
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id, unnest(w) AS f FROM toks
+  UNION ALL
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS f
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), wtd AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(bucket::VARCHAR || ':w'), 1, 8))::BIGINT % 1001) - 500) AS wt
+  FROM (SELECT doc_id,
+               ('0x' || substr(md5(f || ':7'), 1, 8))::BIGINT % 262144 AS bucket
+        FROM feats) b
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_features, CAST(SUM(wt) AS BIGINT) AS margin
+  FROM wtd GROUP BY doc_id
+), sc AS (
+  SELECT doc_id,
+         ROUND(CAST(margin AS DOUBLE) / (1000.0 * CAST(n_features AS DOUBLE)), 6)
+           AS score
+  FROM agg
+)
+SELECT CAST(greatest(least(floor((score - (-0.5)) / 0.1), 9), 0) AS INT) AS bin,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_score,
+       CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(SUM(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS frac_positive
+FROM sc JOIN documents d USING (doc_id)
+GROUP BY 1
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).

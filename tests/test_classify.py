@@ -500,3 +500,34 @@ def test_hard_negatives_null_labels_are_a_distinct_value(spark):
         for r in knn_join(embs, probe2, k=5, neg_label_col="label").collect()
     }
     assert got2 == {1, 2, 3}
+
+
+def test_calibration_table_planted(spark):
+    """x99: a perfectly separable labeling (label := score >= 0.0)
+    yields frac_positive 0.0 below the boundary bin and 1.0 at/above
+    it; counts and exact means line up; knobs validate loudly."""
+    from csvb_spark.operators.classify import calibration_table
+
+    rows = [
+        (1, -0.45, False), (2, -0.45, False),   # bin 0
+        (3, -0.05, False),                       # bin 4
+        (4, 0.05, True), (5, 0.05, True),        # bin 5
+        (6, 0.45, True),                         # bin 9
+        (7, 0.5, True),                          # score == hi -> clamped to 9
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, y boolean")
+    out = {r["bin"]: r for r in calibration_table(df, "y").collect()}
+    assert set(out) == {0, 4, 5, 9}
+    assert out[0]["n"] == 2 and out[0]["frac_positive"] == 0.0
+    assert out[0]["mean_score"] == -0.45
+    assert out[4]["n"] == 1 and out[4]["frac_positive"] == 0.0
+    assert out[5]["n"] == 2 and out[5]["frac_positive"] == 1.0
+    assert out[9]["n"] == 2 and out[9]["n_pos"] == 2  # 0.45 + clamped 0.5
+    assert out[9]["mean_score"] == (0.45 + 0.5) / 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_table(df, "y", n_bins=1)
+    with _pytest.raises(ValueError, match="lo < hi"):
+        calibration_table(df, "y", lo=1.0, hi=0.0)
