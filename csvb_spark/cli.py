@@ -292,6 +292,41 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pq.add_argument("--output", default=None, help="write scored rows here")
 
+    pc = sub.add_parser(
+        "clean",
+        help="C4 line/page filter (terminal-punctuation / min-words / "
+        "blocked-word line rules + page rules); prints a keep-rate "
+        "summary and optionally writes filtered rows",
+    )
+    pc.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pc.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pc.add_argument("--json", action="append", default=[], metavar="PATH")
+    pc.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--min-words", type=int, default=3)
+    pc.add_argument("--min-kept-lines", type=int, default=5)
+    pc.add_argument(
+        "--no-terminal",
+        action="store_true",
+        help="disable the terminal-punctuation line rule",
+    )
+    pc.add_argument(
+        "--blocked-line-word",
+        action="append",
+        default=None,
+        metavar="WORD",
+        help="drop lines containing WORD (repeatable; default: javascript)",
+    )
+    pc.add_argument(
+        "--blocked-doc-phrase",
+        action="append",
+        default=None,
+        metavar="PHRASE",
+        help="drop docs containing PHRASE (repeatable; default: "
+        "'lorem ipsum' and '{')",
+    )
+    pc.add_argument("--output", default=None, help="write filtered rows here")
+
     pv = sub.add_parser(
         "sample",
         help="draw a deterministic sample: weighted (proportional to a "
@@ -714,6 +749,42 @@ def main(argv: list[str] | None = None) -> int:
         summary = scored.agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("keep").cast("bigint")).alias("n_keep"),
+        )
+        print(render_df(summary))
+        return 0
+
+    if args.command == "clean":
+        from pyspark.sql import functions as F
+
+        from csvb_spark.operators.text import c4_line_filter
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        table = spark.table(args.table_name)
+        kw = {}
+        if args.blocked_line_word is not None:
+            kw["blocked_line_words"] = tuple(args.blocked_line_word)
+        if args.blocked_doc_phrase is not None:
+            kw["blocked_doc_phrases"] = tuple(args.blocked_doc_phrase)
+        cleaned = c4_line_filter(
+            table,
+            text_col=args.text_col,
+            min_words=args.min_words,
+            require_terminal=not args.no_terminal,
+            min_kept_lines=args.min_kept_lines,
+            **kw,
+        )
+        if args.output:
+            # write once, summarize from the written files (the score
+            # path's convention)
+            cleaned.write.mode("overwrite").parquet(args.output)
+            cleaned = spark.read.parquet(args.output)
+        summary = cleaned.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep_doc").cast("bigint")).alias("n_keep"),
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("n_kept").alias("n_kept_lines"),
         )
         print(render_df(summary))
         return 0

@@ -396,3 +396,42 @@ def test_cli_skew_subcommand(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="not in table"):
         main(["skew", "--parquet", data, "--key", "nope"])
+
+
+def test_cli_clean_subcommand(spark, tmp_path, capsys):
+    """The clean subcommand surfaces the C4 filter end to end:
+    keep-rate summary, optional written output, custom blocked terms."""
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "docs.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "\n".join(f"one two three four {i}." for i in range(5)),
+                "no terminal punct\nalso none here",
+                "\n".join("lorem ipsum dolor sit amet." for _ in range(5)),
+            ],
+        }
+    ).to_parquet(data)
+    out_dir = str(tmp_path / "cleaned")
+    rc = main(["clean", "--parquet", data, "--output", out_dir])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "n_keep" in out and "n_kept_lines" in out
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[1]["keep_doc"] is True and rows[1]["n_kept"] == 5
+    assert rows[2]["keep_doc"] is False and rows[2]["n_kept"] == 0
+    assert rows[3]["keep_doc"] is False  # lorem ipsum page rule
+
+    # custom blocked phrase + disabled terminal rule
+    rc = main(
+        [
+            "clean", "--parquet", data, "--no-terminal",
+            "--blocked-doc-phrase", "three four", "--min-kept-lines", "2",
+        ]
+    )
+    assert rc == 0
+    assert "n_docs" in capsys.readouterr().out
