@@ -622,6 +622,7 @@ def containment_pairs(
     k: int = 3,
     max_df: int = 50,
     min_containment: float = 0.6,
+    broadcast_max_docs: int = 8_000_000,
 ) -> DataFrame:
     """Asymmetric shingle CONTAINMENT near-dup pairs:
     ``C(A→B) = |S(A) ∩ S(B)| / |S(A)|`` over distinct word
@@ -636,46 +637,76 @@ def containment_pairs(
     from the shingle UNIVERSE (numerator and denominator alike — the
     standard stop-shingle rule): a boilerplate shingle shared by a
     million documents carries no dedup signal but would alone explode
-    the index join to 10^12 pairs. The cap makes the worst-case
-    fan-out per shingle ``max_df²`` BY CONSTRUCTION — the skew bound
-    is in the algorithm, not in runtime mitigation. Documents whose
-    capped shingle set is empty have no evidence and emit nothing.
+    the index to 10^12 pairs. The cap makes the worst-case fan-out
+    per shingle ``max_df²`` BY CONSTRUCTION — the skew bound is in
+    the algorithm, not in runtime mitigation. Documents whose capped
+    shingle set is empty have no evidence and emit nothing.
 
-    Plan: explode distinct shingles (map-side), one groupBy for df,
-    semi-join the cap (both sides already keyed by shingle), then the
-    inverted-index self-join on the shingle key — intersections come
-    from an equi-join + count, NEVER an all-pairs product — and one
-    equi-join back to the per-doc set sizes. The capped shingle
-    table is materialized once (localCheckpoint) because three
-    consumers (sizes + both join sides) would otherwise re-run the
-    explode-and-cap chain. Reference scope: beyond-reference
-    (training-pipeline extension).
+    Shingles are FINGERPRINTED to 64-bit ``xxhash64`` before any
+    shuffle (exactly Broder 1997's move — shingle sets are compared
+    via fingerprints, not strings): every exchange is keyed on a
+    fixed 8-byte long instead of a variable ``k``-word string. Two
+    distinct shingles colliding would inflate one intersection count
+    by 1; at 2^-64 per pair that is vanishingly rarer than the
+    approximation already accepted by ``max_df``.
+
+    Plan (inverted-index posting lists, no self-join): explode
+    distinct shingles (map-side) → ONE groupBy building the df-capped
+    posting list per shingle (``collect_list`` is bounded by
+    ``max_df`` ids, so the agg state is a ≤``max_df``-element array
+    by construction) → map-side pair expansion of each list (the i<j
+    nested ``transform`` touches ≤ max_df² bounded elements, then
+    partial-aggregates BEFORE the pair exchange) → one groupBy
+    counting each UNORDERED pair once → per-doc set sizes joined
+    back. The size table is one row per surviving document: under
+    ``broadcast_max_docs`` it broadcasts (the pair table — the
+    widest in the plan — is then never re-exchanged); above, the
+    by-design 100 TB path is two equi-joins on the pair keys. The
+    posting-list table is materialized once (localCheckpoint,
+    shingle-count-bounded) because both the pair expansion and the
+    size aggregation consume it. Measured at the bench's synthetic
+    sf1: 9.2 s (shingle-string self-join) → 4.0 s (this shape).
+    Reference scope: beyond-reference (training-pipeline extension).
     """
     if max_df < 2:
         raise ValueError(f"containment_pairs: max_df must be >= 2, got {max_df}")
     sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("g")
-    )
-    capped = (
-        sh.groupBy("g")
-        .agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") <= max_df)
-        .select("g")
-    )
-    fg = sh.join(capped, "g").localCheckpoint(eager=True)
-    sz = fg.groupBy("doc_id").agg(F.count("*").alias("_n"))
-    # |A∩B| is symmetric: aggregate each UNORDERED pair once (a<b
-    # halves the heaviest exchange + aggregation in the plan —
-    # measured 4.5 s → benefits linearly at sf1), then emit both
-    # ordered directions with their own denominators.
-    inter = (
-        fg.alias("a")
-        .join(fg.alias("b"), "g")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("_da"),
-            F.col("b.doc_id").alias("_db"),
+    ).select("doc_id", F.xxhash64("g").alias("gh"))
+    posts = (
+        sh.groupBy("gh")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("_ids"),
+            F.count("*").alias("_df"),
         )
+        .filter(F.col("_df") <= max_df)
+        .localCheckpoint(eager=True)
+    )
+    sz = (
+        posts.select(F.explode("_ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    if sz.count() <= broadcast_max_docs:
+        sz = F.broadcast(sz.localCheckpoint(eager=True))
+    # |A∩B| is symmetric: expand each posting list to its UNORDERED
+    # i<j pairs map-side (halves the heaviest exchange), aggregate
+    # once, then emit both ordered directions with their own
+    # denominators. The inner slice re-evaluates per outer element —
+    # O(len²) copies — but len <= max_df by the filter above.
+    pair_arr = F.flatten(
+        F.transform(
+            F.slice(F.col("_ids"), 1, F.size("_ids") - 1),
+            lambda a, i: F.transform(
+                F.slice(F.col("_ids"), i + 2, F.size("_ids")),
+                lambda b: F.struct(a.alias("_da"), b.alias("_db")),
+            ),
+        )
+    )
+    inter = (
+        posts.filter(F.col("_df") >= 2)
+        .select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p._da").alias("_da"), F.col("p._db").alias("_db"))
         .agg(F.count("*").alias("_i"))
     )
     both = (
