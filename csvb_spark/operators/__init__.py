@@ -27,4 +27,5 @@ from csvb_spark.operators import (  # noqa: F401
     splits,
     temporal,
     text,
+    web,
 )

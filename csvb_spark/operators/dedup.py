@@ -1149,3 +1149,68 @@ def line_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+    max_df: int = 50,
+    min_containment: float = 0.6,
+) -> DataFrame:
+    """Cross-SOURCE duplication matrix: aggregate
+    :func:`containment_pairs` up to the provenance level — for every
+    ordered source pair, how many near-duplicate document pairs point
+    from source A into source B and how strongly. The corpus-report
+    view a curation run reads before deciding which feed to drop:
+    a row ``(crawl-x, wiki, 1200, 0.93)`` says crawl-x is largely a
+    re-scrape of wiki.
+
+    Output: ``(source_a, source_b, n_pairs, avg_containment)`` — one
+    row per ordered source pair with at least one qualifying document
+    pair (self-pairs ``A→A`` included: intra-source duplication is the
+    dedup workload itself). ``avg_containment`` is an
+    order-independent mean (exact DECIMAL(18,6) sum over the rounded
+    containments, divided in double) so any engine replays it
+    bit-identically.
+
+    Plan: the containment chain (see :func:`containment_pairs` for the
+    df-capped posting-list shape), then two equi-joins against the
+    narrow ``(doc_id, source)`` projection and ONE aggregation on the
+    source pair — the join key is the pair table's own key, and the
+    doc→source side prunes to two columns at the scan. Output
+    cardinality is ``n_sources²`` at most — driver-safe to collect at
+    any corpus size. Reference scope: beyond-reference
+    (training-pipeline extension).
+    """
+    pairs = containment_pairs(
+        docs,
+        text_col=text_col,
+        k=k,
+        max_df=max_df,
+        min_containment=min_containment,
+    )
+    src = docs.select(F.col("doc_id"), F.col(source_col).alias("_src"))
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_id_a"), F.col("_src").alias("source_a")
+            ),
+            "doc_id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_id_b"), F.col("_src").alias("source_b")
+            ),
+            "doc_id_b",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (
+                F.sum(F.col("containment").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_containment"),
+        )
+    )

@@ -676,3 +676,96 @@ def weighted_sample(
         .orderBy(F.asc("skey"), F.asc(id_col))
         .limit(k)
     )
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 16,
+    boundaries: tuple[int, ...] = (32, 64, 128, 256, 512),
+    n_shards: int = 8,
+) -> DataFrame:
+    """Length-bucketed inference/training batches with padding-waste
+    accounting: assign each document a token-length bucket (the index
+    of the first boundary its whitespace-token count does not exceed),
+    order documents longest-first inside the bucket, cut them into
+    fixed-size batches, and report — per batch — how many pad tokens a
+    pad-to-batch-max collator would burn. The standard dynamic-batching
+    prep step: batching by similar length is what keeps padding waste
+    low when sequences feed a fixed-shape accelerator.
+
+    Output: one row per batch —
+    ``(bucket, shard, batch_id, n_docs, max_len, sum_tokens,
+    padded_tokens, pad_frac)`` where ``padded_tokens =
+    n_docs * max_len - sum_tokens`` and ``pad_frac`` is its share of
+    the padded total, rounded to 6.
+
+    Batches are SHARD-LOCAL: ranking runs within ``(bucket,
+    doc_id % n_shards)``, not within the global bucket. A global
+    longest-first sort of one bucket is a single-reducer window at
+    100 TB; shard-local batching keeps ``n_buckets × n_shards``
+    parallel windows, bounds every reducer to its shard, and is what
+    production collators do anyway (each worker batches the rows it
+    holds). Unlike the quota sample's shards, these ARE visible in the
+    output (``shard`` column) — batch membership is defined per shard,
+    and the oracle replays the same arithmetic. Everything else is
+    built-ins over one scan: a map-side token count, one window rank,
+    one groupBy.
+    """
+    if batch_size < 1:
+        raise ValueError(
+            f"length_bucket_batches: batch_size must be >= 1, got {batch_size}"
+        )
+    if list(boundaries) != sorted(set(boundaries)) or not boundaries:
+        raise ValueError(
+            "length_bucket_batches: boundaries must be non-empty and"
+            f" strictly increasing, got {boundaries!r}"
+        )
+    from csvb_spark.operators.text import tokens
+
+    tok_len = F.size(tokens(F.coalesce(F.col(text_col), F.lit("")))).cast(
+        "bigint"
+    )
+    bucket = F.lit(0)
+    for b in boundaries:
+        bucket = bucket + F.when(tok_len > b, 1).otherwise(0)
+    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    base = docs.select(
+        F.col(id_col).alias("_id"),
+        tok_len.alias("_len"),
+        bucket.alias("bucket"),
+        shard.alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.desc("_len"), F.asc("_id")
+    )
+    ranked = base.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / batch_size)
+    )
+    return (
+        ranked.groupBy("bucket", "shard", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("_len").alias("max_len"),
+            F.sum("_len").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "shard",
+            "batch_id",
+            "n_docs",
+            "max_len",
+            "sum_tokens",
+            (F.col("n_docs") * F.col("max_len") - F.col("sum_tokens")).alias(
+                "padded_tokens"
+            ),
+            F.round(
+                (F.col("n_docs") * F.col("max_len") - F.col("sum_tokens"))
+                / (F.col("n_docs") * F.col("max_len")),
+                6,
+            ).alias("pad_frac"),
+        )
+    )

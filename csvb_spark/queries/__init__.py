@@ -102,7 +102,15 @@ report). The driver grades exactly the p/q-named entries, so these
 put the extension surface's most-load-bearing ops under the hard
 CORRECTNESS gate; each shares its source entry's callable and oracle
 verbatim (see extensions._P_ALIASES).
-Corpus: 145 entries, 140 with full oracles.
+
+Late round 8: x100 URL canonicalization + per-registered-domain quota
+(regexp-chain normalizer shared RE2-compatible between engines,
+two-phase sharded ranking provably equal to the single-window form),
+x101 length-bucketed batching with pad-to-max waste accounting
+(shard-local batches — the scale shape — replayed exactly by the
+oracle), x102 cross-source duplication matrix (x97's containment
+pairs aggregated to provenance level, exact DECIMAL-sum means).
+Corpus: 148 entries, 143 with full oracles.
 """
 
 from __future__ import annotations

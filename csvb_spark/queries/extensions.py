@@ -23,6 +23,7 @@ from csvb_spark.operators import (
     splits,
     temporal,
     text,
+    web,
 )
 from csvb_spark.queries.common import Query
 
@@ -3549,6 +3550,175 @@ SELECT CAST(greatest(least(floor((score - (-0.5)) / 0.1), 9), 0) AS INT) AS bin,
          AS frac_positive
 FROM sc JOIN documents d USING (doc_id)
 GROUP BY 1
+""",
+)
+
+
+# --- round 8: URL canonicalization + per-domain quota ------------------
+# The documents fixture has no URL column, so the entry SYNTHESIZES a
+# deterministically messy URL per document from (doc_id, lang, source)
+# — the x87/x88 media-synthesizer precedent — via ONE SQL expression
+# string shared verbatim by the Spark side (F.expr) and the oracle, so
+# the input can never drift between engines. The synthesis exercises
+# every normalizer rule: uppercase scheme/host, www. prefix, default
+# ports on both schemes (and :80 on https, which must SURVIVE), a
+# non-default :8080, leading/trailing utm/ref runs, trailing slashes,
+# and fragments. doc_id >= 0 is the fixture contract (quota_priority's
+# sign-following %, as with the media synthesizers).
+_X100_URL_EXPR = """
+CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END || '://' ||
+CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+lang || '.' ||
+CASE WHEN doc_id % 6 < 3 THEN upper(source) ELSE source END ||
+CASE WHEN doc_id % 5 = 0 THEN '.Co.UK' ELSE '.com' END ||
+CASE WHEN doc_id % 11 = 0 THEN ':8080'
+     WHEN doc_id % 4 = 0 THEN ':443'
+     WHEN doc_id % 4 = 2 THEN ':80' ELSE '' END ||
+'/docs/' || CAST(doc_id % 7 AS STRING) ||
+CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END ||
+CASE WHEN doc_id % 2 = 0
+     THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 5 AS STRING)
+          || '&id=' || CAST(doc_id AS STRING)
+     ELSE '?id=' || CAST(doc_id AS STRING) || '&ref=home' END ||
+CASE WHEN doc_id % 6 = 0 THEN '#sec-' || CAST(doc_id AS STRING) ELSE '' END
+"""
+
+_q(
+    "x100_domain_quota",
+    spark=lambda spark, sf: web.domain_quota_sample(
+        _docs(spark, sf).withColumn("url", F.expr(_X100_URL_EXPR)),
+        quota=5,
+        n_shards=4,
+    ),
+    doc="URL canonicalization + per-registered-domain quota sample",
+    oracle=rf"""
+WITH u AS (
+  SELECT doc_id, trim({_X100_URL_EXPR}) AS url FROM documents
+), parts AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1) AS rest0
+  FROM u
+), np AS (
+  SELECT doc_id, scheme,
+    regexp_replace(
+      CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+           WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+           ELSE host0 END,
+      '^www\.', '') AS host,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(rest0, '#.*$', ''),
+          '([?&])(?:(?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&)+', '\1', 'g'),
+        '(?:[?&](?:utm_[a-z]+|fbclid|gclid|ref)=[^&#]*)+$', ''),
+      '^([^?#]*)/(\?.*)?$', '\1\2') AS rest
+  FROM parts
+), norm AS (
+  SELECT doc_id, scheme || '://' || host || rest AS url_norm FROM np
+), dom AS (
+  SELECT doc_id, url_norm,
+    regexp_extract(
+      regexp_replace(regexp_extract(url_norm, '://([^/?#]*)', 1), ':[0-9]+$', ''),
+      '([^.]+\.(?:co\.uk|org\.uk|ac\.uk|com\.au|co\.jp|com\.br|co\.in)|[^.]+\.[^.]+)$',
+      1) AS domain
+  FROM norm
+), ranked AS (
+  SELECT doc_id, url_norm, domain,
+    ROW_NUMBER() OVER (PARTITION BY domain
+      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS pick_rank
+  FROM dom
+)
+SELECT doc_id, url_norm, domain, CAST(pick_rank AS INT) AS pick_rank
+FROM ranked WHERE pick_rank <= 5
+""",
+)
+
+
+# --- round 8: length-bucketed batching ---------------------------------
+# Dynamic-batching prep with padding-waste accounting; batches are
+# shard-local by design (the oracle replays the same shard arithmetic
+# — see the operator docstring for why a global per-bucket window is a
+# single-reducer straggler at scale).
+_q(
+    "x101_length_batches",
+    spark=lambda spark, sf: splits.length_bucket_batches(_docs(spark, sf)),
+    doc="length-bucketed batches + pad-to-max waste per batch",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(coalesce(text, '')), '\s+')) AS BIGINT)
+           AS l
+  FROM documents
+), b AS (
+  SELECT doc_id, l,
+    (CASE WHEN l > 32 THEN 1 ELSE 0 END + CASE WHEN l > 64 THEN 1 ELSE 0 END
+     + CASE WHEN l > 128 THEN 1 ELSE 0 END + CASE WHEN l > 256 THEN 1 ELSE 0 END
+     + CASE WHEN l > 512 THEN 1 ELSE 0 END) AS bucket,
+    doc_id % 8 AS shard
+  FROM toks
+), r AS (
+  SELECT *, CAST(floor((ROW_NUMBER() OVER (
+      PARTITION BY bucket, shard ORDER BY l DESC, doc_id) - 1) / 16) AS BIGINT)
+    AS batch_id
+  FROM b
+)
+SELECT bucket, shard, batch_id,
+       COUNT(*) AS n_docs, MAX(l) AS max_len, SUM(l) AS sum_tokens,
+       COUNT(*) * MAX(l) - SUM(l) AS padded_tokens,
+       ROUND(CAST(COUNT(*) * MAX(l) - SUM(l) AS DOUBLE)
+             / (COUNT(*) * MAX(l)), 6) AS pad_frac
+FROM r GROUP BY bucket, shard, batch_id
+""",
+)
+
+
+# --- round 8: cross-source duplication matrix --------------------------
+# x97's containment pairs aggregated to provenance level — the corpus
+# report that says which feed is a re-scrape of which. The oracle
+# replays x97's chain, then the two source joins and the exact
+# DECIMAL-sum mean.
+_q(
+    "x102_source_overlap",
+    spark=lambda spark, sf: dedup.source_overlap(
+        _docs(spark, sf), k=3, max_df=50, min_containment=0.6
+    ),
+    doc="per-source-pair near-duplicate counts + mean containment",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s
+  FROM toks
+), g AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), capped AS (
+  SELECT g FROM (SELECT g, COUNT(*) AS df FROM g GROUP BY g) WHERE df <= 50
+), fg AS (
+  SELECT doc_id, g.g FROM g JOIN capped USING (g)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS n FROM fg GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS i
+  FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_id_a, doc_id_b,
+         ROUND(CAST(i AS DOUBLE) / sa.n, 6) AS containment
+  FROM inter JOIN sz sa ON sa.doc_id = inter.doc_id_a
+  WHERE ROUND(CAST(i AS DOUBLE) / sa.n, 6) >= 0.6
+)
+SELECT da.source AS source_a, db.source AS source_b,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(CAST(containment AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+         AS avg_containment
+FROM pairs
+JOIN documents da ON da.doc_id = pairs.doc_id_a
+JOIN documents db ON db.doc_id = pairs.doc_id_b
+GROUP BY da.source, db.source
 """,
 )
 

@@ -1265,3 +1265,33 @@ def test_minhash_skew_preflight_warns_on_hot_bucket(spark):
         _warnings.simplefilter("always")
         minhash_lsh_pairs(diverse, skew_warn_threshold=0.6).collect()
     assert not any("exact dedup" in str(w.message) for w in caught)
+
+
+def test_source_overlap_planted(spark):
+    """x102: a feed that re-publishes another feed's docs shows up as
+    an ordered (copy→origin) row with containment 1.0; the matrix
+    includes intra-source duplication and nothing for clean sources."""
+    from csvb_spark.operators.dedup import source_overlap
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "wiki"),
+            (2, base + " iota kappa", "crawl"),  # crawl ⊃ wiki doc
+            (3, base, "crawl"),                  # crawl re-publishes wiki
+            (4, "totally different words here now", "clean"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): (r["n_pairs"], r["avg_containment"])
+        for r in source_overlap(docs, min_containment=0.8).collect()
+    }
+    # doc1 (wiki) is fully contained in docs 2 and 3 (crawl): 2 pairs
+    assert got[("wiki", "crawl")] == (2, 1.0)
+    # doc3 == doc1 exactly, so crawl→wiki scores 1.0 (1 pair);
+    # doc2→wiki is 6/8 = 0.75 and filters out at 0.8
+    assert got[("crawl", "wiki")] == (1, 1.0)
+    # intra-crawl: doc3 ⊂ doc2 (1.0); doc2→doc3 (0.75) filtered
+    assert got[("crawl", "crawl")] == (1, 1.0)
+    assert not any("clean" in k for k in got)

@@ -480,3 +480,145 @@ def test_skew_report_math_and_plan(spark, sf_dir):
     plan = _plan(skew_report(docs, "o_custkey"))
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_normalize_rules(spark):
+    """x100: each canonicalization rule on a planted URL set, incl.
+    the cases that must NOT change (non-default port, :80 on https,
+    'ref=' inside a value, URL-less strings passed through)."""
+    from csvb_spark.operators.web import registered_domain, url_normalize
+
+    cases = [
+        # (raw, expected_norm, expected_domain)
+        ("HTTPS://WWW.Ex.COM:443/a/?utm_source=x&id=1#f",
+         "https://ex.com/a?id=1", "ex.com"),
+        ("http://ex.com:80/", "http://ex.com", "ex.com"),
+        ("https://ex.com:80/p", "https://ex.com:80/p", "ex.com"),  # kept
+        ("http://a.b.co.uk:8080/p/", "http://a.b.co.uk:8080/p", "b.co.uk"),
+        ("http://ex.com/?utm_a=1&utm_b=2&id=3&gclid=z",
+         "http://ex.com?id=3", "ex.com"),
+        ("http://ex.com/?utm_a=1&utm_b=2", "http://ex.com", "ex.com"),
+        ("http://ex.com/?id=xref=9&y=2",
+         "http://ex.com?id=xref=9&y=2", "ex.com"),  # ref= inside a value
+        ("http://ex.com/?id=3&ref=home&z=4&fbclid=q",
+         "http://ex.com?id=3&z=4", "ex.com"),
+        ("not a url", "not a url", ""),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "i int, url string")
+    rows = (
+        df.select(
+            "i",
+            url_normalize("url").alias("n"),
+            registered_domain(url_normalize("url")).alias("d"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    for (raw, want_n, want_d), r in zip(cases, rows):
+        assert r["n"] == want_n, (raw, r["n"], want_n)
+        assert r["d"] == want_d, (raw, r["d"], want_d)
+
+
+def test_domain_quota_two_phase_equivalence(spark):
+    """x100: the sharded two-phase ranking emits exactly the
+    single-window selection, for every shard count — incl. a hot
+    domain far over quota."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.web import domain_quota_sample, quota_priority
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(300),
+            "url": [
+                "http://hot.example.com/p%d" % i
+                if i < 200
+                else "http://cold%d.org/p" % (i % 7)
+                for i in range(300)
+            ],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    want = None
+    for n_shards in (1, 4, 32):
+        got = sorted(
+            map(
+                tuple,
+                domain_quota_sample(
+                    docs, quota=6, n_shards=n_shards
+                ).collect(),
+            )
+        )
+        if want is None:
+            want = got
+        assert got == want, f"n_shards={n_shards} diverged"
+    # cross-check the single-window reference ranking
+    from csvb_spark.operators.web import registered_domain, url_normalize
+
+    base = docs.select(
+        "doc_id",
+        url_normalize("url").alias("url_norm"),
+        registered_domain(url_normalize("url")).alias("domain"),
+        quota_priority("doc_id").alias("_p"),
+    )
+    w = Window.partitionBy("domain").orderBy("_p", "doc_id")
+    ref = sorted(
+        map(
+            tuple,
+            base.withColumn("pick_rank", F.row_number().over(w))
+            .filter(F.col("pick_rank") <= 6)
+            .drop("_p")
+            .collect(),
+        )
+    )
+    assert want == ref
+    hot = [r for r in want if r[2] == "example.com"]
+    assert len(hot) == 6  # quota enforced on the hot domain
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quota"):
+        domain_quota_sample(docs, quota=0)
+    with _pytest.raises(ValueError, match="n_shards"):
+        domain_quota_sample(docs, n_shards=0)
+
+
+def test_length_bucket_batches_planted(spark):
+    """x101: exact batch composition and padding arithmetic on a
+    planted corpus — one bucket fully padded-free (equal lengths),
+    one with known waste, shard locality respected."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.splits import length_bucket_batches
+
+    # 8 docs of 10 tokens (bucket 0) and 4 docs of 40/50 tokens
+    # (bucket 1), all in shard 0 (ids multiples of 8)
+    rows = [(i * 8, " ".join(["w"] * 10)) for i in range(8)]
+    rows += [(64 + i * 8, " ".join(["w"] * (40 if i < 2 else 50)))
+             for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["bucket"], r["shard"], r["batch_id"]): r
+        for r in length_bucket_batches(
+            docs, batch_size=4, boundaries=(32,), n_shards=8
+        ).collect()
+    }
+    assert set(got) == {(0, 0, 0), (0, 0, 1), (1, 0, 0)}
+    b0 = got[(0, 0, 0)]
+    assert b0["n_docs"] == 4 and b0["max_len"] == 10
+    assert b0["padded_tokens"] == 0 and b0["pad_frac"] == 0.0
+    b1 = got[(1, 0, 0)]  # longest-first: two 50s then two 40s
+    assert b1["n_docs"] == 4 and b1["max_len"] == 50
+    assert b1["sum_tokens"] == 180 and b1["padded_tokens"] == 20
+    assert b1["pad_frac"] == 0.1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="batch_size"):
+        length_bucket_batches(docs, batch_size=0)
+    with _pytest.raises(ValueError, match="boundaries"):
+        length_bucket_batches(docs, boundaries=(64, 32))
