@@ -109,8 +109,10 @@ two-phase sharded ranking provably equal to the single-window form),
 x101 length-bucketed batching with pad-to-max waste accounting
 (shard-local batches — the scale shape — replayed exactly by the
 oracle), x102 cross-source duplication matrix (x97's containment
-pairs aggregated to provenance level, exact DECIMAL-sum means).
-Corpus: 148 entries, 143 with full oracles.
+pairs aggregated to provenance level, exact DECIMAL-sum means);
+p27-p30 driver-gate aliases for the round's flagship curation ops
+(C4 filter, CCNet buckets, containment, domain quota).
+Corpus: 152 entries, 147 with full oracles.
 """
 
 from __future__ import annotations

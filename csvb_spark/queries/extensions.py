@@ -3743,6 +3743,11 @@ _P_ALIASES: dict[str, str] = {
     "p24_bm25_topk": "x55_bm25_topk",
     "p25_contamination": "x19_contamination",
     "p26_sequence_packing": "x24_sequence_packing",
+    # round 8, third batch: the round's new flagship curation ops.
+    "p27_c4_filter": "x94_c4_line_filter",
+    "p28_ccnet_buckets": "x95_perplexity_buckets",
+    "p29_containment": "x97_containment_pairs",
+    "p30_domain_quota": "x100_domain_quota",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]
