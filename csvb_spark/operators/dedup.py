@@ -24,7 +24,7 @@ per doc (e.g. for incremental dedup against a bloom/static set).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from csvb_spark.operators.text import char_shingles, tokens
@@ -651,22 +651,32 @@ def containment_pairs(
     approximation already accepted by ``max_df``.
 
     Plan (inverted-index posting lists, no self-join): explode
-    distinct shingles (map-side) → ONE groupBy building the df-capped
-    posting list per shingle (``collect_list`` is bounded by
-    ``max_df`` ids, so the agg state is a ≤``max_df``-element array
-    by construction) → map-side pair expansion of each list (the i<j
-    nested ``transform`` touches ≤ max_df² bounded elements, then
-    partial-aggregates BEFORE the pair exchange) → one groupBy
-    counting each UNORDERED pair once → per-doc set sizes joined
-    back. The size table is one row per surviving document: under
-    ``broadcast_max_docs`` it broadcasts (the pair table — the
+    distinct shingles (map-side) → ONE exchange on the shingle hash →
+    a WINDOW count per hash → cap filter → posting-list collect.
+    Ordering of the last three matters twice over. The cap is
+    enforced BEFORE any list materializes, so ``collect_list``'s
+    aggregation state really is a ≤``max_df``-element array — a
+    collect-then-filter shape would buffer a boilerplate shingle's
+    million ids in one agg buffer before discarding them, the exact
+    blowup the cap exists to prevent (WindowExec's per-key buffer
+    spills to disk; hash-agg merge state does not). And the window
+    form needs only the one exchange: a count-then-semi-join cap
+    re-exchanges (and re-tokenizes) the whole shingle stream, which
+    measured 2.5× slower end-to-end; the collect groupBy rides the
+    window's partitioning. Then: map-side pair expansion of each
+    list (the i<j nested ``transform`` touches ≤ max_df² bounded
+    elements, partial-aggregating BEFORE the pair exchange) → one
+    groupBy counting each UNORDERED pair once → per-doc set sizes
+    joined back. The size table is one row per surviving document,
+    materialized once (localCheckpoint) for its two join consumers:
+    under ``broadcast_max_docs`` it broadcasts (the pair table — the
     widest in the plan — is then never re-exchanged); above, the
     by-design 100 TB path is two equi-joins on the pair keys. The
-    posting-list table is materialized once (localCheckpoint,
-    shingle-count-bounded) because both the pair expansion and the
-    size aggregation consume it. Measured at the bench's synthetic
-    sf1: 9.2 s (shingle-string self-join) → 4.0 s (this shape).
-    Reference scope: beyond-reference (training-pipeline extension).
+    posting-list table is also materialized once because the pair
+    expansion and the size aggregation both consume it. Measured at
+    the bench's synthetic sf1: 9.2 s (shingle-string self-join) →
+    3.9 s (this shape). Reference scope: beyond-reference
+    (training-pipeline extension).
     """
     if max_df < 2:
         raise ValueError(f"containment_pairs: max_df must be >= 2, got {max_df}")
@@ -674,21 +684,21 @@ def containment_pairs(
         "doc_id", F.explode(word_shingles(F.col(text_col), k)).alias("g")
     ).select("doc_id", F.xxhash64("g").alias("gh"))
     posts = (
-        sh.groupBy("gh")
-        .agg(
-            F.sort_array(F.collect_list("doc_id")).alias("_ids"),
-            F.count("*").alias("_df"),
-        )
+        sh.withColumn("_df", F.count("*").over(Window.partitionBy("gh")))
         .filter(F.col("_df") <= max_df)
+        .groupBy("gh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("_ids"))
+        .select("_ids", F.size("_ids").alias("_df"))
         .localCheckpoint(eager=True)
     )
     sz = (
         posts.select(F.explode("_ids").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("_n"))
+        .localCheckpoint(eager=True)
     )
     if sz.count() <= broadcast_max_docs:
-        sz = F.broadcast(sz.localCheckpoint(eager=True))
+        sz = F.broadcast(sz)
     # |A∩B| is symmetric: expand each posting list to its UNORDERED
     # i<j pairs map-side (halves the heaviest exchange), aggregate
     # once, then emit both ordered directions with their own
@@ -1158,6 +1168,7 @@ def source_overlap(
     k: int = 3,
     max_df: int = 50,
     min_containment: float = 0.6,
+    broadcast_max_docs: int = 8_000_000,
 ) -> DataFrame:
     """Cross-SOURCE duplication matrix: aggregate
     :func:`containment_pairs` up to the provenance level — for every
@@ -1190,6 +1201,7 @@ def source_overlap(
         k=k,
         max_df=max_df,
         min_containment=min_containment,
+        broadcast_max_docs=broadcast_max_docs,
     )
     src = docs.select(F.col("doc_id"), F.col(source_col).alias("_src"))
     return (

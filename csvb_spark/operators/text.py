@@ -669,6 +669,18 @@ def c4_line_filter(
     needs a shuffle). Reference scope: beyond-reference
     (training-pipeline extension).
     """
+    # contains('') is vacuously true: an empty blocked term (a shell
+    # variable that expanded empty, say) would silently drop every
+    # line or every doc — make it an error instead of a data wipe
+    for label, terms in (
+        ("blocked_line_words", blocked_line_words),
+        ("blocked_doc_phrases", blocked_doc_phrases),
+    ):
+        if any(not t for t in terms):
+            raise ValueError(
+                f"c4_line_filter: {label} contains an empty term, which"
+                " would match every row; drop it or pass ()"
+            )
     text = F.col(text_col)
     segs = segments if segments is not None else F.split(text, "\n")
 

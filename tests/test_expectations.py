@@ -426,12 +426,26 @@ def test_cli_clean_subcommand(spark, tmp_path, capsys):
     assert rows[2]["keep_doc"] is False and rows[2]["n_kept"] == 0
     assert rows[3]["keep_doc"] is False  # lorem ipsum page rule
 
-    # custom blocked phrase + disabled terminal rule
+    # custom blocked phrase + disabled terminal rule: doc1 now dies to
+    # the phrase, docs 2-3 survive (terminal rule off, defaults
+    # replaced) — written output pins that each flag actually landed
+    out2 = str(tmp_path / "cleaned2")
     rc = main(
         [
             "clean", "--parquet", data, "--no-terminal",
             "--blocked-doc-phrase", "three four", "--min-kept-lines", "2",
+            "--output", out2,
         ]
     )
     assert rc == 0
     assert "n_docs" in capsys.readouterr().out
+    rows2 = {r["doc_id"]: r for r in spark.read.parquet(out2).collect()}
+    assert rows2[1]["keep_doc"] is False  # blocked phrase matched
+    assert rows2[2]["keep_doc"] is True and rows2[2]["n_kept"] == 2
+    assert rows2[3]["keep_doc"] is True  # default lorem-ipsum rule gone
+
+    # an empty blocked term would silently drop everything — rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty term"):
+        main(["clean", "--parquet", data, "--blocked-line-word", ""])
