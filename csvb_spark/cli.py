@@ -327,6 +327,33 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pc.add_argument("--output", default=None, help="write filtered rows here")
 
+    pu = sub.add_parser(
+        "quota",
+        help="canonicalize URLs and keep at most N docs per registered "
+        "domain (deterministic priority); prints a per-domain summary "
+        "and optionally writes the kept rows",
+    )
+    pu.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pu.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pu.add_argument("--json", action="append", default=[], metavar="PATH")
+    pu.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pu.add_argument("--url-col", default="url")
+    pu.add_argument("--id-col", default="doc_id")
+    pu.add_argument("--quota", type=int, default=10, help="max docs kept per domain")
+    pu.add_argument(
+        "--shards",
+        type=int,
+        default=32,
+        help="phase-1 ranking shards (output-invariant; see operator doc)",
+    )
+    pu.add_argument(
+        "--top",
+        type=int,
+        default=20,
+        help="domains shown in the summary (largest first)",
+    )
+    pu.add_argument("--output", default=None, help="write kept rows here")
+
     pv = sub.add_parser(
         "sample",
         help="draw a deterministic sample: weighted (proportional to a "
@@ -785,6 +812,42 @@ def main(argv: list[str] | None = None) -> int:
             F.sum(F.col("keep_doc").cast("bigint")).alias("n_keep"),
             F.sum("n_lines").alias("n_lines"),
             F.sum("n_kept").alias("n_kept_lines"),
+        )
+        print(render_df(summary))
+        return 0
+
+    if args.command == "quota":
+        from pyspark.sql import functions as F
+
+        from csvb_spark.operators.web import domain_quota_sample
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        table = spark.table(args.table_name)
+        for col in (args.url_col, args.id_col):
+            if col not in table.columns:
+                raise SystemExit(
+                    f"quota: column {col!r} not in table"
+                    f" (have: {', '.join(table.columns)})"
+                )
+        kept = domain_quota_sample(
+            table,
+            url_col=args.url_col,
+            id_col=args.id_col,
+            quota=args.quota,
+            n_shards=args.shards,
+        )
+        if args.output:
+            # write once, summarize from the written files (the score
+            # path's convention)
+            kept.write.mode("overwrite").parquet(args.output)
+            kept = spark.read.parquet(args.output)
+        summary = (
+            kept.groupBy("domain")
+            .agg(F.count("*").alias("n_kept"))
+            .orderBy(F.desc("n_kept"), "domain")
+            .limit(args.top)
         )
         print(render_df(summary))
         return 0

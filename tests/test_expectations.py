@@ -449,3 +449,43 @@ def test_cli_clean_subcommand(spark, tmp_path, capsys):
 
     with _pytest.raises(ValueError, match="empty term"):
         main(["clean", "--parquet", data, "--blocked-line-word", ""])
+
+
+def test_cli_quota_subcommand(spark, tmp_path, capsys):
+    """The quota subcommand canonicalizes URLs, caps per-domain keeps,
+    and writes the kept rows; missing columns reject loudly."""
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    data = str(tmp_path / "pages.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": range(40),
+            "url": [
+                "http://WWW.Hot.example.com/p%d?utm_source=x" % i
+                if i < 30
+                else "https://cold%d.org/p/" % i
+                for i in range(40)
+            ],
+        }
+    ).to_parquet(data)
+    out = str(tmp_path / "kept")
+    rc = main(["quota", "--parquet", data, "--quota", "3", "--output", out])
+    assert rc == 0
+    assert "n_kept" in capsys.readouterr().out
+    rows = spark.read.parquet(out).collect()
+    by_domain = {}
+    for r in rows:
+        by_domain.setdefault(r["domain"], []).append(r)
+    assert len(by_domain["example.com"]) == 3  # hot domain capped
+    assert all(len(v) == 1 for d, v in by_domain.items() if d != "example.com")
+    assert all(r["url_norm"].startswith(("http://hot.example.com/",
+                                         "https://cold")) for r in rows)
+    assert all("utm_source" not in r["url_norm"] for r in rows)
+    assert not any(r["url_norm"].endswith("/") for r in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="not in table"):
+        main(["quota", "--parquet", data, "--url-col", "nope"])
