@@ -394,3 +394,86 @@ def test_streaming_ingest_sb_gate(spark, tmp_path):
             str(tmp_path / "i3"), str(tmp_path / "k3"),
             lm_model_dir=tri_dir, max_ppl=50.0, lm_smoothing="kn",
         )
+
+
+def test_streaming_quota_single_batch_equals_batch(spark, tmp_path):
+    """One micro-batch → the admission gate IS the batch operator's
+    selection, row for row (including pick_rank)."""
+    import pandas as pd
+
+    from csvb_spark.operators.web import domain_quota_sample
+    from csvb_spark.streaming.quota import run_streaming_quota
+
+    src = tmp_path / "q_src1"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "url": [
+                "http://Hot.example.com/p%d?utm_id=9" % i
+                if i < 22
+                else "https://cold%d.org/p/" % i
+                for i in range(30)
+            ],
+        }
+    )
+    pdf.to_parquet(str(src / "b1.parquet"))
+    got = sorted(
+        map(
+            tuple,
+            run_streaming_quota(
+                spark, str(src), quota=5, query_name="t_q1"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            domain_quota_sample(
+                spark.read.parquet(str(src)), quota=5
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert len([r for r in got if r[2] == "example.com"]) == 5
+
+
+def test_streaming_quota_admission_across_batches(spark, tmp_path):
+    """Across micro-batches: first-arrived wins, admitted rows are
+    never evicted, the cumulative cap holds, and pick_rank keeps
+    counting across batches."""
+    import pandas as pd
+
+    from csvb_spark.streaming.quota import run_streaming_quota
+
+    src = tmp_path / "q_src2"
+    src.mkdir()
+    # batch 1: 3 hot docs (ids 0-2); batch 2: 4 more hot (ids 10-13)
+    # with LOWER priorities than some of batch 1 — they must not evict
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "url": ["http://hot.example.com/a%d" % i for i in range(3)],
+        }
+    ).to_parquet(str(src / "b1.parquet"))
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "url": ["http://hot.example.com/b%d" % i for i in range(4)],
+        }
+    ).to_parquet(str(src / "b2.parquet"))
+    out = run_streaming_quota(
+        spark, str(src), quota=5, query_name="t_q2"
+    ).collect()
+    assert len(out) == 5
+    ids = {r["doc_id"] for r in out}
+    assert {0, 1, 2} <= ids  # batch-1 admissions all survive
+    assert len(ids & {10, 11, 12, 13}) == 2  # only the remaining room
+    assert sorted(r["pick_rank"] for r in out) == [1, 2, 3, 4, 5]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quota"):
+        run_streaming_quota(spark, str(src), quota=0)
+    with _pytest.raises(ValueError, match="not in source"):
+        run_streaming_quota(spark, str(src), url_col="nope")
