@@ -872,3 +872,50 @@ def calibrate_keep_threshold(
         F.lit(thr).cast(score_t).alias("threshold"),
         (F.col(score_col) >= F.lit(thr)).alias("keep"),
     )
+
+
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document CHARACTER entropy — the junk detector quality
+    pipelines run before any tokenizer: natural prose sits in a narrow
+    entropy band, while base64 blobs / minified code / key-mash spam
+    score far above it and single-character padding far below. Output
+    per input doc: ``(doc_id, n_chars, n_uniq, entropy)`` with
+    ``entropy = ln(L) - (Σ c·ln c)/L`` in nats over the character
+    histogram, rounded to 6; empty/NULL text yields ``n_chars 0`` and
+    NULL entropy (no silent 0.0 — an empty doc has no distribution).
+
+    Each ``c·ln c`` term is rounded to 6 decimals and summed as
+    DECIMAL(18,6) — the x92 skew-report pattern — so the aggregate is
+    order-independent and any engine replays it bit-identically
+    despite ``ln`` having no cross-libm bit guarantee.
+
+    Plan: one char explode → groupBy (doc_id, char) with map-side
+    partial aggregation, so the exchange carries at most
+    ``docs × alphabet`` histogram rows, NOT the corpus's characters —
+    then one per-doc aggregation. Reference scope: beyond-reference
+    (training-pipeline extension).
+    """
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), "")).alias(
+            "_ch"
+        ),
+    ).filter(F.col("_ch") != "")
+    hist = chars.groupBy("doc_id", "_ch").agg(F.count("*").alias("_c"))
+    per_doc = hist.groupBy("doc_id").agg(
+        F.sum("_c").alias("n_chars"),
+        F.count("*").alias("n_uniq"),
+        F.sum(
+            F.round(F.col("_c") * F.log("_c"), 6).cast("decimal(18,6)")
+        ).alias("_nlogn"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.coalesce("n_uniq", F.lit(0)).cast("bigint").alias("n_uniq"),
+        F.round(
+            F.log(F.col("n_chars").cast("double"))
+            - F.col("_nlogn").cast("double") / F.col("n_chars"),
+            6,
+        ).alias("entropy"),
+    )

@@ -111,8 +111,11 @@ x101 length-bucketed batching with pad-to-max waste accounting
 oracle), x102 cross-source duplication matrix (x97's containment
 pairs aggregated to provenance level, exact DECIMAL-sum means);
 p27-p30 driver-gate aliases for the round's flagship curation ops
-(C4 filter, CCNet buckets, containment, domain quota).
-Corpus: 152 entries, 147 with full oracles.
+(C4 filter, CCNet buckets, containment, domain quota); x103 character
+entropy (the pre-tokenizer junk detector; per-term rounded-ln DECIMAL
+sums); a streaming per-domain admission quota and `clean`/`quota` CLI
+subcommands (pytest-verified, no corpus entry needed).
+Corpus: 153 entries, 148 with full oracles.
 """
 
 from __future__ import annotations

@@ -3723,6 +3723,38 @@ GROUP BY da.source, db.source
 )
 
 
+# --- round 8: character entropy --------------------------------------
+# The junk detector run before any tokenizer: base64/minified blobs
+# score high, padding scores near zero. Per-term round(n·ln n, 6)
+# DECIMAL sums (the x92 pattern) keep the aggregate order-independent
+# and cross-engine bit-stable despite ln's lack of a libm guarantee.
+_q(
+    "x103_char_entropy",
+    spark=lambda spark, sf: text.char_entropy(_docs(spark, sf)),
+    doc="per-document character entropy (nats), histogram exact",
+    oracle=r"""
+WITH ch AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
+  FROM documents
+), ch2 AS (
+  SELECT doc_id, c FROM ch WHERE c <> ''
+), hist AS (
+  SELECT doc_id, c, COUNT(*) AS n FROM ch2 GROUP BY doc_id, c
+), per AS (
+  SELECT doc_id, SUM(n) AS n_chars, COUNT(*) AS n_uniq,
+         SUM(CAST(round(n * ln(n), 6) AS DECIMAL(18,6))) AS nlogn
+  FROM hist GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chars, 0) AS BIGINT) AS n_chars,
+       CAST(COALESCE(p.n_uniq, 0) AS BIGINT) AS n_uniq,
+       ROUND(ln(CAST(p.n_chars AS DOUBLE))
+             - CAST(p.nlogn AS DOUBLE) / p.n_chars, 6) AS entropy
+FROM documents d LEFT JOIN per p USING (doc_id)
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).

@@ -622,3 +622,28 @@ def test_length_bucket_batches_planted(spark):
         length_bucket_batches(docs, batch_size=0)
     with _pytest.raises(ValueError, match="boundaries"):
         length_bucket_batches(docs, boundaries=(64, 32))
+
+
+def test_char_entropy_planted(spark):
+    """x103: uniform text hits ln(K), constant text hits 0, empty and
+    NULL text yield no distribution (NULL entropy, 0 chars)."""
+    import math
+
+    from csvb_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcd" * 25),        # uniform over 4 chars → ln 4
+            (2, "aaaa"),             # degenerate → 0
+            (3, ""),                 # empty → no distribution
+            (4, None),               # NULL → same as empty
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert got[1]["n_chars"] == 100 and got[1]["n_uniq"] == 4
+    assert abs(got[1]["entropy"] - math.log(4)) < 1e-5
+    assert got[2]["entropy"] == 0.0 and got[2]["n_uniq"] == 1
+    for i in (3, 4):
+        assert got[i]["n_chars"] == 0 and got[i]["n_uniq"] == 0
+        assert got[i]["entropy"] is None
