@@ -1295,3 +1295,40 @@ def test_source_overlap_planted(spark):
     # intra-crawl: doc3 ⊂ doc2 (1.0); doc2→doc3 (0.75) filtered
     assert got[("crawl", "crawl")] == (1, 1.0)
     assert not any("clean" in k for k in got)
+
+
+def test_new_curation_op_plan_shapes(spark, sf_dir):
+    """x100/x101/x103: no cartesian products anywhere; the quota's two
+    ranking phases both partition the window by domain (never a
+    global window); batching reads only the two columns it needs."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.splits import length_bucket_batches
+    from csvb_spark.operators.text import char_entropy
+    from csvb_spark.operators.web import domain_quota_sample
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "url", F.concat(F.lit("http://h."), F.col("source"), F.lit(".com/p"))
+    )
+    qplan = _plan(domain_quota_sample(docs))
+    assert "CartesianProduct" not in qplan
+    assert qplan.count("Window") >= 2  # two-phase ranking, both windowed
+    # a GLOBAL window (empty partition spec) would be a single-reducer
+    # sort — both windows must carry a partition spec
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", qplan):
+        assert "domain" in m.group(1)
+
+    bplan = _plan(length_bucket_batches(_docs(spark, sf_dir)))
+    assert "CartesianProduct" not in bplan
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", bplan):
+        assert "bucket" in m.group(1) and "shard" in m.group(1)
+    # column pruning: the scan reads only doc_id + text
+    m = re.search(r"ReadSchema: ([^\n]*)", bplan)
+    assert m and "doc_id" in m.group(1) and "text" in m.group(1)
+    assert "source" not in m.group(1) and "lang" not in m.group(1)
+
+    eplan = _plan(char_entropy(_docs(spark, sf_dir)))
+    assert "CartesianProduct" not in eplan
+    assert "BroadcastNestedLoopJoin" not in eplan
