@@ -125,7 +125,16 @@ def quota_priority(id_col: str | Column) -> Column:
     precondition, enforced the same way by the caller's query entry).
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(c * F.lit(2654435761), F.lit(4294967296))
+    # NULL ids would rank NULLS FIRST in the batch window but NaN-last
+    # after Arrow hands them to the streaming gate — fail fast instead
+    # of silently diverging (and instead of the gate's opaque
+    # cannot-convert-NaN crash)
+    return F.when(
+        c.isNull(),
+        F.assert_true(c.isNotNull(), F.lit("quota_priority: NULL id")).cast(
+            "bigint"
+        ),
+    ).otherwise(F.pmod(c * F.lit(2654435761), F.lit(4294967296)))
 
 
 def domain_quota_sample(

@@ -647,3 +647,18 @@ def test_char_entropy_planted(spark):
     for i in (3, 4):
         assert got[i]["n_chars"] == 0 and got[i]["n_uniq"] == 0
         assert got[i]["entropy"] is None
+
+
+def test_quota_priority_rejects_null_ids(spark):
+    """A NULL id would rank NULLS-FIRST in the batch window but
+    NaN-last in the streaming gate — both paths must fail fast."""
+    import pytest as _pytest
+
+    from csvb_spark.operators.web import domain_quota_sample
+
+    docs = spark.createDataFrame(
+        [(1, "http://a.com/x"), (None, "http://a.com/y")],
+        "doc_id long, url string",
+    )
+    with _pytest.raises(Exception, match="NULL id"):
+        domain_quota_sample(docs).collect()
