@@ -153,6 +153,25 @@ def build_parser() -> argparse.ArgumentParser:
         "Kneser-Ney, or stupid backoff (sb needs a TRIGRAM --lm-model; "
         "addk/kn need a bigram one)",
     )
+    pi.add_argument(
+        "--url-col",
+        default=None,
+        help="URL column for the per-domain admission quota (use with "
+        "--domain-quota and --quota-dir)",
+    )
+    pi.add_argument(
+        "--domain-quota",
+        type=int,
+        default=None,
+        help="max docs admitted per registered domain, counted across "
+        "all batches",
+    )
+    pi.add_argument(
+        "--quota-dir",
+        default=None,
+        help="persisted per-domain count table (append; the quota's "
+        "cross-batch state)",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -506,6 +525,9 @@ def main(argv: list[str] | None = None) -> int:
             lm_model_dir=args.lm_model,
             max_ppl=args.max_ppl,
             lm_smoothing=args.lm_smoothing,
+            url_col=args.url_col,
+            domain_quota=args.domain_quota,
+            quota_dir=args.quota_dir,
         )
         return 0
 

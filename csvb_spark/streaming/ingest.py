@@ -57,6 +57,9 @@ def _accept_batch(
     lm_model: DataFrame | None = None,
     max_ppl: float | None = None,
     lm_smoothing: str = "addk",
+    url_col: str | None = None,
+    domain_quota: int | None = None,
+    quota_dir: str | None = None,
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code).
@@ -155,6 +158,58 @@ def _accept_batch(
     else:
         accepted = deduped
 
+    # 4. optional cross-batch per-domain admission quota — LAST, so a
+    # document rejected by a quality/dedup gate never consumes quota.
+    # Cross-batch state is a persisted (domain, n) increment table,
+    # the same pattern as the band index: per-batch work is bounded by
+    # batch size + domain cardinality, never corpus size. Increments
+    # append; reads re-sum (bounded by domains × batches; a production
+    # deployment compacts, exactly like the index would).
+    if domain_quota is not None:
+        from pyspark.sql import Window
+
+        from csvb_spark.operators import web as W
+
+        have_counts = os.path.isdir(quota_dir) and any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(quota_dir)
+            for f in files
+        )
+        if have_counts:
+            counts = (
+                spark.read.parquet(quota_dir)
+                .groupBy("domain")
+                .agg(F.sum("n").alias("_have"))
+            )
+        else:
+            counts = spark.createDataFrame([], "domain string, _have bigint")
+        dom = accepted.select(
+            "doc_id",
+            W.registered_domain(W.url_normalize(url_col)).alias("domain"),
+            W.quota_priority("doc_id").alias("_prio"),
+        ).join(counts, "domain", "left")
+        w = Window.partitionBy("domain").orderBy("_prio", "doc_id")
+        # materialize the admission decision BEFORE any sink runs: its
+        # lineage reads the corpus/index/counts tables this batch is
+        # about to append to, so a lazy re-execution after the writes
+        # would see the batch's own rows (self-near-dup) and silently
+        # drop rows from the second consumer (caught by the
+        # quota-stage test: the counts write lost a domain)
+        admitted = (
+            dom.withColumn("_rk", F.row_number().over(w))
+            .filter(
+                F.col("_rk") + F.coalesce("_have", F.lit(0)) <= domain_quota
+            )
+            .select("doc_id", "domain")
+            .localCheckpoint(eager=True)
+        )
+        accepted = accepted.join(
+            admitted.select("doc_id"), "doc_id", "left_semi"
+        )
+        new_counts = admitted.groupBy("domain").agg(F.count("*").alias("n"))
+    else:
+        new_counts = None
+
     # Cache: accepted feeds two sinks; never recompute the near-dup
     # join for the second write.
     accepted = accepted.persist()
@@ -165,6 +220,8 @@ def _accept_batch(
         D.write_band_index(
             accepted, index_dir, text_col, num_perm, bands, mode="append"
         )
+        if new_counts is not None:
+            new_counts.write.mode("append").parquet(quota_dir)
     finally:
         accepted.unpersist()
 
@@ -187,14 +244,37 @@ def run_streaming_ingest(
     lm_model_dir: str | None = None,
     max_ppl: float | None = None,
     lm_smoothing: str = "addk",
+    url_col: str | None = None,
+    domain_quota: int | None = None,
+    quota_dir: str | None = None,
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
     micro-batch per file, so files model arrival order). Appends to
     ``corpus_dir`` + ``index_dir``; re-runs resume from the
-    checkpoint without re-processing consumed files."""
+    checkpoint without re-processing consumed files.
+
+    ``url_col`` + ``domain_quota`` + ``quota_dir`` (all three together)
+    add a per-registered-domain admission cap as the FINAL stage: at
+    most ``domain_quota`` documents per domain ever enter the corpus,
+    counted across every batch via the persisted increment table at
+    ``quota_dir`` — the crawl-frontier cap, applied only to documents
+    that survived every other gate so rejects never consume quota."""
     if (lm_model_dir is None) != (max_ppl is None):
         raise ValueError(
             "run_streaming_ingest: lm_model_dir and max_ppl go together"
+        )
+    quota_args = (url_col, domain_quota, quota_dir)
+    if any(a is not None for a in quota_args) and not all(
+        a is not None for a in quota_args
+    ):
+        raise ValueError(
+            "run_streaming_ingest: url_col, domain_quota, and quota_dir"
+            " go together"
+        )
+    if domain_quota is not None and domain_quota < 1:
+        raise ValueError(
+            f"run_streaming_ingest: domain_quota must be >= 1, got"
+            f" {domain_quota}"
         )
     if lm_smoothing not in ("addk", "kn", "sb"):
         raise ValueError(
@@ -239,6 +319,9 @@ def run_streaming_ingest(
                 lm_model,
                 max_ppl,
                 lm_smoothing,
+                url_col,
+                domain_quota,
+                quota_dir,
             )
         )
         .start()

@@ -477,3 +477,147 @@ def test_streaming_quota_admission_across_batches(spark, tmp_path):
         run_streaming_quota(spark, str(src), quota=0)
     with _pytest.raises(ValueError, match="not in source"):
         run_streaming_quota(spark, str(src), url_col="nope")
+
+
+def test_streaming_ingest_domain_quota_stage(spark, tmp_path):
+    """The ingest's final admission stage caps per-domain keeps across
+    micro-batches via the persisted increment table, and quality
+    rejects never consume quota."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    def _write(path, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "url": pa.array([r[2] for r in rows], pa.string()),
+                }
+            ),
+            path,
+        )
+        time.sleep(0.05)
+        os.utime(path)
+
+    def good_text(i):
+        # >= 64 chars, stopwords present, low punct → quality 1.0;
+        # tokens mostly unique per doc → no near-dup collisions
+        return "the and of to " + " ".join(f"w{i}x{j}" for j in range(20))
+
+    hot = "http://hot.example.com/p%d"
+    cold = "http://cold%d.org/p"
+    src = tmp_path / "dq_src"
+    src.mkdir()
+    _write(
+        str(src / "b1.parquet"),
+        [(i, good_text(i), hot % i) for i in range(4)]
+        + [(100, good_text(100), cold % 1)],
+    )
+    b2_hot_ids = [11, 12, 13]
+    _write(
+        str(src / "b2.parquet"),
+        [(i, good_text(i), hot % i) for i in b2_hot_ids]
+        + [(9002, "zzz zzz", hot % 9002)]  # quality reject, hot domain
+        + [(101, good_text(101), cold % 2)],
+    )
+
+    corpus_dir = str(tmp_path / "dq_corpus")
+    quota_dir = str(tmp_path / "dq_counts")
+    run_streaming_ingest(
+        spark,
+        str(src),
+        corpus_dir,
+        str(tmp_path / "dq_index"),
+        str(tmp_path / "dq_ckpt"),
+        url_col="url",
+        domain_quota=5,
+        quota_dir=quota_dir,
+    )
+    got = {r.doc_id for r in spark.read.parquet(corpus_dir).collect()}
+    assert {0, 1, 2, 3, 100, 101} <= got  # b1 hot under quota + colds
+    assert 9002 not in got  # quality gate, and it must not count
+    # room was 1: the admitted b2 hot doc is the priority minimum
+    prio = lambda i: (i * 2654435761) % 4294967296  # noqa: E731
+    expect = min(b2_hot_ids, key=lambda i: (prio(i), i))
+    assert got & set(b2_hot_ids) == {expect}
+    # the increment table sums to the admitted per-domain counts
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["domain"]: r["n"]
+        for r in spark.read.parquet(quota_dir)
+        .groupBy("domain")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert counts["example.com"] == 5
+    assert counts["cold1.org"] == 1 and counts["cold2.org"] == 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="go together"):
+        run_streaming_ingest(
+            spark, str(src), corpus_dir, "i", "c", domain_quota=5
+        )
+    with _pytest.raises(ValueError, match="domain_quota"):
+        run_streaming_ingest(
+            spark, str(src), corpus_dir, "i", "c",
+            url_col="url", domain_quota=0, quota_dir=quota_dir,
+        )
+
+
+def test_cli_ingest_domain_quota(spark, tmp_path):
+    """The ingest CLI wires the quota trio through; partial flags
+    reject loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from csvb_spark.cli import main
+
+    src = tmp_path / "ciq_src"
+    src.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(6)), pa.int64()),
+                "text": pa.array(
+                    [
+                        "the and of to " + " ".join(f"c{i}v{j}" for j in range(20))
+                        for i in range(6)
+                    ],
+                    pa.string(),
+                ),
+                "url": pa.array(
+                    ["http://one.site.com/p%d" % i for i in range(6)],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(src / "b1.parquet"),
+    )
+    corpus = str(tmp_path / "ciq_corpus")
+    rc = main(
+        [
+            "ingest", "--source", str(src), "--corpus", corpus,
+            "--index", str(tmp_path / "ciq_index"),
+            "--checkpoint", str(tmp_path / "ciq_ckpt"),
+            "--url-col", "url", "--domain-quota", "2",
+            "--quota-dir", str(tmp_path / "ciq_counts"),
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(corpus).count() == 2  # capped at the quota
+
+    with _pytest.raises(ValueError, match="go together"):
+        main(
+            [
+                "ingest", "--source", str(src), "--corpus", corpus,
+                "--index", str(tmp_path / "i2"),
+                "--checkpoint", str(tmp_path / "c2"),
+                "--domain-quota", "2",
+            ]
+        )
