@@ -114,8 +114,12 @@ p27-p30 driver-gate aliases for the round's flagship curation ops
 (C4 filter, CCNet buckets, containment, domain quota); x103 character
 entropy (the pre-tokenizer junk detector; per-term rounded-ln DECIMAL
 sums); a streaming per-domain admission quota and `clean`/`quota` CLI
-subcommands (pytest-verified, no corpus entry needed).
-Corpus: 153 entries, 148 with full oracles.
+subcommands (pytest-verified, no corpus entry needed); after the
+sf0.1 sweep re-verified all 154 oracle tests at 10x the grading
+scale, the remaining round-8 oracle-bearing ops were aliased under
+the driver gate as p31-p36 (length batches, source overlap, char
+entropy, n-gram novelty, calibration table, matryoshka retrieval).
+Corpus: 159 entries, 154 with full oracles.
 """
 
 from __future__ import annotations

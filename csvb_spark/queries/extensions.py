@@ -3780,6 +3780,15 @@ _P_ALIASES: dict[str, str] = {
     "p28_ccnet_buckets": "x95_perplexity_buckets",
     "p29_containment": "x97_containment_pairs",
     "p30_domain_quota": "x100_domain_quota",
+    # round 8, final batch: every remaining round-8 oracle-bearing op
+    # — after the sf0.1 sweep (154/154) there is no reason to leave
+    # any of them outside the hard gate.
+    "p31_length_batches": "x101_length_batches",
+    "p32_source_overlap": "x102_source_overlap",
+    "p33_char_entropy": "x103_char_entropy",
+    "p34_ngram_novelty": "x98_ngram_novelty",
+    "p35_calibration": "x99_calibration_table",
+    "p36_matryoshka": "x96_matryoshka_topk",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]
