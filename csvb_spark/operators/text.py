@@ -919,3 +919,46 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+def token_fertility(
+    docs: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Tokenizer FERTILITY per group — subword tokens emitted per
+    whitespace word (the metric tokenizer evaluations report per
+    language/source): fertility near 1 means the subword vocabulary
+    covers the text natively; high fertility flags content the
+    tokenizer will shred into many pieces (costly at training time
+    and a proxy for vocabulary mismatch). Uses the repo's BPE-ish
+    pre-tokenizer (:func:`bpe_ish_tokens`) as the subword proxy.
+
+    Output per group: ``(<group_col>, n_docs, n_words, n_subwords,
+    fertility)`` with ``fertility = round(n_subwords / n_words, 6)``.
+
+    Plan: both token counts are map-only sizes over the same row; ONE
+    partial-aggregated groupBy on the group key — the exchange
+    carries one row per group per map partition. Reference scope:
+    beyond-reference (training-pipeline extension).
+    """
+    return (
+        docs.select(
+            F.col(group_col),
+            F.size(tokens(text_col)).cast("bigint").alias("_w"),
+            F.size(bpe_ish_tokens(text_col)).cast("bigint").alias("_s"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_s").alias("n_subwords"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.round(F.col("n_subwords") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+        )
+    )

@@ -119,7 +119,9 @@ sf0.1 sweep re-verified all 154 oracle tests at 10x the grading
 scale, the remaining round-8 oracle-bearing ops were aliased under
 the driver gate as p31-p36 (length batches, source overlap, char
 entropy, n-gram novelty, calibration table, matryoshka retrieval).
-Corpus: 159 entries, 154 with full oracles.
+Plus x104 tokenizer fertility (subwords per word,
+per source — the vocabulary-mismatch metric).
+Corpus: 160 entries, 155 with full oracles.
 """
 
 from __future__ import annotations

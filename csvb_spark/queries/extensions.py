@@ -3755,6 +3755,33 @@ FROM documents d LEFT JOIN per p USING (doc_id)
 )
 
 
+# --- round 8: tokenizer fertility ------------------------------------
+# Subword tokens per whitespace word, per source — the tokenizer-
+# evaluation metric that flags vocabulary mismatch. The oracle
+# replays p03's BPE-ish pre-tokenizer SQL with the group aggregation.
+_q(
+    "x104_token_fertility",
+    spark=lambda spark, sf: text.token_fertility(_docs(spark, sf)),
+    doc="per-source subword-per-word fertility (BPE-ish proxy)",
+    oracle=r"""
+WITH t AS (
+  SELECT source,
+         len(string_split_regex(trim(text), '\s+')) AS w,
+         len(string_split_regex(trim(
+           regexp_replace(regexp_replace(text, '([0-9]+|[^ A-Za-z0-9]+)', ' \1 ', 'g'),
+                          '\s+', ' ', 'g')), ' ')) AS s
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(w) AS BIGINT) AS n_words,
+       CAST(SUM(s) AS BIGINT) AS n_subwords,
+       ROUND(CAST(SUM(s) AS DOUBLE) / SUM(w), 6) AS fertility
+FROM t GROUP BY source
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).

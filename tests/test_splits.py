@@ -662,3 +662,24 @@ def test_quota_priority_rejects_null_ids(spark):
     )
     with _pytest.raises(Exception, match="NULL id"):
         domain_quota_sample(docs).collect()
+
+
+def test_token_fertility_planted(spark):
+    """x104: clean prose scores 1.0; punctuation/digit-laced text
+    shreds into more subwords per word."""
+    from csvb_spark.operators.text import token_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain words only here", "clean"),
+            (2, "more plain words here", "clean"),
+            (3, "it's 2024, v2.0-beta (really!)", "noisy"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r["source"]: r for r in token_fertility(docs).collect()}
+    assert got["clean"]["n_docs"] == 2
+    assert got["clean"]["fertility"] == 1.0  # no splits on clean prose
+    assert got["noisy"]["n_words"] == 4
+    assert got["noisy"]["n_subwords"] > 4  # "it's" -> it ' s, etc.
+    assert got["noisy"]["fertility"] > 2.0
