@@ -373,6 +373,33 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pu.add_argument("--output", default=None, help="write kept rows here")
 
+    po = sub.add_parser(
+        "overlap",
+        help="cross-source duplication matrix: per ordered source pair,"
+        " near-duplicate document-pair counts + mean containment",
+    )
+    po.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    po.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    po.add_argument("--json", action="append", default=[], metavar="PATH")
+    po.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    po.add_argument("--text-col", default="text")
+    po.add_argument("--source-col", default="source")
+    po.add_argument("--k", type=int, default=3, help="shingle width (words)")
+    po.add_argument(
+        "--max-df",
+        type=int,
+        default=50,
+        help="stop-shingle document-frequency cap",
+    )
+    po.add_argument("--min-containment", type=float, default=0.6)
+    po.add_argument(
+        "--top",
+        type=int,
+        default=20,
+        help="source pairs shown (most duplicated first)",
+    )
+    po.add_argument("--output", default=None, help="write the full matrix here")
+
     pv = sub.add_parser(
         "sample",
         help="draw a deterministic sample: weighted (proportional to a "
@@ -872,6 +899,43 @@ def main(argv: list[str] | None = None) -> int:
             .limit(args.top)
         )
         print(render_df(summary))
+        return 0
+
+    if args.command == "overlap":
+        from pyspark.sql import functions as F
+
+        from csvb_spark.operators.dedup import source_overlap
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        table = spark.table(args.table_name)
+        for col in (args.text_col, args.source_col):
+            if col not in table.columns:
+                raise SystemExit(
+                    f"overlap: column {col!r} not in table"
+                    f" (have: {', '.join(table.columns)})"
+                )
+        matrix = source_overlap(
+            table,
+            text_col=args.text_col,
+            source_col=args.source_col,
+            k=args.k,
+            max_df=args.max_df,
+            min_containment=args.min_containment,
+        )
+        if args.output:
+            # write once, summarize from the written files (the score
+            # path's convention)
+            matrix.write.mode("overwrite").parquet(args.output)
+            matrix = spark.read.parquet(args.output)
+        print(
+            render_df(
+                matrix.orderBy(
+                    F.desc("n_pairs"), "source_a", "source_b"
+                ).limit(args.top)
+            )
+        )
         return 0
 
     if args.command == "sample":

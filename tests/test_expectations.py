@@ -489,3 +489,38 @@ def test_cli_quota_subcommand(spark, tmp_path, capsys):
 
     with _pytest.raises(SystemExit, match="not in table"):
         main(["quota", "--parquet", data, "--url-col", "nope"])
+
+
+def test_cli_overlap_subcommand(spark, tmp_path, capsys):
+    """The overlap subcommand surfaces the cross-source duplication
+    matrix end to end; missing columns reject loudly."""
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    data = str(tmp_path / "ov.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base, base + " iota kappa", "different words entirely now"],
+            "source": ["wiki", "crawl", "clean"],
+        }
+    ).to_parquet(data)
+    out = str(tmp_path / "ov_matrix")
+    rc = main(["overlap", "--parquet", data, "--output", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "n_pairs" in printed and "avg_containment" in printed
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in spark.read.parquet(out).collect()
+    }
+    assert rows[("wiki", "crawl")]["n_pairs"] == 1
+    assert rows[("wiki", "crawl")]["avg_containment"] == 1.0
+    assert not any("clean" in k for k in rows)
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="not in table"):
+        main(["overlap", "--parquet", data, "--source-col", "nope"])
