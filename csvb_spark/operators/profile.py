@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     DateType,
     NumericType,
@@ -201,4 +202,65 @@ def skew_report(
         )
         .orderBy(F.desc("n"), F.asc("key"))
         .limit(k)
+    )
+
+
+def retention_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 100,
+    max_chars: int = 5000,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source stage retention through the canonical curation
+    funnel — the report every corpus build publishes next to its
+    dataset card: how many documents each source contributed RAW, how
+    many survive exact dedup (first-doc-id keeper per md5
+    fingerprint), and how many of those survive the length band. A
+    source whose retention collapses at a stage is where the crawler
+    or the filter needs attention.
+
+    Plan: ONE window over the md5 fingerprint (the same single hash
+    exchange exact dedup itself costs — duplicates co-partition, rank
+    1 marks the keeper) feeding ONE partial-aggregated groupBy on the
+    group key; the table is scanned once. Percentages are single IEEE
+    divisions of exact counts, rounded to 6 on both engines.
+
+    Output per group: ``(<group_col>, n_raw, n_exact, n_final,
+    pct_exact, pct_final)``. Reference scope: beyond-reference
+    (training-pipeline extension; composes with p01/p02's dedup).
+    """
+    fp = F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"))
+    keeper_rank = F.row_number().over(
+        Window.partitionBy(fp).orderBy("doc_id")
+    )
+    staged = docs.select(
+        group_col,
+        "n_chars",
+        keeper_rank.alias("_rn"),
+    )
+    is_exact = (F.col("_rn") == 1).cast("bigint")
+    is_final = (
+        (F.col("_rn") == 1)
+        & F.col("n_chars").between(min_chars, max_chars)
+    ).cast("bigint")
+    return (
+        staged.groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum(is_exact).alias("n_exact"),
+            F.sum(is_final).alias("n_final"),
+        )
+        .select(
+            group_col,
+            "n_raw",
+            "n_exact",
+            "n_final",
+            F.round(F.col("n_exact").cast("double") / F.col("n_raw"), 6).alias(
+                "pct_exact"
+            ),
+            F.round(F.col("n_final").cast("double") / F.col("n_raw"), 6).alias(
+                "pct_final"
+            ),
+        )
     )

@@ -188,3 +188,57 @@ def time_rollup(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def decay_topk(
+    events: DataFrame,
+    k: int = 5,
+    half_life_days: float = 30.0,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    weight_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Freshness-weighted top-k per key: ``decay_weight = value ·
+    2^(-age/half_life)`` with age measured against the corpus MAX
+    timestamp — the deterministic recency reference a replayable
+    pipeline needs (wall-clock ``now()`` makes every run a different
+    query). The shape behind "most relevant recent items per
+    category" feeds (trending seeds, freshness-balanced sampling).
+
+    Plan: the reference timestamp is ONE scalar aggregate broadcast
+    onto the scan (no shuffle of the fact table for it); the top-k is
+    a single hash exchange on the key + partition-local sort with
+    rank<=k — Spark pushes the limit into the sort (WindowGroupLimit)
+    so executors never buffer a full partition. The decay weight is
+    rounded to 6 decimals BEFORE ranking: ``exp`` carries no
+    cross-libm bit guarantee, and an unrounded sort key would make
+    rank order engine-dependent near ties (``id_col`` breaks exact
+    ties). Reference scope: beyond-reference (training-pipeline
+    extension).
+    """
+    ref = events.agg(F.max(ts_col).alias("_ref"))
+    # Parquet timestamps read as TIMESTAMP_NTZ; unix_micros needs TZ.
+    # The age is a DIFFERENCE, so the session-tz interpretation cancels.
+    age_days = (
+        F.unix_micros(F.col("_ref").cast("timestamp"))
+        - F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ) / F.lit(86400.0e6)
+    rate = F.log(F.lit(2.0)) / F.lit(float(half_life_days))
+    w = F.round(F.col(weight_col) * F.exp(-rate * age_days), 6)
+    win = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("decay_weight").desc(), F.col(id_col))
+    )
+    return (
+        events.crossJoin(F.broadcast(ref))
+        .select(
+            key_col,
+            id_col,
+            ts_col,
+            weight_col,
+            w.alias("decay_weight"),
+        )
+        .withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -962,3 +962,113 @@ def token_fertility(
             ),
         )
     )
+
+
+# Candidate card-like digit run: 13-19 digits, each pair optionally
+# separated by ONE space or dash (the common formatting of PANs).
+LUHN_CANDIDATE_RE = r"[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def luhn_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Detect payment-card-like numbers and VALIDATE them with the
+    Luhn checksum — the PII pass regex alone cannot do: most 16-digit
+    runs are order ids / hashes, and redacting them wholesale destroys
+    data, so production scrubbers gate the redaction on the check
+    digit. Output per input doc: ``(doc_id, n_candidates, n_valid,
+    valid_cards)`` where ``n_candidates`` counts 13-19-digit runs
+    (single space/dash separators allowed), ``n_valid`` counts those
+    passing Luhn after separator stripping, and ``valid_cards`` is the
+    sorted comma-joined distinct valid digit strings (NULL when none)
+    ready for a redaction join or an audit log.
+
+    Entirely higher-order array expressions over one row — map-only,
+    zero shuffles, whole-stage codegen; the 100 TB shape of a scrub
+    pass. The Luhn sum stays inside the lambda scope (the per-element
+    lambdas only touch their own variables, so nothing re-evaluates
+    per element — SCALE.md §6). Reference scope: beyond-reference
+    (training-pipeline extension; complements :func:`pii_redact`).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    cands = F.regexp_extract_all(text, F.lit(LUHN_CANDIDATE_RE), F.lit(0))
+    digits = F.transform(cands, lambda c: F.regexp_replace(c, "[ -]", ""))
+    # Luhn: over the REVERSED digits, positions 0,2,4,... count as-is;
+    # odd positions double (minus 9 when the double exceeds 9).
+    luhn_ok = (
+        lambda d: F.aggregate(
+            F.transform(
+                F.split(F.reverse(d), ""),
+                lambda ch, i: F.when(
+                    i % 2 == 0, F.ascii(ch) - 48
+                ).otherwise(
+                    F.when(
+                        (F.ascii(ch) - 48) * 2 > 9, (F.ascii(ch) - 48) * 2 - 9
+                    ).otherwise((F.ascii(ch) - 48) * 2)
+                ),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        )
+        % 10
+        == 0
+    )
+    valids = F.array_sort(F.array_distinct(F.filter(digits, luhn_ok)))
+    return docs.select(
+        "doc_id",
+        F.size(cands).alias("n_candidates"),
+        F.size(valids).alias("n_valid"),
+        F.when(F.size(valids) > 0, F.array_join(valids, ",")).alias(
+            "valid_cards"
+        ),
+    )
+
+
+# (spark_pattern, duckdb_pattern) per script class; Java regex names
+# unicode scripts \p{IsX}, RE2 (DuckDB) names them \p{X} — same class
+# of characters, different spelling. Order = dominance tiebreak order.
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", r"\p{IsLatin}"),
+    ("han", r"\p{IsHan}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("digit", r"[0-9]"),
+    ("space", r"\s"),
+]
+
+
+def script_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode SCRIPT histogram — the cheap signal a
+    multilingual curation pipeline uses before any language model:
+    script mixing (Latin spam inside a Han page, Cyrillic homoglyph
+    stuffing) flags machine-generated or adversarial text, and the
+    dominant script routes documents to per-script tokenizers. Output
+    per input doc: ``(doc_id, n_chars, n_latin, n_han, n_cyrillic,
+    n_digit, n_space, n_other, dominant)`` where ``dominant`` is the
+    largest class (ties broken in SCRIPT_CLASSES order, ``other``
+    last).
+
+    Each count is ``length(text) - length(regexp_replace(text, cls,
+    ''))`` — pure map-side regex, zero shuffles, whole-stage codegen;
+    one linear scan per class over BMP text in both engines.
+    Reference scope: beyond-reference (training-pipeline extension).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(text)
+    counts = {
+        name: n_chars - F.length(F.regexp_replace(text, pat, ""))
+        for name, pat in SCRIPT_CLASSES
+    }
+    counts["other"] = n_chars - sum(counts.values())
+    dominant = F.lit("other")
+    for name in [n for n, _ in reversed(SCRIPT_CLASSES)]:
+        # Later-evaluated = higher priority: >= keeps the earlier
+        # SCRIPT_CLASSES entry on ties (applied in reverse).
+        dominant = F.when(
+            counts[name] >= F.greatest(*[c for k, c in counts.items() if k != name]),
+            F.lit(name),
+        ).otherwise(dominant)
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        *[counts[name].alias(f"n_{name}") for name, _ in SCRIPT_CLASSES],
+        counts["other"].alias("n_other"),
+        dominant.alias("dominant"),
+    )

@@ -121,7 +121,18 @@ the driver gate as p31-p36 (length batches, source overlap, char
 entropy, n-gram novelty, calibration table, matryoshka retrieval).
 Plus x104 tokenizer fertility (subwords per word,
 per source — the vocabulary-mismatch metric).
-Corpus: 160 entries, 155 with full oracles.
+
+Round 8, second session: x105 Luhn-validated card detection (the
+check-digit gate a production PII scrubber puts in front of
+redaction; planted test PANs via the shared-expression fixture),
+x106 unicode script mix + dominant script (homoglyph/spam signal,
+Java-vs-RE2 script-class spellings documented in the operator),
+x107 freshness-decayed top-k per event type (deterministic
+MAX(ts) recency reference, rank on the 6-rounded decay weight),
+x108 per-source curation retention funnel (raw → exact-dedup →
+length band, one fingerprint window + one groupBy); all four
+driver-gate aliased as p37-p40.
+Corpus: 168 entries, 163 with full oracles.
 """
 
 from __future__ import annotations

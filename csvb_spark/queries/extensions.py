@@ -3782,6 +3782,190 @@ FROM t GROUP BY source
 )
 
 
+# --- round 8: Luhn-validated card detection ---------------------------
+# The synthetic corpus has no card numbers, so — the x100 pattern —
+# the fixture plants them via ONE SQL expression shared verbatim by
+# both engines: standard test PANs (Visa/MC/Amex, all Luhn-valid) in
+# spaced/dashed/bare formats, a bad-check-digit 16-digit run, a
+# 22-digit run (the regex takes the leftmost 19 in BOTH engines'
+# leftmost-first greedy semantics), and a too-short run that must not
+# even be a candidate. doc_id >= 0 is the fixture contract (sign-
+# following %, as with the media synthesizers).
+_X105_CARD_EXPR = """
+text || ' ' ||
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN 'pay 4111 1111 1111 1111 ok'
+  WHEN 1 THEN 'card 5555-5555-5555-4444 and bad 4111111111111112'
+  WHEN 2 THEN 'order 1234567890123456789012 ref'
+  ELSE 'short 123456789 only'
+END ||
+CASE WHEN doc_id % 5 = 0 THEN ' amex 378282246310005' ELSE '' END
+"""
+
+_q(
+    "x105_luhn_cards",
+    spark=lambda spark, sf: text.luhn_scan(
+        _docs(spark, sf).withColumn("_t", F.expr(_X105_CARD_EXPR)),
+        text_col="_t",
+    ),
+    doc="card-like digit runs validated with the Luhn checksum",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, {_X105_CARD_EXPR} AS t FROM documents
+), c AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){{12,18}}'),
+           x -> regexp_replace(x, '[ -]', '', 'g')) AS digs,
+         len(regexp_extract_all(t, '[0-9](?:[ -]?[0-9]){{12,18}}'))
+           AS n_candidates
+  FROM base
+), v AS (
+  SELECT doc_id, n_candidates,
+    list_sort(list_distinct(list_filter(digs, dg -> list_sum(
+      list_transform(string_split(reverse(dg), ''), (ch, i) ->
+        CASE WHEN (i - 1) % 2 = 0 THEN ascii(ch) - 48
+             ELSE CASE WHEN (ascii(ch) - 48) * 2 > 9
+                       THEN (ascii(ch) - 48) * 2 - 9
+                       ELSE (ascii(ch) - 48) * 2 END END)
+    ) % 10 = 0))) AS valids
+  FROM c
+)
+SELECT doc_id,
+       CAST(n_candidates AS INT) AS n_candidates,
+       CAST(len(valids) AS INT) AS n_valid,
+       CASE WHEN len(valids) > 0 THEN array_to_string(valids, ',') END
+         AS valid_cards
+FROM v
+""",
+)
+
+
+# --- round 8: unicode script mix --------------------------------------
+# The fixture plants non-Latin text keyed off the existing lang
+# column (zh docs gain Han text, a 7th of docs gain Cyrillic) via the
+# shared-expression pattern, so every script class is exercised. The
+# dominant tiebreak order is SCRIPT_CLASSES order with 'other' last —
+# the oracle's CASE replays it branch for branch (Java spells unicode
+# scripts \p{{IsX}}, RE2 \p{{X}}; same character classes).
+_X106_MIX_EXPR = """
+text ||
+CASE lang
+  WHEN 'zh' THEN ' 模型訓練資料集 很大'
+  WHEN 'fr' THEN ' déjà vu café'
+  WHEN 'es' THEN ' mañana señor'
+  WHEN 'de' THEN ' Größenwahn'
+  ELSE ' plain ascii 42'
+END ||
+CASE WHEN doc_id % 7 = 0 THEN ' Привет мир' ELSE '' END
+"""
+
+_q(
+    "x106_script_mix",
+    spark=lambda spark, sf: text.script_mix(
+        _docs(spark, sf).withColumn("_t", F.expr(_X106_MIX_EXPR)),
+        text_col="_t",
+    ),
+    doc="per-doc unicode script histogram + dominant script",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, {_X106_MIX_EXPR} AS t FROM documents
+), n AS (
+  SELECT doc_id,
+    len(t) AS n_chars,
+    len(t) - len(regexp_replace(t, '\p{{Latin}}', '', 'g')) AS n_latin,
+    len(t) - len(regexp_replace(t, '\p{{Han}}', '', 'g')) AS n_han,
+    len(t) - len(regexp_replace(t, '\p{{Cyrillic}}', '', 'g')) AS n_cyrillic,
+    len(t) - len(regexp_replace(t, '[0-9]', '', 'g')) AS n_digit,
+    len(t) - len(regexp_replace(t, '\s', '', 'g')) AS n_space
+  FROM base
+)
+SELECT doc_id,
+  CAST(n_chars AS INT) AS n_chars,
+  CAST(n_latin AS INT) AS n_latin,
+  CAST(n_han AS INT) AS n_han,
+  CAST(n_cyrillic AS INT) AS n_cyrillic,
+  CAST(n_digit AS INT) AS n_digit,
+  CAST(n_space AS INT) AS n_space,
+  CAST(n_chars - n_latin - n_han - n_cyrillic - n_digit - n_space AS INT)
+    AS n_other,
+  CASE
+    WHEN n_latin >= greatest(n_han, n_cyrillic, n_digit, n_space,
+      n_chars - n_latin - n_han - n_cyrillic - n_digit - n_space)
+      THEN 'latin'
+    WHEN n_han >= greatest(n_latin, n_cyrillic, n_digit, n_space,
+      n_chars - n_latin - n_han - n_cyrillic - n_digit - n_space)
+      THEN 'han'
+    WHEN n_cyrillic >= greatest(n_latin, n_han, n_digit, n_space,
+      n_chars - n_latin - n_han - n_cyrillic - n_digit - n_space)
+      THEN 'cyrillic'
+    WHEN n_digit >= greatest(n_latin, n_han, n_cyrillic, n_space,
+      n_chars - n_latin - n_han - n_cyrillic - n_digit - n_space)
+      THEN 'digit'
+    WHEN n_space >= greatest(n_latin, n_han, n_cyrillic, n_digit,
+      n_chars - n_latin - n_han - n_cyrillic - n_digit - n_space)
+      THEN 'space'
+    ELSE 'other'
+  END AS dominant
+FROM n
+""",
+)
+
+
+# --- round 8: freshness-decayed top-k --------------------------------
+# Recency reference = MAX(ts) (deterministic, replayable); weight
+# rounded to 6 BEFORE ranking so the sort key is engine-portable
+# (exp has no cross-libm bit guarantee), event_id breaks exact ties.
+_q(
+    "x107_decay_topk",
+    spark=lambda spark, sf: temporal.decay_topk(_events(spark, sf)),
+    doc="freshness-weighted top-k per event type (half-life decay)",
+    oracle=r"""
+WITH ref AS (SELECT MAX(ts) AS r FROM events),
+w AS (
+  SELECT event_type, event_id, ts, value,
+    ROUND(value * exp(-(ln(2.0) / 30.0) *
+      ((epoch_us(r) - epoch_us(ts)) / 86400000000.0)), 6) AS decay_weight
+  FROM events, ref
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+     ORDER BY decay_weight DESC, event_id) AS rank
+  FROM w
+)
+SELECT event_type, event_id, ts, value, decay_weight,
+       CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= 5
+""",
+)
+
+
+# --- round 8: curation retention funnel -------------------------------
+_q(
+    "x108_retention_funnel",
+    spark=lambda spark, sf: PR.retention_funnel(_docs(spark, sf)),
+    doc="per-source retention through exact-dedup + length stages",
+    oracle=r"""
+WITH k AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY md5(coalesce(text, ''))
+                            ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT source,
+  COUNT(*) AS n_raw,
+  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_exact,
+  SUM(CASE WHEN rn = 1 AND n_chars BETWEEN 100 AND 5000
+       THEN 1 ELSE 0 END) AS n_final,
+  ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS pct_exact,
+  ROUND(CAST(SUM(CASE WHEN rn = 1 AND n_chars BETWEEN 100 AND 5000
+                 THEN 1 ELSE 0 END) AS DOUBLE)
+        / COUNT(*), 6) AS pct_final
+FROM k GROUP BY source
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -3816,6 +4000,11 @@ _P_ALIASES: dict[str, str] = {
     "p34_ngram_novelty": "x98_ngram_novelty",
     "p35_calibration": "x99_calibration_table",
     "p36_matryoshka": "x96_matryoshka_topk",
+    # round 8, fifth batch: this session's new oracle-bearing ops.
+    "p37_luhn_cards": "x105_luhn_cards",
+    "p38_script_mix": "x106_script_mix",
+    "p39_decay_topk": "x107_decay_topk",
+    "p40_retention_funnel": "x108_retention_funnel",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]

@@ -1332,3 +1332,60 @@ def test_new_curation_op_plan_shapes(spark, sf_dir):
     eplan = _plan(char_entropy(_docs(spark, sf_dir)))
     assert "CartesianProduct" not in eplan
     assert "BroadcastNestedLoopJoin" not in eplan
+
+
+def test_luhn_and_script_mix_map_only(spark, sf_dir):
+    """x105/x106: the card-validation and script-histogram scrubs are
+    pure per-row regex/HOF work — zero exchanges, zero Python eval."""
+    from csvb_spark.operators.text import luhn_scan, script_mix
+
+    for df in (luhn_scan(_docs(spark, sf_dir)), script_mix(_docs(spark, sf_dir))):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_luhn_scan_validates_planted_cards(spark):
+    """Planted PANs: valid test numbers pass, a bad check digit fails,
+    short runs are not candidates, separators are stripped."""
+    from csvb_spark.operators.text import luhn_scan
+
+    d = spark.createDataFrame(
+        [
+            (0, "pay 4111 1111 1111 1111 now"),
+            (1, "bad 4111111111111112 and good 5555-5555-5555-4444"),
+            (2, "too short 123456789"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in luhn_scan(d).collect()}
+    assert rows[0]["n_valid"] == 1 and rows[0]["valid_cards"] == "4111111111111111"
+    assert rows[1]["n_candidates"] == 2 and rows[1]["n_valid"] == 1
+    assert rows[1]["valid_cards"] == "5555555555554444"
+    assert rows[2]["n_candidates"] == 0 and rows[2]["valid_cards"] is None
+    assert rows[3]["n_candidates"] == 0
+
+
+def test_decay_topk_single_exchange_windowed_limit(spark, sf_dir):
+    """x107: the recency reference is a broadcast scalar (no fact-table
+    shuffle for it); the per-key top-k is ONE hash exchange on the key
+    with the rank limit pushed into the sort (WindowGroupLimit)."""
+    from csvb_spark.operators.temporal import decay_topk
+    from csvb_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    plan = _plan(decay_topk(ev), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_funnel_single_scan_two_exchanges(spark, sf_dir):
+    """x108: one fingerprint window + one group aggregation — the
+    table is scanned once and only two hash exchanges appear."""
+    from csvb_spark.operators.profile import retention_funnel
+
+    plan = _plan(retention_funnel(_docs(spark, sf_dir)), "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
