@@ -769,3 +769,54 @@ def length_bucket_batches(
             ).alias("pad_frac"),
         )
     )
+
+
+def leakage_safe_splits(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """Train/valid/test assignment that cannot leak near-duplicates
+    across the split boundary: the bucket hash is taken over the
+    near-dup CLUSTER's canonical id, not the document id, so every
+    member of a cluster lands on the same side. Hashing doc ids (plain
+    :func:`assign_splits`) silently puts paraphrases of a test
+    document into train — the eval-contamination failure mode
+    decontamination audits exist to catch; clustering first and
+    splitting on the canonical id removes it by construction.
+
+    ``pairs`` defaults to :func:`~csvb_spark.operators.dedup.
+    ngram_jaccard_pairs` over ``docs``; pass the pairs a prior dedup
+    stage already computed (MinHash-LSH at scale) to reuse them.
+    Unpaired documents are their own cluster (canonical id = own id),
+    so their assignment matches plain ``assign_splits`` on the same
+    seed — adding pairs only ever MOVES clustered docs, never
+    reshuffles the rest.
+
+    Plan: cluster labels come from the bounded label-propagation of
+    :func:`~csvb_spark.operators.dedup.dedup_clusters` (fixed-width
+    (id, label) shuffles); the label table is duplicate-pairs-sized —
+    tiny next to the corpus — so AQE broadcasts the join back onto the
+    docs scan; the split itself is the same map-only bucket arithmetic
+    as ``assign_splits``. Output: docs columns + ``cluster_id`` +
+    ``split``. Reference scope: beyond-reference (training-pipeline
+    extension; composes x40's clustering with x20's bucketing).
+    """
+    from csvb_spark.operators import dedup as _dedup
+
+    if pairs is None:
+        pairs = _dedup.ngram_jaccard_pairs(docs, text_col=text_col)
+    labels = _dedup.dedup_clusters(pairs)
+    with_cluster = docs.join(
+        labels.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
+    )
+    return assign_splits(
+        with_cluster, id_col="cluster_id", weights=weights, seed=seed,
+        portable=portable,
+    )

@@ -130,9 +130,12 @@ Java-vs-RE2 script-class spellings documented in the operator),
 x107 freshness-decayed top-k per event type (deterministic
 MAX(ts) recency reference, rank on the 6-rounded decay weight),
 x108 per-source curation retention funnel (raw → exact-dedup →
-length band, one fingerprint window + one groupBy); all four
-driver-gate aliased as p37-p40.
-Corpus: 168 entries, 163 with full oracles.
+length band, one fingerprint window + one groupBy); x109
+leakage-safe splits (bucket on the near-dup cluster's canonical id
+so paraphrases of an eval doc can never land in train — composes
+x40's clustering with x20's portable bucketing); all five
+driver-gate aliased as p37-p41.
+Corpus: 170 entries, 165 with full oracles.
 """
 
 from __future__ import annotations

@@ -3966,6 +3966,50 @@ FROM k GROUP BY source
 )
 
 
+# --- round 8: leakage-safe split assignment ---------------------------
+# Split on the near-dup cluster's canonical id so paraphrases of an
+# eval document can never land in train. The oracle reuses x30/x40's
+# recursive-CTE connected components + x20's portable md5 bucket.
+_q(
+    "x109_leakage_safe_splits",
+    spark=lambda spark, sf: splits.leakage_safe_splits(
+        _docs(spark, sf), portable=True
+    ).select("doc_id", "cluster_id", "split"),
+    doc="near-dup-cluster-coherent train/valid/test assignment",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_P06_PAIRS_SQL}),
+bidir AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM bidir),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN bidir e ON reach.n = e.a
+),
+labels AS (SELECT n, MIN(r) AS l FROM reach GROUP BY n),
+cl AS (
+  SELECT d.doc_id, COALESCE(l.l, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.n
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         ('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':42'), 1, 8))::BIGINT
+           % 10000 AS bucket
+  FROM cl
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'valid'
+            ELSE 'test' END AS split
+FROM b
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4005,6 +4049,7 @@ _P_ALIASES: dict[str, str] = {
     "p38_script_mix": "x106_script_mix",
     "p39_decay_topk": "x107_decay_topk",
     "p40_retention_funnel": "x108_retention_funnel",
+    "p41_leakage_safe_splits": "x109_leakage_safe_splits",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]

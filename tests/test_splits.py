@@ -683,3 +683,53 @@ def test_token_fertility_planted(spark):
     assert got["noisy"]["n_words"] == 4
     assert got["noisy"]["n_subwords"] > 4  # "it's" -> it ' s, etc.
     assert got["noisy"]["fertility"] > 2.0
+
+
+def test_leakage_safe_splits_colocate_neardups(spark):
+    """Planted near-identical pair whose members hash to DIFFERENT
+    splits under plain doc-id bucketing must land on the SAME side
+    under leakage-safe assignment (cluster-canonical bucketing), and
+    unpaired docs keep their plain-assign_splits membership."""
+    from csvb_spark.operators.splits import assign_splits, leakage_safe_splits
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = []
+    # find two ids whose PLAIN portable buckets differ across the
+    # train/test boundary, then make their texts near-identical
+    from hashlib import md5 as _md5
+
+    def bucket(i):
+        return int(_md5(f"{i}:42".encode()).hexdigest()[:8], 16) % 10000
+
+    pair = None
+    ids = list(range(1, 400))
+    for i in ids:
+        for j in ids:
+            if i < j and bucket(i) < 9000 <= bucket(j):
+                pair = (i, j)
+                break
+        if pair:
+            break
+    assert pair, "fixture search failed"
+    i, j = pair
+    rows.append((i, base + " alpha", "en", "web"))
+    rows.append((j, base + " bravo", "en", "web"))
+    # plus unpaired docs with pairwise-dissimilar text (distinct char
+    # 4-gram vocabularies, so no cross-doc Jaccard edge forms)
+    for n in range(50, 60):
+        word = chr(ord("a") + n - 50) * 6
+        rows.append((n * 1000, f"{word}{n} " * 8, "en", "web"))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in assign_splits(d, portable=True).collect()
+    }
+    assert plain[i] != plain[j]  # the leak the operator exists to stop
+    safe = leakage_safe_splits(d, portable=True)
+    got = {r["doc_id"]: (r["split"], r["cluster_id"]) for r in safe.collect()}
+    assert got[i] == got[j] == (plain[i], i)  # canonical = min id
+    for n in range(50, 60):
+        k = n * 1000
+        assert got[k] == (plain[k], k)  # unpaired: unchanged membership
