@@ -8,8 +8,10 @@
 
 beyond-reference subcommands (no csvb equivalent):
 
-  csvb export --parquet PATH [--shards N] [--id-col c] OUT_DIR
-      deterministic sharded corpus export (operators.splits)
+  csvb export --parquet PATH [--shards N] [--id-col c]
+      [--format parquet|jsonl|tar] OUT_DIR
+      deterministic sharded corpus export (operators.splits);
+      ``tar`` emits WebDataset-style sample archives + md5 manifest
   csvb ingest --source DIR --corpus DIR --index DIR --checkpoint DIR
       streaming corpus ingest (streaming.ingest)
 
@@ -100,7 +102,7 @@ def build_parser() -> argparse.ArgumentParser:
     px.add_argument(
         "--format",
         dest="export_format",
-        choices=["parquet", "jsonl"],
+        choices=["parquet", "jsonl", "tar"],
         default="parquet",
     )
     px.add_argument("out_dir")
@@ -522,15 +524,33 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = _session(args)
         _register_direct(spark, args)
-        manifest = export_corpus(
-            spark.table(args.table_name),
-            args.out_dir,
-            n_shards=args.shards,
-            id_col=args.id_col,
-            seed=args.seed,
-            max_records_per_file=args.max_records_per_file,
-            fmt=args.export_format,
-        )
+        if args.export_format == "tar":
+            if args.max_records_per_file is not None:
+                print(
+                    "error: --max-records-per-file applies to parquet/jsonl "
+                    "exports only (tar shards are bounded via --shards)",
+                    file=sys.stderr,
+                )
+                return 2
+            from csvb_spark.operators.splits import export_tar_shards
+
+            manifest = export_tar_shards(
+                spark.table(args.table_name),
+                args.out_dir,
+                n_shards=args.shards,
+                id_col=args.id_col,
+                seed=args.seed,
+            )
+        else:
+            manifest = export_corpus(
+                spark.table(args.table_name),
+                args.out_dir,
+                n_shards=args.shards,
+                id_col=args.id_col,
+                seed=args.seed,
+                max_records_per_file=args.max_records_per_file,
+                fmt=args.export_format,
+            )
         print(render_df(manifest.orderBy("shard")))
         return 0
 

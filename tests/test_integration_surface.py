@@ -1153,3 +1153,68 @@ def test_information_schema_columns_match_datafusion_layout(spark, sf_dir):
         "AND column_name = 'l_orderkey'",
     ).collect()
     assert len(row) == 1 and row[0]["data_type"] == "bigint"
+
+
+def test_cli_export_tar_format(spark, sf_dir, tmp_path, capsys):
+    """`csvb export --format tar` writes WebDataset-style shard
+    archives: every doc round-trips as a .txt/.json member pair in
+    md5-key order, re-export is byte-identical (manifest md5s match),
+    and the parquet/jsonl-only flag is rejected loudly."""
+    import hashlib
+    import json as _json
+    import re
+    import tarfile
+
+    from csvb_spark.cli import main
+
+    out_dir = str(tmp_path / "exported_tar")
+    args = [
+        "export",
+        "--parquet",
+        f"{sf_dir}/documents.parquet",
+        "--shards",
+        "3",
+        "--format",
+        "tar",
+        out_dir,
+    ]
+    rc = main(args)
+    out = capsys.readouterr().out
+    assert rc == 0 and "tar_md5" in out
+
+    src = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    seen = {}
+    for shard in range(3):
+        path = f"{out_dir}/shard-{shard:05d}.tar"
+        with tarfile.open(path) as tf:
+            names = tf.getnames()
+            txt = [n for n in names if n.endswith(".txt")]
+            # one .json per .txt, alternating per sample
+            assert len(txt) * 2 == len(names)
+            for n in txt:
+                doc_id = int(n[: -len(".txt")])
+                seen[doc_id] = tf.extractfile(n).read().decode("utf-8")
+                meta = _json.loads(
+                    tf.extractfile(f"{doc_id:012d}.json").read()
+                )
+                assert meta["doc_id"] == doc_id and "source" in meta
+            # member order is the md5-key order (the manifest contract)
+            keys = [
+                hashlib.md5(f"{int(n[:-4])}:42".encode()).hexdigest()
+                for n in txt
+            ]
+            assert keys == sorted(keys)
+    assert seen == src
+
+    md5s_1 = dict(re.findall(r"shard-(\d+)\.tar.*?([0-9a-f]{32})", out))
+    rc = main(args)  # re-export: byte-identical archives
+    out2 = capsys.readouterr().out
+    assert rc == 0
+    assert dict(re.findall(r"shard-(\d+)\.tar.*?([0-9a-f]{32})", out2)) == md5s_1
+
+    rc = main(args[:-1] + ["--max-records-per-file", "10", out_dir])
+    err = capsys.readouterr().err
+    assert rc == 2 and "parquet/jsonl" in err
