@@ -1,0 +1,103 @@
+"""WebDataset-style tar shard corpus READER — the inverse of
+``operators.splits.export_tar_shards``, so a corpus exported for a
+training data loader can be re-ingested for another curation pass
+without a format conversion hop.
+
+Scale shape: ``binaryFile`` gives one row per tar (tars are not
+splittable), so the unit of parallelism is the shard file — which the
+EXPORT side already bounds by hash-balancing docs across ``n_shards``.
+Re-shard the export (raise ``n_shards``) rather than raising executor
+memory: each task holds exactly one shard's bytes plus one decoded
+document at a time. The member decode is an Arrow-batched
+``mapInPandas`` whose closure captures only stdlib (executors never
+import this package).
+
+Reference scope: beyond-reference (training-pipeline extension; the
+reference's source surface is CSV/parquet/JSON — SURVEY.md §2.A/§2.B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Output columns before metadata expansion.
+TAR_CORPUS_SCHEMA = "shard int, doc_id long, text string, meta string"
+
+
+def read_tar_corpus(
+    spark: SparkSession,
+    path: str,
+    meta_schema: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Read a ``shard-*.tar`` export back into a DataFrame.
+
+    Without ``meta_schema``: ``(shard, doc_id, text, meta)`` with
+    ``meta`` the raw metadata-JSON string. With ``meta_schema`` (a DDL
+    string, e.g. ``"lang STRING, source STRING, n_chars LONG"``): the
+    metadata fields are expanded into typed top-level columns —
+    ``(shard, doc_id, text, <meta fields>)`` — via ``from_json``
+    (JVM-side, no second Python pass).
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    id_c, text_c = id_col, text_col
+
+    def _expand(batches):
+        import io
+        import re
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                m = re.search(r"shard-(\d+)\.tar$", rec["path"])
+                shard = int(m.group(1)) if m else -1
+                with tarfile.open(
+                    fileobj=io.BytesIO(rec["content"])
+                ) as tf:
+                    texts: dict[str, str] = {}
+                    metas: dict[str, str] = {}
+                    for member in tf.getmembers():
+                        if "." not in member.name:
+                            continue
+                        stem, ext = member.name.rsplit(".", 1)
+                        blob = tf.extractfile(member).read()
+                        if ext == "txt":
+                            texts[stem] = blob.decode("utf-8")
+                        elif ext == "json":
+                            metas[stem] = blob.decode("utf-8")
+                    for stem, text in texts.items():
+                        rows.append(
+                            (shard, int(stem), text, metas.get(stem))
+                        )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["shard", id_c, text_c, "meta"]
+                )
+
+    df = raw.mapInPandas(
+        _expand, schema=f"shard int, {id_col} long, {text_col} string, meta string"
+    )
+    if meta_schema is None:
+        return df
+    parsed = df.withColumn("_m", F.from_json("meta", meta_schema))
+    meta_fields = [
+        f.name
+        for f in parsed.schema["_m"].dataType.fields
+        if f.name not in (id_col, text_col)
+    ]
+    return parsed.select(
+        "shard",
+        id_col,
+        text_col,
+        *[F.col(f"_m.{name}").alias(name) for name in meta_fields],
+    )

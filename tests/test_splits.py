@@ -733,3 +733,30 @@ def test_leakage_safe_splits_colocate_neardups(spark):
     for n in range(50, 60):
         k = n * 1000
         assert got[k] == (plain[k], k)  # unpaired: unchanged membership
+
+
+def test_tar_export_roundtrip_via_reader(spark, sf_dir, tmp_path):
+    """export_tar_shards -> read_tar_corpus is a lossless round trip:
+    typed metadata expansion reconstructs the exact source rows."""
+    from csvb_spark.operators.splits import export_tar_shards
+    from csvb_spark.sources.tar_corpus import read_tar_corpus
+
+    src = _docs(spark, sf_dir)
+    out = str(tmp_path / "wds")
+    manifest = export_tar_shards(src, out, n_shards=3).collect()
+    assert sum(r["n_docs"] for r in manifest) == src.count()
+
+    back = read_tar_corpus(
+        spark, out, meta_schema="lang string, source string, n_chars long"
+    )
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    got = sorted(tuple(r) for r in back.select(*cols).collect())
+    want = sorted(tuple(r) for r in src.select(*cols).collect())
+    assert got == want
+
+    # raw mode keeps the metadata JSON verbatim
+    raw = read_tar_corpus(spark, out).limit(1).collect()[0]
+    import json as _json
+
+    meta = _json.loads(raw["meta"])
+    assert meta["doc_id"] == raw["doc_id"]
