@@ -149,11 +149,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pi.add_argument(
         "--lm-smoothing",
-        choices=("addk", "kn", "sb"),
+        choices=("addk", "kn", "sb", "jm"),
         default="addk",
         help="LM gate smoothing: add-k (default), interpolated "
-        "Kneser-Ney, or stupid backoff (sb needs a TRIGRAM --lm-model; "
-        "addk/kn need a bigram one)",
+        "Kneser-Ney, stupid backoff, or Jelinek-Mercer (sb needs a "
+        "TRIGRAM --lm-model; addk/kn/jm need a bigram one)",
     )
     pi.add_argument(
         "--url-col",
@@ -304,12 +304,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pq.add_argument(
         "--smoothing",
-        choices=("addk", "kn", "sb"),
+        choices=("addk", "kn", "sb", "jm"),
         default="addk",
         help="LM mode: add-k (default), interpolated Kneser-Ney "
         "(continuation-count redistribution, the KenLM/CCNet default), "
-        "or trigram stupid backoff (sb needs a TRIGRAM model from "
-        "train-filter --method lm --ngram 3; addk/kn need a bigram one)",
+        "trigram stupid backoff (sb needs a TRIGRAM model from "
+        "train-filter --method lm --ngram 3), or Jelinek-Mercer "
+        "interpolation (jm; addk/kn/jm need a bigram model)",
     )
     pq.add_argument("--output", default=None, help="write scored rows here")
 
@@ -786,6 +787,7 @@ def main(argv: list[str] | None = None) -> int:
                     " use --max-ppl for the LM gate"
                 )
             from csvb_spark.operators.lm import (
+                jelinek_mercer_score,
                 kneser_ney_score,
                 perplexity_score,
                 stupid_backoff_score,
@@ -807,6 +809,13 @@ def main(argv: list[str] | None = None) -> int:
                 )
             elif args.smoothing == "kn":
                 scored = kneser_ney_score(
+                    table,
+                    lm,
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                )
+            elif args.smoothing == "jm":
+                scored = jelinek_mercer_score(
                     table,
                     lm,
                     text_col=args.text_col,

@@ -964,3 +964,121 @@ def perplexity_buckets(
         .otherwise(F.element_at(label_arr, F.col("bucket")))
         .alias("cut"),
     )
+
+
+def jelinek_mercer_score(
+    docs: DataFrame,
+    lm: DataFrame,
+    lam: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_model: bool | None = None,
+    broadcast_max_rows: int = 8_000_000,
+    model_materialized: bool = False,
+) -> DataFrame:
+    """Jelinek-Mercer INTERPOLATED bigram scoring — the fourth classic
+    smoothing family beside add-alpha (:func:`perplexity_score`),
+    Kneser-Ney (:func:`kneser_ney_score`), and stupid backoff
+    (:func:`stupid_backoff_score`): instead of discounting or backing
+    off, mix the maximum-likelihood bigram with a smoothed unigram,
+    ``p(w2|w1) = λ·c(w1,w2)/c(w1) + (1-λ)·(c(w2)+1)/(T+V)`` — the
+    interpolation weight ``λ`` is the tuning knob CCNet-style filters
+    sweep. The unigram leg is add-1 smoothed so unseen words keep
+    ``p > 0`` (a bare ML mixture hands ``ln 0`` to any OOV token).
+
+    Same model table as :func:`bigram_lm_train` (unigram rows carry
+    both legs: the ``c(w1)`` denominator AND the ``c(w2)`` backoff
+    count), same output shape as ``perplexity_score``
+    (``doc_id, n_bigrams, avg_neg_logprob, ppl``), same determinism
+    contract: exact int64 counts, λ and 1-λ are the same IEEE doubles
+    in any engine, each token's ``ln(p)`` rounds to 6 and sums as
+    DECIMAL(18,6), ``ppl`` rounds 6 because ``exp`` is only
+    ulp-identical.
+
+    Shares the scorers' size-guarded auto-broadcast policy
+    (``_resolve_broadcast``): map-only scoring while the model fits,
+    warn + shuffle fallback above. (For a fallback on a heavily
+    concentrated corpus, ``perplexity_score``'s salting pre-flight is
+    the template; the bounded-sample training contract makes the
+    broadcast path the normal one.)
+    """
+    if not 0.0 < lam < 1.0:
+        raise ValueError(
+            f"jelinek_mercer_score: lam must be in (0, 1), got {lam!r}"
+        )
+    if not model_materialized:
+        lm = lm.localCheckpoint(eager=True)
+    uni = lm.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("_c_w1"), F.col("cnt").alias("_c1")
+    )
+    # the SAME unigram rows, re-keyed on w2 for the backoff leg
+    uni2 = lm.filter(F.col("w2").isNull()).select(
+        F.col("w1").alias("_u_w2"), F.col("cnt").alias("_cu")
+    )
+    bi = lm.filter(F.col("w2").isNotNull()).select(
+        F.col("w1").alias("_b_w1"),
+        F.col("w2").alias("_b_w2"),
+        F.col("cnt").alias("_c2"),
+    )
+    v, n_model, t_tokens = lm.agg(
+        F.count(F.when(F.col("w2").isNull(), 1)).alias("v"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("w2").isNull(), F.col("cnt"))).alias("t"),
+    ).first()
+    broadcast_model = _resolve_broadcast(
+        "jelinek_mercer_score", n_model, broadcast_model, broadcast_max_rows
+    )
+    if broadcast_model:
+        uni, uni2, bi = F.broadcast(uni), F.broadcast(uni2), F.broadcast(bi)
+
+    sentinel = F.array(
+        F.struct(
+            F.lit(None).cast("string").alias("w1"),
+            F.lit(None).cast("string").alias("w2"),
+        )
+    )
+    pairs = (
+        docs.select(F.col(id_col).alias("_id"), _toks(text_col).alias("_t"))
+        .select(
+            "_id",
+            F.explode(F.concat(_bigrams(F.col("_t")), sentinel)).alias("b"),
+        )
+        .select("_id", "b.w1", "b.w2")
+    )
+    joined = (
+        pairs.join(
+            bi, (pairs.w1 == bi._b_w1) & (pairs.w2 == bi._b_w2), "left"
+        )
+        .join(uni, pairs.w1 == uni._c_w1, "left")
+        .join(uni2, pairs.w2 == uni2._u_w2, "left")
+    )
+    ml = F.when(
+        F.coalesce(F.col("_c1"), F.lit(0)) > 0,
+        F.coalesce(F.col("_c2"), F.lit(0)).cast("double")
+        / F.col("_c1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    backoff = (F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(int(t_tokens or 0) + int(v)))
+    p = F.lit(float(lam)) * ml + F.lit(1.0 - float(lam)) * backoff
+    q = F.when(
+        F.col("w1").isNotNull(), F.round(F.log(p), 6).cast("decimal(18,6)")
+    )
+    per_doc = joined.select(
+        "_id",
+        F.col("w1").isNotNull().cast("bigint").alias("_is_bg"),
+        q.alias("_q"),
+    ).groupBy("_id").agg(
+        F.sum("_is_bg").alias("n_bigrams"),
+        F.sum("_q").alias("_total"),
+    )
+    avg_nll = F.when(
+        F.col("n_bigrams") > 0,
+        -(F.col("_total").cast("double") / F.col("n_bigrams").cast("double")),
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_bigrams",
+        avg_nll.alias("avg_neg_logprob"),
+        F.round(F.exp(avg_nll), 6).alias("ppl"),
+    )

@@ -133,9 +133,14 @@ x108 per-source curation retention funnel (raw → exact-dedup →
 length band, one fingerprint window + one groupBy); x109
 leakage-safe splits (bucket on the near-dup cluster's canonical id
 so paraphrases of an eval doc can never land in train — composes
-x40's clustering with x20's portable bucketing); all five
-driver-gate aliased as p37-p41.
-Corpus: 170 entries, 165 with full oracles.
+x40's clustering with x20's portable bucketing); x110 Jelinek-Mercer
+interpolated perplexity (the fourth smoothing family, surfaced end to
+end: score --smoothing jm + streaming lm_smoothing='jm'); a
+WebDataset-style tar shard export/reader pair (byte-stable archives,
+md5 manifest, export --format tar; pytest round-trip, no corpus entry
+— it is a sink/source, not a query); all six oracle-bearing ops
+driver-gate aliased as p37-p42.
+Corpus: 172 entries, 167 with full oracles.
 """
 
 from __future__ import annotations

@@ -4010,6 +4010,63 @@ FROM b
 )
 
 
+# --- round 8: Jelinek-Mercer interpolated perplexity -------------------
+# The fourth smoothing family (after add-alpha x84, KN x89, stupid
+# backoff x93): lambda*ML bigram + (1-lambda)*add-1 unigram. The
+# oracle replays train AND score with the x84 determinism recipe
+# (exact counts, one IEEE mix per bigram, ln rounded 6, DECIMAL sum).
+_q(
+    "x110_jm_perplexity",
+    spark=lambda spark, sf: LM.jelinek_mercer_score(
+        _docs(spark, sf), LM.bigram_lm_train(_docs(spark, sf))
+    ),
+    doc="Jelinek-Mercer interpolated bigram perplexity",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), bis AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), uc AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM toks) u GROUP BY w1
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bis GROUP BY w1, w2
+), vv AS (
+  SELECT COUNT(*) AS v FROM uc
+), tt AS (
+  SELECT SUM(c1) AS t FROM uc
+), q AS (
+  SELECT b.doc_id,
+         CAST(round(ln(
+           0.75 * (CASE WHEN COALESCE(uc1.c1, 0) > 0
+                        THEN CAST(COALESCE(bc.c2, 0) AS DOUBLE)
+                             / CAST(uc1.c1 AS DOUBLE)
+                        ELSE 0.0 END)
+           + 0.25 * (CAST(COALESCE(uc2.c1, 0) + 1 AS DOUBLE)
+                     / CAST((SELECT t FROM tt) + (SELECT v FROM vv)
+                            AS DOUBLE))
+         ), 6) AS DECIMAL(18,6)) AS q
+  FROM bis b
+  LEFT JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+  LEFT JOIN uc uc1 ON b.w1 = uc1.w1
+  LEFT JOIN uc uc2 ON b.w2 = uc2.w1
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, SUM(q) AS total FROM q GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       -(CAST(sc.total AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE))
+         AS avg_neg_logprob,
+       ROUND(exp(-(CAST(sc.total AS DOUBLE) / CAST(sc.n_bigrams AS DOUBLE))), 6)
+         AS ppl
+FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4050,6 +4107,7 @@ _P_ALIASES: dict[str, str] = {
     "p39_decay_topk": "x107_decay_topk",
     "p40_retention_funnel": "x108_retention_funnel",
     "p41_leakage_safe_splits": "x109_leakage_safe_splits",
+    "p42_jm_perplexity": "x110_jm_perplexity",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]

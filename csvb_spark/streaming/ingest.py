@@ -93,8 +93,9 @@ def _accept_batch(
         )
         gated = gated.join(keep, "doc_id", "left_semi")
     if lm_model is not None:
-        # LM fluency gate (x84 add-k, x89 Kneser-Ney, or x93 stupid
-        # backoff via lm_smoothing): a PRE-TRAINED model, materialized
+        # LM fluency gate (x84 add-k, x89 Kneser-Ney, x93 stupid
+        # backoff, or x110 Jelinek-Mercer via lm_smoothing): a
+        # PRE-TRAINED model, materialized
         # once for the whole stream and broadcast, so scoring is
         # map-only like the other gates; documents too short for
         # n-gram evidence (NULL score) pass through — the rule gates,
@@ -107,6 +108,15 @@ def _accept_batch(
         elif lm_smoothing == "kn":
             lm_scored = L.kneser_ney_score(
                 batch, lm_model, text_col=text_col, model_materialized=True
+            )
+            score_col = "ppl"
+        elif lm_smoothing == "jm":
+            lm_scored = L.jelinek_mercer_score(
+                batch,
+                lm_model,
+                text_col=text_col,
+                broadcast_model=True,
+                model_materialized=True,
             )
             score_col = "ppl"
         else:
@@ -276,7 +286,7 @@ def run_streaming_ingest(
             f"run_streaming_ingest: domain_quota must be >= 1, got"
             f" {domain_quota}"
         )
-    if lm_smoothing not in ("addk", "kn", "sb"):
+    if lm_smoothing not in ("addk", "kn", "sb", "jm"):
         raise ValueError(
             f"run_streaming_ingest: unknown lm_smoothing {lm_smoothing!r}"
         )

@@ -720,3 +720,102 @@ def test_perplexity_score_validates_salt_knobs(spark):
         perplexity_score(docs, lm, n_salts=0)
     with _pytest.raises(ValueError, match="salt_threshold"):
         perplexity_score(docs, lm, salt_threshold=1.5)
+
+
+# --- round 8: Jelinek-Mercer interpolation ------------------------------------
+def test_jelinek_mercer_ranks_and_validates(spark):
+    """JM interpolation: fluent text outranks unseen-bigram text,
+    which outranks OOV gibberish (the backoff leg separates them);
+    short docs carry NULLs; lambda outside (0,1) is a loud error; a
+    trigram model is rejected by the shared shape check."""
+    import pytest as _pytest
+
+    from csvb_spark.operators.lm import (
+        bigram_lm_train,
+        check_model_shape,
+        jelinek_mercer_score,
+        trigram_lm_train,
+    )
+
+    fluent = "the cat sat on the mat and the dog slept in the sun"
+    train = spark.createDataFrame(
+        [(i, fluent) for i in range(4)], "doc_id bigint, text string"
+    )
+    lm = bigram_lm_train(train)
+    test = spark.createDataFrame(
+        [
+            (1, fluent),
+            (2, "the mat sat on the cat"),  # seen words, some new bigrams
+            (3, "zzq wxv unseen gibberish"),
+            (4, "oneword"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in jelinek_mercer_score(test, lm).collect()}
+    assert got[1].ppl < got[2].ppl < got[3].ppl
+    assert got[4].n_bigrams == 0 and got[4].ppl is None
+
+    # lambda -> 1 approaches pure ML: the fully-seen doc's ppl drops
+    tight = {
+        r.doc_id: r for r in jelinek_mercer_score(test, lm, lam=0.99).collect()
+    }
+    assert tight[1].ppl < got[1].ppl
+
+    with _pytest.raises(ValueError, match="lam"):
+        jelinek_mercer_score(test, lm, lam=1.0)
+    with _pytest.raises(ValueError, match="lam"):
+        jelinek_mercer_score(test, lm, lam=0.0)
+    with _pytest.raises(ValueError, match="BIGRAM"):
+        check_model_shape(trigram_lm_train(train).columns, "jm", "test")
+
+
+def test_cli_score_lm_jm_smoothing(spark, tmp_path, capsys):
+    """--smoothing jm routes through the Jelinek-Mercer scorer; the
+    gibberish document ranks worst; a trigram model is rejected."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from csvb_spark.cli import main
+
+    train = str(tmp_path / "train_jm.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12, 13],
+            "text": ["the cat sat on the mat and the dog slept"] * 4,
+        }
+    ).to_parquet(train)
+    data = str(tmp_path / "docs_jm.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(3)),
+            "text": [
+                "the cat sat on the mat",
+                "the dog slept on the mat",
+                "zzq wxv unseen gibberish tokens here",
+            ],
+        }
+    ).to_parquet(data)
+    bi_dir = str(tmp_path / "lm_bi_jm")
+    assert main(
+        ["train-filter", "--parquet", train, "--method", "lm",
+         "--output", bi_dir]
+    ) == 0
+    capsys.readouterr()
+
+    out_dir = str(tmp_path / "jm_scored")
+    assert main(
+        ["score", "--parquet", data, "--method", "lm", "--model", bi_dir,
+         "--smoothing", "jm", "--max-ppl", "1e6", "--output", out_dir]
+    ) == 0
+    rows = {r["doc_id"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert rows[2]["ppl"] == max(r["ppl"] for r in rows.values())
+
+    tri_dir = str(tmp_path / "lm_tri_jm")
+    assert main(
+        ["train-filter", "--parquet", data, "--method", "lm",
+         "--ngram", "3", "--output", tri_dir]
+    ) == 0
+    capsys.readouterr()
+    with _pytest.raises(SystemExit, match="BIGRAM"):
+        main(["score", "--parquet", data, "--method", "lm",
+              "--model", tri_dir, "--smoothing", "jm"])

@@ -621,3 +621,66 @@ def test_cli_ingest_domain_quota(spark, tmp_path):
                 "--domain-quota", "2",
             ]
         )
+
+
+def test_streaming_ingest_jm_gate(spark, tmp_path):
+    """lm_smoothing='jm' routes the streaming LM gate through the
+    Jelinek-Mercer scorer: the fluent/gibberish split holds, and a
+    trigram model is rejected by the shared shape check."""
+    import pytest
+
+    from csvb_spark.operators.lm import bigram_lm_train, trigram_lm_train
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    fluent = (
+        "the cat sat on the mat and the dog slept in the sun while "
+        "the birds sang in the trees of the garden"
+    )
+    train = spark.createDataFrame(
+        [(i, fluent) for i in range(6)], "doc_id bigint, text string"
+    )
+    model_dir = str(tmp_path / "lm_jm")
+    bigram_lm_train(train).write.parquet(model_dir)
+
+    src = tmp_path / "src_jm"
+    src.mkdir()
+    _write_batch(
+        str(src / "b1.parquet"),
+        [
+            {"doc_id": 1, "text": fluent, "lang": "en", "source": "a"},
+            {
+                "doc_id": 2,
+                "text": "qqz wvx klm trp fgh bnj uio wer dsa zxc vbn mlp "
+                "the and of to in is it more padding words here now",
+                "lang": "en",
+                "source": "a",
+            },
+        ],
+    )
+    corpus = str(tmp_path / "corpus_jm")
+    run_streaming_ingest(
+        spark,
+        str(src),
+        corpus,
+        str(tmp_path / "index_jm"),
+        str(tmp_path / "ckpt_jm"),
+        lm_model_dir=model_dir,
+        max_ppl=20.0,
+        lm_smoothing="jm",
+    )
+    got = {r.doc_id for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert 1 in got and 2 not in got
+
+    tri_dir = str(tmp_path / "lm_jm_tri")
+    trigram_lm_train(train).write.parquet(tri_dir)
+    with pytest.raises(ValueError, match="BIGRAM"):
+        run_streaming_ingest(
+            spark,
+            str(src),
+            corpus,
+            str(tmp_path / "index_jm2"),
+            str(tmp_path / "ckpt_jm2"),
+            lm_model_dir=tri_dir,
+            max_ppl=20.0,
+            lm_smoothing="jm",
+        )
