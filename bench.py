@@ -185,6 +185,9 @@ MODEL_OPS = frozenset(
         "x93_stupid_backoff_trigram",
         "x95_perplexity_buckets",
         "x97_containment_pairs",
+        # round 8, second session: the fourth smoothing family joins
+        # its siblings under the constant-factor watch
+        "x110_jm_perplexity",
     }
 )
 

@@ -4020,6 +4020,7 @@ _q(
     spark=lambda spark, sf: LM.jelinek_mercer_score(
         _docs(spark, sf), LM.bigram_lm_train(_docs(spark, sf))
     ),
+    headline=True,  # model-filter pass, benched with the other smoothings
     doc="Jelinek-Mercer interpolated bigram perplexity",
     oracle=r"""
 WITH toks AS (
