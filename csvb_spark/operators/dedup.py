@@ -1226,3 +1226,43 @@ def source_overlap(
             ).alias("avg_containment"),
         )
     )
+
+
+def dedup_cluster_sizes(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup CLUSTER-SIZE histogram — the duplication profile a
+    dataset card reports (and the first thing to inspect before
+    choosing dedup aggressiveness): how many clusters of each size the
+    corpus contains, where size-1 rows are the unclustered documents.
+    Output: ``(cluster_size, n_clusters)``.
+
+    ``pairs`` defaults to :func:`ngram_jaccard_pairs` (the
+    oracle-checkable path); feed MinHash-LSH pairs at scale. Plan: the
+    label table from :func:`dedup_clusters` is pairs-sized, so both
+    aggregations after it are tiny; the singleton count is ONE scalar
+    (corpus count minus labeled count) appended via union — the corpus
+    itself is scanned once, for its count. Reference scope:
+    beyond-reference (training-pipeline extension).
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, text_col=text_col)
+    labels = dedup_clusters(pairs)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("bigint").alias("n_clusters")
+    )
+    n_docs = docs.count()
+    n_labeled = labels.count()
+    singles = docs.sparkSession.createDataFrame(
+        [(1, n_docs - n_labeled)], "cluster_size bigint, n_clusters bigint"
+    )
+    return (
+        hist.select(F.col("cluster_size").cast("bigint"), "n_clusters")
+        .unionByName(singles)
+        .filter(F.col("n_clusters") > 0)
+    )

@@ -952,3 +952,69 @@ def export_tar_shards(
             )
 
     return tagged.mapInPandas(_write, schema=schema)
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    boundaries: list[float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Curriculum data ORDERING: a global training order that walks
+    difficulty stages easiest-first, deterministically shuffled inside
+    each stage — curriculum-learning recipes feed samples in exactly
+    this order, and reproducibility demands it be a pure function of
+    (score, id, seed).
+
+    ``boundaries`` (ascending) cut ``score_col`` into
+    ``len(boundaries)+1`` stages: ``stage = 1 + #{b : b <= score}``
+    (caller-supplied cuts — derive them from ``skew_report`` /
+    ``calibrate_keep_threshold`` when they need to be data-driven; an
+    explicit list keeps the op map-only and the order auditable).
+    Output: input columns + ``stage`` + ``global_idx``, the row's
+    1-based position in the corpus-wide ``(stage, md5_key, id)`` total
+    order.
+
+    Scale shape — NO single-reducer global sort: the
+    :func:`global_index` two-pass trick generalized to a composite
+    bucket ``stage * 256 + first-key-byte`` (fixed-width hex order is
+    lexicographic, so composite-bucket ranges partition the total
+    order); ranks are computed per bucket in parallel, per-bucket
+    offsets come from a ``(stages * 256)``-row count table — a
+    driver-bounded constant whose cumulative sum runs on one task by
+    design, then broadcasts. Reference scope: beyond-reference
+    (training-pipeline extension).
+    """
+    if sorted(boundaries) != list(boundaries):
+        raise ValueError(
+            f"curriculum_order: boundaries must be ascending, got {boundaries!r}"
+        )
+    from pyspark.sql import Window
+
+    stage = F.lit(1)
+    for b in boundaries:
+        stage = stage + (F.col(score_col) >= F.lit(float(b))).cast("int")
+    keyed = (
+        df.withColumn("stage", stage)
+        .withColumn("_co_key", md5_key(id_col, seed))
+        .withColumn(
+            "_co_bucket",
+            F.col("stage") * 256
+            + F.conv(F.substring("_co_key", 1, 2), 16, 10).cast("int"),
+        )
+    )
+    w = Window.partitionBy("_co_bucket").orderBy("_co_key", id_col)
+    counts = keyed.groupBy("_co_bucket").agg(F.count("*").alias("_co_n"))
+    off_w = Window.orderBy("_co_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_co_off", F.coalesce(F.sum("_co_n").over(off_w), F.lit(0))
+    ).select("_co_bucket", "_co_off")
+    return (
+        keyed.withColumn("_co_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_co_bucket")
+        .withColumn("global_idx", F.col("_co_off") + F.col("_co_rn"))
+        .drop("_co_key", "_co_bucket", "_co_rn", "_co_off")
+    )

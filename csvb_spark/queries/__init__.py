@@ -138,9 +138,13 @@ interpolated perplexity (the fourth smoothing family, surfaced end to
 end: score --smoothing jm + streaming lm_smoothing='jm'); a
 WebDataset-style tar shard export/reader pair (byte-stable archives,
 md5 manifest, export --format tar; pytest round-trip, no corpus entry
-— it is a sink/source, not a query); all six oracle-bearing ops
-driver-gate aliased as p37-p42.
-Corpus: 172 entries, 167 with full oracles.
+— it is a sink/source, not a query); x111 curriculum ordering (staged
+global training order via the two-pass composite-bucket index — no
+single-reducer sort; the oracle's one-window ROW_NUMBER is the spec
+the sharded plan must equal); x112 near-dup cluster-size histogram
+(the dataset-card duplication profile; size 1 = unclustered); all
+eight oracle-bearing ops driver-gate aliased as p37-p44.
+Corpus: 176 entries, 171 with full oracles.
 """
 
 from __future__ import annotations

@@ -4068,6 +4068,71 @@ FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
 )
 
 
+# --- round 8: curriculum ordering --------------------------------------
+# Global (stage, md5-key, id) training order with NO single-reducer
+# sort: the global_index two-pass bucket trick over a composite
+# stage*256+hexbyte bucket. The oracle's one-window ROW_NUMBER is the
+# exact spec the sharded plan must equal.
+_q(
+    "x111_curriculum_order",
+    spark=lambda spark, sf: splits.curriculum_order(
+        _docs(spark, sf), "n_chars", [200.0, 500.0, 1000.0]
+    ).select("doc_id", "stage", "global_idx"),
+    doc="staged curriculum order (easiest-first, in-stage md5 shuffle)",
+    oracle=r"""
+WITH s AS (
+  SELECT doc_id,
+         1 + CAST(n_chars >= 200 AS INT) + CAST(n_chars >= 500 AS INT)
+           + CAST(n_chars >= 1000 AS INT) AS stage,
+         md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+  FROM documents
+)
+SELECT doc_id, CAST(stage AS INT) AS stage,
+       CAST(ROW_NUMBER() OVER (ORDER BY stage, k, doc_id) AS BIGINT)
+         AS global_idx
+FROM s
+""",
+)
+
+
+# --- round 8: near-dup cluster-size histogram ---------------------------
+# The duplication profile a dataset card reports; size-1 rows are the
+# unclustered documents (dedup_clusters emits only paired nodes, so
+# the histogram proper never contains size 1 — no collision).
+_q(
+    "x112_cluster_sizes",
+    spark=lambda spark, sf: dedup.dedup_cluster_sizes(_docs(spark, sf)),
+    doc="near-dup cluster size histogram (size 1 = unclustered)",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_P06_PAIRS_SQL}),
+bidir AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM bidir),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN bidir e ON reach.n = e.a
+),
+labels AS (SELECT n, MIN(r) AS l FROM reach GROUP BY n),
+sizes AS (SELECT l, COUNT(*) AS cluster_size FROM labels GROUP BY l),
+hist AS (
+  SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
+  GROUP BY cluster_size
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(n_clusters AS BIGINT) AS n_clusters
+FROM hist
+UNION ALL
+SELECT 1, (SELECT COUNT(*) FROM documents) - (SELECT COUNT(*) FROM labels)
+WHERE (SELECT COUNT(*) FROM documents) > (SELECT COUNT(*) FROM labels)
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4109,6 +4174,8 @@ _P_ALIASES: dict[str, str] = {
     "p40_retention_funnel": "x108_retention_funnel",
     "p41_leakage_safe_splits": "x109_leakage_safe_splits",
     "p42_jm_perplexity": "x110_jm_perplexity",
+    "p43_curriculum_order": "x111_curriculum_order",
+    "p44_cluster_sizes": "x112_cluster_sizes",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]

@@ -1389,3 +1389,24 @@ def test_retention_funnel_single_scan_two_exchanges(spark, sf_dir):
     plan = _plan(retention_funnel(_docs(spark, sf_dir)), "simple")
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_curriculum_order_no_global_sort(spark, sf_dir):
+    """x111: every window over table data carries a partition spec
+    (the composite bucket); the only partition-less window is the
+    offsets cumsum over the bounded bucket-count table. Equality with
+    the single-window ROW_NUMBER spec is the oracle's job."""
+    import re
+
+    from csvb_spark.operators.splits import curriculum_order
+
+    plan = _plan(
+        curriculum_order(_docs(spark, sf_dir), "n_chars", [200.0, 500.0]),
+        "simple",
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs
+    data_windows = [s for s in specs if "_co_bucket#" in s and "," in s]
+    # rank windows partition by the composite bucket
+    assert any(s.strip().startswith("_co_bucket#") for s in data_windows)
+    assert "CartesianProduct" not in plan
