@@ -180,3 +180,84 @@ def domain_quota_sample(
         .filter(F.col("pick_rank") <= quota)
         .select("doc_id", "url_norm", "domain", "pick_rank")
     )
+
+
+def extract_links(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Outbound-link extraction from HTML-ish document text — the step
+    that turns a crawl into a LINK GRAPH (hosts per document feed
+    :func:`~csvb_spark.operators.graph.pagerank` / per-domain quotas /
+    spam-neighborhood analysis). Output per input doc: ``(doc_id,
+    n_links, hosts)`` with ``hosts`` the sorted comma-joined distinct
+    lowercased link hosts (NULL when the doc has no links).
+
+    Pure per-row regex + array work — map-only, zero shuffles,
+    whole-stage codegen; patterns stay inside the RE2-compatible
+    subset (no backreferences/lookaround) so any engine can replay
+    the extraction. Reference scope: beyond-reference
+    (training-pipeline extension).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    urls = F.regexp_extract_all(text, F.lit(r'(?i)href="([^"]+)"'), F.lit(1))
+    hosts = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                urls,
+                lambda u: F.lower(
+                    F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+                ),
+            )
+        )
+    )
+    # non-absolute hrefs extract '' — drop them from the host list
+    hosts = F.filter(hosts, lambda h: h != F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.size(urls).alias("n_links"),
+        F.when(F.size(hosts) > 0, F.array_join(hosts, ",")).alias("hosts"),
+    )
+
+
+# (pattern, replacement) chain shared conceptually with the oracle —
+# ORDER MATTERS: script/style blocks before generic tags (their bodies
+# may contain '<'), entity decode after tag removal, '&amp;' LAST so
+# double-encoded entities do not double-decode.
+HTML_STRIP_RULES: tuple[tuple[str, str], ...] = (
+    (r"(?is)<script[^>]*>.*?</script>", " "),
+    (r"(?is)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?s)<[^>]+>", " "),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    (r"&amp;", "&"),
+    (r"\s+", " "),
+)
+
+
+def html_strip(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Boilerplate-free TEXT from HTML-ish documents — the extraction
+    step between the crawl and every text operator in this package
+    (quality scoring a page with its markup counts tags as words and
+    scripts as prose). Removes script/style/comment blocks, then tags,
+    decodes the five core entities, and collapses whitespace. Output:
+    ``(doc_id, clean_text, n_chars_clean)``.
+
+    A regexp-replace CHAIN (``HTML_STRIP_RULES``, order documented
+    there), entirely map-side and RE2-compatible — no backreferences
+    (RE2 has none, so ``<(script|style)>.*?</\\1>`` is spelled as two
+    rules), no lookaround. This is deliberately a lightweight
+    extractor, not a DOM parser: the trafilatura-class readability
+    heuristics live out of scope, but the plumbing (schema, map-only
+    plan, oracle replay) is the real contract. Reference scope:
+    beyond-reference (training-pipeline extension).
+    """
+    clean = F.coalesce(F.col(text_col), F.lit(""))
+    for pat, repl in HTML_STRIP_RULES:
+        clean = F.regexp_replace(clean, pat, repl)
+    clean = F.trim(clean)
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).alias("n_chars_clean"),
+    )

@@ -142,9 +142,13 @@ md5 manifest, export --format tar; pytest round-trip, no corpus entry
 global training order via the two-pass composite-bucket index — no
 single-reducer sort; the oracle's one-window ROW_NUMBER is the spec
 the sharded plan must equal); x112 near-dup cluster-size histogram
-(the dataset-card duplication profile; size 1 = unclustered); all
-eight oracle-bearing ops driver-gate aliased as p37-p44.
-Corpus: 176 entries, 171 with full oracles.
+(the dataset-card duplication profile; size 1 = unclustered); x113
+outbound-link host extraction (the crawl -> link-graph feed) and x114
+HTML boilerplate strip (block/tag/entity/whitespace chain, RE2-safe —
+no backreferences), both over a shared synthesized-HTML fixture whose
+script body plants bare '<' to catch block-vs-tag rule ordering; all
+ten oracle-bearing ops driver-gate aliased as p37-p46.
+Corpus: 180 entries, 175 with full oracles.
 """
 
 from __future__ import annotations

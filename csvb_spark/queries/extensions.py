@@ -4133,6 +4133,87 @@ WHERE (SELECT COUNT(*) FROM documents) > (SELECT COUNT(*) FROM labels)
 )
 
 
+# --- round 8: HTML link extraction + boilerplate strip ------------------
+# The fixture wraps each document in synthesized HTML via one shared
+# SQL expression: a script block whose body contains bare '<'/'>'
+# (must be removed by the BLOCK rule, not mangled by the tag rule), a
+# style block, double-encoded entities, an uppercase-scheme link, a
+# comment hiding markup, and a relative href (counted as a link, not
+# a host). doc_id >= 0 is the fixture contract.
+_X113_HTML_EXPR = """
+'<html><head><script type="text/javascript">var x = 1 < 2 && y > 0;</script>' ||
+'<style>.a{color:red}</style></head><body><h1>' || source || '</h1><p>' ||
+text || ' &amp; more &lt;tags&gt; &quot;quoted&quot; it&#39;s</p>' ||
+'<a href="https://' || lang || '.example.com/a?id=' || CAST(doc_id AS STRING)
+  || '">first</a>' ||
+CASE WHEN doc_id % 3 = 0
+     THEN '<a href="HTTP://www.Example.ORG/b">second</a>'
+          || '<!-- hidden <b>comment</b> -->'
+     ELSE '' END ||
+CASE WHEN doc_id % 4 = 0 THEN '<a href="/relative/path">rel</a>' ELSE '' END ||
+'</body></html>'
+"""
+
+_q(
+    "x113_extract_links",
+    spark=lambda spark, sf: web.extract_links(
+        _docs(spark, sf).withColumn("_t", F.expr(_X113_HTML_EXPR)),
+        text_col="_t",
+    ),
+    doc="outbound link hosts per doc (link-graph feed)",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, {_X113_HTML_EXPR} AS t FROM documents
+), l AS (
+  SELECT doc_id, regexp_extract_all(t, '(?i)href="([^"]+)"', 1) AS urls
+  FROM base
+), h AS (
+  SELECT doc_id, len(urls) AS n_links,
+    list_sort(list_distinct(list_filter(
+      list_transform(urls, u ->
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))),
+      x -> x <> ''))) AS hosts
+  FROM l
+)
+SELECT doc_id, CAST(n_links AS INT) AS n_links,
+       CASE WHEN len(hosts) > 0 THEN array_to_string(hosts, ',') END AS hosts
+FROM h
+""",
+)
+
+_q(
+    "x114_html_strip",
+    spark=lambda spark, sf: web.html_strip(
+        _docs(spark, sf).withColumn("_t", F.expr(_X113_HTML_EXPR)),
+        text_col="_t",
+    ),
+    doc="HTML boilerplate strip: blocks, tags, entities, whitespace",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, {_X113_HTML_EXPR} AS t FROM documents
+), c AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+            '(?s)<!--.*?-->', ' ', 'g'),
+          '(?s)<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        '&amp;', '&'),
+      '\s+', ' ', 'g')) AS clean_text
+  FROM base
+)
+SELECT doc_id, clean_text,
+       CAST(len(clean_text) AS INT) AS n_chars_clean
+FROM c
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4176,6 +4257,8 @@ _P_ALIASES: dict[str, str] = {
     "p42_jm_perplexity": "x110_jm_perplexity",
     "p43_curriculum_order": "x111_curriculum_order",
     "p44_cluster_sizes": "x112_cluster_sizes",
+    "p45_extract_links": "x113_extract_links",
+    "p46_html_strip": "x114_html_strip",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]

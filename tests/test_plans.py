@@ -1410,3 +1410,39 @@ def test_curriculum_order_no_global_sort(spark, sf_dir):
     # rank windows partition by the composite bucket
     assert any(s.strip().startswith("_co_bucket#") for s in data_windows)
     assert "CartesianProduct" not in plan
+
+
+def test_web_extract_ops_map_only(spark, sf_dir):
+    """x113/x114: link extraction and HTML strip are pure per-row
+    regex work — zero exchanges, zero Python eval."""
+    from csvb_spark.operators.web import extract_links, html_strip
+
+    for df in (
+        extract_links(_docs(spark, sf_dir)),
+        html_strip(_docs(spark, sf_dir)),
+    ):
+        plan = _plan(df)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_html_strip_rule_order(spark):
+    """Planted edge cases: a script body with bare '<' must vanish via
+    the block rule (the tag rule alone would leave 'var x = 1'
+    residue); double-encoded entities decode exactly one level."""
+    from csvb_spark.operators.web import html_strip
+
+    d = spark.createDataFrame(
+        [
+            (0, '<script>if (a < b && c > d) { go("x") }</script>hello'),
+            (1, "&amp;lt; stays encoded, &lt; decodes"),
+            (2, "<p>a</p><!-- <b>hidden</b> -->b"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["clean_text"] for r in html_strip(d).collect()}
+    assert got[0] == "hello"
+    assert got[1] == "&lt; stays encoded, < decodes"
+    assert got[2] == "a b"
+    assert got[3] == ""
