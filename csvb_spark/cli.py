@@ -325,6 +325,12 @@ def build_parser() -> argparse.ArgumentParser:
     pc.add_argument("--json", action="append", default=[], metavar="PATH")
     pc.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
     pc.add_argument("--text-col", default="text")
+    pc.add_argument(
+        "--html",
+        action="store_true",
+        help="strip HTML markup first (block tags become line breaks, "
+        "so the line rules still see the page's line structure)",
+    )
     pc.add_argument("--min-words", type=int, default=3)
     pc.add_argument("--min-kept-lines", type=int, default=5)
     pc.add_argument(
@@ -867,6 +873,12 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         _register_direct(spark, args)
         table = spark.table(args.table_name)
+        if args.html:
+            from csvb_spark.operators.web import html_strip_col
+
+            table = table.withColumn(
+                args.text_col, html_strip_col(F.col(args.text_col))
+            )
         kw = {}
         if args.blocked_line_word is not None:
             kw["blocked_line_words"] = tuple(args.blocked_line_word)

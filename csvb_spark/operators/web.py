@@ -219,19 +219,27 @@ def extract_links(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # (pattern, replacement) chain shared conceptually with the oracle —
 # ORDER MATTERS: script/style blocks before generic tags (their bodies
-# may contain '<'), entity decode after tag removal, '&amp;' LAST so
-# double-encoded entities do not double-decode.
+# may contain '<'); BLOCK-boundary tags become newlines BEFORE the
+# generic tag rule eats them, so line structure survives for the C4
+# line rules downstream (clean --html composes exactly this way);
+# entity decode after tag removal; '&amp;' LAST so double-encoded
+# entities do not double-decode; whitespace collapse keeps newlines.
 HTML_STRIP_RULES: tuple[tuple[str, str], ...] = (
     (r"(?is)<script[^>]*>.*?</script>", " "),
     (r"(?is)<style[^>]*>.*?</style>", " "),
     (r"(?s)<!--.*?-->", " "),
+    (r"(?is)<(?:br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)[^>]*>", "\n"),
     (r"(?s)<[^>]+>", " "),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", '"'),
     (r"&#39;", "'"),
     (r"&amp;", "&"),
-    (r"\s+", " "),
+    (r"[^\S\n]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n+", "\n"),
+    (r"^\n", ""),
+    (r"\n$", ""),
 )
 
 
@@ -252,12 +260,20 @@ def html_strip(docs: DataFrame, text_col: str = "text") -> DataFrame:
     plan, oracle replay) is the real contract. Reference scope:
     beyond-reference (training-pipeline extension).
     """
-    clean = F.coalesce(F.col(text_col), F.lit(""))
-    for pat, repl in HTML_STRIP_RULES:
-        clean = F.regexp_replace(clean, pat, repl)
-    clean = F.trim(clean)
+    clean = html_strip_col(F.col(text_col))
     return docs.select(
         "doc_id",
         clean.alias("clean_text"),
         F.length(clean).alias("n_chars_clean"),
     )
+
+
+def html_strip_col(col: Column) -> Column:
+    """The :func:`html_strip` rule chain as a plain Column expression —
+    for callers that strip markup IN PLACE before downstream text
+    operators (e.g. ``clean --html`` runs this ahead of the C4 line
+    rules, the real pipeline order: markup out, then prose rules)."""
+    clean = F.coalesce(col, F.lit(""))
+    for pat, repl in HTML_STRIP_RULES:
+        clean = F.regexp_replace(clean, pat, repl)
+    return F.trim(clean)

@@ -4193,18 +4193,23 @@ WITH base AS (
   SELECT doc_id, {_X113_HTML_EXPR} AS t FROM documents
 ), c AS (
   SELECT doc_id,
-    trim(regexp_replace(
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(
       replace(replace(replace(replace(replace(
         regexp_replace(
           regexp_replace(
             regexp_replace(
-              regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-            '(?s)<!--.*?-->', ' ', 'g'),
+              regexp_replace(
+                regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+            '(?is)<(?:br|/p|/div|/h[1-6]|/li|/tr|/ul|/ol|/table)[^>]*>',
+            chr(10), 'g'),
           '(?s)<[^>]+>', ' ', 'g'),
         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
         '&amp;', '&'),
-      '\s+', ' ', 'g')) AS clean_text
+      '[^\S\n]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'), '\n+', chr(10), 'g'),
+      '^\n', '', 'g'), '\n$', '', 'g')) AS clean_text
   FROM base
 )
 SELECT doc_id, clean_text,

@@ -1218,3 +1218,32 @@ def test_cli_export_tar_format(spark, sf_dir, tmp_path, capsys):
     rc = main(args[:-1] + ["--max-records-per-file", "10", out_dir])
     err = capsys.readouterr().err
     assert rc == 2 and "parquet/jsonl" in err
+
+
+def test_cli_clean_html_mode(spark, tmp_path, capsys):
+    """`csvb clean --html` strips markup before the C4 line rules;
+    block tags become line breaks so the page keeps its line
+    structure (a one-line soup would fail min-kept-lines for every
+    page)."""
+    import pandas as pd
+
+    from csvb_spark.cli import main
+
+    line = "This is a perfectly reasonable prose sentence ending properly."
+    html = (
+        "<html><body>"
+        + "".join(f"<p>{line}</p>" for _ in range(6))
+        + "<script>var x = 1 < 2;</script></body></html>"
+    )
+    data = str(tmp_path / "html_docs.parquet")
+    pd.DataFrame({"doc_id": [0], "text": [html]}).to_parquet(data)
+
+    out_dir = str(tmp_path / "cleaned_html")
+    rc = main(
+        ["clean", "--parquet", data, "--html", "--output", out_dir]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "n_keep" in out
+    row = spark.read.parquet(out_dir).collect()[0]
+    assert row["keep_doc"] is True and row["n_kept"] == 6
+    assert "script" not in row["clean_text"] and "<p>" not in row["clean_text"]

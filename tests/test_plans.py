@@ -1444,5 +1444,5 @@ def test_html_strip_rule_order(spark):
     got = {r["doc_id"]: r["clean_text"] for r in html_strip(d).collect()}
     assert got[0] == "hello"
     assert got[1] == "&lt; stays encoded, < decodes"
-    assert got[2] == "a b"
+    assert got[2] == "a\nb"  # </p> is a block boundary -> newline
     assert got[3] == ""
