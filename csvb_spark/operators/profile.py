@@ -264,3 +264,71 @@ def retention_funnel(
             ),
         )
     )
+
+
+def filter_attribution(
+    docs: DataFrame, filters: dict[str, "F.Column"]
+) -> DataFrame:
+    """Kill ATTRIBUTION for a filter stack — the audit a curation
+    pipeline publishes before turning N filters on at once: per
+    filter, how many documents it fails, and how many it UNIQUELY
+    fails (no other filter catches them). A filter with near-zero
+    unique kills is redundant; one with huge unique kills deserves a
+    manual sample review before it silently deletes a data mode.
+
+    ``filters`` maps name → BOOLEAN keep-Column (True = document
+    passes). Output: one row per filter, ``(filter, n_docs, n_fail,
+    n_unique_fail, pct_fail)``; ``pct_fail`` is one IEEE division of
+    exact counts (shipped unrounded — engine-identical by
+    construction).
+
+    Plan: every flag is evaluated in ONE map pass over the table, the
+    totals in ONE aggregation (no per-filter scans); the melt to long
+    form happens on the single aggregated row via explode — constant
+    cost. Reference scope: beyond-reference (training-pipeline
+    extension).
+    """
+    if not filters:
+        raise ValueError("filter_attribution: filters must be non-empty")
+    names = list(filters)
+    flagged = docs.select(
+        *[
+            (~F.coalesce(c, F.lit(False))).cast("int").alias(f"_f_{n}")
+            for n, c in filters.items()
+        ]
+    )
+    total_fails = sum(F.col(f"_f_{n}") for n in names)
+    flagged = flagged.withColumn("_nf", total_fails)
+    aggs = [F.count("*").alias("_n")]
+    for n in names:
+        aggs.append(F.sum(F.col(f"_f_{n}")).alias(f"_fail_{n}"))
+        aggs.append(
+            F.sum(
+                ((F.col(f"_f_{n}") == 1) & (F.col("_nf") == 1)).cast("int")
+            ).alias(f"_uniq_{n}")
+        )
+    row = flagged.agg(*aggs)
+    melted = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("filter"),
+                        F.col("_n").cast("bigint").alias("n_docs"),
+                        F.col(f"_fail_{n}").cast("bigint").alias("n_fail"),
+                        F.col(f"_uniq_{n}").cast("bigint").alias("n_unique_fail"),
+                    )
+                    for n in names
+                ]
+            )
+        ).alias("s")
+    )
+    return melted.select(
+        "s.filter",
+        "s.n_docs",
+        "s.n_fail",
+        "s.n_unique_fail",
+        (F.col("s.n_fail").cast("double") / F.col("s.n_docs")).alias(
+            "pct_fail"
+        ),
+    )

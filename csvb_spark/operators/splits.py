@@ -1018,3 +1018,71 @@ def curriculum_order(
         .withColumn("global_idx", F.col("_co_off") + F.col("_co_rn"))
         .drop("_co_key", "_co_bucket", "_co_rn", "_co_off")
     )
+
+
+def sampling_plan(
+    docs: DataFrame,
+    weights: dict[str, int],
+    token_budget: int,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source EPOCH plan — the data-recipe table a pretraining run
+    publishes (how many passes over each source the token budget
+    implies): sources with ``target > available`` repeat
+    (``epochs > 1``), heavy sources subsample (``epochs < 1``).
+
+    ``weights`` are INTEGER shares (e.g. ``{"web": 60, "books": 30,
+    "code": 10}``) — integer arithmetic keeps every derived number an
+    exact division of exact integers, so the whole plan is
+    bit-identical in any engine with no rounding anywhere (a float
+    weight vector cannot even sum to 1.0 reliably). Unlisted sources
+    get weight 0. Output per source: ``(source, n_docs,
+    available_tokens, weight, target_tokens, epochs)`` with
+    ``target_tokens = floor(budget * weight / total_weight)`` and
+    ``epochs = target / available`` (unrounded exact-operand IEEE).
+
+    One partial-aggregated groupBy on the source; token counts are
+    map-side whitespace-token sizes. Reference scope: beyond-reference
+    (training-pipeline extension; the assignment itself is
+    ``budget_select`` / ``temperature_mixture`` — this is the plan
+    artifact)."""
+    if not weights or any(
+        (not isinstance(w, int)) or w < 0 for w in weights.values()
+    ):
+        raise ValueError(
+            "sampling_plan: weights must be non-negative INTEGER shares"
+        )
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("sampling_plan: weights must not all be zero")
+    from csvb_spark.operators.text import tokens
+
+    w_col = F.lit(0)
+    for src, w in weights.items():
+        w_col = F.when(F.col(source_col) == src, F.lit(int(w))).otherwise(w_col)
+    per_src = (
+        docs.select(
+            F.col(source_col),
+            F.size(tokens(text_col)).cast("bigint").alias("_tok"),
+        )
+        .groupBy(source_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_tok").alias("available_tokens"),
+        )
+    )
+    target = F.floor(
+        (F.lit(int(token_budget)) * w_col.cast("bigint")).cast("double")
+        / F.lit(int(total_w))
+    ).cast("bigint")
+    return per_src.select(
+        source_col,
+        "n_docs",
+        "available_tokens",
+        w_col.cast("int").alias("weight"),
+        target.alias("target_tokens"),
+        (
+            target.cast("double") / F.col("available_tokens").cast("double")
+        ).alias("epochs"),
+    )

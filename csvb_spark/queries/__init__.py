@@ -146,9 +146,13 @@ the sharded plan must equal); x112 near-dup cluster-size histogram
 outbound-link host extraction (the crawl -> link-graph feed) and x114
 HTML boilerplate strip (block/tag/entity/whitespace chain, RE2-safe —
 no backreferences), both over a shared synthesized-HTML fixture whose
-script body plants bare '<' to catch block-vs-tag rule ordering; all
-ten oracle-bearing ops driver-gate aliased as p37-p46.
-Corpus: 180 entries, 175 with full oracles.
+script body plants bare '<' to catch block-vs-tag rule ordering; x115
+filter-stack kill attribution (per-filter fail + UNIQUE-fail counts in
+one scan/one agg — the redundancy audit before stacking N filters);
+x116 token-budget sampling plan (per-source epochs from integer weight
+shares — exact arithmetic end to end, the pretraining data-recipe
+table); all twelve oracle-bearing ops driver-gate aliased as p37-p48.
+Corpus: 184 entries, 179 with full oracles.
 """
 
 from __future__ import annotations

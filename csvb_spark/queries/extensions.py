@@ -4219,6 +4219,102 @@ FROM c
 )
 
 
+# --- round 8: filter-stack kill attribution -----------------------------
+# Four replayable keep-filters over the fixture's own columns; the
+# oracle melts the one-row aggregate the same way (one scan, one agg).
+_q(
+    "x115_filter_attribution",
+    spark=lambda spark, sf: PR.filter_attribution(
+        _docs(spark, sf),
+        {
+            "too_short": F.col("n_chars") >= 100,
+            "too_long": F.col("n_chars") <= 2000,
+            "non_en": F.col("lang") == "en",
+            "dup_words": (
+                F.size(
+                    F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+                ).cast("double")
+                / F.size(F.split(F.trim(F.col("text")), r"\s+"))
+            )
+            >= 0.5,
+        },
+    ),
+    doc="per-filter kill counts + unique kills for a filter stack",
+    oracle=r"""
+WITH f AS (
+  SELECT
+    CAST(NOT (n_chars >= 100) AS INT) AS f_too_short,
+    CAST(NOT (n_chars <= 2000) AS INT) AS f_too_long,
+    CAST(NOT (lang = 'en') AS INT) AS f_non_en,
+    CAST(NOT (CAST(len(list_distinct(string_split_regex(trim(text), '\s+')))
+                   AS DOUBLE)
+              / len(string_split_regex(trim(text), '\s+')) >= 0.5)
+         AS INT) AS f_dup_words
+  FROM documents
+), t AS (
+  SELECT *, f_too_short + f_too_long + f_non_en + f_dup_words AS nf FROM f
+), a AS (
+  SELECT COUNT(*) AS n,
+    SUM(f_too_short) AS fail_short,
+    SUM(CASE WHEN f_too_short = 1 AND nf = 1 THEN 1 ELSE 0 END) AS uniq_short,
+    SUM(f_too_long) AS fail_long,
+    SUM(CASE WHEN f_too_long = 1 AND nf = 1 THEN 1 ELSE 0 END) AS uniq_long,
+    SUM(f_non_en) AS fail_lang,
+    SUM(CASE WHEN f_non_en = 1 AND nf = 1 THEN 1 ELSE 0 END) AS uniq_lang,
+    SUM(f_dup_words) AS fail_dup,
+    SUM(CASE WHEN f_dup_words = 1 AND nf = 1 THEN 1 ELSE 0 END) AS uniq_dup
+  FROM t
+)
+SELECT 'too_short' AS filter, CAST(n AS BIGINT) AS n_docs,
+       CAST(fail_short AS BIGINT) AS n_fail,
+       CAST(uniq_short AS BIGINT) AS n_unique_fail,
+       CAST(fail_short AS DOUBLE) / n AS pct_fail
+FROM a
+UNION ALL
+SELECT 'too_long', CAST(n AS BIGINT), CAST(fail_long AS BIGINT),
+       CAST(uniq_long AS BIGINT), CAST(fail_long AS DOUBLE) / n FROM a
+UNION ALL
+SELECT 'non_en', CAST(n AS BIGINT), CAST(fail_lang AS BIGINT),
+       CAST(uniq_lang AS BIGINT), CAST(fail_lang AS DOUBLE) / n FROM a
+UNION ALL
+SELECT 'dup_words', CAST(n AS BIGINT), CAST(fail_dup AS BIGINT),
+       CAST(uniq_dup AS BIGINT), CAST(fail_dup AS DOUBLE) / n FROM a
+""",
+)
+
+
+# --- round 8: token-budget sampling plan --------------------------------
+# Integer weight shares keep every derived value an exact division of
+# exact integers — no rounding anywhere in the plan artifact.
+_q(
+    "x116_sampling_plan",
+    spark=lambda spark, sf: splits.sampling_plan(
+        _docs(spark, sf),
+        {"src0": 50, "src1": 30, "src2": 20},
+        token_budget=1_000_000,
+    ),
+    doc="per-source epoch plan for a token budget (data recipe table)",
+    oracle=r"""
+WITH t AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len(string_split_regex(trim(text), '\s+'))) AS avail
+  FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_docs, CAST(avail AS BIGINT) AS available_tokens,
+         CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 30
+                     WHEN 'src2' THEN 20 ELSE 0 END AS weight
+  FROM t
+)
+SELECT source, n_docs, available_tokens, CAST(weight AS INT) AS weight,
+       CAST(floor(CAST(1000000 * weight AS DOUBLE) / 100) AS BIGINT)
+         AS target_tokens,
+       floor(CAST(1000000 * weight AS DOUBLE) / 100) / available_tokens
+         AS epochs
+FROM w
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4264,6 +4360,8 @@ _P_ALIASES: dict[str, str] = {
     "p44_cluster_sizes": "x112_cluster_sizes",
     "p45_extract_links": "x113_extract_links",
     "p46_html_strip": "x114_html_strip",
+    "p47_filter_attribution": "x115_filter_attribution",
+    "p48_sampling_plan": "x116_sampling_plan",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]
