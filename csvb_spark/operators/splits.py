@@ -1086,3 +1086,80 @@ def sampling_plan(
             target.cast("double") / F.col("available_tokens").cast("double")
         ).alias("epochs"),
     )
+
+
+def snake_sharding(
+    docs: DataFrame,
+    n_shards: int = 16,
+    weight_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """SIZE-BALANCED shard assignment: documents ranked heaviest-first
+    and dealt boustrophedon (0..n-1 then n-1..0, repeating), the
+    classic greedy-balance approximation — every shard's total weight
+    lands within one heaviest-document of the others, which hash
+    sharding (:func:`export_shard`) cannot promise when document sizes
+    are long-tailed (one shard catching two 10 MB docs while another
+    gets two tweets skews training-shard consumption).
+
+    ``weight_col`` defaults to the whitespace token count of
+    ``text_col``. Output: ``(id, weight, rank, shard)`` with ``rank``
+    the 1-based position in the global ``(weight DESC, md5_key, id)``
+    order and ``shard = pos if pos < n else 2n-1-pos`` for
+    ``pos = (rank-1) mod 2n``.
+
+    Scale shape — the global heaviest-first rank WITHOUT a
+    single-reducer sort: the :func:`global_index` two-pass trick over
+    VALUE buckets (``weight // step`` with ``step`` sized off one
+    scalar max-aggregate to cap the bucket table at ≤4096 rows —
+    bucket ranges partition the weight order, so per-bucket ranks +
+    descending-bucket offsets compose to the exact global rank). The
+    oracle's one-window ROW_NUMBER is the spec this sharded plan must
+    equal. Reference scope: beyond-reference (training-pipeline
+    extension).
+    """
+    if n_shards < 1:
+        raise ValueError(f"snake_sharding: n_shards must be >= 1, got {n_shards}")
+    from pyspark.sql import Window
+
+    w = (
+        F.col(weight_col).cast("bigint")
+        if weight_col is not None
+        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    )
+    keyed = docs.select(
+        F.col(id_col), w.alias("weight"), md5_key(id_col, seed).alias("_sn_key")
+    )
+    max_w = keyed.agg(F.max("weight")).first()[0] or 0
+    step = max(1, (int(max_w) + 4096) // 4096)
+    keyed = keyed.withColumn(
+        "_sn_bucket", (F.col("weight") / F.lit(step)).cast("bigint")
+    )
+    win = Window.partitionBy("_sn_bucket").orderBy(
+        F.col("weight").desc(), "_sn_key", id_col
+    )
+    counts = keyed.groupBy("_sn_bucket").agg(F.count("*").alias("_sn_n"))
+    # offsets accumulate over HEAVIER buckets: descending bucket order
+    off_w = Window.orderBy(F.col("_sn_bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "_sn_off", F.coalesce(F.sum("_sn_n").over(off_w), F.lit(0))
+    ).select("_sn_bucket", "_sn_off")
+    ranked = (
+        keyed.withColumn("_sn_rn", F.row_number().over(win))
+        .join(F.broadcast(offsets), "_sn_bucket")
+        .withColumn("rank", F.col("_sn_off") + F.col("_sn_rn"))
+    )
+    pos = F.pmod(F.col("rank") - 1, F.lit(2 * n_shards))
+    shard = F.when(pos < n_shards, pos).otherwise(
+        F.lit(2 * n_shards - 1) - pos
+    )
+    return ranked.select(
+        id_col,
+        "weight",
+        "rank",
+        shard.cast("int").alias("shard"),
+    )

@@ -151,8 +151,12 @@ filter-stack kill attribution (per-filter fail + UNIQUE-fail counts in
 one scan/one agg — the redundancy audit before stacking N filters);
 x116 token-budget sampling plan (per-source epochs from integer weight
 shares — exact arithmetic end to end, the pretraining data-recipe
-table); all twelve oracle-bearing ops driver-gate aliased as p37-p48.
-Corpus: 184 entries, 179 with full oracles.
+table); x117 size-balanced snake sharding (heaviest-first
+boustrophedon deal over a VALUE-bucketed two-pass global rank — every
+shard's weight within one heaviest doc of every other, which hash
+sharding cannot promise on long-tailed sizes); all thirteen
+oracle-bearing ops driver-gate aliased as p37-p49.
+Corpus: 186 entries, 181 with full oracles.
 """
 
 from __future__ import annotations

@@ -4315,6 +4315,32 @@ FROM w
 )
 
 
+# --- round 8: size-balanced snake sharding ------------------------------
+# Heaviest-first boustrophedon deal; the one-window ROW_NUMBER here is
+# the spec the value-bucketed two-pass rank must equal exactly.
+_q(
+    "x117_snake_sharding",
+    spark=lambda spark, sf: splits.snake_sharding(_docs(spark, sf)),
+    doc="size-balanced shard deal (heaviest-first boustrophedon)",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS weight,
+         md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+  FROM documents
+), r AS (
+  SELECT doc_id, weight,
+         ROW_NUMBER() OVER (ORDER BY weight DESC, k, doc_id) AS rank
+  FROM t
+)
+SELECT doc_id, weight, CAST(rank AS BIGINT) AS rank,
+       CAST(CASE WHEN (rank - 1) % 32 < 16 THEN (rank - 1) % 32
+                 ELSE 31 - ((rank - 1) % 32) END AS INT) AS shard
+FROM r
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4362,6 +4388,7 @@ _P_ALIASES: dict[str, str] = {
     "p46_html_strip": "x114_html_strip",
     "p47_filter_attribution": "x115_filter_attribution",
     "p48_sampling_plan": "x116_sampling_plan",
+    "p49_snake_sharding": "x117_snake_sharding",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]

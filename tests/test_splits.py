@@ -760,3 +760,29 @@ def test_tar_export_roundtrip_via_reader(spark, sf_dir, tmp_path):
 
     meta = _json.loads(raw["meta"])
     assert meta["doc_id"] == raw["doc_id"]
+
+
+def test_snake_sharding_balance_and_validation(spark, sf_dir):
+    """Snake deal balance: every shard's weight sum lands within one
+    heaviest document of every other (the greedy-balance guarantee
+    hash sharding lacks); n_shards=1 puts everything in shard 0;
+    bad n_shards is a loud error."""
+    import pytest as _pytest
+
+    from csvb_spark.operators.splits import snake_sharding
+
+    d = _docs(spark, sf_dir)
+    out = snake_sharding(d, n_shards=7)
+    sums = {
+        r["shard"]: r["w"]
+        for r in out.groupBy("shard").agg(F.sum("weight").alias("w")).collect()
+    }
+    assert set(sums) == set(range(7))
+    mx = out.agg(F.max("weight")).first()[0]
+    assert max(sums.values()) - min(sums.values()) <= mx
+
+    one = snake_sharding(d, n_shards=1)
+    assert one.select("shard").distinct().collect()[0][0] == 0
+
+    with _pytest.raises(ValueError, match="n_shards"):
+        snake_sharding(d, n_shards=0)
