@@ -77,3 +77,101 @@ SELECT user_id,
 FROM sessions
 GROUP BY user_id, session_id
 """
+
+
+def event_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered CONVERSION funnel: how many users reach each step, where
+    step i+1 counts only events STRICTLY AFTER the user's earliest
+    completion of step i (the standard product-analytics funnel — and
+    the same shape a pipeline uses to audit multi-stage ingest
+    telemetry). Output: one row per step, ``(step_idx, step, n_users,
+    pct_of_first)``; ``pct_of_first`` is an exact-count division,
+    shipped unrounded.
+
+    Plan: one equi-join on the user per step beyond the first (steps
+    are a short constant list), each preceded by a type filter that
+    pushes into the scan; per-step state is one ``(user, min_ts)``
+    aggregate — fixed-width rows, never the event table. No windows,
+    no driver-side data.
+    """
+    if len(steps) < 2:
+        raise ValueError("event_funnel: need at least two steps")
+    u, t, ts = user_col, type_col, ts_col
+    reached = (
+        events.filter(F.col(t) == steps[0])
+        .groupBy(u)
+        .agg(F.min(ts).alias("_t"))
+    )
+    counts = [reached.count()]
+    for s in steps[1:]:
+        reached = (
+            events.filter(F.col(t) == s)
+            .join(reached, u)
+            .filter(F.col(ts) > F.col("_t"))
+            .groupBy(u)
+            .agg(F.min(ts).alias("_t"))
+        )
+        counts.append(reached.count())
+    spark = events.sparkSession
+    rows = [
+        (i + 1, s, int(n)) for i, (s, n) in enumerate(zip(steps, counts))
+    ]
+    out = spark.createDataFrame(
+        rows, "step_idx int, step string, n_users bigint"
+    )
+    return out.select(
+        "step_idx",
+        "step",
+        "n_users",
+        (
+            F.col("n_users").cast("double") / F.lit(float(counts[0]))
+            if counts[0]
+            else F.lit(None).cast("double")
+        ).alias("pct_of_first"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly COHORT retention matrix — users grouped by the ISO week
+    of their FIRST event, counted once per subsequent week they
+    remain active: the canonical growth-analytics table, and the
+    freshness/engagement audit for a streaming ingest's source feeds.
+    Output: ``(cohort_week, week_offset, n_users)`` — cohort_week a
+    DATE (Monday), ``week_offset`` in whole weeks (0 = the cohort
+    week itself).
+
+    Plan: one ``(user, first_ts)`` aggregate, joined back (user
+    equi-join) onto the per-user-week distinct activity — both sides
+    fixed-width; offsets are integer day arithmetic (``datediff /
+    7``, exact in any engine).
+    """
+    u, ts = user_col, ts_col
+    first = events.groupBy(u).agg(F.min(ts).alias("_first"))
+    weekly = (
+        events.select(u, F.date_trunc("week", F.col(ts)).alias("_w"))
+        .distinct()
+        .join(first, u)
+        .withColumn("_cw", F.date_trunc("week", F.col("_first")))
+    )
+    return (
+        weekly.groupBy(
+            F.col("_cw").cast("date").alias("cohort_week"),
+            (
+                F.datediff(F.col("_w").cast("date"), F.col("_cw").cast("date"))
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )

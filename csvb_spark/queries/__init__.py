@@ -154,9 +154,14 @@ shares — exact arithmetic end to end, the pretraining data-recipe
 table); x117 size-balanced snake sharding (heaviest-first
 boustrophedon deal over a VALUE-bucketed two-pass global rank — every
 shard's weight within one heaviest doc of every other, which hash
-sharding cannot promise on long-tailed sizes); all thirteen
-oracle-bearing ops driver-gate aliased as p37-p49.
-Corpus: 186 entries, 181 with full oracles.
+sharding cannot promise on long-tailed sizes); and an event-analytics
+trio — x118 ordered conversion funnel (per-step strictly-after min-ts
+joins, fixed-width state), x119 weekly cohort retention matrix (ISO
+Monday weeks, integer day arithmetic), x120 per-user event pivot
+(DataFrame PIVOT with a pinned value list; the oracle is its
+conditional-aggregation expansion). All sixteen oracle-bearing ops
+driver-gate aliased as p37-p52.
+Corpus: 192 entries, 187 with full oracles.
 """
 
 from __future__ import annotations

@@ -4341,6 +4341,89 @@ FROM r
 )
 
 
+# --- round 8: event analytics (funnel, cohorts, pivot) ------------------
+_q(
+    "x118_event_funnel",
+    spark=lambda spark, sf: sessions.event_funnel(_events(spark, sf)),
+    doc="ordered conversion funnel (view -> click -> purchase)",
+    oracle=r"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id
+), c AS (
+  SELECT 1 AS step_idx, 'view' AS step,
+         (SELECT COUNT(*) FROM s1) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+)
+SELECT CAST(step_idx AS INT) AS step_idx, step,
+       CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_users AS DOUBLE) / (SELECT COUNT(*) FROM s1) AS pct_of_first
+FROM c
+""",
+)
+
+_q(
+    "x119_cohort_retention",
+    spark=lambda spark, sf: sessions.cohort_retention(_events(spark, sf)),
+    doc="weekly cohort retention matrix over first-event cohorts",
+    oracle=r"""
+WITH f AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+), w AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+), j AS (
+  SELECT w.user_id, w.w, date_trunc('week', f.first_ts) AS cw
+  FROM w JOIN f USING (user_id)
+)
+SELECT CAST(cw AS DATE) AS cohort_week,
+       CAST(date_diff('day', CAST(cw AS DATE), CAST(w AS DATE)) // 7 AS INT)
+         AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM j GROUP BY 1, 2
+""",
+)
+
+# PIVOT via the DataFrame API with a PINNED value list (deterministic
+# columns); the oracle is the conditional-aggregation expansion every
+# engine agrees on.
+_q(
+    "x120_event_pivot",
+    spark=lambda spark, sf: _events(spark, sf)
+    .groupBy("user_id")
+    .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+    .agg(F.count(F.lit(1)))
+    .na.fill(0),
+    doc="per-user event-type pivot (pinned value list)",
+    oracle=r"""
+SELECT user_id,
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+    AS click,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+    AS signup,
+  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS view
+FROM events GROUP BY user_id
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4389,6 +4472,9 @@ _P_ALIASES: dict[str, str] = {
     "p47_filter_attribution": "x115_filter_attribution",
     "p48_sampling_plan": "x116_sampling_plan",
     "p49_snake_sharding": "x117_snake_sharding",
+    "p50_event_funnel": "x118_event_funnel",
+    "p51_cohort_retention": "x119_cohort_retention",
+    "p52_event_pivot": "x120_event_pivot",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]
