@@ -1008,10 +1008,16 @@ def near_dedup(
     text_col: str = "text",
     k: int = 4,
     min_jaccard: float = 0.3,
+    keep: str = "min_id",
 ) -> DataFrame:
     """The corpus after near-duplicate REMOVAL: one canonical document
-    (min doc_id) survives per connected near-dup cluster; documents in
-    no cluster pass through untouched.
+    survives per connected near-dup cluster; documents in no cluster
+    pass through untouched. ``keep`` picks the canonical: ``min_id``
+    (the default — stable, cheapest) or ``longest`` (max ``n_chars``,
+    ties to min id) — the quality-aware choice real pipelines prefer,
+    since near-dup clusters usually contain one full document plus
+    truncated/boilerplate-wrapped copies, and keeping the longest
+    keeps the most content.
 
     This is the last step of the dedup pipeline — pairs
     (:func:`ngram_jaccard_pairs` or :func:`minhash_lsh_pairs`) →
@@ -1026,10 +1032,31 @@ def near_dedup(
     clustering step runs a bounded number of driver-coordinated jobs
     (label-propagation rounds), not a single lazy plan.
     """
+    if keep not in ("min_id", "longest"):
+        raise ValueError(
+            f"near_dedup: keep must be 'min_id' or 'longest', got {keep!r}"
+        )
     if pairs is None:
         pairs = ngram_jaccard_pairs(docs, text_col=text_col, k=k, min_jaccard=min_jaccard)
     labels = dedup_clusters(pairs)
-    drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    if keep == "longest":
+        # rank cluster members by content length; the label table is
+        # pairs-sized, so the size join back is tiny and the window
+        # partitions on the cluster id (bounded cluster sizes)
+        from pyspark.sql import Window
+
+        sized = labels.join(
+            docs.select("doc_id", F.length(F.col(text_col)).alias("_len")),
+            "doc_id",
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("cluster_id").orderBy(
+                F.col("_len").desc(), "doc_id"
+            )
+        )
+        drop = sized.withColumn("_rn", rn).filter(F.col("_rn") > 1).select("doc_id")
+    else:
+        drop = labels.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     # no broadcast hint: on a heavily-duplicated corpus the drop set is
     # O(corpus) — AQE broadcasts it only when it actually fits
     return docs.join(drop, "doc_id", "left_anti")

@@ -1072,3 +1072,38 @@ def script_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
         counts["other"].alias("n_other"),
         dominant.alias("dominant"),
     )
+
+
+def quantile_normalize(
+    docs: DataFrame,
+    score_col: str = "n_chars",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-source score NORMALIZATION: replace a raw quality score
+    with its within-source percentile, so one global threshold means
+    the same thing for every source — raw score distributions differ
+    wildly across crawls (a '0.7' from a books source and from a web
+    dump are not comparable), and per-source thresholds are the
+    calibration chore this op removes. Output: ``(id, group, score,
+    pctl)`` with ``pctl = percent_rank()`` over the score within the
+    group — ties share a percentile (peer-based rank, no tiebreak
+    column, so the result is deterministic AND tie-faithful; both
+    engines define it as ``(rank-1)/(n-1)``, 0.0 for a single-row
+    group).
+
+    One partitioned window (the group key is the partition — scales
+    with sources × their rows, no global sort). Reference scope:
+    beyond-reference (training-pipeline extension; feeds
+    ``calibrate_keep_threshold`` / ``budget_select`` with comparable
+    scores).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(score_col)
+    return docs.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(score_col).alias("score"),
+        F.percent_rank().over(w).alias("pctl"),
+    )

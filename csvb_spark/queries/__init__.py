@@ -159,9 +159,13 @@ trio — x118 ordered conversion funnel (per-step strictly-after min-ts
 joins, fixed-width state), x119 weekly cohort retention matrix (ISO
 Monday weeks, integer day arithmetic), x120 per-user event pivot
 (DataFrame PIVOT with a pinned value list; the oracle is its
-conditional-aggregation expansion). All sixteen oracle-bearing ops
-driver-gate aliased as p37-p52.
-Corpus: 192 entries, 187 with full oracles.
+conditional-aggregation expansion); x121 cross-source quantile
+normalization (within-source percent_rank — ties share a percentile,
+exact (rank-1)/(n-1) in both engines — so one global threshold means
+the same thing for every source); x122 near-dup removal keeping the
+LONGEST cluster member (the quality-aware keeper; ties to min id).
+All eighteen oracle-bearing ops driver-gate aliased as p37-p54.
+Corpus: 196 entries, 191 with full oracles.
 """
 
 from __future__ import annotations

@@ -4424,6 +4424,57 @@ FROM events GROUP BY user_id
 )
 
 
+# --- round 8: cross-source quantile normalization -----------------------
+# percent_rank is (rank-1)/(n-1) in both engines — exact integer
+# division, ties share a percentile, single-row group reads 0.0.
+_q(
+    "x121_quantile_norm",
+    spark=lambda spark, sf: text.quantile_normalize(_docs(spark, sf)),
+    doc="within-source percentile of a raw quality score",
+    oracle=r"""
+SELECT doc_id, source, n_chars AS score,
+       percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pctl
+FROM documents
+""",
+)
+
+
+# --- round 8: quality-aware dedup keeper ---------------------------------
+# keep='longest': the cluster canonical is the longest member (ties to
+# min id) — near-dup clusters usually hold one full document plus
+# truncated copies, and keeping the longest keeps the most content.
+_q(
+    "x122_near_dedup_longest",
+    spark=lambda spark, sf: dedup.near_dedup(_docs(spark, sf), keep="longest"),
+    doc="near-dup removal keeping the LONGEST cluster member",
+    oracle=f"""
+WITH RECURSIVE
+pairs AS ({_P06_PAIRS_SQL}),
+bidir AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM bidir),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN bidir e ON reach.n = e.a
+),
+labels AS (SELECT n, MIN(r) AS l FROM reach GROUP BY n),
+ranked AS (
+  SELECT lb.n,
+         ROW_NUMBER() OVER (PARTITION BY lb.l
+                            ORDER BY length(d.text) DESC, d.doc_id) AS rn
+  FROM labels lb JOIN documents d ON d.doc_id = lb.n
+)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT n FROM ranked WHERE rn > 1)
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4475,6 +4526,8 @@ _P_ALIASES: dict[str, str] = {
     "p50_event_funnel": "x118_event_funnel",
     "p51_cohort_retention": "x119_cohort_retention",
     "p52_event_pivot": "x120_event_pivot",
+    "p53_quantile_norm": "x121_quantile_norm",
+    "p54_near_dedup_longest": "x122_near_dedup_longest",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]

@@ -786,3 +786,39 @@ def test_snake_sharding_balance_and_validation(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="n_shards"):
         snake_sharding(d, n_shards=0)
+
+
+def test_near_dedup_keep_longest(spark):
+    """keep='longest' keeps the longest cluster member (ties to min
+    id); min_id default unchanged; bad keep is a loud error."""
+    import pytest as _pytest
+
+    from csvb_spark.operators.dedup import near_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    d = spark.createDataFrame(
+        [
+            (1, base + " extra tail words making this one longest", "en", "web"),
+            (2, base, "en", "web"),
+            (3, base + " x", "en", "web"),
+            (9, "totally unrelated content zzz " * 3, "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    longest = {r["doc_id"] for r in near_dedup(d, keep="longest").collect()}
+    assert longest == {1, 9}
+    minid = {r["doc_id"] for r in near_dedup(d).collect()}
+    assert minid == {1, 9}  # here min id IS the longest; vary below
+
+    d2 = spark.createDataFrame(
+        [
+            (5, base, "en", "web"),
+            (6, base + " with a much longer informative tail here", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    assert {r["doc_id"] for r in near_dedup(d2, keep="longest").collect()} == {6}
+    assert {r["doc_id"] for r in near_dedup(d2).collect()} == {5}
+
+    with _pytest.raises(ValueError, match="keep"):
+        near_dedup(d, keep="newest")
