@@ -1554,3 +1554,68 @@ def ivfpq_index_topk(
     return _ivfpq_adc(
         spark.read.parquet(path), m, probed, tables, prow["pid"], k, id_col
     )
+
+
+def centroid_drift(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space DRIFT monitor — x86 token drift's geometric
+    twin: per label, the cosine between the two snapshot halves'
+    centroids (here the even/odd id halves; in production, yesterday's
+    embeddings vs today's). A label whose centroid swings is a class
+    whose content changed — re-embed, re-cluster, or investigate the
+    upstream source. Output: ``(label, n_old, n_new, centroid_cos)``
+    (NULL cosine when a half is empty or zero).
+
+    Determinism: cosine is scale-invariant, so it is computed from the
+    per-dimension element SUMS, not means — each element is rounded to
+    6 and quantized to DECIMAL(18,6) ONCE (the x92/x103 pattern), and
+    everything after that stays in exact decimal arithmetic
+    (dot/norms are sums of DECIMAL(18,6) products — DECIMAL(36,12),
+    exact in both engines) until one final deterministic double
+    division. No rounding of already-agreed doubles anywhere.
+
+    Plan: one explode to ``(label, dim)`` granularity — the exchange
+    carries ``labels × dim`` aggregated rows, not the corpus — then a
+    ``labels``-sized aggregate; counts ride a second tiny aggregate on
+    the unexploded table. Reference scope: beyond-reference
+    (training-pipeline extension).
+    """
+    half = F.pmod(F.col(id_col), F.lit(2))
+    tagged = embeddings.select(
+        F.col(label_col).alias("label"),
+        half.alias("_half"),
+        F.posexplode(F.col(vec_col)).alias("pos", "_v"),
+    )
+    q = F.round(F.col("_v").cast("double"), 6).cast("decimal(18,6)")
+    per_dim = tagged.groupBy("label", "pos").agg(
+        F.coalesce(F.sum(F.when(F.col("_half") == 0, q)), F.lit(0))
+        .cast("decimal(18,6)")
+        .alias("_so"),
+        F.coalesce(F.sum(F.when(F.col("_half") == 1, q)), F.lit(0))
+        .cast("decimal(18,6)")
+        .alias("_sn"),
+    )
+    sums = per_dim.groupBy("label").agg(
+        F.sum(F.col("_so") * F.col("_sn")).alias("_dot"),
+        F.sum(F.col("_so") * F.col("_so")).alias("_no"),
+        F.sum(F.col("_sn") * F.col("_sn")).alias("_nn"),
+    )
+    counts = embeddings.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.when(half == 0, 1)).alias("n_old"),
+        F.count(F.when(half == 1, 1)).alias("n_new"),
+    )
+    cos = F.when(
+        (F.col("_no").cast("double") > 0) & (F.col("_nn").cast("double") > 0),
+        F.col("_dot").cast("double")
+        / (
+            F.sqrt(F.col("_no").cast("double"))
+            * F.sqrt(F.col("_nn").cast("double"))
+        ),
+    )
+    return counts.join(sums, "label").select(
+        "label", "n_old", "n_new", cos.alias("centroid_cos")
+    )

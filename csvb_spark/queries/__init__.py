@@ -164,8 +164,12 @@ normalization (within-source percent_rank — ties share a percentile,
 exact (rank-1)/(n-1) in both engines — so one global threshold means
 the same thing for every source); x122 near-dup removal keeping the
 LONGEST cluster member (the quality-aware keeper; ties to min id).
-All eighteen oracle-bearing ops driver-gate aliased as p37-p54.
-Corpus: 196 entries, 191 with full oracles.
+x123 embedding centroid drift (x86's geometric twin: per-label
+centroid cosine between snapshot halves — scale-invariant, so it is
+computed from per-dimension element SUMS quantized once, exact
+decimal arithmetic to the final division). All nineteen oracle-bearing
+ops driver-gate aliased as p37-p55.
+Corpus: 198 entries, 193 with full oracles.
 """
 
 from __future__ import annotations

@@ -4475,6 +4475,47 @@ WHERE d.doc_id NOT IN (SELECT n FROM ranked WHERE rn > 1)
 )
 
 
+# --- round 8: embedding centroid drift ----------------------------------
+# Scale-invariant: cosine of per-dimension element SUMS (not means),
+# quantized once per element, exact decimal arithmetic to the end.
+_q(
+    "x123_centroid_drift",
+    spark=lambda spark, sf: similarity.centroid_drift(_embs(spark, sf)),
+    doc="per-label centroid cosine between snapshot halves",
+    oracle=r"""
+WITH e AS (
+  SELECT label, vec_id % 2 AS half,
+         generate_subscripts(embedding, 1) AS pos,
+         unnest(CAST(embedding AS DOUBLE[])) AS v
+  FROM embeddings
+), q AS (
+  SELECT label, pos,
+    CAST(COALESCE(SUM(CASE WHEN half = 0
+                  THEN CAST(round(v, 6) AS DECIMAL(18,6)) END), 0)
+         AS DECIMAL(18,6)) AS so,
+    CAST(COALESCE(SUM(CASE WHEN half = 1
+                  THEN CAST(round(v, 6) AS DECIMAL(18,6)) END), 0)
+         AS DECIMAL(18,6)) AS sn
+  FROM e GROUP BY label, pos
+), d AS (
+  SELECT label, SUM(so * sn) AS dot, SUM(so * so) AS no2, SUM(sn * sn) AS nn2
+  FROM q GROUP BY label
+), c AS (
+  SELECT label,
+         COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END) AS n_old,
+         COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END) AS n_new
+  FROM embeddings GROUP BY label
+)
+SELECT c.label, CAST(n_old AS BIGINT) AS n_old, CAST(n_new AS BIGINT) AS n_new,
+  CASE WHEN CAST(no2 AS DOUBLE) > 0 AND CAST(nn2 AS DOUBLE) > 0
+       THEN CAST(dot AS DOUBLE)
+            / (sqrt(CAST(no2 AS DOUBLE)) * sqrt(CAST(nn2 AS DOUBLE)))
+  END AS centroid_cos
+FROM c JOIN d USING (label)
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4528,6 +4569,7 @@ _P_ALIASES: dict[str, str] = {
     "p52_event_pivot": "x120_event_pivot",
     "p53_quantile_norm": "x121_quantile_norm",
     "p54_near_dedup_longest": "x122_near_dedup_longest",
+    "p55_centroid_drift": "x123_centroid_drift",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]
