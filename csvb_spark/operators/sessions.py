@@ -175,3 +175,35 @@ def cohort_retention(
         )
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+def props_stats(
+    events: DataFrame,
+    json_col: str = "props",
+    field: str = "k",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-type stats over a JSON PROPERTIES column — event streams
+    carry their payload as a JSON string, and the first analytics
+    question is always "what does field X look like per event type".
+    Output: ``(event_type, n_events, n_with_field, min_f, max_f,
+    avg_f)`` — the field parsed as an integer; ``avg_f`` is an
+    exact-integer-sum division (unrounded, engine-identical).
+
+    ``get_json_object`` is JVM-side (Jackson) — map-only extraction,
+    one partial-aggregated groupBy on the type.
+    """
+    v = F.get_json_object(F.col(json_col), f"$.{field}").cast("bigint")
+    return (
+        events.select(F.col(type_col), v.alias("_v"))
+        .groupBy(type_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("_v").alias("n_with_field"),
+            F.min("_v").alias("min_f"),
+            F.max("_v").alias("max_f"),
+            (
+                F.sum("_v").cast("double") / F.count("_v").cast("double")
+            ).alias("avg_f"),
+        )
+    )

@@ -1107,3 +1107,32 @@ def quantile_normalize(
         F.col(score_col).alias("score"),
         F.percent_rank().over(w).alias("pctl"),
     )
+
+
+def self_line_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """WITHIN-document line dedup — the complement of the cross-doc
+    :func:`~csvb_spark.operators.dedup.line_dedup`: templated pages
+    repeat their own nav/header/footer lines inside one document, and
+    dropping repeats keeps the first occurrence (order preserved, so
+    prose stays intact). Output: ``(doc_id, n_lines, n_unique_lines,
+    clean_text)``.
+
+    Map-only array work: the line array is projected into a REAL
+    column first so the first-occurrence filter's ``array_position``
+    probe does not re-evaluate the split per element (the SCALE.md §6
+    HOF rule); the filter itself is O(lines²) per document — lines per
+    page are dozens, not thousands, and nothing shuffles. Reference
+    scope: beyond-reference (training-pipeline extension).
+    """
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+    staged = docs.select("doc_id", lines.alias("_lines"))
+    arr = F.col("_lines")
+    kept = F.filter(
+        arr, lambda x, i: F.array_position(arr, x) == i + F.lit(1)
+    )
+    return staged.select(
+        "doc_id",
+        F.size(arr).alias("n_lines"),
+        F.size(kept).alias("n_unique_lines"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

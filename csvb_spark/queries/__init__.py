@@ -167,9 +167,14 @@ LONGEST cluster member (the quality-aware keeper; ties to min id).
 x123 embedding centroid drift (x86's geometric twin: per-label
 centroid cosine between snapshot halves — scale-invariant, so it is
 computed from per-dimension element SUMS quantized once, exact
-decimal arithmetic to the final division). All nineteen oracle-bearing
-ops driver-gate aliased as p37-p55.
-Corpus: 198 entries, 193 with full oracles.
+decimal arithmetic to the final division); x124 within-document line
+dedup (templated pages repeat their own nav/footer lines — first
+occurrence survives, order kept; the array is projected before the
+first-occurrence probe per the HOF rule); x125 per-type stats over the
+events JSON props payload (JVM-side get_json_object, exact-sum
+average). All twenty-one oracle-bearing ops driver-gate aliased as
+p37-p57.
+Corpus: 202 entries, 197 with full oracles.
 """
 
 from __future__ import annotations

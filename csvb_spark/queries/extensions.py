@@ -4516,6 +4516,61 @@ FROM c JOIN d USING (label)
 )
 
 
+# --- round 8: within-document line dedup --------------------------------
+# The fixture plants a repeated header on every doc and a repeated
+# footer on the even half (odd docs keep a unique line) via the
+# shared-expression pattern; first occurrence survives, order kept.
+_X124_LINES_EXPR = """
+'header ' || source || chr(10) || text || chr(10) ||
+'header ' || source || chr(10) ||
+CASE WHEN doc_id % 2 = 0 THEN 'footer common'
+     ELSE 'unique ' || CAST(doc_id AS STRING) END ||
+chr(10) || 'footer common'
+"""
+
+_q(
+    "x124_self_line_dedup",
+    spark=lambda spark, sf: text.self_line_dedup(
+        _docs(spark, sf).withColumn("_t", F.expr(_X124_LINES_EXPR)),
+        text_col="_t",
+    ),
+    doc="within-doc repeated-line removal (first occurrence kept)",
+    oracle=rf"""
+WITH base AS (
+  SELECT doc_id, {_X124_LINES_EXPR} AS t FROM documents
+), l AS (
+  SELECT doc_id, string_split(t, chr(10)) AS lines FROM base
+), k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, (x, i) -> list_position(lines, x) = i) AS kept
+  FROM l
+)
+SELECT doc_id, CAST(len(lines) AS INT) AS n_lines,
+       CAST(len(kept) AS INT) AS n_unique_lines,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM k
+""",
+)
+
+
+# --- round 8: JSON props stats per event type ----------------------------
+_q(
+    "x125_props_stats",
+    spark=lambda spark, sf: sessions.props_stats(_events(spark, sf)),
+    doc="per-type stats over the JSON props payload field",
+    oracle=r"""
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_with_field,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_f,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_f,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+         / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_f
+FROM events GROUP BY event_type
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4570,6 +4625,8 @@ _P_ALIASES: dict[str, str] = {
     "p53_quantile_norm": "x121_quantile_norm",
     "p54_near_dedup_longest": "x122_near_dedup_longest",
     "p55_centroid_drift": "x123_centroid_drift",
+    "p56_self_line_dedup": "x124_self_line_dedup",
+    "p57_props_stats": "x125_props_stats",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]
