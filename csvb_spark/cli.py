@@ -242,6 +242,22 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--key", required=True, help="the join/groupBy key column")
     pk.add_argument("--k", type=int, default=20, help="top-k hot keys to show")
 
+    pd_ = sub.add_parser(
+        "card",
+        help="dataset-card summary: volume, provenance/language "
+        "breadth, exact-dup rate, median size, + length histogram",
+    )
+    pd_.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pd_.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pd_.add_argument("--json", action="append", default=[], metavar="PATH")
+    pd_.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pd_.add_argument("--text-col", default="text")
+    pd_.add_argument(
+        "--histogram",
+        action="store_true",
+        help="also print the equi-width length histogram",
+    )
+
     pt = sub.add_parser(
         "train-filter",
         help="train a quality-filter model (hashed linear classifier "
@@ -674,6 +690,26 @@ def main(argv: list[str] | None = None) -> int:
         print(
             render_df(profile_table(spark.table(args.table_name), exact=args.exact))
         )
+        return 0
+
+    if args.command == "card":
+        from pyspark.sql import functions as F
+
+        from csvb_spark.operators.profile import dataset_card, length_histogram
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        table = spark.table(args.table_name)
+        print(render_df(dataset_card(table, text_col=args.text_col)))
+        if args.histogram:
+            hist = length_histogram(
+                table.withColumn(
+                    "n_chars",
+                    F.length(F.coalesce(F.col(args.text_col), F.lit(""))),
+                )
+            )
+            print(render_df(hist.orderBy("bin")))
         return 0
 
     if args.command == "skew":

@@ -332,3 +332,91 @@ def filter_attribution(
             "pct_fail"
         ),
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """One-call DATASET CARD summary — the headline table a corpus
+    release publishes: volume, provenance breadth, language breadth,
+    duplication rate, and size distribution, as one long-format
+    ``(metric, value)`` result. Every metric is exact (counts, exact
+    interpolated median, one IEEE division for the dup rate), so the
+    card is reproducible in any engine.
+
+    Plan: ONE aggregation over one scan computes every metric
+    (count-distincts expand map-side; the exact median is Spark's
+    ``percentile``, the same (a+b)/2 interpolation DuckDB's ``median``
+    uses); the melt to long form happens on the single aggregated
+    row. Reference scope: beyond-reference (training-pipeline
+    extension; the per-source drill-down is ``retention_funnel`` /
+    ``source_overlap``).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    fp = F.md5(F.encode(text, "UTF-8"))
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    row = docs.agg(
+        F.count("*").alias("_n"),
+        F.count_distinct(F.col(source_col)).alias("_srcs"),
+        F.count_distinct(F.col(lang_col)).alias("_langs"),
+        F.count_distinct(fp).alias("_uniq"),
+        F.sum(n_tokens.cast("bigint")).alias("_toks"),
+        F.expr(f"percentile(length(coalesce({text_col}, '')), 0.5)").alias(
+            "_med"
+        ),
+    )
+    metrics = [
+        ("n_docs", F.col("_n").cast("double")),
+        ("n_sources", F.col("_srcs").cast("double")),
+        ("n_langs", F.col("_langs").cast("double")),
+        ("total_tokens", F.col("_toks").cast("double")),
+        ("median_chars", F.col("_med").cast("double")),
+        (
+            "exact_dup_rate",
+            F.lit(1.0) - F.col("_uniq").cast("double") / F.col("_n"),
+        ),
+    ]
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("metric"), col.alias("value")
+                    )
+                    for name, col in metrics
+                ]
+            )
+        ).alias("s")
+    ).select("s.metric", "s.value")
+
+
+def length_histogram(
+    docs: DataFrame,
+    size_col: str = "n_chars",
+    bin_width: int = 100,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Equi-width SIZE histogram (last bin open-ended) — the length
+    distribution a dataset card plots next to :func:`dataset_card`'s
+    scalars. Output: ``(bin, bin_start, n_docs)`` with ``bin =
+    min(size // bin_width, n_bins - 1)``.
+
+    One partial-aggregated groupBy over at most ``n_bins`` groups —
+    integer arithmetic only."""
+    if bin_width < 1 or n_bins < 2:
+        raise ValueError("length_histogram: bin_width >= 1, n_bins >= 2")
+    b = F.least(
+        F.floor(F.col(size_col) / F.lit(bin_width)), F.lit(n_bins - 1)
+    ).cast("int")
+    return (
+        docs.groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "bin",
+            (F.col("bin") * bin_width).cast("bigint").alias("bin_start"),
+            "n_docs",
+        )
+    )

@@ -172,9 +172,12 @@ dedup (templated pages repeat their own nav/footer lines — first
 occurrence survives, order kept; the array is projected before the
 first-occurrence probe per the HOF rule); x125 per-type stats over the
 events JSON props payload (JVM-side get_json_object, exact-sum
-average). All twenty-one oracle-bearing ops driver-gate aliased as
-p37-p57.
-Corpus: 202 entries, 197 with full oracles.
+average); x126 dataset card (volume / provenance / language breadth /
+exact-dup rate / median size as one long-format result, every metric
+exact; `card` CLI subcommand surfaces it with an optional length
+histogram) and x127 equi-width length histogram. All twenty-three
+oracle-bearing ops driver-gate aliased as p37-p59.
+Corpus: 206 entries, 201 with full oracles.
 """
 
 from __future__ import annotations

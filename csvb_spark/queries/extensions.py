@@ -4571,6 +4571,43 @@ FROM events GROUP BY event_type
 )
 
 
+# --- round 8: dataset card + length histogram ----------------------------
+_q(
+    "x126_dataset_card",
+    spark=lambda spark, sf: PR.dataset_card(_docs(spark, sf)),
+    doc="one-row-per-metric dataset card (volume, dup rate, median)",
+    oracle=r"""
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT source) AS srcs,
+         COUNT(DISTINCT lang) AS langs,
+         COUNT(DISTINCT md5(coalesce(text, ''))) AS uniq,
+         SUM(len(string_split_regex(trim(coalesce(text, '')), '\s+'))) AS toks,
+         median(length(coalesce(text, ''))) AS med
+  FROM documents
+)
+SELECT 'n_docs' AS metric, CAST(n AS DOUBLE) AS value FROM a
+UNION ALL SELECT 'n_sources', CAST(srcs AS DOUBLE) FROM a
+UNION ALL SELECT 'n_langs', CAST(langs AS DOUBLE) FROM a
+UNION ALL SELECT 'total_tokens', CAST(toks AS DOUBLE) FROM a
+UNION ALL SELECT 'median_chars', CAST(med AS DOUBLE) FROM a
+UNION ALL SELECT 'exact_dup_rate', 1.0 - CAST(uniq AS DOUBLE) / n FROM a
+""",
+)
+
+_q(
+    "x127_length_histogram",
+    spark=lambda spark, sf: PR.length_histogram(_docs(spark, sf)),
+    doc="equi-width doc-size histogram (open-ended last bin)",
+    oracle=r"""
+SELECT CAST(least(n_chars // 100, 19) AS INT) AS bin,
+       CAST(least(n_chars // 100, 19) * 100 AS BIGINT) AS bin_start,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4627,6 +4664,8 @@ _P_ALIASES: dict[str, str] = {
     "p55_centroid_drift": "x123_centroid_drift",
     "p56_self_line_dedup": "x124_self_line_dedup",
     "p57_props_stats": "x125_props_stats",
+    "p58_dataset_card": "x126_dataset_card",
+    "p59_length_histogram": "x127_length_histogram",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]

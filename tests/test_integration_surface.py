@@ -1247,3 +1247,18 @@ def test_cli_clean_html_mode(spark, tmp_path, capsys):
     row = spark.read.parquet(out_dir).collect()[0]
     assert row["keep_doc"] is True and row["n_kept"] == 6
     assert "script" not in row["clean_text"] and "<p>" not in row["clean_text"]
+
+
+def test_cli_card_summary(spark, sf_dir, capsys):
+    """`csvb card` prints the dataset-card metrics; --histogram adds
+    the binned length distribution."""
+    from csvb_spark.cli import main
+
+    rc = main(
+        ["card", "--parquet", f"{sf_dir}/documents.parquet", "--histogram"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    for metric in ("n_docs", "exact_dup_rate", "median_chars", "total_tokens"):
+        assert metric in out
+    assert "bin_start" in out
