@@ -230,19 +230,23 @@ def retention_funnel(
     pct_exact, pct_final)``. Reference scope: beyond-reference
     (training-pipeline extension; composes with p01/p02's dedup).
     """
-    fp = F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    fp = F.md5(F.encode(text, "UTF-8"))
     keeper_rank = F.row_number().over(
         Window.partitionBy(fp).orderBy("doc_id")
     )
+    # the length stage measures the SAME column the fingerprint stage
+    # hashed (a pre-existing n_chars column could describe different,
+    # stale text — and nothing guarantees the frame has one)
     staged = docs.select(
         group_col,
-        "n_chars",
+        F.length(text).alias("_len"),
         keeper_rank.alias("_rn"),
     )
     is_exact = (F.col("_rn") == 1).cast("bigint")
     is_final = (
         (F.col("_rn") == 1)
-        & F.col("n_chars").between(min_chars, max_chars)
+        & F.col("_len").between(min_chars, max_chars)
     ).cast("bigint")
     return (
         staged.groupBy(group_col)
@@ -291,21 +295,25 @@ def filter_attribution(
     if not filters:
         raise ValueError("filter_attribution: filters must be non-empty")
     names = list(filters)
+    # internal columns are POSITIONAL (_f_0, _f_1, ...): a display name
+    # containing '.' or '`' would otherwise be re-parsed by F.col as a
+    # struct-field path and fail resolution; the caller's name appears
+    # only as a literal in the melt
     flagged = docs.select(
         *[
-            (~F.coalesce(c, F.lit(False))).cast("int").alias(f"_f_{n}")
-            for n, c in filters.items()
+            (~F.coalesce(c, F.lit(False))).cast("int").alias(f"_f_{i}")
+            for i, c in enumerate(filters.values())
         ]
     )
-    total_fails = sum(F.col(f"_f_{n}") for n in names)
+    total_fails = sum(F.col(f"_f_{i}") for i in range(len(names)))
     flagged = flagged.withColumn("_nf", total_fails)
     aggs = [F.count("*").alias("_n")]
-    for n in names:
-        aggs.append(F.sum(F.col(f"_f_{n}")).alias(f"_fail_{n}"))
+    for i in range(len(names)):
+        aggs.append(F.sum(F.col(f"_f_{i}")).alias(f"_fail_{i}"))
         aggs.append(
             F.sum(
-                ((F.col(f"_f_{n}") == 1) & (F.col("_nf") == 1)).cast("int")
-            ).alias(f"_uniq_{n}")
+                ((F.col(f"_f_{i}") == 1) & (F.col("_nf") == 1)).cast("int")
+            ).alias(f"_uniq_{i}")
         )
     row = flagged.agg(*aggs)
     melted = row.select(
@@ -315,10 +323,10 @@ def filter_attribution(
                     F.struct(
                         F.lit(n).alias("filter"),
                         F.col("_n").cast("bigint").alias("n_docs"),
-                        F.col(f"_fail_{n}").cast("bigint").alias("n_fail"),
-                        F.col(f"_uniq_{n}").cast("bigint").alias("n_unique_fail"),
+                        F.col(f"_fail_{i}").cast("bigint").alias("n_fail"),
+                        F.col(f"_uniq_{i}").cast("bigint").alias("n_unique_fail"),
                     )
-                    for n in names
+                    for i, n in enumerate(names)
                 ]
             )
         ).alias("s")

@@ -851,12 +851,25 @@ def export_tar_shards(
     document). Tasks write to ``out_dir`` from the EXECUTOR — on a
     real cluster point it at shared storage and cap shard size by
     raising ``n_shards`` (shards are hash-balanced by id). Speculative
-    re-execution is safe: a re-run of a task rewrites the same file
-    with the same bytes. Reference scope: beyond-reference
+    re-execution is safe: each attempt writes a private temp file and
+    ``os.replace``s it into place atomically (the bytes are identical
+    either way, so whichever attempt lands last is correct — never an
+    interleaving). Calling this function also clears the target's
+    ``shard-*.tar`` leftovers, so a re-export with fewer shards cannot
+    leave stale higher-numbered tars for the reader to double-count.
+    The manifest md5 hashes in bounded chunks. Reference scope:
+    beyond-reference
     (training-pipeline extension; tar layout per the public WebDataset
     convention).
     """
-    data_cols = [c for c in df.columns if c != id_col]
+    # a re-export with fewer shards must not leave the previous run's
+    # higher-numbered tars behind — read_tar_corpus globs *.tar, so a
+    # stale shard would silently duplicate documents on read-back
+    import glob as _glob
+    import os as _os
+
+    for stale in _glob.glob(_os.path.join(out_dir, "shard-*.tar")):
+        _os.remove(stale)
     tagged = (
         df.withColumn("shard", export_shard(id_col, n_shards, seed))
         .withColumn("_key", md5_key(id_col, seed))
@@ -878,7 +891,7 @@ def export_tar_shards(
         import pandas as pd
 
         os.makedirs(out_d, exist_ok=True)
-        state = {"shard": None, "tar": None, "fh": None, "n": 0}
+        state = {"shard": None, "tar": None, "fh": None, "n": 0, "tmp": None}
 
         def _close():
             if state["tar"] is None:
@@ -886,16 +899,27 @@ def export_tar_shards(
             state["tar"].close()
             state["fh"].close()
             path = os.path.join(out_d, f"shard-{state['shard']:05d}.tar")
-            with open(path, "rb") as f:
-                raw = f.read()
+            # md5 in bounded chunks (never the whole tar in memory),
+            # then an ATOMIC rename into place: a speculative duplicate
+            # of this task writes its own temp file and the final
+            # os.replace is all-or-nothing — no interleaved truncation
+            # of a half-written shard (the bytes are identical either
+            # way, so whichever attempt lands last is correct)
+            h = hashlib.md5()
+            n_bytes = 0
+            with open(state["tmp"], "rb") as f:
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+                    n_bytes += len(chunk)
+            os.replace(state["tmp"], path)
             row = (
                 int(state["shard"]),
                 path,
                 int(state["n"]),
-                len(raw),
-                hashlib.md5(raw).hexdigest(),
+                n_bytes,
+                h.hexdigest(),
             )
-            state.update(shard=None, tar=None, fh=None, n=0)
+            state.update(shard=None, tar=None, fh=None, n=0, tmp=None)
             return row
 
         out_rows = []
@@ -906,8 +930,10 @@ def export_tar_shards(
                     done = _close()
                     if done:
                         out_rows.append(done)
-                    path = os.path.join(out_d, f"shard-{shard:05d}.tar")
-                    fh = open(path, "wb")
+                    tmp = os.path.join(
+                        out_d, f".shard-{shard:05d}.tar.tmp-{os.getpid()}"
+                    )
+                    fh = open(tmp, "wb")
                     state.update(
                         shard=shard,
                         fh=fh,
@@ -915,6 +941,7 @@ def export_tar_shards(
                             fileobj=fh, mode="w", format=tarfile.USTAR_FORMAT
                         ),
                         n=0,
+                        tmp=tmp,
                     )
                 doc_id = rec[id_c]
                 text = rec.get(text_c)
@@ -992,9 +1019,15 @@ def curriculum_order(
         )
     from pyspark.sql import Window
 
+    # NULL scores land in stage 1 (no difficulty evidence reads as
+    # easiest — the "NULL ppl passes the gate" convention); an
+    # un-coalesced comparison would NULL the stage and the bucket,
+    # and the offsets join would silently drop the document
     stage = F.lit(1)
     for b in boundaries:
-        stage = stage + (F.col(score_col) >= F.lit(float(b))).cast("int")
+        stage = stage + F.coalesce(
+            (F.col(score_col) >= F.lit(float(b))).cast("int"), F.lit(0)
+        )
     keyed = (
         df.withColumn("stage", stage)
         .withColumn("_co_key", md5_key(id_col, seed))
@@ -1124,10 +1157,16 @@ def snake_sharding(
         raise ValueError(f"snake_sharding: n_shards must be >= 1, got {n_shards}")
     from pyspark.sql import Window
 
-    w = (
+    # NULL weights coalesce to 0 (lightest) — a NULL would otherwise
+    # produce a NULL bucket, and the inner join with the offsets table
+    # would SILENTLY DROP the document from every shard
+    w = F.coalesce(
         F.col(weight_col).cast("bigint")
         if weight_col is not None
-        else F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+        else F.size(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).cast("bigint"),
+        F.lit(0),
     )
     keyed = docs.select(
         F.col(id_col), w.alias("weight"), md5_key(id_col, seed).alias("_sn_key")

@@ -3946,7 +3946,7 @@ _q(
     doc="per-source retention through exact-dedup + length stages",
     oracle=r"""
 WITH k AS (
-  SELECT source, n_chars,
+  SELECT source, length(coalesce(text, '')) AS l,
          ROW_NUMBER() OVER (PARTITION BY md5(coalesce(text, ''))
                             ORDER BY doc_id) AS rn
   FROM documents
@@ -3954,11 +3954,11 @@ WITH k AS (
 SELECT source,
   COUNT(*) AS n_raw,
   SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_exact,
-  SUM(CASE WHEN rn = 1 AND n_chars BETWEEN 100 AND 5000
+  SUM(CASE WHEN rn = 1 AND l BETWEEN 100 AND 5000
        THEN 1 ELSE 0 END) AS n_final,
   ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*), 6) AS pct_exact,
-  ROUND(CAST(SUM(CASE WHEN rn = 1 AND n_chars BETWEEN 100 AND 5000
+  ROUND(CAST(SUM(CASE WHEN rn = 1 AND l BETWEEN 100 AND 5000
                  THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*), 6) AS pct_final
 FROM k GROUP BY source

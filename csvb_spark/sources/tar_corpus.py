@@ -7,8 +7,10 @@ Scale shape: ``binaryFile`` gives one row per tar (tars are not
 splittable), so the unit of parallelism is the shard file — which the
 EXPORT side already bounds by hash-balancing docs across ``n_shards``.
 Re-shard the export (raise ``n_shards``) rather than raising executor
-memory: each task holds exactly one shard's bytes plus one decoded
-document at a time. The member decode is an Arrow-batched
+memory: each task holds one shard's bytes plus a bounded decode chunk
+(the writer lays each document's ``.txt``/``.json`` pair adjacently,
+so the reader streams rows out in 256-row Arrow batches — it never
+buffers a shard's decoded text). The member decode is an Arrow-batched
 ``mapInPandas`` whose closure captures only stdlib (executors never
 import this package).
 
@@ -56,6 +58,8 @@ def read_tar_corpus(
 
         import pandas as pd
 
+        CHUNK = 256  # rows per emitted Arrow batch
+
         for pdf in batches:
             rows = []
             for rec in pdf.to_dict("records"):
@@ -64,21 +68,40 @@ def read_tar_corpus(
                 with tarfile.open(
                     fileobj=io.BytesIO(rec["content"])
                 ) as tf:
-                    texts: dict[str, str] = {}
-                    metas: dict[str, str] = {}
-                    for member in tf.getmembers():
+                    # members arrive in writer order — each document's
+                    # .txt/.json pair is adjacent — so rows stream out
+                    # in bounded chunks instead of buffering the whole
+                    # shard's decoded text (the one-decoded-doc-at-a-
+                    # time memory contract); `pending` only ever holds
+                    # an incomplete trailing pair (or strays from a
+                    # foreign tar)
+                    pending: dict[str, dict[str, str]] = {}
+                    for member in tf:
                         if "." not in member.name:
                             continue
                         stem, ext = member.name.rsplit(".", 1)
+                        if ext not in ("txt", "json"):
+                            continue
                         blob = tf.extractfile(member).read()
-                        if ext == "txt":
-                            texts[stem] = blob.decode("utf-8")
-                        elif ext == "json":
-                            metas[stem] = blob.decode("utf-8")
-                    for stem, text in texts.items():
-                        rows.append(
-                            (shard, int(stem), text, metas.get(stem))
-                        )
+                        parts = pending.setdefault(stem, {})
+                        parts[ext] = blob.decode("utf-8")
+                        if "txt" in parts and "json" in parts:
+                            rows.append(
+                                (shard, int(stem), parts["txt"], parts["json"])
+                            )
+                            del pending[stem]
+                            if len(rows) >= CHUNK:
+                                yield pd.DataFrame(
+                                    rows,
+                                    columns=["shard", id_c, text_c, "meta"],
+                                )
+                                rows = []
+                    # tolerate .txt-only members (foreign tars)
+                    for stem, parts in pending.items():
+                        if "txt" in parts:
+                            rows.append(
+                                (shard, int(stem), parts["txt"], None)
+                            )
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["shard", id_c, text_c, "meta"]

@@ -822,3 +822,59 @@ def test_near_dedup_keep_longest(spark):
 
     with _pytest.raises(ValueError, match="keep"):
         near_dedup(d, keep="newest")
+
+
+def test_review_fixes_null_handling_and_stale_tars(spark, sf_dir, tmp_path):
+    """Round-8 self-review regressions: NULL weight/score rows are
+    KEPT (not silently dropped by a NULL bucket join); a re-export
+    with fewer shards clears the previous run's higher tars; the
+    funnel works without a pre-existing n_chars column; dotted filter
+    names resolve."""
+    import glob as _glob
+
+    from csvb_spark.operators.profile import filter_attribution, retention_funnel
+    from csvb_spark.operators.splits import (
+        curriculum_order,
+        export_tar_shards,
+        snake_sharding,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "three tokens here", "en", "a"), (2, None, "en", "a")],
+        "doc_id long, text string, lang string, source string",
+    )
+    snake = {r["doc_id"]: r for r in snake_sharding(d, n_shards=2).collect()}
+    # NULL text reads as one empty token (tokens() semantics), not a drop
+    assert set(snake) == {1, 2} and snake[2]["weight"] == 1
+    wsnake = {
+        r["doc_id"]: r
+        for r in snake_sharding(
+            d.withColumn("w", F.expr("CASE WHEN doc_id = 1 THEN 10 END")),
+            n_shards=2,
+            weight_col="w",
+        ).collect()
+    }
+    assert set(wsnake) == {1, 2} and wsnake[2]["weight"] == 0
+
+    cur = {
+        r["doc_id"]: r["stage"]
+        for r in curriculum_order(
+            d.withColumn("score", F.expr("CASE WHEN doc_id = 1 THEN 5.0 END")),
+            "score",
+            [1.0],
+        ).collect()
+    }
+    assert cur == {1: 2, 2: 1}  # NULL score -> stage 1, row kept
+
+    out = str(tmp_path / "reshard")
+    export_tar_shards(_docs(spark, sf_dir), out, n_shards=4).collect()
+    assert len(_glob.glob(f"{out}/shard-*.tar")) == 4
+    export_tar_shards(_docs(spark, sf_dir), out, n_shards=2).collect()
+    assert len(_glob.glob(f"{out}/shard-*.tar")) == 2  # stale tars gone
+
+    funnel = retention_funnel(d.select("doc_id", "text", "source"))
+    row = funnel.collect()[0]
+    assert row["n_raw"] == 2  # no n_chars column required
+
+    att = filter_attribution(d, {"min.len": F.length("text") >= 5})
+    assert att.collect()[0]["filter"] == "min.len"
