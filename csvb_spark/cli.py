@@ -258,6 +258,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="also print the equi-width length histogram",
     )
 
+    psh = sub.add_parser(
+        "shard",
+        help="shard assignment: hash (export_shard) or size-balanced "
+        "snake deal; prints the per-shard doc/weight summary",
+    )
+    psh.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    psh.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    psh.add_argument("--json", action="append", default=[], metavar="PATH")
+    psh.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    psh.add_argument("--method", choices=("hash", "snake"), default="hash")
+    psh.add_argument("--shards", type=int, default=16)
+    psh.add_argument("--id-col", default="doc_id")
+    psh.add_argument("--text-col", default="text")
+    psh.add_argument(
+        "--weight-col",
+        default=None,
+        help="snake only: weight column (default: whitespace tokens)",
+    )
+    psh.add_argument("--seed", type=int, default=42)
+    psh.add_argument("--output", default=None, help="write assignments here")
+
     pt = sub.add_parser(
         "train-filter",
         help="train a quality-filter model (hashed linear classifier "
@@ -690,6 +711,59 @@ def main(argv: list[str] | None = None) -> int:
         print(
             render_df(profile_table(spark.table(args.table_name), exact=args.exact))
         )
+        return 0
+
+    if args.command == "shard":
+        from pyspark.sql import functions as F
+
+        from csvb_spark.operators.splits import export_shard, snake_sharding
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        table = spark.table(args.table_name)
+        if args.method == "snake":
+            assigned = snake_sharding(
+                table,
+                n_shards=args.shards,
+                weight_col=args.weight_col,
+                text_col=args.text_col,
+                id_col=args.id_col,
+                seed=args.seed,
+            )
+        else:
+            if args.weight_col is not None:
+                print(
+                    "error: --weight-col applies to --method snake only",
+                    file=sys.stderr,
+                )
+                return 2
+            assigned = table.select(
+                F.col(args.id_col),
+                F.size(
+                    F.split(
+                        F.trim(F.coalesce(F.col(args.text_col), F.lit(""))),
+                        r"\s+",
+                    )
+                )
+                .cast("bigint")
+                .alias("weight"),
+                export_shard(args.id_col, args.shards, args.seed).alias(
+                    "shard"
+                ),
+            )
+        if args.output:
+            assigned.write.mode("overwrite").parquet(args.output)
+            assigned = spark.read.parquet(args.output)
+        summary = (
+            assigned.groupBy("shard")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum("weight").alias("total_weight"),
+            )
+            .orderBy("shard")
+        )
+        print(render_df(summary))
         return 0
 
     if args.command == "card":

@@ -1262,3 +1262,30 @@ def test_cli_card_summary(spark, sf_dir, capsys):
     for metric in ("n_docs", "exact_dup_rate", "median_chars", "total_tokens"):
         assert metric in out
     assert "bin_start" in out
+
+
+def test_cli_shard_methods(spark, sf_dir, tmp_path, capsys):
+    """`csvb shard` assigns via hash or the snake deal; snake balances
+    total weight tighter than hash on the same table; cross-method
+    flag misuse rejects loudly."""
+    from csvb_spark.cli import main
+
+    def spread(argv):
+        out_dir = str(tmp_path / argv[0])
+        rc = main(
+            ["shard", "--parquet", f"{sf_dir}/documents.parquet",
+             "--shards", "4", "--method", argv[0], "--output", out_dir]
+        )
+        assert rc == 0 and "total_weight" in capsys.readouterr().out
+        rows = spark.read.parquet(out_dir).groupBy("shard").sum("weight").collect()
+        ws = [r[1] for r in rows]
+        return max(ws) - min(ws)
+
+    assert spread(["snake"]) <= spread(["hash"])
+
+    rc = main(
+        ["shard", "--parquet", f"{sf_dir}/documents.parquet",
+         "--method", "hash", "--weight-col", "n_chars"]
+    )
+    err = capsys.readouterr().err
+    assert rc == 2 and "snake only" in err
