@@ -228,3 +228,58 @@ def test_pg_nested_array_text_round_trips(rows) -> None:
         + "}"
     )
     assert _parse_pg_array_text(rendered) == rows
+
+
+# --- Luhn card validation vs a pure-Python reference ---------------------------
+
+
+def _py_luhn_scan(text: str) -> tuple[int, list[str]]:
+    """Reference model of operators.text.luhn_scan: candidate digit
+    runs (13-19 digits, single space/dash separators) validated with
+    the textbook Luhn algorithm."""
+
+    def luhn_ok(digits: str) -> bool:
+        total = 0
+        for i, ch in enumerate(reversed(digits)):
+            d = int(ch)
+            total += d if i % 2 == 0 else (d * 2 - 9 if d * 2 > 9 else d * 2)
+        return total % 10 == 0
+
+    cands = re.findall(r"[0-9](?:[ -]?[0-9]){12,18}", text)
+    digits = [re.sub(r"[ -]", "", c) for c in cands]
+    valid = sorted({d for d in digits if luhn_ok(d)})
+    return len(cands), valid
+
+
+_card_chunk = st.one_of(
+    st.text(alphabet="0123456789 -", min_size=1, max_size=25),
+    st.sampled_from(
+        [
+            "4111 1111 1111 1111",
+            "5555-5555-5555-4444",
+            "378282246310005",
+            "4111111111111112",
+            "1234567890123456789012",
+        ]
+    ),
+    st.text(min_size=0, max_size=12),
+)
+
+
+@given(st.lists(_card_chunk, min_size=0, max_size=6))
+@settings(max_examples=30, deadline=None)
+def test_luhn_scan_matches_python_reference(spark, chunks) -> None:
+    """luhn_scan's nested HOF-expression Luhn agrees with the textbook
+    Python implementation on adversarial digit soup (separator runs,
+    over-long digit strings, planted valid/invalid PANs)."""
+    from csvb_spark.operators.text import luhn_scan
+
+    text = " | ".join(chunks)
+    row = luhn_scan(
+        spark.createDataFrame([(0, text)], "doc_id long, text string")
+    ).collect()[0]
+    n_cands, valid = _py_luhn_scan(text)
+    assert row["n_candidates"] == n_cands
+    assert row["n_valid"] == len(valid)
+    got = row["valid_cards"].split(",") if row["valid_cards"] else []
+    assert got == valid
