@@ -14,6 +14,12 @@ beyond-reference subcommands (no csvb equivalent):
       ``tar`` emits WebDataset-style sample archives + md5 manifest
   csvb ingest --source DIR --corpus DIR --index DIR --checkpoint DIR
       streaming corpus ingest (streaming.ingest)
+  csvb card [--histogram] / csvb shard --method hash|snake
+      dataset-card summary + length histogram; shard assignment with
+      per-shard doc/weight summary (hash or size-balanced snake deal)
+  (and: dedup / diff / drift / expect / profile / train-filter /
+   score / sample / clean [--html] / quota / skew / overlap — each
+   surfacing the operator of the same name end to end)
 
 ``exec``/``serve`` also accept ``--parquet PATH...`` / ``--json
 PATH...`` in place of ``--csv`` (bonus formats; the reference wires

@@ -176,7 +176,15 @@ average); x126 dataset card (volume / provenance / language breadth /
 exact-dup rate / median size as one long-format result, every metric
 exact; `card` CLI subcommand surfaces it with an optional length
 histogram) and x127 equi-width length histogram. All twenty-three
-oracle-bearing ops driver-gate aliased as p37-p59.
+oracle-bearing ops driver-gate aliased as p37-p59. A `shard` CLI
+subcommand surfaces hash vs snake assignment with a per-shard
+doc/weight summary. A 10-finding self-review pass then hardened the
+batch (NULL rows no longer silently dropped by bucket joins, stale
+tar cleanup + atomic shard renames + chunked md5, streaming tar
+reader, O(steps) funnel, positional filter flags, funnel length
+measured on the hashed text), each fix regression-tested and the
+affected oracles re-verified; a hypothesis fuzz pins luhn_scan to a
+pure-Python Luhn reference.
 Corpus: 206 entries, 201 with full oracles.
 """
 
