@@ -9,6 +9,9 @@ the subset that real clients use):
 - startup: SSLRequest → 'N'; StartupMessage → AuthenticationOk,
   ParameterStatus, BackendKeyData, ReadyForQuery
 - simple query ('Q'): RowDescription / DataRow* / CommandComplete
+- COPY (query|table) TO STDOUT [WITH (FORMAT TEXT|CSV, HEADER,
+  DELIMITER 'c')]: CopyOutResponse / CopyData* / CopyDone / COPY n
+  (postgres text-format escaping or RFC-4180 CSV; COPY FROM → 0A000)
 - extended protocol: Parse/Bind plan the statement; bind parameters
   are inlined as typed SQL literals ($n substitution with the
   Parse-declared oids — the common psycopg3/JDBC path; binary-format
@@ -395,6 +398,82 @@ _NUM_RE = _re.compile(r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$")
 _QUERY_SHAPED_RE = _re.compile(
     r"^\s*(SELECT|WITH|VALUES|TABLE|SHOW|EXPLAIN|DESCRIBE)\b", _re.IGNORECASE
 )
+
+# COPY (query) TO STDOUT / COPY table TO STDOUT — the bulk-export half
+# of the protocol (psql \copy, ETL drivers). COPY FROM (bulk INGEST)
+# stays unsupported with a clean 0A000.
+_COPY_RE = _re.compile(
+    r"(?is)^COPY\s+(?:\((?P<q>.*)\)|(?P<tbl>[A-Za-z_][\w.]*))\s+"
+    r"TO\s+STDOUT(?P<opts>\s+.+)?$"
+)
+_COPY_FROM_RE = _re.compile(r"(?is)^COPY\b.*\bFROM\b")
+
+
+def _parse_copy_options(opts: str | None) -> tuple[str, bool, bytes]:
+    """Parse the WITH (...) option list → (format, header, delimiter).
+    Subset: FORMAT TEXT|CSV, HEADER [TRUE/FALSE/ON/OFF], DELIMITER 'c'
+    — unknown options raise ValueError (clean 0A000 upstream)."""
+    fmt, header, delim = "text", False, None
+    if opts and opts.strip():
+        body = opts.strip()
+        if body.upper().startswith("WITH"):
+            body = body[4:].strip()
+        if not (body.startswith("(") and body.endswith(")")):
+            raise ValueError(f"malformed COPY options: {opts.strip()!r}")
+        for item in _re.split(r",", body[1:-1]):
+            parts = item.strip().split(None, 1)
+            if not parts:
+                continue
+            key = parts[0].upper()
+            val = parts[1].strip() if len(parts) > 1 else ""
+            if key == "FORMAT":
+                fmt = val.lower()
+                if fmt not in ("text", "csv"):
+                    raise ValueError(f"COPY format {val!r} not supported")
+            elif key == "HEADER":
+                header = val.upper() in ("", "TRUE", "ON", "1")
+            elif key == "DELIMITER":
+                if not (len(val) >= 3 and val[0] == val[-1] == "'"):
+                    raise ValueError("DELIMITER expects a quoted character")
+                d = val[1:-1]
+                if len(d) != 1:
+                    raise ValueError("DELIMITER must be a single character")
+                delim = d.encode()
+            else:
+                raise ValueError(f"COPY option {key} not supported")
+    if delim is None:
+        delim = b"," if fmt == "csv" else b"\t"
+    return fmt, header, delim
+
+
+def _copy_text_cell(b: bytes, delim: bytes) -> bytes:
+    """postgres text-format COPY escaping: backslash-escape the
+    delimiter, backslash, and control whitespace."""
+    b = b.replace(b"\\", b"\\\\")
+    b = (
+        b.replace(b"\n", b"\\n")
+        .replace(b"\r", b"\\r")
+        .replace(b"\t", b"\\t")
+        .replace(b"\b", b"\\b")
+        .replace(b"\f", b"\\f")
+        .replace(b"\v", b"\\v")
+    )
+    if delim not in (b"\t",):
+        b = b.replace(delim, b"\\" + delim)
+    return b
+
+
+def _copy_csv_cell(b: bytes, delim: bytes) -> bytes:
+    """RFC-4180 quoting: wrap when the cell carries the delimiter, a
+    quote, or a line break; double embedded quotes."""
+    if (
+        delim in b
+        or b'"' in b
+        or b"\n" in b
+        or b"\r" in b
+    ):
+        return b'"' + b.replace(b'"', b'""') + b'"'
+    return b
 
 
 def _quote_param(text: str | None, oid: int) -> str:
@@ -917,6 +996,10 @@ class _Conn:
             self._send(_msg(b"I"))  # EmptyQueryResponse
             self._send(self._ready())
             return
+        m = _COPY_RE.match(sql)
+        if m or _COPY_FROM_RE.match(sql):
+            self._run_copy(m, sql)
+            return
         self.cancelled = False
         self.running = True
         try:
@@ -947,6 +1030,70 @@ class _Conn:
             self._send_error("57014", "canceling statement due to user request")
         except Exception as e:  # noqa: BLE001 — every engine error → client
             log.warning("query failed: %s", e)
+            self._send_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
+        self.running = False
+        self.cancelled = False
+        self._send(self._ready())
+
+    def _run_copy(self, m: "_re.Match[str] | None", sql: str) -> None:
+        """COPY ... TO STDOUT: CopyOutResponse, CopyData rows (text or
+        CSV format), CopyDone, ``COPY n``. COPY FROM is a clean 0A000.
+        Rows stream through ``toLocalIterator`` — the driver holds one
+        partition at a time, same as the SELECT path."""
+        from csvb_spark.sql import execute_sql
+
+        if m is None:
+            self._send_error("0A000", "COPY FROM is not supported")
+            self._send(self._ready())
+            return
+        self.cancelled = False
+        self.running = True
+        try:
+            fmt, header, delim = _parse_copy_options(m.group("opts"))
+            if header and fmt == "text":
+                raise ValueError("COPY HEADER requires FORMAT CSV")
+            inner = m.group("q") or f"SELECT * FROM {m.group('tbl')}"
+            df = execute_sql(self.spark, inner)
+            cols = df.columns
+            esc = _copy_text_cell if fmt == "text" else _copy_csv_cell
+            null_cell = b"\\N" if fmt == "text" else b""
+            # CopyOutResponse: overall text format + per-column formats
+            self._send(
+                _msg(
+                    b"H",
+                    struct.pack("!bh", 0, len(cols))
+                    + struct.pack(f"!{len(cols)}h", *([0] * len(cols))),
+                )
+            )
+            out = b""
+            if fmt == "csv" and header:
+                out += _msg(
+                    b"d",
+                    delim.join(
+                        _copy_csv_cell(c.encode(), delim) for c in cols
+                    )
+                    + b"\n",
+                )
+            n = 0
+            for row in df.toLocalIterator():
+                self._check_cancel()
+                cells = []
+                for v in tuple(row):
+                    t = _pg_text(v)
+                    cells.append(null_cell if t is None else esc(t, delim))
+                out += _msg(b"d", delim.join(cells) + b"\n")
+                n += 1
+                if len(out) > 1 << 20:
+                    self._send(out)
+                    out = b""
+            out += _msg(b"c") + _msg(b"C", _cstr(f"COPY {n}"))
+            self._send(out)
+        except _Cancelled:
+            self._send_error("57014", "canceling statement due to user request")
+        except ValueError as e:
+            self._send_error("0A000", str(e))
+        except Exception as e:  # noqa: BLE001
+            log.warning("copy failed: %s", e)
             self._send_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
         self.running = False
         self.cancelled = False

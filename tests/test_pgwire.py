@@ -1592,3 +1592,81 @@ def test_mixed_scalar_subarray_text_bind_rejected(conn):
     msgs = _read_until_ready(sock, buf)
     assert any(t == b"E" for t, _ in msgs)
     assert _data_rows(_simple_query(sock, buf, "SELECT 1 AS ok")) == [[b"1"]]
+
+
+# --- COPY TO STDOUT -----------------------------------------------------------
+
+
+def _copy_payload(msgs) -> tuple[bytes | None, list[bytes], bytes | None]:
+    """(CopyOutResponse payload, CopyData payloads, CommandComplete)"""
+    h, data, cc = None, [], None
+    for tag, payload in msgs:
+        if tag == b"H":
+            h = payload
+        elif tag == b"d":
+            data.append(payload)
+        elif tag == b"C":
+            cc = payload
+    return h, data, cc
+
+
+def test_copy_query_to_stdout_text(conn):
+    """COPY (query) TO STDOUT streams text-format rows: tab delimiter,
+    \\N for NULL, backslash escaping, COPY n tag."""
+    sock, buf = conn
+    msgs = _simple_query(
+        sock,
+        buf,
+        r"COPY (SELECT 1 AS a, 'x\ty' AS b, CAST(NULL AS INT) AS c "
+        r"UNION ALL SELECT 2, 'plain', 7 ORDER BY a) TO STDOUT",
+    )
+    h, data, cc = _copy_payload(msgs)
+    assert h is not None
+    nfmt, ncols = struct.unpack("!bh", h[:3])
+    assert nfmt == 0 and ncols == 3
+    assert cc == b"COPY 2\x00"
+    lines = b"".join(data).split(b"\n")[:-1]
+    assert lines[0].split(b"\t") == [b"1", b"x\\ty", b"\\N"]
+    assert lines[1].split(b"\t") == [b"2", b"plain", b"7"]
+
+
+def test_copy_table_csv_header(conn):
+    """COPY table TO STDOUT WITH (FORMAT CSV, HEADER) emits the header
+    row and RFC-4180 quoting."""
+    sock, buf = conn
+    msgs = _simple_query(
+        sock,
+        buf,
+        "COPY (SELECT r_regionkey, 'a,\"b\"' AS tricky FROM region "
+        "ORDER BY r_regionkey LIMIT 2) TO STDOUT WITH (FORMAT CSV, HEADER)",
+    )
+    _, data, cc = _copy_payload(msgs)
+    assert cc == b"COPY 2\x00"
+    lines = b"".join(data).split(b"\n")[:-1]
+    assert lines[0] == b"r_regionkey,tricky"
+    assert lines[1] == b'0,"a,""b"""'
+
+
+def test_copy_whole_table_and_errors(conn):
+    """COPY table TO STDOUT works bare; COPY FROM and unknown options
+    are clean 0A000 errors and the connection recovers."""
+    sock, buf = conn
+    msgs = _simple_query(sock, buf, "COPY region TO STDOUT")
+    _, data, cc = _copy_payload(msgs)
+    assert cc == b"COPY 5\x00" and len(data) == 5
+
+    msgs = _simple_query(sock, buf, "COPY region FROM STDIN")
+    assert any(t == b"E" for t, _ in msgs)
+    msgs = _simple_query(
+        sock, buf, "COPY region TO STDOUT WITH (FORMAT BINARY)"
+    )
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"0A000" in errs[0]
+    msgs = _simple_query(
+        sock, buf, "COPY region TO STDOUT WITH (HEADER)"
+    )
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"FORMAT CSV" in errs[0]
+    # recovered: a normal query still works
+    msgs = _simple_query(sock, buf, "SELECT 42 AS v")
+    assert _data_rows(msgs) == [[b"42"]]
