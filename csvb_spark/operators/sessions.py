@@ -213,3 +213,94 @@ def props_stats(
             ).alias("avg_f"),
         )
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Conversion LATENCY companion to :func:`event_funnel`: for each
+    consecutive step pair, how long converting users took — median and
+    mean hours between the user's earliest step-i completion and the
+    earliest step-i+1 event strictly after it. Output: one row per
+    transition, ``(step_idx, from_step, to_step, n_users,
+    median_hours, mean_hours)``.
+
+    Determinism: everything derives from exact INTEGER microsecond
+    differences — the median interpolates (a+b)/2 from exact ints, the
+    mean divides an exact int64 sum — and the hour conversions are
+    single IEEE divisions of those exact values, shipped UNROUNDED
+    (rounding an exactly-agreed double is the half-boundary trap
+    queries/common.py documents).
+
+    Same plan shape as the funnel: fixed-width ``(user, min_ts)``
+    state per step (localCheckpoint-ed — see event_funnel), one user
+    equi-join per transition; the latency aggregate per transition is
+    over at most one row per converting user.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_latency: need at least two steps")
+    u, t, ts = user_col, type_col, ts_col
+    reached = (
+        events.filter(F.col(t) == steps[0])
+        .groupBy(u)
+        .agg(F.min(ts).alias("_t"))
+        .localCheckpoint(eager=True)
+    )
+    out = None
+    for i, s in enumerate(steps[1:], start=1):
+        nxt = (
+            events.filter(F.col(t) == s)
+            .join(reached, u)
+            .filter(F.col(ts) > F.col("_t"))
+            .groupBy(F.col(u), F.col("_t").alias("_prev"))
+            .agg(F.min(ts).alias("_t"))
+            .localCheckpoint(eager=True)
+        )
+        micros = F.unix_micros(F.col("_t").cast("timestamp")) - F.unix_micros(
+            F.col("_prev").cast("timestamp")
+        )
+        stats = (
+            nxt.select(micros.alias("_us"))
+            .agg(
+                F.count("*").alias("n_users"),
+                (F.percentile("_us", F.lit(0.5)) / F.lit(3600.0e6)).alias(
+                    "median_hours"
+                ),
+                (
+                    (F.sum("_us").cast("double") / F.count("*"))
+                    / F.lit(3600.0e6)
+                ).alias("mean_hours"),
+            )
+            .select(
+                F.lit(i).alias("step_idx"),
+                F.lit(steps[i - 1]).alias("from_step"),
+                F.lit(s).alias("to_step"),
+                "n_users",
+                "median_hours",
+                "mean_hours",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+        reached = nxt.select(u, "_t")
+    return out
+
+
+def activity_heatmap(
+    events: DataFrame,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekday × hour activity grid — the "when is this feed alive"
+    heatmap behind crawl scheduling and anomaly baselines. Output:
+    ``(dow, hour, n_events)`` with ISO weekday (1 = Monday). One
+    partial-aggregated groupBy over ≤ 168 cells."""
+    return (
+        events.groupBy(
+            (F.weekday(F.col(ts_col)) + 1).cast("int").alias("dow"),
+            F.hour(F.col(ts_col)).cast("int").alias("hour"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )

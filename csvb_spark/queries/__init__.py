@@ -184,8 +184,13 @@ tar cleanup + atomic shard renames + chunked md5, streaming tar
 reader, O(steps) funnel, positional filter flags, funnel length
 measured on the hashed text), each fix regression-tested and the
 affected oracles re-verified; a hypothesis fuzz pins luhn_scan to a
-pure-Python Luhn reference.
-Corpus: 206 entries, 201 with full oracles.
+pure-Python Luhn reference. The pgwire server gained COPY ... TO
+STDOUT (text + CSV formats, header/delimiter options, COPY FROM a
+clean 0A000 — live-socket tested). Final pair: x128 funnel step
+LATENCY (median/mean hours between consecutive steps — exact integer
+microsecond arithmetic, unrounded) and x129 weekday×hour activity
+heatmap (ISO weekdays); aliased p60/p61.
+Corpus: 210 entries, 205 with full oracles.
 """
 
 from __future__ import annotations

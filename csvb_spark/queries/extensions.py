@@ -4608,6 +4608,58 @@ FROM documents GROUP BY 1, 2
 )
 
 
+# --- round 8: funnel latency + activity heatmap --------------------------
+# Latency stats derive from exact integer microsecond differences;
+# both engines interpolate the even-count median from exact ints and
+# divide exact operands — everything ships unrounded.
+_q(
+    "x128_funnel_latency",
+    spark=lambda spark, sf: sessions.funnel_latency(_events(spark, sf)),
+    doc="median/mean hours between consecutive funnel steps",
+    oracle=r"""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, s1.t AS prev, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+  GROUP BY e.user_id, s1.t
+), s3 AS (
+  SELECT e.user_id, s2.t AS prev, MIN(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+  GROUP BY e.user_id, s2.t
+), l2 AS (SELECT epoch_us(t) - epoch_us(prev) AS us FROM s2),
+l3 AS (SELECT epoch_us(t) - epoch_us(prev) AS us FROM s3)
+SELECT CAST(1 AS INT) AS step_idx, 'view' AS from_step,
+       'click' AS to_step,
+       (SELECT COUNT(*) FROM l2) AS n_users,
+       (SELECT quantile_cont(us, 0.5) FROM l2) / 3600000000.0
+         AS median_hours,
+       (SELECT CAST(SUM(us) AS DOUBLE) / COUNT(*) FROM l2) / 3600000000.0
+         AS mean_hours
+UNION ALL
+SELECT CAST(2 AS INT), 'click', 'purchase',
+       (SELECT COUNT(*) FROM l3),
+       (SELECT quantile_cont(us, 0.5) FROM l3) / 3600000000.0,
+       (SELECT CAST(SUM(us) AS DOUBLE) / COUNT(*) FROM l3) / 3600000000.0
+""",
+)
+
+_q(
+    "x129_activity_heatmap",
+    spark=lambda spark, sf: sessions.activity_heatmap(_events(spark, sf)),
+    doc="weekday x hour event heatmap (ISO weekday, 1 = Monday)",
+    oracle=r"""
+SELECT CAST(isodow(ts) AS INT) AS dow,
+       CAST(EXTRACT(hour FROM ts) AS INT) AS hour,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+)
+
+
 # --- driver-gate aliases (round 8) -----------------------------------
 # The driver's hard CORRECTNESS gate grades exactly the p/q-named
 # corpus entries; every x-entry is builder-oracle-only (VERDICT r7).
@@ -4666,6 +4718,8 @@ _P_ALIASES: dict[str, str] = {
     "p57_props_stats": "x125_props_stats",
     "p58_dataset_card": "x126_dataset_card",
     "p59_length_histogram": "x127_length_histogram",
+    "p60_funnel_latency": "x128_funnel_latency",
+    "p61_activity_heatmap": "x129_activity_heatmap",
 }
 for _alias, _src in _P_ALIASES.items():
     _sq = QUERIES[_src]
