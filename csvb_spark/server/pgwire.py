@@ -1110,6 +1110,14 @@ class _Conn:
         sql = sql.strip().rstrip(";").strip()
         if not sql:
             return None
+        if _COPY_RE.match(sql) or _COPY_FROM_RE.match(sql):
+            # postgres itself speaks COPY sub-protocol inside the
+            # extended flow, but every mainstream client (psql \copy,
+            # JDBC CopyManager) issues it as a simple query — reject
+            # cleanly instead of handing COPY syntax to the engine
+            raise ValueError(
+                "COPY is supported in the simple query protocol only"
+            )
         return execute_sql(self.spark, sql)
 
     def _ext_error(self, code: str, message: str) -> None:

@@ -1670,3 +1670,19 @@ def test_copy_whole_table_and_errors(conn):
     # recovered: a normal query still works
     msgs = _simple_query(sock, buf, "SELECT 42 AS v")
     assert _data_rows(msgs) == [[b"42"]]
+
+
+def test_copy_rejected_in_extended_protocol(conn):
+    """COPY through Parse/Bind is a clean error (mainstream clients
+    issue COPY as a simple query), and the flow recovers after Sync."""
+    sock, buf = conn
+    q = b"COPY region TO STDOUT"
+    _send(sock, b"P", b"\x00" + q + b"\x00" + struct.pack("!h", 0))
+    _send(sock, b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    _send(sock, b"E", b"\x00" + struct.pack("!i", 0))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"simple query protocol" in errs[0]
+    msgs = _simple_query(sock, buf, "SELECT 7 AS v")
+    assert _data_rows(msgs) == [[b"7"]]
