@@ -248,6 +248,39 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--key", required=True, help="the join/groupBy key column")
     pk.add_argument("--k", type=int, default=20, help="top-k hot keys to show")
 
+    pcu = sub.add_parser(
+        "curate",
+        help="the full batch curation recipe: [html strip] -> C4 -> "
+        "exact dedup -> near dedup -> quality gate -> [splits]; "
+        "prints the per-stage retention report",
+    )
+    pcu.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pcu.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pcu.add_argument("--json", action="append", default=[], metavar="PATH")
+    pcu.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pcu.add_argument("--text-col", default="text")
+    pcu.add_argument("--html", action="store_true", help="strip HTML first")
+    pcu.add_argument("--no-c4", action="store_true")
+    pcu.add_argument("--min-kept-lines", type=int, default=1)
+    pcu.add_argument("--no-near-dup", action="store_true")
+    pcu.add_argument(
+        "--keep", choices=("min_id", "longest"), default="min_id"
+    )
+    pcu.add_argument("--min-quality", type=float, default=0.5)
+    pcu.add_argument(
+        "--splits",
+        default=None,
+        metavar="NAME=W,...",
+        help="e.g. train=0.9,valid=0.05,test=0.05",
+    )
+    pcu.add_argument(
+        "--leakage-safe",
+        action="store_true",
+        help="split on near-dup cluster canonicals (requires near-dup)",
+    )
+    pcu.add_argument("--seed", type=int, default=42)
+    pcu.add_argument("--output", default=None, help="write curated rows here")
+
     pd_ = sub.add_parser(
         "card",
         help="dataset-card summary: volume, provenance/language "
@@ -770,6 +803,51 @@ def main(argv: list[str] | None = None) -> int:
             .orderBy("shard")
         )
         print(render_df(summary))
+        return 0
+
+    if args.command == "curate":
+        from csvb_spark.operators.pipeline import curate
+        from csvb_spark.plans.pretty import render_df
+
+        if args.leakage_safe and args.no_near_dup:
+            print(
+                "error: --leakage-safe needs near-dup clustering "
+                "(drop --no-near-dup)",
+                file=sys.stderr,
+            )
+            return 2
+        weights = None
+        if args.splits:
+            try:
+                weights = {
+                    k: float(v)
+                    for k, v in (p.split("=", 1) for p in args.splits.split(","))
+                }
+            except ValueError:
+                print(
+                    f"error: malformed --splits {args.splits!r} "
+                    "(expected NAME=W,...)",
+                    file=sys.stderr,
+                )
+                return 2
+        spark = _session(args)
+        _register_direct(spark, args)
+        curated, report = curate(
+            spark.table(args.table_name),
+            text_col=args.text_col,
+            html=args.html,
+            c4=not args.no_c4,
+            min_kept_lines=args.min_kept_lines,
+            near_dup=not args.no_near_dup,
+            keep=args.keep,
+            min_quality=args.min_quality,
+            splits=weights,
+            leakage_safe=args.leakage_safe,
+            seed=args.seed,
+        )
+        if args.output:
+            curated.write.mode("overwrite").parquet(args.output)
+        print(render_df(report))
         return 0
 
     if args.command == "card":

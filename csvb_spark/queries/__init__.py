@@ -189,7 +189,13 @@ STDOUT (text + CSV formats, header/delimiter options, COPY FROM a
 clean 0A000 — live-socket tested). Final pair: x128 funnel step
 LATENCY (median/mean hours between consecutive steps — exact integer
 microsecond arithmetic, unrounded) and x129 weekday×hour activity
-heatmap (ISO weekdays); aliased p60/p61.
+heatmap (ISO weekdays); aliased p60/p61. Capstone:
+``operators.pipeline.curate`` + the `curate` CLI — the whole batch
+recipe ([html strip] -> C4 -> exact dedup -> near dedup -> quality
+gate -> [leakage-safe] splits) composed from the oracle-verified
+operators, each stage eagerly materialized so the per-stage retention
+report is consistent (no corpus entry: it is a composition of already-
+graded stages; pytest drives it over planted junk and real fixtures).
 Corpus: 210 entries, 205 with full oracles.
 """
 
