@@ -832,19 +832,23 @@ def main(argv: list[str] | None = None) -> int:
                 return 2
         spark = _session(args)
         _register_direct(spark, args)
-        curated, report = curate(
-            spark.table(args.table_name),
-            text_col=args.text_col,
-            html=args.html,
-            c4=not args.no_c4,
-            min_kept_lines=args.min_kept_lines,
-            near_dup=not args.no_near_dup,
-            keep=args.keep,
-            min_quality=args.min_quality,
-            splits=weights,
-            leakage_safe=args.leakage_safe,
-            seed=args.seed,
-        )
+        try:
+            curated, report = curate(
+                spark.table(args.table_name),
+                text_col=args.text_col,
+                html=args.html,
+                c4=not args.no_c4,
+                min_kept_lines=args.min_kept_lines,
+                near_dup=not args.no_near_dup,
+                keep=args.keep,
+                min_quality=args.min_quality,
+                splits=weights,
+                leakage_safe=args.leakage_safe,
+                seed=args.seed,
+            )
+        except ValueError as ex:
+            print(f"error: {ex}", file=sys.stderr)
+            return 2
         if args.output:
             curated.write.mode("overwrite").parquet(args.output)
         print(render_df(report))

@@ -7,17 +7,27 @@ this package:
      (``web.html_strip_col``), so every later text signal sees prose.
   2. C4 line/page filter (``text.c4_line_filter``) — line rules on
      the cleaned text; drops pages that keep too few lines.
-  3. Exact dedup (md5 fingerprint, first-id keeper) — cheapest first,
-     so near-dup never pays for byte-identical copies.
+  3. Exact dedup (``dedup.exact_dedup`` — min-id keeper per content
+     digest) — cheapest first, so near-dup never pays for
+     byte-identical copies.
   4. Near-dup removal (``dedup.near_dedup``) — exact n-gram Jaccard
-     pairs by default (the oracle-checkable path); pass
-     ``pairs_fn`` to swap in MinHash-LSH at scale; ``keep`` picks the
-     min-id or longest-member canonical.
+     pairs by default (the oracle-checkable path; blocking uses
+     whichever of lang/source the table has and REFUSES to run
+     unblocked); pass ``pairs_fn`` to swap in MinHash-LSH at scale;
+     ``keep`` picks the min-id or longest-member canonical.
   5. Quality gate (``text.quality_score`` ≥ ``min_quality``).
-  6. (optional) per-domain quota when a URL column exists
-     (``web.domain_quota_sample`` semantics via registered domain).
-  7. Split assignment (``splits.assign_splits``, or the
-     leakage-safe variant that keeps near-dup clusters on one side).
+  6. Split assignment (``splits.assign_splits``, or
+     ``splits.leakage_safe_splits`` reusing stage 4's pairs so
+     near-dup clusters never straddle the boundary).
+
+(Per-domain quota is not a stage here — when the corpus carries URLs,
+run ``web.domain_quota_sample`` on the curated output; it needs the
+URL schema this recipe does not assume.)
+
+The id contract is the repo-wide ``doc_id`` (non-NULL, like every
+operator this composes — enforced eagerly at entry with
+``assert_true``, because three of the stages join on it and a NULL id
+would silently vanish at some stages and survive others).
 
 Returns the curated DataFrame plus a STAGE REPORT (stage, n_in,
 n_out, pct_kept — exact counts, one row per stage) — the artifact a
@@ -31,9 +41,9 @@ Scale notes: stage order is the cost order — map-only scrubs first,
 the single-exchange exact dedup next, the pair-join near-dup last and
 only over survivors. At 100 TB swap stage 4's default exact pairs for
 ``dedup.minhash_lsh_pairs`` via ``pairs_fn`` (same downstream
-clustering), and feed stage 7 the cluster labels it already computed.
-Reference scope: beyond-reference (training-pipeline extension; the
-streaming twin is ``streaming.ingest.run_streaming_ingest``).
+clustering). Reference scope: beyond-reference (training-pipeline
+extension; the streaming twin is
+``streaming.ingest.run_streaming_ingest``).
 """
 
 from __future__ import annotations
@@ -47,7 +57,6 @@ from pyspark.sql import functions as F
 def curate(
     docs: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     html: bool = False,
     c4: bool = True,
     min_kept_lines: int = 1,
@@ -61,15 +70,39 @@ def curate(
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard curation recipe; see the module docstring for
     the stage list. Returns ``(curated_df, report_df)`` with
-    ``report_df = (stage, n_in, n_out, pct_kept)``."""
+    ``report_df = (stage, n_in, n_out, pct_kept)``. Raises ValueError
+    for unsatisfiable configurations (no blocking column for the
+    default near-dup pairs, leakage-safe splits without near-dup)."""
     from csvb_spark.operators import dedup as D
     from csvb_spark.operators import splits as S
     from csvb_spark.operators import text as T
     from csvb_spark.operators import web as W
 
+    if leakage_safe and (splits is None or not near_dup):
+        raise ValueError(
+            "curate: leakage_safe needs both near_dup=True and splits"
+        )
+    block_cols = tuple(c for c in ("lang", "source") if c in docs.columns)
+    if near_dup and pairs_fn is None and not block_cols:
+        raise ValueError(
+            "curate: the default near-dup pairs block on lang/source and "
+            "this table has neither — pass pairs_fn (e.g. "
+            "dedup.minhash_lsh_pairs) or add a blocking column"
+        )
+
     spark = docs.sparkSession
     stages: list[tuple[str, int, int]] = []
-    cur = docs.localCheckpoint(eager=True)
+    # doc_id is the repo-wide id contract; a NULL id would survive the
+    # dedup stages but vanish at the joins — fail fast instead
+    cur = docs.withColumn(
+        "doc_id",
+        F.when(
+            F.col("doc_id").isNull(),
+            F.assert_true(
+                F.col("doc_id").isNotNull(), F.lit("curate: NULL doc_id")
+            ).cast("bigint"),
+        ).otherwise(F.col("doc_id")),
+    ).localCheckpoint(eager=True)
     n = cur.count()
 
     def _advance(name: str, nxt: DataFrame) -> DataFrame:
@@ -91,47 +124,38 @@ def curate(
         )
         kept = (
             cleaned.filter(F.col("keep_doc"))
-            .select(id_col, F.col("clean_text").alias(text_col))
-            .join(cur.drop(text_col), id_col)
+            .select("doc_id", F.col("clean_text").alias(text_col))
+            .join(cur.drop(text_col), "doc_id")
         )
         _advance("c4_filter", kept)
-    fp = F.md5(F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8"))
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(Window.partitionBy(fp).orderBy(id_col))
-    _advance(
-        "exact_dedup",
-        cur.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn"),
-    )
-    labels = None
+    _advance("exact_dedup", D.exact_dedup(cur, text_col=text_col))
+    pairs = None
     if near_dup:
         pairs = (
             pairs_fn(cur)
             if pairs_fn is not None
-            else D.ngram_jaccard_pairs(cur, text_col=text_col)
+            else D.ngram_jaccard_pairs(
+                cur, text_col=text_col, block_cols=block_cols
+            )
         )
-        labels = D.dedup_clusters(pairs)
-        _advance("near_dedup", D.near_dedup(cur, pairs=pairs, keep=keep))
+        _advance(
+            "near_dedup",
+            D.near_dedup(cur, pairs=pairs, text_col=text_col, keep=keep),
+        )
     if min_quality is not None:
         scored = T.quality_score(cur, text_col)
         good = scored.filter(
             F.col("quality_score") >= F.lit(float(min_quality))
-        ).select(id_col)
-        _advance("quality_gate", cur.join(good, id_col, "left_semi"))
+        ).select("doc_id")
+        _advance("quality_gate", cur.join(good, "doc_id", "left_semi"))
     if splits is not None:
-        if leakage_safe and labels is not None:
-            with_cluster = cur.join(
-                labels.withColumnRenamed("doc_id", id_col), id_col, "left"
-            ).withColumn(
-                "cluster_id", F.coalesce(F.col("cluster_id"), F.col(id_col))
-            )
-            cur = S.assign_splits(
-                with_cluster, id_col="cluster_id", weights=splits, seed=seed,
+        if leakage_safe:
+            # one invariant, one implementation: reuse stage 4's pairs
+            cur = S.leakage_safe_splits(
+                cur, pairs=pairs, weights=splits, seed=seed
             ).drop("cluster_id")
         else:
-            cur = S.assign_splits(
-                cur, id_col=id_col, weights=splits, seed=seed
-            )
+            cur = S.assign_splits(cur, weights=splits, seed=seed)
         cur = cur.localCheckpoint(eager=True)
         stages.append(("split_assign", n, n))
 

@@ -420,7 +420,20 @@ def _parse_copy_options(opts: str | None) -> tuple[str, bool, bytes]:
             body = body[4:].strip()
         if not (body.startswith("(") and body.endswith(")")):
             raise ValueError(f"malformed COPY options: {opts.strip()!r}")
-        for item in _re.split(r",", body[1:-1]):
+        # split on commas OUTSIDE quoted values ('' escapes a quote),
+        # so DELIMITER ',' parses
+        items, depth_q, buf = [], False, []
+        for ch in body[1:-1]:
+            if ch == "'":
+                depth_q = not depth_q
+                buf.append(ch)
+            elif ch == "," and not depth_q:
+                items.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        items.append("".join(buf))
+        for item in items:
             parts = item.strip().split(None, 1)
             if not parts:
                 continue
@@ -435,9 +448,17 @@ def _parse_copy_options(opts: str | None) -> tuple[str, bool, bytes]:
             elif key == "DELIMITER":
                 if not (len(val) >= 3 and val[0] == val[-1] == "'"):
                     raise ValueError("DELIMITER expects a quoted character")
-                d = val[1:-1]
+                d = val[1:-1].replace("''", "'")
                 if len(d) != 1:
                     raise ValueError("DELIMITER must be a single character")
+                # postgres forbids backslash/newline/CR; we also forbid
+                # alphanumerics — in text format they collide with the
+                # escape alphabet ('n' vs '\\n') and corrupt the stream
+                if d in ("\\", "\n", "\r") or d.isalnum():
+                    raise ValueError(
+                        f"DELIMITER {d!r} cannot be used (ambiguous with "
+                        "escapes)"
+                    )
                 delim = d.encode()
             else:
                 raise ValueError(f"COPY option {key} not supported")
@@ -465,7 +486,11 @@ def _copy_text_cell(b: bytes, delim: bytes) -> bytes:
 
 def _copy_csv_cell(b: bytes, delim: bytes) -> bytes:
     """RFC-4180 quoting: wrap when the cell carries the delimiter, a
-    quote, or a line break; double embedded quotes."""
+    quote, or a line break; double embedded quotes. The EMPTY string
+    is force-quoted (postgres behavior) so it stays distinguishable
+    from NULL's unquoted empty cell on re-import."""
+    if b == b"":
+        return b'""'
     if (
         delim in b
         or b'"' in b

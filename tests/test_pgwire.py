@@ -1686,3 +1686,37 @@ def test_copy_rejected_in_extended_protocol(conn):
     assert errs and b"simple query protocol" in errs[0]
     msgs = _simple_query(sock, buf, "SELECT 7 AS v")
     assert _data_rows(msgs) == [[b"7"]]
+
+
+def test_copy_csv_empty_vs_null_and_delimiters(conn):
+    """Second review-pass regressions: CSV force-quotes the empty
+    string so it stays distinguishable from NULL; DELIMITER ','
+    parses (quote-aware option split); alphanumeric and backslash
+    delimiters are rejected (ambiguous with text escapes)."""
+    sock, buf = conn
+    msgs = _simple_query(
+        sock,
+        buf,
+        "COPY (SELECT '' AS a, CAST(NULL AS STRING) AS b, 'x' AS c) "
+        "TO STDOUT WITH (FORMAT CSV)",
+    )
+    data = [p for t, p in msgs if t == b"d"]
+    assert b"".join(data) == b'"",,x\n'
+
+    msgs = _simple_query(
+        sock,
+        buf,
+        "COPY (SELECT 1 AS a, 2 AS b) TO STDOUT "
+        "WITH (FORMAT CSV, DELIMITER ',')",
+    )
+    data = [p for t, p in msgs if t == b"d"]
+    assert b"".join(data) == b"1,2\n"
+
+    for bad in ("'n'", "'7'", "E'\\\\'"):
+        msgs = _simple_query(
+            sock, buf,
+            f"COPY region TO STDOUT WITH (DELIMITER {bad})",
+        )
+        assert any(t == b"E" for t, _ in msgs)
+    msgs = _simple_query(sock, buf, "SELECT 1 AS v")
+    assert _data_rows(msgs) == [[b"1"]]

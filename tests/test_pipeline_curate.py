@@ -114,3 +114,42 @@ def test_cli_curate_end_to_end(spark, sf_dir, tmp_path, capsys):
     )
     err = capsys.readouterr().err
     assert rc == 2 and "malformed --splits" in err
+
+
+def test_curate_review_fixes(spark):
+    """Second review-pass regressions: near-dup forwards text_col to
+    the longest-keeper; a table with neither lang nor source gets a
+    clean ValueError pointing at pairs_fn; NULL doc_id fails fast
+    instead of vanishing at some stages and surviving others."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from csvb_spark.operators.pipeline import curate
+
+    base = "the quick brown fox jumps over the lazy dog again and again."
+    d = spark.createDataFrame(
+        [
+            (1, base, "en", "web"),
+            (2, base + " with a much longer informative tail kept here.",
+             "en", "web"),
+        ],
+        "doc_id long, body string, lang string, source string",
+    )
+    out, _ = curate(d, text_col="body", c4=False, keep="longest",
+                    min_quality=None)
+    assert {r["doc_id"] for r in out.collect()} == {2}  # longest kept
+
+    bare = d.select("doc_id", F.col("body").alias("text"))
+    with _pytest.raises(ValueError, match="pairs_fn"):
+        curate(bare, c4=False, min_quality=None)
+
+    with _pytest.raises(ValueError, match="leakage_safe"):
+        curate(d, text_col="body", near_dup=False, leakage_safe=True,
+               splits={"a": 1.0})
+
+    nullid = spark.createDataFrame(
+        [(None, base, "en", "web")],
+        "doc_id long, text string, lang string, source string",
+    )
+    with _pytest.raises(Exception, match="NULL doc_id"):
+        curate(nullid, c4=False, near_dup=False, min_quality=None)
