@@ -11,7 +11,13 @@ the subset that real clients use):
 - simple query ('Q'): RowDescription / DataRow* / CommandComplete
 - COPY (query|table) TO STDOUT [WITH (FORMAT TEXT|CSV, HEADER,
   DELIMITER 'c')]: CopyOutResponse / CopyData* / CopyDone / COPY n
-  (postgres text-format escaping or RFC-4180 CSV; COPY FROM → 0A000)
+  (postgres text-format escaping or RFC-4180 CSV)
+- COPY table [(cols)] FROM STDIN [WITH (...)]: CopyInResponse, the
+  buffered CopyData stream parsed (text unescape / quote-preserving
+  CSV — unquoted empty is NULL, quoted "" is the empty string), cast
+  to the table schema, INSERTed; unlisted columns load NULL. The
+  target must be a writable catalog table; server-side COPY FROM
+  'file' stays 0A000
 - extended protocol: Parse/Bind plan the statement; bind parameters
   are inlined as typed SQL literals ($n substitution with the
   Parse-declared oids — the common psycopg3/JDBC path; binary-format
@@ -407,6 +413,85 @@ _COPY_RE = _re.compile(
     r"TO\s+STDOUT(?P<opts>\s+.+)?$"
 )
 _COPY_FROM_RE = _re.compile(r"(?is)^COPY\b.*\bFROM\b")
+_COPY_IN_RE = _re.compile(
+    r"(?is)^COPY\s+(?P<tbl>[A-Za-z_][\w.]*)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?FROM\s+STDIN(?P<opts>\s+.+)?$"
+)
+
+
+def _copy_text_unescape(cell: bytes) -> str | None:
+    """Inverse of :func:`_copy_text_cell` (+ the NULL marker)."""
+    if cell == b"\\N":
+        return None
+    out = bytearray()
+    i, n = 0, len(cell)
+    esc = {
+        ord("n"): 10, ord("r"): 13, ord("t"): 9,
+        ord("b"): 8, ord("f"): 12, ord("v"): 11,
+    }
+    while i < n:
+        c = cell[i]
+        if c == 0x5C and i + 1 < n:  # backslash
+            nxt = cell[i + 1]
+            out.append(esc.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return out.decode("utf-8")
+
+
+def _copy_csv_rows(text: str, delim: str) -> list[list[str | None]]:
+    """Minimal RFC-4180 parser that PRESERVES the quoted/unquoted
+    distinction (stdlib csv cannot): an unquoted empty cell is NULL,
+    a quoted one is the empty string — the inverse of the OUT side's
+    force-quoting."""
+    rows: list[list[str | None]] = []
+    row: list[str | None] = []
+    buf: list[str] = []
+    quoted = in_quotes = seen_any = False
+    i, n = 0, len(text)
+
+    def _end_cell() -> None:
+        nonlocal buf, quoted, seen_any
+        val = "".join(buf)
+        row.append(val if (quoted or val != "") else None)
+        buf, quoted, seen_any = [], False, False
+
+    def _end_row() -> None:
+        nonlocal row
+        _end_cell()
+        rows.append(row)
+        row = []
+
+    while i < n:
+        ch = text[i]
+        if in_quotes:
+            if ch == '"':
+                if i + 1 < n and text[i + 1] == '"':
+                    buf.append('"')
+                    i += 2
+                    continue
+                in_quotes = False
+            else:
+                buf.append(ch)
+            i += 1
+            continue
+        if ch == '"' and not seen_any:
+            in_quotes = quoted = seen_any = True
+        elif ch == delim:
+            _end_cell()
+        elif ch == "\n":
+            _end_row()
+        elif ch == "\r":
+            pass  # swallow CR of CRLF
+        else:
+            buf.append(ch)
+            seen_any = True
+        i += 1
+    if buf or quoted or row:
+        _end_row()
+    return rows
 
 
 def _parse_copy_options(opts: str | None) -> tuple[str, bool, bytes]:
@@ -1068,7 +1153,15 @@ class _Conn:
         from csvb_spark.sql import execute_sql
 
         if m is None:
-            self._send_error("0A000", "COPY FROM is not supported")
+            m_in = _COPY_IN_RE.match(sql)
+            if m_in is not None:
+                self._run_copy_in(m_in)
+                return
+            self._send_error(
+                "0A000",
+                "COPY FROM supports STDIN only (server-side files are "
+                "not readable)",
+            )
             self._send(self._ready())
             return
         self.cancelled = False
@@ -1122,6 +1215,122 @@ class _Conn:
             self._send_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
         self.running = False
         self.cancelled = False
+        self._send(self._ready())
+
+    def _run_copy_in(self, m: "_re.Match[str]") -> None:
+        """COPY table [(cols)] FROM STDIN: CopyInResponse, buffer the
+        CopyData stream, parse text/CSV rows, cast to the target
+        table's schema, and INSERT — the bulk-ingest half of the
+        protocol. Unlisted columns load as NULL (postgres semantics);
+        the target must be a writable catalog table (CREATE TABLE /
+        CTAS), not a read-only registered view — that's a clean error
+        AFTER the stream drains, so the connection stays in sync."""
+        from pyspark.sql import functions as F
+
+        self.cancelled = False
+        self.running = True
+        try:
+            fmt, header, delim = _parse_copy_options(m.group("opts"))
+            if header and fmt == "text":
+                raise ValueError("COPY HEADER requires FORMAT CSV")
+            tbl = m.group("tbl")
+            schema = self.spark.table(tbl).schema  # resolve BEFORE 'G'
+            # registered views (the exec/serve file tables) are
+            # read-only — refuse BEFORE CopyInResponse so the client
+            # never enters copy mode for a doomed statement
+            try:
+                ttype = self.spark.catalog.getTable(tbl).tableType
+            except Exception:  # noqa: BLE001 — catalog quirk: fall through
+                ttype = None
+            if ttype in ("TEMPORARY", "VIEW"):
+                raise ValueError(
+                    f"COPY: {tbl} is a read-only view — target a catalog "
+                    "table (CREATE TABLE ... USING parquet)"
+                )
+            cols = (
+                [c.strip() for c in m.group("cols").split(",")]
+                if m.group("cols")
+                else [f.name for f in schema.fields]
+            )
+            known = {f.name for f in schema.fields}
+            bad = [c for c in cols if c not in known]
+            if bad:
+                raise ValueError(
+                    f"COPY: column(s) {', '.join(bad)} not in {tbl}"
+                )
+        except Exception as e:  # noqa: BLE001 — pre-stream failure: no 'G' sent
+            self.running = False
+            code = "0A000" if isinstance(e, ValueError) else _sqlstate_for(e)
+            self._send_error(code, str(e).split("\n")[0][:500])
+            self._send(self._ready())
+            return
+        # enter copy-in mode
+        self._send(
+            _msg(
+                b"G",
+                struct.pack("!bh", 0, len(cols))
+                + struct.pack(f"!{len(cols)}h", *([0] * len(cols))),
+            )
+        )
+        raw = bytearray()
+        failed: str | None = None
+        while True:
+            tag = self._recv_exact(1)
+            (length,) = struct.unpack("!I", self._recv_exact(4))
+            body = self._recv_exact(length - 4)
+            if tag == b"d":
+                raw += body
+            elif tag == b"c":  # CopyDone
+                break
+            elif tag == b"f":  # CopyFail
+                failed = body.rstrip(b"\x00").decode(errors="replace")
+                break
+            elif tag == b"X":
+                raise ConnectionResetError("client terminated during COPY")
+            # anything else (Flush/Sync) is ignored inside copy-in
+        try:
+            if failed is not None:
+                raise ValueError(f"COPY from stdin failed: {failed}")
+            if fmt == "csv":
+                rows = _copy_csv_rows(
+                    raw.decode("utf-8"), delim.decode()
+                )
+                if header and rows:
+                    rows = rows[1:]
+            else:
+                rows = []
+                for line in bytes(raw).split(b"\n"):
+                    if line in (b"", b"\\."):
+                        continue
+                    rows.append(
+                        [_copy_text_unescape(c) for c in line.split(delim)]
+                    )
+            for r in rows:
+                if len(r) != len(cols):
+                    raise ValueError(
+                        f"COPY: row has {len(r)} columns, expected {len(cols)}"
+                    )
+            str_schema = ", ".join(f"`{c}` string" for c in cols)
+            df = self.spark.createDataFrame(rows, str_schema)
+            by_name = {f.name: f for f in schema.fields}
+            full = df.select(
+                *[
+                    (
+                        F.col(f.name).cast(f.dataType)
+                        if f.name in cols
+                        else F.lit(None).cast(f.dataType)
+                    ).alias(f.name)
+                    for f in schema.fields
+                ]
+            )
+            full.write.insertInto(tbl)
+            self._send(_msg(b"C", _cstr(f"COPY {len(rows)}")))
+        except ValueError as e:
+            self._send_error("22P04", str(e).split("\n")[0][:500])
+        except Exception as e:  # noqa: BLE001
+            log.warning("copy-in failed: %s", e)
+            self._send_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
+        self.running = False
         self._send(self._ready())
 
     # --- extended-protocol helpers ---------------------------------------------

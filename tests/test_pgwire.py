@@ -1656,7 +1656,11 @@ def test_copy_whole_table_and_errors(conn):
     assert cc == b"COPY 5\x00" and len(data) == 5
 
     msgs = _simple_query(sock, buf, "COPY region FROM STDIN")
-    assert any(t == b"E" for t, _ in msgs)
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"read-only view" in errs[0]
+    msgs = _simple_query(sock, buf, "COPY region FROM '/tmp/f.csv'")
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"STDIN only" in errs[0]
     msgs = _simple_query(
         sock, buf, "COPY region TO STDOUT WITH (FORMAT BINARY)"
     )
@@ -1720,3 +1724,91 @@ def test_copy_csv_empty_vs_null_and_delimiters(conn):
         assert any(t == b"E" for t, _ in msgs)
     msgs = _simple_query(sock, buf, "SELECT 1 AS v")
     assert _data_rows(msgs) == [[b"1"]]
+
+
+def _copy_in(sock, buf, sql: str, payload: bytes, fail: str | None = None):
+    """Drive a COPY FROM STDIN exchange; returns all msgs after send."""
+    body = sql.encode() + b"\x00"
+    sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+    # wait for CopyInResponse (or an error, in which case no stream)
+    while True:
+        tag, p = _read_msg(sock, buf)
+        if tag == b"G":
+            break
+        if tag == b"E":
+            msgs = [(tag, p)] + _read_until_ready(sock, buf)
+            return msgs
+    sock.sendall(b"d" + struct.pack("!I", len(payload) + 4) + payload)
+    if fail is not None:
+        fb = fail.encode() + b"\x00"
+        sock.sendall(b"f" + struct.pack("!I", len(fb) + 4) + fb)
+    else:
+        sock.sendall(b"c" + struct.pack("!I", 4))
+    return _read_until_ready(sock, buf)
+
+
+def test_copy_from_stdin_text_and_csv(conn):
+    """COPY FROM STDIN ingests text-format rows (escapes + \\N) and
+    CSV rows (quoted empty string vs unquoted NULL preserved), with a
+    column subset loading NULL for the rest."""
+    sock, buf = conn
+    _simple_query(sock, buf, "DROP TABLE IF EXISTS copy_in_t")
+    _simple_query(
+        sock, buf,
+        "CREATE TABLE copy_in_t (a INT, b STRING, c STRING) USING parquet",
+    )
+    msgs = _copy_in(
+        sock, buf, "COPY copy_in_t FROM STDIN",
+        b"1\tx\ty z\n2\t\\N\ttab\\there\n",
+    )
+    assert (b"C", b"COPY 2\x00") in msgs
+
+    msgs = _copy_in(
+        sock, buf,
+        "COPY copy_in_t FROM STDIN WITH (FORMAT CSV, HEADER)",
+        b'a,b,c\n3,"",unquoted\n4,"q ""x""",\n',
+    )
+    assert (b"C", b"COPY 2\x00") in msgs
+
+    msgs = _copy_in(
+        sock, buf, "COPY copy_in_t (a) FROM STDIN", b"9\n"
+    )
+    assert (b"C", b"COPY 1\x00") in msgs
+
+    rows = _data_rows(
+        _simple_query(sock, buf, "SELECT * FROM copy_in_t ORDER BY a")
+    )
+    assert rows == [
+        [b"1", b"x", b"y z"],
+        [b"2", None, b"tab\there"],
+        [b"3", b"", b"unquoted"],   # quoted "" stays empty string
+        [b"4", b'q "x"', None],     # unquoted empty -> NULL
+        [b"9", None, None],         # column subset
+    ]
+    _simple_query(sock, buf, "DROP TABLE copy_in_t")
+
+
+def test_copy_from_stdin_errors_keep_sync(conn):
+    """Bad target before the stream, CopyFail, and a row-width
+    mismatch after the stream all error cleanly and the connection
+    recovers."""
+    sock, buf = conn
+    msgs = _copy_in(sock, buf, "COPY nonexistent_t FROM STDIN", b"")
+    assert any(t == b"E" for t, _ in msgs)
+
+    _simple_query(sock, buf, "DROP TABLE IF EXISTS copy_in_e")
+    _simple_query(
+        sock, buf, "CREATE TABLE copy_in_e (a INT) USING parquet"
+    )
+    msgs = _copy_in(
+        sock, buf, "COPY copy_in_e FROM STDIN", b"1\n", fail="client abort"
+    )
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"client abort" in errs[0]
+
+    msgs = _copy_in(sock, buf, "COPY copy_in_e FROM STDIN", b"1\t2\n")
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"columns" in errs[0]
+
+    assert _data_rows(_simple_query(sock, buf, "SELECT 5 AS v")) == [[b"5"]]
+    _simple_query(sock, buf, "DROP TABLE copy_in_e")
