@@ -1186,8 +1186,8 @@ WITH c AS (
   FROM documents
 )
 SELECT doc_id, source, n_chars AS n_tokens,
-       cum_before // 4096 AS seq_id,
-       cum_before % 4096 AS seq_offset
+       CAST(cum_before // 4096 AS BIGINT) AS seq_id,
+       CAST(cum_before % 4096 AS BIGINT) AS seq_offset
 FROM c
 """,
 )
@@ -1411,7 +1411,8 @@ WITH k AS (
              / 4294967296.0) * 16) AS INT) AS shard
   FROM documents
 )
-SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS sum_n_chars,
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars,
        MIN(key) AS min_key, MAX(key) AS max_key
 FROM k GROUP BY shard
 """,
@@ -2467,9 +2468,9 @@ WITH q AS (
   FROM documents
 )
 SELECT doc_id, quality_score, n_tokens,
-       SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+       CAST(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS cum_tokens,
+         AS BIGINT) AS cum_tokens,
        SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
          <= 12000 AS keep
@@ -2529,23 +2530,23 @@ _q(
     oracle=r"""
 WITH m AS (
   SELECT COUNT(*) AS n,
-         SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS nu0,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu0,
          COUNT(DISTINCT o_orderkey) AS nd0,
          CAST(MIN(o_orderkey) AS DOUBLE) AS mn0, CAST(MAX(o_orderkey) AS DOUBLE) AS mx0,
-         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nu1,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu1,
          COUNT(DISTINCT o_custkey) AS nd1,
          CAST(MIN(o_custkey) AS DOUBLE) AS mn1, CAST(MAX(o_custkey) AS DOUBLE) AS mx1,
-         SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nu2,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu2,
          COUNT(DISTINCT o_orderstatus) AS nd2,
          MIN(o_orderstatus) AS tn2, MAX(o_orderstatus) AS tx2,
-         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS nu3,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu3,
          COUNT(DISTINCT o_totalprice) AS nd3,
          CAST(MIN(o_totalprice) AS DOUBLE) AS mn3, CAST(MAX(o_totalprice) AS DOUBLE) AS mx3,
-         SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nu4,
+         CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu4,
          COUNT(DISTINCT o_orderdate) AS nd4,
          strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS tn4,
          strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS tx4,
-         SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS nu5,
+         CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nu5,
          COUNT(DISTINCT o_orderpriority) AS nd5,
          MIN(o_orderpriority) AS tn5, MAX(o_orderpriority) AS tx5
   FROM orders
@@ -3665,8 +3666,9 @@ WITH toks AS (
   FROM b
 )
 SELECT bucket, shard, batch_id,
-       COUNT(*) AS n_docs, MAX(l) AS max_len, SUM(l) AS sum_tokens,
-       COUNT(*) * MAX(l) - SUM(l) AS padded_tokens,
+       COUNT(*) AS n_docs, MAX(l) AS max_len,
+       CAST(SUM(l) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * MAX(l) - SUM(l) AS BIGINT) AS padded_tokens,
        ROUND(CAST(COUNT(*) * MAX(l) - SUM(l) AS DOUBLE)
              / (COUNT(*) * MAX(l)), 6) AS pad_frac
 FROM r GROUP BY bucket, shard, batch_id
@@ -3953,9 +3955,9 @@ WITH k AS (
 )
 SELECT source,
   COUNT(*) AS n_raw,
-  SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_exact,
-  SUM(CASE WHEN rn = 1 AND l BETWEEN 100 AND 5000
-       THEN 1 ELSE 0 END) AS n_final,
+  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+  CAST(SUM(CASE WHEN rn = 1 AND l BETWEEN 100 AND 5000
+       THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
   ROUND(CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
         / COUNT(*), 6) AS pct_exact,
   ROUND(CAST(SUM(CASE WHEN rn = 1 AND l BETWEEN 100 AND 5000
