@@ -488,6 +488,8 @@ def kneser_ney_score(
     broadcast_model: bool | None = None,
     broadcast_max_rows: int = 8_000_000,
     model_materialized: bool = False,
+    n_salts: int = 16,
+    salt_threshold: float = 0.5,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity — the smoothing real
     n-gram quality filters use (KenLM/CCNet's default) rather than
@@ -532,11 +534,28 @@ def kneser_ney_score(
     map-side in one scan (NULL-sentinel trick for short documents) —
     no shuffle touches corpus rows until the per-document rollup on
     ``doc_id``.
+
+    The shuffle fallback is SKEW-GUARDED exactly like
+    ``perplexity_score``: the model's bigram-count entropy rides the
+    same scalar agg as ``B``/``V`` (no extra pass), and when its
+    normalized entropy drops below ``salt_threshold`` all three score
+    joins are salted over ``n_salts`` deterministic salts (corpus side
+    scattered by xxhash64, model sides replicated) — row-identical
+    output, hot keys spread over ``n_salts`` reducers.
     """
     if not isinstance(discount_milli, int) or not 0 < discount_milli < 1000:
         raise ValueError(
             "kneser_ney_score: discount_milli must be an int in (0, 1000),"
             f" got {discount_milli!r}"
+        )
+    if not isinstance(n_salts, int) or n_salts < 1:
+        raise ValueError(
+            f"kneser_ney_score: n_salts must be a positive int, got {n_salts!r}"
+        )
+    if not 0.0 <= salt_threshold <= 1.0:
+        raise ValueError(
+            "kneser_ney_score: salt_threshold must be in [0, 1],"
+            f" got {salt_threshold!r}"
         )
     # four consumers (ctx/cont/scalars/broadcast join) — materialize
     # the vocabulary-bounded model once (see perplexity_score; callers
@@ -549,21 +568,27 @@ def kneser_ney_score(
     )
     cont = bi.groupBy("w2").agg(F.count("*").alias("_n1bwd"))
     # scalars: distinct bigram types + continuation vocabulary — one
-    # bounded agg over the model, like perplexity_score's V probe
-    b_types, v_cont = bi.agg(
-        F.count("*").alias("b"), F.countDistinct("w2").alias("v")
+    # bounded agg over the model, like perplexity_score's V probe;
+    # the same agg yields the count-entropy statistics for the
+    # shuffle-fallback skew pre-flight (no extra pass)
+    b_types, v_cont, b_tokens, b_nlogn = bi.agg(
+        F.count("*").alias("b"),
+        F.countDistinct("w2").alias("v"),
+        F.sum("cnt").alias("bn"),
+        F.sum(
+            F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double"))
+        ).alias("bnlogn"),
     ).first()
     scale = int(b_types) + int(v_cont) + 1
     dm = int(discount_milli)
     # b_types IS the bigram row count, which bounds every broadcast
     # side below (ctx and cont are per-w1/per-w2 rollups of it)
-    _bc = (
-        F.broadcast
-        if _resolve_broadcast(
-            "kneser_ney_score", int(b_types), broadcast_model, broadcast_max_rows
-        )
-        else (lambda df: df)
+    _broadcasting = _resolve_broadcast(
+        "kneser_ney_score", int(b_types), broadcast_model, broadcast_max_rows
     )
+    _bc = F.broadcast if _broadcasting else (lambda df: df)
+    _ne = _model_norm_entropy(b_tokens, b_types, b_nlogn)
+    _salted = not _broadcasting and _ne is not None and _ne < salt_threshold
 
     sentinel = F.array(
         F.struct(
@@ -580,15 +605,48 @@ def kneser_ney_score(
         )
         .select("_id", "b.w1", "b.w2")
     )
-    j = (
-        pairs.join(
-            _bc(bi.withColumnRenamed("cnt", "_c2")),
-            ["w1", "w2"],
-            "left",
+    if _salted:
+        # Same construction as perplexity_score's salted fallback:
+        # every corpus pair carries ONE deterministic salt; every
+        # model-derived table is replicated across all n_salts values,
+        # so each pair still meets exactly one replica of its matching
+        # row (left-join misses stay misses) — row-identical output,
+        # but the Zipf-hot (w1)/(w2) keys land on n_salts reducers.
+        import warnings
+
+        warnings.warn(
+            "kneser_ney_score: shuffle-fallback join key is skewed "
+            f"(model bigram norm_entropy < {salt_threshold}); salting "
+            f"the score joins over {n_salts} salts.",
+            stacklevel=2,
         )
-        .join(_bc(ctx), ["w1"], "left")
-        .join(_bc(cont), ["w2"], "left")
-    )
+        all_salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        pairs = pairs.withColumn(
+            "_salt", F.pmod(F.xxhash64("_id", "w1", "w2"), F.lit(n_salts))
+        )
+        j = (
+            pairs.join(
+                bi.withColumnRenamed("cnt", "_c2").withColumn(
+                    "_salt", all_salts
+                ),
+                ["w1", "w2", "_salt"],
+                "left",
+            )
+            .join(ctx.withColumn("_salt", all_salts), ["w1", "_salt"], "left")
+            .join(
+                cont.withColumn("_salt", all_salts), ["w2", "_salt"], "left"
+            )
+        )
+    else:
+        j = (
+            pairs.join(
+                _bc(bi.withColumnRenamed("cnt", "_c2")),
+                ["w1", "w2"],
+                "left",
+            )
+            .join(_bc(ctx), ["w1"], "left")
+            .join(_bc(cont), ["w2"], "left")
+        )
     n1b = F.coalesce(F.col("_n1bwd"), F.lit(0)) + F.lit(1)
     # Per-term double divisions, NEVER the cross-multiplied int64 form
     # (max(c2·1000−D,0)·scale and 1000·c1·scale overflow int64 for a
@@ -682,6 +740,8 @@ def stupid_backoff_score(
     broadcast_model: bool | None = None,
     broadcast_max_rows: int = 8_000_000,
     model_materialized: bool = False,
+    n_salts: int = 16,
+    salt_threshold: float = 0.5,
 ) -> DataFrame:
     """Trigram "stupid backoff" scoring (Brants et al. 2007) — the
     smoothing actually used for web-scale n-gram LMs because it needs
@@ -718,11 +778,30 @@ def stupid_backoff_score(
     scale models are exactly what this smoothing exists for — so the
     over-bound case warns and falls back to shuffle joins instead of
     OOMing executors.
+
+    The shuffle fallback is SKEW-GUARDED like the other two scorers:
+    the unigram-count entropy rides the same scalar agg as ``N`` (no
+    extra pass — the unigram keys are the most concentrated of the
+    five join keys, so they are the signal), and below
+    ``salt_threshold`` all five score joins are salted over
+    ``n_salts`` deterministic salts (corpus side scattered by
+    xxhash64, model sides replicated) — row-identical output with hot
+    keys spread over ``n_salts`` reducers.
     """
     if not isinstance(alpha_milli, int) or not 0 < alpha_milli < 1000:
         raise ValueError(
             "stupid_backoff_score: alpha_milli must be an int in (0, 1000),"
             f" got {alpha_milli!r}"
+        )
+    if not isinstance(n_salts, int) or n_salts < 1:
+        raise ValueError(
+            "stupid_backoff_score: n_salts must be a positive int,"
+            f" got {n_salts!r}"
+        )
+    if not 0.0 <= salt_threshold <= 1.0:
+        raise ValueError(
+            "stupid_backoff_score: salt_threshold must be in [0, 1],"
+            f" got {salt_threshold!r}"
         )
     if not model_materialized:
         lm = lm.localCheckpoint(eager=True)
@@ -740,22 +819,42 @@ def stupid_backoff_score(
     uni = lm.filter(F.col("w2").isNull()).select(
         F.col("w1").alias("_u_w1"), F.col("cnt").alias("_u_cnt")
     )
-    # ONE bounded agg yields both the unigram total N (the scoring
-    # floor) and the model row count (the auto-broadcast size signal)
-    n_tokens, n_model = lm.agg(
-        F.sum(F.when(F.col("w2").isNull(), F.col("cnt"))).alias("n"),
+    # ONE bounded agg yields the unigram total N (the scoring floor),
+    # the model row count (the auto-broadcast size signal), AND the
+    # unigram-count entropy statistics (the skew pre-flight for the
+    # shuffle fallback — unigram keys are the most concentrated of the
+    # five join keys)
+    _is_uni = F.col("w2").isNull()
+    n_tokens, n_model, u_keys, u_nlogn = lm.agg(
+        F.sum(F.when(_is_uni, F.col("cnt"))).alias("n"),
         F.count("*").alias("rows"),
+        F.count(F.when(_is_uni, 1)).alias("uk"),
+        F.sum(
+            F.when(
+                _is_uni,
+                F.col("cnt").cast("double")
+                * F.log(F.col("cnt").cast("double")),
+            )
+        ).alias("unlogn"),
     ).first()
     n_tokens = int(n_tokens or 0)
     if n_tokens == 0:
         raise ValueError("stupid_backoff_score: empty model")
-    _bc = (
-        F.broadcast
-        if _resolve_broadcast(
-            "stupid_backoff_score", int(n_model), broadcast_model, broadcast_max_rows
-        )
-        else (lambda df: df)
+    _broadcasting = _resolve_broadcast(
+        "stupid_backoff_score", int(n_model), broadcast_model, broadcast_max_rows
     )
+    _bc = F.broadcast if _broadcasting else (lambda df: df)
+    _ne = _model_norm_entropy(n_tokens, u_keys, u_nlogn)
+    _salted = not _broadcasting and _ne is not None and _ne < salt_threshold
+    if _salted:
+        import warnings
+
+        warnings.warn(
+            "stupid_backoff_score: shuffle-fallback join key is skewed "
+            f"(model unigram norm_entropy < {salt_threshold}); salting "
+            f"the score joins over {n_salts} salts.",
+            stacklevel=2,
+        )
 
     sentinel = F.array(
         F.struct(
@@ -772,17 +871,47 @@ def stupid_backoff_score(
         )
         .select("_id", "b.w1", "b.w2", "b.w3")
     )
+    if _salted:
+        # one deterministic salt per corpus triple; each model table is
+        # replicated across all n_salts values under its own salt
+        # column, and every join condition gains a salt equality — each
+        # triple meets exactly ONE replica of its matching row, so the
+        # output is row-identical to the unsalted left joins while the
+        # Zipf-hot unigram/bigram keys land on n_salts reducers.
+        all_salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        triples = triples.withColumn(
+            "_ss", F.pmod(F.xxhash64("_id", "w1", "w2", "w3"), F.lit(n_salts))
+        )
+        tri = tri.withColumn("_ts", all_salts)
+        big = big.withColumn("_gs", all_salts)
+        uni = uni.withColumn("_ns", all_salts)
+        _tri_on = F.col("_ss") == F.col("_ts")
+        _b12_on = F.col("_ss") == F.col("_b12s")
+        _b23_on = F.col("_ss") == F.col("_b23s")
+        _u2_on = F.col("_ss") == F.col("_u2s")
+        _u3_on = F.col("_ss") == F.col("_u3s")
+    else:
+        _tri_on = _b12_on = _b23_on = _u2_on = _u3_on = F.lit(True)
+        big = big.withColumn("_gs", F.lit(0))
+        uni = uni.withColumn("_ns", F.lit(0))
     j = (
         triples.join(
             _bc(tri),
             (F.col("w1") == F.col("_t_w1"))
             & (F.col("w2") == F.col("_t_w2"))
-            & (F.col("w3") == F.col("_t_w3")),
+            & (F.col("w3") == F.col("_t_w3"))
+            & _tri_on,
             "left",
         )
         .join(
-            _bc(big.withColumnRenamed("_b_cnt", "_c12")),
-            (F.col("w1") == F.col("_b_w1")) & (F.col("w2") == F.col("_b_w2")),
+            _bc(
+                big.withColumnRenamed("_b_cnt", "_c12").withColumnRenamed(
+                    "_gs", "_b12s"
+                )
+            ),
+            (F.col("w1") == F.col("_b_w1"))
+            & (F.col("w2") == F.col("_b_w2"))
+            & _b12_on,
             "left",
         )
         .drop("_b_w1", "_b_w2")
@@ -792,27 +921,34 @@ def stupid_backoff_score(
                     F.col("_b_w1").alias("_b2_w1"),
                     F.col("_b_w2").alias("_b2_w2"),
                     F.col("_b_cnt").alias("_c23"),
+                    F.col("_gs").alias("_b23s"),
                 )
             ),
-            (F.col("w2") == F.col("_b2_w1")) & (F.col("w3") == F.col("_b2_w2")),
+            (F.col("w2") == F.col("_b2_w1"))
+            & (F.col("w3") == F.col("_b2_w2"))
+            & _b23_on,
             "left",
         )
         .join(
             _bc(
                 uni.select(
-                    F.col("_u_w1").alias("_u2_w1"), F.col("_u_cnt").alias("_c2")
+                    F.col("_u_w1").alias("_u2_w1"),
+                    F.col("_u_cnt").alias("_c2"),
+                    F.col("_ns").alias("_u2s"),
                 )
             ),
-            F.col("w2") == F.col("_u2_w1"),
+            (F.col("w2") == F.col("_u2_w1")) & _u2_on,
             "left",
         )
         .join(
             _bc(
                 uni.select(
-                    F.col("_u_w1").alias("_u3_w1"), F.col("_u_cnt").alias("_c3")
+                    F.col("_u_w1").alias("_u3_w1"),
+                    F.col("_u_cnt").alias("_c3"),
+                    F.col("_ns").alias("_u3s"),
                 )
             ),
-            F.col("w3") == F.col("_u3_w1"),
+            (F.col("w3") == F.col("_u3_w1")) & _u3_on,
             "left",
         )
     )

@@ -819,3 +819,63 @@ def test_cli_score_lm_jm_smoothing(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="BIGRAM"):
         main(["score", "--parquet", data, "--method", "lm",
               "--model", tri_dir, "--smoothing", "jm"])
+
+
+@pytest.mark.parametrize("smoothing", ["kn", "sb"])
+def test_kn_sb_shuffle_fallback_salts_skewed_key(spark, smoothing):
+    """VERDICT r8 item 3: the KN/SB over-bound shuffle fallbacks were
+    unsalted while add-k got the skew guard. Planted 90%-one-n-gram
+    corpus + broadcast_max_rows=0: both scorers must now detect the
+    concentrated key distribution (entropy probe rides the scalar agg
+    they already run) and salt the score joins, with output
+    row-identical to the broadcast path; a uniform corpus's fallback
+    must NOT salt."""
+    import warnings as _warnings
+
+    from csvb_spark.operators.lm import (
+        bigram_lm_train,
+        kneser_ney_score,
+        stupid_backoff_score,
+        trigram_lm_train,
+    )
+
+    if smoothing == "kn":
+        train, score = bigram_lm_train, kneser_ney_score
+    else:
+        train, score = trigram_lm_train, stupid_backoff_score
+
+    rows = [(i, "the the the the the the the the") for i in range(90)] + [
+        (100 + i, f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    lm = train(docs)
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        salted = score(docs, lm, broadcast_max_rows=0)
+    assert any("salting" in str(w.message) for w in caught)
+    plan = _plan_of(salted)
+    assert "xxhash64" in plan  # the salt scatter is in the plan
+    assert "BroadcastHashJoin" not in plan
+
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, score(docs, lm, broadcast_model=True).collect()))
+    assert a == b
+
+    # uniform corpus: fallback shuffles but does NOT salt
+    uni_docs = spark.createDataFrame(
+        [(i, f"u{i} v{i} w{i} x{i}") for i in range(50)],
+        "doc_id bigint, text string",
+    )
+    uni_lm = train(uni_docs)
+    with _warnings.catch_warnings(record=True) as caught2:
+        _warnings.simplefilter("always")
+        unsalted = score(uni_docs, uni_lm, broadcast_max_rows=0)
+    assert not any("salting" in str(w.message) for w in caught2)
+    assert "xxhash64" not in _plan_of(unsalted)
+
+    # knob validation matches the add-k scorer's contract
+    with pytest.raises(ValueError, match="n_salts"):
+        score(docs, lm, n_salts=0)
+    with pytest.raises(ValueError, match="salt_threshold"):
+        score(docs, lm, salt_threshold=-0.1)
