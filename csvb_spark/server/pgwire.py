@@ -13,11 +13,13 @@ the subset that real clients use):
   DELIMITER 'c')]: CopyOutResponse / CopyData* / CopyDone / COPY n
   (postgres text-format escaping or RFC-4180 CSV)
 - COPY table [(cols)] FROM STDIN [WITH (...)]: CopyInResponse, the
-  buffered CopyData stream parsed (text unescape / quote-preserving
-  CSV — unquoted empty is NULL, quoted "" is the empty string), cast
-  to the table schema, INSERTed; unlisted columns load NULL. The
-  target must be a writable catalog table; server-side COPY FROM
-  'file' stays 0A000
+  CopyData stream parsed INCREMENTALLY (text unescape with
+  escape-aware delimiter split / quote-preserving CSV — unquoted
+  empty is NULL, quoted "" is the empty string; empty text lines are
+  single empty-string rows), batches staged to temp parquet past a
+  driver-memory bound, cast to the table schema, INSERTed once at
+  CopyDone; unlisted columns load NULL. The target must be a writable
+  catalog table; server-side COPY FROM 'file' stays 0A000
 - extended protocol: Parse/Bind plan the statement; bind parameters
   are inlined as typed SQL literals ($n substitution with the
   Parse-declared oids — the common psycopg3/JDBC path; binary-format
@@ -68,9 +70,11 @@ from __future__ import annotations
 import datetime as _dt
 import logging
 import re as _re
+import shutil
 import socket
 import socketserver
 import struct
+import tempfile
 import threading
 
 from pyspark.sql import Row as _PgRow
@@ -417,6 +421,9 @@ _COPY_IN_RE = _re.compile(
     r"(?is)^COPY\s+(?P<tbl>[A-Za-z_][\w.]*)\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?FROM\s+STDIN(?P<opts>\s+.+)?$"
 )
+# parsed-cell bytes buffered on the driver before a COPY FROM batch is
+# staged to parquet — bounds driver RSS for arbitrarily large payloads
+_COPY_IN_CHUNK_BYTES = 8 << 20
 
 
 def _copy_text_unescape(cell: bytes) -> str | None:
@@ -439,6 +446,30 @@ def _copy_text_unescape(cell: bytes) -> str | None:
             out.append(c)
             i += 1
     return out.decode("utf-8")
+
+
+def _copy_text_split(line: bytes, delim: bytes) -> list[bytes]:
+    """Split one text-format COPY line on the delimiter, honoring
+    backslash escapes: a delimiter byte preceded by an odd run of
+    backslashes is cell CONTENT (the OUT side emits ``\\|`` for a
+    cell containing a ``|`` delimiter — see :func:`_copy_text_cell`),
+    not a separator. Each backslash consumes the byte after it, so
+    escape-run parity falls out of the scan."""
+    d = delim[0]
+    cells: list[bytes] = []
+    start = i = 0
+    n = len(line)
+    while i < n:
+        c = line[i]
+        if c == 0x5C:  # backslash: the next byte is escaped content
+            i += 2
+            continue
+        if c == d:
+            cells.append(line[start:i])
+            start = i + 1
+        i += 1
+    cells.append(line[start:])
+    return cells
 
 
 def _copy_csv_rows(text: str, delim: str) -> list[list[str | None]]:
@@ -1272,48 +1303,156 @@ class _Conn:
                 + struct.pack(f"!{len(cols)}h", *([0] * len(cols))),
             )
         )
-        raw = bytearray()
+        # Incremental, bounded-memory ingest: complete rows are parsed
+        # out of each CopyData chunk as it arrives; once the parsed
+        # batch crosses _COPY_IN_CHUNK_BYTES it is staged to a temp
+        # parquet directory, and the final INSERT is ONE insertInto
+        # reading the staging dir — a failed COPY never leaves a
+        # partial insert, and the driver never holds the whole payload
+        # (the COPY TO side has the same 1 MiB flush discipline).
+        # Payloads under the bound skip staging entirely.
+        str_schema = ", ".join(f"`{c}` string" for c in cols)
+        buf = bytearray()
+        st = {
+            "pending": [], "pending_bytes": 0, "rows": 0,
+            "staging": None, "eof": False,
+            "skip_header": bool(header and fmt == "csv"),
+            "csv_parity": False, "scanned": 0,
+        }
+
+        def _stage() -> None:
+            if not st["pending"]:
+                return
+            if st["staging"] is None:
+                st["staging"] = tempfile.mkdtemp(prefix="csvb_copy_in_")
+            self.spark.createDataFrame(
+                st["pending"], str_schema
+            ).write.mode("append").parquet(st["staging"])
+            st["pending"] = []
+            st["pending_bytes"] = 0
+
+        def _add_row(r: list) -> None:
+            if st["skip_header"]:
+                st["skip_header"] = False
+                return
+            if len(r) != len(cols):
+                raise ValueError(
+                    f"COPY: row has {len(r)} columns, expected {len(cols)}"
+                )
+            st["pending"].append(r)
+            st["pending_bytes"] += 16 + sum(len(c) for c in r if c)
+            st["rows"] += 1
+            if st["pending_bytes"] >= _COPY_IN_CHUNK_BYTES:
+                _stage()
+
+        def _text_rows(data: bytes) -> None:
+            for line in data.split(b"\n"):
+                if st["eof"]:
+                    return
+                if line.endswith(b"\r"):
+                    line = line[:-1]
+                if line == b"\\.":  # end-of-data marker
+                    st["eof"] = True
+                    return
+                # an empty line IS a legitimate row: the serialized
+                # form of a single empty-string cell (NULL is \N)
+                _add_row(
+                    [
+                        _copy_text_unescape(c)
+                        for c in _copy_text_split(line, delim)
+                    ]
+                )
+
+        def _csv_rows_in(data: bytes) -> None:
+            for r in _copy_csv_rows(data.decode("utf-8"), delim.decode()):
+                if st["eof"]:
+                    return
+                if r == ["\\."]:
+                    st["eof"] = True
+                    return
+                _add_row(r)
+
+        def _ingest(data: bytes) -> None:
+            if st["eof"]:
+                return
+            buf.extend(data)
+            if fmt == "csv":
+                # a row boundary is a newline at EVEN quote parity;
+                # parity carries across CopyData chunks. 0x22/0x0A are
+                # never UTF-8 continuation bytes, so cutting at a
+                # newline keeps multibyte characters intact.
+                cut = -1
+                parity = st["csv_parity"]
+                i, n = st["scanned"], len(buf)
+                while i < n:
+                    c = buf[i]
+                    if c == 0x22:
+                        parity = not parity
+                    elif c == 0x0A and not parity:
+                        cut = i
+                    i += 1
+                st["csv_parity"] = parity
+                if cut < 0:
+                    st["scanned"] = n
+                    return
+                complete = bytes(buf[: cut + 1])
+                del buf[: cut + 1]
+                st["scanned"] = len(buf)
+                _csv_rows_in(complete)
+            else:
+                cut = buf.rfind(b"\n")
+                if cut < 0:
+                    return
+                complete = bytes(buf[:cut])
+                del buf[: cut + 1]
+                _text_rows(complete)
+
+        def _finish_parse() -> None:
+            # tolerate a final row missing its newline terminator
+            if buf and not st["eof"]:
+                tail = bytes(buf)
+                if fmt == "csv":
+                    _csv_rows_in(tail)
+                else:
+                    _text_rows(tail)
+            buf.clear()
+
         failed: str | None = None
+        parse_err: Exception | None = None
         while True:
             tag = self._recv_exact(1)
             (length,) = struct.unpack("!I", self._recv_exact(4))
             body = self._recv_exact(length - 4)
             if tag == b"d":
-                raw += body
+                if parse_err is None:
+                    try:
+                        _ingest(body)
+                    except Exception as e:  # noqa: BLE001 — drain to 'c' first
+                        parse_err = e
             elif tag == b"c":  # CopyDone
                 break
             elif tag == b"f":  # CopyFail
                 failed = body.rstrip(b"\x00").decode(errors="replace")
                 break
             elif tag == b"X":
+                if st["staging"] is not None:
+                    shutil.rmtree(st["staging"], ignore_errors=True)
                 raise ConnectionResetError("client terminated during COPY")
             # anything else (Flush/Sync) is ignored inside copy-in
         try:
             if failed is not None:
                 raise ValueError(f"COPY from stdin failed: {failed}")
-            if fmt == "csv":
-                rows = _copy_csv_rows(
-                    raw.decode("utf-8"), delim.decode()
+            if parse_err is not None:
+                raise parse_err
+            _finish_parse()
+            if st["staging"] is not None:
+                _stage()  # flush the tail batch
+                src = self.spark.read.schema(str_schema).parquet(
+                    st["staging"]
                 )
-                if header and rows:
-                    rows = rows[1:]
             else:
-                rows = []
-                for line in bytes(raw).split(b"\n"):
-                    if line in (b"", b"\\."):
-                        continue
-                    rows.append(
-                        [_copy_text_unescape(c) for c in line.split(delim)]
-                    )
-            for r in rows:
-                if len(r) != len(cols):
-                    raise ValueError(
-                        f"COPY: row has {len(r)} columns, expected {len(cols)}"
-                    )
-            str_schema = ", ".join(f"`{c}` string" for c in cols)
-            df = self.spark.createDataFrame(rows, str_schema)
-            by_name = {f.name: f for f in schema.fields}
-            full = df.select(
+                src = self.spark.createDataFrame(st["pending"], str_schema)
+            full = src.select(
                 *[
                     (
                         F.col(f.name).cast(f.dataType)
@@ -1324,12 +1463,15 @@ class _Conn:
                 ]
             )
             full.write.insertInto(tbl)
-            self._send(_msg(b"C", _cstr(f"COPY {len(rows)}")))
+            self._send(_msg(b"C", _cstr(f"COPY {st['rows']}")))
         except ValueError as e:
             self._send_error("22P04", str(e).split("\n")[0][:500])
         except Exception as e:  # noqa: BLE001
             log.warning("copy-in failed: %s", e)
             self._send_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
+        finally:
+            if st["staging"] is not None:
+                shutil.rmtree(st["staging"], ignore_errors=True)
         self.running = False
         self._send(self._ready())
 

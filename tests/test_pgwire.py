@@ -1812,3 +1812,165 @@ def test_copy_from_stdin_errors_keep_sync(conn):
 
     assert _data_rows(_simple_query(sock, buf, "SELECT 5 AS v")) == [[b"5"]]
     _simple_query(sock, buf, "DROP TABLE copy_in_e")
+
+
+# --- COPY round-trip + streaming ingest (round-10 fixes) ----------------------------
+def test_copy_text_split_escape_aware():
+    """Unit: delimiter bytes behind an odd backslash run are content."""
+    from csvb_spark.server.pgwire import _copy_text_split
+
+    assert _copy_text_split(b"a|b", b"|") == [b"a", b"b"]
+    assert _copy_text_split(rb"a\|b", b"|") == [rb"a\|b"]
+    assert _copy_text_split(rb"a\\|b", b"|") == [rb"a\\", b"b"]
+    assert _copy_text_split(rb"a\\\|b|c", b"|") == [rb"a\\\|b", b"c"]
+    assert _copy_text_split(b"", b"|") == [b""]
+    assert _copy_text_split(b"|", b"|") == [b"", b""]
+    assert _copy_text_split(rb"\|", b"|") == [rb"\|"]
+
+
+def _copy_in_chunks(sock, buf, sql: str, chunks: list[bytes]):
+    """COPY FROM STDIN sending the payload as MULTIPLE CopyData
+    messages — exercises partial-row buffering across chunk cuts."""
+    body = sql.encode() + b"\x00"
+    sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+    while True:
+        tag, p = _read_msg(sock, buf)
+        if tag == b"G":
+            break
+        if tag == b"E":
+            return [(tag, p)] + _read_until_ready(sock, buf)
+    for c in chunks:
+        sock.sendall(b"d" + struct.pack("!I", len(c) + 4) + c)
+    sock.sendall(b"c" + struct.pack("!I", 4))
+    return _read_until_ready(sock, buf)
+
+
+def test_copy_text_roundtrip_custom_delimiter(conn):
+    """The server round-trips its OWN text output: COPY TO with
+    DELIMITER '|' over cells containing the delimiter, backslashes,
+    newlines, and empty strings, then COPY FROM the captured bytes —
+    full table equality."""
+    sock, buf = conn
+    for t in ("copy_rt_src", "copy_rt_dst"):
+        _simple_query(sock, buf, f"DROP TABLE IF EXISTS {t}")
+        _simple_query(
+            sock, buf, f"CREATE TABLE {t} (a INT, b STRING) USING parquet"
+        )
+    _simple_query(
+        sock, buf,
+        "INSERT INTO copy_rt_src VALUES "
+        "(1, 'has|pipe'), (2, 'back\\\\slash'), (3, ''), (4, NULL), "
+        "(5, 'nl\\nhere'), (6, '\\\\|mix|\\\\'), (7, '\\\\\\\\||')",
+    )
+    msgs = _simple_query(
+        sock, buf, "COPY copy_rt_src TO STDOUT WITH (DELIMITER '|')"
+    )
+    _, data, cc = _copy_payload(msgs)
+    assert cc == b"COPY 7\x00"
+    payload = b"".join(data)
+    msgs = _copy_in(
+        sock, buf, "COPY copy_rt_dst FROM STDIN WITH (DELIMITER '|')",
+        payload,
+    )
+    assert (b"C", b"COPY 7\x00") in msgs
+    src = _data_rows(
+        _simple_query(sock, buf, "SELECT * FROM copy_rt_src ORDER BY a")
+    )
+    dst = _data_rows(
+        _simple_query(sock, buf, "SELECT * FROM copy_rt_dst ORDER BY a")
+    )
+    assert src == dst and len(dst) == 7
+    for t in ("copy_rt_src", "copy_rt_dst"):
+        _simple_query(sock, buf, f"DROP TABLE {t}")
+
+
+def test_copy_text_empty_line_is_empty_string_row(conn):
+    """A single-column empty-string row serializes as an empty LINE in
+    text format; COPY FROM must ingest it, not drop it (only the
+    trailing-newline artifact and \\. are skipped)."""
+    sock, buf = conn
+    for t in ("copy_el_src", "copy_el_dst"):
+        _simple_query(sock, buf, f"DROP TABLE IF EXISTS {t}")
+        _simple_query(
+            sock, buf, f"CREATE TABLE {t} (s STRING) USING parquet"
+        )
+    _simple_query(
+        sock, buf, "INSERT INTO copy_el_src VALUES (''), ('x'), (NULL)"
+    )
+    msgs = _simple_query(sock, buf, "COPY copy_el_src TO STDOUT")
+    _, data, cc = _copy_payload(msgs)
+    assert cc == b"COPY 3\x00"
+    msgs = _copy_in(
+        sock, buf, "COPY copy_el_dst FROM STDIN", b"".join(data)
+    )
+    assert (b"C", b"COPY 3\x00") in msgs
+    rows = _data_rows(
+        _simple_query(
+            sock, buf,
+            "SELECT s, count(*) AS n FROM copy_el_dst "
+            "GROUP BY s ORDER BY s NULLS FIRST",
+        )
+    )
+    assert rows == [[None, b"1"], [b"", b"1"], [b"x", b"1"]]
+    # explicit \. end-of-data marker still terminates the stream
+    msgs = _copy_in(
+        sock, buf, "COPY copy_el_dst FROM STDIN", b"y\n\\.\nignored\n"
+    )
+    assert (b"C", b"COPY 1\x00") in msgs
+    for t in ("copy_el_src", "copy_el_dst"):
+        _simple_query(sock, buf, f"DROP TABLE {t}")
+
+
+def test_copy_from_streams_bounded_chunks(conn, monkeypatch):
+    """A payload far past the staging bound ingests via the bounded
+    parquet-staged path: CopyData cuts land mid-row and mid-quoted
+    field (CSV quote parity carries across chunks), multibyte chars
+    survive, and the final table is exact."""
+    import csvb_spark.server.pgwire as pgwire_mod
+
+    monkeypatch.setattr(pgwire_mod, "_COPY_IN_CHUNK_BYTES", 16_384)
+    sock, buf = conn
+    _simple_query(sock, buf, "DROP TABLE IF EXISTS copy_big")
+    _simple_query(
+        sock, buf,
+        "CREATE TABLE copy_big (i INT, s STRING) USING parquet",
+    )
+    n = 5000
+    lines = []
+    for i in range(n):
+        if i % 7 == 0:
+            cell = f'"multi\nline {i} é"'  # quoted newline + multibyte
+        elif i % 11 == 0:
+            cell = '""'
+        else:
+            cell = f"plain {i}"
+        lines.append(f"{i},{cell}\n".encode("utf-8"))
+    payload = b"".join(lines)
+    step = 7777  # deliberately not row-aligned
+    chunks = [payload[o : o + step] for o in range(0, len(payload), step)]
+    assert len(chunks) > 5
+    msgs = _copy_in_chunks(
+        sock, buf, "COPY copy_big FROM STDIN WITH (FORMAT CSV)", chunks
+    )
+    assert (b"C", f"COPY {n}\x00".encode()) in msgs
+    rows = _data_rows(
+        _simple_query(
+            sock, buf,
+            "SELECT count(*) AS n, sum(i) AS si, "
+            "sum(CASE WHEN substring(s, 1, 5) = 'multi' "
+            "AND substring(s, -1, 1) = 'é' THEN 1 ELSE 0 END) AS nml, "
+            "sum(CASE WHEN s = '' THEN 1 ELSE 0 END) AS nempty "
+            "FROM copy_big",
+        )
+    )
+    n_multi = sum(1 for i in range(n) if i % 7 == 0)
+    n_empty = sum(1 for i in range(n) if i % 7 != 0 and i % 11 == 0)
+    assert rows == [
+        [
+            str(n).encode(),
+            str(n * (n - 1) // 2).encode(),
+            str(n_multi).encode(),
+            str(n_empty).encode(),
+        ]
+    ]
+    _simple_query(sock, buf, "DROP TABLE copy_big")
