@@ -184,6 +184,164 @@ def _apply_fn_rewrites(sql: str) -> str:
     return sql
 
 
+# --- chrono strftime → java.time DateTimeFormatter patterns ---
+#
+# The reference's to_char/to_date/to_timestamp accept Rust-chrono
+# format strings (DataFusion 44 datafusion-functions, Cargo.lock:1287;
+# chrono's strftime docs are public). Spark's datetime functions speak
+# java.time patterns, so '%Y-%m-%d' passed through unchanged would
+# produce WRONG OUTPUT, not an error. Map the specifiers; any
+# specifier with no faithful java.time equivalent raises so the user
+# gets a loud error instead of silently corrupted datetimes.
+_CHRONO_MAP: dict[str, str] = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "I": "hh", "l": "h", "M": "mm", "S": "ss",
+    "a": "EEE", "A": "EEEE", "b": "MMM", "h": "MMM", "B": "MMMM",
+    "p": "a", "P": "a", "j": "DDD", "q": "Q",
+    "f": "SSSSSSSSS", "3f": "SSS", "6f": "SSSSSS", "9f": "SSSSSSSSS",
+    ".f": ".SSSSSS", ".3f": ".SSS", ".6f": ".SSSSSS",
+    ".9f": ".SSSSSSSSS",
+    "z": "xx", ":z": "xxx", "Z": "zzz",
+    # composite shorthands (chrono defines these as fixed expansions)
+    "D": "MM/dd/yy", "F": "yyyy-MM-dd", "T": "HH:mm:ss",
+    "X": "HH:mm:ss", "R": "HH:mm", "r": "hh:mm:ss a",
+    "v": "d-MMM-yyyy", "c": "EEE MMM d HH:mm:ss yyyy",
+}
+# %-X (no padding) variants for the numeric fields
+_CHRONO_UNPADDED: dict[str, str] = {
+    "Y": "yyyy", "y": "y", "m": "M", "d": "d", "e": "d", "H": "H",
+    "k": "H", "I": "h", "l": "h", "M": "m", "S": "s", "j": "D",
+}
+
+
+def _chrono_to_java(fmt: str) -> str:
+    """Translate one chrono strftime format string to the equivalent
+    java.time DateTimeFormatter pattern. Literal runs containing
+    letters are single-quoted (every ASCII letter is reserved in
+    java.time patterns); unsupported specifiers raise ValueError."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            text = "".join(lit)
+            if re.search(r"[A-Za-z']", text):
+                text = "'" + text.replace("'", "''") + "'"
+            out.append(text)
+            lit.clear()
+
+    i, n = 0, len(fmt)
+    while i < n:
+        c = fmt[i]
+        if c != "%":
+            lit.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError(f"trailing '%' in chrono format {fmt!r}")
+        nxt = fmt[i + 1]
+        if nxt == "%":
+            lit.append("%")
+            i += 2
+            continue
+        if nxt == "n":
+            lit.append("\n")
+            i += 2
+            continue
+        if nxt == "t":
+            lit.append("\t")
+            i += 2
+            continue
+        if nxt in "-0_" and fmt[i + 2 : i + 3] in _CHRONO_UNPADDED:
+            flush()
+            base = fmt[i + 2]
+            out.append(
+                _CHRONO_UNPADDED[base] if nxt == "-" else _CHRONO_MAP[base]
+            )
+            i += 3
+            continue
+        key = None
+        for klen in (3, 2, 1):
+            cand = fmt[i + 1 : i + 1 + klen]
+            if cand in _CHRONO_MAP:
+                key = cand
+                break
+        if key is None:
+            raise ValueError(
+                f"chrono specifier %{nxt} in format {fmt!r} has no "
+                "Spark DateTimeFormatter equivalent"
+            )
+        flush()
+        out.append(_CHRONO_MAP[key])
+        i += 1 + len(key)
+    flush()
+    return "".join(out)
+
+
+_CHRONO_FNS = ("to_char", "to_date", "to_timestamp")
+_LIT_TOKEN_RE = re.compile(r"\x00LIT(\d+)\x00")
+
+
+def _rewrite_chrono_datetime(sql: str, literals: list[str]) -> str:
+    """to_char/to_date/to_timestamp with chrono format literals →
+    Spark calls with translated java.time patterns. DataFusion's
+    to_date/to_timestamp try MULTIPLE formats in order, first parse
+    wins — Spark's return NULL on a failed parse, so the multi-format
+    form becomes coalesce(). Format literals without a '%' are left
+    alone (already java-pattern / engine-native callers)."""
+
+    def mklit(s: str) -> str:
+        literals.append("'" + s.replace("'", "''") + "'")
+        return f"\x00LIT{len(literals) - 1}\x00"
+
+    changed = True
+    while changed:
+        changed = False
+        for name in _CHRONO_FNS:
+            for start, op, cl in _find_calls(sql, name):
+                args = _split_args(sql[op + 1 : cl])
+                if len(args) < 2:
+                    continue
+                idxs = []
+                for a in args[1:]:
+                    m = _LIT_TOKEN_RE.fullmatch(a)
+                    if not m:
+                        idxs = None
+                        break
+                    idxs.append(int(m.group(1)))
+                if not idxs:
+                    continue
+                raw = [literals[k][1:-1].replace("''", "'") for k in idxs]
+                if not any("%" in r for r in raw):
+                    continue
+                toks = [mklit(_chrono_to_java(r)) for r in raw]
+                lname = name.lower()
+                if lname == "to_char":
+                    repl = f"date_format({args[0]}, {toks[0]})"
+                elif len(toks) == 1:
+                    repl = f"{lname}({args[0]}, {toks[0]})"
+                else:
+                    # DataFusion tries formats in order: first parse
+                    # wins, error only when NONE parses. Under ANSI
+                    # (Spark 4 default) to_date throws on a failed
+                    # parse, so earlier branches use try_* and the
+                    # LAST stays strict — coalesce short-circuits, so
+                    # the strict branch only runs when all else failed.
+                    branches = ", ".join(
+                        f"try_{lname}({args[0]}, {t})" for t in toks[:-1]
+                    )
+                    repl = (
+                        f"coalesce({branches}, "
+                        f"{lname}({args[0]}, {toks[-1]}))"
+                    )
+                sql = sql[:start] + repl + sql[cl + 1 :]
+                changed = True
+                break  # offsets shifted — rescan
+            if changed:
+                break
+    return sql
+
+
 _INTERVAL_UNITS_US = {
     "microsecond": 1,
     "millisecond": 1000,
@@ -672,6 +830,9 @@ def translate_sql(sql: str) -> str:
         return f"{neg}RLIKE concat('^(?:', {m.group('pat')}, ')$')"
 
     out = _SIMILAR_TO_RE.sub(similar, out)
+
+    # chrono-format to_char/to_date/to_timestamp → java.time patterns
+    out = _rewrite_chrono_datetime(out, lits)
 
     # interval-literal date_bin → micros-stride shim
     out = _rewrite_date_bin_interval(out, lits)

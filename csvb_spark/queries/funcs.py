@@ -188,6 +188,58 @@ _q(
     headline=True,
 )
 
+# --- chrono-format datetime round-trips (reference dialect) --------------
+# The reference's to_char/to_date/to_timestamp take Rust-chrono format
+# strings (DataFusion 44 datafusion-functions; reference route
+# csvb_engine/src/lib.rs:88 → SessionContext::sql). The Spark side is
+# written with the CHRONO patterns and routed through execute_sql so
+# the translate-layer chrono→java.time mapping is what the oracle
+# verifies; DuckDB's strftime/strptime speak chrono-compatible
+# C-strftime natively.
+_SPARK_CHRONO = """
+SELECT event_id,
+       to_char(ts, '%Y/%m/%d %H:%M:%S') AS fmt_full,
+       to_char(ts, '%d-%b-%Y') AS fmt_abbrev,
+       to_char(ts, '%A, %B %-d, %Y') AS fmt_names,
+       to_char(ts, '%I:%M %p') AS fmt_ampm,
+       to_char(ts, 'day %j of %Y') AS fmt_doy,
+       to_date('15.01.2024', '%d.%m.%Y') AS parsed_fixed,
+       to_date(CASE WHEN event_id % 2 = 0
+                    THEN to_char(ts, '%Y-%m-%d')
+                    ELSE to_char(ts, '%d/%m/%Y') END,
+               '%Y-%m-%d', '%d/%m/%Y') AS parsed_multi,
+       to_timestamp(to_char(ts, '%Y-%m-%dT%H:%M:%S'),
+                    '%Y-%m-%dT%H:%M:%S') AS parsed_ts
+FROM events
+WHERE event_id < 300
+"""
+_DUCK_CHRONO = """
+SELECT event_id,
+       strftime(ts, '%Y/%m/%d %H:%M:%S') AS fmt_full,
+       strftime(ts, '%d-%b-%Y') AS fmt_abbrev,
+       strftime(ts, '%A, %B %-d, %Y') AS fmt_names,
+       strftime(ts, '%I:%M %p') AS fmt_ampm,
+       strftime(ts, 'day %j of %Y') AS fmt_doy,
+       CAST(strptime('15.01.2024', '%d.%m.%Y') AS DATE) AS parsed_fixed,
+       CAST(coalesce(
+         try_strptime(CASE WHEN event_id % 2 = 0
+                           THEN strftime(ts, '%Y-%m-%d')
+                           ELSE strftime(ts, '%d/%m/%Y') END, '%Y-%m-%d'),
+         strptime(CASE WHEN event_id % 2 = 0
+                       THEN strftime(ts, '%Y-%m-%d')
+                       ELSE strftime(ts, '%d/%m/%Y') END, '%d/%m/%Y')
+       ) AS DATE) AS parsed_multi,
+       strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                '%Y-%m-%dT%H:%M:%S') AS parsed_ts
+FROM events
+WHERE event_id < 300
+"""
+_q(
+    "x130_chrono_formats",
+    spark=dialect_query(_SPARK_CHRONO),
+    oracle=_DUCK_CHRONO,
+)
+
 # --- array functions (dialects diverge) ----------------------------------
 _SPARK_ARRAYS = """
 SELECT doc_id,

@@ -275,6 +275,63 @@ def test_translate_sql(src, expected):
     assert translate_sql(src) == expected
 
 
+@pytest.mark.parametrize(
+    ("src", "expected"),
+    [
+        # chrono strftime formats → java.time patterns (DataFusion 44
+        # datetime functions take Rust-chrono format strings)
+        (
+            "SELECT to_char(d, '%Y-%m-%d')",
+            "SELECT date_format(d, 'yyyy-MM-dd')",
+        ),
+        (
+            "SELECT to_char(ts, '%Y/%m/%d %H:%M:%S') AS s",
+            "SELECT date_format(ts, 'yyyy/MM/dd HH:mm:ss') AS s",
+        ),
+        # literal letter runs get single-quoted; %-d unpads
+        (
+            "SELECT to_char(d, 'day %j of %Y, %-d')",
+            "SELECT date_format(d, '''day ''DDD'' of ''yyyy, d')",
+        ),
+        # %T composite, %p AM/PM, escaped %%
+        (
+            "SELECT to_char(ts, '%T %p %% %I')",
+            "SELECT date_format(ts, 'HH:mm:ss a % hh')",
+        ),
+        # single-format parse keeps the strict function
+        (
+            "SELECT to_date(s, '%d.%m.%Y')",
+            "SELECT to_date(s, 'dd.MM.yyyy')",
+        ),
+        # multi-format: try_* fallbacks, last branch strict (ANSI)
+        (
+            "SELECT to_date(s, '%Y-%m-%d', '%d/%m/%Y')",
+            "SELECT coalesce(try_to_date(s, 'yyyy-MM-dd'), "
+            "to_date(s, 'dd/MM/yyyy'))",
+        ),
+        (
+            "SELECT to_timestamp(s, '%Y-%m-%dT%H:%M:%S%.3f')",
+            "SELECT to_timestamp(s, 'yyyy-MM-dd''T''HH:mm:ss.SSS')",
+        ),
+        # java-pattern and formatless calls pass through untouched
+        (
+            "SELECT to_timestamp(s, 'yyyy-MM-dd')",
+            "SELECT to_timestamp(s, 'yyyy-MM-dd')",
+        ),
+        ("SELECT to_date(s)", "SELECT to_date(s)"),
+    ],
+)
+def test_translate_chrono_formats(src, expected):
+    assert translate_sql(src) == expected
+
+
+def test_translate_chrono_unsupported_raises():
+    """A chrono specifier with no java.time equivalent must error
+    loudly, never pass through to produce corrupted datetimes."""
+    with pytest.raises(ValueError, match="%s"):
+        translate_sql("SELECT to_char(d, 'epoch %s')")
+
+
 def test_split_args_brackets():
     """Commas inside bracket-syntax array literals must not split
     (they'd otherwise surface as an unpack ValueError mid-rewrite)."""
