@@ -147,6 +147,55 @@ def _model_norm_entropy(
     return h / math.log(float(n_keys))
 
 
+def _validate_salt_knobs(caller: str, n_salts, salt_threshold) -> None:
+    """Shared knob validation for the four scorers — loud upfront:
+    n_salts=0 would otherwise drop every corpus row in a salted join,
+    and an out-of-range threshold silently never (or always) salts."""
+    if not isinstance(n_salts, int) or n_salts < 1:
+        raise ValueError(
+            f"{caller}: n_salts must be a positive int, got {n_salts!r}"
+        )
+    if not 0.0 <= salt_threshold <= 1.0:
+        raise ValueError(
+            f"{caller}: salt_threshold must be in [0, 1],"
+            f" got {salt_threshold!r}"
+        )
+
+
+def _warn_salting(caller: str, salt_threshold: float, n_salts: int) -> None:
+    import warnings
+
+    warnings.warn(
+        f"{caller}: shuffle-fallback join key is skewed "
+        f"(model bigram norm_entropy < {salt_threshold}); salting "
+        f"the score joins over {n_salts} salts.",
+        stacklevel=3,
+    )
+
+
+def _salt_probe(
+    df: DataFrame, cols: list[str], n_salts: int, salt_col: str
+) -> DataFrame:
+    """Probe side of a salted skew join: ONE deterministic salt per
+    corpus row (hash of the row's identifying columns) — each row
+    still meets exactly one replica of its matching model row, so a
+    salted left join is row-identical to the plain one, while a
+    Zipf-hot key's rows land on ``n_salts`` reducers instead of one
+    straggler. Pair with :func:`_salt_replicate` on the build side."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(*cols), F.lit(n_salts))
+    )
+
+
+def _salt_replicate(df: DataFrame, n_salts: int, salt_col: str) -> DataFrame:
+    """Build side of a salted skew join: replicate every model row
+    across ALL ``n_salts`` salt values (model tables are bounded by
+    vocabulary, so the ×n_salts blow-up is small and partitioned)."""
+    return df.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+
+
 def bigram_lm_train(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
@@ -316,15 +365,7 @@ def perplexity_score(
     # loud upfront, like every other knob: n_salts=0 would otherwise
     # surface as REMAINDER_BY_ZERO mid-job (ANSI) or silently score
     # every bigram as unseen (non-ANSI pmod -> NULL join keys)
-    if not isinstance(n_salts, int) or n_salts < 1:
-        raise ValueError(
-            f"perplexity_score: n_salts must be a positive int, got {n_salts!r}"
-        )
-    if not 0.0 <= salt_threshold <= 1.0:
-        raise ValueError(
-            "perplexity_score: salt_threshold must be in [0, 1],"
-            f" got {salt_threshold!r}"
-        )
+    _validate_salt_knobs("perplexity_score", n_salts, salt_threshold)
     spark = docs.sparkSession
     # The model is consumed THREE times below (size/V probe + the two
     # broadcast builds); if it arrives as an unmaterialized plan — in
@@ -408,22 +449,10 @@ def perplexity_score(
         # model row, so the result is row-identical to the plain left
         # join (the x84 oracle is unchanged); the hot key's rows now
         # land on n_salts reducers instead of one.
-        import warnings
-
-        warnings.warn(
-            "perplexity_score: shuffle-fallback join key is skewed "
-            f"(model bigram norm_entropy < {salt_threshold}); salting "
-            f"the score joins over {n_salts} salts.",
-            stacklevel=2,
-        )
-        pairs = pairs.withColumn(
-            "_ps", F.pmod(F.xxhash64("_id", "w1", "w2"), F.lit(n_salts))
-        )
-        all_salts = F.explode(
-            F.sequence(F.lit(0), F.lit(n_salts - 1))
-        )
-        bi = bi.withColumn("_bs", all_salts)
-        uni = uni.withColumn("_us", all_salts)
+        _warn_salting("perplexity_score", salt_threshold, n_salts)
+        pairs = _salt_probe(pairs, ["_id", "w1", "w2"], n_salts, "_ps")
+        bi = _salt_replicate(bi, n_salts, "_bs")
+        uni = _salt_replicate(uni, n_salts, "_us")
         joined = (
             pairs.join(
                 bi,
@@ -548,15 +577,7 @@ def kneser_ney_score(
             "kneser_ney_score: discount_milli must be an int in (0, 1000),"
             f" got {discount_milli!r}"
         )
-    if not isinstance(n_salts, int) or n_salts < 1:
-        raise ValueError(
-            f"kneser_ney_score: n_salts must be a positive int, got {n_salts!r}"
-        )
-    if not 0.0 <= salt_threshold <= 1.0:
-        raise ValueError(
-            "kneser_ney_score: salt_threshold must be in [0, 1],"
-            f" got {salt_threshold!r}"
-        )
+    _validate_salt_knobs("kneser_ney_score", n_salts, salt_threshold)
     # four consumers (ctx/cont/scalars/broadcast join) — materialize
     # the vocabulary-bounded model once (see perplexity_score; callers
     # holding an already-materialized model opt out)
@@ -612,29 +633,19 @@ def kneser_ney_score(
         # so each pair still meets exactly one replica of its matching
         # row (left-join misses stay misses) — row-identical output,
         # but the Zipf-hot (w1)/(w2) keys land on n_salts reducers.
-        import warnings
-
-        warnings.warn(
-            "kneser_ney_score: shuffle-fallback join key is skewed "
-            f"(model bigram norm_entropy < {salt_threshold}); salting "
-            f"the score joins over {n_salts} salts.",
-            stacklevel=2,
-        )
-        all_salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-        pairs = pairs.withColumn(
-            "_salt", F.pmod(F.xxhash64("_id", "w1", "w2"), F.lit(n_salts))
-        )
+        _warn_salting("kneser_ney_score", salt_threshold, n_salts)
+        pairs = _salt_probe(pairs, ["_id", "w1", "w2"], n_salts, "_salt")
         j = (
             pairs.join(
-                bi.withColumnRenamed("cnt", "_c2").withColumn(
-                    "_salt", all_salts
+                _salt_replicate(
+                    bi.withColumnRenamed("cnt", "_c2"), n_salts, "_salt"
                 ),
                 ["w1", "w2", "_salt"],
                 "left",
             )
-            .join(ctx.withColumn("_salt", all_salts), ["w1", "_salt"], "left")
+            .join(_salt_replicate(ctx, n_salts, "_salt"), ["w1", "_salt"], "left")
             .join(
-                cont.withColumn("_salt", all_salts), ["w2", "_salt"], "left"
+                _salt_replicate(cont, n_salts, "_salt"), ["w2", "_salt"], "left"
             )
         )
     else:
@@ -793,16 +804,7 @@ def stupid_backoff_score(
             "stupid_backoff_score: alpha_milli must be an int in (0, 1000),"
             f" got {alpha_milli!r}"
         )
-    if not isinstance(n_salts, int) or n_salts < 1:
-        raise ValueError(
-            "stupid_backoff_score: n_salts must be a positive int,"
-            f" got {n_salts!r}"
-        )
-    if not 0.0 <= salt_threshold <= 1.0:
-        raise ValueError(
-            "stupid_backoff_score: salt_threshold must be in [0, 1],"
-            f" got {salt_threshold!r}"
-        )
+    _validate_salt_knobs("stupid_backoff_score", n_salts, salt_threshold)
     if not model_materialized:
         lm = lm.localCheckpoint(eager=True)
     tri = lm.filter(F.col("w3").isNotNull()).select(
@@ -847,14 +849,7 @@ def stupid_backoff_score(
     _ne = _model_norm_entropy(n_tokens, u_keys, u_nlogn)
     _salted = not _broadcasting and _ne is not None and _ne < salt_threshold
     if _salted:
-        import warnings
-
-        warnings.warn(
-            "stupid_backoff_score: shuffle-fallback join key is skewed "
-            f"(model unigram norm_entropy < {salt_threshold}); salting "
-            f"the score joins over {n_salts} salts.",
-            stacklevel=2,
-        )
+        _warn_salting("stupid_backoff_score", salt_threshold, n_salts)
 
     sentinel = F.array(
         F.struct(
@@ -878,13 +873,12 @@ def stupid_backoff_score(
         # triple meets exactly ONE replica of its matching row, so the
         # output is row-identical to the unsalted left joins while the
         # Zipf-hot unigram/bigram keys land on n_salts reducers.
-        all_salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
-        triples = triples.withColumn(
-            "_ss", F.pmod(F.xxhash64("_id", "w1", "w2", "w3"), F.lit(n_salts))
+        triples = _salt_probe(
+            triples, ["_id", "w1", "w2", "w3"], n_salts, "_ss"
         )
-        tri = tri.withColumn("_ts", all_salts)
-        big = big.withColumn("_gs", all_salts)
-        uni = uni.withColumn("_ns", all_salts)
+        tri = _salt_replicate(tri, n_salts, "_ts")
+        big = _salt_replicate(big, n_salts, "_gs")
+        uni = _salt_replicate(uni, n_salts, "_ns")
         _tri_on = F.col("_ss") == F.col("_ts")
         _b12_on = F.col("_ss") == F.col("_b12s")
         _b23_on = F.col("_ss") == F.col("_b23s")
@@ -1111,6 +1105,8 @@ def jelinek_mercer_score(
     broadcast_model: bool | None = None,
     broadcast_max_rows: int = 8_000_000,
     model_materialized: bool = False,
+    n_salts: int = 16,
+    salt_threshold: float = 0.5,
 ) -> DataFrame:
     """Jelinek-Mercer INTERPOLATED bigram scoring — the fourth classic
     smoothing family beside add-alpha (:func:`perplexity_score`),
@@ -1132,16 +1128,19 @@ def jelinek_mercer_score(
     ulp-identical.
 
     Shares the scorers' size-guarded auto-broadcast policy
-    (``_resolve_broadcast``): map-only scoring while the model fits,
-    warn + shuffle fallback above. (For a fallback on a heavily
-    concentrated corpus, ``perplexity_score``'s salting pre-flight is
-    the template; the bounded-sample training contract makes the
-    broadcast path the normal one.)
+    (``_resolve_broadcast``) AND their skew pre-flight: when the model
+    has to shuffle (over-bound) and its bigram distribution is
+    concentrated (normalized entropy below ``salt_threshold``), all
+    three score joins are salted over ``n_salts`` deterministic salts
+    (probe rows carry one salt, model tables replicate across all) —
+    row-identical output, Zipf-hot keys spread over ``n_salts``
+    reducers.
     """
     if not 0.0 < lam < 1.0:
         raise ValueError(
             f"jelinek_mercer_score: lam must be in (0, 1), got {lam!r}"
         )
+    _validate_salt_knobs("jelinek_mercer_score", n_salts, salt_threshold)
     if not model_materialized:
         lm = lm.localCheckpoint(eager=True)
     uni = lm.filter(F.col("w2").isNull()).select(
@@ -1156,16 +1155,28 @@ def jelinek_mercer_score(
         F.col("w2").alias("_b_w2"),
         F.col("cnt").alias("_c2"),
     )
-    v, n_model, t_tokens = lm.agg(
+    _is_bi = F.col("w2").isNotNull()
+    v, n_model, t_tokens, b_tokens, b_keys, b_nlogn = lm.agg(
         F.count(F.when(F.col("w2").isNull(), 1)).alias("v"),
         F.count("*").alias("n"),
         F.sum(F.when(F.col("w2").isNull(), F.col("cnt"))).alias("t"),
+        F.sum(F.when(_is_bi, F.col("cnt"))).alias("bt"),
+        F.count(F.when(_is_bi, 1)).alias("bk"),
+        F.sum(
+            F.when(
+                _is_bi,
+                F.col("cnt").cast("double")
+                * F.log(F.col("cnt").cast("double")),
+            )
+        ).alias("bnlogn"),
     ).first()
     broadcast_model = _resolve_broadcast(
         "jelinek_mercer_score", n_model, broadcast_model, broadcast_max_rows
     )
     if broadcast_model:
         uni, uni2, bi = F.broadcast(uni), F.broadcast(uni2), F.broadcast(bi)
+    _ne = _model_norm_entropy(b_tokens, b_keys, b_nlogn)
+    _salted = not broadcast_model and _ne is not None and _ne < salt_threshold
 
     sentinel = F.array(
         F.struct(
@@ -1181,13 +1192,44 @@ def jelinek_mercer_score(
         )
         .select("_id", "b.w1", "b.w2")
     )
-    joined = (
-        pairs.join(
-            bi, (pairs.w1 == bi._b_w1) & (pairs.w2 == bi._b_w2), "left"
+    if _salted:
+        # same construction as the other three scorers (see
+        # _salt_probe/_salt_replicate): one deterministic salt per
+        # corpus pair, model tables replicated across all salts, every
+        # join gains a salt equality — row-identical to the unsalted
+        # left joins, hot keys on n_salts reducers.
+        _warn_salting("jelinek_mercer_score", salt_threshold, n_salts)
+        pairs = _salt_probe(pairs, ["_id", "w1", "w2"], n_salts, "_ps")
+        bi = _salt_replicate(bi, n_salts, "_bs")
+        uni = _salt_replicate(uni, n_salts, "_us")
+        uni2 = _salt_replicate(uni2, n_salts, "_u2s")
+        joined = (
+            pairs.join(
+                bi,
+                (pairs.w1 == bi._b_w1)
+                & (pairs.w2 == bi._b_w2)
+                & (pairs._ps == bi._bs),
+                "left",
+            )
+            .join(
+                uni,
+                (pairs.w1 == uni._c_w1) & (pairs._ps == uni._us),
+                "left",
+            )
+            .join(
+                uni2,
+                (pairs.w2 == uni2._u_w2) & (pairs._ps == uni2._u2s),
+                "left",
+            )
         )
-        .join(uni, pairs.w1 == uni._c_w1, "left")
-        .join(uni2, pairs.w2 == uni2._u_w2, "left")
-    )
+    else:
+        joined = (
+            pairs.join(
+                bi, (pairs.w1 == bi._b_w1) & (pairs.w2 == bi._b_w2), "left"
+            )
+            .join(uni, pairs.w1 == uni._c_w1, "left")
+            .join(uni2, pairs.w2 == uni2._u_w2, "left")
+        )
     ml = F.when(
         F.coalesce(F.col("_c1"), F.lit(0)) > 0,
         F.coalesce(F.col("_c2"), F.lit(0)).cast("double")

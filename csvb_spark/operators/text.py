@@ -1043,7 +1043,7 @@ def script_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
     per input doc: ``(doc_id, n_chars, n_latin, n_han, n_cyrillic,
     n_digit, n_space, n_other, dominant)`` where ``dominant`` is the
     largest class (ties broken in SCRIPT_CLASSES order, ``other``
-    last).
+    last; empty/NULL text is ``other`` — no dominant script).
 
     Each count is ``length(text) - length(regexp_replace(text, cls,
     ''))`` — pure map-side regex, zero shuffles, whole-stage codegen;
@@ -1065,6 +1065,10 @@ def script_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
             counts[name] >= F.greatest(*[c for k, c in counts.items() if k != name]),
             F.lit(name),
         ).otherwise(dominant)
+    # empty/NULL text has every class count 0 — the tie cascade would
+    # crown the first SCRIPT_CLASSES entry ('latin'), mislabeling a
+    # routing signal; an empty doc has no dominant script
+    dominant = F.when(n_chars == 0, F.lit("other")).otherwise(dominant)
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),

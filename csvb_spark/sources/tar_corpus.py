@@ -37,7 +37,9 @@ def read_tar_corpus(
     """Read a ``shard-*.tar`` export back into a DataFrame.
 
     Without ``meta_schema``: ``(shard, doc_id, text, meta)`` with
-    ``meta`` the raw metadata-JSON string. With ``meta_schema`` (a DDL
+    ``meta`` the raw metadata-JSON string. Foreign tars with
+    non-numeric member keys (WebDataset ``sample-001.txt``) read with
+    a NULL ``doc_id`` instead of failing the task. With ``meta_schema`` (a DDL
     string, e.g. ``"lang STRING, source STRING, n_chars LONG"``): the
     metadata fields are expanded into typed top-level columns —
     ``(shard, doc_id, text, <meta fields>)`` — via ``from_json``
@@ -59,6 +61,15 @@ def read_tar_corpus(
         import pandas as pd
 
         CHUNK = 256  # rows per emitted Arrow batch
+
+        def _stem_id(stem):
+            # our export writes zero-padded numeric stems; foreign
+            # WebDataset keys ('sample-001') keep their text and NULL
+            # the id rather than killing the read task
+            try:
+                return int(stem)
+            except ValueError:
+                return None
 
         for pdf in batches:
             rows = []
@@ -87,7 +98,12 @@ def read_tar_corpus(
                         parts[ext] = blob.decode("utf-8")
                         if "txt" in parts and "json" in parts:
                             rows.append(
-                                (shard, int(stem), parts["txt"], parts["json"])
+                                (
+                                    shard,
+                                    _stem_id(stem),
+                                    parts["txt"],
+                                    parts["json"],
+                                )
                             )
                             del pending[stem]
                             if len(rows) >= CHUNK:
@@ -100,7 +116,7 @@ def read_tar_corpus(
                     for stem, parts in pending.items():
                         if "txt" in parts:
                             rows.append(
-                                (shard, int(stem), parts["txt"], None)
+                                (shard, _stem_id(stem), parts["txt"], None)
                             )
             if rows:
                 yield pd.DataFrame(

@@ -821,26 +821,32 @@ def test_cli_score_lm_jm_smoothing(spark, tmp_path, capsys):
               "--model", tri_dir, "--smoothing", "jm"])
 
 
-@pytest.mark.parametrize("smoothing", ["kn", "sb"])
+@pytest.mark.parametrize("smoothing", ["kn", "sb", "jm", "addk"])
 def test_kn_sb_shuffle_fallback_salts_skewed_key(spark, smoothing):
-    """VERDICT r8 item 3: the KN/SB over-bound shuffle fallbacks were
-    unsalted while add-k got the skew guard. Planted 90%-one-n-gram
-    corpus + broadcast_max_rows=0: both scorers must now detect the
-    concentrated key distribution (entropy probe rides the scalar agg
-    they already run) and salt the score joins, with output
-    row-identical to the broadcast path; a uniform corpus's fallback
-    must NOT salt."""
+    """ALL FOUR smoothing families share the skew guard on the
+    over-bound shuffle fallback (one _salt_probe/_salt_replicate
+    construction). Planted 90%-one-n-gram corpus +
+    broadcast_max_rows=0: each scorer must detect the concentrated key
+    distribution (entropy probe rides the scalar agg it already runs)
+    and salt the score joins, with output row-identical to the
+    broadcast path; a uniform corpus's fallback must NOT salt."""
     import warnings as _warnings
 
     from csvb_spark.operators.lm import (
         bigram_lm_train,
+        jelinek_mercer_score,
         kneser_ney_score,
+        perplexity_score,
         stupid_backoff_score,
         trigram_lm_train,
     )
 
     if smoothing == "kn":
         train, score = bigram_lm_train, kneser_ney_score
+    elif smoothing == "jm":
+        train, score = bigram_lm_train, jelinek_mercer_score
+    elif smoothing == "addk":
+        train, score = bigram_lm_train, perplexity_score
     else:
         train, score = trigram_lm_train, stupid_backoff_score
 

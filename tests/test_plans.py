@@ -1345,6 +1345,24 @@ def test_luhn_and_script_mix_map_only(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_script_mix_empty_and_null_docs_are_other(spark):
+    """Empty or NULL text has every class count 0 — it must label
+    dominant='other', not fall through the tie cascade to 'latin'
+    (a routing-signal mislabel); whitespace-only stays 'space' and
+    real text keeps its script."""
+    from csvb_spark.operators.text import script_mix
+
+    d = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "hello world"), (3, "мир труд май")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["dominant"] for r in script_mix(d).collect()}
+    assert got[0] == "other"
+    assert got[1] == "other"
+    assert got[2] == "latin"
+    assert got[3] == "cyrillic"
+
+
 def test_luhn_scan_validates_planted_cards(spark):
     """Planted PANs: valid test numbers pass, a bad check digit fails,
     short runs are not candidates, separators are stripped."""

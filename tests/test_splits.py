@@ -762,6 +762,45 @@ def test_tar_export_roundtrip_via_reader(spark, sf_dir, tmp_path):
     assert meta["doc_id"] == raw["doc_id"]
 
 
+def test_tar_reader_tolerates_foreign_keys(spark, tmp_path):
+    """A foreign WebDataset tar with non-numeric member stems
+    (sample-001.txt) reads with NULL doc_id instead of killing the
+    read task; numeric-stem members in the same tar keep their id."""
+    import io
+    import json as _json
+    import tarfile
+
+    tar_dir = tmp_path / "foreign"
+    tar_dir.mkdir()
+    with tarfile.open(tar_dir / "shard-000000.tar", "w") as tf:
+        for stem, txt, meta in [
+            ("sample-001", "foreign text one", {"k": 1}),
+            ("sample-002", "foreign text two", None),
+            ("000000000007", "native text", {"doc_id": 7}),
+        ]:
+            data = txt.encode()
+            ti = tarfile.TarInfo(f"{stem}.txt")
+            ti.size = len(data)
+            tf.addfile(ti, io.BytesIO(data))
+            if meta is not None:
+                blob = _json.dumps(meta).encode()
+                tj = tarfile.TarInfo(f"{stem}.json")
+                tj.size = len(blob)
+                tf.addfile(tj, io.BytesIO(blob))
+
+    from csvb_spark.sources.tar_corpus import read_tar_corpus
+
+    rows = {
+        r["text"]: r["doc_id"]
+        for r in read_tar_corpus(spark, str(tar_dir)).collect()
+    }
+    assert rows == {
+        "foreign text one": None,
+        "foreign text two": None,
+        "native text": 7,
+    }
+
+
 def test_snake_sharding_balance_and_validation(spark, sf_dir):
     """Snake deal balance: every shard's weight sum lands within one
     heaviest document of every other (the greedy-balance guarantee
