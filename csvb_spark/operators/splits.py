@@ -878,7 +878,7 @@ def export_tar_shards(
     )
     schema = "shard int, path string, n_docs bigint, n_bytes bigint, tar_md5 string"
     # Captures only locals + stdlib: safe to pickle to executors that
-    # cannot import csvb_spark (see .claude/skills/verify gotchas).
+    # cannot import csvb_spark.
     id_c, text_c, out_d = id_col, text_col, out_dir
 
     def _write(batches):

@@ -211,7 +211,17 @@ render as decimal128 through Arrow and hash-mismatch even when values
 are equal) was fixed by CASTing the affected oracle columns to BIGINT
 (x75/x24/x101/x108/x36/x78) and the local pre-flight now fetches
 DuckDB results via Arrow with a corpus-wide no-decimal assertion.
-Corpus: 203 entries, 198 with full oracles.
+
+Round 10: x130 chrono-format datetime round-trips — the reference's
+to_char/to_date/to_timestamp take Rust-chrono format strings, now
+translated to java.time patterns by the dialect layer (functions/
+translate.py); the entry routes chrono patterns through execute_sql
+and hash-matches DuckDB's strftime/strptime. The local pre-flight's
+Arrow-type assertion was generalized from decimals to ANY
+render-family divergence (int vs float, date vs timestamp, ...), its
+row fetch made positional (duplicate oracle column names no longer
+collapse), and Decimal canonicalization made scale-insensitive.
+Corpus: 204 entries, 199 with full oracles.
 """
 
 from __future__ import annotations

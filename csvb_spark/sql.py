@@ -50,6 +50,47 @@ class RewriteBindError(ValueError):
     the probe can't see) still fall through untouched, as before."""
 
 
+_INT_BITS = {"tinyint": 8, "smallint": 16, "int": 32, "bigint": 64}
+_DECIMAL_RE = re.compile(r"decimal\((\d+),\s*(-?\d+)\)")
+_CHAR_RE = re.compile(r"(?:var)?char\((\d+)\)")
+
+
+def _type_metadata(dt: str) -> tuple:
+    """Derive the SQL-standard type-metadata columns from a Spark
+    catalog type string — (character_maximum_length,
+    numeric_precision, numeric_precision_radix, numeric_scale,
+    datetime_precision, interval_type). Everything here is a property
+    OF the type, not fabricated: decimals carry (p, s) radix 10, the
+    fixed-width integers their bit width radix 2 scale 0, floats their
+    IEEE mantissa bits, Spark timestamps are micros (precision 6),
+    dates precision 0, and the two ANSI interval families report their
+    qualifier. Unknown/complex types keep every column NULL."""
+    t = dt.lower().strip()
+    char_max = num_prec = num_radix = num_scale = dt_prec = None
+    interval_type = None
+    m = _DECIMAL_RE.fullmatch(t)
+    if m:
+        num_prec, num_radix, num_scale = int(m.group(1)), 10, int(m.group(2))
+    elif t in _INT_BITS:
+        num_prec, num_radix, num_scale = _INT_BITS[t], 2, 0
+    elif t == "float":
+        num_prec, num_radix = 24, 2
+    elif t == "double":
+        num_prec, num_radix = 53, 2
+    elif t.startswith("timestamp"):
+        dt_prec = 6  # Spark timestamps are microsecond-precision
+    elif t == "date":
+        dt_prec = 0
+    elif t.startswith("interval"):
+        qual = t[len("interval"):].strip().upper()
+        interval_type = qual or None
+    else:
+        m = _CHAR_RE.fullmatch(t)
+        if m:
+            char_max = int(m.group(1))
+    return (char_max, num_prec, num_radix, num_scale, dt_prec, interval_type)
+
+
 def refresh_information_schema(spark: SparkSession) -> None:
     """(Re)build information_schema_{tables,columns} temp views from
     the live session catalog."""
@@ -73,6 +114,7 @@ def refresh_information_schema(spark: SparkSession) -> None:
                     i,
                     c.dataType,
                     "YES" if c.nullable else "NO",
+                    *_type_metadata(c.dataType),
                 )
             )
     spark.createDataFrame(
@@ -81,18 +123,28 @@ def refresh_information_schema(spark: SparkSession) -> None:
     ).filter("table_name <> ''").createOrReplaceTempView("information_schema_tables")
     # Column layout pinned to DataFusion 44's information_schema.columns
     # (the reference enables it via csvb_engine/src/lib.rs:22): the full
-    # 15-column SQL-standard shape, names and order. Documented
-    # divergence (SURVEY §1.4): the type-derived metadata columns
-    # (column_default, character_*_length, numeric_*, datetime_precision,
-    # interval_type) ship NULL — Spark's catalog exposes the type string,
-    # not Arrow-level precision metadata, and fabricating a mapping
-    # would be parity theater. DataFusion itself ships NULL for most of
-    # them on parquet-derived schemas.
+    # 15-column SQL-standard shape, names and order. The type-DERIVED
+    # metadata (character_maximum_length, numeric_precision/radix/
+    # scale, datetime_precision, interval_type) is filled from the
+    # catalog type string (_type_metadata — decimal (p,s), integer bit
+    # widths, IEEE mantissa bits, micros timestamps, ANSI interval
+    # qualifiers); column_default and character_octet_length stay NULL
+    # (Spark's catalog has no defaults, and octet length of an
+    # unbounded UTF-8 string is not a property of the type).
     spark.createDataFrame(
-        columns or [("spark_catalog", "default", "", "", 0, "", "YES")],
+        columns
+        or [
+            (
+                "spark_catalog", "default", "", "", 0, "", "YES",
+                None, None, None, None, None, None,
+            )
+        ],
         "table_catalog string, table_schema string, table_name string, "
         "column_name string, ordinal_position int, data_type string, "
-        "is_nullable string",
+        "is_nullable string, character_maximum_length bigint, "
+        "numeric_precision bigint, numeric_precision_radix bigint, "
+        "numeric_scale bigint, datetime_precision bigint, "
+        "interval_type string",
     ).filter("table_name <> ''").selectExpr(
         "table_catalog",
         "table_schema",
@@ -102,13 +154,13 @@ def refresh_information_schema(spark: SparkSession) -> None:
         "CAST(NULL AS STRING) AS column_default",
         "is_nullable",
         "data_type",
-        "CAST(NULL AS BIGINT) AS character_maximum_length",
+        "character_maximum_length",
         "CAST(NULL AS BIGINT) AS character_octet_length",
-        "CAST(NULL AS BIGINT) AS numeric_precision",
-        "CAST(NULL AS BIGINT) AS numeric_precision_radix",
-        "CAST(NULL AS BIGINT) AS numeric_scale",
-        "CAST(NULL AS BIGINT) AS datetime_precision",
-        "CAST(NULL AS STRING) AS interval_type",
+        "numeric_precision",
+        "numeric_precision_radix",
+        "numeric_scale",
+        "datetime_precision",
+        "interval_type",
     ).createOrReplaceTempView("information_schema_columns")
     views = [t for t in tables if t[3] == "VIEW"]
     spark.createDataFrame(

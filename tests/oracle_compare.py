@@ -7,6 +7,7 @@ sf0.001 before the driver runs it at sf0.01.
 
 from __future__ import annotations
 
+import decimal
 import math
 from typing import Any
 
@@ -31,6 +32,11 @@ def _canon(v: Any) -> Any:
             return "NaN"
         # exact: queries are designed for bit-identical floats
         return v
+    if isinstance(v, decimal.Decimal):
+        # scale-insensitive: Decimal('5') and Decimal('5.000000') are
+        # equal values whose reprs differ, which would sort equal
+        # multisets into different orders and misalign the zip-compare
+        return str(v.normalize()) if v.is_finite() else str(v)
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
     if isinstance(v, dict):
@@ -53,6 +59,57 @@ def rowset(columns: list[str], rows: list[tuple]) -> tuple:
     return tuple(cols), tuple(canon_rows)
 
 
+def _spark_type_family(dt) -> str:
+    """Coarse render-family of a Spark type: two equal values hash the
+    same on the driver only when both sides render in the same family
+    (int 1 vs float 1.0 compare == in Python but hash differently)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.StringType, T.CharType, T.VarcharType)):
+        return "str"
+    if isinstance(dt, T.BinaryType):
+        return "bytes"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    return "nested"
+
+
+def _arrow_type_family(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "list"
+    return "nested"
+
+
 def oracle_arrow_type_problems(spark_df, arrow_table) -> list[str]:
     """Flag DuckDB result columns whose *Arrow* type a driver-side hasher
     would render differently from the Spark value even when the numbers
@@ -60,21 +117,23 @@ def oracle_arrow_type_problems(spark_df, arrow_table) -> list[str]:
     and ``//``) as decimal128(38,0), and un-cast DECIMAL arithmetic as
     decimal128(p,s) — both hash-mismatch against Spark's int64/float64.
     The round-8 gate lost 4 rows to exactly this, because fetchall()
-    collapses hugeint to Python int and masked it (VERDICT r8 item 1)."""
-    import pyarrow as pa
-    from pyspark.sql import types as T
-
+    collapses hugeint to Python int and masked it (VERDICT r8 item 1).
+    Generalized (ADVICE r9): ANY render-family divergence is flagged
+    (int vs float, date vs timestamp, ...), not just decimals — the
+    Python-value == compare masks all of them."""
     spark_types = {f.name.lower(): f.dataType for f in spark_df.schema.fields}
     problems: list[str] = []
     for field in arrow_table.schema:
-        if pa.types.is_decimal(field.type):
-            st = spark_types.get(field.name.lower())
-            if not isinstance(st, T.DecimalType):
-                problems.append(
-                    f"oracle column {field.name!r} is Arrow {field.type} "
-                    f"(DuckDB HUGEINT/DECIMAL) but Spark side is {st}: "
-                    f"CAST the oracle expression to BIGINT/DOUBLE"
-                )
+        st = spark_types.get(field.name.lower())
+        if st is None:
+            continue  # column-set mismatch reported separately
+        sfam, dfam = _spark_type_family(st), _arrow_type_family(field.type)
+        if sfam != dfam:
+            problems.append(
+                f"oracle column {field.name!r} is Arrow {field.type} "
+                f"({dfam}) but Spark side is {st} ({sfam}): a driver-side "
+                "hasher renders these differently — CAST one side"
+            )
     return problems
 
 
@@ -90,9 +149,13 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, oracle: str) -> list[str]:
     tbl = con.execute(oracle).fetch_arrow_table()
     d_cols = [c.lower() for c in tbl.column_names]
     problems.extend(oracle_arrow_type_problems(spark_df, tbl))
-    d_rows = [
-        tuple(rec[c] for c in tbl.column_names) for rec in tbl.to_pylist()
-    ]
+    # positional, not dict-keyed: an oracle with duplicate output
+    # column names must not silently collapse to one value repeated
+    d_rows = (
+        [tuple(r) for r in zip(*(c.to_pylist() for c in tbl.columns))]
+        if tbl.num_columns
+        else []
+    )
 
     if len(s_rows) != len(d_rows):
         problems.append(f"row count: spark={len(s_rows)} duckdb={len(d_rows)}")

@@ -1169,9 +1169,11 @@ def test_information_schema_columns_match_datafusion_layout(spark, sf_dir):
     """Column-for-column parity sweep against DataFusion 44's
     information_schema layout (the reference enables it via
     csvb_engine/src/lib.rs:22). Names AND order are pinned; the
-    type-derived metadata columns ship NULL here (documented
-    divergence, SURVEY §1.4 — DataFusion itself NULLs most of them
-    for parquet-derived schemas)."""
+    type-derived metadata (numeric precision/radix/scale, datetime
+    precision, interval qualifier, char length) is filled from the
+    catalog type string — only column_default and
+    character_octet_length stay NULL (not properties Spark's catalog
+    carries)."""
     from csvb_spark.sources.catalog import register_views
     from csvb_spark.sql import execute_sql
 
@@ -1210,6 +1212,42 @@ def test_information_schema_columns_match_datafusion_layout(spark, sf_dir):
         "AND column_name = 'l_orderkey'",
     ).collect()
     assert len(row) == 1 and row[0]["data_type"] == "bigint"
+    # the DERIVABLE type metadata is filled from the type string:
+    # a bigint is 64-bit radix-2 scale-0; timestamps are micros;
+    # decimals carry (p, s) radix 10; non-numeric types stay NULL
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _ischema_probe AS SELECT "
+        "CAST(1 AS DECIMAL(12,3)) AS dec_c, CAST(1 AS INT) AS int_c, "
+        "CAST(1.0 AS DOUBLE) AS dbl_c, CAST(1.0 AS FLOAT) AS flt_c, "
+        "TIMESTAMP '2024-01-01' AS ts_c, DATE '2024-01-01' AS dt_c, "
+        "INTERVAL '1' YEAR AS iv_c, 'x' AS str_c"
+    )
+    meta = {
+        r["column_name"]: r
+        for r in execute_sql(
+            spark,
+            "SELECT * FROM information_schema.columns "
+            "WHERE table_name = '_ischema_probe'",
+        ).collect()
+    }
+    assert (
+        meta["dec_c"]["numeric_precision"],
+        meta["dec_c"]["numeric_precision_radix"],
+        meta["dec_c"]["numeric_scale"],
+    ) == (12, 10, 3)
+    assert (
+        meta["int_c"]["numeric_precision"],
+        meta["int_c"]["numeric_precision_radix"],
+        meta["int_c"]["numeric_scale"],
+    ) == (32, 2, 0)
+    assert meta["dbl_c"]["numeric_precision"] == 53
+    assert meta["flt_c"]["numeric_precision"] == 24
+    assert meta["ts_c"]["datetime_precision"] == 6
+    assert meta["dt_c"]["datetime_precision"] == 0
+    assert meta["iv_c"]["interval_type"] == "YEAR"
+    assert meta["str_c"]["numeric_precision"] is None
+    assert meta["str_c"]["datetime_precision"] is None
+    spark.catalog.dropTempView("_ischema_probe")
 
 
 def test_cli_export_tar_format(spark, sf_dir, tmp_path, capsys):
