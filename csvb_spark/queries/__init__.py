@@ -221,7 +221,11 @@ Arrow-type assertion was generalized from decimals to ANY
 render-family divergence (int vs float, date vs timestamp, ...), its
 row fetch made positional (duplicate oracle column names no longer
 collapse), and Decimal canonicalization made scale-insensitive.
-Corpus: 204 entries, 199 with full oracles.
+Graded-window rebalance: the five scalar function families and the
+window frame/lag-lead/distribution families gained combined gauntlets
+q51/q52 with gate rows p34/p35 (the classifier-adjacent x98/x99
+aliases they replace stay pytest-oracled); window still exactly 50.
+Corpus: 206 entries, 201 with full oracles.
 """
 
 from __future__ import annotations

@@ -4701,8 +4701,13 @@ _P_ALIASES: dict[str, str] = {
     "p30_domain_quota": "x100_domain_quota",
     "p31_length_batches": "x101_length_batches",
     "p32_source_overlap": "x102_source_overlap",
-    "p34_ngram_novelty": "x98_ngram_novelty",
-    "p35_calibration": "x99_calibration_table",
+    # p34/p35 re-pointed in round 10: x98 novelty / x99 calibration
+    # were both classifier-adjacent to p19/p28 while the five scalar
+    # function families and the window frame/lag-lead/distribution
+    # families had NO graded row — the combined gauntlets q51/q52
+    # carry them now (x98/x99 stay pytest-oracled like every demotee).
+    "p34_rel_scalar_fns": "q51_scalar_gauntlet",
+    "p35_rel_window_frames": "q52_window_gauntlet",
     "p36_matryoshka": "x96_matryoshka_topk",
     "p37_luhn_cards": "x105_luhn_cards",
     "p40_retention_funnel": "x108_retention_funnel",

@@ -188,6 +188,87 @@ _q(
     headline=True,
 )
 
+# --- q51: combined scalar-function gauntlet (driver-gate row for the
+# five function families — string / math / datetime / array /
+# conditional — in ONE entry over one table, so the 50-entry graded
+# window exercises each family every round; the per-family deep
+# gauntlets q30/q31/q32/q34/q36 stay under the pytest oracle gate).
+# documents carries no timestamp, so the datetime block derives a
+# per-row date via make_date (both dialects) and exercises
+# trunc/extract/last_day/interval arithmetic on it. ----------------------
+_MD = "make_date(2024, CAST(doc_id % 12 AS INT) + 1, CAST(doc_id % 28 AS INT) + 1)"
+_SPARK_SCALAR = f"""
+SELECT doc_id,
+       length(text) AS t_len,
+       upper(lang) AS lang_up,
+       substr(text, 1, 12) AS t_pre,
+       replace(source, 'a', '_') AS src_us,
+       concat_ws('|', lang, source) AS lang_src,
+       lpad(CAST(doc_id % 100 AS STRING), 5, '0') AS id_pad,
+       reverse(lang) AS lang_rev,
+       ROUND(SQRT(n_chars), 6) AS sqrt_chars,
+       CAST(CEIL(n_chars / 7.0) AS BIGINT) AS chars_ceil,
+       CAST(FLOOR(n_chars / 7.0) AS BIGINT) AS chars_floor,
+       ROUND(LN(n_chars + 1), 8) AS ln_chars,
+       ROUND(POWER(doc_id % 9, 2), 1) AS id_sq,
+       MOD(n_chars, 13) AS chars_mod,
+       CAST(SIGN(n_chars - 500) AS INT) AS len_sign,
+       GREATEST(n_chars, doc_id) AS g_val,
+       {_MD} AS d,
+       CAST(EXTRACT(MONTH FROM {_MD}) AS BIGINT) AS d_month,
+       CAST(EXTRACT(YEAR FROM {_MD}) AS BIGINT) AS d_year,
+       last_day({_MD}) AS d_month_end,
+       CAST(date_trunc('month', {_MD}) AS DATE) AS d_trunc,
+       CAST({_MD} + INTERVAL '7 day' AS DATE) AS d_plus7,
+       size(split(trim(text), '\\\\s+')) AS n_tokens,
+       element_at(split(trim(text), '\\\\s+'), 1) AS first_tok,
+       array_join(slice(array_sort(array_distinct(split(trim(text), '\\\\s+'))), 1, 3), '-')
+         AS first3_sorted,
+       COALESCE(NULLIF(lang, 'en'), 'english') AS lang_norm,
+       CASE WHEN n_chars > 800 THEN 'long'
+            WHEN n_chars > 300 THEN 'mid' ELSE 'short' END AS len_class,
+       IF(n_chars % 2 = 0, 'even', 'odd') AS parity,
+       TRY_CAST(lang AS INT) AS lang_int
+FROM documents
+WHERE doc_id < 250
+"""
+_DUCK_SCALAR = f"""
+SELECT doc_id,
+       CAST(length(text) AS INT) AS t_len,
+       upper(lang) AS lang_up,
+       substr(text, 1, 12) AS t_pre,
+       replace(source, 'a', '_') AS src_us,
+       concat_ws('|', lang, source) AS lang_src,
+       lpad(CAST(doc_id % 100 AS VARCHAR), 5, '0') AS id_pad,
+       reverse(lang) AS lang_rev,
+       ROUND(SQRT(n_chars), 6) AS sqrt_chars,
+       CAST(CEIL(n_chars / 7.0) AS BIGINT) AS chars_ceil,
+       CAST(FLOOR(n_chars / 7.0) AS BIGINT) AS chars_floor,
+       ROUND(LN(n_chars + 1), 8) AS ln_chars,
+       ROUND(POWER(doc_id % 9, 2), 1) AS id_sq,
+       CAST(MOD(n_chars, 13) AS BIGINT) AS chars_mod,
+       CAST(SIGN(n_chars - 500) AS INT) AS len_sign,
+       GREATEST(n_chars, doc_id) AS g_val,
+       {_MD} AS d,
+       CAST(EXTRACT(MONTH FROM {_MD}) AS BIGINT) AS d_month,
+       CAST(EXTRACT(YEAR FROM {_MD}) AS BIGINT) AS d_year,
+       last_day({_MD}) AS d_month_end,
+       CAST(date_trunc('month', {_MD}) AS DATE) AS d_trunc,
+       CAST({_MD} + INTERVAL '7 day' AS DATE) AS d_plus7,
+       len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+       string_split_regex(trim(text), '\\s+')[1] AS first_tok,
+       array_to_string(list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))[1:3], '-')
+         AS first3_sorted,
+       COALESCE(NULLIF(lang, 'en'), 'english') AS lang_norm,
+       CASE WHEN n_chars > 800 THEN 'long'
+            WHEN n_chars > 300 THEN 'mid' ELSE 'short' END AS len_class,
+       IF(n_chars % 2 = 0, 'even', 'odd') AS parity,
+       TRY_CAST(lang AS INT) AS lang_int
+FROM documents
+WHERE doc_id < 250
+"""
+_q("q51_scalar_gauntlet", spark=sql_query(_SPARK_SCALAR), oracle=_DUCK_SCALAR)
+
 # --- chrono-format datetime round-trips (reference dialect) --------------
 # The reference's to_char/to_date/to_timestamp take Rust-chrono format
 # strings (DataFusion 44 datafusion-functions; reference route

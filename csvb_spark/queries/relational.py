@@ -389,6 +389,37 @@ WINDOW w AS (ORDER BY s_acctbal ASC, s_suppkey ASC)
 """
 _q("q14_window_distribution", spark=sql_query(_SQL_Q14), oracle=_SQL_Q14)
 
+# --- q52: combined window gauntlet (driver-gate row for the q12/q13/
+# q14 families — frames, lag/lead/nth, distribution — in ONE entry so
+# the 50-entry graded window carries the whole window-function surface
+# beyond the rank family p75 already covers; the three single-family
+# gauntlets stay under the pytest oracle gate) ---------------------------
+_SQL_Q52 = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         AS moving_avg3,
+       ROUND(o_totalprice - LAG(o_totalprice, 1, 0.0) OVER w, 6) AS delta_prev,
+       LEAD(o_orderstatus, 1, 'none') OVER w AS next_status,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+       NTILE(4) OVER w2 AS quartile,
+       ROUND(PERCENT_RANK() OVER w2, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w2, 6) AS cdist
+FROM orders
+WHERE o_custkey < 50
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w2 AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+_q("q52_window_gauntlet", spark=sql_query(_SQL_Q52), oracle=_SQL_Q52)
+
 # --- q15: set operations, DISTINCT + ALL variants (SURVEY §2.B.7) ----------
 # One gauntlet covers UNION / INTERSECT / EXCEPT and the bag-semantics
 # INTERSECT ALL / EXCEPT ALL (multiplicity matters: customer nation
