@@ -19,7 +19,11 @@ the subset that real clients use):
   single empty-string rows), batches staged to temp parquet past a
   driver-memory bound, cast to the table schema, INSERTed once at
   CopyDone; unlisted columns load NULL. The target must be a writable
-  catalog table; server-side COPY FROM 'file' stays 0A000
+  catalog table; server-side COPY FROM 'file' stays 0A000. FORMAT
+  BINARY ingests PGCOPY streams through the binary param decoders.
+  COPY also runs through Parse/Bind/Execute (psycopg3's default
+  path): Bind makes a copy-portal, Execute speaks the COPY
+  sub-protocol, Sync owns ReadyForQuery
 - extended protocol: Parse/Bind plan the statement; bind parameters
   are inlined as typed SQL literals ($n substitution with the
   Parse-declared oids — the common psycopg3/JDBC path; binary-format
@@ -424,6 +428,8 @@ _COPY_IN_RE = _re.compile(
 # parsed-cell bytes buffered on the driver before a COPY FROM batch is
 # staged to parquet — bounds driver RSS for arbitrarily large payloads
 _COPY_IN_CHUNK_BYTES = 8 << 20
+# binary-format COPY file signature (PostgreSQL docs, "Binary Format")
+_COPY_BIN_SIG = b"PGCOPY\n\xff\r\n\x00"
 
 
 def _copy_text_unescape(cell: bytes) -> str | None:
@@ -557,7 +563,7 @@ def _parse_copy_options(opts: str | None) -> tuple[str, bool, bytes]:
             val = parts[1].strip() if len(parts) > 1 else ""
             if key == "FORMAT":
                 fmt = val.lower()
-                if fmt not in ("text", "csv"):
+                if fmt not in ("text", "csv", "binary"):
                     raise ValueError(f"COPY format {val!r} not supported")
             elif key == "HEADER":
                 header = val.upper() in ("", "TRUE", "ON", "1")
@@ -578,6 +584,10 @@ def _parse_copy_options(opts: str | None) -> tuple[str, bool, bytes]:
                 delim = d.encode()
             else:
                 raise ValueError(f"COPY option {key} not supported")
+    if fmt == "binary" and header:
+        raise ValueError("COPY HEADER not allowed in BINARY format")
+    if fmt == "binary" and delim is not None:
+        raise ValueError("COPY DELIMITER not allowed in BINARY format")
     if delim is None:
         delim = b"," if fmt == "csv" else b"\t"
     return fmt, header, delim
@@ -1176,24 +1186,35 @@ class _Conn:
         self.cancelled = False
         self._send(self._ready())
 
-    def _run_copy(self, m: "_re.Match[str] | None", sql: str) -> None:
-        """COPY ... TO STDOUT: CopyOutResponse, CopyData rows (text or
-        CSV format), CopyDone, ``COPY n``. COPY FROM is a clean 0A000.
-        Rows stream through ``toLocalIterator`` — the driver holds one
-        partition at a time, same as the SELECT path."""
+    def _run_copy(
+        self, m: "_re.Match[str] | None", sql: str, extended: bool = False
+    ) -> None:
+        """COPY ... TO STDOUT: CopyOutResponse, CopyData rows (text,
+        CSV, or BINARY format), CopyDone, ``COPY n``. Rows stream
+        through ``toLocalIterator`` — the driver holds one partition at
+        a time, same as the SELECT path. With ``extended=True`` (COPY
+        arrived through Parse/Bind/Execute — psycopg3's default path)
+        no ReadyForQuery is sent (only Sync answers 'Z') and errors put
+        the flow in discard-until-Sync state."""
         from csvb_spark.sql import execute_sql
+
+        def _err(code: str, msg: str) -> None:
+            self._send_error(code, msg)
+            if extended:
+                self._skip_to_sync = True
 
         if m is None:
             m_in = _COPY_IN_RE.match(sql)
             if m_in is not None:
-                self._run_copy_in(m_in)
+                self._run_copy_in(m_in, extended=extended)
                 return
-            self._send_error(
+            _err(
                 "0A000",
                 "COPY FROM supports STDIN only (server-side files are "
                 "not readable)",
             )
-            self._send(self._ready())
+            if not extended:
+                self._send(self._ready())
             return
         self.cancelled = False
         self.running = True
@@ -1204,18 +1225,39 @@ class _Conn:
             inner = m.group("q") or f"SELECT * FROM {m.group('tbl')}"
             df = execute_sql(self.spark, inner)
             cols = df.columns
+            wire_fmt = 1 if fmt == "binary" else 0
+            if fmt == "binary":
+                oids = [_oid_for(dt)[0] for _, dt in df.dtypes]
+                bad = [
+                    name
+                    for (name, _), o in zip(df.dtypes, oids)
+                    if o not in _BINARY_ENCODERS
+                ]
+                if bad:
+                    raise ValueError(
+                        "binary COPY unsupported for column(s) "
+                        + ", ".join(bad)
+                    )
+                encs = [_BINARY_ENCODERS[o] for o in oids]
             esc = _copy_text_cell if fmt == "text" else _copy_csv_cell
             null_cell = b"\\N" if fmt == "text" else b""
-            # CopyOutResponse: overall text format + per-column formats
+            # CopyOutResponse: overall format + per-column formats
             self._send(
                 _msg(
                     b"H",
-                    struct.pack("!bh", 0, len(cols))
-                    + struct.pack(f"!{len(cols)}h", *([0] * len(cols))),
+                    struct.pack("!bh", wire_fmt, len(cols))
+                    + struct.pack(
+                        f"!{len(cols)}h", *([wire_fmt] * len(cols))
+                    ),
                 )
             )
             out = b""
-            if fmt == "csv" and header:
+            if fmt == "binary":
+                # signature + flags + header-extension length
+                out += _msg(
+                    b"d", _COPY_BIN_SIG + struct.pack("!ii", 0, 0)
+                )
+            elif fmt == "csv" and header:
                 out += _msg(
                     b"d",
                     delim.join(
@@ -1226,37 +1268,61 @@ class _Conn:
             n = 0
             for row in df.toLocalIterator():
                 self._check_cancel()
-                cells = []
-                for v in tuple(row):
-                    t = _pg_text(v)
-                    cells.append(null_cell if t is None else esc(t, delim))
-                out += _msg(b"d", delim.join(cells) + b"\n")
+                if fmt == "binary":
+                    body = struct.pack("!h", len(cols))
+                    for v, enc in zip(tuple(row), encs):
+                        if v is None:
+                            body += struct.pack("!i", -1)
+                        else:
+                            eb = enc(v)
+                            body += struct.pack("!i", len(eb)) + eb
+                    out += _msg(b"d", body)
+                else:
+                    cells = []
+                    for v in tuple(row):
+                        t = _pg_text(v)
+                        cells.append(
+                            null_cell if t is None else esc(t, delim)
+                        )
+                    out += _msg(b"d", delim.join(cells) + b"\n")
                 n += 1
                 if len(out) > 1 << 20:
                     self._send(out)
                     out = b""
+            if fmt == "binary":
+                out += _msg(b"d", struct.pack("!h", -1))  # trailer
             out += _msg(b"c") + _msg(b"C", _cstr(f"COPY {n}"))
             self._send(out)
         except _Cancelled:
-            self._send_error("57014", "canceling statement due to user request")
+            _err("57014", "canceling statement due to user request")
         except ValueError as e:
-            self._send_error("0A000", str(e))
+            _err("0A000", str(e))
         except Exception as e:  # noqa: BLE001
             log.warning("copy failed: %s", e)
-            self._send_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
+            _err(_sqlstate_for(e), str(e).split("\n")[0][:500])
         self.running = False
         self.cancelled = False
-        self._send(self._ready())
+        if not extended:
+            self._send(self._ready())
 
-    def _run_copy_in(self, m: "_re.Match[str]") -> None:
-        """COPY table [(cols)] FROM STDIN: CopyInResponse, buffer the
-        CopyData stream, parse text/CSV rows, cast to the target
-        table's schema, and INSERT — the bulk-ingest half of the
-        protocol. Unlisted columns load as NULL (postgres semantics);
-        the target must be a writable catalog table (CREATE TABLE /
-        CTAS), not a read-only registered view — that's a clean error
-        AFTER the stream drains, so the connection stays in sync."""
+    def _run_copy_in(
+        self, m: "_re.Match[str]", extended: bool = False
+    ) -> None:
+        """COPY table [(cols)] FROM STDIN: CopyInResponse, stream the
+        CopyData messages, parse text/CSV/BINARY rows, cast to the
+        target table's schema, and INSERT — the bulk-ingest half of
+        the protocol. Unlisted columns load as NULL (postgres
+        semantics); the target must be a writable catalog table
+        (CREATE TABLE / CTAS), not a read-only registered view —
+        that's a clean error AFTER the stream drains, so the
+        connection stays in sync. ``extended=True`` suppresses
+        ReadyForQuery (Sync owns 'Z') and errors discard-until-Sync."""
         from pyspark.sql import functions as F
+
+        def _err(code: str, msg: str) -> None:
+            self._send_error(code, msg)
+            if extended:
+                self._skip_to_sync = True
 
         self.cancelled = False
         self.running = True
@@ -1289,18 +1355,38 @@ class _Conn:
                 raise ValueError(
                     f"COPY: column(s) {', '.join(bad)} not in {tbl}"
                 )
+            decs = None
+            if fmt == "binary":
+                by_name = {f.name: f for f in schema.fields}
+                col_oids = [
+                    _oid_for(by_name[c].dataType.simpleString())[0]
+                    for c in cols
+                ]
+                nodec = [
+                    c
+                    for c, o in zip(cols, col_oids)
+                    if o not in _BINARY_DECODERS
+                ]
+                if nodec:
+                    raise ValueError(
+                        "binary COPY unsupported for column(s) "
+                        + ", ".join(nodec)
+                    )
+                decs = [_BINARY_DECODERS[o] for o in col_oids]
         except Exception as e:  # noqa: BLE001 — pre-stream failure: no 'G' sent
             self.running = False
             code = "0A000" if isinstance(e, ValueError) else _sqlstate_for(e)
-            self._send_error(code, str(e).split("\n")[0][:500])
-            self._send(self._ready())
+            _err(code, str(e).split("\n")[0][:500])
+            if not extended:
+                self._send(self._ready())
             return
         # enter copy-in mode
+        wire_fmt = 1 if fmt == "binary" else 0
         self._send(
             _msg(
                 b"G",
-                struct.pack("!bh", 0, len(cols))
-                + struct.pack(f"!{len(cols)}h", *([0] * len(cols))),
+                struct.pack("!bh", wire_fmt, len(cols))
+                + struct.pack(f"!{len(cols)}h", *([wire_fmt] * len(cols))),
             )
         )
         # Incremental, bounded-memory ingest: complete rows are parsed
@@ -1317,7 +1403,7 @@ class _Conn:
             "pending": [], "pending_bytes": 0, "rows": 0,
             "staging": None, "eof": False,
             "skip_header": bool(header and fmt == "csv"),
-            "csv_parity": False, "scanned": 0,
+            "csv_parity": False, "scanned": 0, "bin_hdr": False,
         }
 
         def _stage() -> None:
@@ -1372,11 +1458,61 @@ class _Conn:
                     return
                 _add_row(r)
 
+        def _ingest_binary() -> None:
+            # header first: 11-byte signature + flags + extension area
+            if not st["bin_hdr"]:
+                if len(buf) < 19:
+                    return
+                if bytes(buf[:11]) != _COPY_BIN_SIG:
+                    raise ValueError("COPY: bad binary-format signature")
+                (_flags, extlen) = struct.unpack("!ii", bytes(buf[11:19]))
+                if len(buf) < 19 + extlen:
+                    return
+                del buf[: 19 + extlen]
+                st["bin_hdr"] = True
+            # then tuples: int16 field count (-1 = trailer), then per
+            # field int32 length + payload; only COMPLETE tuples are
+            # consumed, partials wait for the next CopyData
+            while True:
+                if len(buf) < 2:
+                    return
+                (nf,) = struct.unpack("!h", bytes(buf[:2]))
+                if nf == -1:
+                    st["eof"] = True
+                    del buf[:2]
+                    return
+                off, vals = 2, []
+                complete = True
+                for i in range(nf):
+                    if len(buf) < off + 4:
+                        complete = False
+                        break
+                    (ln,) = struct.unpack("!i", bytes(buf[off : off + 4]))
+                    off += 4
+                    if ln == -1:
+                        vals.append(None)
+                        continue
+                    if len(buf) < off + ln:
+                        complete = False
+                        break
+                    raw = bytes(buf[off : off + ln])
+                    off += ln
+                    if i < len(decs):
+                        vals.append(decs[i](raw))
+                    else:
+                        vals.append(None)  # width error raised below
+                if not complete:
+                    return
+                del buf[:off]
+                _add_row(vals)
+
         def _ingest(data: bytes) -> None:
             if st["eof"]:
                 return
             buf.extend(data)
-            if fmt == "csv":
+            if fmt == "binary":
+                _ingest_binary()
+            elif fmt == "csv":
                 # a row boundary is a newline at EVEN quote parity;
                 # parity carries across CopyData chunks. 0x22/0x0A are
                 # never UTF-8 continuation bytes, so cutting at a
@@ -1408,6 +1544,13 @@ class _Conn:
                 _text_rows(complete)
 
         def _finish_parse() -> None:
+            if fmt == "binary":
+                # the -1 trailer is the only legitimate way to leave
+                # bytes unconsumed; anything else is a truncated tuple
+                if buf and not st["eof"]:
+                    raise ValueError("COPY: truncated binary tuple")
+                buf.clear()
+                return
             # tolerate a final row missing its newline terminator
             if buf and not st["eof"]:
                 tail = bytes(buf)
@@ -1465,15 +1608,16 @@ class _Conn:
             full.write.insertInto(tbl)
             self._send(_msg(b"C", _cstr(f"COPY {st['rows']}")))
         except ValueError as e:
-            self._send_error("22P04", str(e).split("\n")[0][:500])
+            _err("22P04", str(e).split("\n")[0][:500])
         except Exception as e:  # noqa: BLE001
             log.warning("copy-in failed: %s", e)
-            self._send_error(_sqlstate_for(e), str(e).split("\n")[0][:500])
+            _err(_sqlstate_for(e), str(e).split("\n")[0][:500])
         finally:
             if st["staging"] is not None:
                 shutil.rmtree(st["staging"], ignore_errors=True)
         self.running = False
-        self._send(self._ready())
+        if not extended:
+            self._send(self._ready())
 
     # --- extended-protocol helpers ---------------------------------------------
     def _plan(self, sql: str):
@@ -1487,12 +1631,11 @@ class _Conn:
         if not sql:
             return None
         if _COPY_RE.match(sql) or _COPY_FROM_RE.match(sql):
-            # postgres itself speaks COPY sub-protocol inside the
-            # extended flow, but every mainstream client (psql \copy,
-            # JDBC CopyManager) issues it as a simple query — reject
-            # cleanly instead of handing COPY syntax to the engine
+            # unreachable from Bind (copy-portals branch before
+            # planning) — safety net so COPY text can never reach the
+            # SQL engine through a future caller
             raise ValueError(
-                "COPY is supported in the simple query protocol only"
+                "COPY must run through the COPY sub-protocol"
             )
         return execute_sql(self.spark, sql)
 
@@ -1565,6 +1708,21 @@ class _Conn:
                         f"${', $'.join(map(str, undecodable))} have undeclared "
                         "or unsupported types",
                     )
+                    continue
+                if _COPY_RE.match(sql) or _COPY_FROM_RE.match(sql):
+                    # COPY through Parse/Bind/Execute (psycopg3's
+                    # default path): bind a copy-portal — the COPY
+                    # sub-protocol runs at Execute, exactly like
+                    # postgres itself
+                    if params:
+                        self._ext_error(
+                            "0A000", "COPY statements take no bind parameters"
+                        )
+                        continue
+                    portals[portal] = {
+                        "df": None, "it": None, "sent": 0, "copy_sql": sql
+                    }
+                    self._send(_msg(b"2"))  # BindComplete
                     continue
                 try:
                     if params:
@@ -1692,7 +1850,13 @@ class _Conn:
     def _execute_portal(self, st: dict, max_rows: int | None) -> None:
         """Stream a bound portal: DataRow* then CommandComplete, or
         PortalSuspended when max_rows pauses it (iterator kept so a
-        later Execute resumes where this one stopped)."""
+        later Execute resumes where this one stopped). A copy-portal
+        runs the COPY sub-protocol instead (postgres ignores the row
+        limit for COPY)."""
+        copy_sql = st.get("copy_sql")
+        if copy_sql is not None:
+            self._run_copy(_COPY_RE.match(copy_sql), copy_sql, extended=True)
+            return
         df = st["df"]
         if df is None:  # empty statement
             self._send(_msg(b"I"))

@@ -1664,8 +1664,9 @@ def test_copy_whole_table_and_errors(conn):
     msgs = _simple_query(
         sock, buf, "COPY region TO STDOUT WITH (FORMAT BINARY)"
     )
-    errs = [p for t, p in msgs if t == b"E"]
-    assert errs and b"0A000" in errs[0]
+    _, bdata, bcc = _copy_payload(msgs)
+    assert bcc == b"COPY 5\x00"
+    assert b"".join(bdata).startswith(b"PGCOPY\n\xff\r\n\x00")
     msgs = _simple_query(
         sock, buf, "COPY region TO STDOUT WITH (HEADER)"
     )
@@ -1676,18 +1677,58 @@ def test_copy_whole_table_and_errors(conn):
     assert _data_rows(msgs) == [[b"42"]]
 
 
-def test_copy_rejected_in_extended_protocol(conn):
-    """COPY through Parse/Bind is a clean error (mainstream clients
-    issue COPY as a simple query), and the flow recovers after Sync."""
+def test_copy_extended_protocol(conn):
+    """COPY runs inside the extended flow (psycopg3's default path):
+    Parse/Describe answer ParameterDescription + NoData, Bind makes a
+    copy-portal, Execute speaks the COPY sub-protocol, ReadyForQuery
+    arrives only after Sync — both directions."""
     sock, buf = conn
-    q = b"COPY region TO STDOUT"
+    # COPY TO through Parse/Bind/Execute
+    q = b"COPY (SELECT r_regionkey FROM region ORDER BY r_regionkey) TO STDOUT"
     _send(sock, b"P", b"\x00" + q + b"\x00" + struct.pack("!h", 0))
+    _send(sock, b"D", b"S\x00")
     _send(sock, b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
     _send(sock, b"E", b"\x00" + struct.pack("!i", 0))
     _send(sock, b"S", b"")
     msgs = _read_until_ready(sock, buf)
-    errs = [p for t, p in msgs if t == b"E"]
-    assert errs and b"simple query protocol" in errs[0]
+    tags = [t for t, _ in msgs]
+    # ParseComplete, ParameterDescription, NoData, BindComplete,
+    # CopyOutResponse, CopyData*, CopyDone, CommandComplete, Ready
+    assert tags[:4] == [b"1", b"t", b"n", b"2"]
+    assert b"H" in tags and b"c" in tags
+    data = b"".join(p for t, p in msgs if t == b"d")
+    assert data == b"0\n1\n2\n3\n4\n"
+    assert (b"C", b"COPY 5\x00") in msgs and tags[-1] == b"Z"
+
+    # COPY FROM through Parse/Bind/Execute
+    _simple_query(sock, buf, "DROP TABLE IF EXISTS copy_ext_t")
+    _simple_query(
+        sock, buf, "CREATE TABLE copy_ext_t (a INT) USING parquet"
+    )
+    q = b"COPY copy_ext_t FROM STDIN"
+    _send(sock, b"P", b"\x00" + q + b"\x00" + struct.pack("!h", 0))
+    _send(sock, b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    _send(sock, b"E", b"\x00" + struct.pack("!i", 0))
+    # wait for CopyInResponse before streaming
+    seen = []
+    while True:
+        t, pl = _read_msg(sock, buf)
+        seen.append(t)
+        if t == b"G":
+            break
+        assert t != b"E", pl
+    payload = b"11\n22\n"
+    sock.sendall(b"d" + struct.pack("!I", len(payload) + 4) + payload)
+    sock.sendall(b"c" + struct.pack("!I", 4))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert (b"C", b"COPY 2\x00") in msgs
+    rows = _data_rows(
+        _simple_query(sock, buf, "SELECT * FROM copy_ext_t ORDER BY a")
+    )
+    assert rows == [[b"11"], [b"22"]]
+    _simple_query(sock, buf, "DROP TABLE copy_ext_t")
+    # the connection is still healthy for plain extended queries
     msgs = _simple_query(sock, buf, "SELECT 7 AS v")
     assert _data_rows(msgs) == [[b"7"]]
 
@@ -1974,3 +2015,67 @@ def test_copy_from_streams_bounded_chunks(conn, monkeypatch):
         ]
     ]
     _simple_query(sock, buf, "DROP TABLE copy_big")
+
+
+def test_copy_binary_roundtrip(conn):
+    """COPY TO/FROM WITH (FORMAT BINARY): PGCOPY signature + typed
+    tuples both directions — a binary export re-imports exactly
+    (ints, doubles, strings, NULLs, timestamps), and the stream
+    carries the documented trailer."""
+    sock, buf = conn
+    for t in ("copy_bin_src", "copy_bin_dst"):
+        _simple_query(sock, buf, f"DROP TABLE IF EXISTS {t}")
+        _simple_query(
+            sock, buf,
+            f"CREATE TABLE {t} (a INT, b STRING, c DOUBLE, d TIMESTAMP) "
+            "USING parquet",
+        )
+    _simple_query(
+        sock, buf,
+        "INSERT INTO copy_bin_src VALUES "
+        "(1, 'x|y', 1.5, TIMESTAMP '2024-03-05 14:30:45'), "
+        "(2, NULL, -2.25, NULL), "
+        "(3, '', 0.0, TIMESTAMP '2024-01-01 00:00:00')",
+    )
+    msgs = _simple_query(
+        sock, buf, "COPY copy_bin_src TO STDOUT WITH (FORMAT BINARY)"
+    )
+    h, data, cc = _copy_payload(msgs)
+    assert cc == b"COPY 3\x00"
+    fmt_overall = struct.unpack("!b", h[:1])[0]
+    assert fmt_overall == 1  # CopyOutResponse says binary
+    payload = b"".join(data)
+    assert payload.startswith(b"PGCOPY\n\xff\r\n\x00")
+    assert payload.endswith(struct.pack("!h", -1))  # trailer
+
+    msgs = _copy_in(
+        sock, buf,
+        "COPY copy_bin_dst FROM STDIN WITH (FORMAT BINARY)", payload,
+    )
+    assert (b"C", b"COPY 3\x00") in msgs
+    src = _data_rows(
+        _simple_query(sock, buf, "SELECT * FROM copy_bin_src ORDER BY a")
+    )
+    dst = _data_rows(
+        _simple_query(sock, buf, "SELECT * FROM copy_bin_dst ORDER BY a")
+    )
+    assert src == dst and len(dst) == 3
+
+    # header/delimiter are text/CSV-only options in binary format
+    for bad in (
+        "COPY copy_bin_src TO STDOUT WITH (FORMAT BINARY, HEADER)",
+        "COPY copy_bin_src TO STDOUT WITH (FORMAT BINARY, DELIMITER '|')",
+    ):
+        msgs = _simple_query(sock, buf, bad)
+        assert any(t == b"E" for t, _ in msgs)
+    # a corrupt signature fails cleanly and the connection recovers
+    msgs = _copy_in(
+        sock, buf,
+        "COPY copy_bin_dst FROM STDIN WITH (FORMAT BINARY)",
+        b"NOTPGCOPY\x00\x00\x00\x00\x00\x00\x00\x00\x00\x00",
+    )
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"signature" in errs[0]
+    assert _data_rows(_simple_query(sock, buf, "SELECT 9 AS v")) == [[b"9"]]
+    for t in ("copy_bin_src", "copy_bin_dst"):
+        _simple_query(sock, buf, f"DROP TABLE {t}")
