@@ -194,6 +194,9 @@ def _apply_fn_rewrites(sql: str) -> str:
 # specifier with no faithful java.time equivalent raises so the user
 # gets a loud error instead of silently corrupted datetimes.
 _CHRONO_MAP: dict[str, str] = {
+    # documented divergence: chrono %e is SPACE-padded day-of-month;
+    # java.time has no space-padded field Spark accepts, so %e maps
+    # to unpadded 'd' (day 5 renders '5', not ' 5')
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
     "H": "HH", "k": "H", "I": "hh", "l": "h", "M": "mm", "S": "ss",
     "a": "EEE", "A": "EEEE", "b": "MMM", "h": "MMM", "B": "MMMM",

@@ -74,12 +74,11 @@ from __future__ import annotations
 import datetime as _dt
 import logging
 import re as _re
-import shutil
 import socket
 import socketserver
 import struct
-import tempfile
 import threading
+import uuid
 
 from pyspark.sql import Row as _PgRow
 from pyspark.sql import SparkSession
@@ -1410,7 +1409,19 @@ class _Conn:
             if not st["pending"]:
                 return
             if st["staging"] is None:
-                st["staging"] = tempfile.mkdtemp(prefix="csvb_copy_in_")
+                # staged batches live under the WAREHOUSE dir, not the
+                # driver's local tmp: the final insertInto reads the
+                # staging dir from executors, which on a real cluster
+                # can only see shared storage (the warehouse URI is
+                # shared by construction — it holds the catalog tables
+                # this COPY targets)
+                base = self.spark.conf.get(
+                    "spark.sql.warehouse.dir", "file:/tmp"
+                )
+                st["staging"] = (
+                    f"{base.rstrip('/')}/_csvb_copy_in_staging/"
+                    f"{uuid.uuid4().hex}"
+                )
             self.spark.createDataFrame(
                 st["pending"], str_schema
             ).write.mode("append").parquet(st["staging"])
@@ -1578,8 +1589,7 @@ class _Conn:
                 failed = body.rstrip(b"\x00").decode(errors="replace")
                 break
             elif tag == b"X":
-                if st["staging"] is not None:
-                    shutil.rmtree(st["staging"], ignore_errors=True)
+                self._drop_staging(st["staging"])
                 raise ConnectionResetError("client terminated during COPY")
             # anything else (Flush/Sync) is ignored inside copy-in
         try:
@@ -1613,11 +1623,26 @@ class _Conn:
             log.warning("copy-in failed: %s", e)
             _err(_sqlstate_for(e), str(e).split("\n")[0][:500])
         finally:
-            if st["staging"] is not None:
-                shutil.rmtree(st["staging"], ignore_errors=True)
+            self._drop_staging(st["staging"])
         self.running = False
         if not extended:
             self._send(self._ready())
+
+    def _drop_staging(self, staging: str | None) -> None:
+        """Remove a COPY staging directory through the Hadoop
+        FileSystem API — the path is a Spark URI (warehouse-relative),
+        which a plain shutil.rmtree cannot address on hdfs/s3."""
+        if staging is None:
+            return
+        try:
+            jvm = self.spark._jvm  # noqa: SLF001
+            jpath = jvm.org.apache.hadoop.fs.Path(staging)
+            fs = jpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+            )
+            fs.delete(jpath, True)
+        except Exception as e:  # noqa: BLE001 — cleanup must never mask COPY
+            log.warning("copy-in staging cleanup failed: %s", e)
 
     # --- extended-protocol helpers ---------------------------------------------
     def _plan(self, sql: str):
