@@ -363,3 +363,119 @@ def calibration_table(
         )
         .orderBy("bin")
     )
+
+
+def dsir_score(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 18,
+    seed: int = 7,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score every RAW document by how much more
+    likely its hashed bag-of-n-grams is under the TARGET corpus's
+    feature distribution than under the raw corpus's own,
+    ``log w(x) = Σ_f [ log p_target(bucket(f)) − log p_raw(bucket(f)) ]``
+    with add-1 smoothing over ``n_buckets`` buckets. High scores =
+    raw documents that look like the target domain; the standard
+    100 TB-scale pretraining-data selection signal (resample/top-k by
+    this weight). Selection itself composes with the existing
+    machinery: feed ``log_importance`` to ``splits.budget_select`` /
+    ``weighted_sample`` for the deterministic pick.
+
+    Same feature space as the linear classifier
+    (:func:`hashed_features` unigrams + word bigrams through the
+    portable md5 :func:`feature_bucket` — one recipe both engines can
+    replay), same determinism contract as the LM scorers: bucket
+    counts are exact int64, each bucket's log-ratio is ONE expression
+    over exact integers rounded to 6 decimals and quantized to
+    DECIMAL(18,6), and the per-document score is an
+    order-independent exact decimal SUM (parallel partial aggregation
+    cannot perturb it).
+
+    Plan shape at scale: two bounded count aggregations (the target
+    sample is small by DSIR's construction — a quality corpus of a few
+    GB; the raw side is ONE explode+groupBy whose output is bounded by
+    ``n_buckets``, not corpus size), a weight table of ≤ ``n_buckets``
+    rows BROADCAST to the scoring join (map-only scoring), and one
+    per-document aggregation with map-side partial decimal sums. The
+    bucket cap keeps the broadcast bounded by construction — validated
+    here so an absurd ``n_buckets`` fails loudly instead of OOMing an
+    executor. Reference scope: beyond-reference (training-pipeline
+    extension; SURVEY.md §2).
+
+    Output: ``(id_col, n_features, log_importance)`` — one row per raw
+    document, NULL/empty text included (the empty token is a feature,
+    so no document silently vanishes from a selection pass).
+    """
+    if not isinstance(n_buckets, int) or not 1 <= n_buckets <= (1 << 20):
+        raise ValueError(
+            f"dsir_score: n_buckets must be an int in [1, 2^20] (the "
+            f"weight table broadcasts), got {n_buckets!r}"
+        )
+
+    def feats(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("_id")] if keep_id else []
+        exploded = df.select(
+            *cols, F.explode(hashed_features(text_col)).alias("_f")
+        )
+        return exploded.select(
+            *(["_id"] if keep_id else []),
+            feature_bucket(F.col("_f"), n_buckets, seed).alias("bucket"),
+        )
+
+    t_counts = feats(target, keep_id=False).groupBy("bucket").agg(
+        F.count("*").alias("_ct")
+    )
+    r_feats = feats(raw, keep_id=True)
+    r_counts = r_feats.groupBy("bucket").agg(F.count("*").alias("_cr"))
+    t_total = t_counts.agg(F.sum("_ct")).first()[0] or 0
+    r_total = r_counts.agg(F.sum("_cr")).first()[0] or 0
+    # add-1 smoothed log-ratio per bucket. Only buckets PRESENT in the
+    # raw corpus can be touched by a raw document's features, so the
+    # weight table is r_counts left-joined with the target counts —
+    # ≤ n_buckets rows by construction (the broadcast bound).
+    # Determinism: ONE ln over one IEEE division of two IEEE products
+    # — log((ct+1)·(Tr+B) / ((cr+1)·(Tt+B))) — not a sum of four lns
+    # (mul/div are bit-exact cross-engine; each extra ln is an extra
+    # ulp risk at the round-to-6 boundary). The products run in DOUBLE
+    # because at 100 TB the int64 product overflows (Tr ~ 1e13
+    # features × counts ~ 1e13); double rounding is IEEE-identical in
+    # both engines.
+    t_tot = float((t_total or 0) + n_buckets)
+    r_tot = float((r_total or 0) + n_buckets)
+    weights = r_counts.join(t_counts, "bucket", "left").select(
+        "bucket",
+        F.round(
+            F.log(
+                (
+                    (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    * F.lit(r_tot)
+                )
+                / (
+                    (F.col("_cr") + F.lit(1)).cast("double")
+                    * F.lit(t_tot)
+                )
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("_lw"),
+    )
+    return (
+        r_feats.join(F.broadcast(weights), "bucket")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            # exact decimal sum inside; ONE final cast ships a double
+            # (house convention — see queries/common.py dsum)
+            F.sum("_lw").cast("double").alias("log_importance"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_features", "log_importance"
+        )
+    )

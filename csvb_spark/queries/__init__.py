@@ -225,7 +225,12 @@ Graded-window rebalance: the five scalar function families and the
 window frame/lag-lead/distribution families gained combined gauntlets
 q51/q52 with gate rows p34/p35 (the classifier-adjacent x98/x99
 aliases they replace stay pytest-oracled); window still exactly 50.
-Corpus: 206 entries, 201 with full oracles.
+New operator x131 DSIR importance weights (Xie et al. 2023): hashed
+bag-of-n-gram add-1 log-ratios between a small target corpus and the
+raw corpus — md5 buckets shared with the classifier, one ln over IEEE
+products rounded to 6, exact decimal per-doc sums, bounded weight
+table broadcast.
+Corpus: 207 entries, 202 with full oracles.
 """
 
 from __future__ import annotations

@@ -4662,6 +4662,61 @@ FROM events GROUP BY 1, 2
 )
 
 
+
+# --- round 10: DSIR importance weights (Xie et al. 2023) ----------------
+# Data Selection via Importance Resampling: the standard
+# pretraining-scale "make raw crawl look like the target domain"
+# selection signal. Target here = the deterministic doc_id % 7 == 0
+# subset (a stand-in for the small curated quality corpus DSIR trains
+# on); the oracle replays the whole pipeline — md5 feature buckets
+# (same recipe as the x64/x79 classifier), add-1 smoothed bucket
+# log-ratios as ONE ln over IEEE products rounded to 6, exact decimal
+# per-doc sums — bit-exactly.
+_q(
+    "x131_dsir_importance",
+    spark=lambda spark, sf: classify.dsir_score(
+        _docs(spark, sf),
+        _docs(spark, sf).filter("doc_id % 7 = 0"),
+        n_buckets=65536,
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id, f FROM (SELECT doc_id, unnest(w) AS f FROM toks)
+  UNION ALL
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS f
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), ex AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(f || ':7'), 1, 8))::BIGINT % 65536 AS bucket
+  FROM feats
+), rc AS (
+  SELECT bucket, COUNT(*) AS cr FROM ex GROUP BY bucket
+), tc AS (
+  SELECT bucket, COUNT(*) AS ct FROM ex WHERE doc_id % 7 = 0
+  GROUP BY bucket
+), w AS (
+  SELECT rc.bucket,
+         CAST(round(ln(
+             (COALESCE(tc.ct, 0) + 1)::DOUBLE
+             * ((SELECT COALESCE(SUM(cr), 0) FROM rc) + 65536)::DOUBLE
+             / ((rc.cr + 1)::DOUBLE
+                * ((SELECT COALESCE(SUM(ct), 0) FROM tc) + 65536)::DOUBLE)
+           ), 6) AS DECIMAL(18,6)) AS lw
+  FROM rc LEFT JOIN tc USING (bucket)
+)
+SELECT ex.doc_id, COUNT(*) AS n_features,
+       CAST(SUM(w.lw) AS DOUBLE) AS log_importance
+FROM ex JOIN w USING (bucket)
+GROUP BY ex.doc_id
+""",
+)
+
 # --- driver-gate aliases (round 9) -----------------------------------
 # WINDOW MECHANICS (learned the hard way in r08): the driver's hard
 # CORRECTNESS gate grades the FIRST 50 NAME-SORTED queries() entries.

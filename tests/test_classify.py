@@ -531,3 +531,47 @@ def test_calibration_table_planted(spark):
         calibration_table(df, "y", n_bins=1)
     with _pytest.raises(ValueError, match="lo < hi"):
         calibration_table(df, "y", lo=1.0, hi=0.0)
+
+
+def test_dsir_score_ranks_target_like_docs_higher(spark):
+    """DSIR (Xie et al. 2023): documents that share the target
+    corpus's vocabulary must carry higher log-importance than
+    off-domain documents; every raw doc appears exactly once (NULL
+    and empty text included); the weight join broadcasts."""
+    from csvb_spark.operators.classify import dsir_score
+
+    target = spark.createDataFrame(
+        [(1000 + i, "physics energy momentum quantum field") for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "quantum field energy physics"),       # on-domain
+            (1, "physics momentum quantum"),           # on-domain
+            (2, "pizza recipe cheese tomato basil"),   # off-domain
+            (3, "celebrity gossip fashion weekend"),   # off-domain
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    scored = dsir_score(raw, target, n_buckets=4096)
+    rows = {r["doc_id"]: r for r in scored.collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5}  # nobody vanishes
+    per_feat = {
+        k: rows[k]["log_importance"] / rows[k]["n_features"] for k in (0, 1, 2, 3)
+    }
+    assert min(per_feat[0], per_feat[1]) > max(per_feat[2], per_feat[3])
+
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
+        "formatted"
+    )
+    plan = scored._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
+    assert "BroadcastHashJoin" in plan  # bounded weight table broadcasts
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_score(raw, target, n_buckets=0)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_score(raw, target, n_buckets=1 << 21)
