@@ -188,6 +188,9 @@ MODEL_OPS = frozenset(
         # round 8, second session: the fourth smoothing family joins
         # its siblings under the constant-factor watch
         "x110_jm_perplexity",
+        # round 10: DSIR importance weights (two corpus passes + a
+        # broadcast score join — watch the constant factor)
+        "x131_dsir_importance",
     }
 )
 

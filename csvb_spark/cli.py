@@ -360,13 +360,26 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--json", action="append", default=[], metavar="PATH")
     pq.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
     pq.add_argument(
-        "--method", choices=("classifier", "lm"), default="classifier"
+        "--method", choices=("classifier", "lm", "dsir"), default="classifier"
     )
     pq.add_argument(
         "--model",
         default=None,
         help="trained model parquet dir (from train-filter); classifier "
         "without --model uses the engine-recomputable formula weights",
+    )
+    pq.add_argument(
+        "--target",
+        default=None,
+        help="dsir: parquet dir of the TARGET corpus whose distribution "
+        "raw documents are scored against (Xie et al. 2023)",
+    )
+    pq.add_argument(
+        "--min-avg-importance",
+        type=float,
+        default=None,
+        help="dsir: keep documents whose per-feature importance "
+        "(log_importance / n_features) is >= this",
     )
     pq.add_argument("--text-col", default="text")
     pq.add_argument("--id-col", default="doc_id")
@@ -962,7 +975,51 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         _register_direct(spark, args)
         table = spark.table(args.table_name)
-        if args.method == "classifier":
+        if args.method != "dsir":
+            if args.target is not None:
+                raise SystemExit(
+                    "score: --target applies to --method dsir only"
+                )
+            if args.min_avg_importance is not None:
+                raise SystemExit(
+                    "score: --min-avg-importance applies to --method dsir only"
+                )
+        if args.method == "dsir":
+            for flag, bad in (
+                ("--model", args.model),
+                ("--max-ppl", args.max_ppl),
+                ("--threshold", args.threshold or None),
+            ):
+                if bad:
+                    raise SystemExit(
+                        f"score: {flag} does not apply to --method dsir"
+                    )
+            if args.smoothing != "addk":
+                raise SystemExit(
+                    "score: --smoothing applies to --method lm only"
+                )
+            if not args.target:
+                raise SystemExit("score --method dsir requires --target")
+            from csvb_spark.operators.classify import dsir_score
+
+            scored = dsir_score(
+                table,
+                spark.read.parquet(args.target),
+                text_col=args.text_col,
+                id_col=args.id_col,
+                n_buckets=args.n_buckets,
+            )
+            keep = (
+                (
+                    F.col("log_importance")
+                    / F.col("n_features").cast("double")
+                )
+                >= F.lit(float(args.min_avg_importance))
+                if args.min_avg_importance is not None
+                else F.lit(True)
+            )
+            scored = scored.withColumn("keep", keep)
+        elif args.method == "classifier":
             if args.max_ppl is not None:
                 raise SystemExit("score: --max-ppl applies to --method lm only")
             if args.smoothing != "addk":

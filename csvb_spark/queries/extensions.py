@@ -4674,6 +4674,7 @@ FROM events GROUP BY 1, 2
 # per-doc sums — bit-exactly.
 _q(
     "x131_dsir_importance",
+    headline=True,
     spark=lambda spark, sf: classify.dsir_score(
         _docs(spark, sf),
         _docs(spark, sf).filter("doc_id % 7 = 0"),

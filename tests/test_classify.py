@@ -575,3 +575,55 @@ def test_dsir_score_ranks_target_like_docs_higher(spark):
         dsir_score(raw, target, n_buckets=0)
     with _pytest.raises(ValueError, match="n_buckets"):
         dsir_score(raw, target, n_buckets=1 << 21)
+
+
+def test_cli_score_dsir(spark, tmp_path, capsys):
+    """`score --method dsir --target ...` runs DSIR end to end: the
+    per-feature importance gate keeps on-domain docs and drops
+    off-domain ones; flag contradictions are loud."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from csvb_spark.cli import main
+
+    raw = str(tmp_path / "raw.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": list(range(4)),
+            "text": [
+                "quantum field energy physics",
+                "physics momentum quantum energy",
+                "pizza recipe cheese tomato",
+                "celebrity gossip fashion news",
+            ],
+        }
+    ).to_parquet(raw)
+    target = str(tmp_path / "target.parquet")
+    pd.DataFrame(
+        {
+            "doc_id": [100 + i for i in range(6)],
+            "text": ["physics energy momentum quantum field theory"] * 6,
+        }
+    ).to_parquet(target)
+
+    out_dir = str(tmp_path / "dsir_scored")
+    rc = main(
+        [
+            "score", "--parquet", raw, "--method", "dsir",
+            "--target", target, "--n-buckets", "4096",
+            "--min-avg-importance", "0.0", "--output", out_dir,
+        ]
+    )
+    assert rc == 0
+    assert "n_keep" in capsys.readouterr().out
+    got = {r["doc_id"]: r["keep"] for r in spark.read.parquet(out_dir).collect()}
+    assert got[0] and got[1] and not got[2] and not got[3]
+
+    with _pytest.raises(SystemExit, match="requires --target"):
+        main(["score", "--parquet", raw, "--method", "dsir"])
+    with _pytest.raises(SystemExit, match="--target applies"):
+        main(["score", "--parquet", raw, "--method", "classifier",
+              "--target", target])
+    with _pytest.raises(SystemExit, match="does not apply"):
+        main(["score", "--parquet", raw, "--method", "dsir",
+              "--target", target, "--max-ppl", "10"])
