@@ -256,6 +256,13 @@ def _chrono_to_java(fmt: str) -> str:
             i += 2
             continue
         if nxt in "-0_" and fmt[i + 2 : i + 3] in _CHRONO_UNPADDED:
+            if nxt == "_":
+                # %_d is SPACE-padded; java.time has no space-padded
+                # field Spark accepts — error beats silent '05' for ' 5'
+                raise ValueError(
+                    f"chrono space-pad flag %_{fmt[i + 2]} in format "
+                    f"{fmt!r} has no Spark DateTimeFormatter equivalent"
+                )
             flush()
             base = fmt[i + 2]
             out.append(
@@ -293,8 +300,11 @@ def _rewrite_chrono_datetime(sql: str, literals: list[str]) -> str:
     form becomes coalesce(). Format literals without a '%' are left
     alone (already java-pattern / engine-native callers)."""
 
+    produced: set[int] = set()
+
     def mklit(s: str) -> str:
         literals.append("'" + s.replace("'", "''") + "'")
+        produced.add(len(literals) - 1)
         return f"\x00LIT{len(literals) - 1}\x00"
 
     changed = True
@@ -313,6 +323,11 @@ def _rewrite_chrono_datetime(sql: str, literals: list[str]) -> str:
                         break
                     idxs.append(int(m.group(1)))
                 if not idxs:
+                    continue
+                if any(k in produced for k in idxs):
+                    # already translated on an earlier pass — a java
+                    # pattern whose source had %% still contains '%',
+                    # and re-translating it would corrupt it
                     continue
                 raw = [literals[k][1:-1].replace("''", "'") for k in idxs]
                 if not any("%" in r for r in raw):

@@ -426,11 +426,23 @@ def dsir_score(
             feature_bucket(F.col("_f"), n_buckets, seed).alias("bucket"),
         )
 
-    t_counts = feats(target, keep_id=False).groupBy("bucket").agg(
-        F.count("*").alias("_ct")
+    # both count tables are consumed twice (total probe + weight
+    # build) and are ≤ n_buckets rows — materialize once so the raw
+    # corpus is scanned exactly TWICE overall (count pass + score
+    # pass), not re-exploded per consumer (lm.py's localCheckpoint
+    # pattern for multi-consumer bounded intermediates)
+    t_counts = (
+        feats(target, keep_id=False)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_ct"))
+        .localCheckpoint(eager=True)
     )
     r_feats = feats(raw, keep_id=True)
-    r_counts = r_feats.groupBy("bucket").agg(F.count("*").alias("_cr"))
+    r_counts = (
+        r_feats.groupBy("bucket")
+        .agg(F.count("*").alias("_cr"))
+        .localCheckpoint(eager=True)
+    )
     t_total = t_counts.agg(F.sum("_ct")).first()[0] or 0
     r_total = r_counts.agg(F.sum("_cr")).first()[0] or 0
     # add-1 smoothed log-ratio per bucket. Only buckets PRESENT in the

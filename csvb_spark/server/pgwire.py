@@ -477,13 +477,23 @@ def _copy_text_split(line: bytes, delim: bytes) -> list[bytes]:
     return cells
 
 
-def _copy_csv_rows(text: str, delim: str) -> list[list[str | None]]:
+#: sentinel appended by _copy_csv_rows(mark_eof=True) for the UNQUOTED
+#: end-of-data line ``\.`` — a QUOTED "\." cell is ordinary data and
+#: must not terminate the stream
+_COPY_CSV_EOF = object()
+
+
+def _copy_csv_rows(
+    text: str, delim: str, mark_eof: bool = False
+) -> list:
     """Minimal RFC-4180 parser that PRESERVES the quoted/unquoted
     distinction (stdlib csv cannot): an unquoted empty cell is NULL,
     a quoted one is the empty string — the inverse of the OUT side's
-    force-quoting."""
-    rows: list[list[str | None]] = []
-    row: list[str | None] = []
+    force-quoting. With ``mark_eof`` the postgres end-of-data marker
+    (a lone UNQUOTED ``\.`` line) appends :data:`_COPY_CSV_EOF` and
+    parsing stops."""
+    rows: list = []
+    row: list[str | None] | None = []
     buf: list[str] = []
     quoted = in_quotes = seen_any = False
     i, n = 0, len(text)
@@ -496,6 +506,10 @@ def _copy_csv_rows(text: str, delim: str) -> list[list[str | None]]:
 
     def _end_row() -> None:
         nonlocal row
+        if mark_eof and not row and not quoted and "".join(buf) == "\\.":
+            rows.append(_COPY_CSV_EOF)
+            row = None  # stop parsing — everything after is ignored
+            return
         _end_cell()
         rows.append(row)
         row = []
@@ -519,13 +533,15 @@ def _copy_csv_rows(text: str, delim: str) -> list[list[str | None]]:
             _end_cell()
         elif ch == "\n":
             _end_row()
+            if row is None:
+                return rows
         elif ch == "\r":
             pass  # swallow CR of CRLF
         else:
             buf.append(ch)
             seen_any = True
         i += 1
-    if buf or quoted or row:
+    if row is not None and (buf or quoted or row):
         _end_row()
     return rows
 
@@ -1461,10 +1477,12 @@ class _Conn:
                 )
 
         def _csv_rows_in(data: bytes) -> None:
-            for r in _copy_csv_rows(data.decode("utf-8"), delim.decode()):
+            for r in _copy_csv_rows(
+                data.decode("utf-8"), delim.decode(), mark_eof=True
+            ):
                 if st["eof"]:
                     return
-                if r == ["\\."]:
+                if r is _COPY_CSV_EOF:
                     st["eof"] = True
                     return
                 _add_row(r)
@@ -1547,11 +1565,17 @@ class _Conn:
                 st["scanned"] = len(buf)
                 _csv_rows_in(complete)
             else:
-                cut = buf.rfind(b"\n")
+                # only the newly appended region can hold a newline
+                # (prior scans found none) — a full rfind would rescan
+                # the whole buffer per CopyData, quadratic on one
+                # enormous row
+                cut = buf.rfind(b"\n", st["scanned"])
                 if cut < 0:
+                    st["scanned"] = len(buf)
                     return
                 complete = bytes(buf[:cut])
                 del buf[: cut + 1]
+                st["scanned"] = len(buf)  # kept tail holds no newline
                 _text_rows(complete)
 
         def _finish_parse() -> None:
@@ -1734,18 +1758,22 @@ class _Conn:
                         "or unsupported types",
                     )
                     continue
-                if _COPY_RE.match(sql) or _COPY_FROM_RE.match(sql):
+                csql = sql.strip().rstrip(";").strip()
+                if _COPY_RE.match(csql) or _COPY_FROM_RE.match(csql):
                     # COPY through Parse/Bind/Execute (psycopg3's
                     # default path): bind a copy-portal — the COPY
                     # sub-protocol runs at Execute, exactly like
-                    # postgres itself
+                    # postgres itself. Matched on the NORMALIZED text
+                    # (clients legitimately send trailing semicolons /
+                    # leading whitespace through Parse — _run_sql
+                    # strips the same way)
                     if params:
                         self._ext_error(
                             "0A000", "COPY statements take no bind parameters"
                         )
                         continue
                     portals[portal] = {
-                        "df": None, "it": None, "sent": 0, "copy_sql": sql
+                        "df": None, "it": None, "sent": 0, "copy_sql": csql
                     }
                     self._send(_msg(b"2"))  # BindComplete
                     continue

@@ -1384,3 +1384,21 @@ def test_cli_shard_methods(spark, sf_dir, tmp_path, capsys):
     )
     err = capsys.readouterr().err
     assert rc == 2 and "snake only" in err
+
+
+def test_translate_chrono_percent_escape_stable():
+    """Review finding: %% in a to_date format re-triggered translation
+    on the rescan pass (the produced literal still contains '%'),
+    corrupting the pattern or erroring on valid input. The produced
+    literal must be final."""
+    assert (
+        translate_sql("SELECT to_date(s, '%%Y')")
+        == "SELECT to_date(s, '''%Y''')"
+    )
+    assert (
+        translate_sql("SELECT to_date(s, 'x %% y%d')")
+        == "SELECT to_date(s, '''x % y''dd')"
+    )
+    # space-pad flag has no faithful java.time mapping — loud error
+    with pytest.raises(ValueError, match="space-pad"):
+        translate_sql("SELECT to_char(d, '%_d')")

@@ -2079,3 +2079,64 @@ def test_copy_binary_roundtrip(conn):
     assert _data_rows(_simple_query(sock, buf, "SELECT 9 AS v")) == [[b"9"]]
     for t in ("copy_bin_src", "copy_bin_dst"):
         _simple_query(sock, buf, f"DROP TABLE {t}")
+
+
+def test_copy_csv_quoted_eof_marker_is_data(conn):
+    """A QUOTED \"\\.\" CSV cell is ordinary data; only the unquoted
+    lone \\. line ends the stream (postgres semantics) — review
+    finding: the quoted form silently truncated the stream."""
+    sock, buf = conn
+    _simple_query(sock, buf, "DROP TABLE IF EXISTS copy_eofq")
+    _simple_query(
+        sock, buf, "CREATE TABLE copy_eofq (s STRING) USING parquet"
+    )
+    msgs = _copy_in(
+        sock, buf, "COPY copy_eofq FROM STDIN WITH (FORMAT CSV)",
+        b'a\n"\\."\nb\n\\.\nignored\n',
+    )
+    assert (b"C", b"COPY 3\x00") in msgs  # a, "\.", b — not truncated at 2
+    rows = _data_rows(
+        _simple_query(sock, buf, "SELECT s FROM copy_eofq ORDER BY s")
+    )
+    assert rows == [[b"\\."], [b"a"], [b"b"]]
+    _simple_query(sock, buf, "DROP TABLE copy_eofq")
+
+
+def test_copy_extended_tolerates_trailing_semicolon(conn):
+    """Parse('COPY ...;') through Bind/Execute works — clients send
+    trailing semicolons and leading whitespace through the extended
+    protocol; review finding: the raw-string match missed them."""
+    sock, buf = conn
+    for q in (
+        b"  COPY (SELECT 1 AS one) TO STDOUT ;",
+        b"COPY (SELECT 1 AS one) TO STDOUT;",
+    ):
+        _send(sock, b"P", b"\x00" + q + b"\x00" + struct.pack("!h", 0))
+        _send(sock, b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+        _send(sock, b"E", b"\x00" + struct.pack("!i", 0))
+        _send(sock, b"S", b"")
+        msgs = _read_until_ready(sock, buf)
+        assert (b"C", b"COPY 1\x00") in msgs, msgs[:6]
+        assert b"".join(p for t, p in msgs if t == b"d") == b"1\n"
+
+    # COPY FROM with a trailing semicolon, extended flow
+    _simple_query(sock, buf, "DROP TABLE IF EXISTS copy_semi")
+    _simple_query(
+        sock, buf, "CREATE TABLE copy_semi (a INT) USING parquet"
+    )
+    q = b"COPY copy_semi FROM STDIN;"
+    _send(sock, b"P", b"\x00" + q + b"\x00" + struct.pack("!h", 0))
+    _send(sock, b"B", b"\x00\x00" + struct.pack("!hhh", 0, 0, 0))
+    _send(sock, b"E", b"\x00" + struct.pack("!i", 0))
+    while True:
+        t, pl = _read_msg(sock, buf)
+        assert t != b"E", pl
+        if t == b"G":
+            break
+    payload = b"5\n"
+    sock.sendall(b"d" + struct.pack("!I", len(payload) + 4) + payload)
+    sock.sendall(b"c" + struct.pack("!I", 4))
+    _send(sock, b"S", b"")
+    msgs = _read_until_ready(sock, buf)
+    assert (b"C", b"COPY 1\x00") in msgs
+    _simple_query(sock, buf, "DROP TABLE copy_semi")
