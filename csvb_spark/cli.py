@@ -328,7 +328,15 @@ def build_parser() -> argparse.ArgumentParser:
     pt.add_argument("--json", action="append", default=[], metavar="PATH")
     pt.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
     pt.add_argument(
-        "--method", choices=("classifier", "lm"), default="classifier"
+        "--method",
+        choices=("classifier", "lm", "dsir"),
+        default="classifier",
+    )
+    pt.add_argument(
+        "--target",
+        default=None,
+        help="dsir: parquet dir of the TARGET corpus; the written model "
+        "is the bucket weight table (Xie et al. 2023)",
     )
     pt.add_argument("--output", required=True, help="model output dir (parquet)")
     pt.add_argument("--text-col", default="text")
@@ -929,7 +937,33 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         _register_direct(spark, args)
         table = spark.table(args.table_name)
-        if args.method == "classifier":
+        if args.method != "dsir" and args.target is not None:
+            raise SystemExit(
+                "train-filter: --target applies to --method dsir only"
+            )
+        if args.method == "dsir":
+            if not args.target:
+                raise SystemExit("train-filter --method dsir requires --target")
+            if args.ngram is not None:
+                raise SystemExit(
+                    "train-filter: --ngram applies to --method lm only"
+                )
+            for flag, default in (("label_col", "label"), ("steps", 2),
+                                  ("lr", 4000)):
+                if getattr(args, flag) != default:
+                    raise SystemExit(
+                        f"train-filter: --{flag.replace('_', '-')} applies"
+                        " to --method classifier only"
+                    )
+            from csvb_spark.operators.classify import dsir_weights
+
+            model = dsir_weights(
+                table,
+                spark.read.parquet(args.target),
+                text_col=args.text_col,
+                n_buckets=args.n_buckets,
+            )
+        elif args.method == "classifier":
             if args.ngram is not None:
                 raise SystemExit(
                     "train-filter: --ngram applies to --method lm only"
@@ -986,7 +1020,6 @@ def main(argv: list[str] | None = None) -> int:
                 )
         if args.method == "dsir":
             for flag, bad in (
-                ("--model", args.model),
                 ("--max-ppl", args.max_ppl),
                 ("--threshold", args.threshold or None),
             ):
@@ -998,17 +1031,33 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit(
                     "score: --smoothing applies to --method lm only"
                 )
-            if not args.target:
-                raise SystemExit("score --method dsir requires --target")
-            from csvb_spark.operators.classify import dsir_score
-
-            scored = dsir_score(
-                table,
-                spark.read.parquet(args.target),
-                text_col=args.text_col,
-                id_col=args.id_col,
-                n_buckets=args.n_buckets,
+            if bool(args.target) == bool(args.model):
+                raise SystemExit(
+                    "score --method dsir needs exactly one of --target "
+                    "(build weights in-line) or --model (weights dir from "
+                    "train-filter --method dsir)"
+                )
+            from csvb_spark.operators.classify import (
+                dsir_score,
+                dsir_score_with_weights,
             )
+
+            if args.model:
+                scored = dsir_score_with_weights(
+                    table,
+                    spark.read.parquet(args.model),
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                    n_buckets=args.n_buckets,
+                )
+            else:
+                scored = dsir_score(
+                    table,
+                    spark.read.parquet(args.target),
+                    text_col=args.text_col,
+                    id_col=args.id_col,
+                    n_buckets=args.n_buckets,
+                )
             keep = (
                 (
                     F.col("log_importance")

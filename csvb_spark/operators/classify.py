@@ -365,6 +365,176 @@ def calibration_table(
     )
 
 
+def _dsir_feats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str | None,
+    n_buckets: int,
+    seed: int,
+) -> DataFrame:
+    """Explode a corpus into hashed feature buckets (optionally
+    carrying the doc id) — the shared front half of DSIR's weight
+    build and scoring passes."""
+    cols = [F.col(id_col).alias("_id")] if id_col else []
+    exploded = df.select(
+        *cols, F.explode(hashed_features(text_col)).alias("_f")
+    )
+    return exploded.select(
+        *(["_id"] if id_col else []),
+        feature_bucket(F.col("_f"), n_buckets, seed).alias("bucket"),
+    )
+
+
+def _validate_dsir_buckets(caller: str, n_buckets) -> None:
+    if not isinstance(n_buckets, int) or not 1 <= n_buckets <= (1 << 20):
+        raise ValueError(
+            f"{caller}: n_buckets must be an int in [1, 2^20] (the "
+            f"weight table broadcasts), got {n_buckets!r}"
+        )
+
+
+#: bucket id of the DEFAULT row a DSIR weight table carries for
+#: features unseen when the weights were built (only reachable when
+#: scoring a DIFFERENT corpus than the one the weights came from —
+#: the streaming case)
+DSIR_DEFAULT_BUCKET = -1
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    seed: int = 7,
+) -> DataFrame:
+    """Build the DSIR bucket-weight table: add-1 smoothed
+    ``log p_target(bucket) − log p_raw(bucket)`` over hashed
+    bag-of-n-gram buckets (Xie et al. 2023, arXiv:2302.03169).
+
+    Determinism: ONE ln over one IEEE division of two IEEE products —
+    ``log((ct+1)·(Tr+B) / ((cr+1)·(Tt+B)))`` — not a sum of four lns
+    (mul/div are bit-exact cross-engine; each extra ln is an extra
+    ulp risk at the round-to-6 boundary). The products run in DOUBLE
+    because at 100 TB the int64 product overflows (Tr ~ 1e13 features
+    × counts ~ 1e13); double rounding is IEEE-identical everywhere.
+
+    Output: ``(bucket, log_weight DECIMAL(18,6))`` — one row per
+    bucket present in the raw corpus (≤ ``n_buckets`` rows, the
+    broadcast bound) plus one DEFAULT row
+    (``bucket = DSIR_DEFAULT_BUCKET``) with weight 0 for features the
+    weight build never saw, so a persisted table scores corpora it was
+    not built from (the streaming case). Unseen buckets are NEUTRAL by
+    design, not the add-1 estimate: that estimate degenerates to the
+    constant corpus-size ratio ``ln((Tr+B)/(Tt+B))``, which scores
+    pure gibberish above every real document whenever the raw corpus
+    outweighs the target (it always does) — an unseen feature carries
+    no domain evidence either way. Persist with ``.write.parquet`` and
+    score later via :func:`dsir_score_with_weights` (the
+    ``train-filter --method dsir`` / ``score --model`` CLI pair).
+
+    Plan shape: the target sample is small by DSIR's construction (a
+    curated quality corpus); the raw side is ONE explode+groupBy whose
+    output is bounded by ``n_buckets``, not corpus size. Both count
+    tables are consumed twice (total probe + weight build) and
+    localCheckpoint once — the raw corpus is scanned exactly once
+    here.
+    """
+    _validate_dsir_buckets("dsir_weights", n_buckets)
+    t_counts = (
+        _dsir_feats(target, text_col, None, n_buckets, seed)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_ct"))
+        .localCheckpoint(eager=True)
+    )
+    r_counts = (
+        _dsir_feats(raw, text_col, None, n_buckets, seed)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("_cr"))
+        .localCheckpoint(eager=True)
+    )
+    t_total = t_counts.agg(F.sum("_ct")).first()[0] or 0
+    r_total = r_counts.agg(F.sum("_cr")).first()[0] or 0
+    t_tot = float(t_total + n_buckets)
+    r_tot = float(r_total + n_buckets)
+
+    def log_ratio(ct, cr):
+        return (
+            F.round(
+                F.log(
+                    ((ct + F.lit(1)).cast("double") * F.lit(r_tot))
+                    / ((cr + F.lit(1)).cast("double") * F.lit(t_tot))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+        )
+
+    spark = raw.sparkSession
+    default_row = spark.range(1).select(
+        F.lit(DSIR_DEFAULT_BUCKET).cast("bigint").alias("bucket"),
+        F.lit(0).cast("decimal(18,6)").alias("log_weight"),
+    )
+    return (
+        r_counts.join(t_counts, "bucket", "left")
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            log_ratio(
+                F.coalesce(F.col("_ct"), F.lit(0)), F.col("_cr")
+            ).alias("log_weight"),
+        )
+        .unionByName(default_row)
+    )
+
+
+def dsir_score_with_weights(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 18,
+    seed: int = 7,
+    weights_materialized: bool = False,
+) -> DataFrame:
+    """Score documents against a PRE-BUILT DSIR weight table
+    (:func:`dsir_weights`, possibly persisted as parquet): map-only —
+    explode features, broadcast-join the bounded weight table, exact
+    decimal per-document sums. Features whose bucket the weight build
+    never saw take the table's DEFAULT row (``bucket = -1``), so no
+    document is dropped or mis-summed when scoring a corpus the
+    weights were not built from (the streaming gate case).
+
+    Output: ``(id_col, n_features, log_importance DOUBLE)``.
+    """
+    _validate_dsir_buckets("dsir_score_with_weights", n_buckets)
+    if not weights_materialized:
+        weights = weights.localCheckpoint(eager=True)
+    default = weights.filter(
+        F.col("bucket") == DSIR_DEFAULT_BUCKET
+    ).collect()
+    default_w = default[0]["log_weight"] if default else None
+    real = weights.filter(F.col("bucket") != DSIR_DEFAULT_BUCKET)
+    feats = _dsir_feats(docs, text_col, id_col, n_buckets, seed)
+    lw = (
+        F.coalesce(F.col("log_weight"), F.lit(default_w))
+        .cast("decimal(18,6)")
+        if default_w is not None
+        else F.col("log_weight")
+    )
+    return (
+        feats.join(F.broadcast(real), "bucket", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_features"),
+            # exact decimal sum inside; ONE final cast ships a double
+            # (house convention — see queries/common.py dsum)
+            F.sum(lw).cast("double").alias("log_importance"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "n_features", "log_importance"
+        )
+    )
+
+
 def dsir_score(
     raw: DataFrame,
     target: DataFrame,
@@ -385,109 +555,30 @@ def dsir_score(
     machinery: feed ``log_importance`` to ``splits.budget_select`` /
     ``weighted_sample`` for the deterministic pick.
 
-    Same feature space as the linear classifier
-    (:func:`hashed_features` unigrams + word bigrams through the
-    portable md5 :func:`feature_bucket` — one recipe both engines can
-    replay), same determinism contract as the LM scorers: bucket
-    counts are exact int64, each bucket's log-ratio is ONE expression
-    over exact integers rounded to 6 decimals and quantized to
-    DECIMAL(18,6), and the per-document score is an
-    order-independent exact decimal SUM (parallel partial aggregation
-    cannot perturb it).
-
-    Plan shape at scale: two bounded count aggregations (the target
-    sample is small by DSIR's construction — a quality corpus of a few
-    GB; the raw side is ONE explode+groupBy whose output is bounded by
-    ``n_buckets``, not corpus size), a weight table of ≤ ``n_buckets``
-    rows BROADCAST to the scoring join (map-only scoring), and one
-    per-document aggregation with map-side partial decimal sums. The
-    bucket cap keeps the broadcast bounded by construction — validated
-    here so an absurd ``n_buckets`` fails loudly instead of OOMing an
-    executor. Reference scope: beyond-reference (training-pipeline
-    extension; SURVEY.md §2).
+    The one-call composition of :func:`dsir_weights` (one raw-corpus
+    count pass) and :func:`dsir_score_with_weights` (one map-only
+    scoring pass over a broadcast ≤ ``n_buckets``-row table) — two
+    raw-corpus scans total. Same feature space as the linear
+    classifier (:func:`hashed_features` through the portable md5
+    :func:`feature_bucket`), same determinism contract as the LM
+    scorers (exact int64 counts, 6-rounded single-ln log-ratios
+    quantized to DECIMAL(18,6), order-independent decimal sums).
 
     Output: ``(id_col, n_features, log_importance)`` — one row per raw
     document, NULL/empty text included (the empty token is a feature,
     so no document silently vanishes from a selection pass).
+    Reference scope: beyond-reference (training-pipeline extension;
+    SURVEY.md §2).
     """
-    if not isinstance(n_buckets, int) or not 1 <= n_buckets <= (1 << 20):
-        raise ValueError(
-            f"dsir_score: n_buckets must be an int in [1, 2^20] (the "
-            f"weight table broadcasts), got {n_buckets!r}"
-        )
-
-    def feats(df: DataFrame, keep_id: bool) -> DataFrame:
-        cols = [F.col(id_col).alias("_id")] if keep_id else []
-        exploded = df.select(
-            *cols, F.explode(hashed_features(text_col)).alias("_f")
-        )
-        return exploded.select(
-            *(["_id"] if keep_id else []),
-            feature_bucket(F.col("_f"), n_buckets, seed).alias("bucket"),
-        )
-
-    # both count tables are consumed twice (total probe + weight
-    # build) and are ≤ n_buckets rows — materialize once so the raw
-    # corpus is scanned exactly TWICE overall (count pass + score
-    # pass), not re-exploded per consumer (lm.py's localCheckpoint
-    # pattern for multi-consumer bounded intermediates)
-    t_counts = (
-        feats(target, keep_id=False)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("_ct"))
-        .localCheckpoint(eager=True)
+    w = dsir_weights(
+        raw, target, text_col=text_col, n_buckets=n_buckets, seed=seed
     )
-    r_feats = feats(raw, keep_id=True)
-    r_counts = (
-        r_feats.groupBy("bucket")
-        .agg(F.count("*").alias("_cr"))
-        .localCheckpoint(eager=True)
-    )
-    t_total = t_counts.agg(F.sum("_ct")).first()[0] or 0
-    r_total = r_counts.agg(F.sum("_cr")).first()[0] or 0
-    # add-1 smoothed log-ratio per bucket. Only buckets PRESENT in the
-    # raw corpus can be touched by a raw document's features, so the
-    # weight table is r_counts left-joined with the target counts —
-    # ≤ n_buckets rows by construction (the broadcast bound).
-    # Determinism: ONE ln over one IEEE division of two IEEE products
-    # — log((ct+1)·(Tr+B) / ((cr+1)·(Tt+B))) — not a sum of four lns
-    # (mul/div are bit-exact cross-engine; each extra ln is an extra
-    # ulp risk at the round-to-6 boundary). The products run in DOUBLE
-    # because at 100 TB the int64 product overflows (Tr ~ 1e13
-    # features × counts ~ 1e13); double rounding is IEEE-identical in
-    # both engines.
-    t_tot = float((t_total or 0) + n_buckets)
-    r_tot = float((r_total or 0) + n_buckets)
-    weights = r_counts.join(t_counts, "bucket", "left").select(
-        "bucket",
-        F.round(
-            F.log(
-                (
-                    (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1)).cast(
-                        "double"
-                    )
-                    * F.lit(r_tot)
-                )
-                / (
-                    (F.col("_cr") + F.lit(1)).cast("double")
-                    * F.lit(t_tot)
-                )
-            ),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("_lw"),
-    )
-    return (
-        r_feats.join(F.broadcast(weights), "bucket")
-        .groupBy("_id")
-        .agg(
-            F.count("*").alias("n_features"),
-            # exact decimal sum inside; ONE final cast ships a double
-            # (house convention — see queries/common.py dsum)
-            F.sum("_lw").cast("double").alias("log_importance"),
-        )
-        .select(
-            F.col("_id").alias(id_col), "n_features", "log_importance"
-        )
+    return dsir_score_with_weights(
+        docs=raw,
+        weights=w,
+        text_col=text_col,
+        id_col=id_col,
+        n_buckets=n_buckets,
+        seed=seed,
+        weights_materialized=True,  # built from checkpointed counts
     )

@@ -60,13 +60,17 @@ def _accept_batch(
     url_col: str | None = None,
     domain_quota: int | None = None,
     quota_dir: str | None = None,
+    dsir_weights: DataFrame | None = None,
+    dsir_min_avg: float | None = None,
+    dsir_n_buckets: int = 1 << 18,
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code).
 
-    ``lm_model`` arrives ALREADY materialized (read + localCheckpoint
-    once before the stream starts), so no micro-batch re-reads or
-    re-checkpoints the gate model (round-7 ADVICE)."""
+    ``lm_model`` and ``dsir_weights`` arrive ALREADY materialized
+    (read + localCheckpoint once before the stream starts), so no
+    micro-batch re-reads or re-checkpoints a gate model (round-7
+    ADVICE)."""
     spark = batch.sparkSession
 
     # 1. quality gate + scrub (map-only). The optional Gopher gate
@@ -137,6 +141,27 @@ def _accept_batch(
             .select("doc_id")
         )
         gated = gated.join(lm_keep, "doc_id", "left_semi")
+    if dsir_weights is not None:
+        # DSIR domain-relevance gate (x131): a PRE-BUILT bucket weight
+        # table (train-filter --method dsir), broadcast — map-only
+        # like the other model gates. Features the weight build never
+        # saw take the table's DEFAULT row, so out-of-vocabulary
+        # micro-batch content is scored, not dropped.
+        dsir_keep = (
+            C.dsir_score_with_weights(
+                batch,
+                dsir_weights,
+                text_col=text_col,
+                n_buckets=dsir_n_buckets,
+                weights_materialized=True,
+            )
+            .filter(
+                (F.col("log_importance") / F.col("n_features").cast("double"))
+                >= F.lit(float(dsir_min_avg))
+            )
+            .select("doc_id")
+        )
+        gated = gated.join(dsir_keep, "doc_id", "left_semi")
     redacted = gated.join(
         T.pii_redact(gated, text_col).select("doc_id", "redacted"), "doc_id"
     ).drop("quality_score")
@@ -257,6 +282,9 @@ def run_streaming_ingest(
     url_col: str | None = None,
     domain_quota: int | None = None,
     quota_dir: str | None = None,
+    dsir_weights_dir: str | None = None,
+    dsir_min_avg: float | None = None,
+    dsir_n_buckets: int = 1 << 18,
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
     micro-batch per file, so files model arrival order). Appends to
@@ -272,6 +300,11 @@ def run_streaming_ingest(
     if (lm_model_dir is None) != (max_ppl is None):
         raise ValueError(
             "run_streaming_ingest: lm_model_dir and max_ppl go together"
+        )
+    if (dsir_weights_dir is None) != (dsir_min_avg is None):
+        raise ValueError(
+            "run_streaming_ingest: dsir_weights_dir and dsir_min_avg go"
+            " together"
         )
     quota_args = (url_col, domain_quota, quota_dir)
     if any(a is not None for a in quota_args) and not all(
@@ -306,6 +339,16 @@ def run_streaming_ingest(
 
         check_model_shape(lm_model.columns, lm_smoothing, "run_streaming_ingest")
         lm_model = lm_model.localCheckpoint(eager=True)
+    dsir_w = None
+    if dsir_weights_dir is not None:
+        dsir_w = spark.read.parquet(dsir_weights_dir)
+        if set(dsir_w.columns) != {"bucket", "log_weight"}:
+            raise ValueError(
+                "run_streaming_ingest: dsir_weights_dir is not a DSIR "
+                "weight table (expected columns bucket, log_weight — "
+                f"train-filter --method dsir writes it); got {dsir_w.columns}"
+            )
+        dsir_w = dsir_w.localCheckpoint(eager=True)
     schema = spark.read.parquet(source_dir).schema
     q = (
         spark.readStream.schema(schema)
@@ -332,6 +375,9 @@ def run_streaming_ingest(
                 url_col,
                 domain_quota,
                 quota_dir,
+                dsir_w,
+                dsir_min_avg,
+                dsir_n_buckets,
             )
         )
         .start()

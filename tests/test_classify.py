@@ -619,11 +619,45 @@ def test_cli_score_dsir(spark, tmp_path, capsys):
     got = {r["doc_id"]: r["keep"] for r in spark.read.parquet(out_dir).collect()}
     assert got[0] and got[1] and not got[2] and not got[3]
 
-    with _pytest.raises(SystemExit, match="requires --target"):
+    # train-filter --method dsir writes the weight table; score
+    # --model consumes it with identical results to the in-line path
+    wdir = str(tmp_path / "dsir_weights")
+    rc = main(
+        [
+            "train-filter", "--parquet", raw, "--method", "dsir",
+            "--target", target, "--n-buckets", "4096", "--output", wdir,
+        ]
+    )
+    assert rc == 0
+    assert "dsir model:" in capsys.readouterr().out
+    w = spark.read.parquet(wdir)
+    assert set(w.columns) == {"bucket", "log_weight"}
+    assert w.filter("bucket = -1").count() == 1  # neutral default row
+    out2 = str(tmp_path / "dsir_scored_model")
+    rc = main(
+        [
+            "score", "--parquet", raw, "--method", "dsir",
+            "--model", wdir, "--n-buckets", "4096",
+            "--min-avg-importance", "0.0", "--output", out2,
+        ]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    a = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
+
+    with _pytest.raises(SystemExit, match="exactly one of"):
         main(["score", "--parquet", raw, "--method", "dsir"])
+    with _pytest.raises(SystemExit, match="exactly one of"):
+        main(["score", "--parquet", raw, "--method", "dsir",
+              "--target", target, "--model", wdir])
     with _pytest.raises(SystemExit, match="--target applies"):
         main(["score", "--parquet", raw, "--method", "classifier",
               "--target", target])
     with _pytest.raises(SystemExit, match="does not apply"):
         main(["score", "--parquet", raw, "--method", "dsir",
               "--target", target, "--max-ppl", "10"])
+    with _pytest.raises(SystemExit, match="requires --target"):
+        main(["train-filter", "--parquet", raw, "--method", "dsir",
+              "--output", wdir])

@@ -684,3 +684,75 @@ def test_streaming_ingest_jm_gate(spark, tmp_path):
             max_ppl=20.0,
             lm_smoothing="jm",
         )
+
+
+def test_streaming_ingest_dsir_gate(spark, tmp_path):
+    """dsir_weights_dir + dsir_min_avg compose the x131 DSIR
+    importance gate into streaming ingest: weights pre-built from a
+    batch corpus (train-filter shape) admit on-domain docs and reject
+    off-domain ones, including docs whose features the weight build
+    NEVER saw (the default-bucket row); the weight-table schema is
+    validated loudly."""
+    import pytest as _pytest
+
+    from csvb_spark.operators.classify import dsir_weights
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    on = "physics energy momentum quantum field theory experiment result"
+    off = "pizza recipe cheese tomato basil oven crust slice"
+    # raw history: a couple of on-domain docs inside a larger varied
+    # off-domain pool (the realistic shape — target features must be
+    # RELATIVELY likelier under the target, not merely present)
+    raw_hist = spark.createDataFrame(
+        [(100 + i, on) for i in range(2)]
+        + [(200 + i, f"{off} filler{i} extra{i} words{i} here{i}")
+           for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(300 + i, on) for i in range(4)], "doc_id bigint, text string"
+    )
+    wdir = str(tmp_path / "dsir_w")
+    dsir_weights(raw_hist, target, n_buckets=4096).write.parquet(wdir)
+
+    docs = [
+        {"doc_id": 0, "text": on, "lang": "en", "source": "web"},
+        {"doc_id": 1, "text": off, "lang": "en", "source": "web"},
+        # out-of-vocabulary doc: none of these features existed when
+        # the weights were built — scored via the default bucket row
+        {"doc_id": 2, "text": "zzqx wvut unseen gibberish tokens",
+         "lang": "en", "source": "web"},
+    ]
+    src = tmp_path / "src_dsir"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), docs)
+
+    out = str(tmp_path / "corpus_dsir")
+    run_streaming_ingest(
+        spark,
+        str(src),
+        out,
+        str(tmp_path / "idx_dsir"),
+        str(tmp_path / "ckpt_dsir"),
+        min_quality=0.0,
+        dsir_weights_dir=wdir,
+        dsir_min_avg=0.2,
+        dsir_n_buckets=4096,
+    )
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 0 in got          # on-domain admitted (avg >> 0.2)
+    assert 1 not in got      # off-domain rejected (negative avg)
+    assert 2 not in got      # OOV doc: neutral default row -> avg 0 < 0.2
+
+    with _pytest.raises(ValueError, match="go together"):
+        run_streaming_ingest(
+            spark, str(src), out, str(tmp_path / "i2"),
+            str(tmp_path / "c2"), dsir_weights_dir=wdir,
+        )
+    bad = str(tmp_path / "not_weights")
+    spark.range(3).write.parquet(bad)
+    with _pytest.raises(ValueError, match="not a DSIR weight table"):
+        run_streaming_ingest(
+            spark, str(src), out, str(tmp_path / "i3"),
+            str(tmp_path / "c3"), dsir_weights_dir=bad, dsir_min_avg=0.0,
+        )
