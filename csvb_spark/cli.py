@@ -955,9 +955,9 @@ def main(argv: list[str] | None = None) -> int:
                         f"train-filter: --{flag.replace('_', '-')} applies"
                         " to --method classifier only"
                     )
-            from csvb_spark.operators.classify import dsir_weights
+            from csvb_spark.operators.classify import dsir_bucket_weights
 
-            model = dsir_weights(
+            model = dsir_bucket_weights(
                 table,
                 spark.read.parquet(args.target),
                 text_col=args.text_col,

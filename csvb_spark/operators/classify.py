@@ -400,7 +400,7 @@ def _validate_dsir_buckets(caller: str, n_buckets) -> None:
 DSIR_DEFAULT_BUCKET = -1
 
 
-def dsir_weights(
+def dsir_bucket_weights(
     raw: DataFrame,
     target: DataFrame,
     text_col: str = "text",
@@ -439,7 +439,7 @@ def dsir_weights(
     localCheckpoint once — the raw corpus is scanned exactly once
     here.
     """
-    _validate_dsir_buckets("dsir_weights", n_buckets)
+    _validate_dsir_buckets("dsir_bucket_weights", n_buckets)
     t_counts = (
         _dsir_feats(target, text_col, None, n_buckets, seed)
         .groupBy("bucket")
@@ -496,7 +496,7 @@ def dsir_score_with_weights(
     weights_materialized: bool = False,
 ) -> DataFrame:
     """Score documents against a PRE-BUILT DSIR weight table
-    (:func:`dsir_weights`, possibly persisted as parquet): map-only —
+    (:func:`dsir_bucket_weights`, possibly persisted as parquet): map-only —
     explode features, broadcast-join the bounded weight table, exact
     decimal per-document sums. Features whose bucket the weight build
     never saw take the table's DEFAULT row (``bucket = -1``), so no
@@ -555,7 +555,7 @@ def dsir_score(
     machinery: feed ``log_importance`` to ``splits.budget_select`` /
     ``weighted_sample`` for the deterministic pick.
 
-    The one-call composition of :func:`dsir_weights` (one raw-corpus
+    The one-call composition of :func:`dsir_bucket_weights` (one raw-corpus
     count pass) and :func:`dsir_score_with_weights` (one map-only
     scoring pass over a broadcast ≤ ``n_buckets``-row table) — two
     raw-corpus scans total. Same feature space as the linear
@@ -567,10 +567,15 @@ def dsir_score(
     Output: ``(id_col, n_features, log_importance)`` — one row per raw
     document, NULL/empty text included (the empty token is a feature,
     so no document silently vanishes from a selection pass).
-    Reference scope: beyond-reference (training-pipeline extension;
-    SURVEY.md §2).
+
+    Sibling: ``text.dsir_weights`` (x54) is the SAME-corpus variant —
+    target is a boolean column over the raw pool and the weight is an
+    integer-only aggregate count ratio. This family is the
+    separate-target, per-gram log-sum form with a persistable bucket
+    model (train once, score any corpus, gate a stream). Reference
+    scope: beyond-reference (training-pipeline extension; SURVEY.md §2).
     """
-    w = dsir_weights(
+    w = dsir_bucket_weights(
         raw, target, text_col=text_col, n_buckets=n_buckets, seed=seed
     )
     return dsir_score_with_weights(

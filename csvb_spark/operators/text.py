@@ -475,6 +475,12 @@ def dsir_weights(
     the same join + keyed rollup shape as ``bigram_familiarity``.
     Linear in corpus size, no all-pairs anywhere; grams travel as
     fixed-width hashes (``wide_gram_keys`` for >2^32 distinct grams).
+
+    Sibling: ``classify.dsir_bucket_weights`` /
+    ``classify.dsir_score`` (x131) is the separate-target, per-gram
+    log-sum form of the same paper with a PERSISTABLE bucket model
+    (train-filter/score CLI pair, streaming gate); this variant stays
+    integer-only for a one-shot same-corpus resampling pass.
     Reference scope: beyond-reference (training-pipeline extension).
     """
     t = tokens(text_col)

@@ -695,7 +695,7 @@ def test_streaming_ingest_dsir_gate(spark, tmp_path):
     validated loudly."""
     import pytest as _pytest
 
-    from csvb_spark.operators.classify import dsir_weights
+    from csvb_spark.operators.classify import dsir_bucket_weights
     from csvb_spark.streaming.ingest import run_streaming_ingest
 
     on = "physics energy momentum quantum field theory experiment result"
@@ -713,7 +713,7 @@ def test_streaming_ingest_dsir_gate(spark, tmp_path):
         [(300 + i, on) for i in range(4)], "doc_id bigint, text string"
     )
     wdir = str(tmp_path / "dsir_w")
-    dsir_weights(raw_hist, target, n_buckets=4096).write.parquet(wdir)
+    dsir_bucket_weights(raw_hist, target, n_buckets=4096).write.parquet(wdir)
 
     docs = [
         {"doc_id": 0, "text": on, "lang": "en", "source": "web"},
