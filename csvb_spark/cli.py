@@ -392,7 +392,13 @@ def build_parser() -> argparse.ArgumentParser:
     pq.add_argument("--text-col", default="text")
     pq.add_argument("--id-col", default="doc_id")
     pq.add_argument("--threshold", type=float, default=0.0)
-    pq.add_argument("--n-buckets", type=int, default=1 << 18)
+    pq.add_argument(
+        "--n-buckets",
+        type=int,
+        default=None,
+        help="feature-hash bucket count (default 2^18; a dsir --model "
+        "table carries its own and wins)",
+    )
     pq.add_argument(
         "--max-ppl",
         type=float,
@@ -1043,20 +1049,23 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             if args.model:
-                scored = dsir_score_with_weights(
-                    table,
-                    spark.read.parquet(args.model),
-                    text_col=args.text_col,
-                    id_col=args.id_col,
-                    n_buckets=args.n_buckets,
-                )
+                try:
+                    scored = dsir_score_with_weights(
+                        table,
+                        spark.read.parquet(args.model),
+                        text_col=args.text_col,
+                        id_col=args.id_col,
+                        n_buckets=args.n_buckets,  # None -> table wins
+                    )
+                except ValueError as ex:
+                    raise SystemExit(f"score: {ex}") from None
             else:
                 scored = dsir_score(
                     table,
                     spark.read.parquet(args.target),
                     text_col=args.text_col,
                     id_col=args.id_col,
-                    n_buckets=args.n_buckets,
+                    n_buckets=args.n_buckets or (1 << 18),
                 )
             keep = (
                 (
@@ -1084,7 +1093,7 @@ def main(argv: list[str] | None = None) -> int:
                 table,
                 text_col=args.text_col,
                 id_col=args.id_col,
-                n_buckets=args.n_buckets,
+                n_buckets=args.n_buckets or (1 << 18),
                 weights=weights,
                 threshold=args.threshold,
             )

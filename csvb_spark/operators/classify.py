@@ -418,18 +418,24 @@ def dsir_bucket_weights(
     because at 100 TB the int64 product overflows (Tr ~ 1e13 features
     × counts ~ 1e13); double rounding is IEEE-identical everywhere.
 
-    Output: ``(bucket, log_weight DECIMAL(18,6))`` — one row per
-    bucket present in the raw corpus (≤ ``n_buckets`` rows, the
-    broadcast bound) plus one DEFAULT row
-    (``bucket = DSIR_DEFAULT_BUCKET``) with weight 0 for features the
-    weight build never saw, so a persisted table scores corpora it was
-    not built from (the streaming case). Unseen buckets are NEUTRAL by
-    design, not the add-1 estimate: that estimate degenerates to the
-    constant corpus-size ratio ``ln((Tr+B)/(Tt+B))``, which scores
-    pure gibberish above every real document whenever the raw corpus
-    outweighs the target (it always does) — an unseen feature carries
-    no domain evidence either way. Persist with ``.write.parquet`` and
-    score later via :func:`dsir_score_with_weights` (the
+    Output: ``(bucket, log_weight DECIMAL(18,6), n_buckets, seed)`` —
+    one row per bucket present in EITHER corpus (full outer join of
+    the two count tables, ≤ ``n_buckets`` rows, the broadcast bound;
+    target-only buckets carry their strongly POSITIVE add-1 weight —
+    they are maximal domain evidence, not unseen) plus one DEFAULT row
+    (``bucket = DSIR_DEFAULT_BUCKET``) with weight 0 for features
+    absent from BOTH corpora at build time, so a persisted table
+    scores corpora it was not built from (the streaming case). Truly
+    unseen buckets are NEUTRAL by design, not the add-1 estimate: that
+    estimate degenerates to the constant corpus-size ratio
+    ``ln((Tr+B)/(Tt+B))``, which scores pure gibberish above every
+    real document whenever the raw corpus outweighs the target (it
+    always does) — a never-seen feature carries no domain evidence
+    either way. The constant ``n_buckets``/``seed`` columns make the
+    table SELF-DESCRIBING (they RLE-compress to nothing in parquet):
+    :func:`dsir_score_with_weights` hashes with the table's own
+    parameters, so a train/score bucket-count mismatch cannot silently
+    corrupt scores. Persist with ``.write.parquet`` (the
     ``train-filter --method dsir`` / ``score --model`` CLI pair).
 
     Plan shape: the target sample is small by DSIR's construction (a
@@ -475,15 +481,40 @@ def dsir_bucket_weights(
         F.lit(0).cast("decimal(18,6)").alias("log_weight"),
     )
     return (
-        r_counts.join(t_counts, "bucket", "left")
+        r_counts.join(t_counts, "bucket", "full")
         .select(
             F.col("bucket").cast("bigint").alias("bucket"),
             log_ratio(
-                F.coalesce(F.col("_ct"), F.lit(0)), F.col("_cr")
+                F.coalesce(F.col("_ct"), F.lit(0)),
+                F.coalesce(F.col("_cr"), F.lit(0)),
             ).alias("log_weight"),
         )
         .unionByName(default_row)
+        .select(
+            "bucket",
+            "log_weight",
+            F.lit(n_buckets).alias("n_buckets"),
+            F.lit(seed).alias("seed"),
+        )
     )
+
+
+def dsir_table_params(weights: DataFrame) -> tuple[int, int] | None:
+    """Validate a DSIR weight table's schema (loud ValueError — both
+    the CLI and the streaming gate route through this) and return its
+    self-described ``(n_buckets, seed)``, or None for a legacy table
+    without the metadata columns."""
+    cols = set(weights.columns)
+    if not {"bucket", "log_weight"} <= cols:
+        raise ValueError(
+            "not a DSIR weight table (expected columns bucket, "
+            "log_weight — dsir_bucket_weights / train-filter --method "
+            f"dsir writes it); got {sorted(cols)}"
+        )
+    if {"n_buckets", "seed"} <= cols:
+        row = weights.select("n_buckets", "seed").first()
+        return int(row["n_buckets"]), int(row["seed"])
+    return None
 
 
 def dsir_score_with_weights(
@@ -491,43 +522,72 @@ def dsir_score_with_weights(
     weights: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_buckets: int = 1 << 18,
-    seed: int = 7,
+    n_buckets: int | None = None,
+    seed: int | None = None,
     weights_materialized: bool = False,
 ) -> DataFrame:
     """Score documents against a PRE-BUILT DSIR weight table
-    (:func:`dsir_bucket_weights`, possibly persisted as parquet): map-only —
-    explode features, broadcast-join the bounded weight table, exact
-    decimal per-document sums. Features whose bucket the weight build
-    never saw take the table's DEFAULT row (``bucket = -1``), so no
-    document is dropped or mis-summed when scoring a corpus the
-    weights were not built from (the streaming gate case).
+    (:func:`dsir_bucket_weights`, possibly persisted as parquet):
+    map-only — explode features, broadcast-join the bounded weight
+    table, exact decimal per-document sums. Hash parameters come from
+    the table's own metadata columns (``n_buckets``/``seed`` override
+    them only for legacy tables without metadata — a mismatched
+    explicit value raises, because re-hashing with a different bucket
+    count scores every document against garbage). Features whose
+    bucket the table does not carry take the DEFAULT row's neutral
+    weight via a 1-row broadcast cross join — no driver collect, so a
+    streaming gate can call this per micro-batch without a per-batch
+    job.
 
     Output: ``(id_col, n_features, log_importance DOUBLE)``.
     """
+    meta = dsir_table_params(weights)
+    if meta is not None:
+        tb, ts = meta
+        if n_buckets is not None and n_buckets != tb:
+            raise ValueError(
+                f"dsir_score_with_weights: n_buckets={n_buckets} "
+                f"contradicts the weight table's own n_buckets={tb}"
+            )
+        if seed is not None and seed != ts:
+            raise ValueError(
+                f"dsir_score_with_weights: seed={seed} contradicts "
+                f"the weight table's own seed={ts}"
+            )
+        n_buckets, seed = tb, ts
+    else:
+        n_buckets = 1 << 18 if n_buckets is None else n_buckets
+        seed = 7 if seed is None else seed
     _validate_dsir_buckets("dsir_score_with_weights", n_buckets)
     if not weights_materialized:
         weights = weights.localCheckpoint(eager=True)
+    real = weights.filter(F.col("bucket") != DSIR_DEFAULT_BUCKET).select(
+        "bucket", "log_weight"
+    )
+    # the aggregate is EXACTLY one row even if the table has no
+    # default (max of empty = NULL; the final coalesce leg covers it),
+    # so the cross join below can never annihilate the batch
     default = weights.filter(
         F.col("bucket") == DSIR_DEFAULT_BUCKET
-    ).collect()
-    default_w = default[0]["log_weight"] if default else None
-    real = weights.filter(F.col("bucket") != DSIR_DEFAULT_BUCKET)
+    ).agg(F.max("log_weight").alias("_default_lw"))
     feats = _dsir_feats(docs, text_col, id_col, n_buckets, seed)
-    lw = (
-        F.coalesce(F.col("log_weight"), F.lit(default_w))
-        .cast("decimal(18,6)")
-        if default_w is not None
-        else F.col("log_weight")
-    )
     return (
         feats.join(F.broadcast(real), "bucket", "left")
+        .join(F.broadcast(default))  # 1-row cross join: the fallback
         .groupBy("_id")
         .agg(
             F.count("*").alias("n_features"),
             # exact decimal sum inside; ONE final cast ships a double
             # (house convention — see queries/common.py dsum)
-            F.sum(lw).cast("double").alias("log_importance"),
+            F.sum(
+                F.coalesce(
+                    F.col("log_weight"),
+                    F.col("_default_lw"),
+                    F.lit(0).cast("decimal(18,6)"),
+                )
+            )
+            .cast("double")
+            .alias("log_importance"),
         )
         .select(
             F.col("_id").alias(id_col), "n_features", "log_importance"

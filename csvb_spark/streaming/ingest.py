@@ -63,6 +63,7 @@ def _accept_batch(
     dsir_weights: DataFrame | None = None,
     dsir_min_avg: float | None = None,
     dsir_n_buckets: int = 1 << 18,
+    dsir_seed: int = 7,
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code).
@@ -153,6 +154,7 @@ def _accept_batch(
                 dsir_weights,
                 text_col=text_col,
                 n_buckets=dsir_n_buckets,
+                seed=dsir_seed,
                 weights_materialized=True,
             )
             .filter(
@@ -342,13 +344,20 @@ def run_streaming_ingest(
     dsir_w = None
     if dsir_weights_dir is not None:
         dsir_w = spark.read.parquet(dsir_weights_dir)
-        if set(dsir_w.columns) != {"bucket", "log_weight"}:
-            raise ValueError(
-                "run_streaming_ingest: dsir_weights_dir is not a DSIR "
-                "weight table (expected columns bucket, log_weight — "
-                f"train-filter --method dsir writes it); got {dsir_w.columns}"
-            )
-        dsir_w = dsir_w.localCheckpoint(eager=True)
+        try:
+            meta = C.dsir_table_params(dsir_w)  # loud schema check
+        except ValueError as e:
+            raise ValueError(f"run_streaming_ingest: {e}") from None
+        if meta is not None:
+            # resolve the hash params ONCE and strip the metadata
+            # columns, so per-micro-batch scoring never runs a
+            # driver-side probe job against the table
+            dsir_n_buckets, _dsir_seed = meta
+        else:
+            _dsir_seed = 7
+        dsir_w = dsir_w.select("bucket", "log_weight").localCheckpoint(
+            eager=True
+        )
     schema = spark.read.parquet(source_dir).schema
     q = (
         spark.readStream.schema(schema)
@@ -378,6 +387,7 @@ def run_streaming_ingest(
                 dsir_w,
                 dsir_min_avg,
                 dsir_n_buckets,
+                _dsir_seed if dsir_weights_dir is not None else 7,
             )
         )
         .start()

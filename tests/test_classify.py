@@ -631,8 +631,10 @@ def test_cli_score_dsir(spark, tmp_path, capsys):
     assert rc == 0
     assert "dsir model:" in capsys.readouterr().out
     w = spark.read.parquet(wdir)
-    assert set(w.columns) == {"bucket", "log_weight"}
+    # self-describing: hash params travel with the table
+    assert set(w.columns) == {"bucket", "log_weight", "n_buckets", "seed"}
     assert w.filter("bucket = -1").count() == 1  # neutral default row
+    assert w.select("n_buckets").first()[0] == 4096
     out2 = str(tmp_path / "dsir_scored_model")
     rc = main(
         [
@@ -661,3 +663,53 @@ def test_cli_score_dsir(spark, tmp_path, capsys):
     with _pytest.raises(SystemExit, match="requires --target"):
         main(["train-filter", "--parquet", raw, "--method", "dsir",
               "--output", wdir])
+    # a train/score bucket mismatch is LOUD, never silent garbage
+    with _pytest.raises(SystemExit, match="contradicts"):
+        main(["score", "--parquet", raw, "--method", "dsir",
+              "--model", wdir, "--n-buckets", "8192"])
+    # pointing --model at a non-DSIR table is the same loud error
+    # both surfaces raise (streaming validates identically)
+    notw = str(tmp_path / "not_a_weight_table")
+    spark.range(3).write.parquet(notw)
+    with _pytest.raises(SystemExit, match="not a DSIR weight table"):
+        main(["score", "--parquet", raw, "--method", "dsir",
+              "--model", notw])
+
+
+def test_dsir_target_only_buckets_carry_positive_weight(spark):
+    """Review finding: the weight table must include buckets seen ONLY
+    in the target corpus (full outer join) — they are maximal domain
+    evidence, and a persisted model scoring new data must reward them,
+    not fall through to the neutral default."""
+    from csvb_spark.operators.classify import (
+        dsir_bucket_weights,
+        dsir_score_with_weights,
+    )
+
+    raw = spark.createDataFrame(
+        [(i, f"common{i % 3} filler{i} words{i}") for i in range(9)],
+        "doc_id bigint, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, "renormalization lagrangian renormalization")],
+        "doc_id bigint, text string",
+    )
+    w = dsir_bucket_weights(raw, target, n_buckets=2048)
+    # score a NEW doc made purely of target-only vocabulary: its avg
+    # importance must beat both an off-domain doc and a truly-unseen
+    # gibberish doc (which takes the neutral default row)
+    probe = spark.createDataFrame(
+        [
+            (0, "renormalization lagrangian"),
+            (1, "common0 filler1 words2"),
+            (2, "zzqx wvut totally unseen"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["log_importance"] / r["n_features"]
+        for r in dsir_score_with_weights(probe, w).collect()
+    }
+    assert got[0] > 0 > got[1]
+    assert got[2] == 0.0  # neutral default
+    assert got[0] > got[2] > got[1]
