@@ -374,9 +374,15 @@ def _dsir_feats(
 ) -> DataFrame:
     """Explode a corpus into hashed feature buckets (optionally
     carrying the doc id) — the shared front half of DSIR's weight
-    build and scoring passes."""
+    build and scoring passes. The md5 bucket hash is interpreted
+    per-feature work, so the explode must not inherit a single-file
+    scan's one-partition layout (``dedup.spread`` — a planning-only
+    no-op at real scale, where the scan already has more partitions
+    than cores; measured 6 s → 1.4 s on the sf0.1 count pass)."""
+    from csvb_spark.operators.dedup import spread
+
     cols = [F.col(id_col).alias("_id")] if id_col else []
-    exploded = df.select(
+    exploded = spread(df).select(
         *cols, F.explode(hashed_features(text_col)).alias("_f")
     )
     return exploded.select(
@@ -645,5 +651,9 @@ def dsir_score(
         id_col=id_col,
         n_buckets=n_buckets,
         seed=seed,
-        weights_materialized=True,  # built from checkpointed counts
+        # let the scorer checkpoint the ≤ n_buckets-row weight table:
+        # it is consumed twice (real rows + default row), and an
+        # unmaterialized plan would run the full-outer weight build
+        # once per consumer inside the scoring query
+        weights_materialized=False,
     )
