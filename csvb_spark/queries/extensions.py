@@ -4756,7 +4756,13 @@ _P_ALIASES: dict[str, str] = {
     "p29_containment": "x97_containment_pairs",
     "p30_domain_quota": "x100_domain_quota",
     "p31_length_batches": "x101_length_batches",
-    "p32_source_overlap": "x102_source_overlap",
+    # p32 re-pointed in round 10: x102 source overlap is the
+    # provenance-level aggregation of x97's containment pairs, which
+    # already holds gate row p29 — the slot now grades the round's new
+    # selection family instead (DSIR importance weights, the
+    # train/score/stream pretraining-data selection signal; x102 stays
+    # pytest-oracled like every demotee)
+    "p32_dsir_importance": "x131_dsir_importance",
     # p34/p35 re-pointed in round 10: x98 novelty / x99 calibration
     # were both classifier-adjacent to p19/p28 while the five scalar
     # function families and the window frame/lag-lead/distribution
