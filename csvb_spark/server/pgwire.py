@@ -486,7 +486,7 @@ _COPY_CSV_EOF = object()
 def _copy_csv_rows(
     text: str, delim: str, mark_eof: bool = False
 ) -> list:
-    """Minimal RFC-4180 parser that PRESERVES the quoted/unquoted
+    r"""Minimal RFC-4180 parser that PRESERVES the quoted/unquoted
     distinction (stdlib csv cannot): an unquoted empty cell is NULL,
     a quoted one is the empty string — the inverse of the OUT side's
     force-quoting. With ``mark_eof`` the postgres end-of-data marker

@@ -283,3 +283,91 @@ def test_luhn_scan_matches_python_reference(spark, chunks) -> None:
     assert row["n_valid"] == len(valid)
     got = row["valid_cards"].split(",") if row["valid_cards"] else []
     assert got == valid
+
+
+# --- pgwire COPY text/CSV codec round trip --------------------------------------
+
+# cells a COPY stream can carry: embedded delimiters, backslash runs,
+# newlines, CRs, quotes, NULs, unicode — plus None for SQL NULL
+_copy_cell = st.one_of(
+    st.none(),
+    st.text(
+        alphabet=st.sampled_from(
+            list("ab|\\\n\r\t\"',.0 é\x00")
+        ),
+        min_size=0,
+        max_size=12,
+    ),
+)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_copy_cell, _copy_cell, _copy_cell), min_size=0, max_size=8
+    ),
+    delim=st.sampled_from(["|", ",", ";", "\t"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_copy_text_codec_round_trips(rows, delim) -> None:
+    """COPY text format: serialize with the OUT-side escapers, parse
+    with the IN-side escape-aware split + unescape — every cell
+    (NULLs, delimiters, backslash runs, control chars) must survive
+    exactly. This is the codec the round-9 verdict caught corrupting
+    data (non-escape-aware split)."""
+    from csvb_spark.server.pgwire import (
+        _copy_text_cell,
+        _copy_text_split,
+        _copy_text_unescape,
+    )
+
+    if delim == "\t":
+        d = b"\t"
+    else:
+        d = delim.encode()
+    payload = b"".join(
+        d.join(
+            b"\\N" if c is None else _copy_text_cell(c.encode(), d)
+            for c in row
+        )
+        + b"\n"
+        for row in rows
+    )
+    # parse the way _run_copy_in's text branch does
+    lines = payload.split(b"\n")
+    assert lines[-1] == b""
+    got = [
+        tuple(_copy_text_unescape(c) for c in _copy_text_split(line, d))
+        for line in lines[:-1]
+    ]
+    assert got == [tuple(row) for row in rows]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(_copy_cell, _copy_cell), min_size=0, max_size=8
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_copy_csv_codec_round_trips(rows) -> None:
+    """COPY CSV format: force-quoted empty string vs unquoted NULL,
+    embedded quotes/newlines/delimiters — byte-for-byte round trip
+    through the OUT-side quoting and the IN-side quote-preserving
+    parser (including cells that LOOK like the \\. end marker)."""
+    from csvb_spark.server.pgwire import (
+        _COPY_CSV_EOF,
+        _copy_csv_cell,
+        _copy_csv_rows,
+    )
+
+    d = b","
+    payload = b"".join(
+        d.join(
+            b"" if c is None else _copy_csv_cell(c.encode(), d)
+            for c in row
+        )
+        + b"\n"
+        for row in rows
+    )
+    parsed = _copy_csv_rows(payload.decode(), ",", mark_eof=True)
+    assert _COPY_CSV_EOF not in parsed  # quoting prevents false EOF
+    assert [tuple(r) for r in parsed] == [tuple(row) for row in rows]
