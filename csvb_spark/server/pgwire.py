@@ -581,7 +581,13 @@ def _parse_copy_options(opts: str | None) -> tuple[str, bool, bytes]:
                 if fmt not in ("text", "csv", "binary"):
                     raise ValueError(f"COPY format {val!r} not supported")
             elif key == "HEADER":
-                header = val.upper() in ("", "TRUE", "ON", "1")
+                # postgres 15 HEADER MATCH: the first row must equal
+                # the column-name list (COPY FROM CSV only)
+                header = (
+                    "match"
+                    if val.upper() == "MATCH"
+                    else val.upper() in ("", "TRUE", "ON", "1")
+                )
             elif key == "DELIMITER":
                 if not (len(val) >= 3 and val[0] == val[-1] == "'"):
                     raise ValueError("DELIMITER expects a quoted character")
@@ -601,6 +607,8 @@ def _parse_copy_options(opts: str | None) -> tuple[str, bool, bytes]:
                 raise ValueError(f"COPY option {key} not supported")
     if fmt == "binary" and header:
         raise ValueError("COPY HEADER not allowed in BINARY format")
+    if header == "match" and fmt != "csv":
+        raise ValueError("COPY HEADER MATCH requires FORMAT CSV")
     if fmt == "binary" and delim is not None:
         raise ValueError("COPY DELIMITER not allowed in BINARY format")
     if delim is None:
@@ -1237,6 +1245,10 @@ class _Conn:
             fmt, header, delim = _parse_copy_options(m.group("opts"))
             if header and fmt == "text":
                 raise ValueError("COPY HEADER requires FORMAT CSV")
+            if header == "match":
+                raise ValueError(
+                    "COPY HEADER MATCH applies to COPY FROM only"
+                )
             inner = m.group("q") or f"SELECT * FROM {m.group('tbl')}"
             df = execute_sql(self.spark, inner)
             cols = df.columns
@@ -1417,7 +1429,11 @@ class _Conn:
         st = {
             "pending": [], "pending_bytes": 0, "rows": 0,
             "staging": None, "eof": False,
-            "skip_header": bool(header and fmt == "csv"),
+            "skip_header": (
+                "match"
+                if (header == "match" and fmt == "csv")
+                else bool(header and fmt == "csv")
+            ),
             "csv_parity": False, "scanned": 0, "bin_hdr": False,
         }
 
@@ -1446,6 +1462,12 @@ class _Conn:
 
         def _add_row(r: list) -> None:
             if st["skip_header"]:
+                if st["skip_header"] == "match" and list(r) != cols:
+                    raise ValueError(
+                        "COPY: HEADER MATCH failed — file header "
+                        f"{r!r} does not match column(s) "
+                        f"{', '.join(cols)}"
+                    )
                 st["skip_header"] = False
                 return
             if len(r) != len(cols):

@@ -2140,3 +2140,48 @@ def test_copy_extended_tolerates_trailing_semicolon(conn):
     msgs = _read_until_ready(sock, buf)
     assert (b"C", b"COPY 1\x00") in msgs
     _simple_query(sock, buf, "DROP TABLE copy_semi")
+
+
+def test_copy_from_header_match(conn):
+    """HEADER MATCH (postgres 15): the file's header row must equal
+    the COPY column list — matching headers ingest, mismatched ones
+    error cleanly after the stream drains, and MATCH is rejected for
+    COPY TO and non-CSV formats."""
+    sock, buf = conn
+    _simple_query(sock, buf, "DROP TABLE IF EXISTS copy_hm")
+    _simple_query(
+        sock, buf, "CREATE TABLE copy_hm (a INT, b STRING) USING parquet"
+    )
+    msgs = _copy_in(
+        sock, buf,
+        "COPY copy_hm FROM STDIN WITH (FORMAT CSV, HEADER MATCH)",
+        b"a,b\n1,x\n2,y\n",
+    )
+    assert (b"C", b"COPY 2\x00") in msgs
+    msgs = _copy_in(
+        sock, buf,
+        "COPY copy_hm FROM STDIN WITH (FORMAT CSV, HEADER MATCH)",
+        b"a,WRONG\n3,z\n",
+    )
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"HEADER MATCH failed" in errs[0]
+    # column-subset form matches against the listed columns
+    msgs = _copy_in(
+        sock, buf,
+        "COPY copy_hm (b) FROM STDIN WITH (FORMAT CSV, HEADER MATCH)",
+        b"b\nonly-b\n",
+    )
+    assert (b"C", b"COPY 1\x00") in msgs
+    rows = _data_rows(
+        _simple_query(sock, buf, "SELECT count(*) AS n FROM copy_hm")
+    )
+    assert rows == [[b"3"]]
+    for bad, frag in (
+        ("COPY copy_hm TO STDOUT WITH (FORMAT CSV, HEADER MATCH)",
+         b"COPY FROM only"),
+        ("COPY copy_hm FROM STDIN WITH (HEADER MATCH)", b"FORMAT CSV"),
+    ):
+        msgs = _simple_query(sock, buf, bad)
+        errs = [p for t, p in msgs if t == b"E"]
+        assert errs and frag in errs[0], (bad, errs)
+    _simple_query(sock, buf, "DROP TABLE copy_hm")
