@@ -180,6 +180,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="persisted per-domain count table (append; the quota's "
         "cross-batch state)",
     )
+    pi.add_argument(
+        "--dsir-weights",
+        default=None,
+        help="DSIR weight table dir (train-filter --method dsir) for "
+        "the domain-relevance gate (use with --dsir-min-avg)",
+    )
+    pi.add_argument(
+        "--dsir-min-avg",
+        type=float,
+        default=None,
+        help="DSIR gate: keep documents whose per-feature importance "
+        "(log_importance / n_features) is >= this",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -685,6 +698,8 @@ def main(argv: list[str] | None = None) -> int:
             url_col=args.url_col,
             domain_quota=args.domain_quota,
             quota_dir=args.quota_dir,
+            dsir_weights_dir=args.dsir_weights,
+            dsir_min_avg=args.dsir_min_avg,
         )
         return 0
 

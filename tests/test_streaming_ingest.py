@@ -749,6 +749,25 @@ def test_streaming_ingest_dsir_gate(spark, tmp_path):
             spark, str(src), out, str(tmp_path / "i2"),
             str(tmp_path / "c2"), dsir_weights_dir=wdir,
         )
+
+    # the `ingest` CLI wires the same gate
+    from csvb_spark.cli import main
+
+    out_cli = str(tmp_path / "corpus_dsir_cli")
+    rc = main(
+        [
+            "ingest", "--source", str(src), "--corpus", out_cli,
+            "--index", str(tmp_path / "idx_cli"),
+            "--checkpoint", str(tmp_path / "ckpt_cli"),
+            "--min-quality", "0.0",
+            "--dsir-weights", wdir, "--dsir-min-avg", "0.2",
+        ]
+    )
+    assert rc == 0
+    got_cli = {
+        r.doc_id for r in spark.read.parquet(out_cli).select("doc_id").collect()
+    }
+    assert got_cli == got
     bad = str(tmp_path / "not_weights")
     spark.range(3).write.parquet(bad)
     with _pytest.raises(ValueError, match="not a DSIR weight table"):
