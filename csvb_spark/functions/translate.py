@@ -221,9 +221,25 @@ def _chrono_to_java(fmt: str) -> str:
     """Translate one chrono strftime format string to the equivalent
     java.time DateTimeFormatter pattern. Literal runs containing
     letters are single-quoted (every ASCII letter is reserved in
-    java.time patterns); unsupported specifiers raise ValueError."""
+    java.time patterns); unsupported specifiers raise ValueError.
+    Two ADJACENT specifiers whose java fields share a letter
+    (``%Y%Y`` → ``yyyyyyyy``) would merge into one wider field and
+    render differently — java patterns have no zero-width separator,
+    so that corner raises instead of silently diverging (found by the
+    cross-engine hypothesis fuzz)."""
     out: list[str] = []
     lit: list[str] = []
+
+    def emit(frag: str) -> None:
+        if out and not lit and out[-1] and frag:
+            last, first = out[-1][-1], frag[0]
+            if last == first and last.isalpha() and out[-1][-1] != "'":
+                raise ValueError(
+                    f"chrono format {fmt!r}: adjacent specifiers map to "
+                    f"java fields that would merge ({out[-1]!r} + "
+                    f"{frag!r}) — separate them with literal text"
+                )
+        out.append(frag)
 
     def flush() -> None:
         if lit:
@@ -265,7 +281,7 @@ def _chrono_to_java(fmt: str) -> str:
                 )
             flush()
             base = fmt[i + 2]
-            out.append(
+            emit(
                 _CHRONO_UNPADDED[base] if nxt == "-" else _CHRONO_MAP[base]
             )
             i += 3
@@ -282,7 +298,7 @@ def _chrono_to_java(fmt: str) -> str:
                 "Spark DateTimeFormatter equivalent"
             )
         flush()
-        out.append(_CHRONO_MAP[key])
+        emit(_CHRONO_MAP[key])
         i += 1 + len(key)
     flush()
     return "".join(out)

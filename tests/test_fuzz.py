@@ -371,3 +371,62 @@ def test_copy_csv_codec_round_trips(rows) -> None:
     parsed = _copy_csv_rows(payload.decode(), ",", mark_eof=True)
     assert _COPY_CSV_EOF not in parsed  # quoting prevents false EOF
     assert [tuple(r) for r in parsed] == [tuple(row) for row in rows]
+
+
+# --- chrono → java.time translation vs DuckDB strftime ---------------------------
+
+# specifiers BOTH engines support (chrono composites like %F/%R and
+# %k/%l/%q translate fine but DuckDB's strftime lacks them; %e/%Z are
+# documented divergences) — plus literal separators incl. letters
+# (which the translator must single-quote) and the %% escape
+_CHRONO_SPEC = st.sampled_from(
+    ["%Y", "%y", "%m", "%d", "%H", "%I", "%M", "%S", "%a", "%A",
+     "%b", "%B", "%p", "%j", "%-d", "%-m", "%-H", "%-I", "%-M",
+     "%-S", "%-j", "%%"]
+)
+_CHRONO_LIT = st.sampled_from(
+    [" ", "-", "/", ":", ".", ", ", "T", "at ", "week", "x"]
+)
+_chrono_fmt = st.lists(
+    st.one_of(_CHRONO_SPEC, _CHRONO_LIT), min_size=1, max_size=8
+).map("".join)
+
+_PROBE_TS = [
+    "2024-03-05 14:30:45",
+    "2023-12-31 00:00:07",
+    "2024-01-01 23:59:59",
+    "2020-02-29 09:05:03",
+]
+
+
+@given(fmt=_chrono_fmt)
+@settings(max_examples=120, deadline=None)
+def test_chrono_translation_matches_duckdb_strftime(spark, fmt) -> None:
+    """For any format built from the mutually supported chrono
+    specifiers and literal runs, Spark's date_format over the
+    TRANSLATED pattern must render byte-identically to DuckDB's
+    native chrono strftime — the property the x130 oracle checks for
+    one fixed format, generalized."""
+    import duckdb
+    from hypothesis import assume
+
+    from csvb_spark.functions.translate import _chrono_to_java
+
+    try:
+        java = _chrono_to_java(fmt)
+    except ValueError:
+        # adjacent same-letter fields are a LOUD refusal by design
+        # (they would merge into one wider java field) — not this
+        # property's subject
+        assume(False)
+    con = duckdb.connect()
+    exprs = ", ".join(
+        f"date_format(TIMESTAMP '{ts}', '{java.replace(chr(39), chr(39) * 2)}') AS v{i}"
+        for i, ts in enumerate(_PROBE_TS)
+    )
+    got = spark.sql(f"SELECT {exprs}").first()
+    for i, ts in enumerate(_PROBE_TS):
+        want = con.execute(
+            "SELECT strftime(CAST(? AS TIMESTAMP), ?)", [ts, fmt]
+        ).fetchone()[0]
+        assert got[f"v{i}"] == want, (fmt, java, ts)
