@@ -2185,3 +2185,66 @@ def test_copy_from_header_match(conn):
         errs = [p for t, p in msgs if t == b"E"]
         assert errs and frag in errs[0], (bad, errs)
     _simple_query(sock, buf, "DROP TABLE copy_hm")
+
+
+def test_concurrent_copy_from_sessions(pg_server):
+    """Two connections COPY FROM simultaneously into different tables:
+    per-COPY staging dirs (uuid-named under the warehouse) must not
+    collide and both ingests land exactly — the multi-client shape a
+    shared server actually sees."""
+    import csvb_spark.server.pgwire as pgwire_mod
+    import threading
+
+    def connect():
+        s = socket.create_connection(("127.0.0.1", pg_server.port), timeout=60)
+        b = bytearray()
+        _startup(s)
+        _read_until_ready(s, b)
+        return s, b
+
+    sock0, buf0 = connect()
+    for t in ("copy_cc_a", "copy_cc_b"):
+        _simple_query(sock0, buf0, f"DROP TABLE IF EXISTS {t}")
+        _simple_query(
+            sock0, buf0, f"CREATE TABLE {t} (i INT) USING parquet"
+        )
+    results = {}
+
+    def worker(tbl: str, lo: int, n: int) -> None:
+        s, b = connect()
+        try:
+            payload = b"".join(f"{lo + i}\n".encode() for i in range(n))
+            msgs = _copy_in(s, b, f"COPY {tbl} FROM STDIN", payload)
+            results[tbl] = [p for t_, p in msgs if t_ == b"C"]
+        finally:
+            s.close()
+
+    # small staging bound so BOTH workers exercise the staged path
+    orig = pgwire_mod._COPY_IN_CHUNK_BYTES
+    pgwire_mod._COPY_IN_CHUNK_BYTES = 2048
+    try:
+        threads = [
+            threading.Thread(target=worker, args=("copy_cc_a", 0, 800)),
+            threading.Thread(target=worker, args=("copy_cc_b", 10_000, 900)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        pgwire_mod._COPY_IN_CHUNK_BYTES = orig
+    assert results["copy_cc_a"] == [b"COPY 800\x00"]
+    assert results["copy_cc_b"] == [b"COPY 900\x00"]
+    rows = _data_rows(
+        _simple_query(
+            sock0, buf0,
+            "SELECT (SELECT count(*) FROM copy_cc_a) AS na, "
+            "(SELECT sum(i) FROM copy_cc_a) AS sa, "
+            "(SELECT count(*) FROM copy_cc_b) AS nb, "
+            "(SELECT min(i) FROM copy_cc_b) AS mb",
+        )
+    )
+    assert rows == [[b"800", str(sum(range(800))).encode(), b"900", b"10000"]]
+    for t in ("copy_cc_a", "copy_cc_b"):
+        _simple_query(sock0, buf0, f"DROP TABLE {t}")
+    sock0.close()
