@@ -958,24 +958,29 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         _register_direct(spark, args)
         table = spark.table(args.table_name)
+        # flags that belong to exactly one method must not be
+        # silently discarded by the others (one shared rejection)
         if args.method != "dsir" and args.target is not None:
             raise SystemExit(
                 "train-filter: --target applies to --method dsir only"
             )
-        if args.method == "dsir":
-            if not args.target:
-                raise SystemExit("train-filter --method dsir requires --target")
-            if args.ngram is not None:
-                raise SystemExit(
-                    "train-filter: --ngram applies to --method lm only"
-                )
-            for flag, default in (("label_col", "label"), ("steps", 2),
-                                  ("lr", 4000)):
+        if args.method != "lm" and args.ngram is not None:
+            raise SystemExit(
+                "train-filter: --ngram applies to --method lm only"
+            )
+        _CLF_ONLY = [("label_col", "label"), ("steps", 2), ("lr", 4000)]
+        if args.method != "classifier":
+            for flag, default in _CLF_ONLY + (
+                [("n_buckets", 1 << 18)] if args.method == "lm" else []
+            ):
                 if getattr(args, flag) != default:
                     raise SystemExit(
                         f"train-filter: --{flag.replace('_', '-')} applies"
                         " to --method classifier only"
                     )
+        if args.method == "dsir":
+            if not args.target:
+                raise SystemExit("train-filter --method dsir requires --target")
             from csvb_spark.operators.classify import dsir_bucket_weights
 
             model = dsir_bucket_weights(
@@ -985,10 +990,6 @@ def main(argv: list[str] | None = None) -> int:
                 n_buckets=args.n_buckets,
             )
         elif args.method == "classifier":
-            if args.ngram is not None:
-                raise SystemExit(
-                    "train-filter: --ngram applies to --method lm only"
-                )
             from csvb_spark.operators.classify import linear_classifier_train
 
             model = linear_classifier_train(
@@ -1001,16 +1002,6 @@ def main(argv: list[str] | None = None) -> int:
                 steps=args.steps,
             )
         else:
-            # classifier-only flags must not be silently discarded
-            for flag, default in (
-                ("label_col", "label"), ("steps", 2), ("lr", 4000),
-                ("n_buckets", 1 << 18),
-            ):
-                if getattr(args, flag) != default:
-                    raise SystemExit(
-                        f"train-filter: --{flag.replace('_', '-')} applies"
-                        " to --method classifier only"
-                    )
             from csvb_spark.operators.lm import (
                 bigram_lm_train,
                 trigram_lm_train,

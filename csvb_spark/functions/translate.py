@@ -233,7 +233,7 @@ def _chrono_to_java(fmt: str) -> str:
     def emit(frag: str) -> None:
         if out and not lit and out[-1] and frag:
             last, first = out[-1][-1], frag[0]
-            if last == first and last.isalpha() and out[-1][-1] != "'":
+            if last == first and last.isalpha():
                 raise ValueError(
                     f"chrono format {fmt!r}: adjacent specifiers map to "
                     f"java fields that would merge ({out[-1]!r} + "

@@ -341,7 +341,7 @@ def run_streaming_ingest(
 
         check_model_shape(lm_model.columns, lm_smoothing, "run_streaming_ingest")
         lm_model = lm_model.localCheckpoint(eager=True)
-    dsir_w = None
+    dsir_w, dsir_seed = None, 7
     if dsir_weights_dir is not None:
         dsir_w = spark.read.parquet(dsir_weights_dir)
         try:
@@ -352,9 +352,7 @@ def run_streaming_ingest(
             # resolve the hash params ONCE and strip the metadata
             # columns, so per-micro-batch scoring never runs a
             # driver-side probe job against the table
-            dsir_n_buckets, _dsir_seed = meta
-        else:
-            _dsir_seed = 7
+            dsir_n_buckets, dsir_seed = meta
         dsir_w = dsir_w.select("bucket", "log_weight").localCheckpoint(
             eager=True
         )
@@ -387,7 +385,7 @@ def run_streaming_ingest(
                 dsir_w,
                 dsir_min_avg,
                 dsir_n_buckets,
-                _dsir_seed if dsir_weights_dir is not None else 7,
+                dsir_seed,
             )
         )
         .start()
