@@ -404,7 +404,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pq.add_argument("--text-col", default="text")
     pq.add_argument("--id-col", default="doc_id")
-    pq.add_argument("--threshold", type=float, default=0.0)
+    pq.add_argument(
+        "--threshold",
+        type=float,
+        default=None,
+        help="classifier mode only: keep-probability cutoff "
+        "(default 0.0 when omitted)",
+    )
     pq.add_argument(
         "--n-buckets",
         type=int,
@@ -1033,9 +1039,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.method == "dsir":
             for flag, bad in (
                 ("--max-ppl", args.max_ppl),
-                ("--threshold", args.threshold or None),
+                ("--threshold", args.threshold),
             ):
-                if bad:
+                if bad is not None:
                     raise SystemExit(
                         f"score: {flag} does not apply to --method dsir"
                     )
@@ -1101,15 +1107,22 @@ def main(argv: list[str] | None = None) -> int:
                 id_col=args.id_col,
                 n_buckets=args.n_buckets or (1 << 18),
                 weights=weights,
-                threshold=args.threshold,
+                threshold=(
+                    args.threshold if args.threshold is not None else 0.0
+                ),
             )
         else:
             if not args.model:
                 raise SystemExit("score --method lm requires --model")
-            if args.threshold != 0.0:
+            if args.threshold is not None:
                 raise SystemExit(
                     "score: --threshold applies to --method classifier only;"
                     " use --max-ppl for the LM gate"
+                )
+            if args.n_buckets is not None:
+                raise SystemExit(
+                    "score: --n-buckets does not apply to --method lm "
+                    "(the model's vocabulary is its feature space)"
                 )
             from csvb_spark.operators.lm import (
                 jelinek_mercer_score,

@@ -194,9 +194,12 @@ def _apply_fn_rewrites(sql: str) -> str:
 # specifier with no faithful java.time equivalent raises so the user
 # gets a loud error instead of silently corrupted datetimes.
 _CHRONO_MAP: dict[str, str] = {
-    # documented divergence: chrono %e is SPACE-padded day-of-month;
-    # java.time has no space-padded field Spark accepts, so %e maps
-    # to unpadded 'd' (day 5 renders '5', not ' 5')
+    # chrono %e/%k/%l are SPACE-padded; java.time has no space-padded
+    # field Spark accepts. The FORMAT direction renders them faithfully
+    # via the sentinel shim (_CHRONO_SPACE_PAD below); the PARSE
+    # direction maps to the unpadded single-letter fields here — java
+    # parses 1-2 digits, so '5' and '05' both parse but a space-padded
+    # ' 5' does not (documented divergence, parse side only)
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
     "H": "HH", "k": "H", "I": "hh", "l": "h", "M": "mm", "S": "ss",
     "a": "EEE", "A": "EEEE", "b": "MMM", "h": "MMM", "B": "MMMM",
@@ -215,13 +218,54 @@ _CHRONO_UNPADDED: dict[str, str] = {
     "Y": "yyyy", "y": "y", "m": "M", "d": "d", "e": "d", "H": "H",
     "k": "H", "I": "h", "l": "h", "M": "m", "S": "s", "j": "D",
 }
+# space-padded specifiers (chrono %e/%k/%l and the %_X pad flag):
+# the FORMAT direction renders the zero-padded java field between
+# \x01/\x02 sentinel literals, and _spacepad_wrap() post-processes the
+# rendered string — width-1 regexp_replace passes turn each leading
+# zero into a space, then translate() strips the sentinels. All
+# JVM-side; the field's natural chrono width is len(the java pattern).
+_CHRONO_SPACE_PAD: dict[str, str] = {"e": "dd", "k": "HH", "l": "hh"}
+_SPACEPAD_FIELD_RE = re.compile("\x01([A-Za-z]+)\x02")
 
 
-def _chrono_to_java(fmt: str) -> str:
+def _spacepad_frag(padded: str) -> str:
+    # sentinels go in UNQUOTED — java patterns take non-letter chars as
+    # literals directly, and a quoted sentinel adjacent to a quoted
+    # literal run would merge ('\x02'' of ' reads as one section with
+    # an escaped quote, leaking a ' into the output)
+    return "\x01" + padded + "\x02"
+
+
+def _spacepad_wrap(expr: str, java: str, mklit) -> str:
+    """Wrap a rendered date_format() so sentinel-marked fields come out
+    SPACE-padded: chrono pads %e/%k/%l/%_X with spaces to the field's
+    natural width, java.time only zero-pads. Each regexp_replace pass
+    converts one more leading zero — but ONLY when another digit
+    follows it (the lookahead), so a field's final digit survives
+    ('00' hours must render ' 0', not '  '). max(width)-1 passes cover
+    the widest field; narrower fields stop early at the lookahead.
+    translate() then deletes the sentinels. Sentinel bytes are control
+    chars no datetime field can render, so data cannot collide."""
+    widths = [len(m) for m in _SPACEPAD_FIELD_RE.findall(java)]
+    if not widths:
+        return expr
+    pat = mklit("(\x01 *)0(?=[0-9])")
+    rep = mklit("$1 ")
+    for _ in range(max(widths) - 1):
+        expr = f"regexp_replace({expr}, {pat}, {rep})"
+    return f"translate({expr}, {mklit(chr(1) + chr(2))}, {mklit('')})"
+
+
+def _chrono_to_java(fmt: str, for_format: bool = False) -> str:
     """Translate one chrono strftime format string to the equivalent
     java.time DateTimeFormatter pattern. Literal runs containing
     letters are single-quoted (every ASCII letter is reserved in
     java.time patterns); unsupported specifiers raise ValueError.
+    With ``for_format=True`` (the to_char/date_format direction),
+    space-padded specifiers (%e/%k/%l, %_X) emit sentinel-wrapped
+    zero-padded fields for :func:`_spacepad_wrap` to post-process into
+    true space padding; the parse direction maps them to unpadded
+    fields instead (java accepts 1-2 digits).
     Two ADJACENT specifiers whose java fields share a letter
     (``%Y%Y`` → ``yyyyyyyy``) would merge into one wider field and
     render differently — java patterns have no zero-width separator,
@@ -272,18 +316,27 @@ def _chrono_to_java(fmt: str) -> str:
             i += 2
             continue
         if nxt in "-0_" and fmt[i + 2 : i + 3] in _CHRONO_UNPADDED:
-            if nxt == "_":
-                # %_d is SPACE-padded; java.time has no space-padded
-                # field Spark accepts — error beats silent '05' for ' 5'
-                raise ValueError(
-                    f"chrono space-pad flag %_{fmt[i + 2]} in format "
-                    f"{fmt!r} has no Spark DateTimeFormatter equivalent"
-                )
             flush()
             base = fmt[i + 2]
-            emit(
-                _CHRONO_UNPADDED[base] if nxt == "-" else _CHRONO_MAP[base]
-            )
+            if nxt == "_":
+                # %_X is SPACE-padded to the field's natural chrono
+                # width: render via the sentinel shim; parse maps to
+                # the unpadded field (java takes 1-2 digits — space-
+                # padded INPUT stays a documented parse divergence)
+                padded = _CHRONO_SPACE_PAD.get(base, _CHRONO_MAP[base])
+                emit(
+                    _spacepad_frag(padded)
+                    if for_format
+                    else _CHRONO_UNPADDED[base]
+                )
+            else:
+                # %0X zero-pads to natural width — for the space-padded
+                # letters that width is 2, not their unpadded mapping
+                emit(
+                    _CHRONO_UNPADDED[base]
+                    if nxt == "-"
+                    else _CHRONO_SPACE_PAD.get(base, _CHRONO_MAP[base])
+                )
             i += 3
             continue
         key = None
@@ -298,7 +351,10 @@ def _chrono_to_java(fmt: str) -> str:
                 "Spark DateTimeFormatter equivalent"
             )
         flush()
-        emit(_CHRONO_MAP[key])
+        if for_format and key in _CHRONO_SPACE_PAD:
+            emit(_spacepad_frag(_CHRONO_SPACE_PAD[key]))
+        else:
+            emit(_CHRONO_MAP[key])
         i += 1 + len(key)
     flush()
     return "".join(out)
@@ -348,11 +404,19 @@ def _rewrite_chrono_datetime(sql: str, literals: list[str]) -> str:
                 raw = [literals[k][1:-1].replace("''", "'") for k in idxs]
                 if not any("%" in r for r in raw):
                     continue
-                toks = [mklit(_chrono_to_java(r)) for r in raw]
                 lname = name.lower()
                 if lname == "to_char":
-                    repl = f"date_format({args[0]}, {toks[0]})"
-                elif len(toks) == 1:
+                    java = _chrono_to_java(raw[0], for_format=True)
+                    repl = _spacepad_wrap(
+                        f"date_format({args[0]}, {mklit(java)})",
+                        java,
+                        mklit,
+                    )
+                    sql = sql[:start] + repl + sql[cl + 1 :]
+                    changed = True
+                    break  # offsets shifted — rescan
+                toks = [mklit(_chrono_to_java(r)) for r in raw]
+                if len(toks) == 1:
                     repl = f"{lname}({args[0]}, {toks[0]})"
                 else:
                     # DataFusion tries formats in order: first parse

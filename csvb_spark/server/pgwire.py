@@ -477,6 +477,23 @@ def _copy_text_split(line: bytes, delim: bytes) -> list[bytes]:
     return cells
 
 
+def _copy_staging_base(spark) -> str:
+    """Staging location for oversize COPY FROM payloads: the WAREHOUSE
+    dir, which is executor-visible by construction (it holds the
+    catalog tables the COPY targets). NEVER fall back to a driver-local
+    path like file:/tmp — on a non-local master the final insertInto's
+    executors could not read it and the COPY would fail only AFTER
+    acknowledging the client's data. Spark always sets a warehouse dir,
+    so the refusal guards exotic deployments only."""
+    base = spark.conf.get("spark.sql.warehouse.dir", None)
+    if not base:
+        raise ValueError(
+            "COPY: spark.sql.warehouse.dir is unset — no shared "
+            "location to stage COPY FROM batches"
+        )
+    return base
+
+
 #: sentinel appended by _copy_csv_rows(mark_eof=True) for the UNQUOTED
 #: end-of-data line ``\.`` — a QUOTED "\." cell is ordinary data and
 #: must not terminate the stream
@@ -486,23 +503,28 @@ _COPY_CSV_EOF = object()
 def _copy_csv_rows(
     text: str, delim: str, mark_eof: bool = False
 ) -> list:
-    r"""Minimal RFC-4180 parser that PRESERVES the quoted/unquoted
+    r"""Minimal CSV parser that PRESERVES the quoted/unquoted
     distinction (stdlib csv cannot): an unquoted empty cell is NULL,
     a quoted one is the empty string — the inverse of the OUT side's
-    force-quoting. With ``mark_eof`` the postgres end-of-data marker
-    (a lone UNQUOTED ``\.`` line) appends :data:`_COPY_CSV_EOF` and
-    parsing stops."""
+    force-quoting. Follows postgres's own CSV rule (CopyReadAttributesCSV):
+    a quote char ANYWHERE toggles quoting, not only at cell start —
+    ``a"b,c"d`` is ONE cell whose quoted section spans ``b,c``. That is
+    also exactly the state machine the streaming chunker's quote-parity
+    scan assumes, so a CopyData cut can never land inside what this
+    parser treats as a quoted cell. With ``mark_eof`` the postgres
+    end-of-data marker (a lone UNQUOTED ``\.`` line) appends
+    :data:`_COPY_CSV_EOF` and parsing stops."""
     rows: list = []
     row: list[str | None] | None = []
     buf: list[str] = []
-    quoted = in_quotes = seen_any = False
+    quoted = in_quotes = False
     i, n = 0, len(text)
 
     def _end_cell() -> None:
-        nonlocal buf, quoted, seen_any
+        nonlocal buf, quoted
         val = "".join(buf)
         row.append(val if (quoted or val != "") else None)
-        buf, quoted, seen_any = [], False, False
+        buf, quoted = [], False
 
     def _end_row() -> None:
         nonlocal row
@@ -527,8 +549,10 @@ def _copy_csv_rows(
                 buf.append(ch)
             i += 1
             continue
-        if ch == '"' and not seen_any:
-            in_quotes = quoted = seen_any = True
+        if ch == '"':
+            # mid-field quote OPENS a quoted section (postgres rule);
+            # any quoted section marks the cell non-NULL
+            in_quotes = quoted = True
         elif ch == delim:
             _end_cell()
         elif ch == "\n":
@@ -539,7 +563,6 @@ def _copy_csv_rows(
             pass  # swallow CR of CRLF
         else:
             buf.append(ch)
-            seen_any = True
         i += 1
     if row is not None and (buf or quoted or row):
         _end_row()
@@ -1400,6 +1423,10 @@ class _Conn:
                         + ", ".join(nodec)
                     )
                 decs = [_BINARY_DECODERS[o] for o in col_oids]
+            # resolve the staging base BEFORE CopyInResponse — a missing
+            # warehouse dir must refuse the COPY up front, not after
+            # acknowledging data
+            staging_base = _copy_staging_base(self.spark)
         except Exception as e:  # noqa: BLE001 — pre-stream failure: no 'G' sent
             self.running = False
             code = "0A000" if isinstance(e, ValueError) else _sqlstate_for(e)
@@ -1441,17 +1468,10 @@ class _Conn:
             if not st["pending"]:
                 return
             if st["staging"] is None:
-                # staged batches live under the WAREHOUSE dir, not the
-                # driver's local tmp: the final insertInto reads the
-                # staging dir from executors, which on a real cluster
-                # can only see shared storage (the warehouse URI is
-                # shared by construction — it holds the catalog tables
-                # this COPY targets)
-                base = self.spark.conf.get(
-                    "spark.sql.warehouse.dir", "file:/tmp"
-                )
+                # warehouse-based (executor-visible), validated non-
+                # empty before CopyInResponse above
                 st["staging"] = (
-                    f"{base.rstrip('/')}/_csvb_copy_in_staging/"
+                    f"{staging_base.rstrip('/')}/_csvb_copy_in_staging/"
                     f"{uuid.uuid4().hex}"
                 )
             self.spark.createDataFrame(
@@ -1517,6 +1537,15 @@ class _Conn:
                 if bytes(buf[:11]) != _COPY_BIN_SIG:
                     raise ValueError("COPY: bad binary-format signature")
                 (_flags, extlen) = struct.unpack("!ii", bytes(buf[11:19]))
+                # PGCOPY header flags: bits 16-31 are CRITICAL — a set
+                # bit changes the tuple layout (bit 16 = pre-PG12 OIDs
+                # precede each tuple's fields). Parsing on anyway would
+                # misread OIDs as field data, so reject per spec.
+                if _flags & 0xFFFF0000:
+                    raise ValueError(
+                        "COPY: binary header sets unsupported critical "
+                        f"flag bits (0x{_flags & 0xFFFF0000:08x})"
+                    )
                 if len(buf) < 19 + extlen:
                     return
                 del buf[: 19 + extlen]
@@ -1725,6 +1754,15 @@ class _Conn:
         if not self.handshake():
             return
         _CONNS[self.backend_pid] = self
+        # each connection runs on its own handler thread (ThreadingTCP-
+        # Server) and PySpark local properties are thread-local, so this
+        # tags every job the connection triggers with its own scheduler
+        # pool — under spark.scheduler.mode=FAIR (session.py) concurrent
+        # clients share the cluster instead of queueing FIFO behind one
+        # long query
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"pgwire-{self.backend_pid}"
+        )
         try:
             self._serve_loop()
         finally:

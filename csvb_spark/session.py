@@ -55,6 +55,11 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # SURVEY §3.2: the pgwire serve path is multi-client — FAIR
+        # scheduling + a scheduler pool per connection (server/pgwire)
+        # stops one long query from head-of-line-blocking every other
+        # session's jobs. Harmless for single-user batch work.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # fixture `events` carries TIMESTAMP(NANOS); Spark has no nanos

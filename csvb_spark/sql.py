@@ -422,6 +422,16 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     if _INFO_SCHEMA_RE.search(sql):
         refresh_information_schema(spark)
         sql = _INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
+    if "pg_catalog" in sql:
+        # psql meta-commands (\dt, \d tbl, \l, \dn): refresh the
+        # pg_catalog_pg_* views and strip the postgres-only syntax
+        from csvb_spark.server.pg_catalog import (
+            refresh_pg_catalog,
+            rewrite_pg_catalog_sql,
+        )
+
+        refresh_pg_catalog(spark)
+        sql = rewrite_pg_catalog_sql(sql)
     # mask string literals before the schema-aware rewrites so text
     # that LOOKS like "* REPLACE (...)" or "COLUMNS('...')" inside a
     # quoted literal is never rewritten (translate.py does the same

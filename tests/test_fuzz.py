@@ -376,9 +376,10 @@ def test_copy_csv_codec_round_trips(rows) -> None:
 # --- chrono → java.time translation vs DuckDB strftime ---------------------------
 
 # specifiers BOTH engines support (chrono composites like %F/%R and
-# %k/%l/%q translate fine but DuckDB's strftime lacks them; %e/%Z are
-# documented divergences) — plus literal separators incl. letters
-# (which the translator must single-quote) and the %% escape
+# %k/%l/%q translate fine but DuckDB's strftime lacks them — the
+# space-padded family is fuzzed against glibc strftime below instead;
+# %Z stays a documented divergence) — plus literal separators incl.
+# letters (which the translator must single-quote) and the %% escape
 _CHRONO_SPEC = st.sampled_from(
     ["%Y", "%y", "%m", "%d", "%H", "%I", "%M", "%S", "%a", "%A",
      "%b", "%B", "%p", "%j", "%-d", "%-m", "%-H", "%-I", "%-M",
@@ -430,3 +431,58 @@ def test_chrono_translation_matches_duckdb_strftime(spark, fmt) -> None:
             "SELECT strftime(CAST(? AS TIMESTAMP), ?)", [ts, fmt]
         ).fetchone()[0]
         assert got[f"v{i}"] == want, (fmt, java, ts)
+
+
+# the space-padded family (%e/%k/%l, %_X): DuckDB's strftime lacks
+# these, so the reference here is glibc strftime (chrono copied the
+# flag from glibc; their semantics agree for these 2-3-wide fields —
+# only %_Y diverges, glibc pads the year to 0 digits, chrono to 4).
+# Everything is numeric/locale-independent; the full to_char rewrite
+# path runs, exercising the sentinel shim itself, not just the map.
+_CHRONO_SPACEPAD_SPEC = st.sampled_from(
+    ["%e", "%k", "%l", "%_d", "%_H", "%_I", "%_m", "%_M", "%_S", "%_j",
+     "%Y", "%m", "%d", "%H", "%M", "%S", "%j", "%-d", "%-H", "%%"]
+)
+_chrono_spacepad_fmt = (
+    st.lists(
+        st.one_of(_CHRONO_SPACEPAD_SPEC, _CHRONO_LIT),
+        min_size=1,
+        max_size=8,
+    )
+    .map("".join)
+    # a %-free format is (by design) passed through as a java pattern,
+    # not translated — outside this property's subject
+    .filter(lambda f: "%" in f)
+)
+
+
+@given(fmt=_chrono_spacepad_fmt)
+@settings(max_examples=80, deadline=None)
+def test_chrono_spacepad_matches_glibc_strftime(spark, fmt) -> None:
+    """Formats mixing space-padded specifiers with ordinary numeric
+    ones must render, through the FULL translate_sql to_char rewrite
+    (sentinel fields + regexp_replace shim), byte-identically to glibc
+    strftime — including zeros that become spaces only up to the
+    field's natural width (04:00 under '%_H:%_M' is ' 4: 0')."""
+    from datetime import datetime
+
+    from hypothesis import assume
+
+    from csvb_spark.functions.translate import translate_sql
+
+    safe = fmt.replace("'", "''")
+    try:
+        sql = translate_sql(
+            ", ".join(
+                f"SELECT to_char(TIMESTAMP '{ts}', '{safe}') AS v{i}"
+                if i == 0
+                else f"to_char(TIMESTAMP '{ts}', '{safe}') AS v{i}"
+                for i, ts in enumerate(_PROBE_TS)
+            )
+        )
+    except ValueError:
+        assume(False)  # adjacent-merge refusal — not this property
+    got = spark.sql(sql).first()
+    for i, ts in enumerate(_PROBE_TS):
+        want = datetime.fromisoformat(ts).strftime(fmt)
+        assert got[f"v{i}"] == want, (fmt, ts)

@@ -332,6 +332,42 @@ def test_translate_chrono_unsupported_raises():
         translate_sql("SELECT to_char(d, 'epoch %s')")
 
 
+def test_translate_chrono_spacepad(spark):
+    """chrono space-padded specifiers (%e/%k/%l, %_X flag): to_char
+    renders TRUE space padding via the sentinel shim (regexp_replace
+    leading zeros → spaces between \\x01/\\x02 markers, then strip);
+    to_date/to_timestamp parse them as unpadded fields. Width follows
+    chrono (%_Y pads the year to 4 — glibc diverges there)."""
+    cases = [
+        ("2024-03-05 04:07:09", "%Y-%m-%e %k:%M", "2024-03- 5  4:07"),
+        ("2024-03-15 14:07:09", "%e %l %p", "15  2 PM"),
+        ("2024-01-05 00:07:09", "%_d|%_H|%_m", " 5| 0| 1"),
+        # 3-wide day-of-year needs TWO replace passes; quoted literal
+        # run adjacent to the sentinel must not leak a quote
+        ("2024-03-05 04:07:09", "%_j of %Y", " 65 of 2024"),
+        ("0999-03-05 04:07:09", "%_Y", " 999"),
+        # zero-pad flag on a space-padded letter widens it to 2
+        ("2024-03-05 04:07:09", "%0e:%0k", "05:04"),
+    ]
+    exprs = ", ".join(
+        f"to_char(TIMESTAMP '{ts}', '{fmt}') AS v{i}"
+        for i, (ts, fmt, _) in enumerate(cases)
+    )
+    row = spark.sql(translate_sql(f"SELECT {exprs}")).first()
+    for i, (ts, fmt, want) in enumerate(cases):
+        assert row[f"v{i}"] == want, (fmt, row[f"v{i}"], want)
+    # parse direction: unpadded fields accept '5' and '05' (space-padded
+    # input remains a documented divergence)
+    got = spark.sql(
+        translate_sql(
+            "SELECT to_date('5.3.2024', '%e.%-m.%Y') AS a, "
+            "to_timestamp('2024-01-02 7:09', '%Y-%m-%d %k:%M') AS b"
+        )
+    ).first()
+    assert str(got["a"]) == "2024-03-05"
+    assert str(got["b"]) == "2024-01-02 07:09:00"
+
+
 def test_split_args_brackets():
     """Commas inside bracket-syntax array literals must not split
     (they'd otherwise surface as an unpack ValueError mid-rewrite)."""
@@ -1399,6 +1435,5 @@ def test_translate_chrono_percent_escape_stable():
         translate_sql("SELECT to_date(s, 'x %% y%d')")
         == "SELECT to_date(s, '''x % y''dd')"
     )
-    # space-pad flag has no faithful java.time mapping — loud error
-    with pytest.raises(ValueError, match="space-pad"):
-        translate_sql("SELECT to_char(d, '%_d')")
+    # %_X space-pad now renders via the sentinel shim (to_char) and
+    # parses unpadded (to_date) — see test_translate_chrono_spacepad

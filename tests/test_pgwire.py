@@ -2248,3 +2248,240 @@ def test_concurrent_copy_from_sessions(pg_server):
     for t in ("copy_cc_a", "copy_cc_b"):
         _simple_query(sock0, buf0, f"DROP TABLE {t}")
     sock0.close()
+
+
+def test_copy_csv_midfield_quote_chunking(conn):
+    """ADVICE r10 (medium): the CSV chunker toggles quote parity on
+    EVERY quote byte; the parser must follow the SAME rule (postgres's
+    own — a mid-field quote OPENS a quoted section), or a CopyData cut
+    can land inside what the parser treats as a quoted cell and split
+    one row into two. Ingest a payload with a mid-field quote under
+    every possible packet cut and assert identical results."""
+    sock, buf = conn
+    # a"b,c"d = ONE cell 'ab,cd' (mid-field quoted section spans the
+    # delimiter); second row has a quoted embedded newline
+    payload = b'1,a"b,c"d\n2,"q\nr"\n'
+    expected = [[b"1", b"ab,cd"], [b"2", b"q\nr"]]
+    _simple_query(sock, buf, "DROP TABLE IF EXISTS copy_mfq")
+    _simple_query(
+        sock, buf, "CREATE TABLE copy_mfq (a INT, b STRING) USING parquet"
+    )
+    for cut in range(1, len(payload)):
+        _simple_query(sock, buf, "TRUNCATE TABLE copy_mfq")
+        body = b"COPY copy_mfq FROM STDIN WITH (FORMAT CSV)\x00"
+        sock.sendall(b"Q" + struct.pack("!I", len(body) + 4) + body)
+        while True:
+            tag, p = _read_msg(sock, buf)
+            if tag == b"G":
+                break
+            assert tag != b"E", p
+        for part in (payload[:cut], payload[cut:]):
+            sock.sendall(b"d" + struct.pack("!I", len(part) + 4) + part)
+        sock.sendall(b"c" + struct.pack("!I", 4))
+        msgs = _read_until_ready(sock, buf)
+        assert (b"C", b"COPY 2\x00") in msgs, (cut, msgs)
+        rows = _data_rows(
+            _simple_query(sock, buf, "SELECT * FROM copy_mfq ORDER BY a")
+        )
+        assert rows == expected, (cut, rows)
+    _simple_query(sock, buf, "DROP TABLE copy_mfq")
+
+
+def test_copy_binary_critical_flags_rejected(conn):
+    """ADVICE r10: a PGCOPY header with any critical flag bit (16-31)
+    set changes the tuple layout (bit 16 = pre-PG12 OIDs) — the reader
+    must reject it, not misparse OIDs as field data."""
+    sock, buf = conn
+    _simple_query(sock, buf, "DROP TABLE IF EXISTS copy_binflag")
+    _simple_query(
+        sock, buf, "CREATE TABLE copy_binflag (a INT) USING parquet"
+    )
+    payload = (
+        b"PGCOPY\n\xff\r\n\x00"
+        + struct.pack("!ii", 1 << 16, 0)  # flags: OID bit set, no ext
+        + struct.pack("!hii", 1, 4, 7)  # 1 field, len 4, value 7
+        + struct.pack("!h", -1)
+    )
+    msgs = _copy_in(
+        sock, buf,
+        "COPY copy_binflag FROM STDIN WITH (FORMAT BINARY)",
+        payload,
+    )
+    errs = [p for t, p in msgs if t == b"E"]
+    assert errs and b"critical" in errs[0], msgs
+    # connection stays usable and nothing was inserted
+    rows = _data_rows(
+        _simple_query(sock, buf, "SELECT count(*) AS n FROM copy_binflag")
+    )
+    assert rows == [[b"0"]]
+    _simple_query(sock, buf, "DROP TABLE copy_binflag")
+
+
+def test_copy_staging_base_requires_warehouse_dir():
+    """COPY FROM staging must refuse (before CopyInResponse) rather
+    than fall back to a driver-local path executors cannot read."""
+    import pytest as _pytest
+
+    from csvb_spark.server.pgwire import _copy_staging_base
+
+    class _Conf:
+        def __init__(self, val):
+            self._val = val
+
+        def get(self, key, default=None):
+            assert key == "spark.sql.warehouse.dir"
+            return self._val if self._val is not None else default
+
+    class _Spark:
+        def __init__(self, val):
+            self.conf = _Conf(val)
+
+    assert _copy_staging_base(_Spark("file:/wh")) == "file:/wh"
+    for bad in (None, ""):
+        with _pytest.raises(ValueError, match="warehouse"):
+            _copy_staging_base(_Spark(bad))
+
+
+def test_fair_scheduler_concurrent_connections_overlap(pg_server, spark):
+    """SURVEY §3.2: spark.scheduler.mode=FAIR + a scheduler pool per
+    pgwire connection — a slow query on connection A must NOT
+    head-of-line-block a fast query on connection B (under FIFO, B's
+    job would wait for A's entire task queue to drain)."""
+    import threading
+    import time
+
+    spark.udf.register(
+        "pgw_slow_ident", lambda x: (time.sleep(0.25), x)[1], "long"
+    )
+    try:
+        times: dict[str, float] = {}
+
+        def run(name: str, sql: str) -> None:
+            s = socket.create_connection(
+                ("127.0.0.1", pg_server.port), timeout=120
+            )
+            b = bytearray()
+            _startup(s)
+            _read_until_ready(s, b)
+            msgs = _simple_query(s, b, sql)
+            assert not [p for t, p in msgs if t == b"E"], (name, msgs)
+            times[name] = time.monotonic()
+            s.close()
+
+        # 128 tasks x 0.25 s on <=32 local cores ≈ >=1 s of saturation
+        slow_sql = (
+            "SELECT count(pgw_slow_ident(id)) AS n FROM range(0, 128, 1, 128)"
+        )
+        ta = threading.Thread(target=run, args=("a", slow_sql))
+        ta.start()
+        time.sleep(0.4)  # A is mid-flight and holds every task slot
+        run("b", "SELECT 1 AS one")
+        ta.join(timeout=180)
+        assert "a" in times and "b" in times
+        assert times["b"] < times["a"], (
+            "fast query serialized behind slow one: "
+            f"b={times['b']:.2f} a={times['a']:.2f}"
+        )
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS pgw_slow_ident")
+
+
+# --- pg_catalog emulation (psql meta-commands) ------------------------------
+
+# the EXACT SQL psql 15.18 issues for \dt (captured live; describe.c) —
+# the test replays it over the socket so the emulation is pinned to the
+# real client's text, psql binary or not
+_PSQL_DT_SQL = """SELECT n.nspname as "Schema",
+  c.relname as "Name",
+  CASE c.relkind WHEN 'r' THEN 'table' WHEN 'v' THEN 'view' WHEN 'm' THEN 'materialized view' WHEN 'i' THEN 'index' WHEN 'S' THEN 'sequence' WHEN 't' THEN 'TOAST table' WHEN 'f' THEN 'foreign table' WHEN 'p' THEN 'partitioned table' WHEN 'I' THEN 'partitioned index' END as "Type",
+  pg_catalog.pg_get_userbyid(c.relowner) as "Owner"
+FROM pg_catalog.pg_class c
+     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+     LEFT JOIN pg_catalog.pg_am am ON am.oid = c.relam
+WHERE c.relkind IN ('r','p','')
+      AND n.nspname <> 'pg_catalog'
+      AND n.nspname !~ '^pg_toast'
+      AND n.nspname <> 'information_schema'
+  AND pg_catalog.pg_table_is_visible(c.oid)
+ORDER BY 1,2"""
+
+_PSQL_D_LOOKUP_SQL = """SELECT c.oid,
+  n.nspname,
+  c.relname
+FROM pg_catalog.pg_class c
+     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+WHERE c.relname OPERATOR(pg_catalog.~) '^(documents)$' COLLATE pg_catalog.default
+  AND pg_catalog.pg_table_is_visible(c.oid)
+ORDER BY 2, 3"""
+
+_PSQL_D_COLUMNS_SQL = """SELECT a.attname,
+  pg_catalog.format_type(a.atttypid, a.atttypmod),
+  (SELECT pg_catalog.pg_get_expr(d.adbin, d.adrelid, true)
+   FROM pg_catalog.pg_attrdef d
+   WHERE d.adrelid = a.attrelid AND d.adnum = a.attnum AND a.atthasdef),
+  a.attnotnull,
+  (SELECT c.collname FROM pg_catalog.pg_collation c, pg_catalog.pg_type t
+   WHERE c.oid = a.attcollation AND t.oid = a.atttypid AND a.attcollation <> t.typcollation) AS attcollation,
+  a.attidentity,
+  a.attgenerated
+FROM pg_catalog.pg_attribute a
+WHERE a.attrelid = '{oid}' AND a.attnum > 0 AND NOT a.attisdropped
+ORDER BY a.attnum"""
+
+
+def test_pg_catalog_psql_dt_and_describe(conn):
+    """Replay the actual SQL psql issues for \\dt and the \\d column
+    list (pg_class/pg_namespace/pg_attribute + OPERATOR()/COLLATE/
+    format_type postgres-isms) and assert sane rows."""
+    sock, buf = conn
+    rows = _data_rows(_simple_query(sock, buf, _PSQL_DT_SQL))
+    by_name = {r[1]: r for r in rows}
+    assert b"documents" in by_name and b"region" in by_name
+    assert by_name[b"documents"][2] == b"table"
+    assert by_name[b"documents"][3] == b"spark"
+
+    look = _data_rows(_simple_query(sock, buf, _PSQL_D_LOOKUP_SQL))
+    assert len(look) == 1 and look[0][2] == b"documents"
+    oid = look[0][0].decode()
+
+    cols = _data_rows(
+        _simple_query(sock, buf, _PSQL_D_COLUMNS_SQL.format(oid=oid))
+    )
+    assert [(c[0], c[1]) for c in cols] == [
+        (b"doc_id", b"bigint"),
+        (b"text", b"text"),
+        (b"lang", b"text"),
+        (b"source", b"text"),
+        (b"n_chars", b"bigint"),
+    ]
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("psql") is None,
+    reason="psql binary not installed",
+)
+@pytest.mark.parametrize(
+    ("cmd", "want"),
+    [
+        (r"\dt", ["documents", "region", "table", "spark"]),
+        (r"\d documents", ["doc_id", "bigint", "n_chars", "text"]),
+        (r"\l", ["UTF8"]),
+        (r"\dn", ["default"]),
+    ],
+)
+def test_pg_catalog_real_psql(pg_server, cmd, want):
+    """End-to-end: the REAL psql client's meta-commands against the
+    live server — the full query battery (row-security, publications,
+    stats, constraints follow-ups included) must succeed and render."""
+    import subprocess
+
+    r = subprocess.run(
+        ["psql", "-X", "-h", "127.0.0.1", "-p", str(pg_server.port),
+         "-U", "u", "-d", "db", "-c", cmd],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0 and not r.stderr.strip(), (r.stdout, r.stderr)
+    for frag in want:
+        assert frag in r.stdout, (cmd, frag, r.stdout)
