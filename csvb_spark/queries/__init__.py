@@ -230,7 +230,13 @@ bag-of-n-gram add-1 log-ratios between a small target corpus and the
 raw corpus — md5 buckets shared with the classifier, one ln over IEEE
 products rounded to 6, exact decimal per-doc sums, bounded weight
 table broadcast.
-Corpus: 207 entries, 202 with full oracles.
+Round-11 gate rotation: p05 now grades the chrono strftime
+translation (alias of x130), p16/p17 grade BPE train (x57) and
+similarity-graph PageRank (x73); the demoted natives live on as
+x132_lang_guess / x133_salted_join / x134_salted_count_distinct with
+their oracles. Window still exactly 50.
+
+Corpus: 210 entries, 205 with full oracles.
 """
 
 from __future__ import annotations

@@ -149,8 +149,10 @@ FROM documents
 """,
 )
 
+# round 11: demoted from gate slot p05 (now grades the chrono-format
+# translation surface via x130) — stays fully oracled here
 _q(
-    "p05_lang_guess",
+    "x132_lang_guess",
     spark=lambda spark, sf: text.lang_guess(_docs(spark, sf))
     .groupBy("lang", "guess_lang")
     .agg(F.count("*").alias("n_docs")),
@@ -964,8 +966,11 @@ def _li(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.parquet(f"{sf}/lineitem.parquet")
 
 
+# round 11: p16/p17 demoted — the salted-join demos overlap p23's skew
+# report; their gate slots now re-prove uncovered surfaces (x57 BPE
+# train, x73 PageRank). Both stay fully oracled here.
 _q(
-    "p16_salted_join",
+    "x133_salted_join",
     spark=lambda spark, sf: skew.salted_join(
         _li(spark, sf).select("l_orderkey", "l_extendedprice"),
         spark.read.parquet(f"{sf}/orders.parquet").select(
@@ -991,7 +996,7 @@ GROUP BY o_orderpriority
 )
 
 _q(
-    "p17_salted_count_distinct",
+    "x134_salted_count_distinct",
     spark=lambda spark, sf: skew.salted_count_distinct(
         _li(spark, sf), ["l_returnflag"], "l_suppkey", n_salts=8
     ),
@@ -4742,6 +4747,13 @@ _P_ALIASES: dict[str, str] = {
     # near-dedup, sampling, skew tooling, retrieval, decontamination,
     # C4/CCNet quality, containment/overlap, quotas, novelty, PII,
     # funnels, leakage-safe splits.
+    # round 11 rotations: p05 grades the chrono strftime translation
+    # (round 10's headline feature), p16/p17 grade BPE merge training
+    # and PageRank over the similarity graph (both previously outside
+    # the window despite full oracles)
+    "p05_chrono_formats": "x130_chrono_formats",
+    "p16_bpe_train": "x57_bpe_train",
+    "p17_pagerank": "x73_pagerank_simgraph",
     "p18_lm_perplexity": "x84_bigram_perplexity",
     "p19_classifier_train": "x79_linear_classifier_train",
     "p20_budget_select": "x75_budget_select",
