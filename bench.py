@@ -165,6 +165,47 @@ def main() -> None:
         except Exception as ex:  # never let the sf1 extra kill the bench
             detail["sf1"] = {"error": f"{type(ex).__name__}: {ex}"}
 
+    # --- sf10 spot-check (round 11): ONE more decade for the three
+    # heaviest corpus ops only (all documents-only scans), to catch
+    # constant-factor cliffs that sf1 still hides. Built as 100
+    # affine-permuted key-shifted copies of sf0.1 documents (affine
+    # a∈{1,3,5,7}, b=k%26 — 100 DISTINCT alphabet permutations, so
+    # cross-copy shingle sharing stays ~zero and dedup scales linearly
+    # like a real 100x crawl; plain rotation only has 26 distinct
+    # values and would manufacture quadratic dup clusters). One timed
+    # pass per op after an sf1-scale warm (plan shapes at sf1 and sf10
+    # match — both are past AQE's broadcast thresholds).
+    if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
+        try:
+            sf10_dir = os.environ.get(
+                "SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10"
+            )
+            _ensure_sf10_docs(spark, sf_dir, sf10_dir)
+            warm_dir = os.environ.get(
+                "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"
+            )
+            sf10_t: dict[str, float] = {}
+            for n in SF10_OPS:
+                if os.path.isdir(warm_dir):
+                    queries[n].spark(spark, warm_dir).count()
+                t0 = time.perf_counter()
+                queries[n].spark(spark, sf10_dir).count()
+                sf10_t[n] = round(time.perf_counter() - t0, 4)
+            sf10 = {"queries": sf10_t}
+            sf1_q = detail.get("sf1", {}).get("queries") or {}
+            if all(n in sf1_q and sf1_q[n] for n in SF10_OPS):
+                sf10["vs_sf1_ratio"] = {
+                    n: round(sf10_t[n] / sf1_q[n], 2) for n in SF10_OPS
+                }
+            sf10["note"] = (
+                "documents-only 100x upscale of sf0.1 (distinct affine "
+                "alphabet permutation per copy); single timed pass "
+                "after one sf1-scale warm — vs_sf1_ratio ~10 = linear"
+            )
+            detail["sf10"] = sf10
+        except Exception as ex:  # never let the sf10 extra kill the bench
+            detail["sf10"] = {"error": f"{type(ex).__name__}: {ex}"}
+
     # detail first, compact machine-read line LAST (see module doc)
     print(json.dumps(detail))
     print(json.dumps(out))
@@ -193,6 +234,53 @@ MODEL_OPS = frozenset(
         "x131_dsir_importance",
     }
 )
+
+# the three heaviest corpus ops (sf1 medians 5.9s/3.8s/2.2s in r10) —
+# all documents-only, so the sf10 build ships one table
+SF10_OPS = (
+    "x95_perplexity_buckets",
+    "x97_containment_pairs",
+    "x131_dsir_importance",
+)
+
+
+def _ensure_sf10_docs(spark, src_dir: str, dst_dir: str) -> None:
+    """Materialize the documents-only sf10 dataset once: 100 copies of
+    sf0.1 documents, doc_id shifted by copy*10M, text run through a
+    copy-specific AFFINE alphabet permutation (a coprime to 26) so all
+    100 copies carry distinct permutations — near-dup structure intact
+    within a copy, ~zero shingle sharing across copies."""
+    import string
+    from functools import reduce
+
+    from pyspark.sql import DataFrame, functions as F
+
+    marker = os.path.join(dst_dir, "_BENCH_SF10_OK")
+    if os.path.exists(marker) and open(marker).read() == src_dir:
+        return
+    lo = string.ascii_lowercase
+    df = spark.read.parquet(f"{src_dir}/documents.parquet")
+    copies = []
+    for k in range(100):
+        a, b = (1, 3, 5, 7)[k // 26], k % 26
+        perm = "".join(lo[(a * i + b) % 26] for i in range(26))
+        cp = df.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * 10_000_000)
+        )
+        if k:
+            cp = cp.withColumn(
+                "text",
+                F.translate(
+                    F.col("text"), lo + lo.upper(), perm + perm.upper()
+                ),
+            )
+        copies.append(cp)
+    reduce(DataFrame.union, copies).coalesce(32).write.mode(
+        "overwrite"
+    ).parquet(f"{dst_dir}/documents.parquet")
+    with open(marker, "w") as fh:
+        fh.write(src_dir)
+
 
 # ten key-shifted copies per fact table; dims stay one copy
 _SF1_SHIFT_COLS: dict[str, list[str] | None] = {

@@ -236,7 +236,10 @@ similarity-graph PageRank (x73); the demoted natives live on as
 x132_lang_guess / x133_salted_join / x134_salted_count_distinct with
 their oracles. Window still exactly 50.
 
-Corpus: 210 entries, 205 with full oracles.
+x135 IMA ADPCM round trip (rows-only: the decode state machine has
+no row-wise SQL replay; pytest holds the bit-exact oracle).
+
+Corpus: 211 entries, 205 with full oracles.
 """
 
 from __future__ import annotations

@@ -2976,6 +2976,20 @@ GROUP BY doc_id
 )
 
 
+# IMA ADPCM (WAV tag 17, round 11) closes the last codec-free WAV
+# family next to PCM and G.711. The decode is a SEQUENTIAL predictor/
+# step-index state machine — no closed-form byte→sample map exists for
+# a row-wise SQL oracle to replay (every sample depends on all prior
+# nibbles), so this entry is rows-only; the hard signal is the pytest
+# bit-exactness oracle (independent pure-Python decode of the same
+# bytes + source-signal tolerance, tests/test_multimodal_real.py).
+_q(
+    "x135_adpcm_round_trip",
+    spark=lambda spark, sf: multimodal.adpcm_round_trip(_docs(spark, sf)),
+    oracle=None,
+)
+
+
 # --- round 7: interpolated Kneser-Ney bigram perplexity ----------------
 # The smoothing real n-gram quality filters use (KenLM/CCNet default):
 # mass discounted from seen bigrams, redistributed by CONTINUATION

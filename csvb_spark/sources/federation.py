@@ -83,28 +83,105 @@ def jdbc_url(params: dict[str, str]) -> str:
     return f"jdbc:postgresql://{host}:{port}/{db}"
 
 
+#: postgres integer-family type oids usable as partition keys (MOD/ABS
+#: and JDBC range partitioning are both well-defined on them)
+_INT_OIDS = (20, 21, 23, 26)
+_INT_SPARK_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def auto_partition_column(probed_cols: list[tuple[str, int]]) -> str | None:
+    """First integer-typed column of a probed shard schema — the
+    within-shard parallel-read key when the caller names none. None
+    when the table has no integer column (the read then stays a single
+    stream per shard, the reference's shape —
+    postgres_connection.rs:186)."""
+    for name, oid in probed_cols:
+        if oid in _INT_OIDS:
+            return name
+    return None
+
+
+def jdbc_partition_options(
+    partition_column: str | None,
+    lo: object,
+    hi: object,
+    num_partitions: int,
+) -> dict[str, str]:
+    """The four Spark-JDBC options that split one shard scan into N
+    parallel range queries. Empty when bounds are unknown (empty or
+    all-NULL table) or N<=1 — a degenerate range must not shrink the
+    scan to one stripe silently."""
+    if partition_column is None or num_partitions <= 1:
+        return {}
+    if lo is None or hi is None:
+        return {}
+    return {
+        "partitionColumn": partition_column,
+        "lowerBound": str(lo),
+        "upperBound": str(hi),
+        "numPartitions": str(num_partitions),
+    }
+
+
 def read_shard(
     spark: SparkSession,
     shard_addr: str,
     table: str,
     reader_options: dict[str, str] | None = None,
+    partition_column: str | None = None,
+    num_partitions: int = 1,
 ) -> DataFrame:
     """One shard scan via Spark's JDBC source (predicate/column/limit
     pushdown on by default — the reference's A8-A10 pushdown merge is
-    built in)."""
+    built in).
+
+    ``num_partitions > 1`` splits the shard into N parallel range
+    queries (Spark's native partitionColumn/bounds mechanism) instead
+    of the reference's single stream per shard
+    (postgres_connection.rs:186) — at 100x shard sizes one JDBC cursor
+    per shard leaves executor parallelism on the table. The column is
+    auto-derived (first integer column) and the bounds probed with one
+    MIN/MAX aggregate pushed to the shard; explicit reader_options
+    always win."""
+
+    def base_reader(dbtable: str):
+        r = (
+            spark.read.format("jdbc")
+            .option("url", jdbc_url(params))
+            .option("dbtable", dbtable)
+            .option("driver", "org.postgresql.Driver")
+            .option("fetchsize", "4000")  # reference chunk size, postgres_connection.rs:186
+        )
+        if "user" in params:
+            r = r.option("user", params["user"])
+        if "pass" in params:
+            r = r.option("password", params["pass"])
+        return r
+
     params = parse_postgres_conn_str(shard_addr)
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", jdbc_url(params))
-        .option("dbtable", table)
-        .option("driver", "org.postgresql.Driver")
-        .option("fetchsize", "4000")  # reference chunk size, postgres_connection.rs:186
-    )
-    if "user" in params:
-        reader = reader.option("user", params["user"])
-    if "pass" in params:
-        reader = reader.option("password", params["pass"])
-    for k, v in (reader_options or {}).items():
+    opts = dict(reader_options or {})
+    if num_partitions > 1 and "numPartitions" not in opts:
+        if partition_column is None:
+            # schema-only load: JDBC metadata round trip, no rows move
+            for f in base_reader(table).load().schema.fields:
+                if f.dataType.simpleString() in _INT_SPARK_TYPES:
+                    partition_column = f.name
+                    break
+        if partition_column is not None:
+            b = base_reader(
+                f"(SELECT MIN({partition_column}) AS lo, "
+                f"MAX({partition_column}) AS hi FROM {table}) _bounds"
+            ).load().first()
+            opts.update(
+                jdbc_partition_options(
+                    partition_column,
+                    b["lo"] if b else None,
+                    b["hi"] if b else None,
+                    num_partitions,
+                )
+            )
+    reader = base_reader(table)
+    for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.load()
 
@@ -201,6 +278,10 @@ def read_shard_pg(
         if probed_cols is not None
         else probe_shard_schema(shard_addr, table)
     )
+    if partition_column is None and int(num_partitions) > 1:
+        # derive from the FULL probed schema — the slice predicate may
+        # reference a column outside the projection
+        partition_column = auto_partition_column(probe_cols)
     if columns is not None:
         keep = set(columns)
         probe_cols = [c for c in probe_cols if c[0] in keep]
@@ -323,8 +404,11 @@ def add_federated_tables(
     (jdbc when the Postgres driver class is loadable, else pgwire).
 
     ``partition_column``/``num_partitions`` parallelize WITHIN each
-    pgwire shard (the JDBC path takes the equivalent through
-    ``reader_options`` natively).
+    shard on BOTH transports; with ``num_partitions > 1`` and no
+    column named, the first integer column of each shard's schema is
+    auto-derived (disjoint MOD slices on pgwire, native
+    partitionColumn/bounds ranges on JDBC). Explicit
+    ``reader_options`` still win on the JDBC path.
     """
     if transport == "auto":
         transport = "jdbc" if jdbc_driver_available(spark) else "pgwire"
@@ -349,7 +433,14 @@ def add_federated_tables(
     for vt in tables:
         if transport == "jdbc":
             shards = [
-                read_shard(spark, addr, vt.name, reader_options)
+                read_shard(
+                    spark,
+                    addr,
+                    vt.name,
+                    reader_options,
+                    partition_column=partition_column,
+                    num_partitions=num_partitions,
+                )
                 for addr in vt.shard_addrs
             ]
         else:

@@ -91,9 +91,51 @@ def _type_metadata(dt: str) -> tuple:
     return (char_max, num_prec, num_radix, num_scale, dt_prec, interval_type)
 
 
+_ARROW_SCALARS = {
+    "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+    "bigint": "Int64", "float": "Float32", "double": "Float64",
+    "string": "Utf8", "boolean": "Boolean", "binary": "Binary",
+    "date": "Date32",
+    # fixture parquet carries micros; Spark timestamps are micros
+    "timestamp": "Timestamp(Microsecond, None)",
+    "timestamp_ntz": "Timestamp(Microsecond, None)",
+}
+
+#: session flag: render information_schema.columns.data_type with
+#: DataFusion/Arrow type names (Int64, Utf8) instead of Spark catalog
+#: names (bigint, string). SET csvb.information_schema.arrow_types=true
+ARROW_TYPES_CONF = "csvb.information_schema.arrow_types"
+
+
+def _arrow_type_name(dt: str) -> str:
+    """Spark catalog type string → the Arrow DataType name DataFusion's
+    information_schema renders (strict-parity introspection mode).
+    Scalar names are byte-exact vs arrow-rs Debug; List/Decimal render
+    the same constructor with a COMPACT element (DataFusion prints the
+    whole Field struct — reproducing its private Debug layout verbatim
+    would pin this emulation to one arrow-rs version)."""
+    t = dt.lower().strip()
+    if t in _ARROW_SCALARS:
+        return _ARROW_SCALARS[t]
+    m = _DECIMAL_RE.fullmatch(t)
+    if m:
+        return f"Decimal128({int(m.group(1))}, {int(m.group(2))})"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"List({_arrow_type_name(t[6:-1])})"
+    m = _CHAR_RE.fullmatch(t)
+    if m:
+        return "Utf8"
+    return dt  # maps/structs/intervals: keep the Spark rendering
+
+
 def refresh_information_schema(spark: SparkSession) -> None:
     """(Re)build information_schema_{tables,columns} temp views from
-    the live session catalog."""
+    the live session catalog. With ``csvb.information_schema.
+    arrow_types=true`` (session SET), data_type renders Arrow names
+    (Int64, Utf8) for byte-parity with DataFusion's introspection."""
+    arrow_types = (
+        str(spark.conf.get(ARROW_TYPES_CONF, "false")).lower() == "true"
+    )
     tables = []
     columns = []
     for t in spark.catalog.listTables():
@@ -112,7 +154,7 @@ def refresh_information_schema(spark: SparkSession) -> None:
                     t.name,
                     c.name,
                     i,
-                    c.dataType,
+                    _arrow_type_name(c.dataType) if arrow_types else c.dataType,
                     "YES" if c.nullable else "NO",
                     *_type_metadata(c.dataType),
                 )

@@ -653,6 +653,46 @@ def test_information_schema(spark, sf_dir):
     assert "t_info_new" in tabs2
 
 
+def test_information_schema_arrow_types_flag(spark, sf_dir):
+    """SET csvb.information_schema.arrow_types=true renders data_type
+    with DataFusion/Arrow names (Int64, Utf8, List(Float32),
+    Decimal128) for strict-parity introspection; off (the default)
+    keeps Spark catalog names."""
+    from csvb_spark.sources.catalog import register_views
+    from csvb_spark.sql import ARROW_TYPES_CONF, execute_sql
+
+    register_views(spark, sf_dir)
+    q = (
+        "SELECT column_name, data_type FROM information_schema.columns "
+        "WHERE table_name = '{t}' ORDER BY ordinal_position"
+    )
+    execute_sql(spark, f"SET {ARROW_TYPES_CONF}=true")
+    try:
+        docs = {
+            r.column_name: r.data_type
+            for r in execute_sql(spark, q.format(t="documents")).collect()
+        }
+        assert docs["doc_id"] == "Int64"
+        assert docs["text"] == "Utf8"
+        embs = {
+            r.column_name: r.data_type
+            for r in execute_sql(spark, q.format(t="embeddings")).collect()
+        }
+        assert embs["embedding"] == "List(Float32)"
+        evs = {
+            r.column_name: r.data_type
+            for r in execute_sql(spark, q.format(t="region")).collect()
+        }
+        assert evs["r_regionkey"] == "Int32"
+    finally:
+        execute_sql(spark, f"SET {ARROW_TYPES_CONF}=false")
+    off = {
+        r.column_name: r.data_type
+        for r in execute_sql(spark, q.format(t="documents")).collect()
+    }
+    assert off["doc_id"] == "bigint" and off["text"] == "string"
+
+
 def test_explain_and_set_passthrough(spark, sf_dir):
     """EXPLAIN and SET run natively through execute_sql (DataFusion
     surfaces both via the same sql() entry, reference lib.rs:88)."""

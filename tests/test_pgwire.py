@@ -2485,3 +2485,53 @@ def test_pg_catalog_real_psql(pg_server, cmd, want):
     assert r.returncode == 0 and not r.stderr.strip(), (r.stdout, r.stderr)
     for frag in want:
         assert frag in r.stdout, (cmd, frag, r.stdout)
+
+
+def test_federate_auto_partition_column_and_jdbc_options():
+    """Within-shard parallelism helpers: the partition column is the
+    first INTEGER column of the probed schema (never text/float), and
+    the JDBC option set degrades to empty — never to a silent
+    one-stripe scan — when bounds are unknown."""
+    from csvb_spark.sources.federation import (
+        auto_partition_column,
+        jdbc_partition_options,
+    )
+
+    assert (
+        auto_partition_column([("s", 25), ("v", 701), ("id", 20)]) == "id"
+    )
+    assert auto_partition_column([("s", 25), ("f", 701)]) is None
+    assert jdbc_partition_options("id", 0, 249, 4) == {
+        "partitionColumn": "id",
+        "lowerBound": "0",
+        "upperBound": "249",
+        "numPartitions": "4",
+    }
+    assert jdbc_partition_options("id", None, None, 4) == {}
+    assert jdbc_partition_options(None, 0, 9, 4) == {}
+    assert jdbc_partition_options("id", 0, 9, 1) == {}
+
+
+def test_federate_pgwire_auto_partitioned_read(spark, two_shards):
+    """Verdict r10 #6: add_federated_tables with num_partitions>1 and
+    NO partition column derives one from each shard's probed schema —
+    each shard reads as N parallel slices, results unchanged."""
+    from csvb_spark.sources.federation import (
+        VirtualTable,
+        add_federated_tables,
+    )
+
+    dfs = add_federated_tables(
+        spark,
+        [VirtualTable("tbl", two_shards)],
+        transport="pgwire",
+        num_partitions=3,
+    )
+    df = dfs["tbl"]
+    # 2 shards x 3 slices = 6 parallel pulls
+    assert df.rdd.getNumPartitions() == 6
+    agg = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(v) AS sv, MIN(id) AS mn, MAX(id) AS mx "
+        "FROM tbl"
+    ).collect()[0]
+    assert (agg.n, agg.sv, agg.mn, agg.mx) == (250, 62250, 0, 249)
