@@ -77,8 +77,15 @@ _PG_TYPE_ROWS = [
 
 def refresh_pg_catalog(spark: SparkSession) -> None:
     """(Re)build the ``pg_catalog_pg_*`` temp views from the live
-    session catalog. Cheap (driver-side metadata only) and idempotent;
-    called lazily when a query actually references pg_catalog."""
+    session catalog — driver-side metadata only, called lazily when a
+    query actually references pg_catalog. One psql ``\\d`` issues
+    6-10 catalog follow-up queries back-to-back, so rebuilds are
+    CACHED on a snapshot key of (tables, types, databases): only a
+    catalog change (create/drop/register) triggers the per-table
+    listColumns round trips and view rebuilds. Corner: replacing a
+    temp view under the SAME name with a different column set keeps
+    the key — the next add/drop refreshes; interactive introspection
+    is read-mostly, so staleness ends with the session's next DDL."""
     from csvb_spark.server.pgwire import _ELEM_ARRAY, _oid_for
 
     def mk(rows: list, schema: str, name: str) -> None:
@@ -87,6 +94,26 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
         )
 
     dbs = [d.name for d in spark.catalog.listDatabases()]
+    cat_tables = [
+        t
+        for t in spark.catalog.listTables()
+        if not t.name.startswith(("pg_catalog_", "information_schema_"))
+    ]
+    snap = (
+        tuple(sorted(dbs)),
+        tuple(
+            sorted(
+                (
+                    t.name,
+                    t.namespace[0] if t.namespace else "default",
+                    t.tableType or "",
+                )
+                for t in cat_tables
+            )
+        ),
+    )
+    if getattr(spark, "_csvb_pg_catalog_snap", None) == snap:
+        return
     ns_rows = [(_oid("ns:" + n), n, 10) for n in dbs]
     ns_rows += [
         (11, "pg_catalog", 10),
@@ -95,9 +122,7 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
     mk(ns_rows, "oid bigint, nspname string, nspowner bigint", "pg_namespace")
 
     classes, attrs = [], []
-    for t in spark.catalog.listTables():
-        if t.name.startswith(("pg_catalog_", "information_schema_")):
-            continue  # the emulation's own backing views are not tables
+    for t in cat_tables:
         schema = t.namespace[0] if t.namespace else "default"
         rel_oid = _oid(f"rel:{schema}.{t.name}")
         # registered scans are the engine's TABLES (see module note);
@@ -239,13 +264,22 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
             f"pg_catalog_{name}"
         )
 
+    # array oids render postgres-style 'elem[]' (real[], bigint[]) —
+    # the map is a plain local dict so the UDF closure pickles by
+    # value, never needing csvb_spark on executors
+    fmt_map = dict(_FORMAT_TYPE)
+    for eoid, aoid in _ELEM_ARRAY.items():
+        if eoid in _FORMAT_TYPE:
+            fmt_map[aoid] = _FORMAT_TYPE[eoid] + "[]"
+
     def _format_type(type_oid, typmod) -> str | None:  # cold-path UDF:
         # psql's \d column list only — never in the data plane
         if type_oid is None:
             return None
-        return _FORMAT_TYPE.get(int(type_oid), "text")
+        return fmt_map.get(int(type_oid), "text")
 
     spark.udf.register("pg_format_type", _format_type, "string")
+    spark._csvb_pg_catalog_snap = snap  # noqa: SLF001 — session-scoped cache
 
 
 # ---- textual rewrites ------------------------------------------------
@@ -383,11 +417,14 @@ def rewrite_pg_catalog_sql(sql: str) -> str:
         return tok
 
     masked = _ESTRING_RE.sub(_efix, masked)
+    # COLLATE strip runs BEFORE the double-quote conversion so its
+    # quoted-"default" alternative can still match (post-conversion it
+    # would see backticks and never fire)
+    masked = _COLLATE_RE.sub("", masked)
     masked = _DQUOTE_IDENT_RE.sub(
         lambda m: "`" + m.group(1).replace('""', '"') + "`", masked
     )
     masked = _OPERATOR_RE.sub(r"\1", masked)
-    masked = _COLLATE_RE.sub("", masked)
     for pat, repl in _FN_SUBS:
         masked = pat.sub(repl, masked)
     for pat, repl in _TYPE_SUBS:

@@ -160,7 +160,12 @@ def read_shard(
 
     params = parse_postgres_conn_str(shard_addr)
     opts = dict(reader_options or {})
-    if num_partitions > 1 and "numPartitions" not in opts:
+    # explicit reader_options win: a caller who named partitionColumn
+    # (with or without numPartitions) steered the split deliberately —
+    # auto-derivation must not clobber the column or its bounds
+    if num_partitions > 1 and not (
+        {"numPartitions", "partitionColumn"} & opts.keys()
+    ):
         if partition_column is None:
             # schema-only load: JDBC metadata round trip, no rows move
             for f in base_reader(table).load().schema.fields:
@@ -432,17 +437,28 @@ def add_federated_tables(
     out: dict[str, DataFrame] = {}
     for vt in tables:
         if transport == "jdbc":
-            shards = [
-                read_shard(
-                    spark,
-                    addr,
-                    vt.name,
-                    reader_options,
-                    partition_column=partition_column,
-                    num_partitions=num_partitions,
+            # same economics as the pgwire probe round: with auto-
+            # partitioning each read_shard costs up to two blocking
+            # JDBC round trips (schema metadata + MIN/MAX bounds), so
+            # N shards set up concurrently, not N x RTT serially
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=min(8, len(vt.shard_addrs) or 1)
+            ) as ex:
+                shards = list(
+                    ex.map(
+                        lambda addr: read_shard(
+                            spark,
+                            addr,
+                            vt.name,
+                            reader_options,
+                            partition_column=partition_column,
+                            num_partitions=num_partitions,
+                        ),
+                        vt.shard_addrs,
+                    )
                 )
-                for addr in vt.shard_addrs
-            ]
         else:
             shards = [
                 read_shard_pg(

@@ -139,6 +139,11 @@ def refresh_information_schema(spark: SparkSession) -> None:
     tables = []
     columns = []
     for t in spark.catalog.listTables():
+        if t.name.startswith(("pg_catalog_", "information_schema_")):
+            # both emulations' own backing temp views are machinery,
+            # not user tables — a \dt that refreshed pg_catalog must
+            # not make ~25 phantom rows appear here afterwards
+            continue
         schema = t.namespace[0] if t.namespace else "default"
         kind = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "BASE TABLE"
         # NOTE: the reference's federated table provider panics
@@ -456,6 +461,19 @@ def _rewrite_columns_selector(
     return sql
 
 
+_PG_CATALOG_REF_RE = re.compile(r"\bpg_catalog\s*\.")
+
+
+def _references_pg_catalog(sql: str) -> bool:
+    """True when the query carries a ``pg_catalog.``-qualified
+    reference OUTSIDE string literals (tables, functions, operators,
+    casts — everything psql emits is qualified)."""
+    from csvb_spark.functions.translate import _protect_literals
+
+    masked, _ = _protect_literals(sql)
+    return bool(_PG_CATALOG_REF_RE.search(masked))
+
+
 def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     """Translate reference-dialect SQL and run it, emulating
     information_schema on demand."""
@@ -464,9 +482,15 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     if _INFO_SCHEMA_RE.search(sql):
         refresh_information_schema(spark)
         sql = _INFO_SCHEMA_RE.sub(lambda m: f"information_schema_{m.group(1).lower()}", sql)
-    if "pg_catalog" in sql:
+    if "pg_catalog" in sql and _references_pg_catalog(sql):
         # psql meta-commands (\dt, \d tbl, \l, \dn): refresh the
-        # pg_catalog_pg_* views and strip the postgres-only syntax
+        # pg_catalog_pg_* views and strip the postgres-only syntax.
+        # The trigger is a `pg_catalog.` QUALIFIED REFERENCE outside
+        # string literals — a query that merely compares against the
+        # string 'pg_catalog' (the classic BI `table_schema NOT IN
+        # ('pg_catalog', ...)` shape) must NOT get the rewrite
+        # battery, whose double-quote→backtick pass would flip
+        # "quoted string" semantics to identifiers.
         from csvb_spark.server.pg_catalog import (
             refresh_pg_catalog,
             rewrite_pg_catalog_sql,

@@ -2535,3 +2535,92 @@ def test_federate_pgwire_auto_partitioned_read(spark, two_shards):
         "FROM tbl"
     ).collect()[0]
     assert (agg.n, agg.sv, agg.mn, agg.mx) == (250, 62250, 0, 249)
+
+
+def test_pg_catalog_rewrite_only_on_qualified_references(spark):
+    """Review r11: a query that merely CONTAINS the string
+    'pg_catalog' (the classic BI `NOT IN ('pg_catalog', ...)` filter)
+    must not get the rewrite battery — Spark's double-quoted string
+    literals would flip to identifiers."""
+    from csvb_spark.sql import execute_sql
+
+    row = execute_sql(
+        spark, "SELECT \"x,y\" AS v, 'pg_catalog' AS w"
+    ).collect()[0]
+    assert (row.v, row.w) == ("x,y", "pg_catalog")
+
+
+def test_pg_catalog_views_not_in_information_schema(spark, sf_dir):
+    """Review r11: running a psql meta-command (which materializes the
+    ~25 pg_catalog_pg_* backing views) must not make phantom rows
+    appear in information_schema.tables afterwards."""
+    from csvb_spark.sources.catalog import register_views
+    from csvb_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    execute_sql(
+        spark,
+        "SELECT c.relname FROM pg_catalog.pg_class c LIMIT 1",
+    ).collect()
+    names = [
+        r.table_name
+        for r in execute_sql(
+            spark, "SELECT table_name FROM information_schema.tables"
+        ).collect()
+    ]
+    assert not [n for n in names if n.startswith("pg_catalog_")], names
+    assert "documents" in names
+
+
+def test_pg_catalog_refresh_cached_and_invalidated(spark, sf_dir):
+    """Review r11: back-to-back catalog queries (one psql \\d = 6-10)
+    reuse the snapshot-keyed build; a catalog change invalidates it."""
+    from csvb_spark.server.pg_catalog import refresh_pg_catalog
+    from csvb_spark.sources.catalog import register_views
+    from csvb_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    refresh_pg_catalog(spark)
+    snap1 = spark._csvb_pg_catalog_snap
+    refresh_pg_catalog(spark)  # cache hit — same snapshot object
+    assert spark._csvb_pg_catalog_snap is snap1
+    spark.range(2).createOrReplaceTempView("t_pgcat_new")
+    try:
+        names = {
+            r.relname
+            for r in execute_sql(
+                spark, "SELECT relname FROM pg_catalog.pg_class"
+            ).collect()
+        }
+        assert "t_pgcat_new" in names  # DDL invalidated the cache
+    finally:
+        spark.catalog.dropTempView("t_pgcat_new")
+
+
+def test_pg_catalog_format_type_arrays_and_quoted_collate(spark, sf_dir):
+    """Review r11: array columns render postgres-style 'real[]' in the
+    \\d column list (not 'text'), and the quoted COLLATE "default"
+    form strips (it used to survive into unparseable backticks)."""
+    from csvb_spark.server.pg_catalog import rewrite_pg_catalog_sql
+    from csvb_spark.sources.catalog import register_views
+    from csvb_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    look = execute_sql(
+        spark,
+        _PSQL_D_LOOKUP_SQL.replace("documents", "embeddings"),
+    ).collect()
+    oid = look[0][0]
+    cols = execute_sql(
+        spark, _PSQL_D_COLUMNS_SQL.format(oid=oid)
+    ).collect()
+    types = {c[0]: c[1] for c in cols}
+    assert types["embedding"] == "real[]", types
+    assert types["vec_id"] == "bigint"
+
+    out = rewrite_pg_catalog_sql(
+        "SELECT c.relname FROM pg_catalog.pg_class c "
+        "WHERE c.relname OPERATOR(pg_catalog.~) '^(x)$' "
+        'COLLATE pg_catalog."default"'
+    )
+    assert "COLLATE" not in out and "default" not in out, out
