@@ -114,12 +114,16 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
     )
     if getattr(spark, "_csvb_pg_catalog_snap", None) == snap:
         return
-    ns_rows = [(_oid("ns:" + n), n, 10) for n in dbs]
+    ns_rows = [(_oid("ns:" + n), n, 10, None) for n in dbs]
     ns_rows += [
-        (11, "pg_catalog", 10),
-        (_oid("ns:information_schema"), "information_schema", 10),
+        (11, "pg_catalog", 10, None),
+        (_oid("ns:information_schema"), "information_schema", 10, None),
     ]
-    mk(ns_rows, "oid bigint, nspname string, nspowner bigint", "pg_namespace")
+    mk(
+        ns_rows,
+        "oid bigint, nspname string, nspowner bigint, nspacl array<string>",
+        "pg_namespace",
+    )
 
     classes, attrs = [], []
     for t in cat_tables:
@@ -144,6 +148,7 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
                 0,           # reltoastrelid (psql \d TOAST probe)
                 0.0,         # reltuples (unknown: -1 in pg; 0 is safer)
                 0,           # relpages
+                None,        # relacl (\dp / \z)
             )
         )
         for i, c in enumerate(spark.catalog.listColumns(t.name), start=1):
@@ -156,6 +161,10 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
                     False, False,          # atthasdef / attisdropped
                     "", "",                # attidentity / attgenerated
                     0,                     # attcollation
+                    -1,                    # attstattarget (\d+ verbose)
+                    "x" if type_len < 0 else "p",  # attstorage
+                    "",                    # attcompression
+                    None,                  # attacl (\dp / \z)
                 )
             )
     mk(
@@ -166,7 +175,8 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
         "relrowsecurity boolean, relforcerowsecurity boolean, "
         "relispartition boolean, reltablespace bigint, reloftype bigint, "
         "relpersistence string, relreplident string, "
-        "reltoastrelid bigint, reltuples double, relpages bigint",
+        "reltoastrelid bigint, reltuples double, relpages bigint, "
+        "relacl array<string>",
         "pg_class",
     )
     mk(
@@ -174,7 +184,8 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
         "attrelid bigint, attname string, atttypid bigint, attlen int, "
         "attnum int, atttypmod int, attnotnull boolean, "
         "atthasdef boolean, attisdropped boolean, attidentity string, "
-        "attgenerated string, attcollation bigint",
+        "attgenerated string, attcollation bigint, attstattarget int, "
+        "attstorage string, attcompression string, attacl array<string>",
         "pg_attribute",
     )
 
@@ -196,14 +207,49 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
 
     cat = spark.catalog.currentCatalog() or "spark_catalog"
     mk(
-        [(1, cat, 10, 6, "c", False, True, "C", "C", None, None, None)],
+        [
+            (1, cat, 10, 6, "c", False, True, "C", "C", None, None, None,
+             1663, -1)
+        ],
         "oid bigint, datname string, datdba bigint, encoding int, "
         "datlocprovider string, datistemplate boolean, "
         "datallowconn boolean, datcollate string, datctype string, "
-        "daticulocale string, daticurules string, datacl array<string>",
+        "daticulocale string, daticurules string, datacl array<string>, "
+        "dattablespace bigint, datconnlimit int",
         "pg_database",
     )
     mk([(2, "heap", "t")], "oid bigint, amname string, amtype string", "pg_am")
+    mk(
+        [(1663, "pg_default", None)],
+        "oid bigint, spcname string, spcacl array<string>",
+        "pg_tablespace",
+    )
+    # one role: the session user psql's \du renders
+    mk(
+        [(10, "spark", True, True, True, True, True, -1, None, False,
+          False)],
+        "oid bigint, rolname string, rolsuper boolean, "
+        "rolinherit boolean, rolcreaterole boolean, rolcreatedb boolean, "
+        "rolcanlogin boolean, rolconnlimit int, rolvaliduntil string, "
+        "rolreplication boolean, rolbypassrls boolean",
+        "pg_roles",
+    )
+    # \df lists the session's REGISTERED UDFs — Spark marks all ~550
+    # builtins isTemporary too, so the discriminator is the className
+    # (UDFRegistration lambdas vs catalyst expression classes); the
+    # builtins stay hidden exactly like postgres hides pg_catalog's
+    fn_rows = [
+        (_oid("fn:" + f.name), f.name, _oid("ns:default"), "f")
+        for f in spark.catalog.listFunctions()
+        if f.isTemporary
+        and not f.name.startswith("pg_")
+        and "UDFRegistration" in (f.className or "")
+    ]
+    mk(
+        fn_rows or [],
+        "oid bigint, proname string, pronamespace bigint, prokind string",
+        "pg_proc",
+    )
 
     # feature tables the engine has no rows for — present so psql's
     # follow-up queries (constraints, indexes, stats, publications,
@@ -257,7 +303,14 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
             "oid bigint, tgrelid bigint, tgname string, tgenabled string, "
             "tgisinternal boolean"
         ),
-        "pg_roles": "oid bigint, rolname string",
+        "pg_auth_members": (
+            "roleid bigint, member bigint, grantor bigint, "
+            "admin_option boolean"
+        ),
+        "pg_extension": (
+            "oid bigint, extname string, extversion string, "
+            "extnamespace bigint"
+        ),
     }
     for name, schema in empties.items():
         spark.createDataFrame([], schema).createOrReplaceTempView(
@@ -288,6 +341,32 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
 # argument list here is paren-free in practice, so [^()]* is exact
 _P = r"(?:pg_catalog\.)?"  # psql writes some helpers bare (pg_get_expr)
 _FN_SUBS: list[tuple[re.Pattern, str]] = [
+    # size probes first (their results feed pg_size_pretty's argument)
+    (
+        re.compile(_P + r"pg_(?:table|database|total_relation)_size"
+                   r"\s*\([^()]*\)"),
+        "CAST(0 AS BIGINT)",
+    ),
+    (
+        # one nesting level allowed: pg_size_pretty(CAST(0 AS BIGINT))
+        re.compile(_P + r"pg_size_pretty\s*\(((?:[^()]|\([^()]*\))*)\)"),
+        r"concat(CAST(\1 AS STRING), ' bytes')",
+    ),
+    (re.compile(_P + r"has_database_privilege\s*\([^()]*\)"), "true"),
+    (re.compile(_P + r"pg_function_is_visible\s*\([^()]*\)"), "true"),
+    (
+        re.compile(_P + r"pg_get_function_(?:result|arguments)"
+                   r"\s*\([^()]*\)"),
+        "CAST(NULL AS STRING)",
+    ),
+    (
+        re.compile(_P + r"(?:col|shobj)_description\s*\([^()]*\)"),
+        "CAST(NULL AS STRING)",
+    ),
+    (
+        re.compile(_P + r"pg_tablespace_location\s*\([^()]*\)"),
+        "CAST(NULL AS STRING)",
+    ),
     (re.compile(_P + r"pg_table_is_visible\s*\([^()]*\)"), "true"),
     (re.compile(_P + r"pg_get_userbyid\s*\([^()]*\)"), "'spark'"),
     (re.compile(_P + r"pg_encoding_to_char\s*\([^()]*\)"), "'UTF8'"),
@@ -351,11 +430,67 @@ _FN_PREFIX_RE = re.compile(r"pg_catalog\.(?=\w+\s*\()")
 _ANY_RE = re.compile(
     r"(\x00LIT\d+\x00|[\w.]+)\s*=\s*any\s*\(([^()]*)\)", re.IGNORECASE
 )
-# postgres ARRAY(subquery) constructor (psql's row-security roles
-# probe) → correlated scalar subquery with a sorted array_agg
-_ARRAY_SUBQ_RE = re.compile(
-    r"array\s*\(\s*select\s+(\w+)\s+from\s+([\w.]+)\s+where\s+(.+?)"
-    r"\s+order\s+by\s+1\s*\)",
+# postgres ARRAY(subquery) constructor (psql's row-security roles and
+# \du memberof probes) → correlated scalar subquery with a sorted
+# array_agg. Paren-aware: the subquery may hold JOIN ... ON (...)
+_ARRAY_SELECT_OPEN_RE = re.compile(
+    r"\barray\s*\(\s*select\b", re.IGNORECASE
+)
+_FROM_KW_RE = re.compile(r"\bfrom\b", re.IGNORECASE)
+
+
+def _rewrite_array_selects(masked: str) -> str:
+    """Every ``ARRAY(SELECT expr FROM rest [ORDER BY 1])`` becomes
+    ``(SELECT sort_array(array_agg(expr)) FROM rest)`` — Spark has no
+    subquery array constructor. Scans to the MATCHING close paren so
+    joins with parenthesized ON clauses survive; the emulation tables
+    feeding these are empty, so sort_array-for-ORDER-BY is exact."""
+    while True:
+        m = _ARRAY_SELECT_OPEN_RE.search(masked)
+        if not m:
+            return masked
+        op = masked.index("(", m.start())
+        depth, j = 0, op
+        while j < len(masked):
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        inner = masked[op + 1 : j]
+        # head expression = between SELECT and the depth-0 FROM
+        sel_end = re.match(r"\s*select\s", inner, re.IGNORECASE).end()
+        d2, frompos = 0, None
+        for fm in _FROM_KW_RE.finditer(inner, sel_end):
+            d2 = inner.count("(", sel_end, fm.start()) - inner.count(
+                ")", sel_end, fm.start()
+            )
+            if d2 == 0:
+                frompos = fm.start()
+                break
+        if frompos is None:  # no FROM — leave untouched, drop marker
+            return masked
+        expr = inner[sel_end:frompos].strip()
+        rest = re.sub(
+            r"\s+order\s+by\s+1\s*$", "", inner[frompos:], flags=re.I
+        )
+        masked = (
+            masked[: m.start()]
+            + f"(select sort_array(array_agg({expr})) {rest})"
+            + masked[j + 1 :]
+        )
+
+
+# psql \d+'s toast-options rendering: array concat `||` of reloptions
+# with an ARRAY(SELECT 'toast.'||x FROM unnest(tc.reloptions) x) —
+# both sides are always-NULL here (no reloptions emulated), so the
+# whole expression is NULL
+_RELOPTIONS_RE = re.compile(
+    # matches both the raw name and the post-_FN_SUBS array_join form
+    r"(?:pg_catalog\.)?array_(?:to_string|join)\(\s*c\.reloptions\s*\|\|"
+    r".*?unnest\(tc\.reloptions\)\s*\w*\s*\)\s*,\s*\x00LIT\d+\x00\s*\)",
     re.IGNORECASE | re.DOTALL,
 )
 # psql \d's publication-columns probe (describe.c, sversion>=15): a
@@ -368,10 +503,15 @@ _PRATTRS_CASE_RE = re.compile(
     r"ELSE\s+NULL\s+END\)",
     re.IGNORECASE | re.DOTALL,
 )
+_REGCLASS_LIT_RE = re.compile(
+    r"(\x00LIT(\d+)\x00)\s*::\s*(?:pg_catalog\.)?regclass\b"
+)
 # array-literal comparisons against our array-typed emulation columns
 # ('{0}' = empty-roles sentinel) — the tables are empty, so a typed
 # FALSE preserves semantics without teaching Spark pg's array syntax
-_ARRAY_LIT_CMP_RE = re.compile(r"[\w.]+\s*=\s*(\x00LIT(\d+)\x00)")
+_ARRAY_LIT_CMP_RE = re.compile(
+    r"[\w.]+\s*(=|<>|!=)\s*(\x00LIT(\d+)\x00)"
+)
 _ESTRING_RE = re.compile(r"\bE(\x00LIT\d+\x00)")
 
 _E_ESCAPES = {
@@ -427,16 +567,35 @@ def rewrite_pg_catalog_sql(sql: str) -> str:
     masked = _OPERATOR_RE.sub(r"\1", masked)
     for pat, repl in _FN_SUBS:
         masked = pat.sub(repl, masked)
+
+    # 'name'::regclass resolves a NAME to an oid in postgres; constant
+    # folding would choke casting the name to bigint, and psql only
+    # uses the form against EMPTY feature tables (pg_description
+    # classoid filters) — typed NULL preserves the empty result.
+    # Numeric literals ('16384'::regclass, the partition-ancestors
+    # VALUES) keep their oid value. Runs BEFORE the generic regclass →
+    # string type sub below.
+    def _regclass_lit(m: re.Match) -> str:
+        body = lits[int(m.group(2))][1:-1]
+        if body.isdigit():
+            return f"CAST({m.group(1)} AS BIGINT)"
+        return "CAST(NULL AS BIGINT)"
+
+    masked = _REGCLASS_LIT_RE.sub(_regclass_lit, masked)
     for pat, repl in _TYPE_SUBS:
         masked = pat.sub(repl, masked)
     masked = _PRATTRS_CASE_RE.sub("CAST(NULL AS STRING)", masked)
-    masked = _ARRAY_SUBQ_RE.sub(
-        r"(select sort_array(array_agg(\1)) from \2 where \3)", masked
-    )
+    masked = _RELOPTIONS_RE.sub("CAST(NULL AS STRING)", masked)
+    masked = _rewrite_array_selects(masked)
 
     def _arraylit_cmp(m: re.Match) -> str:
-        body = lits[int(m.group(2))][1:-1]
-        return "false" if body.startswith("{") else m.group(0)
+        body = lits[int(m.group(3))][1:-1]
+        if not body.startswith("{"):
+            return m.group(0)
+        # the emulation's array columns are all NULL/empty — equality
+        # with an array literal is typed FALSE either way (postgres
+        # NULL <> '{0}' is NULL, which filters the same as false)
+        return "false"
 
     masked = _ARRAY_LIT_CMP_RE.sub(_arraylit_cmp, masked)
     # scalar = ANY(array) → array_contains (psql's stxkind probes)

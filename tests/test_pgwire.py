@@ -2467,6 +2467,18 @@ def test_pg_catalog_psql_dt_and_describe(conn):
         (r"\d documents", ["doc_id", "bigint", "n_chars", "text"]),
         (r"\l", ["UTF8"]),
         (r"\dn", ["default"]),
+        # verbose battery (round 11): size/persistence/storage columns,
+        # array types, roles, databases, functions, privileges
+        (r"\dt+", ["documents", "Persistence", "heap", "bytes"]),
+        (r"\d+ region", ["r_regionkey", "Storage", "plain", "extended"]),
+        (r"\d embeddings", ["embedding", "real[]", "vec_id"]),
+        (r"\l+", ["pg_default", "bytes"]),
+        (r"\dn+", ["default", "spark"]),
+        (r"\df", ["haiku"]),
+        (r"\du", ["spark", "Superuser"]),
+        (r"\db", ["pg_default"]),
+        (r"\dp region", ["region"]),
+        (r"\dx", ["Name"]),
     ],
 )
 def test_pg_catalog_real_psql(pg_server, cmd, want):
