@@ -246,7 +246,7 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
         and "UDFRegistration" in (f.className or "")
     ]
     mk(
-        fn_rows or [],
+        fn_rows,
         "oid bigint, proname string, pronamespace bigint, prokind string",
         "pg_proc",
     )

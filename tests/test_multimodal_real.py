@@ -628,7 +628,8 @@ def test_adpcm_round_trip_matches_pure_python_replay(spark):
     for r in adpcm_round_trip(docs).collect():
         n = 1200 + r.doc_id % 301
         sr, ref = py_decode(payloads[r.doc_id])
-        assert r.decoded and (r.n_channels, r.sample_rate) == (1, sr == 8000 and 8000)
+        assert sr == 8000
+        assert r.decoded and (r.n_channels, r.sample_rate) == (1, 8000)
         assert r.n_samples == n == len(ref)
         assert r.duration_ms == round(n * 1000.0 / 8000, 6)
         # bit-exact vs the independent decode
