@@ -2636,3 +2636,29 @@ def test_pg_catalog_format_type_arrays_and_quoted_collate(spark, sf_dir):
         'COLLATE pg_catalog."default"'
     )
     assert "COLLATE" not in out and "default" not in out, out
+
+
+def test_pg_catalog_over_extended_protocol(conn):
+    """BI clients (DBeaver/pgAdmin, JDBC metadata) issue the same
+    pg_catalog introspection through Parse/Bind/Execute — the rewrite
+    and view refresh must work on the extended path too, not just
+    psql's simple-protocol meta-commands."""
+    sock, buf = conn
+    sql = _PSQL_DT_SQL.encode()
+    parse = b"\x00" + sql + b"\x00" + struct.pack("!h", 0)
+    sock.sendall(b"P" + struct.pack("!I", len(parse) + 4) + parse)
+    bind = b"\x00\x00" + struct.pack("!hhh", 0, 0, 0)
+    sock.sendall(b"B" + struct.pack("!I", len(bind) + 4) + bind)
+    execute = b"\x00" + struct.pack("!I", 0)
+    sock.sendall(b"E" + struct.pack("!I", len(execute) + 4) + execute)
+    sock.sendall(b"S" + struct.pack("!I", 4))
+    msgs = _read_until_ready(sock, buf)
+    all_tags = [t for t, _ in msgs]
+    rows = _data_rows(msgs)
+    while b"D" not in all_tags:
+        msgs = _read_until_ready(sock, buf)
+        all_tags += [t for t, _ in msgs]
+        rows += _data_rows(msgs)
+    assert not [p for t, p in msgs if t == b"E"], msgs
+    names = {r[1] for r in rows}
+    assert b"documents" in names and b"region" in names
