@@ -99,6 +99,19 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
         for t in spark.catalog.listTables()
         if not t.name.startswith(("pg_catalog_", "information_schema_"))
     ]
+    # \df source: the session's REGISTERED UDFs — Spark marks all ~550
+    # builtins isTemporary too, so the discriminator is the className
+    # (UDFRegistration lambdas vs catalyst expression classes); the
+    # builtins stay hidden exactly like postgres hides pg_catalog's.
+    # Part of the snapshot key so a UDF registered mid-session shows
+    # up in \df without waiting for an unrelated table DDL.
+    fn_names = sorted(
+        f.name
+        for f in spark.catalog.listFunctions()
+        if f.isTemporary
+        and not f.name.startswith("pg_")
+        and "UDFRegistration" in (f.className or "")
+    )
     snap = (
         tuple(sorted(dbs)),
         tuple(
@@ -111,6 +124,7 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
                 for t in cat_tables
             )
         ),
+        tuple(fn_names),
     )
     if getattr(spark, "_csvb_pg_catalog_snap", None) == snap:
         return
@@ -220,8 +234,9 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
     )
     mk([(2, "heap", "t")], "oid bigint, amname string, amtype string", "pg_am")
     mk(
-        [(1663, "pg_default", None)],
-        "oid bigint, spcname string, spcacl array<string>",
+        [(1663, "pg_default", None, None)],
+        "oid bigint, spcname string, spcacl array<string>, "
+        "spcoptions array<string>",
         "pg_tablespace",
     )
     # one role: the session user psql's \du renders
@@ -234,19 +249,11 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
         "rolreplication boolean, rolbypassrls boolean",
         "pg_roles",
     )
-    # \df lists the session's REGISTERED UDFs — Spark marks all ~550
-    # builtins isTemporary too, so the discriminator is the className
-    # (UDFRegistration lambdas vs catalyst expression classes); the
-    # builtins stay hidden exactly like postgres hides pg_catalog's
-    fn_rows = [
-        (_oid("fn:" + f.name), f.name, _oid("ns:default"), "f")
-        for f in spark.catalog.listFunctions()
-        if f.isTemporary
-        and not f.name.startswith("pg_")
-        and "UDFRegistration" in (f.className or "")
-    ]
     mk(
-        fn_rows,
+        [
+            (_oid("fn:" + n), n, _oid("ns:default"), "f")
+            for n in fn_names
+        ],
         "oid bigint, proname string, pronamespace bigint, prokind string",
         "pg_proc",
     )
@@ -343,8 +350,10 @@ _P = r"(?:pg_catalog\.)?"  # psql writes some helpers bare (pg_get_expr)
 _FN_SUBS: list[tuple[re.Pattern, str]] = [
     # size probes first (their results feed pg_size_pretty's argument)
     (
-        re.compile(_P + r"pg_(?:table|database|total_relation)_size"
-                   r"\s*\([^()]*\)"),
+        re.compile(
+            _P + r"pg_(?:table|database|total_relation|tablespace)_size"
+            r"\s*\([^()]*\)"
+        ),
         "CAST(0 AS BIGINT)",
     ),
     (
@@ -432,55 +441,50 @@ _ANY_RE = re.compile(
 )
 # postgres ARRAY(subquery) constructor (psql's row-security roles and
 # \du memberof probes) → correlated scalar subquery with a sorted
-# array_agg. Paren-aware: the subquery may hold JOIN ... ON (...)
-_ARRAY_SELECT_OPEN_RE = re.compile(
-    r"\barray\s*\(\s*select\b", re.IGNORECASE
-)
+# array_agg. Paren matching reuses translate._find_calls, the same
+# scanner every other call rewrite in the codebase uses.
 _FROM_KW_RE = re.compile(r"\bfrom\b", re.IGNORECASE)
 
 
 def _rewrite_array_selects(masked: str) -> str:
     """Every ``ARRAY(SELECT expr FROM rest [ORDER BY 1])`` becomes
     ``(SELECT sort_array(array_agg(expr)) FROM rest)`` — Spark has no
-    subquery array constructor. Scans to the MATCHING close paren so
-    joins with parenthesized ON clauses survive; the emulation tables
+    subquery array constructor. Joins with parenthesized ON clauses
+    survive (matched-paren scan); plain ``array(1, 2)`` constructors
+    and FROM-less selects pass through untouched. The emulation tables
     feeding these are empty, so sort_array-for-ORDER-BY is exact."""
-    while True:
-        m = _ARRAY_SELECT_OPEN_RE.search(masked)
-        if not m:
-            return masked
-        op = masked.index("(", m.start())
-        depth, j = 0, op
-        while j < len(masked):
-            if masked[j] == "(":
-                depth += 1
-            elif masked[j] == ")":
-                depth -= 1
-                if depth == 0:
+    from csvb_spark.functions.translate import _find_calls
+
+    changed = True
+    while changed:
+        changed = False
+        for start, op, cl in _find_calls(masked, "array"):
+            inner = masked[op + 1 : cl]
+            msel = re.match(r"\s*select\b", inner, re.IGNORECASE)
+            if not msel:
+                continue  # ordinary array constructor
+            sel_end = msel.end()
+            frompos = None
+            for fm in _FROM_KW_RE.finditer(inner, sel_end):
+                if inner.count("(", sel_end, fm.start()) == inner.count(
+                    ")", sel_end, fm.start()
+                ):
+                    frompos = fm.start()
                     break
-            j += 1
-        inner = masked[op + 1 : j]
-        # head expression = between SELECT and the depth-0 FROM
-        sel_end = re.match(r"\s*select\s", inner, re.IGNORECASE).end()
-        d2, frompos = 0, None
-        for fm in _FROM_KW_RE.finditer(inner, sel_end):
-            d2 = inner.count("(", sel_end, fm.start()) - inner.count(
-                ")", sel_end, fm.start()
+            if frompos is None:
+                continue  # FROM-less subquery — nothing to aggregate
+            expr = inner[sel_end:frompos].strip()
+            rest = re.sub(
+                r"\s+order\s+by\s+1\s*$", "", inner[frompos:], flags=re.I
             )
-            if d2 == 0:
-                frompos = fm.start()
-                break
-        if frompos is None:  # no FROM — leave untouched, drop marker
-            return masked
-        expr = inner[sel_end:frompos].strip()
-        rest = re.sub(
-            r"\s+order\s+by\s+1\s*$", "", inner[frompos:], flags=re.I
-        )
-        masked = (
-            masked[: m.start()]
-            + f"(select sort_array(array_agg({expr})) {rest})"
-            + masked[j + 1 :]
-        )
+            masked = (
+                masked[:start]
+                + f"(select sort_array(array_agg({expr})) {rest})"
+                + masked[cl + 1 :]
+            )
+            changed = True
+            break  # offsets shifted — rescan (handles nesting too)
+    return masked
 
 
 # psql \d+'s toast-options rendering: array concat `||` of reloptions

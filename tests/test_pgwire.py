@@ -2477,6 +2477,7 @@ def test_pg_catalog_psql_dt_and_describe(conn):
         (r"\df", ["haiku"]),
         (r"\du", ["spark", "Superuser"]),
         (r"\db", ["pg_default"]),
+        (r"\db+", ["pg_default", "bytes"]),
         (r"\dp region", ["region"]),
         (r"\dx", ["Name"]),
     ],
@@ -2652,13 +2653,50 @@ def test_pg_catalog_over_extended_protocol(conn):
     execute = b"\x00" + struct.pack("!I", 0)
     sock.sendall(b"E" + struct.pack("!I", len(execute) + 4) + execute)
     sock.sendall(b"S" + struct.pack("!I", 4))
-    msgs = _read_until_ready(sock, buf)
-    all_tags = [t for t, _ in msgs]
-    rows = _data_rows(msgs)
-    while b"D" not in all_tags:
+    # collect until DataRows arrive — but FAIL FAST on ErrorResponse
+    # (a rewrite regression must assert with the payload, not hang
+    # recv()ing a drained socket until the timeout)
+    rows, all_tags, errs = [], [], []
+    while b"D" not in all_tags and not errs:
         msgs = _read_until_ready(sock, buf)
         all_tags += [t for t, _ in msgs]
         rows += _data_rows(msgs)
-    assert not [p for t, p in msgs if t == b"E"], msgs
+        errs += [p for t, p in msgs if t == b"E"]
+    assert not errs, errs
     names = {r[1] for r in rows}
     assert b"documents" in names and b"region" in names
+
+
+def test_pg_catalog_df_sees_new_udf_and_array_select_edge(spark, sf_dir):
+    """Review r11b: (a) registering a UDF mid-session must invalidate
+    the pg_catalog snapshot so \\df shows it; (b) ARRAY(SELECT without
+    trailing whitespace must rewrite, not crash."""
+    from csvb_spark.server.pg_catalog import (
+        refresh_pg_catalog,
+        rewrite_pg_catalog_sql,
+    )
+    from csvb_spark.sources.catalog import register_views
+    from csvb_spark.sql import execute_sql
+
+    register_views(spark, sf_dir)
+    refresh_pg_catalog(spark)
+    spark.udf.register("pgcat_probe_fn", lambda: 1, "int")
+    names = {
+        r.proname
+        for r in execute_sql(
+            spark, "SELECT proname FROM pg_catalog.pg_proc"
+        ).collect()
+    }
+    assert "pgcat_probe_fn" in names
+
+    out = rewrite_pg_catalog_sql(
+        "SELECT ARRAY(SELECT(rolname) FROM pg_catalog.pg_roles "
+        "WHERE oid = 10) AS a"
+    )
+    assert "array_agg" in out and "ARRAY(SELECT(" not in out
+    row = execute_sql(
+        spark,
+        "SELECT ARRAY(SELECT(rolname) FROM pg_catalog.pg_roles "
+        "WHERE oid = 10) AS a",
+    ).collect()[0]
+    assert row.a == ["spark"]
