@@ -2700,3 +2700,50 @@ def test_pg_catalog_df_sees_new_udf_and_array_select_edge(spark, sf_dir):
         "WHERE oid = 10) AS a",
     ).collect()[0]
     assert row.a == ["spark"]
+
+
+def test_pg_catalog_concurrent_introspection_with_ddl(pg_server, spark):
+    """Three clients hammer the \\dt query while the main thread
+    creates/drops temp views — refreshes race each other and the DDL,
+    and every response must still be a well-formed row set (no
+    mid-rebuild errors leak to clients)."""
+    import threading
+    import time
+
+    errors: list = []
+
+    def client(worker: int) -> None:
+        try:
+            s = socket.create_connection(
+                ("127.0.0.1", pg_server.port), timeout=120
+            )
+            b = bytearray()
+            _startup(s)
+            _read_until_ready(s, b)
+            for _ in range(4):
+                msgs = _simple_query(s, b, _PSQL_DT_SQL)
+                errs = [p for t, p in msgs if t == b"E"]
+                if errs:
+                    errors.append((worker, errs[0]))
+                    return
+                names = {r[1] for r in _data_rows(msgs)}
+                if b"documents" not in names:
+                    errors.append((worker, f"missing documents: {names}"))
+                    return
+            s.close()
+        except Exception as ex:  # noqa: BLE001
+            errors.append((worker, repr(ex)))
+
+    threads = [
+        threading.Thread(target=client, args=(w,)) for w in range(3)
+    ]
+    for t in threads:
+        t.start()
+    # concurrent DDL: register/drop views while the clients introspect
+    for i in range(6):
+        spark.range(3).createOrReplaceTempView(f"pgcat_race_{i % 2}")
+        time.sleep(0.15)
+        spark.catalog.dropTempView(f"pgcat_race_{i % 2}")
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, errors
