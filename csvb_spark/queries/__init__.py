@@ -239,7 +239,16 @@ their oracles. Window still exactly 50.
 x135 IMA ADPCM round trip (rows-only: the decode state machine has
 no row-wise SQL replay; pytest holds the bit-exact oracle).
 
-Corpus: 211 entries, 205 with full oracles.
+Round-11 second batch: q53-q61 — the remaining TPC-H query shapes
+expressible on the fixture schema (Q7 volume shipping, Q8 market
+share, Q10 returned items, Q14 promo revenue, Q15 top supplier, Q18
+large-volume customers, Q19 disjunctive bands, Q21 waiting suppliers,
+Q22 global sales; Q2/Q9/Q11/Q16/Q20 need the absent partsupp table,
+and Q21/Q22 use fixture-native surrogates for the missing
+commit/receipt dates and phone prefixes). DataFrame-API Spark sides
+vs near-verbatim TPC-H DuckDB oracles.
+
+Corpus: 220 entries, 214 with full oracles.
 """
 
 from __future__ import annotations

@@ -605,3 +605,494 @@ JOIN part ON p_size >= b.lo AND p_size < b.hi
 GROUP BY b.band
 """
 _q("q29_theta_join_bands", spark=sql_query(_SQL_Q29), oracle=_SQL_Q29)
+
+
+# --- round 11: the remaining TPC-H query shapes expressible on the
+# TPC-H-ish fixture schema (no partsupp table, and lineitem carries no
+# commit/receipt dates — Q2/Q9/Q11/Q16/Q20 need partsupp; Q21's
+# lateness and Q22's phone prefix use fixture-native surrogates, the
+# query SHAPES are intact). The reference runs the genuine articles
+# through DataFusion (csvb_engine/src/lib.rs:88); each entry here is
+# DataFrame-API on the Spark side vs near-verbatim TPC-H SQL in the
+# DuckDB oracle, so two independent formulations must agree.
+
+
+def _read(spark: SparkSession, sf_dir: str, *names: str) -> dict:
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+# --- q53: TPC-H Q7 volume shipping between two nations -----------------
+# Scale: both nation dims broadcast; the lineitem⨝orders edge is the
+# only shuffle. The symmetric nation-pair OR stays a post-join filter
+# on broadcast columns — no blowup.
+def _q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation")
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") <= F.lit("1997-12-31").cast("timestamp"))
+        )
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_12")
+                & (F.col("cust_nation") == "NATION_10")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_10")
+                & (F.col("cust_nation") == "NATION_12")
+            )
+        )
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue")
+        )
+    )
+
+
+_q(
+    "q53_tpch_q7_volume_shipping",
+    spark=_q53,
+    oracle=f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM supplier, lineitem, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+       OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                     AND TIMESTAMP '1997-12-31 00:00:00'
+GROUP BY 1, 2, 3
+""",
+)
+
+
+# --- q54: TPC-H Q8 national market share --------------------------------
+# Scale: the 8-way star keeps every dimension broadcast; numerator and
+# denominator come from ONE exact decimal aggregation pass (no second
+# scan), divided in double — bit-identical cross-engine, shipped
+# unrounded per the common.py rule.
+def _q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(
+        spark, sf_dir,
+        "part", "supplier", "lineitem", "orders", "customer", "nation", "region",
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = "l_extendedprice * (1 - l_discount)"
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "ECONOMY")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.expr(
+                    dsum(f"CASE WHEN supp_nation = 'NATION_3' THEN {vol} ELSE 0 END")
+                )
+                / F.expr(dsum(vol))
+            ).alias("mkt_share")
+        )
+    )
+
+
+_q(
+    "q54_tpch_q8_market_share",
+    spark=_q54,
+    oracle=f"""
+SELECT year(o_orderdate) AS o_year,
+       {dsum("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+       / {dsum('l_extendedprice * (1 - l_discount)')} AS mkt_share
+FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+  AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                      AND TIMESTAMP '1997-12-31 00:00:00'
+  AND p_type = 'ECONOMY'
+GROUP BY 1
+""",
+)
+
+
+# --- q55: TPC-H Q10 returned items ---------------------------------------
+# Scale: quarter filter prunes orders before the lineitem join;
+# customer/nation broadcast; top-20 is TakeOrderedAndProject.
+def _q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+_q(
+    "q55_tpch_q10_returned_items",
+    spark=_q55,
+    oracle=f"""
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+
+
+# --- q56: TPC-H Q14 promo revenue ----------------------------------------
+# Scale: month filter first, part broadcast; one aggregation pass
+# carries both the CASE numerator and the denominator.
+def _q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "lineitem", "part")
+    vol = "l_extendedprice * (1 - l_discount)"
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.expr(
+                    dsum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {vol} ELSE 0 END")
+                )
+                / F.expr(dsum(vol))
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_q(
+    "q56_tpch_q14_promo_revenue",
+    spark=_q56,
+    oracle=f"""
+SELECT 100.0 * {dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")}
+       / {dsum('l_extendedprice * (1 - l_discount)')} AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+""",
+)
+
+
+# --- q57: TPC-H Q15 top supplier -----------------------------------------
+# Scale: the revenue CTE aggregates once; the max is a 1-row broadcast
+# cross join (never a driver collect), supplier dim broadcast. The
+# DOUBLE equality is safe because both sides derive from the SAME
+# exact decimal sums (bit-identical by construction).
+def _q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("total_revenue")
+        )
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(top), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_q(
+    "q57_tpch_q15_top_supplier",
+    spark=_q57,
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+)
+
+
+# --- q58: TPC-H Q18 large-volume customers ------------------------------
+# Scale: the HAVING subquery is a semi-join against an aggregated
+# lineitem (one shuffle on orderkey, reused by the outer join under
+# AQE); exact decimal quantity sums keep the threshold cut
+# deterministic.
+def _q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "customer", "orders", "lineitem")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.expr(dsum("l_quantity")).alias("oq"))
+        .filter(F.col("oq") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        t["lineitem"]
+        .join(big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+        )
+        .agg(F.expr(dsum("l_quantity")).alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+_q(
+    "q58_tpch_q18_large_volume",
+    spark=_q58,
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+       {dsum('l_quantity')} AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING {dsum('l_quantity')} > 250)
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, order_date, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+
+
+# --- q59: TPC-H Q19 disjunctive band predicates --------------------------
+# (adapted: fixture part has no container, lineitem no shipmode — the
+# brand/size/quantity bands keep the OR-of-ANDs join-predicate shape.)
+# Scale: Catalyst extracts the common p_partkey = l_partkey equality
+# as the join key; the disjunction stays a post-join filter over
+# broadcast part columns.
+def _q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "lineitem", "part")
+    band = (
+        lambda brand, size_hi, q_lo, q_hi: (
+            (F.col("p_brand") == brand)
+            & (F.col("p_size").between(1, size_hi))
+            & (F.col("l_quantity").between(q_lo, q_hi))
+        )
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            band("Brand#12", 5, 1, 11)
+            | band("Brand#23", 10, 10, 20)
+            | band("Brand#34", 15, 20, 30)
+        )
+        .agg(
+            F.expr(dsum("l_extendedprice * (1 - l_discount)")).alias("revenue")
+        )
+    )
+
+
+_q(
+    "q59_tpch_q19_disjunctive_bands",
+    spark=_q59,
+    oracle=f"""
+SELECT {dsum('l_extendedprice * (1 - l_discount)')} AS revenue
+FROM lineitem, part
+WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+       AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+       AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_partkey = l_partkey AND p_brand = 'Brand#34'
+       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+
+
+# --- q60: TPC-H Q21 waiting suppliers ------------------------------------
+# (adapted: no commit/receipt dates in the fixture — "late" is a
+# shipdate cutoff; the EXISTS/NOT-EXISTS self-join shape is intact.)
+# Scale: the two self-joins are semi/anti on l_orderkey with the
+# supplier inequality as residual — both shuffle on the SAME key as
+# the orders join, so AQE reuses one exchange; dims broadcast.
+_Q21_LATE = "1999-06-01"
+
+
+def _q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "supplier", "lineitem", "orders", "nation")
+    li = t["lineitem"]
+    late = li.filter(F.col("l_shipdate") > F.lit(_Q21_LATE).cast("timestamp"))
+    other = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    return (
+        late.join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            other,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+_q(
+    "q60_tpch_q21_waiting_suppliers",
+    spark=_q60,
+    oracle=f"""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > TIMESTAMP '{_Q21_LATE} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > TIMESTAMP '{_Q21_LATE} 00:00:00')
+  AND s_nationkey = n_nationkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+""",
+)
+
+
+# --- q61: TPC-H Q22 global sales opportunity ------------------------------
+# (adapted: fixture customer has no phone — the country code is
+# n_nationkey mod 10; the scalar-avg + NOT EXISTS shape is intact.)
+# Scale: the average is a 1-row broadcast cross join; the anti-join
+# shuffles on custkey; both engines compute the SAME exact decimal
+# average, so the > cut is deterministic.
+def _q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "customer", "orders")
+    codes = [1, 3, 5, 7]
+    sel = t["customer"].filter((F.col("c_nationkey") % 10).isin(codes))
+    avg_bal = sel.filter(F.col("c_acctbal") > 0).agg(
+        F.expr(davg("c_acctbal")).alias("avg_bal")
+    )
+    recent = t["orders"].filter(
+        F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
+    return (
+        sel.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent.select(F.col("o_custkey").alias("r_custkey")),
+            F.col("c_custkey") == F.col("r_custkey"),
+            "left_anti",
+        )
+        .withColumn("cntrycode", (F.col("c_nationkey") % 10).cast("string"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.expr(dsum("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+_q(
+    "q61_tpch_q22_global_sales",
+    spark=_q61,
+    oracle=f"""
+SELECT CAST(c_nationkey % 10 AS VARCHAR) AS cntrycode,
+       COUNT(*) AS numcust,
+       {dsum('c_acctbal')} AS totacctbal
+FROM customer
+WHERE c_nationkey % 10 IN (1, 3, 5, 7)
+  AND c_acctbal > (SELECT {davg('c_acctbal')} FROM customer
+                   WHERE c_acctbal > 0 AND c_nationkey % 10 IN (1, 3, 5, 7))
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00')
+GROUP BY cntrycode
+""",
+)
