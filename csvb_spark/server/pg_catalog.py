@@ -35,11 +35,21 @@ nothing in the data plane reads these.
 from __future__ import annotations
 
 import re
+import threading
 import zlib
 
 from pyspark.sql import SparkSession
 
 __all__ = ["refresh_pg_catalog", "rewrite_pg_catalog_sql"]
+
+#: serializes catalog snapshots/rebuilds: N clients cold-starting
+#: concurrently would otherwise rebuild the same ~25 views N times,
+#: and concurrent catalog RPC storms from pgwire handler threads have
+#: been observed to trip Spark-internal races (PARSE_EMPTY_STATEMENT
+#: out of listTables under simultaneous DDL + refresh + query
+#: traffic). With the lock, one connection builds and the rest hit
+#: the snapshot cache.
+_REFRESH_LOCK = threading.Lock()
 
 
 def _oid(key: str) -> int:
@@ -80,12 +90,23 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
     session catalog — driver-side metadata only, called lazily when a
     query actually references pg_catalog. One psql ``\\d`` issues
     6-10 catalog follow-up queries back-to-back, so rebuilds are
-    CACHED on a snapshot key of (tables, types, databases): only a
-    catalog change (create/drop/register) triggers the per-table
-    listColumns round trips and view rebuilds. Corner: replacing a
-    temp view under the SAME name with a different column set keeps
-    the key — the next add/drop refreshes; interactive introspection
-    is read-mostly, so staleness ends with the session's next DDL."""
+    CACHED on a snapshot key of (tables, types, databases, UDFs) and
+    SERIALIZED behind a lock: only a catalog change triggers the
+    per-table listColumns round trips and view rebuilds, and
+    concurrent cold connections share one build. A catalog mutated
+    mid-snapshot (DDL racing the listTables) gets ONE retry — the
+    second pass sees a settled catalog. Corner: replacing a temp view
+    under the SAME name with a different column set keeps the key —
+    the next add/drop refreshes; interactive introspection is
+    read-mostly, so staleness ends with the session's next DDL."""
+    with _REFRESH_LOCK:
+        try:
+            _refresh_pg_catalog_locked(spark)
+        except Exception:  # noqa: BLE001 — transient catalog race
+            _refresh_pg_catalog_locked(spark)
+
+
+def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
     from csvb_spark.server.pgwire import _ELEM_ARRAY, _oid_for
 
     def mk(rows: list, schema: str, name: str) -> None:
