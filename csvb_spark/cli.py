@@ -615,8 +615,17 @@ def _register_direct(spark, args) -> None:
 def _session(args):
     from csvb_spark.session import get_session
 
+    # FAIR scheduling only where it pays: the multi-client serve paths
+    # (serve/federate) need per-connection pools so one long query
+    # can't head-of-line-block other sessions; single-user batch work
+    # keeps FIFO (round-12 A/B: FAIR costs 4-22% per query — see
+    # session.py and SCALE.md §FAIR).
     return get_session(
-        app_name="csvb", memory_pool_bytes=args.memory_pool_bytes
+        app_name="csvb",
+        memory_pool_bytes=args.memory_pool_bytes,
+        scheduler_mode=(
+            "FAIR" if args.command in ("serve", "federate") else "FIFO"
+        ),
     )
 
 

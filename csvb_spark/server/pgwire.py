@@ -1757,16 +1757,23 @@ class _Conn:
         # each connection runs on its own handler thread (ThreadingTCP-
         # Server) and PySpark local properties are thread-local, so this
         # tags every job the connection triggers with its own scheduler
-        # pool — under spark.scheduler.mode=FAIR (session.py) concurrent
+        # pool — under spark.scheduler.mode=FAIR (the serve CLI paths
+        # opt in; session.py defaults batch work to FIFO) concurrent
         # clients share the cluster instead of queueing FIFO behind one
-        # long query
+        # long query. The pid hashes into a FIXED set of 16 pools:
+        # Spark's root pool retains every pool name it ever sees, so
+        # per-pid names would accumulate without bound on a long-lived
+        # server with connection churn; 16 pools still give concurrent
+        # clients fair shares (collisions just share one fair slot),
+        # and the local property is cleared on close.
         self.spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", f"pgwire-{self.backend_pid}"
+            "spark.scheduler.pool", f"pgwire-{self.backend_pid % 16}"
         )
         try:
             self._serve_loop()
         finally:
             _CONNS.pop(self.backend_pid, None)
+            self.spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
 
     def _serve_loop(self) -> None:
         stmts: dict[str, tuple] = {}  # name -> (sql, planned df | None, param oids)

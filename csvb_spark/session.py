@@ -32,6 +32,7 @@ def get_session(
     memory_pool_bytes: int | None = DEFAULT_MEMORY_POOL_BYTES,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    scheduler_mode: str = "FIFO",
 ) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
 
@@ -58,8 +59,13 @@ def get_session(
         # SURVEY §3.2: the pgwire serve path is multi-client — FAIR
         # scheduling + a scheduler pool per connection (server/pgwire)
         # stops one long query from head-of-line-blocking every other
-        # session's jobs. Harmless for single-user batch work.
-        .config("spark.scheduler.mode", "FAIR")
+        # session's jobs. NOT the default: a round-12 A/B (3 process
+        # pairs, 13-query headline set at sf0.1, per-query medians —
+        # SCALE.md §FAIR) measured a consistent 4-22% per-query cost
+        # for FAIR on single-user batch work (pool bookkeeping on
+        # every task-set), so batch keeps FIFO and only the serve CLI
+        # paths opt in via scheduler_mode="FAIR".
+        .config("spark.scheduler.mode", scheduler_mode)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         # fixture `events` carries TIMESTAMP(NANOS); Spark has no nanos

@@ -1477,3 +1477,40 @@ def test_translate_chrono_percent_escape_stable():
     )
     # %_X space-pad now renders via the sentinel shim (to_char) and
     # parses unpadded (to_date) — see test_translate_chrono_spacepad
+
+
+def test_session_scheduler_defaults(monkeypatch):
+    """Round-12 FAIR/FIFO A/B (SCALE.md §FAIR): batch sessions default
+    to FIFO — FAIR's per-task-set pool bookkeeping measured a 4-22%
+    per-query cost on single-user work — and only the multi-client
+    serve CLI paths (serve/federate) opt into FAIR."""
+    import inspect
+
+    import csvb_spark.session as sess
+    from csvb_spark import cli
+
+    assert (
+        inspect.signature(sess.get_session).parameters["scheduler_mode"].default
+        == "FIFO"
+    )
+
+    calls: dict = {}
+
+    def fake(**kw):
+        calls.update(kw)
+        return "SPARK"
+
+    monkeypatch.setattr(sess, "get_session", fake)
+
+    class A:
+        memory_pool_bytes = None
+
+    for command, expected in (
+        ("serve", "FAIR"),
+        ("federate", "FAIR"),
+        ("exec", "FIFO"),
+        ("dedup", "FIFO"),
+    ):
+        A.command = command
+        assert cli._session(A) == "SPARK"
+        assert calls.pop("scheduler_mode") == expected, command
