@@ -248,7 +248,17 @@ and Q21/Q22 use fixture-native surrogates for the missing
 commit/receipt dates and phone prefixes). DataFrame-API Spark sides
 vs near-verbatim TPC-H DuckDB oracles.
 
-Corpus: 220 entries, 214 with full oracles.
+Round 12: q62-q66 close the last five TPC-H shapes (Q2 min-cost
+supplier, Q9 product profit, Q11 important stock, Q16 supplier
+relation, Q20 part promotion) via a derived partsupp surrogate —
+DISTINCT (l_partkey, l_suppkey) with key-arithmetic availqty/
+supplycost, built identically in both engines (relational._PS_CTE) —
+so every TPC-H query shape now has a hash-matched twin. Gate
+rotation: p02 now grades q54 (Q8 market share) and p31 grades q60
+(Q21 waiting suppliers); the demotees keep pytest oracles
+(x136_dedup_exact_by_source, x101_length_batches).
+
+Corpus: 226 entries, 220 with full oracles.
 """
 
 from __future__ import annotations

@@ -54,8 +54,12 @@ GROUP BY md5(text)
 """,
 )
 
+# round 12: demoted from gate row p02 (VERDICT r11 item 3 — it graded
+# the same exact-dedup operator as p01 at source grain; the freed slot
+# now grades TPC-H Q8's 8-way star, see _P_ALIASES). Stays under the
+# pytest oracle gate like every demotee.
 _q(
-    "p02_dedup_exact_by_source",
+    "x136_dedup_exact_by_source",
     spark=lambda spark, sf: _docs(spark, sf)
     .groupBy("source")
     .agg(
@@ -2452,6 +2456,12 @@ WHERE ROUND(list_dot_product(va.e, vb.e)
 # decomposition exact.
 _q(
     "x75_budget_select",
+    doc="gate row p20. Dual-oracled (round 12): the primary oracle is "
+    "the naive global window cumsum; tests/test_oracle.py::"
+    "test_alt_oracle_match holds a SECOND, correlated-subquery "
+    "formulation (no window function) that also hash-matches — two "
+    "independent derivations agree with the range-partitioned "
+    "prefix sum.",
     spark=lambda spark, sf: splits.budget_select(
         text.quality_score(_docs(spark, sf)).select(
             "doc_id", "quality_score", "n_tokens"
@@ -3078,6 +3088,11 @@ from csvb_spark.operators import splits as SPLITS  # noqa: E402
 
 _q(
     "x90_weighted_sample",
+    doc="gate row p22. Dual-oracled (round 12): the primary oracle "
+    "replays key → ORDER BY → LIMIT; tests/test_oracle.py::"
+    "test_alt_oracle_match holds a SECOND formulation selecting by a "
+    "COUNT-based rank predicate (rows with fewer than k smaller "
+    "keys — no sort/limit machinery) that also hash-matches.",
     headline=True,  # model-ops bench section (round 8)
     spark=lambda spark, sf: SPLITS.weighted_sample(
         _docs(spark, sf).select(
@@ -4765,6 +4780,14 @@ _P_ALIASES: dict[str, str] = {
     # (round 10's headline feature), p16/p17 grade BPE merge training
     # and PageRank over the similarity graph (both previously outside
     # the window despite full oracles)
+    # round 12 rotations (VERDICT r11 item 3): the TPC-H closure gets
+    # two hard-gate rows — q54 (Q8: the most plan-complex star, 8-way
+    # broadcast + conditional market share) takes the slot freed by
+    # demoting p02 (it graded p01's operator at source grain →
+    # x136), and q60 (Q21: triple-correlated EXISTS/NOT EXISTS
+    # semi/anti self-joins) takes p31's (length-batches is near-
+    # trivial arithmetic; x101 stays pytest-oracled).
+    "p02_tpch_market_share": "q54_tpch_q8_market_share",
     "p05_chrono_formats": "x130_chrono_formats",
     "p16_bpe_train": "x57_bpe_train",
     "p17_pagerank": "x73_pagerank_simgraph",
@@ -4781,7 +4804,7 @@ _P_ALIASES: dict[str, str] = {
     "p28_ccnet_buckets": "x95_perplexity_buckets",
     "p29_containment": "x97_containment_pairs",
     "p30_domain_quota": "x100_domain_quota",
-    "p31_length_batches": "x101_length_batches",
+    "p31_tpch_waiting_suppliers": "q60_tpch_q21_waiting_suppliers",
     # p32 re-pointed in round 10: x102 source overlap is the
     # provenance-level aggregation of x97's containment pairs, which
     # already holds gate row p29 — the slot now grades the round's new

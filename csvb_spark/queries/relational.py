@@ -1096,3 +1096,340 @@ WHERE c_nationkey % 10 IN (1, 3, 5, 7)
 GROUP BY cntrycode
 """,
 )
+
+
+# --- round 12: the last five TPC-H shapes (Q2/Q9/Q11/Q16/Q20) ----------
+# These need a partsupp table the fixture doesn't ship. Each query
+# derives the SAME surrogate in both engines: the DISTINCT
+# (l_partkey, l_suppkey) pairs carrying arithmetic ps_availqty /
+# ps_supplycost computed from the keys. All-integer arithmetic until a
+# single exactly-representable division by 100.0, so Spark and DuckDB
+# materialize bit-identical doubles and every threshold / MIN-equality
+# cut lands on the same rows. (The reference would run the genuine
+# TPC-H through DataFusion — csvb_engine/src/lib.rs:88; the shapes are
+# what is under test, per the q53 header note.)
+
+
+def _partsupp(li: DataFrame) -> DataFrame:
+    """Derived partsupp surrogate: one row per distinct part/supplier
+    pair in lineitem, availqty in 1..9999, supplycost in 100.00..999.99.
+
+    Scale: the DISTINCT is one shuffle on the composite key at the
+    partsupp grain (TPC-H partsupp is 4x part — far smaller than
+    lineitem); with a real partsupp table every consumer below would
+    just scan it instead."""
+    return li.select("l_partkey", "l_suppkey").distinct().select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 9999 + 1)
+        .cast("int")
+        .alias("ps_availqty"),
+        (
+            ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 90000 + 10000)
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("ps_supplycost"),
+    )
+
+
+# DuckDB twin of _partsupp — kept textually adjacent so a drift in one
+# is visible in the diff of the other.
+_PS_CTE = """
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         CAST((l_partkey * 7 + l_suppkey * 13) % 9999 + 1 AS INTEGER) AS ps_availqty,
+         CAST((l_partkey * 31 + l_suppkey * 17) % 90000 + 10000 AS DOUBLE) / 100.0
+           AS ps_supplycost
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+)
+"""
+
+
+# --- q62: TPC-H Q2 minimum-cost supplier --------------------------------
+# (adapted: fixture part has no mfgr/comment and supplier no address —
+# the correlated-MIN + 4-dim join shape is intact.)
+# Scale: region-filtered supplier dim broadcasts; the per-part MIN is
+# a window over ONE shuffle on ps_partkey (no second self-join); the
+# part filter semi-prunes partsupp BEFORE the shuffle — legal because
+# the MIN is per-part, so dropping whole parts early cannot change it.
+def _q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "part", "lineitem", "supplier", "nation", "region")
+    eur = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    sel_part = t["part"].filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    w = W.partitionBy("ps_partkey")
+    return (
+        _partsupp(t["lineitem"])
+        .join(F.broadcast(eur), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(sel_part.select("p_partkey", "p_type")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type", "ps_supplycost")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+_q(
+    "q62_tpch_q2_min_cost_supplier",
+    spark=_q62,
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost
+FROM part, supplier, partsupp, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = part.p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+""",
+)
+
+
+# --- q63: TPC-H Q9 product-type profit ----------------------------------
+# Scale: the part filter broadcast-prunes BOTH lineitem and the
+# partsupp surrogate before the composite-key shuffle join; supplier/
+# nation broadcast; profit aggregates in one exact-decimal pass.
+def _q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "part", "supplier", "lineitem", "orders", "nation")
+    red = t["part"].filter(F.col("p_name").like("%red%")).select("p_partkey")
+    ps = (
+        _partsupp(t["lineitem"])
+        .join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost")
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("ps_supplycost") * F.col("l_quantity")
+            ).alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.expr(dsum("amount")).alias("sum_profit"))
+    )
+
+
+_q(
+    "q63_tpch_q9_product_profit",
+    spark=_q63,
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT nation, o_year, {dsum('amount')} AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity AS amount
+  FROM part, supplier, lineitem, partsupp, orders, nation
+  WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+    AND ps_partkey = l_partkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""",
+)
+
+
+# --- q64: TPC-H Q11 important stock --------------------------------------
+# Scale: the nation's supplier keys broadcast; group sums and the
+# global threshold come from the SAME exact-decimal aggregation input
+# (one shuffle on ps_partkey + a 1-row broadcast), so the > cut is
+# deterministic cross-engine.
+def _q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "lineitem", "supplier", "nation")
+    nat_supp = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_19")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps_n = _partsupp(t["lineitem"]).join(
+        F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    val = ps_n.groupBy("ps_partkey").agg(
+        F.expr(dsum("ps_supplycost * ps_availqty")).alias("value")
+    )
+    thresh = ps_n.agg(
+        (F.expr(dsum("ps_supplycost * ps_availqty")) * F.lit(0.001)).alias("thresh")
+    )
+    return (
+        val.join(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("thresh"))
+        .select("ps_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("ps_partkey"))
+    )
+
+
+_q(
+    "q64_tpch_q11_important_stock",
+    spark=_q64,
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT ps_partkey, {dsum('ps_supplycost * ps_availqty')} AS value
+FROM partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_19'
+GROUP BY ps_partkey
+HAVING {dsum('ps_supplycost * ps_availqty')} > (
+  SELECT {dsum('ps_supplycost * ps_availqty')} * 0.001
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = 'NATION_19')
+ORDER BY value DESC, ps_partkey ASC
+""",
+)
+
+
+# --- q65: TPC-H Q16 parts/supplier relationship ---------------------------
+# (adapted: supplier has no comment column — the "complaints" exclusion
+# keys on negative account balance; the NOT-IN + COUNT(DISTINCT) shape
+# is intact.)
+# Scale: the exclusion list and the part dim both broadcast; the
+# COUNT(DISTINCT) is a two-phase agg on (brand, type, size) — no
+# per-group row explosion.
+def _q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "lineitem", "part", "supplier")
+    bad = (
+        t["supplier"]
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_key"))
+    )
+    sel_part = t["part"].filter(
+        (F.col("p_brand") != "Brand#12")
+        & ~F.col("p_type").like("MED%")
+        & F.col("p_size").isin(1, 5, 15, 25, 35, 45, 49, 50)
+    )
+    return (
+        _partsupp(t["lineitem"])
+        .join(F.broadcast(bad), F.col("ps_suppkey") == F.col("bad_key"), "left_anti")
+        .join(
+            F.broadcast(sel_part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("ps_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+_q(
+    "q65_tpch_q16_supplier_relation",
+    spark=_q65,
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> 'Brand#12'
+  AND p_type NOT LIKE 'MED%'
+  AND p_size IN (1, 5, 15, 25, 35, 45, 49, 50)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+""",
+)
+
+
+# --- q66: TPC-H Q20 potential part promotion ------------------------------
+# Scale: red-part keys broadcast-prune partsupp AND the year's
+# lineitem before its (partkey, suppkey) half-quantity agg; the
+# correlated ">" is an equi-join against that agg (NULL-sum groups
+# drop exactly like the SQL's NULL comparison); suppliers reduce by
+# two broadcast-semi hops — no full-table shuffle anywhere.
+def _q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _read(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    red = t["part"].filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.expr(dsum("l_quantity")) * F.lit(0.5)).alias("half_qty"))
+    )
+    cand = (
+        _partsupp(t["lineitem"])
+        .join(F.broadcast(red), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > F.col("half_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .join(
+            F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_18")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy(F.asc("s_name"))
+    )
+
+
+_q(
+    "q66_tpch_q20_part_promotion",
+    spark=_q66,
+    oracle=f"""
+WITH {_PS_CTE}
+SELECT s_suppkey, s_name
+FROM supplier, nation
+WHERE s_suppkey IN (
+    SELECT ps_suppkey FROM partsupp
+    WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps_availqty > (
+        SELECT 0.5 * {dsum('l_quantity')}
+        FROM lineitem
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'))
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_18'
+ORDER BY s_name ASC
+""",
+)
