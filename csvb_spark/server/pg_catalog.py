@@ -42,6 +42,13 @@ from pyspark.sql import SparkSession
 
 __all__ = ["refresh_pg_catalog", "rewrite_pg_catalog_sql"]
 
+#: SET csvb.pg_catalog.builtin_functions=true surfaces Spark's ~550
+#: builtin functions in pg_proc (namespace pg_catalog), so psql's
+#: ``\df abs`` answers. Off by default: postgres itself hides
+#: pg_catalog's functions from a bare ``\df``, and the builtin burst
+#: would drown a user's own UDFs in every unpatterned listing.
+BUILTIN_FUNCTIONS_CONF = "csvb.pg_catalog.builtin_functions"
+
 #: serializes catalog snapshots/rebuilds: N clients cold-starting
 #: concurrently would otherwise rebuild the same ~25 views N times,
 #: and concurrent catalog RPC storms from pgwire handler threads have
@@ -57,6 +64,21 @@ def _oid(key: str) -> int:
     oid in one query and quotes it back in the next), positive, and
     clear of the low range postgres reserves for built-in types."""
     return (zlib.crc32(key.encode()) & 0x0FFFFFFF) + 16384
+
+
+def _fresh_oid(key: str, used: set[int]) -> int:
+    """Collision-checked pseudo-oid: 28-bit crc32s CAN collide, and a
+    silent collision between two relations would merge their
+    pg_attribute rows (\\d on one table listing both tables' columns).
+    Rehash with a deterministic salt until free — callers iterate keys
+    in sorted order, so the same catalog state always yields the same
+    assignment even when a collision forces a perturbation."""
+    o, salt = _oid(key), ""
+    while o in used:
+        salt += "#"
+        o = _oid(key + salt)
+    used.add(o)
+    return o
 
 
 # oid → rendered type name, the subset of postgres's format_type psql
@@ -95,15 +117,38 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
     per-table listColumns round trips and view rebuilds, and
     concurrent cold connections share one build. A catalog mutated
     mid-snapshot (DDL racing the listTables) gets ONE retry — the
-    second pass sees a settled catalog. Corner: replacing a temp view
-    under the SAME name with a different column set keeps the key —
-    the next add/drop refreshes; interactive introspection is
-    read-mostly, so staleness ends with the session's next DDL."""
+    second pass sees a settled catalog — but ONLY for the known
+    transient race signatures; a deterministic failure (a schema bug
+    in one mk() call) re-raises immediately instead of running the
+    whole ~25-view rebuild twice and surfacing the second traceback.
+    The snapshot key includes each table's column-schema fingerprint,
+    so CREATE OR REPLACE TEMP VIEW under the SAME name with a
+    different column set refreshes on the next introspection (the
+    round-11 staleness corner)."""
     with _REFRESH_LOCK:
         try:
             _refresh_pg_catalog_locked(spark)
-        except Exception:  # noqa: BLE001 — transient catalog race
+        except Exception as ex:  # noqa: BLE001 — see transient list below
+            if not _is_transient_catalog_race(ex):
+                raise
             _refresh_pg_catalog_locked(spark)
+
+
+def _is_transient_catalog_race(ex: Exception) -> bool:
+    """The two failure shapes observed when session DDL races the
+    snapshot: Spark's listTables/listColumns machinery surfacing
+    PARSE_EMPTY_STATEMENT, and a table listed by listTables being
+    dropped before its listColumns lands. Anything else is a real bug
+    and must surface on the FIRST traceback."""
+    text = f"{type(ex).__name__}: {ex}"
+    return any(
+        marker in text
+        for marker in (
+            "PARSE_EMPTY_STATEMENT",
+            "TABLE_OR_VIEW_NOT_FOUND",
+            "PARSE_SYNTAX_ERROR",  # empty-identifier variant of the same race
+        )
+    )
 
 
 def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
@@ -120,18 +165,42 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
         for t in spark.catalog.listTables()
         if not t.name.startswith(("pg_catalog_", "information_schema_"))
     ]
+    # columns fetched BEFORE the snapshot compare so each table's
+    # column fingerprint can join the key: CREATE OR REPLACE TEMP VIEW
+    # under the same name with a different column set must refresh
+    # (round-11 staleness corner). Cost: len(tables) driver-side
+    # listColumns round trips per introspection query — a cold path
+    # over tens of tables, and one \d burst still pays it once (the
+    # follow-up queries hit the unchanged snapshot).
+    table_cols = {
+        t.name: list(spark.catalog.listColumns(t.name)) for t in cat_tables
+    }
     # \df source: the session's REGISTERED UDFs — Spark marks all ~550
     # builtins isTemporary too, so the discriminator is the className
     # (UDFRegistration lambdas vs catalyst expression classes); the
-    # builtins stay hidden exactly like postgres hides pg_catalog's.
+    # builtins stay hidden exactly like postgres hides pg_catalog's,
+    # unless SET csvb.pg_catalog.builtin_functions=true opts into
+    # surfacing them (namespace pg_catalog, like postgres's own).
     # Part of the snapshot key so a UDF registered mid-session shows
     # up in \df without waiting for an unrelated table DDL.
+    show_builtins = (
+        str(spark.conf.get(BUILTIN_FUNCTIONS_CONF, "false")).lower() == "true"
+    )
+    all_fns = spark.catalog.listFunctions()
     fn_names = sorted(
         f.name
-        for f in spark.catalog.listFunctions()
+        for f in all_fns
         if f.isTemporary
         and not f.name.startswith("pg_")
         and "UDFRegistration" in (f.className or "")
+    )
+    builtin_names = (
+        sorted(
+            {f.name for f in all_fns if not f.name.startswith("pg_")}
+            - set(fn_names)
+        )
+        if show_builtins
+        else []
     )
     snap = (
         tuple(sorted(dbs)),
@@ -141,18 +210,43 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
                     t.name,
                     t.namespace[0] if t.namespace else "default",
                     t.tableType or "",
+                    # schema fingerprint: names + types + nullability
+                    tuple(
+                        (c.name, c.dataType, c.nullable)
+                        for c in table_cols[t.name]
+                    ),
                 )
                 for t in cat_tables
             )
         ),
         tuple(fn_names),
+        show_builtins,
     )
     if getattr(spark, "_csvb_pg_catalog_snap", None) == snap:
         return
-    ns_rows = [(_oid("ns:" + n), n, 10, None) for n in dbs]
+
+    # pseudo-oids are 28-bit crc32s — a collision between two catalog
+    # objects would silently merge their pg_attribute rows (\d on one
+    # table listing both tables' columns), so every generated oid is
+    # checked against the set already handed out this rebuild and
+    # deterministically rehashed with a salt on collision (iteration
+    # order below is sorted, so the same catalog state always yields
+    # the same assignment — psql quotes oids back across queries).
+    _used_oids = {1, 2, 10, 11, 1663}  # fixed rows below
+    _used_oids.update(oid for oid, *_r in _PG_TYPE_ROWS)
+    _used_oids.update(_ELEM_ARRAY.values())
+
+    def fresh_oid(key: str) -> int:
+        return _fresh_oid(key, _used_oids)
+
+    ns_oids = {
+        n: fresh_oid("ns:" + n)
+        for n in sorted(set(dbs) | {"information_schema"})
+    }
+    ns_rows = [(ns_oids[n], n, 10, None) for n in dbs]
     ns_rows += [
         (11, "pg_catalog", 10, None),
-        (_oid("ns:information_schema"), "information_schema", 10, None),
+        (ns_oids["information_schema"], "information_schema", 10, None),
     ]
     mk(
         ns_rows,
@@ -161,15 +255,18 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
     )
 
     classes, attrs = [], []
-    for t in cat_tables:
+    for t in sorted(cat_tables, key=lambda t: t.name):
         schema = t.namespace[0] if t.namespace else "default"
-        rel_oid = _oid(f"rel:{schema}.{t.name}")
+        rel_oid = fresh_oid(f"rel:{schema}.{t.name}")
         # registered scans are the engine's TABLES (see module note);
         # only a persistent logical VIEW reports 'v'
         relkind = "v" if t.tableType == "VIEW" else "r"
         classes.append(
             (
-                rel_oid, t.name, _oid("ns:" + schema), relkind,
+                rel_oid,
+                t.name,
+                ns_oids.get(schema) or fresh_oid("ns:" + schema),
+                relkind,
                 10,          # relowner
                 2,           # relam (heap)
                 0,           # relchecks
@@ -186,7 +283,7 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
                 None,        # relacl (\dp / \z)
             )
         )
-        for i, c in enumerate(spark.catalog.listColumns(t.name), start=1):
+        for i, c in enumerate(table_cols[t.name], start=1):
             type_oid, type_len = _oid_for(c.dataType)
             attrs.append(
                 (
@@ -270,11 +367,16 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
         "rolreplication boolean, rolbypassrls boolean",
         "pg_roles",
     )
+    default_ns = ns_oids.get("default") or fresh_oid("ns:default")
     mk(
-        [
-            (_oid("fn:" + n), n, _oid("ns:default"), "f")
-            for n in fn_names
-        ],
+        [(fresh_oid("fn:" + n), n, default_ns, "f") for n in fn_names]
+        # builtins (flag-gated) live in pg_catalog (namespace oid 11)
+        # like postgres's own: psql's unpatterned \df appends
+        # "n.nspname <> 'pg_catalog'" (describe.c), so a bare \df
+        # still lists only the user's UDFs, while a patterned
+        # \df abs skips that exclusion and finds the builtin —
+        # exactly the real-postgres experience.
+        + [(fresh_oid("builtin:" + n), n, 11, "f") for n in builtin_names],
         "oid bigint, proname string, pronamespace bigint, prokind string",
         "pg_proc",
     )

@@ -2747,3 +2747,218 @@ def test_pg_catalog_concurrent_introspection_with_ddl(pg_server, spark):
     for t in threads:
         t.join(timeout=180)
     assert not errors, errors
+
+
+def test_pg_catalog_same_name_schema_replace_refreshes(spark, sf_dir):
+    """Verdict r11 item 4: CREATE OR REPLACE TEMP VIEW under the SAME
+    name with a DIFFERENT column set must refresh the snapshot — the
+    next \\d shows the new columns, not the stale list (the schema
+    fingerprint is part of the snapshot key now)."""
+    from csvb_spark.sql import execute_sql
+
+    def described_cols() -> list[str]:
+        look = execute_sql(
+            spark, _PSQL_D_LOOKUP_SQL.replace("documents", "t_pgcat_swap")
+        ).collect()
+        assert len(look) == 1
+        return [
+            r[0]
+            for r in execute_sql(
+                spark, _PSQL_D_COLUMNS_SQL.format(oid=look[0][0])
+            ).collect()
+        ]
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW t_pgcat_swap AS SELECT 1 AS a, 2 AS b"
+    )
+    try:
+        assert described_cols() == ["a", "b"]
+        # same name, different column set — the r11 staleness corner
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW t_pgcat_swap AS "
+            "SELECT 'x' AS c1, 2.5 AS c2, 3 AS c3"
+        )
+        assert described_cols() == ["c1", "c2", "c3"]
+    finally:
+        spark.catalog.dropTempView("t_pgcat_swap")
+
+
+def test_pg_catalog_builtin_functions_flag(spark, sf_dir):
+    """Verdict r11 item 7: SET csvb.pg_catalog.builtin_functions=true
+    surfaces Spark's builtin registry in pg_proc under namespace
+    pg_catalog (oid 11) so \\df abs answers; off (the default), only
+    session-registered UDFs appear."""
+    from csvb_spark.server.pg_catalog import BUILTIN_FUNCTIONS_CONF
+    from csvb_spark.sql import execute_sql
+
+    def proc_rows(name: str):
+        return execute_sql(
+            spark,
+            "SELECT proname, pronamespace FROM pg_catalog.pg_proc "
+            f"WHERE proname = '{name}'",
+        ).collect()
+
+    try:
+        assert proc_rows("abs") == []  # default: builtins hidden
+        spark.conf.set(BUILTIN_FUNCTIONS_CONF, "true")
+        rows = proc_rows("abs")
+        assert len(rows) == 1 and rows[0][1] == 11, rows
+        # user UDFs keep their own (non-pg_catalog) namespace
+        haiku = proc_rows("haiku")
+        assert len(haiku) == 1 and haiku[0][1] != 11, haiku
+    finally:
+        spark.conf.set(BUILTIN_FUNCTIONS_CONF, "false")
+    assert proc_rows("abs") == []  # flag off again → hidden again
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("psql") is None,
+    reason="psql binary not installed",
+)
+def test_pg_catalog_real_psql_df_builtin_flag(pg_server, spark):
+    """Real psql: \\df abs is empty by default (builtins hidden, like
+    postgres hides pg_catalog's own), and answers with the flag on."""
+    import subprocess
+
+    from csvb_spark.server.pg_catalog import BUILTIN_FUNCTIONS_CONF
+
+    def df_abs() -> str:
+        r = subprocess.run(
+            ["psql", "-X", "-h", "127.0.0.1", "-p", str(pg_server.port),
+             "-U", "u", "-d", "db", "-c", r"\df abs"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert r.returncode == 0 and not r.stderr.strip(), (r.stdout, r.stderr)
+        return r.stdout
+
+    try:
+        assert "abs" not in df_abs()
+        spark.conf.set(BUILTIN_FUNCTIONS_CONF, "true")
+        out = df_abs()
+        assert "abs" in out and "pg_catalog" in out, out
+    finally:
+        spark.conf.set(BUILTIN_FUNCTIONS_CONF, "false")
+
+
+def test_pg_catalog_fresh_oid_collision_perturbs_deterministically():
+    """ADVICE r11: two catalog objects whose 28-bit crc32s collide
+    must NOT share an oid (a silent collision merges their
+    pg_attribute rows in \\d); the rehash is deterministic for a
+    given sorted key order."""
+    from csvb_spark.server.pg_catalog import _fresh_oid, _oid
+
+    base = _oid("rel:default.some_table")
+    used = {base}
+    o1 = _fresh_oid("rel:default.some_table", used)
+    assert o1 != base and o1 in used
+    # same starting state → same perturbed assignment
+    assert _fresh_oid("rel:default.some_table", {base}) == o1
+    # no collision → plain _oid
+    assert _fresh_oid("rel:default.other", set()) == _oid("rel:default.other")
+
+
+def test_pg_catalog_refresh_reraises_deterministic_failures(spark, monkeypatch):
+    """ADVICE r11: refresh retries ONLY the known transient catalog
+    races; a deterministic failure surfaces its FIRST traceback
+    without running the ~25-view rebuild twice."""
+    import csvb_spark.server.pg_catalog as pgc
+
+    calls = {"n": 0}
+
+    def boom(_spark):
+        calls["n"] += 1
+        raise ValueError("deterministic schema bug")
+
+    monkeypatch.setattr(pgc, "_refresh_pg_catalog_locked", boom)
+    with pytest.raises(ValueError, match="deterministic schema bug"):
+        pgc.refresh_pg_catalog(spark)
+    assert calls["n"] == 1  # no second rebuild
+
+    calls["n"] = 0
+
+    def racy(_spark):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("[PARSE_EMPTY_STATEMENT] boom")
+
+    monkeypatch.setattr(pgc, "_refresh_pg_catalog_locked", racy)
+    pgc.refresh_pg_catalog(spark)  # transient → one retry, succeeds
+    assert calls["n"] == 2
+
+
+def test_federate_partition_strategy_degenerate_guard():
+    """Verdict r11 item 5 + ADVICE: the bounds-informed split pick.
+    Dense keys → range stripes; snowflake-style sparse/clustered ids →
+    MOD-predicate slices; status-flag columns (span < N) are never
+    picked; no viable column → honestly unpartitioned."""
+    from csvb_spark.sources.federation import (
+        choose_partition_strategy,
+        mod_predicates,
+        range_stripes_degenerate,
+    )
+
+    # dense contiguous id: range stripes on it
+    assert choose_partition_strategy([("id", 0, 999, 1000)], 4) == (
+        "range", "id", 0, 999,
+    )
+    # snowflake-style: span 10^15, 1000 rows → MOD slices
+    assert choose_partition_strategy(
+        [("id", 7_000_000_000_000_000, 7_001_000_000_000_000, 1000)], 4
+    ) == ("mod", "id", None, None)
+    # FIRST int column is a 0/1 status flag (the ADVICE shape): skipped
+    # for a later dense id — range partitioning would have collapsed
+    assert choose_partition_strategy(
+        [("flag", 0, 1, 1000), ("id", 0, 999, 1000)], 4
+    ) == ("range", "id", 0, 999)
+    # flag-only table, N=4 > span 2: no strategy (unpartitioned scan)
+    assert choose_partition_strategy([("flag", 0, 1, 1000)], 4) is None
+    # empty / all-NULL column: skipped
+    assert choose_partition_strategy([("id", None, None, 0)], 4) is None
+    # the underlying density rule
+    assert not range_stripes_degenerate(0, 999, 1000, 4)
+    assert range_stripes_degenerate(0, 999, 10, 4)      # sparse
+    assert range_stripes_degenerate(0, 1, 1000, 4)      # span < N
+    assert range_stripes_degenerate(None, None, 0, 4)   # unknown
+
+    preds = mod_predicates("id", 3)
+    assert preds == [
+        "(MOD(ABS(id), 3) = 0 OR id IS NULL)",
+        "MOD(ABS(id), 3) = 1",
+        "MOD(ABS(id), 3) = 2",
+    ]
+
+
+def test_federate_pgwire_mod_slices_balanced_on_clustered_ids(spark):
+    """Snowflake-style clustered ids over the pgwire transport: the
+    MOD slices stay balanced (each slice carries ~1/N of the rows)
+    and the federated result is unchanged vs a single-stream read."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.server.pgwire import PgWireServer
+    from csvb_spark.sources.federation import read_shard_pg
+
+    s1 = spark.newSession()
+    # ids clustered at a huge offset with stride 1 — balanced under
+    # MOD; a positional range split of [lo, hi] would also work here,
+    # but the pgwire transport always slices by MOD, which is the
+    # guard's fallback shape on the JDBC side too
+    s1.range(0, 120).selectExpr(
+        "id + 7000000000000000 AS id", "id * 3 AS v"
+    ).createOrReplaceTempView("tbl")
+    srv = PgWireServer(s1, "127.0.0.1:0")
+    srv.start_background()
+    try:
+        addr = f"postgresql://u@127.0.0.1:{srv.port}/db"
+        df = read_shard_pg(spark, addr, "tbl", num_partitions=4)
+        sizes = sorted(
+            r[1] for r in df.groupBy(
+                (F.abs(F.col("id")) % 4).alias("slice")
+            ).count().collect()
+        )
+        assert len(sizes) == 4 and max(sizes) == 30, sizes  # 120/4 each
+        single = read_shard_pg(spark, addr, "tbl", num_partitions=1)
+        assert sorted(r[0] for r in df.collect()) == sorted(
+            r[0] for r in single.collect()
+        )
+    finally:
+        srv.shutdown()
