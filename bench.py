@@ -185,14 +185,22 @@ def main() -> None:
                 "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"
             )
             sf10_t: dict[str, float] = {}
+            sf1_q = dict(detail.get("sf1", {}).get("queries") or {})
             for n in SF10_OPS:
                 if os.path.isdir(warm_dir):
-                    queries[n].spark(spark, warm_dir).count()
+                    queries[n].spark(spark, warm_dir).count()  # warm
+                    if n not in sf1_q:
+                        # ops outside the headline set (the round-12
+                        # dedup additions) have no sf1 median — time a
+                        # SECOND sf1 pass as their denominator (the
+                        # first was the cold warm)
+                        t0 = time.perf_counter()
+                        queries[n].spark(spark, warm_dir).count()
+                        sf1_q[n] = round(time.perf_counter() - t0, 4)
                 t0 = time.perf_counter()
                 queries[n].spark(spark, sf10_dir).count()
                 sf10_t[n] = round(time.perf_counter() - t0, 4)
             sf10 = {"queries": sf10_t}
-            sf1_q = detail.get("sf1", {}).get("queries") or {}
             if all(n in sf1_q and sf1_q[n] for n in SF10_OPS):
                 sf10["vs_sf1_ratio"] = {
                     n: round(sf10_t[n] / sf1_q[n], 2) for n in SF10_OPS
@@ -235,12 +243,18 @@ MODEL_OPS = frozenset(
     }
 )
 
-# the three heaviest corpus ops (sf1 medians 5.9s/3.8s/2.2s in r10) —
-# all documents-only, so the sf10 build ships one table
+# the heaviest corpus ops (all documents-only, so the sf10 build ships
+# one table): the r11 trio plus — per verdict r11 item 6 — the banded
+# dedup flagships, the family most at risk of quadratic candidate-pair
+# blowups at scale (the affine per-copy permutation keeps cross-copy
+# shingle sharing ~zero, so a linear crawl-like growth is the right
+# yardstick)
 SF10_OPS = (
     "x95_perplexity_buckets",
     "x97_containment_pairs",
     "x131_dsir_importance",
+    "p09_dedup_minhash_lsh",
+    "p21_near_dedup",
 )
 
 

@@ -90,3 +90,70 @@ def test_gate_aliases_share_source_plan_and_oracle():
         assert a.spark is s.spark, alias
         assert a.oracle == s.oracle, alias
         assert not a.headline  # bench times the source entry only
+
+
+# --- round 12 (verdict r11 item 8): second, independently-formulated
+# oracles for the two gate rows whose primary oracle shares the Spark
+# side's derivation idea. x75's primary oracle is a global window
+# cumsum (vs Spark's range-partitioned prefix sum) — the alt here is a
+# correlated-subquery cumsum, no window function at all. x90's primary
+# replays key → ORDER BY → LIMIT — the alt selects by a COUNT-based
+# rank predicate (rows with fewer than k smaller keys), no sort/limit
+# machinery. Both must hash-match the Spark side like the primary.
+_X75_Q_CTE = r"""
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         ROUND(CAST(
+           (CASE WHEN length(text) < 64 THEN 0.2 ELSE 0.5 END)
+           + (CASE WHEN len(list_intersect(string_split_regex(trim(text), '\s+'),
+                          ['the','and','of','to','a','in','is','it'])) > 0
+                   THEN 0.3 ELSE 0.0 END)
+           + (CASE WHEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                        / length(text) < 0.1
+                   THEN 0.2 ELSE 0.0 END) AS DOUBLE), 2) AS quality_score
+  FROM documents
+"""
+
+ALT_ORACLES = {
+    "x75_budget_select": f"""
+WITH q AS ({_X75_Q_CTE})
+SELECT doc_id, quality_score, n_tokens,
+       CAST((SELECT SUM(q2.n_tokens) FROM q q2
+             WHERE q2.quality_score > q.quality_score
+                OR (q2.quality_score = q.quality_score
+                    AND q2.doc_id <= q.doc_id)) AS BIGINT) AS cum_tokens,
+       (SELECT SUM(q2.n_tokens) FROM q q2
+        WHERE q2.quality_score > q.quality_score
+           OR (q2.quality_score = q.quality_score
+               AND q2.doc_id <= q.doc_id)) <= 12000 AS keep
+FROM q
+""",
+    "x90_weighted_sample": r"""
+WITH base AS (
+  SELECT doc_id,
+         GREATEST(len(string_split_regex(trim(coalesce(text, '')), '\s+')), 1)
+           AS w
+  FROM documents
+), keyed AS (
+  SELECT doc_id, w,
+         ROUND(
+           -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8))::BIGINT
+                + 1) / 4294967297.0)
+           / CAST(w AS DOUBLE), 9) AS skey
+  FROM base
+)
+SELECT k.doc_id, k.w, k.skey
+FROM keyed k
+WHERE (SELECT COUNT(*) FROM keyed k2
+       WHERE k2.skey < k.skey
+          OR (k2.skey = k.skey AND k2.doc_id < k.doc_id)) < 50
+""",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ALT_ORACLES))
+def test_alt_oracle_match(spark, sf_dir, duck, name):
+    q = CORPUS[name]
+    df = q.spark(spark, sf_dir)
+    problems = compare(df, duck, ALT_ORACLES[name])
+    assert not problems, f"{name} (alt formulation): " + "; ".join(problems)
