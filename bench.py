@@ -185,25 +185,35 @@ def main() -> None:
                 "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"
             )
             sf10_t: dict[str, float] = {}
+            sf10_err: dict[str, str] = {}
             sf1_q = dict(detail.get("sf1", {}).get("queries") or {})
             for n in SF10_OPS:
-                if os.path.isdir(warm_dir):
-                    queries[n].spark(spark, warm_dir).count()  # warm
-                    if n not in sf1_q:
-                        # ops outside the headline set (the round-12
-                        # dedup additions) have no sf1 median — time a
-                        # SECOND sf1 pass as their denominator (the
-                        # first was the cold warm)
-                        t0 = time.perf_counter()
-                        queries[n].spark(spark, warm_dir).count()
-                        sf1_q[n] = round(time.perf_counter() - t0, 4)
-                t0 = time.perf_counter()
-                queries[n].spark(spark, sf10_dir).count()
-                sf10_t[n] = round(time.perf_counter() - t0, 4)
+                # per-op guard: an op that dies at sf10 (OOM, the
+                # exact signal this section hunts) must be RECORDED as
+                # a failure, not erase the other ops' measurements —
+                # round 12 lost a whole section to one OOM before this
+                try:
+                    if os.path.isdir(warm_dir):
+                        queries[n].spark(spark, warm_dir).count()  # warm
+                        if n not in sf1_q:
+                            # ops outside the headline set have no sf1
+                            # median — time a SECOND sf1 pass as their
+                            # denominator (the first was the cold warm)
+                            t0 = time.perf_counter()
+                            queries[n].spark(spark, warm_dir).count()
+                            sf1_q[n] = round(time.perf_counter() - t0, 4)
+                    t0 = time.perf_counter()
+                    queries[n].spark(spark, sf10_dir).count()
+                    sf10_t[n] = round(time.perf_counter() - t0, 4)
+                except Exception as ex:  # noqa: BLE001
+                    sf10_err[n] = f"{type(ex).__name__}: {ex}"[:300]
             sf10 = {"queries": sf10_t}
-            if all(n in sf1_q and sf1_q[n] for n in SF10_OPS):
+            if sf10_err:
+                sf10["failed"] = sf10_err
+            ratio_ops = [n for n in SF10_OPS if n in sf10_t]
+            if all(n in sf1_q and sf1_q[n] for n in ratio_ops):
                 sf10["vs_sf1_ratio"] = {
-                    n: round(sf10_t[n] / sf1_q[n], 2) for n in SF10_OPS
+                    n: round(sf10_t[n] / sf1_q[n], 2) for n in ratio_ops
                 }
             sf10["note"] = (
                 "documents-only 100x upscale of sf0.1 (distinct affine "
@@ -248,13 +258,17 @@ MODEL_OPS = frozenset(
 # dedup flagships, the family most at risk of quadratic candidate-pair
 # blowups at scale (the affine per-copy permutation keeps cross-copy
 # shingle sharing ~zero, so a linear crawl-like growth is the right
-# yardstick)
+# yardstick). The near-dedup slot is x137 (LSH candidates), NOT
+# p21/x40 (exact blocked all-pairs): timing p21 here is what CAUGHT
+# its quadratic block join OOMing at 500k docs — that variant is the
+# small-scale oracle tool, x137 is the pipeline's scale path (see the
+# x137 entry docstring).
 SF10_OPS = (
     "x95_perplexity_buckets",
     "x97_containment_pairs",
     "x131_dsir_importance",
     "p09_dedup_minhash_lsh",
-    "p21_near_dedup",
+    "x137_near_dedup_lsh",
 )
 
 

@@ -258,7 +258,12 @@ rotation: p02 now grades q54 (Q8 market share) and p31 grades q60
 (Q21 waiting suppliers); the demotees keep pytest oracles
 (x136_dedup_exact_by_source, x101_length_batches).
 
-Corpus: 226 entries, 220 with full oracles.
+Round-12 second batch: x137 near-dedup over banded MinHash-LSH
+candidates — the sf10 spot-bench drove x40's exact blocked all-pairs
+variant into an OOM at 500k docs (quadratic in block size by design),
+so the scale path gets its own oracled entry and the sf10 bench slot.
+
+Corpus: 227 entries, 221 with full oracles.
 """
 
 from __future__ import annotations

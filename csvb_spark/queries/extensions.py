@@ -502,6 +502,59 @@ WHERE d.doc_id NOT IN (SELECT n FROM labels WHERE n <> l)
 """,
 )
 
+# round 12: the SCALE-PATH near-dedup end-to-end — x40's exact same
+# pipeline (pairs → connected components → keep cluster minimum) but
+# with candidates from banded MinHash-LSH (p09's operator) instead of
+# the exact blocked all-pairs Jaccard. The distinction is load-bearing:
+# extending the sf10 spot-bench to the dedup family (verdict r11 item
+# 6) drove x40's all-pairs block join into an OOM at 500k documents —
+# quadratic in block size BY DESIGN; it is the small-scale oracle tool
+# — while this entry's banded LSH shuffles one (band, key) exchange
+# and survives the 100x upscale. This is the variant a 100 TB pipeline
+# runs, and it holds the sf10 bench slot (bench.SF10_OPS). Oracle
+# exactness: the fixture is bimodal (see p09's note — every true pair
+# j>=0.9, everything else <0.2), so banded-LSH candidates equal the
+# exact candidate set at every tested scale and the oracle (p09's
+# pair SQL composed with x40's recursive-CTE labels) is an exact
+# equality, not a probabilistic bound.
+_q(
+    "x137_near_dedup_lsh",
+    spark=lambda spark, sf: dedup.near_dedup(
+        _docs(spark, sf),
+        pairs=dedup.minhash_lsh_pairs(_docs(spark, sf), min_jaccard=0.4),
+    ),
+    oracle=r"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+    list_distinct([array_to_string(w[i:i+2], ' ')
+                   FOR i IN generate_series(1, greatest(len(w) - 2, 1))]) AS s
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.s, b.s))) >= 0.4
+), bidir AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM pairs
+  UNION
+  SELECT doc_id_b, doc_id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS n FROM bidir),
+reach(n, r) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN bidir e ON reach.n = e.a
+),
+labels AS (SELECT n, MIN(r) AS l FROM reach GROUP BY n)
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT n FROM labels WHERE n <> l)
+""",
+)
+
 # --- similarity search ------------------------------------------------------
 _q(
     "p07_sim_bruteforce_topk",
