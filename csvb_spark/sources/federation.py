@@ -497,10 +497,13 @@ def add_federated_tables(
 
     ``partition_column``/``num_partitions`` parallelize WITHIN each
     shard on BOTH transports; with ``num_partitions > 1`` and no
-    column named, the first integer column of each shard's schema is
-    auto-derived (disjoint MOD slices on pgwire, native
-    partitionColumn/bounds ranges on JDBC). Explicit
-    ``reader_options`` still win on the JDBC path.
+    column named, a partition column is auto-derived from each shard's
+    schema — disjoint MOD slices on pgwire (first integer column);
+    bounds-informed on JDBC (round 12): range stripes for a dense key,
+    MOD-predicate slices for a wide-but-sparse one, unpartitioned when
+    no integer column can carry N slices — see
+    ``choose_partition_strategy``. Explicit ``reader_options`` still
+    win on the JDBC path.
     """
     if transport == "auto":
         transport = "jdbc" if jdbc_driver_available(spark) else "pgwire"
