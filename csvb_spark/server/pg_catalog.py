@@ -121,10 +121,13 @@ def refresh_pg_catalog(spark: SparkSession) -> None:
     transient race signatures; a deterministic failure (a schema bug
     in one mk() call) re-raises immediately instead of running the
     whole ~25-view rebuild twice and surfacing the second traceback.
-    The snapshot key includes each table's column-schema fingerprint,
-    so CREATE OR REPLACE TEMP VIEW under the SAME name with a
-    different column set refreshes on the next introspection (the
-    round-11 staleness corner)."""
+    The snapshot is TWO-STAGE (see the cheap-key comment in the
+    builder): list-level key + DDL epoch on the fast path, per-table
+    column fingerprints only when the epoch or lists move — so CREATE
+    OR REPLACE TEMP VIEW under the SAME name with a different column
+    set refreshes on the next introspection (the round-11 staleness
+    corner) while a steady-state \\d burst pays zero listColumns
+    round trips."""
     with _REFRESH_LOCK:
         try:
             _refresh_pg_catalog_locked(spark)
@@ -165,16 +168,6 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
         for t in spark.catalog.listTables()
         if not t.name.startswith(("pg_catalog_", "information_schema_"))
     ]
-    # columns fetched BEFORE the snapshot compare so each table's
-    # column fingerprint can join the key: CREATE OR REPLACE TEMP VIEW
-    # under the same name with a different column set must refresh
-    # (round-11 staleness corner). Cost: len(tables) driver-side
-    # listColumns round trips per introspection query — a cold path
-    # over tens of tables, and one \d burst still pays it once (the
-    # follow-up queries hit the unchanged snapshot).
-    table_cols = {
-        t.name: list(spark.catalog.listColumns(t.name)) for t in cat_tables
-    }
     # \df source: the session's REGISTERED UDFs — Spark marks all ~550
     # builtins isTemporary too, so the discriminator is the className
     # (UDFRegistration lambdas vs catalyst expression classes); the
@@ -202,6 +195,39 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
         if show_builtins
         else []
     )
+    # TWO-STAGE snapshot (round 12, after review): the cheap key is
+    # table/function LISTS plus the DDL epoch sql.execute_sql bumps on
+    # every CREATE/DROP/ALTER it runs. A psql \d burst (6-10 catalog
+    # queries back-to-back) hits the cheap key and pays ZERO per-table
+    # listColumns round trips; only an epoch bump or a list change
+    # triggers the column-fingerprint pass below, which catches the
+    # round-11 staleness corner (CREATE OR REPLACE TEMP VIEW under the
+    # SAME name with a different column set — no list change, but the
+    # epoch moved). Narrowed known corner: a same-name swap issued
+    # through the raw Python API (never execute_sql) skips the epoch
+    # and stays stale until the next DDL — the serve path, where \d
+    # lives, always goes through execute_sql.
+    cheap = (
+        tuple(sorted(dbs)),
+        tuple(
+            sorted(
+                (
+                    t.name,
+                    t.namespace[0] if t.namespace else "default",
+                    t.tableType or "",
+                )
+                for t in cat_tables
+            )
+        ),
+        tuple(fn_names),
+        show_builtins,
+        getattr(spark, "_csvb_catalog_epoch", 0),
+    )
+    if getattr(spark, "_csvb_pg_catalog_cheap", None) == cheap:
+        return
+    table_cols = {
+        t.name: list(spark.catalog.listColumns(t.name)) for t in cat_tables
+    }
     snap = (
         tuple(sorted(dbs)),
         tuple(
@@ -223,6 +249,9 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
         show_builtins,
     )
     if getattr(spark, "_csvb_pg_catalog_snap", None) == snap:
+        # epoch moved but nothing actually changed (e.g. a CTAS that
+        # re-created an identical schema) — revalidate the cheap key
+        spark._csvb_pg_catalog_cheap = cheap  # noqa: SLF001
         return
 
     # pseudo-oids are 28-bit crc32s — a collision between two catalog
@@ -239,15 +268,21 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
     def fresh_oid(key: str) -> int:
         return _fresh_oid(key, _used_oids)
 
-    ns_oids = {
-        n: fresh_oid("ns:" + n)
-        for n in sorted(set(dbs) | {"information_schema"})
-    }
-    ns_rows = [(ns_oids[n], n, 10, None) for n in dbs]
-    ns_rows += [
-        (11, "pg_catalog", 10, None),
-        (ns_oids["information_schema"], "information_schema", 10, None),
-    ]
+    # EVERY namespace that will be referenced gets its oid and its
+    # pg_namespace row here — dbs, information_schema, default, and
+    # any table namespace outside listDatabases (e.g. a catalog-plugin
+    # schema). Review r12: the previous `ns_oids.get(schema) or
+    # fresh_oid(...)` fallback was unmemoized — two tables in one
+    # unlisted schema minted two different relnamespace oids, neither
+    # with a pg_namespace row, so psql's \dt join rendered NULL.
+    schemas = (
+        set(dbs)
+        | {"information_schema", "default"}
+        | {t.namespace[0] if t.namespace else "default" for t in cat_tables}
+    )
+    ns_oids = {n: fresh_oid("ns:" + n) for n in sorted(schemas)}
+    ns_rows = [(ns_oids[n], n, 10, None) for n in sorted(schemas)]
+    ns_rows.append((11, "pg_catalog", 10, None))
     mk(
         ns_rows,
         "oid bigint, nspname string, nspowner bigint, nspacl array<string>",
@@ -265,7 +300,7 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
             (
                 rel_oid,
                 t.name,
-                ns_oids.get(schema) or fresh_oid("ns:" + schema),
+                ns_oids[schema],
                 relkind,
                 10,          # relowner
                 2,           # relam (heap)
@@ -367,9 +402,8 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
         "rolreplication boolean, rolbypassrls boolean",
         "pg_roles",
     )
-    default_ns = ns_oids.get("default") or fresh_oid("ns:default")
     mk(
-        [(fresh_oid("fn:" + n), n, default_ns, "f") for n in fn_names]
+        [(fresh_oid("fn:" + n), n, ns_oids["default"], "f") for n in fn_names]
         # builtins (flag-gated) live in pg_catalog (namespace oid 11)
         # like postgres's own: psql's unpatterned \df appends
         # "n.nspname <> 'pg_catalog'" (describe.c), so a bare \df
@@ -463,6 +497,7 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
 
     spark.udf.register("pg_format_type", _format_type, "string")
     spark._csvb_pg_catalog_snap = snap  # noqa: SLF001 — session-scoped cache
+    spark._csvb_pg_catalog_cheap = cheap  # noqa: SLF001 — fast-path key
 
 
 # ---- textual rewrites ------------------------------------------------

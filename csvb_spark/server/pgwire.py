@@ -72,6 +72,7 @@ Protocol reference: PostgreSQL docs "Frontend/Backend Protocol"
 from __future__ import annotations
 
 import datetime as _dt
+import itertools
 import logging
 import re as _re
 import socket
@@ -321,6 +322,15 @@ def _cstr(s: str) -> bytes:
 # Live connections by backend pid (BackendKeyData), so a CancelRequest
 # arriving on its own short-lived connection can flag the target.
 _CONNS: dict[int, "_Conn"] = {}
+
+#: per-connection sequence feeding the FAIR pool index. NOT derived
+#: from backend_pid: that is threading.get_ident(), a 16-byte-aligned
+#: pthread pointer, so ``ident % 16`` is 0 for EVERY connection — a
+#: modulo on it would silently collapse all connections into one pool
+#: and reintroduce head-of-line blocking (caught by round-12 review;
+#: regression-tested with real concurrent jobs, not SELECT 1, which
+#: plans as a LocalRelation and never submits a job).
+_POOL_SEQ = itertools.count()
 
 _NUMERIC_OIDS = {20, 21, 23, 26, 700, 701, 1700}  # int/oid/float/numeric
 _BOOL_OID = 16
@@ -1102,6 +1112,7 @@ class _Conn:
         self.spark = spark
         self.buf = b""
         self.backend_pid = threading.get_ident() & 0x7FFFFFFF
+        self.pool_idx = next(_POOL_SEQ) % 16
         self.secret = _secrets.randbits(32)
         self.cancelled = False
         self.running = False  # a row loop is live (cancel target)
@@ -1760,14 +1771,15 @@ class _Conn:
         # pool — under spark.scheduler.mode=FAIR (the serve CLI paths
         # opt in; session.py defaults batch work to FIFO) concurrent
         # clients share the cluster instead of queueing FIFO behind one
-        # long query. The pid hashes into a FIXED set of 16 pools:
+        # long query. The pool index is a connection-sequence counter
+        # into a FIXED set of 16 pools (NOT the pid — see _POOL_SEQ):
         # Spark's root pool retains every pool name it ever sees, so
         # per-pid names would accumulate without bound on a long-lived
         # server with connection churn; 16 pools still give concurrent
         # clients fair shares (collisions just share one fair slot),
         # and the local property is cleared on close.
         self.spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", f"pgwire-{self.backend_pid % 16}"
+            "spark.scheduler.pool", f"pgwire-{self.pool_idx}"
         )
         try:
             self._serve_loop()
@@ -2030,6 +2042,25 @@ class PgWireServer:
         host, _, port = address.rpartition(":")
         self.spark = spark
         self.host, self.port = host or "127.0.0.1", int(port)
+        # the FAIR requirement lives at the mechanism, not only in the
+        # CLI switch (review r12): a library embedding that passes a
+        # default (FIFO) session still works, but the per-connection
+        # pool tagging becomes a no-op and one long query will
+        # head-of-line-block every other client — say so once, with
+        # the fix, instead of silently degrading.
+        try:
+            mode = spark.sparkContext.getConf().get("spark.scheduler.mode", "FIFO")
+        except Exception:  # noqa: BLE001 — mock sessions in unit tests
+            mode = None
+        if mode is not None and mode.upper() != "FAIR":
+            log.warning(
+                "pgwire server on a %s-scheduled session: concurrent "
+                "clients will queue head-of-line behind long queries. "
+                "Build the session with scheduler_mode='FAIR' "
+                "(csvb_spark.session.get_session) — the serve/federate "
+                "CLI paths do this automatically.",
+                mode,
+            )
         spark_ref = spark
 
         class Handler(socketserver.BaseRequestHandler):

@@ -123,16 +123,32 @@ def jdbc_partition_options(
     }
 
 
-def mod_predicates(partition_column: str, num_partitions: int) -> list[str]:
-    """N disjoint, exhaustive ``MOD(ABS(col), N) = i`` slice predicates
-    (NULL keys ride with slice 0, like Spark's own JDBC partitioner).
-    Plain ``%`` arithmetic is portable across real Postgres and
-    Spark-SQL-speaking shards, unlike engine hash functions. Shared by
-    the pgwire transport's per-slice SQL and the JDBC transport's
-    ``predicates=`` fallback for degenerate ranges."""
+def mod_predicates(
+    partition_column: str, num_partitions: int, stride: int = 1
+) -> list[str]:
+    """N disjoint, exhaustive MOD slice predicates (NULL keys ride
+    with slice 0, like Spark's own JDBC partitioner). Plain
+    ``MOD``/``ABS``/``FLOOR`` arithmetic is portable across real
+    Postgres and Spark-SQL-speaking shards, unlike engine hash
+    functions. Shared by the pgwire transport's per-slice SQL and the
+    JDBC transport's ``predicates=`` fallback for degenerate ranges.
+
+    ``stride`` divides the key before the modulo. Review r12: canonical
+    snowflake ids are ``ts<<22 | worker<<12 | seq`` with seq ~always 0,
+    so ``MOD(ABS(id), N)`` for N ≤ 4096 sees only the constant low
+    bits and lands every row in slice 0 — one hot slice plus N-1
+    empty full scans. Dividing by the key's estimated spacing
+    (span/count, computed from the already-probed bounds) first maps
+    ids to a ~dense sequence the modulo balances. stride=1 keeps the
+    exact legacy shape (the pgwire path, which probes no bounds)."""
     preds = []
+    key = (
+        f"ABS({partition_column})"
+        if stride <= 1
+        else f"CAST(FLOOR(ABS({partition_column}) / {stride}.0) AS BIGINT)"
+    )
     for i in range(num_partitions):
-        p = f"MOD(ABS({partition_column}), {num_partitions}) = {i}"
+        p = f"MOD({key}, {num_partitions}) = {i}"
         if i == 0:
             p = f"({p} OR {partition_column} IS NULL)"
         preds.append(p)
@@ -168,16 +184,20 @@ def choose_partition_strategy(
     (snowflake-style ids — MOD-predicate slices balance where
     positional ranges collapse), or None when no column can carry N
     slices (then the scan stays honestly unpartitioned rather than
-    pretending parallelism through empty or hot stripes)."""
-    mod_col = None
+    pretending parallelism through empty or hot stripes). The "mod"
+    pick carries the key's estimated spacing (span // count) as the
+    third element — mod_predicates divides by it so stride-aligned
+    key layouts (snowflake ids) still balance."""
+    mod = None
     for c, lo, hi, cnt in stats:
         if lo is None or hi is None or not cnt:
             continue
         if not range_stripes_degenerate(lo, hi, cnt, num_partitions):
             return ("range", c, lo, hi)
-        if mod_col is None and int(hi) - int(lo) + 1 >= num_partitions:
-            mod_col = c
-    return ("mod", mod_col, None, None) if mod_col is not None else None
+        span = int(hi) - int(lo) + 1
+        if mod is None and span >= num_partitions:
+            mod = ("mod", c, max(1, span // int(cnt)), None)
+    return mod
 
 
 def read_shard(
@@ -204,21 +224,29 @@ def read_shard(
     stripe), or leaves the scan unpartitioned; explicit reader_options
     always win."""
 
+    params = parse_postgres_conn_str(shard_addr)
+    # ONE connection-property definition feeds base_reader AND the
+    # MOD-predicates read below (review r12: a hand-rebuilt copy in
+    # the fallback path would silently drift as options are added)
+    conn_props = {
+        "driver": "org.postgresql.Driver",
+        "fetchsize": "4000",  # reference chunk size, postgres_connection.rs:186
+    }
+    if "user" in params:
+        conn_props["user"] = params["user"]
+    if "pass" in params:
+        conn_props["password"] = params["pass"]
+
     def base_reader(dbtable: str):
         r = (
             spark.read.format("jdbc")
             .option("url", jdbc_url(params))
             .option("dbtable", dbtable)
-            .option("driver", "org.postgresql.Driver")
-            .option("fetchsize", "4000")  # reference chunk size, postgres_connection.rs:186
         )
-        if "user" in params:
-            r = r.option("user", params["user"])
-        if "pass" in params:
-            r = r.option("password", params["pass"])
+        for k, v in conn_props.items():
+            r = r.option(k, v)
         return r
 
-    params = parse_postgres_conn_str(shard_addr)
     opts = dict(reader_options or {})
     # explicit reader_options win: a caller who named partitionColumn
     # (with or without numPartitions) steered the split deliberately —
@@ -227,7 +255,24 @@ def read_shard(
         {"numPartitions", "partitionColumn"} & opts.keys()
     ):
         if partition_column is not None:
-            candidates = [partition_column]
+            # explicit column: the caller steered the split — honor it
+            # with native range stripes over probed bounds (review
+            # r12: second-guessing an explicit column into MOD slices
+            # would defeat e.g. a shard index the caller is
+            # deliberately exploiting; only the AUTO pick below is
+            # bounds-informed)
+            b = base_reader(
+                f"(SELECT MIN({partition_column}) AS lo, "
+                f"MAX({partition_column}) AS hi FROM {table}) _bounds"
+            ).load().first()
+            opts.update(
+                jdbc_partition_options(
+                    partition_column,
+                    b["lo"] if b else None,
+                    b["hi"] if b else None,
+                    num_partitions,
+                )
+            )
         else:
             # schema-only load: JDBC metadata round trip, no rows move.
             # ALL integer columns are candidates — the FIRST one can be
@@ -238,42 +283,44 @@ def read_shard(
                 for f in base_reader(table).load().schema.fields
                 if f.dataType.simpleString() in _INT_SPARK_TYPES
             ]
-        if candidates:
-            # ONE probe aggregate fetches bounds + count for every
-            # candidate (pushed to the shard at registration, not per
-            # query): the same round trip the single-column probe paid.
-            probe_sql = ", ".join(
-                f"MIN({c}) AS lo_{i}, MAX({c}) AS hi_{i}, "
-                f"COUNT({c}) AS cnt_{i}"
-                for i, c in enumerate(candidates)
-            )
-            b = base_reader(f"(SELECT {probe_sql} FROM {table}) _bounds").load().first()
-            stats = [
-                (c, b[f"lo_{i}"], b[f"hi_{i}"], b[f"cnt_{i}"])
-                for i, c in enumerate(candidates)
-            ]
-            pick = choose_partition_strategy(stats, num_partitions)
-            if pick is not None and pick[0] == "range":
-                _, col, lo, hi = pick
-                opts.update(jdbc_partition_options(col, lo, hi, num_partitions))
-            elif pick is not None:
-                # degenerate-range guard (verdict r11 item 5): value
-                # arithmetic balances where positional ranges collapse —
-                # same slice shape as the pgwire transport — at the cost
-                # of each slice scanning non-contiguous key ranges.
-                props = {
-                    "driver": "org.postgresql.Driver",
-                    "fetchsize": "4000",
-                    **({"user": params["user"]} if "user" in params else {}),
-                    **({"password": params["pass"]} if "pass" in params else {}),
-                    **opts,
-                }
-                return spark.read.jdbc(
-                    jdbc_url(params),
-                    table,
-                    predicates=mod_predicates(pick[1], num_partitions),
-                    properties=props,
+            if candidates:
+                # ONE probe aggregate fetches bounds + count for every
+                # candidate (pushed to the shard at registration, not
+                # per query): the round trip the single-column probe
+                # already paid.
+                probe_sql = ", ".join(
+                    f"MIN({c}) AS lo_{i}, MAX({c}) AS hi_{i}, "
+                    f"COUNT({c}) AS cnt_{i}"
+                    for i, c in enumerate(candidates)
                 )
+                b = base_reader(
+                    f"(SELECT {probe_sql} FROM {table}) _bounds"
+                ).load().first()
+                stats = [
+                    (c, b[f"lo_{i}"], b[f"hi_{i}"], b[f"cnt_{i}"])
+                    for i, c in enumerate(candidates)
+                ]
+                pick = choose_partition_strategy(stats, num_partitions)
+                if pick is not None and pick[0] == "range":
+                    _, col, lo, hi = pick
+                    opts.update(
+                        jdbc_partition_options(col, lo, hi, num_partitions)
+                    )
+                elif pick is not None:
+                    # degenerate-range guard (verdict r11 item 5):
+                    # stride-adjusted value arithmetic balances where
+                    # positional ranges collapse — at the cost of each
+                    # slice scanning non-contiguous key ranges on the
+                    # shard (no index exploits the MOD expression).
+                    _, col, stride, _unused = pick
+                    return spark.read.jdbc(
+                        jdbc_url(params),
+                        table,
+                        predicates=mod_predicates(
+                            col, num_partitions, stride=stride
+                        ),
+                        properties={**conn_props, **opts},
+                    )
     reader = base_reader(table)
     for k, v in opts.items():
         reader = reader.option(k, v)

@@ -511,4 +511,21 @@ def execute_sql(spark: SparkSession, sql: str) -> DataFrame:
     masked = _rewrite_star_replace(spark, masked, lits)
     masked = _rewrite_columns_selector(spark, masked, lits)
     sql = _restore_literals(masked, lits)
-    return spark.sql(translate_sql(sql))
+    df = spark.sql(translate_sql(sql))
+    if _DDL_RE.match(sql):
+        # catalog epoch for pg_catalog's two-stage snapshot (see
+        # server/pg_catalog.py): DDL through this surface — including
+        # CREATE OR REPLACE under the SAME name, which changes no
+        # table list — marks the catalog dirty so the next
+        # introspection re-fingerprints column schemas. Spark executes
+        # DDL eagerly inside spark.sql(), so the bump lands after the
+        # change is live.
+        spark._csvb_catalog_epoch = (  # noqa: SLF001 — session-scoped
+            getattr(spark, "_csvb_catalog_epoch", 0) + 1
+        )
+    return df
+
+
+#: statements that can mutate the catalog (the epoch trigger above);
+#: INSERT/CTAS arrive as CREATE, view swaps as CREATE OR REPLACE
+_DDL_RE = re.compile(r"^\s*(CREATE|DROP|ALTER)\b", re.IGNORECASE)

@@ -2375,7 +2375,11 @@ def test_fair_scheduler_concurrent_connections_overlap(pg_server, spark):
         ta = threading.Thread(target=run, args=("a", slow_sql))
         ta.start()
         time.sleep(0.4)  # A is mid-flight and holds every task slot
-        run("b", "SELECT 1 AS one")
+        # B's probe MUST submit a real Spark job: `SELECT 1` plans as a
+        # LocalRelation and returns without touching the scheduler, so
+        # it would "win" even with every connection collapsed into one
+        # pool (the round-12 pid%16==0 bug this test now guards).
+        run("b", "SELECT count(*) AS n FROM range(0, 32, 1, 4)")
         ta.join(timeout=180)
         assert "a" in times and "b" in times
         assert times["b"] < times["a"], (
@@ -2384,6 +2388,24 @@ def test_fair_scheduler_concurrent_connections_overlap(pg_server, spark):
         )
     finally:
         spark.sql("DROP TEMPORARY FUNCTION IF EXISTS pgw_slow_ident")
+
+
+def test_pgwire_pool_indices_distinct_across_connections():
+    """Round-12 review: backend_pid is threading.get_ident() — a
+    16-byte-aligned pointer, so pid % 16 == 0 for EVERY connection and
+    a pid-derived pool index collapses all connections into one pool.
+    The pool index must come from the connection sequence: consecutive
+    connections land in distinct pools (mod 16)."""
+    from csvb_spark.server import pgwire as pgw
+
+    start = next(pgw._POOL_SEQ)
+    idxs = [next(pgw._POOL_SEQ) % 16 for _ in range(8)]
+    assert len(set(idxs)) == 8, idxs  # 8 consecutive conns, 8 pools
+    # and the aligned-pointer trap stays documented as a failing shape
+    import threading
+
+    assert threading.get_ident() % 16 == 0  # why pid%16 was broken
+    del start
 
 
 # --- pg_catalog emulation (psql meta-commands) ------------------------------
@@ -2752,8 +2774,10 @@ def test_pg_catalog_concurrent_introspection_with_ddl(pg_server, spark):
 def test_pg_catalog_same_name_schema_replace_refreshes(spark, sf_dir):
     """Verdict r11 item 4: CREATE OR REPLACE TEMP VIEW under the SAME
     name with a DIFFERENT column set must refresh the snapshot — the
-    next \\d shows the new columns, not the stale list (the schema
-    fingerprint is part of the snapshot key now)."""
+    next \\d shows the new columns, not the stale list. The DDL goes
+    through execute_sql (the serve surface) because that is what bumps
+    the catalog epoch driving the two-stage snapshot's fingerprint
+    pass; a steady-state \\d burst hits the cheap key instead."""
     from csvb_spark.sql import execute_sql
 
     def described_cols() -> list[str]:
@@ -2768,19 +2792,50 @@ def test_pg_catalog_same_name_schema_replace_refreshes(spark, sf_dir):
             ).collect()
         ]
 
-    spark.sql(
-        "CREATE OR REPLACE TEMP VIEW t_pgcat_swap AS SELECT 1 AS a, 2 AS b"
+    execute_sql(
+        spark, "CREATE OR REPLACE TEMP VIEW t_pgcat_swap AS SELECT 1 AS a, 2 AS b"
     )
     try:
         assert described_cols() == ["a", "b"]
-        # same name, different column set — the r11 staleness corner
-        spark.sql(
+        # same name, different column set — the r11 staleness corner:
+        # no table-list change, only the epoch marks the catalog dirty
+        execute_sql(
+            spark,
             "CREATE OR REPLACE TEMP VIEW t_pgcat_swap AS "
-            "SELECT 'x' AS c1, 2.5 AS c2, 3 AS c3"
+            "SELECT 'x' AS c1, 2.5 AS c2, 3 AS c3",
         )
         assert described_cols() == ["c1", "c2", "c3"]
     finally:
         spark.catalog.dropTempView("t_pgcat_swap")
+
+
+def test_pg_catalog_cheap_key_skips_listcolumns(spark, sf_dir, monkeypatch):
+    """Round-12 review: a steady-state introspection burst (one psql
+    \\d = 6-10 catalog queries) must pay ZERO per-table listColumns
+    round trips — the cheap key (lists + DDL epoch) short-circuits
+    before the fingerprint pass."""
+    from csvb_spark.server.pg_catalog import refresh_pg_catalog
+    from csvb_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    refresh_pg_catalog(spark)  # settle the snapshot
+
+    calls = {"n": 0}
+    real = spark.catalog.listColumns
+
+    def counting(name, *a, **kw):
+        calls["n"] += 1
+        return real(name, *a, **kw)
+
+    monkeypatch.setattr(spark.catalog, "listColumns", counting)
+    for _ in range(5):  # a \d-burst's worth of refresh calls
+        refresh_pg_catalog(spark)
+    assert calls["n"] == 0, calls
+    # an epoch bump (what execute_sql does on DDL) re-runs the
+    # fingerprint pass exactly once
+    spark._csvb_catalog_epoch = getattr(spark, "_csvb_catalog_epoch", 0) + 1
+    refresh_pg_catalog(spark)
+    assert calls["n"] > 0
 
 
 def test_pg_catalog_builtin_functions_flag(spark, sf_dir):
@@ -2901,10 +2956,11 @@ def test_federate_partition_strategy_degenerate_guard():
     assert choose_partition_strategy([("id", 0, 999, 1000)], 4) == (
         "range", "id", 0, 999,
     )
-    # snowflake-style: span 10^15, 1000 rows → MOD slices
+    # snowflake-style: span 10^12, 1000 rows → MOD slices with the
+    # estimated key spacing (span // count) as the divide-first stride
     assert choose_partition_strategy(
-        [("id", 7_000_000_000_000_000, 7_001_000_000_000_000, 1000)], 4
-    ) == ("mod", "id", None, None)
+        [("id", 7_000_000_000_000_000, 7_000_999_999_999_999, 1000)], 4
+    ) == ("mod", "id", 1_000_000_000, None)
     # FIRST int column is a 0/1 status flag (the ADVICE shape): skipped
     # for a later dense id — range partitioning would have collapsed
     assert choose_partition_strategy(
@@ -2926,6 +2982,23 @@ def test_federate_partition_strategy_degenerate_guard():
         "MOD(ABS(id), 3) = 1",
         "MOD(ABS(id), 3) = 2",
     ]
+    # stride > 1: divide-first form (review r12 — canonical snowflake
+    # ids have constant low bits, so a plain MOD would land every row
+    # in slice 0; dividing by the spacing first rebalances). Verify
+    # exhaustiveness + balance arithmetically on synthetic ids
+    # id = k*4096 (seq bits all zero, the hostile layout):
+    sp = mod_predicates("id", 4, stride=4096)
+    assert sp[1] == "MOD(CAST(FLOOR(ABS(id) / 4096.0) AS BIGINT), 4) = 1"
+    import math
+
+    slices = [
+        int(math.floor(abs(k * 4096) / 4096.0)) % 4 for k in range(1000)
+    ]
+    counts = [slices.count(i) for i in range(4)]
+    assert max(counts) - min(counts) <= 1, counts  # balanced
+    assert sum(counts) == 1000  # exhaustive
+    # while the UNSTRIDED form on the same ids collapses to one slice
+    assert {abs(k * 4096) % 4 for k in range(1000)} == {0}
 
 
 def test_federate_pgwire_mod_slices_balanced_on_clustered_ids(spark):
