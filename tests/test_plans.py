@@ -1464,3 +1464,33 @@ def test_html_strip_rule_order(spark):
     assert got[1] == "&lt; stays encoded, < decodes"
     assert got[2] == "a\nb"  # </p> is a block boundary -> newline
     assert got[3] == ""
+
+
+def test_tpch_closure_plans_broadcast_dims_no_cartesian(spark, sf_dir):
+    """Round 12: the q62-q66 partsupp-surrogate queries keep every
+    dimension join broadcast and never degrade to a cartesian product
+    — the plan properties their scale notes claim. (q62's per-part MIN
+    is a window over ONE shuffle; q63/q66 semi-prune through broadcast
+    red-part keys.)"""
+    from csvb_spark.queries import corpus
+
+    C = corpus()
+    for name in (
+        "q62_tpch_q2_min_cost_supplier",
+        "q63_tpch_q9_product_profit",
+        "q64_tpch_q11_important_stock",
+        "q65_tpch_q16_supplier_relation",
+        "q66_tpch_q20_part_promotion",
+    ):
+        plan = _plan(C[name].spark(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        if name != "q64_tpch_q11_important_stock":
+            # q64's BroadcastNestedLoopJoin is the intentional 1-row
+            # threshold broadcast (HAVING's scalar subquery — the q57/
+            # q61 shape); everywhere else a BNLJ would be a join-key
+            # regression
+            assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+    # q62 specifically: the correlated MIN is a window, not a self-join
+    plan62 = _plan(C["q62_tpch_q2_min_cost_supplier"].spark(spark, sf_dir))
+    assert "Window" in plan62
