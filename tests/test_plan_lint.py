@@ -1,0 +1,62 @@
+"""Corpus-wide plan lint: every declared query's physical plan must
+be free of structural scale catastrophes (cartesian products,
+unbounded nested-loop joins, row-at-a-time Python UDFs, per-pair
+regex join conditions) — see csvb_spark/plans/lint.py for the rules
+and the ≤1-row build-side auto-clearance.
+
+test_plans.py pins flagship plan shapes one by one; this test is the
+blanket: a refactor that degrades ANY of the corpus entries'
+plans fails here with the query name in the failure id. Exemptions
+are per-query, and each carries the size bound that makes the
+flagged shape safe — an exemption without a bound is a bug report.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from csvb_spark.plans.lint import lint_plan
+from csvb_spark.queries import corpus
+
+# query name -> {rule: justification}. The justification must state
+# the BOUND that makes the shape safe at 100 TB.
+_PROBE = (
+    "BNLJ build side is the PROBE set (a handful of query vectors / "
+    "top-k rows), bounded by the request, not by corpus size; the "
+    "corpus side streams map-side"
+)
+_THETA = (
+    "deliberate theta/band join: the broadcast side is a bounded "
+    "band/dimension table (grows with band count, not fact volume)"
+)
+_SHIM = (
+    "dialect gauntlet deliberately exercises the 3 documented "
+    "cold-path compat Python UDF shims (functions/shims.py); they are "
+    "banned from every other corpus plan by this very test"
+)
+EXEMPT: dict[str, dict[str, str]] = {
+    "p07_sim_bruteforce_topk": {"nested-loop": _PROBE},
+    "x12_sim_lsh_topk": {"nested-loop": _PROBE},
+    "x49_knn_join": {"nested-loop": _PROBE + " (probes capped, vec_id < 20)"},
+    "x56_rrf_hybrid": {"nested-loop": _PROBE + " (1 probe vector + BM25 top-50)"},
+    "x67_hard_negatives": {"nested-loop": _PROBE + " (probes capped, vec_id < 20)"},
+    "p36_matryoshka": {"nested-loop": _PROBE},
+    "x96_matryoshka_topk": {"nested-loop": _PROBE},
+    "p79_rel_theta_join": {"nested-loop": _THETA},
+    "q29_theta_join_bands": {"nested-loop": _THETA},
+    "q10_cross_join": {
+        "nested-loop": "the query IS a cross join (reference-parity "
+        "surface); both sides are dimension-sized in every sane use"
+    },
+    "q50_dialect_gauntlet": {"row-python-udf": _SHIM},
+    "p84_rel_dialect": {"row-python-udf": _SHIM},
+}
+
+_CORPUS = corpus()
+
+
+@pytest.mark.parametrize("name", sorted(_CORPUS))
+def test_corpus_plan_is_lint_clean(spark, sf_dir, name):
+    df = _CORPUS[name].spark(spark, sf_dir)
+    findings = [f for f in lint_plan(df) if f.rule not in EXEMPT.get(name, {})]
+    assert not findings, f"{name}: " + "; ".join(map(str, findings))
