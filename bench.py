@@ -269,6 +269,11 @@ SF10_OPS = (
     "x131_dsir_importance",
     "p09_dedup_minhash_lsh",
     "x137_near_dedup_lsh",
+    # round 12, second session: the Bloom-prefiltered decontamination
+    # scale path — the op exists FOR this regime (map-side bitmap
+    # filter instead of shuffling the full train gram stream), so it
+    # earns the sf10 slot that proves the claim
+    "x138_contamination_bloom",
 )
 
 

@@ -365,6 +365,132 @@ def contamination_check(
     )
 
 
+def _bloom_build(hashes, bits_per_key: int, seed: int):
+    """(bitmap uint8 array, m_bits, k_hashes) over int64 gram hashes.
+
+    Kirsch-Mitzenmacher double hashing: probe_i = (h1 + i*h2) mod m
+    gives k independent-enough probes from ONE 64-bit hash, so the
+    executors never re-hash gram text — they reuse the xxhash64 the
+    JVM already computed as the join key. k = round(ln2 * bits/key)
+    is the standard optimum for the target false-positive rate
+    (~0.3% at 12 bits/key)."""
+    import numpy as np
+
+    n = max(1, len(hashes))
+    # m below 2^31 keeps every position in exact int64 arithmetic;
+    # 2^31 bits = 256 MB bitmap, far past the collect guard anyway.
+    m = int(min(max(64, bits_per_key * n), (1 << 31) - 1))
+    k_hashes = max(1, round(0.693 * bits_per_key))
+    h1 = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
+    # splitmix-style odd-constant remix for the stride; |1 keeps the
+    # stride nonzero so the k probes never collapse onto one position
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)) | np.uint64(1)
+    bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for i in range(k_hashes):
+        pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+        # bitwise_or.at, not |=: fancy-indexed |= silently drops
+        # duplicate byte indices within one scatter
+        np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return bitmap, m, k_hashes
+
+
+def contamination_check_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_shared: int = 2,
+    max_gram_eval_df: int = 50,
+    bits_per_key: int = 12,
+    max_eval_grams: int = 1 << 22,
+    seed: int = 7,
+) -> DataFrame:
+    """:func:`contamination_check` with a broadcast Bloom prefilter on
+    the train side — identical output, different cost law.
+
+    The exact operator shuffles EVERY train gram into the equi-join
+    even though, on a real corpus vs a benchmark suite, well under 1%
+    of them match anything. Catalyst fixes that for free while the
+    eval gram-hash table fits the broadcast threshold (the join turns
+    into a broadcast semi-join); past it, this variant is the scale
+    path: a Bloom bitmap over the df-capped eval gram hashes is ~8x
+    smaller than the broadcast hash relation (``bits_per_key`` bits
+    vs 64-bit keys + JVM relation overhead), so the map-side-filter
+    regime extends roughly an order of magnitude further up the eval
+    -set scale before anything must shuffle the full train gram
+    stream.
+
+    Plan: eval grams → df-cap (one aggregate, same as the exact op) →
+    distinct-hash collect under ``max_eval_grams`` (hard guard: the
+    bitmap is DRIVER-BUILT state like the LM/classifier weight tables,
+    never unbounded — at the default 2^22 cap the bitmap is 6 MB) →
+    ``sparkContext.broadcast`` → Arrow-batched pandas UDF probes the
+    bitmap with numpy vector ops (never per-row Python) → survivors
+    take the ordinary exact equi-join + pair aggregation. Bloom false
+    positives are eliminated by that exact join; Bloom filters have
+    no false negatives, so the result is BIT-IDENTICAL to
+    :func:`contamination_check` — which is what makes the operator
+    oracle-checkable (x138 shares x19's DuckDB twin).
+
+    The probe hashes are derived from the SAME 64-bit xxhash64 gram
+    key the exact path joins on (see ``_bloom_build``), so this
+    inherits the default single-hash mode's ~2^32-distinct-gram
+    birthday bound; a wide-key bloom would need a 128-bit probe and
+    is not offered — past 2^32 grams the eval side is no benchmark
+    suite and the exact operator is the right tool.
+    """
+    from csvb_spark.operators.text import gram_key_cols, gram_key_exprs
+
+    keys = gram_key_cols(False)
+    t_grams = train.select(
+        F.col("doc_id").alias("train_doc_id"),
+        F.explode(char_shingles(text_col, k)).alias("g"),
+    ).select("train_doc_id", *gram_key_exprs(F.col("g"), False))
+    e_grams = eval_docs.select(
+        F.col("doc_id").alias("eval_doc_id"),
+        F.explode(char_shingles(text_col, k)).alias("g"),
+    ).select("eval_doc_id", *gram_key_exprs(F.col("g"), False))
+    rare = (
+        e_grams.groupBy(*keys)
+        .agg(F.count("*").alias("eval_df"))
+        .filter(F.col("eval_df") <= max_gram_eval_df)
+        .select(*keys)
+    )
+    hashes = [r[0] for r in rare.limit(max_eval_grams + 1).collect()]
+    if len(hashes) > max_eval_grams:
+        raise ValueError(
+            f"eval gram set exceeds max_eval_grams={max_eval_grams}; "
+            "raise the cap or use contamination_check (exact join path)"
+        )
+    bitmap, m, k_hashes = _bloom_build(hashes, bits_per_key, seed)
+    bc = train.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(gh):  # type: ignore[no-untyped-def]
+        import numpy as np
+        import pandas as pd
+
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        h1 = gh.to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)) | np.uint64(1)
+        ok = np.ones(len(h1), dtype=bool)
+        for i in range(k_hashes):
+            pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            ok &= ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    survivors = t_grams.filter(might_contain(F.col("gh")))
+    e_kept = e_grams.join(rare, keys)
+    return (
+        survivors.join(e_kept, keys)
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_shared)
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     alpha: float = 0.5,

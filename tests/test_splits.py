@@ -917,3 +917,95 @@ def test_review_fixes_null_handling_and_stale_tars(spark, sf_dir, tmp_path):
 
     att = filter_attribution(d, {"min.len": F.length("text") >= 5})
     assert att.collect()[0]["filter"] == "min.len"
+
+
+# --- Bloom-prefiltered contamination (round 12) --------------------------------
+
+
+def test_contamination_bloom_identical_to_exact(spark, sf_dir):
+    """The Bloom prefilter must be RESULT-INVISIBLE: no false
+    negatives (Bloom property) + exact verify join (kills false
+    positives) means bit-identical rows to contamination_check on the
+    same inputs."""
+    from csvb_spark.operators.splits import (
+        contamination_check,
+        contamination_check_bloom,
+    )
+
+    d = _docs(spark, sf_dir)
+    tr, ev = d.filter(F.col("doc_id") % 10 != 0), d.filter(F.col("doc_id") % 10 == 0)
+    exact = sorted(map(tuple, contamination_check(tr, ev, k=8, min_shared=2).collect()))
+    bloom = sorted(
+        map(tuple, contamination_check_bloom(tr, ev, k=8, min_shared=2).collect())
+    )
+    assert exact == bloom
+    assert exact  # non-vacuous: the fixture does produce contaminated pairs
+
+
+def test_contamination_bloom_plan_is_arrow_prefilter(spark, sf_dir):
+    """The probe must be Arrow-batched (ArrowEvalPython), never a
+    row-at-a-time BatchEvalPython, and the prefilter must sit ON THE
+    TRAIN SIDE before the gram equi-join (filter below the join in
+    the plan — that order IS the operator's reason to exist)."""
+    from csvb_spark.operators.splits import contamination_check_bloom
+    from csvb_spark.plans.lint import lint_plan, physical_plan
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 80)
+    df = contamination_check_bloom(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+    )
+    plan = physical_plan(df)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert not lint_plan(df)
+    # the UDF filter evaluates below (= later in the formatted text
+    # than) the SortMergeJoin/ShuffledHashJoin gram join node
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"))
+    arrow_pos = plan.find("ArrowEvalPython")
+    assert arrow_pos > join_pos > -1 or join_pos == -1
+
+
+def test_bloom_build_has_no_false_negatives():
+    """Every inserted hash must probe positive (the property the
+    operator's correctness rests on), and the false-positive rate on
+    disjoint probes stays within ~3x of the 12-bits/key theoretical
+    ~0.3% (loose bound: this is a sanity check, not a statistics
+    exam)."""
+    import numpy as np
+
+    from csvb_spark.operators.splits import _bloom_build
+
+    rng = np.random.default_rng(42)
+    members = rng.integers(-(2**63), 2**63 - 1, size=20000, dtype=np.int64)
+    others = rng.integers(-(2**63), 2**63 - 1, size=20000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    bitmap, m, k_hashes = _bloom_build(members, bits_per_key=12, seed=7)
+
+    def probe(h1):
+        h1 = np.asarray(h1, dtype=np.int64).astype(np.uint64)
+        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(7)) | np.uint64(1)
+        ok = np.ones(len(h1), dtype=bool)
+        for i in range(k_hashes):
+            pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            ok &= ((bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).astype(bool)
+        return ok
+
+    assert probe(members).all()  # zero false negatives, ever
+    assert probe(others).mean() < 0.01  # fp rate sane at 12 bits/key
+
+
+def test_contamination_bloom_collect_guard(spark, sf_dir):
+    """The driver-side bitmap build is bounded: an eval gram set past
+    max_eval_grams must raise instead of collecting unbounded state."""
+    import pytest
+
+    from csvb_spark.operators.splits import contamination_check_bloom
+
+    d = _docs(spark, sf_dir).filter(F.col("doc_id") < 40)
+    with pytest.raises(ValueError, match="max_eval_grams"):
+        contamination_check_bloom(
+            d.filter(F.col("doc_id") % 10 != 0),
+            d.filter(F.col("doc_id") % 10 == 0),
+            max_eval_grams=10,
+        )
