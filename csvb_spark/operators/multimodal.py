@@ -370,6 +370,126 @@ def synthesize_png(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synthesize_gif(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    upscale: int = 1,
+    noisy: bool = False,
+) -> DataFrame:
+    """Deterministic REAL GIF87a bytes per document — the LAST
+    stdlib-expressible image codec family: palette-indexed pixels
+    compressed with genuine variable-width LZW (9→12-bit codes,
+    LSB-first packing, clear/EOI codes, 4096-entry table reset), so
+    the decoder's full LZW state machine is exercised. The global
+    palette is arithmetic (``palette[i] = (i, 3i mod 256, 7i mod
+    256)``) and the pixel index field is arithmetic in ``(x, y,
+    doc_id)``, so a SQL oracle predicts the decoded channel means
+    without touching a byte. Map-only.
+
+    ``upscale``/``noisy`` exist for the deep-LZW tests only (x139
+    keeps the defaults): fixture-sized images never push the code
+    table past 9-bit codes, so tests scale the canvas up and switch
+    the index field to an incompressible mix to drive the table
+    through every width bump and past the 4096-entry CLEAR/reset —
+    both knobs stay numpy-predictable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _lzw(indices: bytes, mcs: int = 8) -> bytes:
+            # GIF-spec LZW: the code stream starts with CLEAR, ends
+            # with EOI, grows one bit exactly when the next assignable
+            # code value would not fit the current width (encoder and
+            # decoder stay in lockstep because both count assignments
+            # at the same stream positions), and resets via CLEAR at
+            # table entry 4096. LSB-first bit packing per the spec.
+            clear, eoi = 1 << mcs, (1 << mcs) + 1
+            out = bytearray()
+            acc = nbits = 0
+
+            def emit(code: int, width: int) -> None:
+                nonlocal acc, nbits
+                acc |= code << nbits
+                nbits += width
+                while nbits >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nbits -= 8
+
+            table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+            next_code, cs = eoi + 1, mcs + 1
+            emit(clear, cs)
+            w = indices[:1]
+            for b in indices[1:]:
+                wc = w + bytes([b])
+                if wc in table:
+                    w = wc
+                    continue
+                emit(table[w], cs)
+                if next_code < 4096:
+                    table[wc] = next_code
+                    if next_code == (1 << cs) and cs < 12:
+                        cs += 1
+                    next_code += 1
+                else:
+                    emit(clear, cs)
+                    table = {bytes([i]): i for i in range(clear)}
+                    next_code, cs = eoi + 1, mcs + 1
+                w = bytes([b])
+            emit(table[w], cs)
+            emit(eoi, cs)
+            if nbits:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        palette = bytes(
+            v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256)
+        )
+
+        def _gif(doc_id: int) -> bytes:
+            w = (6 + doc_id % 9) * upscale
+            h = (5 + doc_id % 7) * upscale
+            y, x = _np.mgrid[0:h, 0:w]
+            if noisy:
+                idx = (
+                    (x * 197 + y * 101 + (x * y) % 251 + doc_id) % 256
+                ).astype(_np.uint8)
+            else:
+                idx = ((x * 5 + y * 11 + doc_id) % 256).astype(_np.uint8)
+            lzw = _lzw(idx.tobytes())
+            blocks = b"".join(
+                bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+                for i in range(0, len(lzw), 255)
+            )
+            return (
+                b"GIF87a"
+                + _struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # LSD: 256-color GCT
+                + palette
+                + b"\x2c"
+                + _struct.pack("<HHHHB", 0, 0, w, h, 0)  # image descriptor
+                + bytes([8])  # LZW min code size
+                + blocks
+                + b"\x00\x3b"  # block terminator + trailer
+            )
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [_gif(i) for i in ids],
+                    "mime": ["image/gif"] * len(ids),
+                }
+            )
+
+    return _nonneg_ids(docs, id_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary, mime string"
+    )
+
+
 def synthesize_jpeg(
     docs: DataFrame, id_col: str = "doc_id", mode: str = "flat"
 ) -> DataFrame:
@@ -795,6 +915,20 @@ def adpcm_round_trip(docs: DataFrame) -> DataFrame:
     )
 
 
+def gif_round_trip(docs: DataFrame) -> DataFrame:
+    """documents → REAL GIF87a bytes → REAL decode (variable-width
+    LZW expansion + palette mapping). Output: ``(doc_id, width,
+    height, mean_r, mean_g, mean_b, decoded)`` — every field
+    predictable from ``doc_id`` alone (the index field and the
+    palette are both arithmetic, and channel sums of ≤ 8-bit values
+    are exact in float64), so the x139 oracle proves the LZW
+    decompression path end to end: one mis-synchronized code-width
+    bump or a broken KwKwK branch moves a channel mean."""
+    return decode_media_features(synthesize_gif(docs)).select(
+        "doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "decoded"
+    )
+
+
 def png_round_trip(docs: DataFrame) -> DataFrame:
     """documents → REAL PNG bytes → REAL decode (inflate + unfilter).
     Output: ``(doc_id, width, height, mean_r, mean_g, mean_b,
@@ -1133,6 +1267,98 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 out[y] = cur.astype(_np.uint8)
             return out.reshape(h, w, 3)
 
+        def _parse_gif(p: bytes):
+            # GIF87a/89a, global palette, single non-interlaced image
+            # (what synthesize_gif emits): LSD + GCT walk, 89a
+            # extension-block skip, then the REAL variable-width LZW
+            # expansion — 9→12-bit codes read LSB-first, CLEAR/EOI
+            # handling, the KwKwK self-reference case, and the
+            # code-width bump in lockstep with the encoder (width
+            # grows exactly when the next assignable code value no
+            # longer fits — see synthesize_gif._lzw). Local palettes
+            # and interlace return None (→ decoded=false), like every
+            # other sniff here.
+            if p[:6] not in (b"GIF87a", b"GIF89a"):
+                return None
+            if len(p) < 13:
+                return None
+            packed = p[10]
+            if not packed & 0x80:
+                return None  # no global palette
+            gct_n = 2 << (packed & 0x07)
+            pos = 13
+            palette = _np.frombuffer(
+                p, dtype=_np.uint8, count=gct_n * 3, offset=pos
+            ).reshape(gct_n, 3)
+            pos += gct_n * 3
+            while pos < len(p) and p[pos] == 0x21:  # 89a extensions
+                pos += 2  # introducer + label
+                while pos < len(p) and p[pos]:
+                    pos += 1 + p[pos]
+                pos += 1  # block terminator
+            if pos >= len(p) or p[pos] != 0x2C:
+                return None
+            w = int.from_bytes(p[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(p[pos + 7 : pos + 9], "little")
+            idesc = p[pos + 9]
+            if idesc & 0xC0:  # local palette or interlace
+                return None
+            pos += 10
+            mcs = p[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(p) and p[pos]:
+                n = p[pos]
+                data += p[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            clear, eoi = 1 << mcs, (1 << mcs) + 1
+            singles = [bytes([i]) for i in range(clear)]
+            table = singles + [b"", b""]
+            cs = mcs + 1
+            acc = nbits = dpos = 0
+            prev = None
+            out = bytearray()
+            while True:
+                while nbits < cs:
+                    if dpos >= len(data):
+                        return None  # truncated stream
+                    acc |= data[dpos] << nbits
+                    nbits += 8
+                    dpos += 1
+                code = acc & ((1 << cs) - 1)
+                acc >>= cs
+                nbits -= cs
+                if code == clear:
+                    table = singles + [b"", b""]
+                    cs = mcs + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    break
+                if prev is None:
+                    if code >= len(table):
+                        return None
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                    elif code == len(table):
+                        entry = prev + prev[:1]  # KwKwK
+                    else:
+                        return None
+                    if len(table) < 4096:
+                        table.append(prev + entry[:1])
+                        if len(table) == (1 << cs) and cs < 12:
+                            cs += 1
+                out += entry
+                prev = entry
+            if len(out) != w * h:
+                return None
+            idx = _np.frombuffer(bytes(out), dtype=_np.uint8)
+            if int(idx.max(initial=0)) >= gct_n:
+                return None
+            return palette[idx].reshape(h, w, 3)
+
         def _parse_jpeg(p: bytes):
             # Baseline sequential JFIF, 8-bit, 3 components, 1x1
             # sampling (what synthesize_jpeg emits and what most
@@ -1382,6 +1608,13 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                         )
                     elif p[:8] == b"\x89PNG\r\n\x1a\n":
                         px = _parse_png(p)
+                        rows.append(
+                            _decode_image(doc_id, p, px)
+                            if px is not None
+                            else _null_row(doc_id, p)
+                        )
+                    elif p[:6] in (b"GIF87a", b"GIF89a"):
+                        px = _parse_gif(p)
                         rows.append(
                             _decode_image(doc_id, p, px)
                             if px is not None

@@ -263,7 +263,15 @@ candidates — the sf10 spot-bench drove x40's exact blocked all-pairs
 variant into an OOM at 500k docs (quadratic in block size by design),
 so the scale path gets its own oracled entry and the sf10 bench slot.
 
-Corpus: 227 entries, 221 with full oracles.
+Round-12 third batch: x138 Bloom-prefiltered contamination — the
+decontamination scale path for eval sets past the broadcast-join
+threshold (driver-built broadcast bitmap, Arrow-vectorized probe,
+exact verify join; bit-identical to x19, so it shares the hash-free
+DuckDB twin) — and x139 GIF87a round trip (REAL variable-width LZW
+encode + decode, arithmetic palette/index fields, full-SQL oracle),
+closing the last stdlib-expressible image codec family.
+
+Corpus: 229 entries, 223 with full oracles.
 """
 
 from __future__ import annotations

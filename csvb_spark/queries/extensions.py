@@ -1102,6 +1102,56 @@ GROUP BY t.train_doc_id, e.eval_doc_id
 HAVING COUNT(*) >= 2
 """,
 )
+# Bloom-prefiltered contamination (round 12): same decontamination
+# semantics as x19 through a different cost law — a broadcast Bloom
+# bitmap over the df-capped eval gram hashes filters the train gram
+# stream MAP-SIDE (Arrow-vectorized numpy probe, never per-row
+# Python) before the exact equi-join, the 100 TB regime where the
+# eval gram-hash relation outgrows the broadcast-join threshold but
+# its ~12-bits/key bitmap does not. Bloom filters have no false
+# negatives and the exact join removes the false positives, so the
+# output is bit-identical to x19's — which is exactly what lets the
+# scale path share x19's hash-free DuckDB twin (same k/min_shared/
+# df-cap). Equivalence + no-false-negative properties are
+# additionally pinned in tests/test_splits.py. The eval side adds
+# ``doc_id < 100000`` — vacuous at every fixture sf (ids stop at
+# ~50k), but at the bench's shifted sf1/sf10 upscales it pins the
+# eval set to the UNSHIFTED copy, which is the operator's actual
+# regime: a FIXED benchmark suite screened against a growing train
+# corpus (a proportionally-growing eval set would trip the bitmap's
+# bounded-collect guard by design — that regime belongs to x19).
+_q(
+    "x138_contamination_bloom",
+    spark=lambda spark, sf: splits.contamination_check_bloom(
+        _docs(spark, sf).filter(F.col("doc_id") % 10 != 0),
+        _docs(spark, sf).filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+        ),
+        k=8,
+        min_shared=2,
+    ),
+    oracle="""
+WITH tg AS (
+  SELECT doc_id AS train_doc_id,
+         unnest(list_distinct([substr(lower(text), g, 8)
+                FOR g IN generate_series(1, greatest(length(text) - 7, 1))])) AS g
+  FROM documents WHERE doc_id % 10 != 0
+), eg AS (
+  SELECT doc_id AS eval_doc_id,
+         unnest(list_distinct([substr(lower(text), g, 8)
+                FOR g IN generate_series(1, greatest(length(text) - 7, 1))])) AS g
+  FROM documents WHERE doc_id % 10 = 0 AND doc_id < 100000
+), rare AS (
+  SELECT g FROM eg GROUP BY g HAVING COUNT(*) <= 50
+), ek AS (
+  SELECT eval_doc_id, g FROM eg WHERE g IN (SELECT g FROM rare)
+)
+SELECT t.train_doc_id, e.eval_doc_id, COUNT(*) AS n_shared_grams
+FROM tg t JOIN ek e USING (g)
+GROUP BY t.train_doc_id, e.eval_doc_id
+HAVING COUNT(*) >= 2
+""",
+)
 # portable=True derives the bucket from md5 so the oracle can replay
 # the exact assignment; the xxhash64 default stays the scale path
 # (exercised in tests/test_splits.py).
@@ -3050,6 +3100,39 @@ _q(
     "x135_adpcm_round_trip",
     spark=lambda spark, sf: multimodal.adpcm_round_trip(_docs(spark, sf)),
     oracle=None,
+)
+# GIF87a round trip (round 12): REAL palette-indexed encode through
+# genuine variable-width LZW (9→12-bit codes, LSB packing, CLEAR/EOI,
+# KwKwK) and REAL decode of the same bytes. The index field and the
+# palette are arithmetic in (x, y, doc_id), so the oracle replays the
+# decoded channel means from pure SQL without touching a byte — a
+# mis-synchronized code-width bump between encoder and decoder moves
+# a mean. Deep-table LZW paths (width bumps past 512/1024 entries,
+# the 4096-entry reset) are exercised in tests/test_multimodal.py
+# with upscaled noisy canvases plus an INDEPENDENT test-side encoder.
+_q(
+    "x139_gif_round_trip",
+    spark=lambda spark, sf: multimodal.gif_round_trip(_docs(spark, sf)),
+    oracle=r"""
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM dims
+), pxy AS (
+  SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px
+), idx AS (
+  SELECT doc_id, w, h, (x * 5 + y * 11 + doc_id) % 256 AS i FROM pxy
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       ROUND(AVG(CAST(i AS DOUBLE)), 6) AS mean_r,
+       ROUND(AVG(CAST((i * 3) % 256 AS DOUBLE)), 6) AS mean_g,
+       ROUND(AVG(CAST((i * 7) % 256 AS DOUBLE)), 6) AS mean_b,
+       TRUE AS decoded
+FROM idx
+GROUP BY doc_id
+""",
 )
 
 

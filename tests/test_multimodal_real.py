@@ -643,3 +643,170 @@ def test_adpcm_round_trip_matches_pure_python_replay(spark):
         src = [(((i * a + b) % 4001) - 2000) * 8 for i in range(n)]
         src_rms = math.sqrt(sum(s * s for s in src) / 1073741824.0 / n)
         assert abs(r.rms - src_rms) / src_rms < 0.05, (r.rms, src_rms)
+
+
+# --- GIF87a / LZW (round 12) ----------------------------------------------------
+
+
+def _gif_ref_encode(idx: np.ndarray, palette: bytes) -> bytes:
+    """INDEPENDENT test-side GIF87a writer (dict-of-tuples LZW with
+    its own width/reset bookkeeping, written against the spec, not
+    against the engine code) — payloads it produces exercise the
+    engine DECODER from a second implementation, so a shared-author
+    off-by-one in the code-width bump cannot cancel out."""
+    import struct
+
+    h, w = idx.shape
+    mcs, clear, eoi = 8, 256, 257
+    out = bytearray()
+    acc = [0, 0]  # bit accumulator, bit count
+
+    def emit(code, width):
+        acc[0] |= code << acc[1]
+        acc[1] += width
+        while acc[1] >= 8:
+            out.append(acc[0] & 0xFF)
+            acc[0] >>= 8
+            acc[1] -= 8
+
+    table = {(i,): i for i in range(256)}
+    nxt, cs = 258, 9
+    emit(clear, cs)
+    seq = tuple()
+    for s in idx.reshape(-1).tolist():
+        cand = seq + (s,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], cs)
+        if nxt < 4096:
+            table[cand] = nxt
+            if nxt == (1 << cs) and cs < 12:
+                cs += 1
+            nxt += 1
+        else:
+            emit(clear, cs)
+            table = {(i,): i for i in range(256)}
+            nxt, cs = 258, 9
+        seq = (s,)
+    emit(table[seq], cs)
+    emit(eoi, cs)
+    if acc[1]:
+        out.append(acc[0] & 0xFF)
+    blocks = b"".join(
+        bytes([len(out[i : i + 255])]) + bytes(out[i : i + 255])
+        for i in range(0, len(out), 255)
+    )
+    return (
+        b"GIF87a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + palette
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([8])
+        + blocks
+        + b"\x00\x3b"
+    )
+
+
+def test_gif_round_trip_means_match_numpy(spark, sf_dir):
+    """Engine encode→decode at fixture sizes: decoded channel means
+    equal the arithmetic prediction exactly (same math as the x139
+    SQL oracle)."""
+    from csvb_spark.operators.multimodal import gif_round_trip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    for r in gif_round_trip(docs).collect():
+        d = r.doc_id
+        w, h = 6 + d % 9, 5 + d % 7
+        y, x = np.mgrid[0:h, 0:w]
+        idx = (x * 5 + y * 11 + d) % 256
+        assert r.decoded and (r.width, r.height) == (w, h)
+        assert r.mean_r == round(float(idx.mean()), 6)
+        assert r.mean_g == round(float(((idx * 3) % 256).mean()), 6)
+        assert r.mean_b == round(float(((idx * 7) % 256).mean()), 6)
+
+
+def test_gif_lzw_deep_table_and_reset_round_trip(spark):
+    """Engine encoder vs engine decoder on a noisy upscaled canvas
+    whose LZW table provably crosses every code width AND the
+    4096-entry reset (proven by replaying the identical greedy
+    phrase walk in the test: same input → same phrase sequence →
+    same table growth as the engine encoder)."""
+    from csvb_spark.operators.multimodal import (
+        decode_media_features,
+        synthesize_gif,
+    )
+
+    doc_id = 7  # w=(6+7%9)*12=156, h=(5+7%7)*12=60 → 9360 px
+    docs = spark.createDataFrame([(doc_id,)], "doc_id bigint")
+    media = synthesize_gif(docs, upscale=12, noisy=True)
+    w, h = 156, 60
+    y, x = np.mgrid[0:h, 0:w]
+    idx = (x * 197 + y * 101 + (x * y) % 251 + doc_id) % 256
+
+    # replay the greedy LZW phrase walk to count table entries
+    table = {(i,): i for i in range(256)}
+    nxt, resets = 258, 0
+    seq = tuple()
+    for s in idx.reshape(-1).tolist():
+        cand = seq + (s,)
+        if cand in table:
+            seq = cand
+            continue
+        if nxt < 4096:
+            table[cand] = nxt
+            nxt += 1
+        else:
+            table = {(i,): i for i in range(256)}
+            nxt, resets = 258, resets + 1
+        seq = (s,)
+    assert resets >= 1  # the 4096-entry CLEAR/reset path really ran
+
+    r = decode_media_features(media).collect()[0]
+    assert r.decoded and (r.width, r.height) == (w, h)
+    assert r.mean_r == round(float(idx.mean()), 6)
+    assert r.mean_g == round(float(((idx * 3) % 256).mean()), 6)
+    assert r.mean_b == round(float(((idx * 7) % 256).mean()), 6)
+
+
+def test_gif_decoder_reads_independent_encoder_payloads(spark):
+    """Engine decoder vs the INDEPENDENT test encoder on random
+    indices (worst-case table growth, KwKwK patterns, width bumps,
+    resets) plus a pathological run-of-one-symbol canvas (maximal
+    KwKwK chains). Also: corrupt/truncated payloads and GIF89a
+    extension blocks."""
+    from csvb_spark.operators.multimodal import decode_media_features
+
+    palette = bytes(v for i in range(256) for v in (i, (i * 3) % 256, (i * 7) % 256))
+    rng = np.random.default_rng(7)
+    rand_idx = rng.integers(0, 256, size=(70, 110), dtype=np.uint8)  # 7700 px
+    runs_idx = np.zeros((40, 50), dtype=np.uint8)  # KwKwK-heavy
+    payload_rand = _gif_ref_encode(rand_idx, palette)
+    payload_runs = _gif_ref_encode(runs_idx, palette)
+    # splice a GIF89a graphic-control extension in front of the image
+    # descriptor of the runs payload and relabel the header
+    idesc = payload_runs.index(b"\x2c", 13 + 768)
+    payload_89a = (
+        b"GIF89a"
+        + payload_runs[6:idesc]
+        + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        + payload_runs[idesc:]
+    )
+    rows = [
+        (1, payload_rand, "image/gif"),
+        (2, payload_runs, "image/gif"),
+        (3, payload_89a, "image/gif"),
+        (4, payload_rand[:80], "image/gif"),  # truncated mid-palette
+        (5, payload_rand[:-40], "image/gif"),  # truncated LZW stream
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary, mime string")
+    got = {r.doc_id: r for r in decode_media_features(df).collect()}
+    for doc, idx in ((1, rand_idx), (2, runs_idx), (3, runs_idx)):
+        r = got[doc]
+        assert r.decoded, doc
+        assert (r.height, r.width) == idx.shape
+        assert r.mean_r == round(float(idx.astype(float).mean()), 6)
+        assert r.mean_g == round(float(((idx.astype(int) * 3) % 256).mean()), 6)
+        assert r.mean_b == round(float(((idx.astype(int) * 7) % 256).mean()), 6)
+    assert not got[4].decoded and not got[5].decoded
