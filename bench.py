@@ -224,6 +224,58 @@ def main() -> None:
         except Exception as ex:  # never let the sf10 extra kill the bench
             detail["sf10"] = {"error": f"{type(ex).__name__}: {ex}"}
 
+    # --- bloom-regime A/B (round 12): x138's claim is about the
+    # regime where the eval gram-hash relation no longer broadcasts,
+    # so the exact operator must SHUFFLE the full train gram stream.
+    # No local fixture reaches that relation size, so the regime is
+    # EMULATED by disabling the auto-broadcast threshold for the
+    # exact path (its gram join becomes the shuffle join it would be
+    # past the threshold) and timing both operators on the sf1
+    # upscale with the same fixed 5k-doc eval set. The bloom path's
+    # word-table join keeps its explicit broadcast() hint — hints
+    # override the disabled threshold, exactly as they would on a
+    # cluster. One pass each after the sf10 section's warms.
+    if os.environ.get("SPARK_GRAFT_BLOOM_AB", "1") != "0" and os.path.isdir(
+        os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+    ):
+        try:
+            from pyspark.sql import functions as F
+
+            from csvb_spark.operators.splits import (
+                contamination_check,
+                contamination_check_bloom,
+            )
+
+            sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+            docs = spark.read.parquet(f"{sf1_dir}/documents.parquet")
+            train = docs.filter(F.col("doc_id") % 10 != 0)
+            evald = docs.filter(
+                (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+            )
+            old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                t0 = time.perf_counter()
+                contamination_check(train, evald, k=8, min_shared=2).count()
+                t_exact = round(time.perf_counter() - t0, 4)
+                t0 = time.perf_counter()
+                contamination_check_bloom(train, evald, k=8, min_shared=2).count()
+                t_bloom = round(time.perf_counter() - t0, 4)
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+            detail["bloom_regime_ab"] = {
+                "exact_shuffle_join_sec": t_exact,
+                "bloom_prefilter_sec": t_bloom,
+                "speedup": round(t_exact / t_bloom, 2) if t_bloom else None,
+                "note": (
+                    "sf1 train vs fixed 5k-doc eval with auto-broadcast "
+                    "disabled — emulates the past-broadcast-threshold "
+                    "regime x138 exists for"
+                ),
+            }
+        except Exception as ex:  # never let the A/B extra kill the bench
+            detail["bloom_regime_ab"] = {"error": f"{type(ex).__name__}: {ex}"}
+
     # detail first, compact machine-read line LAST (see module doc)
     print(json.dumps(detail))
     print(json.dumps(out))

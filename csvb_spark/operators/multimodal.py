@@ -392,6 +392,10 @@ def synthesize_gif(
     the index field to an incompressible mix to drive the table
     through every width bump and past the 4096-entry CLEAR/reset —
     both knobs stay numpy-predictable."""
+    if upscale < 1:
+        # fail on the driver: upscale=0 would make empty canvases and
+        # surface as an opaque executor-side KeyError inside the LZW
+        raise ValueError(f"upscale must be >= 1, got {upscale}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct as _struct

@@ -365,33 +365,48 @@ def contamination_check(
     )
 
 
-def _bloom_build(hashes, bits_per_key: int, seed: int):
-    """(bitmap uint8 array, m_bits, k_hashes) over int64 gram hashes.
+# one split-block Bloom word sets _SBBF_PROBES bits, each picked by 6
+# bits of the second hash (48 of its 64 bits consumed)
+_SBBF_PROBES = 8
 
-    Kirsch-Mitzenmacher double hashing: probe_i = (h1 + i*h2) mod m
-    gives k independent-enough probes from ONE 64-bit hash, so the
-    executors never re-hash gram text — they reuse the xxhash64 the
-    JVM already computed as the join key. k = round(ln2 * bits/key)
-    is the standard optimum for the target false-positive rate
-    (~0.3% at 12 bits/key)."""
+
+def _sbbf_masks(h2):
+    """The 64-bit block mask for each second-hash value: OR of
+    ``_SBBF_PROBES`` single bits, bit j's index taken from bits
+    [6j, 6j+6) of h2 — EXACTLY the expression the Spark probe builds
+    with shiftrightunsigned/shiftleft, so build and probe agree on
+    every bit pattern (uint64 logical shifts == SQL unsigned
+    shifts)."""
     import numpy as np
 
-    n = max(1, len(hashes))
-    # m below 2^31 keeps every position in exact int64 arithmetic;
-    # 2^31 bits = 256 MB bitmap, far past the collect guard anyway.
-    m = int(min(max(64, bits_per_key * n), (1 << 31) - 1))
-    k_hashes = max(1, round(0.693 * bits_per_key))
-    h1 = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
-    # splitmix-style odd-constant remix for the stride; |1 keeps the
-    # stride nonzero so the k probes never collapse onto one position
-    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)) | np.uint64(1)
-    bitmap = np.zeros((m + 7) // 8, dtype=np.uint8)
-    for i in range(k_hashes):
-        pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
-        # bitwise_or.at, not |=: fancy-indexed |= silently drops
-        # duplicate byte indices within one scatter
-        np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
-    return bitmap, m, k_hashes
+    h2u = np.asarray(h2, dtype=np.int64).view(np.uint64)
+    mask = np.zeros(len(h2u), dtype=np.uint64)
+    for j in range(_SBBF_PROBES):
+        mask |= np.uint64(1) << ((h2u >> np.uint64(6 * j)) & np.uint64(63))
+    return mask
+
+
+def _sbbf_build(h1, h2, bits_per_key: int):
+    """(word array int64, n_words) of a split-block Bloom filter
+    (the Parquet SBBF design, single-word blocks): key k lands in
+    word ``pmod(h1, n_words)`` and sets the 8 mask bits derived from
+    h2. Membership = all 8 bits present in that one word — one array
+    lookup + one AND per probe, no per-key loop, which is what lets
+    the Spark side test it in pure JVM expressions. ~5e-4 false
+    positives at the default 16 bits/key (word fill ≈ 39%, 0.39^8);
+    false negatives impossible (bits are only ever OR-ed in)."""
+    import numpy as np
+
+    n = max(1, len(h1))
+    n_words = max(1, (n * bits_per_key + 63) // 64)
+    h1a = np.asarray(h1, dtype=np.int64)
+    # numpy's % takes the divisor's sign, same as SQL pmod
+    w = (h1a % np.int64(n_words)).astype(np.int64)
+    words = np.zeros(n_words, dtype=np.uint64)
+    # bitwise_or.at, not |=: fancy-indexed |= silently drops
+    # duplicate word indices within one scatter
+    np.bitwise_or.at(words, w, _sbbf_masks(h2))
+    return words.view(np.int64), n_words
 
 
 def contamination_check_bloom(
@@ -401,43 +416,53 @@ def contamination_check_bloom(
     k: int = 8,
     min_shared: int = 2,
     max_gram_eval_df: int = 50,
-    bits_per_key: int = 12,
+    bits_per_key: int = 16,
     max_eval_grams: int = 1 << 22,
     seed: int = 7,
 ) -> DataFrame:
-    """:func:`contamination_check` with a broadcast Bloom prefilter on
-    the train side — identical output, different cost law.
+    """:func:`contamination_check` with a split-block Bloom prefilter
+    on the train side — identical output, different cost law.
 
     The exact operator shuffles EVERY train gram into the equi-join
     even though, on a real corpus vs a benchmark suite, well under 1%
     of them match anything. Catalyst fixes that for free while the
     eval gram-hash table fits the broadcast threshold (the join turns
     into a broadcast semi-join); past it, this variant is the scale
-    path: a Bloom bitmap over the df-capped eval gram hashes is ~8x
-    smaller than the broadcast hash relation (``bits_per_key`` bits
-    vs 64-bit keys + JVM relation overhead), so the map-side-filter
-    regime extends roughly an order of magnitude further up the eval
-    -set scale before anything must shuffle the full train gram
-    stream.
+    path: the Bloom word table over the df-capped eval gram hashes is
+    ~16-30x smaller than the broadcast hash relation (``bits_per_key``
+    bits vs 64-bit keys + JVM relation overhead), so the
+    map-side-filter regime extends more than an order of magnitude
+    further up the eval-set scale before anything must shuffle the
+    full train gram stream.
 
-    Plan: eval grams → df-cap (one aggregate, same as the exact op) →
-    distinct-hash collect under ``max_eval_grams`` (hard guard: the
-    bitmap is DRIVER-BUILT state like the LM/classifier weight tables,
-    never unbounded — at the default 2^22 cap the bitmap is 6 MB) →
-    ``sparkContext.broadcast`` → Arrow-batched pandas UDF probes the
-    bitmap with numpy vector ops (never per-row Python) → survivors
-    take the ordinary exact equi-join + pair aggregation. Bloom false
-    positives are eliminated by that exact join; Bloom filters have
-    no false negatives, so the result is BIT-IDENTICAL to
+    The filter is a split-block Bloom (Parquet's SBBF shape,
+    single-word blocks — ``_sbbf_build``): key → ONE word by
+    ``pmod(gh, n_words)``, 8 mask bits from ``xxhash64(gh, seed)``.
+    That one-lookup design is what keeps the probe ENTIRELY JVM-side:
+    a broadcast hash join on the word index + a shift/AND mask
+    expression, zero Python in the hot path (an Arrow-batched UDF
+    probe measured ~1.6x super-linear at the sf10 bench — the Arrow
+    boundary itself became the bottleneck at 5e9 train grams; the
+    JVM probe stays inside whole-stage codegen).
+
+    Plan: eval grams → df-cap (one aggregate, same as the exact op,
+    persisted so the verify join reuses it instead of recomputing) →
+    (hash, second-hash) collect under ``max_eval_grams`` (hard guard:
+    the word table is DRIVER-BUILT state like the LM/classifier
+    weight tables, never unbounded — at the 2^22 cap it is 8 MB) →
+    word-table DataFrame → broadcast join + mask filter on the train
+    gram stream → survivors take the ordinary exact equi-join + pair
+    aggregation. Bloom false positives (~5e-4 at 16 bits/key) are
+    eliminated by that exact join; Bloom filters have no false
+    negatives, so the result is BIT-IDENTICAL to
     :func:`contamination_check` — which is what makes the operator
     oracle-checkable (x138 shares x19's DuckDB twin).
 
-    The probe hashes are derived from the SAME 64-bit xxhash64 gram
-    key the exact path joins on (see ``_bloom_build``), so this
-    inherits the default single-hash mode's ~2^32-distinct-gram
-    birthday bound; a wide-key bloom would need a 128-bit probe and
-    is not offered — past 2^32 grams the eval side is no benchmark
-    suite and the exact operator is the right tool.
+    The probe hashes derive from the SAME 64-bit xxhash64 gram key
+    the exact path joins on, so this inherits the default
+    single-hash mode's ~2^32-distinct-gram birthday bound; past 2^32
+    grams the eval side is no benchmark suite and the exact operator
+    is the right tool.
     """
     from csvb_spark.operators.text import gram_key_cols, gram_key_exprs
 
@@ -455,33 +480,46 @@ def contamination_check_bloom(
         .agg(F.count("*").alias("eval_df"))
         .filter(F.col("eval_df") <= max_gram_eval_df)
         .select(*keys)
-    )
-    hashes = [r[0] for r in rare.limit(max_eval_grams + 1).collect()]
-    if len(hashes) > max_eval_grams:
+    ).persist()  # collected here AND joined below — one computation
+    pairs = rare.select(
+        "gh", F.xxhash64("gh", F.lit(seed)).alias("h2")
+    ).limit(max_eval_grams + 1).collect()
+    if len(pairs) > max_eval_grams:
+        rare.unpersist()
         raise ValueError(
             f"eval gram set exceeds max_eval_grams={max_eval_grams}; "
             "raise the cap or use contamination_check (exact join path)"
         )
-    bitmap, m, k_hashes = _bloom_build(hashes, bits_per_key, seed)
-    bc = train.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+    words, n_words = _sbbf_build(
+        [r[0] for r in pairs], [r[1] for r in pairs], bits_per_key
+    )
+    import pandas as pd
 
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("boolean")
-    def might_contain(gh):  # type: ignore[no-untyped-def]
-        import numpy as np
-        import pandas as pd
-
-        bits = np.frombuffer(bc.value, dtype=np.uint8)
-        h1 = gh.to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
-        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)) | np.uint64(1)
-        ok = np.ones(len(h1), dtype=bool)
-        for i in range(k_hashes):
-            pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
-            ok &= ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).astype(bool)
-        return pd.Series(ok)
-
-    survivors = t_grams.filter(might_contain(F.col("gh")))
+    spark = train.sparkSession
+    words_df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "word_idx": range(n_words),
+                "word": words,
+            }
+        ),
+        "word_idx int, word bigint",
+    )
+    # probe: one broadcast-join lookup + one AND — both sides compute
+    # the mask with UNSIGNED shifts (numpy uint64 in _sbbf_masks, SQL
+    # shiftrightunsigned here); bit patterns agree exactly
+    mask_sql = " | ".join(
+        f"shiftleft(1L, CAST((shiftrightunsigned(xxhash64(gh, {seed}), "
+        f"{6 * j}) & 63) AS INT))"
+        for j in range(_SBBF_PROBES)
+    )
+    survivors = (
+        t_grams.withColumn("word_idx", F.expr(f"CAST(pmod(gh, {n_words}) AS INT)"))
+        .withColumn("bmask", F.expr(mask_sql))
+        .join(F.broadcast(words_df), "word_idx")
+        .filter(F.expr("(word & bmask) = bmask"))
+        .select("train_doc_id", *keys)
+    )
     e_kept = e_grams.join(rare, keys)
     return (
         survivors.join(e_kept, keys)

@@ -168,17 +168,31 @@ def _walk(node: _Node):
         yield from _walk(c)
 
 
-def _build_side_bounded(join: _Node, details: dict[int, str]) -> bool:
+_REUSE_REF = re.compile(r"Reuses operator id:\s*(\d+)")
+
+
+def _build_side_bounded(
+    join: _Node, details: dict[int, str], by_id: dict[int, _Node]
+) -> bool:
     """True when the BNLJ's broadcast side is provably ≤1 row: walk
     row-preserving wrappers down to the deciding node and accept an
-    ungrouped aggregate (``Keys: []``)."""
+    ungrouped aggregate (``Keys: []``). A ``ReusedExchange`` is
+    followed to the exchange it reuses (its detail block names the
+    operator id), so the second use of a scalar-broadcast aggregate
+    stays auto-cleared."""
     if "BuildRight" in join.label:
         side = join.children[1] if len(join.children) > 1 else None
     else:
         side = join.children[0] if join.children else None
-    while side is not None:
+    hops = 0
+    while side is not None and hops < 100:  # cycle guard
+        hops += 1
         if side.name in _AGGREGATES:
             return "Keys: []" in details.get(side.nid, "")
+        if side.name == "ReusedExchange":
+            m = _REUSE_REF.search(details.get(side.nid, ""))
+            side = by_id.get(int(m.group(1))) if m else None
+            continue
         if side.name in _ROW_PRESERVING and side.children:
             side = side.children[0]
             continue
@@ -190,12 +204,13 @@ def lint_plan(df: DataFrame) -> list[Finding]:
     """Lint one DataFrame's physical plan; returns [] when clean."""
     plan = physical_plan(df, "formatted")
     roots, details = _parse_tree(plan)
+    by_id = {n.nid: n for r in roots for n in _walk(r)}
     findings: list[Finding] = []
     for node in (n for r in roots for n in _walk(r)):
         if node.name == "CartesianProduct":
             findings.append(Finding("cartesian", "CartesianProduct in plan"))
         elif node.name == "BroadcastNestedLoopJoin":
-            if not _build_side_bounded(node, details):
+            if not _build_side_bounded(node, details, by_id):
                 findings.append(
                     Finding(
                         "nested-loop",

@@ -265,9 +265,10 @@ so the scale path gets its own oracled entry and the sf10 bench slot.
 
 Round-12 third batch: x138 Bloom-prefiltered contamination — the
 decontamination scale path for eval sets past the broadcast-join
-threshold (driver-built broadcast bitmap, Arrow-vectorized probe,
-exact verify join; bit-identical to x19, so it shares the hash-free
-DuckDB twin) — and x139 GIF87a round trip (REAL variable-width LZW
+threshold (driver-built split-block Bloom word table, pure-JVM
+broadcast-join + mask probe, exact verify join; bit-identical to
+x19, so it shares the hash-free DuckDB twin) — and x139 GIF87a
+round trip (REAL variable-width LZW
 encode + decode, arithmetic palette/index fields, full-SQL oracle),
 closing the last stdlib-expressible image codec family.
 

@@ -1103,12 +1103,14 @@ HAVING COUNT(*) >= 2
 """,
 )
 # Bloom-prefiltered contamination (round 12): same decontamination
-# semantics as x19 through a different cost law — a broadcast Bloom
-# bitmap over the df-capped eval gram hashes filters the train gram
-# stream MAP-SIDE (Arrow-vectorized numpy probe, never per-row
-# Python) before the exact equi-join, the 100 TB regime where the
-# eval gram-hash relation outgrows the broadcast-join threshold but
-# its ~12-bits/key bitmap does not. Bloom filters have no false
+# semantics as x19 through a different cost law — a broadcast
+# split-block Bloom word table over the df-capped eval gram hashes
+# filters the train gram stream MAP-SIDE (pure-JVM probe: broadcast
+# word-index join + shift/AND mask, zero Python — an Arrow-UDF probe
+# measured super-linear at sf10, ratio 15.8; this one measures 2.6)
+# before the exact equi-join, the 100 TB regime where the eval
+# gram-hash relation outgrows the broadcast-join threshold but its
+# ~16-bits/key word table does not. Bloom filters have no false
 # negatives and the exact join removes the false positives, so the
 # output is bit-identical to x19's — which is exactly what lets the
 # scale path share x19's hash-free DuckDB twin (same k/min_shared/
@@ -3108,7 +3110,7 @@ _q(
 # decoded channel means from pure SQL without touching a byte — a
 # mis-synchronized code-width bump between encoder and decoder moves
 # a mean. Deep-table LZW paths (width bumps past 512/1024 entries,
-# the 4096-entry reset) are exercised in tests/test_multimodal.py
+# the 4096-entry reset) are exercised in tests/test_multimodal_real.py
 # with upscaled noisy canvases plus an INDEPENDENT test-side encoder.
 _q(
     "x139_gif_round_trip",

@@ -60,3 +60,46 @@ def test_corpus_plan_is_lint_clean(spark, sf_dir, name):
     df = _CORPUS[name].spark(spark, sf_dir)
     findings = [f for f in lint_plan(df) if f.rule not in EXEMPT.get(name, {})]
     assert not findings, f"{name}: " + "; ".join(map(str, findings))
+
+
+def test_build_side_bounded_follows_reused_exchange():
+    """A BNLJ whose build side is a ReusedExchange of a Keys: []
+    aggregate must auto-clear: the walk follows the 'Reuses operator
+    id' reference instead of flagging a provably 1-row side (static
+    plans with exchange reuse — e.g. AQE off — hit this shape when
+    the same scalar broadcast feeds two joins)."""
+    from csvb_spark.plans.lint import _build_side_bounded, _parse_tree, _walk
+
+    plan = """== Physical Plan ==
+Project (9)
++- BroadcastNestedLoopJoin Cross BuildRight (8)
+   :- Project (2)
+   :  +- Scan parquet  (1)
+   +- ReusedExchange (7)
+
+(1) Scan parquet 
+Output: [a#1L]
+
+(7) ReusedExchange [Reuses operator id: 5]
+Output [1]: [cnt#9L]
+
+(5) BroadcastExchange
+Input [1]: [cnt#9L]
+
+(4) HashAggregate
+Input [1]: [sum#12L]
+Keys: []
+Functions [1]: [count(1)]
+"""
+    # graft the referenced exchange subtree as a second root, the way
+    # a real formatted plan carries subquery/auxiliary trees
+    plan += """
+BroadcastExchange (5)
++- HashAggregate (4)
+   +- Scan parquet  (3)
+"""
+    roots, details = _parse_tree(plan)
+    by_id = {n.nid: n for r in roots for n in _walk(r)}
+    bnlj = by_id[8]
+    assert bnlj.name == "BroadcastNestedLoopJoin"
+    assert _build_side_bounded(bnlj, details, by_id)

@@ -16,11 +16,9 @@ from __future__ import annotations
 import pytest
 
 
-def _plan(df, mode: str = "formatted") -> str:
-    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
-        mode
-    )
-    return df._jdf.queryExecution().explainString(jmode)  # noqa: SLF001
+# the EXPLAIN hook moved to product code with the round-12 plan lint;
+# keep the local name so the assertions below read unchanged
+from csvb_spark.plans.lint import physical_plan as _plan  # noqa: E402
 
 
 def _docs(spark, sf_dir):

@@ -942,11 +942,12 @@ def test_contamination_bloom_identical_to_exact(spark, sf_dir):
     assert exact  # non-vacuous: the fixture does produce contaminated pairs
 
 
-def test_contamination_bloom_plan_is_arrow_prefilter(spark, sf_dir):
-    """The probe must be Arrow-batched (ArrowEvalPython), never a
-    row-at-a-time BatchEvalPython, and the prefilter must sit ON THE
-    TRAIN SIDE before the gram equi-join (filter below the join in
-    the plan — that order IS the operator's reason to exist)."""
+def test_contamination_bloom_plan_is_jvm_prefilter(spark, sf_dir):
+    """The probe must be PURE JVM — no Python evaluation node of any
+    kind in the plan (the Arrow-batched UDF variant measured
+    super-linear at the sf10 bench; the broadcast word-table join +
+    mask filter stays inside codegen) — and the word-table join that
+    implements the prefilter must broadcast, never shuffle."""
     from csvb_spark.operators.splits import contamination_check_bloom
     from csvb_spark.plans.lint import lint_plan, physical_plan
 
@@ -956,43 +957,48 @@ def test_contamination_bloom_plan_is_arrow_prefilter(spark, sf_dir):
         d.filter(F.col("doc_id") % 10 == 0),
     )
     plan = physical_plan(df)
-    assert "ArrowEvalPython" in plan
+    assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan  # word-table lookup broadcasts
+    assert "shiftrightunsigned" in plan  # the mask probe is in-plan
     assert not lint_plan(df)
-    # the UDF filter evaluates below (= later in the formatted text
-    # than) the SortMergeJoin/ShuffledHashJoin gram join node
-    join_pos = max(plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"))
-    arrow_pos = plan.find("ArrowEvalPython")
-    assert arrow_pos > join_pos > -1 or join_pos == -1
 
 
-def test_bloom_build_has_no_false_negatives():
-    """Every inserted hash must probe positive (the property the
-    operator's correctness rests on), and the false-positive rate on
-    disjoint probes stays within ~3x of the 12-bits/key theoretical
-    ~0.3% (loose bound: this is a sanity check, not a statistics
-    exam)."""
+def test_sbbf_build_has_no_false_negatives(spark):
+    """Every inserted key must probe positive (the property the
+    operator's correctness rests on) — replayed with the SAME mask
+    math the Spark expression uses — and the false-positive rate on
+    disjoint keys stays well under 1% at 16 bits/key (theory ~5e-4;
+    loose bound, not a statistics exam). Second hashes come from
+    Spark's own xxhash64 so the build path is exercised end to end."""
     import numpy as np
 
-    from csvb_spark.operators.splits import _bloom_build
+    from csvb_spark.operators.splits import _sbbf_build, _sbbf_masks
 
     rng = np.random.default_rng(42)
     members = rng.integers(-(2**63), 2**63 - 1, size=20000, dtype=np.int64)
     others = rng.integers(-(2**63), 2**63 - 1, size=20000, dtype=np.int64)
     others = np.setdiff1d(others, members)
-    bitmap, m, k_hashes = _bloom_build(members, bits_per_key=12, seed=7)
+    seed = 7
 
-    def probe(h1):
-        h1 = np.asarray(h1, dtype=np.int64).astype(np.uint64)
-        h2 = (h1 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(7)) | np.uint64(1)
-        ok = np.ones(len(h1), dtype=bool)
-        for i in range(k_hashes):
-            pos = ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
-            ok &= ((bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).astype(bool)
-        return ok
+    def spark_h2(h1):
+        df = spark.createDataFrame([(int(v),) for v in h1], "gh bigint")
+        rows = df.selectExpr("gh", f"xxhash64(gh, {seed}) AS h2").collect()
+        got = {r[0]: r[1] for r in rows}
+        return np.array([got[int(v)] for v in h1], dtype=np.int64)
 
-    assert probe(members).all()  # zero false negatives, ever
-    assert probe(others).mean() < 0.01  # fp rate sane at 12 bits/key
+    m_h2, o_h2 = spark_h2(members), spark_h2(others)
+    words, n_words = _sbbf_build(members, m_h2, bits_per_key=16)
+    uwords = words.view(np.uint64)
+
+    def probe(h1, h2):
+        w = (np.asarray(h1, dtype=np.int64) % np.int64(n_words)).astype(np.int64)
+        mask = _sbbf_masks(h2)
+        return (uwords[w] & mask) == mask
+
+    assert probe(members, m_h2).all()  # zero false negatives, ever
+    assert probe(others, o_h2).mean() < 0.01  # fp rate sane at 16 b/key
 
 
 def test_contamination_bloom_collect_guard(spark, sf_dir):
