@@ -20,6 +20,10 @@ beyond-reference subcommands (no csvb equivalent):
   (and: dedup / diff / drift / expect / profile / train-filter /
    score / sample / clean [--html] / quota / skew / overlap — each
    surfacing the operator of the same name end to end)
+  csvb planlint [--csv|--parquet|--json PATH...] [--explain] QUERY
+      lint the query's physical plan for scale hazards without
+      executing it (plans/lint.py); exit 1 when findings exist, so
+      it slots into CI pipelines as a query gate
 
 ``exec``/``serve`` also accept ``--parquet PATH...`` / ``--json
 PATH...`` in place of ``--csv`` (bonus formats; the reference wires
@@ -85,6 +89,23 @@ def build_parser() -> argparse.ArgumentParser:
     pe.add_argument("--json", action="append", default=[], metavar="PATH")
     pe.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
     pe.add_argument("query")
+
+    pl = sub.add_parser(
+        "planlint",
+        help="lint a query's physical plan for scale hazards "
+        "(cartesian products, unbounded nested-loop joins, row-wise "
+        "Python UDFs) without executing it",
+    )
+    pl.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
+    pl.add_argument("--parquet", action="append", default=[], metavar="PATH")
+    pl.add_argument("--json", action="append", default=[], metavar="PATH")
+    pl.add_argument("--table-name", default=DEFAULT_TABLE_NAME)
+    pl.add_argument(
+        "--explain",
+        action="store_true",
+        help="also print the formatted physical plan",
+    )
+    pl.add_argument("query")
 
     ps = sub.add_parser("serve", help="serve the Postgres wire protocol")
     ps.add_argument("--csv", action="append", default=[], metavar="PATH_OR_URL")
@@ -646,6 +667,26 @@ def main(argv: list[str] | None = None) -> int:
         spark = _session(args)
         _register_direct(spark, args)
         print(render_df(execute_sql(spark, args.query)))
+        return 0
+
+    if args.command == "planlint":
+        # CI-style gate for user queries: exit 0 when the plan is
+        # free of structural scale hazards, 1 with one finding per
+        # line otherwise. Plans only — nothing executes.
+        from csvb_spark.plans.lint import lint_plan, physical_plan
+        from csvb_spark.sql import execute_sql
+
+        spark = _session(args)
+        _register_direct(spark, args)
+        df = execute_sql(spark, args.query)
+        findings = lint_plan(df)
+        if args.explain:
+            print(physical_plan(df))
+        if findings:
+            for f in findings:
+                print(f)
+            return 1
+        print("plan is lint-clean")
         return 0
 
     if args.command == "serve":

@@ -1514,3 +1514,35 @@ def test_session_scheduler_defaults(monkeypatch):
         A.command = command
         assert cli._session(A) == "SPARK"
         assert calls.pop("scheduler_mode") == expected, command
+
+
+def test_cli_planlint_clean_and_flagged(spark, sf_dir, capsys):
+    """`csvb planlint` exits 0 with 'lint-clean' for a sane plan and
+    1 with a finding line for a cartesian product; --explain also
+    prints the formatted plan. Nothing executes either way."""
+    from csvb_spark.cli import main
+
+    rc = main(
+        [
+            "planlint",
+            "--parquet",
+            f"{sf_dir}/region.parquet",
+            "SELECT r_regionkey, count(*) AS n FROM tbl GROUP BY r_regionkey",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0 and "lint-clean" in out
+
+    rc = main(
+        [
+            "planlint",
+            "--parquet",
+            f"{sf_dir}/region.parquet",
+            "--explain",
+            "SELECT * FROM tbl a, tbl b WHERE a.r_name < b.r_name",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "[nested-loop]" in out or "[cartesian]" in out
+    assert "== Physical Plan ==" in out  # --explain printed the plan
