@@ -214,6 +214,27 @@ def build_parser() -> argparse.ArgumentParser:
         help="DSIR gate: keep documents whose per-feature importance "
         "(log_importance / n_features) is >= this",
     )
+    pi.add_argument(
+        "--decontam-eval",
+        default=None,
+        help="eval-suite parquet dir for the decontamination gate: "
+        "documents sharing char k-grams with it are rejected (use "
+        "with --decontam-min-shared)",
+    )
+    pi.add_argument(
+        "--decontam-min-shared",
+        type=int,
+        default=None,
+        help="decontamination gate: reject documents sharing >= this "
+        "many distinct grams with the eval suite (Bloom-counted, "
+        "never under-counts)",
+    )
+    pi.add_argument(
+        "--decontam-k",
+        type=int,
+        default=8,
+        help="char k-gram width for the decontamination gate",
+    )
 
     pd = sub.add_parser(
         "diff",
@@ -756,6 +777,9 @@ def main(argv: list[str] | None = None) -> int:
             quota_dir=args.quota_dir,
             dsir_weights_dir=args.dsir_weights,
             dsir_min_avg=args.dsir_min_avg,
+            decontam_eval_dir=args.decontam_eval,
+            decontam_min_shared=args.decontam_min_shared,
+            decontam_k=args.decontam_k,
         )
         return 0
 

@@ -386,6 +386,32 @@ def _sbbf_masks(h2):
     return mask
 
 
+def _sbbf_mask_sql(seed: int) -> str:
+    """The SQL twin of :func:`_sbbf_masks` for a gram-hash column
+    named ``gh`` — unsigned shifts, so bit patterns agree with the
+    numpy build exactly."""
+    return " | ".join(
+        f"shiftleft(1L, CAST((shiftrightunsigned(xxhash64(gh, {seed}), "
+        f"{6 * j}) & 63) AS INT))"
+        for j in range(_SBBF_PROBES)
+    )
+
+
+def _sbbf_probe(grams: DataFrame, words_df: DataFrame, n_words: int, seed: int):
+    """Rows of ``grams`` (any shape, must carry ``gh``) whose gram
+    hash tests positive in the SBBF word table: ONE broadcast join on
+    the word index + one AND, all inside whole-stage codegen — no
+    Python in the path (the Arrow-UDF probe this replaced measured
+    super-linear at the sf10 bench)."""
+    return (
+        grams.withColumn("word_idx", F.expr(f"CAST(pmod(gh, {n_words}) AS INT)"))
+        .withColumn("bmask", F.expr(_sbbf_mask_sql(seed)))
+        .join(F.broadcast(words_df), "word_idx")
+        .filter(F.expr("(word & bmask) = bmask"))
+        .drop("word_idx", "bmask", "word")
+    )
+
+
 def _sbbf_build(h1, h2, bits_per_key: int):
     """(word array int64, n_words) of a split-block Bloom filter
     (the Parquet SBBF design, single-word blocks): key k lands in
@@ -407,6 +433,100 @@ def _sbbf_build(h1, h2, bits_per_key: int):
     # duplicate word indices within one scatter
     np.bitwise_or.at(words, w, _sbbf_masks(h2))
     return words.view(np.int64), n_words
+
+
+def _sbbf_from_hash_df(
+    spark,
+    hash_df: DataFrame,
+    bits_per_key: int,
+    max_eval_grams: int,
+    seed: int,
+) -> tuple[DataFrame, int]:
+    """(word-table DataFrame, n_words) from a DataFrame of distinct
+    gram hashes (column ``gh``): collect (hash, second-hash) pairs
+    under the hard guard — the word table is DRIVER-BUILT state like
+    the LM/classifier weight tables, never unbounded (8 MB at the
+    2^22 default cap) — scatter the bits in numpy, ship the words
+    back as an Arrow-built DataFrame for the broadcast probe join.
+    The second hash comes from Spark's own xxhash64 so build and
+    probe share one hash implementation."""
+    pairs = (
+        hash_df.select("gh", F.xxhash64("gh", F.lit(seed)).alias("h2"))
+        .limit(max_eval_grams + 1)
+        .collect()
+    )
+    if len(pairs) > max_eval_grams:
+        raise ValueError(
+            f"eval gram set exceeds max_eval_grams={max_eval_grams}; "
+            "raise the cap or use contamination_check (exact join path)"
+        )
+    words, n_words = _sbbf_build(
+        [r[0] for r in pairs], [r[1] for r in pairs], bits_per_key
+    )
+    import pandas as pd
+
+    words_df = spark.createDataFrame(
+        pd.DataFrame({"word_idx": range(n_words), "word": words}),
+        "word_idx int, word bigint",
+    )
+    return words_df, n_words
+
+
+def sbbf_eval_filter(
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_eval_df: int = 50,
+    bits_per_key: int = 16,
+    max_eval_grams: int = 1 << 22,
+    seed: int = 7,
+) -> tuple[DataFrame, int]:
+    """Build the SBBF word table over an eval set's df-capped char
+    k-gram hashes, for reuse across queries or stream micro-batches
+    (the streaming ingest decontamination gate builds this ONCE at
+    stream start). Pair with :func:`sbbf_gram_hits`."""
+    from csvb_spark.operators.text import gram_key_cols, gram_key_exprs
+
+    keys = gram_key_cols(False)
+    e_grams = eval_docs.select(
+        "doc_id", F.explode(char_shingles(text_col, k)).alias("g")
+    ).select("doc_id", *gram_key_exprs(F.col("g"), False))
+    rare = (
+        e_grams.groupBy(*keys)
+        .agg(F.count("*").alias("eval_df"))
+        .filter(F.col("eval_df") <= max_gram_eval_df)
+        .select(*keys)
+    )
+    return _sbbf_from_hash_df(
+        eval_docs.sparkSession, rare, bits_per_key, max_eval_grams, seed
+    )
+
+
+def sbbf_gram_hits(
+    docs: DataFrame,
+    words_df: DataFrame,
+    n_words: int,
+    text_col: str = "text",
+    k: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """(doc_id, n_bloom_shared): how many of each document's DISTINCT
+    char k-grams test positive in the SBBF word table. Conservative
+    by construction — a truly shared gram ALWAYS counts (no false
+    negatives), a false positive (~5e-4/gram at 16 bits/key) can only
+    inflate the count — so a gate thresholding this count never
+    leaks a contaminated document. Map-only + broadcast lookup + one
+    per-doc aggregate; no shuffle of the gram stream."""
+    from csvb_spark.operators.text import gram_key_exprs
+
+    grams = docs.select(
+        "doc_id", F.explode(char_shingles(text_col, k)).alias("g")
+    ).select("doc_id", *gram_key_exprs(F.col("g"), False))
+    return (
+        _sbbf_probe(grams, words_df, n_words, seed)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bloom_shared"))
+    )
 
 
 def contamination_check_bloom(
@@ -481,44 +601,15 @@ def contamination_check_bloom(
         .filter(F.col("eval_df") <= max_gram_eval_df)
         .select(*keys)
     ).persist()  # collected here AND joined below — one computation
-    pairs = rare.select(
-        "gh", F.xxhash64("gh", F.lit(seed)).alias("h2")
-    ).limit(max_eval_grams + 1).collect()
-    if len(pairs) > max_eval_grams:
-        rare.unpersist()
-        raise ValueError(
-            f"eval gram set exceeds max_eval_grams={max_eval_grams}; "
-            "raise the cap or use contamination_check (exact join path)"
+    try:
+        words_df, n_words = _sbbf_from_hash_df(
+            train.sparkSession, rare, bits_per_key, max_eval_grams, seed
         )
-    words, n_words = _sbbf_build(
-        [r[0] for r in pairs], [r[1] for r in pairs], bits_per_key
-    )
-    import pandas as pd
-
-    spark = train.sparkSession
-    words_df = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "word_idx": range(n_words),
-                "word": words,
-            }
-        ),
-        "word_idx int, word bigint",
-    )
-    # probe: one broadcast-join lookup + one AND — both sides compute
-    # the mask with UNSIGNED shifts (numpy uint64 in _sbbf_masks, SQL
-    # shiftrightunsigned here); bit patterns agree exactly
-    mask_sql = " | ".join(
-        f"shiftleft(1L, CAST((shiftrightunsigned(xxhash64(gh, {seed}), "
-        f"{6 * j}) & 63) AS INT))"
-        for j in range(_SBBF_PROBES)
-    )
-    survivors = (
-        t_grams.withColumn("word_idx", F.expr(f"CAST(pmod(gh, {n_words}) AS INT)"))
-        .withColumn("bmask", F.expr(mask_sql))
-        .join(F.broadcast(words_df), "word_idx")
-        .filter(F.expr("(word & bmask) = bmask"))
-        .select("train_doc_id", *keys)
+    except ValueError:
+        rare.unpersist()
+        raise
+    survivors = _sbbf_probe(t_grams, words_df, n_words, seed).select(
+        "train_doc_id", *keys
     )
     e_kept = e_grams.join(rare, keys)
     return (

@@ -9,6 +9,11 @@ growing training corpus needs:
 
 - quality gate + PII redaction: map-only (``operators.text``), no
   state;
+- eval-suite decontamination gate (round 12): the x138 SBBF word
+  table built once at stream start; documents sharing ≥ N distinct
+  char k-grams with the eval suite never enter the corpus (Bloom
+  counting has no false negatives, so the gate can only over-reject
+  — the right polarity for benchmark hygiene);
 - within-batch exact dedup: one digest groupBy over the micro-batch;
 - cross-batch near-dup: ``operators.dedup.dedup_incremental`` against
   the band index built by every PREVIOUS batch — the new batch is
@@ -64,6 +69,11 @@ def _accept_batch(
     dsir_min_avg: float | None = None,
     dsir_n_buckets: int = 1 << 18,
     dsir_seed: int = 7,
+    decontam_words: DataFrame | None = None,
+    decontam_n_words: int = 1,
+    decontam_k: int = 8,
+    decontam_min_shared: int = 2,
+    decontam_seed: int = 7,
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code).
@@ -164,6 +174,31 @@ def _accept_batch(
             .select("doc_id")
         )
         gated = gated.join(dsir_keep, "doc_id", "left_semi")
+    if decontam_words is not None:
+        # eval-set decontamination gate (x138's SBBF word table,
+        # built ONCE at stream start): reject documents sharing
+        # >= decontam_min_shared distinct char k-grams with the eval
+        # suite. The Bloom filter has no false negatives, so a truly
+        # contaminated document can NEVER leak into the corpus; a
+        # false positive (~5e-4/gram) can only over-count, i.e. the
+        # gate errs toward dropping — the right polarity for
+        # benchmark hygiene. Map-only probe + broadcast word lookup,
+        # like every other model gate here.
+        from csvb_spark.operators import splits as S
+
+        hot = (
+            S.sbbf_gram_hits(
+                gated,
+                decontam_words,
+                decontam_n_words,
+                text_col=text_col,
+                k=decontam_k,
+                seed=decontam_seed,
+            )
+            .filter(F.col("n_bloom_shared") >= F.lit(int(decontam_min_shared)))
+            .select("doc_id")
+        )
+        gated = gated.join(hot, "doc_id", "left_anti")
     redacted = gated.join(
         T.pii_redact(gated, text_col).select("doc_id", "redacted"), "doc_id"
     ).drop("quality_score")
@@ -287,6 +322,9 @@ def run_streaming_ingest(
     dsir_weights_dir: str | None = None,
     dsir_min_avg: float | None = None,
     dsir_n_buckets: int = 1 << 18,
+    decontam_eval_dir: str | None = None,
+    decontam_min_shared: int | None = None,
+    decontam_k: int = 8,
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
     micro-batch per file, so files model arrival order). Appends to
@@ -330,6 +368,16 @@ def run_streaming_ingest(
             "run_streaming_ingest: lm_smoothing without lm_model_dir is a"
             " no-op — configure the LM gate or drop the smoothing choice"
         )
+    if (decontam_eval_dir is None) != (decontam_min_shared is None):
+        raise ValueError(
+            "run_streaming_ingest: decontam_eval_dir and"
+            " decontam_min_shared go together"
+        )
+    if decontam_min_shared is not None and decontam_min_shared < 1:
+        raise ValueError(
+            "run_streaming_ingest: decontam_min_shared must be >= 1, got"
+            f" {decontam_min_shared}"
+        )
     lm_model = None
     if lm_model_dir is not None:
         # read + materialize the gate model ONCE before the stream
@@ -356,6 +404,20 @@ def run_streaming_ingest(
         dsir_w = dsir_w.select("bucket", "log_weight").localCheckpoint(
             eager=True
         )
+    decontam_words, decontam_n_words = None, 1
+    if decontam_eval_dir is not None:
+        # build the eval-suite SBBF word table ONCE before the stream
+        # starts (like the LM/DSIR models): micro-batches probe the
+        # checkpointed table, never re-reading or re-hashing the eval
+        # corpus
+        from csvb_spark.operators import splits as S
+
+        decontam_words, decontam_n_words = S.sbbf_eval_filter(
+            spark.read.parquet(decontam_eval_dir),
+            text_col=text_col,
+            k=decontam_k,
+        )
+        decontam_words = decontam_words.localCheckpoint(eager=True)
     schema = spark.read.parquet(source_dir).schema
     q = (
         spark.readStream.schema(schema)
@@ -386,6 +448,10 @@ def run_streaming_ingest(
                 dsir_min_avg,
                 dsir_n_buckets,
                 dsir_seed,
+                decontam_words,
+                decontam_n_words,
+                decontam_k,
+                decontam_min_shared if decontam_min_shared is not None else 2,
             )
         )
         .start()

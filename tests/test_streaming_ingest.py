@@ -775,3 +775,85 @@ def test_streaming_ingest_dsir_gate(spark, tmp_path):
             spark, str(src), out, str(tmp_path / "i3"),
             str(tmp_path / "c3"), dsir_weights_dir=bad, dsir_min_avg=0.0,
         )
+
+
+def test_streaming_ingest_decontamination_gate(spark, tmp_path):
+    """decontam_eval_dir + decontam_min_shared compose x138's SBBF
+    word table into streaming ingest: a document sharing long
+    verbatim spans with the eval suite is rejected across batches, a
+    clean document passes, and the gate is conservative — its Bloom
+    counting can only OVER-count (no false negatives), so the
+    rejected set is a superset of the exact contamination_check
+    answer, which this test also verifies directly."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.splits import contamination_check
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    leak = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "played on and the crowd watched in silence until dawn"
+    )
+    clean = (
+        "completely unrelated prose about gardening tools and the "
+        "maintenance of greenhouse irrigation systems in winter"
+    )
+    evdir = str(tmp_path / "eval_suite")
+    spark.createDataFrame(
+        [(900, leak), (901, "another held out benchmark question entirely")],
+        "doc_id bigint, text string",
+    ).write.parquet(evdir)
+
+    docs = [
+        # contains a verbatim eval span → many shared 8-grams
+        {"doc_id": 0, "text": "prefix words then " + leak + " then suffix",
+         "lang": "en", "source": "web"},
+        {"doc_id": 1, "text": clean, "lang": "en", "source": "web"},
+    ]
+    src = tmp_path / "src_decontam"
+    src.mkdir()
+    _write_batch(str(src / "b1.parquet"), docs)
+
+    out = str(tmp_path / "corpus_decontam")
+    run_streaming_ingest(
+        spark,
+        str(src),
+        out,
+        str(tmp_path / "idx_decontam"),
+        str(tmp_path / "ckpt_decontam"),
+        min_quality=0.0,
+        decontam_eval_dir=evdir,
+        decontam_min_shared=10,
+    )
+    got = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got == {1}, got
+
+    # conservativeness cross-check vs the exact operator: every doc
+    # the exact check finds contaminated is also gate-rejected
+    exact = contamination_check(
+        spark.createDataFrame(
+            [(d["doc_id"], d["text"]) for d in docs], "doc_id bigint, text string"
+        ),
+        spark.read.parquet(evdir),
+        k=8,
+        min_shared=10,
+    )
+    exact_bad = {
+        r.train_doc_id
+        for r in exact.select("train_doc_id").distinct().collect()
+    }
+    assert exact_bad == {0}
+    assert exact_bad.isdisjoint(got)
+
+    # config validation: the pair must arrive together
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="go together"):
+        run_streaming_ingest(
+            spark,
+            str(src),
+            out,
+            str(tmp_path / "idx2"),
+            str(tmp_path / "ckpt2"),
+            decontam_eval_dir=evdir,
+        )
