@@ -230,14 +230,27 @@ def main() -> None:
     # No local fixture reaches that relation size, so the regime is
     # EMULATED by disabling the auto-broadcast threshold for the
     # exact path (its gram join becomes the shuffle join it would be
-    # past the threshold) and timing both operators on the sf1
-    # upscale with the same fixed 5k-doc eval set. The bloom path's
-    # word-table join keeps its explicit broadcast() hint — hints
-    # override the disabled threshold, exactly as they would on a
-    # cluster. One pass each after the sf10 section's warms.
-    if os.environ.get("SPARK_GRAFT_BLOOM_AB", "1") != "0" and os.path.isdir(
-        os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
-    ):
+    # past the threshold) and timing both operators against the same
+    # fixed 5k-doc eval set. The bloom path's word-table join keeps
+    # its explicit broadcast() hint — hints override the disabled
+    # threshold, exactly as they would on a cluster. Measured on the
+    # sf10 upscale when available: at sf1 the exact path's ~8 GB gram
+    # shuffle fits the OS page cache and the A/B collapses to noise
+    # (1.07x measured hot vs 2.3x cold); sf10's ~80 GB shuffle is
+    # cache-resistant, which is the property the regime actually has
+    # at 100 TB. One pass each after the sf10 section's warms.
+    _ab_dir = next(
+        (
+            d
+            for d in (
+                os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10"),
+                os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"),
+            )
+            if os.path.isdir(d)
+        ),
+        None,
+    )
+    if os.environ.get("SPARK_GRAFT_BLOOM_AB", "1") != "0" and _ab_dir:
         try:
             from pyspark.sql import functions as F
 
@@ -246,8 +259,7 @@ def main() -> None:
                 contamination_check_bloom,
             )
 
-            sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
-            docs = spark.read.parquet(f"{sf1_dir}/documents.parquet")
+            docs = spark.read.parquet(f"{_ab_dir}/documents.parquet")
             train = docs.filter(F.col("doc_id") % 10 != 0)
             evald = docs.filter(
                 (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
@@ -263,14 +275,49 @@ def main() -> None:
                 t_bloom = round(time.perf_counter() - t0, 4)
             finally:
                 spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+            # Wall-clock alone understates the regime on THIS machine:
+            # 128 GiB of RAM means even the sf10 gram shuffle lives in
+            # the OS page cache, so shuffle IO is ~free locally while
+            # on a cluster it is network+disk. The hardware-independent
+            # cost the prefilter removes is the SHUFFLE ROW COUNT —
+            # measure it: total train grams vs grams surviving the
+            # bloom (the only rows the bloom plan ever shuffles).
+            from csvb_spark.operators.splits import (
+                sbbf_eval_filter,
+                sbbf_gram_hits,
+            )
+            from csvb_spark.operators.text import char_shingles
+
+            n_total = (
+                train.select(
+                    F.size(char_shingles("text", 8)).alias("n")
+                ).agg(F.sum("n")).collect()[0][0]
+            )
+            wdf, nw = sbbf_eval_filter(evald, k=8)
+            n_surv = (
+                sbbf_gram_hits(train, wdf, nw, k=8)
+                .agg(F.sum("n_bloom_shared"))
+                .collect()[0][0]
+            ) or 0
             detail["bloom_regime_ab"] = {
+                "dir": _ab_dir,
                 "exact_shuffle_join_sec": t_exact,
                 "bloom_prefilter_sec": t_bloom,
                 "speedup": round(t_exact / t_bloom, 2) if t_bloom else None,
+                "train_grams": int(n_total),
+                "grams_shuffled_after_prefilter": int(n_surv),
+                "shuffle_rows_eliminated_pct": round(
+                    100.0 * (1 - n_surv / n_total), 3
+                )
+                if n_total
+                else None,
                 "note": (
-                    "sf1 train vs fixed 5k-doc eval with auto-broadcast "
-                    "disabled — emulates the past-broadcast-threshold "
-                    "regime x138 exists for"
+                    "upscaled train vs fixed 5k-doc eval with "
+                    "auto-broadcast disabled — emulates the "
+                    "past-broadcast-threshold regime x138 exists for; "
+                    "local wall-clock is page-cache-bound, the "
+                    "eliminated-shuffle-rows column is the "
+                    "cluster-relevant cost"
                 ),
             }
         except Exception as ex:  # never let the A/B extra kill the bench

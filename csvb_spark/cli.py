@@ -573,6 +573,37 @@ def build_parser() -> argparse.ArgumentParser:
     )
     po.add_argument("--output", default=None, help="write the full matrix here")
 
+    pdc = sub.add_parser(
+        "decontam",
+        help="eval-set contamination audit: (train_doc, eval_doc) pairs "
+        "sharing char k-grams, exact join or Bloom-prefiltered scale path "
+        "(identical results either way)",
+    )
+    pdc.add_argument("--train", required=True, help="train corpus parquet path")
+    pdc.add_argument("--eval", dest="eval_dir", required=True,
+                     help="eval suite parquet path")
+    pdc.add_argument("--text-col", default="text")
+    pdc.add_argument("--k", type=int, default=8, help="char k-gram width")
+    pdc.add_argument("--min-shared", type=int, default=2)
+    pdc.add_argument(
+        "--max-gram-eval-df",
+        type=int,
+        default=50,
+        help="drop eval grams appearing in more eval docs than this "
+        "(boilerplate guard)",
+    )
+    pdc.add_argument(
+        "--method",
+        choices=["exact", "bloom"],
+        default="exact",
+        help="bloom = broadcast SBBF prefilter on the train gram stream "
+        "(the past-broadcast-threshold scale path; same output)",
+    )
+    pdc.add_argument(
+        "--top", type=int, default=20, help="pairs shown (most shared first)"
+    )
+    pdc.add_argument("--output", default=None, help="write the full pair set here")
+
     pv = sub.add_parser(
         "sample",
         help="draw a deterministic sample: weighted (proportional to a "
@@ -1380,6 +1411,43 @@ def main(argv: list[str] | None = None) -> int:
             render_df(
                 matrix.orderBy(
                     F.desc("n_pairs"), "source_a", "source_b"
+                ).limit(args.top)
+            )
+        )
+        return 0
+
+    if args.command == "decontam":
+        from pyspark.sql import functions as F
+
+        from csvb_spark.operators.splits import (
+            contamination_check,
+            contamination_check_bloom,
+        )
+        from csvb_spark.plans.pretty import render_df
+
+        spark = _session(args)
+        op = (
+            contamination_check_bloom
+            if args.method == "bloom"
+            else contamination_check
+        )
+        pairs = op(
+            spark.read.parquet(args.train),
+            spark.read.parquet(args.eval_dir),
+            text_col=args.text_col,
+            k=args.k,
+            min_shared=args.min_shared,
+            max_gram_eval_df=args.max_gram_eval_df,
+        )
+        if args.output:
+            # write once, summarize from the written files (the score
+            # path's convention)
+            pairs.write.mode("overwrite").parquet(args.output)
+            pairs = spark.read.parquet(args.output)
+        print(
+            render_df(
+                pairs.orderBy(
+                    F.desc("n_shared_grams"), "train_doc_id", "eval_doc_id"
                 ).limit(args.top)
             )
         )

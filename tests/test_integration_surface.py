@@ -1546,3 +1546,37 @@ def test_cli_planlint_clean_and_flagged(spark, sf_dir, capsys):
     assert rc == 1
     assert "[nested-loop]" in out or "[cartesian]" in out
     assert "== Physical Plan ==" in out  # --explain printed the plan
+
+
+def test_cli_decontam_exact_and_bloom_agree(spark, sf_dir, tmp_path, capsys):
+    """`csvb decontam` surfaces the contamination audit end to end;
+    --method exact and --method bloom print identical pair tables
+    (the Bloom path is result-invisible by design) and --output
+    persists the full pair set."""
+    from csvb_spark.cli import main
+
+    train = str(tmp_path / "train")
+    evd = str(tmp_path / "eval")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 60")
+    docs.filter("doc_id % 10 != 0").write.parquet(train)
+    docs.filter("doc_id % 10 = 0").write.parquet(evd)
+
+    outs = {}
+    for method in ("exact", "bloom"):
+        rc = main(
+            [
+                "decontam",
+                "--train", train,
+                "--eval", evd,
+                "--min-shared", "5",
+                "--method", method,
+                "--output", str(tmp_path / f"pairs_{method}"),
+            ]
+        )
+        assert rc == 0
+        outs[method] = capsys.readouterr().out
+    assert outs["exact"] == outs["bloom"]
+    assert "n_shared_grams" in outs["exact"]
+    a = sorted(map(tuple, spark.read.parquet(str(tmp_path / "pairs_exact")).collect()))
+    b = sorted(map(tuple, spark.read.parquet(str(tmp_path / "pairs_bloom")).collect()))
+    assert a == b and a
