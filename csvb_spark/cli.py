@@ -18,8 +18,9 @@ beyond-reference subcommands (no csvb equivalent):
       dataset-card summary + length histogram; shard assignment with
       per-shard doc/weight summary (hash or size-balanced snake deal)
   (and: dedup / diff / drift / expect / profile / train-filter /
-   score / sample / clean [--html] / quota / skew / overlap — each
-   surfacing the operator of the same name end to end)
+   score / sample / clean [--html] / quota / skew / overlap /
+   decontam [--method exact|bloom] — each surfacing the operator of
+   the same name end to end)
   csvb planlint [--csv|--parquet|--json PATH...] [--explain] QUERY
       lint the query's physical plan for scale hazards without
       executing it (plans/lint.py); exit 1 when findings exist, so
