@@ -103,3 +103,19 @@ BroadcastExchange (5)
     bnlj = by_id[8]
     assert bnlj.name == "BroadcastNestedLoopJoin"
     assert _build_side_bounded(bnlj, details, by_id)
+
+
+def test_lint_flags_regex_join_condition(spark):
+    """A join whose CONDITION evaluates a regex per candidate pair is
+    flagged — precomputed equality columns are the scalable form."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.plans.lint import lint_plan
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "doc_id bigint, text string"
+    )
+    pats = spark.createDataFrame([(10, "al.*a"), (11, "g.m")], "pid bigint, pat string")
+    joined = docs.join(pats, F.expr("text RLIKE pat"))
+    rules = {f.rule for f in lint_plan(joined)}
+    assert "interpreted-regex-join" in rules
