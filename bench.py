@@ -257,7 +257,10 @@ def main() -> None:
             from csvb_spark.operators.splits import (
                 contamination_check,
                 contamination_check_bloom,
+                sbbf_eval_filter,
+                sbbf_gram_hits,
             )
+            from csvb_spark.operators.text import char_shingles
 
             docs = spark.read.parquet(f"{_ab_dir}/documents.parquet")
             train = docs.filter(F.col("doc_id") % 10 != 0)
@@ -282,12 +285,6 @@ def main() -> None:
             # cost the prefilter removes is the SHUFFLE ROW COUNT —
             # measure it: total train grams vs grams surviving the
             # bloom (the only rows the bloom plan ever shuffles).
-            from csvb_spark.operators.splits import (
-                sbbf_eval_filter,
-                sbbf_gram_hits,
-            )
-            from csvb_spark.operators.text import char_shingles
-
             n_total = (
                 train.select(
                     F.size(char_shingles("text", 8)).alias("n")

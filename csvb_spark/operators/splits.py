@@ -386,13 +386,13 @@ def _sbbf_masks(h2):
     return mask
 
 
-def _sbbf_mask_sql(seed: int) -> str:
-    """The SQL twin of :func:`_sbbf_masks` for a gram-hash column
-    named ``gh`` — unsigned shifts, so bit patterns agree with the
-    numpy build exactly."""
+def _sbbf_mask_sql(h2_col: str) -> str:
+    """The SQL twin of :func:`_sbbf_masks` over a second-hash column
+    — unsigned shifts, so bit patterns agree with the numpy build
+    exactly."""
     return " | ".join(
-        f"shiftleft(1L, CAST((shiftrightunsigned(xxhash64(gh, {seed}), "
-        f"{6 * j}) & 63) AS INT))"
+        f"shiftleft(1L, CAST((shiftrightunsigned({h2_col}, {6 * j}) & 63)"
+        " AS INT))"
         for j in range(_SBBF_PROBES)
     )
 
@@ -402,13 +402,43 @@ def _sbbf_probe(grams: DataFrame, words_df: DataFrame, n_words: int, seed: int):
     hash tests positive in the SBBF word table: ONE broadcast join on
     the word index + one AND, all inside whole-stage codegen — no
     Python in the path (the Arrow-UDF probe this replaced measured
-    super-linear at the sf10 bench)."""
+    super-linear at the sf10 bench). The second hash is computed into
+    its own column first so the 8 mask terms share one xxhash64
+    evaluation instead of leaning on codegen subexpression
+    elimination."""
     return (
         grams.withColumn("word_idx", F.expr(f"CAST(pmod(gh, {n_words}) AS INT)"))
-        .withColumn("bmask", F.expr(_sbbf_mask_sql(seed)))
+        .withColumn("h2b", F.xxhash64("gh", F.lit(seed)))
+        .withColumn("bmask", F.expr(_sbbf_mask_sql("h2b")))
         .join(F.broadcast(words_df), "word_idx")
         .filter(F.expr("(word & bmask) = bmask"))
-        .drop("word_idx", "bmask", "word")
+        .drop("word_idx", "h2b", "bmask", "word")
+    )
+
+
+def _exploded_grams(
+    docs: DataFrame, id_out: str, text_col: str, k: int
+) -> DataFrame:
+    """(id_out, gh): each document's DISTINCT char k-grams exploded
+    and projected to the single-hash shuffle key — the shared front
+    of every SBBF path (single-hash mode only; contamination_check
+    keeps its own explode to support wide_gram_keys)."""
+    from csvb_spark.operators.text import gram_key_exprs
+
+    return docs.select(
+        F.col("doc_id").alias(id_out),
+        F.explode(char_shingles(text_col, k)).alias("g"),
+    ).select(id_out, *gram_key_exprs(F.col("g"), False))
+
+
+def _rare_grams(e_grams: DataFrame, keys: list, max_gram_eval_df: int) -> DataFrame:
+    """Distinct eval gram keys surviving the document-frequency cap
+    (the boilerplate guard every contamination path applies)."""
+    return (
+        e_grams.groupBy(*keys)
+        .agg(F.count("*").alias("eval_df"))
+        .filter(F.col("eval_df") <= max_gram_eval_df)
+        .select(*keys)
     )
 
 
@@ -485,17 +515,12 @@ def sbbf_eval_filter(
     k-gram hashes, for reuse across queries or stream micro-batches
     (the streaming ingest decontamination gate builds this ONCE at
     stream start). Pair with :func:`sbbf_gram_hits`."""
-    from csvb_spark.operators.text import gram_key_cols, gram_key_exprs
+    from csvb_spark.operators.text import gram_key_cols
 
-    keys = gram_key_cols(False)
-    e_grams = eval_docs.select(
-        "doc_id", F.explode(char_shingles(text_col, k)).alias("g")
-    ).select("doc_id", *gram_key_exprs(F.col("g"), False))
-    rare = (
-        e_grams.groupBy(*keys)
-        .agg(F.count("*").alias("eval_df"))
-        .filter(F.col("eval_df") <= max_gram_eval_df)
-        .select(*keys)
+    rare = _rare_grams(
+        _exploded_grams(eval_docs, "doc_id", text_col, k),
+        gram_key_cols(False),
+        max_gram_eval_df,
     )
     return _sbbf_from_hash_df(
         eval_docs.sparkSession, rare, bits_per_key, max_eval_grams, seed
@@ -517,13 +542,10 @@ def sbbf_gram_hits(
     inflate the count — so a gate thresholding this count never
     leaks a contaminated document. Map-only + broadcast lookup + one
     per-doc aggregate; no shuffle of the gram stream."""
-    from csvb_spark.operators.text import gram_key_exprs
-
-    grams = docs.select(
-        "doc_id", F.explode(char_shingles(text_col, k)).alias("g")
-    ).select("doc_id", *gram_key_exprs(F.col("g"), False))
     return (
-        _sbbf_probe(grams, words_df, n_words, seed)
+        _sbbf_probe(
+            _exploded_grams(docs, "doc_id", text_col, k), words_df, n_words, seed
+        )
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bloom_shared"))
     )
@@ -584,23 +606,13 @@ def contamination_check_bloom(
     grams the eval side is no benchmark suite and the exact operator
     is the right tool.
     """
-    from csvb_spark.operators.text import gram_key_cols, gram_key_exprs
+    from csvb_spark.operators.text import gram_key_cols
 
     keys = gram_key_cols(False)
-    t_grams = train.select(
-        F.col("doc_id").alias("train_doc_id"),
-        F.explode(char_shingles(text_col, k)).alias("g"),
-    ).select("train_doc_id", *gram_key_exprs(F.col("g"), False))
-    e_grams = eval_docs.select(
-        F.col("doc_id").alias("eval_doc_id"),
-        F.explode(char_shingles(text_col, k)).alias("g"),
-    ).select("eval_doc_id", *gram_key_exprs(F.col("g"), False))
-    rare = (
-        e_grams.groupBy(*keys)
-        .agg(F.count("*").alias("eval_df"))
-        .filter(F.col("eval_df") <= max_gram_eval_df)
-        .select(*keys)
-    ).persist()  # collected here AND joined below — one computation
+    t_grams = _exploded_grams(train, "train_doc_id", text_col, k)
+    e_grams = _exploded_grams(eval_docs, "eval_doc_id", text_col, k)
+    # collected here AND joined below — one computation
+    rare = _rare_grams(e_grams, keys, max_gram_eval_df).persist()
     try:
         words_df, n_words = _sbbf_from_hash_df(
             train.sparkSession, rare, bits_per_key, max_eval_grams, seed

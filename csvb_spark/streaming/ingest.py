@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from csvb_spark.operators import classify as C
 from csvb_spark.operators import dedup as D
 from csvb_spark.operators import lm as L
+from csvb_spark.operators import splits as S
 from csvb_spark.operators import text as T
 
 
@@ -184,8 +185,6 @@ def _accept_batch(
         # gate errs toward dropping — the right polarity for
         # benchmark hygiene. Map-only probe + broadcast word lookup,
         # like every other model gate here.
-        from csvb_spark.operators import splits as S
-
         hot = (
             S.sbbf_gram_hits(
                 gated,
@@ -410,8 +409,6 @@ def run_streaming_ingest(
         # starts (like the LM/DSIR models): micro-batches probe the
         # checkpointed table, never re-reading or re-hashing the eval
         # corpus
-        from csvb_spark.operators import splits as S
-
         decontam_words, decontam_n_words = S.sbbf_eval_filter(
             spark.read.parquet(decontam_eval_dir),
             text_col=text_col,
