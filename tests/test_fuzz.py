@@ -10,7 +10,7 @@ from __future__ import annotations
 import re
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 # --- pgwire $n substitution ---------------------------------------------------
@@ -44,6 +44,9 @@ def test_substitute_int_param(n: int) -> None:
 
 @given(st.text(min_size=1, max_size=20))
 @settings(max_examples=200, deadline=None)
+@example(
+    s='0\n',
+).via('discovered failure')
 def test_numeric_param_never_passes_garbage(s: str) -> None:
     """A numeric-oid parameter either round-trips a valid numeric
     literal verbatim or raises — it is NEVER quoted into the SQL as
@@ -57,6 +60,25 @@ def test_numeric_param_never_passes_garbage(s: str) -> None:
     else:
         with pytest.raises(ValueError):
             _quote_param(s, 23)
+
+
+@given(st.text(alphabet="0123456789abcdefABCDEF\n\r\t \\x", min_size=0, max_size=20))
+@settings(max_examples=300, deadline=None)
+@example(s="abcd\n")  # the Python-$ anchor trap, same as _NUM_RE's '0\n'
+@example(s="\\xdead")
+def test_bytea_param_never_passes_garbage(s: str) -> None:
+    """A bytea-oid parameter renders X'<hex>' ONLY for even-length
+    pure-hex content (after the optional postgres \\x prefix) — any
+    other byte, including a trailing newline that Python's $ would
+    wave through, raises."""
+    from csvb_spark.server.pgwire import _quote_param
+
+    h = s[2:] if s.startswith("\\x") else s
+    if re.fullmatch(r"(?:[0-9a-fA-F]{2})*", h):
+        assert _quote_param(s, 17) == f"X'{h}'"
+    else:
+        with pytest.raises(ValueError):
+            _quote_param(s, 17)
 
 
 # --- dialect translator -------------------------------------------------------
