@@ -60,6 +60,61 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# Host-speed calibration (round 13, verdict item 2): rounds 11 and 12
+# each burned a session-chunk proving a uniform bench shift was host
+# drift, not a plan regression (25-40% between-round variance is the
+# documented pattern — the host reboots between sessions). The fix is
+# to measure the host IN the artifact: a fixed-work sha256 probe,
+# single-thread and 32-thread (hashlib releases the GIL on 1 MiB
+# buffers, so the MT variant measures real multicore throughput — the
+# resource the 32-thread Spark suite actually contends for). The
+# reference constants below were measured on the round-13 host
+# (3 trials: st 0.681/0.688/0.694, mt 0.265/0.256/0.267); a future
+# round's `host_speed` of e.g. 0.75 says "this host ran the fixed
+# work at 75% of the r13 host's speed — multiply the raw headline by
+# 0.75 to estimate what the reference host would have measured".
+# `value_norm` does that multiplication in-artifact.
+_CALIB_REF_ST = 0.687
+_CALIB_REF_MT = 0.262
+_CALIB_BUF = bytes(range(256)) * 4096  # 1 MiB, deterministic
+
+
+def _calib_work(n: int) -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    for _ in range(n):
+        h.update(_CALIB_BUF)
+    return h.hexdigest()
+
+
+def _calibrate() -> dict:
+    """Time the pinned fixed work; return raw seconds plus the
+    host-speed ratio (reference host = 1.0, slower host < 1.0).
+    Geometric mean of the ST and MT ratios: the suite's cost is a mix
+    of single-threaded driver/py4j plan construction and 32-way
+    executor work, and the mean keeps one pathological dimension from
+    dominating the normalization."""
+    import time as _t
+
+    _calib_work(64)  # warm the hash loop itself
+    t0 = _t.perf_counter()
+    _calib_work(768)
+    st = _t.perf_counter() - t0
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=32) as ex:
+        t0 = _t.perf_counter()
+        list(ex.map(_calib_work, [192] * 32))
+        mt = _t.perf_counter() - t0
+    speed = ((_CALIB_REF_ST / st) * (_CALIB_REF_MT / mt)) ** 0.5
+    return {
+        "st_sec": round(st, 4),
+        "mt_sec": round(mt, 4),
+        "host_speed": round(speed, 4),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -73,6 +128,8 @@ def main() -> None:
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
     )
+
+    calib = _calibrate()  # before the suite: measure the host, not the JVM
 
     names = [n for n, q in sorted(corpus().items()) if q.headline]
     queries = corpus()
@@ -123,6 +180,14 @@ def main() -> None:
         "model_ops_sec": round(sum(model.values()), 4),
         "total_sec": round(sum(timings.values()), 4),
         "sf": sf,
+        # host-speed calibration: raw probe seconds + the speed ratio
+        # vs the pinned r13 reference host, and the headline scaled
+        # by that ratio — compare value_norm across rounds to judge
+        # PLAN changes, value to judge what this host actually did
+        "calib": calib,
+        "value_norm": round(
+            sum(legacy.values()) * calib["host_speed"], 4
+        ),
     }
     detail = {"spread": spread, "iterations": n_iters, "sf": sf}
 
@@ -320,6 +385,21 @@ def main() -> None:
         except Exception as ex:  # never let the A/B extra kill the bench
             detail["bloom_regime_ab"] = {"error": f"{type(ex).__name__}: {ex}"}
 
+    # --- streaming ingest bench (round 13): the batch corpus is
+    # benched at three scales above, but the streaming gate stack
+    # (quality → LM fluency → decontamination → exact dedup →
+    # cross-batch near-dup index) previously had only batch-
+    # equivalence tests. Measure docs/sec through run_streaming_ingest
+    # over the sf documents split into micro-batch files, three
+    # CUMULATIVE configs so the per-gate cost is the delta between
+    # adjacent rows: base (quality+dedup+index), +LM gate, +decontam
+    # gate. Fresh dirs per config (checkpoints make re-runs no-ops).
+    if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
+        try:
+            detail["streaming"] = _bench_streaming(spark, sf_dir)
+        except Exception as ex:  # never let the stream extra kill the bench
+            detail["streaming"] = {"error": f"{type(ex).__name__}: {ex}"}
+
     # detail first, compact machine-read line LAST (see module doc)
     print(json.dumps(detail))
     print(json.dumps(out))
@@ -476,6 +556,106 @@ def _ensure_sf1(spark, src_dir: str, dst_dir: str) -> None:
         outdf.write.mode("overwrite").parquet(f"{dst_dir}/{t}.parquet")
     with open(marker, "w") as fh:
         fh.write(src_dir)
+
+
+def _bench_streaming(spark, sf_dir: str) -> dict:
+    """Time the full streaming-ingest gate stack end-to-end.
+
+    The source is the sf documents table split into
+    ``SPARK_GRAFT_STREAM_FILES`` parquet files (one micro-batch each —
+    files model arrival order, same as the ingest tests). Three runs,
+    each adding one model gate, so ``sec[i+1] - sec[i]`` is that
+    gate's cost over the whole stream. The LM model and the decontam
+    eval suite are built ONCE outside the timed region — exactly how
+    a production stream amortizes them (models load at stream start,
+    not per batch)."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from csvb_spark.operators.lm import bigram_lm_train
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    n_files = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", "8"))
+    root = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_docs = docs.count()
+        src = os.path.join(root, "src")
+        docs.repartition(n_files).write.parquet(src)
+        # model + eval-suite builds: amortized, OUTSIDE the timed runs
+        lm_dir = os.path.join(root, "lm_model")
+        bigram_lm_train(docs).write.parquet(lm_dir)
+        ev_dir = os.path.join(root, "eval")
+        from pyspark.sql import functions as F
+
+        docs.filter(F.col("doc_id") % 50 == 0).write.parquet(ev_dir)
+
+        configs: list[tuple[str, dict]] = [
+            ("base_quality_dedup", {}),
+            ("plus_lm_gate", {"lm_model_dir": lm_dir, "max_ppl": 1e9}),
+            # decontam threshold deliberately high: the gate's COST is
+            # the shingle + Bloom-probe + aggregation work, identical
+            # at every threshold (the accept decision is one column
+            # filter). A strict threshold on this synthetic corpus
+            # rejects nearly everything (docs share a median ~122
+            # 8-grams with the suite union — suite-wide counting, see
+            # run_streaming_ingest docstring), which would empty the
+            # downstream dedup/index stages and corrupt the cost
+            # split. High threshold = full probe cost, comparable
+            # downstream volume.
+            (
+                "plus_decontam_gate",
+                {
+                    "lm_model_dir": lm_dir,
+                    "max_ppl": 1e9,
+                    "decontam_eval_dir": ev_dir,
+                    "decontam_min_shared": 1_000_000,
+                },
+            ),
+        ]
+        rows: dict[str, dict] = {}
+        prev_sec: float | None = None
+        for name, kw in configs:
+            cdir = os.path.join(root, name)
+            t0 = _t.perf_counter()
+            run_streaming_ingest(
+                spark,
+                src,
+                os.path.join(cdir, "corpus"),
+                os.path.join(cdir, "index"),
+                os.path.join(cdir, "ckpt"),
+                query_name=f"bench_{name}",
+                **kw,
+            )
+            sec = round(_t.perf_counter() - t0, 4)
+            corpus_out = os.path.join(cdir, "corpus")
+            accepted = (
+                spark.read.parquet(corpus_out).count()
+                if os.path.isdir(corpus_out)
+                else 0
+            )
+            rows[name] = {
+                "sec": sec,
+                "docs_per_sec": round(n_docs / sec, 1),
+                "accepted": accepted,
+            }
+            if prev_sec is not None:
+                rows[name]["gate_delta_sec"] = round(sec - prev_sec, 4)
+            prev_sec = sec
+        return {
+            "docs": n_docs,
+            "micro_batches": n_files,
+            "configs": rows,
+            "note": (
+                "cumulative gate stack over one-file micro-batches; "
+                "gate_delta_sec = that gate's whole-stream cost; LM "
+                "model + eval SBBF built outside the timed region "
+                "(amortized at stream start, like production)"
+            ),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

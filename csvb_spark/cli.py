@@ -227,8 +227,11 @@ def build_parser() -> argparse.ArgumentParser:
         type=int,
         default=None,
         help="decontamination gate: reject documents sharing >= this "
-        "many distinct grams with the eval suite (Bloom-counted, "
-        "never under-counts)",
+        "many distinct grams with the eval suite as a whole — the "
+        "SUITE-WIDE union of grams, NOT per-eval-doc pairs like "
+        "'csvb decontam'/contamination_check, so the same number is "
+        "a STRICTER gate here (a doc sharing one gram with each of "
+        "N eval docs counts N). Bloom-counted, never under-counts",
     )
     pi.add_argument(
         "--decontam-k",
@@ -595,10 +598,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pdc.add_argument(
         "--method",
-        choices=["exact", "bloom"],
+        choices=["exact", "bloom", "auto"],
         default="exact",
         help="bloom = broadcast SBBF prefilter on the train gram stream "
-        "(the past-broadcast-threshold scale path; same output)",
+        "(the past-broadcast-threshold scale path; same output); auto = "
+        "exact while the df-capped eval gram relation fits the session's "
+        "auto-broadcast threshold, bloom past it (prints the choice)",
+    )
+    pdc.add_argument(
+        "--broadcast-threshold-bytes",
+        type=int,
+        default=None,
+        help="auto only: size the exact-vs-bloom decision for a TARGET "
+        "cluster's spark.sql.autoBroadcastJoinThreshold instead of this "
+        "session's (-1 = broadcast disabled there, always bloom)",
     )
     pdc.add_argument(
         "--top", type=int, default=20, help="pairs shown (most shared first)"
@@ -1426,15 +1439,39 @@ def main(argv: list[str] | None = None) -> int:
         )
         from csvb_spark.plans.pretty import render_df
 
+        # method-specific flags must not be silently discarded — the
+        # same convention as sample/train-filter
+        if args.method != "auto" and args.broadcast_threshold_bytes is not None:
+            raise SystemExit(
+                "decontam: --broadcast-threshold-bytes applies to"
+                " --method auto only"
+            )
         spark = _session(args)
+        eval_df = spark.read.parquet(args.eval_dir)
+        method = args.method
+        if method == "auto":
+            from csvb_spark.operators.splits import decontam_auto_method
+
+            method, n_grams, thr = decontam_auto_method(
+                eval_df,
+                text_col=args.text_col,
+                k=args.k,
+                max_gram_eval_df=args.max_gram_eval_df,
+                threshold_bytes=args.broadcast_threshold_bytes,
+            )
+            print(
+                f"decontam: auto selected {method} "
+                f"(df-capped eval grams={n_grams}, "
+                f"broadcast threshold={thr} bytes)"
+            )
         op = (
             contamination_check_bloom
-            if args.method == "bloom"
+            if method == "bloom"
             else contamination_check
         )
         pairs = op(
             spark.read.parquet(args.train),
-            spark.read.parquet(args.eval_dir),
+            eval_df,
             text_col=args.text_col,
             k=args.k,
             min_shared=args.min_shared,

@@ -465,21 +465,15 @@ def _sbbf_build(h1, h2, bits_per_key: int):
     return words.view(np.int64), n_words
 
 
-def _sbbf_from_hash_df(
-    spark,
-    hash_df: DataFrame,
-    bits_per_key: int,
-    max_eval_grams: int,
-    seed: int,
-) -> tuple[DataFrame, int]:
-    """(word-table DataFrame, n_words) from a DataFrame of distinct
-    gram hashes (column ``gh``): collect (hash, second-hash) pairs
-    under the hard guard — the word table is DRIVER-BUILT state like
-    the LM/classifier weight tables, never unbounded (8 MB at the
-    2^22 default cap) — scatter the bits in numpy, ship the words
-    back as an Arrow-built DataFrame for the broadcast probe join.
-    The second hash comes from Spark's own xxhash64 so build and
-    probe share one hash implementation."""
+def _sbbf_collect_pairs(
+    hash_df: DataFrame, max_eval_grams: int, seed: int
+) -> list:
+    """Collect (hash, second-hash) rows from a DataFrame of distinct
+    gram hashes (column ``gh``) under the hard guard — the word table
+    is DRIVER-BUILT state like the LM/classifier weight tables, never
+    unbounded (8 MB at the 2^22 default cap). The second hash comes
+    from Spark's own xxhash64 so build and probe share one hash
+    implementation."""
     pairs = (
         hash_df.select("gh", F.xxhash64("gh", F.lit(seed)).alias("h2"))
         .limit(max_eval_grams + 1)
@@ -490,6 +484,15 @@ def _sbbf_from_hash_df(
             f"eval gram set exceeds max_eval_grams={max_eval_grams}; "
             "raise the cap or use contamination_check (exact join path)"
         )
+    return pairs
+
+
+def _sbbf_from_pairs(
+    spark, pairs: list, bits_per_key: int
+) -> tuple[DataFrame, int]:
+    """(word-table DataFrame, n_words) from collected (hash,
+    second-hash) pairs: scatter the bits in numpy, ship the words
+    back as an Arrow-built DataFrame for the broadcast probe join."""
     words, n_words = _sbbf_build(
         [r[0] for r in pairs], [r[1] for r in pairs], bits_per_key
     )
@@ -500,6 +503,19 @@ def _sbbf_from_hash_df(
         "word_idx int, word bigint",
     )
     return words_df, n_words
+
+
+def _sbbf_from_hash_df(
+    spark,
+    hash_df: DataFrame,
+    bits_per_key: int,
+    max_eval_grams: int,
+    seed: int,
+) -> tuple[DataFrame, int]:
+    """Collect + build in one step — see the two halves above."""
+    return _sbbf_from_pairs(
+        spark, _sbbf_collect_pairs(hash_df, max_eval_grams, seed), bits_per_key
+    )
 
 
 def sbbf_eval_filter(
@@ -551,6 +567,73 @@ def sbbf_gram_hits(
     )
 
 
+# JVM broadcast-hash-relation footprint per 64-bit gram key,
+# conservative middle of the 32-60 B/key range SCALE.md §6e measured
+# against (key + LongHashedRelation slot + object overhead)
+_BCAST_BYTES_PER_KEY = 48
+
+
+def _parse_spark_size(v: str) -> int:
+    """Parse a Spark size conf value ('10MB', '10485760b', '-1')
+    into bytes (negative = disabled)."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+        ("kb", 1 << 10), ("b", 1),
+        ("t", 1 << 40), ("g", 1 << 30), ("m", 1 << 20), ("k", 1 << 10),
+    ):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(float(s) * mult)
+
+
+def decontam_auto_method(
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_eval_df: int = 50,
+    threshold_bytes: int | None = None,
+) -> tuple[str, int, int]:
+    """(method, n_eval_grams, threshold_bytes): pick the
+    decontamination path by the decision rule SCALE.md §6e states in
+    prose — ``exact`` while the df-capped eval gram-hash relation
+    fits the session's auto-broadcast threshold (Catalyst then turns
+    the exact equi-join into a broadcast semi-join, the cheap path
+    with zero false-positive verify work), ``bloom`` past it (the
+    word table is ~16-30x smaller than the broadcast hash relation,
+    extending the map-side-filter regime an order of magnitude
+    further before anything must shuffle the train gram stream). A
+    disabled threshold (-1) means the exact join would shuffle at ANY
+    size, so bloom wins outright. Costs one bounded aggregate over
+    the eval grams — work both paths do anyway.
+
+    ``threshold_bytes`` overrides the session conf (``get_session``
+    re-pins ``autoBroadcastJoinThreshold`` on every call, so a
+    caller sizing the decision for a DIFFERENT cluster passes the
+    target's threshold explicitly — the CLI's
+    ``--broadcast-threshold-bytes``)."""
+    from csvb_spark.operators.text import gram_key_cols
+
+    n = _rare_grams(
+        _exploded_grams(eval_docs, "eval_doc_id", text_col, k),
+        gram_key_cols(False),
+        max_gram_eval_df,
+    ).count()
+    thr = (
+        threshold_bytes
+        if threshold_bytes is not None
+        else _parse_spark_size(
+            eval_docs.sparkSession.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold", "10MB"
+            )
+        )
+    )
+    exact_ok = thr > 0 and n * _BCAST_BYTES_PER_KEY <= thr
+    return ("exact" if exact_ok else "bloom"), n, thr
+
+
 def contamination_check_bloom(
     train: DataFrame,
     eval_docs: DataFrame,
@@ -587,8 +670,10 @@ def contamination_check_bloom(
     boundary itself became the bottleneck at 5e9 train grams; the
     JVM probe stays inside whole-stage codegen).
 
-    Plan: eval grams → df-cap (one aggregate, same as the exact op,
-    persisted so the verify join reuses it instead of recomputing) →
+    Plan: eval grams → df-cap (one aggregate, same as the exact op;
+    its collected hashes feed BOTH the word table and the verify
+    join's broadcast side, so the aggregate computes exactly once
+    with no lingering executor cache) →
     (hash, second-hash) collect under ``max_eval_grams`` (hard guard:
     the word table is DRIVER-BUILT state like the LM/classifier
     weight tables, never unbounded — at the 2^22 cap it is 8 MB) →
@@ -611,19 +696,27 @@ def contamination_check_bloom(
     keys = gram_key_cols(False)
     t_grams = _exploded_grams(train, "train_doc_id", text_col, k)
     e_grams = _exploded_grams(eval_docs, "eval_doc_id", text_col, k)
-    # collected here AND joined below — one computation
-    rare = _rare_grams(e_grams, keys, max_gram_eval_df).persist()
-    try:
-        words_df, n_words = _sbbf_from_hash_df(
-            train.sparkSession, rare, bits_per_key, max_eval_grams, seed
-        )
-    except ValueError:
-        rare.unpersist()
-        raise
+    # The rare-gram hashes are collected to the driver for the SBBF
+    # build ANYWAY (bounded by max_eval_grams), so the verify join
+    # reuses them as a driver-built broadcast relation instead of a
+    # persisted aggregate — the df-cap computes exactly once and
+    # nothing stays pinned in executor cache after the query (a
+    # round-12 ADVICE finding: the old .persist() leaked until
+    # context-cleaner GC in long-lived serve/notebook sessions).
+    rare = _rare_grams(e_grams, keys, max_gram_eval_df)
+    pairs = _sbbf_collect_pairs(rare, max_eval_grams, seed)
+    words_df, n_words = _sbbf_from_pairs(
+        train.sparkSession, pairs, bits_per_key
+    )
+    import pandas as pd
+
+    rare_df = train.sparkSession.createDataFrame(
+        pd.DataFrame({"gh": [r[0] for r in pairs]}), "gh bigint"
+    )
     survivors = _sbbf_probe(t_grams, words_df, n_words, seed).select(
         "train_doc_id", *keys
     )
-    e_kept = e_grams.join(rare, keys)
+    e_kept = e_grams.join(F.broadcast(rare_df), keys)
     return (
         survivors.join(e_kept, keys)
         .groupBy("train_doc_id", "eval_doc_id")

@@ -184,10 +184,17 @@ def _accept_batch(
         # false positive (~5e-4/gram) can only over-count, i.e. the
         # gate errs toward dropping — the right polarity for
         # benchmark hygiene. Map-only probe + broadcast word lookup,
-        # like every other model gate here.
+        # like every other model gate here — and like them it scores
+        # ``batch``, NOT ``gated``: every downstream consumer of the
+        # anti-join re-executes its build side's lineage, so probing
+        # gated re-ran the whole quality+LM semi-join chain once per
+        # consumer (measured 16s/625-doc micro-batch vs ~1s for the
+        # probe itself — the round-13 streaming bench finding).
+        # Probing the raw batch costs a few already-rejected docs'
+        # grams and keeps the build side's lineage one parquet scan.
         hot = (
             S.sbbf_gram_hits(
-                gated,
+                batch,
                 decontam_words,
                 decontam_n_words,
                 text_col=text_col,
@@ -329,6 +336,17 @@ def run_streaming_ingest(
     micro-batch per file, so files model arrival order). Appends to
     ``corpus_dir`` + ``index_dir``; re-runs resume from the
     checkpoint without re-processing consumed files.
+
+    ``decontam_min_shared`` counts a document's distinct char
+    k-grams shared with the eval SUITE AS A WHOLE (the union of all
+    eval docs' grams, plus ~5e-4/gram Bloom false positives) — NOT
+    per-eval-doc pairs like ``contamination_check``'s ``min_shared``.
+    The same number is therefore a STRICTLY stricter gate here: a
+    document sharing one gram with each of N eval docs counts N
+    suite-wide but never reaches a per-pair threshold of N. Tune it
+    against this gate's own counts, not against x19/x138 numbers;
+    the over-reject polarity is the safe direction for benchmark
+    hygiene.
 
     ``url_col`` + ``domain_quota`` + ``quota_dir`` (all three together)
     add a per-registered-domain admission cap as the FINAL stage: at

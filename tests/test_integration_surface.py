@@ -1580,3 +1580,63 @@ def test_cli_decontam_exact_and_bloom_agree(spark, sf_dir, tmp_path, capsys):
     a = sorted(map(tuple, spark.read.parquet(str(tmp_path / "pairs_exact")).collect()))
     b = sorted(map(tuple, spark.read.parquet(str(tmp_path / "pairs_bloom")).collect()))
     assert a == b and a
+
+
+def test_cli_decontam_method_auto(spark, sf_dir, tmp_path, capsys):
+    """`csvb decontam --method auto` applies the SCALE.md §6e decision
+    rule: exact while the df-capped eval gram relation fits the
+    session's auto-broadcast threshold, bloom past it — and the pair
+    table is identical either way (bloom is result-invisible)."""
+    from csvb_spark.cli import main
+
+    train = str(tmp_path / "train")
+    evd = str(tmp_path / "eval")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 60")
+    docs.filter("doc_id % 10 != 0").write.parquet(train)
+    docs.filter("doc_id % 10 = 0").write.parquet(evd)
+
+    argv = [
+        "decontam",
+        "--train", train,
+        "--eval", evd,
+        "--min-shared", "5",
+        "--method", "auto",
+    ]
+
+    def run() -> tuple[str, str]:
+        rc = main(argv)
+        assert rc == 0
+        out = capsys.readouterr().out
+        head, _, table = out.partition("\n")
+        assert head.startswith("decontam: auto selected ")
+        return head, table
+
+    # a 6-doc eval suite's gram relation is far under the session's
+    # threshold (get_session pins 64 MB) → exact
+    head_small, table_exact = run()
+    assert "auto selected exact" in head_small
+
+    # size the decision for a target cluster whose threshold is below
+    # the same relation's estimated footprint → auto flips to bloom,
+    # table bit-identical
+    argv += ["--broadcast-threshold-bytes", "1024"]
+    head_big, table_bloom = run()
+    assert "auto selected bloom" in head_big
+    assert table_exact == table_bloom
+    assert "n_shared_grams" in table_exact
+
+    # a DISABLED threshold (-1) means the exact join would shuffle at
+    # any size — auto picks bloom outright
+    argv[-1] = "-1"
+    head_off, table_off = run()
+    assert "auto selected bloom" in head_off
+    assert table_off == table_exact
+
+    # the flag is auto-only (the CLI's no-silent-discard convention)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="auto only"):
+        main(
+            ["decontam", "--train", train, "--eval", evd,
+             "--method", "exact", "--broadcast-threshold-bytes", "1024"]
+        )
