@@ -189,8 +189,12 @@ FROM guessed GROUP BY lang, guess_lang
 )
 
 # --- n-gram Jaccard near-dup (exact, oracle-checkable) --------------------
+# round 13: demoted from gate slot p06 (verdict r12 item 3 — this is
+# p21's candidate stage at the same grain; the slot now grades the
+# production-scale LSH composition x137 instead) — stays fully
+# oracled here like every demotee
 _q(
-    "p06_ngram_jaccard_pairs",
+    "x140_ngram_jaccard_pairs",
     spark=lambda spark, sf: dedup.ngram_jaccard_pairs(
         _docs(spark, sf), k=4, min_jaccard=0.3
     ),
@@ -4927,6 +4931,14 @@ _P_ALIASES: dict[str, str] = {
     # trivial arithmetic; x101 stays pytest-oracled).
     "p02_tpch_market_share": "q54_tpch_q8_market_share",
     "p05_chrono_formats": "x130_chrono_formats",
+    # round 13 rotation (VERDICT r12 item 3): the near-dedup gate rows
+    # previously pinned the exact all-pairs path (p21 → x40), which
+    # provably OOMs at sf10 BY CONSTRUCTION; the gate now ALSO pins
+    # the production-scale composition (LSH candidates → connected
+    # components → keep-canonical). The freed slot was p06
+    # ngram_jaccard_pairs — p21's candidate stage at the same grain,
+    # demoted to x140 with its oracle intact.
+    "p06_near_dedup_lsh": "x137_near_dedup_lsh",
     "p16_bpe_train": "x57_bpe_train",
     "p17_pagerank": "x73_pagerank_simgraph",
     "p18_lm_perplexity": "x84_bigram_perplexity",

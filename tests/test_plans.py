@@ -8,7 +8,7 @@ silently regressing them.
 The verify-stage oracle gives p09's exact-Jaccard verification math a
 hard DuckDB signal: banding itself has no cross-engine twin (xxhash64),
 but ``word_shingles`` + intersect/union Jaccard is SQL-expressible —
-same pattern p06 proves for char shingles.
+same pattern x140 (formerly gate slot p06) proves for char shingles.
 """
 
 from __future__ import annotations
