@@ -356,19 +356,27 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
         "pg_attribute",
     )
 
+    # typrelid/typelem/typarray/typowner/typacl ride along for psql's
+    # \dT battery: scalars point at their array twin via typarray
+    # (psql's NOT EXISTS hides the '_name' array rows, matching
+    # postgres), arrays point back via typelem
     mk(
         [
-            (oid, name, 11, ln, tt, cat, 100 if oid in _TEXT_OIDS else 0)
+            (oid, name, 11, ln, tt, cat,
+             100 if oid in _TEXT_OIDS else 0,
+             0, 0, _ELEM_ARRAY.get(oid, 0), 10, None)
             for oid, name, ln, tt, cat in _PG_TYPE_ROWS
         ]
         + [
-            (aoid, "_" + name, 11, -1, "b", "A", 0)
+            (aoid, "_" + name, 11, -1, "b", "A", 0, 0, eoid, 0, 10, None)
             for (eoid, name, *_rest) in _PG_TYPE_ROWS
             for aoid in [_ELEM_ARRAY.get(eoid)]
             if aoid is not None
         ],
         "oid bigint, typname string, typnamespace bigint, typlen int, "
-        "typtype string, typcategory string, typcollation bigint",
+        "typtype string, typcategory string, typcollation bigint, "
+        "typrelid bigint, typelem bigint, typarray bigint, "
+        "typowner bigint, typacl array<string>",
         "pg_type",
     )
 
@@ -463,6 +471,10 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
             "polqual string, polwithcheck string"
         ),
         "pg_rewrite": "oid bigint, ev_class bigint, rulename string",
+        "pg_enum": (
+            "oid bigint, enumtypid bigint, enumsortorder float, "
+            "enumlabel string"
+        ),
         "pg_trigger": (
             "oid bigint, tgrelid bigint, tgname string, tgenabled string, "
             "tgisinternal boolean"
@@ -535,6 +547,7 @@ _FN_SUBS: list[tuple[re.Pattern, str]] = [
         "CAST(NULL AS STRING)",
     ),
     (re.compile(_P + r"pg_table_is_visible\s*\([^()]*\)"), "true"),
+    (re.compile(_P + r"pg_type_is_visible\s*\([^()]*\)"), "true"),
     (re.compile(_P + r"pg_get_userbyid\s*\([^()]*\)"), "'spark'"),
     (re.compile(_P + r"pg_encoding_to_char\s*\([^()]*\)"), "'UTF8'"),
     (
@@ -632,8 +645,16 @@ def _rewrite_array_selects(masked: str) -> str:
             if frompos is None:
                 continue  # FROM-less subquery — nothing to aggregate
             expr = inner[sel_end:frompos].strip()
+            # strip a trailing ORDER BY 1 / ORDER BY col — sort_array
+            # orders by the aggregated VALUE, which matches ORDER BY 1
+            # exactly; a different-column ORDER BY (psql \dT+'s
+            # pg_enum enumsortorder) is only approximated, but every
+            # emulation table feeding one is empty, so it's exact here
             rest = re.sub(
-                r"\s+order\s+by\s+1\s*$", "", inner[frompos:], flags=re.I
+                r"\s+order\s+by\s+(?:1|[\w.]+)\s*$",
+                "",
+                inner[frompos:],
+                flags=re.I,
             )
             masked = (
                 masked[:start]

@@ -2502,6 +2502,18 @@ def test_pg_catalog_psql_dt_and_describe(conn):
         (r"\db+", ["pg_default", "bytes"]),
         (r"\dp region", ["region"]),
         (r"\dx", ["Name"]),
+        # round 13 (verdict item 4): type and role listings — psql's
+        # \dT query exercises pg_type/format_type/pg_type_is_visible/
+        # pg_enum paths the rest of the battery never replays, \dg
+        # the role attribute block shared with \du. Bare \dT lists
+        # USER types only (psql excludes the pg_catalog namespace), so
+        # like real postgres it renders an empty list here; the
+        # S-variants surface the builtins.
+        (r"\dT", ["List of data types"]),
+        (r"\dTS", ["boolean", "bigint", "double precision"]),
+        (r"\dTS+", ["boolean", "Size", "Internal name"]),
+        (r"\dg", ["spark", "Superuser"]),
+        (r"\dg+", ["spark", "Description"]),
     ],
 )
 def test_pg_catalog_real_psql(pg_server, cmd, want):
