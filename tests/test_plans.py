@@ -13,6 +13,8 @@ same pattern x140 (formerly gate slot p06) proves for char shingles.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 
@@ -1492,3 +1494,93 @@ def test_tpch_closure_plans_broadcast_dims_no_cartesian(spark, sf_dir):
     # q62 specifically: the correlated MIN is a window, not a self-join
     plan62 = _plan(C["q62_tpch_q2_min_cost_supplier"].spark(spark, sf_dir))
     assert "Window" in plan62
+
+
+# --- bench-flagship plan pins (round 13, verdict item 5) ----------------------
+# The corpus-wide lint (test_plan_lint.py) catches structural
+# catastrophes; these pins catch SILENT drifts in the ten heaviest
+# bench entries — an extra shuffle, a lost pushed filter, a widened
+# scan — so a pushdown regression fails a test instead of surfacing as
+# a bench-drift suspicion a round later. Shapes pinned at the BENCH
+# scale (sf0.1): join strategies are size-dependent, so the sf0.001
+# test fixture would pin a different (broadcast-ier) plan than the one
+# the bench actually runs. Exchange counts are ceilings (fewer is
+# fine); scan columns are exact supersets (reading MORE columns fails).
+
+_BENCH_SF_DIR = "/root/testdata/sf0.1"
+
+# (name, max shuffle exchanges, scan cols or None when the operator's
+#  inputs are driver-materialized [localCheckpoint -> ExistingRDD, no
+#  parquet scan in-plan], required PushedFilters fragments,
+#  python eval nodes allowed)
+_FLAGSHIP_SHAPES = [
+    ("x97_containment_pairs", 1, None, [], False),
+    ("x131_dsir_importance", 3, {"doc_id", "text"}, [], False),
+    ("x95_perplexity_buckets", 1, None, [], False),
+    ("x93_stupid_backoff_trigram", 1, {"doc_id", "text"}, [], False),
+    ("p09_dedup_minhash_lsh", 10, {"doc_id", "text"},
+     ["IsNotNull(doc_id)"], False),
+    ("x110_jm_perplexity", 1, {"doc_id", "text"}, [], False),
+    ("x89_kneser_ney_perplexity", 3, {"doc_id", "text"}, [], False),
+    ("x84_bigram_perplexity", 1, {"doc_id", "text"}, [], False),
+    # p14's ArrowEvalPython is the vectorized ADC probe — the one
+    # sanctioned Python node in the flagship set
+    ("p14_sim_ivf_topk", 1, {"embedding", "vec_id"},
+     ["Not(EqualTo(vec_id,0))"], True),
+    ("q03_shipping_priority", 1,
+     {"c_custkey", "c_mktsegment", "l_discount", "l_extendedprice",
+      "l_orderkey", "l_shipdate", "o_custkey", "o_orderdate",
+      "o_orderkey"},
+     ["GreaterThan(l_shipdate", "LessThan(o_orderdate"], False),
+]
+
+_EXCH_RE = re.compile(r"^[ :|+\-*]*Exchange \(\d+\)\s*$", re.M)
+_PY_RE = re.compile(
+    r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"
+)
+_SCHEMA_RE = re.compile(r"ReadSchema: struct<([^>]*)>")
+
+
+@pytest.mark.parametrize(
+    ("name", "max_shuffles", "scan_cols", "pushed", "py_ok"),
+    _FLAGSHIP_SHAPES,
+    ids=[r[0] for r in _FLAGSHIP_SHAPES],
+)
+def test_bench_flagship_plan_shape(
+    spark, name, max_shuffles, scan_cols, pushed, py_ok
+):
+    import os
+
+    from csvb_spark.queries import corpus
+
+    if not os.path.isdir(_BENCH_SF_DIR):
+        pytest.skip(f"bench fixture {_BENCH_SF_DIR} not present")
+    plan = _plan(corpus()[name].spark(spark, _BENCH_SF_DIR))
+
+    n_shuf = len(_EXCH_RE.findall(plan))
+    assert n_shuf <= max_shuffles, (
+        f"{name}: {n_shuf} shuffle exchanges (pinned max {max_shuffles})"
+        " — a new shuffle crept into a bench flagship"
+    )
+
+    schemas = _SCHEMA_RE.findall(plan)
+    got_cols = {f.split(":")[0] for s in schemas for f in s.split(",") if f}
+    if scan_cols is None:
+        assert not schemas, (
+            f"{name}: expected driver-materialized inputs (no parquet "
+            f"scan), found scans reading {sorted(got_cols)}"
+        )
+    else:
+        assert got_cols <= scan_cols, (
+            f"{name}: scan reads {sorted(got_cols - scan_cols)} beyond "
+            f"the pinned column set — pruning regressed"
+        )
+
+    for frag in pushed:
+        assert frag in plan, f"{name}: pushed filter {frag!r} missing"
+
+    if not py_ok:
+        assert not _PY_RE.search(plan), (
+            f"{name}: Python evaluation node appeared in a JVM-only "
+            "flagship plan"
+        )
