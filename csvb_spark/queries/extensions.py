@@ -1695,6 +1695,11 @@ WITH base AS (
 
 _q(
     "x55_bm25_topk",
+    doc="gate row p24. Dual-oracled (round 13): the primary oracle "
+    "shares the postings/df-CTE derivation; tests/test_oracle.py::"
+    "test_alt_oracle_match holds a SECOND formulation sourcing every "
+    "statistic differently (list_filter tf recount, correlated-"
+    "subquery df/n_docs, inline scalar avgdl) that also hash-matches.",
     spark=lambda spark, sf: search.bm25_topk(
         _docs(spark, sf), ["spark", "query", "join"], k=10
     ),
@@ -4851,6 +4856,11 @@ FROM events GROUP BY 1, 2
 _q(
     "x131_dsir_importance",
     headline=True,
+    doc="gate row p32. Dual-oracled (round 13): the primary oracle "
+    "shares the rc/tc-CTE bucket-weight derivation; tests/"
+    "test_oracle.py::test_alt_oracle_match holds a SECOND formulation "
+    "(one-pass FILTER aggregates + window totals, no join/scalar "
+    "subqueries) that also hash-matches.",
     spark=lambda spark, sf: classify.dsir_score(
         _docs(spark, sf),
         _docs(spark, sf).filter("doc_id % 7 = 0"),

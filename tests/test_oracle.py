@@ -148,6 +148,82 @@ WHERE (SELECT COUNT(*) FROM keyed k2
        WHERE k2.skey < k.skey
           OR (k2.skey = k.skey AND k2.doc_id < k.doc_id)) < 50
 """,
+    # round 13 (verdict item 8): the primary oracle derives idf stats
+    # the same way the operator does (postings -> per-term df CTE ->
+    # join). This formulation reaches every statistic by a DIFFERENT
+    # route — per-doc tf recounted with list_filter instead of
+    # unnest+groupBy, df and n_docs as correlated subqueries instead
+    # of CTE joins, avgdl inlined as a scalar subquery instead of a
+    # CROSS JOIN stats row. The BM25 arithmetic expression itself is
+    # kept textually identical (it is the operator's DEFINITION;
+    # float grouping must match for bit-equality) — what's
+    # independent is every input feeding it.
+    "x55_bm25_topk": r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+), hits AS (
+  SELECT b.doc_id, len(b.w) AS dl, t.term,
+         len(list_filter(b.w, x -> x = t.term)) AS tf
+  FROM base b, (SELECT unnest(['spark', 'query', 'join']) AS term) t
+  WHERE list_contains(b.w, t.term)
+)
+SELECT h.doc_id, COUNT(*) AS n_terms,
+  CAST(SUM(CAST(ROUND(
+    (((SELECT COUNT(*) FROM base)
+       - (SELECT COUNT(*) FROM hits h2 WHERE h2.term = h.term) + 0.5)
+     / ((SELECT COUNT(*) FROM hits h2 WHERE h2.term = h.term) + 0.5))
+    * ((h.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+       / (h.tf + CAST(1.2 AS DOUBLE)
+          * (1.0 - CAST(0.75 AS DOUBLE)
+             + (CAST(0.75 AS DOUBLE) * CAST(h.dl AS DOUBLE))
+               / (SELECT CAST(SUM(CAST(len(w) AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*) FROM base))))
+  , 6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+FROM hits h
+GROUP BY h.doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 10
+""",
+    # round 13 (verdict item 8): the primary oracle derives the bucket
+    # weight table via raw/target count CTEs + LEFT JOIN + scalar-
+    # subquery totals. This formulation computes both counts in ONE
+    # grouped pass (FILTER aggregates) and the corpus totals as window
+    # sums over that pass — no join, no scalar subqueries. The md5
+    # feature recipe and the ln/round arithmetic stay textually
+    # identical (feature definition + float-grouping bit-equality);
+    # the weight DERIVATION is what's independent.
+    "x131_dsir_importance": r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), feats AS (
+  SELECT doc_id, f FROM (SELECT doc_id, unnest(w) AS f FROM toks)
+  UNION ALL
+  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS f
+  FROM (SELECT doc_id, w,
+               unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), ex AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(f || ':7'), 1, 8))::BIGINT % 65536 AS bucket
+  FROM feats
+), w AS (
+  SELECT bucket,
+         CAST(round(ln(
+             (COUNT(*) FILTER (WHERE doc_id % 7 = 0) + 1)::DOUBLE
+             * ((SUM(COUNT(*)) OVER ()) + 65536)::DOUBLE
+             / ((COUNT(*) + 1)::DOUBLE
+                * ((SUM(COUNT(*) FILTER (WHERE doc_id % 7 = 0)) OVER ())
+                   + 65536)::DOUBLE)
+           ), 6) AS DECIMAL(18,6)) AS lw
+  FROM ex GROUP BY bucket
+)
+SELECT ex.doc_id, COUNT(*) AS n_features,
+       CAST(SUM(w.lw) AS DOUBLE) AS log_importance
+FROM ex JOIN w USING (bucket)
+GROUP BY ex.doc_id
+""",
 }
 
 
