@@ -1325,10 +1325,19 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             while True:
                 while nbits < cs:
                     if dpos >= len(data):
-                        return None  # truncated stream
+                        # out of bits before EOI: real-world streams
+                        # (the classic 42-byte spacer GIF, round-13
+                        # golden) omit the EOI code and every browser
+                        # tolerates it — stop here and let the exact
+                        # w*h length check below decide validity
+                        # instead of rejecting as truncation
+                        nbits = -1
+                        break
                     acc |= data[dpos] << nbits
                     nbits += 8
                     dpos += 1
+                if nbits < 0:
+                    break
                 code = acc & ((1 << cs) - 1)
                 acc >>= cs
                 nbits -= cs

@@ -69,7 +69,20 @@ class Finding:
 
 def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
     """The EXPLAIN string for ``df`` without executing it (same JVM
-    hook test_plans.py uses; ``df.explain`` only prints)."""
+    hook test_plans.py uses; ``df.explain`` only prints).
+
+    Classic sessions only: the ``_jvm``/``_jdf`` hooks don't exist on
+    Spark Connect DataFrames, so fail with a clear message instead of
+    an opaque AttributeError (round-12 ADVICE — this is product code
+    behind ``csvb planlint``)."""
+    if not hasattr(df, "_jdf") or getattr(
+        df.sparkSession, "_jvm", None
+    ) is None:
+        raise RuntimeError(
+            "planlint requires a classic (non-Connect) SparkSession: "
+            "the EXPLAIN hook reads the JVM QueryExecution, which "
+            "Spark Connect does not expose to the client"
+        )
     jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(  # noqa: SLF001
         mode
     )

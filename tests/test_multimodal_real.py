@@ -810,3 +810,39 @@ def test_gif_decoder_reads_independent_encoder_payloads(spark):
         assert r.mean_g == round(float(((idx.astype(int) * 3) % 256).mean()), 6)
         assert r.mean_b == round(float(((idx.astype(int) * 7) % 256).mean()), 6)
     assert not got[4].decoded and not got[5].decoded
+
+
+def test_gif_golden_external_bytes_decode(spark):
+    """Interop pin against a KNOWN-GOOD EXTERNAL artifact (round-12
+    ADVICE: the independent test encoder shares this author, so a
+    convention-level spec misreading could cancel out between the two
+    encoders and the decoder; these bytes were produced by neither).
+    The payload is the classic 42-byte transparent spacer GIF —
+    byte-exact as published and browser-decoded for decades
+    (base64 ``R0lGODlh...``). It pins the container walk (GIF89a
+    header, 2-color global palette, graphic-control-extension skip),
+    the LSB-first code packing, CLEAR handling, and the
+    missing-EOI tolerance every real decoder has (the stream ends
+    after one pixel code with NO end-of-information code — rejecting
+    it as truncation was a real interop gap this test caught).
+    Scope note: at 1x1 the stream never reaches a code-width bump, so
+    the 9->12-bit bump convention remains pinned only by the
+    independent-encoder test above — no external artifact exercising
+    it is constructible in this container (no PIL/tk/imagemagick, by
+    design; see the codec-frontier note in SURVEY §7)."""
+    import base64
+
+    from csvb_spark.operators.multimodal import decode_media_features
+
+    gold = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    assert len(gold) == 42 and gold[:6] == b"GIF89a"
+    df = spark.createDataFrame(
+        [(1, gold, "image/gif")], "doc_id bigint, payload binary, mime string"
+    )
+    r = decode_media_features(df).collect()[0]
+    assert r.decoded and r.kind == "image"
+    assert (r.width, r.height) == (1, 1)
+    # single pixel = palette[0] = black
+    assert (r.mean_r, r.mean_g, r.mean_b) == (0.0, 0.0, 0.0)

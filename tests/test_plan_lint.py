@@ -119,3 +119,24 @@ def test_lint_flags_regex_join_condition(spark):
     joined = docs.join(pats, F.expr("text RLIKE pat"))
     rules = {f.rule for f in lint_plan(joined)}
     assert "interpreted-regex-join" in rules
+
+
+def test_physical_plan_rejects_connect_shaped_df(spark, sf_dir):
+    """A DataFrame without the classic JVM hooks (the Spark Connect
+    shape) gets a clear RuntimeError from physical_plan, not an
+    opaque AttributeError (round-12 ADVICE: planlint is product code
+    behind the CLI)."""
+    import pytest
+
+    from csvb_spark.plans.lint import physical_plan
+
+    class _ConnectishDF:
+        # Connect DataFrames expose sparkSession but neither _jdf nor
+        # a _jvm on the session
+        class _Sess:
+            _jvm = None
+
+        sparkSession = _Sess()
+
+    with pytest.raises(RuntimeError, match="classic .*non-Connect"):
+        physical_plan(_ConnectishDF())
