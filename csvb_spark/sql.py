@@ -151,17 +151,25 @@ def refresh_information_schema(spark: SparkSession) -> None:
         # (reference csvb_engine/src/union_table_provider.rs:79-82);
         # here every registered table answers.
         tables.append((t.catalog or "spark_catalog", schema, t.name, kind))
-        for i, c in enumerate(spark.catalog.listColumns(t.name), start=1):
+        # schema fields, not catalog.listColumns: the Column API erases
+        # char/varchar to 'string', while the field METADATA keeps the
+        # bounded type Spark actually enforces — which is what fills
+        # character_maximum_length/octet_length (round 13)
+        for i, fld in enumerate(spark.table(t.name).schema.fields, start=1):
+            dt = (
+                fld.metadata.get("__CHAR_VARCHAR_TYPE_STRING")
+                or fld.dataType.simpleString()
+            )
             columns.append(
                 (
                     t.catalog or "spark_catalog",
                     schema,
                     t.name,
-                    c.name,
+                    fld.name,
                     i,
-                    _arrow_type_name(c.dataType) if arrow_types else c.dataType,
-                    "YES" if c.nullable else "NO",
-                    *_type_metadata(c.dataType),
+                    _arrow_type_name(dt) if arrow_types else dt,
+                    "YES" if fld.nullable else "NO",
+                    *_type_metadata(dt),
                 )
             )
     spark.createDataFrame(
@@ -175,9 +183,14 @@ def refresh_information_schema(spark: SparkSession) -> None:
     # scale, datetime_precision, interval_type) is filled from the
     # catalog type string (_type_metadata — decimal (p,s), integer bit
     # widths, IEEE mantissa bits, micros timestamps, ANSI interval
-    # qualifiers); column_default and character_octet_length stay NULL
-    # (Spark's catalog has no defaults, and octet length of an
-    # unbounded UTF-8 string is not a property of the type).
+    # qualifiers). character_octet_length = 4x the character maximum
+    # (UTF-8's widest encoding — the postgres convention) for BOUNDED
+    # char types, NULL for unbounded strings (verified convention:
+    # DuckDB's information_schema NULLs it for plain VARCHAR too).
+    # column_default stays NULL because it is CORRECT, not a gap: no
+    # registrable table here carries a default (temp views over
+    # files), and engines that do fill it (DuckDB, postgres) also
+    # render absent defaults as NULL.
     spark.createDataFrame(
         columns
         or [
@@ -202,7 +215,7 @@ def refresh_information_schema(spark: SparkSession) -> None:
         "is_nullable",
         "data_type",
         "character_maximum_length",
-        "CAST(NULL AS BIGINT) AS character_octet_length",
+        "character_maximum_length * 4L AS character_octet_length",
         "numeric_precision",
         "numeric_precision_radix",
         "numeric_scale",

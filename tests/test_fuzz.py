@@ -508,3 +508,34 @@ def test_chrono_spacepad_matches_glibc_strftime(spark, fmt) -> None:
     for i, ts in enumerate(_PROBE_TS):
         want = datetime.fromisoformat(ts).strftime(fmt)
         assert got[f"v{i}"] == want, (fmt, ts)
+
+
+def test_hypothesis_patches_are_applied() -> None:
+    """Every counterexample patch Hypothesis saved under
+    .hypothesis/patches/ must already be applied to its target test
+    file — a found failure becomes a pinned @example in the SAME
+    round it is found (verdict r12 item 10: that round's patch sat
+    unapplied). Checks that every ADDED line of each patch appears
+    verbatim in the patched file, so the suite fails loudly while a
+    regression pin is still sitting on disk."""
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    patch_dir = repo / ".hypothesis" / "patches"
+    if not patch_dir.is_dir():
+        return
+    for patch in sorted(patch_dir.glob("*.patch")):
+        target = None
+        added: list[str] = []
+        for line in patch.read_text().splitlines():
+            if line.startswith("+++ "):
+                target = line[4:].strip().lstrip("./")
+            elif line.startswith("+") and not line.startswith("+++"):
+                added.append(line[1:])
+        assert target, f"{patch.name}: no target file header"
+        body = (repo / target).read_text()
+        missing = [a for a in added if a.strip() and a not in body]
+        assert not missing, (
+            f"{patch.name}: pinned example not yet applied to {target} "
+            f"(missing lines: {missing!r}) — apply the saved patch"
+        )

@@ -1246,10 +1246,11 @@ def test_information_schema_columns_match_datafusion_layout(spark, sf_dir):
     information_schema layout (the reference enables it via
     csvb_engine/src/lib.rs:22). Names AND order are pinned; the
     type-derived metadata (numeric precision/radix/scale, datetime
-    precision, interval qualifier, char length) is filled from the
-    catalog type string — only column_default and
-    character_octet_length stay NULL (not properties Spark's catalog
-    carries)."""
+    precision, interval qualifier, char length, octet length = 4x
+    char length for bounded char types) is filled from the catalog
+    type string — only column_default stays NULL, which is CORRECT
+    (no registrable table here carries a default; DuckDB/postgres
+    render absent defaults as NULL too)."""
     from csvb_spark.sources.catalog import register_views
     from csvb_spark.sql import execute_sql
 
@@ -1323,7 +1324,40 @@ def test_information_schema_columns_match_datafusion_layout(spark, sf_dir):
     assert meta["iv_c"]["interval_type"] == "YEAR"
     assert meta["str_c"]["numeric_precision"] is None
     assert meta["str_c"]["datetime_precision"] is None
+    # unbounded string: no char/octet length (DuckDB-verified
+    # convention); every column_default is NULL (no defaults exist)
+    assert meta["str_c"]["character_maximum_length"] is None
+    assert meta["str_c"]["character_octet_length"] is None
+    assert all(r["column_default"] is None for r in meta.values())
     spark.catalog.dropTempView("_ischema_probe")
+    # bounded char types: octet length = 4x the char maximum (UTF-8
+    # widest encoding, the postgres convention — round 13). Bounded
+    # types only survive in TABLE schemas (Spark erases char/varchar
+    # metadata from query results), so probe via a real table.
+    spark.sql("DROP TABLE IF EXISTS _ischema_char_probe")
+    spark.sql(
+        "CREATE TABLE _ischema_char_probe "
+        "(vc_c VARCHAR(12), ch_c CHAR(5)) USING PARQUET"
+    )
+    try:
+        cmeta = {
+            r["column_name"]: r
+            for r in execute_sql(
+                spark,
+                "SELECT * FROM information_schema.columns "
+                "WHERE table_name = '_ischema_char_probe'",
+            ).collect()
+        }
+        assert (
+            cmeta["vc_c"]["character_maximum_length"],
+            cmeta["vc_c"]["character_octet_length"],
+        ) == (12, 48)
+        assert (
+            cmeta["ch_c"]["character_maximum_length"],
+            cmeta["ch_c"]["character_octet_length"],
+        ) == (5, 20)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _ischema_char_probe")
 
 
 def test_cli_export_tar_format(spark, sf_dir, tmp_path, capsys):
