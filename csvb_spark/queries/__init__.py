@@ -272,7 +272,7 @@ round trip (REAL variable-width LZW
 encode + decode, arithmetic palette/index fields, full-SQL oracle),
 closing the last stdlib-expressible image codec family.
 
-Corpus: 229 entries, 223 with full oracles.
+Corpus: 230 entries, 224 with full oracles.
 """
 
 from __future__ import annotations
