@@ -618,17 +618,24 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         prev_sec: float | None = None
         for name, kw in configs:
             cdir = os.path.join(root, name)
-            t0 = _t.perf_counter()
-            run_streaming_ingest(
-                spark,
-                src,
-                os.path.join(cdir, "corpus"),
-                os.path.join(cdir, "index"),
-                os.path.join(cdir, "ckpt"),
-                query_name=f"bench_{name}",
-                **kw,
-            )
-            sec = round(_t.perf_counter() - t0, 4)
+            # per-config guard (the sf10 lesson): one config dying must
+            # be RECORDED, not erase the other configs' measurements
+            try:
+                t0 = _t.perf_counter()
+                run_streaming_ingest(
+                    spark,
+                    src,
+                    os.path.join(cdir, "corpus"),
+                    os.path.join(cdir, "index"),
+                    os.path.join(cdir, "ckpt"),
+                    query_name=f"bench_{name}",
+                    **kw,
+                )
+                sec = round(_t.perf_counter() - t0, 4)
+            except Exception as ex:  # noqa: BLE001
+                rows[name] = {"error": f"{type(ex).__name__}: {ex}"[:300]}
+                prev_sec = None  # next delta would mix configs
+                continue
             corpus_out = os.path.join(cdir, "corpus")
             accepted = (
                 spark.read.parquet(corpus_out).count()

@@ -2512,6 +2512,10 @@ def test_pg_catalog_psql_dt_and_describe(conn):
         (r"\dT", ["List of data types"]),
         (r"\dTS", ["boolean", "bigint", "double precision"]),
         (r"\dTS+", ["boolean", "Size", "Internal name"]),
+        # pattern arg: psql anchors it as typname OPERATOR(pg_catalog.~)
+        # '^(int8)$' COLLATE default — the regex-operator + collate
+        # rewrites under the \dT query shape
+        (r"\dTS int8", ["bigint"]),
         (r"\dg", ["spark", "Superuser"]),
         (r"\dg+", ["spark", "Description"]),
     ],

@@ -1015,3 +1015,18 @@ def test_contamination_bloom_collect_guard(spark, sf_dir):
             d.filter(F.col("doc_id") % 10 == 0),
             max_eval_grams=10,
         )
+
+
+def test_parse_spark_size_and_auto_method_units():
+    """_parse_spark_size handles every Spark size suffix and the
+    disabled sentinel; decontam_auto_method's threshold override is
+    covered end-to-end by the CLI test (test_integration_surface)."""
+    from csvb_spark.operators.splits import _parse_spark_size
+
+    assert _parse_spark_size("10MB") == 10 * 1024 * 1024
+    assert _parse_spark_size("10485760b") == 10485760
+    assert _parse_spark_size("64m") == 64 * 1024 * 1024
+    assert _parse_spark_size("2g") == 2 * 1024 ** 3
+    assert _parse_spark_size("1KB") == 1024
+    assert _parse_spark_size("-1") == -1
+    assert _parse_spark_size(" 512 ") == 512
