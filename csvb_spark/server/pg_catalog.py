@@ -37,8 +37,14 @@ from __future__ import annotations
 import re
 import threading
 import zlib
+from collections import namedtuple
 
 from pyspark.sql import SparkSession
+
+# char-aware column snapshot (name, dataType string, nullable) — same
+# attribute names the catalog Column API exposed, so the fingerprint
+# and pg_attribute builds read it unchanged
+_ColInfo = namedtuple("_ColInfo", ["name", "dataType", "nullable"])
 
 __all__ = ["refresh_pg_catalog", "rewrite_pg_catalog_sql"]
 
@@ -225,9 +231,24 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
     )
     if getattr(spark, "_csvb_pg_catalog_cheap", None) == cheap:
         return
-    table_cols = {
-        t.name: list(spark.catalog.listColumns(t.name)) for t in cat_tables
-    }
+    # schema fields, not catalog.listColumns: the Column API erases
+    # char/varchar to 'string', while the field METADATA keeps the
+    # bounded type — which is what lets \d render 'character
+    # varying(12)' like postgres (round 13; same fix as
+    # sql.refresh_information_schema). Collected into plain tuples so
+    # the fingerprint and row builds below stay shape-stable.
+    def _cols(name: str) -> list:
+        return [
+            _ColInfo(
+                f.name,
+                f.metadata.get("__CHAR_VARCHAR_TYPE_STRING")
+                or f.dataType.simpleString(),
+                f.nullable,
+            )
+            for f in spark.table(name).schema.fields
+        ]
+
+    table_cols = {t.name: _cols(t.name) for t in cat_tables}
     snap = (
         tuple(sorted(dbs)),
         tuple(
@@ -320,10 +341,17 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
         )
         for i, c in enumerate(table_cols[t.name], start=1):
             type_oid, type_len = _oid_for(c.dataType)
+            # char(n)/varchar(n): postgres stores n + VARHDRSZ(4) in
+            # atttypmod; format_type renders it back as '(n)'
+            typmod = -1
+            if type_oid in (1042, 1043):
+                m = re.search(r"\((\d+)\)", c.dataType)
+                if m:
+                    typmod = int(m.group(1)) + 4
             attrs.append(
                 (
                     rel_oid, c.name, type_oid, type_len, i,
-                    -1,                    # atttypmod
+                    typmod,                # atttypmod
                     not c.nullable,        # attnotnull
                     False, False,          # atthasdef / attisdropped
                     "", "",                # attidentity / attgenerated
@@ -505,7 +533,15 @@ def _refresh_pg_catalog_locked(spark: SparkSession) -> None:
         # psql's \d column list only — never in the data plane
         if type_oid is None:
             return None
-        return fmt_map.get(int(type_oid), "text")
+        name = fmt_map.get(int(type_oid), "text")
+        if (
+            int(type_oid) in (1042, 1043)
+            and typmod is not None
+            and int(typmod) >= 4
+        ):
+            # postgres renders the stored n + VARHDRSZ back as '(n)'
+            return f"{name}({int(typmod) - 4})"
+        return name
 
     spark.udf.register("pg_format_type", _format_type, "string")
     spark._csvb_pg_catalog_snap = snap  # noqa: SLF001 — session-scoped cache

@@ -104,6 +104,12 @@ _PG_OIDS = {
     "timestamp_ntz": (1114, 8),
     "string": (25, -1),
     "binary": (17, -1),
+    # bounded char types never appear in RESULT schemas (Spark erases
+    # them to string in query output) — these entries serve the
+    # pg_catalog attribute rows, which read the char-aware type from
+    # the table schema's field metadata (round 13)
+    "varchar": (1043, -1),
+    "char": (1042, -1),
 }
 
 

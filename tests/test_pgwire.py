@@ -2827,9 +2827,10 @@ def test_pg_catalog_same_name_schema_replace_refreshes(spark, sf_dir):
 
 def test_pg_catalog_cheap_key_skips_listcolumns(spark, sf_dir, monkeypatch):
     """Round-12 review: a steady-state introspection burst (one psql
-    \\d = 6-10 catalog queries) must pay ZERO per-table listColumns
-    round trips — the cheap key (lists + DDL epoch) short-circuits
-    before the fingerprint pass."""
+    \\d = 6-10 catalog queries) must pay ZERO per-table column-schema
+    round trips (spark.table since round 13 — it carries the
+    char/varchar field metadata listColumns erased) — the cheap key
+    (lists + DDL epoch) short-circuits before the fingerprint pass."""
     from csvb_spark.server.pg_catalog import refresh_pg_catalog
     from csvb_spark.sources.catalog import register_views
 
@@ -2837,13 +2838,13 @@ def test_pg_catalog_cheap_key_skips_listcolumns(spark, sf_dir, monkeypatch):
     refresh_pg_catalog(spark)  # settle the snapshot
 
     calls = {"n": 0}
-    real = spark.catalog.listColumns
+    real = spark.table
 
     def counting(name, *a, **kw):
         calls["n"] += 1
         return real(name, *a, **kw)
 
-    monkeypatch.setattr(spark.catalog, "listColumns", counting)
+    monkeypatch.setattr(spark, "table", counting)
     for _ in range(5):  # a \d-burst's worth of refresh calls
         refresh_pg_catalog(spark)
     assert calls["n"] == 0, calls
@@ -3051,3 +3052,37 @@ def test_federate_pgwire_mod_slices_balanced_on_clustered_ids(spark):
         )
     finally:
         srv.shutdown()
+
+
+def test_pg_catalog_renders_bounded_char_types(spark):
+    """\\d parity for bounded char columns (round 13): pg_attribute
+    reads the char-aware type from the schema field metadata (the
+    Column API erases varchar/char to string), stores postgres's
+    n + VARHDRSZ in atttypmod, and format_type renders it back as
+    'character varying(n)' / 'character(n)' exactly like postgres."""
+    from csvb_spark.server.pg_catalog import refresh_pg_catalog
+    from csvb_spark.sql import execute_sql
+
+    spark.sql("DROP TABLE IF EXISTS _pgc_char_probe")
+    spark.sql(
+        "CREATE TABLE _pgc_char_probe "
+        "(vc VARCHAR(12), ch CHAR(5), s STRING) USING PARQUET"
+    )
+    try:
+        refresh_pg_catalog(spark)
+        rows = execute_sql(
+            spark,
+            "SELECT a.attname, "
+            "pg_catalog.format_type(a.atttypid, a.atttypmod) AS t "
+            "FROM pg_catalog.pg_attribute a "
+            "JOIN pg_catalog.pg_class c ON a.attrelid = c.oid "
+            "WHERE c.relname = '_pgc_char_probe' ORDER BY a.attnum",
+        ).collect()
+        got = {r.attname: r.t for r in rows}
+        assert got == {
+            "vc": "character varying(12)",
+            "ch": "character(5)",
+            "s": "text",
+        }, got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS _pgc_char_probe")
