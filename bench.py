@@ -450,6 +450,10 @@ SF10_OPS = (
     # filter instead of shuffling the full train gram stream), so it
     # earns the sf10 slot that proves the claim
     "x138_contamination_bloom",
+    # round 13: the retrieval family joins the watch — BM25's cost
+    # law (posting explode + broadcast idf stats + top-k) should stay
+    # scan-bound; probe measured 1.86x at 10x data (sub-linear)
+    "x55_bm25_topk",
 )
 
 
