@@ -1030,3 +1030,18 @@ def test_parse_spark_size_and_auto_method_units():
     assert _parse_spark_size("1KB") == 1024
     assert _parse_spark_size("-1") == -1
     assert _parse_spark_size(" 512 ") == 512
+
+
+def test_contamination_bloom_empty_eval_set(spark):
+    """Degenerate input pin for the round-13 refactor (the rare-gram
+    hashes now feed both the word table and the verify join as a
+    driver-built relation): an EMPTY eval suite yields an empty pair
+    set, not a crash — the SBBF builds its 1-word minimum and the
+    broadcast relation is a zero-row frame."""
+    from csvb_spark.operators.splits import contamination_check_bloom
+
+    train = spark.createDataFrame(
+        [(1, "some training text here")], "doc_id bigint, text string"
+    )
+    evald = spark.createDataFrame([], "doc_id bigint, text string")
+    assert contamination_check_bloom(train, evald, k=4).count() == 0
