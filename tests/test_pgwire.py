@@ -3086,3 +3086,40 @@ def test_pg_catalog_renders_bounded_char_types(spark):
         }, got
     finally:
         spark.sql("DROP TABLE IF EXISTS _pgc_char_probe")
+
+
+@pytest.mark.skipif(
+    __import__("shutil").which("psql") is None,
+    reason="psql binary not installed",
+)
+def test_real_psql_describe_bounded_char_table(pg_server):
+    """End-to-end char parity: DDL issued THROUGH the wire protocol
+    (epoch bump -> pg_catalog refresh) and \\d rendered by the real
+    psql client shows 'character varying(n)'/'character(n)' exactly
+    like postgres (round 13 — the field-metadata read, atttypmod
+    store, and format_type render all on the live path)."""
+    import subprocess
+
+    def run(*cmds: str):
+        r = subprocess.run(
+            ["psql", "-X", "-h", "127.0.0.1", "-p", str(pg_server.port),
+             "-U", "u", "-d", "db"]
+            + [x for c in cmds for x in ("-c", c)],
+            capture_output=True,
+            text=True,
+            timeout=300,
+        )
+        assert r.returncode == 0 and not r.stderr.strip(), (r.stdout, r.stderr)
+        return r.stdout
+
+    try:
+        out = run(
+            "CREATE TABLE _wire_char_probe "
+            "(vc VARCHAR(9), ch CHAR(3), s STRING) USING PARQUET",
+            r"\d _wire_char_probe",
+        )
+        assert "character varying(9)" in out, out
+        assert "character(3)" in out, out
+        assert "text" in out, out
+    finally:
+        run("DROP TABLE IF EXISTS _wire_char_probe")
