@@ -60,6 +60,7 @@ def curate(
     html: bool = False,
     c4: bool = True,
     min_kept_lines: int = 1,
+    c4_kwargs: dict | None = None,
     near_dup: bool = True,
     keep: str = "min_id",
     pairs_fn: Callable[[DataFrame], DataFrame] | None = None,
@@ -67,12 +68,20 @@ def curate(
     splits: dict[str, float] | None = None,
     leakage_safe: bool = False,
     seed: int = 42,
+    stage_seconds: dict[str, float] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the standard curation recipe; see the module docstring for
     the stage list. Returns ``(curated_df, report_df)`` with
     ``report_df = (stage, n_in, n_out, pct_kept)``. Raises ValueError
     for unsatisfiable configurations (no blocking column for the
-    default near-dup pairs, leakage-safe splits without near-dup)."""
+    default near-dup pairs, leakage-safe splits without near-dup).
+
+    ``stage_seconds``: pass a dict to collect per-stage wall-clock
+    (stage name → seconds). Each stage is eagerly materialized
+    (localCheckpoint + count), so the numbers are true stage costs,
+    not lazy-plan attribution — bench.py's ``curate`` section reads
+    them (round 14)."""
+    import time as _time
     from csvb_spark.operators import dedup as D
     from csvb_spark.operators import splits as S
     from csvb_spark.operators import text as T
@@ -94,6 +103,7 @@ def curate(
     stages: list[tuple[str, int, int]] = []
     # doc_id is the repo-wide id contract; a NULL id would survive the
     # dedup stages but vanish at the joins — fail fast instead
+    t0 = _time.perf_counter()
     cur = docs.withColumn(
         "doc_id",
         F.when(
@@ -104,11 +114,18 @@ def curate(
         ).otherwise(F.col("doc_id")),
     ).localCheckpoint(eager=True)
     n = cur.count()
+    if stage_seconds is not None:
+        stage_seconds["input_checkpoint"] = round(
+            _time.perf_counter() - t0, 4
+        )
 
     def _advance(name: str, nxt: DataFrame) -> DataFrame:
         nonlocal cur, n
+        t0 = _time.perf_counter()
         nxt = nxt.localCheckpoint(eager=True)
         m = nxt.count()
+        if stage_seconds is not None:
+            stage_seconds[name] = round(_time.perf_counter() - t0, 4)
         stages.append((name, n, m))
         cur, n = nxt, m
         return cur
@@ -119,8 +136,15 @@ def curate(
             cur.withColumn(text_col, W.html_strip_col(F.col(text_col))),
         )
     if c4:
+        # c4_kwargs passes operator options through (e.g.
+        # require_terminal=False for corpora without sentence
+        # punctuation, custom blocked terms) — the recipe stays one
+        # call without re-exporting every C4 knob
         cleaned = T.c4_line_filter(
-            cur, text_col=text_col, min_kept_lines=min_kept_lines
+            cur,
+            text_col=text_col,
+            min_kept_lines=min_kept_lines,
+            **(c4_kwargs or {}),
         )
         kept = (
             cleaned.filter(F.col("keep_doc"))
@@ -149,6 +173,7 @@ def curate(
         ).select("doc_id")
         _advance("quality_gate", cur.join(good, "doc_id", "left_semi"))
     if splits is not None:
+        t0 = _time.perf_counter()
         if leakage_safe:
             # one invariant, one implementation: reuse stage 4's pairs
             cur = S.leakage_safe_splits(
@@ -157,6 +182,10 @@ def curate(
         else:
             cur = S.assign_splits(cur, weights=splits, seed=seed)
         cur = cur.localCheckpoint(eager=True)
+        if stage_seconds is not None:
+            stage_seconds["split_assign"] = round(
+                _time.perf_counter() - t0, 4
+            )
         stages.append(("split_assign", n, n))
 
     report = spark.createDataFrame(
@@ -166,6 +195,11 @@ def curate(
         "stage",
         "n_in",
         "n_out",
-        (F.col("n_out").cast("double") / F.col("n_in")).alias("pct_kept"),
+        # try_divide: a stage that RECEIVES zero docs (everything
+        # rejected upstream) reports NULL pct_kept instead of an ANSI
+        # divide-by-zero crash (found by the round-14 curate bench)
+        F.try_divide(F.col("n_out").cast("double"), F.col("n_in")).alias(
+            "pct_kept"
+        ),
     )
     return cur, report

@@ -272,6 +272,15 @@ round trip (REAL variable-width LZW
 encode + decode, arithmetic palette/index fields, full-SQL oracle),
 closing the last stdlib-expressible image codec family.
 
+Round-14 gate rotation (VERDICT r13 item 2): the four stalest
+relational aliases (p71 join-topk, p73 anti-join, p80 time-bucket,
+p83 construction — green since round 9, surfaces still gate-covered
+by p02/p74/p79/p31/p05/p34) swapped for four never-graded families:
+p38 JSON functions (x25), p39 ASOF join (x27 — DuckDB-native ASOF
+oracle), p43 one-pass table profile (x78), p44 data-expectation
+contracts (x72). Window still exactly 50; demoted q-sources keep
+their pytest oracles.
+
 Corpus: 230 entries, 224 with full oracles.
 """
 

@@ -4981,9 +4981,24 @@ _P_ALIASES: dict[str, str] = {
     "p35_rel_window_frames": "q52_window_gauntlet",
     "p36_matryoshka": "x96_matryoshka_topk",
     "p37_luhn_cards": "x105_luhn_cards",
+    # round 14 rotation (VERDICT r13 item 2): four never-graded
+    # operator families take the slots of the four stalest relational
+    # aliases (p71/p73/p80/p83 — green since round 9; their q-sources
+    # q03/q07/q33/q42 keep their pytest oracles, and their surfaces
+    # stay gate-covered elsewhere: joins by p02/p74/p79, anti-join by
+    # p31's TPC-H Q21 NOT EXISTS, datetime by p05/p34). Incoming: the
+    # JSON function family (x25 — get_json_object/extraction paths),
+    # the ASOF join (x27 — oracled against DuckDB's NATIVE ASOF JOIN,
+    # the strongest cross-engine check in the corpus), the one-pass
+    # table profiler (x78 — SUMMARIZE shape), and the single-pass
+    # data-expectation contracts (x72).
+    "p38_json_functions": "x25_json_functions",
+    "p39_asof_join": "x27_asof_join",
     "p40_retention_funnel": "x108_retention_funnel",
     "p41_leakage_safe_splits": "x109_leakage_safe_splits",
     "p42_jm_perplexity": "x110_jm_perplexity",
+    "p43_table_profile": "x78_table_profile",
+    "p44_data_expectations": "x72_data_expectations",
     # Relational gauntlets (SURVEY §2.B): the q-entries that together
     # cover the inherited SQL surface most densely — scan/agg/sort,
     # every join shape (equi, semi, anti, full-outer, theta), window
@@ -4991,20 +5006,19 @@ _P_ALIASES: dict[str, str] = {
     # correlated subqueries, the datetime/regex/aggregate function
     # families, VALUES/UNNEST/generate_series construction, and the
     # QUALIFY/GROUP BY ALL/REPLACE/EXCLUDE dialect layer.
+    # (round 14: p71 join-topk, p73 anti-join, p80 time-bucket and
+    # p83 construction rotated out after 5 green rounds — see the
+    # p38/p39/p43/p44 note above; q03/q07/q33/q42 stay pytest-oracled)
     "p70_rel_pricing_summary": "q01_pricing_summary",
-    "p71_rel_join_topk": "q03_shipping_priority",
     "p72_rel_semi_join": "q04_semi_exists",
-    "p73_rel_anti_join": "q07_anti_no_orders",
     "p74_rel_full_outer": "q09_full_outer_counts",
     "p75_rel_window_topk": "q11_window_topk_per_customer",
     "p76_rel_set_ops": "q15_set_operations",
     "p77_rel_grouping_sets": "q16_grouping_gauntlet",
     "p78_rel_subqueries": "q21_subquery_gauntlet",
     "p79_rel_theta_join": "q29_theta_join_bands",
-    "p80_rel_time_bucket": "q33_time_bucket",
     "p81_rel_regex": "q35_regex_functions",
     "p82_rel_agg_variety": "q37_agg_variety",
-    "p83_rel_construction": "q42_construction_gauntlet",
     "p84_rel_dialect": "q50_dialect_gauntlet",
 }
 from csvb_spark.queries import funcs as _funcs_mod  # noqa: E402

@@ -755,7 +755,10 @@ _DT_UNIT_RE = _re.compile(
     r"\b(?:day|week|hour|minute|min|second|sec|microsecond|millisecond)s?\b",
     _re.IGNORECASE,
 )
-_INTERVAL_SAFE_RE = _re.compile(r"^[A-Za-z0-9.:+\-\s]+$")
+# \Z anchor like _NUM_RE/_HEX_RE — the class already admits \n via
+# \s, so $ was unexploitable here, but every bind validator follows
+# the same verbatim-or-raise rule with no per-regex exceptions
+_INTERVAL_SAFE_RE = _re.compile(r"^[A-Za-z0-9.:+\-\s]+\Z")
 # HH:MM[:SS[.ffffff]] — the default postgres IntervalStyle rendering of
 # the time part ('04:00:00', '1 day 04:00:00')
 _CLOCK_RE = _re.compile(

@@ -81,6 +81,31 @@ def test_bytea_param_never_passes_garbage(s: str) -> None:
             _quote_param(s, 17)
 
 
+@given(st.text(alphabet="0123456789 days:hour.mon+-'\n\r;x", min_size=0, max_size=24))
+@settings(max_examples=300, deadline=None)
+@example(s="1 day\n")  # \s admits the newline — must render, not breakout
+@example(s="1 day';--")  # quote breakout attempt must raise
+@example(s="2 mons")  # normalization maps safe → safe only
+def test_interval_text_param_never_passes_garbage(s: str) -> None:
+    """A text interval bind follows the same verbatim-or-raise rule as
+    numeric/bytea (round 14 closes the last $-anchored validator): any
+    character outside the safe class raises, and whatever renders is
+    exactly one INTERVAL literal whose content stays inside the safe
+    class — no quote breakout, no freeform text reaching the SQL."""
+    from csvb_spark.server.pgwire import _quote_interval
+
+    safe = re.fullmatch(r"[A-Za-z0-9.:+\-\s]+", s.strip() or "")
+    try:
+        lit = _quote_interval(s)
+    except ValueError:
+        return
+    assert safe, f"unsafe interval text rendered: {s!r} -> {lit!r}"
+    assert lit.startswith("INTERVAL '") and lit.endswith("'")
+    inner = lit[len("INTERVAL '") : -1]
+    assert "'" not in inner.replace("''", "")
+    assert re.fullmatch(r"[A-Za-z0-9.:+\-\s]+", inner)
+
+
 # --- dialect translator -------------------------------------------------------
 
 # identifiers/operators that trigger NO DataFusion rewrite rule

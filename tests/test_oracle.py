@@ -75,8 +75,18 @@ def test_driver_gate_window_invariant():
         n for n in window if CORPUS[n].oracle is None
     ]
     rel = [n for n in window if n.startswith("p7") or n.startswith("p8")]
-    assert len(rel) == 15, rel  # relational gauntlet aliases p70-p84
+    # relational gauntlet aliases — 11 after the round-14 rotation
+    # swapped the four stalest (p71/p73/p80/p83) for never-graded
+    # families (p38 JSON, p39 ASOF, p43 profile, p44 expectations)
+    assert len(rel) == 11, rel
     assert all("rel_" in n for n in rel)
+    for fresh in (
+        "p38_json_functions",
+        "p39_asof_join",
+        "p43_table_profile",
+        "p44_data_expectations",
+    ):
+        assert fresh in window, fresh
 
 
 def test_gate_aliases_share_source_plan_and_oracle():
