@@ -1203,17 +1203,21 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             return px.reshape(h, w, 3)
 
         def _parse_png(p: bytes):
-            # 8-bit truecolor (color type 2), no interlace: chunk walk,
-            # zlib inflate, then reverse the five scanline filters.
-            # Per-byte Python loops for Sub/Average/Paeth are fine at
-            # the thumbnail sizes this pipeline feeds (and Up/None are
-            # vectorized); a production decoder would swap in a codec
-            # library behind this same sniff.
+            # 8-bit truecolor (color type 2) or truecolor+alpha
+            # (color type 6, round 14 — what real-world tiny PNGs and
+            # the published 1x1 goldens actually are), no interlace:
+            # chunk walk, zlib inflate, then reverse the five scanline
+            # filters (pixel-neighbor offsets are BYTES PER PIXEL, so
+            # the same loops serve both layouts). Per-byte Python
+            # loops for Sub/Average/Paeth are fine at the thumbnail
+            # sizes this pipeline feeds (and Up/None are vectorized);
+            # a production decoder would swap in a codec library
+            # behind this same sniff.
             import zlib as _zlib
 
             if p[:8] != b"\x89PNG\r\n\x1a\n":
                 return None
-            pos, idat, w, h = 8, b"", None, None
+            pos, idat, w, h, bpp = 8, b"", None, None, 3
             while pos + 8 <= len(p):
                 ln = int.from_bytes(p[pos : pos + 4], "big")
                 typ = p[pos + 4 : pos + 8]
@@ -1223,8 +1227,9 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                     w = int.from_bytes(data[0:4], "big")
                     h = int.from_bytes(data[4:8], "big")
                     bitd, ct, comp, filt, inter = data[8:13]
-                    if bitd != 8 or ct != 2 or comp or filt or inter:
+                    if bitd != 8 or ct not in (2, 6) or comp or filt or inter:
                         return None
+                    bpp = 3 if ct == 2 else 4
                 elif typ == b"IDAT":
                     idat += data
                 elif typ == b"IEND":
@@ -1232,7 +1237,7 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             if not w or not h or not idat:
                 return None
             raw = _zlib.decompress(idat)
-            stride = w * 3
+            stride = w * bpp
             if len(raw) != h * (stride + 1):
                 return None
             out = _np.zeros((h, stride), dtype=_np.uint8)
@@ -1249,19 +1254,19 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 if f == 0:
                     pass
                 elif f == 1:  # Sub
-                    for i in range(3, stride):
-                        cur[i] = (cur[i] + cur[i - 3]) & 0xFF
+                    for i in range(bpp, stride):
+                        cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
                 elif f == 2:  # Up
                     cur = (cur + prev) & 0xFF
                 elif f == 3:  # Average
                     for i in range(stride):
-                        left = cur[i - 3] if i >= 3 else 0
+                        left = cur[i - bpp] if i >= bpp else 0
                         cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
                 elif f == 4:  # Paeth
                     for i in range(stride):
-                        a = cur[i - 3] if i >= 3 else 0
+                        a = cur[i - bpp] if i >= bpp else 0
                         b = prev[i]
-                        c = prev[i - 3] if i >= 3 else 0
+                        c = prev[i - bpp] if i >= bpp else 0
                         pp = a + b - c
                         pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
                         pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -1269,7 +1274,7 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                 else:
                     return None
                 out[y] = cur.astype(_np.uint8)
-            return out.reshape(h, w, 3)
+            return out.reshape(h, w, bpp)
 
         def _parse_gif(p: bytes):
             # GIF87a/89a, global palette, single non-interlaced image
@@ -1583,14 +1588,17 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             return bgr[..., ::-1]  # BGR → RGB
 
         def _decode_image(doc_id: int, p: bytes, px) -> dict:
-            h, w = px.shape[0], px.shape[1]
-            means = px.reshape(-1, 3).mean(axis=0)
+            # px is (h, w, 3) RGB or (h, w, 4) RGBA (PNG color type 6,
+            # round 14) — mean_r/g/b always read the color channels,
+            # n_channels reports the true layout
+            h, w, nch = px.shape[0], px.shape[1], px.shape[2]
+            means = px.reshape(-1, nch).mean(axis=0)
             row = _null_row(doc_id, p)
             row.update(
                 kind="image",
                 width=w,
                 height=h,
-                n_channels=3,
+                n_channels=nch,
                 mean_r=round(float(means[0]), 6),
                 mean_g=round(float(means[1]), 6),
                 mean_b=round(float(means[2]), 6),

@@ -471,6 +471,15 @@ def read_shard_pg(
                 _, rows = _q(
                     r["host"], int(r["port"]), r["sql"], user=r["user"], database=r["db"]
                 )
+                if not rows:
+                    # an empty result set would build a pandas frame
+                    # whose empty columns default to float64, and the
+                    # Arrow boundary cannot cast float64 → date/
+                    # timestamp (found by the round-14 federation
+                    # bench: a mod-slice over a shard holding only
+                    # even keys returns zero rows) — yield nothing,
+                    # mapInPandas handles sparse generators fine
+                    continue
                 data = {
                     name: [_cast(row[i], oids[i]) for row in rows]
                     for i, name in enumerate(names)
@@ -656,6 +665,15 @@ def read_shards_sql(
                 _, rows = _q(
                     r["host"], int(r["port"]), r["sql"], user=r["user"], database=r["db"]
                 )
+                if not rows:
+                    # an empty result set would build a pandas frame
+                    # whose empty columns default to float64, and the
+                    # Arrow boundary cannot cast float64 → date/
+                    # timestamp (found by the round-14 federation
+                    # bench: a mod-slice over a shard holding only
+                    # even keys returns zero rows) — yield nothing,
+                    # mapInPandas handles sparse generators fine
+                    continue
                 data = {
                     name: [_cast(row[i], oids[i]) for row in rows]
                     for i, name in enumerate(names)

@@ -846,3 +846,68 @@ def test_gif_golden_external_bytes_decode(spark):
     assert (r.width, r.height) == (1, 1)
     # single pixel = palette[0] = black
     assert (r.mean_r, r.mean_g, r.mean_b) == (0.0, 0.0, 0.0)
+
+
+def test_png_golden_external_bytes_decode(spark):
+    """PNG interop pin against KNOWN-GOOD EXTERNAL artifacts (round-14
+    VERDICT item 6 — the GIF golden caught a real missing-EOI gap on
+    day one; the PNG scanline-filter walk deserves the same). The
+    payloads are the two ubiquitous published 70-byte 1x1 data-URI
+    PNGs (the base64 strings pasted across a decade of web answers as
+    'smallest PNG'); both are 8-bit RGBA (color type 6) with a
+    Sub-filtered scanline — produced by neither our encoder nor our
+    test encoder. The test first re-verifies each artifact's own
+    integrity (signature, per-chunk CRC32, IDAT inflates to exactly
+    one filtered scanline) so a transcription typo fails as artifact
+    corruption, not as a phantom decoder bug; then pins the decode.
+    Detail the decode exposes: the string usually labeled 'transparent
+    png' is actually a half-alpha RED pixel (inflated scanline
+    01 ff 00 00 7f) — the bytes, not the folklore, are the spec."""
+    import base64
+    import binascii
+    import struct
+    import zlib
+
+    from csvb_spark.operators.multimodal import decode_media_features
+
+    goldens = {
+        # (mean_r, mean_g, mean_b) of the single RGBA pixel
+        1: (
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mP8"
+            "z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg==",
+            (255.0, 0.0, 0.0),  # filtered 01 ff 00 00 7f → (255,0,0,127)
+        ),
+        2: (
+            "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+            "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==",
+            (0.0, 0.0, 255.0),  # filtered 01 00 00 ff 7f → (0,0,255,127)
+        ),
+    }
+    rows = []
+    for doc_id, (b64, _) in goldens.items():
+        raw = base64.b64decode(b64)
+        assert len(raw) == 70 and raw[:8] == b"\x89PNG\r\n\x1a\n"
+        # integrity walk: every chunk CRC-checks, IHDR says 1x1 RGBA,
+        # the IDAT inflates to one 5-byte Sub-filtered scanline
+        pos = 8
+        while pos < len(raw):
+            ln, typ = struct.unpack(">I4s", raw[pos : pos + 8])
+            data = raw[pos + 8 : pos + 8 + ln]
+            crc = struct.unpack(">I", raw[pos + 8 + ln : pos + 12 + ln])[0]
+            assert binascii.crc32(typ + data) & 0xFFFFFFFF == crc, typ
+            if typ == b"IHDR":
+                assert struct.unpack(">IIBBBBB", data) == (1, 1, 8, 6, 0, 0, 0)
+            if typ == b"IDAT":
+                scanline = zlib.decompress(data)
+                assert len(scanline) == 5 and scanline[0] == 1  # Sub
+            pos += 12 + ln
+        rows.append((doc_id, raw, "image/png"))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, payload binary, mime string"
+    )
+    got = {r.doc_id: r for r in decode_media_features(df).collect()}
+    for doc_id, (_, rgb) in goldens.items():
+        r = got[doc_id]
+        assert r.decoded and r.kind == "image", doc_id
+        assert (r.width, r.height, r.n_channels) == (1, 1, 4), doc_id
+        assert (r.mean_r, r.mean_g, r.mean_b) == rgb, doc_id

@@ -805,6 +805,37 @@ def test_federate_pgwire_union(spark, two_shards):
     assert dfs["tbl"].columns == ["id", "v", "s"]
 
 
+def test_federate_pgwire_empty_slice_with_timestamp(spark):
+    """An empty shard result (here: a mod-slice over a shard holding
+    only even keys) must yield NOTHING, not an empty pandas frame —
+    empty columns default to float64 and the Arrow boundary cannot
+    cast float64 → timestamp. Found by the round-14 federation bench;
+    regression-pinned with a timestamp column in the schema."""
+    from csvb_spark.server.pgwire import PgWireServer
+    from csvb_spark.sources.federation import read_shard_pg
+
+    s1 = spark.newSession()
+    s1.range(0, 40).selectExpr(
+        "id * 2 AS id", "timestamp'2024-01-02 03:04:05' + make_interval(0,0,0,0,0,0,id) AS ts"
+    ).createOrReplaceTempView("evens")
+    srv = PgWireServer(s1, "127.0.0.1:0")
+    srv.start_background()
+    try:
+        addr = f"postgresql://u@127.0.0.1:{srv.port}/db"
+        # MOD(ABS(id),2)=1 is empty — the slice that used to crash
+        df = read_shard_pg(
+            spark, addr, "evens", partition_column="id", num_partitions=2
+        )
+        rows = df.collect()
+        assert len(rows) == 40
+        assert rows[0].ts.year == 2024
+        # fully-empty result: pushdown predicate matching nothing
+        none = read_shard_pg(spark, addr, "evens", predicate="id < 0")
+        assert none.count() == 0
+    finally:
+        srv.shutdown()
+
+
 def test_federate_pgwire_partitioned_read(spark, two_shards):
     """num_partitions splits one shard into disjoint MOD(ABS(col),N)
     slices pulled by separate tasks; the union of slices is row-for-row
