@@ -587,7 +587,21 @@ def build_parser() -> argparse.ArgumentParser:
     pdc.add_argument("--eval", dest="eval_dir", required=True,
                      help="eval suite parquet path")
     pdc.add_argument("--text-col", default="text")
-    pdc.add_argument("--k", type=int, default=8, help="char k-gram width")
+    pdc.add_argument(
+        "--k",
+        type=int,
+        default=None,
+        help="k-gram width (default: 8 for --unit char, 13 for --unit "
+        "word — the GPT-3/PaLM convention)",
+    )
+    pdc.add_argument(
+        "--unit",
+        choices=["char", "word"],
+        default="char",
+        help="gram unit: char k-grams (tokenization-robust default) or "
+        "FULL-WINDOW word k-grams (documents shorter than k words never "
+        "match; pair with --min-shared 1 for the 13-gram overlap rule)",
+    )
     pdc.add_argument("--min-shared", type=int, default=2)
     pdc.add_argument(
         "--max-gram-eval-df",
@@ -1448,6 +1462,7 @@ def main(argv: list[str] | None = None) -> int:
             )
         spark = _session(args)
         eval_df = spark.read.parquet(args.eval_dir)
+        k = args.k if args.k is not None else (13 if args.unit == "word" else 8)
         method = args.method
         if method == "auto":
             from csvb_spark.operators.splits import decontam_auto_method
@@ -1455,9 +1470,10 @@ def main(argv: list[str] | None = None) -> int:
             method, n_grams, thr = decontam_auto_method(
                 eval_df,
                 text_col=args.text_col,
-                k=args.k,
+                k=k,
                 max_gram_eval_df=args.max_gram_eval_df,
                 threshold_bytes=args.broadcast_threshold_bytes,
+                unit=args.unit,
             )
             print(
                 f"decontam: auto selected {method} "
@@ -1473,9 +1489,10 @@ def main(argv: list[str] | None = None) -> int:
             spark.read.parquet(args.train),
             eval_df,
             text_col=args.text_col,
-            k=args.k,
+            k=k,
             min_shared=args.min_shared,
             max_gram_eval_df=args.max_gram_eval_df,
+            unit=args.unit,
         )
         if args.output:
             # write once, summarize from the written files (the score

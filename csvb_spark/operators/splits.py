@@ -326,9 +326,13 @@ def contamination_check(
     min_shared: int = 2,
     max_gram_eval_df: int = 50,
     wide_gram_keys: bool = False,
+    unit: str = "char",
 ) -> DataFrame:
     """(train_doc_id, eval_doc_id, n_shared_grams) for pairs sharing
-    ≥ ``min_shared`` distinct character k-grams.
+    ≥ ``min_shared`` distinct k-grams — character k-grams by default,
+    or FULL-WINDOW word k-grams with ``unit='word'`` (pass k=13 and
+    min_shared=1 for the GPT-3/PaLM/Llama decontamination rule: one
+    shared 13-word window flags the pair; see ``_grams_col``).
 
     Plan: explode each side's DISTINCT gram set → project the gram to
     its xxhash64 (fixed-width shuffle rows) → drop eval grams appearing
@@ -344,11 +348,11 @@ def contamination_check(
     keys = gram_key_cols(wide_gram_keys)
     t_grams = train.select(
         F.col("doc_id").alias("train_doc_id"),
-        F.explode(char_shingles(text_col, k)).alias("g"),
+        F.explode(_grams_col(text_col, k, unit)).alias("g"),
     ).select("train_doc_id", *gram_key_exprs(F.col("g"), wide_gram_keys))
     e_grams = eval_docs.select(
         F.col("doc_id").alias("eval_doc_id"),
-        F.explode(char_shingles(text_col, k)).alias("g"),
+        F.explode(_grams_col(text_col, k, unit)).alias("g"),
     ).select("eval_doc_id", *gram_key_exprs(F.col("g"), wide_gram_keys))
     rare = (
         e_grams.groupBy(*keys)
@@ -416,18 +420,34 @@ def _sbbf_probe(grams: DataFrame, words_df: DataFrame, n_words: int, seed: int):
     )
 
 
+def _grams_col(text_col: str, k: int, unit: str):
+    """The gram-array expression every contamination path shares:
+    ``char`` = lowercased character k-grams (the fixture-friendly
+    default, robust to tokenization differences), ``word`` =
+    FULL-WINDOW word k-grams (``text.word_grams_full`` — the
+    GPT-3/PaLM/Llama 13-gram decontamination convention; a document
+    shorter than k words yields no grams and can never match)."""
+    if unit == "char":
+        return char_shingles(text_col, k)
+    if unit == "word":
+        from csvb_spark.operators.text import word_grams_full
+
+        return word_grams_full(text_col, k)
+    raise ValueError(f"unknown gram unit {unit!r} (expected char|word)")
+
+
 def _exploded_grams(
-    docs: DataFrame, id_out: str, text_col: str, k: int
+    docs: DataFrame, id_out: str, text_col: str, k: int, unit: str = "char"
 ) -> DataFrame:
-    """(id_out, gh): each document's DISTINCT char k-grams exploded
-    and projected to the single-hash shuffle key — the shared front
-    of every SBBF path (single-hash mode only; contamination_check
+    """(id_out, gh): each document's DISTINCT k-grams exploded and
+    projected to the single-hash shuffle key — the shared front of
+    every SBBF path (single-hash mode only; contamination_check
     keeps its own explode to support wide_gram_keys)."""
     from csvb_spark.operators.text import gram_key_exprs
 
     return docs.select(
         F.col("doc_id").alias(id_out),
-        F.explode(char_shingles(text_col, k)).alias("g"),
+        F.explode(_grams_col(text_col, k, unit)).alias("g"),
     ).select(id_out, *gram_key_exprs(F.col("g"), False))
 
 
@@ -526,15 +546,17 @@ def sbbf_eval_filter(
     bits_per_key: int = 16,
     max_eval_grams: int = 1 << 22,
     seed: int = 7,
+    unit: str = "char",
 ) -> tuple[DataFrame, int]:
-    """Build the SBBF word table over an eval set's df-capped char
-    k-gram hashes, for reuse across queries or stream micro-batches
-    (the streaming ingest decontamination gate builds this ONCE at
-    stream start). Pair with :func:`sbbf_gram_hits`."""
+    """Build the SBBF word table over an eval set's df-capped k-gram
+    hashes (char by default, ``unit='word'`` for 13-gram-style word
+    windows), for reuse across queries or stream micro-batches (the
+    streaming ingest decontamination gate builds this ONCE at stream
+    start). Pair with :func:`sbbf_gram_hits` AT THE SAME unit/k."""
     from csvb_spark.operators.text import gram_key_cols
 
     rare = _rare_grams(
-        _exploded_grams(eval_docs, "doc_id", text_col, k),
+        _exploded_grams(eval_docs, "doc_id", text_col, k, unit),
         gram_key_cols(False),
         max_gram_eval_df,
     )
@@ -550,17 +572,22 @@ def sbbf_gram_hits(
     text_col: str = "text",
     k: int = 8,
     seed: int = 7,
+    unit: str = "char",
 ) -> DataFrame:
     """(doc_id, n_bloom_shared): how many of each document's DISTINCT
-    char k-grams test positive in the SBBF word table. Conservative
-    by construction — a truly shared gram ALWAYS counts (no false
-    negatives), a false positive (~5e-4/gram at 16 bits/key) can only
-    inflate the count — so a gate thresholding this count never
-    leaks a contaminated document. Map-only + broadcast lookup + one
-    per-doc aggregate; no shuffle of the gram stream."""
+    k-grams test positive in the SBBF word table (``unit``/``k`` must
+    match the table's build). Conservative by construction — a truly
+    shared gram ALWAYS counts (no false negatives), a false positive
+    (~5e-4/gram at 16 bits/key) can only inflate the count — so a
+    gate thresholding this count never leaks a contaminated document.
+    Map-only + broadcast lookup + one per-doc aggregate; no shuffle
+    of the gram stream."""
     return (
         _sbbf_probe(
-            _exploded_grams(docs, "doc_id", text_col, k), words_df, n_words, seed
+            _exploded_grams(docs, "doc_id", text_col, k, unit),
+            words_df,
+            n_words,
+            seed,
         )
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_bloom_shared"))
@@ -595,6 +622,7 @@ def decontam_auto_method(
     k: int = 8,
     max_gram_eval_df: int = 50,
     threshold_bytes: int | None = None,
+    unit: str = "char",
 ) -> tuple[str, int, int]:
     """(method, n_eval_grams, threshold_bytes): pick the
     decontamination path by the decision rule SCALE.md §6e states in
@@ -617,7 +645,7 @@ def decontam_auto_method(
     from csvb_spark.operators.text import gram_key_cols
 
     n = _rare_grams(
-        _exploded_grams(eval_docs, "eval_doc_id", text_col, k),
+        _exploded_grams(eval_docs, "eval_doc_id", text_col, k, unit),
         gram_key_cols(False),
         max_gram_eval_df,
     ).count()
@@ -644,6 +672,7 @@ def contamination_check_bloom(
     bits_per_key: int = 16,
     max_eval_grams: int = 1 << 22,
     seed: int = 7,
+    unit: str = "char",
 ) -> DataFrame:
     """:func:`contamination_check` with a split-block Bloom prefilter
     on the train side — identical output, different cost law.
@@ -694,8 +723,8 @@ def contamination_check_bloom(
     from csvb_spark.operators.text import gram_key_cols
 
     keys = gram_key_cols(False)
-    t_grams = _exploded_grams(train, "train_doc_id", text_col, k)
-    e_grams = _exploded_grams(eval_docs, "eval_doc_id", text_col, k)
+    t_grams = _exploded_grams(train, "train_doc_id", text_col, k, unit)
+    e_grams = _exploded_grams(eval_docs, "eval_doc_id", text_col, k, unit)
     # The rare-gram hashes are collected to the driver for the SBBF
     # build ANYWAY (bounded by max_eval_grams), so the verify join
     # reuses them as a driver-built broadcast relation instead of a

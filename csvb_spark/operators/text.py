@@ -318,6 +318,34 @@ def char_shingles(col: str | Column, k: int = 4) -> Column:
     )
 
 
+def word_grams_full(col: str | Column, k: int = 13) -> Column:
+    """Distinct FULL-WINDOW word k-grams of lower(col): positions
+    1..len-k+1 only, space-joined — a document with fewer than ``k``
+    words yields NO grams, so it can never trip a k-gram overlap gate.
+    This is the GPT-3/PaLM/Llama decontamination convention (13-gram
+    overlap between train documents and eval sets); contrast
+    ``dedup.word_shingles``, whose tail shingles truncate (right for
+    MinHash similarity, wrong here: a truncated tail gram would let a
+    12-word document 'share a 13-gram'). Same zip-with construction as
+    char_shingles/word_shingles (linear, not quadratic — children of
+    zip_with evaluate once per row, unlike expressions referenced
+    inside a transform lambda)."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    n_full = F.size(t) - (k - 1)
+    m = F.greatest(n_full, F.lit(0))
+    acc = F.slice(t, 1, m)
+    for j in range(1, k):
+        # every slice has >= m elements when n_full > 0, so no
+        # NULL-padding ever reaches concat_ws: all grams are full
+        acc = F.zip_with(
+            acc, F.slice(t, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(n_full <= 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(acc)
+    )
+
+
 def rolling_fingerprint(docs: DataFrame, text_col: str = "text", k: int = 8) -> DataFrame:
     """Winnowing-style document fingerprint: min/max xxhash64 over the
     rolling k-gram window set plus a combined 64-bit fingerprint.

@@ -279,9 +279,13 @@ by p02/p74/p79/p31/p05/p34) swapped for four never-graded families:
 p38 JSON functions (x25), p39 ASOF join (x27 — DuckDB-native ASOF
 oracle), p43 one-pass table profile (x78), p44 data-expectation
 contracts (x72). Window still exactly 50; demoted q-sources keep
-their pytest oracles.
+their pytest oracles. New operator surface: x141 word-13-gram
+decontamination (contamination_check(unit='word') over the
+full-window text.word_grams_full builder — the GPT-3/PaLM 13-gram
+overlap rule, min_shared=1), threaded through the exact, bloom, auto
+and streaming-gate paths plus `decontam --unit word`.
 
-Corpus: 230 entries, 224 with full oracles.
+Corpus: 231 entries, 225 with full oracles.
 """
 
 from __future__ import annotations

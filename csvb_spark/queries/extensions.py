@@ -4904,6 +4904,55 @@ GROUP BY ex.doc_id
 """,
 )
 
+# Word-13-gram decontamination (round 14): the GPT-3/PaLM/Llama
+# convention — a train document is contaminated if it shares even ONE
+# full 13-word window with an eval document. x19/x138 cover the char
+# k-gram form (tokenization-robust, the streaming gate's default);
+# this entry covers the literature-standard unit on the same operator
+# (contamination_check(unit='word')), so the full-window gram builder
+# (text.word_grams_full — documents shorter than 13 words yield no
+# grams and can never match, UNLIKE dedup.word_shingles whose tail
+# shingles truncate) gets its own hash-matched DuckDB twin. The
+# xxhash64 inside the operator is only join-key compaction; the
+# output counts are hash-free, so the oracle recomputes with string
+# grams (list slicing w[i:i+12] = 13 tokens, space-joined — verified
+# gram-for-gram equal to the Spark builder at sf0.01).
+_q(
+    "x141_contamination_word13",
+    spark=lambda spark, sf: splits.contamination_check(
+        _docs(spark, sf).filter(F.col("doc_id") % 10 != 0),
+        _docs(spark, sf).filter(F.col("doc_id") % 10 == 0),
+        k=13,
+        min_shared=1,
+        unit="word",
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), tg AS (
+  SELECT doc_id AS train_doc_id,
+         unnest(list_distinct([array_to_string(w[i:i+12], ' ')
+                FOR i IN generate_series(1, greatest(len(w) - 12, 0))])) AS g
+  FROM toks WHERE doc_id % 10 != 0
+), eg AS (
+  SELECT doc_id AS eval_doc_id,
+         unnest(list_distinct([array_to_string(w[i:i+12], ' ')
+                FOR i IN generate_series(1, greatest(len(w) - 12, 0))])) AS g
+  FROM toks WHERE doc_id % 10 = 0
+), rare AS (
+  SELECT g FROM eg GROUP BY g HAVING COUNT(*) <= 50
+), ek AS (
+  SELECT eval_doc_id, g FROM eg WHERE g IN (SELECT g FROM rare)
+)
+SELECT t.train_doc_id, e.eval_doc_id, COUNT(*) AS n_shared_grams
+FROM tg t JOIN ek e USING (g)
+GROUP BY t.train_doc_id, e.eval_doc_id
+HAVING COUNT(*) >= 1
+""",
+)
+
 # --- driver-gate aliases (round 9) -----------------------------------
 # WINDOW MECHANICS (learned the hard way in r08): the driver's hard
 # CORRECTNESS gate grades the FIRST 50 NAME-SORTED queries() entries.

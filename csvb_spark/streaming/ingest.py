@@ -75,6 +75,7 @@ def _accept_batch(
     decontam_k: int = 8,
     decontam_min_shared: int = 2,
     decontam_seed: int = 7,
+    decontam_unit: str = "char",
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code).
@@ -115,6 +116,7 @@ def _accept_batch(
             decontam_k,
             decontam_min_shared,
             decontam_seed,
+            decontam_unit,
         )
         # The gate chain is consumed more than once downstream
         # (pii_redact(gated) joins back to gated; exact dedup and the
@@ -164,6 +166,7 @@ def _gate_chain(
     decontam_k: int = 8,
     decontam_min_shared: int = 2,
     decontam_seed: int = 7,
+    decontam_unit: str = "char",
 ) -> DataFrame:
     """The admission-gate composition over one (persisted) micro-batch.
 
@@ -288,6 +291,7 @@ def _gate_chain(
                 text_col=text_col,
                 k=decontam_k,
                 seed=decontam_seed,
+                unit=decontam_unit,
             )
             .filter(F.col("n_bloom_shared") >= F.lit(int(decontam_min_shared)))
             .select("doc_id")
@@ -440,6 +444,7 @@ def run_streaming_ingest(
     decontam_eval_dir: str | None = None,
     decontam_min_shared: int | None = None,
     decontam_k: int = 8,
+    decontam_unit: str = "char",
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
     micro-batch per file, so files model arrival order). Appends to
@@ -540,6 +545,7 @@ def run_streaming_ingest(
             spark.read.parquet(decontam_eval_dir),
             text_col=text_col,
             k=decontam_k,
+            unit=decontam_unit,
         )
         decontam_words = decontam_words.localCheckpoint(eager=True)
     schema = spark.read.parquet(source_dir).schema
@@ -576,6 +582,7 @@ def run_streaming_ingest(
                 decontam_n_words,
                 decontam_k,
                 decontam_min_shared if decontam_min_shared is not None else 2,
+                decontam_unit=decontam_unit,
             )
         )
         .start()

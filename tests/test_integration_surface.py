@@ -1674,3 +1674,34 @@ def test_cli_decontam_method_auto(spark, sf_dir, tmp_path, capsys):
             ["decontam", "--train", train, "--eval", evd,
              "--method", "exact", "--broadcast-threshold-bytes", "1024"]
         )
+
+
+def test_cli_decontam_word_unit(spark, sf_dir, tmp_path, capsys):
+    """`csvb decontam --unit word` runs the 13-gram overlap rule
+    (k defaults to 13 at the word unit) and exact/bloom agree there
+    too — the unit must thread through both cost paths."""
+    from csvb_spark.cli import main
+
+    train = str(tmp_path / "train_w")
+    evd = str(tmp_path / "eval_w")
+    window13 = " ".join(f"w{i}" for i in range(13))
+    spark.createDataFrame(
+        [(1, f"lead in {window13} trail out"), (2, "unrelated words here")],
+        "doc_id bigint, text string",
+    ).write.parquet(train)
+    spark.createDataFrame(
+        [(10, f"intro {window13} outro")], "doc_id bigint, text string"
+    ).write.parquet(evd)
+
+    outs = {}
+    for method in ("exact", "bloom"):
+        rc = main(
+            ["decontam", "--train", train, "--eval", evd,
+             "--unit", "word", "--min-shared", "1", "--method", method]
+        )
+        assert rc == 0
+        outs[method] = capsys.readouterr().out
+    assert outs["exact"] == outs["bloom"]
+    assert "n_shared_grams" in outs["exact"]
+    # exactly the planted pair: train 1 x eval 10, one shared 13-gram
+    assert " 1 " in outs["exact"] and " 10 " in outs["exact"]

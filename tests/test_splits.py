@@ -74,6 +74,80 @@ def test_assign_splits_custom_weights(spark, sf_dir):
     assert abs(counts["a"] / total - 0.5) < 0.05
 
 
+def test_contamination_word13_planted_semantics(spark):
+    """The word-unit rule (round 14, x141): one shared FULL 13-word
+    window flags the pair; 12 shared words do NOT — a truncated tail
+    shingle must never manufacture a '13-gram'. Also pins the
+    short-document edge: an eval doc with fewer than 13 words yields
+    no grams, so it can never match, even embedded verbatim."""
+    from csvb_spark.operators.splits import (
+        contamination_check,
+        contamination_check_bloom,
+    )
+
+    window13 = " ".join(f"w{i}" for i in range(13))
+    window12 = " ".join(f"v{i}" for i in range(12))
+    short_eval = "tiny eval doc of ten words only right here now"  # 9-10 words
+    train = spark.createDataFrame(
+        [
+            (1, f"prefix junk {window13} suffix junk"),  # full window → hit
+            (2, f"prefix {window12} and then different"),  # 12 words → no hit
+            (3, f"{short_eval} padded out with many extra filler words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    ev = spark.createDataFrame(
+        [
+            (10, f"intro words {window13} outro words"),
+            (11, f"other intro {window12} other outro"),
+            (12, short_eval),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = sorted(
+        (r.train_doc_id, r.eval_doc_id)
+        for r in contamination_check(
+            train, ev, k=13, min_shared=1, unit="word"
+        ).collect()
+    )
+    assert got == [(1, 10)], got
+    # the bloom scale path must agree at the word unit too
+    got_b = sorted(
+        (r.train_doc_id, r.eval_doc_id)
+        for r in contamination_check_bloom(
+            train, ev, k=13, min_shared=1, unit="word"
+        ).collect()
+    )
+    assert got_b == [(1, 10)], got_b
+
+
+def test_word_grams_full_edges(spark):
+    """word_grams_full: full windows only, lowercased, distinct; <k
+    words → empty array; NULL → empty array (a NULL text cannot
+    match anything)."""
+    from csvb_spark.operators.text import word_grams_full
+
+    df = spark.createDataFrame(
+        [
+            (1, "A b c d"),  # k=3 → 'a b c', 'b c d'
+            (2, "a b"),  # <k → []
+            (3, None),  # NULL → []
+            (4, "x x x x"),  # distinct → one gram
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: sorted(r.g)
+        for r in df.select(
+            "doc_id", word_grams_full("text", 3).alias("g")
+        ).collect()
+    }
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []
+    assert rows[3] == []
+    assert rows[4] == ["x x x"]
+
+
 def test_contamination_plan_has_no_cross_join(spark, sf_dir):
     from csvb_spark.operators.splits import contamination_check
     from tests.test_plans import _plan
