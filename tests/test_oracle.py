@@ -234,6 +234,38 @@ SELECT ex.doc_id, COUNT(*) AS n_features,
 FROM ex JOIN w USING (bucket)
 GROUP BY ex.doc_id
 """,
+    # round 14: the primary x141 oracle counts shared word-13-grams by
+    # unnest → hash-free string equi-join → GROUP BY pair (the same
+    # shape as the operator's plan). This formulation never explodes
+    # the train side at all: per-document gram LISTS, the pair count
+    # as len(list_intersect(train_list, eval_list)) over an explicit
+    # (filtered) cross product, with the df-cap applied by REBUILDING
+    # the eval lists from capped grams rather than semi-joining the
+    # exploded stream. Tractable because the alt runs at sf0.001
+    # (500 docs → 22.5k list intersections).
+    "x141_contamination_word13": r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+12], ' ')
+                FOR i IN generate_series(1, greatest(len(w) - 12, 0))]) AS s
+  FROM toks
+), eg AS (
+  SELECT doc_id AS eval_doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 = 0
+), ek AS (
+  SELECT eval_doc_id, list(g) AS s
+  FROM eg
+  WHERE g IN (SELECT g FROM eg GROUP BY g HAVING COUNT(*) <= 50)
+  GROUP BY eval_doc_id
+)
+SELECT t.doc_id AS train_doc_id, k.eval_doc_id,
+       CAST(len(list_intersect(t.s, k.s)) AS BIGINT) AS n_shared_grams
+FROM sh t JOIN ek k ON t.doc_id % 10 != 0
+WHERE len(list_intersect(t.s, k.s)) >= 1
+""",
 }
 
 
