@@ -418,7 +418,15 @@ def main() -> None:
             sf1_dir = os.environ.get(
                 "SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1"
             )
-            if os.path.isdir(sf1_dir):
+            # honor the upscale's marker protocol (it records the
+            # SOURCE dir): a bare isdir() would silently bench a
+            # stale or partial sf1 build left by an earlier run
+            # against a different SPARK_GRAFT_SF_DIR
+            _sf1_marker = os.path.join(sf1_dir, "_BENCH_SF1_OK")
+            if (
+                os.path.exists(_sf1_marker)
+                and open(_sf1_marker).read() == sf_dir
+            ):
                 try:
                     cur["sf1"] = _bench_curate(spark, sf1_dir)
                     if cur["sf"]["total_sec"]:

@@ -236,8 +236,16 @@ def build_parser() -> argparse.ArgumentParser:
     pi.add_argument(
         "--decontam-k",
         type=int,
-        default=8,
-        help="char k-gram width for the decontamination gate",
+        default=None,
+        help="k-gram width for the decontamination gate (default: 8 "
+        "for --decontam-unit char, 13 for word)",
+    )
+    pi.add_argument(
+        "--decontam-unit",
+        choices=["char", "word"],
+        default="char",
+        help="decontamination gram unit, like `decontam --unit`: char "
+        "k-grams or full-window word k-grams (the 13-gram rule)",
     )
 
     pd = sub.add_parser(
@@ -839,6 +847,7 @@ def main(argv: list[str] | None = None) -> int:
             decontam_eval_dir=args.decontam_eval,
             decontam_min_shared=args.decontam_min_shared,
             decontam_k=args.decontam_k,
+            decontam_unit=args.decontam_unit,
         )
         return 0
 

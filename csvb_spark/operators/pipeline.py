@@ -139,13 +139,16 @@ def curate(
         # c4_kwargs passes operator options through (e.g.
         # require_terminal=False for corpora without sentence
         # punctuation, custom blocked terms) — the recipe stays one
-        # call without re-exporting every C4 knob
-        cleaned = T.c4_line_filter(
-            cur,
-            text_col=text_col,
-            min_kept_lines=min_kept_lines,
+        # call without re-exporting every C4 knob. Merged UNDER the
+        # explicit args so c4_kwargs may also override them
+        # (c4_kwargs={'min_kept_lines': 2} must not TypeError on a
+        # duplicate keyword — round-14 self-review finding)
+        c4_opts = {
+            "text_col": text_col,
+            "min_kept_lines": min_kept_lines,
             **(c4_kwargs or {}),
-        )
+        }
+        cleaned = T.c4_line_filter(cur, **c4_opts)
         kept = (
             cleaned.filter(F.col("keep_doc"))
             .select("doc_id", F.col("clean_text").alias(text_col))

@@ -331,7 +331,16 @@ def word_grams_full(col: str | Column, k: int = 13) -> Column:
     zip_with evaluate once per row, unlike expressions referenced
     inside a transform lambda)."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+")
+    # filter empty tokens: Spark's trim() strips only SPACES and
+    # split(\s+) keeps edge empties, so 'w0 … w11\n' would tokenize to
+    # 13 tokens and mint a phantom '13-gram' ending in a space —
+    # breaking the fewer-than-k-words-never-match invariant (round-14
+    # self-review finding, runtime-reproduced; the DuckDB oracles
+    # apply the same list_filter so both engines agree)
+    t = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(c, F.lit("")))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
     n_full = F.size(t) - (k - 1)
     m = F.greatest(n_full, F.lit(0))
     acc = F.slice(t, 1, m)

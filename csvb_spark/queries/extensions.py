@@ -4929,7 +4929,8 @@ _q(
     oracle=r"""
 WITH toks AS (
   SELECT doc_id,
-         string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                     '\s+'), x -> x <> '') AS w
   FROM documents
 ), tg AS (
   SELECT doc_id AS train_doc_id,

@@ -460,31 +460,20 @@ def read_shard_pg(
         register_pickle_by_value(_pgclient_mod)
     except Exception:  # noqa: BLE001 — older vendored cloudpickle
         pass
-    _cast = _pgclient_mod.cast_text
+    _rows_pdf = _pgclient_mod.rows_to_pandas
     _q = _pgclient_mod.pg_simple_query
 
     def fetch(batches):
-        import pandas as _pd
-
         for pdf in batches:
             for _, r in pdf.iterrows():
                 _, rows = _q(
                     r["host"], int(r["port"]), r["sql"], user=r["user"], database=r["db"]
                 )
-                if not rows:
-                    # an empty result set would build a pandas frame
-                    # whose empty columns default to float64, and the
-                    # Arrow boundary cannot cast float64 → date/
-                    # timestamp (found by the round-14 federation
-                    # bench: a mod-slice over a shard holding only
-                    # even keys returns zero rows) — yield nothing,
-                    # mapInPandas handles sparse generators fine
-                    continue
-                data = {
-                    name: [_cast(row[i], oids[i]) for row in rows]
-                    for i, name in enumerate(names)
-                }
-                yield _pd.DataFrame(data, columns=names)
+                # None on an empty result set (the float64→timestamp
+                # Arrow trap) — the guard lives once, in pgclient
+                out = _rows_pdf(rows, names, oids)
+                if out is not None:
+                    yield out
 
     work = spark.createDataFrame(
         [(host, port, user, db, s) for s in part_sqls],
@@ -654,31 +643,20 @@ def read_shards_sql(
         register_pickle_by_value(_pgclient_mod)
     except Exception:  # noqa: BLE001 — older vendored cloudpickle
         pass
-    _cast = _pgclient_mod.cast_text
+    _rows_pdf = _pgclient_mod.rows_to_pandas
     _q = _pgclient_mod.pg_simple_query
 
     def fetch(batches):
-        import pandas as _pd
-
         for pdf in batches:
             for _, r in pdf.iterrows():
                 _, rows = _q(
                     r["host"], int(r["port"]), r["sql"], user=r["user"], database=r["db"]
                 )
-                if not rows:
-                    # an empty result set would build a pandas frame
-                    # whose empty columns default to float64, and the
-                    # Arrow boundary cannot cast float64 → date/
-                    # timestamp (found by the round-14 federation
-                    # bench: a mod-slice over a shard holding only
-                    # even keys returns zero rows) — yield nothing,
-                    # mapInPandas handles sparse generators fine
-                    continue
-                data = {
-                    name: [_cast(row[i], oids[i]) for row in rows]
-                    for i, name in enumerate(names)
-                }
-                yield _pd.DataFrame(data, columns=names)
+                # None on an empty result set (the float64→timestamp
+                # Arrow trap) — the guard lives once, in pgclient
+                out = _rows_pdf(rows, names, oids)
+                if out is not None:
+                    yield out
 
     work = spark.createDataFrame(
         [

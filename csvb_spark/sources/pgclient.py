@@ -279,6 +279,27 @@ def _error_text(body: bytes) -> str:
     return parts.get("M", "unknown server error")
 
 
+def rows_to_pandas(rows, names, oids):
+    """pg text rows → a typed pandas frame for the Arrow boundary, or
+    ``None`` when the result set is empty: an empty frame's columns
+    default to float64, and Arrow cannot cast float64 → date/
+    timestamp (found by the round-14 federation bench — a mod-slice
+    over a shard holding only even keys returns zero rows). Shared by
+    both wire readers so the guard lives exactly once; this module is
+    pickled by value into the executor tasks."""
+    if not rows:
+        return None
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            name: [cast_text(row[i], oids[i]) for row in rows]
+            for i, name in enumerate(names)
+        },
+        columns=list(names),
+    )
+
+
 def cast_text(value: str | None, oid: int):
     """pg text format → python value for the supported OID set."""
     if value is None:

@@ -443,7 +443,7 @@ def run_streaming_ingest(
     dsir_n_buckets: int = 1 << 18,
     decontam_eval_dir: str | None = None,
     decontam_min_shared: int | None = None,
-    decontam_k: int = 8,
+    decontam_k: int | None = None,
     decontam_unit: str = "char",
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
@@ -509,6 +509,16 @@ def run_streaming_ingest(
             "run_streaming_ingest: decontam_min_shared must be >= 1, got"
             f" {decontam_min_shared}"
         )
+    if decontam_unit not in ("char", "word"):
+        raise ValueError(
+            f"run_streaming_ingest: unknown decontam_unit {decontam_unit!r}"
+            " (expected char|word)"
+        )
+    if decontam_k is None:
+        # unit-appropriate default, matching the `decontam` CLI: 8 for
+        # char grams, 13 for the word rule — a caller switching to
+        # decontam_unit='word' must not silently get loose word-8-grams
+        decontam_k = 13 if decontam_unit == "word" else 8
     lm_model = None
     if lm_model_dir is not None:
         # read + materialize the gate model ONCE before the stream

@@ -246,7 +246,8 @@ GROUP BY ex.doc_id
     "x141_contamination_word13": r"""
 WITH toks AS (
   SELECT doc_id,
-         string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                     '\s+'), x -> x <> '') AS w
   FROM documents
 ), sh AS (
   SELECT doc_id,

@@ -71,6 +71,36 @@ def test_curate_stages_and_report(spark):
     )  # deterministic
 
 
+def test_curate_c4_kwargs_passthrough_and_override(spark):
+    """c4_kwargs reaches the operator (require_terminal=False keeps
+    punctuation-free lines) AND may override the explicitly-passed
+    knobs without a duplicate-keyword TypeError (round-14 self-review
+    finding: min_kept_lines/text_col used to collide)."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.pipeline import curate
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"distinct doc {i} words with no terminal punctuation")
+            for i in range(4)
+        ],
+        "doc_id bigint, text string",
+    ).withColumn("lang", F.lit("en"))
+    # default C4 (terminal rule on): everything dies at stage 1
+    strict, _ = curate(docs, near_dup=False, min_quality=None)
+    assert strict.count() == 0
+    # passthrough: terminal rule off keeps them; override of the
+    # explicit min_kept_lines through the SAME dict must not raise
+    loose, _ = curate(
+        docs,
+        near_dup=False,
+        min_quality=None,
+        c4_kwargs={"require_terminal": False, "min_kept_lines": 1},
+    )
+    assert loose.count() == 4
+
+
 def test_curate_keep_longest_and_leakage_safe(spark):
     from csvb_spark.operators.pipeline import curate
 

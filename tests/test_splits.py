@@ -93,6 +93,12 @@ def test_contamination_word13_planted_semantics(spark):
             (1, f"prefix junk {window13} suffix junk"),  # full window → hit
             (2, f"prefix {window12} and then different"),  # 12 words → no hit
             (3, f"{short_eval} padded out with many extra filler words"),
+            # edge-whitespace trap (round-14 self-review finding):
+            # trim() strips only spaces and split(\s+) keeps edge
+            # empties, so without the empty-token filter this 12-word
+            # doc + trailing newline minted a phantom '13-gram'
+            # ending in a space
+            (4, f"{window12}\n"),
         ],
         "doc_id bigint, text string",
     )
@@ -101,6 +107,7 @@ def test_contamination_word13_planted_semantics(spark):
             (10, f"intro words {window13} outro words"),
             (11, f"other intro {window12} other outro"),
             (12, short_eval),
+            (13, f"\t{window12}"),  # leading tab — same trap, eval side
         ],
         "doc_id bigint, text string",
     )
@@ -146,6 +153,18 @@ def test_word_grams_full_edges(spark):
     assert rows[2] == []
     assert rows[3] == []
     assert rows[4] == ["x x x"]
+    # edge whitespace never mints extra tokens (\n/\t survive trim())
+    edge = spark.createDataFrame(
+        [(5, "a b\n"), (6, "\ta b"), (7, " a  b\r\n ")],
+        "doc_id bigint, text string",
+    )
+    erows = {
+        r.doc_id: sorted(r.g)
+        for r in edge.select(
+            "doc_id", word_grams_full("text", 2).alias("g")
+        ).collect()
+    }
+    assert erows == {5: ["a b"], 6: ["a b"], 7: ["a b"]}
 
 
 def test_contamination_plan_has_no_cross_join(spark, sf_dir):

@@ -252,6 +252,19 @@ def test_streaming_ingest_perplexity_gate(spark, sf_dir, tmp_path):
             lm_model_dir=model_dir,
         )
 
+    # decontam_unit validates loudly (and resolves k per unit — the
+    # CLI `decontam` convention; a word-unit caller must not silently
+    # get loose word-8-grams)
+    with pytest.raises(ValueError, match="decontam_unit"):
+        run_streaming_ingest(
+            spark,
+            str(src),
+            corpus,
+            str(tmp_path / "index3"),
+            str(tmp_path / "ckpt3"),
+            decontam_unit="sentence",
+        )
+
 
 def test_streaming_ingest_kn_gate(spark, sf_dir, tmp_path):
     """lm_smoothing='kn' routes the streaming LM gate through the
