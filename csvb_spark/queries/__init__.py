@@ -278,7 +278,10 @@ p83 construction — green since round 9, surfaces still gate-covered
 by p02/p74/p79/p31/p05/p34) swapped for four never-graded families:
 p38 JSON functions (x25), p39 ASOF join (x27 — DuckDB-native ASOF
 oracle), p43 one-pass table profile (x78), p44 data-expectation
-contracts (x72). Window still exactly 50; demoted q-sources keep
+contracts (x72); a second rotation puts the round's NEW operator
+under the gate as p45 (word-13-gram decontamination, alias of x141)
+in the slot of p72 semi-join, whose EXISTS surface p31's TPC-H Q21
+already grades. Window still exactly 50; demoted q-sources keep
 their pytest oracles. New operator surface: x141 word-13-gram
 decontamination (contamination_check(unit='word') over the
 full-window text.word_grams_full builder — the GPT-3/PaLM 13-gram

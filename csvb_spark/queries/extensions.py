@@ -5049,6 +5049,12 @@ _P_ALIASES: dict[str, str] = {
     "p42_jm_perplexity": "x110_jm_perplexity",
     "p43_table_profile": "x78_table_profile",
     "p44_data_expectations": "x72_data_expectations",
+    # round 14, second rotation: the round's NEW operator family (the
+    # word-13-gram decontamination rule, x141) goes straight under the
+    # hard gate; the slot comes from p72 (semi-join), whose EXISTS
+    # surface p31's TPC-H Q21 (triple-correlated EXISTS/NOT EXISTS)
+    # already grades — q04 keeps its pytest oracle like every demotee.
+    "p45_contamination_word13": "x141_contamination_word13",
     # Relational gauntlets (SURVEY §2.B): the q-entries that together
     # cover the inherited SQL surface most densely — scan/agg/sort,
     # every join shape (equi, semi, anti, full-outer, theta), window
@@ -5060,7 +5066,6 @@ _P_ALIASES: dict[str, str] = {
     # p83 construction rotated out after 5 green rounds — see the
     # p38/p39/p43/p44 note above; q03/q07/q33/q42 stay pytest-oracled)
     "p70_rel_pricing_summary": "q01_pricing_summary",
-    "p72_rel_semi_join": "q04_semi_exists",
     "p74_rel_full_outer": "q09_full_outer_counts",
     "p75_rel_window_topk": "q11_window_topk_per_customer",
     "p76_rel_set_ops": "q15_set_operations",

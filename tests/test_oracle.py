@@ -75,16 +75,19 @@ def test_driver_gate_window_invariant():
         n for n in window if CORPUS[n].oracle is None
     ]
     rel = [n for n in window if n.startswith("p7") or n.startswith("p8")]
-    # relational gauntlet aliases — 11 after the round-14 rotation
-    # swapped the four stalest (p71/p73/p80/p83) for never-graded
-    # families (p38 JSON, p39 ASOF, p43 profile, p44 expectations)
-    assert len(rel) == 11, rel
+    # relational gauntlet aliases — 10 after the round-14 rotations:
+    # the four stalest (p71/p73/p80/p83) swapped for never-graded
+    # families (p38 JSON, p39 ASOF, p43 profile, p44 expectations),
+    # and p72 (semi-join, EXISTS surface also graded by p31's TPC-H
+    # Q21) for the round's new word-13-gram decontamination (p45)
+    assert len(rel) == 10, rel
     assert all("rel_" in n for n in rel)
     for fresh in (
         "p38_json_functions",
         "p39_asof_join",
         "p43_table_profile",
         "p44_data_expectations",
+        "p45_contamination_word13",
     ):
         assert fresh in window, fresh
 
