@@ -833,6 +833,24 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
 
         docs.filter(F.col("doc_id") % 50 == 0).write.parquet(ev_dir)
 
+        # untimed warm stream (round 14): the FIRST foreachBatch run
+        # of a session pays streaming-machinery init + codegen that
+        # otherwise lands entirely on config 1 and corrupts the
+        # per-gate deltas (observed: base measured 98 s vs 73 s for
+        # base+LM — a negative gate cost). A small 2-batch stream
+        # absorbs it outside the timed region.
+        warm_src = os.path.join(root, "warm_src")
+        docs.limit(200).repartition(2).write.parquet(warm_src)
+        wdir = os.path.join(root, "warm")
+        run_streaming_ingest(
+            spark,
+            warm_src,
+            os.path.join(wdir, "corpus"),
+            os.path.join(wdir, "index"),
+            os.path.join(wdir, "ckpt"),
+            query_name="bench_stream_warm",
+        )
+
         configs: list[tuple[str, dict]] = [
             ("base_quality_dedup", {}),
             ("plus_lm_gate", {"lm_model_dir": lm_dir, "max_ppl": 1e9}),
