@@ -270,6 +270,173 @@ SELECT t.doc_id AS train_doc_id, k.eval_doc_id,
 FROM sh t JOIN ek k ON t.doc_id % 10 != 0
 WHERE len(list_intersect(t.s, k.s)) >= 1
 """,
+    # round 14: alt oracles for the freshly-rotated gate rows. x25's
+    # primary mirrors the Spark side function-for-function
+    # (json_extract_string paths, to_json); this one reaches each value
+    # by a different route — the ->> operator with a bare key, a typed
+    # JSON extract, the to_json output REBUILT by string concatenation
+    # (verified byte-equal on the fixture), and the two invariants the
+    # query actually encodes: a to_json→get_json_object round trip is
+    # the identity (id_rt = event_id) and a 2-element array has JSON
+    # length 2.
+    "x25_json_functions": r"""
+SELECT event_id,
+       CAST(props->>'k' AS INT) AS k,
+       CAST(json_extract(props, '$.k') AS INT) AS k2,
+       '{"id":' || event_id || ',"et":"' || event_type || '"}' AS j,
+       event_id AS id_rt,
+       2 AS jal
+FROM events
+""",
+    # x78's primary is ONE wide aggregate pivoted through a LATERAL
+    # VALUES table. This formulation profiles each column in its own
+    # independent scan (UNION ALL of six SELECTs), counts nulls as
+    # COUNT(*)−COUNT(col) instead of SUM(CASE), distincts via a
+    # DISTINCT subquery instead of COUNT(DISTINCT), and extrema via
+    # ORDER BY … LIMIT 1 subqueries instead of MIN/MAX. Rendering
+    # (strftime format, casts) stays identical — it is the output
+    # definition.
+    "x78_table_profile": r"""
+SELECT 'o_orderkey' AS col_name, 'bigint' AS dtype,
+       (SELECT COUNT(*) FROM orders) AS n_rows,
+       (SELECT COUNT(*) - COUNT(o_orderkey) FROM orders) AS n_nulls,
+       (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderkey FROM orders
+                              WHERE o_orderkey IS NOT NULL)) AS n_distinct,
+       (SELECT CAST(o_orderkey AS DOUBLE) FROM orders
+        WHERE o_orderkey IS NOT NULL ORDER BY o_orderkey LIMIT 1) AS min_val,
+       (SELECT CAST(o_orderkey AS DOUBLE) FROM orders
+        WHERE o_orderkey IS NOT NULL ORDER BY o_orderkey DESC LIMIT 1) AS max_val,
+       CAST(NULL AS VARCHAR) AS min_text, CAST(NULL AS VARCHAR) AS max_text
+UNION ALL
+SELECT 'o_custkey', 'bigint',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) - COUNT(o_custkey) FROM orders),
+       (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM orders
+                              WHERE o_custkey IS NOT NULL)),
+       (SELECT CAST(o_custkey AS DOUBLE) FROM orders
+        WHERE o_custkey IS NOT NULL ORDER BY o_custkey LIMIT 1),
+       (SELECT CAST(o_custkey AS DOUBLE) FROM orders
+        WHERE o_custkey IS NOT NULL ORDER BY o_custkey DESC LIMIT 1),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+UNION ALL
+SELECT 'o_orderstatus', 'string',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) - COUNT(o_orderstatus) FROM orders),
+       (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderstatus FROM orders
+                              WHERE o_orderstatus IS NOT NULL)),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       (SELECT o_orderstatus FROM orders WHERE o_orderstatus IS NOT NULL
+        ORDER BY o_orderstatus LIMIT 1),
+       (SELECT o_orderstatus FROM orders WHERE o_orderstatus IS NOT NULL
+        ORDER BY o_orderstatus DESC LIMIT 1)
+UNION ALL
+SELECT 'o_totalprice', 'double',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) - COUNT(o_totalprice) FROM orders),
+       (SELECT COUNT(*) FROM (SELECT DISTINCT o_totalprice FROM orders
+                              WHERE o_totalprice IS NOT NULL)),
+       (SELECT CAST(o_totalprice AS DOUBLE) FROM orders
+        WHERE o_totalprice IS NOT NULL ORDER BY o_totalprice LIMIT 1),
+       (SELECT CAST(o_totalprice AS DOUBLE) FROM orders
+        WHERE o_totalprice IS NOT NULL ORDER BY o_totalprice DESC LIMIT 1),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+UNION ALL
+SELECT 'o_orderdate', 'timestamp_ntz',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) - COUNT(o_orderdate) FROM orders),
+       (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderdate FROM orders
+                              WHERE o_orderdate IS NOT NULL)),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       (SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') FROM orders
+        WHERE o_orderdate IS NOT NULL ORDER BY o_orderdate LIMIT 1),
+       (SELECT strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f') FROM orders
+        WHERE o_orderdate IS NOT NULL ORDER BY o_orderdate DESC LIMIT 1)
+UNION ALL
+SELECT 'o_orderpriority', 'string',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) - COUNT(o_orderpriority) FROM orders),
+       (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderpriority FROM orders
+                              WHERE o_orderpriority IS NOT NULL)),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       (SELECT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL
+        ORDER BY o_orderpriority LIMIT 1),
+       (SELECT o_orderpriority FROM orders WHERE o_orderpriority IS NOT NULL
+        ORDER BY o_orderpriority DESC LIMIT 1)
+""",
+    # x72's primary is one wide conditional aggregate + LATERAL VALUES
+    # pivot. This one computes every metric in its own independent
+    # scan with different constructs: AVG(CASE) for the null fraction
+    # instead of SUM/COUNT division, a COUNT over a filtered subquery
+    # for the out-of-set rows, ORDER BY … LIMIT 1 extrema, and the
+    # duplicate count as rows-minus-distinct via subqueries.
+    "x72_data_expectations": r"""
+SELECT 'row_count>=100' AS check_name,
+       ROUND(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE), 6) AS metric,
+       CAST(100.0 AS DOUBLE) AS threshold,
+       (SELECT COUNT(*) FROM documents) >= 100 AS passed
+UNION ALL
+SELECT 'unique(doc_id)',
+       ROUND(CAST((SELECT COUNT(doc_id) FROM documents) AS DOUBLE)
+             - (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id
+                                      FROM documents
+                                      WHERE doc_id IS NOT NULL)), 6),
+       0.0,
+       (SELECT COUNT(doc_id) FROM documents)
+         = (SELECT COUNT(*) FROM (SELECT DISTINCT doc_id FROM documents
+                                  WHERE doc_id IS NOT NULL))
+UNION ALL
+SELECT 'null_fraction(text)<=0.01',
+       ROUND((SELECT AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END)
+              FROM documents), 6),
+       0.01,
+       (SELECT AVG(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END)
+        FROM documents) <= 0.01
+UNION ALL
+SELECT 'in_set(lang)',
+       ROUND(CAST((SELECT COUNT(*) FROM documents
+                   WHERE lang IS NOT NULL
+                     AND lang NOT IN ('en','fr','de','es','zh')) AS DOUBLE), 6),
+       0.0,
+       (SELECT COUNT(*) FROM documents
+        WHERE lang IS NOT NULL
+          AND lang NOT IN ('en','fr','de','es','zh')) = 0
+UNION ALL
+SELECT 'min(n_chars)>=0',
+       ROUND((SELECT CAST(n_chars AS DOUBLE) FROM documents
+              WHERE n_chars IS NOT NULL ORDER BY n_chars LIMIT 1), 6),
+       0.0,
+       (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL
+        ORDER BY n_chars LIMIT 1) >= 0
+UNION ALL
+SELECT 'max(n_chars)<=1000000',
+       ROUND((SELECT CAST(n_chars AS DOUBLE) FROM documents
+              WHERE n_chars IS NOT NULL ORDER BY n_chars DESC LIMIT 1), 6),
+       1000000.0,
+       (SELECT n_chars FROM documents WHERE n_chars IS NOT NULL
+        ORDER BY n_chars DESC LIMIT 1) <= 1000000
+""",
+    # x27's primary is DuckDB's NATIVE ASOF LEFT JOIN (already an
+    # engine-independent check). This one triangulates with a third
+    # derivation: per-(user, ts) click dedup via arg_max aggregates
+    # instead of a ROW_NUMBER window, and the as-of match as a plain
+    # LEFT JOIN on a correlated latest-at-or-before-ts MAX subquery —
+    # no ASOF operator, no window function anywhere.
+    "x27_asof_join": """
+WITH c AS (
+  SELECT user_id, ts,
+         arg_max(event_id, event_id) AS click_event_id,
+         arg_max(value, event_id) AS click_value
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, p.ts, p.value, c.click_event_id, c.click_value
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.ts = (SELECT MAX(c2.ts) FROM c c2
+             WHERE c2.user_id = p.user_id AND c2.ts <= p.ts)
+""",
 }
 
 
