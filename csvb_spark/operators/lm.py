@@ -1260,3 +1260,94 @@ def jelinek_mercer_score(
         avg_nll.alias("avg_neg_logprob"),
         F.round(F.exp(avg_nll), 6).alias("ppl"),
     )
+
+
+def doremi_domain_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    eta: float = 1.0,
+) -> DataFrame:
+    """Single-round DoReMi-style domain mixture weights (Xie et al.
+    2023, arXiv:2305.10429): upweight domains whose EXCESS loss —
+    loss under a proxy model trained on the raw corpus minus loss
+    under a reference model trained on the target distribution — is
+    largest (hard for the corpus model, learnable per the reference
+    model). Here both models are the repo's add-1 bigram LM (the
+    cheap proxy the CCNet lineage uses), so the whole update is two
+    ``bigram_lm_train`` + two ``perplexity_score`` passes, one
+    groupBy, and a tiny per-domain softmax-style normalization:
+
+      excess_d = mean(anlp under corpus LM) − mean(anlp under target
+      LM) over the domain's scoreable docs;
+      weight_d = exp(eta · excess_d);  mixture_share_d = weight_d / Σ.
+
+    Output: ``(domain, n_docs, excess_anlp, weight, mixture_share)``,
+    one row per domain — the sampling-weight table a pretraining
+    data loader consumes (compose with ``splits.mixture_sample`` /
+    ``temperature_mixture``, which take explicit per-source rates).
+
+    Determinism (the x84/x131 contract): per-doc avg_neg_logprob is
+    already bit-identical cross-engine (exact-decimal q sums, one
+    IEEE division); it is rounded to 6 and summed as DECIMAL(18,6)
+    per domain, so the domain means are one IEEE division of exact
+    operands; excess is rounded to 6, exp rounded to 6, and the
+    share denominator is again an exact DECIMAL sum. Docs with
+    n_bigrams = 0 (under two tokens) carry no LM evidence under
+    EITHER model and are excluded from the means (n_docs counts the
+    scoreable docs).
+
+    Scale: the two scoring passes are the same auto-broadcast
+    map-only scans x84 runs at 100 TB; the per-domain aggregate is
+    one fixed-width shuffle on the domain key; everything after it
+    is a few-row window. Reference scope: beyond-reference
+    (training-pipeline extension).
+    """
+    base_lm = bigram_lm_train(docs, text_col=text_col)
+    ref_lm = bigram_lm_train(target, text_col=text_col)
+    sb = perplexity_score(docs, base_lm, text_col=text_col).select(
+        "doc_id", F.col("avg_neg_logprob").alias("_ab")
+    )
+    sr = perplexity_score(docs, ref_lm, text_col=text_col).select(
+        "doc_id", F.col("avg_neg_logprob").alias("_ar")
+    )
+    joined = (
+        docs.select("doc_id", F.col(domain_col).alias("domain"))
+        .join(sb, "doc_id")
+        .join(sr, "doc_id")
+        .filter(F.col("_ab").isNotNull() & F.col("_ar").isNotNull())
+    )
+    agg = joined.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.round("_ab", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("_sb"),
+        F.sum(F.round("_ar", 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("_sr"),
+    )
+    w = agg.select(
+        "domain",
+        "n_docs",
+        F.round(
+            F.col("_sb") / F.col("n_docs") - F.col("_sr") / F.col("n_docs"), 6
+        ).alias("excess_anlp"),
+    ).withColumn(
+        "weight",
+        F.round(F.exp(F.lit(float(eta)) * F.col("excess_anlp")), 6),
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum(F.col("weight").cast("decimal(18,6)")).over(
+        Window.partitionBy()
+    )
+    return w.select(
+        "domain",
+        "n_docs",
+        "excess_anlp",
+        "weight",
+        F.round(F.col("weight") / tot.cast("double"), 6).alias(
+            "mixture_share"
+        ),
+    )

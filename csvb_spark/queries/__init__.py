@@ -288,7 +288,13 @@ full-window text.word_grams_full builder — the GPT-3/PaLM 13-gram
 overlap rule, min_shared=1), threaded through the exact, bloom, auto
 and streaming-gate paths plus `decontam --unit word`.
 
-Corpus: 231 entries, 225 with full oracles.
+x142 adds DoReMi-style single-round domain mixture weights (Xie
+et al. 2023) — two bigram-LM train+score passes (proxy on the raw
+corpus, reference on the target slice), per-domain excess-loss
+means, exp weights, normalized shares; the oracle replays both LM
+chains (the x84 machinery twice) plus the softmax arithmetic.
+
+Corpus: 232 entries, 226 with full oracles.
 """
 
 from __future__ import annotations

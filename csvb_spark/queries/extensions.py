@@ -4954,6 +4954,94 @@ HAVING COUNT(*) >= 1
 """,
 )
 
+# DoReMi-style domain mixture weights (round 14): the single-round
+# domain-reweighting update of Xie et al. 2023 (arXiv:2305.10429)
+# with the repo's add-1 bigram LM standing in for both the proxy
+# (trained on the raw corpus) and the reference (trained on the
+# doc_id % 7 = 0 target slice — the same target the DSIR entries
+# use). The oracle replays BOTH LM trainings and scorings as chained
+# CTEs (the x84 machinery twice), then the per-domain excess-loss
+# means, exp weights, and the share normalization — exact DECIMAL
+# sums around every IEEE division, rounds at the same points the
+# operator rounds.
+_q(
+    "x142_doremi_domain_weights",
+    spark=lambda spark, sf: LM.doremi_domain_weights(
+        _docs(spark, sf), _docs(spark, sf).filter("doc_id % 7 = 0")
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), bis AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), uc_b AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM toks) u GROUP BY w1
+), bc_b AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bis GROUP BY w1, w2
+), vv_b AS (
+  SELECT COUNT(*) AS v FROM uc_b
+), q_b AS (
+  SELECT b.doc_id,
+         CAST(round(ln(CAST(COALESCE(bc_b.c2, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(uc_b.c1, 0) + 1 * (SELECT v FROM vv_b)
+                              AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS q
+  FROM bis b
+  LEFT JOIN bc_b ON b.w1 = bc_b.w1 AND b.w2 = bc_b.w2
+  LEFT JOIN uc_b ON b.w1 = uc_b.w1
+), a_b AS (
+  SELECT doc_id,
+         CAST(round(-(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS ab
+  FROM q_b GROUP BY doc_id
+), uc_r AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM toks WHERE doc_id % 7 = 0) u GROUP BY w1
+), bc_r AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bis WHERE doc_id % 7 = 0 GROUP BY w1, w2
+), vv_r AS (
+  SELECT COUNT(*) AS v FROM uc_r
+), q_r AS (
+  SELECT b.doc_id,
+         CAST(round(ln(CAST(COALESCE(bc_r.c2, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(uc_r.c1, 0) + 1 * (SELECT v FROM vv_r)
+                              AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS q
+  FROM bis b
+  LEFT JOIN bc_r ON b.w1 = bc_r.w1 AND b.w2 = bc_r.w2
+  LEFT JOIN uc_r ON b.w1 = uc_r.w1
+), a_r AS (
+  SELECT doc_id,
+         CAST(round(-(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS ar
+  FROM q_r GROUP BY doc_id
+), j AS (
+  SELECT t.source AS domain, a_b.ab, a_r.ar
+  FROM (SELECT doc_id, source FROM documents) t
+  JOIN a_b USING (doc_id) JOIN a_r USING (doc_id)
+), agg AS (
+  SELECT domain, COUNT(*) AS n_docs,
+         CAST(SUM(ab) AS DOUBLE) / COUNT(*) AS mb,
+         CAST(SUM(ar) AS DOUBLE) / COUNT(*) AS mr
+  FROM j GROUP BY domain
+), w AS (
+  SELECT domain, n_docs, ROUND(mb - mr, 6) AS excess_anlp,
+         CAST(ROUND(exp(1.0 * ROUND(mb - mr, 6)), 6) AS DECIMAL(18,6)) AS weight
+  FROM agg
+)
+SELECT domain, n_docs, excess_anlp,
+       CAST(weight AS DOUBLE) AS weight,
+       ROUND(CAST(weight AS DOUBLE)
+             / CAST((SELECT SUM(weight) FROM w) AS DOUBLE), 6) AS mixture_share
+FROM w
+""",
+)
+
 # --- driver-gate aliases (round 9) -----------------------------------
 # WINDOW MECHANICS (learned the hard way in r08): the driver's hard
 # CORRECTNESS gate grades the FIRST 50 NAME-SORTED queries() entries.

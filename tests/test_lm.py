@@ -885,3 +885,34 @@ def test_kn_sb_shuffle_fallback_salts_skewed_key(spark, smoothing):
         score(docs, lm, n_salts=0)
     with pytest.raises(ValueError, match="salt_threshold"):
         score(docs, lm, salt_threshold=-0.1)
+
+
+def test_doremi_domain_weights_semantics(spark):
+    """DoReMi polarity (round 14, x142): the domain whose text the
+    TARGET-trained reference LM penalizes (off-target junk) gets the
+    smaller mixture share — weight ∝ exp(anlp_corpus − anlp_target),
+    and the reference term dominates for off-target text. Shares
+    normalize to 1 and every domain appears once."""
+    from csvb_spark.operators.lm import doremi_domain_weights
+
+    clean = [
+        f"the quick brown fox jumps over the lazy dog number {i}"
+        for i in range(30)
+    ]
+    junk = [
+        f"zxq wvv qqj {i} kpf mmz jjx vvq zzt {i * 7} qqp"
+        for i in range(30)
+    ]
+    rows = [(i, t, "clean") for i, t in enumerate(clean)] + [
+        (100 + i, t, "junk") for i, t in enumerate(junk)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    target = docs.filter("source = 'clean'")
+    out = {
+        r.domain: r
+        for r in doremi_domain_weights(docs, target).collect()
+    }
+    assert set(out) == {"clean", "junk"}
+    assert out["clean"].n_docs == 30 and out["junk"].n_docs == 30
+    assert out["clean"].mixture_share > out["junk"].mixture_share
+    assert abs(out["clean"].mixture_share + out["junk"].mixture_share - 1.0) < 1e-5
