@@ -332,6 +332,56 @@ def test_luhn_scan_matches_python_reference(spark, chunks) -> None:
     assert got == valid
 
 
+def _py_word_grams_full(text: str | None, k: int) -> list[str]:
+    """Reference model of operators.text.word_grams_full: lowercase,
+    split on runs of Java-\\s whitespace, drop empty tokens, emit the
+    sorted DISTINCT full k-windows (len < k words → nothing)."""
+    toks = [
+        t
+        for t in re.split(r"[ \t\n\x0b\f\r]+", (text or "").lower())
+        if t
+    ]
+    if len(toks) < k:
+        return []
+    return sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+
+_gram_text = st.one_of(
+    st.none(),
+    st.text(alphabet="ab c\t\n\r.XY1-", min_size=0, max_size=60),
+    st.sampled_from(
+        [
+            "w0 w1 w2 w3\n",  # the round-14 edge-whitespace trap
+            "\t a  b \r\n c ",
+            "a a a a a",  # distinctness under repetition
+        ]
+    ),
+)
+
+
+@given(texts=st.lists(_gram_text, min_size=1, max_size=6), k=st.integers(2, 4))
+@settings(max_examples=25, deadline=None)
+def test_word_grams_full_matches_python_reference(spark, texts, k) -> None:
+    """word_grams_full's zip_with window construction agrees with the
+    trivial Python reference on whitespace soup — pins the full-window
+    invariant (no truncated tails, no phantom grams from edge
+    whitespace) the 13-gram decontamination rule depends on."""
+    from csvb_spark.operators.text import word_grams_full
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: sorted(r.g)
+        for r in df.select(
+            "doc_id", word_grams_full("text", k).alias("g")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_word_grams_full(t, k), (i, t, k)
+
+
 # --- pgwire COPY text/CSV codec round trip --------------------------------------
 
 # cells a COPY stream can carry: embedded delimiters, backslash runs,
