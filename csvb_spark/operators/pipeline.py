@@ -165,6 +165,19 @@ def curate(
                 cur, text_col=text_col, block_cols=block_cols
             )
         )
+        if leakage_safe:
+            # pairs is consumed TWICE when leakage_safe: by near_dedup
+            # here and by leakage_safe_splits at the split stage. Left
+            # lazy, the split stage re-executes the entire pair lineage
+            # (a full extra LSH banding pass at scale — 34% of the
+            # sf0.1 capstone wall-clock in the round-14 bench).
+            # Materialize once; both consumers read the checkpoint.
+            t0 = _time.perf_counter()
+            pairs = pairs.localCheckpoint(eager=True)
+            if stage_seconds is not None:
+                stage_seconds["pairs_checkpoint"] = round(
+                    _time.perf_counter() - t0, 4
+                )
         _advance(
             "near_dedup",
             D.near_dedup(cur, pairs=pairs, text_col=text_col, keep=keep),

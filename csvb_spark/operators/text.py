@@ -330,6 +330,10 @@ def word_grams_full(col: str | Column, k: int = 13) -> Column:
     char_shingles/word_shingles (linear, not quadratic — children of
     zip_with evaluate once per row, unlike expressions referenced
     inside a transform lambda)."""
+    if k < 1:
+        # loud validation, matching _grams_col's unit check: k=0 would
+        # silently degenerate to unigrams via slice(t, 1, size+1)
+        raise ValueError(f"word_grams_full: k must be >= 1, got {k}")
     c = F.col(col) if isinstance(col, str) else col
     # filter empty tokens: Spark's trim() strips only SPACES and
     # split(\s+) keeps edge empties, so 'w0 … w11\n' would tokenize to

@@ -73,7 +73,7 @@ def _accept_batch(
     decontam_words: DataFrame | None = None,
     decontam_n_words: int = 1,
     decontam_k: int = 8,
-    decontam_min_shared: int = 2,
+    decontam_min_shared: int | None = 2,
     decontam_seed: int = 7,
     decontam_unit: str = "char",
 ) -> None:
@@ -164,7 +164,9 @@ def _gate_chain(
     decontam_words: DataFrame | None = None,
     decontam_n_words: int = 1,
     decontam_k: int = 8,
-    decontam_min_shared: int = 2,
+    # None is the gate-disabled case (only read when decontam_words
+    # is set; the caller's pairing validation guarantees that)
+    decontam_min_shared: int | None = 2,
     decontam_seed: int = 7,
     decontam_unit: str = "char",
 ) -> DataFrame:
@@ -591,7 +593,12 @@ def run_streaming_ingest(
                 decontam_words,
                 decontam_n_words,
                 decontam_k,
-                decontam_min_shared if decontam_min_shared is not None else 2,
+                # the eval_dir<->min_shared pairing check above
+                # guarantees min_shared is set whenever the gate is
+                # enabled; when disabled, _accept_batch never reads it
+                # (no silent default that could contradict the
+                # word-unit convention of min_shared=1)
+                decontam_min_shared,
                 decontam_unit=decontam_unit,
             )
         )

@@ -165,6 +165,12 @@ def test_word_grams_full_edges(spark):
         ).collect()
     }
     assert erows == {5: ["a b"], 6: ["a b"], 7: ["a b"]}
+    # k < 1 fails loudly (k=0 would silently degenerate to unigrams)
+    import pytest as _pytest
+
+    for bad_k in (0, -1):
+        with _pytest.raises(ValueError, match="k must be >= 1"):
+            word_grams_full("text", bad_k)
 
 
 def test_contamination_plan_has_no_cross_join(spark, sf_dir):
