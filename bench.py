@@ -2,16 +2,19 @@
 """Benchmark harness — run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints TWO JSON lines; the FINAL line is the compact headline object
+Prints THREE JSON lines; the FINAL line is the compact headline object
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"q01_pricing_summary": sec, ...}, "sf": 0.1}
-and the line before it carries the detail (min/max spreads, the sf1
-section). The split is an artifact contract, not cosmetics: the
-driver machine-reads the bench through a fixed-size tail capture
-(~2000 chars), and in round 6 the single-line form outgrew it once
-the sf1 section landed, leaving BENCH_r06 unparseable. Everything a
-human wants stays printed; the machine-read line stays small. Keep
-the final line COMPACT — per-query medians only, no nested sections.
+preceded by a one-line pointer to BENCH_DETAIL.json and, before that,
+the full detail (min/max spreads, the sf1/sf10/curate/federation/
+streaming sections). The split is an artifact contract, not
+cosmetics: the driver machine-reads the bench through a fixed-size
+tail capture (~2000 chars), and in rounds 6 and 14 the detail line
+outgrew it, truncating sections out of the committed artifact — so
+since round 15 the WHOLE detail object (headline included) is also
+written to the committed BENCH_DETAIL.json, overwritten each run.
+Keep the final line COMPACT — per-query medians only, no nested
+sections.
 
 ``value`` stays the sum over the LEGACY 13-query headline set so the
 number remains comparable to BASELINE.md and BENCH_r01-r06; the
@@ -101,24 +104,44 @@ def _calibrate() -> dict:
     Geometric mean of the ST and MT ratios: the suite's cost is a mix
     of single-threaded driver/py4j plan construction and 32-way
     executor work, and the mean keeps one pathological dimension from
-    dominating the normalization."""
-    import time as _t
+    dominating the normalization.
 
-    _calib_work(64)  # warm the hash loop itself
-    t0 = _t.perf_counter()
-    _calib_work(768)
-    st = _t.perf_counter() - t0
+    Round 15 (verdict item 4): THREE interleaved trials per dimension,
+    per-dimension MIN. The probe's job is the host's intrinsic speed,
+    and min-of-N is robust to the transient hypervisor spikes that a
+    single probe inherits — r13's lone MT probe ran 4.6× contended,
+    deflating that round's value_norm on flat raw (the gate's official
+    metric moved with calib.mt, not with the code). Min probes can
+    only report the host FASTER than a single probe would, i.e.
+    value_norm under this calib is ≥ the old definition's — the
+    conservative direction for the gate. All trials are recorded so a
+    contended round is visible in the artifact itself; value_norm_st /
+    value_norm_mt land alongside the geomean headline so a reader can
+    see which dimension any swing came from."""
+    import time as _t
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=32) as ex:
+    _calib_work(64)  # warm the hash loop itself
+    sts: list[float] = []
+    mts: list[float] = []
+    for _ in range(3):
         t0 = _t.perf_counter()
-        list(ex.map(_calib_work, [192] * 32))
-        mt = _t.perf_counter() - t0
+        _calib_work(768)
+        sts.append(round(_t.perf_counter() - t0, 4))
+        with ThreadPoolExecutor(max_workers=32) as ex:
+            t0 = _t.perf_counter()
+            list(ex.map(_calib_work, [192] * 32))
+            mts.append(round(_t.perf_counter() - t0, 4))
+    st, mt = min(sts), min(mts)
     speed = ((_CALIB_REF_ST / st) * (_CALIB_REF_MT / mt)) ** 0.5
     return {
-        "st_sec": round(st, 4),
-        "mt_sec": round(mt, 4),
+        "st_sec": st,
+        "mt_sec": mt,
+        "st_trials": sts,
+        "mt_trials": mts,
         "host_speed": round(speed, 4),
+        "host_speed_st": round(_CALIB_REF_ST / st, 4),
+        "host_speed_mt": round(_CALIB_REF_MT / mt, 4),
     }
 
 
@@ -203,6 +226,18 @@ def main() -> None:
         # PASS iff value_norm <= 2 * baseline_norm.
         "model_ops_norm": round(
             sum(model.values()) * calib["host_speed"], 4
+        ),
+        # single-dimension normalizations (round 15, verdict item 4):
+        # the gate reads value_norm (geomean — the only blend that was
+        # consistent across the baseline re-measure's three runs, ±6%
+        # vs ±39%/±30% for ST/MT alone), but when value_norm swings on
+        # flat raw these two columns show WHICH probe dimension moved
+        # — the drift protocol's first check, now in-artifact.
+        "value_norm_st": round(
+            sum(legacy.values()) * calib["host_speed_st"], 4
+        ),
+        "value_norm_mt": round(
+            sum(legacy.values()) * calib["host_speed_mt"], 4
         ),
         "baseline_norm": _BASELINE_NORM,
     }
@@ -474,8 +509,28 @@ def main() -> None:
         except Exception as ex:  # never let the stream extra kill the bench
             detail["streaming"] = {"error": f"{type(ex).__name__}: {ex}"}
 
-    # detail first, compact machine-read line LAST (see module doc)
+    # Self-contained artifact rule (round 15, verdict item 2): the
+    # driver machine-reads this process through a ~2 KB TAIL capture,
+    # and in rounds 6 and 14 the detail line outgrew it, truncating
+    # whole sections out of the committed BENCH_r{N}.json. The full
+    # detail object (headline included, so the file stands alone) now
+    # lands in a committed per-round file, overwritten each run;
+    # stdout keeps the human-readable detail, then a short pointer,
+    # then the compact machine-read line LAST — so the tail capture
+    # always gets the pointer + headline intact, and every section is
+    # retrievable verbatim from the repo regardless of capture size.
+    detail["headline"] = out
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
     print(json.dumps(detail))
+    print(
+        json.dumps(
+            {"detail_file": "BENCH_DETAIL.json", "sections": sorted(detail)}
+        )
+    )
     print(json.dumps(out))
 
 
@@ -876,10 +931,12 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
         ]
         rows: dict[str, dict] = {}
         prev_sec: float | None = None
+        accepts: list[int] = []
         for name, kw in configs:
             cdir = os.path.join(root, name)
             # per-config guard (the sf10 lesson): one config dying must
             # be RECORDED, not erase the other configs' measurements
+            timers: dict[str, list[float]] = {}
             try:
                 t0 = _t.perf_counter()
                 run_streaming_ingest(
@@ -889,6 +946,7 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                     os.path.join(cdir, "index"),
                     os.path.join(cdir, "ckpt"),
                     query_name=f"bench_{name}",
+                    gate_timers=timers,
                     **kw,
                 )
                 sec = round(_t.perf_counter() - t0, 4)
@@ -902,10 +960,28 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
                 if os.path.isdir(corpus_out)
                 else 0
             )
+            accepts.append(accepted)
             rows[name] = {
                 "sec": sec,
                 "docs_per_sec": round(n_docs / sec, 1),
                 "accepted": accepted,
+                # round 15 (verdict item 3): DIRECT per-gate cost via
+                # gate_timers — each gate's keep-set materialization is
+                # timed inside _gate_chain, summed over micro-batches,
+                # with the per-batch min/max as the recorded spread.
+                # Non-negative by construction, unlike the r14 artifact
+                # where gate_delta_sec (a difference of single
+                # cumulative whole-stream runs) recorded an LM gate at
+                # −8.5 s on host noise.
+                "gate_sec": {
+                    g: {
+                        "total": round(sum(v), 4),
+                        "per_batch_min": min(v),
+                        "per_batch_max": max(v),
+                        "batches": len(v),
+                    }
+                    for g, v in sorted(timers.items())
+                },
             }
             if prev_sec is not None:
                 rows[name]["gate_delta_sec"] = round(sec - prev_sec, 4)
@@ -914,11 +990,19 @@ def _bench_streaming(spark, sf_dir: str) -> dict:
             "docs": n_docs,
             "micro_batches": n_files,
             "configs": rows,
+            # permissive thresholds (max_ppl=1e9, min_shared=1e6) make
+            # every gate accept-all, so all configs must admit the
+            # SAME corpus — the instrumentation-changes-nothing check
+            "accepts_identical": len(set(accepts)) <= 1,
             "note": (
                 "cumulative gate stack over one-file micro-batches; "
-                "gate_delta_sec = that gate's whole-stream cost; LM "
-                "model + eval SBBF built outside the timed region "
-                "(amortized at stream start, like production)"
+                "gate_sec = direct per-gate scoring cost (timed "
+                "keep-set materialization, summed over batches, "
+                "per-batch spread recorded); gate_delta_sec kept for "
+                "cross-round continuity but noise-dominated — read "
+                "gate_sec; LM model + eval SBBF built outside the "
+                "timed region (amortized at stream start, like "
+                "production)"
             ),
         }
     finally:

@@ -294,7 +294,23 @@ corpus, reference on the target slice), per-domain excess-loss
 means, exp weights, normalized shares; the oracle replays both LM
 chains (the x84 machinery twice) plus the softmax arithmetic.
 
-Corpus: 232 entries, 226 with full oracles.
+Round-15 gate rotation (VERDICT r14 item 5): four never-graded
+full-oracle families take the window's four stalest slots. Outgoing:
+p04 text-quality (→x143) and p08 embedding near-dup pairs (→x144) —
+both native entries green since round 2, p08's sf0.01 gate answer
+literally zero rows — plus the p22/p23 aliases (x90 weighted sample /
+x92 skew report keep their pytest oracles and model-ops bench slots).
+Incoming: p46 GIF87a LZW round trip (x139 — the only REAL-codec
+family with a full SQL oracle), p47 cross-source quantile
+normalization (x121 — percent_rank tie semantics), p48 curriculum
+ordering (x111 — two-pass global rank vs a one-window spec), p49
+snake sharding (x117 — boustrophedon deal over the same rank
+machinery). Window still exactly 50; each incoming row also gets an
+independently-formulated alt oracle in tests/test_oracle.py (the
+round-14 pattern: different enumeration/rank/fold constructs, shared
+only where the formula is the operator's definition).
+
+Corpus: 234 entries, 228 with full oracles.
 """
 
 from __future__ import annotations

@@ -125,8 +125,11 @@ FROM ranked WHERE (rk - 1) * 10 < 9 * n_group
 """,
 )
 
+# round 15: demoted from gate slot p04 (green since round 2; the
+# quality-scoring family stays gate-covered by p27 C4 filter and p28
+# CCNet perplexity buckets) — stays fully oracled here
 _q(
-    "p04_text_quality",
+    "x143_text_quality",
     spark=lambda spark, sf: text.quality_score(_docs(spark, sf)),
     oracle=r"""
 SELECT doc_id,
@@ -581,8 +584,12 @@ LIMIT 10
 """,
 )
 
+# round 15: demoted from gate slot p08 (green since round 2, and its
+# sf0.01 gate answer is ZERO rows — the weakest row in the window; the
+# embedding-similarity family stays gate-covered by p07 brute-force,
+# p14 IVF, and p36 matryoshka) — stays fully oracled here
 _q(
-    "p08_emb_neardup_pairs",
+    "x144_emb_neardup_pairs",
     spark=lambda spark, sf: similarity.neardup_pairs_by_label(
         _embs(spark, sf), min_cos=0.8, max_id=2000
     ),
@@ -5093,8 +5100,13 @@ _P_ALIASES: dict[str, str] = {
     "p19_classifier_train": "x79_linear_classifier_train",
     "p20_budget_select": "x75_budget_select",
     "p21_near_dedup": "x40_near_dedup_keep",
-    "p22_weighted_sample": "x90_weighted_sample",
-    "p23_skew_report": "x92_skew_report",
+    # round 15 rotation (VERDICT r14 item 5): p22 weighted-sample and
+    # p23 skew-report rotated out after 7 green rounds — x90/x92 keep
+    # their pytest oracles AND their model-ops bench slots, and the
+    # sampling/diagnostics surfaces stay gate-covered by p20 budget
+    # select and p43/p44 profile+expectations. Their slots (plus the
+    # demoted natives p04→x143, p08→x144) go to four never-graded
+    # full-oracle families below (p46-p49).
     "p24_bm25_topk": "x55_bm25_topk",
     "p25_contamination": "x19_contamination",
     "p26_sequence_packing": "x24_sequence_packing",
@@ -5143,6 +5155,22 @@ _P_ALIASES: dict[str, str] = {
     # surface p31's TPC-H Q21 (triple-correlated EXISTS/NOT EXISTS)
     # already grades — q04 keeps its pytest oracle like every demotee.
     "p45_contamination_word13": "x141_contamination_word13",
+    # round 15 rotation (VERDICT r14 item 5), incoming rows — four
+    # never-graded families with full oracles and zero gate history:
+    # the GIF87a LZW round trip (the only REAL-codec family with a
+    # full SQL oracle — a mis-synchronized code-width bump between
+    # encoder and decoder moves a channel mean), cross-source quantile
+    # normalization (percent_rank tie semantics across engines),
+    # staged curriculum ordering (the two-pass global-rank machinery
+    # vs a one-window ROW_NUMBER spec), and size-balanced snake
+    # sharding (heaviest-first boustrophedon deal over the same
+    # two-pass rank). Each also carries an independently-formulated
+    # alt oracle in tests/test_oracle.py::ALT_ORACLES (round-14
+    # pattern).
+    "p46_gif_round_trip": "x139_gif_round_trip",
+    "p47_quantile_norm": "x121_quantile_norm",
+    "p48_curriculum_order": "x111_curriculum_order",
+    "p49_snake_shard": "x117_snake_sharding",
     # Relational gauntlets (SURVEY §2.B): the q-entries that together
     # cover the inherited SQL surface most densely — scan/agg/sort,
     # every join shape (equi, semi, anti, full-outer, theta), window

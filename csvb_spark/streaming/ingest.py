@@ -76,6 +76,7 @@ def _accept_batch(
     decontam_min_shared: int | None = 2,
     decontam_seed: int = 7,
     decontam_unit: str = "char",
+    gate_timers: dict[str, list[float]] | None = None,
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code).
@@ -117,6 +118,7 @@ def _accept_batch(
             decontam_min_shared,
             decontam_seed,
             decontam_unit,
+            gate_timers=gate_timers,
         )
         # The gate chain is consumed more than once downstream
         # (pii_redact(gated) joins back to gated; exact dedup and the
@@ -169,6 +171,7 @@ def _gate_chain(
     decontam_min_shared: int | None = 2,
     decontam_seed: int = 7,
     decontam_unit: str = "char",
+    gate_timers: dict[str, list[float]] | None = None,
 ) -> DataFrame:
     """The admission-gate composition over one (persisted) micro-batch.
 
@@ -177,28 +180,58 @@ def _gate_chain(
     one materialized relation — NEVER the evolving ``gated`` chain or
     any downstream DataFrame. A gate probing ``gated`` would splice
     the whole upstream semi-join chain into its own build lineage and
-    re-execute it once per downstream consumer."""
+    re-execute it once per downstream consumer.
+
+    ``gate_timers``: pass a dict to record per-gate wall-clock (gate
+    name → list of per-batch seconds). When set, each gate's keep/
+    reject set is eagerly materialized (localCheckpoint) inside a
+    timer, so the number is that gate's true scoring cost over the
+    persisted batch — a DIRECT measurement, not a difference of whole
+    -stream runs (round-14 bench artifact recorded a negative LM-gate
+    delta because config-to-config host noise exceeded the per-gate
+    signal). The downstream semi/anti join reads the checkpoint, so
+    instrumentation shifts where the work is spent without repeating
+    it; accepts are byte-identical (bench-asserted)."""
+    import time as _time
+
+    def _timed(name: str, keep: DataFrame) -> DataFrame:
+        if gate_timers is None:
+            return keep
+        t0 = _time.perf_counter()
+        keep = keep.localCheckpoint(eager=True)
+        gate_timers.setdefault(name, []).append(
+            round(_time.perf_counter() - t0, 4)
+        )
+        return keep
+
     # 1. quality gate + scrub (map-only). The optional Gopher gate
     # composes the same rule bundle batch pipelines use (x59) — the
     # expressions are stateless, so they stream unchanged.
-    scored = T.quality_score(batch, text_col).select("doc_id", "quality_score")
+    scored = _timed(
+        "quality",
+        T.quality_score(batch, text_col).select("doc_id", "quality_score"),
+    )
     gated = batch.join(scored, "doc_id").filter(
         F.col("quality_score") >= min_quality
     )
     if gopher_gate:
-        ok = T.gopher_rules(
-            batch, text_col=text_col, min_words=gopher_min_words
-        ).filter("keep").select("doc_id")
+        ok = _timed(
+            "gopher",
+            T.gopher_rules(
+                batch, text_col=text_col, min_words=gopher_min_words
+            ).filter("keep").select("doc_id"),
+        )
         gated = gated.join(ok, "doc_id", "left_semi")
     if classifier_threshold is not None:
         # model-based gate (x64): map-only scoring, so it streams
         # unchanged like the rule gates above
-        keep = (
+        keep = _timed(
+            "classifier",
             C.linear_classifier_score(
                 batch, text_col=text_col, threshold=classifier_threshold
             )
             .filter("keep")
-            .select("doc_id")
+            .select("doc_id"),
         )
         gated = gated.join(keep, "doc_id", "left_semi")
     if lm_model is not None:
@@ -237,13 +270,14 @@ def _gate_chain(
                 model_materialized=True,
             )
             score_col = "ppl"
-        lm_keep = (
+        lm_keep = _timed(
+            "lm",
             lm_scored
             .filter(
                 F.col(score_col).isNull()
                 | (F.col(score_col) <= F.lit(float(max_ppl)))
             )
-            .select("doc_id")
+            .select("doc_id"),
         )
         gated = gated.join(lm_keep, "doc_id", "left_semi")
     if dsir_weights is not None:
@@ -252,7 +286,8 @@ def _gate_chain(
         # like the other model gates. Features the weight build never
         # saw take the table's DEFAULT row, so out-of-vocabulary
         # micro-batch content is scored, not dropped.
-        dsir_keep = (
+        dsir_keep = _timed(
+            "dsir",
             C.dsir_score_with_weights(
                 batch,
                 dsir_weights,
@@ -265,7 +300,7 @@ def _gate_chain(
                 (F.col("log_importance") / F.col("n_features").cast("double"))
                 >= F.lit(float(dsir_min_avg))
             )
-            .select("doc_id")
+            .select("doc_id"),
         )
         gated = gated.join(dsir_keep, "doc_id", "left_semi")
     if decontam_words is not None:
@@ -285,7 +320,8 @@ def _gate_chain(
         # probe itself — the round-13 streaming bench finding).
         # Probing the raw batch costs a few already-rejected docs'
         # grams and keeps the build side's lineage one parquet scan.
-        hot = (
+        hot = _timed(
+            "decontam",
             S.sbbf_gram_hits(
                 batch,
                 decontam_words,
@@ -296,7 +332,7 @@ def _gate_chain(
                 unit=decontam_unit,
             )
             .filter(F.col("n_bloom_shared") >= F.lit(int(decontam_min_shared)))
-            .select("doc_id")
+            .select("doc_id"),
         )
         gated = gated.join(hot, "doc_id", "left_anti")
     return gated
@@ -447,6 +483,7 @@ def run_streaming_ingest(
     decontam_min_shared: int | None = None,
     decontam_k: int | None = None,
     decontam_unit: str = "char",
+    gate_timers: dict[str, list[float]] | None = None,
 ) -> None:
     """Drive the ingest stream over ``source_dir`` to completion (one
     micro-batch per file, so files model arrival order). Appends to
@@ -469,7 +506,12 @@ def run_streaming_ingest(
     most ``domain_quota`` documents per domain ever enter the corpus,
     counted across every batch via the persisted increment table at
     ``quota_dir`` — the crawl-frontier cap, applied only to documents
-    that survived every other gate so rejects never consume quota."""
+    that survived every other gate so rejects never consume quota.
+
+    ``gate_timers``: pass a dict to collect per-gate wall-clock
+    across the whole stream (gate name → per-batch seconds; see
+    ``_gate_chain``). Measurement-only: accepts are identical with
+    and without it (bench-asserted)."""
     if (lm_model_dir is None) != (max_ppl is None):
         raise ValueError(
             "run_streaming_ingest: lm_model_dir and max_ppl go together"
@@ -600,6 +642,7 @@ def run_streaming_ingest(
                 # word-unit convention of min_shared=1)
                 decontam_min_shared,
                 decontam_unit=decontam_unit,
+                gate_timers=gate_timers,
             )
         )
         .start()

@@ -437,6 +437,97 @@ FROM p LEFT JOIN c
  AND c.ts = (SELECT MAX(c2.ts) FROM c c2
              WHERE c2.user_id = p.user_id AND c2.ts <= p.ts)
 """,
+    # round 15: alt oracles for the freshly-rotated gate rows
+    # (p46-p49). x139's primary enumerates pixels as x-unnest then
+    # y-unnest and averages with AVG. This one enumerates ONE flat
+    # pixel id p in [0, w*h) and derives x = p % w, y = p // w, and
+    # aggregates via SUM/COUNT instead of AVG. The index/palette
+    # formula (x*5 + y*11 + doc_id) % 256 is the fixture's DEFINITION
+    # and stays identical; the enumeration and aggregation routes are
+    # what's independent.
+    "x139_gif_round_trip": r"""
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 9 AS w, 5 + doc_id % 7 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS p FROM dims
+), idx AS (
+  SELECT doc_id, w, h,
+         ((p % w) * 5 + (p // w) * 11 + doc_id) % 256 AS i
+  FROM px
+)
+SELECT doc_id,
+       CAST(MAX(w) AS INT) AS width,
+       CAST(MAX(h) AS INT) AS height,
+       ROUND(SUM(CAST(i AS DOUBLE)) / COUNT(*), 6) AS mean_r,
+       ROUND(SUM(CAST((i * 3) % 256 AS DOUBLE)) / COUNT(*), 6) AS mean_g,
+       ROUND(SUM(CAST((i * 7) % 256 AS DOUBLE)) / COUNT(*), 6) AS mean_b,
+       TRUE AS decoded
+FROM idx
+GROUP BY doc_id
+""",
+    # x121's primary is the percent_rank() window function. This one
+    # computes the definition (rank-1)/(n-1) from scratch: strict-less
+    # counts and group sizes as correlated subqueries, the single-row
+    # group's 0.0 as an explicit CASE — no window function anywhere.
+    "x121_quantile_norm": r"""
+SELECT d.doc_id, d.source, d.n_chars AS score,
+       CASE WHEN (SELECT COUNT(*) FROM documents d2
+                  WHERE d2.source = d.source) = 1
+            THEN 0.0
+            ELSE CAST((SELECT COUNT(*) FROM documents d2
+                       WHERE d2.source = d.source
+                         AND d2.n_chars < d.n_chars) AS DOUBLE)
+                 / ((SELECT COUNT(*) FROM documents d2
+                     WHERE d2.source = d.source) - 1)
+       END AS pctl
+FROM documents d
+""",
+    # x111's primary is one ROW_NUMBER window over (stage, k, doc_id)
+    # with the stage as a sum of boolean casts. This one derives the
+    # stage by a CASE ladder and the global index as 1 + a correlated
+    # lexicographic-predecessor count — no window function. The md5
+    # shuffle key is the operator's definition and stays identical.
+    "x111_curriculum_order": r"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= 1000 THEN 4
+              WHEN n_chars >= 500 THEN 3
+              WHEN n_chars >= 200 THEN 2
+              ELSE 1 END AS stage,
+         md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+  FROM documents
+)
+SELECT s.doc_id, CAST(s.stage AS INT) AS stage,
+       CAST(1 + (SELECT COUNT(*) FROM s s2
+                 WHERE s2.stage < s.stage
+                    OR (s2.stage = s.stage AND s2.k < s.k)
+                    OR (s2.stage = s.stage AND s2.k = s.k
+                        AND s2.doc_id < s.doc_id)) AS BIGINT) AS global_idx
+FROM s
+""",
+    # x117's primary ranks with ROW_NUMBER and folds the 32-cycle via
+    # CASE WHEN m < 16. This one ranks by a correlated predecessor
+    # count and folds arithmetically: LEAST(m, 31 - m) — same snake,
+    # no CASE, no window.
+    "x117_snake_sharding": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS weight,
+         md5(CAST(doc_id AS VARCHAR) || ':42') AS k
+  FROM documents
+), r AS (
+  SELECT doc_id, weight,
+         1 + (SELECT COUNT(*) FROM t t2
+              WHERE t2.weight > t.weight
+                 OR (t2.weight = t.weight AND t2.k < t.k)
+                 OR (t2.weight = t.weight AND t2.k = t.k
+                     AND t2.doc_id < t.doc_id)) AS rank
+  FROM t
+)
+SELECT doc_id, weight, CAST(rank AS BIGINT) AS rank,
+       CAST(LEAST((rank - 1) % 32, 31 - ((rank - 1) % 32)) AS INT) AS shard
+FROM r
+""",
 }
 
 

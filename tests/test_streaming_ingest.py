@@ -870,3 +870,59 @@ def test_streaming_ingest_decontamination_gate(spark, tmp_path):
             str(tmp_path / "ckpt2"),
             decontam_eval_dir=evdir,
         )
+
+
+def test_streaming_gate_timers_measure_without_changing_accepts(
+    spark, sf_dir, tmp_path
+):
+    """gate_timers (round 15): per-gate wall-clock is recorded once
+    per micro-batch per enabled gate, every reading is non-negative,
+    and the instrumented stream admits the SAME corpus as the
+    uninstrumented one — timing shifts where the gate's keep-set is
+    materialized, never what it contains."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.lm import bigram_lm_train
+    from csvb_spark.streaming.ingest import run_streaming_ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 60"
+    )
+    src = tmp_path / "src"
+    docs.repartition(2).write.parquet(str(src))
+    lm_dir = str(tmp_path / "lm")
+    bigram_lm_train(docs).write.parquet(lm_dir)
+    evdir = str(tmp_path / "eval")
+    docs.filter(F.col("doc_id") % 10 == 0).select("doc_id", "text").write.parquet(evdir)
+
+    def run(tag, timers):
+        d = tmp_path / tag
+        run_streaming_ingest(
+            spark,
+            str(src),
+            str(d / "corpus"),
+            str(d / "index"),
+            str(d / "ckpt"),
+            query_name=f"timers_{tag}",
+            lm_model_dir=lm_dir,
+            max_ppl=1e9,
+            decontam_eval_dir=evdir,
+            decontam_min_shared=1_000_000,
+            gate_timers=timers,
+        )
+        return {
+            r.doc_id
+            for r in spark.read.parquet(str(d / "corpus"))
+            .select("doc_id")
+            .collect()
+        }
+
+    timers: dict[str, list[float]] = {}
+    instrumented = run("on", timers)
+    plain = run("off", None)
+    assert instrumented == plain, "instrumentation must not change accepts"
+    # the three enabled gates each record one reading per micro-batch
+    assert set(timers) == {"quality", "lm", "decontam"}, timers
+    n_batches = {len(v) for v in timers.values()}
+    assert n_batches == {2}, timers
+    assert all(x >= 0 for v in timers.values() for x in v), timers
