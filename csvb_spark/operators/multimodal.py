@@ -1378,21 +1378,28 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             return palette[idx].reshape(h, w, 3)
 
         def _parse_jpeg(p: bytes):
-            # Baseline sequential JFIF, 8-bit, 3 components, 1x1
-            # sampling (what synthesize_jpeg emits and what most
-            # 4:4:4 encoders produce): segment walk, DQT/DHT table
-            # build (canonical codes derived from the DHT bits array,
-            # nothing assumed), entropy decode with DC prediction and
-            # run-length AC, dequantize, IDCT, YCbCr→RGB. Progressive
-            # (SOF2), subsampled, or restart-interval streams return
-            # None (→ decoded=false), like every other sniff here.
+            # Baseline sequential JFIF, 8-bit, 1 (grayscale) or 3
+            # (YCbCr) components, sampling factors 1-4 with the usual
+            # divisibility rule — i.e. 4:4:4, 4:2:0, 4:2:2, 4:4:0 and
+            # grayscale all decode (round 15: the external golden
+            # python.jpg from CPython's own test suite is 2x2-
+            # subsampled and IPython's 2x2.jpg is grayscale — both
+            # were rejected by the earlier 3-component/1x1-only walk).
+            # Segment walk, DQT/DHT table build (canonical codes
+            # derived from the DHT bits array, nothing assumed),
+            # interleaved-MCU entropy decode with DC prediction and
+            # run-length AC, dequantize, IDCT, per-component
+            # replication upsample, YCbCr→RGB. Progressive (SOF2) or
+            # restart-interval streams return None (→ decoded=false),
+            # like every other sniff here.
             if p[:2] != b"\xff\xd8":
                 return None
             zz, A = _jpeg_consts()
             qt: dict[int, list[int]] = {}
             huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
             w = h = None
-            comps: list[tuple[int, int]] = []  # (component id, quant id)
+            # (component id, quant id, h-sampling, v-sampling)
+            comps: list[tuple[int, int, int, int]] = []
             scomp: list[tuple[int, int, int]] = []  # (id, dc tbl, ac tbl)
             data = None
             pos = 2
@@ -1418,15 +1425,16 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                         qt[tq] = tbl
                         i += 65
                 elif m == 0xC0:
-                    if seg[0] != 8 or seg[5] != 3:
+                    if seg[0] != 8 or seg[5] not in (1, 3):
                         return None
                     h = int.from_bytes(seg[1:3], "big")
                     w = int.from_bytes(seg[3:5], "big")
-                    for c in range(3):
+                    for c in range(seg[5]):
                         cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                        if samp != 0x11:
+                        hi, vi = samp >> 4, samp & 15
+                        if not (1 <= hi <= 4 and 1 <= vi <= 4):
                             return None
-                        comps.append((cid, tq))
+                        comps.append((cid, tq, hi, vi))
                 elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xDD):
                     return None  # non-baseline / restart intervals
                 elif m == 0xC4:
@@ -1447,9 +1455,9 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                         huff[(tc, th)] = table
                         i += 17 + nsym
                 elif m == 0xDA:
-                    if seg[0] != 3:
+                    if seg[0] != len(comps):
                         return None
-                    for c in range(3):
+                    for c in range(seg[0]):
                         cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                         scomp.append((cid, tt >> 4, tt & 15))
                     data = p[pos:]
@@ -1503,69 +1511,105 @@ def decode_media_features(media: DataFrame) -> DataFrame:
             def _ext(v: int, s: int) -> int:
                 return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-            wb, hb = (w + 7) // 8, (h + 7) // 8
+            if len(scomp) == 1:
+                # non-interleaved single-component scan: sampling
+                # factors do not apply to the scan layout (T.81
+                # A.2.2) — one block per MCU over the component's own
+                # full-resolution grid
+                cid0, tq0, _hi, _vi = comps[0]
+                comps = [(cid0, tq0, 1, 1)]
+            hmax = max(hi for _c, _t, hi, _v in comps)
+            vmax = max(vi for _c, _t, _h2, vi in comps)
+            if any(hmax % hi or vmax % vi for _c, _t, hi, vi in comps):
+                return None
+            mcux = (w + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (h + 8 * vmax - 1) // (8 * vmax)
             planes = [
-                _np.zeros((hb * 8, wb * 8), dtype=_np.float64)
-                for _ in range(3)
+                _np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=_np.float64)
+                for _c, _t, hi, vi in comps
             ]
-            prev = [0, 0, 0]
-            by_id = {cid: k for k, (cid, _tq) in enumerate(comps)}
-            for by in range(hb):
-                for bx in range(wb):
+            prev = [0] * len(comps)
+            by_id = {cid: k for k, (cid, _tq, _hi, _vi) in enumerate(comps)}
+
+            def _block(ci: int, dcid: int, acid: int):
+                q = qt.get(comps[ci][1])
+                dct = huff.get((0, dcid))
+                act = huff.get((1, acid))
+                if q is None or dct is None or act is None:
+                    return None
+                coef = _np.zeros((8, 8), dtype=_np.float64)
+                s = _sym(dct)
+                if s is None or s > 11:
+                    return None
+                diff = 0
+                if s:
+                    v = _rd(s)
+                    if v is None:
+                        return None
+                    diff = _ext(v, s)
+                prev[ci] += diff
+                coef[0, 0] = prev[ci] * q[0]
+                k = 1
+                while k < 64:
+                    sym = _sym(act)
+                    if sym is None:
+                        return None
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 15
+                    if size == 0:
+                        if run != 15:
+                            return None
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    v = _rd(size)
+                    if v is None:
+                        return None
+                    ii, jj = zz[k]
+                    coef[ii, jj] = _ext(v, size) * q[ii * 8 + jj]
+                    k += 1
+                return A.T @ coef @ A + 128.0
+
+            for my in range(mcuy):
+                for mx in range(mcux):
                     for cid, dcid, acid in scomp:
                         ci = by_id.get(cid)
                         if ci is None:
                             return None
-                        q = qt.get(comps[ci][1])
-                        dct = huff.get((0, dcid))
-                        act = huff.get((1, acid))
-                        if q is None or dct is None or act is None:
-                            return None
-                        coef = _np.zeros((8, 8), dtype=_np.float64)
-                        s = _sym(dct)
-                        if s is None or s > 11:
-                            return None
-                        diff = 0
-                        if s:
-                            v = _rd(s)
-                            if v is None:
-                                return None
-                            diff = _ext(v, s)
-                        prev[ci] += diff
-                        coef[0, 0] = prev[ci] * q[0]
-                        k = 1
-                        while k < 64:
-                            sym = _sym(act)
-                            if sym is None:
-                                return None
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 15
-                            if size == 0:
-                                if run != 15:
+                        _cid, _tq, hi, vi = comps[ci]
+                        for byy in range(vi):
+                            for bxx in range(hi):
+                                block = _block(ci, dcid, acid)
+                                if block is None:
                                     return None
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                return None
-                            v = _rd(size)
-                            if v is None:
-                                return None
-                            ii, jj = zz[k]
-                            coef[ii, jj] = _ext(v, size) * q[ii * 8 + jj]
-                            k += 1
-                        block = A.T @ coef @ A + 128.0
-                        planes[ci][
-                            by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8
-                        ] = block
-            y = planes[0][:h, :w]
-            cb = planes[1][:h, :w] - 128.0
-            cr = planes[2][:h, :w] - 128.0
-            r = y + 1.402 * cr
-            g = y - 0.344136 * cb - 0.714136 * cr
-            b = y + 1.772 * cb
-            rgb = _np.stack([r, g, b], axis=-1)
+                                r0 = (my * vi + byy) * 8
+                                c0 = (mx * hi + bxx) * 8
+                                planes[ci][
+                                    r0 : r0 + 8, c0 : c0 + 8
+                                ] = block
+            # replication upsample each plane to full resolution, crop
+            full = []
+            for k2, (_cid, _tq, hi, vi) in enumerate(comps):
+                pl = planes[k2]
+                if hi != hmax or vi != vmax:
+                    pl = pl.repeat(vmax // vi, axis=0).repeat(
+                        hmax // hi, axis=1
+                    )
+                full.append(pl[:h, :w])
+            if len(full) == 1:  # grayscale: R = G = B = Y
+                y = full[0]
+                rgb = _np.stack([y, y, y], axis=-1)
+            else:
+                y = full[0]
+                cb = full[1] - 128.0
+                cr = full[2] - 128.0
+                r = y + 1.402 * cr
+                g = y - 0.344136 * cb - 0.714136 * cr
+                b = y + 1.772 * cb
+                rgb = _np.stack([r, g, b], axis=-1)
             return _np.clip(_np.rint(rgb), 0, 255).astype(_np.uint8)
 
         def _parse_bmp(p: bytes):

@@ -911,3 +911,138 @@ def test_png_golden_external_bytes_decode(spark):
         assert r.decoded and r.kind == "image", doc_id
         assert (r.width, r.height, r.n_channels) == (1, 1, 4), doc_id
         assert (r.mean_r, r.mean_g, r.mean_b) == rgb, doc_id
+
+
+def test_jpeg_golden_external_bytes_decode(spark):
+    """JPEG interop pin against KNOWN-GOOD EXTERNAL artifacts (round-15
+    VERDICT item 6 — the most convention-dense decoder in the tree was
+    still pinned only by the repo's own 4:4:4 encoder). Two published
+    byte-stable baseline JFIFs produced by neither our encoder nor the
+    test encoder:
+
+    - ``python.jpg`` (543 bytes) — CPython's own test-suite fixture
+      (Lib/test/imghdrdata/python.jpg), md5
+      50e9104383c3f36fa9e9be6148e6fdf3, byte-identical across the
+      2.7.18 / 3.6-3.12 release tarballs on this host. Baseline SOF0,
+      16x16, 3 components with 2x2/1x1/1x1 sampling — i.e. 4:2:0
+      chroma subsampling, which the decoder REJECTED before this
+      golden (the predicted find: interleaved-MCU layout + per-plane
+      upsample were missing).
+    - ``2x2.jpg`` (331 bytes) — IPython's test fixture
+      (IPython/core/tests/2x2.jpg), md5
+      0dfb62cd080fc2ad9c8204c805e68ce8. Baseline SOF0, 2x2, ONE
+      component — grayscale, also rejected before this golden.
+
+    Ground truth is the JVM's production ``javax.imageio`` decoder,
+    read at the RASTER level at runtime (``getRGB()`` would
+    gamma-convert the linear-gray raster to sRGB: the grayscale
+    image's flat 128 reads back as 188 through getRGB — the bytes,
+    not the first API you grab, are the spec). Grayscale must match
+    the raster bit-exactly (no upsampling, no color convert, flat DC
+    block). The subsampled image is allowed |delta| <= 2.0 per
+    channel: our replication upsample vs ImageIO's triangular 'fancy'
+    chroma upsample differ legitimately (measured deltas 0.08 / 0.03
+    / 1.16); width/height/decoded are exact."""
+    import base64
+    import hashlib
+
+    from csvb_spark.operators.multimodal import decode_media_features
+
+    python_jpg = base64.b64decode(
+        "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgG"
+        "BgUGCQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMD"
+        "AwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQ"
+        "EBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAA"
+        "AAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/"
+        "xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQME"
+        "BQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrs"
+        "aUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Ia"
+        "ad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+        "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPx"
+        "w2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KO"
+        "p1KM6iCNvngZHwetf//Z"
+    )
+    gray_jpg = base64.b64decode(
+        "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkS"
+        "Ew8UHRofHh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAAC"
+        "AAIBAREA/8QAHwAAAQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgED"
+        "AwIEAwUFBAQAAAF9AQIDAAQRBRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2Jy"
+        "ggkKFhcYGRolJicoKSo0NTY3ODk6Q0RFRkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1"
+        "dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ipqrKztLW2t7i5usLDxMXGx8jJ"
+        "ytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/ACv/2Q=="
+    )
+    assert hashlib.md5(python_jpg).hexdigest() == (
+        "50e9104383c3f36fa9e9be6148e6fdf3"
+    )
+    assert hashlib.md5(gray_jpg).hexdigest() == (
+        "0dfb62cd080fc2ad9c8204c805e68ce8"
+    )
+
+    # integrity walk: marker-structured to EOI, baseline SOF0 with the
+    # documented dims/sampling — a transcription typo fails HERE as
+    # artifact corruption, not as a phantom decoder bug
+    def _walk(p, want):
+        assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+        pos, sof = 2, None
+        while pos < len(p) - 2:
+            assert p[pos] == 0xFF, pos
+            m = p[pos + 1]
+            if m == 0xDA:
+                break
+            ln = int.from_bytes(p[pos + 2 : pos + 4], "big")
+            if m == 0xC0:
+                h = int.from_bytes(p[pos + 5 : pos + 7], "big")
+                w = int.from_bytes(p[pos + 7 : pos + 9], "big")
+                nc = p[pos + 9]
+                samps = [p[pos + 11 + 3 * c] for c in range(nc)]
+                sof = (w, h, nc, samps)
+            assert m not in (0xC2, 0xC1, 0xC3), "baseline only"
+            pos += 2 + ln
+        assert sof == want, sof
+
+    _walk(python_jpg, (16, 16, 3, [0x22, 0x11, 0x11]))
+    _walk(gray_jpg, (2, 2, 1, [0x11]))
+
+    df = spark.createDataFrame(
+        [(1, python_jpg, "image/jpeg"), (2, gray_jpg, "image/jpeg")],
+        "doc_id bigint, payload binary, mime string",
+    )
+    got = {r.doc_id: r for r in decode_media_features(df).collect()}
+
+    # runtime independent oracle: javax.imageio raster-level decode
+    import os
+    import tempfile
+
+    jvm = spark._jvm
+    ref = {}
+    for doc_id, payload in ((1, python_jpg), (2, gray_jpg)):
+        fd, tmp = tempfile.mkstemp(suffix=".jpg")
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(payload)
+            img = jvm.javax.imageio.ImageIO.read(jvm.java.io.File(tmp))
+            ras = img.getRaster()
+            w, h, nb = img.getWidth(), img.getHeight(), ras.getNumBands()
+            sums = [0] * nb
+            for y in range(h):
+                for x in range(w):
+                    for b in range(nb):
+                        sums[b] += ras.getSample(x, y, b)
+            ref[doc_id] = (w, h, [s / (w * h) for s in sums])
+        finally:
+            os.unlink(tmp)
+
+    # subsampled color image: exact dims, means within the documented
+    # upsampling-filter tolerance of the production decoder
+    r1 = got[1]
+    w1, h1, m1 = ref[1]
+    assert r1.decoded and (r1.width, r1.height) == (w1, h1) == (16, 16)
+    for ours, theirs in zip((r1.mean_r, r1.mean_g, r1.mean_b), m1):
+        assert abs(ours - theirs) <= 2.0, (ours, theirs)
+
+    # grayscale: single flat DC block — bit-exact against the raster
+    r2 = got[2]
+    w2, h2, m2 = ref[2]
+    assert r2.decoded and (r2.width, r2.height) == (w2, h2) == (2, 2)
+    assert len(m2) == 1 and m2[0] == 128.0
+    assert (r2.mean_r, r2.mean_g, r2.mean_b) == (128.0, 128.0, 128.0)
