@@ -2109,6 +2109,12 @@ class PgWireServer:
 def serve_forever(spark: SparkSession, address: str = "127.0.0.1:5432") -> None:
     server = PgWireServer(spark, address)
     server.start_background()
+    # announce the BOUND address on stdout (flushed): with port 0 the
+    # OS picks an ephemeral port, and a supervising process (e.g. the
+    # federation bench spawning shard processes) has no other way to
+    # learn it — matches the reference CLI's startup log line
+    # (csvb/src/bin/csvb.rs serve logging).
+    print(f"pgwire listening on {server.host}:{server.port}", flush=True)
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

@@ -509,9 +509,15 @@ def test_scorers_share_auto_broadcast_policy(spark, scorer):
         fn = kneser_ney_score if scorer == "kn" else perplexity_score
         run = lambda **kw: fn(docs, lm, **kw)  # noqa: E731
 
-    # bounded model → auto-broadcast, no warning, no corpus shuffle
+    # bounded model → auto-broadcast, no warning, no corpus shuffle.
+    # Escalate ONLY UserWarning (what the policy emits): a blanket
+    # simplefilter("error") also detonates py4j's GC-time socket
+    # ResourceWarning inside __del__ whenever a dropped gateway
+    # connection happens to be collected here — the one unraisable-
+    # exception warning in an otherwise clean 1000+-test run
+    # (round-15 verdict item 10).
     with warnings.catch_warnings():
-        warnings.simplefilter("error")
+        warnings.simplefilter("error", UserWarning)
         plan = _plan_of(run())
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
