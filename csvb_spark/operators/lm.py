@@ -1351,3 +1351,195 @@ def doremi_domain_weights(
             "mixture_share"
         ),
     )
+
+
+def doremi_domain_weights_iterated(
+    docs: DataFrame,
+    target: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    eta: float = 1.0,
+    rounds: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """Iterated DoReMi domain mixture weights (Xie et al. 2023,
+    arXiv:2305.10429, Algorithm 1 shape): T rounds of proxy
+    retraining with the multiplicative-weights update, where
+    :func:`doremi_domain_weights` is the single-round special case.
+    Each round t:
+
+      1. retrain the PROXY on a domain-reweighted deterministic
+         subsample: per domain, the first ``n_d = clamp(floor(
+         share_{t-1,d} * N), 1, count_d)`` docs by md5 rank (the
+         repo's portable-shuffle key) — the closed-form stand-in for
+         DoReMi's Group-DRO reweighted training (a bigram LM "trains"
+         by counting, so reweighting its risk IS reweighting its
+         training sample);
+      2. ``excess_d`` = mean(anlp under proxy_t) − mean(anlp under
+         the FIXED reference LM trained on ``target``), over each
+         domain's scoreable docs (the single-round update, verbatim);
+      3. ``w_{t,d} = share_{t-1,d} · exp(eta · excess_d)``,
+         renormalized — the paper's multiplicative-weights step
+         (its extra uniform-smoothing term is omitted; the
+         ``max(1, ·)`` floor in step 1 plays the never-starve role).
+
+    Output is LONG FORMAT, one row per (round, domain):
+    ``(round, domain, n_selected, n_docs, excess_anlp, weight,
+    mixture_share, avg_share)`` where ``avg_share`` is the
+    across-rounds mean share per domain — the paper's published
+    output is the average of the per-step weights, and the final
+    row set carries both the trajectory and that average.
+
+    Determinism (the x142 contract, extended across rounds): every
+    per-round statistic uses the exact-decimal/round-at-6 discipline
+    of the single-round operator; the ONLY values that cross the
+    driver boundary between rounds are the 6-decimal shares (read
+    back exactly via ``Decimal(str(·))``) and the integer ``n_d``
+    (an exact decimal×int floor), so a DuckDB oracle can replay all
+    T rounds as chained CTEs. Per-round results are
+    ``localCheckpoint``-ed (bounded: one row per domain), so the
+    returned union never re-executes an LM chain.
+
+    Scale: per round, one partitioned-window rank over the corpus
+    (computed ONCE, checkpointed, reused every round), two
+    auto-broadcast map-only scoring scans, and one fixed-width domain
+    shuffle — T rounds cost T× the single-round operator's scoring,
+    nothing super-linear. Reference scope: beyond-reference
+    (training-pipeline extension)."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError(f"doremi iterated: rounds must be >= 1, got {rounds}")
+    spark = docs.sparkSession
+    ref_lm = bigram_lm_train(target, text_col=text_col)
+    sr = (
+        perplexity_score(docs, ref_lm, text_col=text_col)
+        .select("doc_id", F.col("avg_neg_logprob").alias("_ar"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = (
+        docs.select(
+            "doc_id",
+            F.col(domain_col).alias("domain"),
+            F.col(text_col).alias("_text"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("domain").orderBy(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"), F.lit(f":{seed}")
+                        )
+                    ),
+                    "doc_id",
+                )
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["domain"]: r["cnt"]
+        for r in ranked.groupBy("domain").agg(F.count("*").alias("cnt")).collect()
+    }
+    domains = sorted(counts)
+    n_total = sum(counts.values())
+    q6 = Decimal("0.000001")
+    share0 = (Decimal(1) / Decimal(len(domains))).quantize(
+        q6, rounding=ROUND_HALF_UP
+    )
+    shares: dict[str, Decimal] = {d: share0 for d in domains}
+    per_round: list[DataFrame] = []
+    for t in range(1, rounds + 1):
+        # decimal×int product is exact; int() floors for positives
+        nsel = {
+            d: max(1, min(counts[d], int(shares[d] * n_total)))
+            for d in domains
+        }
+        prevdf = spark.createDataFrame(
+            [(d, float(shares[d]), nsel[d]) for d in domains],
+            "domain string, _prev double, n_selected bigint",
+        )
+        sel = ranked.join(F.broadcast(prevdf), "domain").filter(
+            F.col("_rk") <= F.col("n_selected")
+        )
+        proxy = bigram_lm_train(sel, text_col="_text")
+        sb = perplexity_score(docs, proxy, text_col=text_col).select(
+            "doc_id", F.col("avg_neg_logprob").alias("_ab")
+        )
+        joined = (
+            ranked.select("doc_id", "domain")
+            .join(sb, "doc_id")
+            .join(sr, "doc_id")
+            .filter(F.col("_ab").isNotNull() & F.col("_ar").isNotNull())
+        )
+        w = (
+            joined.groupBy("domain")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.round("_ab", 6).cast("decimal(18,6)"))
+                .cast("double")
+                .alias("_sb"),
+                F.sum(F.round("_ar", 6).cast("decimal(18,6)"))
+                .cast("double")
+                .alias("_sr"),
+            )
+            .join(F.broadcast(prevdf), "domain")
+            .select(
+                "domain",
+                "n_selected",
+                "n_docs",
+                F.round(
+                    F.col("_sb") / F.col("n_docs")
+                    - F.col("_sr") / F.col("n_docs"),
+                    6,
+                ).alias("excess_anlp"),
+                "_prev",
+            )
+            .withColumn(
+                "weight",
+                F.round(
+                    F.col("_prev")
+                    * F.exp(F.lit(float(eta)) * F.col("excess_anlp")),
+                    6,
+                ),
+            )
+        )
+        tot = F.sum(F.col("weight").cast("decimal(18,6)")).over(
+            Window.partitionBy()
+        )
+        w = w.select(
+            F.lit(t).alias("round"),
+            "domain",
+            "n_selected",
+            "n_docs",
+            "excess_anlp",
+            "weight",
+            F.round(F.col("weight") / tot.cast("double"), 6).alias(
+                "mixture_share"
+            ),
+        ).localCheckpoint(eager=True)
+        # a domain whose docs are all too short to score never reaches
+        # the agg — carry its share forward instead of KeyError-ing
+        # the next round's budget (it still gets its >=1-doc floor)
+        shares = dict(shares)
+        shares.update(
+            {
+                r["domain"]: Decimal(str(r["mixture_share"]))
+                for r in w.collect()
+            }
+        )
+        per_round.append(w)
+    allr = per_round[0]
+    for df in per_round[1:]:
+        allr = allr.union(df)
+    avg = F.round(
+        F.sum(F.col("mixture_share").cast("decimal(18,6)"))
+        .over(Window.partitionBy("domain"))
+        .cast("double")
+        / F.lit(float(rounds)),
+        6,
+    )
+    return allr.withColumn("avg_share", avg)

@@ -310,7 +310,16 @@ independently-formulated alt oracle in tests/test_oracle.py (the
 round-14 pattern: different enumeration/rank/fold constructs, shared
 only where the formula is the operator's definition).
 
-Corpus: 234 entries, 228 with full oracles.
+x145 adds ITERATED DoReMi (round 15, the Algorithm-1 shape x142's
+single-round update approximates): T=2 rounds of proxy retraining on
+a domain-reweighted deterministic subsample (md5-rank budgets,
+floor(share×N) clamped to [1, domain size]), the multiplicative-
+weights update, and the paper's average-of-rounds output. The oracle
+replays the whole trajectory — three full LM chains plus two
+selection/normalization rounds — as chained CTEs; the only values
+crossing rounds are 6-decimal shares and exact decimal×N floors.
+
+Corpus: 235 entries, 229 with full oracles.
 """
 
 from __future__ import annotations

@@ -4970,7 +4970,7 @@ HAVING COUNT(*) >= 1
 # CTEs (the x84 machinery twice), then the per-domain excess-loss
 # means, exp weights, and the share normalization — exact DECIMAL
 # sums around every IEEE division, rounds at the same points the
-# operator rounds.
+# operator rounds. The ITERATED variant is x145 below.
 _q(
     "x142_doremi_domain_weights",
     spark=lambda spark, sf: LM.doremi_domain_weights(
@@ -5046,6 +5046,165 @@ SELECT domain, n_docs, excess_anlp,
        ROUND(CAST(weight AS DOUBLE)
              / CAST((SELECT SUM(weight) FROM w) AS DOUBLE), 6) AS mixture_share
 FROM w
+""",
+)
+
+
+def _x145_proxy_chain(tag: str, sel: str) -> str:
+    """CTE bundle for one iterated-DoReMi round: train an add-1
+    bigram LM on the ``sel`` doc_id selection (x142's chain with the
+    train side joined to the selection), score ALL documents, and
+    aggregate per-domain means next to the fixed reference scores."""
+    return f"""uc_{tag} AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM toks JOIN {sel} USING (doc_id)) u
+  GROUP BY w1
+), bc_{tag} AS (
+  SELECT w1, w2, COUNT(*) AS c2
+  FROM bis JOIN {sel} USING (doc_id) GROUP BY w1, w2
+), vv_{tag} AS (
+  SELECT COUNT(*) AS v FROM uc_{tag}
+), q_{tag} AS (
+  SELECT b.doc_id,
+         CAST(round(ln(CAST(COALESCE(bc_{tag}.c2, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(uc_{tag}.c1, 0)
+                              + 1 * (SELECT v FROM vv_{tag}) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS q
+  FROM bis b
+  LEFT JOIN bc_{tag} ON b.w1 = bc_{tag}.w1 AND b.w2 = bc_{tag}.w2
+  LEFT JOIN uc_{tag} ON b.w1 = uc_{tag}.w1
+), a_{tag} AS (
+  SELECT doc_id,
+         CAST(round(-(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS ab
+  FROM q_{tag} GROUP BY doc_id
+), j_{tag} AS (
+  SELECT t.source AS domain, a_{tag}.ab, a_r.ar
+  FROM (SELECT doc_id, source FROM documents) t
+  JOIN a_{tag} USING (doc_id) JOIN a_r USING (doc_id)
+), agg_{tag} AS (
+  SELECT domain, COUNT(*) AS n_docs,
+         CAST(SUM(ab) AS DOUBLE) / COUNT(*) AS mb,
+         CAST(SUM(ar) AS DOUBLE) / COUNT(*) AS mr
+  FROM j_{tag} GROUP BY domain
+)"""
+
+
+# Iterated DoReMi (round 15, verdict item 9 stretch): Algorithm 1's
+# multi-round shape — T=2 rounds of proxy retraining on a
+# domain-reweighted deterministic subsample (md5-rank per domain,
+# budget = floor(share × N) clamped to [1, domain size]) with the
+# multiplicative-weights update and the paper's average-of-rounds
+# output. The oracle replays the ENTIRE trajectory as chained CTEs:
+# the fixed reference LM chain once, then per round the selection
+# (ROW_NUMBER over the md5 key), the proxy LM train+score chain, the
+# per-domain excess means, the multiplicative weight, and the share
+# normalization — three full LM chains total (the kmeans/BPE
+# chained-replay pattern at its largest). Round-2 budgets derive from
+# round-1 shares via exact DECIMAL(18,6) × N floors, the only values
+# that cross rounds.
+_q(
+    "x145_doremi_iterated",
+    spark=lambda spark, sf: LM.doremi_domain_weights_iterated(
+        _docs(spark, sf), _docs(spark, sf).filter("doc_id % 7 = 0"), rounds=2
+    ),
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS w
+  FROM documents
+), bis AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM (SELECT doc_id, w, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+        FROM toks) s
+), uc_r AS (
+  SELECT w1, COUNT(*) AS c1
+  FROM (SELECT unnest(w) AS w1 FROM toks WHERE doc_id % 7 = 0) u GROUP BY w1
+), bc_r AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bis WHERE doc_id % 7 = 0 GROUP BY w1, w2
+), vv_r AS (
+  SELECT COUNT(*) AS v FROM uc_r
+), q_r AS (
+  SELECT b.doc_id,
+         CAST(round(ln(CAST(COALESCE(bc_r.c2, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(uc_r.c1, 0) + 1 * (SELECT v FROM vv_r)
+                              AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS q
+  FROM bis b
+  LEFT JOIN bc_r ON b.w1 = bc_r.w1 AND b.w2 = bc_r.w2
+  LEFT JOIN uc_r ON b.w1 = uc_r.w1
+), a_r AS (
+  SELECT doc_id,
+         CAST(round(-(CAST(SUM(q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6)
+              AS DECIMAL(18,6)) AS ar
+  FROM q_r GROUP BY doc_id
+), rk AS (
+  SELECT doc_id, source AS domain,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'),
+                                     doc_id) AS rk
+  FROM documents
+), dcnt AS (
+  SELECT domain, COUNT(*) AS cnt FROM rk GROUP BY domain
+), n1 AS (
+  SELECT dcnt.domain,
+         GREATEST(1, LEAST(dcnt.cnt, CAST(FLOOR(
+           CAST(ROUND(1.0 / (SELECT COUNT(*) FROM dcnt), 6) AS DECIMAL(18,6))
+           * (SELECT COUNT(*) FROM documents)) AS BIGINT))) AS nsel
+  FROM dcnt
+), sel1 AS (
+  SELECT rk.doc_id FROM rk JOIN n1 USING (domain) WHERE rk.rk <= n1.nsel
+), """
+    + _x145_proxy_chain("1", "sel1")
+    + r""", w1 AS (
+  SELECT a.domain, n1.nsel AS n_selected, a.n_docs,
+         ROUND(a.mb - a.mr, 6) AS excess_anlp,
+         ROUND(CAST(ROUND(1.0 / (SELECT COUNT(*) FROM dcnt), 6) AS DOUBLE)
+               * exp(1.0 * ROUND(a.mb - a.mr, 6)), 6) AS weight
+  FROM agg_1 a JOIN n1 ON a.domain = n1.domain
+), s1 AS (
+  SELECT domain, n_selected, n_docs, excess_anlp, weight,
+         ROUND(weight / CAST((SELECT SUM(CAST(weight AS DECIMAL(18,6)))
+                              FROM w1) AS DOUBLE), 6) AS mixture_share
+  FROM w1
+), n2 AS (
+  SELECT dcnt.domain,
+         GREATEST(1, LEAST(dcnt.cnt, CAST(FLOOR(
+           CAST(s1.mixture_share AS DECIMAL(18,6))
+           * (SELECT COUNT(*) FROM documents)) AS BIGINT))) AS nsel
+  FROM dcnt JOIN s1 USING (domain)
+), sel2 AS (
+  SELECT rk.doc_id FROM rk JOIN n2 USING (domain) WHERE rk.rk <= n2.nsel
+), """
+    + _x145_proxy_chain("2", "sel2")
+    + r""", w2 AS (
+  SELECT a.domain, n2.nsel AS n_selected, a.n_docs,
+         ROUND(a.mb - a.mr, 6) AS excess_anlp,
+         ROUND(s1.mixture_share * exp(1.0 * ROUND(a.mb - a.mr, 6)), 6)
+           AS weight
+  FROM agg_2 a JOIN n2 ON a.domain = n2.domain
+               JOIN s1 ON a.domain = s1.domain
+), s2 AS (
+  SELECT domain, n_selected, n_docs, excess_anlp, weight,
+         ROUND(weight / CAST((SELECT SUM(CAST(weight AS DECIMAL(18,6)))
+                              FROM w2) AS DOUBLE), 6) AS mixture_share
+  FROM w2
+), u AS (
+  SELECT 1 AS round, domain, n_selected, n_docs, excess_anlp, weight,
+         mixture_share
+  FROM s1
+  UNION ALL
+  SELECT 2, domain, n_selected, n_docs, excess_anlp, weight, mixture_share
+  FROM s2
+)
+SELECT CAST(round AS INT) AS round, domain,
+       CAST(n_selected AS BIGINT) AS n_selected,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       excess_anlp, weight, mixture_share,
+       ROUND(CAST(SUM(CAST(mixture_share AS DECIMAL(18,6)))
+                  OVER (PARTITION BY domain) AS DOUBLE) / 2.0, 6)
+         AS avg_share
+FROM u
 """,
 )
 

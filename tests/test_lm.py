@@ -922,3 +922,58 @@ def test_doremi_domain_weights_semantics(spark):
     assert out["clean"].n_docs == 30 and out["junk"].n_docs == 30
     assert out["clean"].mixture_share > out["junk"].mixture_share
     assert abs(out["clean"].mixture_share + out["junk"].mixture_share - 1.0) < 1e-5
+
+
+def test_doremi_iterated_trajectory_semantics(spark, sf_dir):
+    """Iterated DoReMi structural invariants: one row per
+    (round, domain); per-round shares normalize to ~1; avg_share is
+    the across-rounds mean of the 6-rounded shares; every round-1
+    budget is the uniform floor(N/D) clamp and every round-2 budget
+    derives from round-1 shares; rounds<1 fails loudly."""
+    import math
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from csvb_spark.operators.lm import doremi_domain_weights_iterated
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.filter("doc_id % 7 = 0")
+    out = doremi_domain_weights_iterated(docs, target, rounds=2).collect()
+    n_total = docs.count()
+    domains = {r.domain for r in out}
+    assert len(out) == 2 * len(domains)
+    by_round: dict[int, list] = {}
+    for r in out:
+        by_round.setdefault(r.round, []).append(r)
+    assert set(by_round) == {1, 2}
+    for t, rows in by_round.items():
+        s = sum(Decimal(str(r.mixture_share)) for r in rows)
+        assert abs(float(s) - 1.0) < 1e-4, (t, s)  # 6-dec rounding slack
+        for r in rows:
+            assert 1 <= r.n_selected <= n_total
+            assert math.isfinite(r.excess_anlp)
+    # round-1 budgets are the uniform clamp
+    share0 = Decimal(1) / Decimal(len(domains))
+    for r in by_round[1]:
+        assert r.n_selected <= int(
+            Decimal(str(round(float(share0), 6))) * n_total
+        ) + 1
+    # avg_share = mean of the two 6-rounded shares, same on both rows
+    shares = {
+        (r.round, r.domain): Decimal(str(r.mixture_share)) for r in out
+    }
+    from decimal import ROUND_HALF_UP
+
+    for r in out:
+        # Spark F.round is HALF_UP — python round() is banker's and
+        # disagrees on exact 7th-decimal ties like 0.0477415
+        mean = (shares[(1, r.domain)] + shares[(2, r.domain)]) / 2
+        want = float(
+            Decimal(str(float(mean))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert abs(r.avg_share - want) < 1e-9, r
+    with _pytest.raises(ValueError, match="rounds"):
+        doremi_domain_weights_iterated(docs, target, rounds=0)
