@@ -848,19 +848,33 @@ def _bench_federation(spark, sf_dir: str) -> dict:
                     cwd=repo,
                 )
             )
-        addrs = []
-        for proc in procs:  # both JVMs boot in parallel; then read
+        import threading
+
+        def _read_announce(proc, out: list) -> None:
             for line in proc.stdout:
                 m = re.search(r"pgwire listening on ([\d.]+):(\d+)", line)
                 if m:
-                    addrs.append(
+                    out.append(
                         f"postgresql://bench@{m.group(1)}:{m.group(2)}/db"
                     )
-                    break
-            else:
+                    return
+
+        addrs = []
+        for proc in procs:  # both JVMs boot in parallel; then read
+            got: list = []
+            # a shard JVM that boots but never binds would otherwise
+            # hang the whole bench on this blocking read — deadline it
+            th = threading.Thread(
+                target=_read_announce, args=(proc, got), daemon=True
+            )
+            th.start()
+            th.join(timeout=180)
+            if not got:
                 raise RuntimeError(
-                    "shard serve process exited before announcing its port"
+                    "shard serve process did not announce its port "
+                    "within 180s (exited or hung during JVM boot)"
                 )
+            addrs.append(got[0])
         pred = "o_orderkey % 100 = 0"  # ~1% selectivity
         cols = ["o_orderkey", "o_totalprice"]
 
