@@ -1159,12 +1159,27 @@ def decode_media_features(media: DataFrame) -> DataFrame:
                     decoded=True,
                 )
                 return row
-            dt = {1: _np.uint8, 2: _np.int16, 4: _np.int32}.get(sw)
-            if dt is None:
-                return _null_row(doc_id, p)
-            x = _np.frombuffer(raw, dtype=dt).astype(_np.float64)
-            if sw == 1:
-                x = x - 128.0
+            if sw == 3:
+                # 24-bit PCM: no numpy dtype — compose little-endian
+                # triples and sign-extend (found by the pluck-pcm24
+                # external golden; stdlib wave hands the raw bytes
+                # through with sampwidth 3)
+                b3 = (
+                    _np.frombuffer(raw, dtype=_np.uint8)
+                    .reshape(-1, 3)
+                    .astype(_np.int64)
+                )
+                xi = b3[:, 0] | (b3[:, 1] << 8) | (b3[:, 2] << 16)
+                x = _np.where(xi >= 1 << 23, xi - (1 << 24), xi).astype(
+                    _np.float64
+                )
+            else:
+                dt = {1: _np.uint8, 2: _np.int16, 4: _np.int32}.get(sw)
+                if dt is None:
+                    return _null_row(doc_id, p)
+                x = _np.frombuffer(raw, dtype=dt).astype(_np.float64)
+                if sw == 1:
+                    x = x - 128.0
             full = float(2 ** (8 * sw - 1))
             x = x / full
             row = _null_row(doc_id, p)
