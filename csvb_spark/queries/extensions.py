@@ -19,6 +19,7 @@ from csvb_spark.operators import (
     search,
     sessions,
     similarity,
+    sketch,
     skew,
     splits,
     temporal,
@@ -5205,6 +5206,124 @@ SELECT CAST(round AS INT) AS round, domain,
                   OVER (PARTITION BY domain) AS DOUBLE) / 2.0, 6)
          AS avg_share
 FROM u
+""",
+)
+
+# --- round 15: KMV cardinality/overlap sketches -------------------------
+# The distinct-count and cross-corpus-overlap questions at 100 TB,
+# answered from k=256 values per corpus (operators/sketch.py: map-only
+# per-partition k-min + a TakeOrderedAndProject merge — the corpus
+# never shuffles). Unlike engine-native HLL (x41, rows-only by
+# necessity), KMV over the house md5 hash is EXACTLY replayable in
+# SQL: the oracles rebuild the k-min sketch with ORDER BY/LIMIT and
+# the fixed-order (k-1)*2^52/h_(k) estimator — hash-match, not
+# tolerance-match. 255 << 52 = 1148417904979476480, exact in a double.
+_KMV_SCALE = float(255 << 52)
+
+_q(
+    "x146_kmv_distinct_shingles",
+    spark=lambda spark, sf: sketch.kmv_distinct(
+        _docs(spark, sf).select(
+            F.explode(text.word_grams_full("text", 5)).alias("g")
+        ),
+        "g",
+        k=256,
+    ),
+    doc="KMV distinct-count estimate of the corpus word-5-shingle set",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                     '\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+         FOR i IN generate_series(1, greatest(len(w) - 4, 0))])) AS g
+  FROM toks
+), hs AS (
+  SELECT DISTINCT ('0x' || substr(md5(g || ':42'), 1, 13))::BIGINT AS h
+  FROM sh
+), sk AS (
+  SELECT h FROM hs ORDER BY h LIMIT 256
+)
+SELECT 256 AS k, COUNT(*)::BIGINT AS n_sketch, MAX(h) AS kth_min,
+       ROUND(CASE WHEN COUNT(*) < 256 THEN COUNT(*)::DOUBLE
+                  ELSE {_KMV_SCALE!r} / CAST(MAX(h) AS DOUBLE) END, 4)
+         AS est_distinct
+FROM sk
+""",
+)
+
+_q(
+    "x147_kmv_overlap_halves",
+    spark=lambda spark, sf: sketch.kmv_overlap(
+        _docs(spark, sf)
+        .filter("doc_id % 2 = 0")
+        .select(F.explode(text.word_grams_full("text", 3)).alias("g")),
+        _docs(spark, sf)
+        .filter("doc_id % 2 = 1")
+        .select(F.explode(text.word_grams_full("text", 3)).alias("g")),
+        "g",
+        k=256,
+    ),
+    doc="KMV Jaccard/union/intersection estimate between two corpus halves",
+    oracle=rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                     '\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+         FOR i IN generate_series(1, greatest(len(w) - 2, 0))])) AS g
+  FROM toks
+), ska AS (
+  SELECT h FROM (SELECT DISTINCT
+                   ('0x' || substr(md5(g || ':42'), 1, 13))::BIGINT AS h
+                 FROM grams WHERE doc_id % 2 = 0)
+  ORDER BY h LIMIT 256
+), skb AS (
+  SELECT h FROM (SELECT DISTINCT
+                   ('0x' || substr(md5(g || ':42'), 1, 13))::BIGINT AS h
+                 FROM grams WHERE doc_id % 2 = 1)
+  ORDER BY h LIMIT 256
+), uu AS (
+  SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+  ORDER BY h LIMIT 256
+), tag AS (
+  SELECT 'a' AS side, h FROM ska UNION ALL
+  SELECT 'b', h FROM skb UNION ALL
+  SELECT 'u', h FROM uu
+), per AS (
+  SELECT h,
+         MAX(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ia,
+         MAX(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS ib,
+         MAX(CASE WHEN side = 'u' THEN 1 ELSE 0 END) AS iu
+  FROM tag GROUP BY h
+), st AS (
+  SELECT SUM(ia)::BIGINT AS n_a, MAX(CASE WHEN ia = 1 THEN h END) AS kth_a,
+         SUM(ib)::BIGINT AS n_b, MAX(CASE WHEN ib = 1 THEN h END) AS kth_b,
+         SUM(iu)::BIGINT AS n_u, MAX(CASE WHEN iu = 1 THEN h END) AS kth_u,
+         SUM(ia * ib * iu)::BIGINT AS n_both
+  FROM per
+)
+SELECT 256 AS k, n_a, n_b, n_u, n_both,
+  ROUND(CASE WHEN n_a < 256 THEN n_a::DOUBLE
+             ELSE {_KMV_SCALE!r} / CAST(kth_a AS DOUBLE) END, 4)
+    AS est_distinct_a,
+  ROUND(CASE WHEN n_b < 256 THEN n_b::DOUBLE
+             ELSE {_KMV_SCALE!r} / CAST(kth_b AS DOUBLE) END, 4)
+    AS est_distinct_b,
+  ROUND(CASE WHEN n_u < 256 THEN n_u::DOUBLE
+             ELSE {_KMV_SCALE!r} / CAST(kth_u AS DOUBLE) END, 4)
+    AS est_union,
+  ROUND(CASE WHEN n_u > 0 THEN n_both::DOUBLE / n_u::DOUBLE
+             ELSE 0.0 END, 6) AS est_jaccard,
+  ROUND((CASE WHEN n_u > 0 THEN n_both::DOUBLE / n_u::DOUBLE ELSE 0.0 END)
+        * (CASE WHEN n_u < 256 THEN n_u::DOUBLE
+                ELSE {_KMV_SCALE!r} / CAST(kth_u AS DOUBLE) END), 4)
+    AS est_intersection
+FROM st
 """,
 )
 
