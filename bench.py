@@ -638,6 +638,12 @@ SF10_OPS = (
     # word-13 decontamination unit is scale-measured separately in
     # the bloom-regime A/B (fixed eval suite — its realistic regime).
     "x142_doremi_domain_weights",
+    # round 15: the KMV sketch family's whole reason to exist is the
+    # no-shuffle cost law (per-partition k-min partials + a
+    # TakeOrderedAndProject merge over partitions*k candidates) — the
+    # sf10 row proves the distinct-count estimate stays scan-bound
+    # while exact DISTINCT's shuffle grows with the corpus
+    "x146_kmv_distinct_shingles",
 )
 
 
