@@ -69,6 +69,7 @@ class _PgConn:
             ) from e
         self.sock.settimeout(timeout)
         self.buf = b""
+        self.pos = 0  # consumed prefix of buf — see _recv_exact
         params = (
             b"user\x00" + user.encode() + b"\x00"
             b"database\x00" + database.encode() + b"\x00\x00"
@@ -82,12 +83,20 @@ class _PgConn:
                 break
 
     def _recv_exact(self, n: int) -> bytes:
-        while len(self.buf) < n:
+        # consume via an offset instead of re-slicing the tail: a
+        # DataRow is three reads, and `buf = buf[n:]` re-copies the
+        # whole unread buffer on each — O(buffer) per MESSAGE. The
+        # offset makes it O(buffer) per RECV (one compaction when the
+        # buffer runs dry), the same fix as the server's bytearray
+        # accumulators.
+        while len(self.buf) - self.pos < n:
             chunk = self.sock.recv(65536)
             if not chunk:
                 raise ConnectionError("server closed")
-            self.buf += chunk
-        out, self.buf = self.buf[:n], self.buf[n:]
+            self.buf = self.buf[self.pos :] + chunk
+            self.pos = 0
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
         return out
 
     def _read_msg(self) -> tuple[bytes, bytes]:
