@@ -128,6 +128,100 @@ _X75_Q_CTE = r"""
 """
 
 ALT_ORACLES = {
+    # round 15: the KMV sketch entries' primary oracles build each
+    # k-min set with DISTINCT + ORDER BY/LIMIT and (x147) derive the
+    # membership flags through a tag/union/group pivot. These reach
+    # every number by a different route: ROW_NUMBER ranks instead of
+    # LIMIT, and correlated EXISTS membership instead of the pivot.
+    # The estimator arithmetic is the spec and stays identical.
+    "x146_kmv_distinct_shingles": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                     '\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+         FOR i IN generate_series(1, greatest(len(w) - 4, 0))])) AS g
+  FROM toks
+), hs AS (
+  SELECT DISTINCT ('0x' || substr(md5(g || ':42'), 1, 13))::BIGINT AS h
+  FROM sh
+), rk AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hs
+), sk AS (
+  SELECT h FROM rk WHERE rn <= 256
+)
+SELECT 256 AS k, COUNT(*)::BIGINT AS n_sketch, MAX(h) AS kth_min,
+       ROUND(CASE WHEN COUNT(*) < 256 THEN COUNT(*)::DOUBLE
+                  ELSE 1148417904979476480.0 / CAST(MAX(h) AS DOUBLE) END, 4)
+         AS est_distinct
+FROM sk
+""",
+    "x147_kmv_overlap_halves": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                     '\s+'), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+         FOR i IN generate_series(1, greatest(len(w) - 2, 0))])) AS g
+  FROM toks
+), ska AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT
+            ('0x' || substr(md5(g || ':42'), 1, 13))::BIGINT AS h
+          FROM grams WHERE doc_id % 2 = 0)
+  ) WHERE rn <= 256
+), skb AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT
+            ('0x' || substr(md5(g || ':42'), 1, 13))::BIGINT AS h
+          FROM grams WHERE doc_id % 2 = 1)
+  ) WHERE rn <= 256
+), uu AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+  ) WHERE rn <= 256
+), per AS (
+  SELECT u.h,
+         CASE WHEN EXISTS (SELECT 1 FROM ska a WHERE a.h = u.h)
+              THEN 1 ELSE 0 END AS ia,
+         CASE WHEN EXISTS (SELECT 1 FROM skb b WHERE b.h = u.h)
+              THEN 1 ELSE 0 END AS ib
+  FROM uu u
+), st AS (
+  SELECT (SELECT COUNT(*) FROM ska)::BIGINT AS n_a,
+         (SELECT MAX(h) FROM ska) AS kth_a,
+         (SELECT COUNT(*) FROM skb)::BIGINT AS n_b,
+         (SELECT MAX(h) FROM skb) AS kth_b,
+         COUNT(*)::BIGINT AS n_u,
+         MAX(h) AS kth_u,
+         SUM(ia * ib)::BIGINT AS n_both
+  FROM per
+)
+SELECT 256 AS k, n_a, n_b, n_u, n_both,
+  ROUND(CASE WHEN n_a < 256 THEN n_a::DOUBLE
+             ELSE 1148417904979476480.0 / CAST(kth_a AS DOUBLE) END, 4)
+    AS est_distinct_a,
+  ROUND(CASE WHEN n_b < 256 THEN n_b::DOUBLE
+             ELSE 1148417904979476480.0 / CAST(kth_b AS DOUBLE) END, 4)
+    AS est_distinct_b,
+  ROUND(CASE WHEN n_u < 256 THEN n_u::DOUBLE
+             ELSE 1148417904979476480.0 / CAST(kth_u AS DOUBLE) END, 4)
+    AS est_union,
+  ROUND(CASE WHEN n_u > 0 THEN n_both::DOUBLE / n_u::DOUBLE
+             ELSE 0.0 END, 6) AS est_jaccard,
+  ROUND((CASE WHEN n_u > 0 THEN n_both::DOUBLE / n_u::DOUBLE ELSE 0.0 END)
+        * (CASE WHEN n_u < 256 THEN n_u::DOUBLE
+                ELSE 1148417904979476480.0 / CAST(kth_u AS DOUBLE) END), 4)
+    AS est_intersection
+FROM st
+""",
     "x75_budget_select": f"""
 WITH q AS ({_X75_Q_CTE})
 SELECT doc_id, quality_score, n_tokens,
