@@ -103,6 +103,92 @@ def kmv_sketch(
     return cand.dropDuplicates(["h"]).orderBy("h").limit(kk)
 
 
+def kmv_sketch_by(
+    df: DataFrame,
+    value_col: str | Column,
+    group_col: str,
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group KMV sketches: for each value of ``group_col``, the k
+    smallest distinct hashes of ``value_col`` — columns
+    ``(group_col, h)``. The per-partition partial keeps a running
+    k-min set PER GROUP (pandas groupby with ``dropna=False``, so a
+    NULL group is a group like any other — SQL semantics); the merge
+    is one small window rank over ≤ groups×partitions×k candidates.
+    This is the "vocabulary size per domain" shape: group count is
+    assumed bounded (domains/sources/languages), values are not."""
+    kk = int(k)
+    if kk < 1:
+        raise ValueError(f"kmv_sketch_by: k must be >= 1, got {k}")
+    gt = df.schema[group_col].dataType.simpleString()
+    h = df.select(
+        F.col(group_col).alias("g_"), kmv_hash(value_col, seed).alias("h")
+    ).where(F.col("h").isNotNull())
+
+    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        best: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby("g_", dropna=False, sort=False):
+                v = sub["h"].to_numpy()
+                cur = best.get(g)
+                merged = v if cur is None else _np.concatenate([cur, v])
+                best[g] = _np.unique(merged)[:kk]
+        if best:
+            yield _pd.DataFrame(
+                {
+                    "g_": _np.repeat(
+                        _np.array(list(best), dtype=object),
+                        [len(v) for v in best.values()],
+                    ),
+                    "h": _np.concatenate(list(best.values())),
+                }
+            )
+
+    cand = h.mapInPandas(_partial, f"g_ {gt}, h bigint")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("g_").orderBy("h")
+    return (
+        cand.dropDuplicates(["g_", "h"])
+        .withColumn("rn_", F.row_number().over(w))
+        .filter(F.col("rn_") <= kk)
+        .select(F.col("g_").alias(group_col), "h")
+    )
+
+
+def kmv_distinct_by(
+    df: DataFrame,
+    value_col: str | Column,
+    group_col: str,
+    k: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-group distinct-count estimates: one row per group —
+    ``group_col, k, n_sketch, kth_min, est_distinct`` (same estimator
+    and rounding as :func:`kmv_distinct`)."""
+    sk = kmv_sketch_by(df, value_col, group_col, k, seed)
+    return (
+        sk.groupBy(group_col)
+        .agg(
+            F.count("h").alias("n_sketch"),
+            F.max("h").alias("kth_min"),
+        )
+        .select(
+            group_col,
+            F.lit(int(k)).alias("k"),
+            F.col("n_sketch").cast("bigint").alias("n_sketch"),
+            "kth_min",
+            F.round(_est_expr("n_sketch", "kth_min", int(k)), 4).alias(
+                "est_distinct"
+            ),
+        )
+    )
+
+
 def _est_expr(n_col: str, kth_col: str, k: int) -> Column:
     """The Beyer et al. unbiased estimator as a fixed-order double
     expression: (k-1)·2^52 / h_(k) when the sketch is full, else the

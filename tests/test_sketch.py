@@ -115,3 +115,67 @@ def test_kmv_validates_k(spark):
 
     with pytest.raises(ValueError, match="k must be >= 1"):
         kmv_sketch(_vals(spark, 10), "v", k=0)
+
+
+def test_kmv_by_group_exact_below_k(spark):
+    """Grouped sketches: each group with fewer than k distinct values
+    gets an exact estimate; groups are independent."""
+    from pyspark.sql import functions as F2
+
+    df = (
+        spark.range(300)
+        .repartition(8)
+        .select(
+            (F2.col("id") % 3).cast("string").alias("grp"),
+            F2.concat(F2.lit("v"), F2.col("id").cast("string")).alias("v"),
+        )
+    )
+    from csvb_spark.operators.sketch import kmv_distinct_by
+
+    rows = {r.grp: r for r in kmv_distinct_by(df, "v", "grp", k=256).collect()}
+    assert set(rows) == {"0", "1", "2"}
+    for g, r in rows.items():
+        assert (r.n_sketch, r.est_distinct) == (100, 100.0), g
+
+
+def test_kmv_by_group_partition_invariance(spark):
+    """The per-group per-partition partial + window merge must equal
+    the single-partition result group by group."""
+    from csvb_spark.operators.sketch import kmv_sketch_by
+
+    def build(parts):
+        from pyspark.sql import functions as F2
+
+        return (
+            spark.range(6000)
+            .repartition(parts)
+            .select(
+                (F2.col("id") % 4).cast("string").alias("grp"),
+                F2.concat(F2.lit("v"), F2.col("id").cast("string")).alias("v"),
+            )
+        )
+
+    r1 = sorted(
+        (r.grp, r.h) for r in kmv_sketch_by(build(1), "v", "grp", k=32).collect()
+    )
+    r16 = sorted(
+        (r.grp, r.h)
+        for r in kmv_sketch_by(build(16), "v", "grp", k=32).collect()
+    )
+    assert r1 == r16 and len(r1) == 4 * 32
+
+
+def test_kmv_by_group_null_group_is_a_group(spark):
+    """A NULL group key behaves like any other group (SQL GROUP BY
+    semantics — pandas groupby runs with dropna=False)."""
+    from pyspark.sql import functions as F2
+
+    from csvb_spark.operators.sketch import kmv_distinct_by
+
+    df = spark.range(200).select(
+        F2.when(F2.col("id") % 2 == 0, F2.lit("even")).alias("grp"),
+        F2.concat(F2.lit("v"), F2.col("id").cast("string")).alias("v"),
+    )
+    rows = {r.grp: r for r in kmv_distinct_by(df, "v", "grp", k=256).collect()}
+    assert set(rows) == {"even", None}
+    assert rows[None].n_sketch == 100 and rows[None].est_distinct == 100.0
