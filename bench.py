@@ -863,7 +863,13 @@ def _bench_federation(spark, sf_dir: str) -> dict:
                     out.append(
                         f"postgresql://bench@{m.group(1)}:{m.group(2)}/db"
                     )
-                    return
+                    break
+            # keep draining after the announce: stdout is a PIPE, and
+            # a shard that later logs >~64KB would block on a full
+            # pipe buffer mid-query with no timeout guarding it (the
+            # daemon thread dies with the bench process)
+            for _ in proc.stdout:
+                pass
 
         addrs = []
         for proc in procs:  # both JVMs boot in parallel; then read

@@ -1524,12 +1524,24 @@ def doremi_domain_weights_iterated(
         # a domain whose docs are all too short to score never reaches
         # the agg — carry its share forward instead of KeyError-ing
         # the next round's budget (it still gets its >=1-doc floor)
+        rows_t = w.collect()
+        import math as _math
+
+        if any(
+            r["mixture_share"] is None or _math.isnan(r["mixture_share"])
+            for r in rows_t
+        ):
+            # every weight rounded to 0 at 6 decimals → Σ = 0 and the
+            # share divides 0/0 (NaN), which would poison the next
+            # round's Decimal budget arithmetic with InvalidOperation
+            raise ValueError(
+                f"doremi_domain_weights_iterated: all round-{t} domain"
+                f" weights rounded to 0 at 6 decimals (eta={eta} is too"
+                " large for the observed excess losses); lower eta"
+            )
         shares = dict(shares)
         shares.update(
-            {
-                r["domain"]: Decimal(str(r["mixture_share"]))
-                for r in w.collect()
-            }
+            {r["domain"]: Decimal(str(r["mixture_share"])) for r in rows_t}
         )
         per_round.append(w)
     allr = per_round[0]

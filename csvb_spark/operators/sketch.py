@@ -168,8 +168,10 @@ def kmv_distinct_by(
     seed: int = 42,
 ) -> DataFrame:
     """Per-group distinct-count estimates: one row per group —
-    ``group_col, k, n_sketch, kth_min, est_distinct`` (same estimator
-    and rounding as :func:`kmv_distinct`)."""
+    ``group_col, k, n_sketch, kth_min, est_distinct`` (same estimator,
+    rounding, and k >= 2 rule as :func:`kmv_distinct`)."""
+    if int(k) < 2:
+        raise ValueError(f"kmv_distinct_by: k must be >= 2, got {k}")
     sk = kmv_sketch_by(df, value_col, group_col, k, seed)
     return (
         sk.groupBy(group_col)
@@ -207,7 +209,13 @@ def kmv_distinct(
 ) -> DataFrame:
     """Distinct-count estimate of ``value_col``: one row —
     ``k, n_sketch, kth_min, est_distinct`` (estimate rounded to 4
-    decimals at the very end; everything before it is integer-exact)."""
+    decimals at the very end; everything before it is integer-exact).
+
+    Requires k >= 2: the (k-1)/U_(k) estimator degenerates to 0 at
+    k=1 (and its ~1/sqrt(k-2) error law is undefined below 3) — a
+    k=1 'sketch' is just a min-hash, build it with kmv_sketch."""
+    if int(k) < 2:
+        raise ValueError(f"kmv_distinct: k must be >= 2, got {k}")
     sk = kmv_sketch(df, value_col, k, seed)
     return (
         sk.agg(
@@ -237,31 +245,44 @@ def kmv_overlap(
     intersection estimates.
 
     k-min(A ∪ B) is computed from the two per-side sketches alone (the
-    KMV merge property), so the corpora are each read exactly once.
-    The three sketches (≤ 3k rows total) are tagged and combined in
-    ONE small groupBy — no cartesian join of single-row aggregates.
+    KMV merge property), so the corpora are each read exactly once —
+    each side's sketch lineage appears exactly once in the plan, and
+    union-sketch membership falls out of a rank over the combined
+    ≤ 2k distinct hashes in ONE small groupBy (no third union branch,
+    which would re-evaluate both corpus scans, and no cartesian join
+    of single-row aggregates).
     Jaccard is the Beyer et al. ratio |U ∩ sk(A) ∩ sk(B)| / |U|;
     the intersection estimate is that ratio times the union estimate,
     multiplied UNROUNDED (each output rounds independently at the
     end, which the SQL replay mirrors)."""
     kk = int(k)
+    if kk < 2:
+        raise ValueError(f"kmv_overlap: k must be >= 2, got {k}")
     ska = kmv_sketch(a, value_col, kk, seed)
     skb = kmv_sketch(b, value_col, kk, seed)
-    u = (
-        ska.unionByName(skb)
-        .dropDuplicates(["h"])
-        .orderBy("h")
-        .limit(kk)
+    # each side's sketch lineage is referenced exactly ONCE: the union
+    # sketch's membership (iu) is derived by ranking the combined
+    # distinct hashes (≤ 2k rows) rather than unioning in a third
+    # `u` branch — a separate branch re-evaluates each corpus scan
+    # (no ReusedExchange across mapInPandas lineages), which would
+    # double the read cost the sketch exists to avoid
+    tagged = ska.select(F.lit("a").alias("side"), "h").unionByName(
+        skb.select(F.lit("b").alias("side"), "h")
     )
-    tagged = (
-        ska.select(F.lit("a").alias("side"), "h")
-        .unionByName(skb.select(F.lit("b").alias("side"), "h"))
-        .unionByName(u.select(F.lit("u").alias("side"), "h"))
-    )
-    per_h = tagged.groupBy("h").agg(
-        F.max(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ia"),
-        F.max(F.when(F.col("side") == "b", 1).otherwise(0)).alias("ib"),
-        F.max(F.when(F.col("side") == "u", 1).otherwise(0)).alias("iu"),
+    from pyspark.sql.window import Window
+
+    per_h = (
+        tagged.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("side") == "a", 1).otherwise(0)).alias("ia"),
+            F.max(F.when(F.col("side") == "b", 1).otherwise(0)).alias("ib"),
+        )
+        .withColumn(
+            "iu",
+            F.when(
+                F.row_number().over(Window.orderBy("h")) <= kk, 1
+            ).otherwise(0),
+        )
     )
     stats = per_h.agg(
         F.sum("ia").cast("bigint").alias("n_a"),

@@ -319,7 +319,13 @@ replays the whole trajectory — three full LM chains plus two
 selection/normalization rounds — as chained CTEs; the only values
 crossing rounds are 6-decimal shares and exact decimal×N floors.
 
-Corpus: 235 entries, 229 with full oracles.
+Round 15, second session: KMV sketch family (x146 corpus distinct /
+x147 cross-half overlap / x148 per-source distinct) — map-only k-min
+partials + tiny merges, every estimate exact fixed-order arithmetic
+over 52-bit md5 hashes, so all three carry FULL DuckDB replays
+(x146/x147 also alt-oracled via ROW_NUMBER/EXISTS formulations).
+
+Corpus: 238 entries, 232 with full oracles.
 """
 
 from __future__ import annotations

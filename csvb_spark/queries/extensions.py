@@ -5169,11 +5169,18 @@ WITH toks AS (
                               FROM w1) AS DOUBLE), 6) AS mixture_share
   FROM w1
 ), n2 AS (
+  -- LEFT JOIN + COALESCE, not INNER: a domain whose docs are all
+  -- unscoreable (<2 tokens) never reaches agg_1/s1, but the operator
+  -- carries its share forward (initial uniform here) and its docs
+  -- still make the round-2 budget — an inner join would train a
+  -- different round-2 proxy in exactly that corner
   SELECT dcnt.domain,
          GREATEST(1, LEAST(dcnt.cnt, CAST(FLOOR(
-           CAST(s1.mixture_share AS DECIMAL(18,6))
+           CAST(COALESCE(s1.mixture_share,
+                         ROUND(1.0 / (SELECT COUNT(*) FROM dcnt), 6))
+                AS DECIMAL(18,6))
            * (SELECT COUNT(*) FROM documents)) AS BIGINT))) AS nsel
-  FROM dcnt JOIN s1 USING (domain)
+  FROM dcnt LEFT JOIN s1 USING (domain)
 ), sel2 AS (
   SELECT rk.doc_id FROM rk JOIN n2 USING (domain) WHERE rk.rk <= n2.nsel
 ), """

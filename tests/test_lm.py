@@ -977,3 +977,52 @@ def test_doremi_iterated_trajectory_semantics(spark, sf_dir):
         assert abs(r.avg_share - want) < 1e-9, r
     with _pytest.raises(ValueError, match="rounds"):
         doremi_domain_weights_iterated(docs, target, rounds=0)
+
+
+def test_doremi_iterated_unscoreable_domain_oracle_corner(spark, tmp_path):
+    """Round-15 review find: a domain whose docs are ALL too short to
+    score (single-token → no bigrams → NULL perplexity) never reaches
+    the round-1 aggregate, and the operator deliberately carries its
+    share forward while still budgeting its docs into the round-2
+    selection. The oracle's round-2 budget (n2) INNER-JOINed s1,
+    silently dropping that domain's docs from the round-2 proxy
+    corpus — the two engines trained different proxies in exactly the
+    corner the operator handles. n2 now LEFT JOINs with the
+    carried-forward (initial uniform) share; this synthetic corpus —
+    one all-singleton domain among two scoreable ones — hash-matches
+    the full trajectory through the real corpus entry."""
+    import duckdb
+
+    from csvb_spark.queries import corpus
+    from tests.oracle_compare import compare
+
+    rows = []
+    for i in range(90):
+        if i % 3 == 0:
+            txt = f"the quick brown fox jumps over the lazy dog {i}"
+            dom = "clean"
+        elif i % 3 == 1:
+            txt = f"zxq wvv qqj {i} kpf mmz jjx vvq zzt {i * 7} qqp"
+            dom = "junk"
+        else:
+            txt = "solo"  # one token: zero bigrams, unscoreable
+            dom = "tiny"
+        rows.append((i, txt, "en", dom, len(txt)))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sf_dir = str(tmp_path)
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    q = corpus()["x145_doremi_iterated"]
+    df = q.spark(spark, sf_dir)
+    # the unscoreable domain must be absent from the OUTPUT (no
+    # scored rows) while its docs still shaped the round-2 proxy
+    assert set(r.domain for r in df.collect()) == {"clean", "junk"}
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    problems = compare(q.spark(spark, sf_dir), con, q.oracle)
+    assert not problems, problems
