@@ -113,8 +113,21 @@ def test_kmv_half_overlap_jaccard(spark):
 def test_kmv_validates_k(spark):
     import pytest
 
+    from csvb_spark.operators.sketch import kmv_distinct_by
+
     with pytest.raises(ValueError, match="k must be >= 1"):
         kmv_sketch(_vals(spark, 10), "v", k=0)
+    # the estimators require k >= 2: (k-1)·2^52/h_(k) is constant 0
+    # at k=1 (a k=1 'sketch' is a min-hash, not a cardinality sketch)
+    df = _vals(spark, 10)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_distinct(df, "v", k=1)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_overlap(df, df, "v", k=1)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        kmv_distinct_by(
+            df.select(F.lit("g").alias("grp"), "v"), "v", "grp", k=1
+        )
 
 
 def test_kmv_by_group_exact_below_k(spark):
