@@ -304,3 +304,58 @@ def activity_heatmap(
         )
         .agg(F.count("*").alias("n_events"))
     )
+
+
+def ewma_value(
+    events: DataFrame,
+    alpha: float = 0.3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user exponentially weighted moving average of ``val_col``
+    over the event stream in time order: one row per user —
+    ``user_col, n_events, ewma`` (rounded to 6 decimals at the end).
+
+    y_1 = x_1 and y_t = (1-α)·y_{t-1} + α·x_t, folded LEFT-TO-RIGHT
+    over the (ts, id) total order — the fold order IS the spec, which
+    makes the result engine-portable: DuckDB replays it exactly with
+    ``list_reduce(list(value ORDER BY ts, event_id), ...)`` (the
+    first element is the init on both engines), so the x149 oracle
+    hash-matches bit-for-bit. A closed-form window formulation
+    (Σ α(1-α)^(t-i)·x_i) would be mathematically equal but
+    numerically different — fold, don't expand.
+
+    Scale shape: one shuffle on the user key, then per-user work is a
+    JVM-side array_sort + HOF fold inside codegen (no Python, no
+    window sort of the whole partition). Per-user event counts are
+    assumed session-scale (the collected array is per GROUP, not per
+    partition); events with NULL ts or value are ignored.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"ewma_value: alpha must be in (0, 1], got {alpha}")
+    e = events.filter(
+        F.col(val_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(id_col).alias("i"),
+                F.col(val_col).alias("v"),
+            )
+        )
+    )
+    g = e.groupBy(user_col).agg(arr.alias("_a"))
+    vs = F.transform(F.col("_a"), lambda s: s["v"])
+    y = F.aggregate(
+        F.slice(vs, 2, F.greatest(F.size(vs) - 1, F.lit(0))),
+        F.element_at(vs, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+    return g.select(
+        user_col,
+        F.size("_a").cast("bigint").alias("n_events"),
+        F.round(y, 6).alias("ewma"),
+    )

@@ -325,7 +325,9 @@ partials + tiny merges, every estimate exact fixed-order arithmetic
 over 52-bit md5 hashes, so all three carry FULL DuckDB replays
 (x146/x147 also alt-oracled via ROW_NUMBER/EXISTS formulations).
 
-Corpus: 238 entries, 232 with full oracles.
+Corpus: 239 entries, 233 with full oracles (x149: per-user
+EWMA — the left fold over the (ts, event_id) order is the spec,
+replayed exactly by DuckDB's list_reduce).
 """
 
 from __future__ import annotations

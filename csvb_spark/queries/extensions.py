@@ -5374,6 +5374,32 @@ FROM sk GROUP BY source
 """,
 )
 
+# --- round 15: per-user EWMA over the event stream ----------------------
+# The fold order IS the spec (y_1 = x_1; y_t = 0.7·y + 0.3·x over the
+# (ts, event_id) total order), so list_reduce replays Spark's
+# aggregate() HOF bit-for-bit — a closed-form window expansion would
+# be mathematically equal but numerically different.
+_q(
+    "x149_ewma_user_value",
+    spark=lambda spark, sf: sessions.ewma_value(_events(spark, sf), alpha=0.3),
+    doc="per-user exponentially weighted moving average of event value",
+    oracle=r"""
+WITH e AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+), l AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+         list(value ORDER BY ts, event_id) AS vs
+  FROM e GROUP BY user_id
+)
+SELECT user_id, n_events,
+       ROUND(list_reduce(vs, (acc, x) ->
+             acc * CAST(0.7 AS DOUBLE) + x * CAST(0.3 AS DOUBLE)), 6)
+         AS ewma
+FROM l
+""",
+)
+
 # --- driver-gate aliases (round 9) -----------------------------------
 # WINDOW MECHANICS (learned the hard way in r08): the driver's hard
 # CORRECTNESS gate grades the FIRST 50 NAME-SORTED queries() entries.

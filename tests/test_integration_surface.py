@@ -1705,3 +1705,49 @@ def test_cli_decontam_word_unit(spark, sf_dir, tmp_path, capsys):
     assert "n_shared_grams" in outs["exact"]
     # exactly the planted pair: train 1 x eval 10, one shared 13-gram
     assert " 1 " in outs["exact"] and " 10 " in outs["exact"]
+
+
+def test_ewma_value_fold_semantics(spark):
+    """EWMA spec by hand: y_1 = x_1, y_t = 0.7*y + 0.3*x over time
+    order; late-arriving rows sort by ts (not input order), ties
+    break on event_id, and NULL value/ts rows are ignored."""
+    import datetime as dt
+
+    from csvb_spark.operators.sessions import ewma_value
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1, deliberately out of input order
+        (3, t0 + dt.timedelta(minutes=2), 1, "c", 30.0, None),
+        (1, t0, 1, "a", 10.0, None),
+        (2, t0 + dt.timedelta(minutes=1), 1, "b", 20.0, None),
+        # user 2: one event and one NULL-value row (ignored)
+        (4, t0, 2, "a", 5.0, None),
+        (5, t0 + dt.timedelta(minutes=1), 2, "b", None, None),
+        # user 3: ts tie broken by event_id (6 before 7)
+        (7, t0, 3, "b", 100.0, None),
+        (6, t0, 3, "a", 0.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    out = {r.user_id: r for r in ewma_value(ev, alpha=0.3).collect()}
+    y1 = (10.0 * 0.7 + 20.0 * 0.3) * 0.7 + 30.0 * 0.3
+    assert out[1].n_events == 3 and out[1].ewma == round(y1, 6)
+    assert out[2].n_events == 1 and out[2].ewma == 5.0
+    assert out[3].n_events == 2 and out[3].ewma == round(0.0 * 0.7 + 100.0 * 0.3, 6)
+
+
+def test_ewma_value_validates_alpha(spark):
+    import pytest
+
+    from csvb_spark.operators.sessions import ewma_value
+
+    ev = spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, value double"
+    )
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="alpha must be in"):
+            ewma_value(ev, alpha=bad)
