@@ -224,8 +224,24 @@ def write_band_index(
     rate, never index size. One shuffle (repartition by bucket keeps
     one file per partition per write instead of one per task)."""
     b = minhash_bands(docs, text_col, num_perm, bands, shingle_words)
+    write_band_index_from_bands(b, path, n_buckets=n_buckets, mode=mode)
+
+
+def write_band_index_from_bands(
+    bands_df: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an ALREADY-COMPUTED :func:`minhash_bands` table in the
+    :func:`write_band_index` layout. Exists so a caller that has just
+    signed a batch for the :func:`dedup_incremental` probe can reuse
+    those band rows for the index append instead of re-shingling and
+    re-signing the same documents (the streaming sink signed every
+    micro-batch twice before round 15's optimization pass)."""
     (
-        b.withColumn("bucket", band_bucket("band_key", n_buckets))
+        bands_df.select("doc_id", "sig", "band_id", "band_key")
+        .withColumn("bucket", band_bucket("band_key", n_buckets))
         .repartition("bucket")
         .write.mode(mode)
         .partitionBy("bucket")
@@ -415,6 +431,7 @@ def dedup_incremental(
     min_jaccard: float = 0.5,
     corpus_bands: DataFrame | None = None,
     n_buckets: int = 64,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup lookup of a NEW batch against an EXISTING corpus:
     (new_doc_id, corpus_doc_id, est_jaccard, jaccard) for every new
@@ -432,8 +449,18 @@ def dedup_incremental(
     duplicate always collides (identical signature → identical band
     keys in every band), so exact dups are never missed; near-dups
     follow the standard LSH recall curve.
+
+    Pass ``new_bands`` (a :func:`minhash_bands` table over
+    ``new_docs``) to skip re-signing the batch — the streaming sink
+    signs each micro-batch once and reuses the rows here AND for the
+    index append (round-15 optimization; signatures are deterministic,
+    so the result is identical either way).
     """
-    nb = minhash_bands(new_docs, text_col, num_perm, bands, shingle_words).select(
+    if new_bands is None:
+        new_bands = minhash_bands(
+            new_docs, text_col, num_perm, bands, shingle_words
+        )
+    nb = new_bands.select(
         F.col("doc_id").alias("new_doc_id"),
         F.col("sig").alias("sig_n"),
         "band_id",

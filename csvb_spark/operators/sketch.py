@@ -84,20 +84,53 @@ def kmv_sketch(
         F.col("h").isNotNull()
     )
 
-    def _partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # Arrow-native partial (round-15 optimization pass): the old
+    # mapInPandas form ran np.unique (a full sort) over EVERY batch —
+    # at sf10 that was ~15k sorted merges per partition set, and the
+    # per-batch pandas wrapping was pure overhead for a single int64
+    # column. This form (a) reads each Arrow batch as a zero-copy
+    # numpy view, (b) drops everything above the current k-th-smallest
+    # candidate with one vectorized compare BEFORE any sort — after
+    # the first few batches almost nothing survives, so the append
+    # buffer stays tiny — and (c) compacts (sort + dedup + cut to k)
+    # only when the buffer has actually grown. Identical output: the
+    # k smallest distinct values of a union are invariant to when the
+    # dedup/cut happens, and values above a known k-th-smallest
+    # candidate can never enter the k-min set.
+    def _partial(batches):
         import numpy as _np
-        import pandas as _pd
+        import pyarrow as _pa
 
-        best = None
-        for pdf in batches:
-            v = pdf["h"].to_numpy()
-            merged = v if best is None else _np.concatenate([best, v])
-            # unique() sorts ascending, so [:kk] IS the k-min set
-            best = _np.unique(merged)[:kk]
+        buf: list = []
+        n_buf = 0
+        best = None  # sorted, deduped, ≤ kk values
+        cutoff = None  # best[kk-1] once the sketch is full
+
+        def _compact():
+            nonlocal buf, n_buf, best, cutoff
+            parts = ([best] if best is not None else []) + buf
+            best = _np.unique(_np.concatenate(parts))[:kk]
+            buf, n_buf = [], 0
+            if len(best) >= kk:
+                cutoff = best[kk - 1]
+
+        for rb in batches:
+            v = rb.column(0).to_numpy(zero_copy_only=False)
+            if cutoff is not None:
+                v = v[v <= cutoff]
+            if len(v):
+                buf.append(v)
+                n_buf += len(v)
+                if n_buf >= max(4 * kk, 4096):
+                    _compact()
+        if buf:
+            _compact()
         if best is not None and len(best):
-            yield _pd.DataFrame({"h": best})
+            yield _pa.RecordBatch.from_arrays(
+                [_pa.array(best, type=_pa.int64())], names=["h"]
+            )
 
-    cand = h.mapInPandas(_partial, "h bigint")
+    cand = h.mapInArrow(_partial, "h bigint")
     # candidates from different partitions can repeat a hash — distinct
     # BEFORE the global k-min, both over ≤ partitions×k rows
     return cand.dropDuplicates(["h"]).orderBy("h").limit(kk)

@@ -168,6 +168,17 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
+def pii_redact_col(text: Column) -> Column:
+    """The redaction rewrite alone, as a Column — for callers that
+    only need the redacted text (the streaming sink projects this
+    directly onto the batch instead of computing the count columns
+    and joining them back on doc_id; round-15 optimization)."""
+    redacted = text
+    for kind, pat in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    return redacted
+
+
 def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails / phone numbers / IPv4s, keeping per-kind match
     counts (counted on the ORIGINAL text, before any rewriting, so
@@ -179,10 +190,9 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0))).alias(f"n_{kind}")
         for kind, pat in PII_PATTERNS.items()
     ]
-    redacted = text
-    for kind, pat in PII_PATTERNS.items():
-        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
-    return docs.select("doc_id", *counts, redacted.alias("redacted"))
+    return docs.select(
+        "doc_id", *counts, pii_redact_col(text).alias("redacted")
+    )
 
 
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

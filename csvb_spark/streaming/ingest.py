@@ -356,12 +356,28 @@ def _sink_batch(
     quota, and append survivors to the corpus/index/quota sinks.
     ``gated`` arrives persisted (see _accept_batch)."""
     spark = batch.sparkSession
-    redacted = gated.join(
-        T.pii_redact(gated, text_col).select("doc_id", "redacted"), "doc_id"
+    # redacted text is a PROJECTION of gated, not a join: pii_redact's
+    # rewrite chain is map-only, so computing it as a column avoids
+    # one doc_id join per micro-batch (round-15 optimization; the
+    # count columns pii_redact also emits are unused here)
+    redacted = gated.withColumn(
+        "redacted", T.pii_redact_col(F.col(text_col))
     ).drop("quality_score")
 
     # 2. within-batch exact dedup (keep lowest doc_id per digest)
     deduped = D.exact_dedup(redacted, text_col)
+
+    # Sign the batch ONCE (round-15 optimization): the near-dup probe
+    # and the index append both need the batch's MinHash band rows,
+    # and before this pass each derived them independently — every
+    # micro-batch was shingled + hashed + signed twice. Materialize
+    # the (doc_id, sig, band_id, band_key) table once (bounded by
+    # batch size × bands — fixed-width rows); the probe consumes it
+    # via dedup_incremental(new_bands=...) and the index write reuses
+    # the surviving rows via write_band_index_from_bands.
+    batch_bands = D.minhash_bands(
+        deduped, text_col, num_perm, bands
+    ).localCheckpoint(eager=True)
 
     # 3. cross-batch near-dup reject against the persisted index
     have_index = os.path.isdir(index_dir) and any(
@@ -380,6 +396,7 @@ def _sink_batch(
             bands=bands,
             min_jaccard=min_jaccard,
             corpus_bands=idx,
+            new_bands=batch_bands,
         ).select("new_doc_id")
         accepted = deduped.join(
             hits, deduped["doc_id"] == hits["new_doc_id"], "left_anti"
@@ -446,8 +463,14 @@ def _sink_batch(
         if accepted.count() == 0:
             return
         accepted.write.mode("append").parquet(corpus_dir)
-        D.write_band_index(
-            accepted, index_dir, text_col, num_perm, bands, mode="append"
+        # reuse the batch's band rows (signed once above) — only the
+        # accepted documents' rows land in the index
+        D.write_band_index_from_bands(
+            batch_bands.join(
+                accepted.select("doc_id"), "doc_id", "left_semi"
+            ),
+            index_dir,
+            mode="append",
         )
         if new_counts is not None:
             new_counts.write.mode("append").parquet(quota_dir)
