@@ -876,16 +876,33 @@ def dedup_clusters(
         prop = bidir.join(
             labels.select(F.col("n").alias("b"), "label"), "b"
         ).select(F.col("a").alias("n"), "label")
-        new_labels = (
-            labels.union(prop).groupBy("n").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
-        changed = (
-            new_labels.alias("x")
-            .join(labels.alias("y"), "n")
-            .filter(F.col("x.label") != F.col("y.label"))
-            .count()
+        # carry each node's PREVIOUS label through the aggregate (the
+        # labels side contributes it; propagated rows carry NULL, and
+        # a node always has exactly one labels row, so max(_old) IS
+        # the old label) — the convergence check is then a flat scan
+        # of the materialized frontier instead of a per-iteration
+        # shuffle join of new-vs-old labels (round-15 optimization;
+        # one fewer shuffle per round at scale, one fewer join job
+        # per round at bench scale)
+        merged = (
+            labels.select("n", "label", F.col("label").alias("_old"))
+            .unionByName(
+                prop.select(
+                    "n",
+                    "label",
+                    F.lit(None)
+                    .cast(labels.schema["label"].dataType)
+                    .alias("_old"),
+                )
+            )
+            .groupBy("n")
+            .agg(
+                F.min("label").alias("label"), F.max("_old").alias("_old")
+            )
+            .localCheckpoint()
         )
-        labels = new_labels
+        changed = merged.filter(F.col("label") != F.col("_old")).count()
+        labels = merged.select("n", "label")
         if changed == 0:
             return labels.select(
                 F.col("n").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -202,18 +202,26 @@ def bigram_lm_train(
     """Train the count model: one row per observed n-gram.
 
     Output: ``(w1, w2, cnt)`` — bigram rows carry both words; unigram
-    (context) rows carry ``w2 = NULL``. One explode + one groupBy
-    (single fixed-width shuffle); the model size is bounded by the
-    corpus vocabulary, not its row count.
+    (context) rows carry ``w2 = NULL``. ONE scan, ONE tokenize, one
+    explode + one groupBy (single fixed-width shuffle); the model
+    size is bounded by the corpus vocabulary, not its row count.
+    (Round-15 optimization: the earlier unigram-branch ∪ bigram-branch
+    union re-scanned and re-tokenized the corpus once per n-gram
+    order — union subtrees share nothing; both gram arrays are now
+    built from one materialized token array and exploded together.
+    Same multiset of (w1, w2) rows, so counts are identical.)
     """
     tok = docs.select(_toks(text_col).alias("_t"))
-    unis = tok.select(F.explode("_t").alias("w1")).select(
-        "w1", F.lit(None).cast("string").alias("w2")
+    nulls = F.array_repeat(F.lit(None).cast("string"), F.size("_t"))
+    unis = F.arrays_zip(F.col("_t").alias("w1"), nulls.alias("w2"))
+    return (
+        tok.select(
+            F.explode(F.concat(unis, _bigrams(F.col("_t")))).alias("g")
+        )
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
     )
-    bis = tok.select(F.explode(_bigrams(F.col("_t"))).alias("b")).select(
-        "b.w1", "b.w2"
-    )
-    return unis.union(bis).groupBy("w1", "w2").agg(F.count("*").alias("cnt"))
 
 
 def token_drift(
@@ -718,25 +726,32 @@ def trigram_lm_train(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Train the 3-gram count model stupid-backoff scoring consumes:
     one row per observed n-gram — trigram rows carry all three words,
     bigram rows have ``w3 = NULL``, unigram rows ``w2 = w3 = NULL``.
-    One union of three map-side explodes + ONE groupBy (single
+    ONE scan, ONE tokenize, one explode + ONE groupBy (single
     fixed-width shuffle); model size is bounded by the corpus's
-    distinct n-grams, not its row count.
+    distinct n-grams, not its row count. (Round-15 optimization: the
+    earlier three-branch union re-scanned and re-tokenized the corpus
+    once per n-gram order; all three gram arrays are now built from
+    one materialized token array and exploded together — same
+    multiset of rows, identical counts.)
     """
     tok = docs.select(_toks(text_col).alias("_t"))
-    unis = tok.select(F.explode("_t").alias("w1")).select(
-        "w1",
-        F.lit(None).cast("string").alias("w2"),
-        F.lit(None).cast("string").alias("w3"),
-    )
-    bis = tok.select(F.explode(_bigrams(F.col("_t"))).alias("b")).select(
-        "b.w1", "b.w2", F.lit(None).cast("string").alias("w3")
-    )
-    tris = tok.select(F.explode(_trigrams(F.col("_t"))).alias("b")).select(
-        "b.w1", "b.w2", "b.w3"
-    )
+    t = F.col("_t")
+    n = F.size(t)
+    nulls = F.array_repeat(F.lit(None).cast("string"), n)
+    unis = F.arrays_zip(t.alias("w1"), nulls.alias("w2"), nulls.alias("w3"))
+    bis = F.when(
+        n >= 2,
+        F.arrays_zip(
+            F.slice(t, 1, n - 1).alias("w1"),
+            F.slice(t, 2, n - 1).alias("w2"),
+            F.slice(nulls, 1, n - 1).alias("w3"),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string,w3:string>>"))
     return (
-        unis.union(bis)
-        .union(tris)
+        tok.select(
+            F.explode(F.concat(unis, bis, _trigrams(t))).alias("g")
+        )
+        .select("g.w1", "g.w2", "g.w3")
         .groupBy("w1", "w2", "w3")
         .agg(F.count("*").alias("cnt"))
     )

@@ -362,11 +362,17 @@ def ivf_topk(
 
     from csvb_spark.operators.dedup import spread
 
-    # enforce the bounded-probe contract BEFORE collecting: the count
-    # scans at most max_probes + 1 probe rows (limit pushes into the
-    # scan), so an over-bound probe fails fast and cheap
-    n_probe = probe.select(id_col).limit(max_probes + 1).count()
-    if n_probe > max_probes:
+    # bounded-probe contract in ONE driver job (round-15 optimization:
+    # the separate limit+count pre-flight was a second job per call):
+    # collect at most max_probes + 1 rows — the limit pushes into the
+    # scan, so an over-bound probe still fails fast without ever
+    # materializing more than one row past the bound
+    p_rows = (
+        probe.select(F.col(id_col).alias("pid"), F.col(vec_col).alias("pvec"))
+        .limit(max_probes + 1)
+        .collect()
+    )
+    if len(p_rows) > max_probes:
         raise ValueError(
             f"ivf_topk: probe side exceeds max_probes={max_probes} rows;"
             " it is collected to the driver (the bounded-probe IVF"
@@ -374,9 +380,6 @@ def ivf_topk(
             "/cell-equi-join scoring, fully distributed), or raise"
             " max_probes."
         )
-    p_rows = probe.select(
-        F.col(id_col).alias("pid"), F.col(vec_col).alias("pvec")
-    ).collect()
 
     if len(p_rows) == 1:
         # --- fully-vectorized single-probe path (the common shape) ---
