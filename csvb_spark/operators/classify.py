@@ -371,22 +371,28 @@ def _dsir_feats(
     id_col: str | None,
     n_buckets: int,
     seed: int,
+    flag: Column | None = None,
 ) -> DataFrame:
     """Explode a corpus into hashed feature buckets (optionally
-    carrying the doc id) — the shared front half of DSIR's weight
-    build and scoring passes. The md5 bucket hash is interpreted
-    per-feature work, so the explode must not inherit a single-file
-    scan's one-partition layout (``dedup.spread`` — a planning-only
-    no-op at real scale, where the scan already has more partitions
-    than cores; measured 6 s → 1.4 s on the sf0.1 count pass)."""
+    carrying the doc id, or a boolean ``flag`` evaluated per document
+    before the explode — the fused weight build's target marker) — the
+    shared front half of DSIR's weight build and scoring passes. The
+    md5 bucket hash is interpreted per-feature work, so the explode
+    must not inherit a single-file scan's one-partition layout
+    (``dedup.spread`` — a planning-only no-op at real scale, where the
+    scan already has more partitions than cores; measured 6 s → 1.4 s
+    on the sf0.1 count pass)."""
     from csvb_spark.operators.dedup import spread
 
     cols = [F.col(id_col).alias("_id")] if id_col else []
+    if flag is not None:
+        cols.append(flag.cast("boolean").alias("_in_t"))
+    keep = (["_id"] if id_col else []) + (["_in_t"] if flag is not None else [])
     exploded = spread(df).select(
         *cols, F.explode(hashed_features(text_col)).alias("_f")
     )
     return exploded.select(
-        *(["_id"] if id_col else []),
+        *keep,
         feature_bucket(F.col("_f"), n_buckets, seed).alias("bucket"),
     )
 
@@ -408,10 +414,12 @@ DSIR_DEFAULT_BUCKET = -1
 
 def dsir_bucket_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     n_buckets: int = 1 << 18,
     seed: int = 7,
+    *,
+    target_pred: Column | str | None = None,
 ) -> DataFrame:
     """Build the DSIR bucket-weight table: add-1 smoothed
     ``log p_target(bucket) − log p_raw(bucket)`` over hashed
@@ -446,35 +454,93 @@ def dsir_bucket_weights(
 
     Plan shape: the target sample is small by DSIR's construction (a
     curated quality corpus); the raw side is ONE explode+groupBy whose
-    output is bounded by ``n_buckets``, not corpus size. Both count
-    tables are consumed twice (total probe + weight build) and
-    localCheckpoint once — the raw corpus is scanned exactly once
+    output is bounded by ``n_buckets``, not corpus size. The count
+    tables localCheckpoint once; the add-``n_buckets`` totals ride a
+    1-row broadcast cross join over the checkpointed counts (round-15:
+    they were driver ``.first()`` probes — two extra jobs whose values
+    only ever fed literals) — the raw corpus is scanned exactly once
     here.
+
+    ``target_pred`` (round-15 optimization): when the target corpus is
+    a SUBSET of ``raw`` selected by a row predicate (the "curated rows
+    flagged inside the pool" case — x131's shape), pass the predicate
+    instead of a second DataFrame and BOTH count tables come out of
+    ONE corpus explode (``count(*)`` vs ``count_if(pred)`` per
+    bucket): one scan instead of two, identical counts, totals and
+    weights by construction (target ⊆ raw means the generic full
+    outer join degenerates to the raw-side bucket set). Exactly one of
+    ``target`` / ``target_pred`` must be given.
     """
     _validate_dsir_buckets("dsir_bucket_weights", n_buckets)
-    t_counts = (
-        _dsir_feats(target, text_col, None, n_buckets, seed)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("_ct"))
-        .localCheckpoint(eager=True)
-    )
-    r_counts = (
-        _dsir_feats(raw, text_col, None, n_buckets, seed)
-        .groupBy("bucket")
-        .agg(F.count("*").alias("_cr"))
-        .localCheckpoint(eager=True)
-    )
-    t_total = t_counts.agg(F.sum("_ct")).first()[0] or 0
-    r_total = r_counts.agg(F.sum("_cr")).first()[0] or 0
-    t_tot = float(t_total + n_buckets)
-    r_tot = float(r_total + n_buckets)
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "dsir_bucket_weights: pass exactly one of target (a "
+            "separate corpus) or target_pred (a predicate selecting "
+            "the target subset of raw)"
+        )
+    if target_pred is not None:
+        pred = (
+            F.expr(target_pred)
+            if isinstance(target_pred, str)
+            else target_pred
+        )
+        counts = (
+            _dsir_feats(raw, text_col, None, n_buckets, seed, flag=pred)
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("_cr"),
+                F.count(F.when(F.col("_in_t"), 1)).alias("_ct"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        joined = counts
+    else:
+        t_counts = (
+            _dsir_feats(target, text_col, None, n_buckets, seed)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("_ct"))
+            .localCheckpoint(eager=True)
+        )
+        r_counts = (
+            _dsir_feats(raw, text_col, None, n_buckets, seed)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("_cr"))
+            .localCheckpoint(eager=True)
+        )
+        counts = None
+        joined = r_counts.join(t_counts, "bucket", "full")
+    # totals as DATA, not literals: Σ counts + n_buckets, computed over
+    # the checkpointed count tables inside the same plan (1-row
+    # broadcast). int64 sum + int literal cast to double is the same
+    # IEEE value as the old Python float(total + n_buckets) literal.
+    if counts is not None:
+        totals = counts.agg(
+            (F.coalesce(F.sum("_cr"), F.lit(0)) + F.lit(n_buckets))
+            .cast("double")
+            .alias("_r_tot"),
+            (F.coalesce(F.sum("_ct"), F.lit(0)) + F.lit(n_buckets))
+            .cast("double")
+            .alias("_t_tot"),
+        )
+    else:
+        totals = r_counts.agg(
+            (F.coalesce(F.sum("_cr"), F.lit(0)) + F.lit(n_buckets))
+            .cast("double")
+            .alias("_r_tot")
+        ).crossJoin(
+            t_counts.agg(
+                (F.coalesce(F.sum("_ct"), F.lit(0)) + F.lit(n_buckets))
+                .cast("double")
+                .alias("_t_tot")
+            )
+        )
 
     def log_ratio(ct, cr):
         return (
             F.round(
                 F.log(
-                    ((ct + F.lit(1)).cast("double") * F.lit(r_tot))
-                    / ((cr + F.lit(1)).cast("double") * F.lit(t_tot))
+                    ((ct + F.lit(1)).cast("double") * F.col("_r_tot"))
+                    / ((cr + F.lit(1)).cast("double") * F.col("_t_tot"))
                 ),
                 6,
             )
@@ -487,7 +553,7 @@ def dsir_bucket_weights(
         F.lit(0).cast("decimal(18,6)").alias("log_weight"),
     )
     return (
-        r_counts.join(t_counts, "bucket", "full")
+        joined.crossJoin(F.broadcast(totals))
         .select(
             F.col("bucket").cast("bigint").alias("bucket"),
             log_ratio(
@@ -603,11 +669,13 @@ def dsir_score_with_weights(
 
 def dsir_score(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 1 << 18,
     seed: int = 7,
+    *,
+    target_pred: Column | str | None = None,
 ) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.
     2023, arXiv:2302.03169): score every RAW document by how much more
@@ -624,7 +692,12 @@ def dsir_score(
     The one-call composition of :func:`dsir_bucket_weights` (one raw-corpus
     count pass) and :func:`dsir_score_with_weights` (one map-only
     scoring pass over a broadcast ≤ ``n_buckets``-row table) — two
-    raw-corpus scans total. Same feature space as the linear
+    raw-corpus scans total, the algorithmic floor (weights must exist
+    before scoring). ``target_pred`` (round-15): when the target is a
+    predicate-selected subset of ``raw``, pass the predicate instead
+    of a DataFrame — the weight build then counts both corpora in the
+    SAME single scan (three corpus passes → two end to end; see
+    :func:`dsir_bucket_weights`). Same feature space as the linear
     classifier (:func:`hashed_features` through the portable md5
     :func:`feature_bucket`), same determinism contract as the LM
     scorers (exact int64 counts, 6-rounded single-ln log-ratios
@@ -642,7 +715,12 @@ def dsir_score(
     scope: beyond-reference (training-pipeline extension; SURVEY.md §2).
     """
     w = dsir_bucket_weights(
-        raw, target, text_col=text_col, n_buckets=n_buckets, seed=seed
+        raw,
+        target,
+        text_col=text_col,
+        n_buckets=n_buckets,
+        seed=seed,
+        target_pred=target_pred,
     )
     return dsir_score_with_weights(
         docs=raw,

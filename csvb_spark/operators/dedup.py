@@ -309,8 +309,13 @@ def minhash_lsh_pairs(
     # Shuffle economics: only (doc_id, sig, band_id, band_key) moves
     # through the candidate join — 16 bigints + keys per row, never
     # the shingle arrays. Shingles are re-derived from text for the
-    # (small) candidate set during verification.
-    base = spread(docs.select("doc_id", text_col))
+    # (small) candidate set during verification. No spread() here
+    # (round-15): the verify joins either BROADCAST this side (a
+    # pre-broadcast repartition is pure waste — the collect flattens
+    # it) or shuffle it on the join key (which discards a round-robin
+    # layout); the shingle HOF work is parallelized by the explicit
+    # repartition barrier AFTER the joins, not by this input's layout.
+    base = docs.select("doc_id", text_col)
     banded = minhash_bands(docs, text_col, num_perm, bands, shingle_words)
     if skew_warn_threshold is not None:
         from csvb_spark.operators.profile import skew_report

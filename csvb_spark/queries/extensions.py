@@ -4869,9 +4869,13 @@ _q(
     "test_oracle.py::test_alt_oracle_match holds a SECOND formulation "
     "(one-pass FILTER aggregates + window totals, no join/scalar "
     "subqueries) that also hash-matches.",
+    # round-15: the target is a predicate-selected subset of the pool,
+    # so the fused target_pred path builds both weight-count tables in
+    # ONE corpus scan (three corpus explodes → two; identical counts,
+    # weights and scores — the full DuckDB oracle below pins it)
     spark=lambda spark, sf: classify.dsir_score(
         _docs(spark, sf),
-        _docs(spark, sf).filter("doc_id % 7 = 0"),
+        target_pred="doc_id % 7 = 0",
         n_buckets=65536,
     ),
     oracle=r"""
