@@ -444,6 +444,15 @@ def ivf_topk(
                 }
             )
 
+        # nondeterministic marker (round-15, guide §4.4): the cell
+        # filter below references f.cid, and the optimizer's pushdown
+        # otherwise DUPLICATES the whole UDF — one ArrowEvalPython
+        # under the pushed filter, a second above it re-computing
+        # vnorm/pdot for the survivors (two Python round-trips of the
+        # full embedding column, measured in the x14 plan). The values
+        # are deterministic; the marker only forbids the reorder.
+        _feat = _feat.asNondeterministic()
+
         return (
             spread(embeddings)
             .filter(F.col(id_col) != pid)
@@ -523,6 +532,11 @@ def ivf_topk(
                 "pdots": list(pdots),
             }
         )
+
+    # same §4.4 duplication guard as the single-probe path: the cell
+    # membership filter would otherwise push below the posexplode and
+    # clone the UDF evaluation
+    _feat_multi = _feat_multi.asNondeterministic()
 
     cids_lit = F.array(
         *[F.array(*[F.lit(c) for c in cl]) for cl in probe_cids]
