@@ -83,7 +83,18 @@ def hashed_features(text_col: str | Column = "text") -> Column:
     # scoring paths keep the document: a NULL feature array would be
     # dropped by the join path's explode but pass through the formula
     # fold as NULL — divergent outputs for the same model
-    t = tokens(F.lower(F.coalesce(c, F.lit(""))))
+    return hashed_features_from_tokens(
+        tokens(F.lower(F.coalesce(c, F.lit(""))))
+    )
+
+
+def hashed_features_from_tokens(t: Column) -> Column:
+    """:func:`hashed_features` over an ALREADY-TOKENIZED array column.
+    Split out (round 15) so callers can stage the tokenizer in its own
+    projection: the feature expression references the token array ~6
+    times, and inside an interpreted projection (the scoring fold is a
+    CodegenFallback higher-order function, so no common-subexpression
+    elimination runs) each reference re-splits the text."""
     # zip_with over two slices, NOT transform(sequence(...), i ->
     # slice(t, i, 2)): expressions referenced INSIDE a higher-order
     # lambda re-evaluate per element, so the sequence form re-ran the
@@ -127,15 +138,34 @@ def linear_classifier_score(
     """
     feats = hashed_features(text_col)
     if weights is None:
+        # Staged projections (round 15, guide §4/§1.2 per-task work):
+        # tokenize once, build the feature array once, THEN fold. The
+        # single-projection form evaluated the tokenizer split ~6× and
+        # the feature concat twice per row — the fold is a
+        # CodegenFallback higher-order function, so the projection runs
+        # interpreted with no common-subexpression elimination, and
+        # Catalyst's CollapseProject keeps these stages apart (it never
+        # inlines a non-cheap alias consumed more than once). Values
+        # are bit-identical: same expressions, evaluated fewer times.
+        c = F.col(text_col) if isinstance(text_col, str) else text_col
         margin = F.aggregate(
-            feats,
+            F.col("_feats"),
             F.lit(0).cast("bigint"),
             lambda acc, f: acc + formula_weight(feature_bucket(f, n_buckets, seed)),
         )
-        scored = docs.select(
-            id_col,
-            F.size(feats).alias("n_features"),
-            margin.alias("margin"),
+        scored = (
+            docs.select(
+                F.col(id_col),
+                tokens(F.lower(F.coalesce(c, F.lit("")))).alias("_t"),
+            )
+            .select(
+                id_col, hashed_features_from_tokens(F.col("_t")).alias("_feats")
+            )
+            .select(
+                id_col,
+                F.size("_feats").alias("n_features"),
+                margin.alias("margin"),
+            )
         )
     else:
         exploded = docs.select(

@@ -1066,14 +1066,14 @@ def perplexity_buckets(
         .select(id_col, "ppl")
         .localCheckpoint(eager=True)
     )
-    hist = (
-        scored.filter(F.col("ppl").isNotNull())
-        .groupBy("ppl")
-        .agg(F.count("*").alias("_n"))
-        .localCheckpoint(eager=True)
-    )
-    stats = hist.agg(
-        F.coalesce(F.sum("_n"), F.lit(0)).alias("n"), F.count("*").alias("d")
+    # stats probe straight off the checkpointed scored projection —
+    # ONE small aggregation job where the previous shape paid two (an
+    # eager checkpoint of the histogram plus an agg over it; round-15
+    # §2.4 — the histogram is re-derived below from the SAME
+    # checkpointed scored rows, so nothing is computed twice and the
+    # intermediate materialization was pure overhead)
+    stats = scored.filter(F.col("ppl").isNotNull()).agg(
+        F.count("*").alias("n"), F.count_distinct(F.col("ppl")).alias("d")
     ).first()
     n, d = int(stats["n"]), int(stats["d"])
     if d > max_distinct:
@@ -1090,6 +1090,11 @@ def perplexity_buckets(
             F.lit(None).cast("int").alias("bucket"),
             F.lit("unscored").alias("cut"),
         )
+    hist = (
+        scored.filter(F.col("ppl").isNotNull())
+        .groupBy("ppl")
+        .agg(F.count("*").alias("_n"))
+    )
     w = Window.orderBy("ppl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     buckets = hist.withColumn("_cum", F.sum("_n").over(w)).select(
         "ppl",
