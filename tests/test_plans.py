@@ -1516,7 +1516,14 @@ _BENCH_SF_DIR = "/root/testdata/sf0.1"
 _FLAGSHIP_SHAPES = [
     ("x97_containment_pairs", 1, None, [], False),
     ("x131_dsir_importance", 3, {"doc_id", "text"}, [], False),
-    ("x95_perplexity_buckets", 1, None, [], False),
+    # round 15: the distinct-ppl histogram lost its eager checkpoint
+    # (it fed one scalar probe that now aggregates the checkpointed
+    # scored rows directly), so its small groupBy exchange moved from a
+    # hidden side job INTO this plan — 2 in-plan exchanges now, but one
+    # fewer driver job and one fewer materialization overall; both
+    # exchanges are over the bounded (doc_id, ppl) projection, never
+    # the corpus
+    ("x95_perplexity_buckets", 2, None, [], False),
     ("x93_stupid_backoff_trigram", 1, {"doc_id", "text"}, [], False),
     ("p09_dedup_minhash_lsh", 10, {"doc_id", "text"},
      ["IsNotNull(doc_id)"], False),
