@@ -319,6 +319,102 @@ def token_drift_from_counts(
     )
 
 
+# --- model-probe aggregates, one per smoothing family -----------------------
+# Each scorer derives a handful of bounded scalars from its model (V /
+# row count for the auto-broadcast decision / count-entropy for the
+# skew pre-flight) in ONE small aggregation job. The aggregates live
+# here, outside the scorers, so a caller that scores MANY batches
+# against one fixed model — the streaming LM gate — can run the probe
+# once per stream via :func:`lm_model_stats` and pass the row back in
+# (round 15, guide §5: the driver job was repeated per micro-batch for
+# a value that cannot change between batches).
+
+
+def _addk_model_stats(lm: DataFrame):
+    _is_bi = F.col("w2").isNotNull()
+    return lm.agg(
+        F.count(F.when(F.col("w2").isNull(), 1)).alias("v"),
+        F.count("*").alias("n"),
+        F.sum(F.when(_is_bi, F.col("cnt"))).alias("bn"),
+        F.count(F.when(_is_bi, 1)).alias("bk"),
+        F.sum(
+            F.when(
+                _is_bi,
+                F.col("cnt").cast("double")
+                * F.log(F.col("cnt").cast("double")),
+            )
+        ).alias("bnlogn"),
+    ).first()
+
+
+def _kn_model_stats(lm: DataFrame):
+    bi = lm.filter(F.col("w2").isNotNull())
+    return bi.agg(
+        F.count("*").alias("b"),
+        F.countDistinct("w2").alias("v"),
+        F.sum("cnt").alias("bn"),
+        F.sum(
+            F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double"))
+        ).alias("bnlogn"),
+    ).first()
+
+
+def _sb_model_stats(lm: DataFrame):
+    _is_uni = F.col("w2").isNull()
+    return lm.agg(
+        F.sum(F.when(_is_uni, F.col("cnt"))).alias("n"),
+        F.count("*").alias("rows"),
+        F.count(F.when(_is_uni, 1)).alias("uk"),
+        F.sum(
+            F.when(
+                _is_uni,
+                F.col("cnt").cast("double")
+                * F.log(F.col("cnt").cast("double")),
+            )
+        ).alias("unlogn"),
+    ).first()
+
+
+def _jm_model_stats(lm: DataFrame):
+    _is_bi = F.col("w2").isNotNull()
+    return lm.agg(
+        F.count(F.when(F.col("w2").isNull(), 1)).alias("v"),
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("w2").isNull(), F.col("cnt"))).alias("t"),
+        F.sum(F.when(_is_bi, F.col("cnt"))).alias("bt"),
+        F.count(F.when(_is_bi, 1)).alias("bk"),
+        F.sum(
+            F.when(
+                _is_bi,
+                F.col("cnt").cast("double")
+                * F.log(F.col("cnt").cast("double")),
+            )
+        ).alias("bnlogn"),
+    ).first()
+
+
+def lm_model_stats(lm: DataFrame, smoothing: str = "addk"):
+    """Run ``smoothing``'s model-probe aggregation ONCE and return the
+    row the matching scorer's ``model_stats=`` parameter expects. For a
+    model that is fixed across many scoring calls (the streaming gate's
+    per-stream model) this amortizes the per-call driver probe job; the
+    scalars are a pure function of the model, so passing them back in
+    is value-identical to letting the scorer probe itself."""
+    try:
+        probe = {
+            "addk": _addk_model_stats,
+            "kn": _kn_model_stats,
+            "sb": _sb_model_stats,
+            "jm": _jm_model_stats,
+        }[smoothing]
+    except KeyError:
+        raise ValueError(
+            f"lm_model_stats: unknown smoothing {smoothing!r}"
+            " (expected addk|kn|sb|jm)"
+        ) from None
+    return probe(lm)
+
+
 def perplexity_score(
     docs: DataFrame,
     lm: DataFrame,
@@ -330,6 +426,7 @@ def perplexity_score(
     model_materialized: bool = False,
     n_salts: int = 16,
     salt_threshold: float = 0.5,
+    model_stats=None,
 ) -> DataFrame:
     """Score every document's bigram perplexity under ``lm``.
 
@@ -404,21 +501,13 @@ def perplexity_score(
     # way; bounded driver constant. ONE small agg over the model also
     # yields the total row count (the auto-broadcast size signal) AND
     # the bigram-key entropy statistics (the skew pre-flight for the
-    # shuffle fallback) — no extra pass for either.
-    _is_bi = F.col("w2").isNotNull()
-    v, n_model, b_tokens, b_keys, b_nlogn = lm.agg(
-        F.count(F.when(F.col("w2").isNull(), 1)).alias("v"),
-        F.count("*").alias("n"),
-        F.sum(F.when(_is_bi, F.col("cnt"))).alias("bn"),
-        F.count(F.when(_is_bi, 1)).alias("bk"),
-        F.sum(
-            F.when(
-                _is_bi,
-                F.col("cnt").cast("double")
-                * F.log(F.col("cnt").cast("double")),
-            )
-        ).alias("bnlogn"),
-    ).first()
+    # shuffle fallback) — no extra pass for either. A caller scoring
+    # many batches against ONE fixed model (the streaming gate) passes
+    # ``model_stats`` (from :func:`lm_model_stats`) so the probe job
+    # runs once per stream, not once per micro-batch (round 15).
+    v, n_model, b_tokens, b_keys, b_nlogn = (
+        model_stats if model_stats is not None else _addk_model_stats(lm)
+    )
     broadcast_model = _resolve_broadcast(
         "perplexity_score", n_model, broadcast_model, broadcast_max_rows
     )
@@ -527,6 +616,7 @@ def kneser_ney_score(
     model_materialized: bool = False,
     n_salts: int = 16,
     salt_threshold: float = 0.5,
+    model_stats=None,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity — the smoothing real
     n-gram quality filters use (KenLM/CCNet's default) rather than
@@ -599,15 +689,11 @@ def kneser_ney_score(
     # scalars: distinct bigram types + continuation vocabulary — one
     # bounded agg over the model, like perplexity_score's V probe;
     # the same agg yields the count-entropy statistics for the
-    # shuffle-fallback skew pre-flight (no extra pass)
-    b_types, v_cont, b_tokens, b_nlogn = bi.agg(
-        F.count("*").alias("b"),
-        F.countDistinct("w2").alias("v"),
-        F.sum("cnt").alias("bn"),
-        F.sum(
-            F.col("cnt").cast("double") * F.log(F.col("cnt").cast("double"))
-        ).alias("bnlogn"),
-    ).first()
+    # shuffle-fallback skew pre-flight (no extra pass). Streaming
+    # callers amortize it per stream via lm_model_stats (round 15).
+    b_types, v_cont, b_tokens, b_nlogn = (
+        model_stats if model_stats is not None else _kn_model_stats(lm)
+    )
     scale = int(b_types) + int(v_cont) + 1
     dm = int(discount_milli)
     # b_types IS the bigram row count, which bounds every broadcast
@@ -768,6 +854,7 @@ def stupid_backoff_score(
     model_materialized: bool = False,
     n_salts: int = 16,
     salt_threshold: float = 0.5,
+    model_stats=None,
 ) -> DataFrame:
     """Trigram "stupid backoff" scoring (Brants et al. 2007) — the
     smoothing actually used for web-scale n-gram LMs because it needs
@@ -841,19 +928,9 @@ def stupid_backoff_score(
     # unigram-count entropy statistics (the skew pre-flight for the
     # shuffle fallback — unigram keys are the most concentrated of the
     # five join keys)
-    _is_uni = F.col("w2").isNull()
-    n_tokens, n_model, u_keys, u_nlogn = lm.agg(
-        F.sum(F.when(_is_uni, F.col("cnt"))).alias("n"),
-        F.count("*").alias("rows"),
-        F.count(F.when(_is_uni, 1)).alias("uk"),
-        F.sum(
-            F.when(
-                _is_uni,
-                F.col("cnt").cast("double")
-                * F.log(F.col("cnt").cast("double")),
-            )
-        ).alias("unlogn"),
-    ).first()
+    n_tokens, n_model, u_keys, u_nlogn = (
+        model_stats if model_stats is not None else _sb_model_stats(lm)
+    )
     n_tokens = int(n_tokens or 0)
     if n_tokens == 0:
         raise ValueError("stupid_backoff_score: empty model")
@@ -1127,6 +1204,7 @@ def jelinek_mercer_score(
     model_materialized: bool = False,
     n_salts: int = 16,
     salt_threshold: float = 0.5,
+    model_stats=None,
 ) -> DataFrame:
     """Jelinek-Mercer INTERPOLATED bigram scoring — the fourth classic
     smoothing family beside add-alpha (:func:`perplexity_score`),
@@ -1175,21 +1253,9 @@ def jelinek_mercer_score(
         F.col("w2").alias("_b_w2"),
         F.col("cnt").alias("_c2"),
     )
-    _is_bi = F.col("w2").isNotNull()
-    v, n_model, t_tokens, b_tokens, b_keys, b_nlogn = lm.agg(
-        F.count(F.when(F.col("w2").isNull(), 1)).alias("v"),
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("w2").isNull(), F.col("cnt"))).alias("t"),
-        F.sum(F.when(_is_bi, F.col("cnt"))).alias("bt"),
-        F.count(F.when(_is_bi, 1)).alias("bk"),
-        F.sum(
-            F.when(
-                _is_bi,
-                F.col("cnt").cast("double")
-                * F.log(F.col("cnt").cast("double")),
-            )
-        ).alias("bnlogn"),
-    ).first()
+    v, n_model, t_tokens, b_tokens, b_keys, b_nlogn = (
+        model_stats if model_stats is not None else _jm_model_stats(lm)
+    )
     broadcast_model = _resolve_broadcast(
         "jelinek_mercer_score", n_model, broadcast_model, broadcast_max_rows
     )

@@ -77,6 +77,7 @@ def _accept_batch(
     decontam_seed: int = 7,
     decontam_unit: str = "char",
     gate_timers: dict[str, list[float]] | None = None,
+    lm_model_stats=None,
 ) -> None:
     """Process one micro-batch (runs driver-side under foreachBatch —
     everything in here is ordinary batch DataFrame code).
@@ -119,6 +120,7 @@ def _accept_batch(
             decontam_seed,
             decontam_unit,
             gate_timers=gate_timers,
+            lm_model_stats=lm_model_stats,
         )
         # The gate chain is consumed more than once downstream
         # (pii_redact(gated) joins back to gated; exact dedup and the
@@ -172,6 +174,7 @@ def _gate_chain(
     decontam_seed: int = 7,
     decontam_unit: str = "char",
     gate_timers: dict[str, list[float]] | None = None,
+    lm_model_stats=None,
 ) -> DataFrame:
     """The admission-gate composition over one (persisted) micro-batch.
 
@@ -242,14 +245,25 @@ def _gate_chain(
         # map-only like the other gates; documents too short for
         # n-gram evidence (NULL score) pass through — the rule gates,
         # not the LM, decide their fate
+        # model_stats: the per-stream probe row from lm_model_stats —
+        # None falls back to the scorer's own probe (identical values,
+        # one more driver job per batch)
         if lm_smoothing == "sb":
             lm_scored = L.stupid_backoff_score(
-                batch, lm_model, text_col=text_col, model_materialized=True
+                batch,
+                lm_model,
+                text_col=text_col,
+                model_materialized=True,
+                model_stats=lm_model_stats,
             )
             score_col = "sppl"
         elif lm_smoothing == "kn":
             lm_scored = L.kneser_ney_score(
-                batch, lm_model, text_col=text_col, model_materialized=True
+                batch,
+                lm_model,
+                text_col=text_col,
+                model_materialized=True,
+                model_stats=lm_model_stats,
             )
             score_col = "ppl"
         elif lm_smoothing == "jm":
@@ -259,6 +273,7 @@ def _gate_chain(
                 text_col=text_col,
                 broadcast_model=True,
                 model_materialized=True,
+                model_stats=lm_model_stats,
             )
             score_col = "ppl"
         else:
@@ -268,6 +283,7 @@ def _gate_chain(
                 text_col=text_col,
                 broadcast_model=True,
                 model_materialized=True,
+                model_stats=lm_model_stats,
             )
             score_col = "ppl"
         lm_keep = _timed(
@@ -586,7 +602,7 @@ def run_streaming_ingest(
         # char grams, 13 for the word rule — a caller switching to
         # decontam_unit='word' must not silently get loose word-8-grams
         decontam_k = 13 if decontam_unit == "word" else 8
-    lm_model = None
+    lm_model, lm_stats = None, None
     if lm_model_dir is not None:
         # read + materialize the gate model ONCE before the stream
         # starts (like the drift monitor's cached reference counts) —
@@ -597,6 +613,12 @@ def run_streaming_ingest(
 
         check_model_shape(lm_model.columns, lm_smoothing, "run_streaming_ingest")
         lm_model = lm_model.localCheckpoint(eager=True)
+        # model-probe scalars once per STREAM (round 15): every scorer
+        # derives the same bounded stats (V / row count / skew entropy)
+        # from this fixed, materialized model — re-running that driver
+        # job per micro-batch was pure repetition (value-identical by
+        # construction; see lm_model_stats)
+        lm_stats = L.lm_model_stats(lm_model, lm_smoothing)
     dsir_w, dsir_seed = None, 7
     if dsir_weights_dir is not None:
         dsir_w = spark.read.parquet(dsir_weights_dir)
@@ -666,6 +688,7 @@ def run_streaming_ingest(
                 decontam_min_shared,
                 decontam_unit=decontam_unit,
                 gate_timers=gate_timers,
+                lm_model_stats=lm_stats,
             )
         )
         .start()

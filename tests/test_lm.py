@@ -1026,3 +1026,47 @@ def test_doremi_iterated_unscoreable_domain_oracle_corner(spark, tmp_path):
     )
     problems = compare(q.spark(spark, sf_dir), con, q.oracle)
     assert not problems, problems
+
+
+@pytest.mark.parametrize("smoothing", ["addk", "kn", "sb", "jm"])
+def test_precomputed_model_stats_is_value_identical(spark, smoothing):
+    """Round 15: the streaming gate probes the fixed model ONCE per
+    stream (lm_model_stats) instead of once per micro-batch. The stats
+    row is a pure function of the model, so passing it back in must
+    yield row-identical scores — and an unknown smoothing name fails
+    loudly."""
+    from csvb_spark.operators.lm import (
+        jelinek_mercer_score,
+        kneser_ney_score,
+        lm_model_stats,
+        stupid_backoff_score,
+        trigram_lm_train,
+    )
+
+    docs = _corpus(spark)
+    if smoothing == "sb":
+        lm = trigram_lm_train(docs).localCheckpoint(eager=True)
+        scorer = stupid_backoff_score
+    else:
+        lm = bigram_lm_train(docs).localCheckpoint(eager=True)
+        scorer = {
+            "addk": perplexity_score,
+            "kn": kneser_ney_score,
+            "jm": jelinek_mercer_score,
+        }[smoothing]
+    stats = lm_model_stats(lm, smoothing)
+    base = sorted(
+        map(tuple, scorer(docs, lm, model_materialized=True).collect())
+    )
+    fast = sorted(
+        map(
+            tuple,
+            scorer(
+                docs, lm, model_materialized=True, model_stats=stats
+            ).collect(),
+        )
+    )
+    assert base == fast
+
+    with pytest.raises(ValueError, match="unknown smoothing"):
+        lm_model_stats(lm, "nope")
