@@ -172,6 +172,19 @@ def main() -> None:
         queries[n].spark(spark, "/root/testdata/sf0.001").count()
     for n in names:
         queries[n].spark(spark, sf_dir).count()
+    # Round 16 (r15 verdict item 8): p09's large codegen'd signature
+    # method keeps JIT-tiering for ~6 invocations (the r4 finding in
+    # the module docstring), so after the two standard warmups its
+    # 3-pass median still carried a ~0.3-0.4 s tiering residue that
+    # drowned 10% plan effects (the r15 10→8-exchange win measured
+    # 1.17x against an untouched-query median of 1.40x). Four extra
+    # target-SF warm passes tier it fully BEFORE the timed passes.
+    # Measurement change only — p09 computes the same rows from the
+    # same inputs each pass; every other query keeps the two-warmup
+    # protocol unchanged.
+    if "p09_dedup_minhash_lsh" in queries:
+        for _ in range(4):
+            queries["p09_dedup_minhash_lsh"].spark(spark, sf_dir).count()
 
     # Three timed passes; report the per-query MEDIAN (robust against
     # the documented hypervisor-contention spikes) plus the min/max
@@ -194,6 +207,77 @@ def main() -> None:
     timings = {n: round(median(v), 4) for n, v in runs.items()}
     spread = {n: [round(min(v), 4), round(max(v), 4)] for n, v in runs.items()}
 
+    # --- EXTRA measured rows (round 16) — reported in the compact
+    # line's ``queries`` dict (additive; the driver's per-query tables
+    # pick them up) but NEVER summed into value/model_ops_sec/
+    # total_sec, which stay the BASELINE-comparable sums over the
+    # corpus rows above. Same protocol as the main loop: one untimed
+    # warm pass, then n_iters timed passes, median + spread.
+    from pyspark.sql import functions as _F
+
+    extra: dict[str, float] = {}
+    extra_spread: dict[str, list[float]] = {}
+    extra_err: dict[str, str] = {}
+
+    def _extra_row(name: str, fn) -> None:
+        try:
+            fn()  # warm: plan compile + codegen
+            xs: list[float] = []
+            for _ in range(n_iters):
+                t0 = time.perf_counter()
+                fn()
+                xs.append(time.perf_counter() - t0)
+            extra[name] = round(median(xs), 4)
+            extra_spread[name] = [round(min(xs), 4), round(max(xs), 4)]
+        except Exception as ex:  # record, never kill the bench
+            extra_err[name] = f"{type(ex).__name__}: {ex}"[:300]
+
+    # (a) core-contract probe (r15 verdict item 2): at sf0.1 every
+    # corpus query is dominated by fixed per-job scheduling/JIT cost,
+    # so the driver's 8-vs-32-core scaling ratios all read ~1 and the
+    # probe flags suspect_cpus_ignored even though bench.py honors
+    # $SPARK_GRAFT_CPUS. This row is genuinely CORE-BOUND at any SF:
+    # a fixed per-row xxhash64 chain (interpreted higher-order
+    # aggregate — pure executor CPU, no shuffle beyond the spread
+    # repartition), so its 8-core/32-core wall-clock ratio tracks the
+    # core ratio and proves the parallelism contract from the
+    # artifact alone. Deterministic, computed from the parquet input
+    # every run; work size is fixed per document, partitions scale
+    # with the core count.
+    def _cpu_scaling_probe() -> None:
+        chain = _F.expr(
+            "aggregate(sequence(1, 6000), xxhash64(text),"
+            " (acc, i) -> xxhash64(acc, i))"
+        )
+        (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .repartition(4 * int(cpus))
+            .select(_F.sum(chain).alias("h"))
+            .collect()
+        )
+
+    _extra_row("zz_cpu_scaling_probe", _cpu_scaling_probe)
+
+    # (b) scorer-class noop-sink row (r15 verdict item 6): x64's
+    # count() number never measures the scoring fold — count prunes
+    # the scoring projection (guide §1.4) — so the r15 staged-CSE win
+    # (−40% under full materialization) was invisible to the bench.
+    # This row times the SAME declared query under the noop sink,
+    # which materializes every column (§1.4), so projection-level
+    # wins (and regressions) in scorer-class operators are visible in
+    # the committed artifact. The count()-timed x64 row above is
+    # unchanged for cross-round comparability.
+    def _x64_noop() -> None:
+        (
+            queries["x64_linear_classifier"]
+            .spark(spark, sf_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    _extra_row("x64_linear_classifier_noop", _x64_noop)
+
     # round-7 model-filter additions, reported separately so "value"
     # stays the legacy-13 sum BASELINE.md was measured on
     legacy = {n: t for n, t in timings.items() if n not in MODEL_OPS}
@@ -206,10 +290,18 @@ def main() -> None:
         f"{len(model)} post-baseline op passes timed separately)",
         "value": round(sum(legacy.values()), 4),
         "unit": "sec",
-        "queries": timings,
+        # corpus rows plus the round-16 extra rows (cpu scaling probe,
+        # x64 noop sink) — extras are reported per-query only, never
+        # summed into value/model_ops_sec/total_sec
+        "queries": {**timings, **extra},
         "model_ops_sec": round(sum(model.values()), 4),
         "total_sec": round(sum(timings.values()), 4),
         "sf": sf,
+        # core-contract evidence (round 16, r15 verdict item 2): the
+        # master string and the JVM's actual parallelism, so the
+        # artifact itself proves $SPARK_GRAFT_CPUS reached the session
+        "master": f"local[{cpus}]",
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         # host-speed calibration: raw probe seconds + the speed ratio
         # vs the pinned r13 reference host, and the headline scaled
         # by that ratio — compare value_norm across rounds to judge
@@ -241,7 +333,9 @@ def main() -> None:
         ),
         "baseline_norm": _BASELINE_NORM,
     }
-    detail = {"spread": spread, "iterations": n_iters, "sf": sf}
+    detail = {"spread": {**spread, **extra_spread}, "iterations": n_iters, "sf": sf}
+    if extra_err:
+        detail["extra_row_errors"] = extra_err
 
     # --- sf1 section: one decade more data, to catch constant-factor
     # cliffs the sf0.1 run hides. No sf1 fixture exists, so the data is

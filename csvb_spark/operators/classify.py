@@ -136,7 +136,6 @@ def linear_classifier_score(
     features explode and broadcast-join the model, then roll up per
     document — one shuffle on ``doc_id``.
     """
-    feats = hashed_features(text_col)
     if weights is None:
         # Staged projections (round 15, guide §4/§1.2 per-task work):
         # tokenize once, build the feature array once, THEN fold. The
@@ -169,7 +168,7 @@ def linear_classifier_score(
         )
     else:
         exploded = docs.select(
-            id_col, F.explode(feats).alias("f")
+            id_col, F.explode(hashed_features(text_col)).alias("f")
         ).withColumn("bucket", feature_bucket(F.col("f"), n_buckets, seed))
         joined = exploded.join(F.broadcast(weights), "bucket", "left")
         scored = joined.groupBy(id_col).agg(

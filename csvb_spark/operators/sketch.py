@@ -115,7 +115,13 @@ def kmv_sketch(
                 cutoff = best[kk - 1]
 
         for rb in batches:
-            v = rb.column(0).to_numpy(zero_copy_only=False)
+            # by name, not position: the upstream select produces
+            # exactly one column today, but a positional read would
+            # silently grab the wrong column if that projection ever
+            # gains one (round-15 ADVICE)
+            v = rb.column(
+                rb.schema.get_field_index("h")
+            ).to_numpy(zero_copy_only=False)
             if cutoff is not None:
                 v = v[v <= cutoff]
             if len(v):

@@ -74,10 +74,13 @@ from __future__ import annotations
 import datetime as _dt
 import itertools
 import logging
+import os
 import re as _re
+import shutil
 import socket
 import socketserver
 import struct
+import tempfile
 import threading
 import uuid
 
@@ -1476,17 +1479,26 @@ class _Conn:
         )
         # Incremental, bounded-memory ingest: complete rows are parsed
         # out of each CopyData chunk as it arrives; once the parsed
-        # batch crosses _COPY_IN_CHUNK_BYTES it is staged to a temp
-        # parquet directory, and the final INSERT is ONE insertInto
-        # reading the staging dir — a failed COPY never leaves a
-        # partial insert, and the driver never holds the whole payload
-        # (the COPY TO side has the same 1 MiB flush discipline).
-        # Payloads under the bound skip staging entirely.
+        # batch crosses _COPY_IN_CHUNK_BYTES it is SPOOLED to a
+        # driver-local parquet file with pyarrow (microseconds — no
+        # Spark job runs until the stream is fully drained), the spool
+        # is uploaded once to a warehouse staging dir through the
+        # Hadoop FileSystem API (a raw byte copy, executor-visible on
+        # any FS), and the final INSERT is ONE insertInto reading the
+        # staging dir — a failed COPY never leaves a partial insert,
+        # and the driver never holds the whole payload (the COPY TO
+        # side has the same 1 MiB flush discipline). Payloads under
+        # the bound skip staging entirely. (The previous per-chunk
+        # createDataFrame().write.parquet() ran a full Spark job per
+        # chunk, so a many-chunk COPY on a contended host could stall
+        # the client past its recv deadline with zero bytes of
+        # protocol progress.)
         str_schema = ", ".join(f"`{c}` string" for c in cols)
         buf = bytearray()
         st = {
             "pending": [], "pending_bytes": 0, "rows": 0,
-            "staging": None, "eof": False,
+            "staging": None, "spool": None, "spool_parts": 0,
+            "eof": False,
             "skip_header": (
                 "match"
                 if (header == "match" and fmt == "csv")
@@ -1498,18 +1510,46 @@ class _Conn:
         def _stage() -> None:
             if not st["pending"]:
                 return
-            if st["staging"] is None:
-                # warehouse-based (executor-visible), validated non-
-                # empty before CopyInResponse above
-                st["staging"] = (
-                    f"{staging_base.rstrip('/')}/_csvb_copy_in_staging/"
-                    f"{uuid.uuid4().hex}"
-                )
-            self.spark.createDataFrame(
-                st["pending"], str_schema
-            ).write.mode("append").parquet(st["staging"])
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            if st["spool"] is None:
+                st["spool"] = tempfile.mkdtemp(prefix="csvb_copy_in_")
+            # every decoder yields text form (str | None), so the
+            # spool schema is all-string regardless of COPY format
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array(col, type=pa.string())
+                    for col in zip(*st["pending"])
+                ],
+                names=cols,
+            )
+            pq.write_table(
+                tbl,
+                os.path.join(
+                    st["spool"], f"part-{st['spool_parts']:05d}.parquet"
+                ),
+            )
+            st["spool_parts"] += 1
             st["pending"] = []
             st["pending_bytes"] = 0
+
+        def _upload_spool() -> None:
+            # one driver-side recursive byte copy local → warehouse;
+            # validated non-empty before CopyInResponse above
+            st["staging"] = (
+                f"{staging_base.rstrip('/')}/_csvb_copy_in_staging/"
+                f"{uuid.uuid4().hex}"
+            )
+            jvm = self.spark._jvm  # noqa: SLF001
+            src = jvm.org.apache.hadoop.fs.Path(
+                "file:" + st["spool"]
+            )
+            dst = jvm.org.apache.hadoop.fs.Path(st["staging"])
+            fs = dst.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()  # noqa: SLF001
+            )
+            fs.copyFromLocalFile(False, True, src, dst)
 
         def _add_row(r: list) -> None:
             if st["skip_header"]:
@@ -1695,7 +1735,8 @@ class _Conn:
                 failed = body.rstrip(b"\x00").decode(errors="replace")
                 break
             elif tag == b"X":
-                self._drop_staging(st["staging"])
+                if st["spool"]:
+                    shutil.rmtree(st["spool"], ignore_errors=True)
                 raise ConnectionResetError("client terminated during COPY")
             # anything else (Flush/Sync) is ignored inside copy-in
         try:
@@ -1704,8 +1745,9 @@ class _Conn:
             if parse_err is not None:
                 raise parse_err
             _finish_parse()
-            if st["staging"] is not None:
+            if st["spool"] is not None:
                 _stage()  # flush the tail batch
+                _upload_spool()
                 src = self.spark.read.schema(str_schema).parquet(
                     st["staging"]
                 )
@@ -1729,6 +1771,8 @@ class _Conn:
             log.warning("copy-in failed: %s", e)
             _err(_sqlstate_for(e), str(e).split("\n")[0][:500])
         finally:
+            if st["spool"]:
+                shutil.rmtree(st["spool"], ignore_errors=True)
             self._drop_staging(st["staging"])
         self.running = False
         if not extended:

@@ -390,10 +390,12 @@ def _sink_batch(
     # the (doc_id, sig, band_id, band_key) table once (bounded by
     # batch size × bands — fixed-width rows); the probe consumes it
     # via dedup_incremental(new_bands=...) and the index write reuses
-    # the surviving rows via write_band_index_from_bands.
-    batch_bands = D.minhash_bands(
-        deduped, text_col, num_perm, bands
-    ).localCheckpoint(eager=True)
+    # the surviving rows via write_band_index_from_bands. persist(),
+    # not localCheckpoint: checkpoint blocks are only freed when the
+    # driver GCs the RDD reference, so a long-running stream would
+    # accumulate executor storage between GC cycles (round-15
+    # ADVICE); the cache is explicitly released in the finally below.
+    batch_bands = D.minhash_bands(deduped, text_col, num_perm, bands).persist()
 
     # 3. cross-batch near-dup reject against the persisted index
     have_index = os.path.isdir(index_dir) and any(
@@ -492,6 +494,7 @@ def _sink_batch(
             new_counts.write.mode("append").parquet(quota_dir)
     finally:
         accepted.unpersist()
+        batch_bands.unpersist()
 
 
 def run_streaming_ingest(

@@ -2226,8 +2226,17 @@ def test_concurrent_copy_from_sessions(pg_server):
     import csvb_spark.server.pgwire as pgwire_mod
     import threading
 
+    # Generous per-recv deadline rather than a flat 60 s: the server
+    # sends nothing between CopyInResponse and the final COPY n, so
+    # the client's recv timeout must cover the whole server-side
+    # ingest (two concurrent Spark inserts on a contended host blew
+    # a 60 s bound in round 15's driver run). The socket timeout is
+    # per recv() call — protocol progress resets it — so 300 s only
+    # ever elapses when the server makes no progress at all.
     def connect():
-        s = socket.create_connection(("127.0.0.1", pg_server.port), timeout=60)
+        s = socket.create_connection(
+            ("127.0.0.1", pg_server.port), timeout=300
+        )
         b = bytearray()
         _startup(s)
         _read_until_ready(s, b)
@@ -2247,6 +2256,8 @@ def test_concurrent_copy_from_sessions(pg_server):
             payload = b"".join(f"{lo + i}\n".encode() for i in range(n))
             msgs = _copy_in(s, b, f"COPY {tbl} FROM STDIN", payload)
             results[tbl] = [p for t_, p in msgs if t_ == b"C"]
+        except Exception as ex:  # noqa: BLE001 — surface, not KeyError
+            results[tbl] = ex
         finally:
             s.close()
 
@@ -2261,11 +2272,11 @@ def test_concurrent_copy_from_sessions(pg_server):
         for t in threads:
             t.start()
         for t in threads:
-            t.join(timeout=120)
+            t.join(timeout=600)
     finally:
         pgwire_mod._COPY_IN_CHUNK_BYTES = orig
-    assert results["copy_cc_a"] == [b"COPY 800\x00"]
-    assert results["copy_cc_b"] == [b"COPY 900\x00"]
+    assert results.get("copy_cc_a") == [b"COPY 800\x00"], results
+    assert results.get("copy_cc_b") == [b"COPY 900\x00"], results
     rows = _data_rows(
         _simple_query(
             sock0, buf0,
