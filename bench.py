@@ -236,25 +236,34 @@ def main() -> None:
     # corpus query is dominated by fixed per-job scheduling/JIT cost,
     # so the driver's 8-vs-32-core scaling ratios all read ~1 and the
     # probe flags suspect_cpus_ignored even though bench.py honors
-    # $SPARK_GRAFT_CPUS. This row is genuinely CORE-BOUND at any SF:
-    # a fixed per-row xxhash64 chain (interpreted higher-order
-    # aggregate — pure executor CPU, no shuffle beyond the spread
-    # repartition), so its 8-core/32-core wall-clock ratio tracks the
-    # core ratio and proves the parallelism contract from the
-    # artifact alone. Deterministic, computed from the parquet input
-    # every run; work size is fixed per document, partitions scale
-    # with the core count.
+    # $SPARK_GRAFT_CPUS. This row is genuinely CORE-BOUND at any SF: a
+    # fixed-depth codegen'd xxhash64 chain over an exploded per-doc
+    # sequence — long-to-long register compute, allocation-free, no
+    # shuffle beyond the spread repartition — so its 8-vs-32-core
+    # wall-clock ratio tracks the MACHINE's real parallel capacity and
+    # proves the $SPARK_GRAFT_CPUS contract from the artifact alone.
+    # Expect ~1.7-1.9x here, not 4x: this host's own calib probes show
+    # 32 threads deliver only ~2.2x one thread's fixed-work throughput
+    # (calib.st_sec/mt_sec in this artifact — an oversubscribed
+    # hypervisor), so ~1.8x from 4x the cores IS the hardware ceiling;
+    # the contract signal is the ratio being far from 1.0, where every
+    # overhead-bound corpus row sits. Deterministic, computed from the
+    # parquet input every run; work is fixed per document, partitions
+    # scale with the core count. pmod bounds the ANSI-mode sum (5e3
+    # docs x 1e9 << 2^63).
     def _cpu_scaling_probe() -> None:
-        chain = _F.expr(
-            "aggregate(sequence(1, 6000), xxhash64(text),"
-            " (acc, i) -> xxhash64(acc, i))"
-        )
-        (
+        df = (
             spark.read.parquet(f"{sf_dir}/documents.parquet")
             .repartition(4 * int(cpus))
-            .select(_F.sum(chain).alias("h"))
-            .collect()
+            .select(
+                "doc_id",
+                _F.explode(_F.sequence(_F.lit(1), _F.lit(2000))).alias("i"),
+            )
         )
+        h = _F.xxhash64("doc_id", "i")
+        for _ in range(128):
+            h = _F.xxhash64(h)
+        df.select(_F.sum(_F.pmod(h, _F.lit(1_000_000_000))).alias("s")).collect()
 
     _extra_row("zz_cpu_scaling_probe", _cpu_scaling_probe)
 

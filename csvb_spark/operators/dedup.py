@@ -121,6 +121,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 16,
     shingle_words: int = 3,
+    spread_input: bool = True,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>[num_perm]) via explode + groupBy-min.
 
@@ -136,8 +137,19 @@ def minhash_signatures(
     row on the map side, so the groupBy shuffle carries exactly one
     (doc_id, num_perm × int64) row per document — NOT the exploded
     shingle stream.
+
+    ``spread_input=False`` skips the ``spread`` parallelism check for
+    callers whose input is ALREADY shuffle-partitioned (the streaming
+    sink signs its micro-batch AFTER exact dedup's groupBy): the
+    check is a plan-time no-op there, but verifying that costs a full
+    analyze+optimize+plan of the input lineage per call (``df.rdd``)
+    — measured ~0.7 s of driver time per micro-batch (round 16, §5).
     """
-    base = spread(docs.select("doc_id", text_col))
+    base = (
+        spread(docs.select("doc_id", text_col))
+        if spread_input
+        else docs.select("doc_id", text_col)
+    )
     exploded = base.select(
         "doc_id",
         F.explode(word_shingles(text_col, shingle_words)).alias("s"),
@@ -160,6 +172,7 @@ def minhash_bands(
     num_perm: int = 16,
     bands: int = 4,
     shingle_words: int = 3,
+    spread_input: bool = True,
 ) -> DataFrame:
     """(doc_id, sig, band_id, band_key) — the LSH banding table, the
     unit both the self-join dedup and the incremental path index.
@@ -175,7 +188,9 @@ def minhash_bands(
     was the dominant cost of the whole operator at sf0.1.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(docs, text_col, num_perm, shingle_words)
+    sigs = minhash_signatures(
+        docs, text_col, num_perm, shingle_words, spread_input=spread_input
+    )
     # one parsed expression for the whole band array (same py4j
     # economics as the signature aggregate above; values unchanged —
     # SQL array indexing is 0-based like Column.getItem)

@@ -49,6 +49,70 @@ def _toks(text_col: str):
     return F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
 
 
+def _toks_sql(text_col: str) -> str:
+    """SQL text of ``_toks`` — same expression tree through the
+    parser (split/trim/lower/coalesce; '\\\\s+' unescapes to the \\s+
+    regex F.split receives)."""
+    return f"split(trim(lower(coalesce(`{text_col}`, ''))), '\\\\s+')"
+
+
+_BG_T = "array<struct<w1:string,w2:string>>"
+_TG_T = "array<struct<w1:string,w2:string,w3:string>>"
+
+
+def _pair_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(_id, w1, w2)`` bigram rows plus one NULL-sentinel row per
+    document — the shared corpus-side front half of the addk/KN/JM
+    scorers, built from TWO parsed selectExpr strings instead of
+    ~370 fine-grained py4j Column calls (round 16: plan construction
+    was ~30-50% of a scorer's per-run wall at bench scale, and the
+    streaming gate pays it per micro-batch — the p09 round-4
+    F.expr-batching pattern, guide §4.3/§5). The SQL is the same
+    expression tree as the Column form (``_toks``/``_bigrams``): the
+    CAST on arrays_zip only renames the struct fields, exactly like
+    the ``.alias`` calls it replaces; values are pinned bit-identical
+    by the x84/x89/x110 DuckDB oracles."""
+    bg = (
+        "CASE WHEN size(_t) >= 2 THEN CAST(arrays_zip("
+        "slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1)"
+        f") AS {_BG_T}) ELSE CAST(array() AS {_BG_T}) END"
+    )
+    sent = (
+        "array(named_struct("
+        "'w1', CAST(NULL AS string), 'w2', CAST(NULL AS string)))"
+    )
+    return (
+        docs.selectExpr(
+            f"`{id_col}` AS _id", f"{_toks_sql(text_col)} AS _t"
+        )
+        .selectExpr("_id", f"explode(concat({bg}, {sent})) AS b")
+        .select("_id", "b.w1", "b.w2")
+    )
+
+
+def _triple_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(_id, w1, w2, w3)`` trigram rows plus one NULL-sentinel row
+    per document — the stupid-backoff sibling of ``_pair_rows``, same
+    construction economics and the same value pin (x93 oracle)."""
+    tg = (
+        "CASE WHEN size(_t) >= 3 THEN CAST(arrays_zip("
+        "slice(_t, 1, size(_t) - 2), slice(_t, 2, size(_t) - 2), "
+        f"slice(_t, 3, size(_t) - 2)) AS {_TG_T}) "
+        f"ELSE CAST(array() AS {_TG_T}) END"
+    )
+    sent = (
+        "array(named_struct('w1', CAST(NULL AS string), "
+        "'w2', CAST(NULL AS string), 'w3', CAST(NULL AS string)))"
+    )
+    return (
+        docs.selectExpr(
+            f"`{id_col}` AS _id", f"{_toks_sql(text_col)} AS _t"
+        )
+        .selectExpr("_id", f"explode(concat({tg}, {sent})) AS b")
+        .select("_id", "b.w1", "b.w2", "b.w3")
+    )
+
+
 def _bigrams(t):
     """Consecutive-token pair array for a token-array column — ONE
     definition shared by train and score, so the bigram shape can
@@ -517,21 +581,7 @@ def perplexity_score(
     # every document emits its bigrams PLUS one NULL sentinel pair, so
     # short documents (no bigrams) survive the explode and the corpus
     # is scanned exactly once — no second filter pass, no anti-join
-    sentinel = F.array(
-        F.struct(
-            F.lit(None).cast("string").alias("w1"),
-            F.lit(None).cast("string").alias("w2"),
-        )
-    )
-    pairs = (
-        docs.select(
-            F.col(id_col).alias("_id"), _toks(text_col).alias("_t")
-        )
-        .select(
-            "_id", F.explode(F.concat(_bigrams(F.col("_t")), sentinel)).alias("b")
-        )
-        .select("_id", "b.w1", "b.w2")
-    )
+    pairs = _pair_rows(docs, id_col, text_col)
     _ne = _model_norm_entropy(b_tokens, b_keys, b_nlogn)
     if not broadcast_model and _ne is not None and _ne < salt_threshold:
         # SKEW PRE-FLIGHT (free: the entropy came out of the same agg
@@ -571,24 +621,28 @@ def perplexity_score(
             )
             .join(uni, pairs.w1 == uni._c_w1, "left")
         )
+    # post-join arithmetic as parsed strings (round 16 — the same
+    # construction-cost batching as _pair_rows; identical expression
+    # trees: SQL ln IS F.log, int literals type like F.lit's ints, and
+    # the x84 oracle pins the values). Sentinel rows contribute NULL
+    # _q (ignored by SUM), exactly as before.
     p = (
-        (F.coalesce(F.col("_c2"), F.lit(0)) + F.lit(alpha)).cast("double")
-        / (F.coalesce(F.col("_c1"), F.lit(0)) + F.lit(alpha) * F.lit(v)).cast(
-            "double"
+        f"(CAST(coalesce(_c2, 0) + {alpha} AS DOUBLE)"
+        f" / CAST(coalesce(_c1, 0) + {alpha} * {v} AS DOUBLE))"
+    )
+    per_doc = (
+        joined.selectExpr(
+            "_id",
+            "CAST(w1 IS NOT NULL AS BIGINT) AS _is_bg",
+            "CASE WHEN w1 IS NOT NULL THEN "
+            f"CAST(round(ln({p}), 6) AS DECIMAL(18,6)) END AS _q",
         )
+        .groupBy("_id")
+        .agg(F.sum("_is_bg").alias("n_bigrams"), F.sum("_q").alias("_total"))
     )
-    q = F.when(
-        F.col("w1").isNotNull(), F.round(F.log(p), 6).cast("decimal(18,6)")
-    )  # sentinel rows contribute NULL (ignored by SUM)
-    per_doc = joined.select(
-        "_id", F.col("w1").isNotNull().cast("bigint").alias("_is_bg"), q.alias("_q")
-    ).groupBy("_id").agg(
-        F.sum("_is_bg").alias("n_bigrams"),
-        F.sum("_q").alias("_total"),
-    )
-    avg_nll = F.when(
-        F.col("n_bigrams") > 0,
-        -(F.col("_total").cast("double") / F.col("n_bigrams").cast("double")),
+    avg_nll = (
+        "CASE WHEN n_bigrams > 0 THEN "
+        "-(CAST(_total AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) END"
     )
     # avg_neg_logprob ships UNROUNDED: its operands (exact decimal
     # total, int count) make the division bit-identical on any engine,
@@ -597,11 +651,11 @@ def perplexity_score(
     # value, which differs when the repr lands exactly on a half
     # boundary (observed once in 5,000 docs at sf0.1). ppl must round
     # because exp() itself is only ulp-identical across engines.
-    return per_doc.select(
-        F.col("_id").alias(id_col),
+    return per_doc.selectExpr(
+        f"_id AS `{id_col}`",
         "n_bigrams",
-        avg_nll.alias("avg_neg_logprob"),
-        F.round(F.exp(avg_nll), 6).alias("ppl"),
+        f"{avg_nll} AS avg_neg_logprob",
+        f"round(exp({avg_nll}), 6) AS ppl",
     )
 
 
@@ -705,21 +759,7 @@ def kneser_ney_score(
     _ne = _model_norm_entropy(b_tokens, b_types, b_nlogn)
     _salted = not _broadcasting and _ne is not None and _ne < salt_threshold
 
-    sentinel = F.array(
-        F.struct(
-            F.lit(None).cast("string").alias("w1"),
-            F.lit(None).cast("string").alias("w2"),
-        )
-    )
-    pairs = (
-        docs.select(
-            F.col(id_col).alias("_id"), _toks(text_col).alias("_t")
-        )
-        .select(
-            "_id", F.explode(F.concat(_bigrams(F.col("_t")), sentinel)).alias("b")
-        )
-        .select("_id", "b.w1", "b.w2")
-    )
+    pairs = _pair_rows(docs, id_col, text_col)
     if _salted:
         # Same construction as perplexity_score's salted fallback:
         # every corpus pair carries ONE deterministic salt; every
@@ -752,7 +792,6 @@ def kneser_ney_score(
             .join(_bc(ctx), ["w1"], "left")
             .join(_bc(cont), ["w2"], "left")
         )
-    n1b = F.coalesce(F.col("_n1bwd"), F.lit(0)) + F.lit(1)
     # Per-term double divisions, NEVER the cross-multiplied int64 form
     # (max(c2·1000−D,0)·scale and 1000·c1·scale overflow int64 for a
     # realistically sized model — c1 ~ 6e7 for a hot context times
@@ -761,36 +800,35 @@ def kneser_ney_score(
     # ~400x headroom even at petatoken scale — and the probability is
     # three IEEE ops in a PINNED order (t1 + (t2 · pc)), which any
     # engine reproduces bit-for-bit; the x89 oracle mirrors the same
-    # tree shape.
-    disc = F.greatest(
-        F.coalesce(F.col("_c2"), F.lit(0)) * F.lit(1000) - F.lit(dm),
-        F.lit(0),
+    # tree shape. Built as parsed strings (round 16 — the _pair_rows
+    # construction-cost batching; identical expression trees, the
+    # oracle pins the values).
+    t1 = (
+        f"CAST(greatest(coalesce(_c2, 0) * 1000 - {dm}, 0) AS DOUBLE)"
+        " / CAST(1000 * _c1 AS DOUBLE)"
     )
-    den = F.lit(1000) * F.col("_c1")
-    t1 = disc.cast("double") / den.cast("double")
-    t2 = (F.lit(dm) * F.col("_n1fwd")).cast("double") / den.cast("double")
-    pc = n1b.cast("double") / F.lit(scale).cast("double")
-    p = F.when(F.col("_c1").isNotNull(), t1 + (t2 * pc)).otherwise(pc)
-    q = F.when(
-        F.col("w1").isNotNull(), F.round(F.log(p), 6).cast("decimal(18,6)")
+    t2 = f"CAST({dm} * _n1fwd AS DOUBLE) / CAST(1000 * _c1 AS DOUBLE)"
+    pc = f"CAST(coalesce(_n1bwd, 0) + 1 AS DOUBLE) / CAST({scale} AS DOUBLE)"
+    p = f"CASE WHEN _c1 IS NOT NULL THEN ({t1}) + (({t2}) * ({pc})) ELSE {pc} END"
+    per_doc = (
+        j.selectExpr(
+            "_id",
+            "CAST(w1 IS NOT NULL AS BIGINT) AS _is_bg",
+            "CASE WHEN w1 IS NOT NULL THEN "
+            f"CAST(round(ln({p}), 6) AS DECIMAL(18,6)) END AS _q",
+        )
+        .groupBy("_id")
+        .agg(F.sum("_is_bg").alias("n_bigrams"), F.sum("_q").alias("_total"))
     )
-    per_doc = j.select(
-        "_id",
-        F.col("w1").isNotNull().cast("bigint").alias("_is_bg"),
-        q.alias("_q"),
-    ).groupBy("_id").agg(
-        F.sum("_is_bg").alias("n_bigrams"),
-        F.sum("_q").alias("_total"),
+    avg_nll = (
+        "CASE WHEN n_bigrams > 0 THEN "
+        "-(CAST(_total AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) END"
     )
-    avg_nll = F.when(
-        F.col("n_bigrams") > 0,
-        -(F.col("_total").cast("double") / F.col("n_bigrams").cast("double")),
-    )
-    return per_doc.select(
-        F.col("_id").alias(id_col),
+    return per_doc.selectExpr(
+        f"_id AS `{id_col}`",
         "n_bigrams",
-        avg_nll.alias("avg_neg_logprob"),
-        F.round(F.exp(avg_nll), 6).alias("ppl"),
+        f"{avg_nll} AS avg_neg_logprob",
+        f"round(exp({avg_nll}), 6) AS ppl",
     )
 
 
@@ -943,21 +981,7 @@ def stupid_backoff_score(
     if _salted:
         _warn_salting("stupid_backoff_score", salt_threshold, n_salts)
 
-    sentinel = F.array(
-        F.struct(
-            F.lit(None).cast("string").alias("w1"),
-            F.lit(None).cast("string").alias("w2"),
-            F.lit(None).cast("string").alias("w3"),
-        )
-    )
-    triples = (
-        docs.select(F.col(id_col).alias("_id"), _toks(text_col).alias("_t"))
-        .select(
-            "_id",
-            F.explode(F.concat(_trigrams(F.col("_t")), sentinel)).alias("b"),
-        )
-        .select("_id", "b.w1", "b.w2", "b.w3")
-    )
+    triples = _triple_rows(docs, id_col, text_col)
     if _salted:
         # one deterministic salt per corpus triple; each model table is
         # replicated across all n_salts values under its own salt
@@ -1038,46 +1062,40 @@ def stupid_backoff_score(
             "left",
         )
     )
-    a = F.lit(alpha_milli).cast("double") / F.lit(1000).cast("double")
+    # scoring arithmetic as parsed strings (round 16 — the _pair_rows
+    # construction-cost batching; identical expression trees, x93's
+    # oracle pins the values). ``a`` is the same Divide-of-casts tree
+    # the Column form built; constant folding collapses both alike.
+    a = f"(CAST({int(alpha_milli)} AS DOUBLE) / CAST(1000 AS DOUBLE))"
+    nt = int(n_tokens)
     s = (
-        F.when(
-            F.col("_c123").isNotNull(),
-            F.col("_c123").cast("double") / F.col("_c12").cast("double"),
-        )
-        .when(
-            F.col("_c23").isNotNull(),
-            a * (F.col("_c23").cast("double") / F.col("_c2").cast("double")),
-        )
-        .when(
-            F.col("_c3").isNotNull(),
-            (a * a)
-            * (F.col("_c3").cast("double") / F.lit(n_tokens).cast("double")),
-        )
-        .otherwise(
-            (a * a)
-            * (F.lit(1).cast("double") / F.lit(n_tokens).cast("double"))
-        )
+        "CASE WHEN _c123 IS NOT NULL THEN"
+        " CAST(_c123 AS DOUBLE) / CAST(_c12 AS DOUBLE)"
+        f" WHEN _c23 IS NOT NULL THEN {a} *"
+        " (CAST(_c23 AS DOUBLE) / CAST(_c2 AS DOUBLE))"
+        f" WHEN _c3 IS NOT NULL THEN ({a} * {a}) *"
+        f" (CAST(_c3 AS DOUBLE) / CAST({nt} AS DOUBLE))"
+        f" ELSE ({a} * {a}) * (CAST(1 AS DOUBLE) / CAST({nt} AS DOUBLE)) END"
     )
-    q = F.when(
-        F.col("w1").isNotNull(), F.round(F.log(s), 6).cast("decimal(18,6)")
+    per_doc = (
+        j.selectExpr(
+            "_id",
+            "CAST(w1 IS NOT NULL AS BIGINT) AS _is_tg",
+            "CASE WHEN w1 IS NOT NULL THEN "
+            f"CAST(round(ln({s}), 6) AS DECIMAL(18,6)) END AS _q",
+        )
+        .groupBy("_id")
+        .agg(F.sum("_is_tg").alias("n_trigrams"), F.sum("_q").alias("_total"))
     )
-    per_doc = j.select(
-        "_id",
-        F.col("w1").isNotNull().cast("bigint").alias("_is_tg"),
-        q.alias("_q"),
-    ).groupBy("_id").agg(
-        F.sum("_is_tg").alias("n_trigrams"),
-        F.sum("_q").alias("_total"),
+    avg_nls = (
+        "CASE WHEN n_trigrams > 0 THEN "
+        "-(CAST(_total AS DOUBLE) / CAST(n_trigrams AS DOUBLE)) END"
     )
-    avg_nls = F.when(
-        F.col("n_trigrams") > 0,
-        -(F.col("_total").cast("double") / F.col("n_trigrams").cast("double")),
-    )
-    return per_doc.select(
-        F.col("_id").alias(id_col),
+    return per_doc.selectExpr(
+        f"_id AS `{id_col}`",
         "n_trigrams",
-        avg_nls.alias("avg_neg_logscore"),
-        F.round(F.exp(avg_nls), 6).alias("sppl"),
+        f"{avg_nls} AS avg_neg_logscore",
+        f"round(exp({avg_nls}), 6) AS sppl",
     )
 
 
@@ -1264,20 +1282,7 @@ def jelinek_mercer_score(
     _ne = _model_norm_entropy(b_tokens, b_keys, b_nlogn)
     _salted = not broadcast_model and _ne is not None and _ne < salt_threshold
 
-    sentinel = F.array(
-        F.struct(
-            F.lit(None).cast("string").alias("w1"),
-            F.lit(None).cast("string").alias("w2"),
-        )
-    )
-    pairs = (
-        docs.select(F.col(id_col).alias("_id"), _toks(text_col).alias("_t"))
-        .select(
-            "_id",
-            F.explode(F.concat(_bigrams(F.col("_t")), sentinel)).alias("b"),
-        )
-        .select("_id", "b.w1", "b.w2")
-    )
+    pairs = _pair_rows(docs, id_col, text_col)
     if _salted:
         # same construction as the other three scorers (see
         # _salt_probe/_salt_replicate): one deterministic salt per
@@ -1316,35 +1321,38 @@ def jelinek_mercer_score(
             .join(uni, pairs.w1 == uni._c_w1, "left")
             .join(uni2, pairs.w2 == uni2._u_w2, "left")
         )
-    ml = F.when(
-        F.coalesce(F.col("_c1"), F.lit(0)) > 0,
-        F.coalesce(F.col("_c2"), F.lit(0)).cast("double")
-        / F.col("_c1").cast("double"),
-    ).otherwise(F.lit(0.0))
-    backoff = (F.coalesce(F.col("_cu"), F.lit(0)) + F.lit(1)).cast(
-        "double"
-    ) / F.lit(float(int(t_tokens or 0) + int(v)))
-    p = F.lit(float(lam)) * ml + F.lit(1.0 - float(lam)) * backoff
-    q = F.when(
-        F.col("w1").isNotNull(), F.round(F.log(p), 6).cast("decimal(18,6)")
+    # scoring arithmetic as parsed strings (round 16 — the _pair_rows
+    # construction-cost batching; identical trees, x110's oracle pins
+    # the values). Double literals use the `...D` suffix so they parse
+    # AS DOUBLE with the exact repr round-trip of the F.lit floats
+    # they replace (a bare SQL decimal literal would parse DECIMAL).
+    denom = float(int(t_tokens or 0) + int(v))
+    ml = (
+        "CASE WHEN coalesce(_c1, 0) > 0 THEN"
+        " CAST(coalesce(_c2, 0) AS DOUBLE) / CAST(_c1 AS DOUBLE)"
+        " ELSE 0.0D END"
     )
-    per_doc = joined.select(
-        "_id",
-        F.col("w1").isNotNull().cast("bigint").alias("_is_bg"),
-        q.alias("_q"),
-    ).groupBy("_id").agg(
-        F.sum("_is_bg").alias("n_bigrams"),
-        F.sum("_q").alias("_total"),
+    backoff = f"CAST(coalesce(_cu, 0) + 1 AS DOUBLE) / {denom!r}D"
+    p = f"{float(lam)!r}D * ({ml}) + {1.0 - float(lam)!r}D * ({backoff})"
+    per_doc = (
+        joined.selectExpr(
+            "_id",
+            "CAST(w1 IS NOT NULL AS BIGINT) AS _is_bg",
+            "CASE WHEN w1 IS NOT NULL THEN "
+            f"CAST(round(ln({p}), 6) AS DECIMAL(18,6)) END AS _q",
+        )
+        .groupBy("_id")
+        .agg(F.sum("_is_bg").alias("n_bigrams"), F.sum("_q").alias("_total"))
     )
-    avg_nll = F.when(
-        F.col("n_bigrams") > 0,
-        -(F.col("_total").cast("double") / F.col("n_bigrams").cast("double")),
+    avg_nll = (
+        "CASE WHEN n_bigrams > 0 THEN "
+        "-(CAST(_total AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) END"
     )
-    return per_doc.select(
-        F.col("_id").alias(id_col),
+    return per_doc.selectExpr(
+        f"_id AS `{id_col}`",
         "n_bigrams",
-        avg_nll.alias("avg_neg_logprob"),
-        F.round(F.exp(avg_nll), 6).alias("ppl"),
+        f"{avg_nll} AS avg_neg_logprob",
+        f"round(exp({avg_nll}), 6) AS ppl",
     )
 
 

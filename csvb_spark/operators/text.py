@@ -60,29 +60,40 @@ def quality_score(
     """Heuristic quality signals: length, punctuation/digit/upper
     ratios, stopword ratio, and a coarse bucket. Map-only.
     ``extra_cols`` are passed through untouched (e.g. a grouping key
-    for :func:`adaptive_quality_filter`)."""
-    text = F.col(text_col)
-    n = F.length(text)
-    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
-    upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
-    t = tokens(text_col)
-    stop_hits = F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    for :func:`adaptive_quality_filter`).
+
+    Built from parsed selectExpr strings instead of ~600 fine-grained
+    py4j Column calls (round 16 — the p09 F.expr-batching pattern;
+    plan construction is per-micro-batch cost in the streaming
+    quality gate and per-pass cost in every bench row that composes
+    this). Same expression tree through the parser: '\\\\s+'/'\\\\s'
+    unescape to the \\s regexes the Column form passed, the literal
+    suffix D pins the score addends to DOUBLE exactly like F.lit's
+    Python floats (bare SQL 0.2 would parse DECIMAL), and int/int
+    ``/`` is double division in both forms."""
+    q = f"`{text_col}`"
+    t = f"split(trim({q}), '\\\\s+')"
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + ")"
+    n = f"length({q})"
+    digits = f"length(regexp_replace({q}, '[^0-9]', ''))"
+    punct = f"length(regexp_replace({q}, '[A-Za-z0-9\\\\s]', ''))"
+    upper = f"length(regexp_replace({q}, '[^A-Z]', ''))"
+    stop_hits = f"size(array_intersect({t}, {stop_arr}))"
     score = (
-        F.when(n < 64, 0.2).otherwise(0.5)
-        + F.when(stop_hits > 0, 0.3).otherwise(0.0)
-        + F.when(punct / n < 0.1, 0.2).otherwise(0.0)
+        f"(CASE WHEN {n} < 64 THEN 0.2D ELSE 0.5D END"
+        f" + CASE WHEN {stop_hits} > 0 THEN 0.3D ELSE 0.0D END"
+        f" + CASE WHEN {punct} / {n} < 0.1D THEN 0.2D ELSE 0.0D END)"
     )
-    return docs.select(
+    return docs.selectExpr(
         "doc_id",
-        n.alias("n_chars"),
-        F.size(t).alias("n_tokens"),
-        F.round(digits / n, 6).alias("digit_ratio"),
-        F.round(punct / n, 6).alias("punct_ratio"),
-        F.round(upper / n, 6).alias("upper_ratio"),
-        stop_hits.alias("en_stopword_hits"),
-        F.round(score, 2).alias("quality_score"),
-        *extra_cols,
+        f"{n} AS n_chars",
+        f"size({t}) AS n_tokens",
+        f"round({digits} / {n}, 6) AS digit_ratio",
+        f"round({punct} / {n}, 6) AS punct_ratio",
+        f"round({upper} / {n}, 6) AS upper_ratio",
+        f"{stop_hits} AS en_stopword_hits",
+        f"round({score}, 2) AS quality_score",
+        *[f"`{c}`" for c in extra_cols],
     )
 
 

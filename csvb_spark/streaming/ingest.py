@@ -98,6 +98,10 @@ def _accept_batch(
     # the caller's finally below.
     batch = batch.persist()
     gated = None
+    # per-batch localCheckpoints (gate-timer keep sets, the quota
+    # admission table, the band table) — released in the finally so a
+    # long stream never accumulates executor storage (round-15 ADVICE)
+    ckpts: list[DataFrame] = []
     try:
         gated = _gate_chain(
             batch,
@@ -121,6 +125,7 @@ def _accept_batch(
             decontam_unit,
             gate_timers=gate_timers,
             lm_model_stats=lm_model_stats,
+            ckpts=ckpts,
         )
         # The gate chain is consumed more than once downstream
         # (pii_redact(gated) joins back to gated; exact dedup and the
@@ -144,11 +149,14 @@ def _accept_batch(
             url_col,
             domain_quota,
             quota_dir,
+            ckpts=ckpts,
         )
     finally:
         if gated is not None:
             gated.unpersist()
         batch.unpersist()
+        for df in ckpts:
+            _release_local_checkpoint(df)
 
 
 def _gate_chain(
@@ -175,6 +183,7 @@ def _gate_chain(
     decontam_unit: str = "char",
     gate_timers: dict[str, list[float]] | None = None,
     lm_model_stats=None,
+    ckpts: list[DataFrame] | None = None,
 ) -> DataFrame:
     """The admission-gate composition over one (persisted) micro-batch.
 
@@ -205,6 +214,8 @@ def _gate_chain(
         gate_timers.setdefault(name, []).append(
             round(_time.perf_counter() - t0, 4)
         )
+        if ckpts is not None:
+            ckpts.append(keep)
         return keep
 
     # 1. quality gate + scrub (map-only). The optional Gopher gate
@@ -366,6 +377,7 @@ def _sink_batch(
     url_col: str | None,
     domain_quota: int | None,
     quota_dir: str | None,
+    ckpts: list[DataFrame] | None = None,
 ) -> None:
     """Redact, dedup (within-batch exact + cross-batch near-dup
     against the persisted band index), apply the optional domain
@@ -392,10 +404,29 @@ def _sink_batch(
     # via dedup_incremental(new_bands=...) and the index write reuses
     # the surviving rows via write_band_index_from_bands. persist(),
     # not localCheckpoint: checkpoint blocks are only freed when the
-    # driver GCs the RDD reference, so a long-running stream would
-    # accumulate executor storage between GC cycles (round-15
-    # ADVICE); the cache is explicitly released in the finally below.
-    batch_bands = D.minhash_bands(deduped, text_col, num_perm, bands).persist()
+    # localCheckpoint, NOT persist: an A/B this round measured
+    # persist() +30 s on the 8-batch decontam-gated stream — without
+    # lineage truncation every bands consumer re-plans (and on a cache
+    # miss re-executes) the whole gate chain. The round-15 ADVICE leak
+    # (checkpoint blocks freed only by driver GC) is fixed instead by
+    # releasing the checkpointed RDD's blocks explicitly in the
+    # finally below, once both consumers have run.
+    # spread_input=False + explicit repartition: a micro-batch is one
+    # source file, so the signing input ALWAYS needs the core-count
+    # repartition — but letting spread() discover that costs a full
+    # analyze+optimize+plan of the gate-chain lineage per micro-batch
+    # (df.rdd, ~0.7 s driver time — round-16 profile). Repartition
+    # unconditionally (identical physical outcome: spread() fired on
+    # every batch anyway) and skip the check.
+    batch_bands = D.minhash_bands(
+        deduped.repartition(spark.sparkContext.defaultParallelism),
+        text_col,
+        num_perm,
+        bands,
+        spread_input=False,
+    ).localCheckpoint(eager=True)
+    if ckpts is not None:
+        ckpts.append(batch_bands)
 
     # 3. cross-batch near-dup reject against the persisted index
     have_index = os.path.isdir(index_dir) and any(
@@ -467,6 +498,8 @@ def _sink_batch(
             .select("doc_id", "domain")
             .localCheckpoint(eager=True)
         )
+        if ckpts is not None:
+            ckpts.append(admitted)
         accepted = accepted.join(
             admitted.select("doc_id"), "doc_id", "left_semi"
         )
@@ -494,7 +527,23 @@ def _sink_batch(
             new_counts.write.mode("append").parquet(quota_dir)
     finally:
         accepted.unpersist()
-        batch_bands.unpersist()
+        if ckpts is None:  # caller without a release list: free now
+            _release_local_checkpoint(batch_bands)
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint's storage blocks eagerly (round-15
+    ADVICE): checkpoint blocks are otherwise only dropped when the
+    driver GCs the RDD reference, so a long-running stream can
+    accumulate executor storage between GC cycles. Best-effort — on
+    any JVM-shape surprise the ContextCleaner GC path remains the
+    fallback. Call only after EVERY consumer of ``df`` has run: the
+    blocks are the data (lineage is truncated), so a later read
+    fails with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)  # noqa: SLF001
+    except Exception:  # noqa: BLE001 — cleanup must never fail the batch
+        pass
 
 
 def run_streaming_ingest(
