@@ -430,7 +430,36 @@ def main() -> None:
                     sf10_t[n] = round(time.perf_counter() - t0, 4)
                 except Exception as ex:  # noqa: BLE001
                     sf10_err[n] = f"{type(ex).__name__}: {ex}"[:300]
+            # x97 repeat passes (round 16, r15 verdict item 3): the
+            # r15 driver artifact recorded x97 at 15.89x sf1 (126 s)
+            # where the builder measured 6.22x — a single timed pass
+            # cannot distinguish a plan cliff from one host-contention
+            # spike. x97 (the heaviest sf10 row) now gets two EXTRA
+            # passes; the row reports the median of 3 and the spread,
+            # so a contended pass is visible in the artifact instead
+            # of masquerading as super-linearity. (This round's
+            # interleaved probe measured 59.8/42.2/38.2 s = 7.7/5.4/
+            # 4.9x — sub-linear on every pass.)
+            _x97 = "x97_containment_pairs"
+            if _x97 in sf10_t:
+                try:
+                    _reps = [sf10_t[_x97]]
+                    for _ in range(2):
+                        t0 = time.perf_counter()
+                        queries[_x97].spark(spark, sf10_dir).count()
+                        _reps.append(round(time.perf_counter() - t0, 4))
+                    sf10_t[_x97] = sorted(_reps)[1]
+                    sf10_x97_spread = [min(_reps), max(_reps)]
+                except Exception as ex:  # noqa: BLE001
+                    sf10_err[_x97 + "_repeats"] = (
+                        f"{type(ex).__name__}: {ex}"[:300]
+                    )
+                    sf10_x97_spread = None
+            else:
+                sf10_x97_spread = None
             sf10 = {"queries": sf10_t}
+            if sf10_x97_spread is not None:
+                sf10["x97_spread"] = sf10_x97_spread
             if sf10_err:
                 sf10["failed"] = sf10_err
             ratio_ops = [n for n in SF10_OPS if n in sf10_t]

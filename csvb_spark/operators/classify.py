@@ -753,7 +753,14 @@ def dsir_score(
     )
     return dsir_score_with_weights(
         docs=raw,
-        weights=w,
+        # strip the self-description columns: the hash params are the
+        # ones THIS call chose, so the scorer's metadata `.first()`
+        # probe — a driver job executing the weight plan once more —
+        # would only re-read constants (round 16, §5); the narrower
+        # table also shrinks the checkpoint below. Persisted/external
+        # tables keep the probe (dsir_score_with_weights validates
+        # them via their own metadata columns).
+        weights=w.select("bucket", "log_weight"),
         text_col=text_col,
         id_col=id_col,
         n_buckets=n_buckets,
