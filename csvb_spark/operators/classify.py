@@ -742,7 +742,92 @@ def dsir_score(
     separate-target, per-gram log-sum form with a persistable bucket
     model (train once, score any corpus, gate a stream). Reference
     scope: beyond-reference (training-pipeline extension; SURVEY.md §2).
+
+    Round-16 (§2.4): under ``target_pred`` the weight build and the
+    scoring pass both consume the SAME exploded feature table, so the
+    corpus is exploded and md5-bucketed exactly ONCE — the feature
+    rows localCheckpoint as a narrow ``(_id, _in_t, bucket)`` table
+    (≈17 bytes/row against re-reading the text corpus and paying the
+    per-feature md5 a second time; rebuilt from parquet on every
+    execution, a within-query materialization, not a cache) and feed
+    the bucket counts, the totals, and the per-document scoring join.
+    Weight math is inherited verbatim from
+    :func:`dsir_bucket_weights`; the scorer's DEFAULT-row machinery
+    drops out because every scored bucket is by construction present
+    in a weight table built from the same feature rows (the left
+    join cannot miss, and the coalesce fallback is the same
+    0-valued DECIMAL the default row carried). Identical rows,
+    bit-for-bit — the DuckDB oracle and the target-vs-pred
+    equivalence test pin it.
     """
+    _validate_dsir_buckets("dsir_score", n_buckets)
+    if target_pred is not None:
+        if target is not None:
+            raise ValueError(
+                "dsir_score: pass exactly one of target (a separate "
+                "corpus) or target_pred (a predicate selecting the "
+                "target subset of raw)"
+            )
+        pred = (
+            F.expr(target_pred)
+            if isinstance(target_pred, str)
+            else target_pred
+        )
+        feats = _dsir_feats(
+            raw, text_col, id_col, n_buckets, seed, flag=pred
+        ).localCheckpoint(eager=True)
+        counts = (
+            feats.groupBy("bucket")
+            .agg(
+                F.count("*").alias("_cr"),
+                F.count(F.when(F.col("_in_t"), 1)).alias("_ct"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        totals = counts.agg(
+            (F.coalesce(F.sum("_cr"), F.lit(0)) + F.lit(n_buckets))
+            .cast("double")
+            .alias("_r_tot"),
+            (F.coalesce(F.sum("_ct"), F.lit(0)) + F.lit(n_buckets))
+            .cast("double")
+            .alias("_t_tot"),
+        )
+        # same single-ln log-ratio expression as dsir_bucket_weights
+        w = counts.crossJoin(F.broadcast(totals)).select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(1)).cast("double")
+                        * F.col("_r_tot")
+                    )
+                    / (
+                        (F.coalesce(F.col("_cr"), F.lit(0)) + F.lit(1)).cast("double")
+                        * F.col("_t_tot")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("log_weight"),
+        )
+        return (
+            feats.join(F.broadcast(w), "bucket", "left")
+            .groupBy("_id")
+            .agg(
+                F.count("*").alias("n_features"),
+                F.sum(
+                    F.coalesce(
+                        F.col("log_weight"), F.lit(0).cast("decimal(18,6)")
+                    )
+                )
+                .cast("double")
+                .alias("log_importance"),
+            )
+            .select(
+                F.col("_id").alias(id_col), "n_features", "log_importance"
+            )
+        )
     w = dsir_bucket_weights(
         raw,
         target,

@@ -716,6 +716,24 @@ def kneser_ney_score(
     no shuffle touches corpus rows until the per-document rollup on
     ``doc_id``.
 
+    Round-16 (§2.4): context totals ``(c1, N1+(w1·))`` and
+    continuation counts ``N1+(·w2)`` used to be TWO separate
+    groupBy-exchange chains over the checkpointed model, and the
+    scalars a third countDistinct scan. All per-word statistics now
+    come out of ONE unpivot (each bigram row explodes into a
+    w1-tagged and a w2-tagged row) + ONE groupBy(word), checkpointed
+    once (vocab-bounded); the scalars are a tiny follow-up agg over
+    that table. Null semantics are preserved exactly: a word only
+    ever seen as ``w2`` carries ``_c1 = NULL`` (sum over an empty
+    fwd set), which takes the same unseen-context branch as the old
+    join miss; a word only ever seen as ``w1`` carries
+    ``_n1bwd = 0``, indistinguishable from the old NULL under the
+    expression's ``coalesce(_n1bwd, 0)``. ``b``/``v``/``bn`` are
+    exact integer aggregates (order-independent); ``bnlogn`` is a
+    double whose summation order changes, but it only feeds the
+    salt-threshold plan decision, never an output value — and the
+    salted plan is row-identical by construction.
+
     The shuffle fallback is SKEW-GUARDED exactly like
     ``perplexity_score``: the model's bigram-count entropy rides the
     same scalar agg as ``B``/``V`` (no extra pass), and when its
@@ -736,18 +754,62 @@ def kneser_ney_score(
     if not model_materialized:
         lm = lm.localCheckpoint(eager=True)
     bi = lm.filter(F.col("w2").isNotNull()).select("w1", "w2", "cnt")
-    ctx = bi.groupBy("w1").agg(
-        F.sum("cnt").alias("_c1"), F.count("*").alias("_n1fwd")
+    # ONE unpivot + ONE groupBy(word) replaces the old separate
+    # ctx (groupBy w1) and cont (groupBy w2) exchange chains — see
+    # the docstring's round-16 note for the null-semantics proof.
+    # Checkpointed eagerly: it has three consumers (two score joins
+    # plus the scalar probe) and is vocab-bounded.
+    wordstats = (
+        bi.select(
+            F.expr(
+                "explode(array("
+                "struct(w1 AS word, cnt AS _cnt, true AS _fwd),"
+                "struct(w2 AS word, CAST(NULL AS BIGINT) AS _cnt, false AS _fwd)"
+                ")) AS s"
+            )
+        )
+        .select("s.*")
+        .groupBy("word")
+        .agg(
+            F.sum(F.when(F.col("_fwd"), F.col("_cnt"))).alias("_c1"),
+            F.count(F.when(F.col("_fwd"), 1)).alias("_n1fwd"),
+            F.count(F.when(~F.col("_fwd"), 1)).alias("_n1bwd"),
+            # partial Σ cnt·ln(cnt) over this word's bigram rows — the
+            # skew pre-flight's entropy numerator, summed globally in
+            # the scalar probe below (double; order-sensitive only in
+            # the last ulp, and it never reaches an output value)
+            F.sum(
+                F.when(
+                    F.col("_fwd"),
+                    F.col("_cnt").cast("double")
+                    * F.log(F.col("_cnt").cast("double")),
+                )
+            ).alias("_bnlogn_part"),
+        )
+        .localCheckpoint(eager=True)
     )
-    cont = bi.groupBy("w2").agg(F.count("*").alias("_n1bwd"))
-    # scalars: distinct bigram types + continuation vocabulary — one
-    # bounded agg over the model, like perplexity_score's V probe;
-    # the same agg yields the count-entropy statistics for the
-    # shuffle-fallback skew pre-flight (no extra pass). Streaming
-    # callers amortize it per stream via lm_model_stats (round 15).
-    b_types, v_cont, b_tokens, b_nlogn = (
-        model_stats if model_stats is not None else _kn_model_stats(lm)
+    ctx = wordstats.select(
+        F.col("word").alias("w1"), "_c1", "_n1fwd"
     )
+    cont = wordstats.select(F.col("word").alias("w2"), "_n1bwd")
+    # scalars: distinct bigram types + continuation vocabulary — a
+    # tiny agg over the vocab-bounded wordstats table (round 16: was
+    # a countDistinct scan over the model); the same agg yields the
+    # count-entropy statistics for the shuffle-fallback skew
+    # pre-flight (no extra pass). Streaming callers amortize it per
+    # stream via lm_model_stats (round 15).
+    if model_stats is not None:
+        b_types, v_cont, b_tokens, b_nlogn = model_stats
+    else:
+        _s = wordstats.agg(
+            F.coalesce(F.sum("_n1fwd"), F.lit(0)).alias("b"),
+            F.count(F.when(F.col("_n1bwd") > 0, 1)).alias("v"),
+            F.sum("_c1").alias("bn"),
+            F.sum("_bnlogn_part").alias("bnlogn"),
+        ).first()
+        b_types, v_cont, b_tokens, b_nlogn = (
+            _s["b"], _s["v"], _s["bn"], _s["bnlogn"],
+        )
     scale = int(b_types) + int(v_cont) + 1
     dm = int(discount_milli)
     # b_types IS the bigram row count, which bounds every broadcast

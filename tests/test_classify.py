@@ -577,6 +577,39 @@ def test_dsir_score_ranks_target_like_docs_higher(spark):
         dsir_score(raw, target, n_buckets=1 << 21)
 
 
+def test_dsir_score_target_pred_matches_target_df(spark):
+    """Round-16 refactor pin: the fused target_pred path (one corpus
+    explode feeding weight counts AND the scoring join) must produce
+    EXACTLY the rows of the compositional path given the equivalent
+    target DataFrame — same ids, counts, and bit-identical doubles."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.classify import dsir_score
+
+    raw = spark.createDataFrame(
+        [
+            (0, "quantum field energy physics"),
+            (1, "physics momentum quantum"),
+            (2, "pizza recipe cheese tomato basil"),
+            (3, "quantum pizza celebrity weekend"),
+            (4, None),
+            (5, ""),
+            (6, "field energy"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pred_rows = sorted(
+        dsir_score(raw, target_pred="doc_id % 3 = 0", n_buckets=2048)
+        .collect()
+    )
+    df_rows = sorted(
+        dsir_score(
+            raw, raw.filter(F.expr("doc_id % 3 = 0")), n_buckets=2048
+        ).collect()
+    )
+    assert [tuple(r) for r in pred_rows] == [tuple(r) for r in df_rows]
+
+
 def test_cli_score_dsir(spark, tmp_path, capsys):
     """`score --method dsir --target ...` runs DSIR end to end: the
     per-feature importance gate keeps on-domain docs and drops

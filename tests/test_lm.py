@@ -310,6 +310,39 @@ def test_kneser_ney_probabilities_nearly_normalize(spark):
     assert r.ppl == round(math.exp(-round(math.log(p_ab), 6)), 6)
 
 
+def test_kneser_ney_wordstats_miss_semantics(spark):
+    """Round-16 refactor pin: the fused per-word stats table must keep
+    the OLD two-table join-miss semantics exactly — a context word the
+    model only ever saw as w2 carries c1 = NULL (unseen-context branch,
+    pure continuation probability), and a continuation word the model
+    only ever saw as w1 behaves as n1bwd = 0 under the coalesce."""
+    import math
+
+    from csvb_spark.operators.lm import bigram_lm_train, kneser_ney_score
+
+    # train "s a a e": s appears ONLY as w1, e ONLY as w2
+    train = spark.createDataFrame(
+        [(0, "s a a e")], "doc_id bigint, text string"
+    )
+    lm = bigram_lm_train(train)
+    # bigrams: (s,a) (a,a) (a,e) → B=3; w2 vocab {a,e} → V=2; scale=6
+    # c1: s=1 a=2 · n1fwd: s=1 a=2 · n1bwd: a=2 e=1
+    probes = spark.createDataFrame(
+        [(1, "e a"), (2, "a s")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: r.ppl for r in kneser_ney_score(probes, lm).collect()}
+
+    def ppl(p):
+        return round(math.exp(-round(math.log(p), 6)), 6)
+
+    # doc 1: context e has no forward rows → c1 NULL → ELSE branch:
+    # pc(a) = (n1bwd[a]+1)/scale = 3/6
+    assert got[1] == ppl(3 / 6)
+    # doc 2: context a seen; continuation s never a w2 → n1bwd → 0:
+    # p = max(0−750,0)/(1000·2) + (750·2/(1000·2)) · ((0+1)/6)
+    assert got[2] == ppl(0.75 * (1 / 6))
+
+
 def test_kneser_ney_rejects_bad_discount(spark):
     import pytest as _pytest
 
