@@ -39,7 +39,7 @@ reference has no text operators — SURVEY.md §2).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -358,6 +358,58 @@ def token_drift_from_counts(
         F.coalesce("n_old", F.lit(0)).alias("n_old"),
         F.coalesce("n_new", F.lit(0)).alias("n_new"),
     )
+    return _drift_topk(j, alpha, k)
+
+
+def token_drift_split(
+    docs: DataFrame,
+    old_pred: Column | str,
+    new_pred: Column | str,
+    text_col: str = "text",
+    alpha: int = 1,
+    k: int = 50,
+) -> DataFrame:
+    """``token_drift`` when BOTH snapshots are predicate-selected
+    subsets of ONE corpus (x86's shape: the even vs odd doc_id
+    halves). ``token_drift(docs.filter(p), docs.filter(q))`` decodes
+    the corpus twice — a row predicate cannot prune parquet row
+    groups — then groupBys each side and full-outer joins the two
+    count tables. Here ONE explode carries two boolean flags and ONE
+    groupBy(token) emits both counts via count_if (round 16, §2.4 —
+    the same fuse as DSIR's ``target_pred``): one corpus decode, one
+    exchange, no join. Identical values by construction: a token seen
+    only under ``old_pred`` comes out with ``n_new = 0``, exactly the
+    full-outer join's coalesce; rows matching NEITHER predicate are
+    filtered before the explode (they are in neither snapshot, so
+    they never reached either count table); counts are exact int64
+    either way. Same math and determinism contract as
+    :func:`token_drift` from the joined table onward."""
+    if not isinstance(alpha, int) or alpha <= 0:
+        raise ValueError(
+            f"token_drift_split: alpha must be a positive int, got {alpha!r}"
+        )
+    op = F.expr(old_pred) if isinstance(old_pred, str) else old_pred
+    np_ = F.expr(new_pred) if isinstance(new_pred, str) else new_pred
+    j = (
+        docs.select(
+            op.cast("boolean").alias("_o"),
+            np_.cast("boolean").alias("_n"),
+            F.explode(_toks(text_col)).alias("token"),
+        )
+        .filter(F.col("_o") | F.col("_n"))
+        .groupBy("token")
+        .agg(
+            F.count(F.when(F.col("_o"), 1)).alias("n_old"),
+            F.count(F.when(F.col("_n"), 1)).alias("n_new"),
+        )
+    )
+    return _drift_topk(j, alpha, k)
+
+
+def _drift_topk(j: DataFrame, alpha: int, k: int) -> DataFrame:
+    """Shared tail of the drift family: broadcast 1-row totals over
+    the joined ``(token, n_old, n_new)`` table, add-``alpha`` smoothed
+    KL contributions rounded to 9, deterministic top-``k``."""
     totals = j.agg(
         F.sum("n_old").alias("_t_old"),
         F.sum("n_new").alias("_t_new"),

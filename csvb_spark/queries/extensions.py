@@ -2989,9 +2989,15 @@ GROUP BY doc_id
 # counts, smoothing, and the (contrib DESC, token) top-k in SQL.
 _q(
     "x86_token_drift",
-    spark=lambda spark, sf: LM.token_drift(
-        _docs(spark, sf).filter(F.col("doc_id") % 2 == 0),
-        _docs(spark, sf).filter(F.col("doc_id") % 2 == 1),
+    # round-16 (§2.4): both snapshots are predicate halves of ONE
+    # corpus, so the split form counts them in a single explode +
+    # groupBy (one corpus decode instead of two, no full-outer join)
+    # — identical rows (the DuckDB oracle below and
+    # test_token_drift_split_matches_two_df_form pin it)
+    spark=lambda spark, sf: LM.token_drift_split(
+        _docs(spark, sf),
+        F.col("doc_id") % 2 == 0,
+        F.col("doc_id") % 2 == 1,
         k=40,
     ),
     headline=True,  # monitoring pass over both corpus snapshots

@@ -192,6 +192,43 @@ def test_token_drift_surfaces_planted_vocabulary(spark):
         token_drift(old, new, alpha=0)
 
 
+def test_token_drift_split_matches_two_df_form(spark):
+    """Round-16 refactor pin: the one-scan split form (one explode +
+    count_if per side) must produce EXACTLY the rows of
+    token_drift(docs.filter(p), docs.filter(q)) — including tokens
+    exclusive to one side (the full-outer-coalesce edge) and docs
+    matching NEITHER predicate (in no snapshot, so in no count)."""
+    from pyspark.sql import functions as F
+
+    from csvb_spark.operators.lm import token_drift, token_drift_split
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),          # old (x%3==0)
+            (1, "spam casino jackpot spam"),        # new (x%3==1)
+            (2, "neither half sees this text"),     # in NO snapshot
+            (3, "the cat slept oldonly"),           # old
+            (4, "the dog ran newonly"),             # new
+            (5, None),                               # neither
+            (6, ""),                                 # old (empty token)
+        ],
+        "doc_id bigint, text string",
+    )
+    p_old = F.col("doc_id") % 3 == 0
+    p_new = F.col("doc_id") % 3 == 1
+    ref = token_drift(docs.filter(p_old), docs.filter(p_new), k=50).collect()
+    got = token_drift_split(docs, p_old, p_new, k=50).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in ref]
+    assert any(r["token"] == "oldonly" and r["n_new"] == 0 for r in ref)
+    assert any(r["token"] == "newonly" and r["n_old"] == 0 for r in ref)
+    assert not any(r["token"] == "neither" for r in ref)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="alpha"):
+        token_drift_split(docs, p_old, p_new, alpha=0)
+
+
 def test_cli_drift(spark, tmp_path, capsys):
     import pandas as pd
 
