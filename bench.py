@@ -276,16 +276,29 @@ def main() -> None:
     # wins (and regressions) in scorer-class operators are visible in
     # the committed artifact. The count()-timed x64 row above is
     # unchanged for cross-round comparability.
-    def _x64_noop() -> None:
-        (
-            queries["x64_linear_classifier"]
-            .spark(spark, sf_dir)
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
+    def _noop_row(qname: str):
+        def _run() -> None:
+            (
+                queries[qname]
+                .spark(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
 
-    _extra_row("x64_linear_classifier_noop", _x64_noop)
+        return _run
+
+    _extra_row("x64_linear_classifier_noop", _noop_row("x64_linear_classifier"))
+    # x89 joined the scorer-class noop rows in round 16: its one-pass
+    # wordstats rewrite moves the ctx/cont aggregation work from
+    # inside the count() job into an eager vocab-bounded checkpoint,
+    # so the count()-timed row reads flat while a materializing sink
+    # (which pays the full scoring projection both before and after)
+    # shows the -30% probe win. Same additive protocol as x64's row.
+    _extra_row(
+        "x89_kneser_ney_perplexity_noop",
+        _noop_row("x89_kneser_ney_perplexity"),
+    )
 
     # round-7 model-filter additions, reported separately so "value"
     # stays the legacy-13 sum BASELINE.md was measured on
