@@ -20,12 +20,25 @@ env.update(
     SPARK_GRAFT_SF1="0",
     SPARK_GRAFT_SF10="0",
 )
-proc = subprocess.run(
-    [sys.executable, os.path.join(REPO, "bench.py")],
-    env=env,
-    capture_output=True,
-    text=True,
-)
+# bench.py overwrites the committed BENCH_DETAIL.json on every run;
+# the committed detail must stay the 32-core full run, so save and
+# restore it around the 8-core probe run.
+detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+saved_detail = None
+if os.path.exists(detail_path):
+    with open(detail_path) as fh:
+        saved_detail = fh.read()
+try:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+finally:
+    if saved_detail is not None:
+        with open(detail_path, "w") as fh:
+            fh.write(saved_detail)
 tail = proc.stdout[-4000:]
 lines = [l for l in proc.stdout.splitlines() if l.strip()]
 parsed = json.loads(lines[-1])
