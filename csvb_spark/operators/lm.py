@@ -113,6 +113,95 @@ def _triple_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_shared_train_inputs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pred: Column | str | None = None,
+    bigram_only: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """ONE corpus explode feeding BOTH a bigram-LM train and a scorer
+    (round 16, §2.4 — the train-on-self x84/x95/x110 and
+    train-on-half x89 bench shapes each scanned+tokenized+exploded
+    the corpus twice, once for the model aggregation and once for the
+    scoring pairs). Returns ``(lm, pairs)``:
+
+    - ``lm`` — exactly ``bigram_lm_train(docs.filter(train_pred))``'s
+      row multiset (all docs when ``train_pred`` is None), or only
+      its bigram rows when ``bigram_only=True`` (Kneser-Ney consumes
+      nothing else — the unigram half of the train explode/agg/
+      checkpoint is waste there). Left unmaterialized: the scorer's
+      own model checkpoint aggregates it straight off the gram base.
+    - ``pairs`` — exactly ``_pair_rows(docs)``'s rows (bigram pairs
+      plus one NULL-sentinel per document), for the scorers'
+      ``pairs=`` injection.
+
+    Both derive from one eagerly checkpointed ``(_id, w1, w2)`` gram
+    table, so the corpus is scanned and tokenized ONCE. The same
+    trade as x131's fused feats table: corpus-token-bounded
+    executor-local storage (≈ the token stream re-serialized, 2n+1
+    rows/doc with unigrams, n+1 without) against a second full
+    parquet decode + regex tokenize + zip/explode; rebuilt from the
+    inputs on every execution — a within-query materialization, not
+    a cache. Values are pinned by the composed queries' DuckDB
+    oracles and the refactor-pin unit test (identical multisets by
+    construction: the base rows are a relabeling of exactly the rows
+    the two separate explodes produced; sentinel rows are excluded
+    from the train by ``w1 IS NOT NULL``, unigram rows from the
+    pairs by ``w2 IS NOT NULL OR w1 IS NULL`` — tokens themselves
+    are never NULL, the tokenizer yields '' for missing text).
+    """
+    bg = (
+        "CASE WHEN size(_t) >= 2 THEN CAST(arrays_zip("
+        "slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1)"
+        f") AS {_BG_T}) ELSE CAST(array() AS {_BG_T}) END"
+    )
+    sent = (
+        "array(named_struct("
+        "'w1', CAST(NULL AS string), 'w2', CAST(NULL AS string)))"
+    )
+    parts = [bg, sent]
+    if not bigram_only:
+        uni = (
+            "CAST(arrays_zip(_t, array_repeat(CAST(NULL AS string),"
+            f" size(_t))) AS {_BG_T})"
+        )
+        parts.insert(0, uni)
+    keep = ["_id"]
+    if train_pred is not None:
+        pred = (
+            F.expr(train_pred) if isinstance(train_pred, str) else train_pred
+        )
+        tok = docs.select(
+            F.col(id_col).alias("_id"),
+            pred.cast("boolean").alias("_tr"),
+            F.expr(_toks_sql(text_col)).alias("_t"),
+        )
+        keep.append("_tr")
+    else:
+        tok = docs.selectExpr(
+            f"`{id_col}` AS _id", f"{_toks_sql(text_col)} AS _t"
+        )
+    base = (
+        tok.selectExpr(*keep, f"explode(concat({', '.join(parts)})) AS b")
+        .select(*keep, "b.w1", "b.w2")
+        .localCheckpoint(eager=True)
+    )
+    train_filter = "w1 IS NOT NULL" + (" AND _tr" if train_pred is not None else "")
+    lm = (
+        base.filter(train_filter)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if bigram_only:
+        pairs = base.select("_id", "w1", "w2")
+    else:
+        pairs = base.filter("w2 IS NOT NULL OR w1 IS NULL").select(
+            "_id", "w1", "w2"
+        )
+    return lm, pairs
+
+
 def _bigrams(t):
     """Consecutive-token pair array for a token-array column — ONE
     definition shared by train and score, so the bigram shape can
@@ -543,6 +632,7 @@ def perplexity_score(
     n_salts: int = 16,
     salt_threshold: float = 0.5,
     model_stats=None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Score every document's bigram perplexity under ``lm``.
 
@@ -632,8 +722,14 @@ def perplexity_score(
 
     # every document emits its bigrams PLUS one NULL sentinel pair, so
     # short documents (no bigrams) survive the explode and the corpus
-    # is scanned exactly once — no second filter pass, no anti-join
-    pairs = _pair_rows(docs, id_col, text_col)
+    # is scanned exactly once — no second filter pass, no anti-join.
+    # ``pairs`` injects a prebuilt (_id, w1, w2) table with EXACTLY
+    # _pair_rows' rows (round 16: the shared-explode compositions let
+    # train and score read one checkpointed gram table instead of
+    # scanning+tokenizing the corpus twice; the DuckDB oracles pin
+    # the composed values).
+    if pairs is None:
+        pairs = _pair_rows(docs, id_col, text_col)
     _ne = _model_norm_entropy(b_tokens, b_keys, b_nlogn)
     if not broadcast_model and _ne is not None and _ne < salt_threshold:
         # SKEW PRE-FLIGHT (free: the entropy came out of the same agg
@@ -723,6 +819,7 @@ def kneser_ney_score(
     n_salts: int = 16,
     salt_threshold: float = 0.5,
     model_stats=None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity — the smoothing real
     n-gram quality filters use (KenLM/CCNet's default) rather than
@@ -873,7 +970,9 @@ def kneser_ney_score(
     _ne = _model_norm_entropy(b_tokens, b_types, b_nlogn)
     _salted = not _broadcasting and _ne is not None and _ne < salt_threshold
 
-    pairs = _pair_rows(docs, id_col, text_col)
+    # ``pairs`` injection: see perplexity_score (same contract)
+    if pairs is None:
+        pairs = _pair_rows(docs, id_col, text_col)
     if _salted:
         # Same construction as perplexity_score's salted fallback:
         # every corpus pair carries ONE deterministic salt; every
@@ -1239,15 +1338,17 @@ def perplexity_buckets(
     Plan shape (the x91 calibration pattern, generalized to k
     cutoffs): ppl is quantized to 6 decimals by ``perplexity_score``,
     so the distinct-ppl histogram is bounded — ONE groupBy over the
-    scored projection, a cumulative sum over that bounded table
-    (single-partition over ≤ ``max_distinct`` rows by design, guarded
-    loudly), bucket ids from exact integer arithmetic
-    (``((cum-1)·k) div n + 1`` — engines cannot disagree on a
-    boundary), then a BROADCAST join back so assignment is map-side.
-    No global sort, no rank window over the corpus: at 100 TB the only
-    corpus-wide shuffles are the ones ``perplexity_score`` already
-    pays. Reference scope: beyond-reference (training-pipeline
-    extension).
+    scored projection, materialized once (round 16: the guard
+    scalars n/d come out of the checkpointed histogram, so no second
+    corpus-wide aggregation runs over the scored rows), a cumulative
+    sum over that bounded table (single-partition over ≤
+    ``max_distinct`` rows by design, guarded loudly), bucket ids from
+    exact integer arithmetic (``((cum-1)·k) div n + 1`` — engines
+    cannot disagree on a boundary), then a BROADCAST join back so
+    assignment is map-side. No global sort, no rank window over the
+    corpus: at 100 TB the only corpus-wide shuffles are the ones
+    ``perplexity_score`` already pays. Reference scope:
+    beyond-reference (training-pipeline extension).
     """
     from pyspark.sql import Window
 
@@ -1275,14 +1376,28 @@ def perplexity_buckets(
         .select(id_col, "ppl")
         .localCheckpoint(eager=True)
     )
-    # stats probe straight off the checkpointed scored projection —
-    # ONE small aggregation job where the previous shape paid two (an
-    # eager checkpoint of the histogram plus an agg over it; round-15
-    # §2.4 — the histogram is re-derived below from the SAME
-    # checkpointed scored rows, so nothing is computed twice and the
-    # intermediate materialization was pure overhead)
-    stats = scored.filter(F.col("ppl").isNotNull()).agg(
-        F.count("*").alias("n"), F.count_distinct(F.col("ppl")).alias("d")
+    # The histogram is materialized ONCE (bounded by distinct
+    # quantized ppls, never corpus rows) and the guard scalars n/d
+    # derive from IT — round 16 §2.4/§5: the previous shape ran a
+    # SECOND corpus-wide aggregation over the scored checkpoint just
+    # for (count, count_distinct), then re-derived the histogram
+    # inside the assignment plan's broadcast build; now the scored
+    # checkpoint is read once for the histogram and once as the
+    # probe side, and the guard agg is d-bounded. The guard itself
+    # is unchanged: d counts the histogram's groups (== distinct
+    # non-null ppls) and still reaches the driver BEFORE the
+    # single-partition cumsum window it protects can run —
+    # materializing the histogram is an ordinary distributed groupBy,
+    # safe at any d.
+    hist = (
+        scored.filter(F.col("ppl").isNotNull())
+        .groupBy("ppl")
+        .agg(F.count("*").alias("_n"))
+        .localCheckpoint(eager=True)
+    )
+    stats = hist.agg(
+        F.count("*").alias("d"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
     ).first()
     n, d = int(stats["n"]), int(stats["d"])
     if d > max_distinct:
@@ -1299,11 +1414,6 @@ def perplexity_buckets(
             F.lit(None).cast("int").alias("bucket"),
             F.lit("unscored").alias("cut"),
         )
-    hist = (
-        scored.filter(F.col("ppl").isNotNull())
-        .groupBy("ppl")
-        .agg(F.count("*").alias("_n"))
-    )
     w = Window.orderBy("ppl").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     buckets = hist.withColumn("_cum", F.sum("_n").over(w)).select(
         "ppl",
@@ -1337,6 +1447,7 @@ def jelinek_mercer_score(
     n_salts: int = 16,
     salt_threshold: float = 0.5,
     model_stats=None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Jelinek-Mercer INTERPOLATED bigram scoring — the fourth classic
     smoothing family beside add-alpha (:func:`perplexity_score`),
@@ -1396,7 +1507,9 @@ def jelinek_mercer_score(
     _ne = _model_norm_entropy(b_tokens, b_keys, b_nlogn)
     _salted = not broadcast_model and _ne is not None and _ne < salt_threshold
 
-    pairs = _pair_rows(docs, id_col, text_col)
+    # ``pairs`` injection: see perplexity_score (same contract)
+    if pairs is None:
+        pairs = _pair_rows(docs, id_col, text_col)
     if _salted:
         # same construction as the other three scorers (see
         # _salt_probe/_salt_replicate): one deterministic salt per
@@ -1470,12 +1583,108 @@ def jelinek_mercer_score(
     )
 
 
+def _addk_scores_pair(
+    docs: DataFrame,
+    model: DataFrame,
+    v_b: int,
+    v_r: int,
+    text_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document under TWO add-1 bigram models in ONE
+    corpus pass (round 16, §2.4 — doremi's fused scoring half).
+
+    ``model`` is the fused count table ``(w1, w2, cnt, cnt_t)``:
+    ``cnt`` the base-corpus counts (= ``bigram_lm_train(docs)``),
+    ``cnt_t`` the target-subset counts (a gram unseen in the target
+    has ``cnt_t = 0`` — exactly absent from the target model). The
+    corpus is exploded into bigram pairs ONCE and left-joined against
+    both models' broadcast uni/bi tables in the same map-side stage;
+    one groupBy(_id) emits both documents' sums. Each model's
+    per-pair probability/ln/round/DECIMAL tree is byte-for-byte the
+    expression ``perplexity_score`` builds (alpha=1), so per-doc
+    ``avg_neg_logprob`` values are bit-identical to two independent
+    scoring passes — the x142 DuckDB oracle and the pred-vs-DataFrame
+    equivalence test pin it. Returns ``(id_col, _ab, _ar)``; docs
+    with no bigram evidence carry NULL in both (the sentinel row
+    keeps them in the output, as in ``perplexity_score``)."""
+    uni_b = model.filter("w2 IS NULL").select(
+        F.col("w1").alias("_cb_w1"), F.col("cnt").alias("_c1b")
+    )
+    bi_b = model.filter("w2 IS NOT NULL").select(
+        F.col("w1").alias("_bb_w1"),
+        F.col("w2").alias("_bb_w2"),
+        F.col("cnt").alias("_c2b"),
+    )
+    uni_r = model.filter("w2 IS NULL AND cnt_t > 0").select(
+        F.col("w1").alias("_cr_w1"), F.col("cnt_t").alias("_c1r")
+    )
+    bi_r = model.filter("w2 IS NOT NULL AND cnt_t > 0").select(
+        F.col("w1").alias("_br_w1"),
+        F.col("w2").alias("_br_w2"),
+        F.col("cnt_t").alias("_c2r"),
+    )
+    pairs = _pair_rows(docs, id_col, text_col)
+    j = (
+        pairs.join(
+            F.broadcast(bi_b),
+            (pairs.w1 == F.col("_bb_w1")) & (pairs.w2 == F.col("_bb_w2")),
+            "left",
+        )
+        .join(F.broadcast(uni_b), pairs.w1 == F.col("_cb_w1"), "left")
+        .join(
+            F.broadcast(bi_r),
+            (pairs.w1 == F.col("_br_w1")) & (pairs.w2 == F.col("_br_w2")),
+            "left",
+        )
+        .join(F.broadcast(uni_r), pairs.w1 == F.col("_cr_w1"), "left")
+    )
+    pb = (
+        "(CAST(coalesce(_c2b, 0) + 1 AS DOUBLE)"
+        f" / CAST(coalesce(_c1b, 0) + 1 * {int(v_b)} AS DOUBLE))"
+    )
+    pr = (
+        "(CAST(coalesce(_c2r, 0) + 1 AS DOUBLE)"
+        f" / CAST(coalesce(_c1r, 0) + 1 * {int(v_r)} AS DOUBLE))"
+    )
+    per_doc = (
+        j.selectExpr(
+            "_id",
+            "CAST(w1 IS NOT NULL AS BIGINT) AS _is_bg",
+            "CASE WHEN w1 IS NOT NULL THEN "
+            f"CAST(round(ln({pb}), 6) AS DECIMAL(18,6)) END AS _qb",
+            "CASE WHEN w1 IS NOT NULL THEN "
+            f"CAST(round(ln({pr}), 6) AS DECIMAL(18,6)) END AS _qr",
+        )
+        .groupBy("_id")
+        .agg(
+            F.sum("_is_bg").alias("n_bigrams"),
+            F.sum("_qb").alias("_tb"),
+            F.sum("_qr").alias("_tr"),
+        )
+    )
+    ab = (
+        "CASE WHEN n_bigrams > 0 THEN "
+        "-(CAST(_tb AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) END"
+    )
+    ar = (
+        "CASE WHEN n_bigrams > 0 THEN "
+        "-(CAST(_tr AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) END"
+    )
+    return per_doc.selectExpr(
+        f"_id AS `{id_col}`", f"{ab} AS _ab", f"{ar} AS _ar"
+    )
+
+
 def doremi_domain_weights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     domain_col: str = "source",
     text_col: str = "text",
     eta: float = 1.0,
+    *,
+    target_pred: Column | str | None = None,
+    broadcast_max_rows: int = 8_000_000,
 ) -> DataFrame:
     """Single-round DoReMi-style domain mixture weights (Xie et al.
     2023, arXiv:2305.10429): upweight domains whose EXCESS loss —
@@ -1506,26 +1715,123 @@ def doremi_domain_weights(
     EITHER model and are excluded from the means (n_docs counts the
     scoreable docs).
 
-    Scale: the two scoring passes are the same auto-broadcast
-    map-only scans x84 runs at 100 TB; the per-domain aggregate is
-    one fixed-width shuffle on the domain key; everything after it
-    is a few-row window. Reference scope: beyond-reference
-    (training-pipeline extension).
+    Scale: the scoring is the same auto-broadcast map-only scan x84
+    runs at 100 TB; the per-domain aggregate is one fixed-width
+    shuffle on the domain key; everything after it is a few-row
+    window. Reference scope: beyond-reference (training-pipeline
+    extension).
+
+    ``target_pred`` (round 16, §2.4 — the dsir_score/x131 pattern):
+    when the target is a predicate-selected subset of ``docs``, pass
+    the predicate instead of a DataFrame and the whole update fuses
+    to TWO corpus-wide passes (the algorithmic floor: count grams
+    once, score once) from the generic path's four. ONE
+    explode+groupBy counts BOTH corpora (``count`` / ``count_if`` —
+    the token_drift_split trick; a gram with ``cnt_t = 0`` is exactly
+    a gram absent from the target model, and both count columns are
+    exact int64 either way), checkpointed once (vocab-bounded, the
+    same bound as each scorer's own model checkpoint); ONE corpus
+    pass scores both models (:func:`_addk_scores_pair`, per-model
+    expression trees identical to ``perplexity_score``'s); and the
+    per-document join against ``domain`` runs once instead of twice.
+    An over-``broadcast_max_rows`` model falls back to the two
+    independent scoring passes (each with its own skew-salted
+    shuffle join) while keeping the fused single-pass training.
+    Values are bit-identical to the generic path by construction —
+    pinned by the x142 DuckDB oracle and the pred-vs-DataFrame
+    equivalence test.
     """
-    base_lm = bigram_lm_train(docs, text_col=text_col)
-    ref_lm = bigram_lm_train(target, text_col=text_col)
-    sb = perplexity_score(docs, base_lm, text_col=text_col).select(
-        "doc_id", F.col("avg_neg_logprob").alias("_ab")
-    )
-    sr = perplexity_score(docs, ref_lm, text_col=text_col).select(
-        "doc_id", F.col("avg_neg_logprob").alias("_ar")
-    )
-    joined = (
-        docs.select("doc_id", F.col(domain_col).alias("domain"))
-        .join(sb, "doc_id")
-        .join(sr, "doc_id")
-        .filter(F.col("_ab").isNotNull() & F.col("_ar").isNotNull())
-    )
+    if (target is None) == (target_pred is None):
+        raise ValueError(
+            "doremi_domain_weights: pass exactly one of target (a "
+            "separate corpus) or target_pred (a predicate selecting "
+            "the target subset of docs)"
+        )
+    if target_pred is None:
+        base_lm = bigram_lm_train(docs, text_col=text_col)
+        ref_lm = bigram_lm_train(target, text_col=text_col)
+        sb = perplexity_score(docs, base_lm, text_col=text_col).select(
+            "doc_id", F.col("avg_neg_logprob").alias("_ab")
+        )
+        sr = perplexity_score(docs, ref_lm, text_col=text_col).select(
+            "doc_id", F.col("avg_neg_logprob").alias("_ar")
+        )
+        joined = (
+            docs.select("doc_id", F.col(domain_col).alias("domain"))
+            .join(sb, "doc_id")
+            .join(sr, "doc_id")
+            .filter(F.col("_ab").isNotNull() & F.col("_ar").isNotNull())
+        )
+    else:
+        pred = (
+            F.expr(target_pred)
+            if isinstance(target_pred, str)
+            else target_pred
+        )
+        # ONE explode + ONE groupBy trains BOTH models. Row multisets
+        # are exactly bigram_lm_train's: base counts every gram of
+        # every doc; target counts only rows whose flag is true (a
+        # NULL predicate counts like filter() — not at all).
+        tok = docs.select(
+            pred.cast("boolean").alias("_tgt"), _toks(text_col).alias("_t")
+        )
+        nulls = F.array_repeat(F.lit(None).cast("string"), F.size("_t"))
+        unis = F.arrays_zip(F.col("_t").alias("w1"), nulls.alias("w2"))
+        grams = tok.select(
+            "_tgt",
+            F.explode(F.concat(unis, _bigrams(F.col("_t")))).alias("g"),
+        ).select("_tgt", "g.w1", "g.w2")
+        model = (
+            grams.groupBy("w1", "w2")
+            .agg(
+                F.count("*").alias("cnt"),
+                F.count(F.when(F.col("_tgt"), 1)).alias("cnt_t"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        base_lm = model.select("w1", "w2", "cnt")
+        ref_lm = model.filter("cnt_t > 0").select(
+            "w1", "w2", F.col("cnt_t").alias("cnt")
+        )
+        stats_b = _addk_model_stats(base_lm)
+        stats_r = _addk_model_stats(ref_lm)
+        # the base model's row count bounds the target model's too
+        if _resolve_broadcast(
+            "doremi_domain_weights",
+            int(stats_b["n"]),
+            None,
+            broadcast_max_rows,
+        ):
+            scored = _addk_scores_pair(
+                docs,
+                model,
+                int(stats_b["v"]),
+                int(stats_r["v"]),
+                text_col,
+            )
+        else:
+            sb = perplexity_score(
+                docs,
+                base_lm,
+                text_col=text_col,
+                model_materialized=True,
+                model_stats=stats_b,
+                broadcast_max_rows=broadcast_max_rows,
+            ).select("doc_id", F.col("avg_neg_logprob").alias("_ab"))
+            sr = perplexity_score(
+                docs,
+                ref_lm,
+                text_col=text_col,
+                model_materialized=True,
+                model_stats=stats_r,
+                broadcast_max_rows=broadcast_max_rows,
+            ).select("doc_id", F.col("avg_neg_logprob").alias("_ar"))
+            scored = sb.join(sr, "doc_id")
+        joined = (
+            docs.select("doc_id", F.col(domain_col).alias("domain"))
+            .join(scored, "doc_id")
+            .filter(F.col("_ab").isNotNull() & F.col("_ar").isNotNull())
+        )
     agg = joined.groupBy("domain").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.round("_ab", 6).cast("decimal(18,6)"))

@@ -4984,8 +4984,13 @@ HAVING COUNT(*) >= 1
 # operator rounds. The ITERATED variant is x145 below.
 _q(
     "x142_doremi_domain_weights",
+    # target_pred (round 16): the target is a predicate subset of the
+    # corpus, so the fused path trains BOTH models from one
+    # explode+groupBy and scores both in one corpus pass (4 corpus
+    # passes -> 2); values bit-identical (oracle below + the
+    # pred-vs-DataFrame equivalence test)
     spark=lambda spark, sf: LM.doremi_domain_weights(
-        _docs(spark, sf), _docs(spark, sf).filter("doc_id % 7 = 0")
+        _docs(spark, sf), target_pred="doc_id % 7 = 0"
     ),
     oracle=r"""
 WITH toks AS (

@@ -994,6 +994,103 @@ def test_doremi_domain_weights_semantics(spark):
     assert abs(out["clean"].mixture_share + out["junk"].mixture_share - 1.0) < 1e-5
 
 
+def test_bigram_shared_train_inputs_matches_separate(spark):
+    """Round-16 refactor pin: the shared-explode composition's
+    ``(lm, pairs)`` must be EXACTLY the row multisets of the two
+    separate constructions (``bigram_lm_train`` + ``_pair_rows``) on
+    adversarial input — NULL/empty text (the '' token; sentinel
+    rows), single-token docs (no bigrams), a train predicate, and
+    the bigram_only variant Kneser-Ney consumes."""
+    from csvb_spark.operators.lm import (
+        _pair_rows,
+        bigram_lm_train,
+        bigram_shared_train_inputs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b"),
+            (1, None),
+            (2, ""),
+            (3, "single"),
+            (4, "a b"),
+            (5, "x y z x y z"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+    def eq(a, b):
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    lm, pairs = bigram_shared_train_inputs(docs)
+    eq(lm, bigram_lm_train(docs))
+    eq(pairs, _pair_rows(docs, "doc_id", "text"))
+
+    lm2, pairs2 = bigram_shared_train_inputs(
+        docs, train_pred="doc_id % 2 = 0", bigram_only=True
+    )
+    eq(
+        lm2,
+        bigram_lm_train(docs.filter("doc_id % 2 = 0")).filter(
+            "w2 IS NOT NULL"
+        ),
+    )
+    eq(pairs2, _pair_rows(docs, "doc_id", "text"))
+
+
+def test_doremi_target_pred_matches_target_df(spark):
+    """Round-16 refactor pin: the fused target_pred path (one
+    explode+groupBy training BOTH models, one corpus pass scoring
+    both) must produce EXACTLY the rows of the generic path given the
+    equivalent target DataFrame — same domains, counts, bit-identical
+    doubles. Covers empty/NULL text (sentinel rows), a domain whose
+    docs are all too short to score, NULL domain values, and docs
+    matching neither/both halves of the predicate."""
+    from csvb_spark.operators.lm import doremi_domain_weights
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "news"),
+        (1, "the quick brown fox sleeps", "news"),
+        (2, "zxq wvv qqj kpf mmz jjx vvq", "spam"),
+        (3, "zxq wvv mmz", "spam"),
+        (4, None, "empty"),
+        (5, "", "empty"),
+        (6, "single", "short"),
+        (7, "the lazy dog sleeps", None),
+        (8, "quick brown quick brown", "news"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    import pytest as _pytest
+
+    pred_rows = sorted(
+        doremi_domain_weights(docs, target_pred="doc_id % 2 = 0").collect(),
+        key=lambda r: (r["domain"] is None, r["domain"]),
+    )
+    df_rows = sorted(
+        doremi_domain_weights(docs, docs.filter("doc_id % 2 = 0")).collect(),
+        key=lambda r: (r["domain"] is None, r["domain"]),
+    )
+    assert [tuple(r) for r in pred_rows] == [tuple(r) for r in df_rows]
+    # the over-broadcast-bound fallback (fused train, two scoring
+    # passes) is value-identical too
+    fb_rows = sorted(
+        doremi_domain_weights(
+            docs, target_pred="doc_id % 2 = 0", broadcast_max_rows=1
+        ).collect(),
+        key=lambda r: (r["domain"] is None, r["domain"]),
+    )
+    assert [tuple(r) for r in fb_rows] == [tuple(r) for r in pred_rows]
+    # exactly one of target / target_pred, loudly
+    with _pytest.raises(ValueError, match="exactly one"):
+        doremi_domain_weights(docs)
+    with _pytest.raises(ValueError, match="exactly one"):
+        doremi_domain_weights(
+            docs, docs.filter("doc_id % 2 = 0"), target_pred="doc_id % 2 = 0"
+        )
+
+
 def test_doremi_iterated_trajectory_semantics(spark, sf_dir):
     """Iterated DoReMi structural invariants: one row per
     (round, domain); per-round shares normalize to ~1; avg_share is
