@@ -145,6 +145,78 @@ def _calibrate() -> dict:
     }
 
 
+def _section_boundary(spark, cpus: str, fresh: bool = False):
+    """Between bench sections (round 16, §5). Three jobs, all strictly
+    OUTSIDE every timed region — no timed number's methodology
+    changes:
+
+    (a) nudge a driver GC so the ContextCleaner releases checkpoint/
+        broadcast blocks orphaned by completed queries — a full bench
+        session executes ~80+ query constructions whose
+        localCheckpoint blocks otherwise linger until an arbitrary GC;
+    (b) ``fresh=True``: STOP and rebuild the session, the
+        deterministic memory baseline for the heaviest section. Two
+        end-of-round runs died of a Java-heap OOM in the sf10 x97
+        pass that the same query survives standalone (35.0 s
+        broadcast / 55.6 s equijoin, identical 51200 rows) — ~2700
+        stages of accumulated session state is the difference, and
+        advisory GC alone did not reclaim it. Each sf10 op keeps its
+        own sf1-scale warm pass inside the new session, so the
+        section's one-timed-pass-after-warm methodology is unchanged;
+    (c) if a fatal executor error KILLED the JVM (Spark's uncaught-
+        exception handler exits the whole local-mode process), clear
+        pyspark's module-level gateway state so a NEW JVM launches —
+        otherwise every later section dies of ConnectionRefused on
+        the dead gateway and curate/federation/streaming are erased
+        (exactly what the OOM runs lost)."""
+    import gc as _gc
+
+    try:
+        dead = spark.sparkContext._jsc.sc().isStopped()
+    except Exception:  # noqa: BLE001 — a gateway error IS a dead session
+        dead = True
+    if dead or fresh:
+        if dead:
+            print("bench: SparkContext died; rebuilding for next section",
+                  file=sys.stderr)
+        try:
+            spark.stop()
+        except Exception:  # noqa: BLE001
+            pass
+        from pyspark import SparkContext
+        from pyspark.sql import SparkSession
+
+        gateway_alive = False
+        if SparkContext._gateway is not None:
+            try:
+                SparkContext._gateway.jvm.java.lang.System.currentTimeMillis()
+                gateway_alive = True
+            except Exception:  # noqa: BLE001
+                gateway_alive = False
+        if not gateway_alive:
+            # the JVM itself is gone; drop the cached gateway so the
+            # builder below launches a fresh one
+            with SparkContext._lock:
+                SparkContext._active_spark_context = None
+                SparkContext._gateway = None
+                SparkContext._jvm = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        from csvb_spark.session import get_session
+
+        spark = get_session(
+            app_name="csvb_spark_bench",
+            master=f"local[{cpus}]",
+            shuffle_partitions=int(cpus),
+        )
+    _gc.collect()
+    try:
+        spark._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+    return spark
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -366,6 +438,7 @@ def main() -> None:
     # real growth), cached across runs. One warm pass + one timed pass
     # (the headline metric above stays the sf0.1 median for BASELINE
     # comparability). Disable with SPARK_GRAFT_SF1=0.
+    spark = _section_boundary(spark, cpus)
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
         try:
             sf1_dir = os.environ.get(
@@ -411,6 +484,7 @@ def main() -> None:
     # values and would manufacture quadratic dup clusters). One timed
     # pass per op after an sf1-scale warm (plan shapes at sf1 and sf10
     # match — both are past AQE's broadcast thresholds).
+    spark = _section_boundary(spark, cpus, fresh=True)
     if os.environ.get("SPARK_GRAFT_SF10", "1") != "0":
         try:
             sf10_dir = os.environ.get(
@@ -631,6 +705,7 @@ def main() -> None:
     # are exactly where a lineage-re-execution bug would hide (the
     # streaming bench caught one on its first run). Per-stage
     # wall-clock at the target sf + the sf1 upscale when available.
+    spark = _section_boundary(spark, cpus)
     if os.environ.get("SPARK_GRAFT_CURATE", "1") != "0":
         try:
             cur = {"sf": _bench_curate(spark, sf_dir)}
@@ -672,6 +747,7 @@ def main() -> None:
     # section's lesson: local wire IO is loopback-cheap, row counts
     # are what a real network pays), and (b) the within-shard
     # parallel-read speedup (num_partitions=4 vs 1).
+    spark = _section_boundary(spark, cpus)
     if os.environ.get("SPARK_GRAFT_FED", "1") != "0":
         try:
             detail["federation"] = _bench_federation(spark, sf_dir)
@@ -687,6 +763,7 @@ def main() -> None:
     # CUMULATIVE configs so the per-gate cost is the delta between
     # adjacent rows: base (quality+dedup+index), +LM gate, +decontam
     # gate. Fresh dirs per config (checkpoints make re-runs no-ops).
+    spark = _section_boundary(spark, cpus)
     if os.environ.get("SPARK_GRAFT_STREAM", "1") != "0":
         try:
             detail["streaming"] = _bench_streaming(spark, sf_dir)
